@@ -1,0 +1,353 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Core relational surface (SURVEY.md §2B rows B4–B31).
+  *
+  * The reference (Astro, Spark-SQL-on-HBase) inherits all of these from stock
+  * Catalyst by extending SQLContext [ref*: org.apache.spark.sql.hbase — mount
+  * empty, public-knowledge citation per SURVEY.md §0]; we express them with the
+  * Spark 4 DataFrame API and let Catalyst/AQE pick physical plans. Broadcast
+  * hints mark dimension tables so the 100 TB plan keeps fact-table scans
+  * shuffle-free where possible.
+  */
+object Relational {
+
+  /** Flagship: TPC-H Q1-shaped pricing summary — scan→filter→agg→sort (B15/B16). */
+  def q1Pricing(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val one = lit(1).cast(M4)
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumS(col("l_quantity")).as("sum_qty"),
+        sumS(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))).cast(S).as("sum_disc_price"),
+        sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))) * (one + dec4(col("l_tax")))).cast(S).as("sum_charge"),
+        avgD(col("l_quantity")).as("avg_qty"),
+        avgD(col("l_extendedprice")).as("avg_price"),
+        avgD(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** B4/B7: projection with expressions, aliases, casts. */
+  def projectExpr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
+        concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("label"),
+        floor(col("l_quantity")).cast(IntegerType).as("qty_int"),
+        col("l_shipdate").cast(DateType).as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** B5: comparison/BETWEEN/IN/LIKE/IS NULL/AND/OR/NOT predicates. */
+  def filterPred(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "P"))
+      .filter(col("o_totalprice").between(50000d, 150000d))
+      .filter(col("o_orderpriority").like("%URGENT%") || col("o_orderpriority").like("2-%"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType))
+      .filter(nullif(col("o_orderstatus"), lit("X")).isNotNull)
+      .filter(!(col("o_custkey") % 10 === 3))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+
+  /** B6: CASE WHEN / coalesce / nullif. */
+  def caseWhen(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        when(col("o_totalprice") >= 200000, lit("big"))
+          .when(col("o_totalprice") >= 100000, lit("mid"))
+          .otherwise(lit("small")).as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_f"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"), col("status_f"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket"), col("status_f"))
+
+  /** B8: inner equi-join (Catalyst picks hash/sort-merge; AQE may re-plan). */
+  def joinInner(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .filter(col("o_totalprice") > 100000d)
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** B9: explicit broadcast of small dims — at 100 TB the fact side never shuffles. */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("c_acctbal")).as("acctbal_sum"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** B10: left outer join with null-aware aggregates. */
+  def joinOuter(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        sumS(col("o_totalprice")).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** B11: left semi + left anti (EXISTS / NOT EXISTS). */
+  def joinSemiAnti(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+    val f = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+    val semi = cust.join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("has_f").as("kind"), col("c_custkey"))
+    val anti = cust.join(f, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("no_f").as("kind"), col("c_custkey"))
+    semi.union(anti).orderBy(col("kind"), col("c_custkey"))
+  }
+
+  /** B12: theta (non-equi) join — broadcast nested loop on a small dim. */
+  def joinTheta(s: SparkSession, d: String): DataFrame = {
+    val n1 = Tables.nation(s, d).select(col("n_name").as("a_nation"), col("n_regionkey").as("a_region"))
+    val n2 = Tables.nation(s, d).select(col("n_name").as("b_nation"), col("n_regionkey").as("b_region"))
+    n1.join(broadcast(n2), col("a_region") < col("b_region"))
+      .orderBy(col("a_nation"), col("b_nation"))
+  }
+
+  /** B14: multi-way star join region→nation→customer→orders→lineitem. */
+  def joinStar(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(M4)
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))).cast(S).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("o_year"))
+  }
+
+  /** B15/B16/B19: hash group-by with min/max/sum/avg/count + HAVING. */
+  def aggGroupBy(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sumS(col("o_totalprice")).as("sum_price"),
+        avgD(col("o_totalprice")).as("avg_price"))
+      .filter(col("cnt") > 10)
+      .orderBy(col("o_orderpriority"))
+
+  /** B17: COUNT(DISTINCT …) (multiple distincts → Expand-based plan). */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
+  /** B18: HLL approximate distinct — declared in queries, no DuckDB oracle
+    * (approx result is engine-specific by design; exactness checked in unit
+    * tests against exact counts with rsd tolerance). */
+  def aggApproxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_part"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** B20: ROLLUP with grouping_id. */
+  def aggRollup(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("c_acctbal")).as("acct_sum"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** B24/B25: global multi-column sort + LIMIT → TakeOrderedAndProject. */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  /** B26: UNION ALL across heterogeneous sources. */
+  def setUnion(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000d)
+      .select(lit("cust").as("kind"), col("c_custkey").as("k"))
+    val p = Tables.supplier(s, d).filter(col("s_acctbal") > 100d)
+      .select(lit("supp").as("kind"), col("s_suppkey").as("k"))
+    c.union(p).orderBy(col("kind"), col("k"))
+  }
+
+  /** B27/B28/B29: INTERSECT + EXCEPT (distinct set semantics). */
+  def setIntersectExcept(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).filter(col("p_size") > 40).select(col("p_partkey").as("k"))
+    val used = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
+    val both = parts.intersect(used).select(lit("both").as("kind"), col("k"))
+    val only = parts.except(used).select(lit("part_only").as("kind"), col("k"))
+    both.union(only).orderBy(col("kind"), col("k"))
+  }
+
+  /** B30: uncorrelated scalar subquery (broadcast the 1-row aggregate). */
+  def subqueryScalar(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val mx = o.agg(max(col("o_totalprice")).as("max_price"))
+    o.join(broadcast(mx))
+      .filter(col("o_totalprice") > lit(0.9) * col("max_price"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_totalprice") / col("max_price")).as("frac_of_max"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> (q1Pricing _),
+    "project_expr" -> (projectExpr _),
+    "filter_pred" -> (filterPred _),
+    "case_when" -> (caseWhen _),
+    "join_inner" -> (joinInner _),
+    "join_broadcast" -> (joinBroadcast _),
+    "join_outer" -> (joinOuter _),
+    "join_semi_anti" -> (joinSemiAnti _),
+    "join_theta" -> (joinTheta _),
+    "join_star" -> (joinStar _),
+    "agg_groupby" -> (aggGroupBy _),
+    "agg_distinct" -> (aggDistinct _),
+    "agg_approx_distinct" -> (aggApproxDistinct _),
+    "agg_rollup" -> (aggRollup _),
+    "sort_limit" -> (sortLimit _),
+    "set_union" -> (setUnion _),
+    "set_intersect_except" -> (setIntersectExcept _),
+    "subquery_scalar" -> (subqueryScalar _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "project_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_extendedprice * (1.0 - l_discount) AS disc_price,
+        | l_returnflag || '/' || l_linestatus AS label,
+        | CAST(floor(l_quantity) AS INTEGER) AS qty_int,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_pred" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+        |FROM orders
+        |WHERE o_orderstatus IN ('F','P')
+        |  AND o_totalprice BETWEEN 50000 AND 150000
+        |  AND (o_orderpriority LIKE '%URGENT%' OR o_orderpriority LIKE '2-%')
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND nullif(o_orderstatus, 'X') IS NOT NULL
+        |  AND NOT (o_custkey % 10 = 3)
+        |ORDER BY o_orderkey""".stripMargin,
+    "case_when" ->
+      """SELECT CASE WHEN o_totalprice >= 200000 THEN 'big'
+        |            WHEN o_totalprice >= 100000 THEN 'mid'
+        |            ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_f,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY bucket, status_f""".stripMargin,
+    "join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 100000
+        |ORDER BY o_orderkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS acctbal_sum
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "join_semi_anti" ->
+      """SELECT 'has_f' AS kind, c_custkey FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |UNION ALL
+        |SELECT 'no_f' AS kind, c_custkey FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY kind, c_custkey""".stripMargin,
+    "join_theta" ->
+      """SELECT n1.n_name AS a_nation, n1.n_regionkey AS a_region,
+        |       n2.n_name AS b_nation, n2.n_regionkey AS b_region
+        |FROM nation n1 JOIN nation n2 ON n1.n_regionkey < n2.n_regionkey
+        |ORDER BY a_nation, b_nation""".stripMargin,
+    "join_star" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin,
+    "agg_groupby" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
+        |FROM orders GROUP BY o_orderpriority HAVING count(*) > 10
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_part,
+        | count(DISTINCT l_suppkey) AS n_supp, count(DISTINCT l_orderkey) AS n_orders,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS cnt,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS acct_sum,
+        | CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "sort_limit" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |ORDER BY l_extendedprice DESC NULLS LAST, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+    "set_union" ->
+      """SELECT 'cust' AS kind, c_custkey AS k FROM customer WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT 'supp' AS kind, s_suppkey AS k FROM supplier WHERE s_acctbal > 100
+        |ORDER BY kind, k""".stripMargin,
+    "set_intersect_except" ->
+      """SELECT 'both' AS kind, k FROM (
+        |  SELECT p_partkey AS k FROM part WHERE p_size > 40
+        |  INTERSECT SELECT l_partkey AS k FROM lineitem)
+        |UNION ALL
+        |SELECT 'part_only' AS kind, k FROM (
+        |  SELECT p_partkey AS k FROM part WHERE p_size > 40
+        |  EXCEPT SELECT l_partkey AS k FROM lineitem)
+        |ORDER BY kind, k""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice,
+        | o_totalprice / (SELECT max(o_totalprice) FROM orders) AS frac_of_max
+        |FROM orders
+        |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+}
