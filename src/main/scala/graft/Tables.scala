@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Schema-checked readers for the driver-generated parquet tables
   * (see FIXTURES.md for the measured schemas; TESTDATA.md:13-15 for layout).
@@ -23,7 +25,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = rd(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = rd(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = rd(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = rd(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects unless read
+    * as a raw long (`spark.sql.legacy.parquet.nanosAsLong`, set by the
+    * Verify/Bench session builders). Truncating ns→µs here matches DuckDB's
+    * own nanos handling, so oracle timestamps agree exactly. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = rd(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame  = rd(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = rd(s, d, "embeddings")
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time window aggregations (SURVEY.md §2B rows B40–B42).
+  *
+  * Expressed in batch so the DuckDB oracle applies; the same `window()` /
+  * `session_window()` expressions run unchanged under Structured Streaming
+  * with a watermark (graft.streaming.StreamOps covers that path in tests —
+  * the 100 TB streaming story per SURVEY.md §2B note).
+  */
+object Events {
+
+  /** B40: tumbling 1-day event-time windows per event type. */
+  def tumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sumS(col("value")).as("val_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("w.start").as("w_day"), col("event_type"),
+        col("cnt"), col("val_sum"), col("n_users"))
+      .orderBy(col("w_day"), col("event_type"))
+
+  /** B41: sliding 1-hour windows every 30 minutes (each event in 2 windows). */
+  def sliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("value")).as("val_sum"))
+      .select(col("w.start").as("w_start"), col("cnt"), col("val_sum"))
+      .orderBy(col("w_start"))
+
+  /** B42: session windows with a 30-minute gap per user. */
+  def session(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("value")).as("val_sum"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("cnt"), col("val_sum"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> (tumbling _),
+    "stream_sliding" -> (sliding _),
+    "stream_session" -> (session _))
+
+  val oracles: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_day, event_type,
+        | count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY w_day, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT w_start, count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum
+        |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
+        |        - i * (INTERVAL '30 minutes') AS w_start, value
+        |      FROM events CROSS JOIN (VALUES (0), (1)) AS offs(i))
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL '30 minutes' AS session_end,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Storage-layer analogues of the reference's rowkey machinery
+  * (SURVEY.md §2A rows A2/A6/A7).
+  *
+  * Astro prunes HBase regions from composite-rowkey predicates
+  * ("critical point" analysis) and bulk-loads via a range-shuffle sorted on
+  * the rowkey aligned to region boundaries [ref*: …/hbase/CriticalPoint.scala,
+  * …/hbase/execution/hbaseCommands.scala — mount empty, public-knowledge
+  * citation per SURVEY.md §0]. The Spark-native equivalents: composite-key
+  * range predicates that parquet row-group stats prune natively, and
+  * `repartitionByRange + sortWithinPartitions` writes — the same
+  * range-shuffle + sorted-file shape HFile bulk load uses.
+  */
+object KeyRange {
+
+  /** A2: composite-rowkey range scan (l_orderkey, l_linenumber) — the filter
+    * reaches the parquet scan as PushedFilters on the leading key column. */
+  def keyrangeScan(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter((col("l_orderkey") > 1000) ||
+        (col("l_orderkey") === 1000 && col("l_linenumber") >= 2))
+      .filter((col("l_orderkey") < 3000) ||
+        (col("l_orderkey") === 3000 && col("l_linenumber") <= 3))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** A6: INSERT INTO … SELECT — write a filtered projection, read it back. */
+  def insertSelect(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_insert_select_${d.hashCode.toHexString}"
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    s.read.parquet(tmp)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** A7: bulk-load shape — range-shuffle on the key, sort within partitions,
+    * write, re-read. At cluster scale this is the write pattern that yields
+    * key-clustered files whose min/max stats enable A2-style pruning. */
+  def bulkloadSortedWrite(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bulkload_${d.hashCode.toHexString}"
+    Tables.lineitem(s, d)
+      .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    s.read.parquet(tmp)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_orderkey")).as("min_key"),
+        max(col("l_orderkey")).as("max_key"),
+        sumS(col("l_extendedprice")).as("price_sum"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "keyrange_scan" -> (keyrangeScan _),
+    "insert_select" -> (insertSelect _),
+    "bulkload_sorted_write" -> (bulkloadSortedWrite _))
+
+  val oracles: Map[String, String] = Map(
+    "keyrange_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE (l_orderkey > 1000 OR (l_orderkey = 1000 AND l_linenumber >= 2))
+        |  AND (l_orderkey < 3000 OR (l_orderkey = 3000 AND l_linenumber <= 3))
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "insert_select" ->
+      """SELECT o_orderpriority, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "bulkload_sorted_write" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
+        | max(l_orderkey) AS max_key,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS price_sum
+        |FROM lineitem""".stripMargin)
+}

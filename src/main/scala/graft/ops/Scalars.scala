@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Scalar function families + UDF/UDAF surface (SURVEY.md §2B rows B32–B38).
+  *
+  * Determinism notes: only exact scalar functions appear in judged outputs
+  * (string ops, floor/ceil/abs/sqrt/sign/mod — sqrt is IEEE correctly-rounded;
+  * no pow/ln/exp whose last ulp may differ between Java Math and libm).
+  * Engine return-type drift (Spark ceil→LONG vs DuckDB ceil→DOUBLE, Spark
+  * year→INT vs DuckDB year→BIGINT, …) is pinned by explicit casts on both
+  * sides.
+  */
+object Scalars {
+
+  /** B32: string family. */
+  def scalarString(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        substring(col("c_name"), 1, 8).as("sub8"),
+        length(col("c_name")).cast(IntegerType).as("name_len"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed"),
+        regexp_replace(col("c_name"), lit("0"), lit("#")).as("replaced"),
+        instr(col("c_name"), "1").cast(IntegerType).as("pos1"),
+        lpad(col("c_custkey").cast(StringType), 10, "0").as("padded"),
+        size(split(col("c_name"), "#")).cast(IntegerType).as("n_parts"))
+      .orderBy(col("c_custkey"))
+
+  /** B33: math family (exact subset — see object doc). */
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        abs(col("o_totalprice") - 150000.0).as("abs_diff"),
+        round(col("o_totalprice"), 0).as("rounded"),
+        ceil(col("o_totalprice")).cast(LongType).as("ceiled"),
+        floor(col("o_totalprice")).cast(LongType).as("floored"),
+        sqrt(col("o_totalprice")).as("root"),
+        (col("o_orderkey") % 7).as("mod7"),
+        signum(col("o_totalprice") - 150000.0).cast(IntegerType).as("sgn"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("hi"),
+        least(col("o_totalprice"), lit(100000.0)).as("lo"))
+      .orderBy(col("o_orderkey"))
+
+  /** B34: date/time family (UTC session TZ pinned by harness). */
+  def scalarDatetime(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        year(col("o_orderdate")).cast(IntegerType).as("y"),
+        month(col("o_orderdate")).cast(IntegerType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(IntegerType).as("dom"),
+        date_trunc("month", col("o_orderdate")).cast(TimestampType).as("month_start"),
+        datediff(lit("1998-01-01").cast(DateType), col("o_orderdate").cast(DateType))
+          .cast(IntegerType).as("days_to_98"),
+        date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+        (dayofweek(col("o_orderdate")) - 1).cast(IntegerType).as("dow"))
+      .orderBy(col("o_orderkey"))
+
+  /** B35: array / higher-order functions over the embedding vectors. */
+  def scalarArray(s: SparkSession, d: String): DataFrame = {
+    val toD = (c: org.apache.spark.sql.Column) =>
+      transform(c, x => x.cast(DoubleType))
+    val foldSum = (c: org.apache.spark.sql.Column) =>
+      aggregate(toD(c), lit(0.0), (acc, x) => acc + x)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast(IntegerType).as("dim"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("first_val"),
+        foldSum(col("embedding")).as("sum_all"),
+        foldSum(slice(col("embedding"), 1, 8)).as("sum_first8"),
+        array_max(col("embedding")).cast(DoubleType).as("max_val"),
+        size(filter(col("embedding"), x => x > 0f)).cast(IntegerType).as("n_pos"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** B36: JSON extraction from the events.props string column. */
+  def scalarJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .orderBy(col("event_id"))
+
+  /** B37: Scala UDF surface (oracle = equivalent SQL expression). */
+  def udfScalar(s: SparkSession, d: String): DataFrame = {
+    val score = udf((name: String) => name.length * 2 + name.count(_ == '1'))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), score(col("c_name")).cast(IntegerType).as("score"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** B38: typed Aggregator UDAF — exact-buffer weighted average. */
+  def udafCustom(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_string" -> (scalarString _),
+    "scalar_math" -> (scalarMath _),
+    "scalar_datetime" -> (scalarDatetime _),
+    "scalar_array" -> (scalarArray _),
+    "scalar_json" -> (scalarJson _),
+    "udf_scalar" -> (udfScalar _),
+    "udaf_custom" -> (udafCustom _))
+
+  val oracles: Map[String, String] = Map(
+    "scalar_string" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS up, lower(c_mktsegment) AS lo,
+        | substring(c_name, 1, 8) AS sub8,
+        | CAST(length(c_name) AS INTEGER) AS name_len,
+        | trim('  ' || c_mktsegment || ' ') AS trimmed,
+        | replace(c_name, '0', '#') AS replaced,
+        | CAST(instr(c_name, '1') AS INTEGER) AS pos1,
+        | lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+        | CAST(len(string_split(c_name, '#')) AS INTEGER) AS n_parts
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "scalar_math" ->
+      """SELECT o_orderkey,
+        | abs(o_totalprice - 150000.0) AS abs_diff,
+        | round(o_totalprice, 0) AS rounded,
+        | CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
+        | CAST(floor(o_totalprice) AS BIGINT) AS floored,
+        | sqrt(o_totalprice) AS root,
+        | o_orderkey % 7 AS mod7,
+        | CAST(sign(o_totalprice - 150000.0) AS INTEGER) AS sgn,
+        | greatest(o_totalprice, 100000.0) AS hi,
+        | least(o_totalprice, 100000.0) AS lo
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_datetime" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m,
+        | CAST(day(o_orderdate) AS INTEGER) AS dom,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_array" ->
+      """SELECT vec_id, label,
+        | CAST(len(embedding) AS INTEGER) AS dim,
+        | CAST(embedding[1] AS DOUBLE) AS first_val,
+        | list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sum_all,
+        | list_aggregate(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum') AS sum_first8,
+        | CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+        | CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "scalar_json" ->
+      """SELECT event_id, event_type,
+        | CAST(regexp_extract(props, '-?\d+', 0) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "udf_scalar" ->
+      """SELECT c_custkey,
+        | CAST(length(c_name) * 2 + (length(c_name) - length(replace(c_name, '1', ''))) AS INTEGER) AS score
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "udaf_custom" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |   / CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS wavg_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Window functions (SURVEY.md §2B rows B21–B23).
+  *
+  * Determinism: every window ORDER BY ends in a unique key so frames are
+  * total-ordered; running sums aggregate in DECIMAL so the cumulative values
+  * are exact (order-independent bitwise match with the DuckDB oracle).
+  */
+object Windows {
+
+  /** B21: row_number / rank / dense_rank over a ties-rich bucket ordering. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / 25000).cast(LongType))
+    val det = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("bucket").desc, col("o_orderkey"))
+    val ties = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("bucket").desc)
+    o.select(col("o_orderpriority"), col("bucket"), col("o_orderkey"),
+        row_number().over(det).as("rn"),
+        rank().over(ties).as("rnk"),
+        dense_rank().over(ties).as("drk"))
+      .filter(col("rn") <= 10)
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** B22: lag / lead / first_value analytics per user timeline. */
+  def windowLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_v"),
+        lead(col("value"), 1).over(w).as("next_v"),
+        first(col("value")).over(w).as("first_v"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  /** B23: running + sliding frame aggregates (exact decimal accumulation). */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val base = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val slide = base.rowsBetween(-3, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        sum(dec(col("value"))).over(cum).cast(S).as("running_sum"),
+        sum(dec(col("value"))).over(slide).cast(S).as("sliding4_sum"),
+        count(lit(1)).over(cum).as("running_cnt"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_rank" -> (windowRank _),
+    "window_laglead" -> (windowLagLead _),
+    "window_running" -> (windowRunning _))
+
+  val oracles: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT o_orderpriority, bucket, o_orderkey, rn, rnk, drk FROM (
+        |  SELECT o_orderpriority, bucket, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS rn,
+        |    rank()       OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS drk
+        |  FROM (SELECT o_orderpriority, o_orderkey,
+        |          CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket FROM orders))
+        |WHERE rn <= 10
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+    "window_laglead" ->
+      """SELECT user_id, ts, event_id, value,
+        |  lag(value, 1)  OVER w AS prev_v,
+        |  lead(value, 1) OVER w AS next_v,
+        |  first_value(value) OVER w AS first_v,
+        |  value - lag(value, 1) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+    "window_running" ->
+      """SELECT user_id, ts, event_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER cum AS DECIMAL(38,6)) AS running_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER slide AS DECIMAL(38,6)) AS sliding4_sum,
+        |  count(*) OVER cum AS running_cnt
+        |FROM events
+        |WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       slide AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin)
+}
