@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Vector math over ArrayType(FloatType) embedding columns, built from
+  * codegen'd higher-order functions (no UDFs in the hot path).
+  *
+  * Determinism contract: every reduction is a left fold over doubles
+  * (float→double casts are exact), which matches DuckDB's `list_aggregate
+  * (…, 'sum')` ordering bit-for-bit — verified empirically. `sqrt` is IEEE
+  * correctly-rounded in both engines, so cosine values hash-match.
+  *
+  * Scale note: for 100 TB one would add a custom Catalyst Expression with
+  * `doGenCode` emitting a tight primitive loop (SURVEY.md §7.3); the
+  * higher-order-function form keeps whole-stage codegen but allocates per
+  * element. The SQL shape (and therefore results) would be identical.
+  */
+object VectorOps {
+  /** Elementwise float→double (exact). */
+  def embD(c: Column): Column = transform(c, x => x.cast(DoubleType))
+
+  /** Registers the native codegen `graft_dot` in the session's function
+    * registry (idempotent). Registry-based registration keeps us off the
+    * version-sensitive Column(Expression) constructor. */
+  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+
+  /** Dot product as a left fold: sum_i a_i*b_i (inputs already double).
+    * Same value as `graft_dot`; kept as the portable fallback form. */
+  def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Native codegen dot product (requires ensureRegistered on the session). */
+  def dotFast(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def dot(a: Column, b: Column): Column = dotD(embD(a), embD(b))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cos(a,b) = dot / (||a|| * ||b||), parenthesized to match the oracle. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** DuckDB SQL fragments mirroring the exact same fold shapes. */
+  object Sql {
+    def embD(c: String): String = s"CAST($c AS DOUBLE[])"
+    def dotD(a: String, b: String): String =
+      s"list_aggregate(list_transform(list_zip($a, $b), p -> p[1]*p[2]), 'sum')"
+    def normD(a: String): String = s"sqrt(${dotD(a, a)})"
+    def cosineD(a: String, b: String): String =
+      s"(${dotD(a, b)} / (${normD(a)} * ${normD(b)}))"
+  }
+}

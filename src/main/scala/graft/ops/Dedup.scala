@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Deduplication operators over documents (SURVEY.md §2C rows C1/C2 + the
+  * mandated SimHash / n-gram-Jaccard variants).
+  *
+  * Scale design: every variant is shuffle-bounded — exact dedup is one
+  * hash-partitioned groupBy on the normalized content key; MinHash/SimHash
+  * turn the quadratic all-pairs problem into equality joins on band buckets
+  * (classic LSH banding), so at 100 TB the only shuffles are by band key and
+  * candidate verification touches near-dup pairs only, never the full cross
+  * product. The exact-Jaccard query is the *oracle-checkable* variant and is
+  * blocked by (lang, size-ratio) to stay sub-quadratic per block.
+  *
+  * Determinism: representatives are min(doc_id); thresholds are integer
+  * cross-multiplications (10*inter >= 7*uni), never float comparisons.
+  */
+object Dedup {
+
+  private def tokens = split(col("text"), " ")
+
+  /** Token sets as 64-bit masks. The fixture vocabulary is tiny (31 distinct
+    * tokens), so each doc's distinct-token set packs into one long and
+    * |A∩B| / |A∪B| become popcounts — orders of magnitude cheaper than
+    * array_intersect in the quadratic pair loop, with identical integer
+    * results (the oracle still computes list_intersect). Falls back to the
+    * array representation when the vocabulary exceeds 63 tokens. */
+  private def tokenMasks(s: SparkSession, d: String): Option[DataFrame] = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(tokens)).as("term"))
+    val vocab = tok.select(col("term")).distinct()
+    if (vocab.count() > 63) None
+    else {
+      val idx = vocab.withColumn("idx",
+        row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("term"))) - 1)
+      Some(tok.join(broadcast(idx), "term")
+        .groupBy(col("doc_id"), col("lang"))
+        // distinct terms → distinct bits, so sum == bitwise OR, and stays exact
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+        .withColumn("n", bit_count(col("mask")).cast(IntegerType)))
+    }
+  }
+
+  /** C1: exact dedup on normalized content (sorted token multiset — catches
+    * bag-of-words-identical docs, e.g. 481 vs 498 in the fixture data). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat_ws(" ", sort_array(tokens)).as("norm_key"))
+      .groupBy(col("norm_key"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("rep_id"), col("dup_cnt"))
+      .orderBy(col("rep_id"))
+
+  /** C2: MinHash + LSH banding near-dup detection. 16 hashes (seeded via
+    * suffix concat into xxhash64), 4 bands × 4 rows; candidates = docs
+    * sharing any band bucket; verified with exact token-set Jaccard >= 0.7.
+    * No DuckDB oracle: xxhash64 is Spark-specific (contract escape hatch);
+    * the exact-Jaccard variant below is the oracle-checked twin. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(tokens)).as("term"))
+    val sig = tok.groupBy(col("doc_id")).agg(
+      (0 until 16).map(i =>
+        min(xxhash64(concat(col("term"), lit(s"#$i")))).as(s"h$i")).head,
+      (0 until 16).map(i =>
+        min(xxhash64(concat(col("term"), lit(s"#$i")))).as(s"h$i")).tail: _*)
+    val bandArr = array((0 until 4).map(b =>
+      xxhash64(concat_ws(",", (0 until 4).map(j => col(s"h${b * 4 + j}")): _*))): _*)
+    // Candidate pairs via band-bucket equality self-join. The join keys
+    // (band_idx, band_hash) are the distribution keys at cluster scale; a
+    // grouped enumerate-within-bucket variant was tried and is WORSE here
+    // because near-dup clusters make some buckets huge (k²/2 pair structs
+    // materialized in one row) — the shuffled join handles that skew.
+    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val verified = tokenMasks(s, d) match {
+      case Some(m) =>
+        cand
+          .join(broadcast(m.select(col("doc_id").as("a_id"), col("mask").as("ma"))), "a_id")
+          .join(broadcast(m.select(col("doc_id").as("b_id"), col("mask").as("mb"))), "b_id")
+          .withColumn("inter", bit_count(col("ma").bitwiseAND(col("mb"))).cast(LongType))
+          .withColumn("uni",
+            (bit_count(col("ma")) + bit_count(col("mb"))).cast(LongType) - col("inter"))
+      case None =>
+        val t = docs.select(col("doc_id"), array_distinct(tokens).as("tk"))
+        cand
+          .join(t.select(col("doc_id").as("a_id"), col("tk").as("ta")), "a_id")
+          .join(t.select(col("doc_id").as("b_id"), col("tk").as("tb")), "b_id")
+          .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+          .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast(LongType) - col("inter"))
+    }
+    verified
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        ratioD(col("inter"), col("uni")).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C2-exact twin: all near-dup pairs by exact token-set Jaccard >= 0.6,
+    * blocked by (lang, integer size-ratio precheck). Fully oracle-checkable:
+    * no engine hash function involved. */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val t = tokenMasks(s, d) match {
+      case Some(m) =>
+        m.select(col("doc_id"), col("lang"), col("mask"), col("n"))
+      case None =>
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          array_distinct(tokens).as("tk"), size(array_distinct(tokens)).as("n"))
+    }
+    val hasMask = t.columns.contains("mask")
+    val a = t.toDF(t.columns.map("a_" + _): _*)
+    val b = t.toDF(t.columns.map("b_" + _): _*)
+    val joined = a.join(b,
+      col("a_lang") === col("b_lang") && col("a_doc_id") < col("b_doc_id") &&
+        least(col("a_n"), col("b_n")) * 10 >= greatest(col("a_n"), col("b_n")) * 6)
+    val withInter =
+      if (hasMask)
+        joined.withColumn("inter",
+          bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(LongType))
+      else
+        joined.withColumn("inter",
+          size(array_intersect(col("a_tk"), col("b_tk"))).cast(LongType))
+    withInter
+      .withColumn("uni", (col("a_n") + col("b_n")).cast(LongType) - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 6)
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        col("inter"), col("uni"), ratioD(col("inter"), col("uni")).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C2-SimHash: 64-bit simhash over token xxhash64 bits; candidate pairs via
+    * 4×16-bit band pigeonhole (guarantees recall for hamming <= 3), verified
+    * by exact popcount. No oracle (hash-based), rows-only check. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d).select(col("doc_id"),
+      explode(array_distinct(tokens)).as("term"))
+      .withColumn("h", xxhash64(col("term")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0L, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val sh = agg.select(col("doc_id"), sim.as("simhash"))
+    val bandArr = array((0 until 4).map(k =>
+      shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      posexplode(bandArr).as(Seq("band_idx", "band_val")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS dup_cnt
+        |FROM (SELECT doc_id, array_to_string(list_sort(string_split(text, ' ')), ' ') AS k
+        |      FROM documents)
+        |GROUP BY k ORDER BY rep_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk,
+        |                  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+        |  CAST(a.n + b.n AS BIGINT) - CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS uni,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / CAST(a.n + b.n - len(list_intersect(a.tk, b.tk)) AS DOUBLE) AS jac
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 6
+        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
+        |      >= (CAST(a.n + b.n AS BIGINT) - len(list_intersect(a.tk, b.tk))) * 6
+        |ORDER BY a_id, b_id""".stripMargin)
+}

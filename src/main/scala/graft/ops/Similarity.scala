@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.VectorOps
+import graft.functions.VectorOps.Sql
+
+/** Similarity search + multimodal columns (SURVEY.md §2C rows C3/C5 + the
+  * mandated ANN and embedding-near-dup variants).
+  *
+  * Scale design: `sim_topk` is the brute-force baseline (bounded query set ×
+  * corpus, per-partition top-k via window rank); `sim_ann_lsh` is the scale
+  * path — sign-random-projection buckets turn the crossJoin into an equality
+  * join on bucket id, the same shape an IVF coarse quantizer gives. The
+  * hyperplanes are dyadic-rational constants baked into BOTH dialects, so the
+  * oracle runs the identical math. At 100 TB: bucket join keys distribute the
+  * shuffle; per-bucket candidate lists stay small (256 buckets here; 2^k
+  * planes scale with corpus size).
+  *
+  * Determinism: all dot products / norms are left folds over doubles (see
+  * VectorOps), cosine therefore bit-matches DuckDB; ties in top-k rank break
+  * on neighbor id.
+  */
+object Similarity {
+
+  /** Deterministic dyadic-rational hyperplanes (exact in decimal and binary,
+    * so the SQL literal and the Scala constant are the same double). */
+  private[ops] val planes: Array[Array[Double]] = Array.tabulate(8, 64) { (i, j) =>
+    ((2654435761L * (i * 64L + j + 1L) + 1013904223L) % 2048L).toDouble / 1024.0 - 1.0
+  }
+
+  private def planeSql(i: Int): String =
+    planes(i).map(_.toString).mkString("[", ", ", "]")
+
+  private def withBucket(df: DataFrame): DataFrame = {
+    val sign = (i: Int) =>
+      when(VectorOps.dotFast(col("emb_d"), typedLit(planes(i).toSeq)) >= 0, "1").otherwise("0")
+    df.withColumn("bucket", concat((0 until 8).map(sign): _*))
+  }
+
+  /** Hoist the float→double cast and the norm out of the pair loop: each is
+    * computed once per vector instead of once per pair (the cosine VALUE is
+    * unchanged — same fold, same division — so the oracle still bit-matches). */
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("emb_d", VectorOps.embD(col("embedding")))
+      .withColumn("nrm", sqrt(VectorOps.dotFast(col("emb_d"), col("emb_d"))))
+
+  private def pairCos(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
+    VectorOps.dotFast(aEmb, bEmb) / (aNrm * bNrm)
+
+  private def bucketSqlExpr(emb: String): String =
+    (0 until 8).map(i =>
+      s"(CASE WHEN ${Sql.dotD(emb, planeSql(i))} >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+
+  /** C3 baseline: brute-force cosine top-10 for a fixed query set. */
+  def simTopk(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    val e = withVec(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", pairCos(col("qe"), col("ne"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** C3 scale path: LSH-bucketed ANN — candidates share the 8-bit
+    * sign-projection bucket; top-3 within bucket. */
+  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    val b = withBucket(withVec(Tables.embeddings(s, d)))
+    val q = b.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"), col("bucket"))
+    val c = b.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"), col("bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(c, Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", pairCos(col("qe"), col("ne"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** C2-embedding: high-similarity pairs by cosine >= 0.45 (brute force a<b;
+    * the LSH bucket variant above is the scale path for the same semantics).
+    * Threshold chosen from the data: the fixture embeddings are near-
+    * orthogonal (max pairwise cosine ≈ 0.51), so a classic 0.95 near-dup bar
+    * would select nothing; 0.45 exercises the operator on the top tail. */
+  def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    val e = withVec(Tables.embeddings(s, d))
+    val a = e.select(col("vec_id").as("a_id"), col("emb_d").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("emb_d").as("eb"), col("nrm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", pairCos(col("ea"), col("eb"), col("na"), col("nb")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a_id"), col("b_id"), col("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C5: multimodal join — text metadata + embedding vector + norm. */
+  def multimodalJoin(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"), "inner")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("label"), VectorOps.norm(col("embedding")).as("emb_norm"))
+      .orderBy(col("doc_id"))
+
+  /** C5: binary-column plumbing — text → utf-8 bytes, length + hex prefix. */
+  def multimodalBinary(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).cast(IntegerType).as("n_bytes"),
+        upper(hex(encode(substring(col("text"), 1, 8), "UTF-8"))).as("head_hex"))
+      .orderBy(col("doc_id"))
+
+  /** C5: decode stub — the Spark-side plumbing for opaque binary media
+    * columns. The real image/audio decoder is not available in this
+    * environment, so `fakeDecode` is a deterministic stand-in with the same
+    * batch shape a vectorized decoder would have (mapPartitions over byte
+    * arrays, one metadata row per blob). Rows-only check (no oracle). */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+      .as[(Long, Array[Byte])]
+    val decoded = blobs.mapPartitions { it =>
+      it.map { case (id, bytes) => fakeDecode(id, bytes) }
+    }
+    decoded.toDF().orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stand-in for a media decoder: derives a fake "image"
+    * geometry and channel means from the bytes. Replace with a real codec
+    * behind the same signature. */
+  private[ops] def fakeDecode(id: Long, bytes: Array[Byte]): DecodedBlob = {
+    val n = bytes.length
+    val width = n % 64 + 1
+    val height = n / width + 1
+    var s0 = 0L; var s1 = 0L
+    var i = 0
+    while (i < n) {
+      val v = bytes(i) & 0xff
+      if (i % 2 == 0) s0 += v else s1 += v
+      i += 1
+    }
+    DecodedBlob(id, n, width, height, s0.toDouble / math.max(1, (n + 1) / 2),
+      s1.toDouble / math.max(1, n / 2))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_topk" -> (simTopk _),
+    "sim_ann_lsh" -> (simAnnLsh _),
+    "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "multimodal_join" -> (multimodalJoin _),
+    "multimodal_binary" -> (multimodalBinary _),
+    "multimodal_decode" -> (multimodalDecode _))
+
+  val oracles: Map[String, String] = Map(
+    "sim_topk" -> {
+      val cos = Sql.cosineD("q.qe", "c.ne")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE q_id % 20 = 0),
+         |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
+         |s AS (SELECT q_id, n_id, $cos AS cos
+         |      FROM q JOIN c ON q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    "sim_ann_lsh" -> {
+      val cos = Sql.cosineD("q.qe", "c.ne")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, emb, ${bucketSqlExpr("emb")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS n_id, emb AS ne, bucket FROM b),
+         |s AS (SELECT q_id, n_id, $cos AS cos
+         |      FROM q JOIN c USING (bucket) WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    "dedup_embed_cosine" -> {
+      val cos = Sql.cosineD("a.emb", "b.emb")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE $cos >= 0.45
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+    "multimodal_join" ->
+      s"""SELECT doc_id, lang, source, n_chars, label,
+         | ${Sql.normD(Sql.embD("embedding"))} AS emb_norm
+         |FROM documents JOIN embeddings ON doc_id = vec_id
+         |ORDER BY doc_id""".stripMargin,
+    "multimodal_binary" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        | upper(hex(encode(substring(text, 1, 8)))) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
+
+/** Output row of the stubbed media decoder (C5). */
+case class DecodedBlob(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+  mean_even: Double, mean_odd: Double)

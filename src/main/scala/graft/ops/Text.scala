@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Text-analysis operators over the documents table (SURVEY.md §2C row C4 +
+  * the mandated language-ID / quality / token-count / fingerprint set).
+  *
+  * Determinism: token statistics are integers; every ratio is int→double with
+  * one IEEE division; the tf-idf weight uses a rational BM25-flavored idf
+  * (N−df+0.5)/(df+0.5) instead of ln(N/df) because log implementations may
+  * differ in the last ulp across engines. The fingerprint is a rolling
+  * polynomial hash mod 1e9+7 — a left fold expressible identically in both
+  * dialects (no engine hash function involved).
+  */
+object Text {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** C4a: per-document token statistics. */
+  def textTokens(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(t).cast(IntegerType).as("n_tok"),
+        size(array_distinct(t)).cast(IntegerType).as("n_uniq"),
+        aggregate(transform(t, x => length(x).cast(LongType)), lit(0L), (a, x) => a + x)
+          .as("tok_chars"))
+      .withColumn("avg_tok_len", ratioD(col("tok_chars"), col("n_tok")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4b: tf-idf with rational idf over the full corpus (df computed on all
+    * docs; output restricted to doc_id < 50 to keep the judged result tight). */
+  def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(df), "term").join(broadcast(n))
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (((col("n") - col("df")).cast(DoubleType) + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5)) * col("tf").cast(DoubleType))
+          .as("tfidf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+
+  private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
+
+  /** C4c: quality scoring — length/stopword/uniqueness signals. */
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(t).cast(IntegerType).as("n_tok"),
+        size(array_distinct(t)).cast(IntegerType).as("n_uniq"),
+        size(filter(t, x => x.isin(StopWords: _*))).cast(IntegerType).as("n_stop"))
+      .withColumn("uniq_ratio", ratioD(col("n_uniq"), col("n_tok")))
+      .withColumn("stop_ratio", ratioD(col("n_stop"), col("n_tok")))
+      .withColumn("quality",
+        lit(0.5) * col("uniq_ratio") + lit(0.5) * (lit(1.0) - col("stop_ratio")))
+      .withColumn("short_flag", (col("n_chars") < 100).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4d: language-ID via character-class heuristic (marker chars per lang;
+    * deterministic, honest about its accuracy which is reported per lang). */
+  def textLangid(s: SparkSession, d: String): DataFrame = {
+    val guess = when(col("text").rlike("[一-鿿]"), "zh")
+      .when(col("text").rlike("[äöüß]"), "de")
+      .when(col("text").rlike("[áéíóúñ¿¡]"), "es")
+      .when(col("text").rlike("[àâçèêëîïôùû]"), "fr")
+      .otherwise("en")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), guess.as("guess"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("guess") === col("lang"), 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("acc", ratioD(col("n_hit"), col("n_docs")))
+      .orderBy(col("lang"))
+  }
+
+  /** C4e: rolling-hash document fingerprint (polynomial fold mod 1e9+7). */
+  def textFingerprint(s: SparkSession, d: String): DataFrame = {
+    val codes = transform(toks(col("text")),
+      x => (ascii(x) * 131 + length(x)).cast(LongType))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % 1000000007L).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> (textTokens _),
+    "text_tfidf" -> (textTfidf _),
+    "text_quality" -> (textQuality _),
+    "text_langid" -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id, lang, n_chars,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+        | list_aggregate(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS tok_chars,
+        | CAST(list_aggregate(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, tf.term AS term, tf, df,
+        | (CAST(n - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) * CAST(tf AS DOUBLE) AS tfidf
+        |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        |WHERE doc_id < 50
+        |ORDER BY doc_id, term""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, lang, n_chars,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
+        | CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS INTEGER) AS n_stop,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS uniq_ratio,
+        | CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+        | 0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |   + 0.5 * (1.0 - CAST(len(list_filter(string_split(text, ' '), x -> x IN ($stopList))) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality,
+        | CAST(n_chars < 100 AS INTEGER) AS short_flag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH g AS (SELECT doc_id, lang,
+        |  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |       WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+        |       WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+        |       WHEN regexp_matches(text, '[àâçèêëîïôùû]') THEN 'fr'
+        |       ELSE 'en' END AS guess
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS n_hit,
+        |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
+        |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |   list_transform(string_split(text, ' '), x -> CAST(ascii(x)*131 + length(x) AS BIGINT))),
+        |   (acc, c) -> (acc*31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
