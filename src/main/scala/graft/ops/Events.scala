@@ -32,7 +32,10 @@ object Events {
       .select(col("w.start").as("w_start"), col("cnt"), col("val_sum"))
       .orderBy(col("w_start"))
 
-  /** B42: session windows with a 30-minute gap per user. */
+  /** B42: session windows with a 30-minute gap per user. Boundary semantics
+    * (unit-tested): an event exactly gap-after the previous one MERGES —
+    * Spark extends the session when ts <= prev_session_end — so the oracle's
+    * new-session predicate is strict `>`. */
   def session(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
@@ -64,7 +67,7 @@ object Events {
       """WITH flagged AS (
         |  SELECT user_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+        |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

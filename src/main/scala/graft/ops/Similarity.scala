@@ -142,7 +142,7 @@ object Similarity {
   /** Deterministic stand-in for a media decoder: derives a fake "image"
     * geometry and channel means from the bytes. Replace with a real codec
     * behind the same signature. */
-  private[ops] def fakeDecode(id: Long, bytes: Array[Byte]): DecodedBlob = {
+  private[graft] def fakeDecode(id: Long, bytes: Array[Byte]): DecodedBlob = {
     val n = bytes.length
     val width = n % 64 + 1
     val height = n / width + 1

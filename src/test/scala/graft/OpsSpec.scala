@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Per-operator unit tests on tiny literal fixtures (FIXTURES.md plan):
+  * join/agg null edges, window determinism, dedup fixture clusters,
+  * similarity orderings, session-gap boundaries. */
+class OpsSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  // --- joins: null keys take the outer/anti path, never match (B10/B11) ---
+  test("outer and semi/anti joins treat null keys as non-matching") {
+    import spark.implicits._
+    val l = Seq((Some(1), "a"), (Some(2), "b"), (None, "c")).toDF("k", "lv")
+    val r = Seq((Some(1), "x"), (None, "y")).toDF("k", "rv")
+    val outer = l.join(r, l("k") === r("k"), "left").collect()
+    assert(outer.count(_.getAs[Any]("rv") == null) == 2) // k=2 and k=null
+    assert(l.join(r, l("k") === r("k"), "left_semi").as[(Option[Int], String)]
+      .collect().map(_._2).toSet == Set("a"))
+    assert(l.join(r, l("k") === r("k"), "left_anti")
+      .collect().map(_.getString(1)).toSet == Set("b", "c"))
+  }
+
+  test("aggregation over an all-null group yields null sum and zero count") {
+    import spark.implicits._
+    val df = Seq(("g1", Some(1.0)), ("g1", Some(2.0)), ("g2", None), ("g2", None))
+      .toDF("g", "v")
+    val out = df.groupBy("g").agg(
+      sum(ops.dec(col("v"))).as("s"), count(col("v")).as("c"))
+      .orderBy("g").collect()
+    assert(out(0).getDecimal(1).doubleValue() == 3.0 && out(0).getLong(2) == 2)
+    assert(out(1).get(1) == null && out(1).getLong(2) == 0)
+  }
+
+  test("running window sum is deterministic and exact over literal rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((1L, 1, 0.1), (1L, 2, 0.2), (1L, 3, 0.3), (2L, 1, 1.0))
+      .toDF("u", "seq", "v")
+    val w = Window.partitionBy("u").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = df.select(col("u"), col("seq"),
+        sum(ops.dec(col("v"))).over(w).cast("decimal(38,6)").as("rs"))
+      .orderBy("u", "seq").collect()
+    assert(out.map(_.getDecimal(2).toPlainString) ===
+      Array("0.100000", "0.300000", "0.600000", "1.000000"))
+  }
+
+  // --- dedup fixture: exact dup + near dup + distinct (FIXTURES.md d) ---
+  test("dedup_exact collapses bag-of-words duplicates to min doc_id") {
+    val out = ops.Dedup.dedupExact(spark, FixtureData.docsDir(spark)).collect()
+    val reps = out.map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(reps(0L) == 2L)            // docs 0 and 1 collapse, rep = 0
+    assert(!reps.contains(1L))
+    assert(reps(2L) == 1L && reps(3L) == 1L && reps(4L) == 1L)
+  }
+
+  test("dedup_minhash and ngram_jaccard find the planted near-dup pair") {
+    val d = FixtureData.docsDir(spark)
+    val mh = ops.Dedup.dedupMinhash(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((0L, 1L)))      // identical token sets
+    assert(mh.contains((0L, 2L)) && mh.contains((1L, 2L))) // 7/9 jaccard ≈ 0.78
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+    val jac = ops.Dedup.dedupNgramJaccard(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(jac((0L, 1L)) == 1.0)
+    assert(math.abs(jac((0L, 2L)) - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("simhash flags only the identical-token-set pair at distance 0") {
+    val out = ops.Dedup.dedupSimhash(spark, FixtureData.docsDir(spark))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((0L, 1L)) == 0)
+  }
+
+  // --- similarity fixture: known cosine ordering (FIXTURES.md e) ---
+  test("sim_topk ranks same-direction before diagonal before orthogonal") {
+    val out = ops.Similarity.simTopk(spark, FixtureData.embDir(spark))
+      .filter(col("q_id") === 0).orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).take(2) === Array(1L, 3L)) // cos 1.0 then 0.707
+    assert(math.abs(out(0).getDouble(3) - 1.0) < 1e-15)
+    assert(out.map(_.getLong(2)).last == 2L)                // orthogonal last
+  }
+
+  test("native DotProduct matches the higher-order-function fold bitwise") {
+    import spark.implicits._
+    functions.VectorOps.ensureRegistered(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200)((
+      Array.fill(64)(rnd.nextFloat()), Array.fill(64)(rnd.nextFloat())))
+    val df = rows.toDF("a", "b")
+      .withColumn("ad", functions.VectorOps.embD(col("a")))
+      .withColumn("bd", functions.VectorOps.embD(col("b")))
+    val cmp = df.select(
+      functions.VectorOps.dotD(col("ad"), col("bd")).as("hof"),
+      functions.VectorOps.dotFast(col("ad"), col("bd")).as("native")).collect()
+    assert(cmp.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  // --- session windows: gap boundary is strict (FIXTURES.md c) ---
+  test("session_window splits at exactly the 30-minute gap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_ev").toString
+    val rows = Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), 1L, "view", 1.0, "{\"k\": 1}"),
+      (2L, ts("2024-01-01T10:10:00Z"), 1L, "view", 1.0, "{\"k\": 2}"),
+      (3L, ts("2024-01-01T11:00:00Z"), 1L, "view", 1.0, "{\"k\": 3}"),
+      (4L, ts("2024-01-01T10:00:00Z"), 2L, "click", 1.0, "{\"k\": 4}"),
+      (5L, ts("2024-01-01T10:30:00Z"), 2L, "click", 1.0, "{\"k\": 5}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df_write(rows, s"$dir/events.parquet")
+    val out = ops.Events.session(spark, dir).collect()
+    val byUser = out.groupBy(_.getLong(0))
+    assert(byUser(1L).length == 2)     // 10:00+10:10 merge; 11:00 is separate
+    // Spark merges an event landing exactly at the session end (inclusive
+    // boundary): 10:00 and 10:30 form ONE session ending 11:00.
+    assert(byUser(2L).length == 1)
+    assert(byUser(2L).head.getTimestamp(2).toInstant == Instant.parse("2024-01-01T11:00:00Z"))
+    val s1 = byUser(1L).minBy(_.getTimestamp(1).getTime)
+    assert(s1.getTimestamp(2).toInstant == Instant.parse("2024-01-01T10:40:00Z"))
+  }
+
+  private def df_write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+  test("multimodal decode stub is deterministic and shape-preserving") {
+    val a = ops.Similarity.fakeDecode(7L, "hello world".getBytes("UTF-8"))
+    val b = ops.Similarity.fakeDecode(7L, "hello world".getBytes("UTF-8"))
+    assert(a == b && a.n_bytes == 11 && a.width == 12)
+  }
+}

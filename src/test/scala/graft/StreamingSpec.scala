@@ -1,0 +1,55 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+/** B43/B44: streaming-only semantics (watermark, stateful dedup) driven via
+  * MemoryStream — these are not DuckDB-comparable by nature (SURVEY.md §2B). */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
+
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+
+  test("streaming tumbling window aggregates with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = streaming.StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumble_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    ms.addData(
+      Ev(1, ts("2024-01-01T01:00:00Z"), 1, "view"),
+      Ev(2, ts("2024-01-01T02:00:00Z"), 1, "view"),
+      Ev(3, ts("2024-01-02T01:00:00Z"), 2, "click"))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT * FROM tumble_test").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("2024-01-01T00:00:00Z", "view", 2L),
+      ("2024-01-02T00:00:00Z", "click", 1L)))
+    q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = streaming.StreamOps.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01T01:00:00Z"), 1, "view"),
+      Ev(1, ts("2024-01-01T01:05:00Z"), 1, "view"),  // dup id within watermark
+      Ev(2, ts("2024-01-01T01:10:00Z"), 1, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(1, ts("2024-01-01T01:20:00Z"), 1, "view")) // still within
+    q.processAllAvailable()
+    val ids = spark.sql("SELECT event_id FROM dedup_test").collect().map(_.getLong(0))
+    assert(ids.sorted === Array(1L, 2L))
+    q.stop()
+  }
+}
