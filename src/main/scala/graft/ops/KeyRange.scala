@@ -59,10 +59,23 @@ object KeyRange {
         sumS(col("l_extendedprice")).as("price_sum"))
   }
 
+  /** A2/A3 via a real DSv2 connector (graft.sources.GraftRangeSource): key
+    * bounds prune input partitions in planInputPartitions and non-key
+    * predicates stay residual — the faithful Spark-native analogue of region
+    * pruning + server-side filters. The generator formula is mirrored in the
+    * DuckDB oracle via generate_series, so the connector is correctness-gated
+    * like every operator. (sfDir is unused: the table is generated.) */
+  def dsv2Keyrange(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "100000").option("slices", "16").load()
+      .filter(col("k").between(20000, 79999) && col("v") < 500)
+      .orderBy(col("k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "keyrange_scan" -> (keyrangeScan _),
     "insert_select" -> (insertSelect _),
-    "bulkload_sorted_write" -> (bulkloadSortedWrite _))
+    "bulkload_sorted_write" -> (bulkloadSortedWrite _),
+    "dsv2_keyrange" -> (dsv2Keyrange _))
 
   val oracles: Map[String, String] = Map(
     "keyrange_scan" ->
@@ -80,5 +93,11 @@ object KeyRange {
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
         | max(l_orderkey) AS max_key,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS price_sum
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "dsv2_keyrange" ->
+      """SELECT k, (k * 2654435761) % 1000 AS v,
+        | 'r' || CAST(k % 97 AS VARCHAR) AS tag
+        |FROM generate_series(0, 99999) t(k)
+        |WHERE k BETWEEN 20000 AND 79999 AND (k * 2654435761) % 1000 < 500
+        |ORDER BY k""".stripMargin)
 }
