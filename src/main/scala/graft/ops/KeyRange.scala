@@ -28,7 +28,9 @@ object KeyRange {
         (col("l_orderkey") === 3000 && col("l_linenumber") <= 3))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is not unique — total-order over the row.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
 
   /** A6: INSERT INTO … SELECT — write a filtered projection, read it back. */
   def insertSelect(s: SparkSession, d: String): DataFrame = {
@@ -71,10 +73,28 @@ object KeyRange {
       .filter(col("k").between(20000, 79999) && col("v") < 500)
       .orderBy(col("k"))
 
+  /** B2: CSV ingest round-trip (Astro's bulk-load input format). Doubles
+    * round-trip exactly through Java's shortest-decimal toString/parse; the
+    * aggregate then hash-matches the parquet-sourced oracle. */
+  def csvIngest(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.hashCode.toHexString}"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(tmp)
+    s.read.option("header", "true")
+      .schema("o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .csv(tmp)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"),
+        min(col("o_totalprice")).as("min_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "keyrange_scan" -> (keyrangeScan _),
     "insert_select" -> (insertSelect _),
     "bulkload_sorted_write" -> (bulkloadSortedWrite _),
+    "csv_ingest" -> (csvIngest _),
     "dsv2_keyrange" -> (dsv2Keyrange _))
 
   val oracles: Map[String, String] = Map(
@@ -83,7 +103,7 @@ object KeyRange {
         |FROM lineitem
         |WHERE (l_orderkey > 1000 OR (l_orderkey = 1000 AND l_linenumber >= 2))
         |  AND (l_orderkey < 3000 OR (l_orderkey = 3000 AND l_linenumber <= 3))
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     "insert_select" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
@@ -94,6 +114,11 @@ object KeyRange {
         | max(l_orderkey) AS max_key,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS price_sum
         |FROM lineitem""".stripMargin,
+    "csv_ingest" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total,
+        | min(o_totalprice) AS min_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "dsv2_keyrange" ->
       """SELECT k, (k * 2654435761) % 1000 AS v,
         | 'r' || CAST(k % 97 AS VARCHAR) AS tag

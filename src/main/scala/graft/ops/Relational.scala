@@ -43,7 +43,10 @@ object Relational {
         concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("label"),
         floor(col("l_quantity")).cast(IntegerType).as("qty_int"),
         col("l_shipdate").cast(DateType).as("ship_date"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in this data — order by the
+      // full output row so duplicate keys cannot reorder across engines.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"),
+        col("label"), col("qty_int"), col("ship_date"))
 
   /** B5: comparison/BETWEEN/IN/LIKE/IS NULL/AND/OR/NOT predicates. */
   def filterPred(s: SparkSession, d: String): DataFrame =
@@ -209,8 +212,33 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** B20: CUBE over two dims with grouping id. */
+  def aggCube(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("r_name"), col("c_mktsegment"), col("gid"))
+
+  /** SQL-string entry point — the reference's primary surface (HBaseSQLContext
+    * .sql / bin CLI [ref*: …/hbase/HBaseSQLParser.scala, public knowledge per
+    * SURVEY.md §0]): temp views + spark.sql, same Catalyst pipeline. */
+  def sqlSurface(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
+    "agg_cube" -> (aggCube _),
+    "sql_surface" -> (sqlSurface _),
     "project_expr" -> (projectExpr _),
     "filter_pred" -> (filterPred _),
     "case_when" -> (caseWhen _),
@@ -230,6 +258,19 @@ object Relational {
     "subquery_scalar" -> (subqueryScalar _))
 
   val oracles: Map[String, String] = Map(
+    "agg_cube" ->
+      """SELECT r_name, c_mktsegment, count(*) AS cnt,
+        | CAST(GROUPING(r_name, c_mktsegment) AS INTEGER) AS gid
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, c_mktsegment)
+        |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST, gid""".stripMargin,
+    "sql_surface" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
@@ -249,7 +290,8 @@ object Relational {
         | l_returnflag || '/' || l_linestatus AS label,
         | CAST(floor(l_quantity) AS INTEGER) AS qty_int,
         | CAST(l_shipdate AS DATE) AS ship_date
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, disc_price, label, qty_int, ship_date""".stripMargin,
     "filter_pred" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
         |FROM orders

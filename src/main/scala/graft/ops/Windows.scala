@@ -55,12 +55,51 @@ object Windows {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** B21 extension: distribution functions — ntile / percent_rank / cume_dist
+    * (all rank-arithmetic: int ratios → bit-exact doubles). Reported as a
+    * per-(flag, quartile) aggregate because lineitem has full-duplicate rows:
+    * ntile splits ties across bucket boundaries in engine-dependent order,
+    * but bucket counts and min/max/extremes over identical rows are
+    * tie-invariant, so the aggregate hash-matches. */
+  def windowDistribution(s: SparkSession, d: String): DataFrame = {
+    val det = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity"),
+        ntile(4).over(det).as("quartile"),
+        percent_rank().over(det).as("pr"),
+        cume_dist().over(det).as("cd"))
+      .groupBy(col("l_returnflag"), col("quartile"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        max(col("pr")).as("max_pr"),
+        max(col("cd")).as("max_cd"))
+      .orderBy(col("l_returnflag"), col("quartile"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
     "window_laglead" -> (windowLagLead _),
     "window_running" -> (windowRunning _))
 
   val oracles: Map[String, String] = Map(
+    "window_distribution" ->
+      """SELECT l_returnflag, quartile, count(*) AS cnt,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  max(pr) AS max_pr, max(cd) AS max_cd
+        |FROM (SELECT l_returnflag, l_quantity,
+        |        ntile(4)       OVER w AS quartile,
+        |        percent_rank() OVER w AS pr,
+        |        cume_dist()    OVER w AS cd
+        |      FROM lineitem
+        |      WINDOW w AS (PARTITION BY l_returnflag
+        |                   ORDER BY l_quantity, l_orderkey, l_linenumber,
+        |                            l_extendedprice, l_partkey, l_suppkey))
+        |GROUP BY l_returnflag, quartile
+        |ORDER BY l_returnflag, quartile""".stripMargin,
     "window_rank" ->
       """SELECT o_orderpriority, bucket, o_orderkey, rn, rnk, drk FROM (
         |  SELECT o_orderpriority, bucket, o_orderkey,
