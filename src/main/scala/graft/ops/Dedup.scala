@@ -64,11 +64,15 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(tokens)).as("term"))
-    val sig = tok.groupBy(col("doc_id")).agg(
-      (0 until 16).map(i =>
-        min(xxhash64(concat(col("term"), lit(s"#$i")))).as(s"h$i")).head,
-      (0 until 16).map(i =>
-        min(xxhash64(concat(col("term"), lit(s"#$i")))).as(s"h$i")).tail: _*)
+    // Hash each DISTINCT term once (the vocabulary is far smaller than the
+    // token stream) and broadcast the 16-hash table back onto occurrences —
+    // at 100 TB this turns per-token hashing into a dimension-table join.
+    val termHashes = tok.select(col("term")).distinct().select(
+      col("term") +: (0 until 16).map(i =>
+        xxhash64(concat(col("term"), lit(s"#$i"))).as(s"th$i")): _*)
+    val hashed = tok.join(broadcast(termHashes), "term")
+    val sigAggs = (0 until 16).map(i => min(col(s"th$i")).as(s"h$i"))
+    val sig = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val bandArr = array((0 until 4).map(b =>
       xxhash64(concat_ws(",", (0 until 4).map(j => col(s"h${b * 4 + j}")): _*))): _*)
     // Candidate pairs via band-bucket equality self-join. The join keys

@@ -44,12 +44,31 @@ object Events {
         col("w.end").as("session_end"), col("cnt"), col("val_sum"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Skew-handling showcase: two-phase salted aggregation over the heavily
+    * skewed event_type key (5 values ≪ cores). Phase 1 pre-aggregates on
+    * (key, salt) spreading each hot key over 16 reducers; phase 2 merges the
+    * 16 partials. Decimal partials merge exactly, so the result hash-matches
+    * the plain GROUP BY oracle — the technique is invisible to correctness. */
+  def aggSalted(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("p_cnt"), sum(dec(col("value"))).as("p_sum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("p_cnt")).as("cnt"), sum(col("p_sum")).cast(S).as("val_sum"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
-    "stream_session" -> (session _))
+    "stream_session" -> (session _),
+    "agg_salted" -> (aggSalted _))
 
   val oracles: Map[String, String] = Map(
+    "agg_salted" ->
+      """SELECT event_type, count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_day, event_type,
         | count(*) AS cnt,

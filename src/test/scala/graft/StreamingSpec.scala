@@ -18,13 +18,13 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[Ev]
-    val q = streaming.StreamOps.tumblingCounts(ms.toDF())
-      .writeStream.format("memory").queryName("tumble_test")
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     ms.addData(
       Ev(1, ts("2024-01-01T01:00:00Z"), 1, "view"),
       Ev(2, ts("2024-01-01T02:00:00Z"), 1, "view"),
       Ev(3, ts("2024-01-02T01:00:00Z"), 2, "click"))
+    val q = streaming.StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumble_test")
+      .outputMode("complete").start()
     q.processAllAvailable()
     val out = spark.sql("SELECT * FROM tumble_test").collect()
       .map(r => (r.getTimestamp(0).toInstant.toString, r.getString(1), r.getLong(2))).toSet
@@ -50,6 +50,26 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val ids = spark.sql("SELECT event_id FROM dedup_test").collect().map(_.getLong(0))
     assert(ids.sorted === Array(1L, 2L))
+    q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = streaming.StreamOps.runningUserCounts(ms.toDF())
+      .writeStream.format("memory").queryName("state_test")
+      .outputMode(streaming.StreamOps.runningOutputMode).start()
+    ms.addData(Ev(1, ts("2024-01-01T01:00:00Z"), 7, "view"),
+      Ev(2, ts("2024-01-01T01:01:00Z"), 7, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(3, ts("2024-01-01T01:02:00Z"), 7, "view"),
+      Ev(4, ts("2024-01-01T01:03:00Z"), 8, "click"))
+    q.processAllAvailable()
+    val last = spark.sql("SELECT * FROM state_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).max }
+    assert(last == Map(7L -> 3L, 8L -> 1L))
     q.stop()
   }
 }
