@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 import graft.Tables
 
 /** Event-time window aggregations (SURVEY.md §2B rows B40–B42).
@@ -58,13 +59,35 @@ object Events {
       .agg(sum(col("p_cnt")).as("cnt"), sum(col("p_sum")).cast(S).as("val_sum"))
       .orderBy(col("event_type"))
 
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** B15 extension: pivot — one column per event type, day rows. */
+  def aggPivot(s: SparkSession, d: String): DataFrame = {
+    val pivoted = Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast(TimestampType).as("day"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    EventTypes.foldLeft(pivoted) { (df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L)))
+    }.orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
     "stream_session" -> (session _),
-    "agg_salted" -> (aggSalted _))
+    "agg_salted" -> (aggSalted _),
+    "agg_pivot" -> (aggPivot _))
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        | count(*) FILTER (event_type = 'click') AS click,
+        | count(*) FILTER (event_type = 'error') AS error,
+        | count(*) FILTER (event_type = 'purchase') AS purchase,
+        | count(*) FILTER (event_type = 'signup') AS signup,
+        | count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY day ORDER BY day""".stripMargin,
     "agg_salted" ->
       """SELECT event_type, count(*) AS cnt,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum

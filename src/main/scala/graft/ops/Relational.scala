@@ -235,9 +235,32 @@ object Relational {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** B15 extension: array aggregation — sorted collect_list is deterministic
+    * (plain collect_list order is engine/partition-dependent; never judged). */
+  def aggCollect(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 200)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_orderkey"))
+
+  /** B15 extension: exact median. Only the 0.5 quantile is judged: halving is
+    * a power-of-two scale so both engines' interpolation forms agree bitwise;
+    * other fractions interpolate with formula-dependent rounding. */
+  def aggPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.5D)").as("median_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
     "agg_cube" -> (aggCube _),
+    "agg_collect" -> (aggCollect _),
+    "agg_percentile" -> (aggPercentile _),
     "sql_surface" -> (sqlSurface _),
     "project_expr" -> (projectExpr _),
     "filter_pred" -> (filterPred _),
@@ -258,6 +281,16 @@ object Relational {
     "subquery_scalar" -> (subqueryScalar _))
 
   val oracles: Map[String, String] = Map(
+    "agg_collect" ->
+      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines, count(*) AS cnt
+        |FROM lineitem WHERE l_orderkey < 200
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_extendedprice, 0.5) AS median_price,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_cube" ->
       """SELECT r_name, c_mktsegment, count(*) AS cnt,
         | CAST(GROUPING(r_name, c_mktsegment) AS INTEGER) AS gid

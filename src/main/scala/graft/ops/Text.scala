@@ -94,7 +94,16 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** B39: generator / UDTF surface — posexplode over the token stream. */
+  def generatorExplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(toks(col("text"))).as(Seq("pos", "term")))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"), col("term"))
+      .orderBy(col("doc_id"), col("pos"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "generator_explode" -> (generatorExplode _),
     "text_tokens" -> (textTokens _),
     "text_tfidf" -> (textTfidf _),
     "text_quality" -> (textQuality _),
@@ -104,6 +113,12 @@ object Text {
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "generator_explode" ->
+      """SELECT doc_id, CAST(u.p[2] - 1 AS BIGINT) AS pos, u.p[1] AS term FROM
+        |  (SELECT doc_id, unnest(list_zip(string_split(text, ' '),
+        |           range(1, len(string_split(text, ' ')) + 1))) AS p
+        |   FROM documents WHERE doc_id < 20) u
+        |ORDER BY doc_id, pos""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, lang, n_chars,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
