@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** SparkSessionExtensions entry point — the deployment-grade way to install
+  * graft's custom Catalyst surface into any session:
+  *
+  *   spark.sql.extensions=graft.functions.GraftExtensions
+  *   (or SparkSession.builder().withExtensions(new GraftExtensions))
+  *
+  * Installs `graft_dot` (codegen dot product, see DotProduct). The harness
+  * mains use the runtime-registry path (VectorOps.ensureRegistered) because
+  * the driver owns session construction; both paths bind the same expression.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProduct(exprs.head, exprs(1))))
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.WeightedAvg
+
+/** Property-style tests for the engine-free kernels (SURVEY.md §5.2) —
+  * seeded random sampling (the scalatest↔scalacheck bridge isn't in the
+  * offline dependency set, so properties are checked over 200 drawn cases). */
+class PropertySpec extends SparkSpec {
+
+  private val rnd = new scala.util.Random(42)
+  private def vec(): Array[Double] = Array.fill(64)(rnd.nextDouble() * 20 - 10)
+
+  test("DotProduct eval: commutative and Cauchy-Schwarz-bounded") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def lit(x: Array[Double]) =
+      Literal.create(ArrayData.toArrayData(x), ArrayType(DoubleType))
+    (1 to 200).foreach { _ =>
+      val a = vec(); val b = vec()
+      val ab = functions.DotProduct(lit(a), lit(b)).eval(null).asInstanceOf[Double]
+      val ba = functions.DotProduct(lit(b), lit(a)).eval(null).asInstanceOf[Double]
+      val aa = functions.DotProduct(lit(a), lit(a)).eval(null).asInstanceOf[Double]
+      val bb = functions.DotProduct(lit(b), lit(b)).eval(null).asInstanceOf[Double]
+      assert(ab == ba) // per-element products commute exactly; same fold order
+      assert(ab * ab <= aa * bb * (1 + 1e-9))
+    }
+  }
+
+  test("WeightedAvg: merge order never changes the exact buffer") {
+    (1 to 200).foreach { _ =>
+      val xs = List.fill(rnd.nextInt(40))((rnd.nextDouble() * 1e6, rnd.nextDouble() * 100 + 0.01))
+      val seq = xs.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce)
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val merged = WeightedAvg.merge(
+        l.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce),
+        r.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce))
+      assert(seq.sumXW.compareTo(merged.sumXW) == 0)
+      assert(seq.sumW.compareTo(merged.sumW) == 0)
+    }
+  }
+
+  test("approx_count_distinct within rsd tolerance of exact counts") {
+    val dir = sf("sf0.001")
+    val approx = ops.Relational.aggApproxDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ops.Relational.aggDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (flag, n) =>
+      val a = approx(flag).toDouble
+      assert(math.abs(a - n) / n < 0.15, s"$flag: approx $a vs exact $n")
+    }
+  }
+}
