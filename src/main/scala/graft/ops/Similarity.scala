@@ -72,6 +72,27 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** C3 via the bounded-heap TopKAgg (§7.3 100-TB option): identical output
+    * to sim_topk — same pair set, same (cos desc, id) ordering — but the
+    * aggregation state is O(k) per query with partial combines, no full
+    * partition sort. Shares sim_topk's oracle semantics. */
+  def simTopkAgg(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    val topk = udaf(new graft.functions.TopKAgg(10))
+    val e = withVec(Tables.embeddings(s, d))
+    val q = e.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"))
+    q.join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", pairCos(col("qe"), col("ne"), col("qn"), col("nn")))
+      .groupBy(col("q_id"))
+      .agg(topk(col("n_id"), col("cos")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("p._1").as("n_id"), col("p._2").as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** C3 scale path: LSH-bucketed ANN — candidates share the 8-bit
     * sign-projection bucket; top-3 within bucket. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame = {
@@ -159,6 +180,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
+    "sim_topk_agg" -> (simTopkAgg _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "multimodal_join" -> (multimodalJoin _),
@@ -177,6 +199,20 @@ object Similarity {
          |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |      FROM s)
          |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    // bounded-heap twin: identical semantics, identical oracle text
+    "sim_topk_agg" -> {
+      val cos = Sql.cosineD("q.qe", "c.ne")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE q_id % 20 = 0),
+         |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
+         |s AS (SELECT q_id, n_id, $cos AS cos
+         |      FROM q JOIN c ON q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin
     },
     "sim_ann_lsh" -> {
