@@ -14,17 +14,23 @@ case class TopKBuf(items: Seq[(Long, Double)])
 
 class TopKAgg(k: Int) extends Aggregator[(Long, Double), TopKBuf, Seq[(Long, Double)]] {
 
+  /** Score comparison via java.lang.Double.compare — matches Spark SQL's
+    * double ordering exactly (NaN greatest, -0.0 < 0.0), so results stay
+    * identical to the row_number window twin even on NaN cosines. */
+  private def beats(a: (Long, Double), floor: (Long, Double)): Boolean = {
+    val c = java.lang.Double.compare(a._2, floor._2)
+    c > 0 || (c == 0 && a._1 < floor._1)
+  }
+
   private def trim(xs: Seq[(Long, Double)]): Seq[(Long, Double)] =
-    xs.sortBy { case (id, score) => (-score, id) }.take(k)
+    xs.sortWith(beats).take(k)
 
   override def zero: TopKBuf = TopKBuf(Seq.empty)
 
   override def reduce(b: TopKBuf, a: (Long, Double)): TopKBuf =
     // keep the buffer bounded: only re-sort when it can still grow or the
     // candidate beats the current floor
-    if (b.items.length < k || a._2 > b.items.last._2 ||
-      (a._2 == b.items.last._2 && a._1 < b.items.last._1))
-      TopKBuf(trim(b.items :+ a))
+    if (b.items.length < k || beats(a, b.items.last)) TopKBuf(trim(b.items :+ a))
     else b
 
   override def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf =

@@ -26,7 +26,11 @@ object VectorOps {
     * version-sensitive Column(Expression) constructor. */
   def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+      "graft_dot", exprs => {
+        require(exprs.length == 2,
+          s"graft_dot expects exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      }, "built-in")
 
   /** Dot product as a left fold: sum_i a_i*b_i (inputs already double).
     * Same value as `graft_dot`; kept as the portable fallback form. */

@@ -11,11 +11,14 @@ import org.apache.spark.sql.expressions.Aggregator
   * public knowledge per SURVEY.md §0]; we showcase the modern typed
   * `Aggregator` + `functions.udaf` path.
   *
-  * Cross-engine determinism: inputs are quantized to DECIMAL(·,6) exactly as
-  * the oracle's `CAST(x AS DECIMAL(18,6))` does (both go through the shortest
-  * decimal string of the double), sums are exact BigDecimal, and the finish
-  * step mirrors `CAST(sum AS DOUBLE) / CAST(sum AS DOUBLE)` — nearest-double
-  * conversions plus one IEEE division, so the result is bit-exact vs DuckDB.
+  * Cross-engine determinism: inputs are quantized to DECIMAL(·,2) exactly as
+  * the oracle's `CAST(x AS DECIMAL(12,2))` does (both go through the shortest
+  * decimal string of the double; the data is 2-decimal money so no rounding
+  * occurs), sums are exact BigDecimal, and the finish step mirrors
+  * `CAST(sum AS DOUBLE) / CAST(sum AS DOUBLE)` — nearest-double conversions
+  * plus one IEEE division, so the result is bit-exact vs DuckDB. The narrow
+  * scale also keeps unscaled sums below 2^53, where both engines'
+  * decimal→double casts are exact (DuckDB double-rounds above that).
   */
 case class WAvgBuf(sumXW: JBigDecimal, sumW: JBigDecimal)
 

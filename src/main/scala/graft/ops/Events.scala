@@ -107,14 +107,14 @@ object Events {
         |GROUP BY w_start ORDER BY w_start""".stripMargin,
     "stream_session" ->
       """WITH flagged AS (
-        |  SELECT user_id, ts, value,
+        |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |         OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sess AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM flagged)
         |SELECT user_id, min(ts) AS session_start,

@@ -18,6 +18,15 @@ import graft.Tables
   */
 object KeyRange {
 
+  /** Per-JVM-unique scratch root: concurrent Verify/Bench processes must not
+    * overwrite each other's round-trip files (same dataset → same hash would
+    * otherwise race Overwrite against read). */
+  private val scratch: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
   /** A2: composite-rowkey range scan (l_orderkey, l_linenumber) — the filter
     * reaches the parquet scan as PushedFilters on the leading key column. */
   def keyrangeScan(s: SparkSession, d: String): DataFrame =
@@ -34,7 +43,7 @@ object KeyRange {
 
   /** A6: INSERT INTO … SELECT — write a filtered projection, read it back. */
   def insertSelect(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_insert_select_${d.hashCode.toHexString}"
+    val tmp = s"$scratch/insert_select"
     Tables.orders(s, d)
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
@@ -49,7 +58,7 @@ object KeyRange {
     * write, re-read. At cluster scale this is the write pattern that yields
     * key-clustered files whose min/max stats enable A2-style pruning. */
   def bulkloadSortedWrite(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bulkload_${d.hashCode.toHexString}"
+    val tmp = s"$scratch/bulkload"
     Tables.lineitem(s, d)
       .repartitionByRange(8, col("l_orderkey"), col("l_linenumber"))
       .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
@@ -77,7 +86,7 @@ object KeyRange {
     * round-trip exactly through Java's shortest-decimal toString/parse; the
     * aggregate then hash-matches the parquet-sourced oracle. */
   def csvIngest(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${d.hashCode.toHexString}"
+    val tmp = s"$scratch/csv_ingest"
     Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode(SaveMode.Overwrite).option("header", "true").csv(tmp)

@@ -37,10 +37,13 @@ class GraftRangeSource extends TableProvider {
     GraftRangeSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftRangeTable(
-      properties.getOrDefault("rows", "100000").toLong,
-      properties.getOrDefault("slices", "16").toInt)
+      properties: util.Map[String, String]): Table = {
+    val rows = properties.getOrDefault("rows", "100000").toLong
+    val slices = properties.getOrDefault("slices", "16").toInt
+    require(rows >= 0, s"graft_range: rows must be >= 0, got $rows")
+    require(slices > 0, s"graft_range: slices must be > 0, got $slices")
+    new GraftRangeTable(rows, slices)
+  }
 }
 
 object GraftRangeSource {
@@ -70,13 +73,18 @@ final class GraftRangeScanBuilder(rows: Long, slices: Int)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftRangeSource.schema
 
+  /** Saturating x+1 so Long.MaxValue bounds can't wrap negative. */
+  private def succ(x: Long): Long = if (x == Long.MaxValue) Long.MaxValue else x + 1
+
   /** Key-bound extraction — the CriticalPoint analogue for one key column. */
   private def tryPush(f: Filter): Boolean = f match {
-    case EqualTo("k", x: Number)            => lo = math.max(lo, x.longValue()); hi = math.min(hi, x.longValue() + 1); true
-    case GreaterThan("k", x: Number)        => lo = math.max(lo, x.longValue() + 1); true
+    case EqualTo("k", x: Number)            => lo = math.max(lo, x.longValue()); hi = math.min(hi, succ(x.longValue())); true
+    case GreaterThan("k", x: Number)        =>
+      // k > MaxValue is unsatisfiable: empty the range rather than wrap
+      if (x.longValue() == Long.MaxValue) { lo = hi } else lo = math.max(lo, x.longValue() + 1); true
     case GreaterThanOrEqual("k", x: Number) => lo = math.max(lo, x.longValue()); true
     case LessThan("k", x: Number)           => hi = math.min(hi, x.longValue()); true
-    case LessThanOrEqual("k", x: Number)    => hi = math.min(hi, x.longValue() + 1); true
+    case LessThanOrEqual("k", x: Number)    => hi = math.min(hi, succ(x.longValue())); true
     case And(l, r)                          => val a = tryPush(l); val b = tryPush(r); a && b
     case IsNotNull("k")                     => true // k is never null
     case _                                  => false
