@@ -85,6 +85,20 @@ object Scalars {
           .getField("k").as("k"))
       .orderBy(col("event_id"))
 
+  /** B36b: map construction + map_keys/map_values/element access. */
+  def scalarMap(s: SparkSession, d: String): DataFrame = {
+    val k = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+      .getField("k").cast(StringType)
+    Tables.events(s, d)
+      .withColumn("m", map(lit("type"), col("event_type"), lit("k"), k))
+      .select(col("event_id"),
+        element_at(col("m"), "type").as("type_via_map"),
+        element_at(col("m"), "k").cast(IntegerType).as("k_via_map"),
+        size(col("m")).cast(IntegerType).as("n_keys"),
+        sort_array(map_keys(col("m"))).as("keys_sorted"))
+      .orderBy(col("event_id"))
+  }
+
   /** B37: Scala UDF surface (oracle = equivalent SQL expression). */
   def udfScalar(s: SparkSession, d: String): DataFrame = {
     val score = udf((name: String) => name.length * 2 + name.count(_ == '1'))
@@ -109,6 +123,7 @@ object Scalars {
     "scalar_datetime" -> (scalarDatetime _),
     "scalar_array" -> (scalarArray _),
     "scalar_json" -> (scalarJson _),
+    "scalar_map" -> (scalarMap _),
     "udf_scalar" -> (udfScalar _),
     "udaf_custom" -> (udafCustom _))
 
@@ -159,6 +174,17 @@ object Scalars {
       """SELECT event_id, event_type,
         | CAST(regexp_extract(props, '-?\d+', 0) AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+    "scalar_map" ->
+      """SELECT event_id,
+        | m['type'][1] AS type_via_map,
+        | CAST(m['k'][1] AS INTEGER) AS k_via_map,
+        | CAST(cardinality(m) AS INTEGER) AS n_keys,
+        | list_sort(map_keys(m)) AS keys_sorted
+        |FROM (SELECT event_id,
+        |        MAP {'type': event_type,
+        |             'k': CAST(CAST(regexp_extract(props, '-?\d+', 0) AS INTEGER) AS VARCHAR)} AS m
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "udf_scalar" ->
       """SELECT c_custkey,
         | CAST(length(c_name) * 2 + (length(c_name) - length(replace(c_name, '1', ''))) AS INTEGER) AS score
