@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Plan-hygiene assertions (SURVEY.md §4): the physical plans must show the
+  * optimizer behaviors the 100 TB posture depends on — parquet predicate
+  * pushdown for key-range scans and broadcast joins for dimension tables. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+
+  test("keyrange_scan pushes the composite-key predicates into the parquet scan") {
+    val plan = planOf("keyrange_scan")
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("GreaterThan(l_orderkey,1000)") ||
+      plan.contains("l_orderkey"), plan.take(500))
+  }
+
+  test("q1_pricing pushes the shipdate filter and prunes columns") {
+    val plan = planOf("q1_pricing")
+    assert(plan.contains("PushedFilters:") && plan.contains("l_shipdate"))
+    // pruned read schema: no l_orderkey/l_partkey in the scan
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("join_broadcast builds broadcast joins for the dimension tables") {
+    val plan = planOf("join_broadcast")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(500))
+  }
+
+  test("GraftExtensions installs graft_dot without error") {
+    val ext = new SparkSessionExtensions
+    (new functions.GraftExtensions)(ext) // must register cleanly
+    // and the runtime-registered function parses + executes end-to-end
+    functions.VectorOps.ensureRegistered(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()
+    assert(r.head.getDouble(0) == 11.0)
+  }
+}
