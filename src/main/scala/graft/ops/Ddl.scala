@@ -1,0 +1,79 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Astro-shaped DDL surface (SURVEY.md §2 A8): the reference declares tables
+  * with `CREATE TABLE t (...) MAPPED BY (hbaseTbl, COLS=[...])` and a
+  * PRIMARY KEY whose order-preserving encoding makes rowkey range pruning
+  * sound [ref*: …/hbase/HBaseSQLParser.scala, HBaseCatalog.scala — mount
+  * empty, public-knowledge citation per SURVEY.md §0].
+  *
+  * Spark-native equivalent: a registered parquet-backed view plus key-column
+  * metadata, and a generic composite-key range predicate builder that emits
+  * the same Or-tree `keyrange_scan` writes by hand — fully pushable to the
+  * parquet scan (PushedFilters), which is what stands in for region pruning.
+  *
+  * Grammar: CREATE TABLE <name> MAPPED BY '<path>' KEYS (<k1>[, <k2> ...])
+  */
+object Ddl {
+
+  final case class KeyedTable(name: String, path: String, keys: Seq[String])
+
+  private val catalog = TrieMap.empty[String, KeyedTable]
+
+  private val CreateRe =
+    """(?i)\s*CREATE\s+TABLE\s+(\w+)\s+MAPPED\s+BY\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s*""".r
+
+  /** Executes the DDL: registers the parquet file as a temp view and records
+    * the key columns for range-scan building. Returns the catalog entry. */
+  def create(spark: SparkSession, ddl: String): KeyedTable = ddl match {
+    case CreateRe(name, path, keyList) =>
+      val keys = keyList.split(",").map(_.trim).toSeq
+      val df = spark.read.parquet(path)
+      keys.foreach { k =>
+        require(df.columns.contains(k), s"key column '$k' not in $path schema")
+      }
+      df.createOrReplaceTempView(name)
+      val t = KeyedTable(name, path, keys)
+      catalog.put(name.toLowerCase, t)
+      t
+    case _ =>
+      throw new IllegalArgumentException(
+        s"cannot parse DDL (expected CREATE TABLE <n> MAPPED BY '<path>' KEYS (...)): $ddl")
+  }
+
+  def lookup(name: String): Option[KeyedTable] = catalog.get(name.toLowerCase)
+
+  /** Composite-key >= bound: (k1 > v1) OR (k1 = v1 AND (k2 > v2 OR ...)). */
+  private def lowerPred(keys: Seq[String], vals: Seq[Any]): Column = (keys, vals) match {
+    case (Seq(k), Seq(v)) => col(k) >= lit(v)
+    case (k +: kt, v +: vt) =>
+      (col(k) > lit(v)) || (col(k) === lit(v) && lowerPred(kt, vt))
+    case _ => lit(true)
+  }
+
+  /** Composite-key <= bound, mirrored. */
+  private def upperPred(keys: Seq[String], vals: Seq[Any]): Column = (keys, vals) match {
+    case (Seq(k), Seq(v)) => col(k) <= lit(v)
+    case (k +: kt, v +: vt) =>
+      (col(k) < lit(v)) || (col(k) === lit(v) && upperPred(kt, vt))
+    case _ => lit(true)
+  }
+
+  /** Inclusive composite-key range scan over a registered table — the
+    * CriticalPoint-shaped predicate, built from catalog metadata instead of
+    * hand-written per query. Bounds may cover a prefix of the key columns. */
+  def keyRangeScan(spark: SparkSession, table: String,
+      lower: Seq[Any], upper: Seq[Any]): DataFrame = {
+    val t = lookup(table).getOrElse(
+      throw new IllegalArgumentException(s"unknown keyed table: $table"))
+    require(lower.length <= t.keys.length && upper.length <= t.keys.length,
+      s"bounds longer than key (${t.keys.mkString(",")})")
+    spark.table(t.name)
+      .filter(lowerPred(t.keys.take(lower.length), lower))
+      .filter(upperPred(t.keys.take(upper.length), upper))
+  }
+}
