@@ -82,6 +82,22 @@ object KeyRange {
       .filter(col("k").between(20000, 79999) && col("v") < 500)
       .orderBy(col("k"))
 
+  /** A7-partitioned: Hive-style partitioned write + partition-pruned read —
+    * the directory-partitioning pattern that bounds scans at 100 TB (the
+    * read filter prunes to 2 of ~7 year directories; PlanSpec asserts the
+    * PartitionFilters). */
+  def partitionedWrite(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/partitioned"
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_year").isin(1996, 1997))
+      .groupBy(col("o_year").cast("int").as("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("o_year"), col("o_orderstatus"))
+  }
+
   /** B2: CSV ingest round-trip (Astro's bulk-load input format). Doubles
     * round-trip exactly through Java's shortest-decimal toString/parse; the
     * aggregate then hash-matches the parquet-sourced oracle. */
@@ -104,6 +120,7 @@ object KeyRange {
     "insert_select" -> (insertSelect _),
     "bulkload_sorted_write" -> (bulkloadSortedWrite _),
     "csv_ingest" -> (csvIngest _),
+    "partitioned_write" -> (partitionedWrite _),
     "dsv2_keyrange" -> (dsv2Keyrange _))
 
   val oracles: Map[String, String] = Map(
@@ -128,6 +145,13 @@ object KeyRange {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total,
         | min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "partitioned_write" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+        | count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+        |GROUP BY o_year, o_orderstatus
+        |ORDER BY o_year, o_orderstatus""".stripMargin,
     "dsv2_keyrange" ->
       """SELECT k, (k * 2654435761) % 1000 AS v,
         | 'r' || CAST(k % 97 AS VARCHAR) AS tag

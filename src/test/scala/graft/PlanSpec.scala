@@ -32,6 +32,12 @@ class PlanSpec extends SparkSpec {
       plan.take(500))
   }
 
+  test("partitioned_write prunes year directories at read time") {
+    val plan = planOf("partitioned_write")
+    assert(plan.contains("PartitionFilters:") && plan.contains("o_year"),
+      plan.take(800))
+  }
+
   test("GraftExtensions installs graft_dot without error") {
     val ext = new SparkSessionExtensions
     (new functions.GraftExtensions)(ext) // must register cleanly
