@@ -221,6 +221,30 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), grouping_id().cast(IntegerType).as("gid"))
       .orderBy(col("r_name"), col("c_mktsegment"), col("gid"))
 
+  /** Typed Dataset[T] surface: case-class encoder, typed filter, groupByKey +
+    * mapGroups with an exact BigDecimal accumulator — same answer as the SQL
+    * form (oracle), demonstrating the Dataset API end of the contract. */
+  def typedPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .as[(Long, String, Double)]
+    ds.filter(_._3 > 100000.0)
+      .groupByKey(_._2)
+      .mapGroups { (status, rows) =>
+        var n = 0L
+        var sum = java.math.BigDecimal.ZERO
+        rows.foreach { r =>
+          n += 1
+          sum = sum.add(new java.math.BigDecimal(java.lang.Double.toString(r._3)))
+        }
+        (status, n, sum)
+      }
+      .toDF("o_orderstatus", "cnt", "total")
+      .select(col("o_orderstatus"), col("cnt"), col("total").cast(S).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** SQL-string entry point — the reference's primary surface (HBaseSQLContext
     * .sql / bin CLI [ref*: …/hbase/HBaseSQLParser.scala, public knowledge per
     * SURVEY.md §0]): temp views + spark.sql, same Catalyst pipeline. */
@@ -262,6 +286,7 @@ object Relational {
     "agg_collect" -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
     "sql_surface" -> (sqlSurface _),
+    "typed_pipeline" -> (typedPipeline _),
     "project_expr" -> (projectExpr _),
     "filter_pred" -> (filterPred _),
     "case_when" -> (caseWhen _),
@@ -298,6 +323,11 @@ object Relational {
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE (r_name, c_mktsegment)
         |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST, gid""".stripMargin,
+    "typed_pipeline" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_surface" ->
       """SELECT c_mktsegment, count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
