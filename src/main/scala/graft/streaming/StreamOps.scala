@@ -54,4 +54,17 @@ object StreamOps {
 
   /** Output mode required by runningUserCounts sinks (update semantics). */
   val runningOutputMode: OutputMode = OutputMode.Update()
+
+  /** Streaming → storage via foreachBatch: each micro-batch appends to a
+    * parquet directory. foreachBatch is the general-purpose sink escape
+    * hatch (idempotent writes keyed by batchId are the exactly-once
+    * pattern at scale; here the demo appends). */
+  def sinkToParquet(events: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+      .start()
 }

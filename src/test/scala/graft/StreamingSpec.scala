@@ -53,6 +53,22 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("foreachBatch sink appends micro-batches to parquet") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ms = MemoryStream[Ev]
+    val q = streaming.StreamOps.sinkToParquet(ms.toDF(), s"$dir/out", s"$dir/ckpt")
+    ms.addData(Ev(1, ts("2024-01-01T01:00:00Z"), 1, "view"))
+    q.processAllAvailable()
+    ms.addData(Ev(2, ts("2024-01-01T01:01:00Z"), 2, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 2)
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
