@@ -55,6 +55,54 @@ object StreamOps {
   /** Output mode required by runningUserCounts sinks (update semantics). */
   val runningOutputMode: OutputMode = OutputMode.Update()
 
+  /** Custom sessionization via flatMapGroupsWithState: same 30-minute-gap
+    * semantics as session_window, but with arbitrary per-session state (here:
+    * running count + value sum emitted when a session closes). This is the
+    * API for session logic the built-in window can't express (e.g. dynamic
+    * gaps, session caps). Event-time timeout closes idle sessions. */
+  case class SessionState(start: java.sql.Timestamp, last: java.sql.Timestamp,
+    cnt: Long, valSum: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    cnt: Long, val_sum: Double)
+
+  def customSessions(events: DataFrame): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events.selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.start, s.cnt, s.valSum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2.getTime)
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { case (_, ts, v) =>
+              cur match {
+                case Some(s) if ts.getTime - s.last.getTime <= gapMs =>
+                  cur = Some(s.copy(last = ts, cnt = s.cnt + 1, valSum = s.valSum + v))
+                case Some(s) =>
+                  closed ::= ClosedSession(user, s.start, s.cnt, s.valSum)
+                  cur = Some(SessionState(ts, ts, 1L, v))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1L, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last.getTime + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   /** Streaming → storage via foreachBatch: each micro-batch appends to a
     * parquet directory. foreachBatch is the general-purpose sink escape
     * hatch (idempotent writes keyed by batchId are the exactly-once

@@ -13,6 +13,7 @@ class StreamingSpec extends SparkSpec {
   private def ts(s: String): Timestamp = Timestamp.from(Instant.parse(s))
 
   case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String)
+  case class EvV(user_id: Long, ts: Timestamp, value: Double)
 
   test("streaming tumbling window aggregates with watermark") {
     import spark.implicits._
@@ -50,6 +51,27 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val ids = spark.sql("SELECT event_id FROM dedup_test").collect().map(_.getLong(0))
     assert(ids.sorted === Array(1L, 2L))
+    q.stop()
+  }
+
+  test("flatMapGroupsWithState closes sessions when the gap passes") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[EvV]
+    val q = streaming.StreamOps.customSessions(
+        ms.toDF().selectExpr("user_id", "ts", "CAST(1 AS BIGINT) AS event_id", "value"))
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode("append").start()
+    // session 1: two events; then a later event >30min after → closes it
+    ms.addData(EvV(1, ts("2024-01-01T10:00:00Z"), 2.0),
+      EvV(1, ts("2024-01-01T10:10:00Z"), 3.0))
+    q.processAllAvailable()
+    ms.addData(EvV(1, ts("2024-01-01T12:00:00Z"), 5.0))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM sess_test").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 1L && rows.head.getLong(2) == 2L &&
+      rows.head.getDouble(3) == 5.0)
     q.stop()
   }
 
