@@ -14,13 +14,18 @@ import graft.Tables
   */
 object Events {
 
-  /** B40: tumbling 1-day event-time windows per event type. */
+  /** B40: tumbling 1-day event-time windows per event type. Two-phase
+    * distinct: pre-aggregate per (window, type, user), then merge — avoids
+    * the Expand node a direct countDistinct plans over the full table, while
+    * the exact decimal partials keep the result hash-identical. */
   def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        sumS(col("value")).as("val_sum"),
-        countDistinct(col("user_id")).as("n_users"))
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("u_cnt"), sum(dec(col("value"))).as("u_sum"))
+      .groupBy(col("w"), col("event_type"))
+      .agg(sum(col("u_cnt")).as("cnt"),
+        sum(col("u_sum")).cast(S).as("val_sum"),
+        count(lit(1)).as("n_users"))
       .select(col("w.start").as("w_day"), col("event_type"),
         col("cnt"), col("val_sum"), col("n_users"))
       .orderBy(col("w_day"), col("event_type"))
