@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main: times every SparkEntry query at SPARK_GRAFT_SF_DIR.
+  *
+  * The result line is emitted twice: printed to stdout AND written bare to
+  * `bench_out.json` in the working directory — round 1's driver failed to
+  * parse the metric out of sbt's [info]-wrapped tail (`BENCH_r01.json
+  * parsed:null`), so the file is the reliable channel.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,6 +21,7 @@ object Bench {
       // nanos-as-long for events.ts (converted in Tables.events).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -27,7 +37,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    println(line)
     spark.stop()
   }
 }

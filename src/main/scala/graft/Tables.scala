@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Schema-checked readers for the driver-generated parquet tables
   * (see FIXTURES.md for the measured schemas; TESTDATA.md:13-15 for layout).
@@ -32,7 +32,8 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     val df = rd(s, d, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => df.withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
       case _        => df
     }
   }

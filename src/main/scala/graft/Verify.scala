@@ -15,6 +15,10 @@ object Verify {
       // events.ts is parquet TIMESTAMP(NANOS): read as long, Tables.events
       // converts to a truncated microsecond timestamp (matches DuckDB).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Write MICROS (not INT96): the driver loads results via pandas, which
+      // reads INT96 as datetime64[ns] but the DuckDB oracle side is
+      // datetime64[us] — micros keeps both sides' dtype identical.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DoubleType, TimestampNTZType}
 import graft.Tables
 
 /** Event-time window aggregations (SURVEY.md §2B rows B40–B42).
@@ -24,7 +24,7 @@ object Events {
       .agg(count(lit(1)).as("u_cnt"), sum(dec(col("value"))).as("u_sum"))
       .groupBy(col("w"), col("event_type"))
       .agg(sum(col("u_cnt")).as("cnt"),
-        sum(col("u_sum")).cast(S).as("val_sum"),
+        sum(col("u_sum")).cast(DoubleType).as("val_sum"),
         count(lit(1)).as("n_users"))
       .select(col("w.start").as("w_day"), col("event_type"),
         col("cnt"), col("val_sum"), col("n_users"))
@@ -61,7 +61,7 @@ object Events {
       .groupBy(col("event_type"), col("salt"))
       .agg(count(lit(1)).as("p_cnt"), sum(dec(col("value"))).as("p_sum"))
       .groupBy(col("event_type"))
-      .agg(sum(col("p_cnt")).as("cnt"), sum(col("p_sum")).cast(S).as("val_sum"))
+      .agg(sum(col("p_cnt")).as("cnt"), sum(col("p_sum")).cast(DoubleType).as("val_sum"))
       .orderBy(col("event_type"))
 
   private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
@@ -69,7 +69,7 @@ object Events {
   /** B15 extension: pivot — one column per event type, day rows. */
   def aggPivot(s: SparkSession, d: String): DataFrame = {
     val pivoted = Tables.events(s, d)
-      .groupBy(date_trunc("day", col("ts")).cast(TimestampType).as("day"))
+      .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
     EventTypes.foldLeft(pivoted) { (df, t) =>
@@ -95,17 +95,17 @@ object Events {
         |FROM events GROUP BY day ORDER BY day""".stripMargin,
     "agg_salted" ->
       """SELECT event_type, count(*) AS cnt,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_day, event_type,
         | count(*) AS cnt,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum,
         | count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY w_day, event_type""".stripMargin,
     "stream_sliding" ->
       """SELECT w_start, count(*) AS cnt,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM (SELECT time_bucket(INTERVAL '30 minutes', ts)
         |        - i * (INTERVAL '30 minutes') AS w_start, value
         |      FROM events CROSS JOIN (VALUES (0), (1)) AS offs(i))
@@ -125,7 +125,7 @@ object Events {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL '30 minutes' AS session_end,
         |  count(*) AS cnt,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS val_sum
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin)
 }

@@ -132,23 +132,23 @@ object KeyRange {
         |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     "insert_select" ->
       """SELECT o_orderpriority, count(*) AS cnt,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "bulkload_sorted_write" ->
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
         | max(l_orderkey) AS max_key,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS price_sum
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
         |FROM lineitem""".stripMargin,
     "csv_ingest" ->
       """SELECT o_orderstatus, count(*) AS cnt,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
         | min(o_totalprice) AS min_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "partitioned_write" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
         | count(*) AS cnt,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE year(o_orderdate) IN (1996, 1997)
         |GROUP BY o_year, o_orderstatus
         |ORDER BY o_year, o_orderstatus""".stripMargin,

@@ -25,8 +25,8 @@ object Relational {
       .agg(
         sumS(col("l_quantity")).as("sum_qty"),
         sumS(col("l_extendedprice")).as("sum_base_price"),
-        sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))).cast(S).as("sum_disc_price"),
-        sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))) * (one + dec4(col("l_tax")))).cast(S).as("sum_charge"),
+        sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))).cast(S).cast(DoubleType).as("sum_disc_price"),
+        sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))) * (one + dec4(col("l_tax")))).cast(S).cast(DoubleType).as("sum_charge"),
         avgD(col("l_quantity")).as("avg_qty"),
         avgD(col("l_extendedprice")).as("avg_price"),
         avgD(col("l_discount")).as("avg_disc"),
@@ -42,7 +42,9 @@ object Relational {
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("disc_price"),
         concat(col("l_returnflag"), lit("/"), col("l_linestatus")).as("label"),
         floor(col("l_quantity")).cast(IntegerType).as("qty_int"),
-        col("l_shipdate").cast(DateType).as("ship_date"))
+        // judged as TIMESTAMP: a DATE column loads as pandas `object` cells
+        // on the Spark side vs datetime64 from DuckDB — dtype mismatch
+        col("l_shipdate").cast(DateType).cast(TimestampNTZType).as("ship_date"))
       // (l_orderkey, l_linenumber) is NOT unique in this data — order by the
       // full output row so duplicate keys cannot reorder across engines.
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"),
@@ -129,7 +131,7 @@ object Relational {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
-      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))).cast(S).as("revenue"),
+      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))).cast(S).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("o_year"))
   }
@@ -241,7 +243,7 @@ object Relational {
         (status, n, sum)
       }
       .toDF("o_orderstatus", "cnt", "total")
-      .select(col("o_orderstatus"), col("cnt"), col("total").cast(S).as("total"))
+      .select(col("o_orderstatus"), col("cnt"), col("total").cast(S).cast(DoubleType).as("total"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -253,19 +255,23 @@ object Relational {
     Tables.customer(s, d).createOrReplaceTempView("customer_v")
     s.sql(
       """SELECT c_mktsegment, count(*) AS cnt,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders_v JOIN customer_v ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
   /** B15 extension: array aggregation — sorted collect_list is deterministic
-    * (plain collect_list order is engine/partition-dependent; never judged). */
+    * (plain collect_list order is engine/partition-dependent; never judged).
+    * The judged column is stringified: an ARRAY output column crashes the
+    * driver's pandas canonicalization (unhashable ndarray cells). */
   def aggCollect(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_orderkey") < 200)
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"),
+      .agg(concat_ws(",",
+          transform(sort_array(collect_list(col("l_linenumber"))),
+            x => x.cast(StringType))).as("lines"),
         count(lit(1)).as("cnt"))
       .orderBy(col("l_orderkey"))
 
@@ -307,7 +313,7 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "agg_collect" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines, count(*) AS cnt
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines, count(*) AS cnt
         |FROM lineitem WHERE l_orderkey < 200
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "agg_percentile" ->
@@ -325,21 +331,21 @@ object Relational {
         |ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST, gid""".stripMargin,
     "typed_pipeline" ->
       """SELECT o_orderstatus, count(*) AS cnt,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_totalprice > 100000
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sql_surface" ->
       """SELECT c_mktsegment, count(*) AS cnt,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_disc_price,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) * (CAST(1 AS DECIMAL(12,4)) + CAST(l_tax AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price,
         | CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
@@ -352,7 +358,7 @@ object Relational {
         | l_extendedprice * (1.0 - l_discount) AS disc_price,
         | l_returnflag || '/' || l_linestatus AS label,
         | CAST(floor(l_quantity) AS INTEGER) AS qty_int,
-        | CAST(l_shipdate AS DATE) AS ship_date
+        | CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_date
         |FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, disc_price, label, qty_int, ship_date""".stripMargin,
     "filter_pred" ->
@@ -371,7 +377,7 @@ object Relational {
         |            ELSE 'small' END AS bucket,
         |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_f,
         |  count(*) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1, 2 ORDER BY bucket, status_f""".stripMargin,
     "join_inner" ->
       """SELECT o_orderkey, c_custkey, c_name, c_mktsegment, o_totalprice
@@ -380,13 +386,13 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     "join_broadcast" ->
       """SELECT r_name, n_name, count(*) AS cnt,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS acctbal_sum
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acctbal_sum
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "join_outer" ->
       """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS total_spent
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
     "join_semi_anti" ->
@@ -403,7 +409,7 @@ object Relational {
         |ORDER BY a_nation, b_nation""".stripMargin,
     "join_star" ->
       """SELECT r_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS revenue,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -413,7 +419,7 @@ object Relational {
     "agg_groupby" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_price
         |FROM orders GROUP BY o_orderpriority HAVING count(*) > 10
         |ORDER BY o_orderpriority""".stripMargin,
@@ -424,7 +430,7 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS cnt,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS acct_sum,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acct_sum,
         | CAST(GROUPING(r_name, n_name) AS INTEGER) AS gid
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey

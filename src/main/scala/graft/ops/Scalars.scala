@@ -53,10 +53,11 @@ object Scalars {
         year(col("o_orderdate")).cast(IntegerType).as("y"),
         month(col("o_orderdate")).cast(IntegerType).as("m"),
         dayofmonth(col("o_orderdate")).cast(IntegerType).as("dom"),
-        date_trunc("month", col("o_orderdate")).cast(TimestampType).as("month_start"),
+        date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("month_start"),
         datediff(lit("1998-01-01").cast(DateType), col("o_orderdate").cast(DateType))
           .cast(IntegerType).as("days_to_98"),
-        date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
+        // judged as TIMESTAMP (DATE → pandas object cells, dtype mismatch)
+        date_add(col("o_orderdate").cast(DateType), 30).cast(TimestampNTZType).as("plus30"),
         (dayofweek(col("o_orderdate")) - 1).cast(IntegerType).as("dow"))
       .orderBy(col("o_orderkey"))
 
@@ -95,7 +96,8 @@ object Scalars {
         element_at(col("m"), "type").as("type_via_map"),
         element_at(col("m"), "k").cast(IntegerType).as("k_via_map"),
         size(col("m")).cast(IntegerType).as("n_keys"),
-        sort_array(map_keys(col("m"))).as("keys_sorted"))
+        // stringified: an ARRAY output column crashes the driver's pandas sort
+        concat_ws(",", sort_array(map_keys(col("m")))).as("keys_sorted"))
       .orderBy(col("event_id"))
   }
 
@@ -158,7 +160,7 @@ object Scalars {
         | CAST(day(o_orderdate) AS INTEGER) AS dom,
         | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
         | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS days_to_98,
-        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
         | CAST(dayofweek(o_orderdate) AS INTEGER) AS dow
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_array" ->
@@ -179,7 +181,7 @@ object Scalars {
         | m['type'][1] AS type_via_map,
         | CAST(m['k'][1] AS INTEGER) AS k_via_map,
         | CAST(cardinality(m) AS INTEGER) AS n_keys,
-        | list_sort(map_keys(m)) AS keys_sorted
+        | array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
         |FROM (SELECT event_id,
         |        MAP {'type': event_type,
         |             'k': CAST(CAST(regexp_extract(props, '-?\d+', 0) AS INTEGER) AS VARCHAR)} AS m

@@ -198,7 +198,7 @@ object Similarity {
          |r AS (SELECT q_id, n_id, cos,
          |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |      FROM s)
-         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 10
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos FROM r WHERE rank <= 10
          |ORDER BY q_id, rank""".stripMargin
     },
     // bounded-heap twin: identical semantics, identical oracle text
@@ -226,7 +226,7 @@ object Similarity {
          |r AS (SELECT q_id, n_id, cos,
          |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |      FROM s)
-         |SELECT q_id, rank, n_id, cos FROM r WHERE rank <= 3
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos FROM r WHERE rank <= 3
          |ORDER BY q_id, rank""".stripMargin
     },
     "dedup_embed_cosine" -> {

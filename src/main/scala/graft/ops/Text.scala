@@ -183,7 +183,7 @@ object Text {
       """SELECT doc_id, lang, n_chars,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
         | CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_uniq,
-        | list_aggregate(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS tok_chars,
+        | CAST(list_aggregate(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS BIGINT) AS tok_chars,
         | CAST(list_aggregate(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
         |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -217,7 +217,7 @@ object Text {
         |       ELSE 'en' END AS guess
         |  FROM documents)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS n_hit,
+        |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
     "text_fingerprint" ->

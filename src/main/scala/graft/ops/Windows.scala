@@ -49,8 +49,8 @@ object Windows {
     val slide = base.rowsBetween(-3, 0)
     Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("value"),
-        sum(dec(col("value"))).over(cum).cast(S).as("running_sum"),
-        sum(dec(col("value"))).over(slide).cast(S).as("sliding4_sum"),
+        sum(dec(col("value"))).over(cum).cast(DoubleType).as("running_sum"),
+        sum(dec(col("value"))).over(slide).cast(DoubleType).as("sliding4_sum"),
         count(lit(1)).over(cum).as("running_cnt"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
@@ -87,7 +87,7 @@ object Windows {
 
   val oracles: Map[String, String] = Map(
     "window_distribution" ->
-      """SELECT l_returnflag, quartile, count(*) AS cnt,
+      """SELECT l_returnflag, CAST(quartile AS INTEGER) AS quartile, count(*) AS cnt,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  max(pr) AS max_pr, max(cd) AS max_cd
         |FROM (SELECT l_returnflag, l_quantity,
@@ -101,7 +101,8 @@ object Windows {
         |GROUP BY l_returnflag, quartile
         |ORDER BY l_returnflag, quartile""".stripMargin,
     "window_rank" ->
-      """SELECT o_orderpriority, bucket, o_orderkey, rn, rnk, drk FROM (
+      """SELECT o_orderpriority, bucket, o_orderkey, CAST(rn AS INTEGER) AS rn,
+        |  CAST(rnk AS INTEGER) AS rnk, CAST(drk AS INTEGER) AS drk FROM (
         |  SELECT o_orderpriority, bucket, o_orderkey,
         |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC, o_orderkey) AS rn,
         |    rank()       OVER (PARTITION BY o_orderpriority ORDER BY bucket DESC) AS rnk,
@@ -121,8 +122,8 @@ object Windows {
         |ORDER BY user_id, ts, event_id""".stripMargin,
     "window_running" ->
       """SELECT user_id, ts, event_id, value,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER cum AS DECIMAL(38,6)) AS running_sum,
-        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER slide AS DECIMAL(38,6)) AS sliding4_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER cum AS DOUBLE) AS running_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER slide AS DOUBLE) AS sliding4_sum,
         |  count(*) OVER cum AS running_cnt
         |FROM events
         |WINDOW cum AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -11,12 +11,19 @@ import org.apache.spark.sql.types._
   * value whose bits depend on engine-internal evaluation order. Rules used by
   * every judged query in this package:
   *
+  *  - The driver canonicalizes BOTH sides through pandas (Spark parquet via
+  *    `pandas.read_parquet`, oracle via duckdb `.df()`), so the pandas DTYPE
+  *    is part of the contract. Judged output schemas must therefore contain
+  *    NO DECIMAL (→ python Decimal objects vs float64), NO ARRAY/MAP
+  *    (→ unsortable ndarray cells crash the gate), and integer sums on the
+  *    DuckDB side must be CAST to BIGINT (HUGEINT → float64 otherwise).
   *  - Money/quantity sums: aggregate in DECIMAL (exact, order-independent),
-  *    cast to a pinned final type. Spark `sum(decimal(18,6))` and DuckDB both
-  *    land on DECIMAL(38,6) after the final cast.
-  *  - Averages/ratios: `cast(exact_decimal_or_int AS DOUBLE) / count` — the
-  *    decimal→double cast is round-to-nearest in both engines and IEEE-754
-  *    division is deterministic, so the result is bit-exact cross-engine.
+  *    rescale to DECIMAL(38,6) — exact, since money inputs carry ≤6 dp —
+  *    then cast the FINAL column to DOUBLE. With the unscaled value below
+  *    2^53 at the judged scale, decimal→double is the correctly-rounded
+  *    nearest double in both engines, so the result is bit-exact.
+  *  - Averages/ratios: `cast(exact_decimal_or_int AS DOUBLE) / count` — same
+  *    argument, plus IEEE-754 division is deterministic.
   *  - No transcendental functions (ln/exp/pow) in judged outputs — Java Math
   *    and libm may differ in the last ulp.
   *  - Every judged query ends in a total-order `orderBy`; the DuckDB oracle
@@ -29,14 +36,17 @@ package object ops {
   /** Narrow operand for triple products (3×12 digits + carries fits DuckDB's
     * 38-digit cap: 12+13+13=38). */
   val M4: DecimalType = DecimalType(12, 4)
-  /** Pinned final sum type, matches DuckDB sum widening. */
+  /** Exact intermediate sum type: rescaling product sums (scale 8) to scale 6
+    * is exact for ≤6-dp money values and keeps the unscaled value below 2^53
+    * at judged scale, so the final cast to DOUBLE is correctly rounded. */
   val S: DecimalType = DecimalType(38, 6)
 
   def dec(c: Column): Column  = c.cast(M)
   def dec4(c: Column): Column = c.cast(M4)
 
-  /** Exact decimal sum with pinned output type DECIMAL(38,6). */
-  def sumS(c: Column): Column = sum(dec(c)).cast(S)
+  /** Judged sum: exact decimal accumulation, DOUBLE final output (the driver
+    * canonicalizes via pandas — a DECIMAL final column hash-fails). */
+  def sumS(c: Column): Column = sum(dec(c)).cast(S).cast(DoubleType)
 
   /** Bit-exact cross-engine average: exact decimal sum → double → / count. */
   def avgD(c: Column): Column =

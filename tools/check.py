@@ -1,42 +1,82 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's t2 correctness gate.
+"""Local replica of the driver's t2 correctness gate (pandas-canonical).
 
 Usage: python3 tools/check.py <sfDir> <outDir>
 
-Reads each <outDir>/<name> parquet result (written by graft.Verify), runs the
-paired oracle SQL from <outDir>/oracle_sql.json in DuckDB over the same
-<sfDir>/*.parquet tables, and compares: row count, sorted column names, and
-exact value equality both in result order and after a canonical row sort.
-Exact means exact — bitwise for doubles — matching the driver's hash-match.
+Round-1 postmortem: the old version of this script fetched BOTH sides through
+DuckDB fetchall(), where Decimal('1.5') == 1.5 compares true — it reported
+61/61 green while the driver failed 22 queries. The driver canonicalizes via
+PANDAS: the Spark result is loaded with pandas.read_parquet and the oracle
+with duckdb .df(), then rows are sorted and values hashed.  That makes dtype
+part of the contract:
+
+  - Spark DECIMAL parquet -> pandas object column of Decimal; DuckDB
+    sum(DECIMAL) -> float64.  Numerically equal, hash-different.
+  - DuckDB sum(INT) -> HUGEINT -> float64; Spark sum(int) -> int64.
+  - ARRAY/MAP output columns make pandas sort_values throw (unhashable
+    ndarray) — the driver records an err and the query is ungraded.
+
+So this replica loads both sides exactly that way and compares dtypes AND
+bit-exact values after the same canonical sort.  If this script crashes on a
+query, the driver will too — treat that as a failure of the query design.
 """
 import json
-import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v.hex()
-    return v
+def canonical(df):
+    """Lower-case + alphabetically ordered columns, rows sorted by all
+    columns (NaNs first, like the driver's sort_values default), fresh
+    index.  Raises on unsortable (array/map) cells — intentionally."""
+    df = df.rename(columns={c: c.lower() for c in df.columns})
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, na_position="first").reset_index(drop=True)
+    return df
 
 
-def eq(a, b):
-    if isinstance(a, float) and isinstance(b, float):
-        return (math.isnan(a) and math.isnan(b)) or a == b
-    if a is None or b is None:
-        return a is None and b is None
-    # Decimal vs Decimal compares by value; datetimes compare directly.
-    try:
-        return a == b
-    except TypeError:
-        return str(a) == str(b)
+def values_equal(a, b):
+    """Exact equality per column pair, NaN==NaN, bitwise for floats."""
+    if len(a) != len(b):
+        return False
+    for col in a.columns:
+        x, y = a[col], b[col]
+        if str(x.dtype).startswith("float") and str(y.dtype).startswith("float"):
+            xv, yv = x.to_numpy(), y.to_numpy()
+            same = (xv == yv) | (np.isnan(xv) & np.isnan(yv))
+            if not same.all():
+                return False
+        else:
+            xn, yn = x.isna().to_numpy(), y.isna().to_numpy()
+            if not (xn == yn).all():
+                return False
+            m = ~xn
+            if not (x[m].to_numpy() == y[m].to_numpy()).all():
+                return False
+    return True
+
+
+def first_diff(a, b):
+    for col in a.columns:
+        x, y = a[col].to_numpy(), b[col].to_numpy()
+        for i in range(len(x)):
+            xv, yv = x[i], y[i]
+            if isinstance(xv, float) and isinstance(yv, float):
+                if xv == yv or (np.isnan(xv) and np.isnan(yv)):
+                    continue
+            elif pd.isna(xv) and pd.isna(yv):
+                continue
+            elif xv == yv:
+                continue
+            return f"col={col} row={i}: spark={xv!r} oracle={yv!r}"
+    return "?"
 
 
 def main(sf_dir, out_dir):
@@ -49,43 +89,34 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
-            got_rel = con.sql(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            got_cols = [c.lower() for c in got_rel.columns]
-            got = got_rel.fetchall()
-            want_rel = con.sql(sql)
-            want_cols = [c.lower() for c in want_rel.columns]
-            want = want_rel.fetchall()
+            got = canonical(pd.read_parquet(f"{out_dir}/{name}"))
+            want = canonical(con.sql(sql).df())
         except Exception as e:
-            print(f"FAIL {name}: exception {e}")
+            print(f"FAIL {name}: exception {type(e).__name__}: {e}")
             n_fail += 1
             continue
         ok = True
-        if sorted(got_cols) != sorted(want_cols):
-            print(f"FAIL {name}: columns {sorted(got_cols)} != {sorted(want_cols)}")
+        if list(got.columns) != list(want.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             ok = False
         elif len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             ok = False
-        else:
-            gidx = [got_cols.index(c) for c in sorted(got_cols)]
-            widx = [want_cols.index(c) for c in sorted(want_cols)]
-            for i, (g, w) in enumerate(zip(got, want)):
-                grow = [g[j] for j in gidx]
-                wrow = [w[j] for j in widx]
-                bad = [(sorted(got_cols)[k], grow[k], wrow[k])
-                       for k in range(len(grow)) if not eq(grow[k], wrow[k])]
-                if bad:
-                    print(f"FAIL {name}: row {i} differs: {bad[:3]}")
-                    ok = False
-                    break
+        elif list(map(str, got.dtypes)) != list(map(str, want.dtypes)):
+            pairs = [(c, str(got[c].dtype), str(want[c].dtype))
+                     for c in got.columns
+                     if str(got[c].dtype) != str(want[c].dtype)]
+            print(f"FAIL {name}: dtypes differ {pairs}")
+            ok = False
+        elif not values_equal(got, want):
+            print(f"FAIL {name}: values differ: {first_diff(got, want)}")
+            ok = False
         if ok:
             n_pass += 1
             print(f"PASS {name} ({len(got)} rows)")
         else:
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail, "
-          f"{len(oracles)} oracles ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {len(oracles)} oracles ==")
     return 1 if n_fail else 0
 
 
