@@ -35,11 +35,14 @@ object Similarity {
   private def planeSql(i: Int): String =
     planes(i).map(_.toString).mkString("[", ", ", "]")
 
-  private def withBucket(df: DataFrame): DataFrame = {
-    val sign = (i: Int) =>
-      when(VectorOps.dotFast(col("emb_d"), typedLit(planes(i).toSeq)) >= 0, "1").otherwise("0")
-    df.withColumn("bucket", concat((0 until 8).map(sign): _*))
-  }
+  private def signCol(i: Int): Column =
+    when(VectorOps.dotFast(col("emb_d"), typedLit(planes(i).toSeq)) >= 0, "1").otherwise("0")
+
+  private def bucketCol(from: Int, until: Int): Column =
+    concat((from until until).map(signCol): _*)
+
+  private def withBucket(df: DataFrame): DataFrame =
+    df.withColumn("bucket", bucketCol(0, 8))
 
   /** Hoist the float→double cast and the norm out of the pair loop: each is
     * computed once per vector instead of once per pair (the cosine VALUE is
@@ -51,8 +54,8 @@ object Similarity {
   private def pairCos(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
     VectorOps.dotFast(aEmb, bEmb) / (aNrm * bNrm)
 
-  private def bucketSqlExpr(emb: String): String =
-    (0 until 8).map(i =>
+  private def bucketSqlExpr(emb: String, from: Int = 0, until: Int = 8): String =
+    (from until until).map(i =>
       s"(CASE WHEN ${Sql.dotD(emb, planeSql(i))} >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
 
@@ -111,17 +114,40 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** C2-embedding: high-similarity pairs by cosine >= 0.45 (brute force a<b;
-    * the LSH bucket variant above is the scale path for the same semantics).
+  /** Band boundaries for the near-dup LSH: 4 bands × 2 planes. Wider bands
+    * (more planes) shrink buckets and recall; more bands restore recall at
+    * the cost of extra candidate joins. At 100 TB you widen bands with corpus
+    * size (16+ planes) and add bands to hold recall — the shape below, a
+    * union of bucket-equality joins, is unchanged. */
+  private val nearDupBands: Seq[(Int, Int)] = Seq((0, 2), (2, 4), (4, 6), (6, 8))
+
+  /** C2-embedding: high-cosine pairs (>= 0.45) found via banded sign-LSH —
+    * candidates share at least one band bucket, then the exact cosine verify
+    * keeps true pairs only. NO all-pairs join anywhere in the plan: every
+    * join is an equality join on a band bucket or on a candidate id, so the
+    * shuffles distribute by bucket/id at cluster scale. The oracle mirrors
+    * the identical band expressions (dyadic-rational planes), so recall loss
+    * from banding is deterministic and both engines agree exactly.
     * Threshold chosen from the data: the fixture embeddings are near-
     * orthogonal (max pairwise cosine ≈ 0.51), so a classic 0.95 near-dup bar
     * would select nothing; 0.45 exercises the operator on the top tail. */
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
     val e = withVec(Tables.embeddings(s, d))
-    val a = e.select(col("vec_id").as("a_id"), col("emb_d").as("ea"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b_id"), col("emb_d").as("eb"), col("nrm").as("nb"))
-    a.join(b, col("a_id") < col("b_id"))
+    val withB = nearDupBands.zipWithIndex.foldLeft(e) {
+      case (df, ((from, until), k)) => df.withColumn(s"bk$k", bucketCol(from, until))
+    }
+    val ids = withB.select(col("vec_id") +:
+      nearDupBands.indices.map(k => col(s"bk$k")): _*)
+    def candByBand(k: Int): DataFrame =
+      ids.select(col("vec_id").as("a_id"), col(s"bk$k").as("bk"))
+        .join(ids.select(col("vec_id").as("b_id"), col(s"bk$k").as("bk")), Seq("bk"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"))
+    val cand = nearDupBands.indices.map(candByBand).reduce(_ union _).distinct()
+    val va = e.select(col("vec_id").as("a_id"), col("emb_d").as("ea"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("b_id"), col("emb_d").as("eb"), col("nrm").as("nb"))
+    cand.join(va, "a_id").join(vb, "b_id")
       .withColumn("cos", pairCos(col("ea"), col("eb"), col("na"), col("nb")))
       .filter(col("cos") >= 0.45)
       .select(col("a_id"), col("b_id"), col("cos"))
@@ -230,10 +256,17 @@ object Similarity {
          |ORDER BY q_id, rank""".stripMargin
     },
     "dedup_embed_cosine" -> {
-      val cos = Sql.cosineD("a.emb", "b.emb")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-         |SELECT a.vec_id AS a_id, b.vec_id AS b_id, $cos AS cos
-         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      val cos = Sql.cosineD("ea.emb", "eb.emb")
+      val bandCols = nearDupBands.zipWithIndex.map { case ((f, u), k) =>
+        s"${bucketSqlExpr("emb", f, u)} AS bk$k" }.mkString(", ")
+      val bandEq = nearDupBands.indices.map(k => s"a.bk$k = c.bk$k").mkString(" OR ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |b AS (SELECT vec_id, $bandCols FROM e),
+         |cand AS (SELECT DISTINCT a.vec_id AS a_id, c.vec_id AS b_id
+         |         FROM b a JOIN b c ON a.vec_id < c.vec_id AND ($bandEq))
+         |SELECT cand.a_id, cand.b_id, $cos AS cos
+         |FROM cand JOIN e ea ON cand.a_id = ea.vec_id
+         |          JOIN e eb ON cand.b_id = eb.vec_id
          |WHERE $cos >= 0.45
          |ORDER BY a_id, b_id""".stripMargin
     },

@@ -40,7 +40,11 @@ object Text {
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    tf.join(broadcast(df), "term").join(broadcast(n))
+    // No broadcast hint on `df`: the document-frequency table is
+    // vocabulary-sized (billions of terms at 100 TB). Let the term join
+    // shuffle — AQE still picks a broadcast join when the table is small.
+    // The count table `n` is one row; broadcasting it is always right.
+    tf.join(df, "term").join(broadcast(n))
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         (((col("n") - col("df")).cast(DoubleType) + lit(0.5)) /
