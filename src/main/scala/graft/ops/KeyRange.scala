@@ -54,6 +54,20 @@ object KeyRange {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** A6 (second half): INSERT INTO … VALUES — literal rows written through
+    * the same sink path as insert_select, then read back. The oracle is the
+    * identical VALUES list, so the round trip is correctness-gated. */
+  def insertValues(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"$scratch/insert_values"
+    Seq(
+      (1L, "alpha", 10.25), (2L, "beta", -3.5), (3L, "gamma", 99.0),
+      (4L, "delta", 0.125), (5L, "epsilon", 7.75))
+      .toDF("id", "tag", "val")
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    s.read.parquet(tmp).orderBy(col("id"))
+  }
+
   /** A7: bulk-load shape — range-shuffle on the key, sort within partitions,
     * write, re-read. At cluster scale this is the write pattern that yields
     * key-clustered files whose min/max stats enable A2-style pruning. */
@@ -118,6 +132,7 @@ object KeyRange {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "keyrange_scan" -> (keyrangeScan _),
     "insert_select" -> (insertSelect _),
+    "insert_values" -> (insertValues _),
     "bulkload_sorted_write" -> (bulkloadSortedWrite _),
     "csv_ingest" -> (csvIngest _),
     "partitioned_write" -> (partitionedWrite _),
@@ -135,6 +150,11 @@ object KeyRange {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders WHERE o_orderstatus = 'F'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "insert_values" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), 'alpha', CAST(10.25 AS DOUBLE)), (2, 'beta', -3.5), (3, 'gamma', 99.0),
+        |  (4, 'delta', 0.125), (5, 'epsilon', 7.75)) t(id, tag, val)
+        |ORDER BY id""".stripMargin,
     "bulkload_sorted_write" ->
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_key,
         | max(l_orderkey) AS max_key,

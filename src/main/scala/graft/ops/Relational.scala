@@ -103,6 +103,38 @@ object Relational {
         sumS(col("o_totalprice")).as("total_spent"))
       .orderBy(col("c_custkey"))
 
+  /** B10 (full half): full outer join where BOTH sides have unmatched rows —
+    * high-balance customers with no big order, and big orders from customers
+    * below the balance bar. The join key survives via coalesce, so the output
+    * key column is never null and totally orders the result. */
+  def joinOuterFull(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 9000d)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), sumS(col("o_totalprice")).as("big_total"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_big"), col("big_total"))
+      .orderBy(col("custkey"))
+  }
+
+  /** B20 (general form): explicit GROUPING SETS — finer than rollup/cube:
+    * (region, nation) detail, region subtotal, and an orthogonal mktsegment
+    * slice in one pass (one Expand node; one shuffle at cluster scale). */
+  def aggGroupingSets(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq(col("c_mktsegment"))),
+        col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("c_acctbal")).as("acct_sum"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .orderBy(col("r_name"), col("n_name"), col("c_mktsegment"), col("gid"))
+
   /** B11: left semi + left anti (EXISTS / NOT EXISTS). */
   def joinSemiAnti(s: SparkSession, d: String): DataFrame = {
     val cust = Tables.customer(s, d)
@@ -299,6 +331,8 @@ object Relational {
     "join_inner" -> (joinInner _),
     "join_broadcast" -> (joinBroadcast _),
     "join_outer" -> (joinOuter _),
+    "join_outer_full" -> (joinOuterFull _),
+    "agg_groupingsets" -> (aggGroupingSets _),
     "join_semi_anti" -> (joinSemiAnti _),
     "join_theta" -> (joinTheta _),
     "join_star" -> (joinStar _),
@@ -395,6 +429,25 @@ object Relational {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "join_outer_full" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name,
+        | o.n_big, o.big_total
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_big,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS big_total
+        |           FROM orders WHERE o_totalprice > 450000
+        |           GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "agg_groupingsets" ->
+      """SELECT r_name, n_name, c_mktsegment, count(*) AS cnt,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS acct_sum,
+        | CAST(GROUPING(r_name, n_name, c_mktsegment) AS INTEGER) AS gid
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (c_mktsegment))
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST,
+        |  c_mktsegment NULLS FIRST, gid""".stripMargin,
     "join_semi_anti" ->
       """SELECT 'has_f' AS kind, c_custkey FROM customer
         | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')

@@ -174,7 +174,11 @@ object Similarity {
     * columns. The real image/audio decoder is not available in this
     * environment, so `fakeDecode` is a deterministic stand-in with the same
     * batch shape a vectorized decoder would have (mapPartitions over byte
-    * arrays, one metadata row per blob). Rows-only check (no oracle). */
+    * arrays, one metadata row per blob). The geometry columns are exact
+    * functions of the byte length, so they ARE oracle-checked (DuckDB
+    * octet_length arithmetic); the byte-mean channels stay computed in the
+    * decode pass but are excluded from the judged projection — SQL cannot
+    * iterate blob bytes without gymnastics. */
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val blobs = Tables.documents(s, d)
@@ -183,7 +187,9 @@ object Similarity {
     val decoded = blobs.mapPartitions { it =>
       it.map { case (id, bytes) => fakeDecode(id, bytes) }
     }
-    decoded.toDF().orderBy(col("doc_id"))
+    decoded.toDF()
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic stand-in for a media decoder: derives a fake "image"
@@ -279,7 +285,15 @@ object Similarity {
       """SELECT doc_id,
         | CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         | upper(hex(encode(substring(text, 1, 8)))) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mirrors fakeDecode's geometry: width = n % 64 + 1, height = n / width + 1
+    "multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n
+        |           FROM documents)
+        |SELECT doc_id, n AS n_bytes,
+        | CAST(n % 64 + 1 AS INTEGER) AS width,
+        | CAST(n // (n % 64 + 1) + 1 AS INTEGER) AS height
+        |FROM b ORDER BY doc_id""".stripMargin)
 }
 
 /** Output row of the stubbed media decoder (C5). */

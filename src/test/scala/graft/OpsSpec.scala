@@ -134,4 +134,27 @@ class OpsSpec extends SparkSpec {
     val b = ops.Similarity.fakeDecode(7L, "hello world".getBytes("UTF-8"))
     assert(a == b && a.n_bytes == 11 && a.width == 12)
   }
+
+  // --- full outer join: unmatched rows survive from BOTH sides (B10) ---
+  test("full outer join keeps unmatched rows of both inputs") {
+    val out = ops.Relational.joinOuterFull(spark, sf("sf0.001")).collect()
+    val leftOnly = out.count(_.isNullAt(2))   // customer with no big order
+    val rightOnly = out.count(_.isNullAt(1))  // big order, customer below bar
+    assert(leftOnly > 0 && rightOnly > 0)
+    assert(out.forall(!_.isNullAt(0)))        // coalesced key never null
+    // key is unique and sorted
+    val keys = out.map(_.getLong(0))
+    assert(keys.distinct.length == keys.length && (keys sameElements keys.sorted))
+  }
+
+  // --- grouping sets: per-set grouping_id values and subtotal consistency ---
+  test("grouping sets emits exactly the three declared sets") {
+    val out = ops.Relational.aggGroupingSets(spark, sf("sf0.001")).collect()
+    val gids = out.map(_.getInt(5)).toSet
+    // (r_name,n_name) -> mktsegment bit = 1; (r_name) -> 3; (c_mktsegment) -> 6
+    assert(gids == Set(1, 3, 6))
+    val cntTotal = out.filter(_.getInt(5) == 3).map(_.getLong(3)).sum
+    val detail = out.filter(_.getInt(5) == 1).map(_.getLong(3)).sum
+    assert(cntTotal == detail) // region subtotals equal sum of nation detail
+  }
 }
