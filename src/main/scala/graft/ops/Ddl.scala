@@ -16,7 +16,13 @@ import org.apache.spark.sql.functions._
   * the same Or-tree `keyrange_scan` writes by hand — fully pushable to the
   * parquet scan (PushedFilters), which is what stands in for region pruning.
   *
-  * Grammar: CREATE TABLE <name> MAPPED BY '<path>' KEYS (<k1>[, <k2> ...])
+  * Grammar (the reference's A8 statement set, re-expressed):
+  *   CREATE TABLE <name> MAPPED BY '<path>' KEYS (<k1>[, <k2> ...])
+  *   DROP TABLE <name>
+  *   ALTER TABLE <name> ADD COLUMN <col> AS <sql expr>
+  *   ALTER TABLE <name> DROP COLUMN <col>
+  *   SHOW TABLES
+  *   DESCRIBE <name>
   */
 object Ddl {
 
@@ -26,6 +32,13 @@ object Ddl {
 
   private val CreateRe =
     """(?i)\s*CREATE\s+TABLE\s+(\w+)\s+MAPPED\s+BY\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s*""".r
+  private val DropRe = """(?i)\s*DROP\s+TABLE\s+(\w+)\s*""".r
+  private val AlterAddRe =
+    """(?i)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+AS\s+(.+?)\s*""".r
+  private val AlterDropRe =
+    """(?i)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+  private val ShowRe = """(?i)\s*SHOW\s+TABLES\s*""".r
+  private val DescRe = """(?i)\s*DESCRIBE\s+(\w+)\s*""".r
 
   /** Executes the DDL: registers the parquet file as a temp view and records
     * the key columns for range-scan building. Returns the catalog entry. */
@@ -46,6 +59,56 @@ object Ddl {
   }
 
   def lookup(name: String): Option[KeyedTable] = catalog.get(name.toLowerCase)
+
+  private def lookupOrThrow(name: String): KeyedTable =
+    lookup(name).getOrElse(
+      throw new IllegalArgumentException(s"unknown keyed table: $name"))
+
+  /** Single DDL entry point — dispatches the full A8 statement set. Returns
+    * a DataFrame in every case (SHOW/DESCRIBE return their listings; the
+    * mutating statements return a one-row status frame, the shape
+    * `spark.sql` gives DDL). */
+  def execute(spark: SparkSession, ddl: String): DataFrame = {
+    import spark.implicits._
+    def status(op: String, table: String): DataFrame =
+      Seq((op, table)).toDF("op", "table")
+    ddl match {
+      case CreateRe(_*) =>
+        status("CREATE", create(spark, ddl).name)
+      case DropRe(name) =>
+        val t = lookupOrThrow(name)
+        spark.catalog.dropTempView(t.name)
+        catalog.remove(t.name.toLowerCase)
+        status("DROP", t.name)
+      case AlterAddRe(name, colName, sqlExpr) =>
+        val t = lookupOrThrow(name)
+        val df = spark.table(t.name)
+        require(!df.columns.contains(colName),
+          s"column '$colName' already exists in ${t.name}")
+        df.withColumn(colName, expr(sqlExpr)).createOrReplaceTempView(t.name)
+        status("ALTER_ADD", t.name)
+      case AlterDropRe(name, colName) =>
+        val t = lookupOrThrow(name)
+        require(!t.keys.contains(colName),
+          s"cannot drop key column '$colName' of ${t.name}")
+        val df = spark.table(t.name)
+        require(df.columns.contains(colName),
+          s"column '$colName' not in ${t.name}")
+        df.drop(colName).createOrReplaceTempView(t.name)
+        status("ALTER_DROP", t.name)
+      case ShowRe() =>
+        catalog.values.toSeq.sortBy(_.name)
+          .map(t => (t.name, t.path, t.keys.mkString(",")))
+          .toDF("table", "path", "keys")
+      case DescRe(name) =>
+        val t = lookupOrThrow(name)
+        spark.table(t.name).schema.fields.toSeq
+          .map(f => (f.name, f.dataType.simpleString, t.keys.contains(f.name)))
+          .toDF("col_name", "data_type", "is_key")
+      case _ =>
+        throw new IllegalArgumentException(s"cannot parse DDL: $ddl")
+    }
+  }
 
   /** Composite-key >= bound: (k1 > v1) OR (k1 = v1 AND (k2 > v2 OR ...)). */
   private def lowerPred(keys: Seq[String], vals: Seq[Any]): Column = (keys, vals) match {

@@ -36,6 +36,47 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("DROP TABLE removes the view and the catalog entry") {
+    ops.Ddl.create(spark,
+      s"CREATE TABLE drop_me MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    assert(ops.Ddl.lookup("drop_me").isDefined)
+    val st = ops.Ddl.execute(spark, "DROP TABLE drop_me").collect()
+    assert(st.head.getString(0) == "DROP")
+    assert(ops.Ddl.lookup("drop_me").isEmpty)
+    assert(!spark.catalog.tableExists("drop_me"))
+    intercept[IllegalArgumentException] {
+      ops.Ddl.execute(spark, "DROP TABLE drop_me")
+    }
+  }
+
+  test("ALTER TABLE ADD/DROP COLUMN rewrites the view; key columns protected") {
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE alt_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    ops.Ddl.execute(spark, "ALTER TABLE alt_t ADD COLUMN key2 AS n_nationkey * 2")
+    assert(spark.table("alt_t").columns.contains("key2"))
+    assert(spark.table("alt_t").where(col("key2") =!= col("n_nationkey") * 2).count() == 0)
+    ops.Ddl.execute(spark, "ALTER TABLE alt_t DROP COLUMN key2")
+    assert(!spark.table("alt_t").columns.contains("key2"))
+    intercept[IllegalArgumentException] {
+      ops.Ddl.execute(spark, "ALTER TABLE alt_t DROP COLUMN n_nationkey")
+    }
+    intercept[IllegalArgumentException] {
+      ops.Ddl.execute(spark, "ALTER TABLE alt_t ADD COLUMN n_name AS 'dup'")
+    }
+  }
+
+  test("SHOW TABLES and DESCRIBE reflect the catalog") {
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE show_t MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+    val shown = ops.Ddl.execute(spark, "SHOW TABLES").collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(shown.get("show_t").contains("r_regionkey"))
+    val desc = ops.Ddl.execute(spark, "DESCRIBE show_t").collect()
+      .map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(desc("r_regionkey") === true)
+    assert(desc.exists { case (c, k) => c == "r_name" && !k })
+  }
+
   test("prefix bounds work (leading key only)") {
     ops.Ddl.create(spark,
       s"CREATE TABLE li_keyed MAPPED BY '${sf("sf0.001")}/lineitem.parquet' KEYS (l_orderkey, l_linenumber)")
