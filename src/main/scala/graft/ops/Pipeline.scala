@@ -1,0 +1,201 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Training-data-pipeline operators beyond the reference's own surface:
+  * temporal joins over the event stream and corpus-preparation primitives
+  * (deterministic sampling, sequence packing, embedding quantization).
+  *
+  * Scale design:
+  *  - as-of join: the classic union-and-carry-forward formulation — ONE
+  *    shuffle by user_id, no range-condition fan-out, state is a single
+  *    carried row per partition ordering. This is the shape that survives a
+  *    billion-user table (contrast: a correlated max-subquery re-scans).
+  *  - range join: equi-key (user_id) sort-merge join with the time window as
+  *    a residual range predicate — partitions by user, never cartesian.
+  *  - stratified sample / packing: one shuffle by the stratum key; inside a
+  *    stratum the order is defined by (md5, id) so re-runs are bit-stable.
+  *    At 100 TB you shard strata (lang, shard_id) to bound partition size.
+  *  - quantization: pure per-row map over codegen'd HOFs — no shuffle at all.
+  *
+  * Determinism rules follow graft.ops (integer math, IEEE-only float steps,
+  * md5 as the only cross-engine hash, no ARRAY/DECIMAL in judged schemas).
+  */
+object Pipeline {
+
+  /** As-of join: each purchase event picks the user's latest click at or
+    * before it. Clicks are pre-deduplicated per (user, ts) with max(event_id)
+    * so equal-timestamp ties are deterministic; at equal (ts) the click sorts
+    * before the purchase (tag 0 < 1) making the bound inclusive — the same
+    * semantics as DuckDB's `ASOF JOIN ... ON p.ts >= c.ts` (the oracle uses
+    * the identical union+window formulation for version safety). */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("c_id"))
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("p_id"))
+    val tagged = clicks
+      .select(col("user_id"), col("ts"), lit(0).as("tag"), col("c_id"),
+        lit(null).cast(LongType).as("p_id"))
+      .unionByName(purch.select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast(LongType).as("c_id"), col("p_id")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"), col("p_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_c_id", last(col("c_id"), ignoreNulls = true).over(w))
+      .withColumn("last_c_ts",
+        last(when(col("tag") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("p_id"), col("user_id"), col("ts").as("p_ts"),
+        col("last_c_id").as("c_id"), col("last_c_ts").as("c_ts"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Range (interval) join: follow-on activity within one hour after each
+    * purchase — left join so quiet purchases keep a zero count. */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val follow = ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    purch.join(follow,
+        col("p_user") === col("user_id") &&
+          col("ts") > col("p_ts") &&
+          col("ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy(col("p_id"), col("p_user"))
+      .agg(count(col("event_id")).as("n_follow"), sumS(col("value")).as("val_sum"))
+      .orderBy(col("p_id"))
+  }
+
+  /** Deterministic stratified sample: fixed-size per-language sample keyed by
+    * md5(doc_id:lang) — md5 is bit-identical in both engines, so the sample
+    * is reproducible anywhere (the property that makes training-data ablation
+    * studies comparable across runs). */
+  def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("hk",
+        md5(concat(col("doc_id").cast(StringType), lit(":"), col("lang"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rk").cast(IntegerType).as("rk"),
+        col("hk"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Sequence packing: assign documents (ordered by doc_id within language)
+    * to fixed token-budget bins via the exclusive running token count —
+    * contiguous-fill packing, the window-expressible variant of greedy
+    * first-fit used to batch LLM pretraining sequences. */
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("prefix", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr("prefix div 512"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  /** Int8-style scalar quantization of the embedding column: per-vector
+    * scale = max|x|/127, q_i = floor(x_i * 127 / max|x|). All steps (abs,
+    * max, one multiply, one divide, floor) are IEEE-correctly-rounded in
+    * both engines, so the codes are bit-identical; the vector itself is
+    * emitted stringified (ARRAY columns are unjudgeable, see package doc). */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb_d", VectorOps.embD(col("embedding")))
+      .withColumn("m", array_max(transform(col("emb_d"), x => abs(x))))
+    e.withColumn("q", transform(col("emb_d"), x =>
+        when(col("m") === 0.0, lit(0L))
+          .otherwise(floor(x * lit(127.0) / col("m")).cast(LongType))))
+      .select(col("vec_id"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        concat_ws(",", transform(col("q"), _.cast(StringType))).as("q_str"))
+      .orderBy(col("vec_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> (joinAsof _),
+    "join_range" -> (joinRange _),
+    "sample_stratified" -> (sampleStratified _),
+    "pack_sequences" -> (packSequences _),
+    "embed_quantize" -> (embedQuantize _))
+
+  val oracles: Map[String, String] = Map(
+    "join_asof" ->
+      """WITH clicks AS (SELECT user_id, ts, max(event_id) AS c_id
+        |                FROM events WHERE event_type = 'click'
+        |                GROUP BY user_id, ts),
+        |tagged AS (
+        |  SELECT user_id, ts, 0 AS tag, c_id, CAST(NULL AS BIGINT) AS p_id
+        |  FROM clicks
+        |  UNION ALL
+        |  SELECT user_id, ts, 1 AS tag, NULL AS c_id, event_id AS p_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(c_id IGNORE NULLS) OVER win AS last_c_id,
+        |    last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER win AS last_c_ts
+        |  FROM tagged
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, tag, p_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT p_id, user_id, ts AS p_ts, last_c_id AS c_id, last_c_ts AS c_ts
+        |FROM w WHERE tag = 1 ORDER BY p_id""".stripMargin,
+    "join_range" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user,
+        | count(e.event_id) AS n_follow,
+        | CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+        |FROM events p LEFT JOIN events e
+        |  ON p.user_id = e.user_id AND e.ts > p.ts
+        | AND e.ts <= p.ts + INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p_id, p_user ORDER BY p_id""".stripMargin,
+    "sample_stratified" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |             md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS hk
+        |           FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+        |      FROM h)
+        |SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk, hk
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+    "pack_sequences" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |           FROM documents),
+        |p AS (SELECT *, coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+        |      FROM b)
+        |SELECT lang, CAST(prefix // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+        | CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM p GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |m AS (SELECT vec_id, emb,
+        |        list_max(list_transform(emb, x -> abs(x))) AS mx FROM e),
+        |q AS (SELECT vec_id,
+        |        list_transform(emb, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(floor(x * 127.0 / mx) AS BIGINT) END) AS ql
+        |      FROM m)
+        |SELECT vec_id, CAST(list_aggregate(ql, 'sum') AS BIGINT) AS q_sum,
+        | CAST(list_min(ql) AS BIGINT) AS q_min,
+        | CAST(list_max(ql) AS BIGINT) AS q_max,
+        | array_to_string(ql, ',') AS q_str
+        |FROM q ORDER BY vec_id""".stripMargin)
+}
