@@ -76,18 +76,17 @@ object Dedup {
     * the exact-Jaccard variant below is the oracle-checked twin. */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(tokens)).as("term"))
-    // Hash each DISTINCT term once (the vocabulary is far smaller than the
-    // token stream) and join the 16-hash table back onto occurrences — a
-    // dimension-join shape. No broadcast hint: the table is vocabulary-sized
-    // (unbounded at 100 TB); AQE still broadcasts it when it is small.
-    val termHashes = tok.select(col("term")).distinct().select(
-      col("term") +: (0 until 16).map(i =>
-        xxhash64(concat(col("term"), lit(s"#$i"))).as(s"th$i")): _*)
-    val hashed = tok.join(termHashes, "term")
-    val sigAggs = (0 until 16).map(i => min(col(s"th$i")).as(s"h$i"))
-    val sig = hashed.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    // Signature: explode distinct tokens, hash each occurrence 16x directly
+    // in whole-stage codegen, one hash-aggregate min per doc. Measured
+    // against two alternatives at sf0.1 (see commit): a vocabulary hash-table
+    // join (round 2's shape — the join costs more than the hashing it saved)
+    // and a per-row transform/array_min fold (higher-order-function lambdas
+    // drop out of codegen and evaluate interpreted, 1.4-8x slower). All
+    // three produce identical signatures.
+    val tok = docs.select(col("doc_id"), explode(array_distinct(tokens)).as("term"))
+    val sigAggs = (0 until 16).map(i =>
+      min(xxhash64(concat(col("term"), lit(s"#$i")))).as(s"h$i"))
+    val sig = tok.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val bandArr = array((0 until 4).map(b =>
       xxhash64(concat_ws(",", (0 until 4).map(j => col(s"h${b * 4 + j}")): _*))): _*)
     // Candidate pairs via band-bucket equality self-join. The join keys
@@ -164,17 +163,20 @@ object Dedup {
     * 4×16-bit band pigeonhole (guarantees recall for hamming <= 3), verified
     * by exact popcount. No oracle (hash-based), rows-only check. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d).select(col("doc_id"),
-      explode(array_distinct(tokens)).as("term"))
-      .withColumn("h", xxhash64(col("term")))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) =!= 0L, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sim = (0 until 64).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    val sh = agg.select(col("doc_id"), sim.as("simhash"))
+    // One narrow pass, like dedupMinhash above: hash the distinct-token set
+    // once per row, then bit i of the signature is a per-row majority vote —
+    // set iff more than half the token hashes have bit i set (2*nset > n is
+    // exactly the old +1/-1 sum > 0, ties → 0). Replaces an explode + a
+    // 64-aggregate groupBy shuffle with a projection.
+    val n = size(col("th"))
+    val sim = (0 until 64).map { i =>
+      when(size(filter(col("th"),
+          h => shiftright(h, i).bitwiseAND(lit(1L)) =!= 0L)) * 2 > n,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val sh = Tables.documents(s, d)
+      .withColumn("th", transform(array_distinct(tokens), t => xxhash64(t)))
+      .select(col("doc_id"), sim.as("simhash"))
     val bandArr = array((0 until 4).map(k =>
       shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val bands = sh.select(col("doc_id"), col("simhash"),

@@ -134,17 +134,17 @@ object Similarity {
   def dedupEmbedCosine(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
     val e = withVec(Tables.embeddings(s, d))
-    val withB = nearDupBands.zipWithIndex.foldLeft(e) {
-      case (df, ((from, until), k)) => df.withColumn(s"bk$k", bucketCol(from, until))
-    }
-    val ids = withB.select(col("vec_id") +:
-      nearDupBands.indices.map(k => col(s"bk$k")): _*)
-    def candByBand(k: Int): DataFrame =
-      ids.select(col("vec_id").as("a_id"), col(s"bk$k").as("bk"))
-        .join(ids.select(col("vec_id").as("b_id"), col(s"bk$k").as("bk")), Seq("bk"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"))
-    val cand = nearDupBands.indices.map(candByBand).reduce(_ union _).distinct()
+    // One banded self-join (the LSH-banding shape dedup_minhash uses): bands
+    // posexplode into (band_idx, bucket) rows and candidates share any
+    // band-bucket; prefixing the bucket string with the band index makes the
+    // equality join key (band_idx, bucket) without a second column.
+    val bandArr = array(nearDupBands.zipWithIndex.map { case ((f, u), k) =>
+      concat(lit(s"$k:"), bucketCol(f, u)) }: _*)
+    val bands = e.select(col("vec_id"), explode(bandArr).as("bk"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
     val va = e.select(col("vec_id").as("a_id"), col("emb_d").as("ea"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("b_id"), col("emb_d").as("eb"), col("nrm").as("nb"))
     cand.join(va, "a_id").join(vb, "b_id")
