@@ -114,6 +114,40 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** C3 IVF-style ANN: a deterministic coarse quantizer (every 40th vector is
+    * a centroid), nearest-centroid cell assignment, then search restricted to
+    * the query's cell — the inverted-file shape production ANN systems use,
+    * beside sim_ann_lsh's hyperplane variant. Assignment ties break on
+    * centroid id, so the cells (and therefore results) are deterministic and
+    * the oracle mirrors every step. Scale notes: the centroid table is
+    * bounded (k ≪ n) and broadcast; at cluster scale the argmax-by-window
+    * becomes a per-row fold over the broadcast centroid array — the
+    * window form is the oracle-mirrorable equivalent with identical output,
+    * and its shuffle is n×k rows keyed by vec_id. */
+  def simAnnIvf(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    val e = withVec(Tables.embeddings(s, d))
+    val cents = e.filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("c_id"), col("emb_d").as("ce"), col("nrm").as("cn"))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c_id"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("ccos", pairCos(col("emb_d"), col("ce"), col("nrm"), col("cn")))
+      .withColumn("crk", row_number().over(wA))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("emb_d"), col("nrm"), col("c_id").as("cell"))
+    val q = assigned.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"), col("cell"))
+    val c = assigned.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"), col("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    q.join(c, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", pairCos(col("qe"), col("ne"), col("qn"), col("nn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Band boundaries for the near-dup LSH: 4 bands × 2 planes. Wider bands
     * (more planes) shrink buckets and recall; more bands restore recall at
     * the cost of extra candidate joins. At 100 TB you widen bands with corpus
@@ -214,6 +248,7 @@ object Similarity {
     "sim_topk" -> (simTopk _),
     "sim_topk_agg" -> (simTopkAgg _),
     "sim_ann_lsh" -> (simAnnLsh _),
+    "sim_ann_ivf" -> (simAnnIvf _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "multimodal_join" -> (multimodalJoin _),
     "multimodal_binary" -> (multimodalBinary _),
@@ -255,6 +290,26 @@ object Similarity {
          |c AS (SELECT vec_id AS n_id, emb AS ne, bucket FROM b),
          |s AS (SELECT q_id, n_id, $cos AS cos
          |      FROM q JOIN c USING (bucket) WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos FROM r WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    "sim_ann_ivf" -> {
+      val ccos = Sql.cosineD("e.emb", "c.ce")
+      val cos = Sql.cosineD("q.qe", "c2.ne")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |cents AS (SELECT vec_id AS c_id, emb AS ce FROM e WHERE vec_id % 40 = 0),
+         |ac AS (SELECT e.vec_id, e.emb, c.c_id, $ccos AS ccos
+         |       FROM e CROSS JOIN cents c),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY ccos DESC, c_id) AS crk FROM ac),
+         |assigned AS (SELECT vec_id, emb, c_id AS cell FROM ar WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, cell FROM assigned WHERE vec_id % 20 = 0),
+         |c2 AS (SELECT vec_id AS n_id, emb AS ne, cell FROM assigned),
+         |s AS (SELECT q_id, n_id, $cos AS cos
+         |      FROM q JOIN c2 USING (cell) WHERE q_id <> n_id),
          |r AS (SELECT q_id, n_id, cos,
          |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
          |      FROM s)
