@@ -24,6 +24,12 @@ object Bench {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: one small end-to-end query absorbs the one-time session
+    // costs (codegen compiler, parquet reader, shuffle machinery) that were
+    // previously charged to whichever query happened to run first in the map
+    // iteration order (rounds 1-2: stream_tumbling looked ~2s slower than it
+    // is). Steady-state per-query numbers are the ones that extrapolate.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
