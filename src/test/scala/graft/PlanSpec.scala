@@ -38,6 +38,23 @@ class PlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("bucketed join plans without an exchange on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      ops.KeyRange.writeBucketed(spark, sf("sf0.001"))
+      val join = spark.table("bkt_orders").join(spark.table("bkt_customer"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      val plan = join.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+      assert(join.count() ==
+        ops.KeyRange.bucketedJoin(spark, sf("sf0.001"))
+          .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("GraftExtensions installs graft_dot without error") {
     val ext = new SparkSessionExtensions
     (new functions.GraftExtensions)(ext) // must register cleanly
