@@ -159,6 +159,73 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** C1/C2 closure: connected components over the exact-Jaccard near-dup
+    * graph — the step that turns pairwise matches into dedup GROUPS (keep
+    * min-id per component, drop the rest). Pregel-style min-label
+    * propagation: each iteration every doc takes the min label among itself
+    * and its neighbors; converges in O(graph diameter) rounds (near-dup
+    * clusters are near-cliques, so 2-4 here). The per-iteration driver-side
+    * convergence check is ONE scalar count — the same pattern GraphX/Pregel
+    * run at cluster scale; data never leaves executors. The oracle computes
+    * the identical fixpoint as a recursive transitive closure. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val e = dedupNgramJaccard(s, d).select(col("a_id"), col("b_id"))
+    // materialize the edge list ONCE — without the persist the upstream
+    // Jaccard pair join would re-execute on every downstream pass
+    val sym = e.union(e.select(col("b_id"), col("a_id"))).toDF("src", "dst").persist()
+    // Phase 1 — one min-label round over the FULL edge list (near-dup
+    // clusters are near-cliques, so this already labels almost everything),
+    // then CONTRACT: re-express edges between first-round labels and drop
+    // the (overwhelmingly intra-cluster) self-loops. The full 2|pairs| edge
+    // list is shuffled a bounded number of times, never per iteration.
+    val ident = Tables.documents(s, d)
+      .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+    // localCheckpoint (not just persist): iterative DataFrames must TRUNCATE
+    // lineage, or every round's logical plan nests the previous round's full
+    // tree and analysis cost grows exponentially (measured: rounds went
+    // 2.5s, 2.5s, 15s, 19s before truncation)
+    val mapping = sym.union(ident)
+      .groupBy(col("src")).agg(min(col("dst")).as("comp"))
+      .toDF("doc_id", "comp").localCheckpoint()
+    // doc-count-sized mapping: joined WITHOUT a broadcast hint (AQE
+    // broadcasts it at test scale; at 100 TB it must shuffle)
+    val cedges = sym
+      .join(mapping.toDF("src", "cs"), "src")
+      .join(mapping.toDF("dst", "cd"), "dst")
+      .select(col("cs").as("src"), col("cd").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    // Phase 2 — iterate min-label propagation on the contracted graph
+    // (representatives only, a tiny fraction of the docs). The label sum is
+    // monotone non-increasing: a strict convergence witness, one scalar
+    // action per round, no compare join.
+    val reps = mapping.select(col("comp")).distinct()
+    var labels = reps.select(col("comp").as("id"), col("comp").as("lab"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("lab"))).head().getLong(0)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 40) {
+      val csym = cedges.union(cedges.select(col("dst"), col("src")))
+      val next = csym.join(labels, csym("dst") === labels("id"))
+        .select(col("src").as("id"), col("lab"))
+        .union(labels)
+        .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint()
+      val s2 = next.agg(sum(col("lab"))).head().getLong(0)
+      labels = next
+      converged = s2 == prevSum
+      prevSum = s2
+      iters += 1
+    }
+    // compose: final component of a doc = phase-2 label of its phase-1 rep
+    val out = mapping.join(labels, mapping("comp") === labels("id"))
+      .select(col("doc_id"), col("lab").as("comp"))
+      .orderBy(col("doc_id"))
+    sym.unpersist()
+    out
+  }
+
   /** C2-SimHash: 64-bit simhash over token xxhash64 bits; candidate pairs via
     * 4×16-bit band pigeonhole (guarantees recall for hamming <= 3), verified
     * by exact popcount. No oracle (hash-based), rows-only check. */
@@ -196,6 +263,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_components" -> (dedupComponents _),
     "dedup_simhash" -> (dedupSimhash _))
 
   val oracles: Map[String, String] = Map(
@@ -217,5 +285,25 @@ object Dedup {
         |  AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 6
         |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
         |      >= (CAST(a.n + b.n AS BIGINT) - len(list_intersect(a.tk, b.tk))) * 6
-        |ORDER BY a_id, b_id""".stripMargin)
+        |ORDER BY a_id, b_id""".stripMargin,
+    // identical fixpoint as the Spark label propagation: min reachable id
+    "dedup_components" ->
+      """WITH RECURSIVE tt AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk,
+        |         CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM tt a JOIN tt b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |    AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 6
+        |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
+        |        >= (CAST(a.n + b.n AS BIGINT) - len(list_intersect(a.tk, b.tk))) * 6),
+        |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |        UNION SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT x.id, e.dst FROM reach x JOIN sym e ON x.r = e.src)
+        |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
+        |ORDER BY doc_id""".stripMargin)
 }
