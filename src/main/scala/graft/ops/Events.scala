@@ -85,7 +85,16 @@ object Events {
     }.orderBy(col("day"))
   }
 
+  /** B15 extension: UNPIVOT/melt — widen (pivot) then melt back to long
+    * form; zero-filled cells survive, so the result is the dense day × type
+    * grid (the oracle builds the same grid relationally). */
+  def aggUnpivot(s: SparkSession, d: String): DataFrame =
+    aggPivot(s, d)
+      .unpivot(Array(col("day")), EventTypes.map(col).toArray, "event_type", "cnt")
+      .orderBy(col("day"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_unpivot" -> (aggUnpivot _),
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
     "stream_session" -> (session _),
@@ -93,6 +102,17 @@ object Events {
     "agg_pivot" -> (aggPivot _))
 
   val oracles: Map[String, String] = Map(
+    "agg_unpivot" ->
+      """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |              FROM events),
+        |tys AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+        |        count(*) AS cnt
+        |      FROM events GROUP BY 1, 2)
+        |SELECT d.day AS day, t.event_type AS event_type, coalesce(c.cnt, 0) AS cnt
+        |FROM days d CROSS JOIN tys t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
     "agg_pivot" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
         | count(*) FILTER (event_type = 'click') AS click,

@@ -138,6 +138,21 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** C4h: redaction scrub — the PII-removal shape of a training-data
+    * pipeline: regex-replace a sensitive-token class, count the hits. The
+    * pattern stays inside the syntax subset Java regex and RE2 agree on
+    * (alternation + \b word boundaries); DuckDB needs the 'g' flag to match
+    * Spark's replace-all default. */
+  def textRedact(s: SparkSession, d: String): DataFrame = {
+    val pat = "\\b(key|hash|value)\\b"
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast(IntegerType).as("n_redact"),
+        substring(regexp_replace(col("text"), pat, "<X>"), 1, 80).as("head"))
+      .orderBy(col("doc_id"))
+  }
+
   /** B39: generator / UDTF surface — posexplode over the token stream. */
   def generatorExplode(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -154,7 +169,8 @@ object Text {
     "text_tfidf" -> (textTfidf _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_redact" -> (textRedact _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -224,6 +240,11 @@ object Text {
         |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS INTEGER) AS n_redact,
+        | substring(regexp_replace(text, '\b(key|hash|value)\b', '<X>', 'g'), 1, 80) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(list_prepend(CAST(0 AS BIGINT),
