@@ -55,6 +55,19 @@ object Windows {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** B23 (RANGE form): value-distance frame — all same-customer orders within
+    * 10k below the current price. RANGE frames depend only on the order
+    * VALUE, so ties cannot reorder the result across engines. */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-10000L, 0L)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_band"),
+        sum(dec(col("o_totalprice"))).over(w).cast(S).cast(DoubleType).as("band_sum"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** B21 extension: distribution functions — ntile / percent_rank / cume_dist
     * (all rank-arithmetic: int ratios → bit-exact doubles). Reported as a
     * per-(flag, quartile) aggregate because lineitem has full-duplicate rows:
@@ -83,7 +96,8 @@ object Windows {
     "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
     "window_laglead" -> (windowLagLead _),
-    "window_running" -> (windowRunning _))
+    "window_running" -> (windowRunning _),
+    "window_rangeframe" -> (windowRangeFrame _))
 
   val oracles: Map[String, String] = Map(
     "window_distribution" ->
@@ -120,6 +134,15 @@ object Windows {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin,
+    "window_rangeframe" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  count(*) OVER w AS n_band,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w
+        |       AS DECIMAL(38,6)) AS DOUBLE) AS band_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+        |             RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
     "window_running" ->
       """SELECT user_id, ts, event_id, value,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER cum AS DOUBLE) AS running_sum,
