@@ -103,6 +103,27 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join: purchases enriched with the same user's
+    * clicks from the preceding hour. Both sides carry watermarks and the
+    * join condition bounds event-time distance, so state for each side is
+    * evictable once the watermark passes — the only join shape that runs
+    * unbounded at 100 TB (an unconstrained stream-stream join would hold
+    * all history in state). */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+  }
+
   /** Streaming → storage via foreachBatch: each micro-batch appends to a
     * parquet directory. foreachBatch is the general-purpose sink escape
     * hatch (idempotent writes keyed by batchId are the exactly-once

@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join matches clicks within the hour window") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val q = streaming.StreamOps.purchaseClickJoin(ms.toDF())
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    ms.addData(
+      Ev(1, ts("2024-01-01T10:00:00Z"), 1, "click"),
+      Ev(2, ts("2024-01-01T10:30:00Z"), 1, "purchase"),  // joins click 1
+      Ev(3, ts("2024-01-01T08:00:00Z"), 2, "click"),
+      Ev(4, ts("2024-01-01T10:30:00Z"), 2, "purchase"))  // click too old
+    q.processAllAvailable()
+    val out = spark.sql("SELECT p_id, c_id FROM ssjoin_test").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 1L)))
+    q.stop()
+  }
+
   test("foreachBatch sink appends micro-batches to parquet") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
