@@ -138,6 +138,22 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** C4a': BPE-ish token counting — the subword-flavored variant beside the
+    * whitespace count: runs of letters, runs of digits, and every other
+    * non-space character as its own token (CJK text therefore counts per
+    * character, the way byte-level BPE fragments it). Same regex subset in
+    * both engines. */
+  def textTokensBpe(s: SparkSession, d: String): DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+          .cast(IntegerType).as("n_bpe"),
+        size(split(col("text"), " ")).cast(IntegerType).as("n_ws"))
+      .withColumn("frag_ratio", ratioD(col("n_bpe"), col("n_ws")))
+      .orderBy(col("doc_id"))
+  }
+
   /** C4h: redaction scrub — the PII-removal shape of a training-data
     * pipeline: regex-replace a sensitive-token class, count the hits. The
     * pattern stays inside the syntax subset Java regex and RE2 agree on
@@ -170,7 +186,8 @@ object Text {
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_redact" -> (textRedact _))
+    "text_redact" -> (textRedact _),
+    "text_tokens_bpe" -> (textTokensBpe _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -240,6 +257,13 @@ object Text {
         |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
         |  CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS acc
         |FROM g GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_tokens_bpe" ->
+      """SELECT doc_id, lang,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+        |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS frag_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS INTEGER) AS n_redact,

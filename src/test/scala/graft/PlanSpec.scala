@@ -55,6 +55,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH near-dup and as-of join plan without cartesian products") {
+    for (name <- Seq("dedup_embed_cosine", "dedup_minhash", "join_asof")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(400)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: ${plan.take(400)}")
+    }
+  }
+
+  test("embed_quantize stays a narrow map until the output sort") {
+    val plan = planOf("embed_quantize")
+    // the only exchange is the final rangepartitioning for orderBy
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+  }
+
   test("GraftExtensions installs graft_dot without error") {
     val ext = new SparkSessionExtensions
     (new functions.GraftExtensions)(ext) // must register cleanly
