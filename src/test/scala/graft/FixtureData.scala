@@ -25,6 +25,25 @@ object FixtureData {
     dir
   }
 
+  /** events fixture for temporal-join semantics: clicks/purchases with an
+    * exactly-equal timestamp pair (as-of bound must be inclusive), a click
+    * after the purchase (must be ignored), and a user with no clicks. */
+  def eventsDir(s: SparkSession): String = {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_fix_ev2").toString
+    def ts(x: String) = java.sql.Timestamp.from(java.time.Instant.parse(x))
+    val rows = Seq(
+      (1L, ts("2024-01-01T09:00:00Z"), 1L, "click", 1.0, "{\"k\": 1}"),
+      (2L, ts("2024-01-01T10:00:00Z"), 1L, "click", 1.0, "{\"k\": 2}"),
+      (3L, ts("2024-01-01T10:00:00Z"), 1L, "purchase", 5.0, "{\"k\": 3}"), // ties click 2
+      (4L, ts("2024-01-01T11:00:00Z"), 1L, "click", 1.0, "{\"k\": 4}"),    // after purchase
+      (5L, ts("2024-01-01T10:30:00Z"), 2L, "purchase", 7.0, "{\"k\": 5}"), // user 2: no clicks
+      (6L, ts("2024-01-01T10:45:00Z"), 2L, "view", 2.0, "{\"k\": 6}"))     // follow-on of 5
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    dir
+  }
+
   /** embeddings fixture: v1 == v0 scaled (cos=1), v2 orthogonal to v0. */
   def embDir(s: SparkSession): String = {
     import s.implicits._

@@ -147,6 +147,48 @@ class OpsSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length && (keys sameElements keys.sorted))
   }
 
+  // --- as-of join: inclusive bound, no future clicks, null for clickless ---
+  test("join_asof picks the latest click at-or-before each purchase") {
+    val dir = FixtureData.eventsDir(spark)
+    val out = ops.Pipeline.joinAsof(spark, dir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(out(3L).contains(2L)) // equal-ts click joins (inclusive bound)
+    assert(out(5L).isEmpty)      // user 2 has no clicks -> null
+  }
+
+  test("join_range counts only follow-on events inside the hour") {
+    val dir = FixtureData.eventsDir(spark)
+    val out = ops.Pipeline.joinRange(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out(5L) == 1L) // the view 15 min later
+    assert(out(3L) == 1L) // click at 11:00 is within (10:00, 11:00]
+  }
+
+  // --- packing: exclusive prefix determines the bin, budget boundary exact ---
+  test("pack_sequences assigns bins by the exclusive running token count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_pack").toString
+    // 300-token docs: bins of 512 → docs 0,1 land in bins 0,0? prefix of doc1
+    // is 300 (<512 → bin 0), doc2 prefix 600 → bin 1
+    val mk = (n: Int) => Seq.fill(n)("w").mkString(" ")
+    Seq((0L, mk(300), "en", "s", 1L), (1L, mk(300), "en", "s", 1L),
+      (2L, mk(300), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Pipeline.packSequences(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 1L)) // bin0: docs 0+1, bin1: doc 2
+  }
+
+  // --- quantization: extremes hit exactly ±127/range, zero vector safe ---
+  test("embed_quantize maps the max-magnitude coordinate to exactly 127") {
+    val dir = FixtureData.embDir(spark)
+    val rows = ops.Pipeline.embedQuantize(spark, dir).collect()
+    val byId = rows.map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(byId(0L).split(",").head == "127")   // (1,0,0,0) -> 127,0,0,0
+    assert(byId(3L).split(",").take(2).toSeq == Seq("127", "127"))
+  }
+
   // --- grouping sets: per-set grouping_id values and subtotal consistency ---
   test("grouping sets emits exactly the three declared sets") {
     val out = ops.Relational.aggGroupingSets(spark, sf("sf0.001")).collect()
