@@ -101,6 +101,21 @@ object Scalars {
       .orderBy(col("event_id"))
   }
 
+  /** B33 extension: bitwise operator family — and/or/xor/not, shifts,
+    * popcount. Two's-complement BIGINT semantics agree across engines
+    * (DuckDB's xor is a function, `^` there means power). */
+  def scalarBitwise(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("b_and"),
+        col("event_id").bitwiseOR(lit(4096L)).as("b_or"),
+        col("event_id").bitwiseXOR(lit(1365L)).as("b_xor"),
+        bitwise_not(col("event_id")).as("b_not"),
+        shiftleft(col("event_id"), 3).as("b_shl"),
+        shiftrightunsigned(col("event_id"), 2).as("b_shr"),
+        bit_count(col("event_id")).cast(IntegerType).as("b_cnt"))
+      .orderBy(col("event_id"))
+
   /** B37: Scala UDF surface (oracle = equivalent SQL expression). */
   def udfScalar(s: SparkSession, d: String): DataFrame = {
     val score = udf((name: String) => name.length * 2 + name.count(_ == '1'))
@@ -125,6 +140,7 @@ object Scalars {
     "scalar_datetime" -> (scalarDatetime _),
     "scalar_array" -> (scalarArray _),
     "scalar_json" -> (scalarJson _),
+    "scalar_bitwise" -> (scalarBitwise _),
     "scalar_map" -> (scalarMap _),
     "udf_scalar" -> (udfScalar _),
     "udaf_custom" -> (udafCustom _))
@@ -172,6 +188,16 @@ object Scalars {
         | CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
         | CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "scalar_bitwise" ->
+      """SELECT event_id,
+        | event_id & 255 AS b_and,
+        | event_id | 4096 AS b_or,
+        | xor(event_id, 1365) AS b_xor,
+        | ~event_id AS b_not,
+        | event_id << 3 AS b_shl,
+        | event_id >> 2 AS b_shr,
+        | CAST(bit_count(event_id) AS INTEGER) AS b_cnt
+        |FROM events ORDER BY event_id""".stripMargin,
     "scalar_json" ->
       """SELECT event_id, event_type,
         | CAST(regexp_extract(props, '-?\d+', 0) AS INTEGER) AS k
