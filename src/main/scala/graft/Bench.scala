@@ -28,8 +28,11 @@ object Bench {
     // costs (codegen compiler, parquet reader, shuffle machinery) that were
     // previously charged to whichever query happened to run first in the map
     // iteration order (rounds 1-2: stream_tumbling looked ~2s slower than it
-    // is). Steady-state per-query numbers are the ones that extrapolate.
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    // is). Runs against the SAME sfDir as the timed loop; a failure here is
+    // reported (it means the first timed query re-absorbs warmup).
+    try SparkEntry.queries("filter_pred")(spark, sfDir).count() catch {
+      case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {

@@ -64,6 +64,11 @@ object Ddl {
     lookup(name).getOrElse(
       throw new IllegalArgumentException(s"unknown keyed table: $name"))
 
+  /** Column membership, case-insensitive — the grammar is (?i) and Spark
+    * resolves identifiers case-insensitively, so the checks must agree. */
+  private def hasColumn(cols: Array[String], name: String): Boolean =
+    cols.exists(_.equalsIgnoreCase(name))
+
   /** Single DDL entry point — dispatches the full A8 statement set. Returns
     * a DataFrame in every case (SHOW/DESCRIBE return their listings; the
     * mutating statements return a one-row status frame, the shape
@@ -83,16 +88,16 @@ object Ddl {
       case AlterAddRe(name, colName, sqlExpr) =>
         val t = lookupOrThrow(name)
         val df = spark.table(t.name)
-        require(!df.columns.contains(colName),
+        require(!hasColumn(df.columns, colName),
           s"column '$colName' already exists in ${t.name}")
         df.withColumn(colName, expr(sqlExpr)).createOrReplaceTempView(t.name)
         status("ALTER_ADD", t.name)
       case AlterDropRe(name, colName) =>
         val t = lookupOrThrow(name)
-        require(!t.keys.contains(colName),
+        require(!t.keys.exists(_.equalsIgnoreCase(colName)),
           s"cannot drop key column '$colName' of ${t.name}")
         val df = spark.table(t.name)
-        require(df.columns.contains(colName),
+        require(hasColumn(df.columns, colName),
           s"column '$colName' not in ${t.name}")
         df.drop(colName).createOrReplaceTempView(t.name)
         status("ALTER_DROP", t.name)
@@ -103,7 +108,8 @@ object Ddl {
       case DescRe(name) =>
         val t = lookupOrThrow(name)
         spark.table(t.name).schema.fields.toSeq
-          .map(f => (f.name, f.dataType.simpleString, t.keys.contains(f.name)))
+          .map(f => (f.name, f.dataType.simpleString,
+            t.keys.exists(_.equalsIgnoreCase(f.name))))
           .toDF("col_name", "data_type", "is_key")
       case _ =>
         throw new IllegalArgumentException(s"cannot parse DDL: $ddl")

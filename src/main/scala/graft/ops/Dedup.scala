@@ -51,6 +51,11 @@ object Dedup {
     else {
       val idx = vocab.withColumn("idx",
         row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("term"))) - 1)
+        // runtime guard against a stale cached statistic: if the dataset was
+        // rewritten with a larger vocabulary, idx would reach >= 63 and
+        // shiftleft would wrap mod 64, silently corrupting the masks — fail
+        // loudly instead (assert_true throws, returns NULL when it passes)
+        .filter(expr("assert_true(idx <= 62, 'vocabulary grew past 63 terms; stale cached statistic')").isNull)
       Some(tok.join(broadcast(idx), "term")
         .groupBy(col("doc_id"), col("lang"))
         // distinct terms → distinct bits, so sum == bitwise OR, and stays exact
@@ -204,19 +209,26 @@ object Dedup {
       .localCheckpoint()
     var prevSum = labels.agg(sum(col("lab"))).head().getLong(0)
     var converged = false
-    var iters = 0
-    while (!converged && iters < 40) {
+    // No iteration cap: the label sum strictly decreases every non-final
+    // round, so the loop always terminates at the true fixpoint (a cap would
+    // silently return wrong components on a long-chain graph). Path-halving
+    // (lab := lab(lab)) after each relaxation bounds rounds at O(log
+    // diameter), so even a pure path graph converges in a handful of rounds.
+    while (!converged) {
       val csym = cedges.union(cedges.select(col("dst"), col("src")))
-      val next = csym.join(labels, csym("dst") === labels("id"))
+      val relaxed = csym.join(labels, csym("dst") === labels("id"))
         .select(col("src").as("id"), col("lab"))
         .union(labels)
         .groupBy(col("id")).agg(min(col("lab")).as("lab"))
+      // every label is itself a node id with a label, so composing is a join
+      val next = relaxed.toDF("id", "mid")
+        .join(relaxed.toDF("mid2", "lab"), col("mid") === col("mid2"))
+        .select(col("id"), col("lab"))
         .localCheckpoint()
       val s2 = next.agg(sum(col("lab"))).head().getLong(0)
       labels = next
       converged = s2 == prevSum
       prevSum = s2
-      iters += 1
     }
     // compose: final component of a doc = phase-2 label of its phase-1 rep
     val out = mapping.join(labels, mapping("comp") === labels("id"))

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, TimestampNTZType}
+import org.apache.spark.sql.types.{DateType, DoubleType, TimestampNTZType}
 import graft.Tables
 
 /** Event-time window aggregations (SURVEY.md §2B rows B40–B42).
@@ -27,7 +27,11 @@ object Events {
     * (graft.streaming.StreamOps) uses `window()` proper under a watermark. */
   def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .withColumn("w_day", date_trunc("day", col("ts")).cast(TimestampNTZType))
+      // DATE-cast truncation, not date_trunc: date_trunc round-trips the NTZ
+      // value through a session-timezone TIMESTAMP, which would shift day
+      // boundaries on a non-UTC host; casting NTZ→DATE→NTZ is pure
+      // wall-clock arithmetic — timezone-independent like window() itself.
+      .withColumn("w_day", col("ts").cast(DateType).cast(TimestampNTZType))
       .groupBy(col("w_day"), col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("u_cnt"), sum(dec(col("value"))).as("u_sum"))
       .groupBy(col("w_day"), col("event_type"))
@@ -77,7 +81,7 @@ object Events {
   /** B15 extension: pivot — one column per event type, day rows. */
   def aggPivot(s: SparkSession, d: String): DataFrame = {
     val pivoted = Tables.events(s, d)
-      .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"))
+      .groupBy(col("ts").cast(DateType).cast(TimestampNTZType).as("day"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
     EventTypes.foldLeft(pivoted) { (df, t) =>

@@ -127,9 +127,17 @@ object KeyRange {
       .orderBy(col("c_mktsegment"))
   }
 
+  private val bucketedWritten =
+    scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
   /** Registers bkt_orders/bkt_customer as external bucketed tables under the
-    * scratch dir (idempotent per JVM — Overwrite). */
-  private[graft] def writeBucketed(s: SparkSession, d: String): Unit = {
+    * scratch dir. Written once per (JVM, dataset) — the whole point of
+    * bucketing is that the pre-shuffle is paid at write time and amortized
+    * over every later join, so repeat invocations must not re-pay it. */
+  private[graft] def writeBucketed(s: SparkSession, d: String): Unit =
+    bucketedWritten.getOrElseUpdate(d, { writeBucketedOnce(s, d); true })
+
+  private def writeBucketedOnce(s: SparkSession, d: String): Unit = {
     Tables.orders(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .write.mode(SaveMode.Overwrite)

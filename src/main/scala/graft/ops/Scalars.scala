@@ -112,7 +112,9 @@ object Scalars {
         col("event_id").bitwiseXOR(lit(1365L)).as("b_xor"),
         bitwise_not(col("event_id")).as("b_not"),
         shiftleft(col("event_id"), 3).as("b_shl"),
-        shiftrightunsigned(col("event_id"), 2).as("b_shr"),
+        // arithmetic shift to match DuckDB's >> (they diverge on negatives;
+        // shiftrightunsigned would only agree on non-negative inputs)
+        shiftright(col("event_id"), 2).as("b_shr"),
         bit_count(col("event_id")).cast(IntegerType).as("b_cnt"))
       .orderBy(col("event_id"))
 
