@@ -34,6 +34,25 @@ object Relational {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Composite flagship #2 — TPC-H Q3 shape (shipping priority): selective
+    * dim filter → two fact joins with date predicates on both sides → agg →
+    * top-10 by revenue. Exercises the full filter-pushdown + join-order +
+    * TakeOrdered pipeline in one user-shaped query. */
+  def q3Shipping(s: SparkSession, d: String): DataFrame = {
+    val cut = lit("1997-01-01").cast(TimestampType)
+    val one = lit(1).cast(M4)
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < cut)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > cut)
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+        .cast(S).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(10)
+  }
+
   /** B4/B7: projection with expressions, aliases, casts. */
   def projectExpr(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -336,6 +355,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing" -> (q1Pricing _),
+    "q3_shipping" -> (q3Shipping _),
     "agg_cube" -> (aggCube _),
     "agg_collect" -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
@@ -404,6 +424,18 @@ object Relational {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC NULLS LAST, o_orderdate, o_orderkey
+        |LIMIT 10""".stripMargin,
     "project_expr" ->
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1.0 - l_discount) AS disc_price,
