@@ -17,7 +17,9 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_pricing", "keyrange_scan", "join_broadcast", "join_star", "sim_topk")
+      else Seq("q1_pricing", "q3_shipping", "keyrange_scan", "join_broadcast",
+        "join_star", "join_asof", "bucketed_join", "dedup_embed_cosine",
+        "sim_ann_ivf", "sim_topk")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

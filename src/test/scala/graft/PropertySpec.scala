@@ -40,6 +40,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("quantization reconstruction error is bounded by one code step") {
+    val dir = FixtureData.embDir(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    ops.Pipeline.embedQuantize(spark, dir).collect().foreach { r =>
+      val x = emb(r.getLong(0)).map(_.toDouble)
+      val q = r.getString(4).split(",").map(_.toLong)
+      val m = x.map(math.abs).max
+      if (m > 0) {
+        val step = m / 127.0
+        x.zip(q).foreach { case (xi, qi) =>
+          // floor quantization: qi*step <= xi < (qi+1)*step
+          assert(math.abs(xi - qi * step) <= step * (1 + 1e-12),
+            s"xi=$xi qi=$qi step=$step")
+        }
+      } else assert(q.forall(_ == 0L))
+    }
+  }
+
+  test("pack_sequences bins respect the budget except for one spanning doc") {
+    // fixture docs are well under 512 tokens each, so every bin's token sum
+    // may overshoot 512 by at most the spanning document's own size
+    val out = ops.Pipeline.packSequences(spark, sf("sf0.001")).collect()
+    out.groupBy(_.getString(0)).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_.getLong(1))
+      // bins are contiguous: 0..n-1 with no gaps
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq)
+      // all but the last bin have cumulative fill >= the budget boundary:
+      // the NEXT bin starts only once the exclusive prefix crossed it
+      val sums = sorted.map(_.getLong(3))
+      sums.init.indices.foreach { i =>
+        assert(sums.take(i + 1).sum >= 512L * (i + 1) - sums(i + 1))
+      }
+    }
+  }
+
   test("approx_count_distinct within rsd tolerance of exact counts") {
     val dir = sf("sf0.001")
     val approx = ops.Relational.aggApproxDistinct(spark, dir).collect()
