@@ -23,6 +23,8 @@ import org.apache.spark.sql.functions._
   *   ALTER TABLE <name> DROP COLUMN <col>
   *   SHOW TABLES
   *   DESCRIBE <name>
+  *   CACHE TABLE <name> | UNCACHE TABLE <name>
+  *   CREATE VIEW <name> AS <sql>
   */
 object Ddl {
 
@@ -39,6 +41,9 @@ object Ddl {
     """(?i)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val ShowRe = """(?i)\s*SHOW\s+TABLES\s*""".r
   private val DescRe = """(?i)\s*DESCRIBE\s+(\w+)\s*""".r
+  private val CacheRe = """(?i)\s*CACHE\s+TABLE\s+(\w+)\s*""".r
+  private val UncacheRe = """(?i)\s*UNCACHE\s+TABLE\s+(\w+)\s*""".r
+  private val ViewRe = """(?i)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
 
   /** Executes the DDL: registers the parquet file as a temp view and records
     * the key columns for range-scan building. Returns the catalog entry. */
@@ -101,6 +106,17 @@ object Ddl {
           s"column '$colName' not in ${t.name}")
         df.drop(colName).createOrReplaceTempView(t.name)
         status("ALTER_DROP", t.name)
+      case CacheRe(name) =>
+        val t = lookupOrThrow(name)
+        spark.catalog.cacheTable(t.name)
+        status("CACHE", t.name)
+      case UncacheRe(name) =>
+        val t = lookupOrThrow(name)
+        spark.catalog.uncacheTable(t.name)
+        status("UNCACHE", t.name)
+      case ViewRe(name, sql) =>
+        spark.sql(sql).createOrReplaceTempView(name)
+        status("CREATE_VIEW", name)
       case ShowRe() =>
         catalog.values.toSeq.sortBy(_.name)
           .map(t => (t.name, t.path, t.keys.mkString(",")))

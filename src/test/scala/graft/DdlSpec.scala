@@ -77,6 +77,19 @@ class DdlSpec extends SparkSpec {
     assert(desc.exists { case (c, k) => c == "r_name" && !k })
   }
 
+  test("CACHE/UNCACHE TABLE toggle storage; CREATE VIEW AS registers a query") {
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE cache_t MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+    ops.Ddl.execute(spark, "CACHE TABLE cache_t")
+    assert(spark.catalog.isCached("cache_t"))
+    ops.Ddl.execute(spark, "UNCACHE TABLE cache_t")
+    assert(!spark.catalog.isCached("cache_t"))
+    ops.Ddl.execute(spark,
+      "CREATE VIEW big_regions AS SELECT r_regionkey FROM cache_t WHERE r_regionkey >= 3")
+    assert(spark.table("big_regions").count() ==
+      spark.table("cache_t").where(col("r_regionkey") >= 3).count())
+  }
+
   test("prefix bounds work (leading key only)") {
     ops.Ddl.create(spark,
       s"CREATE TABLE li_keyed MAPPED BY '${sf("sf0.001")}/lineitem.parquet' KEYS (l_orderkey, l_linenumber)")
