@@ -118,6 +118,17 @@ object Scalars {
         bit_count(col("event_id")).cast(IntegerType).as("b_cnt"))
       .orderBy(col("event_id"))
 
+  /** B33/B6 extension: error-safe evaluation — try_cast yields NULL instead
+    * of raising under ANSI mode, try_divide nulls division by zero. DuckDB
+    * mirrors with TRY_CAST and NULLIF-guarded division. */
+  def scalarTryCast(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"),
+        expr("try_cast(o_orderstatus AS INT)").as("bad_int"),
+        expr("try_divide(o_totalprice, o_custkey % 7)").as("safe_div"))
+      .orderBy(col("o_orderkey"))
+
   /** B37: Scala UDF surface (oracle = equivalent SQL expression). */
   def udfScalar(s: SparkSession, d: String): DataFrame = {
     val score = udf((name: String) => name.length * 2 + name.count(_ == '1'))
@@ -143,6 +154,7 @@ object Scalars {
     "scalar_array" -> (scalarArray _),
     "scalar_json" -> (scalarJson _),
     "scalar_bitwise" -> (scalarBitwise _),
+    "scalar_trycast" -> (scalarTryCast _),
     "scalar_map" -> (scalarMap _),
     "udf_scalar" -> (udfScalar _),
     "udaf_custom" -> (udafCustom _))
@@ -190,6 +202,12 @@ object Scalars {
         | CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
         | CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "scalar_trycast" ->
+      """SELECT o_orderkey,
+        | TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+        | TRY_CAST(o_orderstatus AS INTEGER) AS bad_int,
+        | o_totalprice / nullif(o_custkey % 7, 0) AS safe_div
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_bitwise" ->
       """SELECT event_id,
         | event_id & 255 AS b_and,
