@@ -135,7 +135,13 @@ object Dedup {
   /** C2-exact twin: all near-dup pairs by exact token-set Jaccard >= 0.6,
     * blocked by (lang, integer size-ratio precheck). Fully oracle-checkable:
     * no engine hash function involved. */
-  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    ngramJaccardPairs(s, d).orderBy(col("a_id"), col("b_id"))
+
+  /** Pair computation WITHOUT the output sort — dedupComponents consumes
+    * this as an edge list, where a global range-sort of millions of pairs
+    * would be pure wasted work. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val t = tokenMasks(s, d) match {
       case Some(m) =>
         m.select(col("doc_id"), col("lang"), col("mask"), col("n"))
@@ -161,7 +167,6 @@ object Dedup {
       .filter(col("inter") * 10 >= col("uni") * 6)
       .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
         col("inter"), col("uni"), ratioD(col("inter"), col("uni")).as("jac"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** C1/C2 closure: connected components over the exact-Jaccard near-dup
@@ -174,7 +179,7 @@ object Dedup {
     * run at cluster scale; data never leaves executors. The oracle computes
     * the identical fixpoint as a recursive transitive closure. */
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
-    val e = dedupNgramJaccard(s, d).select(col("a_id"), col("b_id"))
+    val e = ngramJaccardPairs(s, d).select(col("a_id"), col("b_id"))
     // materialize the edge list ONCE — without the persist the upstream
     // Jaccard pair join would re-execute on every downstream pass
     val sym = e.union(e.select(col("b_id"), col("a_id"))).toDF("src", "dst").persist()
