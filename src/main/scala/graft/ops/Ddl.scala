@@ -43,7 +43,8 @@ object Ddl {
   private val DescRe = """(?i)\s*DESCRIBE\s+(\w+)\s*""".r
   private val CacheRe = """(?i)\s*CACHE\s+TABLE\s+(\w+)\s*""".r
   private val UncacheRe = """(?i)\s*UNCACHE\s+TABLE\s+(\w+)\s*""".r
-  private val ViewRe = """(?i)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
+  // (?s): the view body is embedded SQL and may span lines
+  private val ViewRe = """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
 
   /** Executes the DDL: registers the parquet file as a temp view and records
     * the key columns for range-scan building. Returns the catalog entry. */
@@ -52,7 +53,8 @@ object Ddl {
       val keys = keyList.split(",").map(_.trim).toSeq
       val df = spark.read.parquet(path)
       keys.foreach { k =>
-        require(df.columns.contains(k), s"key column '$k' not in $path schema")
+        require(df.columns.exists(_.equalsIgnoreCase(k)),
+          s"key column '$k' not in $path schema")
       }
       df.createOrReplaceTempView(name)
       val t = KeyedTable(name, path, keys)
@@ -115,6 +117,8 @@ object Ddl {
         spark.catalog.uncacheTable(t.name)
         status("UNCACHE", t.name)
       case ViewRe(name, sql) =>
+        require(lookup(name).isEmpty,
+          s"'$name' names a keyed table; DROP it before creating a view")
         spark.sql(sql).createOrReplaceTempView(name)
         status("CREATE_VIEW", name)
       case ShowRe() =>

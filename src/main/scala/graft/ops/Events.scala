@@ -27,11 +27,8 @@ object Events {
     * (graft.streaming.StreamOps) uses `window()` proper under a watermark. */
   def tumbling(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      // DATE-cast truncation, not date_trunc: date_trunc round-trips the NTZ
-      // value through a session-timezone TIMESTAMP, which would shift day
-      // boundaries on a non-UTC host; casting NTZ→DATE→NTZ is pure
-      // wall-clock arithmetic — timezone-independent like window() itself.
-      .withColumn("w_day", col("ts").cast(DateType).cast(TimestampNTZType))
+      // dayNtz, not date_trunc: timezone-independent like window() itself
+      .withColumn("w_day", dayNtz(col("ts")))
       .groupBy(col("w_day"), col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("u_cnt"), sum(dec(col("value"))).as("u_sum"))
       .groupBy(col("w_day"), col("event_type"))
@@ -81,7 +78,7 @@ object Events {
   /** B15 extension: pivot — one column per event type, day rows. */
   def aggPivot(s: SparkSession, d: String): DataFrame = {
     val pivoted = Tables.events(s, d)
-      .groupBy(col("ts").cast(DateType).cast(TimestampNTZType).as("day"))
+      .groupBy(dayNtz(col("ts")).as("day"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
     EventTypes.foldLeft(pivoted) { (df, t) =>

@@ -119,35 +119,35 @@ object KeyRange {
     * repeated 100 TB fact-fact join from a per-query shuffle into a scan.
     * Spark-native analogue of the reference's region-aligned storage. */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    writeBucketed(s, d)
-    s.table("bkt_orders")
-      .join(s.table("bkt_customer"), col("o_custkey") === col("c_custkey"))
+    val (ot, ct) = writeBucketed(s, d)
+    s.table(ot)
+      .join(s.table(ct), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"))
       .orderBy(col("c_mktsegment"))
   }
 
-  private val bucketedWritten =
-    scala.collection.concurrent.TrieMap.empty[String, Boolean]
-
-  /** Registers bkt_orders/bkt_customer as external bucketed tables under the
-    * scratch dir. Written once per (JVM, dataset) — the whole point of
-    * bucketing is that the pre-shuffle is paid at write time and amortized
-    * over every later join, so repeat invocations must not re-pay it. */
-  private[graft] def writeBucketed(s: SparkSession, d: String): Unit =
-    bucketedWritten.getOrElseUpdate(d, { writeBucketedOnce(s, d); true })
-
-  private def writeBucketedOnce(s: SparkSession, d: String): Unit = {
-    Tables.orders(s, d)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$scratch/bkt_orders").saveAsTable("bkt_orders")
-    Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_mktsegment"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$scratch/bkt_customer").saveAsTable("bkt_customer")
+  /** Registers the two bucketed tables for dataset `d` and returns their
+    * names. Table names and paths are dataset-suffixed, and idempotence is
+    * decided by the SESSION catalog (tableExists), not a JVM-global memo —
+    * a memo would skip needed writes after a session change and could serve
+    * one dataset's tables for another. */
+  private[graft] def writeBucketed(s: SparkSession, d: String): (String, String) = {
+    val sfx = java.lang.Integer.toHexString(d.hashCode)
+    val (ot, ct) = (s"bkt_orders_$sfx", s"bkt_customer_$sfx")
+    if (!s.catalog.tableExists(ot) || !s.catalog.tableExists(ct)) {
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$scratch/$ot").saveAsTable(ot)
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$scratch/$ct").saveAsTable(ct)
+    }
+    (ot, ct)
   }
 
   /** B2: CSV ingest round-trip (Astro's bulk-load input format). Doubles

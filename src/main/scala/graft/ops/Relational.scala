@@ -63,7 +63,7 @@ object Relational {
         floor(col("l_quantity")).cast(IntegerType).as("qty_int"),
         // judged as TIMESTAMP: a DATE column loads as pandas `object` cells
         // on the Spark side vs datetime64 from DuckDB — dtype mismatch
-        col("l_shipdate").cast(DateType).cast(TimestampNTZType).as("ship_date"))
+        dayNtz(col("l_shipdate")).as("ship_date"))
       // (l_orderkey, l_linenumber) is NOT unique in this data — order by the
       // full output row so duplicate keys cannot reorder across engines.
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("disc_price"),

@@ -55,4 +55,10 @@ package object ops {
   /** Ratio of two exact (int/decimal) columns as bit-exact double. */
   def ratioD(num: Column, den: Column): Column =
     num.cast(DoubleType) / den.cast(DoubleType)
+
+  /** Timezone-independent day truncation of a TIMESTAMP_NTZ column: pure
+    * wall-clock DATE round trip. `date_trunc` would route the NTZ value
+    * through a session-timezone TIMESTAMP and shift day boundaries on a
+    * non-UTC host (the DuckDB oracle's date_trunc is tz-less). */
+  def dayNtz(c: Column): Column = c.cast(DateType).cast(TimestampNTZType)
 }

@@ -42,8 +42,8 @@ class PlanSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      ops.KeyRange.writeBucketed(spark, sf("sf0.001"))
-      val join = spark.table("bkt_orders").join(spark.table("bkt_customer"),
+      val (ot, ct) = ops.KeyRange.writeBucketed(spark, sf("sf0.001"))
+      val join = spark.table(ot).join(spark.table(ct),
         org.apache.spark.sql.functions.col("o_custkey") ===
           org.apache.spark.sql.functions.col("c_custkey"))
       val plan = join.queryExecution.executedPlan.toString

@@ -59,19 +59,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("pack_sequences bins respect the budget except for one spanning doc") {
-    // fixture docs are well under 512 tokens each, so every bin's token sum
-    // may overshoot 512 by at most the spanning document's own size
+  test("pack_sequences bin boundaries follow the exclusive-prefix rule exactly") {
+    // the first doc of bin i has exclusive prefix cumsum(bins 0..i-1), and
+    // bin membership means that prefix lies in [512*i, 512*(i+1))
     val out = ops.Pipeline.packSequences(spark, sf("sf0.001")).collect()
     out.groupBy(_.getString(0)).foreach { case (_, bins) =>
       val sorted = bins.sortBy(_.getLong(1))
       // bins are contiguous: 0..n-1 with no gaps
       assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq)
-      // all but the last bin have cumulative fill >= the budget boundary:
-      // the NEXT bin starts only once the exclusive prefix crossed it
       val sums = sorted.map(_.getLong(3))
-      sums.init.indices.foreach { i =>
-        assert(sums.take(i + 1).sum >= 512L * (i + 1) - sums(i + 1))
+      (1 until sorted.length).foreach { i =>
+        val prefix = sums.take(i).sum
+        assert(512L * i <= prefix && prefix < 512L * (i + 1),
+          s"bin $i starts at prefix $prefix outside [${512L * i}, ${512L * (i + 1)})")
       }
     }
   }
