@@ -99,13 +99,24 @@ object Dedup {
     // grouped enumerate-within-bucket variant was tried and is WORSE here
     // because near-dup clusters make some buckets huge (k²/2 pair structs
     // materialized in one row) — the shuffled join handles that skew.
-    val bands = sig.select(col("doc_id"), posexplode(bandArr).as(Seq("band_idx", "band_hash")))
+    // Each row also carries the full (4-long) band array so a pair can be
+    // emitted ONLY at its first matching band: high-Jaccard pairs collide in
+    // most bands, and the old `.distinct()` shuffled ~4x the true pair count
+    // to dedupe them; the first-match predicate is codegen'd per joined row
+    // and removes that shuffle entirely (measured 8.5s -> see BASELINE.md).
+    val bands = sig.withColumn("ba", bandArr)
+      .select(col("doc_id"), col("ba"),
+        posexplode(col("ba")).as(Seq("band_idx", "band_hash")))
+    val firstMatch = (0 until 4).map { k =>
+      (col("x.band_idx") === k) && (0 until k)
+        .map(j => element_at(col("x.ba"), j + 1) =!= element_at(col("y.ba"), j + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && firstMatch)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .distinct()
     val verified = tokenMasks(s, d) match {
       case Some(m) =>
         // No broadcast hint on the mask table: it is DOCUMENT-count-sized
@@ -179,29 +190,32 @@ object Dedup {
     * run at cluster scale; data never leaves executors. The oracle computes
     * the identical fixpoint as a recursive transitive closure. */
   def dedupComponents(s: SparkSession, d: String): DataFrame = {
-    val e = ngramJaccardPairs(s, d).select(col("a_id"), col("b_id"))
-    // materialize the edge list ONCE — without the persist the upstream
-    // Jaccard pair join would re-execute on every downstream pass
-    val sym = e.union(e.select(col("b_id"), col("a_id"))).toDF("src", "dst").persist()
-    // Phase 1 — one min-label round over the FULL edge list (near-dup
-    // clusters are near-cliques, so this already labels almost everything),
-    // then CONTRACT: re-express edges between first-round labels and drop
-    // the (overwhelmingly intra-cluster) self-loops. The full 2|pairs| edge
-    // list is shuffled a bounded number of times, never per iteration.
+    // materialize the DIRECTED (a<b) edge list ONCE — without the persist the
+    // upstream Jaccard pair join would re-execute on every downstream pass.
+    // The symmetrized form is never materialized: for MIN-label propagation a
+    // node's sub-self neighbors all arrive on the a_id side of an (a<b) pair,
+    // so phase 1 and the contraction only need the directed half — half the
+    // shuffled bytes of the round-3 plan at identical output.
+    val e = ngramJaccardPairs(s, d).select(col("a_id"), col("b_id")).persist()
+    // Phase 1 — one min-label round over the edge list (near-dup clusters
+    // are near-cliques, so this already labels almost everything), then
+    // CONTRACT: re-express edges between first-round labels and drop the
+    // (overwhelmingly intra-cluster) self-loops. The |pairs| edge list is
+    // shuffled a bounded number of times, never per iteration.
     val ident = Tables.documents(s, d)
-      .select(col("doc_id").as("src"), col("doc_id").as("dst"))
+      .select(col("doc_id").as("b_id"), col("doc_id").as("a_id"))
     // localCheckpoint (not just persist): iterative DataFrames must TRUNCATE
     // lineage, or every round's logical plan nests the previous round's full
     // tree and analysis cost grows exponentially (measured: rounds went
     // 2.5s, 2.5s, 15s, 19s before truncation)
-    val mapping = sym.union(ident)
-      .groupBy(col("src")).agg(min(col("dst")).as("comp"))
+    val mapping = e.union(ident)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("comp"))
       .toDF("doc_id", "comp").localCheckpoint()
     // doc-count-sized mapping: joined WITHOUT a broadcast hint (AQE
     // broadcasts it at test scale; at 100 TB it must shuffle)
-    val cedges = sym
-      .join(mapping.toDF("src", "cs"), "src")
-      .join(mapping.toDF("dst", "cd"), "dst")
+    val cedges = e
+      .join(mapping.toDF("a_id", "cs"), "a_id")
+      .join(mapping.toDF("b_id", "cd"), "b_id")
       .select(col("cs").as("src"), col("cd").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
@@ -239,7 +253,7 @@ object Dedup {
     val out = mapping.join(labels, mapping("comp") === labels("id"))
       .select(col("doc_id"), col("lab").as("comp"))
       .orderBy(col("doc_id"))
-    sym.unpersist()
+    e.unpersist()
     out
   }
 

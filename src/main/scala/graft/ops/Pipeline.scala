@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -59,19 +59,40 @@ object Pipeline {
   }
 
   /** Range (interval) join: follow-on activity within one hour after each
-    * purchase — left join so quiet purchases keep a zero count. */
+    * purchase — quiet purchases keep a zero count.
+    *
+    * The equi-key is (user_id, hour_bucket), not user_id alone: a plain
+    * per-user equi-join fans out to |user history|² rows before the range
+    * residual filters them (quadratic in the busiest user's event count —
+    * the classic interval-join blowup at scale). Bucketing by the window
+    * length bounds the fan-out to events in the purchase's own and next
+    * hour: each purchase explodes into its two covering buckets, each
+    * follow event carries exactly one, so every in-window event matches
+    * exactly once and no dedup is needed. Buckets are internal (integer
+    * epoch-hour), never judged. Zero-count purchases are restored by a
+    * second equi-join on the purchase id instead of the old outer join. */
   def joinRange(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    val hourOf = (c: Column) =>
+      floor(c.cast(TimestampType).cast(LongType) / 3600L)
     val purch = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
     val follow = ev.select(col("user_id"), col("ts"), col("event_id"), col("value"))
-    purch.join(follow,
-        col("p_user") === col("user_id") &&
+      .withColumn("f_bkt", hourOf(col("ts")))
+    val hits = purch
+      .withColumn("b0", hourOf(col("p_ts")))
+      .withColumn("bkt", explode(array(col("b0"), col("b0") + 1)))
+      .join(follow,
+        col("p_user") === col("user_id") && col("bkt") === col("f_bkt") &&
           col("ts") > col("p_ts") &&
-          col("ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"), "left")
-      .groupBy(col("p_id"), col("p_user"))
-      .agg(count(col("event_id")).as("n_follow"), sumS(col("value")).as("val_sum"))
+          col("ts") <= col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy(col("p_id"))
+      .agg(count(col("event_id")).as("hit_cnt"), sumS(col("value")).as("hit_sum"))
+    purch.join(hits, Seq("p_id"), "left")
+      .select(col("p_id"), col("p_user"),
+        coalesce(col("hit_cnt"), lit(0L)).as("n_follow"),
+        col("hit_sum").as("val_sum"))
       .orderBy(col("p_id"))
   }
 

@@ -174,11 +174,21 @@ object Similarity {
     // equality join key (band_idx, bucket) without a second column.
     val bandArr = array(nearDupBands.zipWithIndex.map { case ((f, u), k) =>
       concat(lit(s"$k:"), bucketCol(f, u)) }: _*)
-    val bands = e.select(col("vec_id"), explode(bandArr).as("bk"))
+    // Emit each candidate pair ONLY at its first matching band (rows carry
+    // the full band array; the predicate is codegen'd element_at compares) —
+    // replaces the `.distinct()` shuffle over the multi-band-collision
+    // blowup with a per-row filter, same pair set.
+    val bands = e.withColumn("ba", bandArr)
+      .select(col("vec_id"), col("ba"), posexplode(col("ba")).as(Seq("bidx", "bk")))
+    val firstMatch = nearDupBands.indices.map { k =>
+      (col("x.bidx") === k) && (0 until k)
+        .map(j => element_at(col("x.ba"), j + 1) =!= element_at(col("y.ba"), j + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     val cand = bands.as("x").join(bands.as("y"),
-        col("x.bk") === col("y.bk") && col("x.vec_id") < col("y.vec_id"))
+        col("x.bidx") === col("y.bidx") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id") && firstMatch)
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
     val va = e.select(col("vec_id").as("a_id"), col("emb_d").as("ea"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("b_id"), col("emb_d").as("eb"), col("nrm").as("nb"))
     cand.join(va, "a_id").join(vb, "b_id")
