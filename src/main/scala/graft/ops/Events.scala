@@ -94,7 +94,28 @@ object Events {
       .unpivot(Array(col("day")), EventTypes.map(col).toArray, "event_type", "cnt")
       .orderBy(col("day"), col("event_type"))
 
+  /** Funnel analysis: per-user first-touch times of view → click → purchase,
+    * rolled into one conversion row. A stage counts only if its first touch
+    * is strictly after the previous stage's (true ordered-funnel semantics,
+    * not independent presence counts). One groupBy shuffle on user_id, then
+    * a single-row global aggregate — the conversion-report shape that scales
+    * to billions of users because state per user is 3 timestamps. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purch"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("t_view").isNotNull, 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_click") > col("t_view"), 1L).otherwise(0L)).as("n_click_after_view"),
+        sum(when(col("t_click") > col("t_view") && col("t_purch") > col("t_click"), 1L)
+          .otherwise(0L)).as("n_full_funnel"))
+      .withColumn("conv_view_click", ratioD(col("n_click_after_view"), col("n_view")))
+      .withColumn("conv_click_purch", ratioD(col("n_full_funnel"), col("n_click_after_view")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> (eventsFunnel _),
     "agg_unpivot" -> (aggUnpivot _),
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
@@ -103,6 +124,22 @@ object Events {
     "agg_pivot" -> (aggPivot _))
 
   val oracles: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |  CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+        |  CAST(sum(CASE WHEN t_click > t_view AND t_purch > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+        |  CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS conv_view_click,
+        |  CAST(sum(CASE WHEN t_click > t_view AND t_purch > t_click THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS DOUBLE) AS conv_click_purch
+        |FROM s""".stripMargin,
     "agg_unpivot" ->
       """WITH days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
         |              FROM events),

@@ -167,7 +167,26 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** B3 (JSONL sink): newline-delimited-JSON export round trip — the
+    * interchange format training-data pipelines actually ship (one JSON doc
+    * per line, splittable, appendable). Write with the built-in json sink,
+    * re-read with an explicit schema (schema inference would re-scan), then
+    * aggregate; the oracle aggregates the source table directly, so the
+    * round trip is correctness-gated like the parquet/CSV sinks. */
+  def exportJsonl(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/export_jsonl"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode(SaveMode.Overwrite).json(tmp)
+    s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "export_jsonl" -> (exportJsonl _),
     "keyrange_scan" -> (keyrangeScan _),
     "insert_select" -> (insertSelect _),
     "insert_values" -> (insertValues _),
@@ -178,6 +197,11 @@ object KeyRange {
     "dsv2_keyrange" -> (dsv2Keyrange _))
 
   val oracles: Map[String, String] = Map(
+    "export_jsonl" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "keyrange_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

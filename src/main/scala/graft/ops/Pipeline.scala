@@ -151,10 +151,34 @@ object Pipeline {
       .orderBy(col("vec_id"))
   }
 
+  /** Mixture/weighted sampling: per-language keep probabilities applied via a
+    * deterministic hash-threshold Bernoulli — the domain-mixing step of a
+    * pretraining data pipeline (e.g. upsample en, downsample fr), made
+    * reproducible by hashing instead of RNG. The keep decision compares the
+    * md5 hex prefix LEXICOGRAPHICALLY against a per-lang threshold string
+    * ('e6' keeps 230/256 ≈ 0.9), which both engines evaluate identically —
+    * no hex→int conversion, no engine RNG. Pure map + one groupBy shuffle. */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    val thresh = when(col("lang") === "en", "e6") // ≈ 0.90
+      .when(col("lang") === "es", "b3")           // ≈ 0.70
+      .when(col("lang") === "zh", "80")           // = 0.50
+      .when(col("lang") === "de", "4d")           // ≈ 0.30
+      .otherwise("33")                            // fr ≈ 0.20
+    Tables.documents(s, d)
+      .withColumn("hk", substring(
+        md5(concat(col("doc_id").cast(StringType), lit(":"), col("lang"), lit(":mix"))), 1, 2))
+      .withColumn("keep", (col("hk") < thresh).cast(IntegerType))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"), sum(col("keep")).as("n_kept"))
+      .withColumn("keep_ratio", ratioD(col("n_kept"), col("n_total")))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_weighted" -> (sampleWeighted _),
     "pack_sequences" -> (packSequences _),
     "embed_quantize" -> (embedQuantize _))
 
@@ -187,6 +211,16 @@ object Pipeline {
         | AND e.ts <= p.ts + INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase'
         |GROUP BY p_id, p_user ORDER BY p_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH k AS (SELECT lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':mix'), 1, 2)
+        |       < (CASE lang WHEN 'en' THEN 'e6' WHEN 'es' THEN 'b3' WHEN 'zh' THEN '80'
+        |                    WHEN 'de' THEN '4d' ELSE '33' END)
+        |       THEN 1 ELSE 0 END AS keep
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
+        | CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_ratio
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
         |             md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS hk

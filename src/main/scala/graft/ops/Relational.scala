@@ -353,7 +353,26 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** B15 extension: MODE — most frequent value per group with a
+    * deterministic tie-break (count desc, then value asc), expressed as
+    * count + ranked window so both engines agree exactly (a native mode()
+    * would tie-break engine-specifically). */
+  def aggMode(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("cnt").desc, col("o_orderpriority"))
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+        col("cnt"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mode" -> (aggMode _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "agg_cube" -> (aggCube _),
@@ -383,6 +402,13 @@ object Relational {
     "lateral_topn" -> (lateralTopn _))
 
   val oracles: Map[String, String] = Map(
+    "agg_mode" ->
+      """SELECT o_orderstatus, mode_priority, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS mode_priority, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_collect" ->
       """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines, count(*) AS cnt
         |FROM lineitem WHERE l_orderkey < 200

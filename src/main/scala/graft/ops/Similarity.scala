@@ -148,6 +148,25 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** ANN quality evaluation: per-query recall@3 of the LSH index against the
+    * brute-force ground truth — the eval harness every production ANN
+    * deployment runs before trusting an index. Both sides are this module's
+    * own judged queries, so the recall numbers are themselves oracle-checked.
+    * Scale shape: ground truth on a SAMPLED query set (here the %20 slice —
+    * at 100 TB you never brute-force every row), then an equi-join on
+    * (q_id, n_id) and a small per-query aggregate. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = simTopk(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val approx = simAnnLsh(s, d)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", ratioD(col("n_hit"), lit(3)))
+      .orderBy(col("q_id"))
+  }
+
   /** Band boundaries for the near-dup LSH: 4 bands × 2 planes. Wider bands
     * (more planes) shrink buckets and recall; more bands restore recall at
     * the cost of extra candidate joins. At 100 TB you widen bands with corpus
@@ -260,6 +279,7 @@ object Similarity {
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "ann_recall" -> (annRecall _),
     "multimodal_join" -> (multimodalJoin _),
     "multimodal_binary" -> (multimodalBinary _),
     "multimodal_decode" -> (multimodalDecode _))
@@ -340,6 +360,30 @@ object Similarity {
          |          JOIN e eb ON cand.b_id = eb.vec_id
          |WHERE $cos >= 0.45
          |ORDER BY a_id, b_id""".stripMargin
+    },
+    "ann_recall" -> {
+      val cos = Sql.cosineD("q.qe", "c.ne")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
+         |s AS (SELECT q_id, n_id, $cos AS cos FROM q JOIN c ON q_id <> n_id),
+         |truth AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM s) WHERE rank <= 3),
+         |b AS (SELECT vec_id, emb, ${bucketSqlExpr("emb")} AS bucket FROM e),
+         |q2 AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id % 20 = 0),
+         |c2 AS (SELECT vec_id AS n_id, emb AS ne, bucket FROM b),
+         |s2 AS (SELECT q_id, n_id, ${Sql.cosineD("q2.qe", "c2.ne")} AS cos
+         |       FROM q2 JOIN c2 USING (bucket) WHERE q_id <> n_id),
+         |lsh AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM s2) WHERE rank <= 3)
+         |SELECT t.q_id,
+         |  CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(3 AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN lsh l ON t.q_id = l.q_id AND t.n_id = l.n_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
     },
     "multimodal_join" ->
       s"""SELECT doc_id, lang, source, n_chars, label,

@@ -169,6 +169,41 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** C4i: corpus vocabulary head — term frequencies ranked Zipf-style, top
+    * 50. The tokenizer-construction primitive (BPE step 0 is exactly this
+    * count). Scale shape: one explode + hash groupBy; the rank window runs
+    * AFTER `.limit`, so it orders 50 rows, never the full vocabulary (the
+    * top-50 itself is a TakeOrdered over the aggregated vocab — no global
+    * sort of billions of terms). */
+  def textVocab(s: SparkSession, d: String): DataFrame = {
+    val top = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term"))
+      .limit(50)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("term"))
+    top.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .orderBy(col("rank"))
+  }
+
+  /** C4j: repetition filter — duplicate-trigram ratio per document (the
+    * Gopher-style "repeated n-gram fraction" quality rule). Trigrams are
+    * built by an index fold (sequence + element_at) identically in both
+    * dialects; the ratio is one IEEE divide. Pure per-row map, no shuffle. */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .filter(size(col("t")) >= 3)
+      .withColumn("tri", expr(
+        "transform(sequence(1, size(t)-2), i -> concat(element_at(t,i),'_',element_at(t,i+1),'_',element_at(t,i+2)))"))
+      .select(col("doc_id"), col("lang"),
+        size(col("tri")).cast(IntegerType).as("n_tri"),
+        size(array_distinct(col("tri"))).cast(IntegerType).as("n_uniq_tri"))
+      .withColumn("dup_ratio", lit(1.0) - ratioD(col("n_uniq_tri"), col("n_tri")))
+      .withColumn("rep_flag", (col("dup_ratio") > 0.2).cast(IntegerType))
+      .orderBy(col("doc_id"))
+
   /** B39: generator / UDTF surface — posexplode over the token stream. */
   def generatorExplode(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -187,7 +222,9 @@ object Text {
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_redact" -> (textRedact _),
-    "text_tokens_bpe" -> (textTokensBpe _))
+    "text_tokens_bpe" -> (textTokensBpe _),
+    "text_vocab" -> (textVocab _),
+    "text_repetition" -> (textRepetition _))
 
   private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -269,6 +306,23 @@ object Text {
         | CAST(len(regexp_extract_all(text, '\b(key|hash|value)\b')) AS INTEGER) AS n_redact,
         | substring(regexp_replace(text, '\b(key|hash|value)\b', '<X>', 'g'), 1, 80) AS head
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_vocab" ->
+      """WITH v AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM v GROUP BY term),
+        |r AS (SELECT term, cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c)
+        |SELECT term, cnt, CAST(rank AS INTEGER) AS rank
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "text_repetition" ->
+      """WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, lang,
+        |        list_transform(range(1, len(t)-1),
+        |          i -> t[i] || '_' || t[i+1] || '_' || t[i+2]) AS tri
+        |      FROM b WHERE len(t) >= 3)
+        |SELECT doc_id, lang, CAST(len(tri) AS INTEGER) AS n_tri,
+        |  CAST(len(list_distinct(tri)) AS INTEGER) AS n_uniq_tri,
+        |  1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE) AS dup_ratio,
+        |  CAST((1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / CAST(len(tri) AS DOUBLE)) > 0.2 AS INTEGER) AS rep_flag
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(list_prepend(CAST(0 AS BIGINT),
