@@ -257,6 +257,40 @@ object Dedup {
     out
   }
 
+  /** C2-containment: near-SUBSET detection — |A∩B| / min(|A|,|B|) ≥ 0.8
+    * catches a short document embedded in a longer one, which symmetric
+    * Jaccard misses (the union term dilutes it). The quadratic loop is
+    * bounded by the sampled a-side (every 5th doc as the suspected-contained
+    * probe set, the levenshtein pattern) and the same popcount masks as the
+    * Jaccard twin; threshold is an integer cross-multiplication. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val t = tokenMasks(s, d) match {
+      case Some(m) => m.select(col("doc_id"), col("lang"), col("mask"), col("n"))
+      case None => Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        array_distinct(tokens).as("tk"), size(array_distinct(tokens)).as("n"))
+    }
+    val hasMask = t.columns.contains("mask")
+    val a = t.toDF(t.columns.map("a_" + _): _*).filter(col("a_doc_id") % 5 === 0)
+    val b = t.toDF(t.columns.map("b_" + _): _*)
+    val joined = a.join(b,
+      col("a_lang") === col("b_lang") && col("a_doc_id") < col("b_doc_id"))
+    val withInter =
+      if (hasMask)
+        joined.withColumn("inter",
+          bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(LongType))
+      else
+        joined.withColumn("inter",
+          size(array_intersect(col("a_tk"), col("b_tk"))).cast(LongType))
+    withInter
+      .withColumn("n_small", least(col("a_n"), col("b_n")).cast(LongType))
+      .filter(col("inter") * 10 >= col("n_small") * 8)
+      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+        col("inter"), col("a_n").cast(LongType).as("n_a"),
+        col("b_n").cast(LongType).as("n_b"),
+        ratioD(col("inter"), col("n_small")).as("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** C2-SimHash: 64-bit simhash over token xxhash64 bits; candidate pairs via
     * 4×16-bit band pigeonhole (guarantees recall for hamming <= 3), verified
     * by exact popcount. No oracle (hash-based), rows-only check. */
@@ -295,6 +329,7 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _))
 
   val oracles: Map[String, String] = Map(
@@ -316,6 +351,19 @@ object Dedup {
         |  AND least(a.n, b.n) * 10 >= greatest(a.n, b.n) * 6
         |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
         |      >= (CAST(a.n + b.n AS BIGINT) - len(list_intersect(a.tk, b.tk))) * 6
+        |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk,
+        |                  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n
+        |           FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+        |  CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+        |    / CAST(least(a.n, b.n) AS DOUBLE) AS containment
+        |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND a.doc_id % 5 = 0
+        |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10 >= least(a.n, b.n) * 8
         |ORDER BY a_id, b_id""".stripMargin,
     // identical fixpoint as the Spark label propagation: min reachable id
     "dedup_components" ->

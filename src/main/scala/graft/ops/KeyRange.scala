@@ -167,6 +167,29 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A6 (upsert half): MERGE INTO semantics — the Spark-native analogue of
+    * the reference's HBase Put, where writing a row with an existing rowkey
+    * REPLACES it and a new rowkey inserts. Expressed as base FULL OUTER JOIN
+    * updates on the key with update-wins coalesce: matched keys take the new
+    * row, unmatched updates insert. One shuffle by key (or zero with
+    * bucketed/co-partitioned storage, see bucketedJoin); the update batch is
+    * derived deterministically from the base so the oracle replays it. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+    val updates = base.filter(col("k") % 7 === 0)
+        .select(col("k"), lit("X").as("st"), (col("price") * 1.1).as("price"))
+      .union(base.filter(col("k") % 13 === 0)
+        .select((col("k") + 10000000L).as("k"), lit("N").as("st"), col("price")))
+    base.as("b").join(updates.as("u"), Seq("k"), "full")
+      .select(coalesce(col("u.st"), col("b.st")).as("st"),
+        coalesce(col("u.price"), col("b.price")).as("price"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("price")).as("price_sum"))
+      .orderBy(col("st"))
+  }
+
   /** B3 (JSONL sink): newline-delimited-JSON export round trip — the
     * interchange format training-data pipelines actually ship (one JSON doc
     * per line, splittable, appendable). Write with the built-in json sink,
@@ -186,6 +209,7 @@ object KeyRange {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "merge_upsert" -> (mergeUpsert _),
     "export_jsonl" -> (exportJsonl _),
     "keyrange_scan" -> (keyrangeScan _),
     "insert_select" -> (insertSelect _),
@@ -197,6 +221,18 @@ object KeyRange {
     "dsv2_keyrange" -> (dsv2Keyrange _))
 
   val oracles: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                     o_totalprice AS price FROM orders),
+        |u AS (SELECT k, 'X' AS st, price * 1.1 AS price FROM base WHERE k % 7 = 0
+        |      UNION ALL
+        |      SELECT k + 10000000, 'N', price FROM base WHERE k % 13 = 0),
+        |m AS (SELECT coalesce(u.st, base.st) AS st,
+        |             coalesce(u.price, base.price) AS price
+        |      FROM base FULL JOIN u USING (k))
+        |SELECT st, count(*) AS cnt,
+        | CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
+        |FROM m GROUP BY st ORDER BY st""".stripMargin,
     "export_jsonl" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS chars_sum,

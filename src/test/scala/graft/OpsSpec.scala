@@ -189,6 +189,79 @@ class OpsSpec extends SparkSpec {
     assert(byId(3L).split(",").take(2).toSeq == Seq("127", "127"))
   }
 
+  // --- containment: subset-in-superset pairs that symmetric Jaccard dilutes ---
+  test("dedup_containment scores subset pairs by the smaller set") {
+    val out = ops.Dedup.dedupContainment(spark, FixtureData.docsDir(spark))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(out((0L, 1L)) == 1.0)                      // identical bags
+    assert(math.abs(out((0L, 2L)) - 7.0 / 8.0) < 1e-15) // 7 shared of 8
+    assert(!out.keySet.exists(_._2 == 3L))            // unrelated doc excluded
+  }
+
+  // --- minhash emits each candidate pair exactly once (first-match band) ---
+  test("dedup_minhash pair list is duplicate-free without a distinct") {
+    val pairs = ops.Dedup.dedupMinhash(spark, FixtureData.docsDir(spark))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.distinct.length == pairs.length)
+  }
+
+  // --- repetition: known duplicate-trigram ratio ---
+  test("text_repetition computes the duplicate-trigram ratio exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_rep").toString
+    Seq((0L, "a b c a b c a b c", "en", "s", 17L),   // 7 trigrams, 3 distinct
+      (1L, "w x y z", "en", "s", 7L),                 // 2 trigrams, both unique
+      (2L, "p q", "en", "s", 3L))                     // too short: dropped
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Text.textRepetition(spark, dir).collect()
+    assert(out.length == 2)
+    val r0 = out.find(_.getLong(0) == 0L).get
+    assert(r0.getInt(2) == 7 && r0.getInt(3) == 3)
+    assert(math.abs(r0.getDouble(4) - (1.0 - 3.0 / 7.0)) < 1e-15)
+    assert(r0.getInt(5) == 1)                          // flagged repetitive
+    assert(out.find(_.getLong(0) == 1L).get.getInt(5) == 0)
+  }
+
+  // --- funnel: stages count only when strictly ordered ---
+  test("events_funnel requires strict stage ordering per user") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_fun").toString
+    val rows = Seq(
+      (1L, ts("2024-01-01T09:00:00Z"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01T10:00:00Z"), 1L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01T11:00:00Z"), 1L, "purchase", 1.0, "{}"), // full funnel
+      (4L, ts("2024-01-01T09:00:00Z"), 2L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-01T10:00:00Z"), 2L, "view", 1.0, "{}"),     // click BEFORE view
+      (6L, ts("2024-01-01T09:00:00Z"), 3L, "view", 1.0, "{}"))     // view only
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ops.Events.eventsFunnel(spark, dir).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)   // n_users, n_view
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1)   // strict ordering filters user 2
+  }
+
+  // --- upsert: matched keys replaced, new keys inserted, counts add up ---
+  test("merge_upsert replaces matched keys and inserts new ones") {
+    val d = sf("sf0.001")
+    val base = Tables.orders(spark, d)
+    val n = base.count()
+    val n13 = base.filter(col("o_orderkey") % 13 === 0).count()
+    val n7 = base.filter(col("o_orderkey") % 7 === 0).count()
+    val out = ops.KeyRange.mergeUpsert(spark, d).collect()
+    assert(out.map(_.getLong(1)).sum == n + n13)     // inserts only grow by new keys
+    assert(out.find(_.getString(0) == "X").get.getLong(1) == n7) // replaced rows
+    assert(out.find(_.getString(0) == "N").get.getLong(1) == n13) // inserted rows
+  }
+
+  // --- vocabulary head: Zipf rank with deterministic tie-break ---
+  test("text_vocab ranks by count desc then term asc") {
+    val out = ops.Text.textVocab(spark, FixtureData.docsDir(spark)).collect()
+    assert(out.head.getString(0) == "alpha" && out.head.getLong(1) == 3)
+    val ranks = out.map(_.getInt(2))
+    assert(ranks sameElements (1 to out.length))
+  }
+
   // --- grouping sets: per-set grouping_id values and subtotal consistency ---
   test("grouping sets emits exactly the three declared sets") {
     val out = ops.Relational.aggGroupingSets(spark, sf("sf0.001")).collect()

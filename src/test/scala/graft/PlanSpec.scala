@@ -55,8 +55,9 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("LSH near-dup and as-of join plan without cartesian products") {
-    for (name <- Seq("dedup_embed_cosine", "dedup_minhash", "join_asof")) {
+  test("LSH near-dup and temporal joins plan without cartesian products") {
+    for (name <- Seq("dedup_embed_cosine", "dedup_minhash", "join_asof",
+        "join_range")) {
       val plan = planOf(name)
       assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(400)}")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name: ${plan.take(400)}")
