@@ -18,8 +18,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing", "q3_shipping", "keyrange_scan", "join_broadcast",
-        "join_star", "join_asof", "bucketed_join", "dedup_embed_cosine",
-        "sim_ann_ivf", "sim_topk")
+        "join_star", "join_asof", "join_range", "bucketed_join", "merge_upsert",
+        "dedup_embed_cosine", "dedup_minhash", "sim_ann_ivf", "sim_topk")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
