@@ -10,15 +10,23 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *   spark.sql.extensions=graft.functions.GraftExtensions
   *   (or SparkSession.builder().withExtensions(new GraftExtensions))
   *
-  * Installs `graft_dot` (codegen dot product, see DotProduct). The harness
-  * mains use the runtime-registry path (VectorOps.ensureRegistered) because
-  * the driver owns session construction; both paths bind the same expression.
+  * Installs `graft_dot` (codegen dot product, see DotProduct) and
+  * `graft_simhash64` (codegen SimHash majority vote, see SimHash64). The
+  * harness mains use the runtime-registry path (VectorOps.ensureRegistered)
+  * because the driver owns session construction; both paths bind the same
+  * expressions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64(exprs.head)))
+  }
 }

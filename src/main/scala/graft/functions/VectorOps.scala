@@ -24,13 +24,20 @@ object VectorOps {
   /** Registers the native codegen `graft_dot` in the session's function
     * registry (idempotent). Registry-based registration keeps us off the
     * version-sensitive Column(Expression) constructor. */
-  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
+  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => {
         require(exprs.length == 2,
           s"graft_dot expects exactly 2 arguments, got ${exprs.length}")
         DotProduct(exprs.head, exprs(1))
       }, "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => {
+        require(exprs.length == 1,
+          s"graft_simhash64 expects exactly 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }, "built-in")
+  }
 
   /** Dot product as a left fold: sum_i a_i*b_i (inputs already double).
     * Same value as `graft_dot`; kept as the portable fallback form. */

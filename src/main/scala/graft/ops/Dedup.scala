@@ -298,17 +298,14 @@ object Dedup {
     // One narrow pass, like dedupMinhash above: hash the distinct-token set
     // once per row, then bit i of the signature is a per-row majority vote —
     // set iff more than half the token hashes have bit i set (2*nset > n is
-    // exactly the old +1/-1 sum > 0, ties → 0). Replaces an explode + a
-    // 64-aggregate groupBy shuffle with a projection.
-    val n = size(col("th"))
-    val sim = (0 until 64).map { i =>
-      when(size(filter(col("th"),
-          h => shiftright(h, i).bitwiseAND(lit(1L)) =!= 0L)) * 2 > n,
-        shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
+    // exactly the old +1/-1 sum > 0, ties → 0). The vote runs in the native
+    // codegen SimHash64 expression: one fused pass over the hash array
+    // instead of 64 interpreted higher-order filter() scans (round-3 shape;
+    // bit-equality of the two forms is property-tested in OpsSpec).
+    graft.functions.VectorOps.ensureRegistered(s)
     val sh = Tables.documents(s, d)
       .withColumn("th", transform(array_distinct(tokens), t => xxhash64(t)))
-      .select(col("doc_id"), sim.as("simhash"))
+      .select(col("doc_id"), call_function("graft_simhash64", col("th")).as("simhash"))
     val bandArr = array((0 until 4).map(k =>
       shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val bands = sh.select(col("doc_id"), col("simhash"),

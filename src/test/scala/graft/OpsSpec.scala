@@ -103,6 +103,24 @@ class OpsSpec extends SparkSpec {
     assert(cmp.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("native SimHash64 matches the higher-order majority vote bitwise") {
+    import spark.implicits._
+    functions.VectorOps.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)(Seq.fill(rnd.nextInt(30) + 1)(rnd.nextLong())) :+
+      Seq.empty[Long]
+    val df = rows.toDF("th")
+    val n = size(col("th"))
+    val hof = (0 until 64).map { i =>
+      when(size(filter(col("th"),
+          h => shiftright(h, i).bitwiseAND(lit(1L)) =!= 0L)) * 2 > n,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val cmp = df.select(hof.as("hof"),
+      call_function("graft_simhash64", col("th")).as("native")).collect()
+    assert(cmp.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   // --- session windows: gap boundary is strict (FIXTURES.md c) ---
   test("session_window splits at exactly the 30-minute gap") {
     import spark.implicits._
