@@ -174,7 +174,32 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Time-series resample + forward fill: dense daily spine per user (their
+    * own [first, last] day), daily aggregates left-joined onto it, gaps
+    * carry the last observed value forward — the gap-filling step that makes
+    * event streams trainable/joinable on a regular grid. Per-user spine is
+    * generated from bounds (no global calendar broadcast); the fill is one
+    * window over (user, day) — the same single shuffle the daily aggregate
+    * already needs. */
+  def resampleFfill(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val daily = ev.groupBy(col("user_id"), dayNtz(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_ev"), sumS(col("value")).as("val_sum"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(dayNtz(col("ts"))).as("d0"), max(dayNtz(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("n_ev", coalesce(col("n_ev"), lit(0L)))
+      .withColumn("val_ffill", last(col("val_sum"), ignoreNulls = true).over(w))
+      .select(col("user_id"), col("day"), col("n_ev"), col("val_ffill"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "resample_ffill" -> (resampleFfill _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
     "sample_stratified" -> (sampleStratified _),
@@ -211,6 +236,23 @@ object Pipeline {
         | AND e.ts <= p.ts + INTERVAL 1 HOUR
         |WHERE p.event_type = 'purchase'
         |GROUP BY p_id, p_user ORDER BY p_id""".stripMargin,
+    "resample_ffill" ->
+      """WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |        count(*) AS n_ev,
+        |        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+        |      FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily
+        |           GROUP BY user_id),
+        |spine AS (SELECT user_id,
+        |            unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |          FROM bounds),
+        |j AS (SELECT s.user_id, s.day, coalesce(dl.n_ev, 0) AS n_ev, dl.val_sum
+        |      FROM spine s LEFT JOIN daily dl
+        |        ON s.user_id = dl.user_id AND s.day = dl.day)
+        |SELECT user_id, day, n_ev,
+        |  last_value(val_sum IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_ffill
+        |FROM j ORDER BY user_id, day""".stripMargin,
     "sample_weighted" ->
       """WITH k AS (SELECT lang,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || lang || ':mix'), 1, 2)

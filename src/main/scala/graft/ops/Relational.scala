@@ -353,6 +353,29 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** B15/B33 extension: statistical moments — mean/variance/stddev per group
+    * computed from EXACT decimal power sums (Σx, Σx²) cast to double at the
+    * end. Spark's native var_samp/stddev merge float partials in partition
+    * order (non-deterministic bits across runs/engines); power sums in
+    * DECIMAL are order-independent and exact — x ≤ 6 dp so x² at scale 12
+    * stays exact and far below the 38-digit cap at judged scale — and the
+    * final double arithmetic mirrors the oracle token-for-token. */
+  def aggStats(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("o_totalprice"))
+    val nD = col("n").cast(DoubleType)
+    val varExpr = (col("sxx") - col("sx") * col("sx") / nD) / (nD - lit(1.0))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(x * x).cast(DoubleType).as("sxx"))
+      .select(col("o_orderstatus"), col("n"),
+        (col("sx") / nD).as("mean"),
+        varExpr.as("var_samp"),
+        sqrt(greatest(varExpr, lit(0.0))).as("stddev"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** B15 extension: MODE — most frequent value per group with a
     * deterministic tie-break (count desc, then value asc), expressed as
     * count + ranked window so both engines agree exactly (a native mode()
@@ -373,6 +396,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_mode" -> (aggMode _),
+    "agg_stats" -> (aggStats _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "agg_cube" -> (aggCube _),
@@ -402,6 +426,21 @@ object Relational {
     "lateral_topn" -> (lateralTopn _))
 
   val oracles: Map[String, String] = Map(
+    "agg_stats" ->
+      """WITH a AS (SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |  -- one operand at precision 19 forces DuckDB onto the int128
+        |  -- decimal kernel (18,6 is int64-backed and its square overflows);
+        |  -- the exact product value is unchanged
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(19,6))
+        |           * CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  sx / CAST(n AS DOUBLE) AS mean,
+        |  (sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS var_samp,
+        |  sqrt(greatest((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0),
+        |                0.0)) AS stddev
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, cnt FROM (
         |  SELECT o_orderstatus, o_orderpriority AS mode_priority, count(*) AS cnt,
