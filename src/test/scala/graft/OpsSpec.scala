@@ -280,6 +280,35 @@ class OpsSpec extends SparkSpec {
     assert(ranks sameElements (1 to out.length))
   }
 
+  // --- exact-moment stats agree with the native estimator numerically ---
+  test("agg_stats matches native var_samp to relative 1e-9") {
+    val d = sf("sf0.001")
+    val ours = ops.Relational.aggStats(spark, d).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val native = Tables.orders(spark, d).groupBy(col("o_orderstatus"))
+      .agg(var_samp(col("o_totalprice"))).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ours.keySet == native.keySet)
+    ours.foreach { case (k, v) =>
+      assert(math.abs(v - native(k)) / native(k) < 1e-9, s"$k: $v vs ${native(k)}")
+    }
+  }
+
+  // --- resample: gap days appear with zero count and carried-forward value ---
+  test("resample_ffill fills gap days and carries the last value forward") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_rs").toString
+    Seq(
+      (1L, ts("2024-01-01T10:00:00Z"), 1L, "view", 2.5, "{}"),
+      (2L, ts("2024-01-04T10:00:00Z"), 1L, "view", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ops.Pipeline.resampleFfill(spark, dir).collect()
+    assert(out.length == 4)                           // dense Jan 1-4 spine
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L, 1L))
+    assert(out.map(_.getDouble(3)).toSeq == Seq(2.5, 2.5, 2.5, 7.0)) // ffill
+  }
+
   // --- grouping sets: per-set grouping_id values and subtotal consistency ---
   test("grouping sets emits exactly the three declared sets") {
     val out = ops.Relational.aggGroupingSets(spark, sf("sf0.001")).collect()
