@@ -42,7 +42,11 @@ object Bench {
     try SparkEntry.queries("filter_pred")(spark, sfDir).count() catch {
       case e: Throwable => System.err.println(s"[bench] warmup failed: ${e.getMessage}")
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic (sorted) execution order: Map iteration order shifts
+    // whenever a query is added, which silently reassigns JIT/IO warmup
+    // noise to different queries across rounds and breaks per-query
+    // comparisons between BENCH_r{N} artifacts.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -54,7 +58,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), line + "\n")
