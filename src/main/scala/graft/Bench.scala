@@ -67,8 +67,13 @@ object Bench {
     // floor, never a headline cost. Budget 1800 leaves room inside the
     // driver's 2000-char tail for sbt's trailing "[success] Total time" line.
     val budget = 1800
-    val fixed = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"sf":"$sfDir","omitted":00}""".length
-    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => f""""$k":$v%.3f""" }
+    // Locale-pinned 3-decimal format: the f interpolator uses the JVM default
+    // locale, and a comma-decimal locale (de_DE) would make this line invalid
+    // JSON — the exact parse failure the compact line exists to prevent.
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val fixed = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"sf":"$sfDir","omitted":00}""".length
+    val entries = results.toSeq.sortBy(-_._2).map { case (k, v) => s""""$k":${f3(v)}""" }
     var used = fixed
     val kept = entries.takeWhile { e =>
       val fits = used + e.length + 1 <= budget
@@ -77,7 +82,7 @@ object Bench {
     }
     val omitted = entries.length - kept.length
     val omittedField = if (omitted > 0) s""","omitted":$omitted""" else ""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"$omittedField}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"sf":"$sfDir"$omittedField}""")
     spark.stop()
   }
 }

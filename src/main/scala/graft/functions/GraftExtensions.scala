@@ -18,15 +18,23 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Same arity checks VectorOps.ensureRegistered enforces — without them
+    // extra arguments would be silently dropped via exprs.head.
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs.head, exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"graft_dot expects exactly 2 arguments, got ${exprs.length}")
+        DotProduct(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getCanonicalName, "graft_simhash64"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64(exprs.head)))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"graft_simhash64 expects exactly 1 argument, got ${exprs.length}")
+        SimHash64(exprs.head)
+      }))
   }
 }
