@@ -1,9 +1,10 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Native codegen 64-bit SimHash majority vote over an ArrayType(LongType)
   * column of token hashes: output bit i is set iff MORE than half the input
@@ -22,15 +23,20 @@ import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongTy
   * Registered as the SQL function `graft_simhash64` (VectorOps
   * .ensureRegistered) and via GraftExtensions for deployment.
   */
-case class SimHash64(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes {
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash64"
 
   /** Declared input type: calling on anything but array<bigint> is a clean
-    * analysis-time error (or an implicit cast) instead of a ClassCastException
-    * deep inside execution from ArrayData.getLong. */
-  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+    * analysis-time error instead of a ClassCastException deep inside execution
+    * from ArrayData.getLong. (checkInputDataTypes rather than
+    * ImplicitCastInputTypes because AbstractDataType is private[sql] in
+    * Spark 4.1.2 and unnameable from this package.) */
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_simhash64 requires array<bigint>, got ${other.catalogString}")
+  }
 
   /** Empty input → 0 (no bit has a strict majority), null input → null. */
   override protected def nullSafeEval(input: Any): Any = {
