@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Windows.queries ++ ops.Scalars.queries ++
       ops.Events.queries ++ ops.KeyRange.queries ++ ops.Text.queries ++
-      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Pipeline.queries
+      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Pipeline.queries ++
+      ops.Ddl.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Windows.oracles ++ ops.Scalars.oracles ++
       ops.Events.oracles ++ ops.KeyRange.oracles ++ ops.Text.oracles ++
-      ops.Dedup.oracles ++ ops.Similarity.oracles ++ ops.Pipeline.oracles
+      ops.Dedup.oracles ++ ops.Similarity.oracles ++ ops.Pipeline.oracles ++
+      ops.Ddl.oracles
 }

@@ -74,49 +74,75 @@ object Dedup {
       .select(col("rep_id"), col("dup_cnt"))
       .orderBy(col("rep_id"))
 
-  /** C2: MinHash + LSH banding near-dup detection. 16 hashes (seeded via
-    * suffix concat into xxhash64), 4 bands × 4 rows; candidates = docs
-    * sharing any band bucket; verified with exact token-set Jaccard >= 0.7.
-    * No DuckDB oracle: xxhash64 is Spark-specific (contract escape hatch);
-    * the exact-Jaccard variant below is the oracle-checked twin. */
-  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    // Signature: explode distinct tokens, hash each occurrence 16x directly
-    // in whole-stage codegen, one hash-aggregate min per doc. Measured
-    // against two alternatives at sf0.1 (see commit): a vocabulary hash-table
-    // join (round 2's shape — the join costs more than the hashing it saved)
-    // and a per-row transform/array_min fold (higher-order-function lambdas
-    // drop out of codegen and evaluate interpreted, 1.4-8x slower). All
-    // three produce identical signatures.
-    val tok = docs.select(col("doc_id"), explode(array_distinct(tokens)).as("term"))
+  /** MinHash signature bands, seeded from md5 — the one hash BOTH engines
+    * compute bit-identically, so the whole LSH pipeline has a real DuckDB
+    * oracle (the round-2..5 xxhash64 variant could only ever get a rows-only
+    * check). The 16 hash functions are the Kirsch-Mitzenmacher family
+    * g_i = (h1 + i·h2) mod p over ONE md5 per term: h1/h2 are the two
+    * 14-hex-char slices of the digest reduced mod p = 1e9+7, so the md5 cost
+    * is paid once, not 16× (first cut hashed md5(term||'#i') per i and was
+    * 2.2× slower end-to-end at sf0.1). All intermediates stay well inside
+    * BIGINT, so neither engine's ANSI overflow rules can fire; both sides
+    * compute identical integers, and the band key is the plain decimal
+    * concat of 4 signature mins.
+    *
+    * Signature shape: explode distinct tokens, hash each occurrence once,
+    * 16 codegen'd arithmetic mins per doc in one hash-aggregate. Measured
+    * against two alternatives at sf0.1 (see commit): a vocabulary hash-table
+    * join (round 2's shape — the join costs more than the hashing it saved)
+    * and a per-row transform/array_min fold (higher-order-function lambdas
+    * drop out of codegen and evaluate interpreted, 1.4-8x slower).
+    *
+    * Returns one row per (doc, band): doc_id, ba (full band array, carried
+    * for first-match emission), band_idx, band_hash. */
+  private def minhashBandRows(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("term"))
+      .withColumn("m", md5(col("term")))
+      .withColumn("hs1",
+        expr("CAST(conv(substring(m, 1, 14), 16, 10) AS BIGINT) % 1000000007"))
+      .withColumn("hs2",
+        expr("CAST(conv(substring(m, 15, 14), 16, 10) AS BIGINT) % 1000000007"))
     val sigAggs = (0 until 16).map(i =>
-      min(xxhash64(concat(col("term"), lit(s"#$i")))).as(s"h$i"))
+      min((col("hs1") + lit(i.toLong) * col("hs2")) % 1000000007L).as(s"h$i"))
     val sig = tok.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
     val bandArr = array((0 until 4).map(b =>
-      xxhash64(concat_ws(",", (0 until 4).map(j => col(s"h${b * 4 + j}")): _*))): _*)
-    // Candidate pairs via band-bucket equality self-join. The join keys
-    // (band_idx, band_hash) are the distribution keys at cluster scale; a
-    // grouped enumerate-within-bucket variant was tried and is WORSE here
-    // because near-dup clusters make some buckets huge (k²/2 pair structs
-    // materialized in one row) — the shuffled join handles that skew.
-    // Each row also carries the full (4-long) band array so a pair can be
-    // emitted ONLY at its first matching band: high-Jaccard pairs collide in
-    // most bands, and the old `.distinct()` shuffled ~4x the true pair count
-    // to dedupe them; the first-match predicate is codegen'd per joined row
-    // and removes that shuffle entirely (measured 8.5s -> see BASELINE.md).
-    val bands = sig.withColumn("ba", bandArr)
+      concat_ws(",", (0 until 4).map(j => col(s"h${b * 4 + j}")): _*)): _*)
+    sig.withColumn("ba", bandArr)
       .select(col("doc_id"), col("ba"),
         posexplode(col("ba")).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** LSH candidate pairs via band-bucket equality self-join. The join keys
+    * (band_idx, band_hash) are the distribution keys at cluster scale; a
+    * grouped enumerate-within-bucket variant was tried and is WORSE here
+    * because near-dup clusters make some buckets huge (k²/2 pair structs
+    * materialized in one row) — the shuffled join handles that skew.
+    * Each row also carries the full (4-long) band array so a pair can be
+    * emitted ONLY at its first matching band: high-Jaccard pairs collide in
+    * most bands, and the old `.distinct()` shuffled ~4x the true pair count
+    * to dedupe them; the first-match predicate is codegen'd per joined row
+    * and removes that shuffle entirely (measured 8.5s -> see BASELINE.md). */
+  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBandRows(s, d)
     val firstMatch = (0 until 4).map { k =>
       (col("x.band_idx") === k) && (0 until k)
         .map(j => element_at(col("x.ba"), j + 1) =!= element_at(col("y.ba"), j + 1))
         .foldLeft(lit(true))(_ && _)
     }.reduce(_ || _)
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.doc_id") < col("y.doc_id") && firstMatch)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+  }
+
+  /** Exact token-set Jaccard verify over an (a_id, b_id) candidate list:
+    * keeps pairs with inter*10 >= uni*num (integer cross-multiplication —
+    * num=7 is the minhash near-dup bar, num=6 matches the exact-Jaccard
+    * family so LSH-fed components see the same edge predicate). */
+  private def verifyJaccard(s: SparkSession, d: String,
+      cand: DataFrame, num: Int): DataFrame = {
     val verified = tokenMasks(s, d) match {
       case Some(m) =>
         // No broadcast hint on the mask table: it is DOCUMENT-count-sized
@@ -129,19 +155,26 @@ object Dedup {
           .withColumn("uni",
             (bit_count(col("ma")) + bit_count(col("mb"))).cast(LongType) - col("inter"))
       case None =>
-        val t = docs.select(col("doc_id"), array_distinct(tokens).as("tk"))
+        val t = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(tokens).as("tk"))
         cand
           .join(t.select(col("doc_id").as("a_id"), col("tk").as("ta")), "a_id")
           .join(t.select(col("doc_id").as("b_id"), col("tk").as("tb")), "b_id")
           .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast(LongType))
           .withColumn("uni", (size(col("ta")) + size(col("tb"))).cast(LongType) - col("inter"))
     }
-    verified
-      .filter(col("inter") * 10 >= col("uni") * 7)
+    verified.filter(col("inter") * 10 >= col("uni") * num)
+  }
+
+  /** C2: MinHash + LSH banding near-dup detection — md5-seeded signatures
+    * (minhashBandRows), first-matching-band candidates, exact token-set
+    * Jaccard >= 0.7 verify. Oracle-checked end to end: DuckDB replays the
+    * identical signatures, bands, and verify predicate. */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    verifyJaccard(s, d, minhashCandidates(s, d), 7)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         ratioD(col("inter"), col("uni")).as("jac"))
       .orderBy(col("a_id"), col("b_id"))
-  }
 
   /** C2-exact twin: all near-dup pairs by exact token-set Jaccard >= 0.6,
     * blocked by (lang, integer size-ratio precheck). Fully oracle-checkable:
@@ -189,14 +222,32 @@ object Dedup {
     * convergence check is ONE scalar count — the same pattern GraphX/Pregel
     * run at cluster scale; data never leaves executors. The oracle computes
     * the identical fixpoint as a recursive transitive closure. */
-  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+  def dedupComponents(s: SparkSession, d: String): DataFrame =
+    componentsOver(s, d, ngramJaccardPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** C1/C2 closure, scale-safe candidate generation: the SAME min-label
+    * propagation fed from LSH band candidates (md5 minhash signatures →
+    * first-matching-band pairs → exact Jaccard >= 0.6 verify) instead of the
+    * block-quadratic exact-Jaccard join. This is the variant that survives
+    * 100×: every upstream join is an equality join on a band key, so edge
+    * generation scales with true near-dup density, never with block size².
+    * Recall loss from banding is deterministic (both engines compute the
+    * identical md5 signatures), so the oracle — the same recursive transitive
+    * closure over the same LSH-verified edge set — matches exactly. */
+  def dedupComponentsLsh(s: SparkSession, d: String): DataFrame =
+    componentsOver(s, d,
+      verifyJaccard(s, d, minhashCandidates(s, d), 6)
+        .select(col("a_id"), col("b_id")))
+
+  /** Min-label propagation over a directed (a<b) near-dup edge list. */
+  private def componentsOver(s: SparkSession, d: String, edges: DataFrame): DataFrame = {
     // materialize the DIRECTED (a<b) edge list ONCE — without the persist the
-    // upstream Jaccard pair join would re-execute on every downstream pass.
+    // upstream pair join would re-execute on every downstream pass.
     // The symmetrized form is never materialized: for MIN-label propagation a
     // node's sub-self neighbors all arrive on the a_id side of an (a<b) pair,
     // so phase 1 and the contraction only need the directed half — half the
     // shuffled bytes of the round-3 plan at identical output.
-    val e = ngramJaccardPairs(s, d).select(col("a_id"), col("b_id")).persist()
+    val e = edges.persist()
     // Phase 1 — one min-label round over the edge list (near-dup clusters
     // are near-cliques, so this already labels almost everything), then
     // CONTRACT: re-express edges between first-round labels and drop the
@@ -259,21 +310,58 @@ object Dedup {
 
   /** C2-containment: near-SUBSET detection — |A∩B| / min(|A|,|B|) ≥ 0.8
     * catches a short document embedded in a longer one, which symmetric
-    * Jaccard misses (the union term dilutes it). The quadratic loop is
-    * bounded by the sampled a-side (every 5th doc as the suspected-contained
-    * probe set, the levenshtein pattern) and the same popcount masks as the
-    * Jaccard twin; threshold is an integer cross-multiplication. */
+    * Jaccard misses (the union term dilutes it). Probe set is every 5th doc
+    * (the levenshtein sampling pattern); verify uses the same popcount masks
+    * as the Jaccard twin; threshold is an integer cross-multiplication.
+    *
+    * Candidate generation is PREFIX FILTERING (the PPJoin family), not the
+    * round-2..5 bare-`lang` block join (quadratic within a language — the
+    * one §2C shape that would not survive 100×). Rank each doc's tokens by
+    * global document frequency ascending (rarest first, ties by term); the
+    * PREFIX is the first floor(n/5)+1 tokens. If X is the smaller side of a
+    * qualifying pair, inter*10 >= 8*n_X lets at most floor(n_X/5) of X's
+    * tokens miss the partner, so at least one prefix token of X IS shared —
+    * a (prefix ⨝ full-index) equality join on (term, lang), from both
+    * directions (either side may be the min), has exactly 100% recall and
+    * the quadratic-form oracle stays valid verbatim. At 100 TB every join
+    * here distributes by token, scaling with posting-list sizes of the
+    * RAREST tokens per doc, never with block size². */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(tokens)).as("term"))
+    // global df — the ANALYZE-style statistic prefix filtering ranks by;
+    // vocabulary-sized, joined WITHOUT a broadcast hint (AQE broadcasts at
+    // test scale; a web-scale vocabulary must shuffle)
+    val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    val prefix = tok.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      .filter(col("rnk") <= floor(col("n") / 5) + 1)
+      .select(col("term"), col("lang"), col("doc_id"))
+    val aPre = prefix.filter(col("doc_id") % 5 === 0).withColumnRenamed("doc_id", "a_id")
+    val bAll = tok.select(col("term"), col("lang"), col("doc_id").as("b_id"))
+    val aAll = tok.filter(col("doc_id") % 5 === 0)
+      .select(col("term"), col("lang"), col("doc_id").as("a_id"))
+    val bPre = prefix.withColumnRenamed("doc_id", "b_id")
+    val cand = aPre.join(bAll, Seq("term", "lang"))
+      .filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id"))
+      .union(aAll.join(bPre, Seq("term", "lang"))
+        .filter(col("a_id") < col("b_id")).select(col("a_id"), col("b_id")))
+      .distinct()
     val t = tokenMasks(s, d) match {
-      case Some(m) => m.select(col("doc_id"), col("lang"), col("mask"), col("n"))
-      case None => Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      case Some(m) => m.select(col("doc_id"), col("mask"), col("n"))
+      case None => Tables.documents(s, d).select(col("doc_id"),
         array_distinct(tokens).as("tk"), size(array_distinct(tokens)).as("n"))
     }
     val hasMask = t.columns.contains("mask")
-    val a = t.toDF(t.columns.map("a_" + _): _*).filter(col("a_doc_id") % 5 === 0)
+    val a = t.toDF(t.columns.map("a_" + _): _*)
     val b = t.toDF(t.columns.map("b_" + _): _*)
-    val joined = a.join(b,
-      col("a_lang") === col("b_lang") && col("a_doc_id") < col("b_doc_id"))
+    val joined = cand
+      .join(a, col("a_id") === col("a_doc_id"))
+      .join(b, col("b_id") === col("b_doc_id"))
     val withInter =
       if (hasMask)
         joined.withColumn("inter",
@@ -284,7 +372,7 @@ object Dedup {
     withInter
       .withColumn("n_small", least(col("a_n"), col("b_n")).cast(LongType))
       .filter(col("inter") * 10 >= col("n_small") * 8)
-      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+      .select(col("a_id"), col("b_id"),
         col("inter"), col("a_n").cast(LongType).as("n_a"),
         col("b_n").cast(LongType).as("n_b"),
         ratioD(col("inter"), col("n_small")).as("containment"))
@@ -306,17 +394,29 @@ object Dedup {
     val sh = Tables.documents(s, d)
       .withColumn("th", transform(array_distinct(tokens), t => xxhash64(t)))
       .select(col("doc_id"), call_function("graft_simhash64", col("th")).as("simhash"))
+    def slice(side: String, k: Int) =
+      shiftrightunsigned(col(s"$side.simhash"), k * 16).bitwiseAND(lit(0xFFFFL))
     val bandArr = array((0 until 4).map(k =>
       shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(bandArr).as(Seq("band_idx", "band_val")))
+    // First-matching-band emission (the minhashCandidates pattern): low-
+    // hamming pairs collide in most of the 4 bands, and the old `.distinct()`
+    // shuffled the full multi-band collision blowup just to dedupe them.
+    // Band k's value is a pure bit-slice of the carried simhash, so the
+    // "no earlier band matched" predicate recomputes slices j<k per joined
+    // row in codegen — no extra carried state, no shuffle.
+    val firstMatch = (0 until 4).map { k =>
+      (col("x.band_idx") === k) && (0 until k)
+        .map(j => slice("x", j) =!= slice("y", j))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && firstMatch)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -326,10 +426,68 @@ object Dedup {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_lsh" -> (dedupComponentsLsh _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _))
 
+  /** DuckDB mirror of minhashBandRows + minhashCandidates: identical md5
+    * signatures, band keys, and candidate pairs (DISTINCT stands in for the
+    * Spark side's first-matching-band emission — same pair set). */
+  private val mhCandCtes: String = {
+    val sig = (0 until 16)
+      .map(i => s"min((h1 + $i * h2) % 1000000007) AS h$i")
+      .mkString(",\n             ")
+    val bands = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS bi, " +
+        (0 until 4).map(j => s"h${b * 4 + j}").mkString(" || ',' || ") +
+        " AS bh FROM sig")
+      .mkString("\n           UNION ALL ")
+    s"""tok AS (SELECT doc_id,
+       |          CAST('0x' || substring(md5(term), 1, 14) AS BIGINT) % 1000000007 AS h1,
+       |          CAST('0x' || substring(md5(term), 15, 14) AS BIGINT) % 1000000007 AS h2
+       |        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+       |              FROM documents)),
+       |sig AS (SELECT doc_id,
+       |             $sig
+       |        FROM tok GROUP BY doc_id),
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |         FROM bands x JOIN bands y
+       |           ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk,
+       |             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n
+       |      FROM documents)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash" ->
+      s"""WITH $mhCandCtes
+         |SELECT c.a_id, c.b_id,
+         |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+         |  a.n + b.n - CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS uni,
+         |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+         |    / CAST(a.n + b.n - len(list_intersect(a.tk, b.tk)) AS DOUBLE) AS jac
+         |FROM cand c JOIN t a ON c.a_id = a.doc_id JOIN t b ON c.b_id = b.doc_id
+         |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
+         |      >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 7
+         |ORDER BY a_id, b_id""".stripMargin,
+    // same fixpoint as the Spark label propagation, over the SAME LSH-banded
+    // edge set (md5 signatures are bit-identical across engines)
+    "dedup_components_lsh" ->
+      s"""WITH RECURSIVE $mhCandCtes,
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c JOIN t a ON c.a_id = a.doc_id JOIN t b ON c.b_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
+         |        >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 6),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT x.id, e.dst FROM reach x JOIN sym e ON x.r = e.src)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS dup_cnt
         |FROM (SELECT doc_id, array_to_string(list_sort(string_split(text, ' ')), ' ') AS k

@@ -178,10 +178,14 @@ object KeyRange {
     val base = Tables.orders(s, d)
       .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
         col("o_totalprice").as("price"))
+    // insert keys are NEGATED base keys: guaranteed outside the (positive)
+    // o_orderkey domain at EVERY scale factor — the old k+10000000 offset
+    // collided with real orderkeys once TPC-H keygen passed 10M (SF >= 2),
+    // silently turning modeled inserts into fan-out updates
     val updates = base.filter(col("k") % 7 === 0)
         .select(col("k"), lit("X").as("st"), (col("price") * 1.1).as("price"))
       .union(base.filter(col("k") % 13 === 0)
-        .select((col("k") + 10000000L).as("k"), lit("N").as("st"), col("price")))
+        .select((-col("k")).as("k"), lit("N").as("st"), col("price")))
     base.as("b").join(updates.as("u"), Seq("k"), "full")
       .select(coalesce(col("u.st"), col("b.st")).as("st"),
         coalesce(col("u.price"), col("b.price")).as("price"))
@@ -226,7 +230,7 @@ object KeyRange {
         |                     o_totalprice AS price FROM orders),
         |u AS (SELECT k, 'X' AS st, price * 1.1 AS price FROM base WHERE k % 7 = 0
         |      UNION ALL
-        |      SELECT k + 10000000, 'N', price FROM base WHERE k % 13 = 0),
+        |      SELECT -k, 'N', price FROM base WHERE k % 13 = 0),
         |m AS (SELECT coalesce(u.st, base.st) AS st,
         |             coalesce(u.price, base.price) AS price
         |      FROM base FULL JOIN u USING (k))

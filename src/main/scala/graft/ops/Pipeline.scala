@@ -73,8 +73,17 @@ object Pipeline {
     * second equi-join on the purchase id instead of the old outer join. */
   def joinRange(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
+    // TZ-independent epoch-hour of a TIMESTAMP_NTZ wall-clock value. The
+    // obvious cast(TimestampType).cast(LongType)/3600 routes the NTZ value
+    // through the SESSION timezone (the dayNtz hazard): under a DST zone an
+    // event 1 wall-hour after a purchase can land in bucket b0+2 and silently
+    // miss both explode buckets. days-since-epoch * 24 + wall-clock hour
+    // never consults the session zone, and NTZ `+ INTERVAL 1 HOUR` advances
+    // the wall clock by exactly one hour, so the two-bucket cover is sound
+    // in any session timezone.
     val hourOf = (c: Column) =>
-      floor(c.cast(TimestampType).cast(LongType) / 3600L)
+      datediff(c.cast(DateType), lit("1970-01-01").cast(DateType)).cast(LongType) * 24L +
+        hour(c).cast(LongType)
     val purch = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
