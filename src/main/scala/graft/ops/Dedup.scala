@@ -123,7 +123,7 @@ object Dedup {
     * most bands, and the old `.distinct()` shuffled ~4x the true pair count
     * to dedupe them; the first-match predicate is codegen'd per joined row
     * and removes that shuffle entirely (measured 8.5s -> see BASELINE.md). */
-  private def minhashCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val bands = minhashBandRows(s, d)
     val firstMatch = (0 until 4).map { k =>
       (col("x.band_idx") === k) && (0 until k)

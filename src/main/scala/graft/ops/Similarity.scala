@@ -153,10 +153,13 @@ object Similarity {
     * deployment runs before trusting an index. Both sides are this module's
     * own judged queries, so the recall numbers are themselves oracle-checked.
     * Scale shape: ground truth on a SAMPLED query set (here the %20 slice —
-    * at 100 TB you never brute-force every row), then an equi-join on
-    * (q_id, n_id) and a small per-query aggregate. */
+    * at 100 TB you never brute-force every row) THROUGH THE BOUNDED-HEAP
+    * TopKAgg (O(k) state per query with partial combines, no full partition
+    * sort — identical rows to the window-rank form, so the recall oracle is
+    * unchanged), then an equi-join on (q_id, n_id) and a small per-query
+    * aggregate. */
   def annRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = simTopk(s, d).filter(col("rank") <= 3)
+    val truth = simTopkAgg(s, d).filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"))
     val approx = simAnnLsh(s, d)
       .select(col("q_id"), col("n_id"), lit(1).as("hit"))

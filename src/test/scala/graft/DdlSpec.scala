@@ -90,6 +90,18 @@ class DdlSpec extends SparkSpec {
       spark.table("cache_t").where(col("r_regionkey") >= 3).count())
   }
 
+  test("ddl_roundtrip folds DESCRIBE and the range-scan count into one frame") {
+    val rows = ops.Ddl.ddlRoundtrip(spark, sf("sf0.001")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    assert(rows.contains(("n_nationkey", "int", true)))
+    assert(rows.contains(("name_len", "int", false)))     // survived ALTER ADD
+    assert(!rows.exists(_._1 == "tmp_flag"))              // removed by ALTER DROP
+    assert(rows.contains(("__scan_rows__", "10", false))) // keys 5..14 of 25
+    assert(rows.count(_._3) == 1)                         // exactly one key col
+    // re-runnable within one session (the DROP guard)
+    assert(ops.Ddl.ddlRoundtrip(spark, sf("sf0.001")).collect().length == rows.length)
+  }
+
   test("prefix bounds work (leading key only)") {
     ops.Ddl.create(spark,
       s"CREATE TABLE li_keyed MAPPED BY '${sf("sf0.001")}/lineitem.parquet' KEYS (l_orderkey, l_linenumber)")

@@ -79,6 +79,21 @@ class OpsSpec extends SparkSpec {
     assert(out((0L, 1L)) == 0)
   }
 
+  test("dedup_components_lsh refines the exact-Jaccard components") {
+    val d = FixtureData.docsDir(spark)
+    val exact = ops.Dedup.dedupComponents(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val lsh = ops.Dedup.dedupComponentsLsh(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lsh.keySet == exact.keySet)    // every doc labeled, incl. singletons
+    assert(lsh(0L) == lsh(1L))            // identical token sets always collide
+    // LSH edges are verified at the same >=0.6 bar, so they are a SUBSET of
+    // the exact edge set: LSH components can only refine the exact partition,
+    // never merge docs across two exact components
+    for ((x, cx) <- lsh; (y, cy) <- lsh if cx == cy)
+      assert(exact(x) == exact(y), s"lsh merged $x and $y across exact components")
+  }
+
   // --- similarity fixture: known cosine ordering (FIXTURES.md e) ---
   test("sim_topk ranks same-direction before diagonal before orthogonal") {
     val out = ops.Similarity.simTopk(spark, FixtureData.embDir(spark))

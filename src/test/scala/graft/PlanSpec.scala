@@ -64,6 +64,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("minhash LSH candidate generation joins on band keys, never quadratic") {
+    val plan = ops.Dedup.minhashCandidates(spark, sf("sf0.001"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(plan.contains("band_hash"), plan.take(800))
+  }
+
+  test("containment candidates distribute by token, not language blocks") {
+    val plan = planOf("dedup_containment")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    // candidate joins keyed on (term, lang) — the prefix-filter shape; a
+    // bare-lang block join would key on lang alone
+    assert(plan.contains("Join [term") || plan.contains("hashpartitioning(term"),
+      plan.take(1500))
+  }
+
   test("embed_quantize stays a narrow map until the output sort") {
     val plan = planOf("embed_quantize")
     // the only exchange is the final rangepartitioning for orderBy
