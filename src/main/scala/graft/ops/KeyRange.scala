@@ -194,6 +194,23 @@ object KeyRange {
       .orderBy(col("st"))
   }
 
+  /** A6 (version compaction): HBase-style latest-cell-wins read — for each
+    * (user_id, event_type) "rowkey × column" pair keep only the newest event
+    * (max ts, ties broken by max event_id; event ids are unique so the
+    * result is deterministic). ONE partial-aggregatable max over a
+    * lexicographically ordered struct: map-side combine shrinks every
+    * partition to its per-key frontier before the single shuffle — the shape
+    * that compacts a 100-TB change log. A window row_number()=1 would sort
+    * whole partitions for the same answer. */
+  def versionCompact(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("user_id"), col("event_type"),
+        col("m.event_id").as("event_id"), col("m.ts").as("ts"),
+        col("m.value").as("value"))
+      .orderBy(col("user_id"), col("event_type"))
+
   /** B3 (JSONL sink): newline-delimited-JSON export round trip — the
     * interchange format training-data pipelines actually ship (one JSON doc
     * per line, splittable, appendable). Write with the built-in json sink,
@@ -214,6 +231,7 @@ object KeyRange {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
+    "version_compact" -> (versionCompact _),
     "export_jsonl" -> (exportJsonl _),
     "keyrange_scan" -> (keyrangeScan _),
     "insert_select" -> (insertSelect _),
@@ -237,6 +255,13 @@ object KeyRange {
         |SELECT st, count(*) AS cnt,
         | CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS price_sum
         |FROM m GROUP BY st ORDER BY st""".stripMargin,
+    "version_compact" ->
+      """SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT user_id, event_type, event_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
     "export_jsonl" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(n_chars) AS BIGINT) AS chars_sum,

@@ -187,6 +187,30 @@ object Relational {
       .orderBy(col("r_name"), col("o_year"))
   }
 
+  /** B8-at-scale: skew-salted equi-join — the hot-key mitigation for a fact
+    * table whose join-key distribution is Zipfian (the case AQE's skew
+    * splitting handles reactively; salting is the proactive form that also
+    * works mid-pipeline where AQE cannot re-plan). The dimension side
+    * replicates each row across SALT buckets; the fact side derives its
+    * bucket deterministically from l_linenumber, so a hot orderkey's rows
+    * spread over SALT reducers instead of one. The aggregate is
+    * salt-invariant, so the oracle is the PLAIN join — correctness-gating
+    * the rewrite itself. */
+  def joinSalted(s: SparkSession, d: String): DataFrame = {
+    val SALT = 8
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"),
+        pmod(col("l_linenumber"), lit(SALT)).as("salt"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("salt", explode(array((0 until SALT).map(lit(_)): _*)))
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"), sumS(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** B15/B16/B19: hash group-by with min/max/sum/avg/count + HAVING. */
   def aggGroupBy(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -415,6 +439,7 @@ object Relational {
     "join_semi_anti" -> (joinSemiAnti _),
     "join_theta" -> (joinTheta _),
     "join_star" -> (joinStar _),
+    "join_salted" -> (joinSalted _),
     "agg_groupby" -> (aggGroupBy _),
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
@@ -583,6 +608,12 @@ object Relational {
         | JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, o_year ORDER BY r_name, o_year""".stripMargin,
+    // plain-join oracle: the salted rewrite must be result-invariant
+    "join_salted" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_groupby" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

@@ -79,6 +79,76 @@ class OpsSpec extends SparkSpec {
     assert(out((0L, 1L)) == 0)
   }
 
+  // --- >63-token vocabulary: tokenMasks must fall back to the array path —
+  // the path a real (web-scale) corpus always takes, which the 31-token
+  // driver fixtures never exercise ---
+  test("dedup family agrees with brute force on a >63-token vocabulary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_bigvocab").toString
+    def w(i: Int) = f"w$i%02d"
+    val docTok: Map[Long, Set[String]] = Map(
+      0L -> (0 until 20).map(w).toSet,
+      1L -> (0 until 20).map(w).toSet,                          // exact twin of 0
+      2L -> ((0 until 15) ++ (40 until 45)).map(w).toSet,       // jac vs 0 = 15/25 = 0.6
+      3L -> (45 until 60).map(w).toSet,
+      4L -> (60 until 70).map(w).toSet,
+      5L -> (20 until 30).map(w).toSet,                         // subset of doc 6
+      6L -> (18 until 40).map(w).toSet)
+    docTok.toSeq.sortBy(_._1)
+      .map { case (id, ts) => (id, ts.toSeq.sorted.mkString(" "), "en", s"s$id", 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ids = docTok.keys.toSeq.sorted
+
+    // exact-Jaccard expectation (>= 0.6 with the size-ratio precheck)
+    val expJac = (for {
+      a <- ids; b <- ids if a < b
+      na = docTok(a).size; nb = docTok(b).size
+      if math.min(na, nb) * 10 >= math.max(na, nb) * 6
+      inter = (docTok(a) & docTok(b)).size
+      if inter * 10 >= (na + nb - inter) * 6
+    } yield (a, b)).toSet
+    val gotJac = ops.Dedup.dedupNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotJac == expJac, s"jaccard: got $gotJac expected $expJac")
+
+    // containment expectation (probe side %5, inter/min >= 0.8)
+    val expCont = (for {
+      a <- ids if a % 5 == 0; b <- ids if a < b
+      inter = (docTok(a) & docTok(b)).size
+      if inter * 10 >= math.min(docTok(a).size, docTok(b).size) * 8
+    } yield (a, b)).toSet
+    val gotCont = ops.Dedup.dedupContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotCont == expCont, s"containment: got $gotCont expected $expCont")
+
+    // minhash LSH expectation from an INDEPENDENT plain-Scala reimplementation
+    // of the md5 Kirsch-Mitzenmacher family (md5 hex slices, mod 1e9+7)
+    val P = 1000000007L
+    def md5hex(t: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sigs: Map[Long, IndexedSeq[Long]] = docTok.map { case (id, ts) =>
+      val hs = ts.toSeq.map { t =>
+        val m = md5hex(t)
+        (java.lang.Long.parseLong(m.substring(0, 14), 16) % P,
+          java.lang.Long.parseLong(m.substring(14, 28), 16) % P)
+      }
+      id -> (0 until 16).map(i => hs.map { case (h1, h2) => (h1 + i * h2) % P }.min)
+    }
+    def bands(id: Long) = (0 until 4).map(b => sigs(id).slice(b * 4, b * 4 + 4).mkString(","))
+    val expMh = (for {
+      a <- ids; b <- ids if a < b
+      if (0 until 4).exists(k => bands(a)(k) == bands(b)(k))   // band collision
+      inter = (docTok(a) & docTok(b)).size
+      na = docTok(a).size; nb = docTok(b).size
+      if inter * 10 >= (na + nb - inter) * 7                   // exact verify
+    } yield (a, b)).toSet
+    val gotMh = ops.Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotMh == expMh, s"minhash: got $gotMh expected $expMh")
+    assert(gotMh.contains((0L, 1L)))   // identical sets always collide + verify
+  }
+
   test("dedup_components_lsh refines the exact-Jaccard components") {
     val d = FixtureData.docsDir(spark)
     val exact = ops.Dedup.dedupComponents(spark, d).collect()
