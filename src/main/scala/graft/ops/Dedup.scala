@@ -65,10 +65,16 @@ object Dedup {
   }
 
   /** C1: exact dedup on normalized content (sorted token multiset — catches
-    * bag-of-words-identical docs, e.g. 481 vs 498 in the fixture data). */
+    * bag-of-words-identical docs, e.g. 481 vs 498 in the fixture data).
+    * Groups by md5 OF the normalized key, not the key itself: the shuffle
+    * then moves 32-byte digests instead of full document text — the
+    * content-hash idiom every production dedup uses, and the difference
+    * between shuffling ~32 B/row and ~100 KB/row at corpus scale. Groups are
+    * identical (md5 collisions aside), so the oracle keeps grouping by the
+    * plain key. */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), concat_ws(" ", sort_array(tokens)).as("norm_key"))
+      .select(col("doc_id"), md5(concat_ws(" ", sort_array(tokens))).as("norm_key"))
       .groupBy(col("norm_key"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("dup_cnt"))
       .select(col("rep_id"), col("dup_cnt"))
@@ -194,8 +200,8 @@ object Dedup {
           array_distinct(tokens).as("tk"), size(array_distinct(tokens)).as("n"))
     }
     val hasMask = t.columns.contains("mask")
-    val a = t.toDF(t.columns.map("a_" + _): _*)
-    val b = t.toDF(t.columns.map("b_" + _): _*)
+    val a = t.toDF(t.columns.toIndexedSeq.map("a_" + _): _*)
+    val b = t.toDF(t.columns.toIndexedSeq.map("b_" + _): _*)
     val joined = a.join(b,
       col("a_lang") === col("b_lang") && col("a_doc_id") < col("b_doc_id") &&
         least(col("a_n"), col("b_n")) * 10 >= greatest(col("a_n"), col("b_n")) * 6)
@@ -364,8 +370,8 @@ object Dedup {
         array_distinct(tokens).as("tk"), size(array_distinct(tokens)).as("n"))
     }
     val hasMask = t.columns.contains("mask")
-    val a = t.toDF(t.columns.map("a_" + _): _*)
-    val b = t.toDF(t.columns.map("b_" + _): _*)
+    val a = t.toDF(t.columns.toIndexedSeq.map("a_" + _): _*)
+    val b = t.toDF(t.columns.toIndexedSeq.map("b_" + _): _*)
     val joined = cand
       .join(a, col("a_id") === col("a_doc_id"))
       .join(b, col("b_id") === col("b_doc_id"))

@@ -113,8 +113,8 @@ object Text {
   def textLevenshtein(s: SparkSession, d: String): DataFrame = {
     val t = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       col("n_chars"), substring(col("text"), 1, 40).as("prefix"))
-    val a = t.toDF(t.columns.map("a_" + _): _*).filter(col("a_doc_id") % 5 === 0)
-    val b = t.toDF(t.columns.map("b_" + _): _*)
+    val a = t.toDF(t.columns.toIndexedSeq.map("a_" + _): _*).filter(col("a_doc_id") % 5 === 0)
+    val b = t.toDF(t.columns.toIndexedSeq.map("b_" + _): _*)
     // The edit-distance predicate is placed LAST inside the join condition:
     // a post-join filter gets pushed into the join ahead of the cheap block
     // predicates and then runs the O(n·m) DP on every same-lang bucket pair
