@@ -82,6 +82,21 @@ class PlanSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("version_compact combines map-side before its single shuffle") {
+    val plan = planOf("version_compact")
+    // partial max(struct) below the exchange: the change-log compaction
+    // shape — each partition reduces to its per-key frontier first
+    assert(plan.contains("partial_max(struct"), plan.take(1200))
+    assert(!plan.contains("Window"), plan.take(1200))
+  }
+
+  test("join_salted joins on (key, salt), never broadcast-nested-loop") {
+    val plan = planOf("join_salted")
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(plan.contains("salt"), plan.take(1200))
+  }
+
   test("embed_quantize stays a narrow map until the output sort") {
     val plan = planOf("embed_quantize")
     // the only exchange is the final rangepartitioning for orderBy
