@@ -13,8 +13,9 @@ import graft.Tables
   * turn the quadratic all-pairs problem into equality joins on band buckets
   * (classic LSH banding), so at 100 TB the only shuffles are by band key and
   * candidate verification touches near-dup pairs only, never the full cross
-  * product. The exact-Jaccard query is the *oracle-checkable* variant and is
-  * blocked by (lang, size-ratio) to stay sub-quadratic per block.
+  * product. The exact-Jaccard query is the *oracle-checkable* variant; its
+  * candidates come from lossless prefix filtering on any real vocabulary
+  * (and from a popcount-mask block join only on degenerate ≤63-token ones).
   *
   * Determinism: representatives are min(doc_id); thresholds are integer
   * cross-multiplications (10*inter >= 7*uni), never float comparisons.
@@ -101,9 +102,15 @@ object Dedup {
     *
     * Returns one row per (doc, band): doc_id, ba (full band array, carried
     * for first-match emission), band_idx, band_hash. */
-  private def minhashBandRows(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(tokens)).as("term"))
+  private def minhashBandRows(s: SparkSession, d: String): DataFrame =
+    bandRowsFrom(Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(tokens)).as("term")))
+
+  /** The signature/banding pipeline over ANY (doc_id, term) stream — shared
+    * by the unigram-token minhash and the 3-shingle variant (the term just
+    * carries more context there; the hashing/banding math is identical). */
+  private def bandRowsFrom(tok0: DataFrame): DataFrame = {
+    val tok = tok0
       .withColumn("m", md5(col("term")))
       .withColumn("hs1",
         expr("CAST(conv(substring(m, 1, 14), 16, 10) AS BIGINT) % 1000000007"))
@@ -129,8 +136,10 @@ object Dedup {
     * most bands, and the old `.distinct()` shuffled ~4x the true pair count
     * to dedupe them; the first-match predicate is codegen'd per joined row
     * and removes that shuffle entirely (measured 8.5s -> see BASELINE.md). */
-  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashBandRows(s, d)
+  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    candidatesOver(minhashBandRows(s, d))
+
+  private def candidatesOver(bands: DataFrame): DataFrame = {
     val firstMatch = (0 until 4).map { k =>
       (col("x.band_idx") === k) && (0 until k)
         .map(j => element_at(col("x.ba"), j + 1) =!= element_at(col("y.ba"), j + 1))
@@ -182,40 +191,126 @@ object Dedup {
         ratioD(col("inter"), col("uni")).as("jac"))
       .orderBy(col("a_id"), col("b_id"))
 
-  /** C2-exact twin: all near-dup pairs by exact token-set Jaccard >= 0.6,
-    * blocked by (lang, integer size-ratio precheck). Fully oracle-checkable:
-    * no engine hash function involved. */
+  /** Distinct 3-word shingles per document (docs shorter than one shingle
+    * are excluded — mirrored by the oracle). Shingles are built by the same
+    * index fold text_repetition uses, so both dialects agree. */
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", tokens)
+      .filter(size(col("t")) >= 3)
+      .withColumn("tk", array_distinct(expr(
+        "transform(sequence(1, size(t)-2), i -> concat(element_at(t,i),'_',element_at(t,i+1),'_',element_at(t,i+2)))")))
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast(LongType).as("n"))
+
+  /** C2 canonical shape: shingle → minhash → band → bucket-join — the
+    * textbook near-dup pipeline, beside the unigram-token variant above.
+    * Word 3-shingles make the signature ORDER-SENSITIVE: a bag-of-words
+    * duplicate with scrambled order (caught by dedup_exact / dedup_minhash)
+    * shares almost no shingles, while true copies and near-copies keep long
+    * shingle runs — this is why production dedup (e.g. the C4/RefinedWeb
+    * recipes) shingles first. Same md5-seeded Kirsch-Mitzenmacher family,
+    * first-matching-band emission, exact shingle-Jaccard >= 0.7 verify, full
+    * DuckDB oracle. Scale: shingling triples the exploded term stream but
+    * shingle vocabularies are near-unique per position, so band buckets stay
+    * tiny and the candidate join is sparser than the unigram one — the
+    * verify join carries the shingle arrays only for the candidate pairs. */
+  def dedupShingle(s: SparkSession, d: String): DataFrame = {
+    val st = shingleSets(s, d)
+    val cand = candidatesOver(bandRowsFrom(
+      st.select(col("doc_id"), explode(col("tk")).as("term"))))
+    val a = st.select(col("doc_id").as("a_id"), col("tk").as("ta"), col("n").as("na"))
+    val b = st.select(col("doc_id").as("b_id"), col("tk").as("tb"), col("n").as("nb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+        ratioD(col("inter"), col("uni")).as("jac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** C2-exact twin: all near-dup pairs by exact token-set Jaccard >= 0.6
+    * within a language. Fully oracle-checkable (no engine hash involved);
+    * candidate generation is statistics-driven — see ngramJaccardPairs. */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
     ngramJaccardPairs(s, d).orderBy(col("a_id"), col("b_id"))
 
   /** Pair computation WITHOUT the output sort — dedupComponents consumes
     * this as an edge list, where a global range-sort of millions of pairs
-    * would be pure wasted work. */
-  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val t = tokenMasks(s, d) match {
+    * would be pure wasted work.
+    *
+    * Candidate strategy is chosen by the cached vocabulary statistic, the
+    * same cost-based fork tokenMasks takes:
+    *  - vocabulary ≤ 63 (the driver fixtures): tokens pack into popcount
+    *    masks AND carry almost no selectivity — every posting list is a
+    *    constant fraction of the corpus, so prefix filtering would emit
+    *    MORE candidates than the (lang, size-ratio) block join. Degenerate
+    *    corpora take the mask-blocked join.
+    *  - large vocabulary (every real corpus): posting lists are sparse, so
+    *    LOSSLESS prefix filtering (the All-Pairs/PPJoin family) generates
+    *    candidates by an equality join on (term, lang) that scales with the
+    *    rarest-token posting lists, never with block size² — the path that
+    *    survives 100×. Recall is exactly 100% (prefix-filter principle, see
+    *    ngramJaccardPairsPrefix), so BOTH strategies produce the identical
+    *    pair set and the quadratic-form oracle stays valid verbatim. */
+  private def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    tokenMasks(s, d) match {
       case Some(m) =>
-        m.select(col("doc_id"), col("lang"), col("mask"), col("n"))
-      case None =>
-        Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          array_distinct(tokens).as("tk"), size(array_distinct(tokens)).as("n"))
+        val t = m.select(col("doc_id"), col("lang"), col("mask"), col("n"))
+        val a = t.toDF(t.columns.toIndexedSeq.map("a_" + _): _*)
+        val b = t.toDF(t.columns.toIndexedSeq.map("b_" + _): _*)
+        a.join(b,
+            col("a_lang") === col("b_lang") && col("a_doc_id") < col("b_doc_id") &&
+              least(col("a_n"), col("b_n")) * 10 >= greatest(col("a_n"), col("b_n")) * 6)
+          .withColumn("inter",
+            bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(LongType))
+          .withColumn("uni", (col("a_n") + col("b_n")).cast(LongType) - col("inter"))
+          .filter(col("inter") * 10 >= col("uni") * 6)
+          .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+            col("inter"), col("uni"), ratioD(col("inter"), col("uni")).as("jac"))
+      case None => ngramJaccardPairsPrefix(s, d)
     }
-    val hasMask = t.columns.contains("mask")
-    val a = t.toDF(t.columns.toIndexedSeq.map("a_" + _): _*)
-    val b = t.toDF(t.columns.toIndexedSeq.map("b_" + _): _*)
-    val joined = a.join(b,
-      col("a_lang") === col("b_lang") && col("a_doc_id") < col("b_doc_id") &&
-        least(col("a_n"), col("b_n")) * 10 >= greatest(col("a_n"), col("b_n")) * 6)
-    val withInter =
-      if (hasMask)
-        joined.withColumn("inter",
-          bit_count(col("a_mask").bitwiseAND(col("b_mask"))).cast(LongType))
-      else
-        joined.withColumn("inter",
-          size(array_intersect(col("a_tk"), col("b_tk"))).cast(LongType))
-    withInter
-      .withColumn("uni", (col("a_n") + col("b_n")).cast(LongType) - col("inter"))
+
+  /** Prefix-filtered exact-Jaccard pairs (large-vocabulary path). Rank each
+    * doc's tokens by global document frequency ascending (rarest first, ties
+    * by term — a total order shared by all docs); the prefix is the first
+    * n − ⌈0.6·n⌉ + 1 tokens. Why 100% recall: J(A,B) ≥ 0.6 forces
+    * |B| ≥ 0.6·|A| (inter ≤ |B|, uni ≥ |A|), so the required overlap
+    * α = ⌈0.6/1.6·(|A|+|B|)⌉ ≥ ⌈0.6·|A|⌉; A's prefix omits only
+    * ⌈0.6·|A|⌉ − 1 of A's tokens, so at least one SHARED token is inside
+    * A's prefix — and it is trivially inside B's full token set. Hence the
+    * (prefix ⨝ full-index) equality join on (term, lang), prefix side taken
+    * as the smaller doc_id, misses nothing. The verify is the same exact
+    * integer predicate as the mask path. */
+  private def ngramJaccardPairsPrefix(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(array_distinct(tokens)).as("term"))
+    // vocabulary-sized ANALYZE statistic; no broadcast hint (AQE broadcasts
+    // at test scale, a web-scale vocabulary must shuffle)
+    val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    val prefix = tok.join(dfreq, "term")
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+      // n − ceil(6n/10) + 1, in exact integer arithmetic
+      .filter(col("rnk") <= col("n") - expr("(6 * n + 9) div 10") + 1)
+      .select(col("term"), col("lang"), col("doc_id").as("a_id"))
+    val full = tok.select(col("term"), col("lang"), col("doc_id").as("b_id"))
+    val cand = prefix.join(full, Seq("term", "lang"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val t = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(tokens).as("tk"), size(array_distinct(tokens)).as("n"))
+    cand
+      .join(t.toDF("a_id", "ta", "na"), "a_id")
+      .join(t.toDF("b_id", "tb", "nb"), "b_id")
+      .filter(least(col("na"), col("nb")) * 10 >= greatest(col("na"), col("nb")) * 6)
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .withColumn("uni", (col("na") + col("nb")).cast(LongType) - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 6)
-      .select(col("a_doc_id").as("a_id"), col("b_doc_id").as("b_id"),
+      .select(col("a_id"), col("b_id"),
         col("inter"), col("uni"), ratioD(col("inter"), col("uni")).as("jac"))
   }
 
@@ -437,16 +532,18 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_shingle" -> (dedupShingle _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _))
 
-  /** DuckDB mirror of minhashBandRows + minhashCandidates: identical md5
-    * signatures, band keys, and candidate pairs (DISTINCT stands in for the
-    * Spark side's first-matching-band emission — same pair set). */
-  private val mhCandCtes: String = {
+  /** DuckDB mirror of bandRowsFrom + candidatesOver over any per-doc term
+    * list: identical md5 signatures, band keys, and candidate pairs
+    * (DISTINCT stands in for the Spark side's first-matching-band emission —
+    * same pair set). `doctermSql` must yield (doc_id, tk list). */
+  private def mhCtes(doctermSql: String): String = {
     val sig = (0 until 16)
       .map(i => s"min((h1 + $i * h2) % 1000000007) AS h$i")
       .mkString(",\n             ")
@@ -455,11 +552,11 @@ object Dedup {
         (0 until 4).map(j => s"h${b * 4 + j}").mkString(" || ',' || ") +
         " AS bh FROM sig")
       .mkString("\n           UNION ALL ")
-    s"""tok AS (SELECT doc_id,
+    s"""docterms AS ($doctermSql),
+       |tok AS (SELECT doc_id,
        |          CAST('0x' || substring(md5(term), 1, 14) AS BIGINT) % 1000000007 AS h1,
        |          CAST('0x' || substring(md5(term), 15, 14) AS BIGINT) % 1000000007 AS h2
-       |        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
-       |              FROM documents)),
+       |        FROM (SELECT doc_id, unnest(tk) AS term FROM docterms)),
        |sig AS (SELECT doc_id,
        |             $sig
        |        FROM tok GROUP BY doc_id),
@@ -467,14 +564,34 @@ object Dedup {
        |cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
        |         FROM bands x JOIN bands y
        |           ON x.bi = y.bi AND x.bh = y.bh AND x.doc_id < y.doc_id),
-       |t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk,
-       |             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n
-       |      FROM documents)""".stripMargin
+       |t AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM docterms)""".stripMargin
   }
+
+  private val mhCandCtes: String = mhCtes(
+    "SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk FROM documents")
+
+  /** Same pipeline seeded from word 3-shingles (text_repetition's trigram
+    * fold, list_distinct'ed). */
+  private val shingleCtes: String = mhCtes(
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+      |          i -> t[i] || '_' || t[i+1] || '_' || t[i+2])) AS tk
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |        WHERE len(t) >= 3""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash" ->
       s"""WITH $mhCandCtes
+         |SELECT c.a_id, c.b_id,
+         |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
+         |  a.n + b.n - CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS uni,
+         |  CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+         |    / CAST(a.n + b.n - len(list_intersect(a.tk, b.tk)) AS DOUBLE) AS jac
+         |FROM cand c JOIN t a ON c.a_id = a.doc_id JOIN t b ON c.b_id = b.doc_id
+         |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
+         |      >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 7
+         |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_shingle" ->
+      s"""WITH $shingleCtes
          |SELECT c.a_id, c.b_id,
          |  CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS inter,
          |  a.n + b.n - CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS uni,

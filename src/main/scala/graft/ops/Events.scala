@@ -1,8 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, DoubleType, TimestampNTZType}
+import org.apache.spark.sql.types.{DateType, DoubleType, LongType, TimestampNTZType}
 import graft.Tables
 
 /** Event-time window aggregations (SURVEY.md §2B rows B40–B42).
@@ -114,7 +115,38 @@ object Events {
       .withColumn("conv_view_click", ratioD(col("n_click_after_view"), col("n_view")))
       .withColumn("conv_click_purch", ratioD(col("n_full_funnel"), col("n_click_after_view")))
 
+  /** Cohort retention: users grouped by their first active day (the cohort),
+    * then for each day-offset how many came back — the engagement matrix
+    * behind every retention curve. The activity set is pre-distincted per
+    * (user, day), so the final count(*) per (cohort, offset) IS a
+    * distinct-user count without the Expand node a count_distinct would plan.
+    * Scale shape: one shuffle keyed by (user, day) for the distinct, then the
+    * cohort day comes from a min-window over user_id — no groupBy + self-join
+    * back onto the activity set (that shape shuffles the big side twice and
+    * joins; the window is a single user-keyed exchange) — and the retention
+    * ratio divides by the cohort's own day-0 row via a window over the
+    * aggregated cohort×offset grid, a few hundred rows regardless of corpus
+    * size. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), dayNtz(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+    act
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy(col("user_id"))))
+      .withColumn("day_offset",
+        datediff(col("day").cast(DateType), col("cohort_day").cast(DateType))
+          .cast(LongType))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // offset 0 exists for every cohort (each user is active on their own
+      // first day), so first_value over the offset order is the cohort size
+      .withColumn("retention", ratioD(col("n_users"), first(col("n_users")).over(w)))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
     "agg_unpivot" -> (aggUnpivot _),
     "stream_tumbling" -> (tumbling _),
@@ -124,6 +156,20 @@ object Events {
     "agg_pivot" -> (aggPivot _))
 
   val oracles: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+        |             FROM events),
+        |coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id),
+        |g AS (SELECT cohort_day,
+        |        CAST(date_diff('day', CAST(cohort_day AS DATE), CAST(day AS DATE)) AS BIGINT) AS day_offset,
+        |        count(*) AS n_users
+        |      FROM act a JOIN coh c ON a.user_id = c.user_id
+        |      GROUP BY 1, 2)
+        |SELECT cohort_day, day_offset, n_users,
+        |  CAST(n_users AS DOUBLE)
+        |    / CAST(first_value(n_users) OVER (PARTITION BY cohort_day ORDER BY day_offset) AS DOUBLE) AS retention
+        |FROM g ORDER BY cohort_day, day_offset""".stripMargin,
     "events_funnel" ->
       """WITH s AS (
         |  SELECT user_id,

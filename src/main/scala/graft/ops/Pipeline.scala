@@ -183,6 +183,43 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic train/val/test split: assignment by md5(doc_id:'split')
+    * hex prefix — 80/10/10 by construction ('cd' = 205/256 ≈ .80,
+    * 'e6' = 230/256 ≈ .90). A pure per-row map, so the split is reproducible
+    * across runs, engines, and cluster sizes (no RNG, no sampling-order
+    * dependence — the property that keeps a held-out set held out when the
+    * corpus is re-partitioned or re-ingested); the report is one groupBy
+    * shuffle. At 100 TB the same expression assigns every document in one
+    * codegen'd pass, and downstream consumers read a split as a column
+    * predicate (train = hk < 'cd') instead of materializing three copies. */
+  def trainSplit(s: SparkSession, d: String): DataFrame = {
+    val hk = substring(
+      md5(concat(col("doc_id").cast(StringType), lit(":split"))), 1, 2)
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(hk < "cd", "train").when(hk < "e6", "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  /** Corpus composition report: document and token share per (source, lang) —
+    * the mixture table a pretraining pipeline publishes before choosing
+    * domain weights (and the input sample_weighted's per-lang probabilities
+    * would be derived from). Shares are exact-integer ratios (bit-stable);
+    * the global totals come from an unpartitioned window over the TINY
+    * aggregated grid (|sources| × |langs| rows), never over the corpus. */
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast(LongType))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+    val wAll = Window.partitionBy()
+    g.withColumn("doc_share", ratioD(col("n_docs"), sum(col("n_docs")).over(wAll)))
+      .withColumn("tok_share", ratioD(col("tok_sum"), sum(col("tok_sum")).over(wAll)))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Time-series resample + forward fill: dense daily spine per user (their
     * own [first, last] day), daily aggregates left-joined onto it, gaps
     * carry the last observed value forward — the gap-filling step that makes
@@ -213,6 +250,8 @@ object Pipeline {
     "join_range" -> (joinRange _),
     "sample_stratified" -> (sampleStratified _),
     "sample_weighted" -> (sampleWeighted _),
+    "train_split" -> (trainSplit _),
+    "corpus_mix" -> (corpusMix _),
     "pack_sequences" -> (packSequences _),
     "embed_quantize" -> (embedQuantize _))
 
@@ -272,6 +311,22 @@ object Pipeline {
         |SELECT lang, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_kept,
         | CAST(sum(keep) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_ratio
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+    "train_split" ->
+      """WITH k AS (SELECT lang, n_chars,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM k GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+    "corpus_mix" ->
+      """WITH g AS (SELECT source, lang, count(*) AS n_docs,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok_sum
+        |           FROM documents GROUP BY source, lang)
+        |SELECT source, lang, n_docs, tok_sum,
+        |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
+        |  CAST(tok_sum AS DOUBLE) / CAST(sum(tok_sum) OVER () AS DOUBLE) AS tok_share
+        |FROM g ORDER BY source, lang""".stripMargin,
     "sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
         |             md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS hk

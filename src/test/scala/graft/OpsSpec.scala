@@ -308,6 +308,31 @@ class OpsSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  // --- shingle dedup: order-sensitive where bag-of-words dedup is not ---
+  test("dedup_shingle matches exact copies but not scrambled bags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_shg").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46L),
+      (1L, "theta eta zeta epsilon delta gamma beta alpha", "en", "s", 46L), // scrambled bag
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46L), // exact copy of 0
+      (3L, "alpha beta gamma delta epsilon zeta eta iota", "en", "s", 45L))  // 1-token edit
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = ops.Dedup.dedupShingle(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(pairs((0L, 2L)) == 1.0)          // identical text → jac 1
+    assert(!pairs.contains((0L, 1L)))       // scrambled bag shares no shingle
+    // 0 vs 3: 5 of 6 shingles shared → jac 5/7 ≥ 0.7 (if a band collides,
+    // which the exact-verify makes safe either way)
+    pairs.get((0L, 3L)).foreach(j => assert(math.abs(j - 5.0 / 7.0) < 1e-15))
+    // bag-of-words minhash DOES pair the scrambled docs — the contrast that
+    // motivates shingling
+    val mh = ops.Dedup.dedupMinhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((0L, 1L)))
+  }
+
   // --- repetition: known duplicate-trigram ratio ---
   test("text_repetition computes the duplicate-trigram ratio exactly") {
     import spark.implicits._
@@ -392,6 +417,52 @@ class OpsSpec extends SparkSpec {
     assert(out.length == 4)                           // dense Jan 1-4 spine
     assert(out.map(_.getLong(2)).toSeq == Seq(1L, 0L, 0L, 1L))
     assert(out.map(_.getDouble(3)).toSeq == Seq(2.5, 2.5, 2.5, 7.0)) // ffill
+  }
+
+  // --- retention: cohort = first active day, day-0 is the cohort size ---
+  test("events_retention counts returning users per cohort day-offset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_ret").toString
+    Seq(
+      (1L, ts("2024-01-01T09:00:00Z"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01T11:00:00Z"), 1L, "click", 1.0, "{}"), // same day: once
+      (3L, ts("2024-01-02T09:00:00Z"), 1L, "view", 1.0, "{}"),  // back on day 1
+      (4L, ts("2024-01-01T09:00:00Z"), 2L, "view", 1.0, "{}"),  // day 0 only
+      (5L, ts("2024-01-02T09:00:00Z"), 3L, "view", 1.0, "{}"))  // later cohort
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = ops.Events.eventsRetention(spark, dir).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate.toString,
+        r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(("2024-01-01", 0L)) == (2L, 1.0))   // cohort size 2
+    assert(out(("2024-01-01", 1L)) == (1L, 0.5))   // one of two returned
+    assert(out(("2024-01-02", 0L)) == (1L, 1.0))   // user 3's own cohort
+    assert(out.size == 3)
+  }
+
+  // --- split: deterministic, disjoint, and ~80/10/10 ---
+  test("train_split partitions every doc deterministically near 80/10/10") {
+    val d = sf("sf0.001")
+    val out = ops.Pipeline.trainSplit(spark, d).collect()
+    val bySplit = out.groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val total = Tables.documents(spark, d).count()
+    assert(bySplit.values.sum == total)            // disjoint + exhaustive
+    assert(bySplit("train").toDouble / total > 0.7 &&
+      bySplit("train").toDouble / total < 0.9)
+    assert(bySplit("val") > 0 && bySplit("test") > 0)
+    val again = ops.Pipeline.trainSplit(spark, d).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  // --- mix report: shares are exact ratios over the aggregated grid ---
+  test("corpus_mix shares sum to 1 and counts cover the corpus") {
+    val d = sf("sf0.001")
+    val out = ops.Pipeline.corpusMix(spark, d).collect()
+    val total = Tables.documents(spark, d).count()
+    assert(out.map(_.getLong(2)).sum == total)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+    assert(math.abs(out.map(_.getDouble(5)).sum - 1.0) < 1e-9)
   }
 
   // --- grouping sets: per-set grouping_id values and subtotal consistency ---

@@ -82,6 +82,24 @@ class PlanSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("large-vocabulary jaccard candidates distribute by token, not lang blocks") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_bigvocab").toString
+    (0 until 30).map(i => (i.toLong,
+        (0 until 10).map(j => f"w${(i * 7 + j) % 80}%02d").distinct.sorted.mkString(" "),
+        "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val plan = ops.Dedup.dedupNgramJaccard(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    // candidate join keyed on (term, lang) — prefix filtering; the mask path's
+    // bare-lang block join would key on lang alone
+    assert(plan.contains("Join [term") || plan.contains("hashpartitioning(term"),
+      plan.take(1500))
+  }
+
   test("version_compact combines map-side before its single shuffle") {
     val plan = planOf("version_compact")
     // partial max(struct) below the exchange: the change-log compaction
