@@ -220,6 +220,45 @@ object Pipeline {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** End-to-end curation pipeline — the composition every pretraining data
+    * run executes, as ONE declarative plan Catalyst optimizes whole:
+    * language-consistency filter (text_langid's heuristic must agree with
+    * the declared lang) → quality gate (text_quality's score ≥ 0.6) →
+    * exact dedup (keep the min-doc_id representative per normalized
+    * bag-of-words group, dedup_exact's key) → deterministic train/val/test
+    * assignment (train_split's md5 threshold) → per-(split, lang) manifest.
+    * Every stage is a per-row map or one keyed window/aggregate: filters
+    * PRECEDE the dedup window, so the exchange carries survivors only;
+    * nothing here is an action between stages (contrast an imperative
+    * pipeline materializing each step). Aggregates are integer-only — no
+    * double summation whose partial-merge order could drift. */
+  def curateCorpus(s: SparkSession, d: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val guess = when(col("text").rlike("[一-鿿]"), "zh")
+      .when(col("text").rlike("[äöüß]"), "de")
+      .when(col("text").rlike("[áéíóúñ¿¡]"), "es")
+      .when(col("text").rlike("[àâçèêëîïôùû]"), "fr")
+      .otherwise("en")
+    val quality =
+      lit(0.5) * ratioD(size(array_distinct(t)), size(t)) +
+        lit(0.5) * (lit(1.0) -
+          ratioD(size(filter(t, x => x.isin(Text.StopWords: _*))), size(t)))
+    val hk = substring(
+      md5(concat(col("doc_id").cast(StringType), lit(":split"))), 1, 2)
+    Tables.documents(s, d)
+      .filter(guess === col("lang") && quality >= 0.6)
+      .withColumn("n_tok", size(t).cast(LongType))
+      .withColumn("grp_min", min(col("doc_id")).over(
+        Window.partitionBy(md5(concat_ws(" ", sort_array(t))))))
+      .filter(col("doc_id") === col("grp_min"))
+      .withColumn("split",
+        when(hk < "cd", "train").when(hk < "e6", "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+        sum(col("n_tok")).as("tok_sum"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   /** Time-series resample + forward fill: dense daily spine per user (their
     * own [first, last] day), daily aggregates left-joined onto it, gaps
     * carry the last observed value forward — the gap-filling step that makes
@@ -252,6 +291,7 @@ object Pipeline {
     "sample_weighted" -> (sampleWeighted _),
     "train_split" -> (trainSplit _),
     "corpus_mix" -> (corpusMix _),
+    "curate_corpus" -> (curateCorpus _),
     "pack_sequences" -> (packSequences _),
     "embed_quantize" -> (embedQuantize _))
 
@@ -327,6 +367,33 @@ object Pipeline {
         |  CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE) AS doc_share,
         |  CAST(tok_sum AS DOUBLE) / CAST(sum(tok_sum) OVER () AS DOUBLE) AS tok_share
         |FROM g ORDER BY source, lang""".stripMargin,
+    "curate_corpus" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, lang, n_chars, string_split(text, ' ') AS t,
+         |    CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+         |         WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+         |         WHEN regexp_matches(text, '[áéíóúñ¿¡]') THEN 'es'
+         |         WHEN regexp_matches(text, '[àâçèêëîïôùû]') THEN 'fr'
+         |         ELSE 'en' END AS guess
+         |  FROM documents),
+         |kept AS (
+         |  SELECT * FROM q WHERE guess = lang AND
+         |    0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
+         |      + 0.5 * (1.0 - CAST(len(list_filter(t, x -> x IN (${Text.stopList})) ) AS DOUBLE)
+         |                     / CAST(len(t) AS DOUBLE)) >= 0.6),
+         |dedup AS (
+         |  SELECT *, min(doc_id) OVER (PARTITION BY array_to_string(list_sort(t), ' ')) AS grp_min
+         |  FROM kept),
+         |final AS (
+         |  SELECT doc_id, lang, n_chars, CAST(len(t) AS BIGINT) AS n_tok,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cd' THEN 'train'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM dedup WHERE doc_id = grp_min)
+         |SELECT split, lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_sum
+         |FROM final GROUP BY split, lang ORDER BY split, lang""".stripMargin,
     "sample_stratified" ->
       """WITH h AS (SELECT doc_id, lang,
         |             md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS hk

@@ -53,7 +53,7 @@ object Text {
       .orderBy(col("doc_id"), col("term"))
   }
 
-  private val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
+  private[ops] val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
 
   /** C4c: quality scoring — length/stopword/uniqueness signals. */
   def textQuality(s: SparkSession, d: String): DataFrame = {
@@ -226,7 +226,7 @@ object Text {
     "text_vocab" -> (textVocab _),
     "text_repetition" -> (textRepetition _))
 
-  private val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+  private[ops] val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
   val oracles: Map[String, String] = Map(
     "generator_explode" ->

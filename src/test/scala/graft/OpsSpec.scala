@@ -455,6 +455,24 @@ class OpsSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  // --- curation pipeline: every stage must bite ---
+  test("curate_corpus drops lang-mismatch, low-quality, and duplicate docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_cur").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s", 30L), // kept
+      (1L, "epsilon delta gamma beta alpha", "en", "s", 30L), // bag-dup of 0
+      (2L, "the the the the", "en", "s", 15L),                // quality 0.125
+      (3L, "voilà une phrase différente", "en", "s", 27L),    // guess fr != en
+      (4L, "omega psi chi phi", "en", "s", 17L))              // kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Pipeline.curateCorpus(spark, dir).collect()
+    assert(out.map(_.getLong(2)).sum == 2)            // docs 0 and 4 survive
+    assert(out.map(_.getLong(3)).sum == 30L + 17L)    // chars_sum
+    assert(out.map(_.getLong(4)).sum == 5L + 4L)      // tok_sum
+  }
+
   // --- mix report: shares are exact ratios over the aggregated grid ---
   test("corpus_mix shares sum to 1 and counts cover the corpus") {
     val d = sf("sf0.001")
