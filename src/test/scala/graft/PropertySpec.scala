@@ -76,6 +76,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filtered jaccard equals brute force on random big-vocab corpora") {
+    // The lossless-recall claim of the prefix-filter candidate path
+    // (Dedup.ngramJaccardPairsPrefix), checked against an independent
+    // set-algebra brute force over random corpora whose vocabulary (100
+    // terms) forces the >63-token array path.
+    import spark.implicits._
+    val prnd = new scala.util.Random(7)
+    (1 to 3).foreach { trial =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_prop_pfx$trial").toString
+      val docs: Seq[(Long, Set[String])] = (0 until 40).map { i =>
+        val base = prnd.nextInt(80)
+        val n = 5 + prnd.nextInt(12)
+        // overlapping windows over a 100-term vocabulary → plenty of
+        // qualifying near-dup pairs, plus random jitter
+        val ts = (0 until n).map(j => f"t${(base + j + prnd.nextInt(3)) % 100}%03d").toSet
+        (i.toLong, ts)
+      }
+      docs.map { case (id, ts) =>
+        (id, ts.toSeq.sorted.mkString(" "), if (id % 2 == 0) "en" else "fr", "s", 1L)
+      }.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val expected = (for {
+        (a, ta) <- docs; (b, tb) <- docs if a < b
+        if (a % 2) == (b % 2) // same lang
+        inter = (ta & tb).size
+        if inter * 10 >= (ta.size + tb.size - inter) * 6
+      } yield (a, b)).toSet
+      val got = ops.Dedup.dedupNgramJaccard(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected,
+        s"trial $trial: missing ${expected -- got}, extra ${got -- expected}")
+    }
+  }
+
   test("approx_count_distinct within rsd tolerance of exact counts") {
     val dir = sf("sf0.001")
     val approx = ops.Relational.aggApproxDistinct(spark, dir).collect()
