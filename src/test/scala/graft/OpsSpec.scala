@@ -308,6 +308,19 @@ class OpsSpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  // --- frame sampler: geometry from byte length, every 4th frame ---
+  test("sampleFrames geometry and stride follow the 16-byte/4-stride contract") {
+    val r = ops.Similarity.sampleFrames(7L, Array.fill[Byte](100)(1))
+    assert(r.n_bytes == 100 && r.n_frames == 7 && r.n_sampled == 2) // frames 0,4
+    val empty = ops.Similarity.sampleFrames(8L, Array.emptyByteArray)
+    assert(empty.n_frames == 0 && empty.n_sampled == 0 && empty.checksum == 0L)
+    // checksum covers exactly frames 0 and 4 (bytes 0-15 and 64-79)
+    val bytes = Array.tabulate[Byte](100)(i => i.toByte)
+    val manual = ((0 until 16) ++ (64 until 80)).foldLeft(0L)(
+      (acc, i) => (acc * 31 + (bytes(i) & 0xff)) % 1000000007L)
+    assert(ops.Similarity.sampleFrames(9L, bytes).checksum == manual)
+  }
+
   // --- shingle dedup: order-sensitive where bag-of-words dedup is not ---
   test("dedup_shingle matches exact copies but not scrambled bags") {
     import spark.implicits._
