@@ -170,6 +170,22 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** ann_recall's IVF twin: recall@3 of the coarse-quantizer index against
+    * the same bounded-heap brute-force ground truth — evaluating BOTH index
+    * families (hyperplane LSH and IVF) against one truth set is how an ANN
+    * deployment picks its index. Same scale shape as annRecall. */
+  def annRecallIvf(s: SparkSession, d: String): DataFrame = {
+    val truth = simTopkAgg(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val approx = simAnnIvf(s, d)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
+    truth.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", ratioD(col("n_hit"), lit(3)))
+      .orderBy(col("q_id"))
+  }
+
   /** Band boundaries for the near-dup LSH: 4 bands × 2 planes. Wider bands
     * (more planes) shrink buckets and recall; more bands restore recall at
     * the cost of extra candidate joins. At 100 TB you widen bands with corpus
@@ -322,6 +338,7 @@ object Similarity {
     "sim_ann_ivf" -> (simAnnIvf _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "ann_recall" -> (annRecall _),
+    "ann_recall_ivf" -> (annRecallIvf _),
     "multimodal_join" -> (multimodalJoin _),
     "multimodal_binary" -> (multimodalBinary _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -426,6 +443,37 @@ object Similarity {
          |  CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
          |    / CAST(3 AS DOUBLE) AS recall
          |FROM truth t LEFT JOIN lsh l ON t.q_id = l.q_id AND t.n_id = l.n_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+    },
+    "ann_recall_ivf" -> {
+      val cos = Sql.cosineD("q.qe", "c.ne")
+      val ccos = Sql.cosineD("e.emb", "cc.ce")
+      val icos = Sql.cosineD("q2.qe", "c2.ne")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),
+         |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
+         |s AS (SELECT q_id, n_id, $cos AS cos FROM q JOIN c ON q_id <> n_id),
+         |truth AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM s) WHERE rank <= 3),
+         |cents AS (SELECT vec_id AS c_id, emb AS ce FROM e WHERE vec_id % 40 = 0),
+         |ac AS (SELECT e.vec_id, e.emb, cc.c_id, $ccos AS ccos
+         |       FROM e CROSS JOIN cents cc),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY ccos DESC, c_id) AS crk FROM ac),
+         |assigned AS (SELECT vec_id, emb, c_id AS cell FROM ar WHERE crk = 1),
+         |q2 AS (SELECT vec_id AS q_id, emb AS qe, cell FROM assigned WHERE vec_id % 20 = 0),
+         |c2 AS (SELECT vec_id AS n_id, emb AS ne, cell FROM assigned),
+         |s2 AS (SELECT q_id, n_id, $icos AS cos
+         |       FROM q2 JOIN c2 USING (cell) WHERE q_id <> n_id),
+         |ivf AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM s2) WHERE rank <= 3)
+         |SELECT t.q_id,
+         |  CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(3 AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN ivf l ON t.q_id = l.q_id AND t.n_id = l.n_id
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
     },
     "multimodal_join" ->
