@@ -12,8 +12,17 @@ object Time {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Validate BEFORE paying SparkSession startup + warmup: an unknown name
+    // used to surface as a raw NoSuchElementException mid-loop.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[time] unknown queries: ${unknown.mkString(", ")}")
+      System.err.println(s"[time] available: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -21,7 +30,11 @@ object Time {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.queries("filter_pred")(spark, sfDir).count() catch { case _: Throwable => }
+    // Warmup query: any registered query works; prefer the cheap filter if
+    // present rather than hardcoding a name the map may not contain.
+    val warm = if (SparkEntry.queries.contains("filter_pred")) "filter_pred"
+               else SparkEntry.queries.keys.min
+    try SparkEntry.queries(warm)(spark, sfDir).count() catch { case _: Throwable => }
     args.foreach { name =>
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()

@@ -9,6 +9,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // Deployment-grade install of the custom surface (functions + the
+      // MAPPED BY SQL parser) — the same extensions a cluster job would set
+      // via spark.sql.extensions=graft.functions.GraftExtensions.
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

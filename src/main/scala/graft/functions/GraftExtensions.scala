@@ -18,6 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL-string DDL entry point: intercepts the MAPPED BY grammar (and
+    // catalog-guarded shared statements) and falls through to the vanilla
+    // parser otherwise — see plans.GraftSqlParser for the routing rules.
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     // Same arity checks VectorOps.ensureRegistered enforces — without them
     // extra arguments would be silently dropped via exprs.head.
     ext.injectFunction((

@@ -4,6 +4,7 @@ import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 
 /** Astro-shaped DDL surface (SURVEY.md §2 A8): the reference declares tables
   * with `CREATE TABLE t (...) MAPPED BY (hbaseTbl, COLS=[...])` and a
@@ -66,6 +67,30 @@ object Ddl {
   }
 
   def lookup(name: String): Option[KeyedTable] = catalog.get(name.toLowerCase)
+
+  private val statusCols: Seq[(String, DataType)] =
+    Seq("op" -> StringType, "table" -> StringType)
+  private val describeCols: Seq[(String, DataType)] =
+    Seq("col_name" -> StringType, "data_type" -> StringType, "is_key" -> BooleanType)
+
+  /** Routing decision for the injected SQL parser (plans.GraftSqlParser):
+    * returns the statement's result schema when it belongs to graft's A8
+    * grammar — unconditionally for syntax vanilla Spark cannot parse
+    * (MAPPED BY, `ADD COLUMN c AS <expr>`), catalog-guarded for syntax it
+    * shares with standard SQL (DROP/DESCRIBE/CACHE/UNCACHE/ALTER DROP on a
+    * graft keyed table). None means: delegate to the vanilla parser. SHOW
+    * TABLES and CREATE VIEW deliberately delegate — keyed tables register
+    * as temp views, so vanilla semantics already cover them. */
+  def intercept(sql: String): Option[Seq[(String, DataType)]] = sql match {
+    case CreateRe(_*)                              => Some(statusCols)
+    case AlterAddRe(_*)                            => Some(statusCols)
+    case DropRe(n) if lookup(n).isDefined          => Some(statusCols)
+    case AlterDropRe(n, _) if lookup(n).isDefined  => Some(statusCols)
+    case CacheRe(n) if lookup(n).isDefined         => Some(statusCols)
+    case UncacheRe(n) if lookup(n).isDefined       => Some(statusCols)
+    case DescRe(n) if lookup(n).isDefined          => Some(describeCols)
+    case _                                         => None
+  }
 
   private def lookupOrThrow(name: String): KeyedTable =
     lookup(name).getOrElse(

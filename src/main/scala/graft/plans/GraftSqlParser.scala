@@ -1,0 +1,57 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import graft.ops.Ddl
+
+/** The A8 DDL statement as a Catalyst command: executing the plan runs the
+  * statement through [[Ddl.execute]] and returns its (tiny) status or
+  * DESCRIBE listing — the same eager-command shape Spark's own DDL uses.
+  * The result schema is fixed at parse time per statement kind (commands
+  * must declare `output` before execution).
+  */
+case class GraftDdlCommand(ddl: String, resultSchema: Seq[(String, DataType)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    resultSchema.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
+  override def run(spark: SparkSession): Seq[Row] =
+    Ddl.execute(spark, ddl).collect().toIndexedSeq
+}
+
+/** Parser-injected SQL entry point for the MAPPED BY grammar (SURVEY.md §2
+  * A8): Astro's DDL arrived through the SQL parser itself (HBaseSQLParser
+  * extending Spark's SqlParser [ref*: per SURVEY.md §0/§3.1 — mount empty]),
+  * so `spark.sql("CREATE TABLE t MAPPED BY ...")` must work, not only the
+  * programmatic `Ddl.execute`. Installed via GraftExtensions.injectParser.
+  *
+  * Routing ([[Ddl.intercept]]): statements vanilla Spark cannot parse
+  * (MAPPED BY, `ADD COLUMN c AS <expr>`) are always graft's; shared-syntax
+  * statements (DROP/DESCRIBE/CACHE/UNCACHE/ALTER DROP) are graft's only
+  * when the target is a graft keyed table — everything else falls through
+  * to the vanilla parser untouched, so the injection never changes the
+  * semantics of standard Spark SQL.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan =
+    Ddl.intercept(sqlText) match {
+      case Some(schema) => GraftDdlCommand(sqlText, schema)
+      case None         => delegate.parsePlan(sqlText)
+    }
+  override def parseExpression(s: String): Expression = delegate.parseExpression(s)
+  override def parseTableIdentifier(s: String): TableIdentifier =
+    delegate.parseTableIdentifier(s)
+  override def parseFunctionIdentifier(s: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(s)
+  override def parseMultipartIdentifier(s: String): Seq[String] =
+    delegate.parseMultipartIdentifier(s)
+  override def parseQuery(s: String): LogicalPlan = delegate.parseQuery(s)
+  override def parseRoutineParam(s: String): StructType = delegate.parseRoutineParam(s)
+  override def parseTableSchema(s: String): StructType = delegate.parseTableSchema(s)
+  override def parseDataType(s: String): DataType = delegate.parseDataType(s)
+}

@@ -102,6 +102,38 @@ class DdlSpec extends SparkSpec {
     assert(ops.Ddl.ddlRoundtrip(spark, sf("sf0.001")).collect().length == rows.length)
   }
 
+  test("the full A8 statement set works through spark.sql (injected parser)") {
+    // Astro's DDL arrived through the SQL parser; the injected
+    // GraftSqlParser makes spark.sql the entry point, not Ddl.execute.
+    if (ops.Ddl.lookup("sql_t").isDefined) spark.sql("DROP TABLE sql_t")
+    val st = spark.sql(
+      s"CREATE TABLE sql_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+      .collect()
+    assert(st.head.getString(0) == "CREATE" && st.head.getString(1) == "sql_t")
+    assert(ops.Ddl.lookup("sql_t").isDefined)
+    spark.sql("ALTER TABLE sql_t ADD COLUMN name_len AS length(n_name)")
+    assert(spark.table("sql_t").columns.contains("name_len"))
+    spark.sql("ALTER TABLE sql_t DROP COLUMN name_len")
+    assert(!spark.table("sql_t").columns.contains("name_len"))
+    spark.sql("CACHE TABLE sql_t")
+    assert(spark.catalog.isCached("sql_t"))
+    spark.sql("UNCACHE TABLE sql_t")
+    assert(!spark.catalog.isCached("sql_t"))
+    val desc = spark.sql("DESCRIBE sql_t").collect()
+      .map(r => (r.getString(0), r.getBoolean(2))).toMap
+    assert(desc("n_nationkey") === true && desc("n_name") === false)
+    // vanilla statements still parse: the keyed table is a temp view, so
+    // standard SQL sees it, and SHOW TABLES goes through the vanilla path
+    assert(spark.sql("SELECT count(*) AS c FROM sql_t").head.getLong(0) == 25)
+    assert(spark.sql("SHOW TABLES").columns.nonEmpty)
+    spark.sql("DROP TABLE sql_t")
+    assert(ops.Ddl.lookup("sql_t").isEmpty)
+    // after the drop, the name leaves the graft catalog: DESCRIBE now
+    // delegates to vanilla (which fails on the missing relation), and a
+    // graft-only statement still throws a clear error
+    intercept[Exception] { spark.sql("DESCRIBE sql_t").collect() }
+  }
+
   test("prefix bounds work (leading key only)") {
     ops.Ddl.create(spark,
       s"CREATE TABLE li_keyed MAPPED BY '${sf("sf0.001")}/lineitem.parquet' KEYS (l_orderkey, l_linenumber)")

@@ -395,6 +395,17 @@ class OpsSpec extends SparkSpec {
     assert(out.find(_.getString(0) == "N").get.getLong(1) == n13) // inserted rows
   }
 
+  // --- levenshtein candidates: the rarest-2 token filter loses no pair ---
+  test("text_levenshtein prefix-filtered candidates equal the quadratic join") {
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val filtered = ops.Text.textLevenshtein(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val quadratic = ops.Text.textLevenshteinQuadratic(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(filtered == quadratic, s"$d: ${filtered.size} vs ${quadratic.size}")
+    }
+  }
+
   // --- vocabulary head: Zipf rank with deterministic tie-break ---
   test("text_vocab ranks by count desc then term asc") {
     val out = ops.Text.textVocab(spark, FixtureData.docsDir(spark)).collect()

@@ -11,6 +11,20 @@ class PlanSpec extends SparkSpec {
     SparkEntry.queries(name)(spark, sf("sf0.001"))
       .queryExecution.executedPlan.toString
 
+  /** Attribute names appearing in equi-join conditions of the OPTIMIZED
+    * logical plan — stable across Spark formatting/AQE changes, unlike
+    * executedPlan string fragments (a round-6 advisor finding). */
+  private def equiJoinKeyNames(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo}
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join => j.condition.toSeq.flatMap(_.collect {
+        case EqualTo(a: AttributeReference, b: AttributeReference) =>
+          Seq(a.name, b.name)
+      }.flatten)
+    }.flatten.toSet
+  }
+
   test("keyrange_scan pushes the composite-key predicates into the parquet scan") {
     val plan = planOf("keyrange_scan")
     assert(plan.contains("PushedFilters:"), plan.take(500))
@@ -78,8 +92,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
     // candidate joins keyed on (term, lang) — the prefix-filter shape; a
     // bare-lang block join would key on lang alone
-    assert(plan.contains("Join [term") || plan.contains("hashpartitioning(term"),
-      plan.take(1500))
+    val keys = equiJoinKeyNames(
+      SparkEntry.queries("dedup_containment")(spark, sf("sf0.001")))
+    assert(keys.contains("term"), keys.toString)
+  }
+
+  test("levenshtein candidates distribute by token, not language blocks") {
+    val df = SparkEntry.queries("text_levenshtein")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    val keys = equiJoinKeyNames(df)
+    assert(keys.contains("term"), keys.toString)
   }
 
   test("large-vocabulary jaccard candidates distribute by token, not lang blocks") {
@@ -90,14 +114,13 @@ class PlanSpec extends SparkSpec {
         "en", "s", 10L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val plan = ops.Dedup.dedupNgramJaccard(spark, dir)
-      .queryExecution.executedPlan.toString
+    val df = ops.Dedup.dedupNgramJaccard(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan.take(400))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
     // candidate join keyed on (term, lang) — prefix filtering; the mask path's
     // bare-lang block join would key on lang alone
-    assert(plan.contains("Join [term") || plan.contains("hashpartitioning(term"),
-      plan.take(1500))
+    assert(equiJoinKeyNames(df).contains("term"), equiJoinKeyNames(df).toString)
   }
 
   test("version_compact combines map-side before its single shuffle") {

@@ -15,6 +15,9 @@ object SparkSpec {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      // Deployment-shaped session: custom functions + the MAPPED BY SQL
+      // parser installed the way a cluster job would (spark.sql.extensions).
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
