@@ -239,14 +239,17 @@ object Pipeline {
       .when(col("text").rlike("[áéíóúñ¿¡]"), "es")
       .when(col("text").rlike("[àâçèêëîïôùû]"), "fr")
       .otherwise("en")
-    val quality =
-      lit(0.5) * ratioD(size(array_distinct(t)), size(t)) +
-        lit(0.5) * (lit(1.0) -
-          ratioD(size(filter(t, x => x.isin(Text.StopWords: _*))), size(t)))
+    // text_quality's 0.5·(u/n) + 0.5·((n−s)/n) ≥ 0.6 as the EXACT integer
+    // cross-multiplication 5·(n_uniq − n_stop) ≥ n_tok — the module rule
+    // (thresholds never compare floats; a boundary-score doc was the one
+    // place double rounding could diverge between engines).
+    val qualityOk =
+      (size(array_distinct(t)) - size(filter(t, x => x.isin(Text.StopWords: _*))))
+        .cast(LongType) * 5 >= size(t).cast(LongType)
     val hk = substring(
       md5(concat(col("doc_id").cast(StringType), lit(":split"))), 1, 2)
     Tables.documents(s, d)
-      .filter(guess === col("lang") && quality >= 0.6)
+      .filter(guess === col("lang") && qualityOk)
       .withColumn("n_tok", size(t).cast(LongType))
       .withColumn("grp_min", min(col("doc_id")).over(
         Window.partitionBy(md5(concat_ws(" ", sort_array(t))))))
@@ -378,9 +381,9 @@ object Pipeline {
          |  FROM documents),
          |kept AS (
          |  SELECT * FROM q WHERE guess = lang AND
-         |    0.5 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE))
-         |      + 0.5 * (1.0 - CAST(len(list_filter(t, x -> x IN (${Text.stopList})) ) AS DOUBLE)
-         |                     / CAST(len(t) AS DOUBLE)) >= 0.6),
+         |    5 * (CAST(len(list_distinct(t)) AS BIGINT)
+         |         - CAST(len(list_filter(t, x -> x IN (${Text.stopList}))) AS BIGINT))
+         |      >= CAST(len(t) AS BIGINT)),
          |dedup AS (
          |  SELECT *, min(doc_id) OVER (PARTITION BY array_to_string(list_sort(t), ' ')) AS grp_min
          |  FROM kept),

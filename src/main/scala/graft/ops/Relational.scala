@@ -377,6 +377,44 @@ object Relational {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"))
 
+  /** B15 extension: multi-quantile (0.25/0.5/0.75) by EXACT RANK SELECTION —
+    * no interpolation: for quantile k/4 over n sorted values, report the
+    * values at ranks floor((n−1)k/4)+1 and ceil((n−1)k/4)+1 (q_lo/q_hi; the
+    * median of an even group is the pair, not their engine-rounded mean).
+    * All rank arithmetic is integer, so the quantile judged here is free of
+    * the interpolation-formula divergence that limits agg_percentile to 0.5.
+    * Scale shape: value-at-rank comes from a cumulative count over the
+    * (flag, quantity) HISTOGRAM (bounded distinct values), not a sort of
+    * the table — one map-side-combined aggregate, then histogram-sized ops,
+    * the same de-skew trick as window_distribution. The oracle computes the
+    * same ranks from the DEFINITION (row_number over the full partition),
+    * so the hash match proves the histogram rewrite. For unbounded-
+    * cardinality columns (prices) the histogram is the table itself — there
+    * you keep the engine percentile (agg_percentile) or distributed
+    * selection. */
+  def aggPercentileMulti(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+    val bounds = hist.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      .select(col("l_returnflag").as("f"), col("n"),
+        explode(sequence(lit(1), lit(3))).as("k"))
+      .withColumn("r_lo", expr("(n - 1) * k div 4") + 1)
+      .withColumn("r_hi", expr("((n - 1) * k + 3) div 4") + 1)
+    bounds.join(cum, col("f") === col("l_returnflag"))
+      .groupBy(col("f"), col("k"), col("n"))
+      .agg(min(when(col("cum") >= col("r_lo"), col("l_quantity"))).as("q_lo"),
+        min(when(col("cum") >= col("r_hi"), col("l_quantity"))).as("q_hi"))
+      .select(col("f").as("l_returnflag"), col("k").cast(IntegerType).as("k"),
+        col("n").as("cnt"), col("q_lo"), col("q_hi"))
+      .orderBy(col("l_returnflag"), col("k"))
+  }
+
   /** B15/B33 extension: statistical moments — mean/variance/stddev per group
     * computed from EXACT decimal power sums (Σx, Σx²) cast to double at the
     * end. Spark's native var_samp/stddev merge float partials in partition
@@ -426,6 +464,7 @@ object Relational {
     "agg_cube" -> (aggCube _),
     "agg_collect" -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
+    "agg_percentile_multi" -> (aggPercentileMulti _),
     "sql_surface" -> (sqlSurface _),
     "typed_pipeline" -> (typedPipeline _),
     "project_expr" -> (projectExpr _),
@@ -483,6 +522,21 @@ object Relational {
         | quantile_cont(l_extendedprice, 0.5) AS median_price,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // rank selection from the DEFINITION (row_number over the partition);
+    // the Spark side derives the same ranks from the quantity histogram
+    "agg_percentile_multi" ->
+      """WITH r AS (SELECT l_returnflag, l_quantity,
+        |             row_number() OVER (PARTITION BY l_returnflag
+        |                                ORDER BY l_quantity) AS rn,
+        |             count(*) OVER (PARTITION BY l_returnflag) AS n
+        |           FROM lineitem),
+        |ks AS (SELECT unnest([1, 2, 3]) AS k)
+        |SELECT l_returnflag, CAST(k AS INTEGER) AS k, n AS cnt,
+        |  min(CASE WHEN rn = (n - 1) * k // 4 + 1 THEN l_quantity END) AS q_lo,
+        |  min(CASE WHEN rn = ((n - 1) * k + 3) // 4 + 1 THEN l_quantity END) AS q_hi
+        |FROM r CROSS JOIN ks
+        |GROUP BY l_returnflag, k, n
+        |ORDER BY l_returnflag, k""".stripMargin,
     "agg_cube" ->
       """SELECT r_name, c_mktsegment, count(*) AS cnt,
         | CAST(GROUPING(r_name, c_mktsegment) AS INTEGER) AS gid

@@ -69,26 +69,52 @@ object Windows {
   }
 
   /** B21 extension: distribution functions — ntile / percent_rank / cume_dist
-    * (all rank-arithmetic: int ratios → bit-exact doubles). Reported as a
-    * per-(flag, quartile) aggregate because lineitem has full-duplicate rows:
-    * ntile splits ties across bucket boundaries in engine-dependent order,
-    * but bucket counts and min/max/extremes over identical rows are
-    * tie-invariant, so the aggregate hash-matches. */
+    * per (flag, quartile), computed by EXACT RANK ARITHMETIC instead of a
+    * window sort. The r6 version partitioned a window by l_returnflag (3
+    * distinct values), so one task sorted ~1/3 of the table at any scale —
+    * a straggler at 100×. But the window's ORDER BY leads with l_quantity
+    * under a total order, so every judged column is a function of (a) the
+    * per-flag row count n and (b) the tiny (flag, quantity) histogram:
+    *   - ntile(4) bucket k covers ranks (r_end(k−1), r_end(k)] with
+    *     r_end(k) = k·(n div 4) + min(k, n mod 4) — the first (n mod 4)
+    *     buckets get the extra row, SQL's ntile rule;
+    *   - quantity is monotone in rank, so qty-at-rank-r = min qty whose
+    *     cumulative count reaches r (histogram lookup, not a sort);
+    *   - max_pr = (r_end−1)/(n−1), max_cd = r_end/n — percent_rank /
+    *     cume_dist at the bucket's last rank, same IEEE division the
+    *     engines perform.
+    * Plan shape: ONE map-side-combined hash aggregate over lineitem; the
+    * window/join that follow run on the ≤(3×50)-row histogram. The oracle
+    * stays the ntile window form — the per-round hash match IS the proof
+    * that the rank arithmetic reproduces the window semantics. */
   def windowDistribution(s: SparkSession, d: String): DataFrame = {
-    val det = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice"), col("l_partkey"), col("l_suppkey"))
-    Tables.lineitem(s, d)
-      .select(col("l_returnflag"), col("l_quantity"),
-        ntile(4).over(det).as("quartile"),
-        percent_rank().over(det).as("pr"),
-        cume_dist().over(det).as("cd"))
-      .groupBy(col("l_returnflag"), col("quartile"))
-      .agg(count(lit(1)).as("cnt"),
-        min(col("l_quantity")).as("min_qty"),
-        max(col("l_quantity")).as("max_qty"),
-        max(col("pr")).as("max_pr"),
-        max(col("cd")).as("max_cd"))
+    val hist = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("c"))
+    // running count over the ~50-value-per-flag histogram — not the table
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(wCum))
+    val bounds = hist.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+      .select(col("l_returnflag").as("f"), col("n"),
+        explode(sequence(lit(1), lit(4))).as("quartile"))
+      .withColumn("sz", expr("n div 4") +
+        when(col("quartile") <= col("n") % 4, 1L).otherwise(0L))
+      .filter(col("sz") > 0)
+      .withColumn("r_end",
+        col("quartile") * expr("n div 4") + least(col("quartile"), col("n") % 4))
+      .withColumn("r_start", col("r_end") - col("sz") + 1)
+    bounds.join(cum, col("f") === col("l_returnflag"))
+      .groupBy(col("f"), col("quartile"), col("n"), col("sz"),
+        col("r_start"), col("r_end"))
+      .agg(
+        min(when(col("cum") >= col("r_start"), col("l_quantity"))).as("min_qty"),
+        min(when(col("cum") >= col("r_end"), col("l_quantity"))).as("max_qty"))
+      .select(col("f").as("l_returnflag"), col("quartile").cast(IntegerType),
+        col("sz").as("cnt"), col("min_qty"), col("max_qty"),
+        when(col("n") > 1, (col("r_end") - 1).cast(DoubleType) /
+          (col("n") - 1).cast(DoubleType)).otherwise(0.0).as("max_pr"),
+        (col("r_end").cast(DoubleType) / col("n").cast(DoubleType)).as("max_cd"))
       .orderBy(col("l_returnflag"), col("quartile"))
   }
 

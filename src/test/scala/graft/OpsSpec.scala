@@ -395,6 +395,16 @@ class OpsSpec extends SparkSpec {
     assert(out.find(_.getString(0) == "N").get.getLong(1) == n13) // inserted rows
   }
 
+  // --- multi-probe IVF: the extra cell can only add (or keep) truth hits ---
+  test("ann_recall_ivf nprobe=2 recall is per-query >= nprobe=1") {
+    val rows = ops.Similarity.annRecallIvf(spark, sf("sf0.001")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"q=${r.getLong(0)}: n_hit1=${r.getLong(1)} > n_hit2=${r.getLong(2)}")
+    }
+  }
+
   // --- levenshtein candidates: the rarest-2 token filter loses no pair ---
   test("text_levenshtein prefix-filtered candidates equal the quadratic join") {
     for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {

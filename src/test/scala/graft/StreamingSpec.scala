@@ -35,6 +35,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("batch tumbling IS the streaming tumbling semantics (B40 parity)") {
+    // The same fixture events through BOTH paths: the judged batch
+    // aggregation (Events.tumbling) and the streaming window()-under-
+    // watermark form (StreamOps.tumblingCounts) must agree on every
+    // completed (day, event_type) count — the "batch twin IS the streaming
+    // semantics" claim as an executable assertion, not a comment.
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = sf("sf0.001")
+    // Tables.events carries TIMESTAMP_NTZ wall-clock instants; watermarks
+    // demand TIMESTAMP, so pin the NTZ wall clock to UTC explicitly — the
+    // session timeZone is UTC, so window() truncates the same wall clock
+    // the batch dayNtz sees, independent of the JVM default zone.
+    val evs = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect().toSeq
+      .map(r => Ev(r.getLong(0),
+        Timestamp.from(r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC)),
+        r.getLong(2), r.getString(3)))
+    val ms = MemoryStream[Ev]
+    ms.addData(evs)
+    val q = streaming.StreamOps.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("tumble_parity")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM tumble_parity").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString.take(10),
+        r.getString(1), r.getLong(2))).toSet
+    val batch = ops.Events.tumbling(spark, d).collect()
+      .map(r => (r.get(0).toString.take(10), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+    q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each event_id once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
