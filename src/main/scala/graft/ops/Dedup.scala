@@ -214,7 +214,12 @@ object Dedup {
     * shingle vocabularies are near-unique per position, so band buckets stay
     * tiny and the candidate join is sparser than the unigram one — the
     * verify join carries the shingle arrays only for the candidate pairs. */
-  def dedupShingle(s: SparkSession, d: String): DataFrame = {
+  def dedupShingle(s: SparkSession, d: String): DataFrame =
+    shinglePairs(s, d).orderBy(col("a_id"), col("b_id"))
+
+  /** Pair computation without the output sort — dedupComponentsShingle
+    * consumes this as an edge list (the same split ngramJaccardPairs has). */
+  private def shinglePairs(s: SparkSession, d: String): DataFrame = {
     val st = shingleSets(s, d)
     val cand = candidatesOver(bandRowsFrom(
       st.select(col("doc_id"), explode(col("tk")).as("term"))))
@@ -226,7 +231,6 @@ object Dedup {
       .filter(col("inter") * 10 >= col("uni") * 7)
       .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
         ratioD(col("inter"), col("uni")).as("jac"))
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   /** C2-exact twin: all near-dup pairs by exact token-set Jaccard >= 0.6
@@ -339,6 +343,16 @@ object Dedup {
     componentsOver(s, d,
       verifyJaccard(s, d, minhashCandidates(s, d), 6)
         .select(col("a_id"), col("b_id")))
+
+  /** The production C4/RefinedWeb composition end to end: ORDER-SENSITIVE
+    * near-dup groups — shingle → minhash band candidates → exact
+    * shingle-Jaccard ≥ 0.7 verify → connected components. Same 100×-safe
+    * properties as dedupComponentsLsh (every edge-generating join is a
+    * band-key equality join; the propagation is contract-then-iterate), but
+    * over the shingle signature, so scrambled bag-of-words docs do NOT merge
+    * into one group — the grouping a real dedup pass ships. */
+  def dedupComponentsShingle(s: SparkSession, d: String): DataFrame =
+    componentsOver(s, d, shinglePairs(s, d).select(col("a_id"), col("b_id")))
 
   /** Min-label propagation over a directed (a<b) near-dup edge list. */
   private def componentsOver(s: SparkSession, d: String, edges: DataFrame): DataFrame = {
@@ -536,6 +550,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_lsh" -> (dedupComponentsLsh _),
+    "dedup_components_shingle" -> (dedupComponentsShingle _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _))
 
@@ -610,6 +625,24 @@ object Dedup {
          |  FROM cand c JOIN t a ON c.a_id = a.doc_id JOIN t b ON c.b_id = b.doc_id
          |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
          |        >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 6),
+         |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |        UNION SELECT b_id, a_id FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT x.id, e.dst FROM reach x JOIN sym e ON x.r = e.src)
+         |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
+         |ORDER BY doc_id""".stripMargin,
+    // same fixpoint over the SHINGLE-banded edge set (order-sensitive
+    // components — the C4-recipe composition; verify bar 0.7 as in
+    // dedup_shingle)
+    "dedup_components_shingle" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |pairs AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c JOIN t a ON c.a_id = a.doc_id JOIN t b ON c.b_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
+         |        >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 7),
          |sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
          |        UNION SELECT b_id, a_id FROM pairs),
          |reach(id, r) AS (
