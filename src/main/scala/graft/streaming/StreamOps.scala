@@ -21,6 +21,16 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("w_day"), col("event_type"), col("cnt"))
 
+  /** B41 streaming twin: sliding 1-hour windows every 30 minutes under a
+    * 1-hour watermark — the same window expression ops.Events.sliding runs
+    * in batch; StreamingSpec asserts their parity on the fixture events. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+
   /** B42 streaming twin: per-user session windows (30 min gap). */
   def sessionCounts(events: DataFrame): DataFrame =
     events

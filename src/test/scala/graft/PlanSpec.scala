@@ -123,6 +123,21 @@ class PlanSpec extends SparkSpec {
     assert(equiJoinKeyNames(df).contains("term"), equiJoinKeyNames(df).toString)
   }
 
+  test("window_distribution windows the histogram, never the base table") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the r6 de-skew fix: every Window in the plan must sit ABOVE an
+    // aggregate (the bounded (flag, quantity) histogram) — a window whose
+    // subtree has no Aggregate would be sorting base-table partitions again
+    val plan = SparkEntry.queries("window_distribution")(spark, sf("sf0.001"))
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        s"window over un-aggregated input:\n$w")
+    }
+  }
+
   test("version_compact combines map-side before its single shuffle") {
     val plan = planOf("version_compact")
     // partial max(struct) below the exchange: the change-log compaction

@@ -72,6 +72,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("batch sliding IS the streaming sliding semantics (B41 parity)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = sf("sf0.001")
+    val evs = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect().toSeq
+      .map(r => Ev(r.getLong(0),
+        Timestamp.from(r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC)),
+        r.getLong(2), r.getString(3)))
+    val ms = MemoryStream[Ev]
+    ms.addData(evs)
+    val q = streaming.StreamOps.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("slide_parity")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM slide_parity").collect()
+      .map(r => (r.getTimestamp(0).toInstant.toString, r.getLong(1))).toSet
+    // batch judged query: (w_start NTZ, cnt, val_sum) — compare the shared
+    // (window start wall clock, count) projection
+    val batch = ops.Events.sliding(spark, d).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0)
+        .toInstant(java.time.ZoneOffset.UTC).toString, r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+    q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each event_id once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
