@@ -44,6 +44,32 @@ object Similarity {
   private def withBucket(df: DataFrame): DataFrame =
     df.withColumn("bucket", bucketCol(0, 8))
 
+  /** Multi-probe LSH (the Lv et al. 2007 idea, deterministic form): the
+    * second-best bucket for a query is its own bucket with the LEAST-
+    * CONFIDENT sign bit flipped — the plane whose |projection| is smallest
+    * (first index on exact-double ties). Probing it roughly doubles the
+    * candidate set for the cost of one more bucket-equality join, the same
+    * recall-for-compute trade the IVF path makes with nprobe=2. The argmin
+    * is over the same projections the bucket bits sign, so the oracle
+    * replays it from its d0..d7 columns exactly. */
+  private def withBucket2(df: DataFrame): DataFrame = {
+    val withD = (0 until 8).foldLeft(df) { (acc, i) =>
+      acc.withColumn(s"d$i", VectorOps.dotFast(col("emb_d"), typedLit(planes(i).toSeq)))
+    }
+    val absC = (0 until 8).map(i => abs(col(s"d$i")))
+    val m = least(absC: _*)
+    val bits = (0 until 8).map { i =>
+      val priorMin = if (i == 1) absC(0) else least(absC.take(i): _*)
+      val firstArgmin =
+        if (i == 0) absC(0) === m
+        else absC(i) === m && priorMin > m
+      when(firstArgmin, when(col(s"d$i") >= 0, "0").otherwise("1"))
+        .otherwise(when(col(s"d$i") >= 0, "1").otherwise("0"))
+    }
+    withD.withColumn("bucket2", concat(bits: _*))
+      .drop((0 until 8).map(i => s"d$i"): _*)
+  }
+
   /** Hoist the float→double cast and the norm out of the pair loop: each is
     * computed once per vector instead of once per pair (the cosine VALUE is
     * unchanged — same fold, same division — so the oracle still bit-matches). */
@@ -58,6 +84,33 @@ object Similarity {
     (from until until).map(i =>
       s"(CASE WHEN ${Sql.dotD(emb, planeSql(i))} >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
+
+  /** SQL CTE chain replaying withBucket + withBucket2 from per-plane
+    * projection columns (d0..d7): `bd` computes the projections once, `bm`
+    * their least |value|, `b` the home bucket and the least-confident-bit
+    * flip — character for character the Spark columns. Expects an `e`
+    * CTE with (vec_id, emb) in scope; yields `b(vec_id, emb, bucket,
+    * bucket2)`. */
+  private def bucketsSqlCtes: String = {
+    val ds = (0 until 8)
+      .map(i => s"${Sql.dotD("emb", planeSql(i))} AS d$i").mkString(", ")
+    val bucket = (0 until 8)
+      .map(i => s"(CASE WHEN d$i >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+    val mn = s"least(${(0 until 8).map(i => s"abs(d$i)").mkString(", ")})"
+    val bucket2 = (0 until 8).map { i =>
+      val prior =
+        if (i == 1) "abs(d0)"
+        else s"least(${(0 until i).map(j => s"abs(d$j)").mkString(", ")})"
+      val first =
+        if (i == 0) "abs(d0) = mn"
+        else s"abs(d$i) = mn AND $prior > mn"
+      s"(CASE WHEN $first THEN (CASE WHEN d$i >= 0 THEN '0' ELSE '1' END)" +
+        s" ELSE (CASE WHEN d$i >= 0 THEN '1' ELSE '0' END) END)"
+    }.mkString(" || ")
+    s"""bd AS (SELECT vec_id, emb, $ds FROM e),
+       |bm AS (SELECT *, $mn AS mn FROM bd),
+       |b AS (SELECT vec_id, emb, $bucket AS bucket, $bucket2 AS bucket2 FROM bm)""".stripMargin
+  }
 
   /** C3 baseline: brute-force cosine top-10 for a fixed query set. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
@@ -96,14 +149,28 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** C3 scale path: LSH-bucketed ANN — candidates share the 8-bit
-    * sign-projection bucket; top-3 within bucket. */
-  def simAnnLsh(s: SparkSession, d: String): DataFrame = {
+  /** C3 scale path: LSH-bucketed ANN — MULTI-PROBE: queries search their own
+    * 8-bit sign-projection bucket plus the least-confident-bit flip
+    * (nprobe = 2, see withBucket2); neighbors index in their home bucket;
+    * top-3 over the probed candidates. annRecall judges nprobe 1 vs 2. */
+  def simAnnLsh(s: SparkSession, d: String): DataFrame =
+    lshTopk(lshBuckets(s, d), nprobe = 2).orderBy(col("q_id"), col("rank"))
+
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
-    val b = withBucket(withVec(Tables.embeddings(s, d)))
-    val q = b.filter(col("vec_id") % 20 === 0)
-      .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"), col("bucket"))
-    val c = b.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"), col("bucket"))
+    withBucket2(withBucket(withVec(Tables.embeddings(s, d))))
+  }
+
+  /** LSH search at nprobe 1 (home bucket) or 2 (+ flipped-bit bucket). The
+    * two probe buckets differ in exactly one bit and each neighbor lives in
+    * one bucket, so probe candidates never duplicate a (q_id, n_id) pair. */
+  private def lshTopk(b: DataFrame, nprobe: Int): DataFrame = {
+    val qBase = b.filter(col("vec_id") % 20 === 0)
+    def probe(bk: String) = qBase.select(col("vec_id").as("q_id"),
+      col("emb_d").as("qe"), col("nrm").as("qn"), col(bk).as("bucket"))
+    val q = if (nprobe == 1) probe("bucket") else probe("bucket").union(probe("bucket2"))
+    val c = b.select(col("vec_id").as("n_id"), col("emb_d").as("ne"),
+      col("nrm").as("nn"), col("bucket"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
     q.join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
@@ -111,7 +178,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
-      .orderBy(col("q_id"), col("rank"))
   }
 
   /** C3 IVF-style ANN: a deterministic coarse quantizer (every 40th vector is
@@ -175,18 +241,28 @@ object Similarity {
     * Scale shape: ground truth on a SAMPLED query set (here the %20 slice —
     * at 100 TB you never brute-force every row) THROUGH THE BOUNDED-HEAP
     * TopKAgg (O(k) state per query with partial combines, no full partition
-    * sort — identical rows to the window-rank form, so the recall oracle is
-    * unchanged), then an equi-join on (q_id, n_id) and a small per-query
-    * aggregate. */
+    * sort — identical rows to the window-rank form), then an equi-join on
+    * (q_id, n_id) and a small per-query aggregate. Like the IVF twin, it
+    * judges single-bucket (nprobe = 1) BESIDE multi-probe (nprobe = 2, the
+    * judged sim_ann_lsh setting) so the recall the flipped-bit probe buys
+    * is itself oracle-checked; per-query recall2 ≥ recall1 is unit-asserted
+    * (a candidate that displaces a top-3 hit has higher cosine and is
+    * therefore in the global top-3 truth itself). */
   def annRecall(s: SparkSession, d: String): DataFrame = {
     val truth = simTopkAgg(s, d).filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"))
-    val approx = simAnnLsh(s, d)
-      .select(col("q_id"), col("n_id"), lit(1).as("hit"))
-    truth.join(approx, Seq("q_id", "n_id"), "left")
+    val b = lshBuckets(s, d)
+    val p1 = lshTopk(b, nprobe = 1)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit1"))
+    val p2 = lshTopk(b, nprobe = 2)
+      .select(col("q_id"), col("n_id"), lit(1).as("hit2"))
+    truth.join(p1, Seq("q_id", "n_id"), "left")
+      .join(p2, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
-      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-      .withColumn("recall", ratioD(col("n_hit"), lit(3)))
+      .agg(sum(coalesce(col("hit1"), lit(0))).as("n_hit1"),
+        sum(coalesce(col("hit2"), lit(0))).as("n_hit2"))
+      .withColumn("recall1", ratioD(col("n_hit1"), lit(3)))
+      .withColumn("recall2", ratioD(col("n_hit2"), lit(3)))
       .orderBy(col("q_id"))
   }
 
@@ -406,8 +482,10 @@ object Similarity {
     "sim_ann_lsh" -> {
       val cos = Sql.cosineD("q.qe", "c.ne")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |b AS (SELECT vec_id, emb, ${bucketSqlExpr("emb")} AS bucket FROM e),
-         |q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id % 20 = 0),
+         |$bucketsSqlCtes,
+         |q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id % 20 = 0
+         |      UNION ALL
+         |      SELECT vec_id, emb, bucket2 FROM b WHERE vec_id % 20 = 0),
          |c AS (SELECT vec_id AS n_id, emb AS ne, bucket FROM b),
          |s AS (SELECT q_id, n_id, $cos AS cos
          |      FROM q JOIN c USING (bucket) WHERE q_id <> n_id),
@@ -462,19 +540,30 @@ object Similarity {
          |truth AS (SELECT q_id, n_id FROM (
          |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM s) WHERE rank <= 3),
-         |b AS (SELECT vec_id, emb, ${bucketSqlExpr("emb")} AS bucket FROM e),
-         |q2 AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id % 20 = 0),
+         |$bucketsSqlCtes,
          |c2 AS (SELECT vec_id AS n_id, emb AS ne, bucket FROM b),
-         |s2 AS (SELECT q_id, n_id, ${Sql.cosineD("q2.qe", "c2.ne")} AS cos
+         |q2 AS (SELECT vec_id AS q_id, emb AS qe, bucket, 1 AS pr FROM b
+         |       WHERE vec_id % 20 = 0
+         |       UNION ALL
+         |       SELECT vec_id, emb, bucket2, 2 FROM b WHERE vec_id % 20 = 0),
+         |s2 AS (SELECT q_id, n_id, pr, ${Sql.cosineD("q2.qe", "c2.ne")} AS cos
          |       FROM q2 JOIN c2 USING (bucket) WHERE q_id <> n_id),
-         |lsh AS (SELECT q_id, n_id FROM (
+         |lsh1 AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM s2 WHERE pr = 1)
+         |  WHERE rank <= 3),
+         |lsh2 AS (SELECT q_id, n_id FROM (
          |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
          |    ORDER BY cos DESC, n_id) AS rank FROM s2) WHERE rank <= 3)
          |SELECT t.q_id,
-         |  CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-         |  CAST(sum(CASE WHEN l.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / CAST(3 AS DOUBLE) AS recall
-         |FROM truth t LEFT JOIN lsh l ON t.q_id = l.q_id AND t.n_id = l.n_id
+         |  CAST(sum(CASE WHEN l1.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit1,
+         |  CAST(sum(CASE WHEN l2.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit2,
+         |  CAST(sum(CASE WHEN l1.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(3 AS DOUBLE) AS recall1,
+         |  CAST(sum(CASE WHEN l2.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(3 AS DOUBLE) AS recall2
+         |FROM truth t LEFT JOIN lsh1 l1 ON t.q_id = l1.q_id AND t.n_id = l1.n_id
+         |            LEFT JOIN lsh2 l2 ON t.q_id = l2.q_id AND t.n_id = l2.n_id
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
     },
     "ann_recall_ivf" -> {

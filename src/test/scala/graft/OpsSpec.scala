@@ -395,13 +395,18 @@ class OpsSpec extends SparkSpec {
     assert(out.find(_.getString(0) == "N").get.getLong(1) == n13) // inserted rows
   }
 
-  // --- multi-probe IVF: the extra cell can only add (or keep) truth hits ---
-  test("ann_recall_ivf nprobe=2 recall is per-query >= nprobe=1") {
-    val rows = ops.Similarity.annRecallIvf(spark, sf("sf0.001")).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getLong(1) <= r.getLong(2),
-        s"q=${r.getLong(0)}: n_hit1=${r.getLong(1)} > n_hit2=${r.getLong(2)}")
+  // --- multi-probe ANN: the extra cell/bucket can only add (or keep) hits
+  //     (a displacing candidate has higher cosine, so it is itself truth) ---
+  test("multi-probe recall is per-query >= single-probe for BOTH indexes") {
+    for ((name, df) <- Seq(
+        "ivf" -> ops.Similarity.annRecallIvf(spark, sf("sf0.001")),
+        "lsh" -> ops.Similarity.annRecall(spark, sf("sf0.001")))) {
+      val rows = df.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getLong(1) <= r.getLong(2),
+          s"$name q=${r.getLong(0)}: n_hit1=${r.getLong(1)} > n_hit2=${r.getLong(2)}")
+      }
     }
   }
 
