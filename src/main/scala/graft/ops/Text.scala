@@ -248,6 +248,32 @@ object Text {
       .withColumn("rep_flag", (col("dup_ratio") > 0.2).cast(IntegerType))
       .orderBy(col("doc_id"))
 
+  /** C4k: context-window chunking — split each document into fixed-size
+    * token windows (size 128, stride 96 → 32-token overlap), the step that
+    * turns variable-length documents into training-context rows (overlap
+    * preserves cross-boundary context; pack_sequences then bins the
+    * chunks). Pure per-row explode + narrow map: NO shuffle until the
+    * output sort — at 100 TB this is a map-only stage. All chunk geometry
+    * is integer arithmetic; the chunk is identified by an md5 over its
+    * joined tokens so the oracle needs no array column (driver-side pandas
+    * cannot hash arrays). Short docs yield exactly one chunk. */
+  def textChunk(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .withColumn("t", toks(col("text")))
+      .withColumn("n", size(col("t")))
+      // 1 + ceil(max(n-128,0)/96), in exact integer arithmetic (div is
+      // integral division; / would be IEEE and round)
+      .withColumn("n_chunks", expr("1L + ((greatest(n - 128, 0) + 95) div 96)"))
+      .withColumn("k", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("start", (col("k") * 96 + 1).cast(IntegerType))
+      .withColumn("len", least(lit(128), col("n") - col("start") + 1))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        col("start").cast(LongType).as("start_tok"),
+        col("len").cast(LongType).as("n_tok"),
+        md5(concat_ws(" ", slice(col("t"), col("start"), col("len")))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** B39: generator / UDTF surface — posexplode over the token stream. */
   def generatorExplode(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -260,6 +286,7 @@ object Text {
     "generator_explode" -> (generatorExplode _),
     "text_ngrams" -> (textNgrams _),
     "text_levenshtein" -> (textLevenshtein _),
+    "text_chunk" -> (textChunk _),
     "text_tokens" -> (textTokens _),
     "text_tfidf" -> (textTfidf _),
     "text_quality" -> (textQuality _),
@@ -308,6 +335,17 @@ object Text {
         |WHERE abs(a.n_chars - b.n_chars) <= 5
         |  AND levenshtein(a.prefix, b.prefix) <= 10
         |ORDER BY a_id, b_id""".stripMargin,
+    "text_chunk" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |             len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, t, n,
+        |        unnest(range(0, 1 + ((greatest(n - 128, 0) + 95) // 96))) AS k
+        |      FROM b)
+        |SELECT doc_id, k AS chunk_id,
+        |  CAST(k * 96 + 1 AS BIGINT) AS start_tok,
+        |  CAST(least(128, n - (k * 96 + 1) + 1) AS BIGINT) AS n_tok,
+        |  md5(array_to_string(t[(k * 96 + 1):(k * 96 + least(128, n - (k * 96 + 1) + 1))], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id, lang, n_chars,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,

@@ -410,6 +410,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // --- chunking: window/stride geometry on a doc longer than one window ---
+  test("text_chunk emits 128-token windows at stride 96 with 32-token overlap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_chunk").toString
+    val words300 = (1 to 300).map(i => s"w$i").mkString(" ")
+    Seq((0L, words300, "en", "s", words300.length.toLong),
+      (1L, "a b c", "en", "s", 5L)) // short doc: exactly one chunk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Text.textChunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val doc0 = out.filter(_._1 == 0L)
+    assert(doc0.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 1L, 128L), (1L, 97L, 128L), (2L, 193L, 108L)))
+    assert(doc0.map(_._5).distinct.length == 3) // distinct content hashes
+    assert(out.filter(_._1 == 1L).map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 1L, 3L)))
+  }
+
   // --- levenshtein candidates: the rarest-2 token filter loses no pair ---
   test("text_levenshtein prefix-filtered candidates equal the quadratic join") {
     for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
