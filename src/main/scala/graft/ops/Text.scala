@@ -274,6 +274,63 @@ object Text {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  /** C4l: BPE merge learning — the first K = 3 merge rounds of byte-pair
+    * encoding over the corpus (Sennrich et al. 2016, the public tokenizer-
+    * construction algorithm): count adjacent symbol pairs weighted by word
+    * frequency, merge the most frequent pair left-to-right non-overlapping,
+    * repeat. Judged output = the merge table (round, pair, merged, count) —
+    * the artifact a tokenizer trainer ships.
+    *
+    * Determinism: argmax ties break (count desc, left, right); the merge is
+    * a positional fold with an explicit skip flag, expressed with the SAME
+    * CASE structure in both engines (CASE branches evaluate lazily, so the
+    * i+1 lookahead never reads past the array under ANSI). Scale shape: BPE
+    * learns over the WORD-FREQUENCY table, not the corpus — corpus size
+    * touches only the initial word count (one shuffle); each round is
+    * vocabulary-sized work plus one driver-side 1-row argmax (the same
+    * scalar-action-per-iteration pattern dedup_components uses). Real
+    * trainers run 30k+ rounds of exactly this per-round shape. */
+  def textBpeMerges(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      // guard empty tokens (double spaces): sequence(1, 0) DESCENDS in
+      // Spark, which would fabricate a ("", "") pair for zero-length words
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+    var cur = words.select(col("w"), col("freq"), col("syms"))
+    val rounds = (1 to 3).map { r =>
+      val best = cur
+        .withColumn("p", explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1), (a, b) -> named_struct('l', a, 'r', b))")))
+        .groupBy(col("p.l").as("l_sym"), col("p.r").as("r_sym"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l_sym"), col("r_sym")).limit(1)
+        .select(lit(r).as("round"), col("l_sym"), col("r_sym"),
+          concat(col("l_sym"), col("r_sym")).as("merged"), col("cnt"))
+        .localCheckpoint()
+      cur = cur.crossJoin(broadcast(best.select(col("l_sym"), col("r_sym"), col("merged"))))
+        .withColumn("syms", expr(
+          """aggregate(
+            |  sequence(1, size(syms)),
+            |  named_struct('out', slice(syms, 1, 0), 'skip', false),
+            |  (acc, i) -> CASE
+            |    WHEN acc.skip THEN named_struct('out', acc.out, 'skip', false)
+            |    WHEN i = size(syms)
+            |      THEN named_struct('out', array_append(acc.out, element_at(syms, i)), 'skip', false)
+            |    WHEN element_at(syms, i) = l_sym AND element_at(syms, i + 1) = r_sym
+            |      THEN named_struct('out', array_append(acc.out, merged), 'skip', true)
+            |    ELSE named_struct('out', array_append(acc.out, element_at(syms, i)), 'skip', false)
+            |  END,
+            |  acc -> acc.out)""".stripMargin))
+        .select(col("w"), col("freq"), col("syms"))
+        .localCheckpoint()
+      best
+    }
+    rounds.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** B39: generator / UDTF surface — posexplode over the token stream. */
   def generatorExplode(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -287,6 +344,7 @@ object Text {
     "text_ngrams" -> (textNgrams _),
     "text_levenshtein" -> (textLevenshtein _),
     "text_chunk" -> (textChunk _),
+    "text_bpe_merges" -> (textBpeMerges _),
     "text_tokens" -> (textTokens _),
     "text_tfidf" -> (textTfidf _),
     "text_quality" -> (textQuality _),
@@ -298,6 +356,37 @@ object Text {
     "text_repetition" -> (textRepetition _))
 
   private[ops] val stopList = StopWords.map(w => s"'$w'").mkString(", ")
+
+  /** One BPE round in DuckDB: pair counts → argmax → positional merge fold.
+    * The fold state is a single VARCHAR — skip-flag char + space-joined
+    * output symbols (symbols can never contain a space: words are space-
+    * split) — because DuckDB 1.0.0's list_reduce does not carry LIST-typed
+    * struct fields across iterations (verified: scalar fields accumulate,
+    * list fields reset to the last append). The fold list is range(0, n+1)
+    * as VARCHAR so element 0 doubles as the init state "0" (empty output,
+    * skip off); list_reduce seeds the accumulator from the first element. */
+  private def bpeRoundCtes(r: Int): String =
+    s"""pairs$r AS (
+       |  SELECT syms[i] AS l_sym, syms[i+1] AS r_sym, sum(freq) AS cnt
+       |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS i FROM cur$r)
+       |  GROUP BY 1, 2),
+       |best$r AS (SELECT $r AS round, l_sym, r_sym, l_sym || r_sym AS merged,
+       |             CAST(cnt AS BIGINT) AS cnt
+       |           FROM pairs$r ORDER BY cnt DESC, l_sym, r_sym LIMIT 1),
+       |cur${r + 1} AS (
+       |  SELECT w, freq,
+       |    string_split(substr(list_reduce(
+       |      list_transform(range(0, len(syms) + 1), ii -> CAST(ii AS VARCHAR)),
+       |      (acc, x) -> CASE
+       |        WHEN acc[1:1] = '1' THEN '0' || acc[2:]
+       |        WHEN CAST(x AS INTEGER) = len(syms)
+       |          THEN '0' || acc[2:] || ' ' || syms[CAST(x AS INTEGER)]
+       |        WHEN syms[CAST(x AS INTEGER)] = b.l_sym
+       |             AND syms[CAST(x AS INTEGER) + 1] = b.r_sym
+       |          THEN '1' || acc[2:] || ' ' || b.merged
+       |        ELSE '0' || acc[2:] || ' ' || syms[CAST(x AS INTEGER)]
+       |      END), 3), ' ') AS syms
+       |  FROM cur$r, best$r b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "generator_explode" ->
@@ -335,6 +424,20 @@ object Text {
         |WHERE abs(a.n_chars - b.n_chars) <= 5
         |  AND levenshtein(a.prefix, b.prefix) <= 10
         |ORDER BY a_id, b_id""".stripMargin,
+    "text_bpe_merges" ->
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS freq FROM
+         |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |cur1 AS (SELECT w, freq,
+         |  list_transform(range(1, length(w) + 1), i -> w[i:i]) AS syms FROM words),
+         |${bpeRoundCtes(1)},
+         |${bpeRoundCtes(2)},
+         |${bpeRoundCtes(3)}
+         |SELECT round, l_sym, r_sym, merged, cnt FROM best1
+         |UNION ALL SELECT * FROM best2
+         |UNION ALL SELECT * FROM best3
+         |ORDER BY round""".stripMargin,
     "text_chunk" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t,
         |             len(string_split(text, ' ')) AS n FROM documents),

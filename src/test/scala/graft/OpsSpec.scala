@@ -410,6 +410,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // --- BPE: left-to-right non-overlapping merges ("aaa" merges ONCE) ---
+  test("text_bpe_merges counts positional pairs and merges non-overlapping") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_bpe").toString
+    // "aaa": pair (a,a) at two positions but only ONE merge fires per word;
+    // round 2 must then see (aa, a) — the state after a correct L2R fold
+    Seq((0L, "aaa aaa xy xy xy", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = ops.Text.textBpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 1: (a,a) cnt 4 (2 positions x freq 2) beats (x,y) cnt 3
+    assert(out(0) == ((1, "a", "a", "aa", 4L)))
+    // round 2: non-overlap left the words as [aa, a] -> (aa, a) cnt 2 loses
+    // to (x, y) cnt 3; a double-merge bug would have consumed "aaa" whole
+    assert(out(1) == ((2, "x", "y", "xy", 3L)))
+    assert(out(2) == ((3, "aa", "a", "aaa", 2L)))
+  }
+
   // --- chunking: window/stride geometry on a doc longer than one window ---
   test("text_chunk emits 128-token windows at stride 96 with 32-token overlap") {
     import spark.implicits._
