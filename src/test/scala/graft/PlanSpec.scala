@@ -159,6 +159,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
   }
 
+  test("text_chunk stays a map-only explode until the output sort") {
+    val plan = planOf("text_chunk")
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
+
   test("GraftExtensions installs graft_dot without error") {
     val ext = new SparkSessionExtensions
     (new functions.GraftExtensions)(ext) // must register cleanly
