@@ -26,6 +26,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
   *   DESCRIBE <name>
   *   CACHE TABLE <name> | UNCACHE TABLE <name>
   *   CREATE VIEW <name> AS <sql>
+  *   LOAD DATA INPATH '<csv path>' INTO TABLE <name>
   */
 object Ddl {
 
@@ -46,6 +47,8 @@ object Ddl {
   private val UncacheRe = """(?i)\s*UNCACHE\s+TABLE\s+(\w+)\s*""".r
   // (?s): the view body is embedded SQL and may span lines
   private val ViewRe = """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
+  private val LoadRe =
+    """(?i)\s*LOAD\s+DATA\s+INPATH\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)\s*""".r
 
   /** Executes the DDL: registers the parquet file as a temp view and records
     * the key columns for range-scan building. Returns the catalog entry. */
@@ -89,6 +92,7 @@ object Ddl {
     case CacheRe(n) if lookup(n).isDefined         => Some(statusCols)
     case UncacheRe(n) if lookup(n).isDefined       => Some(statusCols)
     case DescRe(n) if lookup(n).isDefined          => Some(describeCols)
+    case LoadRe(_, n) if lookup(n).isDefined       => Some(statusCols)
     case _                                         => None
   }
 
@@ -141,6 +145,17 @@ object Ddl {
         val t = lookupOrThrow(name)
         spark.catalog.uncacheTable(t.name)
         status("UNCACHE", t.name)
+      case LoadRe(path, name) =>
+        // Astro's bulk-load statement (LOAD DATA INPATH ... INTO TABLE t
+        // [ref*: per SURVEY.md §2 A7 — mount empty]): CSV rows appended to
+        // the keyed table under its CURRENT schema. The union is a
+        // declarative view rewrite — nothing materializes until read.
+        val t = lookupOrThrow(name)
+        val df = spark.table(t.name)
+        val loaded = spark.read.schema(df.schema)
+          .option("header", "true").csv(path)
+        df.unionByName(loaded).createOrReplaceTempView(t.name)
+        status("LOAD", t.name)
       case ViewRe(name, sql) =>
         require(lookup(name).isEmpty,
           s"'$name' names a keyed table; DROP it before creating a view")

@@ -243,6 +243,54 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** B18, oracle-checked twin: a DETERMINISTIC HyperLogLog sketch beside the
+    * engine-native approx_count_distinct (which stays sanctioned-no-oracle:
+    * its sketch is engine-specific). Flajolet et al.'s public algorithm with
+    * every engine-divergence source removed:
+    *  - register = first md5 byte (m = 256), rank = leading zero BITS of the
+    *    next 52 bits + 1, derived purely from hex-string ops (ltrim + a
+    *    nibble CASE) so both engines compute it character-identically;
+    *  - the harmonic denominator Σ 2^(−M_j) is kept EXACT by scaling to
+    *    integers: Σ 2^(40 − min(M_j, 40)) plus 2^40 per empty register fits
+    *    in a BIGINT (≤ 2^48) — no order-dependent float summation;
+    *  - the estimate α_m·m²·2^40 / S is one double expression written
+    *    token-identically in both dialects (explicit double literals — an
+    *    unsuffixed 0.7213 parses as DECIMAL in both engines);
+    *  - no small/large-range correction (it needs ln, whose last-ulp
+    *    behavior differs across libm builds) — omitted on BOTH sides, and
+    *    the exact distinct count is judged alongside so the error is
+    *    visible in the artifact.
+    * Scale shape: one hash-aggregate to (flag, 256 registers), then
+    * constant-size arithmetic — the same two-level combine a production
+    * HLL does. */
+  def aggHllDistinct(s: SparkSession, d: String): DataFrame = {
+    val h = md5(col("l_partkey").cast(StringType))
+    val stripped = ltrim(substring(h, 3, 13), "0")
+    val firstC = substring(stripped, 1, 1)
+    val extra = when(firstC === "1", 3).when(firstC.isin("2", "3"), 2)
+      .when(firstC.isin("4", "5", "6", "7"), 1).otherwise(0)
+    val rank = when(length(stripped) === 0, lit(53))
+      .otherwise((lit(13) - length(stripped)) * 4 + extra + 1)
+    val regs = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), substring(h, 1, 2).as("reg"), rank.as("rank"))
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rank")).as("m"))
+    val agg = regs.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("regs_hit"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(40 - least(m, 40) AS INT))"))
+          .as("s_hit"))
+      .withColumn("s_scaled",
+        col("s_hit") + (lit(256L) - col("regs_hit")) * lit(1099511627776L))
+      .withColumn("hll_est", expr(
+        "0.7213D / (1.0D + 1.079D / 256.0D) * 65536.0D * 1099511627776.0D / CAST(s_scaled AS DOUBLE)"))
+    val exact = Tables.lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_part"))
+    agg.join(exact, "l_returnflag")
+      .select(col("l_returnflag"), col("regs_hit"), col("s_scaled"),
+        col("hll_est"), col("exact_part"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B20: ROLLUP with grouping_id. */
   def aggRollup(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -465,6 +513,7 @@ object Relational {
     "agg_collect" -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
     "agg_percentile_multi" -> (aggPercentileMulti _),
+    "agg_hll_distinct" -> (aggHllDistinct _),
     "sql_surface" -> (sqlSurface _),
     "typed_pipeline" -> (typedPipeline _),
     "project_expr" -> (projectExpr _),
@@ -522,6 +571,36 @@ object Relational {
         | quantile_cont(l_extendedprice, 0.5) AS median_price,
         | count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_distinct" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS h FROM lineitem),
+        |x AS (
+        |  SELECT l_returnflag, substring(h, 1, 2) AS reg,
+        |         ltrim(substring(h, 3, 13), '0') AS st FROM r),
+        |k AS (
+        |  SELECT l_returnflag, reg,
+        |    CASE WHEN length(st) = 0 THEN 53
+        |         ELSE (13 - length(st)) * 4 +
+        |           (CASE WHEN st[1:1] = '1' THEN 3
+        |                 WHEN st[1:1] IN ('2', '3') THEN 2
+        |                 WHEN st[1:1] IN ('4', '5', '6', '7') THEN 1
+        |                 ELSE 0 END) + 1 END AS rank
+        |  FROM x),
+        |regs AS (SELECT l_returnflag, reg, max(rank) AS m FROM k GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS regs_hit,
+        |    CAST(sum(CAST(1 AS BIGINT) << (40 - least(m, 40))) AS BIGINT) AS s_hit
+        |  FROM regs GROUP BY 1),
+        |e AS (SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_part
+        |      FROM lineitem GROUP BY 1)
+        |SELECT agg.l_returnflag, regs_hit,
+        |  s_hit + (256 - regs_hit) * 1099511627776 AS s_scaled,
+        |  CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |    * CAST(65536.0 AS DOUBLE) * CAST(1099511627776.0 AS DOUBLE)
+        |    / CAST(s_hit + (256 - regs_hit) * 1099511627776 AS DOUBLE) AS hll_est,
+        |  exact_part
+        |FROM agg JOIN e USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
     // rank selection from the DEFINITION (row_number over the partition);
     // the Spark side derives the same ranks from the quantity histogram
     "agg_percentile_multi" ->

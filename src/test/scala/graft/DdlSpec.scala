@@ -134,6 +134,25 @@ class DdlSpec extends SparkSpec {
     intercept[Exception] { spark.sql("DESCRIBE sql_t").collect() }
   }
 
+  test("LOAD DATA INPATH appends CSV rows to a keyed table (via spark.sql)") {
+    import org.apache.spark.sql.functions.col
+    if (ops.Ddl.lookup("load_t").isDefined) spark.sql("DROP TABLE load_t")
+    spark.sql(
+      s"CREATE TABLE load_t MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+    val before = spark.table("load_t").count()
+    // stage a CSV holding two of the table's own rows (same schema)
+    val dir = java.nio.file.Files.createTempDirectory("graft_load_csv").toString
+    spark.table("load_t").orderBy(col("r_regionkey")).limit(2)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val st = spark.sql(s"LOAD DATA INPATH '$dir' INTO TABLE load_t").collect()
+    assert(st.head.getString(0) == "LOAD" && st.head.getString(1) == "load_t")
+    assert(spark.table("load_t").count() == before + 2)
+    // schema unchanged; appended rows queryable through plain SQL
+    assert(spark.sql("SELECT count(*) FROM load_t WHERE r_regionkey = 0")
+      .head.getLong(0) == 2)
+    spark.sql("DROP TABLE load_t")
+  }
+
   test("prefix bounds work (leading key only)") {
     ops.Ddl.create(spark,
       s"CREATE TABLE li_keyed MAPPED BY '${sf("sf0.001")}/lineitem.parquet' KEYS (l_orderkey, l_linenumber)")

@@ -410,6 +410,17 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // --- deterministic HLL: estimate lands within the m=256 error regime ---
+  test("agg_hll_distinct estimates within 10% of the exact count") {
+    val rows = ops.Relational.aggHllDistinct(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getDouble(3); val exact = r.getLong(4).toDouble
+      assert(math.abs(est - exact) / exact < 0.10,
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
   // --- BPE: left-to-right non-overlapping merges ("aaa" merges ONCE) ---
   test("text_bpe_merges counts positional pairs and merges non-overlapping") {
     import spark.implicits._

@@ -102,6 +102,41 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("batch session IS the streaming session semantics (B42 parity)") {
+    // Completes the window-family trio (B40/B41 above): the same fixture
+    // events through Events.session (batch) and StreamOps.sessionCounts
+    // (session_window under watermark) agree on every (user, session
+    // start/end, count).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = sf("sf0.001")
+    val evs = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .collect().toSeq
+      .map(r => Ev(r.getLong(0),
+        Timestamp.from(r.getAs[java.time.LocalDateTime](1)
+          .toInstant(java.time.ZoneOffset.UTC)),
+        r.getLong(2), r.getString(3)))
+    val ms = MemoryStream[Ev]
+    ms.addData(evs)
+    val q = streaming.StreamOps.sessionCounts(ms.toDF())
+      .writeStream.format("memory").queryName("session_parity")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM session_parity").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+        r.getTimestamp(2).toInstant.toString, r.getLong(3))).toSet
+    val batch = ops.Events.session(spark, d).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).toInstant(java.time.ZoneOffset.UTC).toString,
+        r.getAs[java.time.LocalDateTime](2).toInstant(java.time.ZoneOffset.UTC).toString,
+        r.getLong(3))).toSet
+    assert(streamed == batch, s"streamed=${streamed.size} batch=${batch.size}")
+    assert(streamed.nonEmpty)
+    q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each event_id once") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
