@@ -501,25 +501,30 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** C2-SimHash: 64-bit simhash over token xxhash64 bits; candidate pairs via
-    * 4×16-bit band pigeonhole (guarantees recall for hamming <= 3), verified
-    * by exact popcount. No oracle (hash-based), rows-only check. */
+  /** C2-SimHash: 56-bit simhash over md5-derived token hashes; candidate
+    * pairs via 4×14-bit band pigeonhole (guarantees recall for hamming <= 3),
+    * verified by exact popcount. ORACLE-CHECKED since round 7: token hashes
+    * are the md5 14-hex-char slice the minhash family already replays in
+    * DuckDB (the r6 upgrade pattern), so the oracle recomputes the identical
+    * signatures bit for bit — the former xxhash64 seeding was the only
+    * engine-specific step. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     // One narrow pass, like dedupMinhash above: hash the distinct-token set
     // once per row, then bit i of the signature is a per-row majority vote —
     // set iff more than half the token hashes have bit i set (2*nset > n is
     // exactly the old +1/-1 sum > 0, ties → 0). The vote runs in the native
     // codegen SimHash64 expression: one fused pass over the hash array
-    // instead of 64 interpreted higher-order filter() scans (round-3 shape;
+    // instead of 56 interpreted higher-order filter() scans (round-3 shape;
     // bit-equality of the two forms is property-tested in OpsSpec).
     graft.functions.VectorOps.ensureRegistered(s)
     val sh = Tables.documents(s, d)
-      .withColumn("th", transform(array_distinct(tokens), t => xxhash64(t)))
+      .withColumn("th", expr(
+        "transform(array_distinct(split(text, ' ')), t -> CAST(conv(substring(md5(t), 1, 14), 16, 10) AS BIGINT))"))
       .select(col("doc_id"), call_function("graft_simhash64", col("th")).as("simhash"))
     def slice(side: String, k: Int) =
-      shiftrightunsigned(col(s"$side.simhash"), k * 16).bitwiseAND(lit(0xFFFFL))
+      shiftrightunsigned(col(s"$side.simhash"), k * 14).bitwiseAND(lit(0x3FFFL))
     val bandArr = array((0 until 4).map(k =>
-      shiftrightunsigned(col("simhash"), k * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      shiftrightunsigned(col("simhash"), k * 14).bitwiseAND(lit(0x3FFFL))): _*)
     val bands = sh.select(col("doc_id"), col("simhash"),
       posexplode(bandArr).as(Seq("band_idx", "band_val")))
     // First-matching-band emission (the minhashCandidates pattern): low-
@@ -651,6 +656,35 @@ object Dedup {
          |  SELECT x.id, e.dst FROM reach x JOIN sym e ON x.r = e.src)
          |SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
          |ORDER BY doc_id""".stripMargin,
+    // identical md5 56-bit token hashes -> per-bit majority vote -> 4x14-bit
+    // bands -> popcount verify; DISTINCT stands in for first-match emission
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, CAST('0x' || substring(md5(t), 1, 14) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+        |        FROM documents)),
+        |n AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        |bitcnt AS (
+        |  SELECT doc_id, b, sum((h >> b) & 1) AS c
+        |  FROM tok CROSS JOIN (SELECT unnest(range(0, 56)) AS b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT bitcnt.doc_id,
+        |    CAST(sum(CASE WHEN 2 * c > n.n THEN (CAST(1 AS BIGINT) << b)
+        |             ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bitcnt JOIN n ON bitcnt.doc_id = n.doc_id
+        |  GROUP BY bitcnt.doc_id),
+        |bands AS (
+        |  SELECT doc_id, simhash, bi, (simhash >> (bi * 14)) & 16383 AS bv
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS bi)),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+        |    x.simhash AS sa, y.simhash AS sb
+        |  FROM bands x JOIN bands y
+        |    ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        |SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS dup_cnt
         |FROM (SELECT doc_id, array_to_string(list_sort(string_split(text, ' ')), ' ') AS k
