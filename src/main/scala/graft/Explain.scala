@@ -19,7 +19,11 @@ object Explain {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q1_pricing", "q3_shipping", "keyrange_scan", "join_broadcast",
         "join_star", "join_asof", "join_range", "bucketed_join", "merge_upsert",
-        "dedup_embed_cosine", "dedup_minhash", "sim_ann_ivf", "sim_topk")
+        "dedup_embed_cosine", "dedup_minhash", "sim_ann_ivf", "sim_topk",
+        // round-7 plan-shape additions: histogram de-skew, token-keyed
+        // candidates, map-only chunking, two-level HLL aggregate
+        "window_distribution", "text_levenshtein", "text_chunk",
+        "agg_hll_distinct", "dedup_components_shingle")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
