@@ -286,7 +286,42 @@ object Pipeline {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Eval-set decontamination — the GPT-3/PaLM-style rule, asymmetric where
+    * the dedup family is symmetric: a TRAINING doc is contaminated if it
+    * shares ANY 5-token shingle with any EVAL doc (eval = doc_id % 50 = 0,
+    * standing in for a held-out benchmark set). Judged output is the
+    * per-language decontamination manifest (n_train / n_contam / n_kept) a
+    * data run reports before training. Scale shape: the only join is an
+    * equality join on the shingle string — distributes by shingle, scales
+    * with true overlap, never pairs docs; no broadcast hint (real eval sets
+    * are small and AQE broadcasts them, but the shape must survive a large
+    * one). Docs shorter than one shingle cannot be contaminated — mirrored
+    * in the oracle. */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(t) - 4), i -> array_join(slice(t, i, 5), ' '))")))
+          .as("sh"))
+    val evalSh = sh.filter(col("doc_id") % 50 === 0).select(col("sh")).distinct()
+    val contam = sh.filter(col("doc_id") % 50 =!= 0)
+      .join(evalSh, "sh")
+      .select(col("doc_id")).distinct()
+      .withColumn("flag", lit(1))
+    Tables.documents(s, d).filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("lang"))
+      .join(contam, Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(coalesce(col("flag"), lit(0))).cast(LongType).as("n_contam"))
+      .withColumn("n_kept", col("n_train") - col("n_contam"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> (decontaminate _),
     "resample_ffill" -> (resampleFfill _),
     "join_asof" -> (joinAsof _),
     "join_range" -> (joinRange _),
@@ -299,6 +334,21 @@ object Pipeline {
     "embed_quantize" -> (embedQuantize _))
 
   val oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+        |           i -> array_to_string(t[i:i+4], ' ')))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 5),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+        |contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (sh)
+        |           WHERE sh.doc_id % 50 <> 0),
+        |train AS (SELECT doc_id, lang FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT lang, count(*) AS n_train,
+        |  CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam,
+        |  count(*) - CAST(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM train LEFT JOIN contam c ON train.doc_id = c.doc_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "join_asof" ->
       """WITH clicks AS (SELECT user_id, ts, max(event_id) AS c_id
         |                FROM events WHERE event_type = 'click'

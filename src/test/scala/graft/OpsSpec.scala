@@ -410,6 +410,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // --- decontamination: eval 5-gram overlap flags train docs ---
+  test("decontaminate flags train docs sharing a 5-shingle with the eval set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fix_decon").toString
+    Seq(
+      (0L, "q w e r t y u", "en", "s", 13L),   // eval doc (0 % 50 == 0)
+      (1L, "z q w e r t z", "en", "s", 13L),   // shares "q w e r t" -> contaminated
+      (2L, "a b c d e f g", "en", "s", 13L),   // clean
+      (3L, "q w e r", "en", "s", 7L))          // < 5 tokens: cannot be contaminated
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = ops.Pipeline.decontaminate(spark, dir).collect().head
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 3 && r.getLong(2) == 1 && r.getLong(3) == 2)
+  }
+
   // --- deterministic HLL: estimate lands within the m=256 error regime ---
   test("agg_hll_distinct estimates within 10% of the exact count") {
     val rows = ops.Relational.aggHllDistinct(spark, sf("sf0.01")).collect()
