@@ -1,0 +1,75 @@
+package graft
+
+import scala.io.StdIn
+
+import org.apache.spark.sql.SparkSession
+
+/** Interactive SQL shell — the Spark-native stand-in for the reference's
+  * CLI entry point (Astro shipped a `bin/hbase-sql` REPL [ref*: per
+  * SURVEY.md §0 — mount empty]). Everything flows through `spark.sql`,
+  * which the injected GraftSqlParser extends with the full A8 grammar
+  * (CREATE TABLE ... MAPPED BY, LOAD DATA INPATH, DESCRIBE, ...), and the
+  * persistent catalog means tables created in one shell session are still
+  * there in the next.
+  *
+  *   sbt "runMain graft.Shell"            # interactive
+  *   echo "SHOW TABLES;" | sbt "runMain graft.Shell"   # scripted
+  *
+  * Statements end with `;` and may span lines. `exit;` / `quit;` (or EOF)
+  * leaves. Errors print one line and the loop continues — a typo must not
+  * kill the session.
+  */
+object Shell {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    println("graft SQL shell — statements end with ';', `exit;` quits")
+    val buf = new StringBuilder
+    var done = false
+    while (!done) {
+      print(if (buf.isEmpty) "graft> " else "     > ")
+      Console.out.flush()
+      Option(StdIn.readLine()) match {
+        case None => done = true // EOF
+        case Some(line) =>
+          buf.append(line).append('\n')
+          // run each complete `;`-terminated statement, keep any remainder
+          var text = buf.toString
+          var semi = text.indexOf(';')
+          while (semi >= 0) {
+            val stmt = text.substring(0, semi).trim
+            text = text.substring(semi + 1)
+            if (stmt.equalsIgnoreCase("exit") || stmt.equalsIgnoreCase("quit"))
+              { done = true; semi = -1 }
+            else {
+              if (stmt.nonEmpty) runOne(spark, stmt)
+              semi = text.indexOf(';')
+            }
+          }
+          buf.clear(); buf.append(text)
+      }
+    }
+    spark.stop()
+  }
+
+  private def runOne(spark: SparkSession, stmt: String): Unit =
+    try {
+      val t0 = System.nanoTime()
+      val df = spark.sql(stmt)
+      df.show(50, truncate = false)
+      printf("(%.2f s)%n", (System.nanoTime() - t0) / 1e9)
+    } catch {
+      case e: Throwable =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+        System.err.println("ERROR: " + msg.linesIterator.take(3).mkString(" | "))
+    }
+}

@@ -30,11 +30,14 @@ object Time {
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warmup query: any registered query works; prefer the cheap filter if
-    // present rather than hardcoding a name the map may not contain.
-    val warm = if (SparkEntry.queries.contains("filter_pred")) "filter_pred"
-               else SparkEntry.queries.keys.min
-    try SparkEntry.queries(warm)(spark, sfDir).count() catch { case _: Throwable => }
+    // Warmup: the cheap filter query if registered; otherwise a trivial
+    // range count — never an arbitrary (alphabetically-first, possibly
+    // expensive) query, which would skew the warmup cost.
+    try {
+      if (SparkEntry.queries.contains("filter_pred"))
+        SparkEntry.queries("filter_pred")(spark, sfDir).count()
+      else spark.range(1000).selectExpr("sum(id) AS s").count()
+    } catch { case _: Throwable => }
     args.foreach { name =>
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()

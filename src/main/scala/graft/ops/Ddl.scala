@@ -1,10 +1,13 @@
 package graft.ops
 
 import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType}
 
 /** Astro-shaped DDL surface (SURVEY.md §2 A8): the reference declares tables
   * with `CREATE TABLE t (...) MAPPED BY (hbaseTbl, COLS=[...])` and a
@@ -19,30 +22,113 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
   *
   * Grammar (the reference's A8 statement set, re-expressed):
   *   CREATE TABLE <name> MAPPED BY '<path>' KEYS (<k1>[, <k2> ...])
-  *   DROP TABLE <name>
+  *   DROP TABLE [IF EXISTS] <name>
   *   ALTER TABLE <name> ADD COLUMN <col> AS <sql expr>
   *   ALTER TABLE <name> DROP COLUMN <col>
   *   SHOW TABLES
-  *   DESCRIBE <name>
+  *   DESC|DESCRIBE [TABLE] <name>
   *   CACHE TABLE <name> | UNCACHE TABLE <name>
   *   CREATE VIEW <name> AS <sql>
   *   LOAD DATA INPATH '<csv path>' INTO TABLE <name>
+  * Known limitation (documented, not silently wrong): qualified names
+  * (`db.t`) never match the (\w+) identifier, so such statements always
+  * delegate to the vanilla parser — graft keyed tables are single-part
+  * names, exactly like the temp views they register as.
+  *
+  * PERSISTENCE: Astro's catalog survived process restart (table metadata
+  * lived in an HBase metadata table [ref*: …/hbase/HBaseCatalog.scala —
+  * mount empty]). Graft mirrors that: every DDL mutation serializes the
+  * catalog — base path, key columns, and the CHRONOLOGICAL mutation log
+  * (ALTER ADD/DROP, LOAD) — to `spark-warehouse/graft_catalog.json`
+  * (override: -Dgraft.catalog.path). A new JVM lazily reloads the file and
+  * re-registers each table's temp view on first touch by REPLAYING the
+  * mutation log over the base parquet, so a restarted session sees the same
+  * schema and data the old one did, computed columns and loaded CSVs
+  * included. The file is tiny (metadata only — no data is copied), so the
+  * write-per-mutation is driver-side O(tables), never a Spark job.
   */
 object Ddl {
 
-  final case class KeyedTable(name: String, path: String, keys: Seq[String])
+  /** One replayable mutation: op ∈ add (col, expr) | drop (col, -) |
+    * load (csv path, -). Kept as strings so the catalog file stays a flat
+    * JSON list and replay is exactly the statement the user ran. */
+  final case class Mut(op: String, a: String, b: String)
+
+  final case class KeyedTable(name: String, path: String, keys: Seq[String],
+      muts: Seq[Mut] = Nil)
 
   private val catalog = TrieMap.empty[String, KeyedTable]
+  @volatile private var loadedFromDisk = false
+
+  private def catalogPath: java.nio.file.Path = java.nio.file.Paths.get(
+    sys.props.getOrElse("graft.catalog.path",
+      sys.env.getOrElse("GRAFT_CATALOG_PATH", "spark-warehouse/graft_catalog.json")))
+
+  /** Serialize the catalog. Jackson (shipped in Spark's own jars) handles
+    * escaping — expressions in the mutation log may contain quotes. */
+  private def persist(): Unit = synchronized {
+    val mapper = new ObjectMapper()
+    val root = new java.util.ArrayList[java.util.Map[String, Object]]()
+    catalog.values.toSeq.sortBy(_.name).foreach { t =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      m.put("name", t.name)
+      m.put("path", t.path)
+      m.put("keys", t.keys.asJava)
+      val ms = new java.util.ArrayList[java.util.Map[String, String]]()
+      t.muts.foreach { mu =>
+        ms.add(Map("op" -> mu.op, "a" -> mu.a, "b" -> mu.b).asJava)
+      }
+      m.put("muts", ms)
+      root.add(m)
+    }
+    val p = catalogPath
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(p,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+  }
+
+  /** Merge persisted entries into the in-memory catalog once per JVM. Pure
+    * file I/O — no SparkSession needed, so the parser's [[intercept]] can
+    * route correctly on the first statement of a fresh process. In-memory
+    * entries win on conflict (they are newer by construction). */
+  private def ensureLoaded(): Unit = {
+    if (loadedFromDisk) return
+    synchronized {
+      if (loadedFromDisk) return
+      val p = catalogPath
+      if (java.nio.file.Files.exists(p)) {
+        val mapper = new ObjectMapper()
+        val root = mapper.readTree(java.nio.file.Files.readString(p))
+        root.elements().asScala.foreach { n =>
+          val name = n.get("name").asText
+          val keys = n.get("keys").elements().asScala.map(_.asText).toSeq
+          val muts = n.get("muts").elements().asScala.map { m =>
+            Mut(m.get("op").asText, m.get("a").asText, m.get("b").asText)
+          }.toSeq
+          val t = KeyedTable(name, n.get("path").asText, keys, muts)
+          catalog.putIfAbsent(t.name.toLowerCase, t)
+        }
+      }
+      loadedFromDisk = true
+    }
+  }
+
+  /** Test hook: forget everything in memory so the next access replays the
+    * persisted file — simulates a process restart without forking a JVM. */
+  private[graft] def resetForTest(): Unit = synchronized {
+    catalog.clear()
+    loadedFromDisk = false
+  }
 
   private val CreateRe =
     """(?i)\s*CREATE\s+TABLE\s+(\w+)\s+MAPPED\s+BY\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s*""".r
-  private val DropRe = """(?i)\s*DROP\s+TABLE\s+(\w+)\s*""".r
+  private val DropRe = """(?i)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val AlterAddRe =
     """(?i)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+AS\s+(.+?)\s*""".r
   private val AlterDropRe =
     """(?i)\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val ShowRe = """(?i)\s*SHOW\s+TABLES\s*""".r
-  private val DescRe = """(?i)\s*DESCRIBE\s+(\w+)\s*""".r
+  private val DescRe = """(?i)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*""".r
   private val CacheRe = """(?i)\s*CACHE\s+TABLE\s+(\w+)\s*""".r
   private val UncacheRe = """(?i)\s*UNCACHE\s+TABLE\s+(\w+)\s*""".r
   // (?s): the view body is embedded SQL and may span lines
@@ -63,13 +149,17 @@ object Ddl {
       df.createOrReplaceTempView(name)
       val t = KeyedTable(name, path, keys)
       catalog.put(name.toLowerCase, t)
+      persist()
       t
     case _ =>
       throw new IllegalArgumentException(
         s"cannot parse DDL (expected CREATE TABLE <n> MAPPED BY '<path>' KEYS (...)): $ddl")
   }
 
-  def lookup(name: String): Option[KeyedTable] = catalog.get(name.toLowerCase)
+  def lookup(name: String): Option[KeyedTable] = {
+    ensureLoaded()
+    catalog.get(name.toLowerCase)
+  }
 
   private val statusCols: Seq[(String, DataType)] =
     Seq("op" -> StringType, "table" -> StringType)
@@ -80,10 +170,13 @@ object Ddl {
     * returns the statement's result schema when it belongs to graft's A8
     * grammar — unconditionally for syntax vanilla Spark cannot parse
     * (MAPPED BY, `ADD COLUMN c AS <expr>`), catalog-guarded for syntax it
-    * shares with standard SQL (DROP/DESCRIBE/CACHE/UNCACHE/ALTER DROP on a
-    * graft keyed table). None means: delegate to the vanilla parser. SHOW
-    * TABLES and CREATE VIEW deliberately delegate — keyed tables register
-    * as temp views, so vanilla semantics already cover them. */
+    * shares with standard SQL (DROP [IF EXISTS]/DESC[RIBE] [TABLE]/CACHE/
+    * UNCACHE/ALTER DROP on a graft keyed table). None means: delegate to
+    * the vanilla parser. SHOW TABLES and CREATE VIEW deliberately delegate
+    * — keyed tables register as temp views, so vanilla semantics already
+    * cover them. The catalog guard reads the PERSISTED catalog too
+    * (ensureLoaded inside lookup), so a fresh process routes its first
+    * DESCRIBE correctly. */
   def intercept(sql: String): Option[Seq[(String, DataType)]] = sql match {
     case CreateRe(_*)                              => Some(statusCols)
     case AlterAddRe(_*)                            => Some(statusCols)
@@ -105,6 +198,56 @@ object Ddl {
   private def hasColumn(cols: Array[String], name: String): Boolean =
     cols.exists(_.equalsIgnoreCase(name))
 
+  /** Header-aligned CSV read (LOAD DATA): columns are matched BY NAME
+    * against the table schema and cast to its types — an explicit-schema
+    * read would map by POSITION (names ignored), silently misaligning a
+    * CSV whose column order differs from the table's. Extra CSV columns
+    * are dropped; missing ones are an error, not nulls. */
+  private def readCsvAligned(spark: SparkSession, schema: StructType,
+      path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").csv(path)
+    val have = raw.columns.map(_.toLowerCase).toSet
+    val missing = schema.fields.filterNot(f => have.contains(f.name.toLowerCase))
+    require(missing.isEmpty,
+      s"CSV at $path lacks table columns: ${missing.map(_.name).mkString(", ")}")
+    raw.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** Replace a table's temp view without orphaning cached plans: if the old
+    * view was CACHE'd, uncache it first (otherwise its cached data leaks in
+    * the cache manager, unreachable by any later UNCACHE), then re-cache the
+    * new plan so a cached table stays cached across ALTER/LOAD. */
+  private def replaceView(spark: SparkSession, name: String, df: DataFrame): Unit = {
+    val wasCached = spark.catalog.tableExists(name) && spark.catalog.isCached(name)
+    if (wasCached) spark.catalog.uncacheTable(name)
+    df.createOrReplaceTempView(name)
+    if (wasCached) spark.catalog.cacheTable(name)
+  }
+
+  /** Rebuild a table's DataFrame from its catalog entry: base parquet, then
+    * the mutation log replayed in order — the restart path. */
+  private def rebuild(spark: SparkSession, t: KeyedTable): DataFrame =
+    t.muts.foldLeft(spark.read.parquet(t.path)) { (df, m) =>
+      m.op match {
+        case "add"  => df.withColumn(m.a, expr(m.b))
+        case "drop" => df.drop(m.a)
+        case "load" => df.unionByName(readCsvAligned(spark, df.schema, m.a))
+        case other  => throw new IllegalStateException(s"bad catalog mutation: $other")
+      }
+    }
+
+  /** Materialize the temp view for a catalog entry if this session does not
+    * have it yet (fresh process reading a persisted catalog). */
+  private def ensureView(spark: SparkSession, t: KeyedTable): Unit =
+    if (!spark.catalog.tableExists(t.name))
+      rebuild(spark, t).createOrReplaceTempView(t.name)
+
+  /** Record a mutation on a table: update the catalog entry and persist. */
+  private def logMut(t: KeyedTable, m: Mut): Unit = {
+    catalog.put(t.name.toLowerCase, t.copy(muts = t.muts :+ m))
+    persist()
+  }
+
   /** Single DDL entry point — dispatches the full A8 statement set. Returns
     * a DataFrame in every case (SHOW/DESCRIBE return their listings; the
     * mutating statements return a one-row status frame, the shape
@@ -120,41 +263,49 @@ object Ddl {
         val t = lookupOrThrow(name)
         spark.catalog.dropTempView(t.name)
         catalog.remove(t.name.toLowerCase)
+        persist()
         status("DROP", t.name)
       case AlterAddRe(name, colName, sqlExpr) =>
         val t = lookupOrThrow(name)
+        ensureView(spark, t)
         val df = spark.table(t.name)
         require(!hasColumn(df.columns, colName),
           s"column '$colName' already exists in ${t.name}")
-        df.withColumn(colName, expr(sqlExpr)).createOrReplaceTempView(t.name)
+        replaceView(spark, t.name, df.withColumn(colName, expr(sqlExpr)))
+        logMut(t, Mut("add", colName, sqlExpr))
         status("ALTER_ADD", t.name)
       case AlterDropRe(name, colName) =>
         val t = lookupOrThrow(name)
+        ensureView(spark, t)
         require(!t.keys.exists(_.equalsIgnoreCase(colName)),
           s"cannot drop key column '$colName' of ${t.name}")
         val df = spark.table(t.name)
         require(hasColumn(df.columns, colName),
           s"column '$colName' not in ${t.name}")
-        df.drop(colName).createOrReplaceTempView(t.name)
+        replaceView(spark, t.name, df.drop(colName))
+        logMut(t, Mut("drop", colName, ""))
         status("ALTER_DROP", t.name)
       case CacheRe(name) =>
         val t = lookupOrThrow(name)
+        ensureView(spark, t)
         spark.catalog.cacheTable(t.name)
         status("CACHE", t.name)
       case UncacheRe(name) =>
         val t = lookupOrThrow(name)
+        ensureView(spark, t)
         spark.catalog.uncacheTable(t.name)
         status("UNCACHE", t.name)
       case LoadRe(path, name) =>
         // Astro's bulk-load statement (LOAD DATA INPATH ... INTO TABLE t
         // [ref*: per SURVEY.md §2 A7 — mount empty]): CSV rows appended to
-        // the keyed table under its CURRENT schema. The union is a
-        // declarative view rewrite — nothing materializes until read.
+        // the keyed table under its CURRENT schema, columns matched by
+        // header NAME (readCsvAligned). The union is a declarative view
+        // rewrite — nothing materializes until read.
         val t = lookupOrThrow(name)
+        ensureView(spark, t)
         val df = spark.table(t.name)
-        val loaded = spark.read.schema(df.schema)
-          .option("header", "true").csv(path)
-        df.unionByName(loaded).createOrReplaceTempView(t.name)
+        replaceView(spark, t.name, df.unionByName(readCsvAligned(spark, df.schema, path)))
+        logMut(t, Mut("load", path, ""))
         status("LOAD", t.name)
       case ViewRe(name, sql) =>
         require(lookup(name).isEmpty,
@@ -162,11 +313,13 @@ object Ddl {
         spark.sql(sql).createOrReplaceTempView(name)
         status("CREATE_VIEW", name)
       case ShowRe() =>
+        ensureLoaded()
         catalog.values.toSeq.sortBy(_.name)
           .map(t => (t.name, t.path, t.keys.mkString(",")))
           .toDF("table", "path", "keys")
       case DescRe(name) =>
         val t = lookupOrThrow(name)
+        ensureView(spark, t)
         spark.table(t.name).schema.fields.toSeq
           .map(f => (f.name, f.dataType.simpleString,
             t.keys.exists(_.equalsIgnoreCase(f.name))))
@@ -235,6 +388,7 @@ object Ddl {
       lower: Seq[Any], upper: Seq[Any]): DataFrame = {
     val t = lookup(table).getOrElse(
       throw new IllegalArgumentException(s"unknown keyed table: $table"))
+    ensureView(spark, t)
     require(lower.length <= t.keys.length && upper.length <= t.keys.length,
       s"bounds longer than key (${t.keys.mkString(",")})")
     spark.table(t.name)

@@ -80,6 +80,32 @@ object Similarity {
   private def pairCos(aEmb: Column, bEmb: Column, aNrm: Column, bNrm: Column): Column =
     VectorOps.dotFast(aEmb, bEmb) / (aNrm * bNrm)
 
+  /** FIXED-SIZE deterministic query sample for the eval/baseline paths: the
+    * `nQueries` vec_ids with the smallest md5(vec_id) (ties on vec_id —
+    * unreachable, but pinned). The earlier `vec_id % 20` slice sampled a
+    * FRACTION, so the brute-force truth path cost n²/20 pairs — at 100× data
+    * that is 10,000× work; a constant-count sample keeps truth cost linear in
+    * the corpus (nQueries·n) forever. Plan shape: a top-k by hash over just
+    * the id column (TakeOrderedAndProject — one linear scan, 64-row heap per
+    * partition), then a broadcast semi-side join, so no full sort and no
+    * shuffle of the vector column. The md5 ordering is replayed character-
+    * for-character by the oracle's ORDER BY md5(CAST(vec_id AS VARCHAR))
+    * LIMIT CTE (hex digits sort identically in both engines). */
+  private[ops] val nQueries = 64
+
+  private def queryIds(withVecId: DataFrame): DataFrame =
+    withVecId.select(col("vec_id"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nQueries)
+
+  private def onlyQueries(df: DataFrame, ids: DataFrame): DataFrame =
+    df.join(broadcast(ids), Seq("vec_id"))
+
+  /** Oracle-side twin of [[queryIds]]: a CTE `qs(vec_id)` selecting the same
+    * fixed-size sample; expects an `e` CTE with vec_id in scope. */
+  private def querySampleSqlCte: String =
+    s"qs AS (SELECT vec_id FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nQueries)"
+
   private def bucketSqlExpr(emb: String, from: Int = 0, until: Int = 8): String =
     (from until until).map(i =>
       s"(CASE WHEN ${Sql.dotD(emb, planeSql(i))} >= 0 THEN '1' ELSE '0' END)")
@@ -112,11 +138,11 @@ object Similarity {
        |b AS (SELECT vec_id, emb, $bucket AS bucket, $bucket2 AS bucket2 FROM bm)""".stripMargin
   }
 
-  /** C3 baseline: brute-force cosine top-10 for a fixed query set. */
+  /** C3 baseline: brute-force cosine top-10 for a fixed-size query sample. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
     val e = withVec(Tables.embeddings(s, d))
-    val q = e.filter(col("vec_id") % 20 === 0)
+    val q = onlyQueries(e, queryIds(e))
       .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -136,7 +162,7 @@ object Similarity {
     VectorOps.ensureRegistered(s)
     val topk = udaf(new graft.functions.TopKAgg(10))
     val e = withVec(Tables.embeddings(s, d))
-    val q = e.filter(col("vec_id") % 20 === 0)
+    val q = onlyQueries(e, queryIds(e))
       .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"))
     q.join(c, col("q_id") =!= col("n_id"))
@@ -165,7 +191,7 @@ object Similarity {
     * two probe buckets differ in exactly one bit and each neighbor lives in
     * one bucket, so probe candidates never duplicate a (q_id, n_id) pair. */
   private def lshTopk(b: DataFrame, nprobe: Int): DataFrame = {
-    val qBase = b.filter(col("vec_id") % 20 === 0)
+    val qBase = onlyQueries(b, queryIds(b))
     def probe(bk: String) = qBase.select(col("vec_id").as("q_id"),
       col("emb_d").as("qe"), col("nrm").as("qn"), col(bk).as("bucket"))
     val q = if (nprobe == 1) probe("bucket") else probe("bucket").union(probe("bucket2"))
@@ -219,7 +245,10 @@ object Similarity {
     * trades one more cell-sized candidate join for recall — the production
     * multi-probe shape; annRecallIvf judges nprobe 1 vs 2 side by side. */
   private def ivfTopk(ranks: DataFrame, nprobe: Int): DataFrame = {
-    val q = ranks.filter(col("crk") <= nprobe && col("vec_id") % 20 === 0)
+    // crk = 1 holds exactly one row per vec_id, so sampling over it sees the
+    // whole corpus once — same id universe queryIds sees elsewhere.
+    val q = onlyQueries(ranks.filter(col("crk") <= nprobe),
+        queryIds(ranks.filter(col("crk") === 1)))
       .select(col("vec_id").as("q_id"), col("emb_d").as("qe"),
         col("nrm").as("qn"), col("cell"))
     val c = ranks.filter(col("crk") === 1)
@@ -238,8 +267,9 @@ object Similarity {
     * brute-force ground truth — the eval harness every production ANN
     * deployment runs before trusting an index. Both sides are this module's
     * own judged queries, so the recall numbers are themselves oracle-checked.
-    * Scale shape: ground truth on a SAMPLED query set (here the %20 slice —
-    * at 100 TB you never brute-force every row) THROUGH THE BOUNDED-HEAP
+    * Scale shape: ground truth on a FIXED-SIZE query sample (queryIds — at
+    * 100 TB you never brute-force every row, and a constant count keeps
+    * truth cost linear in the corpus) THROUGH THE BOUNDED-HEAP
     * TopKAgg (O(k) state per query with partial combines, no full partition
     * sort — identical rows to the window-rank form), then an equi-join on
     * (q_id, n_id) and a small per-query aggregate. Like the IVF twin, it
@@ -455,7 +485,9 @@ object Similarity {
     "sim_topk" -> {
       val cos = Sql.cosineD("q.qe", "c.ne")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE q_id % 20 = 0),
+         |$querySampleSqlCte,
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e
+         |      WHERE vec_id IN (SELECT vec_id FROM qs)),
          |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
          |s AS (SELECT q_id, n_id, $cos AS cos
          |      FROM q JOIN c ON q_id <> n_id),
@@ -469,7 +501,9 @@ object Similarity {
     "sim_topk_agg" -> {
       val cos = Sql.cosineD("q.qe", "c.ne")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE q_id % 20 = 0),
+         |$querySampleSqlCte,
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e
+         |      WHERE vec_id IN (SELECT vec_id FROM qs)),
          |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
          |s AS (SELECT q_id, n_id, $cos AS cos
          |      FROM q JOIN c ON q_id <> n_id),
@@ -482,10 +516,13 @@ object Similarity {
     "sim_ann_lsh" -> {
       val cos = Sql.cosineD("q.qe", "c.ne")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |$querySampleSqlCte,
          |$bucketsSqlCtes,
-         |q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id % 20 = 0
+         |q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b
+         |      WHERE vec_id IN (SELECT vec_id FROM qs)
          |      UNION ALL
-         |      SELECT vec_id, emb, bucket2 FROM b WHERE vec_id % 20 = 0),
+         |      SELECT vec_id, emb, bucket2 FROM b
+         |      WHERE vec_id IN (SELECT vec_id FROM qs)),
          |c AS (SELECT vec_id AS n_id, emb AS ne, bucket FROM b),
          |s AS (SELECT q_id, n_id, $cos AS cos
          |      FROM q JOIN c USING (bucket) WHERE q_id <> n_id),
@@ -499,6 +536,7 @@ object Similarity {
       val ccos = Sql.cosineD("e.emb", "c.ce")
       val cos = Sql.cosineD("q.qe", "c2.ne")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |$querySampleSqlCte,
          |cents AS (SELECT vec_id AS c_id, emb AS ce FROM e WHERE vec_id % 40 = 0),
          |ac AS (SELECT e.vec_id, e.emb, c.c_id, $ccos AS ccos
          |       FROM e CROSS JOIN cents c),
@@ -506,7 +544,7 @@ object Similarity {
          |         ORDER BY ccos DESC, c_id) AS crk FROM ac),
          |assigned AS (SELECT vec_id, emb, c_id AS cell FROM ar WHERE crk = 1),
          |q AS (SELECT vec_id AS q_id, emb AS qe, c_id AS cell FROM ar
-         |      WHERE crk <= 2 AND vec_id % 20 = 0),
+         |      WHERE crk <= 2 AND vec_id IN (SELECT vec_id FROM qs)),
          |c2 AS (SELECT vec_id AS n_id, emb AS ne, cell FROM assigned),
          |s AS (SELECT q_id, n_id, $cos AS cos
          |      FROM q JOIN c2 USING (cell) WHERE q_id <> n_id),
@@ -534,7 +572,9 @@ object Similarity {
     "ann_recall" -> {
       val cos = Sql.cosineD("q.qe", "c.ne")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),
+         |$querySampleSqlCte,
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e
+         |      WHERE vec_id IN (SELECT vec_id FROM qs)),
          |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
          |s AS (SELECT q_id, n_id, $cos AS cos FROM q JOIN c ON q_id <> n_id),
          |truth AS (SELECT q_id, n_id FROM (
@@ -543,9 +583,10 @@ object Similarity {
          |$bucketsSqlCtes,
          |c2 AS (SELECT vec_id AS n_id, emb AS ne, bucket FROM b),
          |q2 AS (SELECT vec_id AS q_id, emb AS qe, bucket, 1 AS pr FROM b
-         |       WHERE vec_id % 20 = 0
+         |       WHERE vec_id IN (SELECT vec_id FROM qs)
          |       UNION ALL
-         |       SELECT vec_id, emb, bucket2, 2 FROM b WHERE vec_id % 20 = 0),
+         |       SELECT vec_id, emb, bucket2, 2 FROM b
+         |       WHERE vec_id IN (SELECT vec_id FROM qs)),
          |s2 AS (SELECT q_id, n_id, pr, ${Sql.cosineD("q2.qe", "c2.ne")} AS cos
          |       FROM q2 JOIN c2 USING (bucket) WHERE q_id <> n_id),
          |lsh1 AS (SELECT q_id, n_id FROM (
@@ -571,7 +612,9 @@ object Similarity {
       val ccos = Sql.cosineD("e.emb", "cc.ce")
       val icos = Sql.cosineD("q2.qe", "c2.ne")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id % 20 = 0),
+         |$querySampleSqlCte,
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e
+         |      WHERE vec_id IN (SELECT vec_id FROM qs)),
          |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
          |s AS (SELECT q_id, n_id, $cos AS cos FROM q JOIN c ON q_id <> n_id),
          |truth AS (SELECT q_id, n_id FROM (
@@ -585,7 +628,7 @@ object Similarity {
          |assigned AS (SELECT vec_id, emb, c_id AS cell FROM ar WHERE crk = 1),
          |c2 AS (SELECT vec_id AS n_id, emb AS ne, cell FROM assigned),
          |q2 AS (SELECT vec_id AS q_id, emb AS qe, c_id AS cell, crk FROM ar
-         |       WHERE crk <= 2 AND vec_id % 20 = 0),
+         |       WHERE crk <= 2 AND vec_id IN (SELECT vec_id FROM qs)),
          |s2 AS (SELECT q_id, n_id, q2.crk, $icos AS cos
          |       FROM q2 JOIN c2 USING (cell) WHERE q_id <> n_id),
          |ivf1 AS (SELECT q_id, n_id FROM (

@@ -486,6 +486,36 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // --- and the KNOWN boundary of that filter, pinned on an adversarial
+  // fixture: a same-length pair within edit distance 4 whose rarest-2 probe
+  // tokens appear in NO other document. No token-overlap bound is sound for
+  // edit distance (10 edits can rewrite every rare token), so the rarest-2
+  // filter DROPS this pair — by declared design, mirrored by the oracle.
+  // This test fails the moment the boundary moves, so the docstring's
+  // honesty note stays true. ---
+  test("text_levenshtein boundary: disjoint-rare-token near pair is dropped by design") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lev_adv").toString
+    val rows = Seq(
+      // probe (doc_id % 5 == 0): rarest-2 = xx, yy (df 1 each; shared* df 4)
+      (0L, "xx yy shared1 shared2 shared3", "en", "s0", 29L),
+      // within lev 4 of the probe, same length — but zz/ww share no rare token
+      (1L, "zz ww shared1 shared2 shared3", "en", "s1", 29L),
+      // filler raising df(shared*) to 4; 40-char prefixes keep them lev > 10
+      // AND length-residual > 5 from docs 0/1
+      (2L, "shared1 shared2 shared3 qqqqqqq wwwwwww eeeeeee", "en", "s2", 47L),
+      (3L, "shared1 shared2 shared3 rrrrrrr ttttttt uuuuuuu", "en", "s3", 47L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val quadratic = ops.Text.textLevenshteinQuadratic(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filtered = ops.Text.textLevenshtein(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quadratic == Set((0L, 1L))) // the pair IS within the threshold...
+    assert(filtered.isEmpty)           // ...and the declared filter drops it
+  }
+
   // --- vocabulary head: Zipf rank with deterministic tie-break ---
   test("text_vocab ranks by count desc then term asc") {
     val out = ops.Text.textVocab(spark, FixtureData.docsDir(spark)).collect()
