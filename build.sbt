@@ -15,6 +15,9 @@ run / fork := true
 // BENCH parsed:null because sbt's default logger prefixes every forked-output
 // line with "[info] ", which breaks the driver's metric-line parser.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Forward sbt's stdin to the forked JVM so graft.Shell's readLine loop
+// works both interactively and piped (`echo "...;" | sbt "runMain graft.Shell"`).
+run / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -14,6 +14,8 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.Shell"            # interactive
   *   echo "SHOW TABLES;" | sbt "runMain graft.Shell"   # scripted
+  *   (plain `sbt`, not `sbt -batch` — batch mode closes sbt's stdin, so the
+  *    forked JVM sees EOF; `run / connectInput := true` does the forwarding)
   *
   * Statements end with `;` and may span lines. `exit;` / `quit;` (or EOF)
   * leaves. Errors print one line and the loop continues — a typo must not
@@ -42,23 +44,30 @@ object Shell {
         case None => done = true // EOF
         case Some(line) =>
           buf.append(line).append('\n')
-          // run each complete `;`-terminated statement, keep any remainder
-          var text = buf.toString
-          var semi = text.indexOf(';')
-          while (semi >= 0) {
-            val stmt = text.substring(0, semi).trim
-            text = text.substring(semi + 1)
-            if (stmt.equalsIgnoreCase("exit") || stmt.equalsIgnoreCase("quit"))
-              { done = true; semi = -1 }
-            else {
-              if (stmt.nonEmpty) runOne(spark, stmt)
-              semi = text.indexOf(';')
-            }
-          }
-          buf.clear(); buf.append(text)
+          val (remainder, sawExit) = runComplete(spark, buf.toString)
+          if (sawExit) done = true
+          buf.clear(); buf.append(remainder)
       }
     }
     spark.stop()
+  }
+
+  /** Run every complete `;`-terminated statement in `text`; returns the
+    * unterminated remainder (a statement still being typed) and whether an
+    * exit/quit was seen. Factored out of the readLine loop so the statement
+    * splitting + error containment is unit-testable without a TTY. */
+  private[graft] def runComplete(spark: SparkSession, text0: String): (String, Boolean) = {
+    var text = text0
+    var semi = text.indexOf(';')
+    while (semi >= 0) {
+      val stmt = text.substring(0, semi).trim
+      text = text.substring(semi + 1)
+      if (stmt.equalsIgnoreCase("exit") || stmt.equalsIgnoreCase("quit"))
+        return (text, true)
+      if (stmt.nonEmpty) runOne(spark, stmt)
+      semi = text.indexOf(';')
+    }
+    (text, false)
   }
 
   private def runOne(spark: SparkSession, stmt: String): Unit =
