@@ -229,10 +229,37 @@ object KeyRange {
       .orderBy(col("lang"))
   }
 
+  /** B3-sharded: deterministic hash-sharded JSONL export + manifest — the
+    * data-loader handoff a training pipeline actually ships: N shards keyed
+    * by a content-independent md5 of the stable doc id (reshuffle-proof,
+    * replayable in both engines), one directory per shard via partitionBy,
+    * and a per-shard manifest (doc count, char sum, id range) the loader
+    * validates against before training. Scale shape: the shard column is
+    * the repartition key, so the write distributes by shard with no global
+    * sort and each task writes exactly one shard's file; the manifest is a
+    * map-side-combined aggregate over the RE-READ export (round-trip
+    * correctness-gated like the other sinks). Shard count is 8 here; at
+    * 100 TB it grows with loader parallelism — the plan is unchanged. */
+  def exportSharded(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/export_sharded"
+    val shard = expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 8")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), shard.as("shard"))
+      .repartition(col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").json(tmp)
+    s.read.schema("doc_id LONG, lang STRING, n_chars LONG, shard LONG").json(tmp)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "version_compact" -> (versionCompact _),
     "export_jsonl" -> (exportJsonl _),
+    "export_sharded" -> (exportSharded _),
     "keyrange_scan" -> (keyrangeScan _),
     "insert_select" -> (insertSelect _),
     "insert_values" -> (insertValues _),
@@ -267,6 +294,14 @@ object KeyRange {
         | CAST(sum(n_chars) AS BIGINT) AS chars_sum,
         | min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // replays the Spark shard expression: first 6 md5 hex chars → BIGINT % 8
+    "export_sharded" ->
+      """SELECT CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 8
+        |   AS shard,
+        | count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        | min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     "keyrange_scan" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem

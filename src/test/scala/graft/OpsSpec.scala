@@ -608,6 +608,16 @@ class OpsSpec extends SparkSpec {
   }
 
   // --- mix report: shares are exact ratios over the aggregated grid ---
+  test("export_sharded covers every doc across its 8 hash shards") {
+    val d = sf("sf0.001")
+    val m = ops.KeyRange.exportSharded(spark, d).collect()
+    assert(m.map(_.getLong(0)).toSet == (0L to 7L).toSet) // every shard written
+    assert(m.map(_.getLong(1)).sum == Tables.documents(spark, d).count())
+    // md5 sharding balances within a loose factor at 500 docs
+    val counts = m.map(_.getLong(1))
+    assert(counts.max <= counts.min * 3, counts.mkString(","))
+  }
+
   test("corpus_mix shares sum to 1 and counts cover the corpus") {
     val d = sf("sf0.001")
     val out = ops.Pipeline.corpusMix(spark, d).collect()

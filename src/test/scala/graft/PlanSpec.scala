@@ -97,6 +97,17 @@ class PlanSpec extends SparkSpec {
     assert(keys.contains("term"), keys.toString)
   }
 
+  test("similarity query sample is a bounded top-k, not a global sort") {
+    // the fixed-size md5 query sample must plan as TakeOrderedAndProject
+    // (linear scan + 64-row heap per partition) over just the id column,
+    // and reach the corpus as a broadcast — never a full Sort or a shuffle
+    // of the embedding vectors for the sample side
+    val df = SparkEntry.queries("sim_topk")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("levenshtein candidates distribute by token, not language blocks") {
     val df = SparkEntry.queries("text_levenshtein")(spark, sf("sf0.001"))
     val plan = df.queryExecution.executedPlan.toString
