@@ -233,6 +233,34 @@ object Dedup {
         ratioD(col("inter"), col("uni")).as("jac"))
   }
 
+  /** C1-block: PARAGRAPH-level exact dedup — the within-corpus repeated-
+    * passage signal production pipelines (e.g. the Dolma recipe) compute
+    * beside document-level dedup: a doc can be globally unique while most
+    * of its passages are boilerplate copied across the corpus. "Paragraph"
+    * here is the deterministic stand-in the fixture's unpunctuated text
+    * admits: disjoint 16-token blocks (last block partial), hashed with md5
+    * so the shuffle moves 32-byte digests, never block text (the C1 idiom).
+    * Output per doc: block count, blocks repeated in ANY other doc, and the
+    * repeated fraction — the score a curation pass thresholds on.
+    * Scale: explode → hash → groupBy(hash) distributes by digest (boilerplate
+    * hot keys are bounded by doc count, not corpus size); the per-doc
+    * aggregate joins back on the digest — no pairwise anything. */
+  def dedupBlocks(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), tokens.as("t"))
+    val blocks = t.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST((size(t)-1) div 16 AS INT))," +
+          " i -> array_join(slice(t, i*16+1, 16), ' '))")).as("btext"))
+      .select(col("doc_id"), md5(col("btext")).as("h"))
+    val dfreq = blocks.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    blocks.join(dfreq, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("dup_frac", ratioD(col("n_repeated"), col("n_blocks")))
+      .orderBy(col("doc_id"))
+  }
+
   /** C2-exact twin: all near-dup pairs by exact token-set Jaccard >= 0.6
     * within a language. Fully oracle-checkable (no engine hash involved);
     * candidate generation is statistics-driven — see ngramJaccardPairs. */
@@ -550,6 +578,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> (dedupExact _),
+    "dedup_blocks" -> (dedupBlocks _),
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_shingle" -> (dedupShingle _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -690,6 +719,20 @@ object Dedup {
         |FROM (SELECT doc_id, array_to_string(list_sort(string_split(text, ' ')), ' ') AS k
         |      FROM documents)
         |GROUP BY k ORDER BY rep_id""".stripMargin,
+    // disjoint 16-token blocks, md5 digests, cross-doc repeat counts —
+    // the identical block boundaries (1-based inclusive slices) and hash
+    "dedup_blocks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bi AS (SELECT doc_id, tk, unnest(generate_series(0, (len(tk)-1)//16)) AS i FROM t),
+        |b AS (SELECT doc_id, md5(array_to_string(tk[i*16+1 : i*16+16], ' ')) AS h FROM bi),
+        |dfreq AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM b GROUP BY h)
+        |SELECT b.doc_id,
+        |  count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN dfreq.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+        |  CAST(sum(CASE WHEN dfreq.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS dup_frac
+        |FROM b JOIN dfreq USING (h)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tk,
         |                  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n

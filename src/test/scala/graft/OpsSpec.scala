@@ -608,6 +608,24 @@ class OpsSpec extends SparkSpec {
   }
 
   // --- mix report: shares are exact ratios over the aggregated grid ---
+  test("dedup_blocks flags cross-doc repeated 16-token blocks only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_blocks").toString
+    val shared = (1 to 16).map(i => s"w$i").mkString(" ") // one full block
+    val rows = Seq(
+      (0L, shared + " solo0 tail0", "en", "s0", 100L), // block0 shared, block1 unique
+      (1L, shared + " solo1 tail1", "en", "s1", 100L), // shares block0 with doc 0
+      (2L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "s2", 100L)) // all unique
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val out = ops.Dedup.dedupBlocks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((0L, 2L, 1L, 0.5))) // 2 blocks, the shared one repeated
+    assert(out(1) == ((1L, 2L, 1L, 0.5)))
+    assert(out(2) == ((2L, 2L, 0L, 0.0))) // 20 tokens → 2 blocks, none repeated
+  }
+
   test("export_sharded covers every doc across its 8 hash shards") {
     val d = sf("sf0.001")
     val m = ops.KeyRange.exportSharded(spark, d).collect()
