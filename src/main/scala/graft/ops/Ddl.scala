@@ -65,7 +65,10 @@ object Ddl {
       sys.env.getOrElse("GRAFT_CATALOG_PATH", "spark-warehouse/graft_catalog.json")))
 
   /** Serialize the catalog. Jackson (shipped in Spark's own jars) handles
-    * escaping — expressions in the mutation log may contain quotes. */
+    * escaping — expressions in the mutation log may contain quotes. The
+    * write is ATOMIC (temp file + move): a process killed mid-write — the
+    * round-7 bench died to exactly such a timeout kill — must never leave a
+    * truncated file that poisons every later session's ensureLoaded. */
   private def persist(): Unit = synchronized {
     val mapper = new ObjectMapper()
     val root = new java.util.ArrayList[java.util.Map[String, Object]]()
@@ -83,8 +86,18 @@ object Ddl {
     }
     val p = catalogPath
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    java.nio.file.Files.writeString(p,
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    try
+      java.nio.file.Files.move(tmp, p,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp, p,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Merge persisted entries into the in-memory catalog once per JVM. Pure
@@ -97,16 +110,25 @@ object Ddl {
       if (loadedFromDisk) return
       val p = catalogPath
       if (java.nio.file.Files.exists(p)) {
-        val mapper = new ObjectMapper()
-        val root = mapper.readTree(java.nio.file.Files.readString(p))
-        root.elements().asScala.foreach { n =>
-          val name = n.get("name").asText
-          val keys = n.get("keys").elements().asScala.map(_.asText).toSeq
-          val muts = n.get("muts").elements().asScala.map { m =>
-            Mut(m.get("op").asText, m.get("a").asText, m.get("b").asText)
-          }.toSeq
-          val t = KeyedTable(name, n.get("path").asText, keys, muts)
-          catalog.putIfAbsent(t.name.toLowerCase, t)
+        // An unreadable/corrupt file degrades to an empty catalog with one
+        // stderr line — it must NEVER throw, because this sits on the parse
+        // path of every spark.sql statement (intercept → lookup).
+        try {
+          val mapper = new ObjectMapper()
+          val root = mapper.readTree(java.nio.file.Files.readString(p))
+          root.elements().asScala.foreach { n =>
+            val name = n.get("name").asText
+            val keys = n.get("keys").elements().asScala.map(_.asText).toSeq
+            val muts = n.get("muts").elements().asScala.map { m =>
+              Mut(m.get("op").asText, m.get("a").asText, m.get("b").asText)
+            }.toSeq
+            val t = KeyedTable(name, n.get("path").asText, keys, muts)
+            catalog.putIfAbsent(t.name.toLowerCase, t)
+          }
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"[graft] ignoring unreadable catalog file $p: ${e.getClass.getSimpleName}")
         }
       }
       loadedFromDisk = true

@@ -189,6 +189,30 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("a corrupt catalog file degrades to an empty catalog, never throws") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_bad", ".json")
+    java.nio.file.Files.writeString(tmp, "[ { \"name\": \"trunc") // mid-write kill
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      assert(ops.Ddl.lookup("anything").isEmpty) // parses nothing, throws nothing
+      // and the catalog still WORKS (persist overwrites the bad file atomically)
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE after_bad MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+      ops.Ddl.resetForTest()
+      assert(ops.Ddl.lookup("after_bad").isDefined) // round-trips through the file
+      spark.sql("DROP TABLE after_bad")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("DROP TABLE IF EXISTS and DESC[RIBE] TABLE route to the graft parser") {
     spark.sql(
       s"CREATE TABLE ifex_t MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
