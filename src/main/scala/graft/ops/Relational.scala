@@ -53,6 +53,57 @@ object Relational {
       .limit(10)
   }
 
+  /** TPC-H Q5 shape (local supplier volume): the classic 6-table join-order
+    * stress — customer⨝orders⨝lineitem⨝supplier with the customer-and-
+    * supplier-share-a-nation constraint, nation⨝region as broadcast dims.
+    * Scale notes: region/nation are tiny (broadcast), the c/o/l/s chain
+    * shuffles on its equi-keys, and the date range reaches the parquet scan
+    * as PushedFilters; the extra c_nationkey = s_nationkey equality rides
+    * the supplier join — no second shuffle. Revenue uses the exact-decimal
+    * money pipeline (dec4 products → S-sum → double) like q1/q3. */
+  def q5SupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1996-01-01").cast(TimestampType)
+    val hi = lit("1998-01-01").cast(TimestampType)
+    val one = lit(1).cast(M4)
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+        .cast(S).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): a HAVING-filtered aggregate as a
+    * semi-join gate — orders whose lineitem quantity sum exceeds the bar,
+    * re-joined to customer/lineitem for the top-20 report. Scale notes: the
+    * gate is one map-combined groupBy on l_orderkey; the left-semi keeps the
+    * orders stream narrow before the reporting join; the threshold compares
+    * EXACT decimal sums (double sums would be order-dependent at the
+    * boundary and could disagree with the oracle). */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qsum"))
+      .filter(col("qsum") > lit(250))
+      .select(col("l_orderkey").as("big_okey"))
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sumS(col("l_quantity")).as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(20)
+  }
+
   /** B4/B7: projection with expressions, aliases, casts. */
   def projectExpr(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -509,6 +560,8 @@ object Relational {
     "agg_stats" -> (aggStats _),
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
+    "q5_supplier_volume" -> (q5SupplierVolume _),
+    "q18_large_orders" -> (q18LargeOrders _),
     "agg_cube" -> (aggCube _),
     "agg_collect" -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
@@ -659,6 +712,32 @@ object Relational {
         |GROUP BY o_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC NULLS LAST, o_orderdate, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q5_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderdate, o_orderkey
+        |LIMIT 20""".stripMargin,
     "project_expr" ->
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1.0 - l_discount) AS disc_price,
