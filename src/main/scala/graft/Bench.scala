@@ -183,8 +183,11 @@ object Bench {
       }
     }
     val skipped = names.length - pass2.length
-    if (skipped > 0)
-      System.err.println(s"[bench] budget ${budgetS}s reached at ${f3(wallS)}s wall; pass 2 skipped $skipped of ${names.length} queries")
+    if (skipped > 0) {
+      val why = if (contextDied) "SparkContext died"
+                else s"budget ${budgetS}s reached"
+      System.err.println(s"[bench] $why at ${f3(wallS)}s wall; pass 2 skipped $skipped of ${names.length} queries")
+    }
     val results = floors
     val total = results.map(_._2).sum
     // Full-precision artifact for humans and the judge: both raw passes so

@@ -41,7 +41,11 @@ object Shell {
       print(if (buf.isEmpty) "graft> " else "     > ")
       Console.out.flush()
       Option(StdIn.readLine()) match {
-        case None => done = true // EOF
+        case None =>
+          // EOF: run any buffered unterminated statement rather than
+          // silently discarding it — piped scripts often omit the last ';'
+          if (buf.toString.trim.nonEmpty) runComplete(spark, buf.toString + ";")
+          done = true
         case Some(line) =>
           buf.append(line).append('\n')
           val (remainder, sawExit) = runComplete(spark, buf.toString)
@@ -52,20 +56,42 @@ object Shell {
     spark.stop()
   }
 
-  /** Run every complete `;`-terminated statement in `text`; returns the
-    * unterminated remainder (a statement still being typed) and whether an
-    * exit/quit was seen. Factored out of the readLine loop so the statement
-    * splitting + error containment is unit-testable without a TTY. */
+  /** Index of the first statement-terminating ';' in `text`, skipping any
+    * inside single- or double-quoted SQL literals ('' is the escape inside
+    * single quotes, "" inside double); -1 when none. */
+  private def splitPoint(text: String): Int = {
+    var i = 0
+    var quote: Char = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (quote != 0) {
+        if (c == quote) {
+          // doubled quote = escaped quote, stay inside the literal
+          if (i + 1 < text.length && text.charAt(i + 1) == quote) i += 1
+          else quote = 0
+        }
+      } else if (c == '\'' || c == '"') quote = c
+      else if (c == ';') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Run every complete `;`-terminated statement in `text` (semicolons
+    * inside quoted literals do not terminate); returns the unterminated
+    * remainder (a statement still being typed) and whether an exit/quit was
+    * seen. Factored out of the readLine loop so the statement splitting +
+    * error containment is unit-testable without a TTY. */
   private[graft] def runComplete(spark: SparkSession, text0: String): (String, Boolean) = {
     var text = text0
-    var semi = text.indexOf(';')
+    var semi = splitPoint(text)
     while (semi >= 0) {
       val stmt = text.substring(0, semi).trim
       text = text.substring(semi + 1)
       if (stmt.equalsIgnoreCase("exit") || stmt.equalsIgnoreCase("quit"))
         return (text, true)
       if (stmt.nonEmpty) runOne(spark, stmt)
-      semi = text.indexOf(';')
+      semi = splitPoint(text)
     }
     (text, false)
   }

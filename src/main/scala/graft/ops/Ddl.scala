@@ -70,6 +70,11 @@ object Ddl {
     * round-7 bench died to exactly such a timeout kill — must never leave a
     * truncated file that poisons every later session's ensureLoaded. */
   private def persist(): Unit = synchronized {
+    // Merge the disk catalog FIRST: if the fresh process's first statement
+    // is CREATE TABLE, serializing only the in-memory map would atomically
+    // overwrite every previously persisted table with just the new one —
+    // the exact durability the file exists to provide.
+    ensureLoaded()
     val mapper = new ObjectMapper()
     val root = new java.util.ArrayList[java.util.Map[String, Object]]()
     catalog.values.toSeq.sortBy(_.name).foreach { t =>
@@ -144,7 +149,7 @@ object Ddl {
 
   private val CreateRe =
     """(?i)\s*CREATE\s+TABLE\s+(\w+)\s+MAPPED\s+BY\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s*""".r
-  private val DropRe = """(?i)\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*""".r
+  private val DropRe = """(?i)\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?(\w+)\s*""".r
   private val AlterAddRe =
     """(?i)\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+AS\s+(.+?)\s*""".r
   private val AlterDropRe =
@@ -202,7 +207,7 @@ object Ddl {
   def intercept(sql: String): Option[Seq[(String, DataType)]] = sql match {
     case CreateRe(_*)                              => Some(statusCols)
     case AlterAddRe(_*)                            => Some(statusCols)
-    case DropRe(n) if lookup(n).isDefined          => Some(statusCols)
+    case DropRe(_, n) if lookup(n).isDefined       => Some(statusCols)
     case AlterDropRe(n, _) if lookup(n).isDefined  => Some(statusCols)
     case CacheRe(n) if lookup(n).isDefined         => Some(statusCols)
     case UncacheRe(n) if lookup(n).isDefined       => Some(statusCols)
@@ -281,12 +286,19 @@ object Ddl {
     ddl match {
       case CreateRe(_*) =>
         status("CREATE", create(spark, ddl).name)
-      case DropRe(name) =>
-        val t = lookupOrThrow(name)
-        spark.catalog.dropTempView(t.name)
-        catalog.remove(t.name.toLowerCase)
-        persist()
-        status("DROP", t.name)
+      case DropRe(ifExists, name) =>
+        lookup(name) match {
+          case Some(t) =>
+            spark.catalog.dropTempView(t.name)
+            catalog.remove(t.name.toLowerCase)
+            persist()
+            status("DROP", t.name)
+          case None if ifExists != null =>
+            // IF EXISTS semantics: a missing table is a no-op, not an error
+            status("DROP_SKIPPED", name)
+          case None =>
+            throw new IllegalArgumentException(s"unknown keyed table: $name")
+        }
       case AlterAddRe(name, colName, sqlExpr) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)

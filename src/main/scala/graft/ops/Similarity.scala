@@ -98,6 +98,13 @@ object Similarity {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nQueries)
 
+  /** The sample computed from the RAW embeddings table (vec_id column only —
+    * one pruned scan). Derived frames like the IVF cell ranking carry a
+    * window the optimizer cannot prune away, so sampling from them would
+    * re-execute the whole n×k assignment subtree just to enumerate ids. */
+  private def queryIdsFor(s: SparkSession, d: String): DataFrame =
+    queryIds(Tables.embeddings(s, d))
+
   private def onlyQueries(df: DataFrame, ids: DataFrame): DataFrame =
     df.join(broadcast(ids), Seq("vec_id"))
 
@@ -142,7 +149,7 @@ object Similarity {
   def simTopk(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
     val e = withVec(Tables.embeddings(s, d))
-    val q = onlyQueries(e, queryIds(e))
+    val q = onlyQueries(e, queryIdsFor(s, d))
       .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
@@ -162,7 +169,7 @@ object Similarity {
     VectorOps.ensureRegistered(s)
     val topk = udaf(new graft.functions.TopKAgg(10))
     val e = withVec(Tables.embeddings(s, d))
-    val q = onlyQueries(e, queryIds(e))
+    val q = onlyQueries(e, queryIdsFor(s, d))
       .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
     val c = e.select(col("vec_id").as("n_id"), col("emb_d").as("ne"), col("nrm").as("nn"))
     q.join(c, col("q_id") =!= col("n_id"))
@@ -180,7 +187,8 @@ object Similarity {
     * (nprobe = 2, see withBucket2); neighbors index in their home bucket;
     * top-3 over the probed candidates. annRecall judges nprobe 1 vs 2. */
   def simAnnLsh(s: SparkSession, d: String): DataFrame =
-    lshTopk(lshBuckets(s, d), nprobe = 2).orderBy(col("q_id"), col("rank"))
+    lshTopk(lshBuckets(s, d), queryIdsFor(s, d), nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
 
   private def lshBuckets(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
@@ -190,8 +198,8 @@ object Similarity {
   /** LSH search at nprobe 1 (home bucket) or 2 (+ flipped-bit bucket). The
     * two probe buckets differ in exactly one bit and each neighbor lives in
     * one bucket, so probe candidates never duplicate a (q_id, n_id) pair. */
-  private def lshTopk(b: DataFrame, nprobe: Int): DataFrame = {
-    val qBase = onlyQueries(b, queryIds(b))
+  private def lshTopk(b: DataFrame, qIds: DataFrame, nprobe: Int): DataFrame = {
+    val qBase = onlyQueries(b, qIds)
     def probe(bk: String) = qBase.select(col("vec_id").as("q_id"),
       col("emb_d").as("qe"), col("nrm").as("qn"), col(bk).as("bucket"))
     val q = if (nprobe == 1) probe("bucket") else probe("bucket").union(probe("bucket2"))
@@ -218,7 +226,8 @@ object Similarity {
     * window form is the oracle-mirrorable equivalent with identical output,
     * and its shuffle is n×k rows keyed by vec_id. */
   def simAnnIvf(s: SparkSession, d: String): DataFrame =
-    ivfTopk(ivfRanks(s, d), nprobe = 2).orderBy(col("q_id"), col("rank"))
+    ivfTopk(ivfRanks(s, d), queryIdsFor(s, d), nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
 
   /** Cell-assignment ranks for the IVF index, bounded at crk ≤ 2 (home cell
     * + the one extra cell multi-probe queries search). */
@@ -244,11 +253,8 @@ object Similarity {
     * exactly one cell, so no dedup is needed before the top-3 rank. nprobe
     * trades one more cell-sized candidate join for recall — the production
     * multi-probe shape; annRecallIvf judges nprobe 1 vs 2 side by side. */
-  private def ivfTopk(ranks: DataFrame, nprobe: Int): DataFrame = {
-    // crk = 1 holds exactly one row per vec_id, so sampling over it sees the
-    // whole corpus once — same id universe queryIds sees elsewhere.
-    val q = onlyQueries(ranks.filter(col("crk") <= nprobe),
-        queryIds(ranks.filter(col("crk") === 1)))
+  private def ivfTopk(ranks: DataFrame, qIds: DataFrame, nprobe: Int): DataFrame = {
+    val q = onlyQueries(ranks.filter(col("crk") <= nprobe), qIds)
       .select(col("vec_id").as("q_id"), col("emb_d").as("qe"),
         col("nrm").as("qn"), col("cell"))
     val c = ranks.filter(col("crk") === 1)
@@ -282,9 +288,10 @@ object Similarity {
     val truth = simTopkAgg(s, d).filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"))
     val b = lshBuckets(s, d)
-    val p1 = lshTopk(b, nprobe = 1)
+    val qi = queryIdsFor(s, d)
+    val p1 = lshTopk(b, qi, nprobe = 1)
       .select(col("q_id"), col("n_id"), lit(1).as("hit1"))
-    val p2 = lshTopk(b, nprobe = 2)
+    val p2 = lshTopk(b, qi, nprobe = 2)
       .select(col("q_id"), col("n_id"), lit(1).as("hit2"))
     truth.join(p1, Seq("q_id", "n_id"), "left")
       .join(p2, Seq("q_id", "n_id"), "left")
@@ -309,9 +316,10 @@ object Similarity {
     val truth = simTopkAgg(s, d).filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"))
     val ranks = ivfRanks(s, d)
-    val p1 = ivfTopk(ranks, nprobe = 1)
+    val qi = queryIdsFor(s, d)
+    val p1 = ivfTopk(ranks, qi, nprobe = 1)
       .select(col("q_id"), col("n_id"), lit(1).as("hit1"))
-    val p2 = ivfTopk(ranks, nprobe = 2)
+    val p2 = ivfTopk(ranks, qi, nprobe = 2)
       .select(col("q_id"), col("n_id"), lit(1).as("hit2"))
     truth.join(p1, Seq("q_id", "n_id"), "left")
       .join(p2, Seq("q_id", "n_id"), "left")

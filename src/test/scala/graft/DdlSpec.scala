@@ -189,6 +189,42 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("a fresh process's first CREATE does not clobber the persisted catalog") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_merge", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE keep_t MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+      // restart; the VERY FIRST statement is another CREATE — persist() must
+      // merge the disk catalog before writing, not overwrite it with {new_t}
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE new_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+      ops.Ddl.resetForTest()
+      assert(ops.Ddl.lookup("keep_t").isDefined) // survived the fresh-JVM CREATE
+      assert(ops.Ddl.lookup("new_t").isDefined)
+      spark.sql("DROP TABLE keep_t"); spark.sql("DROP TABLE new_t")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("programmatic DROP TABLE IF EXISTS on a missing table is a no-op") {
+    val st = ops.Ddl.execute(spark, "DROP TABLE IF EXISTS never_created_t").collect()
+    assert(st.head.getString(0) == "DROP_SKIPPED")
+    intercept[IllegalArgumentException] { // without IF EXISTS it still throws
+      ops.Ddl.execute(spark, "DROP TABLE never_created_t")
+    }
+  }
+
   test("a corrupt catalog file degrades to an empty catalog, never throws") {
     val tmp = java.nio.file.Files.createTempFile("graft_cat_bad", ".json")
     java.nio.file.Files.writeString(tmp, "[ { \"name\": \"trunc") // mid-write kill

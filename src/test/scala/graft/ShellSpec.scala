@@ -30,4 +30,16 @@ class ShellSpec extends SparkSpec {
     val (rem, exit) = Shell.runComplete(spark, " ; ;; QUIT ; SELECT 1")
     assert(exit && rem.trim == "SELECT 1")
   }
+
+  test("semicolons inside quoted literals do not split statements") {
+    // 'a;b' must survive as one statement; the split happens at the real ';'
+    val (rem, exit) = Shell.runComplete(spark, "SELECT 'a;b' AS s; SELECT 2")
+    assert(!exit && rem.trim == "SELECT 2")
+    // doubled-quote escape stays inside the literal too
+    val (rem2, _) = Shell.runComplete(spark, "SELECT 'it''s;fine' AS s; SELECT 3")
+    assert(rem2.trim == "SELECT 3")
+    // double-quoted identifiers with ; behave the same
+    val (rem3, _) = Shell.runComplete(spark, "SELECT 1 AS \"a;b\"; SELECT 4")
+    assert(rem3.trim == "SELECT 4")
+  }
 }

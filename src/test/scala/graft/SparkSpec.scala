@@ -11,6 +11,15 @@ trait SparkSpec extends AnyFunSuite {
 }
 
 object SparkSpec {
+  // Isolate the persistent DDL catalog per test JVM: without this, suites
+  // that create keyed tables (li_keyed, ddl_rt, ...) persist them into the
+  // repo's default spark-warehouse/graft_catalog.json, leaking fixture
+  // paths into later shell/bench sessions. Individual tests that exercise
+  // persistence explicitly set (and restore) their own path on top.
+  sys.props.getOrElseUpdate("graft.catalog.path",
+    java.nio.file.Files.createTempDirectory("graft_test_cat")
+      .resolve("graft_catalog.json").toString)
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
