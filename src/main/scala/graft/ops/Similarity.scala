@@ -331,6 +331,79 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** PQ geometry: 16 subspaces × 4 dims over the 64-dim embeddings, 64
+    * centroids per sub-codebook (narrow subspaces + bigger codebooks is the
+    * standard PQ recall lever — measured mean recall@3 at sf0.01:
+    * 4×16/16 → 0.07, 8×8/64 → 0.29, 16×4/64 → 0.47). The codebook is a FIXED-SIZE deterministic sample of
+    * corpus vectors (md5-ordered under salt "c:", disjoint from the query
+    * sample's salt) — constant-size like a trained PQ codebook, so codebook
+    * cost never grows with the corpus. */
+  private val pqSub = 16
+  private val pqDim = 4
+  private val pqK = 64
+
+  private def pqCentroids(e: DataFrame): DataFrame =
+    e.select(col("vec_id").as("c_id"), col("emb_d").as("ce"))
+      .orderBy(md5(concat(lit("c:"), col("c_id").cast(StringType))), col("c_id"))
+      .limit(pqK)
+
+  /** PQ encode + reconstruct in one pass: assign each 16-dim subvector to its
+    * nearest centroid subvector and rebuild the reconstruction x̂ as the
+    * concatenation of the winning centroid slices. Nearest is squared L2;
+    * the per-vector ‖x_m‖² term is constant inside the per-vector argmin, so
+    * both engines rank by ‖c_m‖² − 2⟨x_m,c_m⟩ — identical left folds,
+    * identical doubles, identical winners (ties break on centroid id via the
+    * struct min's lexicographic order, mirroring the oracle's row_number).
+    * Cost: ONE broadcast join (n × pqK rows, pqK constant) + ONE
+    * groupBy(vec_id) — linear in the corpus. */
+  private def pqReconstruct(e: DataFrame): DataFrame = {
+    val cents = pqCentroids(e)
+    val winners = (0 until pqSub).map { m =>
+      val xm = slice(col("emb_d"), m * pqDim + 1, pqDim)
+      val cm = slice(col("ce"), m * pqDim + 1, pqDim)
+      val dm = VectorOps.dotFast(cm, cm) - lit(2.0) * VectorOps.dotFast(xm, cm)
+      min(struct(dm.as("d"), col("c_id").as("c"), cm.as("sub"))).as(s"w$m")
+    }
+    e.select(col("vec_id"), col("emb_d")).join(broadcast(cents))
+      .groupBy(col("vec_id"))
+      .agg(winners.head, winners.tail: _*)
+      .select(col("vec_id"),
+        concat((0 until pqSub).map(m => col(s"w$m.sub")): _*).as("xhat"))
+  }
+
+  /** ANN family #3 — PQ with asymmetric distance (the Jégou et al. 2011 ADC
+    * shape, deterministic codebook instead of trained k-means): rank the
+    * corpus by cosine between the TRUE query vector and each candidate's PQ
+    * reconstruction x̂, judge top-3 recall against the same exact-cosine
+    * bounded-heap truth the LSH and IVF rows use. The scan is |qs| fixed
+    * queries × n reconstructions — linear in the corpus — and at rest a PQ
+    * index stores 16 one-byte codes per vector instead of 256 float bytes
+    * (the 16× memory compression that lets a 100 TB corpus's index fit a
+    * cluster's RAM). Uses the same O(k)-state bounded-heap top-k aggregate
+    * as simTopkAgg, so no per-query global sort. */
+  def annRecallPq(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    val e = withVec(Tables.embeddings(s, d))
+    val truth = simTopkAgg(s, d).filter(col("rank") <= 3)
+      .select(col("q_id"), col("n_id"))
+    val xh = pqReconstruct(e)
+      .withColumn("nh", sqrt(VectorOps.dotFast(col("xhat"), col("xhat"))))
+    val q = onlyQueries(e, queryIdsFor(s, d))
+      .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
+    val pq = q.join(xh, col("q_id") =!= col("vec_id"))
+      .withColumn("adc", pairCos(col("qe"), col("xhat"), col("qn"), col("nh")))
+      .groupBy(col("q_id"))
+      .agg(topk(col("vec_id"), col("adc")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("p"))
+      .select(col("q_id"), col("p._1").as("n_id"), lit(1).as("hit"))
+    truth.join(pq, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", ratioD(col("n_hit"), lit(3)))
+      .orderBy(col("q_id"))
+  }
+
   /** Band boundaries for the near-dup LSH: 4 bands × 2 planes. Wider bands
     * (more planes) shrink buckets and recall; more bands restore recall at
     * the cost of extra candidate joins. At 100 TB you widen bands with corpus
@@ -484,6 +557,7 @@ object Similarity {
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "ann_recall" -> (annRecall _),
     "ann_recall_ivf" -> (annRecallIvf _),
+    "ann_recall_pq" -> (annRecallPq _),
     "multimodal_join" -> (multimodalJoin _),
     "multimodal_binary" -> (multimodalBinary _),
     "multimodal_decode" -> (multimodalDecode _),
@@ -655,6 +729,51 @@ object Similarity {
          |    / CAST(3 AS DOUBLE) AS recall2
          |FROM truth t LEFT JOIN ivf1 l1 ON t.q_id = l1.q_id AND t.n_id = l1.n_id
          |            LEFT JOIN ivf2 l2 ON t.q_id = l2.q_id AND t.n_id = l2.n_id
+         |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+    },
+    "ann_recall_pq" -> {
+      val cos = Sql.cosineD("q.qe", "c.ne")
+      val adc = Sql.cosineD("q.qe", "x.xhat")
+      def sub(c: String, m: Int) = s"$c[${m * pqDim + 1}:${(m + 1) * pqDim}]"
+      val ds = (0 until pqSub).map { m =>
+        s"(${Sql.dotD(sub("ce", m), sub("ce", m))}" +
+          s" - 2.0 * ${Sql.dotD(sub("emb", m), sub("ce", m))}) AS d$m"
+      }.mkString(",\n         |       ")
+      val wins = (0 until pqSub).map { m =>
+        s"w$m AS (SELECT vec_id, ${sub("ce", m)} AS s$m FROM (" +
+          s"SELECT vec_id, ce, row_number() OVER (PARTITION BY vec_id" +
+          s" ORDER BY d$m, c_id) AS rk FROM pd) WHERE rk = 1)"
+      }.mkString(",\n         |")
+      val xhat = (0 until pqSub).map(m => s"s$m").mkString(" || ")
+      val xhJoin = (1 until pqSub).map(m => s"JOIN w$m USING (vec_id)")
+        .mkString(" ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |$querySampleSqlCte,
+         |q AS (SELECT vec_id AS q_id, emb AS qe FROM e
+         |      WHERE vec_id IN (SELECT vec_id FROM qs)),
+         |c AS (SELECT vec_id AS n_id, emb AS ne FROM e),
+         |s AS (SELECT q_id, n_id, $cos AS cos FROM q JOIN c ON q_id <> n_id),
+         |truth AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, n_id) AS rank FROM s) WHERE rank <= 3),
+         |cents AS (SELECT vec_id AS c_id, emb AS ce FROM e
+         |          ORDER BY md5('c:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+         |pd AS (SELECT e.vec_id, c.c_id, c.ce,
+         |       $ds
+         |       FROM e CROSS JOIN cents c),
+         |$wins,
+         |xh AS (SELECT vec_id, $xhat AS xhat
+         |       FROM w0 $xhJoin),
+         |pqs AS (SELECT q.q_id, x.vec_id AS n_id, $adc AS adc
+         |        FROM q JOIN xh x ON q.q_id <> x.vec_id),
+         |pqr AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc DESC, n_id) AS rank FROM pqs) WHERE rank <= 3)
+         |SELECT t.q_id,
+         |  CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(3 AS DOUBLE) AS recall
+         |FROM truth t LEFT JOIN pqr p ON t.q_id = p.q_id AND t.n_id = p.n_id
          |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
     },
     "multimodal_join" ->

@@ -410,6 +410,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // --- PQ-ADC: a real approximation (not secretly exact) that still finds
+  //     a usable share of the true top-3 at a 16× memory compression ---
+  test("ann_recall_pq recall is meaningfully between 0 and 1") {
+    val rows = ops.Similarity.annRecallPq(spark, sf("sf0.001")).collect()
+    assert(rows.length == 64)                  // one row per sampled query
+    rows.foreach { r =>
+      val rec = r.getDouble(2)
+      assert(rec >= 0.0 && rec <= 1.0, s"q=${r.getLong(0)}: recall=$rec")
+    }
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean > 0.15, s"mean recall collapsed: $mean")
+    assert(mean < 0.999, s"PQ should be lossy, got mean recall $mean")
+  }
+
   // --- decontamination: eval 5-gram overlap flags train docs ---
   test("decontaminate flags train docs sharing a 5-shingle with the eval set") {
     import spark.implicits._
