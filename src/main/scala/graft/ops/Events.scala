@@ -145,8 +145,76 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** B43 made oracle-visible: the watermark late-data-drop rule as a batch
+    * replay. The synthetic events table is perfectly time-ordered by
+    * event_id, so a deterministic md5 jitter of 0–30 minutes is added to
+    * each row's event time to form its ARRIVAL time — recreating the bounded
+    * out-of-orderness real ingest has. A row is then dropped exactly when
+    * Structured Streaming's `withWatermark("ts", "10 minutes")` would drop
+    * it: its event time is >10 minutes behind the maximum event time among
+    * rows that arrived strictly before it.
+    *
+    * Scale shape: the watermark is a running max over a GLOBAL arrival
+    * order — inherently sequential — so it is computed in two phases like
+    * window_distribution: a per-arrival-hour window (partitioned → parallel)
+    * for the within-chunk running max, plus a prefix max over the tiny
+    * per-hour summary (720 rows/month regardless of corpus size, broadcast
+    * back). The oracle runs the naive single global window; the hash match
+    * proves the de-skewed rewrite. */
+  def streamLateDrop(s: SparkSession, d: String): DataFrame = {
+    val wIn = Window.partitionBy(col("arr_hr"))
+      .orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPre = Window.orderBy(col("arr_hr"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withArr = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("jm", expr("CAST(conv(substring(md5(concat('j:', " +
+        "CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 31"))
+      .withColumn("arr", expr("timestampadd(MINUTE, jm, ts)"))
+      .withColumn("arr_hr", date_trunc("hour", col("arr")))
+    val prevHourMax = withArr.groupBy(col("arr_hr"))
+      .agg(max(col("ts")).as("cmax"))
+      .withColumn("prevmax", max(col("cmax")).over(wPre))
+      .select(col("arr_hr"), col("prevmax"))
+    withArr
+      .withColumn("runin", max(col("ts")).over(wIn))
+      .join(broadcast(prevHourMax), Seq("arr_hr"))
+      .withColumn("wm_src", greatest(col("runin"), col("prevmax")))
+      .withColumn("late", col("wm_src").isNotNull &&
+        col("ts") < expr("timestampadd(MINUTE, -10, wm_src)"))
+      .groupBy(dayNtz(col("ts")).as("w_day"), col("event_type"))
+      .agg(sum(when(col("late"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        sum(when(!col("late"), dec(col("value"))))
+          .cast(DoubleType).as("val_sum_kept"))
+      .orderBy(col("w_day"), col("event_type"))
+  }
+
+  /** Streaming admission control as a batch twin: a per-(user, day) quota of
+    * 3 events, admitting the first 3 in event-time order — the keyed-state
+    * shape `flatMapGroupsWithState` implements incrementally (a counter per
+    * key). Batch form: one row_number window partitioned by the quota key,
+    * so the shuffle distributes by (user, day) at any scale — no global
+    * ordering anywhere. */
+  def streamRateLimit(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("day", dayNtz(col("ts")))
+      .withColumn("admitted", row_number().over(w) <= 3)
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("admitted"), 0L).otherwise(1L)).as("n_throttled"),
+        sum(when(col("admitted"), dec(col("value"))))
+          .cast(DoubleType).as("val_sum_admitted"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> (eventsRetention _),
+    "stream_late_drop" -> (streamLateDrop _),
+    "stream_rate_limit" -> (streamRateLimit _),
     "events_funnel" -> (eventsFunnel _),
     "agg_unpivot" -> (aggUnpivot _),
     "stream_tumbling" -> (tumbling _),
@@ -156,6 +224,36 @@ object Events {
     "agg_pivot" -> (aggPivot _))
 
   val oracles: Map[String, String] = Map(
+    "stream_late_drop" ->
+      """WITH j AS (
+        |  SELECT event_id, ts, event_type, value,
+        |    ts + (CAST('0x' || substring(md5('j:' || CAST(event_id AS VARCHAR)), 1, 4)
+        |          AS BIGINT) % 31) * INTERVAL '1 minute' AS arr
+        |  FROM events),
+        |o AS (SELECT *, max(ts) OVER (ORDER BY arr, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_src
+        |      FROM j),
+        |f AS (SELECT *, (wm_src IS NOT NULL
+        |                 AND ts < wm_src - INTERVAL '10 minutes') AS late
+        |      FROM o)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_day, event_type,
+        |  CAST(sum(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(sum(CASE WHEN late THEN NULL
+        |           ELSE CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS val_sum_kept
+        |FROM f GROUP BY 1, 2 ORDER BY w_day, event_type""".stripMargin,
+    "stream_rate_limit" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN 0 ELSE 1 END) AS BIGINT) AS n_throttled,
+        |  CAST(sum(CASE WHEN rn <= 3 THEN CAST(value AS DECIMAL(18,6)) END)
+        |       AS DOUBLE) AS val_sum_admitted
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "events_retention" ->
       """WITH act AS (SELECT DISTINCT user_id,
         |               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day

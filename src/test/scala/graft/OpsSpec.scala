@@ -4,7 +4,9 @@ import java.sql.Timestamp
 import java.time.Instant
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.{dayNtz}
 
 /** Per-operator unit tests on tiny literal fixtures (FIXTURES.md plan):
   * join/agg null edges, window determinism, dedup fixture clusters,
@@ -408,6 +410,51 @@ class OpsSpec extends SparkSpec {
           s"$name q=${r.getLong(0)}: n_hit1=${r.getLong(1)} > n_hit2=${r.getLong(2)}")
       }
     }
+  }
+
+  // --- late-drop: the two-phase (per-hour + prefix) watermark equals the
+  //     naive single global window, and lateness is genuinely exercised ---
+  test("stream_late_drop matches a naive global-window watermark") {
+    val d = sf("sf0.001")
+    val out = ops.Events.streamLateDrop(spark, d)
+    // Naive twin computed right here: one global arrival-order window.
+    val wAll = Window.orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("jm", expr("CAST(conv(substring(md5(concat('j:', " +
+        "CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT) % 31"))
+      .withColumn("arr", expr("timestampadd(MINUTE, jm, ts)"))
+      .withColumn("wm_src", max(col("ts")).over(wAll))
+      .withColumn("late", col("wm_src").isNotNull &&
+        col("ts") < expr("timestampadd(MINUTE, -10, wm_src)"))
+      .groupBy(dayNtz(col("ts")).as("w_day"), col("event_type"))
+      .agg(sum(when(col("late"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+      .select(col("w_day"), col("event_type"), col("n_kept"), col("n_late"))
+    assert(out.select("w_day", "event_type", "n_kept", "n_late")
+      .exceptAll(naive).isEmpty && naive.exceptAll(
+        out.select("w_day", "event_type", "n_kept", "n_late")).isEmpty)
+    val tot = out.agg(sum("n_kept"), sum("n_late")).collect().head
+    assert(tot.getLong(0) + tot.getLong(1) ==
+      Tables.events(spark, d).count())            // every event accounted for
+    assert(tot.getLong(1) > 0, "jittered replay produced no late rows")
+  }
+
+  // --- rate limit: no (user, day) ever admits more than the quota ---
+  test("stream_rate_limit admits at most 3 per user-day and conserves rows") {
+    val d = sf("sf0.001")
+    val ev = Tables.events(spark, d)
+    val out = ops.Events.streamRateLimit(spark, d).collect()
+    val admitted = out.map(_.getLong(1)).sum
+    val throttled = out.map(_.getLong(2)).sum
+    assert(admitted + throttled == ev.count())
+    assert(throttled > 0, "quota never binds on this data")
+    // independently: sum over keys of min(count, 3) == admitted
+    val perKey = ev.groupBy(col("user_id"), dayNtz(col("ts")))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(least(col("n"), lit(3L)))).collect().head.getLong(0)
+    assert(perKey == admitted)
   }
 
   // --- PQ-ADC: a real approximation (not secretly exact) that still finds
