@@ -104,6 +104,36 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q7 shape (volume shipping): directed trade between four fixed
+    * trading-group nations by (supplier nation, customer nation, ship year).
+    * The nation dims are pre-filtered to the group and BROADCAST, so
+    * the supplier/customer joins prune most of both tables before the big
+    * lineitem/orders equi-join shuffles; the cross-nation direction predicate
+    * (supp ≠ cust) runs after the joins on the already-tiny stream.
+    * Exact decimal revenue, like Q5. */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(M4)
+    val grp = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    val sn = Tables.nation(s, d).filter(col("n_name").isin(grp: _*))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val cn = Tables.nation(s, d).filter(col("n_name").isin(grp: _*))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.supplier(s, d)
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .join(Tables.lineitem(s, d), col("s_suppkey") === col("l_suppkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cn), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+        .cast(S).cast(DoubleType).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
   /** B4/B7: projection with expressions, aliases, casts. */
   def projectExpr(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -561,6 +591,7 @@ object Relational {
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_supplier_volume" -> (q5SupplierVolume _),
+    "q7_nation_volume" -> (q7NationVolume _),
     "q18_large_orders" -> (q18LargeOrders _),
     "agg_cube" -> (aggCube _),
     "agg_collect" -> (aggCollect _),
@@ -726,6 +757,26 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |    l_extendedprice, l_discount
+        |  FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |    AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+        |    AND n1.n_name <> n2.n_name
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
