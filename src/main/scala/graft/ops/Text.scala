@@ -53,6 +53,35 @@ object Text {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** C4 extension — corpus-level unigram-LM rarity scoring (the CCNet/Gopher
+    * perplexity-filter shape, log-free): each token is weighted by the
+    * corpus's inverse unigram probability total/freq(term); a doc's score is
+    * the mean weight over its tokens. High score = rare-token-heavy text,
+    * low = common filler — the signal a perplexity filter thresholds on,
+    * expressed rationally (house determinism rule: no transcendental calls,
+    * whose last ulp differs across engines). The inverse probability stays
+    * EXACT as the integer (total·10⁶) div freq; the per-doc sum is a BIGINT
+    * both engines agree on bit-for-bit, and only the final mean is ONE IEEE
+    * division. Headroom: at 10¹² corpus tokens the scaled weight of a
+    * singleton term is 10¹⁸ < 2⁶³ — fine for per-doc sums; a corpus beyond
+    * that drops the scale factor a digit. Scale shape: one explode + one
+    * vocabulary-keyed shuffle join (no broadcast hint — the vocabulary is
+    * corpus-sized at 100 TB; AQE broadcasts small cases itself) + one
+    * doc-keyed groupBy. Output restricted to doc_id < 50 like text_tfidf. */
+  def textUnigramScore(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks(col("text"))).as("term"))
+    val freq = tok.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(freq, "term").join(broadcast(total))
+      .withColumn("inv", expr("(total * 1000000) div freq"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("inv")).as("inv_sum"))
+      .filter(col("doc_id") < 50)
+      .withColumn("rarity", ratioD(col("inv_sum"), col("n_tok") * lit(1000000L)))
+      .orderBy(col("doc_id"))
+  }
+
   private[ops] val StopWords = Seq("the", "a", "of", "to", "and", "in", "is")
 
   /** C4c: quality scoring — length/stopword/uniqueness signals. */
@@ -347,6 +376,7 @@ object Text {
     "text_bpe_merges" -> (textBpeMerges _),
     "text_tokens" -> (textTokens _),
     "text_tfidf" -> (textTfidf _),
+    "text_unigram_score" -> (textUnigramScore _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
@@ -457,6 +487,18 @@ object Text {
         | CAST(list_aggregate(list_transform(string_split(text, ' '), x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE)
         |   / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_unigram_score" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents),
+        |freq AS (SELECT term, count(*) AS freq FROM tok GROUP BY term),
+        |tot AS (SELECT count(*) AS total FROM tok)
+        |SELECT doc_id, lang, count(*) AS n_tok,
+        | CAST(sum((total * 1000000) // freq) AS BIGINT) AS inv_sum,
+        | CAST(sum((total * 1000000) // freq) AS DOUBLE)
+        |   / CAST(count(*) * 1000000 AS DOUBLE) AS rarity
+        |FROM tok JOIN freq USING (term) CROSS JOIN tot
+        |WHERE doc_id < 50
+        |GROUP BY doc_id, lang
+        |ORDER BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
