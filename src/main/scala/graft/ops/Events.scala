@@ -211,8 +211,30 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** CDC/SCD-2 shape: collapse each user's event stream into type-2 validity
+    * intervals of the event_type attribute — one row per CHANGE, valid from
+    * its first observation until the next change (null valid_to = current
+    * version). The dimension-history table every warehouse maintains,
+    * computed as two user-partitioned windows (change detection by lag,
+    * interval close by lead over the change rows only) — no self-join, and
+    * the shuffles distribute by user at any scale. Judged output bounded to
+    * user_id < 20. */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(wu))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to", lead(col("ts"), 1).over(wu))
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> (eventsRetention _),
+    "scd2_history" -> (scd2History _),
     "stream_late_drop" -> (streamLateDrop _),
     "stream_rate_limit" -> (streamRateLimit _),
     "events_funnel" -> (eventsFunnel _),
@@ -224,6 +246,16 @@ object Events {
     "agg_pivot" -> (aggPivot _))
 
   val oracles: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |ch AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |FROM ch WHERE user_id < 20
+        |ORDER BY user_id, valid_from""".stripMargin,
     "stream_late_drop" ->
       """WITH j AS (
         |  SELECT event_id, ts, event_type, value,

@@ -134,6 +134,26 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** B15 extension — equi-width histogram of l_extendedprice in 20 global
+    * buckets: the profiling/distribution shape every OLAP engine ships. Two
+    * passes: a one-row global min/max (broadcast back), then ONE map-side-
+    * combinable groupBy on the bucket id — no sort, no window, scales as a
+    * pure count. Bucket arithmetic is plain IEEE ops (sub, mul, div, floor),
+    * each individually correctly-rounded and therefore bit-identical across
+    * engines; the max value clamps into the last bucket; exact decimal
+    * value sums. */
+  def aggHistogram(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val mm = li.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    li.join(broadcast(mm))
+      .withColumn("bucket", least(
+        floor((col("v") - col("mn")) * lit(20.0) / (col("mx") - col("mn"))),
+        lit(19.0)).cast(IntegerType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("v")).as("v_sum"))
+      .orderBy(col("bucket"))
+  }
+
   /** B4/B7: projection with expressions, aliases, casts. */
   def projectExpr(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -613,6 +633,7 @@ object Relational {
     "join_star" -> (joinStar _),
     "join_salted" -> (joinSalted _),
     "agg_groupby" -> (aggGroupBy _),
+    "agg_histogram" -> (aggHistogram _),
     "agg_distinct" -> (aggDistinct _),
     "agg_approx_distinct" -> (aggApproxDistinct _),
     "agg_rollup" -> (aggRollup _),
@@ -877,6 +898,15 @@ object Relational {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "agg_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+        |           FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice - mn) * 20.0 / (mx - mn)), 19.0)
+        |            AS INTEGER) AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS v_sum
+        |FROM lineitem CROSS JOIN mm
+        |GROUP BY 1 ORDER BY bucket""".stripMargin,
     "agg_groupby" ->
       """SELECT o_orderpriority, count(*) AS cnt,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
