@@ -30,6 +30,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType
   *   CACHE TABLE <name> | UNCACHE TABLE <name>
   *   CREATE VIEW <name> AS <sql>
   *   LOAD DATA INPATH '<csv path>' INTO TABLE <name>
+  *   ANALYZE TABLE <name> COMPUTE STATISTICS | SHOW STATS <name>
   * Known limitation (documented, not silently wrong): qualified names
   * (`db.t`) never match the (\w+) identifier, so such statements always
   * delegate to the vanilla parser — graft keyed tables are single-part
@@ -55,7 +56,7 @@ object Ddl {
   final case class Mut(op: String, a: String, b: String)
 
   final case class KeyedTable(name: String, path: String, keys: Seq[String],
-      muts: Seq[Mut] = Nil)
+      muts: Seq[Mut] = Nil, stats: Seq[(String, String)] = Nil)
 
   private val catalog = TrieMap.empty[String, KeyedTable]
   @volatile private var loadedFromDisk = false
@@ -87,6 +88,9 @@ object Ddl {
         ms.add(Map("op" -> mu.op, "a" -> mu.a, "b" -> mu.b).asJava)
       }
       m.put("muts", ms)
+      val st = new java.util.ArrayList[java.util.Map[String, String]]()
+      t.stats.foreach { case (k, v) => st.add(Map("stat" -> k, "value" -> v).asJava) }
+      m.put("stats", st)
       root.add(m)
     }
     val p = catalogPath
@@ -127,7 +131,11 @@ object Ddl {
             val muts = n.get("muts").elements().asScala.map { m =>
               Mut(m.get("op").asText, m.get("a").asText, m.get("b").asText)
             }.toSeq
-            val t = KeyedTable(name, n.get("path").asText, keys, muts)
+            // "stats" is absent in pre-stats catalog files — tolerate both.
+            val stats = Option(n.get("stats")).toSeq
+              .flatMap(_.elements().asScala)
+              .map(m => (m.get("stat").asText, m.get("value").asText))
+            val t = KeyedTable(name, n.get("path").asText, keys, muts, stats)
             catalog.putIfAbsent(t.name.toLowerCase, t)
           }
         } catch {
@@ -158,6 +166,9 @@ object Ddl {
   private val DescRe = """(?i)\s*DESC(?:RIBE)?\s+(?:TABLE\s+)?(\w+)\s*""".r
   private val CacheRe = """(?i)\s*CACHE\s+TABLE\s+(\w+)\s*""".r
   private val UncacheRe = """(?i)\s*UNCACHE\s+TABLE\s+(\w+)\s*""".r
+  private val AnalyzeRe =
+    """(?i)\s*ANALYZE\s+TABLE\s+(\w+)\s+COMPUTE\s+STATISTICS\s*""".r
+  private val StatsRe = """(?i)\s*SHOW\s+STATS\s+(\w+)\s*""".r
   // (?s): the view body is embedded SQL and may span lines
   private val ViewRe = """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
   private val LoadRe =
@@ -192,6 +203,8 @@ object Ddl {
     Seq("op" -> StringType, "table" -> StringType)
   private val describeCols: Seq[(String, DataType)] =
     Seq("col_name" -> StringType, "data_type" -> StringType, "is_key" -> BooleanType)
+  private val statsCols: Seq[(String, DataType)] =
+    Seq("stat" -> StringType, "value" -> StringType)
 
   /** Routing decision for the injected SQL parser (plans.GraftSqlParser):
     * returns the statement's result schema when it belongs to graft's A8
@@ -213,6 +226,8 @@ object Ddl {
     case UncacheRe(n) if lookup(n).isDefined       => Some(statusCols)
     case DescRe(n) if lookup(n).isDefined          => Some(describeCols)
     case LoadRe(_, n) if lookup(n).isDefined       => Some(statusCols)
+    case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
+    case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
   }
 
@@ -358,9 +373,41 @@ object Ddl {
           .map(f => (f.name, f.dataType.simpleString,
             t.keys.exists(_.equalsIgnoreCase(f.name))))
           .toDF("col_name", "data_type", "is_key")
+      case AnalyzeRe(name) =>
+        // Astro-style catalog statistics (HBaseCatalog kept table stats for
+        // join-selection [ref*: mount empty, public-knowledge citation per
+        // SURVEY.md §0]): row count + per-key min/max, computed in ONE scan
+        // (a single global aggregate — the only driver action is the 1-row
+        // result) and persisted with the catalog entry so a fresh process
+        // can read them without touching the data.
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        val aggs = count(lit(1)).cast(StringType).as("n_rows") +:
+          t.keys.flatMap(k => Seq(
+            min(col(k)).cast(StringType).as(s"${k}_min"),
+            max(col(k)).cast(StringType).as(s"${k}_max")))
+        val row = spark.table(t.name).agg(aggs.head, aggs.drop(1): _*)
+          .collect().head
+        val stats = row.schema.fieldNames.toSeq.zipWithIndex.map { case (f, i) =>
+          f -> Option(row.get(i)).map(_.toString).getOrElse("")
+        }
+        val t2 = t.copy(stats = stats)
+        catalog.put(t2.name.toLowerCase, t2)
+        persist()
+        statsDf(spark, t2)
+      case StatsRe(name) =>
+        val t = lookupOrThrow(name)
+        require(t.stats.nonEmpty,
+          s"no statistics for '$name'; run ANALYZE TABLE $name COMPUTE STATISTICS")
+        statsDf(spark, t)
       case _ =>
         throw new IllegalArgumentException(s"cannot parse DDL: $ddl")
     }
+  }
+
+  private def statsDf(spark: SparkSession, t: KeyedTable): DataFrame = {
+    import spark.implicits._
+    t.stats.toDF("stat", "value").orderBy(col("stat"))
   }
 
   /** A8 judged round trip: exercises the full statement set end to end —
@@ -385,10 +432,29 @@ object Ddl {
     desc.unionByName(scanned).orderBy(col("col_name"))
   }
 
+  /** A8 judged statistics round trip: CREATE MAPPED BY → ANALYZE → SHOW
+    * STATS, the stats themselves being the judged values (row count and key
+    * min/max over orders, which the oracle recomputes relationally). */
+  def analyzeStats(s: SparkSession, d: String): DataFrame = {
+    if (lookup("stats_t").isDefined) execute(s, "DROP TABLE stats_t")
+    execute(s, s"CREATE TABLE stats_t MAPPED BY '$d/orders.parquet' KEYS (o_orderkey)")
+    execute(s, "ANALYZE TABLE stats_t COMPUTE STATISTICS")
+    execute(s, "SHOW STATS stats_t")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ddl_roundtrip" -> (ddlRoundtrip _))
+    "ddl_roundtrip" -> (ddlRoundtrip _),
+    "analyze_stats" -> (analyzeStats _))
 
   val oracles: Map[String, String] = Map(
+    "analyze_stats" ->
+      """SELECT stat, value FROM (
+        |  SELECT 'n_rows' AS stat, CAST(count(*) AS VARCHAR) AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey_min', CAST(min(o_orderkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey_max', CAST(max(o_orderkey) AS VARCHAR) FROM orders)
+        |ORDER BY stat""".stripMargin,
     "ddl_roundtrip" ->
       """SELECT col_name, data_type, is_key FROM (VALUES
         |  ('n_nationkey', 'int', TRUE), ('n_name', 'string', FALSE),

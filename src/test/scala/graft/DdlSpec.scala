@@ -300,6 +300,24 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE load_rev")
   }
 
+  test("ANALYZE stats persist across a restart and route through spark.sql") {
+    if (ops.Ddl.lookup("an_t").isDefined) spark.sql("DROP TABLE an_t")
+    spark.sql(
+      s"CREATE TABLE an_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    // SHOW STATS before ANALYZE is an explicit error, not an empty frame
+    intercept[Exception] { spark.sql("SHOW STATS an_t").collect() }
+    val st = spark.sql("ANALYZE TABLE an_t COMPUTE STATISTICS").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st("n_rows") == "25")
+    assert(st("n_nationkey_min") == "0" && st("n_nationkey_max") == "24")
+    // simulated restart: stats must come back from the persisted catalog
+    ops.Ddl.resetForTest()
+    val st2 = spark.sql("SHOW STATS an_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(st2 == st)
+    spark.sql("DROP TABLE an_t")
+  }
+
   test("prefix bounds work (leading key only)") {
     ops.Ddl.create(spark,
       s"CREATE TABLE li_keyed MAPPED BY '${sf("sf0.001")}/lineitem.parquet' KEYS (l_orderkey, l_linenumber)")
