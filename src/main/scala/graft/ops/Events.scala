@@ -232,9 +232,38 @@ object Events {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** 3-sigma anomaly counts per event type WITHOUT floating-point variance:
+    * the z-score test |x−μ| > 3σ is algebraically rearranged to the integer
+    * inequality (n·x − S)² > 9·(n·Q − S²) over deci-unit values (x scaled
+    * ×10 and floored — one IEEE mult + floor, identical in both engines),
+    * where S = Σx and Q = Σx². Every quantity is an exact BIGINT — no
+    * engine-order-dependent double summation anywhere, which is what makes
+    * a distributed anomaly count reproducible run-to-run. Headroom: values
+    * ≤ 500 and n ≤ 2·10⁶ per key keep 9·n·Q under 2⁶³ with margin; a 100 TB
+    * run lifts the sums to DECIMAL(38,0) — same plan shape. Two passes:
+    * per-type moment aggregate (5 rows, broadcast back), then one scan with
+    * the inequality as a codegen'd predicate. */
+  def aggZscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * lit(10.0)).cast(LongType).as("vi"))
+    val st = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("vi")).as("sv"),
+        sum(col("vi") * col("vi")).as("sv2"))
+    e.join(broadcast(st), "event_type")
+      .withColumn("dev", col("n") * col("vi") - col("sv"))
+      .withColumn("outlier", col("dev") * col("dev") >
+        lit(9L) * (col("n") * col("sv2") - col("sv") * col("sv")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("outlier"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> (eventsRetention _),
     "scd2_history" -> (scd2History _),
+    "agg_zscore_outliers" -> (aggZscoreOutliers _),
     "stream_late_drop" -> (streamLateDrop _),
     "stream_rate_limit" -> (streamRateLimit _),
     "events_funnel" -> (eventsFunnel _),
@@ -246,6 +275,18 @@ object Events {
     "agg_pivot" -> (aggPivot _))
 
   val oracles: Map[String, String] = Map(
+    "agg_zscore_outliers" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(floor(value * 10.0) AS BIGINT) AS vi FROM events),
+        |st AS (SELECT event_type, count(*) AS n, CAST(sum(vi) AS BIGINT) AS sv,
+        |         CAST(sum(vi * vi) AS BIGINT) AS sv2
+        |       FROM e GROUP BY event_type)
+        |SELECT e.event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN (n * vi - sv) * (n * vi - sv)
+        |                     > 9 * (n * sv2 - sv * sv)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM e JOIN st USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "scd2_history" ->
       """WITH c AS (
         |  SELECT user_id, ts, event_id, event_type,

@@ -134,6 +134,28 @@ object Relational {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q14 shape (promotion effect): the revenue share of PROMO-type
+    * parts in one ship month. The month filter reaches the lineitem scan as
+    * PushedFilters; the part side joins on p_partkey (AQE broadcasts it at
+    * bench scale); promo membership is a per-row CASE inside the aggregate,
+    * not a second join. Both revenue sums are EXACT decimals; the share is
+    * one IEEE division of the two (already-identical) doubles. */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(M4)
+    val rev = dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)).cast(S).cast(DoubleType)
+          .as("promo_revenue"),
+        sum(rev).cast(S).cast(DoubleType).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share",
+        col("promo_revenue") * lit(100.0) / col("total_revenue"))
+  }
+
   /** B15 extension — equi-width histogram of l_extendedprice in 20 global
     * buckets: the profiling/distribution shape every OLAP engine ships. Two
     * passes: a one-row global min/max (broadcast back), then ONE map-side-
@@ -612,6 +634,7 @@ object Relational {
     "q3_shipping" -> (q3Shipping _),
     "q5_supplier_volume" -> (q5SupplierVolume _),
     "q7_nation_volume" -> (q7NationVolume _),
+    "q14_promo_share" -> (q14PromoShare _),
     "q18_large_orders" -> (q18LargeOrders _),
     "agg_cube" -> (aggCube _),
     "agg_collect" -> (aggCollect _),
@@ -778,6 +801,16 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name
         |ORDER BY revenue DESC NULLS LAST, n_name""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT
+        | CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) END) AS DECIMAL(38,6)) AS DOUBLE) AS promo_revenue,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue,
+        | count(*) AS n_items,
+        | CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) END) AS DECIMAL(38,6)) AS DOUBLE) * 100.0
+        |   / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""".stripMargin,
     "q7_nation_volume" ->
       """SELECT supp_nation, cust_nation, l_year,
         | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
