@@ -156,6 +156,244 @@ object Relational {
         col("promo_revenue") * lit(100.0) / col("total_revenue"))
   }
 
+  /** TPC-H Q4 shape (order priority checking): orders in one quarter that
+    * have at least one SLOW lineitem (shipped >90 days after the order date
+    * — the fixture has no commit/receipt dates, so ship lag stands in for
+    * the late-delivery predicate), counted per priority. The EXISTS
+    * decorrelates to a LEFT SEMI join whose condition spans both sides
+    * (l_orderkey = o_orderkey AND l_shipdate > o_orderdate + 90 days): one
+    * shuffle on the order key, no duplicate counting however many lines
+    * qualify. The oracle keeps the correlated EXISTS form. */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val lo = lit("1997-01-01").cast(TimestampType)
+    val hi = lit("1997-07-01").cast(TimestampType)
+    val li = Tables.lineitem(s, d)
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q6 shape (forecast revenue change): the canonical pure
+    * scan→filter→agg — every predicate (ship year, discount band, quantity
+    * cap) reaches the parquet scan as PushedFilters, then one exact-decimal
+    * product sum. The simplest possible 100 TB query: no shuffle at all
+    * beyond the final 1-row combine. */
+  def q6Forecast(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec4(col("l_extendedprice")) * dec4(col("l_discount")))
+        .cast(S).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** TPC-H Q8 shape (national market share): of all ECONOMY-part revenue
+    * sold into the AMERICA region over two years, the share supplied by one
+    * nation, per order year. Part (pre-filtered) and the dim chain broadcast;
+    * the supplier-nation membership is a per-row CASE inside the aggregate
+    * (Q14's pattern), not a second pass. Share = one IEEE division of two
+    * exact-decimal sums. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(M4)
+    val rev = dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))
+    val pf = Tables.part(s, d).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val sn = Tables.nation(s, d)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, d)
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(sn), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", rev)).cast(S)
+          .cast(DoubleType).as("nation_volume"),
+        sum(rev).cast(S).cast(DoubleType).as("total_volume"))
+      .withColumn("mkt_share", col("nation_volume") / col("total_volume"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): revenue lost to returns per
+    * customer over one quarter — orders window filter, l_returnflag = 'R'
+    * pushed to the lineitem scan, nation broadcast, top-20 by revenue. */
+  def q10Returned(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(M4)
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("o_orderdate") < lit("1997-04-01").cast(TimestampType))
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+        .cast(S).cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q12 shape (shipping modes & priority): among SLOW lines (shipped
+    * >365 days after the order — ship lag stands in for the missing
+    * commit/receipt dates, and l_returnflag for the missing shipmode), the
+    * split between critical- and normal-priority orders per flag class. The
+    * two-way split is a conditional count inside ONE aggregate — the
+    * canonical CASE-pivot over a join, no second scan. */
+  def q12LatePriority(s: SparkSession, d: String): DataFrame = {
+    val crit = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 365 DAYS"))
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(crit, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(crit, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join so
+    * zero-order customers survive with c_count = 0, then a second aggregate
+    * over the counts — the classic two-level group-by histogram. count
+    * (o_orderkey) (non-null only) implements the outer-join zero rule. */
+  def q13OrderCounts(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    Tables.customer(s, d)
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15 shape (top supplier): a 3-month revenue-per-supplier view,
+    * then the supplier(s) achieving the maximum — aggregate→1-row max→
+    * equality join back (broadcast), the view-plus-argmax pattern. The max
+    * compares the exact-decimal-derived doubles both sides computed
+    * identically, so float equality is deterministic here. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(M4)
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+        .cast(S).cast(DoubleType).as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mr"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mr"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): for one brand's small parts,
+    * revenue from lines below 20% of that part's average quantity — the
+    * correlated scalar subquery decorrelated into a per-part aggregate
+    * joined back. The part filter broadcasts FIRST so both the aggregate
+    * and the probe only touch that brand's lines. Threshold arithmetic is
+    * the bit-exact avgD pipeline × 0.2. */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val pf = Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#11" && col("p_size") < 15)
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+    val qbar = li.groupBy(col("l_partkey").as("pk"))
+      .agg((lit(0.2) * avgD(col("l_quantity"))).as("qb"))
+    li.join(qbar, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("qb"))
+      .agg((sumS(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicate): an
+    * OR-of-ANDs across three (brand, size-range, quantity-range) arms. The
+    * join key is shared by every arm, so Catalyst pushes the common
+    * p_partkey equality into one broadcast join and evaluates the
+    * disjunction as a single codegen'd filter — the classic test that an
+    * optimizer doesn't fall back to a cross product on OR. */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(M4)
+    val arm1 = col("p_brand") === "Brand#12" &&
+      col("p_size").between(1, 5) && col("l_quantity").between(1, 11)
+    val arm2 = col("p_brand") === "Brand#15" &&
+      col("p_size").between(1, 10) && col("l_quantity").between(10, 20)
+    val arm3 = col("p_brand") === "Brand#18" &&
+      col("p_size").between(1, 15) && col("l_quantity").between(20, 30)
+    Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(sum(dec4(col("l_extendedprice")) * (one - dec4(col("l_discount"))))
+        .cast(S).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): suppliers who were
+    * the SOLE slow supplier (ship lag >180 days) on a multi-supplier order.
+    * The classic form is lineitem × lineitem EXISTS + NOT EXISTS self-joins
+    * — two extra shuffles of the biggest table. Here both quantifiers
+    * collapse into ONE aggregate per order (count distinct suppliers, count
+    * distinct slow suppliers, min slow supplier): EXISTS ⇔ n_supp > 1,
+    * NOT-EXISTS-other-slow ⇔ n_late = 1, and the surviving order attributes
+    * to its unique slow supplier. The oracle keeps the textbook
+    * EXISTS/NOT EXISTS formulation over distinct (order, supplier) pairs —
+    * the hash match proves the rewrite. */
+  def q21Waiting(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+          .as("slow"))
+    li.groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("slow"), col("l_suppkey"))).as("n_late"),
+        min(when(col("slow"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") > 1 && col("n_late") === 1)
+      .join(Tables.supplier(s, d), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q22 shape (global sales opportunity): customers in a code set
+    * (c_nationkey mod 10 stands in for the missing phone country code) with
+    * above-average positive balances and NO orders — a 1-row global-average
+    * broadcast, then an ANTI join against orders, then per-code totals. */
+  def q22IdleBalance(s: SparkSession, d: String): DataFrame = {
+    val codes = Seq(1, 3, 5, 7)
+    val code = pmod(col("c_nationkey"), lit(10))
+    val cust = Tables.customer(s, d).filter(code.isin(codes: _*))
+    val bar = cust.filter(col("c_acctbal") > 0)
+      .agg(avgD(col("c_acctbal")).as("ab"))
+    cust.join(broadcast(bar))
+      .filter(col("c_acctbal") > col("ab"))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .groupBy(code.as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), sumS(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
   /** B15 extension — equi-width histogram of l_extendedprice in 20 global
     * buckets: the profiling/distribution shape every OLAP engine ships. Two
     * passes: a one-row global min/max (broadcast back), then ONE map-side-
@@ -633,9 +871,20 @@ object Relational {
     "q1_pricing" -> (q1Pricing _),
     "q3_shipping" -> (q3Shipping _),
     "q5_supplier_volume" -> (q5SupplierVolume _),
+    "q4_order_priority" -> (q4OrderPriority _),
+    "q6_forecast" -> (q6Forecast _),
     "q7_nation_volume" -> (q7NationVolume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q10_returned" -> (q10Returned _),
+    "q12_late_priority" -> (q12LatePriority _),
+    "q13_order_counts" -> (q13OrderCounts _),
     "q14_promo_share" -> (q14PromoShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q17_small_qty" -> (q17SmallQty _),
     "q18_large_orders" -> (q18LargeOrders _),
+    "q19_disjunctive" -> (q19Disjunctive _),
+    "q21_waiting" -> (q21Waiting _),
+    "q22_idle_balance" -> (q22IdleBalance _),
     "agg_cube" -> (aggCube _),
     "agg_collect" -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
@@ -843,6 +1092,146 @@ object Relational {
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
         |ORDER BY o_totalprice DESC NULLS LAST, o_orderdate, o_orderkey
         |LIMIT 20""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        | CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DECIMAL(38,6)) AS DOUBLE) AS nation_volume,
+        | CAST(CAST(sum(vol) AS DECIMAL(38,6)) AS DOUBLE) AS total_volume,
+        | CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN vol END) AS DECIMAL(38,6)) AS DOUBLE)
+        |   / CAST(CAST(sum(vol) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |    n2.n_name AS supp_nation,
+        |    CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4))) AS vol
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC NULLS LAST, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 365 DAY
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q13_order_counts" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN (
+        |    SELECT o_custkey, o_orderkey FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC NULLS LAST, c_count DESC NULLS LAST""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(total_revenue) AS mr FROM r)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM r JOIN m ON total_revenue = mr
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH pf AS (SELECT p_partkey FROM part
+        |            WHERE p_brand = 'Brand#11' AND p_size < 15),
+        |li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |       FROM lineitem JOIN pf ON l_partkey = p_partkey),
+        |qb AS (SELECT l_partkey AS pk,
+        |         0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*)) AS qb
+        |       FROM li GROUP BY l_partkey)
+        |SELECT
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) / 7.0 AS avg_yearly,
+        | count(*) AS n_lines
+        |FROM li JOIN qb ON l_partkey = pk
+        |WHERE l_quantity < qb""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))) AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 180 DAY AS slow
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sp AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lo WHERE slow)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM sp JOIN supplier ON sp.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lo o2 WHERE o2.l_orderkey = sp.l_orderkey
+        |              AND o2.l_suppkey <> sp.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo o3 WHERE o3.l_orderkey = sp.l_orderkey
+        |              AND o3.l_suppkey <> sp.l_suppkey AND o3.slow)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC NULLS LAST, s_suppkey
+        |LIMIT 20""".stripMargin,
+    "q22_idle_balance" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_acctbal, c_nationkey % 10 AS code
+        |  FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7)),
+        |bar AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ab
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT code AS cntrycode, count(*) AS numcust,
+        | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS totacctbal
+        |FROM cust, bar
+        |WHERE c_acctbal > ab
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY code
+        |ORDER BY cntrycode""".stripMargin,
     "project_expr" ->
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1.0 - l_discount) AS disc_price,
