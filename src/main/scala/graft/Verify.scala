@@ -32,9 +32,16 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // Zero-row guard: an empty result can still hash-match an empty
+        // oracle, which proves nothing (round-8 q22 postmortem). Counting
+        // the written parquet is footer-metadata-only — effectively free.
+        if (spark.read.parquet(s"$outDir/$name").count() == 0L)
+          System.err.println(s"[verify] SUSPECT $name: wrote 0 rows — " +
+            "an empty-vs-empty oracle match would be vacuous")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -377,21 +377,176 @@ object Relational {
 
   /** TPC-H Q22 shape (global sales opportunity): customers in a code set
     * (c_nationkey mod 10 stands in for the missing phone country code) with
-    * above-average positive balances and NO orders — a 1-row global-average
-    * broadcast, then an ANTI join against orders, then per-code totals. */
+    * above-average positive balances and no RECENT orders — a 1-row
+    * global-average broadcast, then an ANTI join against the date-restricted
+    * orders slice, then per-code totals. "Idle" is defined as no orders on
+    * or after 2000-07-01 (the fixture's orders run 1995-01..2001-08, so a
+    * bare "no orders ever" anti-join is empty at every SF — the date window
+    * keeps the Q22 anti-join shape while actually binding). The date filter
+    * is pushed into the parquet scan, and the anti-join probe side shrinks
+    * to the recent slice — strictly cheaper than classic Q22 at 100 TB. */
   def q22IdleBalance(s: SparkSession, d: String): DataFrame = {
     val codes = Seq(1, 3, 5, 7)
     val code = pmod(col("c_nationkey"), lit(10))
     val cust = Tables.customer(s, d).filter(code.isin(codes: _*))
     val bar = cust.filter(col("c_acctbal") > 0)
       .agg(avgD(col("c_acctbal")).as("ab"))
+    val recent = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast(TimestampType))
     cust.join(broadcast(bar))
       .filter(col("c_acctbal") > col("ab"))
-      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
-        "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(code.as("cntrycode"))
       .agg(count(lit(1)).as("numcust"), sumS(col("c_acctbal")).as("totacctbal"))
       .orderBy(col("cntrycode"))
+  }
+
+  /** TPC-H Q2 shape (min-cost supplier): the fixture has no partsupp table,
+    * so the part↔supplier cost relation is DERIVED from lineitem — per
+    * (partkey, suppkey) the minimum observed unit price stands in for
+    * ps_supplycost. The Q2 essence is kept: a correlated min-cost subquery
+    * per part (decorrelated into a groupBy + equality join back on
+    * (part, min_cost)), a region restriction on the supplier side, a
+    * selective part filter, and top-100 by supplier balance. Unit price is
+    * one IEEE double division (correctly rounded, bit-identical across
+    * engines) and min() selects from identical sets, so no decimal
+    * scaffolding is needed. At 100 TB: the derived ps relation is one
+    * map-combinable groupBy of the fact table; everything after runs on the
+    * ~|parts|×|suppliers-per-part| aggregate, with nation/part dims
+    * broadcast. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val rs = ps
+      .join(Tables.supplier(s, d), col("sk") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 0)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("pk"), col("sk"), col("cost"), col("s_name"),
+        col("s_acctbal"))
+    val mn = rs.groupBy(col("pk").as("mpk")).agg(min(col("cost")).as("mc"))
+    val pf = Tables.part(s, d)
+      .filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+    rs.join(mn, col("pk") === col("mpk") && col("cost") === col("mc"))
+      .join(broadcast(pf), col("pk") === col("p_partkey"))
+      .select(col("p_partkey"), col("p_name"), col("sk").as("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("cost").as("min_cost"))
+      .orderBy(col("s_acctbal").desc, col("p_partkey"), col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 shape (product-type profit by nation and year): multi-fact
+    * join lineitem⋈part⋈supplier⋈nation⋈orders with a LIKE part filter,
+    * profit = revenue − cost aggregated per (nation, order-year). With no
+    * partsupp in the fixture, supply cost is modeled as 10% of
+    * p_retailprice per unit — the arithmetic shape (two decimal products
+    * subtracted inside one sum) is exactly classic Q9's. Part/supplier/
+    * nation are broadcast; the only shuffles are the lineitem⋈orders join
+    * and the final small groupBy. */
+  def q9ProfitByNation(s: SparkSession, d: String): DataFrame = {
+    val one = lit(1).cast(M4)
+    val rev = dec4(col("l_extendedprice")) * (one - dec4(col("l_discount")))
+    val cost = dec4(col("p_retailprice")) * dec4(col("l_quantity")) *
+      lit(0.1).cast(M4)
+    val pf = Tables.part(s, d).filter(col("p_name").like("%gear%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    Tables.lineitem(s, d)
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(rev - cost).cast(S).cast(DoubleType).as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 shape (important stock): per-part inventory value over
+    * suppliers in one region, HAVING over a GLOBAL scalar subquery. The
+    * classic fraction (0.0001/SF) is scale-dependent; here the threshold is
+    * scale-invariant — parts whose value exceeds 2× the mean part value —
+    * which keeps the decorrelation pattern (1-row global aggregate broadcast
+    * back against every group) while binding at every SF. The threshold
+    * compare runs in double (both sides cast from exact decimal sums, one
+    * correctly-rounded multiply each — bit-identical cross-engine). */
+  def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val sf = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 1)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.lineitem(s, d)
+      .join(broadcast(sf), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey").as("pk"))
+      .agg(sum(dec4(col("l_extendedprice")) * dec4(col("l_quantity")))
+        .as("val"))
+    val tot = v.agg(sum(col("val")).as("t"), count(lit(1)).as("n"))
+    v.join(broadcast(tot))
+      .filter(col("val").cast(DoubleType) * col("n") >
+        lit(2) * col("t").cast(DoubleType))
+      .select(col("pk").as("p_partkey"),
+        col("val").cast(S).cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("p_partkey"))
+  }
+
+  /** TPC-H Q16 shape (supplier relationship): distinct suppliers per part
+    * (brand, type, size) bucket, excluding a brand/type, restricted to a
+    * size set, minus suppliers on an exclusion list via NOT IN (here:
+    * negative account balance stands in for the missing s_comment
+    * complaints filter). The part↔supplier relation is the distinct
+    * (l_partkey, l_suppkey) projection of lineitem. NOT IN over a non-null
+    * key is a left-anti join — broadcast, since the exclusion list is tiny
+    * by construction. */
+  def q16SupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val excl = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val pf = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    pairs
+      .join(broadcast(excl), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 shape (potential part promotion): the nested semi-join chain
+    * — suppliers IN (pairs over parts IN (LIKE-filtered parts) whose 1997
+    * shipped quantity exceeds a correlated per-part scalar) AND nation IN a
+    * region. With no partsupp, "availqty > ½·shipped" becomes "this
+    * supplier shipped >30% of the part's total 1997 volume" — the same
+    * correlated-scalar-inside-IN decorrelation (per-part total joined back).
+    * The quantity compare is exact: integer-scaled decimals on both sides
+    * (q·10 > tq·3), no float thresholds. Semi joins all the way down — no
+    * row multiplication anywhere. */
+  def q20PromoSuppliers(s: SparkSession, d: String): DataFrame = {
+    val qty = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+    val tot = qty.groupBy(col("pk").as("tpk")).agg(sum(col("q")).as("tq"))
+    val pf = Tables.part(s, d).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"))
+    val hot = qty
+      .join(broadcast(pf), col("pk") === col("p_partkey"), "left_semi")
+      .join(tot, col("pk") === col("tpk"))
+      .filter(col("q") * 10 > col("tq") * 3)
+      .select(col("sk")).distinct()
+    Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter(col("n_regionkey") === 2)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(hot, col("s_suppkey") === col("sk"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy(col("s_suppkey"))
   }
 
   /** B15 extension — equi-width histogram of l_extendedprice in 20 global
@@ -885,6 +1040,11 @@ object Relational {
     "q19_disjunctive" -> (q19Disjunctive _),
     "q21_waiting" -> (q21Waiting _),
     "q22_idle_balance" -> (q22IdleBalance _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_profit_by_nation" -> (q9ProfitByNation _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q16_supplier_counts" -> (q16SupplierCounts _),
+    "q20_promo_suppliers" -> (q20PromoSuppliers _),
     "agg_cube" -> (aggCube _),
     "agg_collect" -> (aggCollect _),
     "agg_percentile" -> (aggPercentile _),
@@ -1229,9 +1389,88 @@ object Relational {
         | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS totacctbal
         |FROM cust, bar
         |WHERE c_acctbal > ab
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
         |GROUP BY code
         |ORDER BY cntrycode""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    min(l_extendedprice / l_quantity) AS cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |rs AS (
+        |  SELECT pk, sk, cost, s_name, s_acctbal
+        |  FROM ps JOIN supplier ON sk = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 0),
+        |mn AS (SELECT pk, min(cost) AS mc FROM rs GROUP BY pk)
+        |SELECT p_partkey, p_name, sk AS s_suppkey, s_name, s_acctbal,
+        |  cost AS min_cost
+        |FROM rs JOIN mn ON rs.pk = mn.pk AND cost = mc
+        |JOIN part ON rs.pk = p_partkey
+        |WHERE p_type = 'STANDARD' AND p_size < 10
+        |ORDER BY s_acctbal DESC NULLS LAST, p_partkey, s_suppkey
+        |LIMIT 100""".stripMargin,
+    "q9_profit_by_nation" ->
+      """SELECT n_name AS nation,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(CAST(sum(
+        |    CAST(l_extendedprice AS DECIMAL(12,4))
+        |      * (CAST(1 AS DECIMAL(12,4)) - CAST(l_discount AS DECIMAL(12,4)))
+        |    - CAST(p_retailprice AS DECIMAL(12,4))
+        |      * CAST(l_quantity AS DECIMAL(12,4)) * CAST(0.1 AS DECIMAL(12,4))
+        |  ) AS DECIMAL(38,6)) AS DOUBLE) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey AS pk,
+        |    sum(CAST(l_extendedprice AS DECIMAL(12,4))
+        |        * CAST(l_quantity AS DECIMAL(12,4))) AS val
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier JOIN nation
+        |    ON s_nationkey = n_nationkey WHERE n_regionkey = 1)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(val) AS t, count(*) AS n FROM v)
+        |SELECT pk AS p_partkey, CAST(CAST(val AS DECIMAL(38,6)) AS DOUBLE) AS value
+        |FROM v, tot
+        |WHERE CAST(val AS DOUBLE) * n > 2 * CAST(t AS DOUBLE)
+        |ORDER BY value DESC NULLS LAST, p_partkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC NULLS LAST, p_brand, p_type, p_size""".stripMargin,
+    "q20_promo_suppliers" ->
+      """WITH qty AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    sum(CAST(l_quantity AS DECIMAL(18,6))) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT pk, sum(q) AS tq FROM qty GROUP BY pk)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT sk FROM qty JOIN tot ON qty.pk = tot.pk
+        |  WHERE qty.pk IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        |    AND q * 10 > tq * 3)
+        |AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+        |ORDER BY s_suppkey""".stripMargin,
     "project_expr" ->
       """SELECT l_orderkey, l_linenumber,
         | l_extendedprice * (1.0 - l_discount) AS disc_price,

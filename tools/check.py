@@ -87,6 +87,7 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
     n_pass = n_fail = 0
+    suspects = []
     for name, sql in sorted(oracles.items()):
         try:
             got = canonical(pd.read_parquet(f"{out_dir}/{name}"))
@@ -113,11 +114,20 @@ def main(sf_dir, out_dir):
             ok = False
         if ok:
             n_pass += 1
-            print(f"PASS {name} ({len(got)} rows)")
+            if len(got) == 0:
+                # An empty-vs-empty match proves the query compiles, not that
+                # it is right (round-8 postmortem: q22's anti-join never bound
+                # on the fixture and stayed vacuously green for a full round).
+                suspects.append(name)
+                print(f"SUSPECT {name}: 0 rows on both sides — vacuous match")
+            else:
+                print(f"PASS {name} ({len(got)} rows)")
         else:
             n_fail += 1
-    print(f"== {n_pass} pass, {n_fail} fail, {len(oracles)} oracles ==")
-    return 1 if n_fail else 0
+    print(f"== {n_pass} pass, {n_fail} fail, {len(oracles)} oracles, "
+          f"{len(suspects)} zero-row suspect{'' if len(suspects) == 1 else 's'}"
+          f"{': ' + ', '.join(suspects) if suspects else ''} ==")
+    return 1 if n_fail or suspects else 0
 
 
 if __name__ == "__main__":
