@@ -153,6 +153,64 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE load_t")
   }
 
+  test("qualified db.table round trip: DDL set + restart replay") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_q", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      // CREATE with a qualifier: database auto-created, persistent view
+      spark.sql(s"CREATE TABLE wh.dim_nation MAPPED BY " +
+        s"'${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+      assert(ops.Ddl.lookup("wh.dim_nation").isDefined)
+      assert(ops.Ddl.lookup("WH.DIM_NATION").isDefined) // case-insensitive
+      assert(spark.sql("SELECT count(*) FROM wh.dim_nation").head.getLong(0) == 25)
+      // ALTER ADD + DROP rewrite the persistent view
+      spark.sql("ALTER TABLE wh.dim_nation ADD COLUMN name_len AS length(n_name)")
+      spark.sql("ALTER TABLE wh.dim_nation ADD COLUMN tmp_c AS 1")
+      spark.sql("ALTER TABLE wh.dim_nation DROP COLUMN tmp_c")
+      val cols = spark.table("wh.dim_nation").columns.toSeq
+      assert(cols.contains("name_len") && !cols.contains("tmp_c"))
+      assert(spark.table("wh.dim_nation")
+        .where(col("name_len") =!= length(col("n_name"))).count() == 0)
+      // DESCRIBE / CACHE / ANALYZE / SHOW STATS route through graft
+      val desc = spark.sql("DESCRIBE wh.dim_nation").collect()
+        .map(r => (r.getString(0), r.getBoolean(2))).toMap
+      assert(desc("n_nationkey") === true && desc.contains("name_len"))
+      spark.sql("CACHE TABLE wh.dim_nation")
+      assert(spark.catalog.isCached("wh.dim_nation"))
+      spark.sql("UNCACHE TABLE wh.dim_nation")
+      spark.sql("ANALYZE TABLE wh.dim_nation COMPUTE STATISTICS")
+      val stats = spark.sql("SHOW STATS wh.dim_nation").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(stats("n_rows") == "25")
+      // LOAD DATA is rejected with a clear error, not silently delegated
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "LOAD DATA INPATH '/nope' INTO TABLE wh.dim_nation")
+      }
+      // restart: drop the in-memory catalog AND the session view+db —
+      // everything must replay from the persisted JSON on first touch
+      ops.Ddl.resetForTest()
+      spark.sql("DROP VIEW IF EXISTS wh.dim_nation")
+      spark.sql("DROP DATABASE IF EXISTS wh")
+      val desc2 = spark.sql("DESCRIBE wh.dim_nation").collect()
+        .map(r => (r.getString(0), r.getBoolean(2))).toMap
+      assert(desc2.contains("name_len")) // mutation log replayed
+      assert(spark.sql("SELECT count(*) FROM wh.dim_nation").head.getLong(0) == 25)
+      spark.sql("DROP TABLE wh.dim_nation")
+      assert(ops.Ddl.lookup("wh.dim_nation").isEmpty)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("catalog survives restart: persisted file replays schema and scans") {
     val tmp = java.nio.file.Files.createTempFile("graft_cat", ".json")
     java.nio.file.Files.delete(tmp)
