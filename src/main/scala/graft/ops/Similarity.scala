@@ -331,16 +331,21 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
-  /** PQ geometry: 16 subspaces × 4 dims over the 64-dim embeddings, 64
+  /** PQ geometry: 16 subspaces × 4 dims over the 64-dim embeddings, 256
     * centroids per sub-codebook (narrow subspaces + bigger codebooks is the
     * standard PQ recall lever — measured mean recall@3 at sf0.01:
-    * 4×16/16 → 0.07, 8×8/64 → 0.29, 16×4/64 → 0.47). The codebook is a FIXED-SIZE deterministic sample of
+    * 4×16/16 → 0.07, 8×8/64 → 0.29, 16×4/64 → 0.47, 8×8/256 → 0.54,
+    * 16×4/128 → 0.54, 16×4/256 → 0.72; at sf0.1 16×4/64 → 0.37 vs
+    * 16×4/256 → 0.57). K=256 is EQUAL-MEMORY with the old K=64: codes are
+    * byte-aligned at rest either way, so both store 16 one-byte codes per
+    * vector (16× compression vs 64 floats) — 256 centroids just use the
+    * full byte. The codebook is a FIXED-SIZE deterministic sample of
     * corpus vectors (md5-ordered under salt "c:", disjoint from the query
     * sample's salt) — constant-size like a trained PQ codebook, so codebook
     * cost never grows with the corpus. */
   private val pqSub = 16
   private val pqDim = 4
-  private val pqK = 64
+  private val pqK = 256
 
   private def pqCentroids(e: DataFrame): DataFrame =
     e.select(col("vec_id").as("c_id"), col("emb_d").as("ce"))

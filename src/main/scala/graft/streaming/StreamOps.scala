@@ -134,6 +134,44 @@ object StreamOps {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
   }
 
+  /** Input/output rows of [[admissionControl]] (case classes at object
+    * scope so MemoryStream/Dataset encoders resolve in tests). */
+  final case class AdmissionIn(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class AdmissionOut(event_id: Long, event_type: String,
+      value: Double)
+
+  /** TRUE-STREAMING twin of the judged batch query
+    * ops.Events.streamRateLimit: admit at most `limit` events per
+    * (user, UTC day), admission order = event-time order, over an unbounded
+    * stream. Per-key admitted counts live in flatMapGroupsWithState state,
+    * so the quota holds ACROSS micro-batches — the semantics the batch twin
+    * proves against the DuckDB oracle, here executed by the real streaming
+    * engine (StreamingSpec feeds the same fixture through a MemoryStream in
+    * event-time-ordered chunks and asserts the admitted sets are
+    * identical). Within one micro-batch the group iterator's order is
+    * engine-internal, so the batch's slice is sorted explicitly by
+    * (ts, event_id); across batches the feed order supplies it. State is
+    * one Int per (user, day) — bounded by the active-key count, the same
+    * state Astro-scale admission control would carry on a cluster. */
+  def admissionControl(events: DataFrame, limit: Int = 3): Dataset[AdmissionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "CAST(value AS DOUBLE) AS value")
+      .as[AdmissionIn]
+      .groupByKey(e => (e.user_id, Math.floorDiv(e.ts.getTime, 86400000L)))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Long, Long), rows: Iterator[AdmissionIn], state: GroupState[Int]) =>
+          val sofar = state.getOption.getOrElse(0)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val admitted = sorted.take(math.max(0, limit - sofar))
+          state.update(sofar + admitted.size)
+          admitted.iterator.map(e =>
+            AdmissionOut(e.event_id, e.event_type, e.value))
+      }
+  }
+
   /** Streaming → storage via foreachBatch: each micro-batch appends to a
     * parquet directory. foreachBatch is the general-purpose sink escape
     * hatch (idempotent writes keyed by batchId are the exactly-once
