@@ -36,4 +36,41 @@ class DsV2Spec extends SparkSpec {
     assert(df.schema.fieldNames === Array("tag"))
     assert(df.count() > 0)
   }
+
+  test("aggregate pushdown: partials computed in the scan, no raw-row exchange") {
+    val df = ops.KeyRange.dsv2AggPushdown(spark, "")
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    // the pushed aggregate is visible in the scan node...
+    // (count(k) on the non-null key arrives as CountStar after translation)
+    assert(planStr.contains("PushedAggregation: [count_star, min_v, max_v, sum_v]"), planStr)
+    assert(planStr.contains("GroupBy: [tag]"), planStr)
+    // ...and the scan's OUTPUT is the partial-aggregate schema — the raw
+    // (k, v, tag) rows never cross the scan boundary, so the exchange that
+    // feeds the final aggregate carries only group partials
+    val inner = plan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = inner.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.length == 1, planStr)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq ==
+      Seq("tag", "count_star", "min_v", "max_v", "sum_v"), planStr)
+    // filter pushdown composes: key bounds still prune regions
+    assert(planStr.contains("keyBounds=[20000,80000)"), planStr)
+    // semantics match a brute-force recomputation of the generator
+    val expect = (20000L until 80000L)
+      .map(k => graft.sources.GraftRangeSource.tagOf(k) -> graft.sources.GraftRangeSource.valueOf(k))
+      .groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).min, vs.map(_._2).max, vs.map(_._2).sum))
+      .toMap
+    val rows = df.collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (cnt, mn, mx, sm) = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((cnt, mn, mx, sm)), r)
+    }
+  }
 }
