@@ -96,6 +96,24 @@ object KeyRange {
       .filter(col("k").between(20000, 79999) && col("v") < 500)
       .orderBy(col("k"))
 
+  /** A5's modern analogue (SURVEY.md §2 A5): DSv2 AGGREGATE pushdown. The
+    * reference ran partial filter/aggregation inside the region server via
+    * coprocessor; the Spark-native idiom is `SupportsPushDownAggregates` —
+    * the scan itself emits per-partition per-group partials (count/min/max/
+    * sum) and the final aggregate merges them, so O(rows) never crosses the
+    * scan boundary, only O(groups × partitions). Key bounds prune partitions
+    * at the same time (filter + aggregate pushdown compose). DsV2Spec pins
+    * the plan: PushedAggregation in the scan node, scan output = the partial
+    * schema (no full-column exchange before the final agg). */
+  def dsv2AggPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "100000").option("slices", "16").load()
+      .filter(col("k") >= 20000 && col("k") < 80000)
+      .groupBy(col("tag"))
+      .agg(count(col("k")).as("cnt"), min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
+      .orderBy(col("tag"))
+
   /** A7-partitioned: Hive-style partitioned write + partition-pruned read —
     * the directory-partitioning pattern that bounds scans at 100 TB (the
     * read filter prunes to 2 of ~7 year directories; PlanSpec asserts the
@@ -110,6 +128,35 @@ object KeyRange {
       .groupBy(col("o_year").cast("int").as("o_year"), col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"))
       .orderBy(col("o_year"), col("o_orderstatus"))
+  }
+
+  /** A2 (runtime half): DYNAMIC partition pruning — the Spark analogue of
+    * Astro's runtime critical-point region pruning. The fact side is the
+    * year-partitioned orders export; the dim side's filter (label='target')
+    * is NOT on the join key, so no static pruning is possible — Catalyst
+    * plants a DynamicPruningSubquery on the fact scan (PlanSpec asserts
+    * `dynamicpruning` in PartitionFilters) that evaluates the broadcast dim
+    * at runtime and skips 5 of the 7 year directories before any fact I/O.
+    * At 100 TB this is the difference between scanning the whole fact table
+    * and scanning only the dim-selected partitions. The dim is written to
+    * parquet (not a local relation) so its filter survives as a real scan
+    * predicate for the DPP planner to see. */
+  def dppPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = s"$scratch/dpp_fact"
+    val dimP = s"$scratch/dpp_dim"
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode(SaveMode.Overwrite).partitionBy("o_year").parquet(fact)
+    (1992 to 1998).map(y => (y, if (y == 1995 || y == 1996) "target" else "other"))
+      .toDF("dim_year", "label")
+      .write.mode(SaveMode.Overwrite).parquet(dimP)
+    s.read.parquet(fact)
+      .join(s.read.parquet(dimP).filter(col("label") === "target"),
+        col("o_year") === col("dim_year"))
+      .groupBy(col("o_year").cast("int").as("o_year"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("o_year"))
   }
 
   /** A7/B8: bucketed co-located join — both sides written bucketed on the
@@ -267,7 +314,9 @@ object KeyRange {
     "csv_ingest" -> (csvIngest _),
     "bucketed_join" -> (bucketedJoin _),
     "partitioned_write" -> (partitionedWrite _),
-    "dsv2_keyrange" -> (dsv2Keyrange _))
+    "dsv2_keyrange" -> (dsv2Keyrange _),
+    "dsv2_agg_pushdown" -> (dsv2AggPushdown _),
+    "dpp_prune" -> (dppPrune _))
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" ->
@@ -345,5 +394,24 @@ object KeyRange {
         | 'r' || CAST(k % 97 AS VARCHAR) AS tag
         |FROM generate_series(0, 99999) t(k)
         |WHERE k BETWEEN 20000 AND 79999 AND (k * 2654435761) % 1000 < 500
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin,
+    // replays the generator + grouping; CAST(sum) pins DuckDB's HUGEINT back
+    // to BIGINT so dtypes match Spark's long
+    "dsv2_agg_pushdown" ->
+      """WITH r AS (
+        |  SELECT k, (k * 2654435761) % 1000 AS v,
+        |         'r' || CAST(k % 97 AS VARCHAR) AS tag
+        |  FROM generate_series(0, 99999) t(k)
+        |  WHERE k >= 20000 AND k < 80000)
+        |SELECT tag, count(k) AS cnt, min(v) AS min_v, max(v) AS max_v,
+        |       CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM r GROUP BY tag ORDER BY tag""".stripMargin,
+    // replays the deterministic dim: target years 1995-1996
+    "dpp_prune" ->
+      """WITH dim AS (SELECT * FROM (VALUES (1995, 'target'), (1996, 'target'))
+        |             t(dim_year, label))
+        |SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders JOIN dim ON year(o_orderdate) = dim_year
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }
