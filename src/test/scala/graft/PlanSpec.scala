@@ -52,6 +52,16 @@ class PlanSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("dpp_prune plants a dynamic-pruning subquery on the fact scan") {
+    val df = SparkEntry.queries("dpp_prune")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // runtime pruning: the fact scan's PartitionFilters carry a
+    // dynamicpruning expression fed by the filtered dim side
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1200))
+    // and it actually executes correctly (2 target years bind)
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(1995, 1996))
+  }
+
   test("bucketed join plans without an exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
