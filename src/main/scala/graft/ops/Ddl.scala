@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType}
 
@@ -36,9 +36,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType
   * demand, and the relation registers as a PERSISTENT session-catalog view
   * (temp views cannot hold multipart names) whose body is self-contained
   * SQL over the base parquet path with the mutation log replayed as nested
-  * SELECTs. Known limitation (documented, not silently wrong): LOAD DATA
-  * into a qualified table is rejected — header-aligned CSV ingest cannot be
-  * expressed in self-contained view SQL.
+  * SELECTs. LOAD DATA into a qualified table materializes the
+  * header-aligned CSV to a managed parquet snapshot under the warehouse
+  * (header alignment is not expressible in self-contained view SQL, but a
+  * parquet path is), and the view unions the snapshot — so restart replay
+  * stays a pure-SQL rebuild.
   *
   * PERSISTENCE: Astro's catalog survived process restart (table metadata
   * lived in an HBase metadata table [ref*: …/hbase/HBaseCatalog.scala —
@@ -206,15 +208,31 @@ object Ddl {
           cols = cols.filterNot(_.equalsIgnoreCase(m.a))
           sqlText =
             s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} FROM ( $sqlText )"
+        case "load" =>
+          // m.b = the managed parquet snapshot of the header-aligned CSV,
+          // written at LOAD time with the schema the table had THEN (which
+          // equals `cols` at this fold point). Selecting the columns by
+          // name keeps union semantics order-independent.
+          sqlText = s"SELECT * FROM ( $sqlText ) UNION ALL " +
+            s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} FROM parquet.`${m.b}`"
         case other =>
-          // "load" never reaches a qualified catalog entry (rejected at
-          // execute time: header-aligned CSV cannot be expressed in
-          // self-contained view SQL).
           throw new IllegalStateException(
             s"unsupported mutation '$other' on qualified table ${t.name}")
       }
     }
     sqlText
+  }
+
+  /** Managed snapshot location for a qualified LOAD: lives beside the
+    * catalog file (spark-warehouse by default) so the view SQL that
+    * references it stays valid for any process reading the same catalog.
+    * Indexed by the mutation's position so repeated LOADs never collide. */
+  private def loadSnapshotPath(t: KeyedTable): String = {
+    val base = Option(catalogPath.getParent)
+      .getOrElse(java.nio.file.Paths.get("."))
+    base.resolve("graft_loads")
+      .resolve(s"${t.name.toLowerCase.replace('.', '_')}_${t.muts.length}")
+      .toString
   }
 
   /** Create/refresh the persistent view for a qualified table, creating its
@@ -336,7 +354,10 @@ object Ddl {
       m.op match {
         case "add"  => df.withColumn(m.a, expr(m.b))
         case "drop" => df.drop(m.a)
-        case "load" => df.unionByName(readCsvAligned(spark, df.schema, m.a))
+        case "load" => df.unionByName(
+          // b = parquet snapshot (qualified tables); empty = replay the CSV
+          if (m.b.nonEmpty) spark.read.parquet(m.b)
+          else readCsvAligned(spark, df.schema, m.a))
         case other  => throw new IllegalStateException(s"bad catalog mutation: $other")
       }
     }
@@ -393,8 +414,15 @@ object Ddl {
           s"column '$colName' already exists in ${t.name}")
         if (isQualified(t.name)) {
           // analyze eagerly so a bad expression fails HERE, not on the
-          // first SELECT against the rewritten view
-          df.withColumn(colName, expr(sqlExpr)).schema
+          // first SELECT against the rewritten view — and analyze it in
+          // the SELF-CONTAINED replay context (base parquet + mutation
+          // log), not against the live session table: an expression that
+          // only resolves via session-scoped objects must not validate
+          // (CREATE VIEW's own temp-reference guard backstops this for
+          // temp views/functions, but this check also catches anything
+          // resolvable live yet absent at restart replay)
+          spark.sql(
+            s"SELECT *, ($sqlExpr) AS `$colName` FROM ( ${rebuildSql(spark, t)} )").schema
           replaceQualified(spark, t.copy(muts =
             t.muts :+ Mut("add", colName, sqlExpr)))
         } else replaceView(spark, t.name, df.withColumn(colName, expr(sqlExpr)))
@@ -427,17 +455,23 @@ object Ddl {
         // Astro's bulk-load statement (LOAD DATA INPATH ... INTO TABLE t
         // [ref*: per SURVEY.md §2 A7 — mount empty]): CSV rows appended to
         // the keyed table under its CURRENT schema, columns matched by
-        // header NAME (readCsvAligned). The union is a declarative view
-        // rewrite — nothing materializes until read.
+        // header NAME (readCsvAligned). Single-part tables stay a
+        // declarative view rewrite (nothing materializes until read);
+        // qualified tables materialize the aligned CSV to a managed parquet
+        // snapshot so the persistent view's SQL stays self-contained.
         val t = lookupOrThrow(name)
-        require(!isQualified(t.name),
-          s"LOAD DATA into qualified table ${t.name} is not supported: its " +
-            "persistent view must stay self-contained SQL, which cannot " +
-            "express a header-aligned CSV read; use a single-part table")
         ensureView(spark, t)
         val df = spark.table(t.name)
-        replaceView(spark, t.name, df.unionByName(readCsvAligned(spark, df.schema, path)))
-        logMut(t, Mut("load", path, ""))
+        if (isQualified(t.name)) {
+          val snap = loadSnapshotPath(t)
+          readCsvAligned(spark, df.schema, path)
+            .write.mode(SaveMode.Overwrite).parquet(snap)
+          replaceQualified(spark, t.copy(muts = t.muts :+ Mut("load", path, snap)))
+          logMut(t, Mut("load", path, snap))
+        } else {
+          replaceView(spark, t.name, df.unionByName(readCsvAligned(spark, df.schema, path)))
+          logMut(t, Mut("load", path, ""))
+        }
         status("LOAD", t.name)
       case ViewRe(name, sql) =>
         require(lookup(name).isEmpty,

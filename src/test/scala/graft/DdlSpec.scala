@@ -185,11 +185,14 @@ class DdlSpec extends SparkSpec {
       val stats = spark.sql("SHOW STATS wh.dim_nation").collect()
         .map(r => (r.getString(0), r.getString(1))).toMap
       assert(stats("n_rows") == "25")
-      // LOAD DATA is rejected with a clear error, not silently delegated
-      intercept[IllegalArgumentException] {
-        ops.Ddl.execute(spark,
-          "LOAD DATA INPATH '/nope' INTO TABLE wh.dim_nation")
-      }
+      // LOAD DATA materializes the aligned CSV to a managed parquet
+      // snapshot and the persistent view unions it (self-contained SQL)
+      val csvDir = java.nio.file.Files.createTempDirectory("graft_qload_csv").toString
+      spark.table("wh.dim_nation").orderBy(col("n_nationkey")).limit(2)
+        .write.mode("overwrite").option("header", "true").csv(csvDir)
+      val st = spark.sql(s"LOAD DATA INPATH '$csvDir' INTO TABLE wh.dim_nation").collect()
+      assert(st.head.getString(0) == "LOAD" && st.head.getString(1) == "wh.dim_nation")
+      assert(spark.sql("SELECT count(*) FROM wh.dim_nation").head.getLong(0) == 27)
       // restart: drop the in-memory catalog AND the session view+db —
       // everything must replay from the persisted JSON on first touch
       ops.Ddl.resetForTest()
@@ -198,7 +201,11 @@ class DdlSpec extends SparkSpec {
       val desc2 = spark.sql("DESCRIBE wh.dim_nation").collect()
         .map(r => (r.getString(0), r.getBoolean(2))).toMap
       assert(desc2.contains("name_len")) // mutation log replayed
-      assert(spark.sql("SELECT count(*) FROM wh.dim_nation").head.getLong(0) == 25)
+      // loaded rows survive restart too (snapshot referenced from view SQL)
+      assert(spark.sql("SELECT count(*) FROM wh.dim_nation").head.getLong(0) == 27)
+      assert(spark.sql(
+        "SELECT count(*) FROM wh.dim_nation WHERE n_nationkey = 0")
+        .head.getLong(0) == 2)
       spark.sql("DROP TABLE wh.dim_nation")
       assert(ops.Ddl.lookup("wh.dim_nation").isEmpty)
     } finally {
