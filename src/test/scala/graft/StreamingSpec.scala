@@ -246,7 +246,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val fixture = Tables.events(spark, sf("sf0.001"))
-      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "CAST(ts AS DATE) AS day", "user_id",
         "event_type", "CAST(value AS DOUBLE) AS value")
       .as[streaming.StreamOps.AdmissionIn]
       .collect().sortBy(e => (e.ts.getTime, e.event_id))
