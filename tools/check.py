@@ -30,6 +30,12 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries whose CORRECT result is legitimately empty at some scale factor.
+# A zero-row match for anything else is a vacuous green (round-8 q22
+# postmortem) and fails the gate. Currently none — every judged query binds
+# at every tested SF by construction.
+ALLOWED_EMPTY = set()
+
 
 def canonical(df):
     """Lower-case + alphabetically ordered columns, rows sorted by all
@@ -113,14 +119,16 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: values differ: {first_diff(got, want)}")
             ok = False
         if ok:
-            n_pass += 1
-            if len(got) == 0:
+            if len(got) == 0 and name not in ALLOWED_EMPTY:
                 # An empty-vs-empty match proves the query compiles, not that
                 # it is right (round-8 postmortem: q22's anti-join never bound
                 # on the fixture and stayed vacuously green for a full round).
+                # Suspects are counted SEPARATELY from passes so the summary
+                # line can never read "N pass, 0 fail" while exiting 1.
                 suspects.append(name)
                 print(f"SUSPECT {name}: 0 rows on both sides — vacuous match")
             else:
+                n_pass += 1
                 print(f"PASS {name} ({len(got)} rows)")
         else:
             n_fail += 1
