@@ -62,6 +62,41 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1995, 1996))
   }
 
+  test("bloom_prune injects a runtime bloom probe when thresholds scale") {
+    // At fixture scale the fact scan is far below the 10 GB default
+    // application-side threshold, so the judged run plans a plain join.
+    // Re-plan the same query with thresholds scaled to fixture size (and
+    // broadcast off, so the probe has a shuffle to save) and assert the
+    // bloom filter probe lands on the fact side — the plan a 100 TB fact
+    // table gets out of the box — and that the results stay identical.
+    val confs = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val plain = SparkEntry.queries("bloom_prune")(spark, sf("sf0.001")).collect()
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val df = SparkEntry.queries("bloom_prune")(spark, sf("sf0.001"))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("might_contain") ||
+        plan.toLowerCase.contains("bloomfilter"), plan.take(1500))
+      assert(df.collect().toSeq == plain.toSeq)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("orc_roundtrip prunes columns and pushes the quantity filter to ORC") {
+    val plan = planOf("orc_roundtrip")
+    assert(plan.contains("PushedFilters:") && plan.contains("l_quantity"),
+      plan.take(1000))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .mkString("\n")
+    assert(!readSchema.contains("l_partkey"), readSchema)
+  }
+
   test("bucketed join plans without an exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
