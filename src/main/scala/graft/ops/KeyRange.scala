@@ -130,6 +130,74 @@ object KeyRange {
       .orderBy(col("o_year"), col("o_orderstatus"))
   }
 
+  /** A7 (layout #3): Z-ORDER clustered write — multi-dimensional data
+    * skipping, the layout lever `bulkload_sorted_write`'s 1-D range sort
+    * cannot provide. Interleaving the bits of (l_partkey, l_suppkey) into a
+    * Morton code and range-sorting on it makes every file's min/max tight
+    * in BOTH dimensions, so a 2-D box predicate prunes row groups on either
+    * column at read time — at 100 TB this is the difference between a
+    * secondary-dimension filter scanning everything and scanning a few
+    * percent. The z-value is built from pure bitwise Catalyst expressions
+    * (codegen'd, no UDF); correctness is layout-independent, so the oracle
+    * is the plain box filter over the source table. */
+  private[graft] def writeZorder(s: SparkSession, d: String): String = {
+    val tmp = s"$scratch/zorder_layout"
+    // 16-bit Morton interleave of the two key low halves: z = Σ (bit i of
+    // a) << 2i | (bit i of b) << (2i+1) — a fold of shiftleft/& terms
+    val a = col("l_partkey").bitwiseAND(0xFFFF)
+    val b = col("l_suppkey").bitwiseAND(0xFFFF)
+    val z = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(1), 2 * i + 1))
+    }
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+        col("l_extendedprice"), z.as("zval"))
+      .repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    tmp
+  }
+
+  def zorderLayout(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(writeZorder(s, d))
+      .filter(col("l_partkey").between(20, 120) &&
+        col("l_suppkey").between(1, 6))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("l_quantity")).as("sum_qty"),
+        sumS(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_suppkey"))
+
+  /** A6 (incremental half): materialized-view INCREMENTAL refresh — the
+    * algebraic partial-aggregate merge that keeps a 100 TB rollup current
+    * for the cost of the day's delta instead of a full recompute. The MV
+    * snapshot holds decomposable partials (count, exact-decimal sum); the
+    * refresh unions the delta's partials and re-combines (counts add, sums
+    * add — min/max/avg-from-sum/count extend the same way). The oracle is
+    * the full recompute over base ∪ delta, so the judged check IS the
+    * incremental-equals-full theorem on real data. */
+  def mvIncremental(s: SparkSession, d: String): DataFrame = {
+    val snap = s"$scratch/mv_incremental"
+    val split = "1997-01-01"
+    val orders = Tables.orders(s, d)
+    // day 0: materialize the MV from the base (everything before the split)
+    orders.filter(col("o_orderdate") < lit(split).cast("timestamp"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total"))
+      .write.mode(SaveMode.Overwrite).parquet(snap)
+    // day 1: refresh = snapshot partials ∪ delta partials, one combine
+    val delta = orders
+      .filter(col("o_orderdate") >= lit(split).cast("timestamp"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total"))
+    s.read.parquet(snap).unionByName(delta)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("total")).cast(S).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   /** A2/A3 (runtime half #2): runtime BLOOM-FILTER join pruning — the
     * row-level sibling of dynamic partition pruning, and the second modern
     * analogue of Astro's server-side predicate pushdown: Catalyst's
@@ -361,7 +429,9 @@ object KeyRange {
     "dsv2_agg_pushdown" -> (dsv2AggPushdown _),
     "dpp_prune" -> (dppPrune _),
     "orc_roundtrip" -> (orcRoundtrip _),
-    "bloom_prune" -> (bloomPrune _))
+    "bloom_prune" -> (bloomPrune _),
+    "zorder_layout" -> (zorderLayout _),
+    "mv_incremental" -> (mvIncremental _))
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" ->
@@ -475,5 +545,21 @@ object KeyRange {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#13' AND p_size <= 25
-        |GROUP BY p_size ORDER BY p_size""".stripMargin)
+        |GROUP BY p_size ORDER BY p_size""".stripMargin,
+    // layout-independent semantics: the oracle is the plain 2-D box filter
+    "zorder_layout" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // incremental-equals-full: the oracle recomputes the rollup from scratch
+    "mv_incremental" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
 }

@@ -362,10 +362,19 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
           .as("slow"))
-    li.groupBy(col("l_orderkey"))
+    // Two-level aggregate instead of two COUNT(DISTINCT)s: the multi-distinct
+    // plan Expands every lineitem row 3x before its shuffle; pre-grouping to
+    // (order, supplier) needs no Expand, and the explicit repartition on
+    // l_orderkey alone satisfies BOTH aggregates' distributions, so the whole
+    // thing is ONE un-inflated shuffle (HashPartitioning(l_orderkey) clusters
+    // (l_orderkey, l_suppkey) too).
+    li.repartition(col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("slow")).as("slow"))
+      .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("slow"), col("l_suppkey"))).as("n_late"),
+        count(lit(1)).as("n_supp"),
+        count(when(col("slow"), 1)).as("n_late"),
         min(when(col("slow"), col("l_suppkey"))).as("late_supp"))
       .filter(col("n_supp") > 1 && col("n_late") === 1)
       .join(Tables.supplier(s, d), col("late_supp") === col("s_suppkey"))

@@ -97,6 +97,61 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_partkey"), readSchema)
   }
 
+  test("zorder_layout clusters files disjointly and pushes both box filters") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val path = ops.KeyRange.writeZorder(spark, sf("sf0.001"))
+    // range-partition + sort on the Morton code → per-file zval ranges are
+    // pairwise disjoint, which is what makes BOTH dimensions' min/max stats
+    // tight enough to skip row groups
+    val ranges = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("zval")).as("lo"), max(col("zval")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2, ranges.mkString(","))
+    ranges.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: $ranges")
+    }
+    val plan = planOf("zorder_layout")
+    assert(plan.contains("PushedFilters:") && plan.contains("l_partkey") &&
+      plan.contains("l_suppkey"), plan.take(1000))
+  }
+
+  test("AQE splits a skewed join partition when thresholds scale") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    // one giant key + a uniform tail vs a small keyed right side — the
+    // runtime-skew shape join_salted handles statically; here AQE's
+    // OptimizeSkewedJoin must split the oversized partition at runtime
+    // (thresholds scaled to fixture size, broadcast off so a shuffle join
+    // actually plans)
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(0, 60000)
+        .select(when(col("id") % 10 < 8, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val right = spark.range(0, 2000).select(col("id").as("k"),
+        (col("id") * 3).as("w"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) so the executed plan inspected below is the
+      // join's own AQE execution, not a separate count aggregate
+      assert(joined.collect().length == 48000 + 400)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true") || finalPlan.contains("skewed"),
+        finalPlan.take(1500))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join plans without an exchange on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
