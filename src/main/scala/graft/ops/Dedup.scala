@@ -57,11 +57,17 @@ object Dedup {
         // shiftleft would wrap mod 64, silently corrupting the masks — fail
         // loudly instead (assert_true throws, returns NULL when it passes)
         .filter(expr("assert_true(idx <= 62, 'vocabulary grew past 63 terms; stale cached statistic')").isNull)
+      // persist: every caller uses the mask table on BOTH sides of a pair
+      // join (a/b), and without this the tokenize+explode+index join runs
+      // once per side. One doc-count-sized row of (id, lang, long, int) —
+      // negligible to hold, and the CacheManager's plan-equality lookup
+      // shares it across the whole Jaccard query family in one session.
       Some(tok.join(broadcast(idx), "term")
         .groupBy(col("doc_id"), col("lang"))
         // distinct terms → distinct bits, so sum == bitwise OR, and stays exact
         .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
-        .withColumn("n", bit_count(col("mask")).cast(IntegerType)))
+        .withColumn("n", bit_count(col("mask")).cast(IntegerType))
+        .persist())
     }
   }
 
@@ -124,6 +130,11 @@ object Dedup {
     sig.withColumn("ba", bandArr)
       .select(col("doc_id"), col("ba"),
         posexplode(col("ba")).as(Seq("band_idx", "band_hash")))
+      // persist: candidatesOver self-joins this band stream (x AND y sides),
+      // which would otherwise run the md5 + 16-min signature aggregation
+      // twice per query. 4 small rows per doc; the self-join then reads both
+      // sides from the one materialization.
+      .persist()
   }
 
   /** LSH candidate pairs via band-bucket equality self-join. The join keys
@@ -220,7 +231,12 @@ object Dedup {
   /** Pair computation without the output sort — dedupComponentsShingle
     * consumes this as an edge list (the same split ngramJaccardPairs has). */
   private def shinglePairs(s: SparkSession, d: String): DataFrame = {
-    val st = shingleSets(s, d)
+    // The shingling transform (sequence/transform/array_distinct over every
+    // document) feeds THREE plan inputs — the band stream and both verify
+    // sides — and re-executes for each without this persist. MEMORY_AND_DISK
+    // (the default) spills at corpus scale, the same materialize-once a
+    // production pipeline gets by checkpointing its shingle table.
+    val st = shingleSets(s, d).persist()
     val cand = candidatesOver(bandRowsFrom(
       st.select(col("doc_id"), explode(col("tk")).as("term"))))
     val a = st.select(col("doc_id").as("a_id"), col("tk").as("ta"), col("n").as("na"))
@@ -477,6 +493,9 @@ object Dedup {
     * here distributes by token, scaling with posting-list sizes of the
     * RAREST tokens per doc, never with block size². */
   def dedupContainment(s: SparkSession, d: String): DataFrame = {
+    // NOT persisted (measured): the exploded stream is corpus×tokens-sized,
+    // and caching it breaks the codegen'd scan pipelines for a net loss —
+    // unlike the doc-count-sized mask/band tables, recompute is cheaper here
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), explode(array_distinct(tokens)).as("term"))
     // global df — the ANALYZE-style statistic prefix filtering ranks by;
