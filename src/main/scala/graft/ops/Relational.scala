@@ -1011,6 +1011,39 @@ object Relational {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** B15 extension #2: CORRELATION / COVARIANCE — the two-variable moment
+    * aggregates (covar_pop/covar_samp/corr) via the same exact-power-sum
+    * technique agg_stats uses for variance: every sum accumulates in exact
+    * decimal, casts to double once, and the final expressions are pure IEEE
+    * arithmetic written token-identically in the oracle (sqrt is correctly
+    * rounded per IEEE-754, unlike ln/exp which stay banned). sum(x²) is
+    * rescaled to scale 4 before the double cast — quantity² is integral so
+    * the rescale is exact, and it keeps the unscaled value under 2^53 where
+    * decimal→double is correctly rounded in BOTH engines (at scale 8 it
+    * would not be). Native corr()/covar_samp() would be one call but
+    * accumulate in engine-specific float order — unjudgeable. */
+  def aggCorr(s: SparkSession, d: String): DataFrame = {
+    val x = dec4(col("l_quantity"))
+    val y = dec4(col("l_discount"))
+    val nD = col("n").cast(DoubleType)
+    val cxy = col("sxy") - col("sx") * col("sy") / nD
+    val cxx = col("sxx") - col("sx") * col("sx") / nD
+    val cyy = col("syy") - col("sy") * col("sy") / nD
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DecimalType(38, 4)).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        (cxy / nD).as("covar_pop"),
+        (cxy / (nD - lit(1.0).cast(DoubleType))).as("covar_samp"),
+        (cxy / sqrt(cxx * cyy)).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B15 extension: MODE — most frequent value per group with a
     * deterministic tie-break (count desc, then value asc), expressed as
     * count + ranked window so both engines agree exactly (a native mode()
@@ -1059,6 +1092,7 @@ object Relational {
     "agg_percentile" -> (aggPercentile _),
     "agg_percentile_multi" -> (aggPercentileMulti _),
     "agg_hll_distinct" -> (aggHllDistinct _),
+    "agg_corr" -> (aggCorr _),
     "sql_surface" -> (sqlSurface _),
     "typed_pipeline" -> (typedPipeline _),
     "project_expr" -> (projectExpr _),
@@ -1100,6 +1134,27 @@ object Relational {
         |  sqrt(greatest((sxx - sx * sx / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0),
         |                0.0)) AS stddev
         |FROM a ORDER BY o_orderstatus""".stripMargin,
+    // exact decimal power sums -> one double cast each -> shared IEEE
+    // expressions; sum(x^2) rescaled to scale 4 (exact: quantity is
+    // integral) to keep the unscaled value under 2^53 for the double cast
+    "agg_corr" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))
+        |           * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS sxy,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))
+        |                * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(12,4))
+        |           * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS covar_pop,
+        |  (sxy - sx * sy / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS covar_samp,
+        |  (sxy - sx * sy / CAST(n AS DOUBLE))
+        |    / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+        |           * (syy - sy * sy / CAST(n AS DOUBLE))) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, cnt FROM (
         |  SELECT o_orderstatus, o_orderpriority AS mode_priority, count(*) AS cnt,
