@@ -1044,6 +1044,31 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** B15 extension #3: LINEAR-REGRESSION aggregates (REGR_SLOPE /
+    * REGR_INTERCEPT of extendedprice over quantity per return flag) — the
+    * third member of the moment-aggregate family, same exact-power-sum
+    * recipe. The cross-product sum q·price is a 2-dp value accumulated at
+    * scale 8; rescaling to scale 2 before the double cast is exact and
+    * keeps the unscaled value under 2^53 even at 10× the judged scale. */
+  def aggRegression(s: SparkSession, d: String): DataFrame = {
+    val x = dec4(col("l_quantity"))
+    val y = dec4(col("l_extendedprice"))
+    val nD = col("n").cast(DoubleType)
+    val slope = (col("sxy") - col("sx") * col("sy") / nD) /
+      (col("sxx") - col("sx") * col("sx") / nD)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sx"),
+        sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DecimalType(38, 2)).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DecimalType(38, 4)).cast(DoubleType).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        slope.as("slope"),
+        (col("sy") / nD - slope * (col("sx") / nD)).as("intercept"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** B15 extension: MODE — most frequent value per group with a
     * deterministic tie-break (count desc, then value asc), expressed as
     * count + ranked window so both engines agree exactly (a native mode()
@@ -1093,6 +1118,7 @@ object Relational {
     "agg_percentile_multi" -> (aggPercentileMulti _),
     "agg_hll_distinct" -> (aggHllDistinct _),
     "agg_corr" -> (aggCorr _),
+    "agg_regression" -> (aggRegression _),
     "sql_surface" -> (sqlSurface _),
     "typed_pipeline" -> (typedPipeline _),
     "project_expr" -> (projectExpr _),
@@ -1154,6 +1180,23 @@ object Relational {
         |  (sxy - sx * sy / CAST(n AS DOUBLE))
         |    / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
         |           * (syy - sy * sy / CAST(n AS DOUBLE))) AS corr
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    // q*price is a 2-dp value: rescale its scale-8 sum to scale 2 (exact)
+    // before the double cast, mirroring the Spark side token for token
+    "agg_regression" ->
+      """WITH a AS (SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sy,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))
+        |                * CAST(l_extendedprice AS DECIMAL(12,4))) AS DECIMAL(38,2)) AS DOUBLE) AS sxy,
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))
+        |                * CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(38,4)) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (sxy - sx * sy / CAST(n AS DOUBLE)) / (sxx - sx * sx / CAST(n AS DOUBLE)) AS slope,
+        |  sy / CAST(n AS DOUBLE)
+        |    - ((sxy - sx * sy / CAST(n AS DOUBLE)) / (sxx - sx * sx / CAST(n AS DOUBLE)))
+        |      * (sx / CAST(n AS DOUBLE)) AS intercept
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """SELECT o_orderstatus, mode_priority, cnt FROM (
