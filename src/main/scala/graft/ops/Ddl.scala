@@ -30,6 +30,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType
   *   CACHE TABLE <name> | UNCACHE TABLE <name>
   *   CREATE VIEW <name> AS <sql>
   *   LOAD DATA INPATH '<csv path>' INTO TABLE <name>
+  *   INSERT INTO <name> VALUES (...)[, (...)] | INSERT INTO <name> SELECT ...
   *   ANALYZE TABLE <name> COMPUTE STATISTICS | SHOW STATS <name>
   * Qualified names (`db.t`, one qualifier) are first-class: the graft
   * catalog keys on the lowercased full name, the database is created on
@@ -57,8 +58,9 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType
 object Ddl {
 
   /** One replayable mutation: op ∈ add (col, expr) | drop (col, -) |
-    * load (csv path, -). Kept as strings so the catalog file stays a flat
-    * JSON list and replay is exactly the statement the user ran. */
+    * load (csv path, snapshot-or-empty) | insert (-, snapshot). Kept as
+    * strings so the catalog file stays a flat JSON list and replay is
+    * exactly the statement the user ran. */
   final case class Mut(op: String, a: String, b: String)
 
   final case class KeyedTable(name: String, path: String, keys: Seq[String],
@@ -184,6 +186,14 @@ object Ddl {
   private val ViewRe = """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
   private val LoadRe =
     s"""(?i)\\s*LOAD\\s+DATA\\s+INPATH\\s+'([^']+)'\\s+INTO\\s+TABLE\\s+($Id)\\s*""".r
+  // INSERT INTO <t> VALUES (...)[, (...)] | INSERT INTO <t> SELECT ... —
+  // Astro's SQL write path (HBase Put). Positional column mapping, like
+  // standard INSERT without a column list; (?s) because both tails are
+  // embedded SQL and may span lines.
+  private val InsertValuesRe =
+    s"""(?is)\\s*INSERT\\s+INTO\\s+($Id)\\s+(VALUES\\s+.+)""".r
+  private val InsertSelectRe =
+    s"""(?is)\\s*INSERT\\s+INTO\\s+($Id)\\s+(SELECT\\s+.+)""".r
 
   private def isQualified(name: String): Boolean = name.contains('.')
   private def quoted(name: String): String =
@@ -208,11 +218,12 @@ object Ddl {
           cols = cols.filterNot(_.equalsIgnoreCase(m.a))
           sqlText =
             s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} FROM ( $sqlText )"
-        case "load" =>
-          // m.b = the managed parquet snapshot of the header-aligned CSV,
-          // written at LOAD time with the schema the table had THEN (which
-          // equals `cols` at this fold point). Selecting the columns by
-          // name keeps union semantics order-independent.
+        case "load" | "insert" =>
+          // m.b = the managed parquet snapshot (header-aligned CSV for
+          // LOAD, evaluated rows for INSERT), written at statement time
+          // with the schema the table had THEN (which equals `cols` at
+          // this fold point). Selecting the columns by name keeps union
+          // semantics order-independent.
           sqlText = s"SELECT * FROM ( $sqlText ) UNION ALL " +
             s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} FROM parquet.`${m.b}`"
         case other =>
@@ -307,6 +318,8 @@ object Ddl {
     case UncacheRe(n) if lookup(n).isDefined       => Some(statusCols)
     case DescRe(n) if lookup(n).isDefined          => Some(describeCols)
     case LoadRe(_, n) if lookup(n).isDefined       => Some(statusCols)
+    case InsertValuesRe(n, _) if lookup(n).isDefined => Some(statusCols)
+    case InsertSelectRe(n, _) if lookup(n).isDefined => Some(statusCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
@@ -336,6 +349,38 @@ object Ddl {
     raw.select(schema.fields.toSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 
+  /** A6 via the SQL entry point — Astro's INSERT INTO … VALUES / SELECT
+    * (the HBase Put path). The rows are evaluated NOW, aligned to the
+    * table's current schema POSITIONALLY (standard INSERT-without-column-
+    * list semantics) with casts to the table's types, and materialized to a
+    * managed parquet snapshot that the mutation log unions in — always
+    * snapshotted, even for single-part tables, because a SELECT tail can
+    * reference session state (temp views) that will not exist at restart
+    * replay, while the snapshot always will. */
+  private def insertInto(spark: SparkSession, name: String,
+      rowsSql: String): String = {
+    val t = lookupOrThrow(name)
+    ensureView(spark, t)
+    val cur = spark.table(t.name)
+    val schema = cur.schema
+    val raw = spark.sql(rowsSql)
+    require(raw.columns.length == schema.fields.length,
+      s"INSERT arity ${raw.columns.length} != table arity ${schema.fields.length} for ${t.name}")
+    val rows = raw.toDF(schema.fieldNames.toIndexedSeq: _*)
+      .select(schema.fields.toSeq.map(f =>
+        col(quotedCol(f.name)).cast(f.dataType).as(f.name)): _*)
+    val snap = loadSnapshotPath(t)
+    rows.write.mode(SaveMode.Overwrite).parquet(snap)
+    if (isQualified(t.name))
+      replaceQualified(spark, t.copy(muts = t.muts :+ Mut("insert", "", snap)))
+    else
+      replaceView(spark, t.name, cur.unionByName(spark.read.parquet(snap)))
+    logMut(t, Mut("insert", "", snap))
+    t.name
+  }
+
+  private def quotedCol(name: String): String = s"`$name`"
+
   /** Replace a table's temp view without orphaning cached plans: if the old
     * view was CACHE'd, uncache it first (otherwise its cached data leaks in
     * the cache manager, unreachable by any later UNCACHE), then re-cache the
@@ -358,6 +403,9 @@ object Ddl {
           // b = parquet snapshot (qualified tables); empty = replay the CSV
           if (m.b.nonEmpty) spark.read.parquet(m.b)
           else readCsvAligned(spark, df.schema, m.a))
+        // INSERT always snapshots (a SELECT tail may reference session
+        // state that no longer exists at replay time; the snapshot does)
+        case "insert" => df.unionByName(spark.read.parquet(m.b))
         case other  => throw new IllegalStateException(s"bad catalog mutation: $other")
       }
     }
@@ -473,6 +521,11 @@ object Ddl {
           logMut(t, Mut("load", path, ""))
         }
         status("LOAD", t.name)
+      case InsertValuesRe(name, valuesTail) =>
+        // `VALUES (...), (...)` is a bare inline table in Spark SQL
+        status("INSERT", insertInto(spark, name, s"SELECT * FROM $valuesTail"))
+      case InsertSelectRe(name, selectTail) =>
+        status("INSERT", insertInto(spark, name, selectTail))
       case ViewRe(name, sql) =>
         require(lookup(name).isEmpty,
           s"'$name' names a keyed table; DROP it before creating a view")

@@ -218,6 +218,77 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT INTO VALUES/SELECT appends rows and survives restart") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_ins", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE ins_t MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+      val base = spark.table("ins_t").count()
+      // VALUES: positional, cast to the table's types (int key from a long
+      // literal), routed through spark.sql via the injected parser
+      val st = spark.sql(
+        "INSERT INTO ins_t VALUES (97, 'added-one'), (98, 'added-two')").collect()
+      assert(st.head.getString(0) == "INSERT")
+      assert(spark.table("ins_t").count() == base + 2)
+      // SELECT: derived rows from the table itself, evaluated NOW
+      ops.Ddl.execute(spark,
+        "INSERT INTO ins_t SELECT r_regionkey + 200, upper(r_name) FROM ins_t WHERE r_regionkey = 97")
+      val names = spark.table("ins_t").where(col("r_regionkey") > 90)
+        .orderBy(col("r_regionkey")).collect().map(_.getString(1)).toSeq
+      assert(names == Seq("added-one", "added-two", "ADDED-ONE"), names)
+      // arity mismatch is an error, not silent misalignment
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark, "INSERT INTO ins_t VALUES (1, 'x', 'extra')")
+      }
+      // restart: the inserted rows must replay from the snapshots (the
+      // DESCRIBE is the graft-routed first touch that re-registers the view)
+      ops.Ddl.resetForTest()
+      spark.catalog.dropTempView("ins_t")
+      assert(spark.sql("DESCRIBE ins_t").collect().nonEmpty)
+      assert(spark.sql("SELECT count(*) FROM ins_t").head().getLong(0) == base + 3)
+      spark.sql("DROP TABLE ins_t")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("INSERT INTO a qualified table snapshots into the persistent view") {
+    val tmpd = java.nio.file.Files.createTempDirectory("graft_cat_qins")
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmpd.resolve("cat.json").toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE wh.qins MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+      val base = spark.table("wh.qins").count()
+      spark.sql("INSERT INTO wh.qins VALUES (55, 'q-added')")
+      assert(spark.table("wh.qins").count() == base + 1)
+      // restart replay: the persistent view's SQL references the snapshot
+      // (DESCRIBE = graft-routed first touch that re-registers the view)
+      ops.Ddl.resetForTest()
+      spark.sql("DROP VIEW IF EXISTS wh.qins")
+      assert(spark.sql("DESCRIBE wh.qins").collect().nonEmpty)
+      assert(spark.sql("SELECT r_name FROM wh.qins WHERE r_regionkey = 55")
+        .head().getString(0) == "q-added")
+      spark.sql("DROP TABLE wh.qins")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+    }
+  }
+
   test("catalog survives restart: persisted file replays schema and scans") {
     val tmp = java.nio.file.Files.createTempFile("graft_cat", ".json")
     java.nio.file.Files.delete(tmp)
