@@ -31,6 +31,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType
   *   CREATE VIEW <name> AS <sql>
   *   LOAD DATA INPATH '<csv path>' INTO TABLE <name>
   *   INSERT INTO <name> VALUES (...)[, (...)] | INSERT INTO <name> SELECT ...
+  *   DELETE FROM <name> WHERE <pred>
+  *   UPDATE <name> SET <col> = <expr> WHERE <pred>
   *   ANALYZE TABLE <name> COMPUTE STATISTICS | SHOW STATS <name>
   * Qualified names (`db.t`, one qualifier) are first-class: the graft
   * catalog keys on the lowercased full name, the database is created on
@@ -58,9 +60,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType
 object Ddl {
 
   /** One replayable mutation: op ∈ add (col, expr) | drop (col, -) |
-    * load (csv path, snapshot-or-empty) | insert (-, snapshot). Kept as
-    * strings so the catalog file stays a flat JSON list and replay is
-    * exactly the statement the user ran. */
+    * load (csv path, snapshot-or-empty) | insert (-, snapshot) |
+    * delete (pred, -) | update (col, frozen CASE expr). Kept as strings so
+    * the catalog file stays a flat JSON list and replay is exactly the
+    * statement the user ran. */
   final case class Mut(op: String, a: String, b: String)
 
   final case class KeyedTable(name: String, path: String, keys: Seq[String],
@@ -194,6 +197,13 @@ object Ddl {
     s"""(?is)\\s*INSERT\\s+INTO\\s+($Id)\\s+(VALUES\\s+.+)""".r
   private val InsertSelectRe =
     s"""(?is)\\s*INSERT\\s+INTO\\s+($Id)\\s+(SELECT\\s+.+)""".r
+  // DELETE FROM <t> WHERE <pred> / UPDATE <t> SET <col> = <expr> WHERE
+  // <pred> — both replay as pure-SQL rewrites over the table's own columns
+  // (a filter; a CASE projection), so the mutation log stays self-contained
+  private val DeleteRe =
+    s"""(?is)\\s*DELETE\\s+FROM\\s+($Id)\\s+WHERE\\s+(.+)""".r
+  private val UpdateRe =
+    s"""(?is)\\s*UPDATE\\s+($Id)\\s+SET\\s+(\\w+)\\s*=\\s*(.+?)\\s+WHERE\\s+(.+)""".r
 
   private def isQualified(name: String): Boolean = name.contains('.')
   private def quoted(name: String): String =
@@ -226,6 +236,13 @@ object Ddl {
           // semantics order-independent.
           sqlText = s"SELECT * FROM ( $sqlText ) UNION ALL " +
             s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} FROM parquet.`${m.b}`"
+        case "delete" =>
+          sqlText =
+            s"SELECT * FROM ( $sqlText ) WHERE NOT coalesce((${m.a}), false)"
+        case "update" =>
+          sqlText = s"SELECT ${cols.map(c =>
+              if (c.equalsIgnoreCase(m.a)) s"(${m.b}) AS `$c`" else s"`$c`")
+            .mkString(", ")} FROM ( $sqlText )"
         case other =>
           throw new IllegalStateException(
             s"unsupported mutation '$other' on qualified table ${t.name}")
@@ -320,6 +337,8 @@ object Ddl {
     case LoadRe(_, n) if lookup(n).isDefined       => Some(statusCols)
     case InsertValuesRe(n, _) if lookup(n).isDefined => Some(statusCols)
     case InsertSelectRe(n, _) if lookup(n).isDefined => Some(statusCols)
+    case DeleteRe(n, _) if lookup(n).isDefined       => Some(statusCols)
+    case UpdateRe(n, _, _, _) if lookup(n).isDefined => Some(statusCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
@@ -406,6 +425,12 @@ object Ddl {
         // INSERT always snapshots (a SELECT tail may reference session
         // state that no longer exists at replay time; the snapshot does)
         case "insert" => df.unionByName(spark.read.parquet(m.b))
+        // DELETE keeps rows where the predicate is false OR NULL (SQL
+        // DELETE removes only where it is TRUE)
+        case "delete" => df.filter(!coalesce(expr(m.a), lit(false)))
+        // UPDATE replays as the frozen CASE projection built at statement
+        // time (b = `CASE WHEN pred THEN CAST(expr AS type) ELSE col END`)
+        case "update" => df.withColumn(m.a, expr(m.b))
         case other  => throw new IllegalStateException(s"bad catalog mutation: $other")
       }
     }
@@ -526,6 +551,38 @@ object Ddl {
         status("INSERT", insertInto(spark, name, s"SELECT * FROM $valuesTail"))
       case InsertSelectRe(name, selectTail) =>
         status("INSERT", insertInto(spark, name, selectTail))
+      case DeleteRe(name, pred) =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        val df = spark.table(t.name)
+        val kept = df.filter(!coalesce(expr(pred), lit(false)))
+        kept.schema // eager: a bad predicate fails HERE, not on first read
+        if (isQualified(t.name))
+          replaceQualified(spark, t.copy(muts = t.muts :+ Mut("delete", pred, "")))
+        else replaceView(spark, t.name, kept)
+        logMut(t, Mut("delete", pred, ""))
+        status("DELETE", t.name)
+      case UpdateRe(name, colName, valueExpr, pred) =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        val df = spark.table(t.name)
+        require(hasColumn(df.columns, colName),
+          s"column '$colName' not in ${t.name}")
+        require(!t.keys.exists(_.equalsIgnoreCase(colName)),
+          s"cannot update key column '$colName' of ${t.name}")
+        // freeze the rewrite at statement time: CAST pins the column's
+        // current type so the CASE branches can never silently widen it
+        val dt = df.schema.fields
+          .find(_.name.equalsIgnoreCase(colName)).get.dataType
+        val caseExpr =
+          s"CASE WHEN ($pred) THEN CAST(($valueExpr) AS ${dt.sql}) ELSE `$colName` END"
+        val updated = df.withColumn(colName, expr(caseExpr))
+        updated.schema // eager validation, as for DELETE
+        if (isQualified(t.name))
+          replaceQualified(spark, t.copy(muts = t.muts :+ Mut("update", colName, caseExpr)))
+        else replaceView(spark, t.name, updated)
+        logMut(t, Mut("update", colName, caseExpr))
+        status("UPDATE", t.name)
       case ViewRe(name, sql) =>
         require(lookup(name).isEmpty,
           s"'$name' names a keyed table; DROP it before creating a view")

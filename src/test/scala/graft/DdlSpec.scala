@@ -261,6 +261,47 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("DELETE/UPDATE rewrite the view and replay after restart") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_dml", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE dml_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+      val base = spark.table("dml_t").count()
+      val st = spark.sql("DELETE FROM dml_t WHERE n_nationkey >= 20").collect()
+      assert(st.head.getString(0) == "DELETE")
+      assert(spark.table("dml_t").count() == base - 5)
+      // UPDATE freezes the column's type: n_name stays string; only
+      // matching rows change
+      spark.sql("UPDATE dml_t SET n_name = concat(n_name, '!') WHERE n_nationkey < 2")
+      val names = spark.table("dml_t").where(col("n_nationkey") < 3)
+        .orderBy(col("n_nationkey")).collect().map(_.getString(1)).toSeq
+      assert(names.take(2).forall(_.endsWith("!")) && !names(2).endsWith("!"), names)
+      // key columns are protected, like ALTER DROP
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark, "UPDATE dml_t SET n_nationkey = 0 WHERE true")
+      }
+      // restart: both DML mutations replay from the log
+      ops.Ddl.resetForTest()
+      spark.catalog.dropTempView("dml_t")
+      assert(spark.sql("DESCRIBE dml_t").collect().nonEmpty)
+      assert(spark.sql("SELECT count(*) FROM dml_t").head().getLong(0) == base - 5)
+      assert(spark.sql("SELECT n_name FROM dml_t WHERE n_nationkey = 0")
+        .head().getString(0).endsWith("!"))
+      spark.sql("DROP TABLE dml_t")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("INSERT INTO a qualified table snapshots into the persistent view") {
     val tmpd = java.nio.file.Files.createTempDirectory("graft_cat_qins")
     val prev = sys.props.get("graft.catalog.path")
@@ -272,13 +313,19 @@ class DdlSpec extends SparkSpec {
       val base = spark.table("wh.qins").count()
       spark.sql("INSERT INTO wh.qins VALUES (55, 'q-added')")
       assert(spark.table("wh.qins").count() == base + 1)
+      // DML folds into the self-contained view SQL too
+      spark.sql("UPDATE wh.qins SET r_name = upper(r_name) WHERE r_regionkey = 55")
+      spark.sql("DELETE FROM wh.qins WHERE r_regionkey = 0")
+      assert(spark.table("wh.qins").count() == base)
       // restart replay: the persistent view's SQL references the snapshot
       // (DESCRIBE = graft-routed first touch that re-registers the view)
       ops.Ddl.resetForTest()
       spark.sql("DROP VIEW IF EXISTS wh.qins")
       assert(spark.sql("DESCRIBE wh.qins").collect().nonEmpty)
       assert(spark.sql("SELECT r_name FROM wh.qins WHERE r_regionkey = 55")
-        .head().getString(0) == "q-added")
+        .head().getString(0) == "Q-ADDED")
+      assert(spark.sql("SELECT count(*) FROM wh.qins WHERE r_regionkey = 0")
+        .head().getLong(0) == 0)
       spark.sql("DROP TABLE wh.qins")
     } finally {
       prev match {
