@@ -659,6 +659,25 @@ object Ddl {
     desc.unionByName(scanned).orderBy(col("col_name"))
   }
 
+  /** A8/A6 judged DML round trip: CREATE MAPPED BY → INSERT VALUES →
+    * DELETE → UPDATE through the SQL surface, then an aggregate of the
+    * final table state. The oracle replays the same statement sequence
+    * relationally (union, anti-filter, CASE projection) over the source
+    * parquet, so the whole write path is hash-gated. */
+  def ddlDml(s: SparkSession, d: String): DataFrame = {
+    if (lookup("dml_rt").isDefined) execute(s, "DROP TABLE dml_rt")
+    execute(s, s"CREATE TABLE dml_rt MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
+    execute(s, "INSERT INTO dml_rt VALUES (97, 'zz-one', 9), (98, 'zz-two', 9)")
+    execute(s, "DELETE FROM dml_rt WHERE n_nationkey BETWEEN 20 AND 24")
+    execute(s, "UPDATE dml_rt SET n_name = concat(n_name, '*') WHERE n_regionkey = 2")
+    s.table("dml_rt")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_nationkey")).as("key_sum"),
+        sum(when(col("n_name").endsWith("*"), 1L).otherwise(0L)).as("starred"))
+      .orderBy(col("n_regionkey"))
+  }
+
   /** A8 judged statistics round trip: CREATE MAPPED BY → ANALYZE → SHOW
     * STATS, the stats themselves being the judged values (row count and key
     * min/max over orders, which the oracle recomputes relationally). */
@@ -671,6 +690,7 @@ object Ddl {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ddl_roundtrip" -> (ddlRoundtrip _),
+    "ddl_dml" -> (ddlDml _),
     "analyze_stats" -> (analyzeStats _))
 
   val oracles: Map[String, String] = Map(
@@ -690,7 +710,23 @@ object Ddl {
         |UNION ALL
         |SELECT '__scan_rows__', CAST(count(*) AS VARCHAR), FALSE
         |FROM nation WHERE n_nationkey BETWEEN 5 AND 14
-        |ORDER BY col_name""".stripMargin)
+        |ORDER BY col_name""".stripMargin,
+    // relational replay of the INSERT/DELETE/UPDATE sequence
+    "ddl_dml" ->
+      """WITH t0 AS (
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  UNION ALL
+        |  SELECT * FROM (VALUES (97, 'zz-one', 9), (98, 'zz-two', 9))
+        |    AS v(n_nationkey, n_name, n_regionkey)),
+        |t1 AS (SELECT * FROM t0
+        |       WHERE NOT coalesce(n_nationkey BETWEEN 20 AND 24, false)),
+        |t2 AS (SELECT n_nationkey,
+        |  CASE WHEN n_regionkey = 2 THEN n_name || '*' ELSE n_name END AS n_name,
+        |  n_regionkey FROM t1)
+        |SELECT n_regionkey, count(*) AS cnt,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CASE WHEN n_name LIKE '%*' THEN 1 ELSE 0 END) AS BIGINT) AS starred
+        |FROM t2 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 
   /** Composite-key >= bound: (k1 > v1) OR (k1 = v1 AND (k2 > v2 OR ...)). */
   private def lowerPred(keys: Seq[String], vals: Seq[Any]): Column = (keys, vals) match {
