@@ -114,6 +114,26 @@ object KeyRange {
         max(col("v")).as("max_v"), sum(col("v")).as("sum_v"))
       .orderBy(col("tag"))
 
+  /** A6/A7 faithful (DSv2 WRITE): the custom sink connector round trip —
+    * orders flow through graft.sources.GraftKvSink's full
+    * WriteBuilder/BatchWrite/DataWriter commit protocol (per-task temp
+    * files, driver-side rename + manifest publish), then back through its
+    * manifest-driven scan, and the aggregate hash-matches the parquet-
+    * sourced oracle — the write path correctness-gated end to end, like
+    * the read connector. */
+  def dsv2Sink(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/dsv2_sink"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", tmp).mode(SaveMode.Overwrite).save()
+    s.read.format("graft.sources.GraftKvSink").option("path", tmp).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A7-partitioned: Hive-style partitioned write + partition-pruned read —
     * the directory-partitioning pattern that bounds scans at 100 TB (the
     * read filter prunes to 2 of ~7 year directories; PlanSpec asserts the
@@ -431,7 +451,8 @@ object KeyRange {
     "orc_roundtrip" -> (orcRoundtrip _),
     "bloom_prune" -> (bloomPrune _),
     "zorder_layout" -> (zorderLayout _),
-    "mv_incremental" -> (mvIncremental _))
+    "mv_incremental" -> (mvIncremental _),
+    "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
     "merge_upsert" ->
@@ -561,5 +582,12 @@ object KeyRange {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY o_orderstatus, o_orderpriority
-        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // the sink round trip is lossless (exact long/double text round trip),
+    // so the oracle aggregates the parquet source directly
+    "dsv2_sink" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

@@ -1,0 +1,283 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 WRITE connector — the sink-side twin of GraftRangeSource's
+  * read contract, and the Spark-native analogue of the reference's bulk-load
+  * write path (Astro wrote sorted HFiles per region and registered them
+  * atomically [ref*: …/hbase/execution/hbaseCommands.scala — mount empty,
+  * public-knowledge citation per SURVEY.md §0]). What it demonstrates, at
+  * deployment shape:
+  *
+  *  - `SupportsWrite` / `WriteBuilder` / `BatchWrite` / `DataWriterFactory`:
+  *    one `DataWriter` per partition TASK writes an uncommitted
+  *    `part-<partition>-<task>.tmp` file and reports it in its commit
+  *    message; nothing is visible until the driver-side `commit()`.
+  *  - Commit protocol: `commit(messages)` renames exactly the files named
+  *    by the SUCCESSFUL task attempts to their final names, deletes any
+  *    stray `.tmp` left by failed/speculative attempts, and finalizes the
+  *    write by publishing `_graft_manifest.json` (schema + file list + row
+  *    counts). Readers only ever see manifest-listed files — the same
+  *    "files exist but are invisible until the atomic metadata publish"
+  *    contract HFile bulk load (and every table format) relies on.
+  *    `abort()` removes this write's temp files and publishes nothing.
+  *  - Append merges the new files into the existing manifest; `overwrite`
+  *    routes through `SupportsTruncate` and replaces it.
+  *  - `SupportsRead`: the manifest drives `planInputPartitions` (one per
+  *    data file), so the connector round-trips through its own scan and is
+  *    DuckDB-oracle-gated end to end (`dsv2_sink`).
+  *
+  * Encoding is deliberately simple — tab-separated text, one row per line,
+  * types limited to int/long/double/string, tabs/newlines rejected in
+  * strings. Longs and doubles round-trip exactly (shortest-decimal
+  * toString/parse, the same property csv_ingest leans on). Paths go through
+  * java.nio, which pins this demo to a shared/local filesystem; a cluster
+  * deployment would swap in the Hadoop FileSystem API with the commit
+  * protocol unchanged. Single-writer per directory (no concurrent-commit
+  * arbitration), like a bulk load.
+  */
+class GraftKvSink extends TableProvider {
+  // the write path hands the DataFrame's schema to getTable
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = GraftKvSink.pathOf(options.asCaseSensitiveMap())
+    val mf = GraftKvSink.manifestPath(dir)
+    require(Files.exists(mf),
+      s"graft_kv: no manifest at $dir — write first (schema lives in the manifest)")
+    GraftKvSink.readManifest(mf).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    schema.fields.foreach { f =>
+      require(GraftKvSink.supported(f.dataType),
+        s"graft_kv: unsupported column type ${f.dataType.simpleString} for '${f.name}'")
+    }
+    new GraftKvTable(GraftKvSink.pathOf(properties), schema)
+  }
+}
+
+object GraftKvSink {
+  final case class Manifest(schema: StructType, files: Seq[(String, Long)])
+
+  private[sources] def pathOf(props: util.Map[String, String]): String = {
+    val p = props.get("path")
+    require(p != null && p.nonEmpty, "graft_kv: 'path' option is required")
+    p
+  }
+
+  private[sources] def supported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | DoubleType | StringType => true
+    case _                                                => false
+  }
+
+  private[sources] def manifestPath(dir: String): Path =
+    Paths.get(dir, "_graft_manifest.json")
+
+  /** Tiny hand-rolled JSON (schema via StructType.json, files as a flat
+    * list) — same zero-dependency approach as the DDL catalog. */
+  private[sources] def writeManifest(dir: String, schema: StructType,
+      files: Seq[(String, Long)]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("schema", schema.json)
+    val arr = root.putArray("files")
+    files.foreach { case (n, c) =>
+      val o = arr.addObject(); o.put("name", n); o.put("rows", c)
+    }
+    Files.write(manifestPath(dir),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+  }
+
+  private[sources] def readManifest(mf: Path): Manifest = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+      new String(Files.readAllBytes(mf), StandardCharsets.UTF_8))
+    val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
+    val files = root.get("files").elements().asScala
+      .map(f => (f.get("name").asText(), f.get("rows").asLong())).toSeq
+    Manifest(schema, files)
+  }
+}
+
+final class GraftKvTable(dir: String, tableSchema: StructType)
+  extends Table with SupportsWrite with SupportsRead {
+  override def name(): String = s"graft_kv($dir)"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.BATCH_READ).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftKvWriteBuilder(dir, info.schema())
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new GraftKvScan(dir)
+}
+
+final class GraftKvWriteBuilder(dir: String, schema: StructType)
+  extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftKvBatchWrite(dir, schema, replace)
+  }
+}
+
+final case class GraftKvCommit(tmpName: String, finalName: String, rows: Long)
+  extends WriterCommitMessage
+
+final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
+  extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    Files.createDirectories(Paths.get(dir))
+    new GraftKvWriterFactory(dir, schema.json)
+  }
+
+  /** Driver-side finalize: only files named by successful task attempts
+    * become visible; stray temp files from failed/speculative attempts are
+    * swept; the manifest publish is the single visibility switch. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case m: GraftKvCommit => m }
+    committed.foreach { m =>
+      Files.move(Paths.get(dir, m.tmpName), Paths.get(dir, m.finalName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    // sweep uncommitted attempts (task retries / speculation)
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".tmp")).foreach(Files.delete)
+    val mf = GraftKvSink.manifestPath(dir)
+    val prior =
+      if (!replace && Files.exists(mf)) GraftKvSink.readManifest(mf).files
+      else {
+        // truncate: drop every previously-published file
+        if (Files.exists(mf))
+          GraftKvSink.readManifest(mf).files
+            .foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
+        Seq.empty
+      }
+    GraftKvSink.writeManifest(dir, schema,
+      prior ++ committed.map(m => (m.finalName, m.rows)))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftKvCommit => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
+}
+
+final class GraftKvWriterFactory(dir: String, schemaJson: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new GraftKvWriter(dir, schema, partitionId, taskId)
+  }
+}
+
+final class GraftKvWriter(dir: String, schema: StructType, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+  private val tmpName = f"part-$partitionId%05d-$taskId.tmp"
+  private val finalName = f"part-$partitionId%05d-$taskId.kv"
+  private val out = Files.newBufferedWriter(Paths.get(dir, tmpName),
+    StandardCharsets.UTF_8)
+  private var rows = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('\t')
+      if (row.isNullAt(i)) sb.append("\\N") // null marker: backslash-N
+      else schema(i).dataType match {
+        case IntegerType => sb.append(row.getInt(i))
+        case LongType    => sb.append(row.getLong(i))
+        case DoubleType  => sb.append(row.getDouble(i))
+        case StringType  =>
+          val s = row.getUTF8String(i).toString
+          require(!s.contains('\t') && !s.contains('\n'),
+            s"graft_kv: tab/newline in string value for '${schema(i).name}'")
+          // a literal leading backslash gets doubled so the null marker
+          // can never collide with real data
+          if (s.startsWith("\\")) sb.append('\\')
+          sb.append(s)
+        case dt => throw new IllegalStateException(s"unsupported $dt")
+      }
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftKvCommit(tmpName, finalName, rows)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(Paths.get(dir, tmpName))
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Manifest-driven scan: one input partition per published data file. */
+final class GraftKvScan(dir: String) extends Scan with Batch {
+  private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+  override def readSchema(): StructType = manifest.schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_kv $dir files=${manifest.files.length}"
+  override def planInputPartitions(): Array[InputPartition] =
+    manifest.files.map(f => GraftKvFilePartition(dir, f._1): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftKvReaderFactory(manifest.schema.json)
+}
+
+final case class GraftKvFilePartition(dir: String, file: String)
+  extends InputPartition
+
+final class GraftKvReaderFactory(schemaJson: String) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[GraftKvFilePartition]
+    val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new PartitionReader[InternalRow] {
+      private val lines = Files.lines(Paths.get(fp.dir, fp.file)).iterator()
+      private var cur: String = _
+      override def next(): Boolean = {
+        val h = lines.hasNext
+        if (h) cur = lines.next()
+        h
+      }
+      override def get(): InternalRow = {
+        val parts = cur.split("\t", -1)
+        InternalRow.fromSeq(schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          val v = parts(i)
+          if (v == "\\N") null
+          else f.dataType match {
+            case IntegerType => v.toInt
+            case LongType    => v.toLong
+            case DoubleType  => v.toDouble
+            case StringType  =>
+              UTF8String.fromString(
+                if (v.startsWith("\\")) v.substring(1) else v)
+            case dt => throw new IllegalStateException(s"unsupported $dt")
+          }
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -73,4 +73,60 @@ class DsV2Spec extends SparkSpec {
       assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((cnt, mn, mx, sm)), r)
     }
   }
+
+  // --- the write connector: commit protocol + round trip ---
+
+  private def kvWrite(df: org.apache.spark.sql.DataFrame, dir: String,
+      mode: String): Unit =
+    df.write.format("graft.sources.GraftKvSink").option("path", dir)
+      .mode(mode).save()
+
+  private def kvRead(dir: String) =
+    spark.read.format("graft.sources.GraftKvSink").option("path", dir).load()
+
+  test("kv sink round-trips rows exactly, incl. nulls and backslashes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_rt").toString
+    val df = Seq(
+      (1L, Some("plain"), 1.25),
+      (2L, None, -0.5),
+      (3L, Some("\\N"), 3.0),        // literal backslash-N must NOT read as null
+      (4L, Some("\\\\double"), 1e-300))
+      .toDF("id", "s", "v")
+      .select(col("id"), col("s"), col("v"))
+    kvWrite(df, dir, "overwrite")
+    val back = kvRead(dir).orderBy(col("id")).collect()
+    val orig = df.orderBy(col("id")).collect()
+    assert(back.toSeq == orig.toSeq, back.mkString("|"))
+  }
+
+  test("kv sink append merges the manifest; overwrite truncates it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_ap").toString
+    kvWrite(Seq((1L, "a")).toDF("id", "s"), dir, "overwrite")
+    kvWrite(Seq((2L, "b")).toDF("id", "s"), dir, "append")
+    assert(kvRead(dir).count() == 2)
+    kvWrite(Seq((9L, "z")).toDF("id", "s"), dir, "overwrite")
+    val rows = kvRead(dir).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 9L)
+    // truncate really deleted the old data files, not just the manifest rows
+    val dataFiles = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(dataFiles)
+      .asScala.map(_.getFileName.toString).filter(_.endsWith(".kv")).toSeq
+    assert(names.length == 1, names)
+  }
+
+  test("kv sink readers only see manifest-listed files (stray files invisible)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_mf").toString
+    kvWrite(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir, "overwrite")
+    // a stray uncommitted file appears (crashed task / foreign writer):
+    // scans must ignore it because it is not in the manifest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-99999-0.kv"),
+      "7\tghost\n".getBytes("UTF-8"))
+    assert(kvRead(dir).count() == 2)
+    assert(kvRead(dir).where(col("s") === "ghost").count() == 0)
+  }
 }
