@@ -119,7 +119,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.BATCH_READ).asJava
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftKvWriteBuilder(dir, info.schema())
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -132,7 +132,63 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType)
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftKvBatchWrite(dir, schema, replace)
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftKvStreamingWrite(dir, schema)
   }
+}
+
+/** Micro-batch streaming sink: same per-task temp-file + manifest-publish
+  * protocol as the batch write, one commit per EPOCH, made IDEMPOTENT by
+  * carrying the epoch id in every file name — a recovered query re-runs its
+  * last epoch, and a re-commit of an epoch the manifest already lists just
+  * discards the duplicate attempt files. That name-keyed dedup is the
+  * standard exactly-once recipe for file-manifest streaming sinks. */
+final class GraftKvStreamingWrite(dir: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(dir))
+    val schemaJson = schema.json
+    val d = dir
+    new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] = {
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        new GraftKvWriter(d, sch,
+          f"epoch-$epochId-part-$partitionId%05d-$taskId.tmp",
+          f"epoch-$epochId-part-$partitionId%05d-$taskId.kv")
+      }
+    }
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case m: GraftKvCommit => m }
+    val mf = GraftKvSink.manifestPath(dir)
+    val prior =
+      if (Files.exists(mf)) GraftKvSink.readManifest(mf).files else Seq.empty
+    if (prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
+      // replayed epoch after recovery: already published — drop duplicates
+      committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
+    } else {
+      committed.foreach { m =>
+        Files.move(Paths.get(dir, m.tmpName), Paths.get(dir, m.finalName),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      // sweep only THIS epoch's stray attempts
+      Files.list(Paths.get(dir)).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith(s"epoch-$epochId-") && n.endsWith(".tmp")
+        }.foreach(Files.delete)
+      GraftKvSink.writeManifest(dir, schema,
+        prior ++ committed.map(m => (m.finalName, m.rows)))
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftKvCommit => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
 }
 
 final case class GraftKvCommit(tmpName: String, finalName: String, rows: Long)
@@ -181,14 +237,14 @@ final class GraftKvWriterFactory(dir: String, schemaJson: String)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new GraftKvWriter(dir, schema, partitionId, taskId)
+    new GraftKvWriter(dir, schema,
+      f"part-$partitionId%05d-$taskId.tmp", f"part-$partitionId%05d-$taskId.kv")
   }
 }
 
-final class GraftKvWriter(dir: String, schema: StructType, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
-  private val tmpName = f"part-$partitionId%05d-$taskId.tmp"
-  private val finalName = f"part-$partitionId%05d-$taskId.kv"
+final class GraftKvWriter(dir: String, schema: StructType,
+    private val tmpName: String, private val finalName: String)
+  extends DataWriter[InternalRow] {
   private val out = Files.newBufferedWriter(Paths.get(dir, tmpName),
     StandardCharsets.UTF_8)
   private var rows = 0L

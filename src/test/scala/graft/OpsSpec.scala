@@ -599,6 +599,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("agg_corr/agg_regression match native corr/regr_* to relative 1e-9") {
+    val d = sf("sf0.001")
+    def close(a: Double, b: Double, tag: String): Unit =
+      assert(math.abs(a - b) / math.max(math.abs(b), 1e-12) < 1e-9, s"$tag: $a vs $b")
+    val corrOurs = ops.Relational.aggCorr(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val corrNat = Tables.lineitem(spark, d).groupBy(col("l_returnflag"))
+      .agg(covar_pop(col("l_quantity"), col("l_discount")),
+        covar_samp(col("l_quantity"), col("l_discount")),
+        corr(col("l_quantity"), col("l_discount"))).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(corrOurs.keySet == corrNat.keySet)
+    corrOurs.foreach { case (k, (cp, cs, co)) =>
+      close(cp, corrNat(k)._1, s"$k covar_pop")
+      close(cs, corrNat(k)._2, s"$k covar_samp")
+      close(co, corrNat(k)._3, s"$k corr")
+    }
+    val regOurs = ops.Relational.aggRegression(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val regNat = Tables.lineitem(spark, d).groupBy(col("l_returnflag"))
+      .agg(regr_slope(col("l_extendedprice"), col("l_quantity")),
+        regr_intercept(col("l_extendedprice"), col("l_quantity"))).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    regOurs.foreach { case (k, (sl, in)) =>
+      close(sl, regNat(k)._1, s"$k slope")
+      close(in, regNat(k)._2, s"$k intercept")
+    }
+  }
+
   // --- resample: gap days appear with zero count and carried-forward value ---
   test("resample_ffill fills gap days and carries the last value forward") {
     import spark.implicits._

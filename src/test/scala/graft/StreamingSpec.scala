@@ -212,6 +212,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.select("event_id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
   }
 
+  test("kv sink STREAMING_WRITE publishes one idempotent epoch per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_stream")
+    val dir = root.resolve("out").toString
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "s")
+      .writeStream.format("graft.sources.GraftKvSink")
+      .option("path", dir)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    ms.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    ms.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val back = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).load()
+    assert(back.count() == 3)
+    assert(back.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 2L, 3L))
+    // two epochs published, every data file epoch-tagged, no strays
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    val kv = names.filter(_.endsWith(".kv"))
+    assert(kv.nonEmpty && kv.forall(_.startsWith("epoch-")), names)
+    assert(kv.map(_.split("-")(1)).distinct.size == 2, kv)
+    assert(!names.exists(_.endsWith(".tmp")), names)
+    // replaying an already-published epoch is a no-op (recovery idempotency)
+    val mfBefore = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_manifest.json"))
+    val sw = new graft.sources.GraftKvStreamingWrite(dir,
+      back.schema)
+    sw.commit(0L, Array.empty)
+    val mfAfter = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_manifest.json"))
+    assert(java.util.Arrays.equals(mfBefore, mfAfter))
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
