@@ -122,8 +122,14 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftKvWriteBuilder(dir, info.schema())
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftKvScan(dir)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // time travel over streaming-written data: `.option("asOfEpoch", n)`
+    // reads only files published by epochs <= n — the manifest IS the
+    // version history, so no data is copied (the HBase-version/timestamp
+    // read analogue; version_compact models the latest-cell-wins side)
+    val asOf = Option(options.get("asOfEpoch")).map(_.toLong)
+    () => new GraftKvScan(dir, asOf)
+  }
 }
 
 final class GraftKvWriteBuilder(dir: String, schema: StructType)
@@ -290,14 +296,24 @@ final class GraftKvWriter(dir: String, schema: StructType,
 }
 
 /** Manifest-driven scan: one input partition per published data file. */
-final class GraftKvScan(dir: String) extends Scan with Batch {
+final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None)
+  extends Scan with Batch {
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+  private val EpochRe = """epoch-(\d+)-.*""".r
+  private val visible = asOfEpoch match {
+    case None    => manifest.files
+    case Some(n) => manifest.files.filter {
+      case (EpochRe(e), _) => e.toLong <= n
+      case _               => true // batch-written files have no epoch
+    }
+  }
   override def readSchema(): StructType = manifest.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_kv $dir files=${manifest.files.length}"
+    s"graft_kv $dir files=${visible.length}" +
+      asOfEpoch.map(n => s" asOfEpoch=$n").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
-    manifest.files.map(f => GraftKvFilePartition(dir, f._1): InputPartition).toArray
+    visible.map(f => GraftKvFilePartition(dir, f._1): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftKvReaderFactory(manifest.schema.json)
 }

@@ -240,6 +240,11 @@ class StreamingSpec extends SparkSpec {
     assert(kv.nonEmpty && kv.forall(_.startsWith("epoch-")), names)
     assert(kv.map(_.split("-")(1)).distinct.size == 2, kv)
     assert(!names.exists(_.endsWith(".tmp")), names)
+    // time travel: asOfEpoch=0 sees only the first micro-batch
+    val v0 = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("asOfEpoch", "0").load()
+    assert(v0.count() == 2)
+    assert(v0.select("id").collect().map(_.getLong(0)).sorted === Array(1L, 2L))
     // replaying an already-published epoch is a no-op (recovery idempotency)
     val mfBefore = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "_graft_manifest.json"))
