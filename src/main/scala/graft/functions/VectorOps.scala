@@ -37,6 +37,21 @@ object VectorOps {
           s"graft_simhash64 expects exactly 1 argument, got ${exprs.length}")
         SimHash64(exprs.head)
       }, "built-in")
+    // graft_pq_argmin(emb, offset, cbFlat, norms): the offset/codebook/norm
+    // arguments must be foldable literals — they are evaluated HERE, at
+    // function-resolution time, and baked into the expression as plain
+    // IndexedSeq fields (structural equality keeps cached-plan sharing).
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_pq_argmin", exprs => {
+        require(exprs.length == 4,
+          s"graft_pq_argmin expects exactly 4 arguments, got ${exprs.length}")
+        val off = exprs(1).eval(null).asInstanceOf[Number].intValue
+        val cb = exprs(2).eval(null).asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray.toIndexedSeq
+        val norms = exprs(3).eval(null).asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray.toIndexedSeq
+        PqArgMin(exprs(0), off, cb, norms)
+      }, "built-in")
   }
 
   /** Dot product as a left fold: sum_i a_i*b_i (inputs already double).
