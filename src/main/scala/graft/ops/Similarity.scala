@@ -345,7 +345,15 @@ object Similarity {
     * cost never grows with the corpus — then takes pqIters deterministic
     * Lloyd steps (pqTrain): same memory, better centroid placement.
     * Measured mean recall@3 by refinement rounds: sf0.01 0.72 → 0.76 (2
-    * rounds), sf0.1 0.57 → 0.63 (1 round) → 0.67 (2 rounds). */
+    * rounds), sf0.1 0.57 → 0.63 (1 round) → 0.67 (2 rounds).
+    *
+    * Negative result, measured so the next round doesn't re-try it: a
+    * residual IVFADC variant (PQ over residuals from the IVF coarse cells,
+    * searched with nprobe=2) was prototyped and is WORSE on this corpus —
+    * full-scan residual recall 0.55 at sf0.1 (vs 0.67 flat) and 0.16
+    * cell-filtered. The fixture's embeddings are near-isotropic, so ~50
+    * sampled coarse cells neither cluster the neighbors nor shrink the
+    * residuals; the flat refined codebook is the right shape here. */
   private val pqSub = 16
   private val pqDim = 4
   private val pqK = 256

@@ -260,6 +260,45 @@ object Text {
       .orderBy(col("rank"))
   }
 
+  /** Sketch family #2 (beside Relational.aggHllDistinct's cardinality
+    * sketch): Count-Min heavy hitters over the corpus token stream. d=4
+    * deterministic md5 hash rows × w=256 buckets; every counter is a plain
+    * bucket COUNT (map-combinable groupBy), and a term's estimate is the
+    * MIN over its 4 row counters — the classic CMS upper bound, so
+    * cms_est ≥ exact_n always (the overcount column is the collision mass,
+    * asserted non-negative in OpsSpec). At 100 TB the counter table is
+    * 1024 longs NO MATTER the corpus size — that is the point of the
+    * sketch; the probe side joins distinct terms against the broadcast
+    * counters, so the only big shuffles are the two token groupBys. The
+    * md5 bucketing replays character-for-character in DuckDB. */
+  def aggCountminHh(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("term"))
+    val js = 0 until 4
+    def hashes() =
+      explode(array(js.map(j => struct(lit(j).as("j"),
+        substring(md5(concat(lit(s"$j:"), col("term"))), 1, 2).as("bucket"))): _*))
+    val counters = terms
+      .select(col("term"), hashes().as("h"))
+      .groupBy(col("h.j").as("j"), col("h.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+    val probes = exact
+      .select(col("term"), col("exact_n"), hashes().as("h"))
+      .select(col("term"), col("exact_n"),
+        col("h.j").as("j"), col("h.bucket").as("bucket"))
+    val est = probes.join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("term"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cms_est").desc, col("term"))
+    est.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= 20)
+      .select(col("rank"), col("term"), col("cms_est"), col("exact_n"),
+        (col("cms_est") - col("exact_n")).as("overcount"))
+      .orderBy(col("rank"))
+  }
+
   /** C4j: repetition filter — duplicate-trigram ratio per document (the
     * Gopher-style "repeated n-gram fraction" quality rule). Trigrams are
     * built by an index fold (sequence + element_at) identically in both
@@ -383,7 +422,8 @@ object Text {
     "text_redact" -> (textRedact _),
     "text_tokens_bpe" -> (textTokensBpe _),
     "text_vocab" -> (textVocab _),
-    "text_repetition" -> (textRepetition _))
+    "text_repetition" -> (textRepetition _),
+    "agg_countmin_hh" -> (aggCountminHh _))
 
   private[ops] val stopList = StopWords.map(w => s"'$w'").mkString(", ")
 
@@ -566,5 +606,23 @@ object Text {
         | list_reduce(list_prepend(CAST(0 AS BIGINT),
         |   list_transform(string_split(text, ' '), x -> CAST(ascii(x)*131 + length(x) AS BIGINT))),
         |   (acc, c) -> (acc*31 + c) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "agg_countmin_hh" ->
+      """WITH v AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |h AS (SELECT term, j,
+        |        substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 2) AS bucket
+        |      FROM v CROSS JOIN js),
+        |counters AS (SELECT j, bucket, count(*) AS c FROM h GROUP BY 1, 2),
+        |exact AS (SELECT term, count(*) AS exact_n FROM v GROUP BY term),
+        |p AS (SELECT term, exact_n, j,
+        |        substring(md5(CAST(j AS VARCHAR) || ':' || term), 1, 2) AS bucket
+        |      FROM exact CROSS JOIN js),
+        |e AS (SELECT term, exact_n, min(c.c) AS cms_est
+        |      FROM p JOIN counters c USING (j, bucket) GROUP BY term, exact_n),
+        |r AS (SELECT term, cms_est, exact_n,
+        |        row_number() OVER (ORDER BY cms_est DESC, term) AS rank FROM e)
+        |SELECT CAST(rank AS INTEGER) AS rank, term, cms_est, exact_n,
+        |  cms_est - exact_n AS overcount
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin)
 }

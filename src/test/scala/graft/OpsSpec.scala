@@ -745,4 +745,24 @@ class OpsSpec extends SparkSpec {
     val detail = out.filter(_.getInt(5) == 1).map(_.getLong(3)).sum
     assert(cntTotal == detail) // region subtotals equal sum of nation detail
   }
+
+  test("agg_countmin_hh estimates never undercount and rank the true top term") {
+    val out = ops.Text.aggCountminHh(spark, sf("sf0.001")).collect()
+    assert(out.length == 20)
+    // CMS one-sided error: min over d row counters can only OVER-estimate
+    out.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3), s"undercount at ${r.getString(1)}")
+      assert(r.getLong(4) == r.getLong(2) - r.getLong(3))
+    }
+    // ranks are 1..20 by (estimate desc, term)
+    assert(out.map(_.getInt(0)).toSeq == (1 to 20))
+    val ests = out.map(r => (r.getLong(2), r.getString(1)))
+    assert(ests.sortBy { case (e, t) => (-e, t) }.toSeq == ests.toSeq)
+    // the top-ranked term's EXACT count is the corpus max: with d=4
+    // independent rows the argmax survives the sketch at this scale
+    val exactTop = ops.Text.textVocab(spark, sf("sf0.001"))
+      .filter(org.apache.spark.sql.functions.col("rank") === 1)
+      .collect().head.getString(0)
+    assert(out.head.getString(1) == exactTop)
+  }
 }
