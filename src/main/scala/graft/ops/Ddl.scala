@@ -204,6 +204,14 @@ object Ddl {
     s"""(?is)\\s*DELETE\\s+FROM\\s+($Id)\\s+WHERE\\s+(.+)""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+($Id)\\s+SET\\s+(\\w+)\\s*=\\s*(.+?)\\s+WHERE\\s+(.+)""".r
+  // MERGE INTO <t> USING (<select>) [AS] s ON <key equality> WHEN MATCHED
+  // THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the Delta-style
+  // star forms: a whole-row upsert keyed on the table's PRIMARY KEY. The
+  // ON clause must be exactly the key-equality conjunction (validated);
+  // arbitrary merge conditions/partial SET lists are out of scope for the
+  // keyed-view surface.
+  private val MergeRe =
+    s"""(?is)\\s*MERGE\\s+INTO\\s+($Id)\\s+USING\\s+\\((.+)\\)(?:\\s+(?:AS\\s+)?\\w+)?\\s+ON\\s+(.+?)\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*""".r
 
   private def isQualified(name: String): Boolean = name.contains('.')
   private def quoted(name: String): String =
@@ -243,6 +251,15 @@ object Ddl {
           sqlText = s"SELECT ${cols.map(c =>
               if (c.equalsIgnoreCase(m.a)) s"(${m.b}) AS `$c`" else s"`$c`")
             .mkString(", ")} FROM ( $sqlText )"
+        case "merge" =>
+          // whole-row upsert in self-contained SQL: snapshot rows first,
+          // then the prior body anti-joined on the primary key via a
+          // correlated NOT EXISTS (no temp-view references)
+          val keyPred = t.keys.map(k => s"s.`$k` = b.`$k`").mkString(" AND ")
+          sqlText = s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} " +
+            s"FROM parquet.`${m.b}` UNION ALL " +
+            s"SELECT ${cols.map(c => s"b.`$c`").mkString(", ")} FROM ( $sqlText ) b " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM parquet.`${m.b}` s WHERE $keyPred)"
         case other =>
           throw new IllegalStateException(
             s"unsupported mutation '$other' on qualified table ${t.name}")
@@ -339,6 +356,7 @@ object Ddl {
     case InsertSelectRe(n, _) if lookup(n).isDefined => Some(statusCols)
     case DeleteRe(n, _) if lookup(n).isDefined       => Some(statusCols)
     case UpdateRe(n, _, _, _) if lookup(n).isDefined => Some(statusCols)
+    case MergeRe(n, _, _) if lookup(n).isDefined     => Some(statusCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
@@ -431,6 +449,12 @@ object Ddl {
         // UPDATE replays as the frozen CASE projection built at statement
         // time (b = `CASE WHEN pred THEN CAST(expr AS type) ELSE col END`)
         case "update" => df.withColumn(m.a, expr(m.b))
+        // MERGE replays as the whole-row upsert: snapshot rows win, prior
+        // rows survive only if their key is absent from the snapshot
+        case "merge" =>
+          val s = spark.read.parquet(m.b)
+          s.unionByName(
+            df.join(s.select(t.keys.map(k => col(k)): _*), t.keys, "left_anti"))
         case other  => throw new IllegalStateException(s"bad catalog mutation: $other")
       }
     }
@@ -583,6 +607,44 @@ object Ddl {
         else replaceView(spark, t.name, updated)
         logMut(t, Mut("update", colName, caseExpr))
         status("UPDATE", t.name)
+      case MergeRe(name, srcSql, onCond) =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        val cur = spark.table(t.name)
+        // the ON clause must cover EXACTLY the primary key: each conjunct
+        // an equality whose two sides end in the same key name
+        val conds = onCond.split("(?i)\\s+AND\\s+").toSeq
+        val CondRe = """(?s)\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*""".r
+        val onKeys = conds.map {
+          case CondRe(a, b) if a.equalsIgnoreCase(b) => a.toLowerCase
+          case c => throw new IllegalArgumentException(
+            s"MERGE ON must be a key-equality conjunction; got '$c'")
+        }.toSet
+        require(onKeys == t.keys.map(_.toLowerCase).toSet,
+          s"MERGE ON must cover exactly PRIMARY KEY (${t.keys.mkString(", ")})" +
+            s" of ${t.name}; got (${onKeys.mkString(", ")})")
+        // whole-row upsert (UPDATE SET * / INSERT *): the source must carry
+        // the table's full column set; align BY NAME with casts, then
+        // snapshot — a SELECT tail may reference session state that will
+        // not exist at restart replay, the snapshot always will
+        val src = spark.sql(srcSql)
+        require(src.columns.map(_.toLowerCase).toSet ==
+          cur.columns.map(_.toLowerCase).toSet,
+          s"MERGE source columns (${src.columns.mkString(", ")}) must match " +
+            s"${t.name} (${cur.columns.mkString(", ")})")
+        val aligned = src.select(cur.schema.fields.toSeq.map(f =>
+          col(quotedCol(f.name)).cast(f.dataType).as(f.name)): _*)
+        val snap = loadSnapshotPath(t)
+        aligned.write.mode(SaveMode.Overwrite).parquet(snap)
+        val snapDf = spark.read.parquet(snap)
+        val merged = snapDf.unionByName(
+          cur.join(snapDf.select(t.keys.map(k => col(k)): _*), t.keys, "left_anti"))
+        merged.schema // eager validation, as for DELETE/UPDATE
+        if (isQualified(t.name))
+          replaceQualified(spark, t.copy(muts = t.muts :+ Mut("merge", onCond, snap)))
+        else replaceView(spark, t.name, merged)
+        logMut(t, Mut("merge", onCond, snap))
+        status("MERGE", t.name)
       case ViewRe(name, sql) =>
         require(lookup(name).isEmpty,
           s"'$name' names a keyed table; DROP it before creating a view")
@@ -660,16 +722,23 @@ object Ddl {
   }
 
   /** A8/A6 judged DML round trip: CREATE MAPPED BY → INSERT VALUES →
-    * DELETE → UPDATE through the SQL surface, then an aggregate of the
-    * final table state. The oracle replays the same statement sequence
-    * relationally (union, anti-filter, CASE projection) over the source
-    * parquet, so the whole write path is hash-gated. */
+    * DELETE → UPDATE → MERGE through the SQL surface, then an aggregate of
+    * the final table state. The oracle replays the same statement sequence
+    * relationally (union, anti-filter, CASE projection, key-upsert), so
+    * the whole write path is hash-gated. */
   def ddlDml(s: SparkSession, d: String): DataFrame = {
     if (lookup("dml_rt").isDefined) execute(s, "DROP TABLE dml_rt")
     execute(s, s"CREATE TABLE dml_rt MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
     execute(s, "INSERT INTO dml_rt VALUES (97, 'zz-one', 9), (98, 'zz-two', 9)")
     execute(s, "DELETE FROM dml_rt WHERE n_nationkey BETWEEN 20 AND 24")
     execute(s, "UPDATE dml_rt SET n_name = concat(n_name, '*') WHERE n_regionkey = 2")
+    execute(s,
+      """MERGE INTO dml_rt USING (
+        |  SELECT 1 AS n_nationkey, 'merged-one' AS n_name, 7 AS n_regionkey
+        |  UNION ALL SELECT 99, 'merged-new', 7) s
+        |ON s.n_nationkey = n_nationkey
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     s.table("dml_rt")
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("cnt"),
@@ -711,7 +780,7 @@ object Ddl {
         |SELECT '__scan_rows__', CAST(count(*) AS VARCHAR), FALSE
         |FROM nation WHERE n_nationkey BETWEEN 5 AND 14
         |ORDER BY col_name""".stripMargin,
-    // relational replay of the INSERT/DELETE/UPDATE sequence
+    // relational replay of the INSERT/DELETE/UPDATE/MERGE sequence
     "ddl_dml" ->
       """WITH t0 AS (
         |  SELECT n_nationkey, n_name, n_regionkey FROM nation
@@ -722,11 +791,16 @@ object Ddl {
         |       WHERE NOT coalesce(n_nationkey BETWEEN 20 AND 24, false)),
         |t2 AS (SELECT n_nationkey,
         |  CASE WHEN n_regionkey = 2 THEN n_name || '*' ELSE n_name END AS n_name,
-        |  n_regionkey FROM t1)
+        |  n_regionkey FROM t1),
+        |t3 AS (
+        |  SELECT * FROM (VALUES (1, 'merged-one', 7), (99, 'merged-new', 7))
+        |    AS m(n_nationkey, n_name, n_regionkey)
+        |  UNION ALL
+        |  SELECT * FROM t2 WHERE n_nationkey NOT IN (1, 99))
         |SELECT n_regionkey, count(*) AS cnt,
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
         |  CAST(sum(CASE WHEN n_name LIKE '%*' THEN 1 ELSE 0 END) AS BIGINT) AS starred
-        |FROM t2 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+        |FROM t3 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 
   /** Composite-key >= bound: (k1 > v1) OR (k1 = v1 AND (k2 > v2 OR ...)). */
   private def lowerPred(keys: Seq[String], vals: Seq[Any]): Column = (keys, vals) match {

@@ -302,6 +302,93 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("MERGE INTO upserts by primary key and replays after restart") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_merge", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE mrg_t MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+      val base = spark.table("mrg_t").count() // 5 regions
+      // source: one matched key (0 -> rewritten row) + one new key (99)
+      val st = spark.sql(
+        """MERGE INTO mrg_t USING (
+          |  SELECT 0 AS r_regionkey, 'ZERO' AS r_name
+          |  UNION ALL
+          |  SELECT 99, 'NOVA'
+          |) s ON s.r_regionkey = r_regionkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      assert(st.head.getString(0) == "MERGE")
+      assert(spark.table("mrg_t").count() == base + 1)
+      assert(spark.sql("SELECT r_name FROM mrg_t WHERE r_regionkey = 0")
+        .head().getString(0) == "ZERO")
+      assert(spark.sql("SELECT r_name FROM mrg_t WHERE r_regionkey = 99")
+        .head().getString(0) == "NOVA")
+      // ON clause must cover exactly the primary key
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mrg_t USING (SELECT 1 AS r_regionkey, 'x' AS r_name) " +
+            "s ON s.r_name = r_name " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      }
+      // restart: the upsert replays from the snapshot
+      ops.Ddl.resetForTest()
+      spark.catalog.dropTempView("mrg_t")
+      assert(spark.sql("DESCRIBE mrg_t").collect().nonEmpty) // re-materializes
+      assert(spark.sql("SELECT count(*) FROM mrg_t").head().getLong(0) == base + 1)
+      assert(spark.sql("SELECT r_name FROM mrg_t WHERE r_regionkey = 0")
+        .head().getString(0) == "ZERO")
+      spark.sql("DROP TABLE mrg_t")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("MERGE INTO a qualified table rewrites the persistent view") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_merge_q", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE wh.mrg MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+      val base = spark.table("wh.mrg").count()
+      spark.sql(
+        """MERGE INTO wh.mrg USING (
+          |  SELECT 1 AS r_regionkey, 'ONE' AS r_name
+          |) s ON s.r_regionkey = r_regionkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(spark.table("wh.mrg").count() == base)
+      assert(spark.sql("SELECT r_name FROM wh.mrg WHERE r_regionkey = 1")
+        .head().getString(0) == "ONE")
+      // restart replay goes through the self-contained view SQL
+      ops.Ddl.resetForTest()
+      spark.sql("DROP VIEW IF EXISTS wh.mrg")
+      assert(spark.sql("DESCRIBE wh.mrg").collect().nonEmpty) // re-materializes
+      assert(spark.sql("SELECT r_name FROM wh.mrg WHERE r_regionkey = 1")
+        .head().getString(0) == "ONE")
+      assert(spark.sql("SELECT count(*) FROM wh.mrg").head().getLong(0) == base)
+      spark.sql("DROP TABLE wh.mrg")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("INSERT INTO a qualified table snapshots into the persistent view") {
     val tmpd = java.nio.file.Files.createTempDirectory("graft_cat_qins")
     val prev = sys.props.get("graft.catalog.path")
