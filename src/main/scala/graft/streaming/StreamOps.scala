@@ -191,6 +191,57 @@ object StreamOps {
       }
   }
 
+  /** [[admissionControl]]'s processor on the MODERN arbitrary-state API
+    * (transformWithState, Spark 4): the same per-(user, day) quota carried
+    * across micro-batches, but with typed ValueState instead of a GroupState
+    * blob and an explicit event-time TIMER for eviction instead of
+    * setTimeoutTimestamp. Requires the RocksDB state store provider (the
+    * API's backing store) — StreamingSpec sets it per query and asserts
+    * admitted-set equality with both the fMGWS twin and the judged batch
+    * formulation. */
+  final class AdmissionProcessor(limit: Int) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[(Long, Long), AdmissionIn, AdmissionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var admitted: ValueState[Int] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Int]("admitted",
+        org.apache.spark.sql.Encoders.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(key: (Long, Long), rows: Iterator[AdmissionIn],
+        timers: TimerValues): Iterator[AdmissionOut] = {
+      val fresh = !admitted.exists()
+      val sofar = if (fresh) 0 else admitted.get()
+      // within one micro-batch the iterator order is engine-internal, so
+      // sort by event time (the chunk feed supplies cross-batch order)
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val take = sorted.take(math.max(0, limit - sofar))
+      admitted.update(sofar + take.size)
+      // same eviction instant as admissionControl: day end + 1 h allowance
+      if (fresh) getHandle.registerTimer((key._2 + 1) * 86400000L + 3600000L)
+      take.iterator.map(e => AdmissionOut(e.event_id, e.event_type, e.value))
+    }
+    override def handleExpiredTimer(key: (Long, Long), timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[AdmissionOut] = {
+      admitted.clear()
+      Iterator.empty
+    }
+  }
+
+  /** True-streaming admission on transformWithState — semantics identical
+    * to [[admissionControl]]; see [[AdmissionProcessor]]. */
+  def admissionControlTws(events: DataFrame, limit: Int = 3): Dataset[AdmissionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events
+      .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "CAST(ts AS DATE) AS day", "user_id",
+        "event_type", "CAST(value AS DOUBLE) AS value")
+      .withWatermark("ts", "1 hour")
+      .as[AdmissionIn]
+      .groupByKey(e => (e.user_id, e.day.toLocalDate.toEpochDay))
+      .transformWithState(new AdmissionProcessor(limit),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming → storage via foreachBatch: each micro-batch appends to a
     * parquet directory. foreachBatch is the general-purpose sink escape
     * hatch (idempotent writes keyed by batchId are the exactly-once
