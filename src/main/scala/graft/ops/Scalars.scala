@@ -86,6 +86,25 @@ object Scalars {
           .getField("k").as("k"))
       .orderBy(col("event_id"))
 
+  /** B36c (Spark 4 VARIANT): parse props into a VARIANT and extract typed
+    * paths — the modern semi-structured column (binary-encoded once at
+    * ingest; path access at query time reads the encoding instead of
+    * re-parsing JSON text per row, the difference that matters at 100 TB).
+    * variant_get casts inside the encoding, try_variant_get yields NULL on
+    * a missing path, schema_of_variant exposes the inferred shape. The
+    * oracle replays the same accesses with DuckDB's JSON extraction (the
+    * shape column is the expected literal — a drift in Spark's variant
+    * inference would hash-mismatch). */
+  def scalarVariant(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("v", expr("parse_json(props)"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.k', 'int')").as("k_int"),
+        expr("to_json(variant_get(v, '$.k', 'variant'))").as("k_txt"),
+        expr("try_variant_get(v, '$.nope', 'string')").as("missing"),
+        expr("schema_of_variant(v)").as("v_schema"))
+      .orderBy(col("event_id"))
+
   /** B36b: map construction + map_keys/map_values/element access. */
   def scalarMap(s: SparkSession, d: String): DataFrame = {
     val k = from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
@@ -156,6 +175,7 @@ object Scalars {
     "scalar_bitwise" -> (scalarBitwise _),
     "scalar_trycast" -> (scalarTryCast _),
     "scalar_map" -> (scalarMap _),
+    "scalar_variant" -> (scalarVariant _),
     "udf_scalar" -> (udfScalar _),
     "udaf_custom" -> (udafCustom _))
 
@@ -221,6 +241,13 @@ object Scalars {
     "scalar_json" ->
       """SELECT event_id, event_type,
         | CAST(regexp_extract(props, '-?\d+', 0) AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "scalar_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+        | CAST(json_extract(props, '$.k') AS VARCHAR) AS k_txt,
+        | json_extract_string(props, '$.nope') AS missing,
+        | 'OBJECT<k: BIGINT>' AS v_schema
         |FROM events ORDER BY event_id""".stripMargin,
     "scalar_map" ->
       """SELECT event_id,
