@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // catalog-guarded shared statements) and falls through to the vanilla
     // parser otherwise — see plans.GraftSqlParser for the routing rules.
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // Transparent rollup rewrite over registered materialized views — a
+    // no-op until MvCatalog has registrations (see plans.MvRewriteRule).
+    ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))
     // Same arity checks VectorOps.ensureRegistered enforces — without them
     // extra arguments would be silently dropped via exprs.head.
     ext.injectFunction((

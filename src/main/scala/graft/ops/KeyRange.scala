@@ -218,6 +218,33 @@ object KeyRange {
       .orderBy(col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  /** A6 (read half): transparent materialized-view REWRITE — the judged
+    * consumer of plans.MvRewriteRule. Builds the (status, priority) rollup
+    * snapshot with decomposable partials, registers it in MvCatalog, then
+    * runs a COARSER aggregate (status only) directly against the orders
+    * parquet path. The optimizer rule redirects the scan to the snapshot
+    * and re-combines the partials; the oracle computes the DIRECT
+    * aggregation over orders, so the judged check is rewrite-equals-direct
+    * bit-for-bit (counts add; exact-decimal sums add). PlanSpec asserts
+    * the executed plan reads the snapshot and NOT the fact parquet. */
+  def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    val snap = s"$scratch/mv_rewrite"
+    val src = s"$d/orders.parquet"
+    s.read.parquet(src)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total"))
+      .write.mode(SaveMode.Overwrite).parquet(snap)
+    graft.plans.MvCatalog.register(graft.plans.MvDef(
+      src, snap, Seq("o_orderstatus", "o_orderpriority"),
+      "cnt", Map("o_totalprice" -> "total"), M))
+    s.read.parquet(src)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("o_totalprice"))).as("total_m"))
+      .select(col("o_orderstatus"), col("cnt"),
+        col("total_m").cast(S).cast("double").as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A2/A3 (runtime half #2): runtime BLOOM-FILTER join pruning — the
     * row-level sibling of dynamic partition pruning, and the second modern
     * analogue of Astro's server-side predicate pushdown: Catalyst's
@@ -452,6 +479,7 @@ object KeyRange {
     "bloom_prune" -> (bloomPrune _),
     "zorder_layout" -> (zorderLayout _),
     "mv_incremental" -> (mvIncremental _),
+    "mv_rewrite" -> (mvRewrite _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -583,6 +611,14 @@ object KeyRange {
         |FROM orders
         |GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // the DIRECT aggregation: the rewritten-to-snapshot plan must match it
+    "mv_rewrite" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the sink round trip is lossless (exact long/double text round trip),
     // so the oracle aggregates the parquet source directly
     "dsv2_sink" ->

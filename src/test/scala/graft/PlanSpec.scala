@@ -62,6 +62,40 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1995, 1996))
   }
 
+  test("mv_rewrite redirects the aggregate to the MV snapshot scan") {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    val df = SparkEntry.queries("mv_rewrite")(spark, sf("sf0.001"))
+    // the rewrite is an optimizer rule, so the OPTIMIZED logical plan is
+    // where the swapped relation is visible (under AQE the executed-plan
+    // string stays opaque until finalized)
+    val paths = scanPaths(df)
+    assert(paths.exists(_.contains("mv_rewrite")), paths.mkString(";"))
+    assert(!paths.exists(_.contains("orders.parquet")), paths.mkString(";"))
+    // and the re-combined partials are the direct aggregation, exactly
+    val direct = spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rewritten = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rewritten == direct)
+    // a shape the partials canNOT reproduce (avg of a different column)
+    // must NOT be rewritten — it still reads the fact parquet
+    val other = spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+      .groupBy(col("o_orderstatus"))
+      .agg(max(col("o_orderkey")).as("mx"))
+    val otherPaths = scanPaths(other)
+    assert(otherPaths.exists(_.contains("orders.parquet")), otherPaths.mkString(";"))
+    graft.plans.MvCatalog.clear() // don't leak the registration to other tests
+  }
+
   test("bloom_prune injects a runtime bloom probe when thresholds scale") {
     // At fixture scale the fact scan is far below the 10 GB default
     // application-side threshold, so the judged run plans a plain join.
