@@ -204,6 +204,20 @@ object Ddl {
     s"""(?is)\\s*DELETE\\s+FROM\\s+($Id)\\s+WHERE\\s+(.+)""".r
   private val UpdateRe =
     s"""(?is)\\s*UPDATE\\s+($Id)\\s+SET\\s+(\\w+)\\s*=\\s*(.+?)\\s+WHERE\\s+(.+)""".r
+  // CREATE MATERIALIZED VIEW <mv> ON <t> GROUP BY (c, ...) SUMS (x, ...)
+  // — materialize the rollup (count + exact-decimal sums) to a managed
+  // parquet snapshot and register it with the transparent rewrite rule
+  // (plans.MvRewriteRule): matching aggregates over the table's BASE
+  // parquet are redirected to the snapshot. REFRESH rebuilds the snapshot;
+  // DROP unregisters. MVs are session-scoped (like CREATE VIEW here) and
+  // only allowed on UNMUTATED tables — a mutated table's reads no longer
+  // match the base-relation pattern, so a stale rewrite cannot fire.
+  private val CreateMvRe =
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s+ON\\s+($Id)\\s+GROUP\\s+BY\\s+\\(([^)]+)\\)\\s+SUMS\\s+\\(([^)]+)\\)\\s*""".r
+  private val RefreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  private val DropMvRe =
+    """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   // MERGE INTO <t> USING (<select>) [AS] s ON <key equality> WHEN MATCHED
   // THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the Delta-style
   // star forms: a whole-row upsert keyed on the table's PRIMARY KEY. The
@@ -278,6 +292,27 @@ object Ddl {
     base.resolve("graft_loads")
       .resolve(s"${t.name.toLowerCase.replace('.', '_')}_${t.muts.length}")
       .toString
+  }
+
+  /** Managed snapshot location for a named materialized view (beside the
+    * catalog file, like [[loadSnapshotPath]]). */
+  private def mvSnapshotPath(name: String): String = {
+    val base = Option(catalogPath.getParent)
+      .getOrElse(java.nio.file.Paths.get("."))
+    base.resolve("graft_mvs").resolve(name.toLowerCase).toString
+  }
+
+  /** (Re)build an MV's rollup snapshot from its source's BASE parquet:
+    * count partial + one exact-decimal sum per registered column — the
+    * decomposable shape plans.MvRewriteRule knows how to re-combine. */
+  private def buildMvSnapshot(spark: SparkSession, mv: graft.plans.MvDef): Unit = {
+    val sums = mv.sums.toSeq.sortBy(_._1).map { case (src, partial) =>
+      sum(col(src).cast(M)).as(partial)
+    }
+    spark.read.parquet(mv.sourcePath)
+      .groupBy(mv.groupCols.map(c => col(c)): _*)
+      .agg(count(lit(1)).as(mv.cntCol), sums: _*)
+      .write.mode(SaveMode.Overwrite).parquet(mv.snapshotPath)
   }
 
   /** Create/refresh the persistent view for a qualified table, creating its
@@ -357,6 +392,9 @@ object Ddl {
     case DeleteRe(n, _) if lookup(n).isDefined       => Some(statusCols)
     case UpdateRe(n, _, _, _) if lookup(n).isDefined => Some(statusCols)
     case MergeRe(n, _, _) if lookup(n).isDefined     => Some(statusCols)
+    case CreateMvRe(_*)                              => Some(statusCols)
+    case RefreshMvRe(n) if graft.plans.MvCatalog.named(n).isDefined => Some(statusCols)
+    case DropMvRe(n) if graft.plans.MvCatalog.named(n).isDefined    => Some(statusCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
@@ -607,6 +645,42 @@ object Ddl {
         else replaceView(spark, t.name, updated)
         logMut(t, Mut("update", colName, caseExpr))
         status("UPDATE", t.name)
+      case CreateMvRe(mvName, tName, groupsCsv, sumsCsv) =>
+        val t = lookupOrThrow(tName)
+        require(t.muts.isEmpty,
+          s"materialized view requires an unmutated table; ${t.name} has " +
+            s"${t.muts.length} mutation(s) — the rewrite keys on the base parquet")
+        require(lookup(mvName).isEmpty && graft.plans.MvCatalog.named(mvName).isEmpty,
+          s"'$mvName' already names a table or materialized view")
+        ensureView(spark, t)
+        val schema = spark.table(t.name).schema
+        val groups = groupsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val sumCols = sumsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        (groups ++ sumCols).foreach(c => require(hasColumn(schema.fieldNames, c),
+          s"column '$c' not in ${t.name}"))
+        sumCols.foreach { c =>
+          val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"SUMS column '$c' must be numeric, got ${dt.simpleString}")
+        }
+        val mv = graft.plans.MvDef(t.path, mvSnapshotPath(mvName), groups, "cnt",
+          sumCols.map(c => c.toLowerCase -> s"sum_${c.toLowerCase}").toMap, M)
+        buildMvSnapshot(spark, mv)
+        graft.plans.MvCatalog.register(mvName, mv)
+        // the MV is also directly queryable under its own name
+        spark.read.parquet(mv.snapshotPath).createOrReplaceTempView(mvName)
+        status("CREATE_MV", mvName)
+      case RefreshMvRe(name) =>
+        val mv = graft.plans.MvCatalog.named(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown materialized view '$name'"))
+        buildMvSnapshot(spark, mv)
+        spark.read.parquet(mv.snapshotPath).createOrReplaceTempView(name)
+        status("REFRESH_MV", name)
+      case DropMvRe(name) =>
+        graft.plans.MvCatalog.unregister(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown materialized view '$name'"))
+        spark.catalog.dropTempView(name)
+        status("DROP_MV", name)
       case MergeRe(name, srcSql, onCond) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)

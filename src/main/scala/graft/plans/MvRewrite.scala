@@ -24,13 +24,26 @@ case class MvDef(sourcePath: String, snapshotPath: String,
     groupCols: Seq[String], cntCol: String, sums: Map[String, String],
     decType: DataType)
 
-/** Process-global MV registry, keyed by normalized source path. */
+/** Process-global MV registry: rewrite lookups key on the normalized
+  * source path; the DDL surface (CREATE/REFRESH/DROP MATERIALIZED VIEW)
+  * additionally keys by MV name. */
 object MvCatalog {
   private def norm(p: String): String =
     p.stripPrefix("file:").stripSuffix("/")
   private val mvs = scala.collection.concurrent.TrieMap[String, MvDef]()
+  private val byName = scala.collection.concurrent.TrieMap[String, MvDef]()
   def register(mv: MvDef): Unit = mvs.put(norm(mv.sourcePath), mv)
-  def clear(): Unit = mvs.clear()
+  def register(name: String, mv: MvDef): Unit = {
+    byName.put(name.toLowerCase, mv)
+    register(mv)
+  }
+  def named(name: String): Option[MvDef] = byName.get(name.toLowerCase)
+  def unregister(name: String): Option[MvDef] =
+    byName.remove(name.toLowerCase).map { mv =>
+      mvs.remove(norm(mv.sourcePath))
+      mv
+    }
+  def clear(): Unit = { mvs.clear(); byName.clear() }
   def isEmpty: Boolean = mvs.isEmpty
   def forPaths(paths: Seq[String]): Option[MvDef] =
     paths.iterator.flatMap(p => mvs.get(norm(p))).nextOption()

@@ -302,6 +302,57 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE/REFRESH/DROP MATERIALIZED VIEW register the rewrite and a view") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    try {
+      if (ops.Ddl.lookup("mv_src").isDefined) spark.sql("DROP TABLE mv_src")
+      spark.sql(
+        s"CREATE TABLE mv_src MAPPED BY '${sf("sf0.001")}/orders.parquet' KEYS (o_orderkey)")
+      val st = spark.sql(
+        "CREATE MATERIALIZED VIEW mv_status ON mv_src " +
+          "GROUP BY (o_orderstatus, o_orderpriority) SUMS (o_totalprice)").collect()
+      assert(st.head.getString(0) == "CREATE_MV")
+      // the MV is directly queryable under its name
+      assert(spark.table("mv_status").columns.toSet ==
+        Set("o_orderstatus", "o_orderpriority", "cnt", "sum_o_totalprice"))
+      // a matching aggregate over the table is transparently redirected
+      val q = spark.table("mv_src")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("total"))
+      val paths = scanPaths(q)
+      assert(paths.exists(_.contains("graft_mvs")), paths.mkString(";"))
+      assert(!paths.exists(_.contains("orders.parquet")), paths.mkString(";"))
+      // the rewritten counts equal the direct scan's
+      val direct = spark.read.parquet(s"${sf("sf0.001")}/orders.parquet")
+        .groupBy(col("o_orderstatus")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap == direct)
+      // refresh rebuilds; drop unregisters (rewrite stops firing)
+      assert(spark.sql("REFRESH MATERIALIZED VIEW mv_status")
+        .head().getString(0) == "REFRESH_MV")
+      assert(spark.sql("DROP MATERIALIZED VIEW mv_status")
+        .head().getString(0) == "DROP_MV")
+      assert(scanPaths(spark.table("mv_src").groupBy(col("o_orderstatus")).count())
+        .exists(_.contains("orders.parquet")))
+      // a mutated table refuses an MV (rewrite keys on the base parquet)
+      spark.sql("DELETE FROM mv_src WHERE o_orderkey < 0")
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "CREATE MATERIALIZED VIEW mv2 ON mv_src GROUP BY (o_orderstatus) SUMS (o_totalprice)")
+      }
+      spark.sql("DROP TABLE mv_src")
+    } finally graft.plans.MvCatalog.clear()
+  }
+
   test("MERGE INTO upserts by primary key and replays after restart") {
     val tmp = java.nio.file.Files.createTempFile("graft_cat_merge", ".json")
     java.nio.file.Files.delete(tmp)
