@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructType}
 
 /** Astro-shaped DDL surface (SURVEY.md §2 A8): the reference declares tables
   * with `CREATE TABLE t (...) MAPPED BY (hbaseTbl, COLS=[...])` and a
@@ -218,6 +218,14 @@ object Ddl {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val DropMvRe =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  // SHOW VERSIONS <t> lists the mutation history (version 0 = base);
+  // RESTORE TABLE <t> TO VERSION <n> truncates the log back to n applied
+  // mutations — the catalog is metadata-only, so restore never touches
+  // data files and later snapshots stay on disk (a second RESTORE forward
+  // is impossible by design: the log IS the state).
+  private val ShowVersionsRe = s"""(?is)\\s*SHOW\\s+VERSIONS\\s+($Id)\\s*""".r
+  private val RestoreRe =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Id)\\s+TO\\s+VERSION\\s+(\\d+)\\s*""".r
   // MERGE INTO <t> USING (<select>) [AS] s ON <key equality> WHEN MATCHED
   // THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the Delta-style
   // star forms: a whole-row upsert keyed on the table's PRIMARY KEY. The
@@ -366,6 +374,21 @@ object Ddl {
     Seq("col_name" -> StringType, "data_type" -> StringType, "is_key" -> BooleanType)
   private val statsCols: Seq[(String, DataType)] =
     Seq("stat" -> StringType, "value" -> StringType)
+  private val versionsCols: Seq[(String, DataType)] =
+    Seq("version" -> IntegerType, "op" -> StringType, "detail" -> StringType)
+
+  /** VERSION time travel over the mutation log — the Spark analogue of
+    * HBase's cell-version reads (the reference's storage model keeps prior
+    * cell versions; here the catalog keeps the whole mutation history, so
+    * any prefix is reconstructible). `version` counts applied mutations:
+    * 0 = the base parquet, muts.length = the current table. Read-only —
+    * nothing is materialized or changed. */
+  def asOf(spark: SparkSession, name: String, version: Int): DataFrame = {
+    val t = lookupOrThrow(name)
+    require(version >= 0 && version <= t.muts.length,
+      s"version $version out of range 0..${t.muts.length} for ${t.name}")
+    rebuild(spark, t.copy(muts = t.muts.take(version)))
+  }
 
   /** Routing decision for the injected SQL parser (plans.GraftSqlParser):
     * returns the statement's result schema when it belongs to graft's A8
@@ -393,6 +416,8 @@ object Ddl {
     case UpdateRe(n, _, _, _) if lookup(n).isDefined => Some(statusCols)
     case MergeRe(n, _, _) if lookup(n).isDefined     => Some(statusCols)
     case CreateMvRe(_*)                              => Some(statusCols)
+    case ShowVersionsRe(n) if lookup(n).isDefined    => Some(versionsCols)
+    case RestoreRe(n, _) if lookup(n).isDefined      => Some(statusCols)
     case RefreshMvRe(n) if graft.plans.MvCatalog.named(n).isDefined => Some(statusCols)
     case DropMvRe(n) if graft.plans.MvCatalog.named(n).isDefined    => Some(statusCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
@@ -645,6 +670,23 @@ object Ddl {
         else replaceView(spark, t.name, updated)
         logMut(t, Mut("update", colName, caseExpr))
         status("UPDATE", t.name)
+      case ShowVersionsRe(name) =>
+        val t = lookupOrThrow(name)
+        val rows = (0, "base", t.path) +: t.muts.zipWithIndex.map { case (m, i) =>
+          (i + 1, m.op, Seq(m.a, m.b).filter(_.nonEmpty).mkString(" "))
+        }
+        rows.toDF("version", "op", "detail")
+      case RestoreRe(name, verStr) =>
+        val t = lookupOrThrow(name)
+        val v = verStr.toInt
+        require(v >= 0 && v <= t.muts.length,
+          s"version $v out of range 0..${t.muts.length} for ${t.name}")
+        val restored = t.copy(muts = t.muts.take(v))
+        catalog.put(restored.name.toLowerCase, restored)
+        persist()
+        if (isQualified(restored.name)) replaceQualified(spark, restored)
+        else replaceView(spark, restored.name, rebuild(spark, restored))
+        status("RESTORE", t.name)
       case CreateMvRe(mvName, tName, groupsCsv, sumsCsv) =>
         val t = lookupOrThrow(tName)
         require(t.muts.isEmpty,
@@ -821,6 +863,24 @@ object Ddl {
       .orderBy(col("n_regionkey"))
   }
 
+  /** A8 judged TIME-TRAVEL round trip: CREATE → INSERT → DELETE, then one
+    * frame holding (version, n_rows, key_sum) for every log version 0..2
+    * via [[asOf]] — the HBase cell-version analogue made relational: the
+    * mutation log IS the version history, so any prefix reconstructs a
+    * past state with zero data copies. The oracle replays each statement
+    * prefix relationally, so all three versions are hash-gated at once. */
+  def ddlTimetravel(s: SparkSession, d: String): DataFrame = {
+    if (lookup("tt_rt").isDefined) execute(s, "DROP TABLE tt_rt")
+    execute(s, s"CREATE TABLE tt_rt MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
+    execute(s, "INSERT INTO tt_rt VALUES (90, 'tt-new', 9)")
+    execute(s, "DELETE FROM tt_rt WHERE n_regionkey = 0")
+    (0 to 2).map { v =>
+      asOf(s, "tt_rt", v)
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_nationkey")).as("key_sum"))
+        .select(lit(v).as("version"), col("n_rows"), col("key_sum"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
   /** A8 judged statistics round trip: CREATE MAPPED BY → ANALYZE → SHOW
     * STATS, the stats themselves being the judged values (row count and key
     * min/max over orders, which the oracle recomputes relationally). */
@@ -834,6 +894,7 @@ object Ddl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ddl_roundtrip" -> (ddlRoundtrip _),
     "ddl_dml" -> (ddlDml _),
+    "ddl_timetravel" -> (ddlTimetravel _),
     "analyze_stats" -> (analyzeStats _))
 
   val oracles: Map[String, String] = Map(
@@ -854,6 +915,19 @@ object Ddl {
         |SELECT '__scan_rows__', CAST(count(*) AS VARCHAR), FALSE
         |FROM nation WHERE n_nationkey BETWEEN 5 AND 14
         |ORDER BY col_name""".stripMargin,
+    // each version = the statement-sequence prefix, replayed relationally
+    "ddl_timetravel" ->
+      """WITH v1 AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL SELECT 90, 9),
+        |v2 AS (SELECT * FROM v1 WHERE NOT coalesce(n_regionkey = 0, false))
+        |SELECT CAST(0 AS INTEGER) AS version, count(*) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
     // relational replay of the INSERT/DELETE/UPDATE/MERGE sequence
     "ddl_dml" ->
       """WITH t0 AS (

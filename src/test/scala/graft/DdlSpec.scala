@@ -302,6 +302,49 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("SHOW VERSIONS lists the mutation log; RESTORE truncates it (and persists)") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_tt", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE tt_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+      val base = spark.table("tt_t").count()
+      spark.sql("INSERT INTO tt_t VALUES (90, 'v1', 9)")
+      spark.sql("DELETE FROM tt_t WHERE n_regionkey = 0")
+      // history: version 0 = base, 1 = insert, 2 = delete
+      val vs = spark.sql("SHOW VERSIONS tt_t").collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(vs.map(_._1) == Seq(0, 1, 2), vs)
+      assert(vs.map(_._2) == Seq("base", "insert", "delete"), vs)
+      // asOf reconstructs every prefix without touching the current view
+      assert(ops.Ddl.asOf(spark, "tt_t", 0).count() == base)
+      assert(ops.Ddl.asOf(spark, "tt_t", 1).count() == base + 1)
+      assert(ops.Ddl.asOf(spark, "tt_t", 2).count() == spark.table("tt_t").count())
+      intercept[IllegalArgumentException] { ops.Ddl.asOf(spark, "tt_t", 3) }
+      // RESTORE rolls the live table back to the insert-only state...
+      assert(spark.sql("RESTORE TABLE tt_t TO VERSION 1")
+        .head().getString(0) == "RESTORE")
+      assert(spark.table("tt_t").count() == base + 1)
+      // ...and the truncated log survives a restart
+      ops.Ddl.resetForTest()
+      spark.catalog.dropTempView("tt_t")
+      assert(spark.sql("DESCRIBE tt_t").collect().nonEmpty)
+      assert(spark.sql("SELECT count(*) FROM tt_t").head().getLong(0) == base + 1)
+      assert(spark.sql("SHOW VERSIONS tt_t").collect().length == 2)
+      spark.sql("DROP TABLE tt_t")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("CREATE/REFRESH/DROP MATERIALIZED VIEW register the rewrite and a view") {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     def scanPaths(d: org.apache.spark.sql.DataFrame): Seq[String] =
