@@ -105,6 +105,19 @@ object KeyRange {
     * at the same time (filter + aggregate pushdown compose). DsV2Spec pins
     * the plan: PushedAggregation in the scan node, scan output = the partial
     * schema (no full-column exchange before the final agg). */
+  /** DSv2 TOP-N pushdown (SupportsPushDownTopN/SupportsPushDownLimit): an
+    * ORDER BY k LIMIT n over the keyed source truncates the scanned key
+    * range to exactly n keys — a top-n over a petabyte key space touches n
+    * rows, the same "serve it from the index" behavior an HBase scan with
+    * a row limit gives. DsV2Spec pins the plan: the scan's keyBounds
+    * collapse to [20000, 20020) and only one input partition survives. */
+  def dsv2LimitPushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.sources.GraftRangeSource")
+      .option("rows", "100000").option("slices", "16").load()
+      .filter(col("k") >= 20000)
+      .orderBy(col("k"))
+      .limit(20)
+
   def dsv2AggPushdown(s: SparkSession, d: String): DataFrame =
     s.read.format("graft.sources.GraftRangeSource")
       .option("rows", "100000").option("slices", "16").load()
@@ -474,6 +487,7 @@ object KeyRange {
     "partitioned_write" -> (partitionedWrite _),
     "dsv2_keyrange" -> (dsv2Keyrange _),
     "dsv2_agg_pushdown" -> (dsv2AggPushdown _),
+    "dsv2_limit_pushdown" -> (dsv2LimitPushdown _),
     "dpp_prune" -> (dppPrune _),
     "orc_roundtrip" -> (orcRoundtrip _),
     "bloom_prune" -> (bloomPrune _),
@@ -558,6 +572,12 @@ object KeyRange {
         | 'r' || CAST(k % 97 AS VARCHAR) AS tag
         |FROM generate_series(0, 99999) t(k)
         |WHERE k BETWEEN 20000 AND 79999 AND (k * 2654435761) % 1000 < 500
+        |ORDER BY k""".stripMargin,
+    // the 20 smallest surviving keys — the truncated-range semantics
+    "dsv2_limit_pushdown" ->
+      """SELECT k, (k * 2654435761) % 1000 AS v,
+        | 'r' || CAST(k % 97 AS VARCHAR) AS tag
+        |FROM generate_series(20000, 20019) t(k)
         |ORDER BY k""".stripMargin,
     // replays the generator + grouping; CAST(sum) pins DuckDB's HUGEINT back
     // to BIGINT so dtypes match Spark's long

@@ -84,11 +84,13 @@ final case class GraftAggCall(op: String, col: String) {
 
 final class GraftRangeScanBuilder(rows: Long, slices: Int)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo: Long = 0L              // inclusive pushed key lower bound
   private var hi: Long = rows            // exclusive pushed key upper bound
   private var pushed: Array[Filter] = Array.empty
+  private var hadResidual = false
   private var required: StructType = GraftRangeSource.schema
   private var aggGroups: Seq[String] = Nil
   private var aggCalls: Seq[GraftAggCall] = Nil
@@ -114,9 +116,46 @@ final class GraftRangeScanBuilder(rows: Long, slices: Int)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition(tryPush)
     pushed = accepted
+    hadResidual = residual.nonEmpty
     residual // Spark re-applies these above the scan
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** LIMIT pushdown: keys generate in order, so the first `limit` surviving
+    * rows are exactly the key range [lo, lo+limit) — truncate the range and
+    * the scan reads ≤limit keys no matter how large the table. Declared
+    * PARTIAL (Spark keeps its own Limit above — harmless over ≤limit rows),
+    * and refused when a residual filter exists: rows dropped ABOVE the scan
+    * would starve a truncated range. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (hadResidual || aggPushed || limit < 0) return false
+    hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Top-N pushdown (ORDER BY k [ASC|DESC] LIMIT n): the n smallest keys
+    * are [lo, lo+n), the n largest [hi-n, hi) — same range truncation, so
+    * a top-n over a petabyte key space touches n keys. Spark's sort+limit
+    * stay above (partial), ordering other than plain `k` is refused. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder], limit: Int): Boolean = {
+    if (hadResidual || aggPushed || limit < 0 || orders.length != 1) return false
+    val o = orders.head
+    val byK = o.expression() match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("k"))
+      case _ => false
+    }
+    if (!byK) return false
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    o.direction() match {
+      case SortDirection.ASCENDING =>
+        hi = math.min(hi, if (lo > Long.MaxValue - limit) Long.MaxValue else lo + limit)
+      case SortDirection.DESCENDING =>
+        lo = math.max(lo, if (hi < Long.MinValue + limit) Long.MinValue else hi - limit)
+    }
+    true
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

@@ -31,6 +31,28 @@ class DsV2Spec extends SparkSpec {
     assert(rows.length == expect)
   }
 
+  test("top-N and limit pushdown truncate the scanned key range") {
+    // ORDER BY k LIMIT 20 over [20000, ∞): the scan must collapse to the
+    // 20 smallest surviving keys — one partition, 20 generated rows
+    val df = SparkEntry.queries("dsv2_limit_pushdown")(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("keyBounds=[20000,20020)"), plan.take(1200))
+    assert(df.collect().map(_.getLong(0)).toSeq == (20000L to 20019L))
+    // DESC top-n truncates from the top of the range instead
+    val desc = ranged.filter(col("k") >= 20000).orderBy(col("k").desc).limit(5)
+    assert(desc.queryExecution.executedPlan.toString
+      .contains("keyBounds=[99995,100000)"),
+      desc.queryExecution.executedPlan.toString.take(1200))
+    assert(desc.collect().map(_.getLong(0)).toSeq ==
+      (99999L to 99995L by -1))
+    // a residual (non-key) filter blocks the truncation: limit must not
+    // starve on rows the engine drops above the scan
+    val resid = ranged.filter(col("v") < 500).limit(7)
+    val residPlan = resid.queryExecution.executedPlan.toString
+    assert(residPlan.contains("keyBounds=[0,100000)"), residPlan.take(1200))
+    assert(resid.count() == 7)
+  }
+
   test("column pruning generates only requested columns") {
     val df = ranged.select("tag").filter(col("tag") === "r5")
     assert(df.schema.fieldNames === Array("tag"))
