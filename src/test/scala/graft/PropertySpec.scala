@@ -111,6 +111,70 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PqArgMin eval equals the naive squared-L2 argmin on random codebooks") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    (1 to 200).foreach { _ =>
+      val dim = 1 + rnd.nextInt(6)
+      val k = 1 + rnd.nextInt(40)
+      val offset = rnd.nextInt(4)
+      val x = Array.fill(offset + dim)(rnd.nextDouble() * 4 - 2)
+      val cb = Array.fill(k * dim)(rnd.nextDouble() * 4 - 2)
+      // norms via the SAME left fold the production codepath uses
+      val norms = Array.tabulate(k)(i =>
+        (0 until dim).foldLeft(0.0)((a, j) => a + cb(i * dim + j) * cb(i * dim + j)))
+      val got = functions.PqArgMin(
+        Literal.create(ArrayData.toArrayData(x), ArrayType(DoubleType)),
+        offset, cb.toIndexedSeq, norms.toIndexedSeq).eval(null).asInstanceOf[Int]
+      // naive reference: true squared L2 over the slice, first-wins ties
+      val naive = (0 until k).minBy { i =>
+        (0 until dim).map(j => {
+          val d = x(offset + j) - cb(i * dim + j); d * d
+        }).sum
+      }
+      // the expression ranks by ||c||^2 - 2<x,c> (drops the constant
+      // ||x||^2): same winner as true squared L2 up to fp tie noise —
+      // compare the DISTANCES of the two winners instead of the indexes
+      def dist(i: Int) =
+        (0 until dim).map(j => { val d = x(offset + j) - cb(i * dim + j); d * d }).sum
+      assert(math.abs(dist(got - 1) - dist(naive)) < 1e-9,
+        s"dim=$dim k=$k got=${got - 1} naive=$naive")
+    }
+  }
+
+  test("MERGE INTO is idempotent: re-merging the same source changes nothing") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_prop", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE prop_m MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+      val merge =
+        """MERGE INTO prop_m USING (
+          |  SELECT 2 AS r_regionkey, 'TWO' AS r_name
+          |  UNION ALL SELECT 77, 'NEW'
+          |) s ON s.r_regionkey = r_regionkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+      spark.sql(merge)
+      val once = spark.table("prop_m").orderBy("r_regionkey").collect().toSeq
+      spark.sql(merge)
+      val twice = spark.table("prop_m").orderBy("r_regionkey").collect().toSeq
+      assert(once == twice)
+      spark.sql("DROP TABLE prop_m")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("approx_count_distinct within rsd tolerance of exact counts") {
     val dir = sf("sf0.001")
     val approx = ops.Relational.aggApproxDistinct(spark, dir).collect()
