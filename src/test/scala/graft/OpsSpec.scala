@@ -746,6 +746,40 @@ class OpsSpec extends SparkSpec {
     assert(cntTotal == detail) // region subtotals equal sum of nation detail
   }
 
+  test("observe() ships data-quality metrics with the export write") {
+    // the production pattern for validating a training-data export WITHOUT
+    // a second scan: observe() attaches aggregates to the write's own pass
+    // and a QueryExecutionListener receives them when the job commits
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.get("export_quality").foreach(seen.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_observe").toString
+      val docs = Tables.documents(spark, sf("sf0.001"))
+      docs.observe("export_quality",
+          org.apache.spark.sql.functions.count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("n_empty"),
+          min(col("n_chars")).as("min_chars"))
+        .write.mode("overwrite").parquet(dir)
+      // listener delivery is async on the listener bus — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, "observed metrics never arrived")
+      val m = seen.peek()
+      assert(m.getLong(0) == docs.count())
+      assert(m.getLong(1) == 0L) // the fixture has no empty documents
+      assert(m.getAs[Number](2).longValue() ==
+        docs.agg(min(col("n_chars"))).head().getAs[Number](0).longValue())
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("agg_countmin_hh estimates never undercount and rank the true top term") {
     val out = ops.Text.aggCountminHh(spark, sf("sf0.001")).collect()
     assert(out.length == 20)
