@@ -196,11 +196,24 @@ final class GraftRangeScanBuilder(rows: Long, slices: Int)
 }
 
 final class GraftRangeScan(rows: Long, slices: Int, lo: Long, hi: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_range rows=$rows keyBounds=[$lo,$hi) slices=$slices"
+
+  /** Post-pushdown statistics: row count and bytes for the PRUNED range,
+    * not the whole table — so a key-bounded slice of an arbitrarily large
+    * keyed table is correctly seen as broadcast-able by the join planner
+    * (the CBO leverage Astro got from HBase region metadata). ~21 bytes
+    * per generated row: two longs + the short tag. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 21L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
 
   /** Region pruning: only slices overlapping the pushed key range survive. */
   override def planInputPartitions(): Array[InputPartition] = {

@@ -53,6 +53,23 @@ class DsV2Spec extends SparkSpec {
     assert(resid.count() == 7)
   }
 
+  test("reported statistics reflect the pruned range and drive broadcast") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    // a key-bounded slice must report its PRUNED cardinality to the planner
+    val narrow = ranged.filter(col("k") < 64)
+    val stats = narrow.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.computeStats()
+    }.head
+    assert(stats.rowCount.contains(BigInt(64)), stats)
+    // ...which makes joining the slice against a big table broadcast it
+    // without hints (default 10 MB threshold; 64 rows ≈ 1.3 KB)
+    val big = spark.range(0, 200000).selectExpr("id AS k2")
+    val j = big.join(narrow, col("k2") === col("k"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(1200))
+  }
+
   test("column pruning generates only requested columns") {
     val df = ranged.select("tag").filter(col("tag") === "r5")
     assert(df.schema.fieldNames === Array("tag"))
