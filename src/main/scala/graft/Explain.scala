@@ -23,7 +23,10 @@ object Explain {
         // round-7 plan-shape additions: histogram de-skew, token-keyed
         // candidates, map-only chunking, two-level HLL aggregate
         "window_distribution", "text_levenshtein", "text_chunk",
-        "agg_hll_distinct", "dedup_components_shingle")
+        "agg_hll_distinct", "dedup_components_shingle",
+        // round-11 additions: MV redirect, truncated-range top-n, broadcast
+        // CMS counters, literal-codebook PQ encode
+        "mv_rewrite", "dsv2_limit_pushdown", "agg_countmin_hh", "sim_ann_pq")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
