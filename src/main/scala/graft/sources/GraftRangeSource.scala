@@ -196,11 +196,18 @@ final class GraftRangeScanBuilder(rows: Long, slices: Int)
 }
 
 final class GraftRangeScan(rows: Long, slices: Int, lo: Long, hi: Long,
-    required: StructType) extends Scan with Batch with SupportsReportStatistics {
+    required: StructType) extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // runtime-narrowed key bounds (see filter below); start at the
+  // compile-time pushed bounds
+  @volatile private var rlo: Long = lo
+  @volatile private var rhi: Long = hi
+
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_range rows=$rows keyBounds=[$lo,$hi) slices=$slices"
+    s"graft_range rows=$rows keyBounds=[$rlo,$rhi) slices=$slices"
 
   /** Post-pushdown statistics: row count and bytes for the PRUNED range,
     * not the whole table — so a key-bounded slice of an arbitrarily large
@@ -208,20 +215,43 @@ final class GraftRangeScan(rows: Long, slices: Int, lo: Long, hi: Long,
     * (the CBO leverage Astro got from HBase region metadata). ~21 bytes
     * per generated row: two longs + the short tag. */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val n = math.max(0L, hi - lo)
+    private val n = math.max(0L, rhi - rlo)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(n * 21L)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(n)
   }
 
-  /** Region pruning: only slices overlapping the pushed key range survive. */
+  /** RUNTIME filtering (the DSv2 form of dynamic partition pruning, and
+    * the closest modern analogue of Astro's runtime critical-point region
+    * pruning): after a joined build side materializes, Spark hands the
+    * scan an IN-list of its join keys; the key range narrows to the list's
+    * [min, max] envelope BEFORE planInputPartitions runs, so whole regions
+    * of the key space are never read. Rows outside the exact IN-set still
+    * generate inside the envelope — the join above discards them, so the
+    * narrowing is purely an optimization and can never change results. */
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("k"))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("k", values) if values != null && values.nonEmpty =>
+      val longs = values.collect { case n: Number => n.longValue() }
+      if (longs.length == values.length) {
+        rlo = math.max(rlo, longs.min)
+        rhi = math.min(rhi, if (longs.max == Long.MaxValue) Long.MaxValue
+          else longs.max + 1)
+      }
+    case _ => () // unknown runtime filter: keep the static bounds (safe)
+  }
+
+  /** Region pruning: only slices overlapping the (possibly runtime-
+    * narrowed) key range survive. */
   override def planInputPartitions(): Array[InputPartition] = {
     val step = math.max(1L, (rows + slices - 1) / slices)
     (0L until rows by step).flatMap { start =>
       val end = math.min(start + step, rows)
-      val s = math.max(start, lo)
-      val e = math.min(end, hi)
+      val s = math.max(start, rlo)
+      val e = math.min(end, rhi)
       if (s < e) Some(GraftRangePartition(s, e): InputPartition) else None
     }.toArray
   }

@@ -70,6 +70,28 @@ class DsV2Spec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("runtime filtering narrows the key range to the join keys' envelope") {
+    // unit level: an IN-list narrows the bounds BEFORE partition planning
+    val scan = new graft.sources.GraftRangeScan(
+      100000L, 16, 0L, 100000L, graft.sources.GraftRangeSource.schema)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", Array[Any](1200L, 8L, 4077L))))
+    assert(scan.description().contains("keyBounds=[8,4078)"), scan.description())
+    assert(scan.planInputPartitions().length == 1) // one 6250-key slice
+    // integration: a broadcast-joined filtered dim injects the IN-list at
+    // runtime (the DSv2 dynamic-partition-pruning path)
+    import spark.implicits._
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft_rtf_dim").toString
+    Seq(100L, 2000L, 55555L).toDF("dk")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("dk") >= 0)
+    val j = ranged.join(dim, col("k") === col("dk"))
+    assert(j.collect().map(_.getLong(0)).sorted.toSeq == Seq(100L, 2000L, 55555L))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("runtimefilters: ["), plan.take(1500))
+  }
+
   test("column pruning generates only requested columns") {
     val df = ranged.select("tag").filter(col("tag") === "r5")
     assert(df.schema.fieldNames === Array("tag"))
