@@ -21,7 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL-string DDL entry point: intercepts the MAPPED BY grammar (and
     // catalog-guarded shared statements) and falls through to the vanilla
     // parser otherwise — see plans.GraftSqlParser for the routing rules.
-    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     // Transparent rollup rewrite over registered materialized views — a
     // no-op until MvCatalog has registrations (see plans.MvRewriteRule).
     ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))

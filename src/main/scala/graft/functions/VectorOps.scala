@@ -45,11 +45,18 @@ object VectorOps {
       "graft_pq_argmin", exprs => {
         require(exprs.length == 4,
           s"graft_pq_argmin expects exactly 4 arguments, got ${exprs.length}")
+        require(exprs.drop(1).forall(_.foldable),
+          "graft_pq_argmin: offset, codebook, and norms must be foldable " +
+            "literals (they are baked into the expression at resolution time)")
         val off = exprs(1).eval(null).asInstanceOf[Number].intValue
         val cb = exprs(2).eval(null).asInstanceOf[
           org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray.toIndexedSeq
         val norms = exprs(3).eval(null).asInstanceOf[
           org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray.toIndexedSeq
+        require(norms.nonEmpty, "graft_pq_argmin: norms must be non-empty")
+        require(cb.length % norms.length == 0,
+          s"graft_pq_argmin: codebook length ${cb.length} not divisible by " +
+            s"K=${norms.length}")
         PqArgMin(exprs(0), off, cb, norms)
       }, "built-in")
   }

@@ -241,6 +241,23 @@ object KeyRange {
     * bit-for-bit (counts add; exact-decimal sums add). PlanSpec asserts
     * the executed plan reads the snapshot and NOT the fact parquet. */
   def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/mv_rewrite_out"
+    val src = s"$d/orders.parquet"
+    // materialize WITH the registration active (the write action executes
+    // the rewritten plan), then unregister before returning: a process-
+    // global registration left behind would silently redirect every later
+    // same-shape aggregate over orders.parquet in this JVM to a scratch
+    // snapshot (stale the moment scratch is cleaned) — the same clear()
+    // hygiene the tests observe.
+    try mvRewriteFrame(s, d).write.mode(SaveMode.Overwrite).parquet(out)
+    finally graft.plans.MvCatalog.unregisterPath(src)
+    s.read.parquet(out).orderBy(col("o_orderstatus"))
+  }
+
+  /** The lazy rewritten frame with its registration LIVE — split out so
+    * PlanSpec can assert the optimized plan reads the snapshot. Callers
+    * must unregister/clear afterwards (mvRewrite does; tests clear()). */
+  def mvRewriteFrame(s: SparkSession, d: String): DataFrame = {
     val snap = s"$scratch/mv_rewrite"
     val src = s"$d/orders.parquet"
     s.read.parquet(src)

@@ -399,8 +399,14 @@ object Similarity {
     val init = pqCentroids(e).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(init.nonEmpty, "PQ training requires a non-empty embedding corpus")
+    // a corpus smaller than pqK yields a smaller codebook (limit(pqK)
+    // returned everything there was) — degrade gracefully instead of
+    // indexing past init.length; downstream (pqWinIdx, encode, oracle
+    // LIMIT) all key off the actual array sizes, so parity holds
+    val k0 = math.min(pqK, init.length)
     val cids = init.map(_._1)
-    var cb: Array[Array[Array[Double]]] = Array.tabulate(pqSub, pqK) { (m, k) =>
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(pqSub, k0) { (m, k) =>
       init(k)._2.slice(m * pqDim, (m + 1) * pqDim)
     }
     for (_ <- 0 until pqIters) {

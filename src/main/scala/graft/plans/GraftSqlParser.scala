@@ -37,12 +37,19 @@ case class GraftDdlCommand(ddl: String, resultSchema: Seq[(String, DataType)])
   * to the vanilla parser untouched, so the injection never changes the
   * semantics of standard Spark SQL.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
-  override def parsePlan(sqlText: String): LogicalPlan =
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    // Restart path: replay persisted materialized-view temp views before
+    // the statement resolves, so a fresh process's first `SELECT ... FROM
+    // <mv>` finds its view (analysis runs before any optimizer rule could
+    // trigger the load). Two volatile reads once loaded.
+    if (session != null) Ddl.ensureMvLoaded(session)
     Ddl.intercept(sqlText) match {
       case Some(schema) => GraftDdlCommand(sqlText, schema)
       case None         => delegate.parsePlan(sqlText)
     }
+  }
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
     delegate.parseTableIdentifier(s)

@@ -43,10 +43,19 @@ object MvCatalog {
       mvs.remove(norm(mv.sourcePath))
       mv
     }
+  /** Drop a path-keyed registration (judged-query hygiene: a registration
+    * with no MV name must still be removable once its result is
+    * materialized, or it silently redirects every later same-shape
+    * aggregate in the process). */
+  def unregisterPath(path: String): Option[MvDef] = mvs.remove(norm(path))
   def clear(): Unit = { mvs.clear(); byName.clear() }
   def isEmpty: Boolean = mvs.isEmpty
+  /** Rewrite only when the scan reads EXACTLY the registered source: a
+    * multi-path read (spark.read.parquet(src, other)) that merely includes
+    * the MV source must not be redirected — the snapshot knows nothing of
+    * the other paths' rows. */
   def forPaths(paths: Seq[String]): Option[MvDef] =
-    paths.iterator.flatMap(p => mvs.get(norm(p))).nextOption()
+    if (paths.sizeIs == 1) mvs.get(norm(paths.head)) else None
 }
 
 /** The A6 read half — transparent materialized-view REWRITE, the Calcite
@@ -67,13 +76,19 @@ object MvCatalog {
   * rebinds the original output exprIds (parents keep resolving). */
 class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // restart path: re-register persisted MV definitions before the
+    // isEmpty probe, so a fresh process's very first DataFrame aggregate
+    // gets the rewrite back without ever touching the DDL surface
+    // (two volatile reads once loaded — see Ddl.ensureMvLoaded)
+    graft.ops.Ddl.ensureMvLoaded(spark)
     if (MvCatalog.isEmpty) plan
     else plan.transformUp {
       case agg: Aggregate =>
         sourceOf(agg.child).flatMap(MvCatalog.forPaths)
           .flatMap(rewrite(agg, _)).getOrElse(agg)
     }
+  }
 
   /** Scan paths under a pure column-pruning Project, if any. */
   private def sourceOf(plan: LogicalPlan): Option[Seq[String]] = plan match {

@@ -428,6 +428,29 @@ class DdlSpec extends SparkSpec {
             "s ON s.r_name = r_name " +
             "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
       }
+      // a tautological ON (source = source) must be rejected, not silently
+      // executed with primary-key semantics it never stated
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mrg_t USING (SELECT 1 AS r_regionkey, 'x' AS r_name) " +
+            "s ON s.r_regionkey = s.r_regionkey " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      }
+      // an alias-less MERGE cannot name the source side — clear error
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mrg_t USING (SELECT 1 AS r_regionkey, 'x' AS r_name) " +
+            "ON r_regionkey = r_regionkey " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      }
+      // duplicate PRIMARY KEY rows in the source are an error (standard
+      // MERGE raises on multi-match), not silently-kept duplicates
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mrg_t USING (SELECT 7 AS r_regionkey, 'a' AS r_name " +
+            "UNION ALL SELECT 7, 'b') s ON s.r_regionkey = r_regionkey " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      }
       // restart: the upsert replays from the snapshot
       ops.Ddl.resetForTest()
       spark.catalog.dropTempView("mrg_t")
@@ -689,5 +712,88 @@ class DdlSpec extends SparkSpec {
     val expect = Tables.lineitem(spark, sf("sf0.001"))
       .filter(col("l_orderkey") >= 100 && col("l_orderkey") <= 200).count()
     assert(n == expect)
+  }
+
+  test("MATERIALIZED VIEW definitions survive a process restart") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_mvp", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    val src = s"${sf("sf0.001")}/orders.parquet"
+    def agg() = spark.read.parquet(src)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("total"))
+    try {
+      ops.Ddl.resetForTest(); graft.plans.MvCatalog.clear()
+      spark.sql(s"CREATE TABLE mvp_src MAPPED BY '$src' KEYS (o_orderkey)")
+      spark.sql("CREATE MATERIALIZED VIEW mvp_mv ON mvp_src " +
+        "GROUP BY (o_orderstatus) SUMS (o_totalprice)")
+      assert(scanPaths(agg()).exists(_.contains("graft_mvs")))
+      // --- restart: in-memory registries gone, catalog file remains ---
+      ops.Ddl.resetForTest(); graft.plans.MvCatalog.clear()
+      spark.catalog.dropTempView("mvp_mv"); spark.catalog.dropTempView("mvp_src")
+      // a pure-DataFrame aggregate (never touches the DDL surface) gets
+      // the rewrite back via the optimizer rule's lazy load
+      val paths = scanPaths(agg())
+      assert(paths.exists(_.contains("graft_mvs")), paths.mkString(";"))
+      assert(!paths.exists(_.contains("orders.parquet")), paths.mkString(";"))
+      // ...and values still match the direct scan
+      val direct = spark.read.parquet(src).groupBy(col("o_orderstatus")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(agg().collect().map(r => r.getString(0) -> r.getLong(1)).toMap == direct)
+      // the MV's own temp view replays on the first SQL statement
+      assert(spark.sql("SELECT * FROM mvp_mv").collect().nonEmpty)
+      // --- DROP persists: a second restart must NOT resurrect the MV ---
+      spark.sql("DROP MATERIALIZED VIEW mvp_mv")
+      ops.Ddl.resetForTest(); graft.plans.MvCatalog.clear()
+      val after = scanPaths(agg())
+      assert(after.exists(_.contains("orders.parquet")), after.mkString(";"))
+      spark.sql("DROP TABLE mvp_src")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest(); graft.plans.MvCatalog.clear()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("catalog refuses a stale overwrite after another process wrote the file") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_conc", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      spark.sql(s"CREATE TABLE conc_t MAPPED BY '${sf("sf0.001")}/region.parquet' " +
+        "KEYS (r_regionkey)")
+      // simulate a concurrent JVM having written a newer catalog version
+      val txt = java.nio.file.Files.readString(tmp)
+      java.nio.file.Files.writeString(tmp,
+        txt.replaceFirst(""""seq"\s*:\s*\d+""", "\"seq\" : 99"))
+      val e = intercept[IllegalStateException] {
+        ops.Ddl.execute(spark, "ALTER TABLE conc_t ADD COLUMN one AS 1")
+      }
+      assert(e.getMessage.contains("another process"), e.getMessage)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+      spark.catalog.dropTempView("conc_t")
+    }
   }
 }

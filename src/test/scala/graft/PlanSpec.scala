@@ -72,7 +72,9 @@ class PlanSpec extends SparkSpec {
           case _ => Seq.empty
         }
       }.flatten
-    val df = SparkEntry.queries("mv_rewrite")(spark, sf("sf0.001"))
+    // the judged mv_rewrite materializes-then-unregisters; the LIVE frame
+    // (registration still active) is what carries the rewritten plan
+    val df = graft.ops.KeyRange.mvRewriteFrame(spark, sf("sf0.001"))
     // the rewrite is an optimizer rule, so the OPTIMIZED logical plan is
     // where the swapped relation is visible (under AQE the executed-plan
     // string stays opaque until finalized)
@@ -93,6 +95,18 @@ class PlanSpec extends SparkSpec {
       .agg(max(col("o_orderkey")).as("mx"))
     val otherPaths = scanPaths(other)
     assert(otherPaths.exists(_.contains("orders.parquet")), otherPaths.mkString(";"))
+    // a MULTI-path read that merely includes the MV source must not be
+    // redirected either — the snapshot knows nothing of the extra path's
+    // rows (here: the same path twice, doubling every count)
+    val src = s"${sf("sf0.001")}/orders.parquet"
+    val multi = spark.read.parquet(src, src)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    assert(scanPaths(multi).exists(_.contains("orders.parquet")),
+      scanPaths(multi).mkString(";"))
+    val single = direct // direct counts computed above from one copy
+    val doubled = multi.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(doubled == single.map { case (k, v) => k -> v * 2 })
     graft.plans.MvCatalog.clear() // don't leak the registration to other tests
   }
 
