@@ -70,6 +70,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
+      // Multipart-identifier resolution for graft-managed tables/views
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       // Same session semantics as the graded Verify run: UTC timestamps and

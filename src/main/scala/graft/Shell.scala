@@ -27,6 +27,8 @@ object Shell {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new graft.functions.GraftExtensions)
+      // Multipart-identifier resolution for graft-managed tables/views
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")

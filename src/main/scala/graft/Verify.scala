@@ -13,6 +13,8 @@ object Verify {
       // MAPPED BY SQL parser) — the same extensions a cluster job would set
       // via spark.sql.extensions=graft.functions.GraftExtensions.
       .withExtensions(new graft.functions.GraftExtensions)
+      // Multipart-identifier resolution for graft-managed tables/views
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -47,9 +47,39 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     if (session != null) Ddl.ensureMvLoaded(session)
     Ddl.intercept(sqlText) match {
       case Some(schema) => GraftDdlCommand(sqlText, schema)
-      case None         => delegate.parsePlan(sqlText)
+      case None         => expandGraftRefs(delegate.parsePlan(sqlText))
     }
   }
+
+  /** Multipart references to graft KEYED tables and MV snapshots
+    * (`graft.t`, `graft.db.t`) expand to their self-contained view SQL
+    * here, at the injected parser — OSS Spark 4.1's analyzer has no v2
+    * view resolution (ViewCatalog.loadView has no caller in the analysis
+    * pipeline), so the parser is the layer that owns this, exactly as the
+    * reference hooked its catalog into the SQL entry point [ref*: per
+    * SURVEY.md §0 — mount empty]. Connector tables are left untouched:
+    * they resolve through the sources.GraftCatalog TableCatalog plugin.
+    * Anything unknown is also left untouched so the analyzer's own
+    * error reporting fires. */
+  private def expandGraftRefs(plan: LogicalPlan): LogicalPlan =
+    if (session == null) plan
+    else plan.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.length >= 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
+        val rest = u.multipartIdentifier.tail.mkString(".")
+        if (Ddl.dsv2Get(rest).isDefined) u // connector table → TableCatalog
+        else Ddl.viewSqlFor(session, rest).orElse(
+          Ddl.mvEntries().collectFirst {
+            case (n, mv) if n == rest.toLowerCase =>
+              s"SELECT * FROM parquet.`${mv.snapshotPath}`"
+          }) match {
+          case Some(sql) =>
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              u.multipartIdentifier.last, delegate.parseQuery(sql))
+          case None => u
+        }
+    }
   override def parseExpression(s: String): Expression = delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
     delegate.parseTableIdentifier(s)

@@ -1,0 +1,250 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Ddl
+
+/** DSv2 catalog plugin — the analyzer-level integration that was Astro's
+  * defining architecture: tables resolved INSIDE Spark's resolution
+  * pipeline from a catalog the storage engine owns, not format strings
+  * wired per-query [ref*: …/hbase/HBaseCatalog.scala — mount empty,
+  * public-knowledge citation per SURVEY.md §0]. Register as
+  *
+  *   spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *
+  * and every graft-managed object is addressable as a multipart
+  * identifier under the `graft` catalog:
+  *
+  *  - **Connector tables** (TableCatalog half): `CREATE TABLE
+  *    graft.ns.t (...) USING graft_kv OPTIONS (path '...')` persists a
+  *    provider+options definition in the graft catalog JSON (the same
+  *    durable file as the keyed tables), and `SELECT/INSERT INTO
+  *    graft.ns.t` resolves it straight to the connector's Table — full
+  *    pushdown (filters, limit, partial aggregates, runtime filtering)
+  *    and the manifest commit protocol with no format() anywhere.
+  *    `graft_range` tables take rows/slices options; `graft_kv` tables
+  *    read their schema from the manifest once data exists (the stored
+  *    CREATE schema bootstraps the first write).
+  *  - **Keyed tables and materialized views** (ViewCatalog half):
+  *    `SELECT * FROM graft.t` (or graft.db.t) resolves the MAPPED BY
+  *    table as a catalog VIEW whose body is the same self-contained SQL
+  *    the persistent-view path replays (base parquet + mutation log), so
+  *    reads through the catalog see exactly the mutated table and keep
+  *    parquet pushdown. MV names resolve to their snapshot parquet.
+  *
+  * DDL through this catalog is deliberately minimal: createTable/
+  * dropTable manage connector-table METADATA only (dropping never
+  * deletes data — external-table semantics, like HBase tables outliving
+  * a catalog entry); alter/rename and view creation route to the graft
+  * SQL surface instead.
+  */
+class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces {
+
+  private var catalogName: String = "graft"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def session: SparkSession = SparkSession.active
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+  private def identOf(fullName: String): Identifier = {
+    val parts = fullName.split('.')
+    Identifier.of(parts.init, parts.last)
+  }
+  private def inNs(fullName: String, namespace: Array[String]): Boolean =
+    fullName.toLowerCase.split('.').init.sameElements(namespace.map(_.toLowerCase))
+
+  // ---------------------------------------------------------------- tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Ddl.dsv2List().filter(d => inNs(d.name, namespace))
+      .map(d => identOf(d.name)).toArray
+
+  override def tableExists(ident: Identifier): Boolean =
+    Ddl.dsv2Get(key(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table =
+    Ddl.dsv2Get(key(ident)) match {
+      case Some(d) => d.provider match {
+        case "graft_range" =>
+          val rows = d.options.getOrElse("rows", "100000").toLong
+          val slices = d.options.getOrElse("slices", "16").toInt
+          new GraftRangeTable(rows, slices)
+        case "graft_kv" =>
+          val path = d.options.getOrElse("path",
+            throw new IllegalStateException(
+              s"graft catalog entry ${d.name} lacks a path option"))
+          // once data exists the manifest is authoritative (it carries the
+          // schema the committed files were written with); the stored
+          // CREATE schema only bootstraps the first write
+          val mf = GraftKvSink.manifestPath(path)
+          val schema =
+            if (java.nio.file.Files.exists(mf)) GraftKvSink.readManifest(mf).schema
+            else DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
+          new GraftKvTable(path, schema)
+        case other =>
+          throw new IllegalStateException(
+            s"graft catalog entry ${d.name} has unknown provider '$other'")
+      }
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      s"graft catalog tables do not take PARTITIONED BY (got ${partitions.length})")
+    val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
+      .map(_.toLowerCase).getOrElse("graft_kv")
+    require(provider == "graft_kv" || provider == "graft_range",
+      s"graft catalog supports USING graft_kv | graft_range, got '$provider'")
+    // OPTIONS(...) arrive as plain property keys (and, in some Spark
+    // paths, duplicated under the reserved "option." prefix) — accept both
+    val known = Set("path", "rows", "slices")
+    val opts0 = properties.asScala.collect {
+      case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
+        k.stripPrefix(TableCatalog.OPTION_PREFIX).toLowerCase -> v
+      case (k, v) if known.contains(k.toLowerCase) => k.toLowerCase -> v
+    }.toMap
+    // Spark rewrites OPTIONS(path ...) / LOCATION into the reserved
+    // "location" property — fold it back into the connector's path option
+    val opts = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
+      case Some(loc) if !opts0.contains("path") => opts0 + ("path" -> loc)
+      case _ => opts0
+    }
+    if (provider == "graft_kv") {
+      require(opts.contains("path"), "graft_kv tables require OPTIONS (path '...')")
+      require(schema.nonEmpty,
+        "graft_kv CREATE TABLE requires a column list (the first write's schema)")
+      schema.fields.foreach { f =>
+        require(GraftKvSink.supported(f.dataType),
+          s"graft_kv: unsupported column type ${f.dataType.simpleString} for '${f.name}'")
+      }
+    } else {
+      opts.get("rows").foreach(r => require(r.toLong >= 0, "rows must be >= 0"))
+      opts.get("slices").foreach(s => require(s.toInt > 0, "slices must be > 0"))
+      // nullability-insensitive: CREATE TABLE columns default to nullable
+      require(schema.isEmpty ||
+        schema.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq ==
+          GraftRangeSource.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+        "graft_range has a fixed schema (k BIGINT, v BIGINT, tag STRING); " +
+          "omit the column list or match it exactly")
+    }
+    Ddl.dsv2Put(Ddl.Dsv2Def(key(ident), provider, schema.json, opts))
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = Ddl.dsv2Drop(key(ident))
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog tables are immutable metadata; DROP and re-CREATE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val d = Ddl.dsv2Get(key(oldIdent)).getOrElse(
+      throw new NoSuchTableException(oldIdent))
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Ddl.dsv2Put(d.copy(name = key(newIdent)))
+    Ddl.dsv2Drop(key(oldIdent))
+  }
+
+  // ----------------------------------------------------------------- views
+
+  /** Keyed tables and MV snapshots surface as catalog views: the body is
+    * self-contained SQL (parquet path + replayed mutation log), so the
+    * analyzer expands them to plain parquet scans with full pushdown. */
+  private def viewSql(ident: Identifier): Option[String] = {
+    val k = key(ident)
+    Ddl.viewSqlFor(session, k).orElse(
+      Ddl.mvEntries().collectFirst {
+        case (n, mv) if n == k.toLowerCase =>
+          s"SELECT * FROM parquet.`${mv.snapshotPath}`"
+      })
+  }
+
+  override def viewExists(ident: Identifier): Boolean = viewSql(ident).isDefined
+
+  override def loadView(ident: Identifier): View = viewSql(ident) match {
+    case Some(sql) => new GraftCatalogView(key(ident), sql, session)
+    case None      => throw new NoSuchViewException(ident)
+  }
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val ns = namespace.toArray
+    (Ddl.tableNames() ++ Ddl.mvEntries().map(_._1))
+      .filter(inNs(_, ns)).map(identOf).toArray
+  }
+
+  override def createView(info: ViewInfo): View =
+    throw new UnsupportedOperationException(
+      "create graft views through the MAPPED BY DDL surface, not the catalog API")
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException("graft views are DDL-managed")
+  override def dropView(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "drop graft tables/MVs through the DDL surface (DROP TABLE / " +
+        "DROP MATERIALIZED VIEW), not the catalog API")
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft views are DDL-managed")
+
+  // ------------------------------------------------------------ namespaces
+
+  private def allNamespaces: Seq[Seq[String]] =
+    (Ddl.dsv2List().map(_.name) ++ Ddl.tableNames() ++ Ddl.mvEntries().map(_._1))
+      .map(_.split('.').init.toSeq).distinct.filter(_.nonEmpty)
+
+  override def listNamespaces(): Array[Array[String]] =
+    allNamespaces.map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || allNamespaces.contains(namespace.map(_.toLowerCase).toSeq)
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new NoSuchNamespaceException(name() +: namespace.toSeq)
+
+  /** Namespaces are implicit (derived from registered names): creating one
+    * is a no-op so `CREATE TABLE graft.ns.t` never trips over a missing
+    * namespace; dropping follows the same external-metadata semantics. */
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = ()
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces are implicit")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    false
+}
+
+/** A keyed table / MV snapshot exposed through the catalog: the analyzer
+  * re-parses `query` in the session, so the view expands to the same plan
+  * the persistent-view path builds. Schema is computed lazily from the
+  * analyzed body (views must report one). */
+final class GraftCatalogView(viewName: String, viewSql: String,
+    spark: SparkSession) extends View {
+  override def name(): String = viewName
+  override def query(): String = viewSql
+  override def currentCatalog(): String = "spark_catalog"
+  override def currentNamespace(): Array[String] = Array.empty
+  override lazy val schema: StructType = spark.sql(viewSql).schema
+  override def queryColumnNames(): Array[String] = Array.empty
+  override def columnAliases(): Array[String] = Array.empty
+  override def columnComments(): Array[String] = Array.empty
+  override def properties(): util.Map[String, String] =
+    new util.HashMap[String, String]()
+}

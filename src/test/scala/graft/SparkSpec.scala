@@ -27,6 +27,8 @@ object SparkSpec {
       // Deployment-shaped session: custom functions + the MAPPED BY SQL
       // parser installed the way a cluster job would (spark.sql.extensions).
       .withExtensions(new graft.functions.GraftExtensions)
+      // Multipart-identifier resolution for graft-managed tables/views
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
