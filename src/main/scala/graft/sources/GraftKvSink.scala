@@ -119,7 +119,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE).asJava
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftKvWriteBuilder(dir, info.schema())
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -298,6 +299,9 @@ final class GraftKvWriter(dir: String, schema: StructType,
 /** Manifest-driven scan: one input partition per published data file. */
 final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None)
   extends Scan with Batch {
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftKvMicroBatchStream(dir)
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   private val EpochRe = """epoch-(\d+)-.*""".r
   private val visible = asOfEpoch match {
@@ -320,6 +324,54 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None)
 
 final case class GraftKvFilePartition(dir: String, file: String)
   extends InputPartition
+
+/** Streaming READ half — the loop-closer for the connector: the manifest's
+  * epoch-stamped files ARE the changelog, so replaying them as micro-batches
+  * needs no extra state. Offsets are epoch ids (offset N = "epochs <= N
+  * consumed"); each trigger reads exactly the files of epochs in
+  * (start, end], the same visibility rule the batch `asOfEpoch` time-travel
+  * read uses — StreamingSpec asserts the two agree epoch-for-epoch.
+  * Batch-written files (no epoch in their name) surface once, as epoch 0.
+  * latestOffset re-reads the manifest (one small JSON) per trigger, so a
+  * concurrently running streaming WRITE to the same directory is picked up
+  * epoch by epoch — the connector is a live source, not a snapshot. */
+final class GraftKvMicroBatchStream(dir: String)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class EpochOffset(epoch: Long) extends Offset {
+    override def json(): String = epoch.toString
+  }
+  private val EpochRe = """epoch-(\d+)-.*""".r
+  private def epochOf(name: String): Long = name match {
+    case EpochRe(e) => e.toLong
+    case _          => 0L // batch-written files surface in the first batch
+  }
+  private def files: Seq[(String, Long)] = {
+    val mf = GraftKvSink.manifestPath(dir)
+    if (Files.exists(mf)) GraftKvSink.readManifest(mf).files else Seq.empty
+  }
+
+  override def initialOffset(): Offset = EpochOffset(-1L)
+  override def latestOffset(): Offset =
+    EpochOffset(files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L))
+  override def deserializeOffset(json: String): Offset = EpochOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EpochOffset].epoch
+    val e = end.asInstanceOf[EpochOffset].epoch
+    files.collect {
+      case (name, _) if epochOf(name) > s && epochOf(name) <= e =>
+        GraftKvFilePartition(dir, name): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val mf = GraftKvSink.manifestPath(dir)
+    require(Files.exists(mf), s"graft_kv: no manifest at $dir")
+    new GraftKvReaderFactory(GraftKvSink.readManifest(mf).schema.json)
+  }
+  override def commit(end: Offset): Unit = () // files are immutable history
+  override def stop(): Unit = ()
+}
 
 final class GraftKvReaderFactory(schemaJson: String) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

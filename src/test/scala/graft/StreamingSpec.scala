@@ -256,6 +256,77 @@ class StreamingSpec extends SparkSpec {
     assert(java.util.Arrays.equals(mfBefore, mfAfter))
   }
 
+  test("kv source MICRO_BATCH_READ replays the epoch history and agrees with asOfEpoch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_mbr")
+    val dir = root.resolve("out").toString
+    // produce three epochs through the streaming WRITE half
+    val ms = MemoryStream[(Long, String)]
+    val w = ms.toDF().toDF("id", "s")
+      .writeStream.format("graft.sources.GraftKvSink")
+      .option("path", dir)
+      .option("checkpointLocation", root.resolve("wckpt").toString)
+      .start()
+    ms.addData((1L, "a"), (2L, "b")); w.processAllAvailable()
+    ms.addData((3L, "c"));            w.processAllAvailable()
+    ms.addData((4L, "d"), (5L, "e")); w.processAllAvailable()
+    // w stays running: a fourth epoch is written later in this test
+    // unit level: offsets are epoch ids, (start, end] selects exactly the
+    // epoch's files — the same rule the batch asOfEpoch read applies
+    val mbs = new graft.sources.GraftKvMicroBatchStream(dir)
+    assert(mbs.latestOffset().json() == "2")
+    def filesIn(s: Long, e: Long): Seq[String] =
+      mbs.planInputPartitions(mbs.deserializeOffset(s.toString),
+          mbs.deserializeOffset(e.toString))
+        .map(_.asInstanceOf[graft.sources.GraftKvFilePartition].file).toSeq
+    assert(filesIn(-1, 0).forall(_.startsWith("epoch-0-")))
+    assert(filesIn(0, 1).forall(_.startsWith("epoch-1-")))
+    assert(filesIn(-1, 2).size == filesIn(-1, 0).size + filesIn(0, 1).size
+      + filesIn(1, 2).size)
+    // integration: readStream over the connector, foreachBatch collecting
+    // per-micro-batch contents; the union must equal the batch read and
+    // the first batch must equal asOfEpoch=<its end offset>
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val r = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).load()
+      .writeStream
+      .option("checkpointLocation", root.resolve("rckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").collect().map(_.getLong(0)).toSet }
+        ()
+      }
+      .start()
+    r.processAllAvailable()
+    r.stop()
+    assert(seen.flatten.toSet == Set(1L, 2L, 3L, 4L, 5L))
+    val batch = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).load()
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(seen.flatten.toSet == batch)
+    // epoch-for-epoch agreement with time travel: everything the stream
+    // saw up to epoch N equals the asOfEpoch=N batch read (N = 1 here)
+    val upTo1 = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("asOfEpoch", "1").load()
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(upTo1 == Set(1L, 2L, 3L))
+    // a LIVE source: a new epoch written after the first read finished is
+    // visible to a restarted read from the same checkpoint
+    ms.addData((6L, "f")); w.processAllAvailable(); w.stop()
+    val r2 = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).load()
+      .writeStream
+      .option("checkpointLocation", root.resolve("rckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").collect().map(_.getLong(0)).toSet }
+        ()
+      }
+      .start()
+    r2.processAllAvailable()
+    r2.stop()
+    assert(seen.flatten.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
