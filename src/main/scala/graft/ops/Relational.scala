@@ -925,6 +925,30 @@ object Relational {
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
   }
 
+  /** B30 extension: RECURSIVE CTE (Spark 4 `UnionLoop` — the iterative
+    * fixpoint operator SQL:1999 standardized and DuckDB shares). The
+    * hierarchy is implicit: parent(k) = floor(k/2) makes part keys a binary
+    * tree, and every large part climbs to the root, so the query is a
+    * transitive-closure walk whose depth histogram both engines must agree
+    * on exactly. Scale shape: each iteration is one equality-free projection
+    * over the frontier (no join against the base table after the anchor), so
+    * the loop does O(log keyspace) tiny passes — the recursion depth is
+    * bounded by the key width, not the row count. All arithmetic is integer
+    * (floor(x/2.0) is exact for keys < 2^52). */
+  def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part_v")
+    s.sql(
+      """WITH RECURSIVE anc(start_key, node, depth) AS (
+        |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0
+        |  FROM part_v WHERE p_size >= 48
+        |  UNION ALL
+        |  SELECT start_key, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+        |  FROM anc WHERE node > 1)
+        |SELECT depth, count(*) AS cnt, min(start_key) AS min_key,
+        |       max(start_key) AS max_key
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   /** B15 extension: array aggregation — sorted collect_list is deterministic
     * (plain collect_list order is engine/partition-dependent; never judged).
     * The judged column is stringified: an ARRAY output column crashes the
@@ -1142,7 +1166,8 @@ object Relational {
     "set_union" -> (setUnion _),
     "set_intersect_except" -> (setIntersectExcept _),
     "subquery_scalar" -> (subqueryScalar _),
-    "lateral_topn" -> (lateralTopn _))
+    "lateral_topn" -> (lateralTopn _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _))
 
   val oracles: Map[String, String] = Map(
     "agg_stats" ->
@@ -1727,5 +1752,17 @@ object Relational {
         | o_totalprice / (SELECT max(o_totalprice) FROM orders) AS frac_of_max
         |FROM orders
         |WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin,
+    // DuckDB's count(*) is BIGINT like Spark's; depth stays INT32 in both
+    // (integer literal anchor + depth+1); all key math is exact integer.
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE anc(start_key, node, depth) AS (
+        |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0
+        |  FROM part WHERE p_size >= 48
+        |  UNION ALL
+        |  SELECT start_key, CAST(floor(node / 2.0) AS BIGINT), depth + 1
+        |  FROM anc WHERE node > 1)
+        |SELECT depth, count(*) AS cnt, min(start_key) AS min_key,
+        |       max(start_key) AS max_key
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
 }

@@ -201,6 +201,39 @@ object Text {
         levenshtein(col("a_prefix"), col("b_prefix")).cast(LongType).as("lev"))
   }
 
+  /** C4 extension: FUZZY EQUALITY JOIN at edit distance 1 via the deletion
+    * neighborhood (FastSS / SymSpell family): two strings are within one
+    * edit iff they share an element of {s} ∪ {s minus one char}, so the
+    * quadratic levenshtein join collapses to an EQUALITY join on deletion
+    * variants — O(n·len) candidate rows instead of O(n²) comparisons — and
+    * the exact `levenshtein = 1` check runs only on candidates (the
+    * neighborhood is lossless for distance ≤ 1: substitutions share the
+    * variant deleting the differing position; insert/delete pairs share the
+    * shorter string itself). The oracle is the brute-force quadratic join,
+    * so candidate-generation completeness is hash-gated. */
+  def joinFuzzy(s: SparkSession, d: String): DataFrame =
+    fuzzyPairs(Tables.customer(s, d).filter(col("c_custkey") < 400)
+      .select(col("c_name").as("name")))
+      .orderBy(col("name_a"), col("name_b"))
+
+  /** Core of [[joinFuzzy]]: all unordered pairs from a `name` column at
+    * levenshtein distance exactly 1, via deletion-variant equality join +
+    * exact verification. Factored out so the spec can drive it over
+    * adversarial vocabularies (unequal lengths, transpositions). */
+  private[graft] def fuzzyPairs(names: DataFrame): DataFrame = {
+    val dels = transform(sequence(lit(1), length(col("name"))), i =>
+      concat(col("name").substr(lit(1), i - 1),
+        col("name").substr(i + 1, length(col("name")))))
+    val variants = names.distinct().select(col("name"),
+      explode(array_distinct(concat(array(col("name")), dels))).as("v"))
+    val va = variants.toDF("name_a", "v")
+    val vb = variants.toDF("name_b", "v")
+    va.join(vb, "v")
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b")).distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+  }
+
   /** C4e: rolling-hash document fingerprint (polynomial fold mod 1e9+7). */
   def textFingerprint(s: SparkSession, d: String): DataFrame = {
     val codes = transform(toks(col("text")),
@@ -411,6 +444,7 @@ object Text {
     "generator_explode" -> (generatorExplode _),
     "text_ngrams" -> (textNgrams _),
     "text_levenshtein" -> (textLevenshtein _),
+    "join_fuzzy" -> (joinFuzzy _),
     "text_chunk" -> (textChunk _),
     "text_bpe_merges" -> (textBpeMerges _),
     "text_tokens" -> (textTokens _),
@@ -494,6 +528,14 @@ object Text {
         |WHERE abs(a.n_chars - b.n_chars) <= 5
         |  AND levenshtein(a.prefix, b.prefix) <= 10
         |ORDER BY a_id, b_id""".stripMargin,
+    // brute-force quadratic truth: any deletion-neighborhood miss or false
+    // survivor hash-mismatches here
+    "join_fuzzy" ->
+      """WITH c AS (SELECT c_name FROM customer WHERE c_custkey < 400)
+        |SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM c a JOIN c b ON a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) = 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "text_bpe_merges" ->
       s"""WITH words AS (
          |  SELECT w, count(*) AS freq FROM

@@ -72,7 +72,11 @@ class GraftKvSink extends TableProvider {
 }
 
 object GraftKvSink {
-  final case class Manifest(schema: StructType, files: Seq[(String, Long)])
+  /** `compactedUpTo` < 0 = never compacted; otherwise every epoch <= that
+    * id has been rewritten into a single file and its fine-grained history
+    * vacuumed (asOfEpoch below it is unanswerable and must error). */
+  final case class Manifest(schema: StructType, files: Seq[(String, Long)],
+      compactedUpTo: Long = -1L)
 
   private[sources] def pathOf(props: util.Map[String, String]): String = {
     val p = props.get("path")
@@ -91,10 +95,11 @@ object GraftKvSink {
   /** Tiny hand-rolled JSON (schema via StructType.json, files as a flat
     * list) — same zero-dependency approach as the DDL catalog. */
   private[sources] def writeManifest(dir: String, schema: StructType,
-      files: Seq[(String, Long)]): Unit = {
+      files: Seq[(String, Long)], compactedUpTo: Long = -1L): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
+    if (compactedUpTo >= 0L) root.put("compactedUpTo", compactedUpTo)
     val arr = root.putArray("files")
     files.foreach { case (n, c) =>
       val o = arr.addObject(); o.put("name", n); o.put("rows", c)
@@ -109,7 +114,59 @@ object GraftKvSink {
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
     val files = root.get("files").elements().asScala
       .map(f => (f.get("name").asText(), f.get("rows").asLong())).toSeq
-    Manifest(schema, files)
+    val upTo = Option(root.get("compactedUpTo")).map(_.asLong()).getOrElse(-1L)
+    Manifest(schema, files, upTo)
+  }
+
+  private val EpochFileRe = """epoch-(\d+)-.*""".r
+  private[sources] def epochOf(name: String): Long = name match {
+    case EpochFileRe(e) => e.toLong
+    case _              => 0L // batch-written files count as epoch 0
+  }
+
+  /** COMPACTION + RETENTION — the major-compaction / log-retention analogue
+    * for the epoch changelog: every file of epoch <= `upTo` (including
+    * epoch-less batch files, which count as epoch 0) is concatenated into
+    * ONE `epoch-<upTo>-compacted.kv` file, the manifest swaps the inputs
+    * for that file atomically (single visibility switch, like every other
+    * publish here), and the superseded files are deleted. The data files
+    * are line-oriented with a manifest-held schema, so compaction is a
+    * driver-side streaming byte concat — no job, no re-encode; at cluster
+    * scale this per-directory maintenance runs one task per table shard.
+    * Reads of the CURRENT state and of any asOfEpoch >= upTo are
+    * bit-identical before/after; asOfEpoch < upTo now names vacuumed
+    * history and errors clearly instead of returning partial rows, and a
+    * streaming read whose checkpoint ends strictly inside the compacted
+    * range refuses to resume (it could only replay duplicates). Returns
+    * the number of files removed (0 = nothing to do). */
+  def compact(dir: String, upTo: Long): Int = {
+    require(upTo >= 0L, s"graft_kv: compact upTo must be >= 0, got $upTo")
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val mf = readManifest(mfp)
+    val (old, keep) = mf.files.partition(f => epochOf(f._1) <= upTo)
+    val newUpTo = math.max(upTo, mf.compactedUpTo)
+    if (old.size <= 1) {
+      // nothing to merge; still record the retention boundary
+      if (newUpTo != mf.compactedUpTo)
+        writeManifest(dir, mf.schema, mf.files, newUpTo)
+      return 0
+    }
+    val target = f"epoch-$upTo-compacted.kv"
+    val tmp = Paths.get(dir, target + ".tmp")
+    val out = Files.newOutputStream(tmp)
+    try old.map(_._1).sorted.foreach { n =>
+      Files.copy(Paths.get(dir, n), out)
+    } finally out.close()
+    Files.move(tmp, Paths.get(dir, target), StandardCopyOption.REPLACE_EXISTING)
+    // single visibility switch: after this write, readers see only the
+    // compacted file; the superseded inputs become unreferenced garbage
+    writeManifest(dir, mf.schema,
+      (target, old.map(_._2).sum) +: keep, newUpTo)
+    old.foreach { case (n, _) =>
+      if (n != target) Files.deleteIfExists(Paths.get(dir, n))
+    }
+    old.count(_._1 != target)
   }
 }
 
@@ -172,10 +229,15 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case m: GraftKvCommit => m }
     val mf = GraftKvSink.manifestPath(dir)
-    val prior =
-      if (Files.exists(mf)) GraftKvSink.readManifest(mf).files else Seq.empty
-    if (prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
-      // replayed epoch after recovery: already published — drop duplicates
+    val (prior, priorUpTo) =
+      if (Files.exists(mf)) {
+        val m = GraftKvSink.readManifest(mf)
+        (m.files, m.compactedUpTo)
+      } else (Seq.empty[(String, Long)], -1L)
+    if (epochId <= priorUpTo ||
+        prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
+      // replayed epoch after recovery: already published (listed outright,
+      // or folded into the compacted file) — drop duplicates
       committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
     } else {
       committed.foreach { m =>
@@ -189,7 +251,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
           n.startsWith(s"epoch-$epochId-") && n.endsWith(".tmp")
         }.foreach(Files.delete)
       GraftKvSink.writeManifest(dir, schema,
-        prior ++ committed.map(m => (m.finalName, m.rows)))
+        prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo)
     }
   }
 
@@ -222,17 +284,20 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
     Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".tmp")).foreach(Files.delete)
     val mf = GraftKvSink.manifestPath(dir)
-    val prior =
-      if (!replace && Files.exists(mf)) GraftKvSink.readManifest(mf).files
-      else {
-        // truncate: drop every previously-published file
+    val (prior, priorUpTo) =
+      if (!replace && Files.exists(mf)) {
+        val m = GraftKvSink.readManifest(mf)
+        (m.files, m.compactedUpTo)
+      } else {
+        // truncate: drop every previously-published file AND the retention
+        // boundary — the table restarts with full (empty) history
         if (Files.exists(mf))
           GraftKvSink.readManifest(mf).files
             .foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
-        Seq.empty
+        (Seq.empty[(String, Long)], -1L)
       }
     GraftKvSink.writeManifest(dir, schema,
-      prior ++ committed.map(m => (m.finalName, m.rows)))
+      prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -304,6 +369,12 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None)
     new GraftKvMicroBatchStream(dir)
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   private val EpochRe = """epoch-(\d+)-.*""".r
+  // vacuumed history is unanswerable — error, never partial rows
+  asOfEpoch.foreach { n =>
+    require(manifest.compactedUpTo < 0L || n >= manifest.compactedUpTo,
+      s"graft_kv: asOfEpoch=$n predates compacted history " +
+        s"(epochs <= ${manifest.compactedUpTo} were vacuumed)")
+  }
   private val visible = asOfEpoch match {
     case None    => manifest.files
     case Some(n) => manifest.files.filter {
@@ -359,6 +430,16 @@ final class GraftKvMicroBatchStream(dir: String)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EpochOffset].epoch
     val e = end.asInstanceOf[EpochOffset].epoch
+    // a checkpoint that ends strictly inside a compacted range can only
+    // replay duplicates (the fine-grained epochs are gone) — refuse; a
+    // fresh start (-1) reads the compacted file as one complete batch
+    val mfP = GraftKvSink.manifestPath(dir)
+    if (Files.exists(mfP)) {
+      val upTo = GraftKvSink.readManifest(mfP).compactedUpTo
+      require(s < 0L || upTo < 0L || s >= upTo,
+        s"graft_kv: stream checkpoint offset $s predates compacted history " +
+          s"(epochs <= $upTo were merged) — restart with a fresh checkpoint")
+    }
     files.collect {
       case (name, _) if epochOf(name) > s && epochOf(name) <= e =>
         GraftKvFilePartition(dir, name): InputPartition

@@ -796,4 +796,26 @@ class DdlSpec extends SparkSpec {
       spark.catalog.dropTempView("conc_t")
     }
   }
+
+  test("changefeed labels ops and keeps after-image NULL on nulling updates") {
+    if (ops.Ddl.lookup("cf_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE cf_t")
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE cf_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    ops.Ddl.execute(spark, "UPDATE cf_t SET n_name = NULL WHERE n_nationkey = 1")
+    ops.Ddl.execute(spark, "DELETE FROM cf_t WHERE n_nationkey = 2")
+    ops.Ddl.execute(spark, "INSERT INTO cf_t VALUES (95, 'new', 9)")
+    val cf = ops.Ddl.changefeed(spark, "cf_t", 0, 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .sortBy(t => (t._1, t._2))
+    // update to NULL must NOT fall back to the before-image value
+    assert(cf.toSeq == Seq(("delete", 2, ops.Ddl.asOf(spark, "cf_t", 0)
+        .filter(col("n_nationkey") === 2).collect().head.getString(1)),
+      ("insert", 95, "new"), ("update", 1, null)))
+    // identical endpoints diff to nothing; bad version range is rejected
+    assert(ops.Ddl.changefeed(spark, "cf_t", 3, 3).isEmpty)
+    intercept[IllegalArgumentException] {
+      ops.Ddl.changefeed(spark, "cf_t", 0, 9)
+    }
+    ops.Ddl.execute(spark, "DROP TABLE cf_t")
+  }
 }

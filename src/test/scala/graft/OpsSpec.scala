@@ -799,4 +799,71 @@ class OpsSpec extends SparkSpec {
       .collect().head.getString(0)
     assert(out.head.getString(1) == exactTop)
   }
+
+  // --- fuzzy join: the deletion-neighborhood candidates lose no pair ---
+  test("join_fuzzy equals the brute-force quadratic levenshtein join") {
+    import spark.implicits._
+    val names = Tables.customer(spark, sf("sf0.001"))
+      .filter(col("c_custkey") < 400).select(col("c_name").as("name"))
+    val fast = ops.Text.fuzzyPairs(names).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val a = names.toDF("name_a")
+    val b = names.toDF("name_b")
+    val slow = a.crossJoin(b)
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) === 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fast == slow && fast.nonEmpty, s"${fast.size} vs ${slow.size}")
+  }
+
+  test("join_fuzzy catches insert/delete/substitute pairs, drops transpositions") {
+    import spark.implicits._
+    val vocab = Seq("spark", "sparks", "stark", "spork", "sprak", "park",
+      "clank", "blank").toDF("name")
+    val pairs = ops.Text.fuzzyPairs(vocab).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set(
+      ("spark", "sparks"), // insertion
+      ("park", "spark"),   // deletion
+      ("spark", "stark"), ("spark", "spork"), // substitution
+      ("blank", "clank")))
+    // transposition "sprak" is levenshtein distance 2 from "spark": the
+    // deletion neighborhood proposes it, the exact verify rejects it
+    assert(!pairs.exists(p => p._1 == "sprak" || p._2 == "sprak"))
+  }
+
+  // --- secondary index: index-probe path == full-scan predicate ---
+  test("secondary_index matches the full-scan predicate and broadcasts the key set") {
+    val viaIndex = ops.KeyRange.secondaryIndex(spark, sf("sf0.001"))
+    val direct = Tables.orders(spark, sf("sf0.001"))
+      .filter(col("o_custkey").isin(7L, 42L, 101L))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val got = viaIndex.collect().map(_.toSeq).toSet
+    assert(got == direct.collect().map(_.toSeq).toSet && got.nonEmpty)
+    // the base-table lookup must be a broadcast semi join, never a shuffle
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+  }
+
+  // --- recursive CTE: depth histogram equals the arithmetic ground truth ---
+  test("sql_recursive_cte depth histogram matches scala-computed ancestor walk") {
+    val got = SparkEntry.queries("sql_recursive_cte")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val anchors = Tables.part(spark, sf("sf0.001"))
+      .filter(col("p_size") >= 48).select(col("p_partkey"))
+      .collect().map(_.getLong(0))
+    assert(anchors.nonEmpty)
+    val expected = anchors.flatMap { k =>
+      Iterator.iterate(k)(_ / 2).takeWhile(_ >= 1).zipWithIndex.map {
+        case (_, depth) => (depth, k)
+      } ++ (if (k == 0L) Seq((0, k)) else Nil)
+    }
+    // anchor rows at depth 0 exist even for node 0 (no recursion: node>1 gate)
+    val byDepth = expected.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (depth, rows) =>
+        (depth, rows.length.toLong, rows.map(_._2).min, rows.map(_._2).max)
+    }
+    assert(got.toSeq == byDepth)
+  }
 }

@@ -327,6 +327,62 @@ class StreamingSpec extends SparkSpec {
     assert(seen.flatten.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("kv compact merges epochs, preserves state, and fences vacuumed history") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_compact")
+    val dir = root.resolve("out").toString
+    val ms = MemoryStream[(Long, String)]
+    val w = ms.toDF().toDF("id", "s")
+      .writeStream.format("graft.sources.GraftKvSink")
+      .option("path", dir)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    ms.addData((1L, "a"), (2L, "b")); w.processAllAvailable()
+    ms.addData((3L, "c"));            w.processAllAvailable()
+    ms.addData((4L, "d"));            w.processAllAvailable()
+    w.stop()
+    def readAll(opts: Map[String, String] = Map.empty): Set[Long] = {
+      var r = spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().select("id").collect().map(_.getLong(0)).toSet
+    }
+    val before = readAll()
+    // compact epochs 0..1 into one file
+    val removed = graft.sources.GraftKvSink.compact(dir, 1L)
+    assert(removed >= 2)
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(names.contains("epoch-1-compacted.kv"), names)
+    assert(!names.exists(n => n.startsWith("epoch-0-") && n.endsWith(".kv")), names)
+    // current read and asOfEpoch at/after the boundary are unchanged
+    assert(readAll() == before)
+    assert(readAll(Map("asOfEpoch" -> "1")) == Set(1L, 2L, 3L))
+    // vacuumed history errors instead of returning partial rows
+    val e = intercept[Exception] { readAll(Map("asOfEpoch" -> "0")) }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    // streaming: fresh replay (-1) covers everything in one batch; a
+    // checkpoint ending strictly inside the compacted range is refused
+    val mbs = new graft.sources.GraftKvMicroBatchStream(dir)
+    def filesIn(s: Long, en: Long) =
+      mbs.planInputPartitions(mbs.deserializeOffset(s.toString),
+        mbs.deserializeOffset(en.toString))
+    assert(filesIn(-1L, 2L).length == names.count(_.endsWith(".kv")))
+    val e2 = intercept[Exception] { filesIn(0L, 2L) }
+    assert(e2.getMessage.contains("fresh checkpoint"), e2.getMessage)
+    // appending a later epoch (batch append here) keeps the boundary
+    Seq((9L, "z")).toDF("id", "s").write.format("graft.sources.GraftKvSink")
+      .option("path", dir).mode(org.apache.spark.sql.SaveMode.Append).save()
+    assert(readAll() == before + 9L)
+    val mfJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_manifest.json")))
+    assert(mfJson.contains("\"compactedUpTo\" : 1"), mfJson)
+    // re-compacting at the same boundary is a safe no-op for state
+    graft.sources.GraftKvSink.compact(dir, 1L)
+    assert(readAll() == before + 9L)
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
