@@ -26,7 +26,12 @@ object Explain {
         "agg_hll_distinct", "dedup_components_shingle",
         // round-11 additions: MV redirect, truncated-range top-n, broadcast
         // CMS counters, literal-codebook PQ encode
-        "mv_rewrite", "dsv2_limit_pushdown", "agg_countmin_hh", "sim_ann_pq")
+        "mv_rewrite", "dsv2_limit_pushdown", "agg_countmin_hh", "sim_ann_pq",
+        // round-12 additions: index probe + broadcast semi-gets, deletion-
+        // neighborhood join, UnionLoop, CDC full-outer diff, edge-keyed
+        // iterative rank
+        "secondary_index", "join_fuzzy", "sql_recursive_cte",
+        "ddl_changefeed", "graph_pagerank", "index_rewrite")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Transparent rollup rewrite over registered materialized views — a
     // no-op until MvCatalog has registrations (see plans.MvRewriteRule).
     ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))
+    // Transparent secondary-index rewrite over registered indexes — a
+    // no-op until IndexCatalog has registrations (see plans.IndexRewriteRule).
+    ext.injectOptimizerRule(session => new graft.plans.IndexRewriteRule(session))
     // Same arity checks VectorOps.ensureRegistered enforces — without them
     // extra arguments would be silently dropped via exprs.head.
     ext.injectFunction((

@@ -86,6 +86,10 @@ object Ddl {
   private val mvDefs = TrieMap.empty[String, graft.plans.MvDef]
   /** Persisted DSv2 connector-table definitions for the catalog plugin. */
   private val dsv2Defs = TrieMap.empty[String, Dsv2Def]
+  /** Persisted secondary-index definitions (name → def); mirrors the live
+    * rewrite registrations in plans.IndexCatalog the way mvDefs mirrors
+    * MvCatalog. */
+  private val indexDefs = TrieMap.empty[String, graft.plans.IndexDef]
   @volatile private var loadedFromDisk = false
   @volatile private var mvViewsReplayed = false
   /** Sequence number of the catalog file as last read/written by THIS
@@ -172,12 +176,25 @@ object Ddl {
       m.put("options", om)
       dsv2.add(m)
     }
+    // secondary indexes ride the same file, for the same reason as MVs: a
+    // restart must not silently degrade indexed point lookups to full scans
+    val idxs = new java.util.ArrayList[java.util.Map[String, Object]]()
+    indexDefs.toSeq.sortBy(_._1).foreach { case (_, ix) =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      m.put("name", ix.name)
+      m.put("source", ix.sourcePath)
+      m.put("col", ix.col)
+      m.put("index", ix.indexPath)
+      m.put("keys", ix.keyCols.asJava)
+      idxs.add(m)
+    }
     val root = new java.util.LinkedHashMap[String, Object]()
     val nextSeq = math.max(diskSeq, 0L) + 1L
     root.put("seq", java.lang.Long.valueOf(nextSeq))
     root.put("tables", tables)
     root.put("mvs", mvs)
     root.put("dsv2", dsv2)
+    root.put("indexes", idxs)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
     java.nio.file.Files.writeString(tmp,
@@ -258,6 +275,17 @@ object Ddl {
                 n.get("schema").asText, opts)
               dsv2Defs.putIfAbsent(d.name.toLowerCase, d)
             }
+          // secondary indexes (absent in older files)
+          Option(if (root.isArray) null else root.get("indexes")).toSeq
+            .flatMap(_.elements().asScala).foreach { n =>
+              val ix = graft.plans.IndexDef(n.get("name").asText,
+                n.get("source").asText, n.get("col").asText,
+                n.get("index").asText,
+                n.get("keys").elements().asScala.map(_.asText).toSeq)
+              if (indexDefs.putIfAbsent(ix.name.toLowerCase, ix).isEmpty &&
+                  graft.plans.IndexCatalog.named(ix.name).isEmpty)
+                graft.plans.IndexCatalog.register(ix)
+            }
         } catch {
           case e: Exception =>
             System.err.println(
@@ -274,10 +302,18 @@ object Ddl {
     catalog.clear()
     mvDefs.clear()
     dsv2Defs.clear()
+    indexDefs.clear()
+    graft.plans.IndexCatalog.clear()
     loadedFromDisk = false
     mvViewsReplayed = false
     diskSeq = 0L
   }
+
+  /** Restart path for secondary indexes (the IndexRewriteRule's entry
+    * hook): one catalog load re-registers every persisted index, so a
+    * fresh process's first point lookup gets the rewrite back. Cheap after
+    * the first call (one volatile read). */
+  def ensureIndexLoaded(): Unit = ensureLoaded()
 
   // --- DSv2 catalog-plugin surface (sources.GraftCatalog) ----------------
   def dsv2Get(name: String): Option[Dsv2Def] = {
@@ -387,6 +423,15 @@ object Ddl {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val DropMvRe =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  // CREATE INDEX <n> ON <t> (<col>) builds a value-sorted (col, keys…)
+  // parquet beside the catalog and registers the transparent rewrite
+  // (plans.IndexRewriteRule); unmutated keyed tables only, like MVs.
+  private val CreateIndexRe =
+    s"""(?is)\\s*CREATE\\s+INDEX\\s+(\\w+)\\s+ON\\s+($Id)\\s*\\(\\s*(\\w+)\\s*\\)\\s*""".r
+  private val RefreshIndexRe =
+    """(?is)\s*REFRESH\s+INDEX\s+(\w+)\s*""".r
+  private val DropIndexRe =
+    """(?is)\s*DROP\s+INDEX\s+(\w+)\s*""".r
   // SHOW VERSIONS <t> lists the mutation history (version 0 = base);
   // RESTORE TABLE <t> TO VERSION <n> truncates the log back to n applied
   // mutations — the catalog is metadata-only, so restore never touches
@@ -477,6 +522,31 @@ object Ddl {
     val base = Option(catalogPath.getParent)
       .getOrElse(java.nio.file.Paths.get("."))
     base.resolve("graft_mvs").resolve(name.toLowerCase).toString
+  }
+
+  /** Managed storage location for a named secondary index. */
+  private def indexStorePath(name: String): String = {
+    val base = Option(catalogPath.getParent)
+      .getOrElse(java.nio.file.Paths.get("."))
+    base.resolve("graft_indexes").resolve(name.toLowerCase).toString
+  }
+
+  /** (Re)build a secondary index: the slim (col, keys…) projection written
+    * range-clustered + sorted on the indexed value so probe predicates
+    * prune via parquet min/max stats, after validating the key-uniqueness
+    * contract the semi-join rewrite is only sound under. */
+  private def buildIndex(spark: SparkSession, ix: graft.plans.IndexDef): Unit = {
+    val base = spark.read.parquet(ix.sourcePath)
+    val dup = base.groupBy(ix.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"CREATE INDEX ${ix.name}: key (${ix.keyCols.mkString(", ")}) is not " +
+        "unique in the source — a semi-join on a duplicated key would admit " +
+        "rows whose indexed value never matched")
+    base.select((ix.col +: ix.keyCols).map(col): _*)
+      .repartitionByRange(8, col(ix.col))
+      .sortWithinPartitions(col(ix.col))
+      .write.mode(SaveMode.Overwrite).parquet(ix.indexPath)
   }
 
   /** (Re)build an MV's rollup snapshot from its source's BASE parquet:
@@ -625,6 +695,9 @@ object Ddl {
     case RestoreRe(n, _) if lookup(n).isDefined      => Some(statusCols)
     case RefreshMvRe(n) if mvNamed(n).isDefined      => Some(statusCols)
     case DropMvRe(n) if mvNamed(n).isDefined         => Some(statusCols)
+    case CreateIndexRe(_*)                           => Some(statusCols)
+    case RefreshIndexRe(n) if idxNamed(n).isDefined  => Some(statusCols)
+    case DropIndexRe(n) if idxNamed(n).isDefined     => Some(statusCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
@@ -640,6 +713,12 @@ object Ddl {
   private def mvNamed(name: String): Option[graft.plans.MvDef] = {
     ensureLoaded()
     graft.plans.MvCatalog.named(name)
+  }
+
+  /** Index lookup that sees the PERSISTED catalog too (like [[mvNamed]]). */
+  private def idxNamed(name: String): Option[graft.plans.IndexDef] = {
+    ensureLoaded()
+    graft.plans.IndexCatalog.named(name)
   }
 
   /** Column membership, case-insensitive — the grammar is (?i) and Spark
@@ -942,6 +1021,37 @@ object Ddl {
         spark.catalog.dropTempView(name)
         if (mvDefs.remove(name.toLowerCase).isDefined) persist()
         status("DROP_MV", name)
+      case CreateIndexRe(idxName, tName, colName) =>
+        val t = lookupOrThrow(tName)
+        require(t.muts.isEmpty,
+          s"CREATE INDEX requires an unmutated table; ${t.name} has " +
+            s"${t.muts.length} mutation(s) — the rewrite keys on the base parquet")
+        require(graft.plans.IndexCatalog.named(idxName).isEmpty,
+          s"index '$idxName' already exists")
+        ensureView(spark, t)
+        val schema = spark.table(t.name).schema
+        require(hasColumn(schema.fieldNames, colName),
+          s"column '$colName' not in ${t.name}")
+        require(!t.keys.exists(_.equalsIgnoreCase(colName)),
+          s"'$colName' is a key column of ${t.name} — key predicates already " +
+            "prune at the scan; an index would add nothing")
+        val ix = graft.plans.IndexDef(idxName, t.path, colName.toLowerCase,
+          indexStorePath(idxName), t.keys)
+        buildIndex(spark, ix)
+        graft.plans.IndexCatalog.register(ix)
+        indexDefs.put(idxName.toLowerCase, ix)
+        persist()
+        status("CREATE_INDEX", idxName)
+      case RefreshIndexRe(name) =>
+        val ix = idxNamed(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown index '$name'"))
+        buildIndex(spark, ix)
+        status("REFRESH_INDEX", name)
+      case DropIndexRe(name) =>
+        graft.plans.IndexCatalog.unregister(name).getOrElse(
+          throw new IllegalArgumentException(s"unknown index '$name'"))
+        if (indexDefs.remove(name.toLowerCase).isDefined) persist()
+        status("DROP_INDEX", name)
       case MergeRe(name, srcSql, alias, onCond) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)

@@ -595,7 +595,40 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Graph extension: PAGERANK in integer fixed-point — the web-graph
+    * quality-weighting pass of a crawl-scale curation pipeline (link-based
+    * document scoring), demonstrated on the bipartite part↔supplier graph
+    * (edges in both directions so no node dangles). All arithmetic is
+    * integer — ranks are scaled to 1e6, contributions are `rank div
+    * outdeg`, damping is `150000 + (850 * in_sum) div 1000` — so every
+    * engine computes bit-identical ranks regardless of summation order
+    * (integer addition is associative; nothing floats). Three synchronous
+    * iterations; each is one (src-key join → dst-key groupBy) pair, the
+    * standard distributed PageRank shape whose only shuffles are on the
+    * edge endpoints. The edge+degree relation is persisted once and reused
+    * by all iterations. */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val e0 = Tables.lineitem(s, d)
+      .select(col("l_partkey").as("p"), col("l_suppkey").as("sq")).distinct()
+    val edges = e0.select(col("p").as("src"), (col("sq") + 1000000L).as("dst"))
+      .unionByName(e0.select((col("sq") + 1000000L).as("src"), col("p").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ewd = edges.join(deg, "src").persist()
+    val nodes = deg.select(col("src").as("node"))
+    var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
+    for (_ <- 1 to 3) {
+      val sums = ewd.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      ranks = nodes.join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(850 * coalesce(in_sum, 0L)) div 1000")).as("pr"))
+    }
+    ranks.orderBy(col("pr").desc, col("node")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> (graphPagerank _),
     "dedup_exact" -> (dedupExact _),
     "dedup_blocks" -> (dedupBlocks _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -646,7 +679,32 @@ object Dedup {
       |        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |        WHERE len(t) >= 3""".stripMargin)
 
+  /** One PageRank iteration as a CTE pair (sums + next ranks) — the loop
+    * unrolled, since standard SQL recursion cannot aggregate over the
+    * recursive relation. CASTs pin DuckDB's HUGEINT sum back to BIGINT. */
+  private def prIter(i: Int): String =
+    s"""s$i AS (SELECT e.dst,
+       |  CAST(sum(r.pr // d.outdeg) AS BIGINT) AS in_sum
+       |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+       |       JOIN deg d ON e.src = d.src
+       |  GROUP BY e.dst),
+       |r$i AS (SELECT n.node,
+       |  CAST(150000 + (850 * coalesce(s.in_sum, 0)) // 1000 AS BIGINT) AS pr
+       |  FROM (SELECT src AS node FROM deg) n
+       |  LEFT JOIN s$i s ON n.node = s.dst)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sq
+         |            FROM lineitem),
+         |edges AS (SELECT p AS src, 1000000 + sq AS dst FROM e0
+         |          UNION ALL SELECT 1000000 + sq, p FROM e0),
+         |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |${prIter(1)},
+         |${prIter(2)},
+         |${prIter(3)}
+         |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $mhCandCtes
          |SELECT c.a_id, c.b_id,

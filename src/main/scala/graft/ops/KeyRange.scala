@@ -306,6 +306,43 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A10 (transparent half): the SECONDARY-INDEX REWRITE exercised through
+    * pure DDL + a PLAIN query — `CREATE INDEX` through the SQL surface,
+    * then an ordinary `filter(o_custkey IN …)` over the raw parquet that
+    * the optimizer (plans.IndexRewriteRule) redirects to index probe +
+    * broadcast key semi-join, with the residual price predicate staying a
+    * plain filter. The oracle computes the same predicate full-scan, so a
+    * hash match proves the index path reproduced full-scan semantics; the
+    * `secondary_index` query beside it is the hand-written plan this rule
+    * derives automatically. Same registration hygiene as mv_rewrite:
+    * materialize under the live registration, then DROP INDEX. */
+  def indexRewrite(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/index_rewrite_out"
+    if (Ddl.lookup("idxr_t").isDefined) Ddl.execute(s, "DROP TABLE idxr_t")
+    if (graft.plans.IndexCatalog.named("idxr_ck").isDefined)
+      Ddl.execute(s, "DROP INDEX idxr_ck")
+    Ddl.execute(s,
+      s"CREATE TABLE idxr_t MAPPED BY '$d/orders.parquet' KEYS (o_orderkey)")
+    Ddl.execute(s, "CREATE INDEX idxr_ck ON idxr_t (o_custkey)")
+    try indexRewriteFrame(s, d).write.mode(SaveMode.Overwrite).parquet(out)
+    finally {
+      Ddl.execute(s, "DROP INDEX idxr_ck")
+      Ddl.execute(s, "DROP TABLE idxr_t")
+    }
+    s.read.parquet(out).orderBy(col("o_orderkey"))
+  }
+
+  /** The lazy rewritten frame with its index registration LIVE — split out
+    * so PlanSpec can assert the semi-join + index scan in the optimized
+    * plan. Callers must drop the index afterwards (indexRewrite does). */
+  def indexRewriteFrame(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/orders.parquet")
+      .filter(col("o_custkey").isin(11L, 57L, 123L) &&
+        col("o_totalprice") > 1000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
   /** A2/A3 (runtime half #2): runtime BLOOM-FILTER join pruning — the
     * row-level sibling of dynamic partition pruning, and the second modern
     * analogue of Astro's server-side predicate pushdown: Catalyst's
@@ -572,6 +609,7 @@ object KeyRange {
     "export_sharded" -> (exportSharded _),
     "keyrange_scan" -> (keyrangeScan _),
     "secondary_index" -> (secondaryIndex _),
+    "index_rewrite" -> (indexRewrite _),
     "insert_select" -> (insertSelect _),
     "insert_values" -> (insertValues _),
     "bulkload_sorted_write" -> (bulkloadSortedWrite _),
@@ -594,6 +632,11 @@ object KeyRange {
     "secondary_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey IN (7, 42, 101)
+        |ORDER BY o_orderkey""".stripMargin,
+    // ditto for the TRANSPARENT path (optimizer-rewritten plain filter)
+    "index_rewrite" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_custkey IN (11, 57, 123) AND o_totalprice > 1000
         |ORDER BY o_orderkey""".stripMargin,
     // the runtime filter never changes results — the oracle is the plain
     // generator-to-VALUES join

@@ -925,6 +925,36 @@ object Relational {
         |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
   }
 
+  /** A8 extension: SQL SCRIPTING (Spark 4 `BEGIN … END` procedural blocks —
+    * the standard SQL/PSM control-flow surface a SQL-first deployment drives
+    * batch maintenance with). The block declares session variables, loops
+    * over the five order-priority classes accumulating a count and the key
+    * checksum of the heaviest class seen, and returns one result row; the
+    * oracle recomputes both values relationally, so the variable/loop
+    * semantics are hash-gated. Scale shape: each loop pass is one pushed
+    * aggregate over the priority partition; nothing is collected beyond the
+    * scalar variables the script itself defines. */
+  def sqlScripting(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.scripting.enabled", "true")
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """BEGIN
+        |  DECLARE total BIGINT DEFAULT 0;
+        |  DECLARE key_sum BIGINT DEFAULT 0;
+        |  DECLARE pri INT DEFAULT 1;
+        |  WHILE pri <= 5 DO
+        |    SET total = total + (SELECT count(*) FROM orders_v
+        |                         WHERE o_orderpriority LIKE pri || '-%');
+        |    IF pri = 3 THEN
+        |      SET key_sum = (SELECT sum(o_orderkey) FROM orders_v
+        |                     WHERE o_orderpriority LIKE '3-%');
+        |    END IF;
+        |    SET pri = pri + 1;
+        |  END WHILE;
+        |  SELECT total AS priority_orders, key_sum AS medium_key_sum;
+        |END""".stripMargin)
+  }
+
   /** B30 extension: RECURSIVE CTE (Spark 4 `UnionLoop` — the iterative
     * fixpoint operator SQL:1999 standardized and DuckDB shares). The
     * hierarchy is implicit: parent(k) = floor(k/2) makes part keys a binary
@@ -1167,7 +1197,8 @@ object Relational {
     "set_intersect_except" -> (setIntersectExcept _),
     "subquery_scalar" -> (subqueryScalar _),
     "lateral_topn" -> (lateralTopn _),
-    "sql_recursive_cte" -> (sqlRecursiveCte _))
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "sql_scripting" -> (sqlScripting _))
 
   val oracles: Map[String, String] = Map(
     "agg_stats" ->
@@ -1755,6 +1786,13 @@ object Relational {
         |ORDER BY o_orderkey""".stripMargin,
     // DuckDB's count(*) is BIGINT like Spark's; depth stays INT32 in both
     // (integer literal anchor + depth+1); all key math is exact integer.
+    // scripting block result recomputed relationally (count over the five
+    // priority classes = all orders; key checksum of the 3-MEDIUM class)
+    "sql_scripting" ->
+      """SELECT count(*) AS priority_orders,
+        | (SELECT CAST(sum(o_orderkey) AS BIGINT) FROM orders
+        |  WHERE o_orderpriority LIKE '3-%') AS medium_key_sum
+        |FROM orders""".stripMargin,
     "sql_recursive_cte" ->
       """WITH RECURSIVE anc(start_key, node, depth) AS (
         |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0

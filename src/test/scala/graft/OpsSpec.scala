@@ -846,6 +846,26 @@ class OpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
   }
 
+  // --- pagerank: distributed result equals exact in-memory fixed-point ---
+  test("graph_pagerank matches an exact scala fixed-point computation") {
+    val got = SparkEntry.queries("graph_pagerank")(spark, sf("sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val e0 = Tables.lineitem(spark, sf("sf0.001"))
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1) + 1000000L))
+    val edges = e0 ++ e0.map(_.swap)
+    val deg = edges.groupBy(_._1).map { case (s, es) => (s, es.length.toLong) }
+    var pr = deg.keys.map(n => (n, 1000000L)).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        (dst, es.map { case (src, _) => pr(src) / deg(src) }.sum)
+      }
+      pr = pr.keys.map(n => (n, 150000L + 850L * in.getOrElse(n, 0L) / 1000L)).toMap
+    }
+    val expected = pr.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+    assert(got == expected)
+  }
+
   // --- recursive CTE: depth histogram equals the arithmetic ground truth ---
   test("sql_recursive_cte depth histogram matches scala-computed ancestor walk") {
     val got = SparkEntry.queries("sql_recursive_cte")(spark, sf("sf0.001"))

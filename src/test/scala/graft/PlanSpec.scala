@@ -62,6 +62,70 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1995, 1996))
   }
 
+  test("index_rewrite plans an index probe + key semi-join, with vetoes") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scanPaths(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty
+        }
+      }.flatten
+    val d = sf("sf0.001")
+    if (graft.ops.Ddl.lookup("pidx_t").isDefined)
+      graft.ops.Ddl.execute(spark, "DROP TABLE pidx_t")
+    if (graft.plans.IndexCatalog.named("pidx_ck").isDefined)
+      graft.ops.Ddl.execute(spark, "DROP INDEX pidx_ck")
+    graft.ops.Ddl.execute(spark,
+      s"CREATE TABLE pidx_t MAPPED BY '$d/orders.parquet' KEYS (o_orderkey)")
+    graft.ops.Ddl.execute(spark, "CREATE INDEX pidx_ck ON pidx_t (o_custkey)")
+    try {
+      val df = graft.ops.KeyRange.indexRewriteFrame(spark, d)
+      // the optimized plan must read the INDEX parquet and carry a LeftSemi
+      val paths = scanPaths(df)
+      assert(paths.exists(_.contains("graft_indexes")), paths.mkString(";"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("LeftSemi"), opt.take(1500))
+      // and the indexed conjunct is GONE from the base side: the only
+      // custkey reference below the join is in the index-probe filter
+      // (results prove semantics; the oracle gate hash-matches them)
+      val direct = spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_custkey").isin(11L, 57L, 123L) &&
+          col("o_totalprice") > 1000.0)
+        .count()
+      assert(df.count() == direct && direct > 0)
+      // veto: a multi-path read is never rewritten
+      val multi = spark.read.parquet(s"$d/orders.parquet", s"$d/orders.parquet")
+        .filter(col("o_custkey") === 11L)
+      assert(!scanPaths(multi).exists(_.contains("graft_indexes")))
+      assert(multi.count() == 2 * spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_custkey") === 11L).count())
+      // a key-pruning projection still rewrites correctly: predicate
+      // pushdown has moved the filter onto the bare relation (which always
+      // exposes the key), so the semi-join lands UNDER the projection
+      val pruned = spark.read.parquet(s"$d/orders.parquet")
+        .select(col("o_custkey"))
+        .filter(col("o_custkey") === 11L)
+      assert(scanPaths(pruned).exists(_.contains("graft_indexes")))
+      assert(pruned.count() == spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_custkey") === 11L).count())
+      // non-indexable predicate forms stay full scans
+      val range = spark.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_custkey") > 100L)
+      assert(!scanPaths(range).exists(_.contains("graft_indexes")))
+      // restart: a fresh process re-registers from the persisted catalog
+      graft.ops.Ddl.resetForTest()
+      assert(graft.plans.IndexCatalog.isEmpty)
+      val again = graft.ops.KeyRange.indexRewriteFrame(spark, d)
+      assert(scanPaths(again).exists(_.contains("graft_indexes")),
+        "persisted index did not survive the simulated restart")
+    } finally {
+      graft.ops.Ddl.execute(spark, "DROP INDEX pidx_ck")
+      graft.ops.Ddl.execute(spark, "DROP TABLE pidx_t")
+    }
+  }
+
   test("mv_rewrite redirects the aggregate to the MV snapshot scan") {
     import org.apache.spark.sql.functions.{col, count, lit, max}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
