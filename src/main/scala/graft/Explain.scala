@@ -31,7 +31,8 @@ object Explain {
         // neighborhood join, UnionLoop, CDC full-outer diff, edge-keyed
         // iterative rank
         "secondary_index", "join_fuzzy", "sql_recursive_cte",
-        "ddl_changefeed", "graph_pagerank", "index_rewrite")
+        "ddl_changefeed", "graph_pagerank", "index_rewrite",
+        "window_topk_heap", "schema_evolution", "catalog_kv_dml")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

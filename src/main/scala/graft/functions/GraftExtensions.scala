@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Transparent secondary-index rewrite over registered indexes — a
     // no-op until IndexCatalog has registrations (see plans.IndexRewriteRule).
     ext.injectOptimizerRule(session => new graft.plans.IndexRewriteRule(session))
+    // Whole-operator surface: plans the TopKPerGroup logical node as the
+    // two-phase bounded-heap exec pair (see plans.TopK).
+    ext.injectPlannerStrategy(session => graft.plans.GraftTopKStrategy)
     // Same arity checks VectorOps.ensureRegistered enforces — without them
     // extra arguments would be silently dropped via exprs.head.
     ext.injectFunction((

@@ -612,7 +612,9 @@ object Dedup {
       .select(col("l_partkey").as("p"), col("l_suppkey").as("sq")).distinct()
     val edges = e0.select(col("p").as("src"), (col("sq") + 1000000L).as("dst"))
       .unionByName(e0.select((col("sq") + 1000000L).as("src"), col("p").as("dst")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // deg is reused by every iteration's node frame AND by the edge join —
+    // persisted, or each pass re-runs the lineitem distinct upstream
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
     val ewd = edges.join(deg, "src").persist()
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))

@@ -306,6 +306,54 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A9 extension: SCHEMA EVOLUTION — two batches written with different
+    * schemas (the second adds a column), read back as ONE table via parquet
+    * mergeSchema; rows from the narrow batch surface the new column as
+    * NULL. This is HBase's sparse-qualifier model made relational (a cell
+    * absent from a row reads as null; old rows never rewrite when the
+    * schema grows), and the multi-path read + footer-merge is exactly how
+    * a 100-TB table absorbs schema change with zero data movement. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/schema_evo"
+    val o = Tables.orders(s, d)
+    o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/b1")
+    o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$tmp/b2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<absent>")).as("pri"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("pri"))
+  }
+
+  /** A7-DSv2/A8 (catalog route): the kv WRITE connector driven end to end
+    * through PURE multipart SQL — CREATE TABLE … USING graft_kv under the
+    * `graft` TableCatalog plugin, INSERT OVERWRITE … SELECT (truncate +
+    * commit protocol), INSERT INTO … VALUES (append merging the manifest),
+    * then an aggregate read back through the same catalog identifier. The
+    * oracle recomputes the union relationally, so catalog resolution, both
+    * insert modes, and the manifest scan are hash-gated as one path. */
+  def catalogKvDml(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/catalog_kv"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_kv")
+    s.sql("CREATE TABLE graft.kvq.orders_kv (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_cat_v")
+    s.sql("INSERT OVERWRITE graft.kvq.orders_kv " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_cat_v " +
+      "WHERE o_orderkey % 3 = 0")
+    s.sql("INSERT INTO graft.kvq.orders_kv " +
+      "VALUES (CAST(-1 AS BIGINT), 'Z', 0.5D)")
+    s.sql(
+      """SELECT o_orderstatus, count(*) AS cnt, min(o_orderkey) AS min_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM graft.kvq.orders_kv
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
   /** A10 (transparent half): the SECONDARY-INDEX REWRITE exercised through
     * pure DDL + a PLAIN query — `CREATE INDEX` through the SQL surface,
     * then an ordinary `filter(o_custkey IN …)` over the raw parquet that
@@ -610,6 +658,8 @@ object KeyRange {
     "keyrange_scan" -> (keyrangeScan _),
     "secondary_index" -> (secondaryIndex _),
     "index_rewrite" -> (indexRewrite _),
+    "catalog_kv_dml" -> (catalogKvDml _),
+    "schema_evolution" -> (schemaEvolution _),
     "insert_select" -> (insertSelect _),
     "insert_values" -> (insertValues _),
     "bulkload_sorted_write" -> (bulkloadSortedWrite _),
@@ -633,6 +683,26 @@ object KeyRange {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey IN (7, 42, 101)
         |ORDER BY o_orderkey""".stripMargin,
+    // sparse-qualifier semantics: the narrow batch's missing column is NULL
+    "schema_evolution" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority
+        |  FROM orders WHERE o_orderstatus = 'O')
+        |SELECT coalesce(o_orderpriority, '<absent>') AS pri, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM t GROUP BY pri ORDER BY pri""".stripMargin,
+    // catalog route + both insert modes recomputed relationally
+    "catalog_kv_dml" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0
+        |  UNION ALL SELECT -1, 'Z', 0.5)
+        |SELECT o_orderstatus, count(*) AS cnt, min(o_orderkey) AS min_key,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM t GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // ditto for the TRANSPARENT path (optimizer-rewritten plain filter)
     "index_rewrite" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -118,7 +118,22 @@ object Windows {
       .orderBy(col("l_returnflag"), col("quartile"))
   }
 
+  /** B21 via the CUSTOM PHYSICAL OPERATOR (plans.TopK): top-3 orders per
+    * priority class through the bounded-heap exec pair instead of the
+    * window sort — the judged result must hash-match the stock
+    * window-function oracle, so the operator's semantics are gated like
+    * every built-in. (o_totalprice, o_orderkey) is a total order per
+    * group, the determinism contract the heap requires. */
+  def windowTopkHeap(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perGroup(
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")),
+      Seq("o_orderpriority"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "window_topk_heap" -> (windowTopkHeap _),
     "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
     "window_laglead" -> (windowLagLead _),
@@ -126,6 +141,14 @@ object Windows {
     "window_rangeframe" -> (windowRangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    // the custom heap operator vs the stock window-function formulation
+    "window_topk_heap" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
     "window_distribution" ->
       """SELECT l_returnflag, CAST(quartile AS INTEGER) AS quartile, count(*) AS cnt,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -74,9 +74,15 @@ class GraftKvSink extends TableProvider {
 object GraftKvSink {
   /** `compactedUpTo` < 0 = never compacted; otherwise every epoch <= that
     * id has been rewritten into a single file and its fine-grained history
-    * vacuumed (asOfEpoch below it is unanswerable and must error). */
+    * vacuumed (asOfEpoch below it is unanswerable and must error).
+    * `stats`: per-file per-column (min, max) over NON-NULL values, stringly
+    * stored and compared under the schema type — the connector's
+    * region-boundary analogue, driving file pruning in [[GraftKvScan]]. A
+    * column absent from a file's stats map is "unknown" (all-null file,
+    * NaN seen, or a pre-stats manifest) and never prunes. */
   final case class Manifest(schema: StructType, files: Seq[(String, Long)],
-      compactedUpTo: Long = -1L)
+      compactedUpTo: Long = -1L,
+      stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private[sources] def pathOf(props: util.Map[String, String]): String = {
     val p = props.get("path")
@@ -95,7 +101,8 @@ object GraftKvSink {
   /** Tiny hand-rolled JSON (schema via StructType.json, files as a flat
     * list) — same zero-dependency approach as the DDL catalog. */
   private[sources] def writeManifest(dir: String, schema: StructType,
-      files: Seq[(String, Long)], compactedUpTo: Long = -1L): Unit = {
+      files: Seq[(String, Long)], compactedUpTo: Long = -1L,
+      stats: Map[String, Map[String, (String, String)]] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
@@ -103,6 +110,12 @@ object GraftKvSink {
     val arr = root.putArray("files")
     files.foreach { case (n, c) =>
       val o = arr.addObject(); o.put("name", n); o.put("rows", c)
+      stats.get(n).filter(_.nonEmpty).foreach { cols =>
+        val st = o.putObject("stats")
+        cols.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
+          val co = st.putObject(col); co.put("min", mn); co.put("max", mx)
+        }
+      }
     }
     Files.write(manifestPath(dir),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
@@ -115,13 +128,63 @@ object GraftKvSink {
     val files = root.get("files").elements().asScala
       .map(f => (f.get("name").asText(), f.get("rows").asLong())).toSeq
     val upTo = Option(root.get("compactedUpTo")).map(_.asLong()).getOrElse(-1L)
-    Manifest(schema, files, upTo)
+    val stats = root.get("files").elements().asScala.flatMap { f =>
+      Option(f.get("stats")).map { st =>
+        f.get("name").asText() -> st.properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("min").asText(), e.getValue.get("max").asText())
+        }.toMap
+      }
+    }.toMap
+    Manifest(schema, files, upTo, stats)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
   private[sources] def epochOf(name: String): Long = name match {
     case EpochFileRe(e) => e.toLong
     case _              => 0L // batch-written files count as epoch 0
+  }
+
+  /** Typed "a <= b" over the stringly-stored stats values. */
+  private def le(dt: DataType, a: String, b: String): Boolean = dt match {
+    case IntegerType | LongType => a.toLong <= b.toLong
+    case DoubleType             => a.toDouble <= b.toDouble
+    case _                      => a.compareTo(b) <= 0
+  }
+
+  /** Can a file whose column range is [mn, mx] contain a row satisfying
+    * the filter? Conservative: unknown filter shapes / unknown columns
+    * never prune. Sound under nulls (stats cover non-null values only,
+    * and every handled predicate is null-rejecting). */
+  private[sources] def mayMatch(schema: StructType,
+      stats: Map[String, (String, String)],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def rangeOf(col: String): Option[(DataType, String, String)] = for {
+      field <- schema.fields.find(_.name.equalsIgnoreCase(col))
+      (mn, mx) <- stats.find(_._1.equalsIgnoreCase(col)).map(_._2)
+    } yield (field.dataType, mn, mx)
+    def contains(col: String, v: Any): Boolean = rangeOf(col) match {
+      case Some((dt, mn, mx)) =>
+        val s = String.valueOf(v)
+        le(dt, mn, s) && le(dt, s, mx)
+      case None => true
+    }
+    f match {
+      case EqualTo(c, v)  => contains(c, v)
+      case In(c, vs)      => vs.exists(contains(c, _))
+      // max > v  <=>  NOT (max <= v); min < v  <=>  NOT (v <= min)
+      case GreaterThan(c, v) => rangeOf(c)
+        .forall { case (dt, _, mx) => !le(dt, mx, String.valueOf(v)) }
+      case GreaterThanOrEqual(c, v) => rangeOf(c)
+        .forall { case (dt, _, mx) => le(dt, String.valueOf(v), mx) }
+      case LessThan(c, v) => rangeOf(c)
+        .forall { case (dt, mn, _) => !le(dt, String.valueOf(v), mn) }
+      case LessThanOrEqual(c, v) => rangeOf(c)
+        .forall { case (dt, mn, _) => le(dt, mn, String.valueOf(v)) }
+      case And(l, r) => mayMatch(schema, stats, l) && mayMatch(schema, stats, r)
+      case Or(l, r)  => mayMatch(schema, stats, l) || mayMatch(schema, stats, r)
+      case _         => true
+    }
   }
 
   /** COMPACTION + RETENTION — the major-compaction / log-retention analogue
@@ -159,10 +222,25 @@ object GraftKvSink {
       Files.copy(Paths.get(dir, n), out)
     } finally out.close()
     Files.move(tmp, Paths.get(dir, target), StandardCopyOption.REPLACE_EXISTING)
+    // merged stats: a column survives only if every merged file knows it
+    // (an unknown input makes the union range unknowable)
+    val oldStats = old.map(f => mf.stats.getOrElse(f._1, Map.empty))
+    val mergedCols = oldStats.map(_.keySet.map(_.toLowerCase))
+      .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val targetStats = mergedCols.flatMap { c =>
+      mf.schema.fields.find(_.name.equalsIgnoreCase(c)).map { field =>
+        val ranges = oldStats.map(_.find(_._1.equalsIgnoreCase(c)).get._2)
+        val mn = ranges.map(_._1).reduce((a, b) => if (le(field.dataType, a, b)) a else b)
+        val mx = ranges.map(_._2).reduce((a, b) => if (le(field.dataType, a, b)) b else a)
+        c -> (mn, mx)
+      }
+    }.toMap
     // single visibility switch: after this write, readers see only the
     // compacted file; the superseded inputs become unreferenced garbage
     writeManifest(dir, mf.schema,
-      (target, old.map(_._2).sum) +: keep, newUpTo)
+      (target, old.map(_._2).sum) +: keep, newUpTo,
+      mf.stats -- old.map(_._1) ++
+        (if (targetStats.nonEmpty) Map(target -> targetStats) else Map.empty))
     old.foreach { case (n, _) =>
       if (n != target) Files.deleteIfExists(Paths.get(dir, n))
     }
@@ -186,8 +264,27 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
     // version history, so no data is copied (the HBase-version/timestamp
     // read analogue; version_compact models the latest-cell-wins side)
     val asOf = Option(options.get("asOfEpoch")).map(_.toLong)
-    () => new GraftKvScan(dir, asOf)
+    new GraftKvScanBuilder(dir, asOf)
   }
+}
+
+/** Scan builder with FILE-PRUNING pushdown: filters are accepted for
+  * manifest-stats pruning but reported back as fully residual (min/max
+  * ranges can only exclude whole files, never rows), so Spark re-applies
+  * every predicate after the scan — pruning is a pure I/O win with zero
+  * correctness surface, exactly parquet row-group skipping's contract. */
+final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
+  extends ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  private var fs: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    fs = filters
+    filters // all residual: stats exclude files, they never evaluate rows
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def build(): Scan = new GraftKvScan(dir, asOf, fs.toSeq)
 }
 
 final class GraftKvWriteBuilder(dir: String, schema: StructType)
@@ -229,11 +326,12 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val committed = messages.collect { case m: GraftKvCommit => m }
     val mf = GraftKvSink.manifestPath(dir)
-    val (prior, priorUpTo) =
+    val (prior, priorUpTo, priorStats) =
       if (Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files, m.compactedUpTo)
-      } else (Seq.empty[(String, Long)], -1L)
+        (m.files, m.compactedUpTo, m.stats)
+      } else (Seq.empty[(String, Long)], -1L,
+        Map.empty[String, Map[String, (String, String)]])
     if (epochId <= priorUpTo ||
         prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
       // replayed epoch after recovery: already published (listed outright,
@@ -251,7 +349,10 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
           n.startsWith(s"epoch-$epochId-") && n.endsWith(".tmp")
         }.foreach(Files.delete)
       GraftKvSink.writeManifest(dir, schema,
-        prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo)
+        prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo,
+        priorStats ++ committed.collect {
+          case m if m.stats.nonEmpty => m.finalName -> m.stats
+        })
     }
   }
 
@@ -260,7 +361,8 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
       .foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
 }
 
-final case class GraftKvCommit(tmpName: String, finalName: String, rows: Long)
+final case class GraftKvCommit(tmpName: String, finalName: String, rows: Long,
+    stats: Map[String, (String, String)] = Map.empty)
   extends WriterCommitMessage
 
 final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
@@ -284,20 +386,24 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
     Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".tmp")).foreach(Files.delete)
     val mf = GraftKvSink.manifestPath(dir)
-    val (prior, priorUpTo) =
+    val (prior, priorUpTo, priorStats) =
       if (!replace && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files, m.compactedUpTo)
+        (m.files, m.compactedUpTo, m.stats)
       } else {
         // truncate: drop every previously-published file AND the retention
         // boundary — the table restarts with full (empty) history
         if (Files.exists(mf))
           GraftKvSink.readManifest(mf).files
             .foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
-        (Seq.empty[(String, Long)], -1L)
+        (Seq.empty[(String, Long)], -1L,
+          Map.empty[String, Map[String, (String, String)]])
       }
     GraftKvSink.writeManifest(dir, schema,
-      prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo)
+      prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo,
+      priorStats ++ committed.collect {
+        case m if m.stats.nonEmpty => m.finalName -> m.stats
+      })
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -320,6 +426,22 @@ final class GraftKvWriter(dir: String, schema: StructType,
   private val out = Files.newBufferedWriter(Paths.get(dir, tmpName),
     StandardCharsets.UTF_8)
   private var rows = 0L
+  // per-column (min, max) over non-null values — the file's pruning range.
+  // A NaN poisons ordering, so it invalidates that column's stats.
+  private val statMin = new Array[String](schema.length)
+  private val statMax = new Array[String](schema.length)
+  private val statBad = new Array[Boolean](schema.length)
+  private def observe(i: Int, s: String): Unit = {
+    if (statBad(i)) return
+    val dt = schema(i).dataType
+    val lower = dt match {
+      case IntegerType | LongType => (a: String, b: String) => a.toLong < b.toLong
+      case DoubleType             => (a: String, b: String) => a.toDouble < b.toDouble
+      case _                      => (a: String, b: String) => a.compareTo(b) < 0
+    }
+    if (statMin(i) == null || lower(s, statMin(i))) statMin(i) = s
+    if (statMax(i) == null || lower(statMax(i), s)) statMax(i) = s
+  }
 
   override def write(row: InternalRow): Unit = {
     val sb = new StringBuilder
@@ -328,9 +450,12 @@ final class GraftKvWriter(dir: String, schema: StructType,
       if (i > 0) sb.append('\t')
       if (row.isNullAt(i)) sb.append("\\N") // null marker: backslash-N
       else schema(i).dataType match {
-        case IntegerType => sb.append(row.getInt(i))
-        case LongType    => sb.append(row.getLong(i))
-        case DoubleType  => sb.append(row.getDouble(i))
+        case IntegerType => sb.append(row.getInt(i)); observe(i, row.getInt(i).toString)
+        case LongType    => sb.append(row.getLong(i)); observe(i, row.getLong(i).toString)
+        case DoubleType  =>
+          val d = row.getDouble(i)
+          sb.append(d)
+          if (d.isNaN) statBad(i) = true else observe(i, d.toString)
         case StringType  =>
           val s = row.getUTF8String(i).toString
           require(!s.contains('\t') && !s.contains('\n'),
@@ -339,6 +464,7 @@ final class GraftKvWriter(dir: String, schema: StructType,
           // can never collide with real data
           if (s.startsWith("\\")) sb.append('\\')
           sb.append(s)
+          observe(i, s)
         case dt => throw new IllegalStateException(s"unsupported $dt")
       }
       i += 1
@@ -350,7 +476,11 @@ final class GraftKvWriter(dir: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    GraftKvCommit(tmpName, finalName, rows)
+    val stats = schema.fields.indices.collect {
+      case i if statMin(i) != null && !statBad(i) =>
+        schema(i).name.toLowerCase -> (statMin(i), statMax(i))
+    }.toMap
+    GraftKvCommit(tmpName, finalName, rows, stats)
   }
 
   override def abort(): Unit = {
@@ -361,8 +491,11 @@ final class GraftKvWriter(dir: String, schema: StructType,
   override def close(): Unit = ()
 }
 
-/** Manifest-driven scan: one input partition per published data file. */
-final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None)
+/** Manifest-driven scan: one input partition per published data file,
+  * minus the files whose manifest stats contradict a pushed filter —
+  * the connector's region-pruning analogue. */
+final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
   extends Scan with Batch {
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -375,17 +508,23 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None)
       s"graft_kv: asOfEpoch=$n predates compacted history " +
         s"(epochs <= ${manifest.compactedUpTo} were vacuumed)")
   }
-  private val visible = asOfEpoch match {
+  private val epochVisible = asOfEpoch match {
     case None    => manifest.files
     case Some(n) => manifest.files.filter {
       case (EpochRe(e), _) => e.toLong <= n
       case _               => true // batch-written files have no epoch
     }
   }
+  // stats pruning: drop a file when ANY pushed filter is unsatisfiable
+  // within its recorded ranges; files without stats always survive
+  private val visible = epochVisible.filter { case (name, _) =>
+    val st = manifest.stats.getOrElse(name, Map.empty)
+    filters.forall(f => GraftKvSink.mayMatch(manifest.schema, st, f))
+  }
   override def readSchema(): StructType = manifest.schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_kv $dir files=${visible.length}" +
+    s"graft_kv $dir files=${visible.length}/${manifest.files.length}" +
       asOfEpoch.map(n => s" asOfEpoch=$n").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
     visible.map(f => GraftKvFilePartition(dir, f._1): InputPartition).toArray

@@ -161,6 +161,44 @@ class DsV2Spec extends SparkSpec {
     assert(back.toSeq == orig.toSeq, back.mkString("|"))
   }
 
+  test("kv scan prunes files from manifest min/max stats") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_stats").toString
+    // range-clustered write → disjoint per-file id ranges in the manifest
+    val df = (0L until 1000L).map(i => (i, s"s$i", i / 10.0)).toDF("id", "s", "v")
+    kvWrite(df.repartitionByRange(8, col("id")), dir, "overwrite")
+    val mfJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_manifest.json")))
+    assert(mfJson.contains("\"stats\""), mfJson.take(400))
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new graft.sources.GraftKvScan(dir, None, fs).planInputPartitions().length
+    val total = planned()
+    assert(total == 8)
+    // a point predicate touches exactly one file; ranges touch few
+    assert(planned(org.apache.spark.sql.sources.EqualTo("id", 5L)) == 1)
+    assert(planned(org.apache.spark.sql.sources.GreaterThan("id", 990L)) == 1)
+    assert(planned(org.apache.spark.sql.sources.LessThanOrEqual("id", 130L)) <= 2)
+    assert(planned(org.apache.spark.sql.sources.In("id", Array(5L, 995L))) == 2)
+    // unknown shapes / unknown columns never prune
+    assert(planned(org.apache.spark.sql.sources.IsNull("s")) == total)
+    assert(planned(org.apache.spark.sql.sources.EqualTo("nope", 1L)) == total)
+    // end to end through the DataFrame API: pushed filter prunes the scan
+    // AND the result is exact (Spark re-applies every predicate)
+    val got = kvRead(dir).filter(col("id") === 5L).collect()
+    assert(got.length == 1 && got.head.getLong(0) == 5L)
+    val rangeGot = kvRead(dir).filter(col("id") > 990L && col("v") >= 0.0)
+    assert(rangeGot.count() == 9)
+    // doubles prune too; strings compare lexicographically
+    assert(planned(org.apache.spark.sql.sources.GreaterThan("v", 99.0)) == 1)
+    // all-null columns yield no stats and never prune
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_nulls").toString
+    kvWrite(Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "s"), dir2, "overwrite")
+    assert(new graft.sources.GraftKvScan(dir2, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("s", "x"))).planInputPartitions().length ==
+      new graft.sources.GraftKvScan(dir2, None, Seq.empty).planInputPartitions().length)
+  }
+
   test("kv sink append merges the manifest; overwrite truncates it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_ap").toString

@@ -62,6 +62,47 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(1995, 1996))
   }
 
+  test("topk heap operator: two-phase plan, one exchange, window-twin equality") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.ops.Windows.windowTopkHeap(spark, sf("sf0.001"))
+    val plan = df.queryExecution.executedPlan.toString
+    // both heap phases present, partial BELOW the exchange
+    val lines = plan.linesIterator.toSeq
+    val topkIdx = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("GraftTopK") => i
+    }
+    assert(topkIdx.length == 2, plan.take(2000))
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"), topkIdx.head)
+    assert(topkIdx.head < exIdx && exIdx < topkIdx.last, plan.take(2000))
+    // final above the exchange, partial below (rendered as the trailing
+    // `partial` boolean of each GraftTopK node)
+    assert(lines(topkIdx.head).contains("false") &&
+      lines(topkIdx.last).contains("true"), plan.take(2000))
+    // semantics == the stock window-function formulation, exactly
+    val o = Tables.orders(spark, sf("sf0.001"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val twin = o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(win))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    assert(df.collect().toSeq == twin.collect().toSeq)
+    // k exceeding every group size degrades to identity (all rows kept)
+    val all = graft.plans.TopK.perGroup(
+      o.select(col("o_orderpriority"), col("o_orderkey")),
+      Seq("o_orderpriority"), Seq(("o_orderkey", true)), 1000000)
+    assert(all.count() == o.count())
+    // unknown column and k <= 0 are rejected eagerly
+    intercept[IllegalArgumentException] {
+      graft.plans.TopK.perGroup(o, Seq("nope"), Seq(("o_orderkey", true)), 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.plans.TopK.perGroup(o, Seq("o_orderpriority"),
+        Seq(("o_orderkey", true)), 0)
+    }
+  }
+
   test("index_rewrite plans an index probe + key semi-join, with vetoes") {
     import org.apache.spark.sql.functions.{col, count, lit}
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
