@@ -117,10 +117,22 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
       case (k, v) if known.contains(k.toLowerCase) => k.toLowerCase -> v
     }.toMap
     // Spark rewrites OPTIONS(path ...) / LOCATION into the reserved
-    // "location" property — fold it back into the connector's path option
+    // "location" property — fold it back into the connector's path option.
+    // The rewrite URI-izes the value ("/tmp/x" → "file:/tmp/x"); the
+    // connector's java.nio paths need the raw filesystem path, or "file:"
+    // becomes a literal RELATIVE directory under the JVM's cwd (the
+    // round-trip still "works" — both ends resolve the same wrong place —
+    // which is exactly why this must be normalized here, at the fold).
+    def deUri(p: String): String =
+      if (p.startsWith("file:")) java.nio.file.Paths
+        .get(java.net.URI.create(p.replace(" ", "%20"))).toString
+      else p
     val opts = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
-      case Some(loc) if !opts0.contains("path") => opts0 + ("path" -> loc)
-      case _ => opts0
+      case Some(loc) if !opts0.contains("path") => opts0 + ("path" -> deUri(loc))
+      case _ => opts0.get("path") match {
+        case Some(p) => opts0 + ("path" -> deUri(p))
+        case None    => opts0
+      }
     }
     if (provider == "graft_kv") {
       require(opts.contains("path"), "graft_kv tables require OPTIONS (path '...')")
