@@ -32,7 +32,8 @@ object Explain {
         // iterative rank
         "secondary_index", "join_fuzzy", "sql_recursive_cte",
         "ddl_changefeed", "graph_pagerank", "index_rewrite",
-        "window_topk_heap", "schema_evolution", "catalog_kv_dml")
+        "window_topk_heap", "schema_evolution", "catalog_kv_dml",
+        "ddl_visibility")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

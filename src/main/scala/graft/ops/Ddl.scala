@@ -304,6 +304,7 @@ object Ddl {
     dsv2Defs.clear()
     indexDefs.clear()
     graft.plans.IndexCatalog.clear()
+    visAuths = Seq.empty // session state: a fresh process has no auths
     loadedFromDisk = false
     mvViewsReplayed = false
     diskSeq = 0L
@@ -423,6 +424,20 @@ object Ddl {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val DropMvRe =
     """(?is)\s*DROP\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
+  // HBase 0.98 cell-visibility analogue (the security model of the
+  // reference's HBase era), row-granular: ALTER TABLE t VISIBILITY COLUMN c
+  // marks c as the row's visibility label EXPRESSION in disjunctive normal
+  // form — '|'-separated alternatives of '&'-joined atoms, e.g.
+  // 'pii&emea|admin' (no parens/negation; empty or NULL = public). SET
+  // VISIBILITY (a, b) sets the session's authorization set (HBase
+  // setAuths); a row is visible iff some alternative's atoms are all
+  // authorized. Session-scoped by design, like setAuths — the label
+  // COLUMN is a persisted mutation, the auth set is not.
+  private val SetVisRe =
+    """(?is)\s*SET\s+VISIBILITY\s+(?:(NONE)|\(([^)]*)\))\s*""".r
+  private val AlterVisRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($Id)\\s+VISIBILITY\\s+COLUMN\\s+(\\w+)\\s*""".r
+
   // CREATE INDEX <n> ON <t> (<col>) builds a value-sorted (col, keys…)
   // parquet beside the catalog and registers the transparent rewrite
   // (plans.IndexRewriteRule); unmutated keyed tables only, like MVs.
@@ -496,6 +511,9 @@ object Ddl {
             s"FROM parquet.`${m.b}` UNION ALL " +
             s"SELECT ${cols.map(c => s"b.`$c`").mkString(", ")} FROM ( $sqlText ) b " +
             s"WHERE NOT EXISTS (SELECT 1 FROM parquet.`${m.b}` s WHERE $keyPred)"
+        case "viscol" =>
+          sqlText = s"SELECT * FROM ( $sqlText ) " +
+            s"WHERE ${visPredicateSql(m.a, visAuths)}"
         case other =>
           throw new IllegalStateException(
             s"unsupported mutation '$other' on qualified table ${t.name}")
@@ -695,6 +713,8 @@ object Ddl {
     case RestoreRe(n, _) if lookup(n).isDefined      => Some(statusCols)
     case RefreshMvRe(n) if mvNamed(n).isDefined      => Some(statusCols)
     case DropMvRe(n) if mvNamed(n).isDefined         => Some(statusCols)
+    case SetVisRe(_*)                                => Some(statusCols)
+    case AlterVisRe(_*)                              => Some(statusCols)
     case CreateIndexRe(_*)                           => Some(statusCols)
     case RefreshIndexRe(n) if idxNamed(n).isDefined  => Some(statusCols)
     case DropIndexRe(n) if idxNamed(n).isDefined     => Some(statusCols)
@@ -786,6 +806,33 @@ object Ddl {
 
   /** Rebuild a table's DataFrame from its catalog entry: base parquet, then
     * the mutation log replayed in order — the restart path. */
+  /** Session visibility authorizations (HBase `setAuths` analogue);
+    * process-scoped like the rest of the session surface here, never
+    * persisted. */
+  @volatile private var visAuths: Seq[String] = Seq.empty
+  def authorizations: Seq[String] = visAuths
+
+  /** Row visible under `auths`? DNF over the label column: some
+    * '|'-alternative has all its '&'-atoms authorized; blank/NULL label =
+    * public. Pure higher-order Columns — codegen, no UDF. */
+  private[graft] def visPredicate(label: Column, auths: Seq[String]): Column = {
+    val authArr = typedLit(auths)
+    (label.isNull || trim(label) === "") ||
+      exists(split(label, "\\|"),
+        term => forall(split(term, "&"), a => array_contains(authArr, trim(a))))
+  }
+
+  /** The same predicate as self-contained SQL (for qualified-table view
+    * bodies, which must survive replay from the catalog file alone). */
+  private def visPredicateSql(labelCol: String, auths: Seq[String]): String = {
+    val arr =
+      if (auths.isEmpty) "CAST(array() AS ARRAY<STRING>)"
+      else auths.map(a => s"'${a.replace("'", "''")}'").mkString("array(", ", ", ")")
+    s"(`$labelCol` IS NULL OR trim(`$labelCol`) = '' OR " +
+      s"exists(split(`$labelCol`, '\\\\|'), t -> " +
+      s"forall(split(t, '&'), a -> array_contains($arr, trim(a)))))"
+  }
+
   private def rebuild(spark: SparkSession, t: KeyedTable): DataFrame =
     t.muts.foldLeft(spark.read.parquet(t.path)) { (df, m) =>
       m.op match {
@@ -810,6 +857,9 @@ object Ddl {
           val s = spark.read.parquet(m.b)
           s.unionByName(
             df.join(s.select(t.keys.map(k => col(k)): _*), t.keys, "left_anti"))
+        // visibility gate, evaluated against the CURRENT session auth set
+        // (SET VISIBILITY re-registers every labeled table's view)
+        case "viscol" => df.filter(visPredicate(col(m.a), visAuths))
         case other  => throw new IllegalStateException(s"bad catalog mutation: $other")
       }
     }
@@ -881,11 +931,39 @@ object Ddl {
         } else replaceView(spark, t.name, df.withColumn(colName, expr(sqlExpr)))
         logMut(t, Mut("add", colName, sqlExpr))
         status("ALTER_ADD", t.name)
+      case AlterVisRe(name, colName) =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        require(hasColumn(spark.table(t.name).columns, colName),
+          s"column '$colName' not in ${t.name}")
+        require(!t.muts.exists(_.op == "viscol"),
+          s"${t.name} already has a visibility column")
+        val mutated = t.copy(muts = t.muts :+ Mut("viscol", colName, ""))
+        if (isQualified(t.name)) replaceQualified(spark, mutated)
+        else replaceView(spark, t.name, rebuild(spark, mutated))
+        logMut(t, Mut("viscol", colName, ""))
+        status("ALTER_VISIBILITY", t.name)
+      case SetVisRe(none, labels) =>
+        visAuths =
+          if (none != null) Seq.empty
+          else Option(labels).map(_.split(",").iterator.map(_.trim)
+            .map(_.stripPrefix("'").stripSuffix("'").trim)
+            .filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        // every labeled table's view re-registers under the new auth set
+        ensureLoaded()
+        catalog.values.filter(_.muts.exists(_.op == "viscol")).foreach { vt =>
+          if (isQualified(vt.name)) replaceQualified(spark, vt)
+          else replaceView(spark, vt.name, rebuild(spark, vt))
+        }
+        status("SET_VISIBILITY",
+          if (visAuths.isEmpty) "none" else visAuths.mkString(","))
       case AlterDropRe(name, colName) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)
         require(!t.keys.exists(_.equalsIgnoreCase(colName)),
           s"cannot drop key column '$colName' of ${t.name}")
+        require(!t.muts.exists(m => m.op == "viscol" && m.a.equalsIgnoreCase(colName)),
+          s"cannot drop visibility column '$colName' of ${t.name}")
         val df = spark.table(t.name)
         require(hasColumn(df.columns, colName),
           s"column '$colName' not in ${t.name}")
@@ -1248,6 +1326,39 @@ object Ddl {
       .orderBy(col("op"), col("n_nationkey"))
   }
 
+  /** A8 judged VISIBILITY-LABEL round trip (HBase 0.98 cell security made
+    * row-granular): label expressions in DNF on a derived column, then the
+    * same aggregate under two authorization sets — {pii} (AND-term
+    * 'pii&emea' stays hidden, 'pii' and 'pub|pii' show) and none (only
+    * unlabeled rows show). Dataset analysis is eager, so each section
+    * binds the view as registered under ITS auth set; the oracle replays
+    * the expected label algebra explicitly. */
+  def ddlVisibility(s: SparkSession, d: String): DataFrame = {
+    if (lookup("vis_rt").isDefined) execute(s, "DROP TABLE vis_rt")
+    execute(s, s"CREATE TABLE vis_rt MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
+    execute(s, "ALTER TABLE vis_rt ADD COLUMN vis AS " +
+      "CASE WHEN n_regionkey = 0 THEN 'pii&emea' " +
+      "WHEN n_regionkey = 1 THEN 'pii' " +
+      "WHEN n_regionkey = 2 THEN 'pub|pii' ELSE '' END")
+    execute(s, "ALTER TABLE vis_rt VISIBILITY COLUMN vis")
+    def section(tag: String): DataFrame =
+      s.table("vis_rt").groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_nationkey")).as("key_sum"))
+        .select(lit(tag).as("auths"), col("n_regionkey"), col("cnt"),
+          col("key_sum"))
+    try {
+      execute(s, "SET VISIBILITY (pii)")
+      val underPii = section("pii")
+      execute(s, "SET VISIBILITY NONE")
+      val underNone = section("none")
+      underPii.unionByName(underNone)
+        .orderBy(col("auths"), col("n_regionkey"))
+    } finally {
+      execute(s, "SET VISIBILITY NONE")
+      execute(s, "DROP TABLE vis_rt")
+    }
+  }
+
   /** A8 judged statistics round trip: CREATE MAPPED BY → ANALYZE → SHOW
     * STATS, the stats themselves being the judged values (row count and key
     * min/max over orders, which the oracle recomputes relationally). */
@@ -1263,6 +1374,7 @@ object Ddl {
     "ddl_dml" -> (ddlDml _),
     "ddl_timetravel" -> (ddlTimetravel _),
     "ddl_changefeed" -> (ddlChangefeed _),
+    "ddl_visibility" -> (ddlVisibility _),
     "analyze_stats" -> (analyzeStats _))
 
   val oracles: Map[String, String] = Map(
@@ -1296,6 +1408,26 @@ object Ddl {
         |UNION ALL
         |SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v2
         |ORDER BY version""".stripMargin,
+    // label algebra replayed explicitly: under {pii}, 'pii' and 'pub|pii'
+    // pass, 'pii&emea' fails, '' is public; under none, only '' passes
+    "ddl_visibility" ->
+      """WITH base AS (
+        |  SELECT n_nationkey, n_regionkey,
+        |    CASE WHEN n_regionkey = 0 THEN 'pii&emea'
+        |         WHEN n_regionkey = 1 THEN 'pii'
+        |         WHEN n_regionkey = 2 THEN 'pub|pii'
+        |         ELSE '' END AS vis
+        |  FROM nation),
+        |pii AS (SELECT * FROM base WHERE vis IN ('', 'pii', 'pub|pii')),
+        |pub AS (SELECT * FROM base WHERE vis = '')
+        |SELECT 'none' AS auths, n_regionkey, count(*) AS cnt,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM pub GROUP BY n_regionkey
+        |UNION ALL
+        |SELECT 'pii', n_regionkey, count(*),
+        |  CAST(sum(n_nationkey) AS BIGINT)
+        |FROM pii GROUP BY n_regionkey
+        |ORDER BY auths, n_regionkey""".stripMargin,
     // the diff recomputed relationally: full join of base vs the replayed
     // final state, op from key presence, image from the surviving side
     "ddl_changefeed" ->

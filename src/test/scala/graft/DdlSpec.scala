@@ -797,6 +797,61 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("visibility labels: DNF algebra, restart replay, guarded drops") {
+    if (ops.Ddl.lookup("vl_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE vl_t")
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE vl_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    ops.Ddl.execute(spark, "ALTER TABLE vl_t ADD COLUMN vis AS " +
+      "CASE WHEN n_regionkey = 0 THEN 'pii&emea' WHEN n_regionkey = 1 THEN 'pii' " +
+      "WHEN n_regionkey = 2 THEN 'pub|pii' ELSE '' END")
+    ops.Ddl.execute(spark, "ALTER TABLE vl_t VISIBILITY COLUMN vis")
+    try {
+      def regions(): Set[Int] = spark.table("vl_t")
+        .select(col("n_regionkey")).distinct().collect().map(_.getInt(0)).toSet
+      // no auths: only unlabeled rows
+      ops.Ddl.execute(spark, "SET VISIBILITY NONE")
+      assert(regions() == Set(3, 4))
+      // {pii}: single atom and the OR alternative pass; the AND term fails
+      ops.Ddl.execute(spark, "SET VISIBILITY (pii)")
+      assert(regions() == Set(1, 2, 3, 4))
+      // {pii, emea}: the AND term now passes too
+      ops.Ddl.execute(spark, "SET VISIBILITY (pii, emea)")
+      assert(regions() == Set(0, 1, 2, 3, 4))
+      // {pub}: only the OR alternative and public rows
+      ops.Ddl.execute(spark, "SET VISIBILITY ('pub')")
+      assert(regions() == Set(2, 3, 4))
+      // the visibility column itself cannot be dropped
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark, "ALTER TABLE vl_t DROP COLUMN vis")
+      }
+      // qualified tables route through the self-contained SQL body
+      // (rebuildSql's viscol branch) — same algebra must hold
+      if (ops.Ddl.lookup("visdb.t").isDefined)
+        ops.Ddl.execute(spark, "DROP TABLE visdb.t")
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE visdb.t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+      ops.Ddl.execute(spark, "ALTER TABLE visdb.t ADD COLUMN vis AS " +
+        "CASE WHEN n_regionkey = 0 THEN 'pii&emea' WHEN n_regionkey = 1 THEN 'pii' ELSE '' END")
+      ops.Ddl.execute(spark, "ALTER TABLE visdb.t VISIBILITY COLUMN vis")
+      ops.Ddl.execute(spark, "SET VISIBILITY (pii)")
+      def qRegions(): Set[Int] = spark.table("visdb.t")
+        .select(col("n_regionkey")).distinct().collect().map(_.getInt(0)).toSet
+      assert(qRegions() == Set(1, 2, 3, 4))
+      ops.Ddl.execute(spark, "SET VISIBILITY (pii, emea)")
+      assert(qRegions() == Set(0, 1, 2, 3, 4))
+      ops.Ddl.execute(spark, "DROP TABLE visdb.t")
+      // restart: the viscol mutation is persisted, the auth set is NOT —
+      // a fresh process starts with no authorizations (secure default)
+      ops.Ddl.resetForTest()
+      spark.catalog.dropTempView("vl_t")
+      ops.Ddl.execute(spark, "DESCRIBE vl_t") // forces reload + view replay
+      assert(regions() == Set(3, 4))
+    } finally {
+      ops.Ddl.execute(spark, "SET VISIBILITY NONE")
+      ops.Ddl.execute(spark, "DROP TABLE vl_t")
+    }
+  }
+
   test("changefeed labels ops and keeps after-image NULL on nulling updates") {
     if (ops.Ddl.lookup("cf_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE cf_t")
     ops.Ddl.execute(spark,
