@@ -82,7 +82,15 @@ object GraftKvSink {
     * NaN seen, or a pre-stats manifest) and never prunes. */
   final case class Manifest(schema: StructType, files: Seq[(String, Long)],
       compactedUpTo: Long = -1L,
-      stats: Map[String, Map[String, (String, String)]] = Map.empty)
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty)
+
+  /** Per-file bloom parameters: identical across every writer so
+    * compaction can merge filters bit-for-bit; files beyond the row cap
+    * drop their blooms (fpp would degrade into uselessness). */
+  private[sources] val BloomItems = 4096L
+  private[sources] val BloomFpp = 0.01
+  private[sources] val BloomRowCap = 65536L
 
   private[sources] def pathOf(props: util.Map[String, String]): String = {
     val p = props.get("path")
@@ -102,7 +110,8 @@ object GraftKvSink {
     * list) — same zero-dependency approach as the DDL catalog. */
   private[sources] def writeManifest(dir: String, schema: StructType,
       files: Seq[(String, Long)], compactedUpTo: Long = -1L,
-      stats: Map[String, Map[String, (String, String)]] = Map.empty): Unit = {
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      blooms: Map[String, Map[String, String]] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
@@ -115,6 +124,10 @@ object GraftKvSink {
         cols.toSeq.sortBy(_._1).foreach { case (col, (mn, mx)) =>
           val co = st.putObject(col); co.put("min", mn); co.put("max", mx)
         }
+      }
+      blooms.get(n).filter(_.nonEmpty).foreach { cols =>
+        val bl = o.putObject("blooms")
+        cols.toSeq.sortBy(_._1).foreach { case (col, b64) => bl.put(col, b64) }
       }
     }
     Files.write(manifestPath(dir),
@@ -135,7 +148,14 @@ object GraftKvSink {
         }.toMap
       }
     }.toMap
-    Manifest(schema, files, upTo, stats)
+    val blooms = root.get("files").elements().asScala.flatMap { f =>
+      Option(f.get("blooms")).map { bl =>
+        f.get("name").asText() -> bl.properties().asScala.map { e =>
+          e.getKey -> e.getValue.asText()
+        }.toMap
+      }
+    }.toMap
+    Manifest(schema, files, upTo, stats, blooms)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -187,6 +207,39 @@ object GraftKvSink {
     }
   }
 
+  /** HBase's HFile-bloom story: point/IN probes additionally consult the
+    * file's per-column bloom — the pruner that works where min/max ranges
+    * can't (value sets interleaved across files share the full range).
+    * One-sided like all blooms: "false" guarantees absence. */
+  private[sources] def bloomMayMatch(schema: StructType,
+      blooms: Map[String, String],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def might(col: String, v: Any): Boolean = (for {
+      field <- schema.fields.find(_.name.equalsIgnoreCase(col))
+      b64 <- blooms.find(_._1.equalsIgnoreCase(col)).map(_._2)
+    } yield {
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64)))
+      (field.dataType, v) match {
+        case (IntegerType | LongType, n: java.lang.Number) =>
+          bf.mightContainLong(n.longValue())
+        case (StringType, s: String) => bf.mightContainString(s)
+        case _ => true
+      }
+    }).getOrElse(true)
+    f match {
+      case EqualTo(c, v) => might(c, v)
+      case In(c, vs)     => vs.exists(might(c, _))
+      case And(l, r) =>
+        bloomMayMatch(schema, blooms, l) && bloomMayMatch(schema, blooms, r)
+      case Or(l, r) =>
+        bloomMayMatch(schema, blooms, l) || bloomMayMatch(schema, blooms, r)
+      case _ => true
+    }
+  }
+
   /** COMPACTION + RETENTION — the major-compaction / log-retention analogue
     * for the epoch changelog: every file of epoch <= `upTo` (including
     * epoch-less batch files, which count as epoch 0) is concatenated into
@@ -235,12 +288,32 @@ object GraftKvSink {
         c -> (mn, mx)
       }
     }.toMap
+    // merged blooms: same all-or-nothing rule, OR-merged bit-for-bit
+    // (identical create parameters across writers make them compatible);
+    // the total row count must stay within the cap or fpp degrades
+    val oldBlooms = old.map(f => mf.blooms.getOrElse(f._1, Map.empty))
+    val bloomCols =
+      if (old.map(_._2).sum > BloomRowCap) Set.empty[String]
+      else oldBlooms.map(_.keySet.map(_.toLowerCase))
+        .reduceOption(_ intersect _).getOrElse(Set.empty)
+    val targetBlooms = bloomCols.map { c =>
+      val merged = oldBlooms.map { bl =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(java.util.Base64.getDecoder
+            .decode(bl.find(_._1.equalsIgnoreCase(c)).get._2)))
+      }.reduce((a, b) => a.mergeInPlace(b))
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    }.toMap
     // single visibility switch: after this write, readers see only the
     // compacted file; the superseded inputs become unreferenced garbage
     writeManifest(dir, mf.schema,
       (target, old.map(_._2).sum) +: keep, newUpTo,
       mf.stats -- old.map(_._1) ++
-        (if (targetStats.nonEmpty) Map(target -> targetStats) else Map.empty))
+        (if (targetStats.nonEmpty) Map(target -> targetStats) else Map.empty),
+      mf.blooms -- old.map(_._1) ++
+        (if (targetBlooms.nonEmpty) Map(target -> targetBlooms) else Map.empty))
     old.foreach { case (n, _) =>
       if (n != target) Files.deleteIfExists(Paths.get(dir, n))
     }
@@ -324,14 +397,20 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    // same empty-file suppression as the batch path
     val committed = messages.collect { case m: GraftKvCommit => m }
+      .filter { m =>
+        if (m.rows == 0L) Files.deleteIfExists(Paths.get(dir, m.tmpName))
+        m.rows > 0L
+      }
     val mf = GraftKvSink.manifestPath(dir)
-    val (prior, priorUpTo, priorStats) =
+    val (prior, priorUpTo, priorStats, priorBlooms) =
       if (Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files, m.compactedUpTo, m.stats)
+        (m.files, m.compactedUpTo, m.stats, m.blooms)
       } else (Seq.empty[(String, Long)], -1L,
-        Map.empty[String, Map[String, (String, String)]])
+        Map.empty[String, Map[String, (String, String)]],
+        Map.empty[String, Map[String, String]])
     if (epochId <= priorUpTo ||
         prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
       // replayed epoch after recovery: already published (listed outright,
@@ -352,6 +431,9 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
         prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo,
         priorStats ++ committed.collect {
           case m if m.stats.nonEmpty => m.finalName -> m.stats
+        },
+        priorBlooms ++ committed.collect {
+          case m if m.blooms.nonEmpty => m.finalName -> m.blooms
         })
     }
   }
@@ -362,7 +444,8 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
 }
 
 final case class GraftKvCommit(tmpName: String, finalName: String, rows: Long,
-    stats: Map[String, (String, String)] = Map.empty)
+    stats: Map[String, (String, String)] = Map.empty,
+    blooms: Map[String, String] = Map.empty)
   extends WriterCommitMessage
 
 final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
@@ -377,7 +460,14 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
     * become visible; stray temp files from failed/speculative attempts are
     * swept; the manifest publish is the single visibility switch. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // empty task files are never published (an empty partition's writer
+    // still opened one) — a 0-row file would carry no stats/blooms and
+    // survive every pruning pass for nothing
     val committed = messages.collect { case m: GraftKvCommit => m }
+      .filter { m =>
+        if (m.rows == 0L) Files.deleteIfExists(Paths.get(dir, m.tmpName))
+        m.rows > 0L
+      }
     committed.foreach { m =>
       Files.move(Paths.get(dir, m.tmpName), Paths.get(dir, m.finalName),
         StandardCopyOption.REPLACE_EXISTING)
@@ -386,10 +476,10 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
     Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".tmp")).foreach(Files.delete)
     val mf = GraftKvSink.manifestPath(dir)
-    val (prior, priorUpTo, priorStats) =
+    val (prior, priorUpTo, priorStats, priorBlooms) =
       if (!replace && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files, m.compactedUpTo, m.stats)
+        (m.files, m.compactedUpTo, m.stats, m.blooms)
       } else {
         // truncate: drop every previously-published file AND the retention
         // boundary — the table restarts with full (empty) history
@@ -397,12 +487,16 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
           GraftKvSink.readManifest(mf).files
             .foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
         (Seq.empty[(String, Long)], -1L,
-          Map.empty[String, Map[String, (String, String)]])
+          Map.empty[String, Map[String, (String, String)]],
+          Map.empty[String, Map[String, String]])
       }
     GraftKvSink.writeManifest(dir, schema,
       prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo,
       priorStats ++ committed.collect {
         case m if m.stats.nonEmpty => m.finalName -> m.stats
+      },
+      priorBlooms ++ committed.collect {
+        case m if m.blooms.nonEmpty => m.finalName -> m.blooms
       })
   }
 
@@ -431,6 +525,16 @@ final class GraftKvWriter(dir: String, schema: StructType,
   private val statMin = new Array[String](schema.length)
   private val statMax = new Array[String](schema.length)
   private val statBad = new Array[Boolean](schema.length)
+  // per-column bloom over non-null values (int/long/string only) — the
+  // point-lookup pruner for value sets whose RANGES overlap across files
+  private val blooms = schema.fields.map { f =>
+    f.dataType match {
+      case IntegerType | LongType | StringType =>
+        org.apache.spark.util.sketch.BloomFilter
+          .create(GraftKvSink.BloomItems, GraftKvSink.BloomFpp)
+      case _ => null
+    }
+  }
   private def observe(i: Int, s: String): Unit = {
     if (statBad(i)) return
     val dt = schema(i).dataType
@@ -450,8 +554,14 @@ final class GraftKvWriter(dir: String, schema: StructType,
       if (i > 0) sb.append('\t')
       if (row.isNullAt(i)) sb.append("\\N") // null marker: backslash-N
       else schema(i).dataType match {
-        case IntegerType => sb.append(row.getInt(i)); observe(i, row.getInt(i).toString)
-        case LongType    => sb.append(row.getLong(i)); observe(i, row.getLong(i).toString)
+        case IntegerType =>
+          val v = row.getInt(i)
+          sb.append(v); observe(i, v.toString)
+          if (blooms(i) != null) blooms(i).putLong(v.toLong)
+        case LongType    =>
+          val v = row.getLong(i)
+          sb.append(v); observe(i, v.toString)
+          if (blooms(i) != null) blooms(i).putLong(v)
         case DoubleType  =>
           val d = row.getDouble(i)
           sb.append(d)
@@ -465,6 +575,7 @@ final class GraftKvWriter(dir: String, schema: StructType,
           if (s.startsWith("\\")) sb.append('\\')
           sb.append(s)
           observe(i, s)
+          if (blooms(i) != null) blooms(i).putString(s)
         case dt => throw new IllegalStateException(s"unsupported $dt")
       }
       i += 1
@@ -480,7 +591,18 @@ final class GraftKvWriter(dir: String, schema: StructType,
       case i if statMin(i) != null && !statBad(i) =>
         schema(i).name.toLowerCase -> (statMin(i), statMax(i))
     }.toMap
-    GraftKvCommit(tmpName, finalName, rows, stats)
+    // blooms only for files within the row cap (fpp holds) and with at
+    // least one non-null value (an all-null column prunes via no-stats)
+    val bloomB64 =
+      if (rows > GraftKvSink.BloomRowCap) Map.empty[String, String]
+      else schema.fields.indices.collect {
+        case i if blooms(i) != null && statMin(i) != null =>
+          val bos = new java.io.ByteArrayOutputStream()
+          blooms(i).writeTo(bos)
+          schema(i).name.toLowerCase ->
+            java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+      }.toMap
+    GraftKvCommit(tmpName, finalName, rows, stats, bloomB64)
   }
 
   override def abort(): Unit = {
@@ -515,11 +637,14 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       case _               => true // batch-written files have no epoch
     }
   }
-  // stats pruning: drop a file when ANY pushed filter is unsatisfiable
-  // within its recorded ranges; files without stats always survive
+  // stats + bloom pruning: drop a file when ANY pushed filter is
+  // unsatisfiable within its recorded ranges, or when a point/IN probe
+  // misses its bloom; files without stats/blooms always survive
   private val visible = epochVisible.filter { case (name, _) =>
     val st = manifest.stats.getOrElse(name, Map.empty)
-    filters.forall(f => GraftKvSink.mayMatch(manifest.schema, st, f))
+    lazy val bl = manifest.blooms.getOrElse(name, Map.empty)
+    filters.forall(f => GraftKvSink.mayMatch(manifest.schema, st, f) &&
+      GraftKvSink.bloomMayMatch(manifest.schema, bl, f))
   }
   override def readSchema(): StructType = manifest.schema
   override def toBatch: Batch = this

@@ -199,6 +199,40 @@ class DsV2Spec extends SparkSpec {
       new graft.sources.GraftKvScan(dir2, None, Seq.empty).planInputPartitions().length)
   }
 
+  test("kv blooms prune point lookups that range stats cannot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_bloom").toString
+    // evens and odds interleave: every file spans ~the full id range, so
+    // min/max stats never exclude an equality probe — the bloom must
+    val df = (0L until 2000L).map(i => (i, s"tag${i % 7}")).toDF("id", "s")
+    kvWrite(df.filter(col("id") % 2 === 0).coalesce(1), dir, "overwrite")
+    kvWrite(df.filter(col("id") % 2 === 1).coalesce(1), dir, "append")
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new graft.sources.GraftKvScan(dir, None, fs).planInputPartitions().length
+    val total = planned()
+    assert(total >= 2)
+    // id=6 lives in exactly one file; stats alone would keep every file
+    // whose [min,max] covers 6 (all of them) — blooms cut to 1
+    assert(planned(org.apache.spark.sql.sources.EqualTo("id", 6L)) == 1)
+    assert(planned(org.apache.spark.sql.sources.EqualTo("id", 7L)) == 1)
+    // a value NO file contains prunes everything (modulo bloom fpp — at
+    // 2000/4096 items per filter the 1% fpp makes 0-or-rarely-1 planned)
+    assert(planned(org.apache.spark.sql.sources.EqualTo("id", 999999L)) <= 1)
+    // IN spanning both parities keeps both matching files
+    assert(planned(org.apache.spark.sql.sources.In("id", Array(6L, 7L))) == 2)
+    // strings probe their own bloom; every file has all 7 tags
+    assert(planned(org.apache.spark.sql.sources.EqualTo("s", "tag3")) == total)
+    // correctness is untouched: Spark re-applies all predicates
+    assert(kvRead(dir).filter(col("id") === 6L).count() == 1)
+    assert(kvRead(dir).filter(col("id") === 999999L).count() == 0)
+    // compaction merges blooms: one file, probes still answered
+    graft.sources.GraftKvSink.compact(dir, 0L)
+    assert(planned() == 1)
+    assert(planned(org.apache.spark.sql.sources.EqualTo("id", 999999L)) <= 1)
+    assert(kvRead(dir).filter(col("id") === 6L).count() == 1)
+    assert(kvRead(dir).count() == 2000)
+  }
+
   test("kv sink append merges the manifest; overwrite truncates it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_ap").toString
