@@ -265,6 +265,8 @@ object Events {
     "scd2_history" -> (scd2History _),
     "agg_zscore_outliers" -> (aggZscoreOutliers _),
     "stream_late_drop" -> (streamLateDrop _),
+    "stream_kv_pipeline" -> (streamKvPipeline _),
+    "stream_watermark_true" -> (streamWatermarkTrue _),
     "stream_rate_limit" -> (streamRateLimit _),
     "events_funnel" -> (eventsFunnel _),
     "agg_unpivot" -> (aggUnpivot _),
@@ -274,7 +276,122 @@ object Events {
     "agg_salted" -> (aggSalted _),
     "agg_pivot" -> (aggPivot _))
 
+  /** B43/B44 judged via a TRUE STREAMING execution — the one streaming row
+    * previously covered only by tests: the events fixture is replayed
+    * through a MemoryStream in three chunks, each micro-batch flows
+    * through a filter/projection and the kv connector's STREAMING_WRITE
+    * (per-epoch idempotent manifest publish), and the judged result is the
+    * final table read back through the connector. Arrival order cannot
+    * affect it (no event-time state — exactly-once delivery is the judged
+    * property), so the oracle is the same transform+aggregate over the
+    * full fixture: any duplicated, dropped, or partially-committed batch
+    * hash-mismatches. The driver-side collect is the MemoryStream feed,
+    * inherent to replaying a fixture as a stream (bounded: the events
+    * table), not an operator pattern. */
+  def streamKvPipeline(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val root = java.nio.file.Files.createTempDirectory("graft_stream_kv")
+    val dir = root.resolve("out").toString
+    val q = ms.toDF().toDF("event_id", "user_id", "event_type", "value")
+      .filter(col("event_type") =!= "error")
+      .writeStream.format("graft.sources.GraftKvSink")
+      .option("path", dir)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    try rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.format("graft.sources.GraftKvSink").option("path", dir).load()
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("user_sum"),
+        sumS(col("value")).as("value_sum"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** B43 judged via a TRUE STREAMING execution with REAL WATERMARK
+    * semantics: the fixture replays as three micro-batches (chunk =
+    * event_id % 3), a 1-day windowed aggregate runs under
+    * `withWatermark(ts, 1 hour)` in APPEND mode, and the judged result is
+    * exactly what the memory sink emitted. Every watermark behavior is
+    * deterministic given the fixed chunking and is replayed by the oracle:
+    * the watermark before batch k is max(ts over chunks < k) − 1 h (it
+    * only advances at batch boundaries), a row is dropped iff its window
+    * END is ≤ that watermark, late rows still advance the watermark, and
+    * append mode emits ONLY windows whose end ≤ the final watermark
+    * (trailing open windows never surface). This is the one semantics the
+    * batch twins could not gate — actual micro-batch watermark
+    * progression — now hash-matched cross-engine. */
+  def streamWatermarkTrue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val rows = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getString(2), r.getDouble(3)))
+    val chunks = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.time.LocalDateTime, String, Double)]
+    val sink = s"wm_true_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    // watermarks require TIMESTAMP; the session is pinned UTC, so the
+    // NTZ→TZ cast is lossless and window boundaries stay at UTC midnight.
+    // The output start is cast back to NTZ — the judged timestamp dtype
+    // every other event query uses.
+    val q = ms.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("value"))).cast(DoubleType).as("val_sum"))
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .start()
+    try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+    finally q.stop()
+    s.table(sink)
+      .select(col("window.start").cast(TimestampNTZType).as("w_day"),
+        col("event_type"), col("cnt"), col("val_sum"))
+      .orderBy(col("w_day"), col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // micro-batch watermark progression replayed relationally: per-chunk
+    // pre-batch watermark, end<=wm drop rule, final-watermark emission
+    "stream_watermark_true" ->
+      """WITH e AS (SELECT event_id, ts, event_type, value,
+        |             event_id % 3 AS chunk FROM events),
+        |cm AS (SELECT chunk, max(ts) AS cmax FROM e GROUP BY chunk),
+        |wmt AS (SELECT chunk, max(cmax) OVER (ORDER BY chunk
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          - INTERVAL 1 HOUR AS wm_before FROM cm),
+        |kept AS (SELECT e.* FROM e JOIN wmt USING (chunk)
+        |  WHERE wmt.wm_before IS NULL
+        |     OR CAST(date_trunc('day', e.ts) AS TIMESTAMP) + INTERVAL 1 DAY
+        |        > wmt.wm_before),
+        |fw AS (SELECT max(ts) - INTERVAL 1 HOUR AS final_wm FROM e)
+        |SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_day, event_type,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_sum
+        |FROM kept, fw
+        |WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+        |      <= fw.final_wm
+        |GROUP BY 1, 2 ORDER BY w_day, event_type""".stripMargin,
+    "stream_kv_pipeline" ->
+      """SELECT event_type, count(*) AS cnt,
+        | CAST(sum(user_id) AS BIGINT) AS user_sum,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_type <> 'error'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_zscore_outliers" ->
       """WITH e AS (SELECT event_type,
         |             CAST(floor(value * 10.0) AS BIGINT) AS vi FROM events),
