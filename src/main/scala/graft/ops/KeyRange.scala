@@ -354,6 +354,36 @@ object KeyRange {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** A12 judged: COMPACTION round trip — two batch writes (append merging
+    * the manifest), then `GraftKvSink.compact` rewrites every epoch-0 file
+    * into one behind the atomic manifest swap, and the judged aggregate
+    * reads the COMPACTED table. The oracle recomputes the union, so
+    * "current reads are bit-identical across compaction" is hash-gated,
+    * not just spec-asserted; the function also asserts the file count
+    * collapsed so a silently skipped compaction cannot pass. */
+  def kvCompact(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_compact"
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 2 === 0)
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", tmp).mode(SaveMode.Overwrite).save()
+    o.filter(col("o_orderkey") % 2 === 1)
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", tmp).mode(SaveMode.Append).save()
+    graft.sources.GraftKvSink.compact(tmp, 0L)
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
+      .iterator()
+    val kvFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
+      .asScala.count(_.getFileName.toString.endsWith(".kv"))
+    require(kvFiles == 1, s"compaction left $kvFiles data files, expected 1")
+    s.read.format("graft.sources.GraftKvSink").option("path", tmp).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sumS(col("o_totalprice")).as("total"),
+        min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A10 (transparent half): the SECONDARY-INDEX REWRITE exercised through
     * pure DDL + a PLAIN query — `CREATE INDEX` through the SQL surface,
     * then an ordinary `filter(o_custkey IN …)` over the raw parquet that
@@ -660,6 +690,7 @@ object KeyRange {
     "index_rewrite" -> (indexRewrite _),
     "catalog_kv_dml" -> (catalogKvDml _),
     "schema_evolution" -> (schemaEvolution _),
+    "kv_compact" -> (kvCompact _),
     "insert_select" -> (insertSelect _),
     "insert_values" -> (insertValues _),
     "bulkload_sorted_write" -> (bulkloadSortedWrite _),
@@ -683,6 +714,12 @@ object KeyRange {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey IN (7, 42, 101)
         |ORDER BY o_orderkey""".stripMargin,
+    // compaction must preserve current-read semantics bit-for-bit
+    "kv_compact" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // sparse-qualifier semantics: the narrow batch's missing column is NULL
     "schema_evolution" ->
       """WITH t AS (
