@@ -561,6 +561,15 @@ object Ddl {
       s"CREATE INDEX ${ix.name}: key (${ix.keyCols.mkString(", ")}) is not " +
         "unique in the source — a semi-join on a duplicated key would admit " +
         "rows whose indexed value never matched")
+    // the semi-join rewrite can never match a NULL key, so a null-keyed
+    // row satisfying the indexed predicate would silently vanish from
+    // rewritten results — reject at build, like the uniqueness contract
+    val nulls = base
+      .filter(ix.keyCols.map(k => col(k).isNull).reduce(_ || _))
+      .limit(1).count()
+    require(nulls == 0L,
+      s"CREATE INDEX ${ix.name}: key (${ix.keyCols.mkString(", ")}) has NULL " +
+        "values in the source — the key semi-join cannot represent them")
     base.select((ix.col +: ix.keyCols).map(col): _*)
       .repartitionByRange(8, col(ix.col))
       .sortWithinPartitions(col(ix.col))

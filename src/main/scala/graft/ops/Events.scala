@@ -15,6 +15,16 @@ import graft.Tables
   */
 object Events {
 
+  /** Per-JVM scratch root for the streaming judged queries (wiped at each
+    * invocation — see streamKvPipeline). */
+  private lazy val streamKvRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_stream_kv")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   /** B40: tumbling 1-day event-time windows per event type. Two-phase
     * distinct: pre-aggregate per (window, type, user), then merge — avoids
     * the Expand node a direct countDistinct plans over the full table, while
@@ -298,7 +308,13 @@ object Events {
       .sortBy(_._1)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Long, String, Double)]
-    val root = java.nio.file.Files.createTempDirectory("graft_stream_kv")
+    // one scratch root per JVM, wiped at entry: repeated bench/verify
+    // invocations must not leak a data+checkpoint directory per run, and
+    // must not append epochs onto the previous invocation's manifest
+    // (callers of the PREVIOUS returned frame have already materialized)
+    val root = Events.streamKvRoot
+    deleteRecursively(root.toFile)
+    java.nio.file.Files.createDirectories(root)
     val dir = root.resolve("out").toString
     val q = ms.toDF().toDF("event_id", "user_id", "event_type", "value")
       .filter(col("event_type") =!= "error")
@@ -342,21 +358,34 @@ object Events {
     val chunks = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2)
     val ms = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, java.time.LocalDateTime, String, Double)]
-    val sink = s"wm_true_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+    // fixed sink name, dropped before reuse: a fresh UUID per invocation
+    // would leak one full result table into driver memory per bench run
+    // (the previous invocation's frame has been materialized by now)
+    val sink = "graft_wm_true_sink"
+    s.catalog.dropTempView(sink)
+    // The stateful operator allocates one state store per shuffle
+    // partition PER MICRO-BATCH; at ~150 live (window × type) keys, 8
+    // partitions carry the state with far less store churn than the
+    // session's 32. Pinned at stream START (state partitioning is fixed
+    // by the first batch) and restored after the stream stops.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     // watermarks require TIMESTAMP; the session is pinned UTC, so the
     // NTZ→TZ cast is lossless and window boundaries stay at UTC midnight.
     // The output start is cast back to NTZ — the judged timestamp dtype
     // every other event query uses.
-    val q = ms.toDF().toDF("event_id", "ts", "event_type", "value")
-      .withColumn("ts", col("ts").cast("timestamp"))
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-        sum(dec(col("value"))).cast(DoubleType).as("val_sum"))
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .start()
-    try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-    finally q.stop()
+    try {
+      val q = ms.toDF().toDF("event_id", "ts", "event_type", "value")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("value"))).cast(DoubleType).as("val_sum"))
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
+      finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(sink)
       .select(col("window.start").cast(TimestampNTZType).as("w_day"),
         col("event_type"), col("cnt"), col("val_sum"))

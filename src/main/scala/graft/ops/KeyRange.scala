@@ -372,10 +372,8 @@ object KeyRange {
       .write.format("graft.sources.GraftKvSink")
       .option("path", tmp).mode(SaveMode.Append).save()
     graft.sources.GraftKvSink.compact(tmp, 0L)
-    val files = java.nio.file.Files.list(java.nio.file.Paths.get(tmp))
-      .iterator()
-    val kvFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(files)
-      .asScala.count(_.getFileName.toString.endsWith(".kv"))
+    val kvFiles = Option(new java.io.File(tmp).list())
+      .map(_.count(_.endsWith(".kv"))).getOrElse(0)
     require(kvFiles == 1, s"compaction left $kvFiles data files, expected 1")
     s.read.format("graft.sources.GraftKvSink").option("path", tmp).load()
       .groupBy(col("o_orderstatus"))

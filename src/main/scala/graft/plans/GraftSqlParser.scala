@@ -63,7 +63,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * error reporting fires. */
   private def expandGraftRefs(plan: LogicalPlan): LogicalPlan =
     if (session == null) plan
-    else plan.transformUp {
+    // transformUpWithSubqueries, not transformUp: a graft reference inside
+    // an EXISTS / IN / scalar subquery lives in a SubqueryExpression that
+    // plain tree transforms never descend into, and an unexpanded
+    // reference there fails analysis while the same name works at the
+    // top level
+    else plan.transformUpWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.length >= 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("graft") =>

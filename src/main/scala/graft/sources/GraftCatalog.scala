@@ -225,7 +225,9 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.isEmpty || allNamespaces.contains(namespace.map(_.toLowerCase).toSeq)
+    namespace.isEmpty ||
+      allNamespaces.map(_.map(_.toLowerCase))
+        .contains(namespace.map(_.toLowerCase).toSeq)
 
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
     if (namespaceExists(namespace)) new util.HashMap[String, String]()

@@ -164,11 +164,16 @@ object GraftKvSink {
     case _              => 0L // batch-written files count as epoch 0
   }
 
-  /** Typed "a <= b" over the stringly-stored stats values. */
+  /** Typed "a <= b" over the stringly-stored stats values. Strings compare
+    * in UTF8String BINARY order — the order Spark's own string comparisons
+    * use; Java's compareTo is UTF-16 order, which disagrees beyond the BMP
+    * (surrogates sort below U+E000 in UTF-16 but above it in UTF-8), and a
+    * pruning order that disagrees with the engine's would silently drop
+    * matching files. */
   private def le(dt: DataType, a: String, b: String): Boolean = dt match {
     case IntegerType | LongType => a.toLong <= b.toLong
     case DoubleType             => a.toDouble <= b.toDouble
-    case _                      => a.compareTo(b) <= 0
+    case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
   }
 
   /** Can a file whose column range is [mn, mx] contain a row satisfying
@@ -183,23 +188,27 @@ object GraftKvSink {
       field <- schema.fields.find(_.name.equalsIgnoreCase(col))
       (mn, mx) <- stats.find(_._1.equalsIgnoreCase(col)).map(_._2)
     } yield (field.dataType, mn, mx)
-    def contains(col: String, v: Any): Boolean = rangeOf(col) match {
-      case Some((dt, mn, mx)) =>
-        val s = String.valueOf(v)
-        le(dt, mn, s) && le(dt, s, mx)
-      case None => true
-    }
+    // a NULL comparison value matches no row at all (three-valued logic),
+    // so for equality pruning it contributes nothing — and feeding it to
+    // toLong would throw on a query that should simply return no rows
+    def contains(col: String, v: Any): Boolean =
+      v != null && (rangeOf(col) match {
+        case Some((dt, mn, mx)) =>
+          val s = String.valueOf(v)
+          le(dt, mn, s) && le(dt, s, mx)
+        case None => true
+      })
     f match {
       case EqualTo(c, v)  => contains(c, v)
       case In(c, vs)      => vs.exists(contains(c, _))
       // max > v  <=>  NOT (max <= v); min < v  <=>  NOT (v <= min)
-      case GreaterThan(c, v) => rangeOf(c)
+      case GreaterThan(c, v) => v != null && rangeOf(c)
         .forall { case (dt, _, mx) => !le(dt, mx, String.valueOf(v)) }
-      case GreaterThanOrEqual(c, v) => rangeOf(c)
+      case GreaterThanOrEqual(c, v) => v != null && rangeOf(c)
         .forall { case (dt, _, mx) => le(dt, String.valueOf(v), mx) }
-      case LessThan(c, v) => rangeOf(c)
+      case LessThan(c, v) => v != null && rangeOf(c)
         .forall { case (dt, mn, _) => !le(dt, String.valueOf(v), mn) }
-      case LessThanOrEqual(c, v) => rangeOf(c)
+      case LessThanOrEqual(c, v) => v != null && rangeOf(c)
         .forall { case (dt, mn, _) => le(dt, mn, String.valueOf(v)) }
       case And(l, r) => mayMatch(schema, stats, l) && mayMatch(schema, stats, r)
       case Or(l, r)  => mayMatch(schema, stats, l) || mayMatch(schema, stats, r)
@@ -255,11 +264,18 @@ object GraftKvSink {
     * streaming read whose checkpoint ends strictly inside the compacted
     * range refuses to resume (it could only replay duplicates). Returns
     * the number of files removed (0 = nothing to do). */
-  def compact(dir: String, upTo: Long): Int = {
-    require(upTo >= 0L, s"graft_kv: compact upTo must be >= 0, got $upTo")
+  def compact(dir: String, upToRequested: Long): Int = {
+    require(upToRequested >= 0L,
+      s"graft_kv: compact upTo must be >= 0, got $upToRequested")
     val mfp = manifestPath(dir)
     require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
     val mf = readManifest(mfp)
+    // CLAMP to the newest published epoch: a boundary beyond it would mark
+    // FUTURE epochs as already-published, and a live stream's next commit
+    // would silently discard its own files as replay duplicates
+    val maxEpoch = mf.files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L)
+    if (maxEpoch < 0L) return 0 // empty table: nothing to compact or fence
+    val upTo = math.min(upToRequested, maxEpoch)
     val (old, keep) = mf.files.partition(f => epochOf(f._1) <= upTo)
     val newUpTo = math.max(upTo, mf.compactedUpTo)
     if (old.size <= 1) {
@@ -463,11 +479,31 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
     // empty task files are never published (an empty partition's writer
     // still opened one) — a 0-row file would carry no stats/blooms and
     // survive every pruning pass for nothing
-    val committed = messages.collect { case m: GraftKvCommit => m }
+    val committed0 = messages.collect { case m: GraftKvCommit => m }
       .filter { m =>
         if (m.rows == 0L) Files.deleteIfExists(Paths.get(dir, m.tmpName))
         m.rows > 0L
       }
+    // If the table already carries epoch history (a streaming writer), a
+    // batch APPEND must join that history: epoch-less files read as epoch
+    // 0 in the micro-batch stream, so a reader checkpointed past 0 would
+    // silently never see them. Stamp the new files with the next epoch —
+    // they surface to live readers and participate in asOfEpoch reads.
+    val mfPeek = GraftKvSink.manifestPath(dir)
+    val nextEpoch =
+      if (replace || !Files.exists(mfPeek)) None
+      else {
+        val names = GraftKvSink.readManifest(mfPeek).files.map(_._1)
+        if (names.exists(_.startsWith("epoch-")))
+          Some(names.map(GraftKvSink.epochOf).max + 1L)
+        else None
+      }
+    val committed = committed0.map { m =>
+      nextEpoch match {
+        case Some(e) => m.copy(finalName = s"epoch-$e-${m.finalName}")
+        case None    => m
+      }
+    }
     committed.foreach { m =>
       Files.move(Paths.get(dir, m.tmpName), Paths.get(dir, m.finalName),
         StandardCopyOption.REPLACE_EXISTING)
@@ -538,10 +574,12 @@ final class GraftKvWriter(dir: String, schema: StructType,
   private def observe(i: Int, s: String): Unit = {
     if (statBad(i)) return
     val dt = schema(i).dataType
+    // string order = UTF8String binary order, matching the scan-side `le`
     val lower = dt match {
       case IntegerType | LongType => (a: String, b: String) => a.toLong < b.toLong
       case DoubleType             => (a: String, b: String) => a.toDouble < b.toDouble
-      case _                      => (a: String, b: String) => a.compareTo(b) < 0
+      case _ => (a: String, b: String) =>
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
     }
     if (statMin(i) == null || lower(s, statMin(i))) statMin(i) = s
     if (statMax(i) == null || lower(statMax(i), s)) statMax(i) = s

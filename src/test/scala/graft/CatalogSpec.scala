@@ -88,6 +88,17 @@ class CatalogSpec extends SparkSpec {
         "GROUP BY (r_regionkey) SUMS (r_regionkey)")
       assert(spark.sql("SELECT count(*) FROM graft.ktmv").head().getLong(0) == 5L)
       spark.sql("DROP MATERIALIZED VIEW ktmv")
+      // graft references inside SUBQUERY EXPRESSIONS expand too (the
+      // parser walks transformUpWithSubqueries — a plain transform never
+      // descends into EXISTS/IN/scalar subqueries)
+      val inSub = spark.sql(
+        """SELECT count(*) FROM kt
+          |WHERE n_nationkey IN (SELECT n_nationkey FROM graft.kt)""".stripMargin)
+        .head().getLong(0)
+      assert(inSub == spark.table("kt").count())
+      val scalarSub = spark.sql(
+        "SELECT (SELECT max(r_regionkey) FROM graft.wh.kt2) AS m").head()
+      assert(scalarSub.getInt(0) == 4)
       spark.sql("DROP TABLE wh.kt2")
       spark.sql("DROP TABLE kt")
       spark.sql("DROP VIEW IF EXISTS wh.kt2")

@@ -797,6 +797,27 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("CREATE INDEX rejects NULL and duplicate keys in the source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_guard").toString
+    Seq((Option(1L), "a", 5L), (Option.empty[Long], "b", 6L))
+      .toDF("k", "s", "v").write.parquet(s"$dir/nulls.parquet")
+    Seq((1L, "a", 5L), (1L, "b", 6L))
+      .toDF("k", "s", "v").write.parquet(s"$dir/dups.parquet")
+    for ((f, word) <- Seq(("nulls", "NULL"), ("dups", "not unique"))) {
+      if (ops.Ddl.lookup("ig_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE ig_t")
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE ig_t MAPPED BY '$dir/$f.parquet' KEYS (k)")
+      val e = intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark, "CREATE INDEX ig_i ON ig_t (v)")
+      }
+      assert(e.getMessage.contains(word), e.getMessage)
+      assert(graft.plans.IndexCatalog.named("ig_i").isEmpty)
+      ops.Ddl.execute(spark, "DROP TABLE ig_t")
+    }
+  }
+
   test("visibility labels: DNF algebra, restart replay, guarded drops") {
     if (ops.Ddl.lookup("vl_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE vl_t")
     ops.Ddl.execute(spark,

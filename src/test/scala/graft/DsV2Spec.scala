@@ -182,6 +182,11 @@ class DsV2Spec extends SparkSpec {
     // unknown shapes / unknown columns never prune
     assert(planned(org.apache.spark.sql.sources.IsNull("s")) == total)
     assert(planned(org.apache.spark.sql.sources.EqualTo("nope", 1L)) == total)
+    // a NULL comparison value must not throw (three-valued logic: it
+    // matches nothing, so only the non-null IN elements drive pruning)
+    assert(planned(org.apache.spark.sql.sources.In("id", Array(null, 6L))) == 1)
+    assert(planned(org.apache.spark.sql.sources.EqualTo("id", null)) == 0)
+    assert(planned(org.apache.spark.sql.sources.GreaterThan("id", null)) == 0)
     // end to end through the DataFrame API: pushed filter prunes the scan
     // AND the result is exact (Spark re-applies every predicate)
     val got = kvRead(dir).filter(col("id") === 5L).collect()

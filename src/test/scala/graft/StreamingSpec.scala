@@ -378,6 +378,23 @@ class StreamingSpec extends SparkSpec {
     val mfJson = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "_graft_manifest.json")))
     assert(mfJson.contains("\"compactedUpTo\" : 1"), mfJson)
+    // the batch append joined the table's epoch history (epoch-less files
+    // would read as epoch 0 and a reader checkpointed past 0 would
+    // silently skip them): a stream resuming after epoch 2 delivers it
+    val names2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(names2.exists(n => n.startsWith("epoch-3-") && n.endsWith(".kv")), names2)
+    val mbs2 = new graft.sources.GraftKvMicroBatchStream(dir)
+    assert(mbs2.latestOffset().json() == "3")
+    assert(mbs2.planInputPartitions(mbs2.deserializeOffset("2"),
+      mbs2.deserializeOffset("3")).length == 1)
+    // compacting past the newest epoch is CLAMPED — a later live commit
+    // must never be mistaken for an already-published replay
+    graft.sources.GraftKvSink.compact(dir, 999L)
+    val mfJson2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_graft_manifest.json")))
+    assert(mfJson2.contains("\"compactedUpTo\" : 3"), mfJson2)
+    assert(readAll() == before + 9L)
     // re-compacting at the same boundary is a safe no-op for state
     graft.sources.GraftKvSink.compact(dir, 1L)
     assert(readAll() == before + 9L)
