@@ -98,6 +98,14 @@ case class GraftTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
 object TopK {
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    // runtime-registry path (mirrors VectorOps.ensureRegistered): sessions
+    // built without GraftExtensions still plan the node — idempotent, and
+    // harmless beside the injected copy (a strategy that matched first
+    // wins; both produce the identical exec pair)
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(GraftTopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ GraftTopKStrategy
     val plan = df.queryExecution.analyzed
     def attr(n: String): Attribute = plan.output
       .find(_.name.equalsIgnoreCase(n))
