@@ -447,6 +447,8 @@ object Ddl {
     """(?is)\s*REFRESH\s+INDEX\s+(\w+)\s*""".r
   private val DropIndexRe =
     """(?is)\s*DROP\s+INDEX\s+(\w+)\s*""".r
+  private val ShowIndexesRe =
+    """(?is)\s*SHOW\s+INDEXES\s*""".r
   // SHOW VERSIONS <t> lists the mutation history (version 0 = base);
   // RESTORE TABLE <t> TO VERSION <n> truncates the log back to n applied
   // mutations — the catalog is metadata-only, so restore never touches
@@ -642,6 +644,8 @@ object Ddl {
     Seq("stat" -> StringType, "value" -> StringType)
   private val versionsCols: Seq[(String, DataType)] =
     Seq("version" -> IntegerType, "op" -> StringType, "detail" -> StringType)
+  private val indexesCols: Seq[(String, DataType)] =
+    Seq("index" -> StringType, "source" -> StringType, "col" -> StringType)
 
   /** VERSION time travel over the mutation log — the Spark analogue of
     * HBase's cell-version reads (the reference's storage model keeps prior
@@ -727,6 +731,7 @@ object Ddl {
     case CreateIndexRe(_*)                           => Some(statusCols)
     case RefreshIndexRe(n) if idxNamed(n).isDefined  => Some(statusCols)
     case DropIndexRe(n) if idxNamed(n).isDefined     => Some(statusCols)
+    case ShowIndexesRe(_*)                           => Some(indexesCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
@@ -1050,6 +1055,11 @@ object Ddl {
         else replaceView(spark, t.name, updated)
         logMut(t, Mut("update", colName, caseExpr))
         status("UPDATE", t.name)
+      case ShowIndexesRe(_*) =>
+        ensureLoaded()
+        graft.plans.IndexCatalog.all()
+          .map(ix => (ix.name, ix.sourcePath, ix.col))
+          .toDF("index", "source", "col")
       case ShowVersionsRe(name) =>
         val t = lookupOrThrow(name)
         val rows = (0, "base", t.path) +: t.muts.zipWithIndex.map { case (m, i) =>

@@ -814,6 +814,9 @@ class DdlSpec extends SparkSpec {
       }
       assert(e.getMessage.contains(word), e.getMessage)
       assert(graft.plans.IndexCatalog.named("ig_i").isEmpty)
+      // a rejected CREATE must not surface in SHOW INDEXES either
+      assert(!ops.Ddl.execute(spark, "SHOW INDEXES").collect()
+        .exists(_.getString(0) == "ig_i"))
       ops.Ddl.execute(spark, "DROP TABLE ig_t")
     }
   }

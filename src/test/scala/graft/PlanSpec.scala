@@ -122,6 +122,10 @@ class PlanSpec extends SparkSpec {
       s"CREATE TABLE pidx_t MAPPED BY '$d/orders.parquet' KEYS (o_orderkey)")
     graft.ops.Ddl.execute(spark, "CREATE INDEX pidx_ck ON pidx_t (o_custkey)")
     try {
+      // introspection: the registered index is listed
+      val shown = graft.ops.Ddl.execute(spark, "SHOW INDEXES").collect()
+        .map(r => (r.getString(0), r.getString(2)))
+      assert(shown.contains(("pidx_ck", "o_custkey")), shown.mkString(";"))
       val df = graft.ops.KeyRange.indexRewriteFrame(spark, d)
       // the optimized plan must read the INDEX parquet and carry a LeftSemi
       val paths = scanPaths(df)
