@@ -336,6 +336,17 @@ object Ddl {
     * (base parquet + replayed mutation log) for a registered table. */
   def viewSqlFor(spark: SparkSession, name: String): Option[String] =
     lookup(name).map(rebuildSql(spark, _))
+  /** Self-contained view SQL for ANY graft-managed object — keyed table
+    * (mutation log replayed) or materialized view (snapshot scan). The one
+    * resolution both SQL read paths share (the injected parser's reference
+    * expansion and the TableCatalog plugin's view half), so MV/table
+    * resolution semantics can never diverge between them. */
+  def objectSqlFor(spark: SparkSession, name: String): Option[String] =
+    viewSqlFor(spark, name).orElse(
+      mvEntries().collectFirst {
+        case (n, mv) if n == name.toLowerCase =>
+          s"SELECT * FROM parquet.`${mv.snapshotPath}`"
+      })
   /** All keyed tables (for catalog listings). */
   def tableNames(): Seq[String] = {
     ensureLoaded(); catalog.values.toSeq.map(_.name).sorted

@@ -74,11 +74,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
         val rest = u.multipartIdentifier.tail.mkString(".")
         if (Ddl.dsv2Get(rest).isDefined) u // connector table → TableCatalog
-        else Ddl.viewSqlFor(session, rest).orElse(
-          Ddl.mvEntries().collectFirst {
-            case (n, mv) if n == rest.toLowerCase =>
-              s"SELECT * FROM parquet.`${mv.snapshotPath}`"
-          }) match {
+        else Ddl.objectSqlFor(session, rest) match {
           case Some(sql) =>
             org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
               u.multipartIdentifier.last, delegate.parseQuery(sql))

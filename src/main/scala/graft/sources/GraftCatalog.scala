@@ -175,14 +175,8 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
   /** Keyed tables and MV snapshots surface as catalog views: the body is
     * self-contained SQL (parquet path + replayed mutation log), so the
     * analyzer expands them to plain parquet scans with full pushdown. */
-  private def viewSql(ident: Identifier): Option[String] = {
-    val k = key(ident)
-    Ddl.viewSqlFor(session, k).orElse(
-      Ddl.mvEntries().collectFirst {
-        case (n, mv) if n == k.toLowerCase =>
-          s"SELECT * FROM parquet.`${mv.snapshotPath}`"
-      })
-  }
+  private def viewSql(ident: Identifier): Option[String] =
+    Ddl.objectSqlFor(session, key(ident))
 
   override def viewExists(ident: Identifier): Boolean = viewSql(ident).isDefined
 
