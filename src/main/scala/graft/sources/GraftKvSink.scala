@@ -364,8 +364,10 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
   * correctness surface, exactly parquet row-group skipping's contract. */
 final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
   extends ScanBuilder
-  with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
   private var fs: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var projection: Option[StructType] = None
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     fs = filters
@@ -373,7 +375,12 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
-  override def build(): Scan = new GraftKvScan(dir, asOf, fs.toSeq)
+  // column pruning: the reader parses ONLY the requested fields out of
+  // each line (a two-column projection over a wide table converts two
+  // values per row, not all of them)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    projection = Some(requiredSchema)
+  override def build(): Scan = new GraftKvScan(dir, asOf, fs.toSeq, projection)
 }
 
 final class GraftKvWriteBuilder(dir: String, schema: StructType)
@@ -655,11 +662,12 @@ final class GraftKvWriter(dir: String, schema: StructType,
   * minus the files whose manifest stats contradict a pushed filter —
   * the connector's region-pruning analogue. */
 final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
-    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
+    filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
+    projection: Option[StructType] = None)
   extends Scan with Batch {
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftKvMicroBatchStream(dir)
+    new GraftKvMicroBatchStream(dir, projection)
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   private val EpochRe = """epoch-(\d+)-.*""".r
   // vacuumed history is unanswerable — error, never partial rows
@@ -684,15 +692,16 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     filters.forall(f => GraftKvSink.mayMatch(manifest.schema, st, f) &&
       GraftKvSink.bloomMayMatch(manifest.schema, bl, f))
   }
-  override def readSchema(): StructType = manifest.schema
+  override def readSchema(): StructType = projection.getOrElse(manifest.schema)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_kv $dir files=${visible.length}/${manifest.files.length}" +
+      s" cols=${readSchema().length}/${manifest.schema.length}" +
       asOfEpoch.map(n => s" asOfEpoch=$n").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
     visible.map(f => GraftKvFilePartition(dir, f._1): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftKvReaderFactory(manifest.schema.json)
+    new GraftKvReaderFactory(manifest.schema.json, readSchema().json)
 }
 
 final case class GraftKvFilePartition(dir: String, file: String)
@@ -708,7 +717,8 @@ final case class GraftKvFilePartition(dir: String, file: String)
   * latestOffset re-reads the manifest (one small JSON) per trigger, so a
   * concurrently running streaming WRITE to the same directory is picked up
   * epoch by epoch — the connector is a live source, not a snapshot. */
-final class GraftKvMicroBatchStream(dir: String)
+final class GraftKvMicroBatchStream(dir: String,
+    projection: Option[StructType] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -750,16 +760,27 @@ final class GraftKvMicroBatchStream(dir: String)
   override def createReaderFactory(): PartitionReaderFactory = {
     val mf = GraftKvSink.manifestPath(dir)
     require(Files.exists(mf), s"graft_kv: no manifest at $dir")
-    new GraftKvReaderFactory(GraftKvSink.readManifest(mf).schema.json)
+    val full = GraftKvSink.readManifest(mf).schema
+    new GraftKvReaderFactory(full.json, projection.getOrElse(full).json)
   }
   override def commit(end: Offset): Unit = () // files are immutable history
   override def stop(): Unit = ()
 }
 
-final class GraftKvReaderFactory(schemaJson: String) extends PartitionReaderFactory {
+/** Line reader with COLUMN PRUNING: `projectedJson` names the fields (a
+  * subset of the file schema, possibly reordered) to materialize — only
+  * those values are parsed/converted per row; everything else in the line
+  * is skipped after the tab split. A zero-column projection (count(*))
+  * emits empty rows, one per line. */
+final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
+  extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[GraftKvFilePartition]
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val projected = DataType.fromJson(projectedJson).asInstanceOf[StructType]
+    val srcIdx = projected.fields.map { f =>
+      schema.fieldIndex(f.name) // throws on an unknown projected column
+    }
     new PartitionReader[InternalRow] {
       private val lines = Files.lines(Paths.get(fp.dir, fp.file)).iterator()
       private var cur: String = _
@@ -770,18 +791,19 @@ final class GraftKvReaderFactory(schemaJson: String) extends PartitionReaderFact
       }
       override def get(): InternalRow = {
         val parts = cur.split("\t", -1)
-        InternalRow.fromSeq(schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
-          val v = parts(i)
-          if (v == "\\N") null
-          else f.dataType match {
-            case IntegerType => v.toInt
-            case LongType    => v.toLong
-            case DoubleType  => v.toDouble
-            case StringType  =>
-              UTF8String.fromString(
-                if (v.startsWith("\\")) v.substring(1) else v)
-            case dt => throw new IllegalStateException(s"unsupported $dt")
-          }
+        InternalRow.fromSeq(projected.fields.toSeq.zipWithIndex.map {
+          case (f, o) =>
+            val v = parts(srcIdx(o))
+            if (v == "\\N") null
+            else f.dataType match {
+              case IntegerType => v.toInt
+              case LongType    => v.toLong
+              case DoubleType  => v.toDouble
+              case StringType  =>
+                UTF8String.fromString(
+                  if (v.startsWith("\\")) v.substring(1) else v)
+              case dt => throw new IllegalStateException(s"unsupported $dt")
+            }
         })
       }
       override def close(): Unit = ()

@@ -238,6 +238,29 @@ class DsV2Spec extends SparkSpec {
     assert(kvRead(dir).count() == 2000)
   }
 
+  test("kv scan prunes columns: only requested fields are materialized") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_cols").toString
+    kvWrite(Seq((1L, "a", 1.5, 10), (2L, null.asInstanceOf[String], -2.0, 20))
+      .toDF("id", "s", "v", "n"), dir, "overwrite")
+    val df = kvRead(dir).select(col("s"), col("id")) // subset AND reordered
+    val inner = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = inner.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    // Spark prunes to FILE order and reorders above the scan: 2 of 4 cols
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("id", "s"),
+      scans.head.scan.readSchema().treeString)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 1L), (null, 2L)))
+    // zero-column projection: count(*) still sees every line
+    assert(kvRead(dir).count() == 2L)
+  }
+
   test("kv sink append merges the manifest; overwrite truncates it") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_ap").toString
