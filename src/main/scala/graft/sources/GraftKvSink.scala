@@ -365,9 +365,11 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
 final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var fs: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var projection: Option[StructType] = None
+  private var countStars = 0
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     fs = filters
@@ -380,8 +382,69 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
   // values per row, not all of them)
   override def pruneColumns(requiredSchema: StructType): Unit =
     projection = Some(requiredSchema)
-  override def build(): Scan = new GraftKvScan(dir, asOf, fs.toSeq, projection)
+  // COUNT(*) answered straight from the manifest's per-file row counts —
+  // the HBase region-metadata count: zero data files opened. Only the
+  // unfiltered, ungrouped form is eligible (our filters are all residual,
+  // so Spark never offers aggregates over a filtered scan anyway — the
+  // fs.isEmpty check is defense in depth).
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = false
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (fs.nonEmpty || a.groupByExpressions.nonEmpty) return false
+    val ok = a.aggregateExpressions.nonEmpty && a.aggregateExpressions
+      .forall(_.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.aggregate.CountStar])
+    if (ok) countStars = a.aggregateExpressions.length
+    ok
+  }
+  override def build(): Scan =
+    if (countStars > 0) new GraftKvCountScan(dir, asOf, countStars)
+    else new GraftKvScan(dir, asOf, fs.toSeq, projection)
 }
+
+/** Manifest-only COUNT(*) scan: one partition, one partial row holding the
+  * visible files' row-count total — the data files are never opened. */
+final class GraftKvCountScan(dir: String, asOfEpoch: Option[Long], n: Int)
+  extends Scan with Batch {
+  private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+  private val EpochRe = """epoch-(\d+)-.*""".r
+  asOfEpoch.foreach { e =>
+    require(manifest.compactedUpTo < 0L || e >= manifest.compactedUpTo,
+      s"graft_kv: asOfEpoch=$e predates compacted history " +
+        s"(epochs <= ${manifest.compactedUpTo} were vacuumed)")
+  }
+  private val total = (asOfEpoch match {
+    case None    => manifest.files
+    case Some(v) => manifest.files.filter {
+      case (EpochRe(e), _) => e.toLong <= v
+      case _               => true
+    }
+  }).map(_._2).sum
+  override def readSchema(): StructType = StructType(
+    (1 to n).map(i => StructField(s"count_star_$i", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft_kv $dir PushedAggregation: [count_star] (manifest row counts)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftKvCountPartition(total, n))
+  override def createReaderFactory(): PartitionReaderFactory =
+    (p: InputPartition) => {
+      val cp = p.asInstanceOf[GraftKvCountPartition]
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow =
+          InternalRow.fromSeq(Seq.fill(cp.n)(cp.total))
+        override def close(): Unit = ()
+      }
+    }
+}
+
+final case class GraftKvCountPartition(total: Long, n: Int)
+  extends InputPartition
 
 final class GraftKvWriteBuilder(dir: String, schema: StructType)
   extends WriteBuilder with SupportsTruncate {

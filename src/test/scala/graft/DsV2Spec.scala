@@ -257,8 +257,24 @@ class DsV2Spec extends SparkSpec {
       scans.head.scan.readSchema().treeString)
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
       Set(("a", 1L), (null, 2L)))
-    // zero-column projection: count(*) still sees every line
+    // count(*) is answered from the MANIFEST, zero data files opened: the
+    // plan carries the pushed-count scan and the single metadata partition
+    val cnt = kvRead(dir).agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("manifest row counts"), cnt.queryExecution.executedPlan.toString)
+    assert(cnt.head().getLong(0) == 2L)
     assert(kvRead(dir).count() == 2L)
+    // a FILTERED count must NOT use the manifest (filters are residual)
+    val fcnt = kvRead(dir).filter(col("id") === 1L)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    assert(!fcnt.queryExecution.executedPlan.toString
+      .contains("manifest row counts"))
+    assert(fcnt.head().getLong(0) == 1L)
+    // time travel composes: asOfEpoch counts only the visible epochs
+    kvWrite(Seq((9L, "x", 0.0, 1)).toDF("id", "s", "v", "n"), dir, "append")
+    assert(kvRead(dir).count() == 3L)
   }
 
   test("kv sink append merges the manifest; overwrite truncates it") {
