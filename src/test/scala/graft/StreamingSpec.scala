@@ -359,6 +359,14 @@ class StreamingSpec extends SparkSpec {
     // current read and asOfEpoch at/after the boundary are unchanged
     assert(readAll() == before)
     assert(readAll(Map("asOfEpoch" -> "1")) == Set(1L, 2L, 3L))
+    // the manifest COUNT(*) path composes with time travel + the fence
+    assert(spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("asOfEpoch", "1").load().count() == 3L)
+    val eCnt = intercept[Exception] {
+      spark.read.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("asOfEpoch", "0").load().count()
+    }
+    assert(eCnt.getMessage.contains("vacuumed"), eCnt.getMessage)
     // vacuumed history errors instead of returning partial rows
     val e = intercept[Exception] { readAll(Map("asOfEpoch" -> "0")) }
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
