@@ -477,6 +477,96 @@ object Ddl {
   private val MergeRe =
     s"""(?is)\\s*MERGE\\s+INTO\\s+($Id)\\s+USING\\s+\\((.+)\\)(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)\\s+WHEN\\s+MATCHED\\s+THEN\\s+UPDATE\\s+SET\\s+\\*\\s+WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*\\s*""".r
 
+  // Generalized MERGE (beyond the star form): any number of
+  //   WHEN MATCHED [AND <cond>] THEN UPDATE SET c = e, … | UPDATE SET * | DELETE
+  //   WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * | INSERT (cols) VALUES (exprs)
+  //   WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET c = e, …
+  // First matching clause per group wins (standard MERGE semantics). The ON
+  // clause keeps the star form's discipline: exactly the PRIMARY KEY
+  // equality conjunction, source-to-target. Replays as mutation op
+  // "merge2": a = dropped-keys snapshot, b = output-rows snapshot, so the
+  // pure-SQL rebuild stays self-contained regardless of clause complexity.
+  private val MergeGenRe =
+    s"""(?is)\\s*MERGE\\s+INTO\\s+($Id)(?:\\s+(?:AS\\s+)?(?!USING\\b)(\\w+))?\\s+USING\\s+\\((.+)\\)(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*""".r
+
+  private sealed trait MergeClause { def cond: Option[String] }
+  private sealed trait MatchedC extends MergeClause
+  private sealed trait InsertC extends MergeClause
+  private sealed trait BySourceC extends MergeClause
+  private final case class MatchedUpdate(cond: Option[String], star: Boolean,
+      sets: Seq[(Option[String], String, String)]) extends MatchedC
+  private final case class MatchedDelete(cond: Option[String]) extends MatchedC
+  private final case class InsertRow(cond: Option[String], star: Boolean,
+      cols: Seq[String], vals: Seq[String]) extends InsertC
+  private final case class BySourceDelete(cond: Option[String]) extends BySourceC
+  private final case class BySourceUpdate(cond: Option[String],
+      sets: Seq[(Option[String], String, String)]) extends BySourceC
+
+  /** Split on top-level commas — commas inside (), [], '…' or "…" belong to
+    * the expression, not the list. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0; var q: Char = 0
+    s.foreach { ch =>
+      if (q != 0) { cur += ch; if (ch == q) q = 0 }
+      else ch match {
+        case '\'' | '"'        => q = ch; cur += ch
+        case '(' | '['         => depth += 1; cur += ch
+        case ')' | ']'         => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case _                 => cur += ch
+      }
+    }
+    out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** `c1 = e1, t.c2 = e2, …` → (lhs qualifier, column, expression). Splits
+    * each assignment at its FIRST top-level `=`; the expression may itself
+    * contain `=` (comparisons, CASE). */
+  private def parseAssignments(s: String): Seq[(Option[String], String, String)] = {
+    val AssignRe = """(?s)\s*(?:(\w+)\s*\.\s*)?(\w+)\s*=\s*(.+?)\s*""".r
+    splitTopLevel(s).map {
+      case AssignRe(q, c, e) => (Option(q), c, e)
+      case a => throw new IllegalArgumentException(
+        s"bad MERGE assignment '$a' (expected [alias.]column = expression)")
+    }
+  }
+
+  private def parseMergeClauses(text: String): Seq[MergeClause] = {
+    val SD = """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+    val SU = """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+    val NI = """(?is)\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+(.+?)\s*""".r
+    val MU = """(?is)\s*MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+    val MD = """(?is)\s*MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+    val InsValsRe = """(?is)\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""".r
+    // split at each WHEN that introduces a clause (lookahead keeps CASE
+    // WHEN inside conditions/expressions intact)
+    text.split("(?is)\\s*\\bWHEN\\s+(?=(?:NOT\\s+)?MATCHED\\b)")
+      .toSeq.map(_.trim).filter(_.nonEmpty).map {
+        case SD(c)        => BySourceDelete(Option(c))
+        case SU(c, sets)  => BySourceUpdate(Option(c), parseAssignments(sets))
+        case NI(c, body)  => body.trim match {
+          case "*"                   => InsertRow(Option(c), star = true, Nil, Nil)
+          case InsValsRe(cols, vals) =>
+            val cs = splitTopLevel(cols).map(_.replaceAll("`", ""))
+            val vs = splitTopLevel(vals)
+            require(cs.length == vs.length,
+              s"INSERT column list (${cs.length}) and VALUES (${vs.length}) differ in length")
+            InsertRow(Option(c), star = false, cs, vs)
+          case other => throw new IllegalArgumentException(
+            s"bad MERGE INSERT form '$other' (expected * or (cols) VALUES (exprs))")
+        }
+        case MU(c, sets)  =>
+          if (sets.trim == "*") MatchedUpdate(Option(c), star = true, Nil)
+          else MatchedUpdate(Option(c), star = false, parseAssignments(sets))
+        case MD(c)        => MatchedDelete(Option(c))
+        case other => throw new IllegalArgumentException(
+          s"unrecognized MERGE clause 'WHEN $other'")
+      }
+  }
+
   private def isQualified(name: String): Boolean = name.contains('.')
   private def quoted(name: String): String =
     name.split('.').map(p => s"`$p`").mkString(".")
@@ -524,6 +614,15 @@ object Ddl {
             s"FROM parquet.`${m.b}` UNION ALL " +
             s"SELECT ${cols.map(c => s"b.`$c`").mkString(", ")} FROM ( $sqlText ) b " +
             s"WHERE NOT EXISTS (SELECT 1 FROM parquet.`${m.b}` s WHERE $keyPred)"
+        case "merge2" =>
+          // generalized merge: b = output rows (updates + inserts), a =
+          // dropped-keys snapshot (replaced or deleted); prior rows survive
+          // only when their key is absent from the drop set
+          val keyPred = t.keys.map(k => s"s.`$k` = b.`$k`").mkString(" AND ")
+          sqlText = s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} " +
+            s"FROM parquet.`${m.b}` UNION ALL " +
+            s"SELECT ${cols.map(c => s"b.`$c`").mkString(", ")} FROM ( $sqlText ) b " +
+            s"WHERE NOT EXISTS (SELECT 1 FROM parquet.`${m.a}` s WHERE $keyPred)"
         case "viscol" =>
           sqlText = s"SELECT * FROM ( $sqlText ) " +
             s"WHERE ${visPredicateSql(m.a, visAuths)}"
@@ -732,6 +831,7 @@ object Ddl {
     case DeleteRe(n, _) if lookup(n).isDefined       => Some(statusCols)
     case UpdateRe(n, _, _, _) if lookup(n).isDefined => Some(statusCols)
     case MergeRe(n, _, _, _) if lookup(n).isDefined  => Some(statusCols)
+    case MergeGenRe(n, _, _, _, _, _) if lookup(n).isDefined => Some(statusCols)
     case CreateMvRe(_*)                              => Some(statusCols)
     case ShowVersionsRe(n) if lookup(n).isDefined    => Some(versionsCols)
     case RestoreRe(n, _) if lookup(n).isDefined      => Some(statusCols)
@@ -882,6 +982,11 @@ object Ddl {
           val s = spark.read.parquet(m.b)
           s.unionByName(
             df.join(s.select(t.keys.map(k => col(k)): _*), t.keys, "left_anti"))
+        // generalized merge: output snapshot wins; prior rows survive only
+        // if their key is absent from the dropped-keys snapshot
+        case "merge2" =>
+          spark.read.parquet(m.b).unionByName(
+            df.join(spark.read.parquet(m.a), t.keys, "left_anti"))
         // visibility gate, evaluated against the CURRENT session auth set
         // (SET VISIBILITY re-registers every labeled table's view)
         case "viscol" => df.filter(visPredicate(col(m.a), visAuths))
@@ -1221,6 +1326,185 @@ object Ddl {
         else replaceView(spark, t.name, merged)
         logMut(t, Mut("merge", onCond, snap))
         status("MERGE", t.name)
+      case MergeGenRe(name, tgtAliasOpt, srcSql, alias, onCond, clausesText) =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        val cur = spark.table(t.name)
+        require(alias != null,
+          s"MERGE INTO ${t.name} requires an alias on the USING source " +
+            "(e.g. USING (...) s ON s.key = key) so clauses can name " +
+            "both sides unambiguously")
+        val tShort = t.name.split('.').last
+        val tAlias = Option(tgtAliasOpt).getOrElse(tShort)
+        require(!tAlias.equalsIgnoreCase(alias),
+          "MERGE target and source aliases must differ")
+        // ON must be exactly the PRIMARY KEY equality conjunction,
+        // source-to-target — same discipline as the star form
+        def isSrc(q: String) = q != null && q.equalsIgnoreCase(alias)
+        def isTgt(q: String) = q == null || q.equalsIgnoreCase(tAlias) ||
+          q.equalsIgnoreCase(tShort) || q.equalsIgnoreCase(t.name)
+        val conds = onCond.split("(?i)\\s+AND\\s+").toSeq
+        val CondRe = """(?s)\s*(?:(\w+)\.)?(\w+)\s*=\s*(?:(\w+)\.)?(\w+)\s*""".r
+        val onKeys = conds.map {
+          case CondRe(q1, a, q2, b) if a.equalsIgnoreCase(b) &&
+              ((isSrc(q1) && isTgt(q2)) || (isTgt(q1) && isSrc(q2))) =>
+            a.toLowerCase
+          case c => throw new IllegalArgumentException(
+            s"MERGE ON must be a source-to-target key-equality conjunction " +
+              s"($alias.<key> = [$tAlias.]<key>); got '$c'")
+        }.toSet
+        require(onKeys == t.keys.map(_.toLowerCase).toSet,
+          s"MERGE ON must cover exactly PRIMARY KEY (${t.keys.mkString(", ")})" +
+            s" of ${t.name}; got (${onKeys.mkString(", ")})")
+        val clauses = parseMergeClauses(clausesText)
+        val mClauses = clauses.collect { case c: MatchedC => c }
+        val iClauses = clauses.collect { case c: InsertRow => c }
+        val sClauses = clauses.collect { case c: BySourceC => c }
+        // standard MERGE: only the last clause of each group may omit AND
+        Seq(("MATCHED", mClauses: Seq[MergeClause]),
+            ("NOT MATCHED", iClauses), ("NOT MATCHED BY SOURCE", sClauses))
+          .foreach { case (kind, cs) => cs.dropRight(1).foreach(c =>
+            require(c.cond.nonEmpty,
+              s"only the last WHEN $kind clause may omit AND <condition>")) }
+        // assignment LHS: a target column (optionally target-qualified),
+        // never a PRIMARY KEY column (an upsert that rewrites its own key
+        // has no coherent key semantics)
+        def validateSets(sets: Seq[(Option[String], String, String)]): Unit =
+          sets.foreach { case (q, c, _) =>
+            require(q.forall(isTgt),
+              s"MERGE UPDATE SET target must be a ${t.name} column; got '${q.get}.$c'")
+            require(cur.columns.exists(_.equalsIgnoreCase(c)),
+              s"unknown column '$c' in MERGE UPDATE SET (table has " +
+                s"${cur.columns.mkString(", ")})")
+            require(!t.keys.exists(_.equalsIgnoreCase(c)),
+              s"MERGE cannot update PRIMARY KEY column '$c'")
+          }
+        clauses.foreach {
+          case MatchedUpdate(_, false, sets) => validateSets(sets)
+          case BySourceUpdate(_, sets)       => validateSets(sets)
+          case InsertRow(_, false, cols0, _) =>
+            cols0.foreach(c => require(cur.columns.exists(_.equalsIgnoreCase(c)),
+              s"unknown column '$c' in MERGE INSERT list"))
+            t.keys.foreach(k => require(cols0.exists(_.equalsIgnoreCase(k)),
+              s"MERGE INSERT column list must include PRIMARY KEY column '$k'"))
+          case _ => ()
+        }
+        val src0 = spark.sql(srcSql)
+        // star clauses need the full column set; explicit clauses only the keys
+        val needStar = clauses.exists {
+          case MatchedUpdate(_, true, _) => true
+          case InsertRow(_, true, _, _)  => true
+          case _                         => false
+        }
+        if (needStar)
+          require(src0.columns.map(_.toLowerCase).toSet ==
+            cur.columns.map(_.toLowerCase).toSet,
+            s"MERGE with UPDATE SET * / INSERT * needs source columns " +
+              s"(${src0.columns.mkString(", ")}) to match ${t.name} " +
+              s"(${cur.columns.mkString(", ")})")
+        t.keys.foreach(k => require(src0.columns.exists(_.equalsIgnoreCase(k)),
+          s"MERGE source must carry key column '$k'"))
+        // key sanity on the source: no NULL keys (they can never join) and
+        // no duplicate keys (one target row matched twice is an error)
+        val srcKeys = src0.select(t.keys.map(k => col(quotedCol(k))): _*)
+        require(srcKeys.filter(t.keys.map(k => col(quotedCol(k)).isNull)
+            .reduce(_ || _)).limit(1).collect().isEmpty,
+          s"MERGE source has NULL PRIMARY KEY values for ${t.name}")
+        val dup = srcKeys.groupBy(t.keys.map(k => col(quotedCol(k))): _*)
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"MERGE source has duplicate PRIMARY KEY rows for ${t.name} " +
+            s"(e.g. ${t.keys.zipWithIndex.map { case (k, i) =>
+              s"$k=${dup.head.get(i)}" }.mkString(", ")})")
+        val tj = cur.alias(tAlias)
+        val sj = src0.alias(alias)
+        def tcol(c: String) = col(s"$tAlias.${quotedCol(c)}")
+        def scol(c: String) = col(s"$alias.${quotedCol(c)}")
+        val keyEq = t.keys.map(k => tcol(k) === scol(k)).reduce(_ && _)
+        // first matching clause wins: CASE over the clause conditions
+        def clauseNum(cs: Seq[MergeClause]): Column =
+          cs.zipWithIndex.foldLeft(when(lit(false), 0)) { case (acc, (c, i)) =>
+            acc.when(c.cond.map(expr).getOrElse(lit(true)), i + 1)
+          }.otherwise(0)
+        // target row with assigned columns replaced (expressions see both
+        // aliases on matched rows, target only on by-source rows)
+        def updProjection(star: Boolean,
+            sets: Seq[(Option[String], String, String)]): Seq[Column] =
+          cur.schema.fields.toSeq.map { f =>
+            val assigned =
+              if (star) Some(s"$alias.${quotedCol(f.name)}")
+              else sets.find(_._2.equalsIgnoreCase(f.name)).map(_._3)
+            assigned match {
+              case Some(e) => expr(e).cast(f.dataType).as(f.name)
+              case None    => tcol(f.name).as(f.name)
+            }
+          }
+        val emptyOut = cur.limit(0)
+        val keyCols = t.keys.map(k => tcol(k).as(k))
+        val (updOut, touchedKeys) =
+          if (mClauses.isEmpty) (Nil, emptyOut.select(t.keys.map(k => col(quotedCol(k))): _*))
+          else {
+            val mNum = tj.join(sj, keyEq, "inner")
+              .withColumn("__mc", clauseNum(mClauses))
+            val outs = mClauses.zipWithIndex.collect {
+              case (MatchedUpdate(_, star, sets), i) =>
+                mNum.filter(col("__mc") === i + 1)
+                  .select(updProjection(star, sets): _*)
+            }
+            (outs, mNum.filter(col("__mc") =!= 0).select(keyCols: _*))
+          }
+        val insOut =
+          if (iClauses.isEmpty) Nil
+          else {
+            val tgtKeys = cur.select(t.keys.map(k => col(quotedCol(k))): _*).alias("__gt")
+            val antiEq = t.keys.map(k =>
+              scol(k) === col(s"__gt.${quotedCol(k)}")).reduce(_ && _)
+            val iNum = sj.join(tgtKeys, antiEq, "left_anti")
+              .withColumn("__ic", clauseNum(iClauses))
+            iClauses.zipWithIndex.map { case (InsertRow(_, star, cols0, vals), i) =>
+              val rows = iNum.filter(col("__ic") === i + 1)
+              val proj = cur.schema.fields.toSeq.map { f =>
+                if (star) scol(f.name).cast(f.dataType).as(f.name)
+                else cols0.indexWhere(_.equalsIgnoreCase(f.name)) match {
+                  case -1 => lit(null).cast(f.dataType).as(f.name)
+                  case j  => expr(vals(j)).cast(f.dataType).as(f.name)
+                }
+              }
+              rows.select(proj: _*)
+            }
+          }
+        val (bsOut, bsTouched) =
+          if (sClauses.isEmpty) (Nil, emptyOut.select(t.keys.map(k => col(quotedCol(k))): _*))
+          else {
+            val srcK = src0.select(t.keys.map(k => col(quotedCol(k))): _*).alias("__gs")
+            val antiEq = t.keys.map(k =>
+              tcol(k) === col(s"__gs.${quotedCol(k)}")).reduce(_ && _)
+            val sNum = tj.join(srcK, antiEq, "left_anti")
+              .withColumn("__sc", clauseNum(sClauses))
+            val outs = sClauses.zipWithIndex.collect {
+              case (BySourceUpdate(_, sets), i) =>
+                sNum.filter(col("__sc") === i + 1)
+                  .select(updProjection(star = false, sets): _*)
+            }
+            (outs, sNum.filter(col("__sc") =!= 0).select(keyCols: _*))
+          }
+        val outDf = (updOut ++ bsOut ++ insOut)
+          .reduceOption(_ unionByName _).getOrElse(emptyOut)
+        val dropDf = touchedKeys.unionByName(bsTouched)
+        val snapOut = loadSnapshotPath(t)
+        val snapDrop = snapOut + "_dropkeys"
+        outDf.write.mode(SaveMode.Overwrite).parquet(snapOut)
+        dropDf.write.mode(SaveMode.Overwrite).parquet(snapDrop)
+        val outR = spark.read.parquet(snapOut)
+        val mergedGen = outR.unionByName(
+          cur.join(spark.read.parquet(snapDrop), t.keys, "left_anti"))
+        mergedGen.schema // eager validation, as for DELETE/UPDATE
+        if (isQualified(t.name))
+          replaceQualified(spark,
+            t.copy(muts = t.muts :+ Mut("merge2", snapDrop, snapOut)))
+        else replaceView(spark, t.name, mergedGen)
+        logMut(t, Mut("merge2", snapDrop, snapOut))
+        status("MERGE", t.name)
       case ViewRe(name, sql) =>
         require(lookup(name).isEmpty,
           s"'$name' names a keyed table; DROP it before creating a view")
@@ -1315,12 +1599,56 @@ object Ddl {
         |ON s.n_nationkey = n_nationkey
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // assignment-form MERGE: explicit SET list, explicit INSERT column
+    // list (missing columns default NULL), and a conditional
+    // NOT MATCHED BY SOURCE DELETE — the generalized grammar
+    execute(s,
+      """MERGE INTO dml_rt t USING (
+        |  SELECT 3 AS n_nationkey, 0 AS n_regionkey
+        |  UNION ALL SELECT 96, 5) s
+        |ON s.n_nationkey = t.n_nationkey
+        |WHEN MATCHED THEN UPDATE SET n_name = concat(t.n_name, '+')
+        |WHEN NOT MATCHED THEN INSERT (n_nationkey, n_name, n_regionkey)
+        |  VALUES (s.n_nationkey, 'ins-new', s.n_regionkey)
+        |WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 9 THEN DELETE"""
+        .stripMargin)
     s.table("dml_rt")
       .groupBy(col("n_regionkey"))
       .agg(count(lit(1)).as("cnt"),
         sum(col("n_nationkey")).as("key_sum"),
         sum(when(col("n_name").endsWith("*"), 1L).otherwise(0L)).as("starred"))
       .orderBy(col("n_regionkey"))
+  }
+
+  /** A6 judged generalized-MERGE round trip: one statement with three
+    * conditional MATCHED clauses (DELETE, explicit SET list, unconditional
+    * SET), a conditional explicit-column INSERT, and a conditional
+    * NOT MATCHED BY SOURCE DELETE — first-matching-clause-wins semantics,
+    * hash-gated against a relational replay in the oracle. */
+  def ddlMerge(s: SparkSession, d: String): DataFrame = {
+    if (lookup("mrg_rt").isDefined) execute(s, "DROP TABLE mrg_rt")
+    execute(s, s"CREATE TABLE mrg_rt MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
+    execute(s,
+      """MERGE INTO mrg_rt t USING (
+        |  SELECT * FROM VALUES
+        |    (2, 11), (7, 12), (9, 13), (14, 2), (17, 2),
+        |    (40, 1), (41, 2), (42, -1) AS v(n_nationkey, n_regionkey)) s
+        |ON s.n_nationkey = t.n_nationkey
+        |WHEN MATCHED AND s.n_regionkey = 2 THEN DELETE
+        |WHEN MATCHED AND t.n_regionkey = 3 THEN UPDATE SET
+        |  n_name = concat(t.n_name, '!'), n_regionkey = s.n_regionkey + 10
+        |WHEN MATCHED THEN UPDATE SET n_name = upper(t.n_name)
+        |WHEN NOT MATCHED AND s.n_regionkey >= 0 THEN INSERT
+        |  (n_nationkey, n_name) VALUES (s.n_nationkey,
+        |   concat('new-', cast(s.n_nationkey AS string)))
+        |WHEN NOT MATCHED BY SOURCE AND t.n_regionkey = 4 THEN DELETE"""
+        .stripMargin)
+    s.table("mrg_rt")
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_nationkey")).as("key_sum"),
+        sum(length(col("n_name")).cast("long")).as("name_len"))
+      .orderBy(col("n_regionkey").asc_nulls_last)
   }
 
   /** A8 judged TIME-TRAVEL round trip: CREATE → INSERT → DELETE, then one
@@ -1402,12 +1730,43 @@ object Ddl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ddl_roundtrip" -> (ddlRoundtrip _),
     "ddl_dml" -> (ddlDml _),
+    "ddl_merge" -> (ddlMerge _),
     "ddl_timetravel" -> (ddlTimetravel _),
     "ddl_changefeed" -> (ddlChangefeed _),
     "ddl_visibility" -> (ddlVisibility _),
     "analyze_stats" -> (analyzeStats _))
 
   val oracles: Map[String, String] = Map(
+    // the generalized-MERGE statement replayed relationally: clause number
+    // from the first matching condition, per-clause projections, explicit-
+    // column insert with NULL defaults, by-source delete as a kept-filter
+    "ddl_merge" ->
+      """WITH src AS (SELECT * FROM (VALUES
+        |    (2, 11), (7, 12), (9, 13), (14, 2), (17, 2),
+        |    (40, 1), (41, 2), (42, -1)) v(k, r)),
+        |m AS (SELECT t.n_nationkey, t.n_name, t.n_regionkey, s.r,
+        |        CASE WHEN s.r = 2 THEN 1
+        |             WHEN t.n_regionkey = 3 THEN 2 ELSE 3 END AS c
+        |      FROM nation t JOIN src s ON s.k = t.n_nationkey),
+        |fin AS (
+        |  SELECT n_nationkey, n_name || '!' AS n_name, r + 10 AS n_regionkey
+        |  FROM m WHERE c = 2
+        |  UNION ALL
+        |  SELECT n_nationkey, upper(n_name), n_regionkey FROM m WHERE c = 3
+        |  UNION ALL
+        |  SELECT k, 'new-' || CAST(k AS VARCHAR), CAST(NULL AS INTEGER)
+        |  FROM src WHERE r >= 0
+        |    AND k NOT IN (SELECT n_nationkey FROM nation)
+        |  UNION ALL
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |  WHERE n_nationkey NOT IN (SELECT n_nationkey FROM m)
+        |    AND NOT (n_regionkey = 4
+        |             AND n_nationkey NOT IN (SELECT k FROM src)))
+        |SELECT n_regionkey, count(*) AS cnt,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(length(n_name)) AS BIGINT) AS name_len
+        |FROM fin GROUP BY n_regionkey ORDER BY n_regionkey NULLS LAST"""
+        .stripMargin,
     "analyze_stats" ->
       """SELECT stat, value FROM (
         |  SELECT 'n_rows' AS stat, CAST(count(*) AS VARCHAR) AS value FROM orders
@@ -1498,11 +1857,18 @@ object Ddl {
         |  SELECT * FROM (VALUES (1, 'merged-one', 7), (99, 'merged-new', 7))
         |    AS m(n_nationkey, n_name, n_regionkey)
         |  UNION ALL
-        |  SELECT * FROM t2 WHERE n_nationkey NOT IN (1, 99))
+        |  SELECT * FROM t2 WHERE n_nationkey NOT IN (1, 99)),
+        |t4 AS (
+        |  SELECT n_nationkey, n_name || '+' AS n_name, n_regionkey
+        |  FROM t3 WHERE n_nationkey = 3
+        |  UNION ALL
+        |  SELECT 96, 'ins-new', 5
+        |  UNION ALL
+        |  SELECT * FROM t3 WHERE n_nationkey NOT IN (3, 97, 98))
         |SELECT n_regionkey, count(*) AS cnt,
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
         |  CAST(sum(CASE WHEN n_name LIKE '%*' THEN 1 ELSE 0 END) AS BIGINT) AS starred
-        |FROM t3 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+        |FROM t4 GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
 
   /** Composite-key >= bound: (k1 > v1) OR (k1 = v1 AND (k2 > v2 OR ...)). */
   private def lowerPred(keys: Seq[String], vals: Seq[Any]): Column = (keys, vals) match {

@@ -506,6 +506,158 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("generalized MERGE: conditional clauses, explicit SET/INSERT, by-source DELETE") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_mergegen", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE mg_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+      val base = spark.table("mg_t").count() // 25 nations, keys 0..24
+      // source matches 0,1,2 and brings new keys 90,91
+      val st = spark.sql(
+        """MERGE INTO mg_t t USING (
+          |  SELECT * FROM VALUES (0, 10), (1, 20), (2, 30), (90, 70), (91, -1)
+          |    AS v(n_nationkey, w) ) s
+          |ON s.n_nationkey = t.n_nationkey
+          |WHEN MATCHED AND s.w = 20 THEN DELETE
+          |WHEN MATCHED AND t.n_nationkey = 0 THEN UPDATE SET
+          |  n_name = concat(t.n_name, '-x'), n_regionkey = s.w + 100
+          |WHEN MATCHED THEN UPDATE SET n_name = upper(t.n_name)
+          |WHEN NOT MATCHED AND s.w > 0 THEN INSERT
+          |  (n_nationkey, n_name) VALUES (s.n_nationkey, concat('n', s.w))
+          |WHEN NOT MATCHED BY SOURCE AND t.n_nationkey >= 20 THEN DELETE"""
+          .stripMargin).collect()
+      assert(st.head.getString(0) == "MERGE")
+      val rows = spark.table("mg_t")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect().map(r => r.getInt(0) ->
+          (r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2)))).toMap
+      // clause 1: key 1 deleted; clause 2: key 0 explicit assignments;
+      // clause 3: key 2 uppercased; insert: 90 (w>0) yes, 91 (w=-1) no,
+      // unlisted n_regionkey = NULL; by-source: keys 20..24 deleted
+      assert(!rows.contains(1) && !rows.contains(91) && !rows.contains(20))
+      assert(rows(0)._1.endsWith("-x") && rows(0)._2.contains(110))
+      assert(rows(2)._1 == rows(2)._1.toUpperCase)
+      assert(rows(90) == (("n70", None)))
+      assert(rows.contains(19))
+      assert(rows.size == base - 1 - 5 + 1) // -key1, -keys 20..24, +key90
+      // restart: merge2 replays from the two snapshots
+      ops.Ddl.resetForTest()
+      spark.catalog.dropTempView("mg_t")
+      assert(spark.sql("DESCRIBE mg_t").collect().nonEmpty) // re-materializes
+      assert(spark.sql("SELECT count(*) FROM mg_t").head().getLong(0) ==
+        base - 5)
+      assert(spark.sql("SELECT n_name FROM mg_t WHERE n_nationkey = 90")
+        .head().getString(0) == "n70")
+      spark.sql("DROP TABLE mg_t")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
+  test("generalized MERGE: by-source UPDATE and validation errors") {
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE mg_v MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+    try {
+      // NOT MATCHED BY SOURCE UPDATE touches exactly the unmatched rows
+      spark.sql(
+        """MERGE INTO mg_v t USING (
+          |  SELECT 0 AS r_regionkey UNION ALL SELECT 1) s
+          |ON s.r_regionkey = t.r_regionkey
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET r_name = 'stale'"""
+          .stripMargin)
+      assert(spark.sql("SELECT count(*) FROM mg_v WHERE r_name = 'stale'")
+        .head().getLong(0) == 3)
+      assert(spark.sql(
+        "SELECT count(*) FROM mg_v WHERE r_regionkey <= 1 AND r_name = 'stale'")
+        .head().getLong(0) == 0)
+      // PRIMARY KEY columns cannot be assigned
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mg_v t USING (SELECT 0 AS r_regionkey) s " +
+            "ON s.r_regionkey = t.r_regionkey " +
+            "WHEN MATCHED THEN UPDATE SET r_regionkey = 9")
+      }
+      // unknown SET column
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mg_v t USING (SELECT 0 AS r_regionkey) s " +
+            "ON s.r_regionkey = t.r_regionkey " +
+            "WHEN MATCHED THEN UPDATE SET nope = 1")
+      }
+      // only the last clause of a group may omit AND <condition>
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mg_v t USING (SELECT 0 AS r_regionkey) s " +
+            "ON s.r_regionkey = t.r_regionkey " +
+            "WHEN MATCHED THEN DELETE " +
+            "WHEN MATCHED AND t.r_regionkey = 1 THEN UPDATE SET r_name = 'x'")
+      }
+      // INSERT column list must include the PRIMARY KEY
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mg_v t USING (SELECT 77 AS r_regionkey) s " +
+            "ON s.r_regionkey = t.r_regionkey " +
+            "WHEN NOT MATCHED THEN INSERT (r_name) VALUES ('x')")
+      }
+      // NULL source keys can never join — rejected loudly
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mg_v t USING (SELECT CAST(NULL AS INT) AS r_regionkey) s " +
+            "ON s.r_regionkey = t.r_regionkey " +
+            "WHEN MATCHED THEN UPDATE SET r_name = 'x'")
+      }
+    } finally {
+      ops.Ddl.execute(spark, "DROP TABLE mg_v")
+    }
+  }
+
+  test("generalized MERGE on a qualified table replays through the view SQL") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_mergegen_q", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE wh.mg MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
+      val base = spark.table("wh.mg").count()
+      spark.sql(
+        """MERGE INTO wh.mg t USING (
+          |  SELECT 1 AS r_regionkey UNION ALL SELECT 42) s
+          |ON s.r_regionkey = t.r_regionkey
+          |WHEN MATCHED THEN UPDATE SET r_name = 'one!'
+          |WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name)
+          |  VALUES (s.r_regionkey, 'forty-two')""".stripMargin)
+      assert(spark.table("wh.mg").count() == base + 1)
+      // restart replay goes through the self-contained merge2 view SQL
+      ops.Ddl.resetForTest()
+      spark.sql("DROP VIEW IF EXISTS wh.mg")
+      assert(spark.sql("DESCRIBE wh.mg").collect().nonEmpty)
+      assert(spark.sql("SELECT r_name FROM wh.mg WHERE r_regionkey = 1")
+        .head().getString(0) == "one!")
+      assert(spark.sql("SELECT r_name FROM wh.mg WHERE r_regionkey = 42")
+        .head().getString(0) == "forty-two")
+      assert(spark.sql("SELECT count(*) FROM wh.mg").head().getLong(0) == base + 1)
+      spark.sql("DROP TABLE wh.mg")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("INSERT INTO a qualified table snapshots into the persistent view") {
     val tmpd = java.nio.file.Files.createTempDirectory("graft_cat_qins")
     val prev = sys.props.get("graft.catalog.path")
