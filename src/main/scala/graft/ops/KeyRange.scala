@@ -382,6 +382,35 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A5 judged: kv MANIFEST aggregate pushdown — ungrouped COUNT(*) and
+    * MIN/MAX answered entirely from the manifest's per-file row counts and
+    * stats ranges, zero data files opened (the function asserts the
+    * pushed-agg scan is in the plan, so a silent fallback to a full scan
+    * cannot pass). The oracle recomputes the same aggregates from the
+    * source rows, hash-gating the metadata-only answers against the data. */
+  def kvAggPushdown(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_agg"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 5 === 0)
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", tmp).mode(SaveMode.Overwrite).save()
+    val res = s.read.format("graft.sources.GraftKvSink").option("path", tmp)
+      .load()
+      .agg(count(lit(1)).as("cnt"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderstatus")).as("min_st"),
+        max(col("o_orderstatus")).as("max_st"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+    require(res.queryExecution.executedPlan.toString
+        .contains("manifest row counts/stats"),
+      "kv aggregate was not answered from the manifest:\n" +
+        res.queryExecution.executedPlan.toString)
+    res
+  }
+
   /** A10 (transparent half): the SECONDARY-INDEX REWRITE exercised through
     * pure DDL + a PLAIN query — `CREATE INDEX` through the SQL surface,
     * then an ordinary `filter(o_custkey IN …)` over the raw parquet that
@@ -704,6 +733,7 @@ object KeyRange {
     "zorder_layout" -> (zorderLayout _),
     "mv_incremental" -> (mvIncremental _),
     "mv_rewrite" -> (mvRewrite _),
+    "kv_agg_pushdown" -> (kvAggPushdown _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -712,6 +742,13 @@ object KeyRange {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey IN (7, 42, 101)
         |ORDER BY o_orderkey""".stripMargin,
+    // metadata-only answers must equal the data's own aggregates
+    "kv_agg_pushdown" ->
+      """SELECT count(*) AS cnt,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st,
+        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+        |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
     // compaction must preserve current-read semantics bit-for-bit
     "kv_compact" ->
       """SELECT o_orderstatus, count(*) AS cnt,

@@ -369,7 +369,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var fs: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var projection: Option[StructType] = None
-  private var countStars = 0
+  private var pushedAggs: Seq[(String, StructField)] = Nil
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     fs = filters
@@ -382,32 +382,70 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
   // values per row, not all of them)
   override def pruneColumns(requiredSchema: StructType): Unit =
     projection = Some(requiredSchema)
-  // COUNT(*) answered straight from the manifest's per-file row counts —
-  // the HBase region-metadata count: zero data files opened. Only the
-  // unfiltered, ungrouped form is eligible (our filters are all residual,
-  // so Spark never offers aggregates over a filtered scan anyway — the
-  // fs.isEmpty check is defense in depth).
+  // COUNT(*) answered from the manifest's per-file row counts, ungrouped
+  // MIN/MAX answered from its per-file per-column stats ranges (HBase
+  // region-metadata reads): zero data files opened. Only the unfiltered,
+  // ungrouped forms are eligible (our filters are all residual, so Spark
+  // never offers aggregates over a filtered scan anyway — the fs.isEmpty
+  // check is defense in depth), and MIN/MAX additionally require EVERY
+  // visible file to carry stats for the column — a stats-less file
+  // (all-null, NaN-poisoned, or pre-stats manifest) makes the true
+  // extremum unknowable from metadata.
   override def supportCompletePushDown(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = false
   override def pushAggregation(
       a: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
     if (fs.nonEmpty || a.groupByExpressions.nonEmpty) return false
-    val ok = a.aggregateExpressions.nonEmpty && a.aggregateExpressions
-      .forall(_.isInstanceOf[
-        org.apache.spark.sql.connector.expressions.aggregate.CountStar])
-    if (ok) countStars = a.aggregateExpressions.length
-    ok
+    if (a.aggregateExpressions.isEmpty) return false
+    val mfP = GraftKvSink.manifestPath(dir)
+    if (!Files.exists(mfP)) return false
+    val mf = GraftKvSink.readManifest(mfP)
+    val EpochRe = """epoch-(\d+)-.*""".r
+    val visible = asOf match {
+      case None    => mf.files
+      case Some(v) => mf.files.filter {
+        case (EpochRe(e), _) => e.toLong <= v
+        case _               => true
+      }
+    }
+    def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def statField(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[StructField] = for {
+      c <- nameOf(e)
+      field <- mf.schema.fields.find(_.name.equalsIgnoreCase(c))
+      if visible.forall { case (n, _) =>
+        mf.stats.getOrElse(n, Map.empty).keys.exists(_.equalsIgnoreCase(c)) }
+    } yield field
+    val specs = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count", StructField("count", LongType)))
+      case m: Min => statField(m.column).map(f => ("min", f))
+      case m: Max => statField(m.column).map(f => ("max", f))
+      case _      => None
+    }
+    if (specs.forall(_.isDefined)) { pushedAggs = specs.flatten; true }
+    else false
   }
   override def build(): Scan =
-    if (countStars > 0) new GraftKvCountScan(dir, asOf, countStars)
+    if (pushedAggs.nonEmpty) new GraftKvAggScan(dir, asOf, pushedAggs)
     else new GraftKvScan(dir, asOf, fs.toSeq, projection)
 }
 
-/** Manifest-only COUNT(*) scan: one partition, one partial row holding the
-  * visible files' row-count total — the data files are never opened. */
-final class GraftKvCountScan(dir: String, asOfEpoch: Option[Long], n: Int)
+/** Manifest-only aggregate scan: one partition, one partial row holding the
+  * visible files' row-count total and/or the merged min/max of their stats
+  * ranges — the data files are never opened. An empty visible set yields
+  * count 0 and NULL extrema, which Spark's final aggregate passes through
+  * with standard semantics. */
+final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
+    specs: Seq[(String, StructField)])
   extends Scan with Batch {
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   private val EpochRe = """epoch-(\d+)-.*""".r
@@ -416,34 +454,76 @@ final class GraftKvCountScan(dir: String, asOfEpoch: Option[Long], n: Int)
       s"graft_kv: asOfEpoch=$e predates compacted history " +
         s"(epochs <= ${manifest.compactedUpTo} were vacuumed)")
   }
-  private val total = (asOfEpoch match {
+  private val visible = asOfEpoch match {
     case None    => manifest.files
     case Some(v) => manifest.files.filter {
       case (EpochRe(e), _) => e.toLong <= v
       case _               => true
     }
-  }).map(_._2).sum
-  override def readSchema(): StructType = StructType(
-    (1 to n).map(i => StructField(s"count_star_$i", LongType, nullable = false)))
+  }
+  // driver-side evaluation against the (tiny) manifest; values ship to the
+  // single partition as plain JVM types, typed by the schema json
+  private def merged(kind: String, f: StructField): Any = {
+    val ranges = visible.flatMap { case (n, _) =>
+      manifest.stats.getOrElse(n, Map.empty)
+        .find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+    }
+    if (ranges.isEmpty) null
+    else {
+      def less(a: String, b: String): Boolean = f.dataType match {
+        case IntegerType | LongType => a.toLong < b.toLong
+        case DoubleType             => a.toDouble < b.toDouble
+        case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
+      }
+      val s =
+        if (kind == "min") ranges.map(_._1).reduce((a, b) => if (less(a, b)) a else b)
+        else ranges.map(_._2).reduce((a, b) => if (less(a, b)) b else a)
+      f.dataType match {
+        case IntegerType => s.toInt
+        case LongType    => s.toLong
+        case DoubleType  => s.toDouble
+        case _           => s
+      }
+    }
+  }
+  private val values: Seq[Any] = specs.map {
+    case ("count", _) => visible.map(_._2).sum
+    case (kind, f)    => merged(kind, f)
+  }
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (("count", _), i) => StructField(s"count_star_$i", LongType, nullable = false)
+    case ((kind, f), i)    => StructField(s"${kind}_${f.name}_$i", f.dataType)
+  })
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft_kv $dir PushedAggregation: [count_star] (manifest row counts)"
+    s"graft_kv $dir PushedAggregation: [${specs.map {
+      case ("count", _) => "count_star"
+      case (kind, f)    => s"$kind(${f.name})"
+    }.mkString(", ")}] (manifest row counts/stats)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftKvCountPartition(total, n))
-  override def createReaderFactory(): PartitionReaderFactory =
+    Array(GraftKvAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val schemaJson = readSchema().json
     (p: InputPartition) => {
-      val cp = p.asInstanceOf[GraftKvCountPartition]
+      val ap = p.asInstanceOf[GraftKvAggPartition]
+      val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
       new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = { val r = !emitted; emitted = true; r }
         override def get(): InternalRow =
-          InternalRow.fromSeq(Seq.fill(cp.n)(cp.total))
+          InternalRow.fromSeq(ap.values.zip(sch.fields.toSeq).map {
+            case (null, _)                            => null
+            case (v: String, f) if f.dataType == StringType =>
+              UTF8String.fromString(v)
+            case (v, _)                               => v
+          })
         override def close(): Unit = ()
       }
     }
+  }
 }
 
-final case class GraftKvCountPartition(total: Long, n: Int)
+final case class GraftKvAggPartition(values: Seq[Any])
   extends InputPartition
 
 final class GraftKvWriteBuilder(dir: String, schema: StructType)
@@ -497,11 +577,24 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
       } else (Seq.empty[(String, Long)], -1L,
         Map.empty[String, Map[String, (String, String)]],
         Map.empty[String, Map[String, String]])
-    if (epochId <= priorUpTo ||
-        prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
+    if (prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
       // replayed epoch after recovery: already published (listed outright,
-      // or folded into the compacted file) — drop duplicates
+      // or folded into the compacted file, whose name keeps the boundary
+      // epoch's prefix) — drop duplicates
       committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
+    } else if (epochId <= priorUpTo) {
+      // an epoch inside vacuumed history whose files are NOT listed is a
+      // FRESH-checkpoint stream writing to a compacted table, not a replay
+      // (recovery only re-runs epochs the checkpoint already committed,
+      // and the boundary epoch matches the compacted file's prefix above).
+      // Silently deleting these files would be data loss — fail loudly,
+      // mirroring the MicroBatchStream read fence.
+      committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
+      throw new IllegalStateException(
+        s"graft_kv: cannot commit epoch $epochId into compacted history " +
+          s"(epochs <= $priorUpTo were merged) — a stream with a fresh " +
+          "checkpoint must not write epochs a compaction already fenced; " +
+          "resume the original checkpoint or write to a new directory")
     } else {
       committed.foreach { m =>
         Files.move(Paths.get(dir, m.tmpName), Paths.get(dir, m.finalName),

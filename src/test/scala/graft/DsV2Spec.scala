@@ -145,6 +145,50 @@ class DsV2Spec extends SparkSpec {
   private def kvRead(dir: String) =
     spark.read.format("graft.sources.GraftKvSink").option("path", dir).load()
 
+  test("kv manifest answers ungrouped MIN/MAX/COUNT with zero data files opened") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_agg").toString
+    kvWrite(Seq((7L, "b", 2.5), (1L, "a", 1.5)).toDF("id", "s", "v"), dir, "overwrite")
+    kvWrite(Seq((3L, "d", -0.5), (9L, "c", 9.25)).toDF("id", "s", "v"), dir, "append")
+    def agg() = kvRead(dir).agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.min(col("id")),
+      org.apache.spark.sql.functions.max(col("id")),
+      org.apache.spark.sql.functions.min(col("s")),
+      org.apache.spark.sql.functions.max(col("s")),
+      org.apache.spark.sql.functions.min(col("v")),
+      org.apache.spark.sql.functions.max(col("v")))
+    val a = agg()
+    assert(a.queryExecution.executedPlan.toString
+      .contains("manifest row counts/stats"), a.queryExecution.executedPlan.toString)
+    assert(a.head() === org.apache.spark.sql.Row(4L, 1L, 9L, "a", "d", -0.5, 9.25))
+    // the stats ranges came from the manifest, not the data: delete every
+    // data file — a metadata-only answer must be unaffected
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".kv"))
+      .foreach(java.nio.file.Files.delete)
+    assert(agg().head() === org.apache.spark.sql.Row(4L, 1L, 9L, "a", "d", -0.5, 9.25))
+    // a FILTERED extremum must NOT use the manifest (filters are residual)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_agg2").toString
+    kvWrite(Seq((1L, 5.0), (2L, 7.0)).toDF("id", "v"), dir2, "overwrite")
+    val f = kvRead(dir2).filter(col("id") > 1L)
+      .agg(org.apache.spark.sql.functions.max(col("v")))
+    assert(!f.queryExecution.executedPlan.toString.contains("manifest"))
+    assert(f.head().getDouble(0) == 7.0)
+    // a NaN-poisoned column has no stats — its extremum falls back to the
+    // scan (but COUNT alone stays manifest-answered)
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_kv_agg3").toString
+    kvWrite(Seq((1L, Double.NaN), (2L, 4.0)).toDF("id", "v"), dir3, "overwrite")
+    val nanMax = kvRead(dir3).agg(org.apache.spark.sql.functions.max(col("v")))
+    assert(!nanMax.queryExecution.executedPlan.toString.contains("manifest"))
+    assert(nanMax.head().getDouble(0).isNaN) // Spark max: NaN > any double
+    val cnt3 = kvRead(dir3).agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)))
+    assert(cnt3.queryExecution.executedPlan.toString.contains("manifest row counts"))
+    assert(cnt3.head().getLong(0) == 2L)
+  }
+
   test("kv sink round-trips rows exactly, incl. nulls and backslashes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_rt").toString

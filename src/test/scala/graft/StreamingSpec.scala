@@ -406,6 +406,37 @@ class StreamingSpec extends SparkSpec {
     // re-compacting at the same boundary is a safe no-op for state
     graft.sources.GraftKvSink.compact(dir, 1L)
     assert(readAll() == before + 9L)
+    // WRITE-side fence: a FRESH-checkpoint stream committing an epoch the
+    // compaction already fenced must fail loudly — silently deleting its
+    // files (pre-r13 behavior) was data loss. compactedUpTo is 3 here, so
+    // epoch 2 is inside vacuumed history with no epoch-2-* file listed.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    val sw = new graft.sources.GraftKvStreamingWrite(dir, schema)
+    val tmpName = "epoch-2-part-00000-1.tmp"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, tmpName),
+      "8\tfresh\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val fence = intercept[IllegalStateException] {
+      sw.commit(2L, Array(graft.sources.GraftKvCommit(
+        tmpName, "epoch-2-part-00000-1.kv", 1L)))
+    }
+    assert(fence.getMessage.contains("compacted history"), fence.getMessage)
+    // the attempt files are cleaned up and nothing was published
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, tmpName)))
+    assert(readAll() == before + 9L)
+    // ...while a REPLAY of the boundary epoch 3 (its files are listed via
+    // the compacted file's `epoch-3-` prefix) stays a silent idempotent
+    // no-op — exactly the recovery case the dedup exists for
+    val tmp3 = "epoch-3-part-00000-1.tmp"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, tmp3),
+      "8\treplay\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    sw.commit(3L, Array(graft.sources.GraftKvCommit(
+      tmp3, "epoch-3-part-00000-1.kv", 1L)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, tmp3)))
+    assert(readAll() == before + 9L)
   }
 
   test("mapGroupsWithState accumulates per-user counts across batches") {
