@@ -15,10 +15,28 @@ import graft.Tables
   */
 object Events {
 
-  /** Per-JVM scratch root for the streaming judged queries (wiped at each
-    * invocation — see streamKvPipeline). */
+  /** Per-JVM scratch roots for the streaming judged queries (one per query,
+    * wiped at each invocation — see streamKvPipeline). */
   private lazy val streamKvRoot: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft_stream_kv")
+  private lazy val streamWmRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_stream_wm")
+
+  /** Publish chunk `k` of the events fixture (rows with event_id % 3 == k,
+    * projected to `cols`) as explicit kv epoch `k` at `feed` — a BATCH job
+    * per chunk, so the fixture enters the stream EXECUTOR-SIDE through the
+    * connector's own MicroBatchStream; no row ever passes through the
+    * driver. Pre-r13 these queries collected the full events table into a
+    * MemoryStream, which capped them at driver memory. */
+  private def writeFeedEpoch(s: SparkSession, d: String, feed: String,
+      k: Int, cols: Seq[org.apache.spark.sql.Column]): Unit =
+    Tables.events(s, d).select(cols: _*)
+      .filter(col("event_id") % 3 === k)
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", feed).option("epoch", k.toString)
+      .mode(if (k == 0) org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.Append)
+      .save()
 
   private def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
@@ -286,28 +304,20 @@ object Events {
     "agg_salted" -> (aggSalted _),
     "agg_pivot" -> (aggPivot _))
 
-  /** B43/B44 judged via a TRUE STREAMING execution — the one streaming row
-    * previously covered only by tests: the events fixture is replayed
-    * through a MemoryStream in three chunks, each micro-batch flows
-    * through a filter/projection and the kv connector's STREAMING_WRITE
-    * (per-epoch idempotent manifest publish), and the judged result is the
-    * final table read back through the connector. Arrival order cannot
-    * affect it (no event-time state — exactly-once delivery is the judged
-    * property), so the oracle is the same transform+aggregate over the
-    * full fixture: any duplicated, dropped, or partially-committed batch
-    * hash-mismatches. The driver-side collect is the MemoryStream feed,
-    * inherent to replaying a fixture as a stream (bounded: the events
-    * table), not an operator pattern. */
+  /** B43/B44 judged via a TRUE STREAMING execution, source to sink through
+    * the kv connector: the events fixture is published as three explicit
+    * batch-written epochs (executor-side jobs — no driver collect), the
+    * stream reads them back through the connector's own MicroBatchStream
+    * one epoch per trigger, each micro-batch flows through a
+    * filter/projection and the connector's STREAMING_WRITE (per-epoch
+    * idempotent manifest publish), and the judged result is the final
+    * table read back through the connector. Arrival order cannot affect it
+    * (no event-time state — exactly-once delivery is the judged property),
+    * so the oracle is the same transform+aggregate over the full fixture:
+    * any duplicated, dropped, or partially-committed batch
+    * hash-mismatches. At 100× the feed scales with the cluster, not the
+    * driver: each epoch is an ordinary distributed write. */
   def streamKvPipeline(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
-      .sortBy(_._1)
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, String, Double)]
     // one scratch root per JVM, wiped at entry: repeated bench/verify
     // invocations must not leak a data+checkpoint directory per run, and
     // must not append epochs onto the previous invocation's manifest
@@ -315,16 +325,22 @@ object Events {
     val root = Events.streamKvRoot
     deleteRecursively(root.toFile)
     java.nio.file.Files.createDirectories(root)
+    val feed = root.resolve("feed").toString
     val dir = root.resolve("out").toString
-    val q = ms.toDF().toDF("event_id", "user_id", "event_type", "value")
+    val cols = Seq(col("event_id"), col("user_id"), col("event_type"),
+      col("value"))
+    writeFeedEpoch(s, d, feed, 0, cols)
+    val q = s.readStream.format("graft.sources.GraftKvSink")
+      .option("path", feed).load()
       .filter(col("event_type") =!= "error")
       .writeStream.format("graft.sources.GraftKvSink")
       .option("path", dir)
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .start()
-    try rows.grouped(math.max(rows.length / 3, 1)).foreach { chunk =>
-      ms.addData(chunk.toSeq)
+    try {
       q.processAllAvailable()
+      writeFeedEpoch(s, d, feed, 1, cols); q.processAllAvailable()
+      writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
     } finally q.stop()
     s.read.format("graft.sources.GraftKvSink").option("path", dir).load()
       .groupBy(col("event_type"))
@@ -348,16 +364,18 @@ object Events {
     * batch twins could not gate — actual micro-batch watermark
     * progression — now hash-matched cross-engine. */
   def streamWatermarkTrue(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val rows = Tables.events(s, d)
-      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
-      .collect()
-      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
-        r.getString(2), r.getDouble(3)))
-    val chunks = rows.groupBy(_._1 % 3).toSeq.sortBy(_._1).map(_._2)
-    val ms = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, java.time.LocalDateTime, String, Double)]
+    // fixture feed: three explicit kv epochs (chunk = event_id % 3, the
+    // rule the oracle replays), written executor-side; ts travels as
+    // epoch-micros LONG (the connector's type surface) and is decoded
+    // below — lossless under the session's pinned UTC
+    val root = Events.streamWmRoot
+    deleteRecursively(root.toFile)
+    java.nio.file.Files.createDirectories(root)
+    val feed = root.resolve("feed").toString
+    val cols = Seq(col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      col("event_type"), col("value"))
+    writeFeedEpoch(s, d, feed, 0, cols)
     // fixed sink name, dropped before reuse: a fresh UUID per invocation
     // would leak one full result table into driver memory per bench run
     // (the previous invocation's frame has been materialized by now)
@@ -375,16 +393,21 @@ object Events {
     // The output start is cast back to NTZ — the judged timestamp dtype
     // every other event query uses.
     try {
-      val q = ms.toDF().toDF("event_id", "ts", "event_type", "value")
-        .withColumn("ts", col("ts").cast("timestamp"))
+      val q = s.readStream.format("graft.sources.GraftKvSink")
+        .option("path", feed).load()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(dec(col("value"))).cast(DoubleType).as("val_sum"))
         .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
-      try chunks.foreach { c => ms.addData(c.toSeq); q.processAllAvailable() }
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        writeFeedEpoch(s, d, feed, 1, cols); q.processAllAvailable()
+        writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
+      } finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.table(sink)
       .select(col("window.start").cast(TimestampNTZType).as("w_day"),

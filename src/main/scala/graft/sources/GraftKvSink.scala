@@ -130,8 +130,18 @@ object GraftKvSink {
         cols.toSeq.sortBy(_._1).foreach { case (col, b64) => bl.put(col, b64) }
       }
     }
-    Files.write(manifestPath(dir),
+    // publish atomically (write-temp-then-rename): a live streaming read
+    // polls this file from latestOffset, and a plain truncate-then-write
+    // would let it observe half-written JSON
+    // (.new, not .tmp: the batch commit's stray-attempt sweep removes *.tmp)
+    val tmp = Paths.get(dir, "_graft_manifest.json.new")
+    Files.write(tmp,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    try Files.move(tmp, manifestPath(dir), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      Files.move(tmp, manifestPath(dir), StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   private[sources] def readManifest(mf: Path): Manifest = {
@@ -346,7 +356,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftKvWriteBuilder(dir, info.schema())
+    new GraftKvWriteBuilder(dir, info.schema(),
+      Option(info.options.get("epoch")).map(_.toLong))
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
     // reads only files published by epochs <= n — the manifest IS the
@@ -526,12 +537,20 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
 final case class GraftKvAggPartition(values: Seq[Any])
   extends InputPartition
 
-final class GraftKvWriteBuilder(dir: String, schema: StructType)
+/** `explicitEpoch` (write option "epoch"): stamp this BATCH write's files
+  * with a chosen changelog position — the bulk-load-into-a-changelog
+  * analogue. Each stamped write publishes as one epoch the MicroBatchStream
+  * delivers as one micro-batch, so a batch job can feed a live stream
+  * executor-side (no driver round trip). Ignored by streaming writes,
+  * whose epoch ids come from the engine. */
+final class GraftKvWriteBuilder(dir: String, schema: StructType,
+    explicitEpoch: Option[Long] = None)
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftKvBatchWrite(dir, schema, replace)
+    override def toBatch: BatchWrite =
+      new GraftKvBatchWrite(dir, schema, replace, explicitEpoch)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftKvStreamingWrite(dir, schema)
   }
@@ -627,12 +646,30 @@ final case class GraftKvCommit(tmpName: String, finalName: String, rows: Long,
     blooms: Map[String, String] = Map.empty)
   extends WriterCommitMessage
 
-final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
+final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
+    explicitEpoch: Option[Long] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(dir))
-    new GraftKvWriterFactory(dir, schema.json)
+    // validate the explicit stamp BEFORE any task writes: an epoch the
+    // manifest already lists is not replayable by a batch job (batch
+    // writes carry no attempt identity), and one inside compacted history
+    // is fenced like any other write into vacuumed epochs
+    explicitEpoch.foreach { e =>
+      require(e >= 0L, s"graft_kv: epoch option must be >= 0, got $e")
+      val mfP = GraftKvSink.manifestPath(dir)
+      if (!replace && Files.exists(mfP)) {
+        val m = GraftKvSink.readManifest(mfP)
+        require(!m.files.exists(_._1.startsWith(s"epoch-$e-")),
+          s"graft_kv: epoch $e is already published at $dir")
+        require(e > m.compactedUpTo,
+          s"graft_kv: epoch $e is inside compacted history " +
+            s"(epochs <= ${m.compactedUpTo} were merged)")
+      }
+    }
+    new GraftKvWriterFactory(dir, schema.json,
+      explicitEpoch.map(e => s"epoch-$e-").getOrElse(""))
   }
 
   /** Driver-side finalize: only files named by successful task attempts
@@ -654,7 +691,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
     // they surface to live readers and participate in asOfEpoch reads.
     val mfPeek = GraftKvSink.manifestPath(dir)
     val nextEpoch =
-      if (replace || !Files.exists(mfPeek)) None
+      if (explicitEpoch.isDefined || replace || !Files.exists(mfPeek)) None
       else {
         val names = GraftKvSink.readManifest(mfPeek).files.map(_._1)
         if (names.exists(_.startsWith("epoch-")))
@@ -704,12 +741,14 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean)
       .foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
 }
 
-final class GraftKvWriterFactory(dir: String, schemaJson: String)
+final class GraftKvWriterFactory(dir: String, schemaJson: String,
+    namePrefix: String = "")
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     new GraftKvWriter(dir, schema,
-      f"part-$partitionId%05d-$taskId.tmp", f"part-$partitionId%05d-$taskId.kv")
+      f"${namePrefix}part-$partitionId%05d-$taskId.tmp",
+      f"${namePrefix}part-$partitionId%05d-$taskId.kv")
   }
 }
 

@@ -327,6 +327,47 @@ class StreamingSpec extends SparkSpec {
     assert(seen.flatten.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L))
   }
 
+  test("explicit-epoch batch writes feed a live stream epoch-for-epoch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_epopt")
+    val dir = root.resolve("feed").toString
+    def writeEpoch(k: Int, rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("id", "s").write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", k.toString).mode(mode).save()
+    writeEpoch(0, Seq((1L, "a"), (2L, "b")), "overwrite")
+    // each explicitly-stamped batch write is one micro-batch to a live
+    // streaming read — the executor-side fixture-feed contract the judged
+    // streaming queries rely on
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).load()
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").collect().map(_.getLong(0)).toSet }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    writeEpoch(1, Seq((3L, "c")), "append"); q.processAllAvailable()
+    writeEpoch(2, Seq((4L, "d")), "append"); q.processAllAvailable()
+    q.stop()
+    assert(seen.filter(_.nonEmpty) ==
+      Seq(Set(1L, 2L), Set(3L), Set(4L)), seen)
+    // re-publishing an existing epoch is rejected (batch writes carry no
+    // attempt identity, so this can only be a caller bug, not a replay)
+    val dup = intercept[Exception] { writeEpoch(1, Seq((9L, "x")), "append") }
+    assert(dup.getMessage.contains("already published"), dup.getMessage)
+    // ...and so is an epoch inside compacted history
+    graft.sources.GraftKvSink.compact(dir, 1L)
+    val fenced = intercept[Exception] { writeEpoch(0, Seq((9L, "x")), "append") }
+    assert(fenced.getMessage.contains("compacted history"), fenced.getMessage)
+    // overwrite resets history: an explicit epoch 0 is valid again
+    writeEpoch(0, Seq((7L, "z")), "overwrite")
+    assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+      .load().select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
   test("kv compact merges epochs, preserves state, and fences vacuumed history") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
