@@ -32,6 +32,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Whole-operator surface: plans the TopKPerGroup logical node as the
     // two-phase bounded-heap exec pair (see plans.TopK).
     ext.injectPlannerStrategy(session => graft.plans.GraftTopKStrategy)
+    // ANALYZE-to-CBO bridge: after operator optimization, annotate mutated
+    // keyed tables' replay subtrees with their analyzed row counts so
+    // Spark's own join selection sees post-mutation reality (a DELETE that
+    // shrank the table below the broadcast threshold flips hint-free);
+    // the strategy plans the annotation node away as its child.
+    ext.injectPreCBORule(session => new graft.plans.AnalyzeStatsRule(session))
+    ext.injectPlannerStrategy(session => graft.plans.GraftStatsStrategy)
     // Same arity checks VectorOps.ensureRegistered enforces — without them
     // extra arguments would be silently dropped via exprs.head.
     ext.injectFunction((

@@ -790,11 +790,17 @@ object Ddl {
     val cols = after.columns.toSeq
     val keys = t.keys.map(_.toLowerCase)
     val nonKey = cols.filterNot(c => keys.contains(c.toLowerCase))
-    val b = before.select(cols.map(c => col(c).as(s"b_$c")): _*)
-    val a = after.select(cols.map(c => col(c).as(s"a_$c")): _*)
+    // explicit presence markers, NOT key-nullness: a base row with a NULL
+    // key would otherwise be misclassified (and never join via ===) —
+    // lit(true) on each side survives the full-outer join as NULL exactly
+    // when that side's row is absent
+    val b = before.select(lit(true).as("b_present") +:
+      cols.map(c => col(c).as(s"b_$c")): _*)
+    val a = after.select(lit(true).as("a_present") +:
+      cols.map(c => col(c).as(s"a_$c")): _*)
     val keyEq = t.keys.map(k => col(s"b_$k") === col(s"a_$k")).reduce(_ && _)
-    val inB = col(s"b_${t.keys.head}").isNotNull
-    val inA = col(s"a_${t.keys.head}").isNotNull
+    val inB = col("b_present").isNotNull
+    val inA = col("a_present").isNotNull
     val changed = nonKey.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
     val out = when(inA && !inB, lit("insert"))
@@ -1537,9 +1543,10 @@ object Ddl {
             max(col(k)).cast(StringType).as(s"${k}_max")))
         val row = spark.table(t.name).agg(aggs.head, aggs.drop(1): _*)
           .collect().head
-        val stats = row.schema.fieldNames.toSeq.zipWithIndex.map { case (f, i) =>
-          f -> Option(row.get(i)).map(_.toString).getOrElse("")
-        }
+        val stats = ("__analyzed_at_muts__" -> t.muts.length.toString) +:
+          row.schema.fieldNames.toSeq.zipWithIndex.map { case (f, i) =>
+            f -> Option(row.get(i)).map(_.toString).getOrElse("")
+          }
         val t2 = t.copy(stats = stats)
         catalog.put(t2.name.toLowerCase, t2)
         persist()
@@ -1556,7 +1563,41 @@ object Ddl {
 
   private def statsDf(spark: SparkSession, t: KeyedTable): DataFrame = {
     import spark.implicits._
-    t.stats.toDF("stat", "value").orderBy(col("stat"))
+    // the ANALYZE-position marker is bookkeeping, not a statistic; surface
+    // it only as a staleness flag once later DML has outdated the numbers
+    val visible = t.stats.filterNot(_._1 == "__analyzed_at_muts__")
+    val stale = t.stats.find(_._1 == "__analyzed_at_muts__")
+      .exists(_._2.toInt != t.muts.length)
+    (if (stale) visible :+ ("stats_stale" -> "true") else visible)
+      .toDF("stat", "value").orderBy(col("stat"))
+  }
+
+  /** Fresh ANALYZE'd statistics for the CBO annotation rule
+    * (plans.AnalyzeStatsRule): the absolute path set a MUTATED table's
+    * replay reads (base parquet + every referenced snapshot) → its
+    * analyzed row count. Stats recorded before the newest mutation are
+    * stale and excluded; unmutated tables are excluded because their
+    * single parquet scan's file-size estimate is already sound. */
+  def cboStats(): Seq[(Set[String], Long)] = {
+    ensureLoaded()
+    catalog.values.toSeq.flatMap { t =>
+      val at = t.stats.find(_._1 == "__analyzed_at_muts__").map(_._2.toInt)
+      val rows = t.stats.find(_._1 == "n_rows").map(_._2.toLong)
+      (at, rows) match {
+        case (Some(a), Some(n)) if a == t.muts.length && t.muts.nonEmpty =>
+          val snaps = t.muts.flatMap {
+            case Mut("load", _, b) if b.nonEmpty => Seq(b)
+            case Mut("insert", _, b)             => Seq(b)
+            case Mut("merge", _, b)              => Seq(b)
+            case Mut("merge2", a0, b)            => Seq(a0, b)
+            case _                               => Nil
+          }
+          val paths = (t.path +: snaps).map(p =>
+            java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString).toSet
+          Some((paths, n))
+        case _ => None
+      }
+    }
   }
 
   /** A8 judged round trip: exercises the full statement set end to end —

@@ -123,10 +123,25 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
     // becomes a literal RELATIVE directory under the JVM's cwd (the
     // round-trip still "works" — both ends resolve the same wrong place —
     // which is exactly why this must be normalized here, at the fold).
+    // Textual scheme strip + percent-decode instead of URI.create /
+    // Paths.get(URI): URI parsing throws on '#', raw '%' and other
+    // reserved characters, and cannot represent the non-hierarchical
+    // "file:relative" form Spark's URI-ization can produce. Handles
+    // "file:/x", "file:///x" and "file://host/x" (authority dropped —
+    // local filesystem connector).
     def deUri(p: String): String =
-      if (p.startsWith("file:")) java.nio.file.Paths
-        .get(java.net.URI.create(p.replace(" ", "%20"))).toString
-      else p
+      if (!p.startsWith("file:")) p
+      else {
+        val body0 = p.stripPrefix("file:")
+        val body =
+          if (!body0.startsWith("//")) body0
+          else {
+            val rest = body0.drop(2)
+            val slash = rest.indexOf('/')
+            if (slash < 0) rest else rest.substring(slash)
+          }
+        GraftCatalog.pctDecode(body)
+      }
     val opts = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
       case Some(loc) if !opts0.contains("path") => opts0 + ("path" -> deUri(loc))
       case _ => opts0.get("path") match {
@@ -237,6 +252,32 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
     throw new UnsupportedOperationException("graft namespaces are implicit")
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     false
+}
+
+object GraftCatalog {
+  /** URI percent-decoding (byte-level, UTF-8) without URLDecoder's
+    * '+'-to-space rule; a '%' not followed by two hex digits passes
+    * through verbatim, so an un-encoded path containing '%' survives. */
+  private[sources] def pctDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.io.ByteArrayOutputStream(raw.length)
+    def hex(b: Byte): Int = b match {
+      case d if d >= '0' && d <= '9' => d - '0'
+      case h if h >= 'a' && h <= 'f' => h - 'a' + 10
+      case h if h >= 'A' && h <= 'F' => h - 'A' + 10
+      case _                         => -1
+    }
+    var i = 0
+    while (i < raw.length) {
+      if (raw(i) == '%' && i + 2 < raw.length &&
+          hex(raw(i + 1)) >= 0 && hex(raw(i + 2)) >= 0) {
+        out.write(hex(raw(i + 1)) * 16 + hex(raw(i + 2)))
+        i += 3
+      } else { out.write(raw(i).toInt); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
 }
 
 /** A keyed table / MV snapshot exposed through the catalog: the analyzer

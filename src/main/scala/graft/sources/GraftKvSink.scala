@@ -859,7 +859,8 @@ final class GraftKvWriter(dir: String, schema: StructType,
 final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     projection: Option[StructType] = None)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftKvMicroBatchStream(dir, projection)
@@ -897,6 +898,25 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     visible.map(f => GraftKvFilePartition(dir, f._1): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftKvReaderFactory(manifest.schema.json, readSchema().json)
+  /** POST-PRUNE statistics from the manifest (row counts summed, bytes
+    * from the surviving files on disk) — the same contract as the range
+    * connector's post-pushdown stats: a small kv dimension joins
+    * broadcast-first with no hint, and stats-pruned scans report only
+    * what they will actually read. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val rows = visible.map(_._2).sum
+    val bytes = visible.map { case (n, _) =>
+      val p = Paths.get(dir, n)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 }
 
 final case class GraftKvFilePartition(dir: String, file: String)

@@ -354,6 +354,129 @@ class PlanSpec extends SparkSpec {
     assert(keys.contains("term"), keys.toString)
   }
 
+  test("topk heap operator stays exact at adversarial group cardinality") {
+    import org.apache.spark.sql.functions.col
+    // orders sf0.001 has ~750 distinct custkeys; a 16-group cap forces the
+    // partial phase into passthrough and the final phase through its
+    // sorted-run spill/merge path — results must equal the stock window
+    // plan bit-for-bit
+    val prev = spark.conf.getOption("spark.graft.topk.maxGroupsPerPartition")
+    spark.conf.set("spark.graft.topk.maxGroupsPerPartition", "16")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE wraps stages into leaf QueryStageExec nodes, hiding the exec's
+    // metrics from plan.collect — this test reads them, so run non-adaptive
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val o = Tables.orders(spark, sf("sf0.001"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val df = graft.plans.TopK.perGroup(o, Seq("o_custkey"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 2)
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val twin = o
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(win))
+        .filter(col("rn") <= 2).drop("rn")
+      val ordered = df.orderBy(col("o_custkey"), col("o_totalprice").desc,
+        col("o_orderkey"))
+      assert(ordered.collect().toSeq ==
+        twin.orderBy(col("o_custkey"), col("o_totalprice").desc,
+          col("o_orderkey")).collect().toSeq)
+      // the guard actually fired: final phase spilled, partial passed rows
+      val execd = ordered.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val metrics = execd.collect {
+        case e: graft.plans.GraftTopKExec => e.metrics
+      }
+      assert(metrics.exists(_.get("numSpills").exists(_.value > 0)),
+        metrics.map(_.view.mapValues(_.value).toMap).toString)
+      assert(metrics.exists(_.get("numPassthroughRows").exists(_.value > 0)),
+        metrics.map(_.view.mapValues(_.value).toMap).toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      prev match {
+        case Some(v) => spark.conf.set("spark.graft.topk.maxGroupsPerPartition", v)
+        case None => spark.conf.unset("spark.graft.topk.maxGroupsPerPartition")
+      }
+    }
+  }
+
+  test("topk rejects an empty group list at the API boundary") {
+    val o = Tables.orders(spark, sf("sf0.001"))
+      .select(org.apache.spark.sql.functions.col("o_orderkey"))
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.TopK.perGroup(o, Nil, Seq(("o_orderkey", true)), 3)
+    }
+    assert(e.getMessage.contains("group column"), e.getMessage)
+  }
+
+  test("ANALYZE stats flip a mutated keyed table to hint-free broadcast") {
+    // orders sf0.001 is ~36 KB on disk; the DELETE keeps ~10 rows. Size-only
+    // estimation cannot see through the replay filter, so pre-ANALYZE the
+    // table still "weighs" the full file and stays a shuffle join at an
+    // 8 KB broadcast threshold; ANALYZE records the true row count and the
+    // preCBO annotation (plans.AnalyzeStatsRule) flips join selection with
+    // no hint anywhere in the query.
+    val prevT = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    if (ops.Ddl.lookup("cbo_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE cbo_t")
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE cbo_t MAPPED BY '${sf("sf0.001")}/orders.parquet' KEYS (o_orderkey)")
+    ops.Ddl.execute(spark, "DELETE FROM cbo_t WHERE o_orderkey > 40")
+    val big = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+    def join = big.join(spark.table("cbo_t"),
+      big("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8192")
+      val before = join.queryExecution.sparkPlan.toString
+      assert(!before.contains("BroadcastHashJoin"), before.take(600))
+      ops.Ddl.execute(spark, "ANALYZE TABLE cbo_t COMPUTE STATISTICS")
+      val after = join.queryExecution.sparkPlan.toString
+      assert(after.contains("BroadcastHashJoin"), after.take(600))
+      // results are unchanged by the annotation (it is stats-only)
+      assert(join.count() == big.join(spark.read
+          .parquet(s"${sf("sf0.001")}/orders.parquet")
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.col("o_orderkey") > 40,
+            org.apache.spark.sql.functions.lit(false))),
+        big("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey")).count())
+      // a later mutation stales the stats: the flip retracts, never fires
+      // on outdated numbers, and SHOW STATS flags the staleness
+      ops.Ddl.execute(spark, "DELETE FROM cbo_t WHERE o_orderkey > 20")
+      val stale = join.queryExecution.sparkPlan.toString
+      assert(!stale.contains("BroadcastHashJoin"), stale.take(600))
+      val flags = ops.Ddl.execute(spark, "SHOW STATS cbo_t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(flags.get("stats_stale").contains("true"), flags.toString)
+      // re-ANALYZE refreshes: flag clears, flip returns
+      ops.Ddl.execute(spark, "ANALYZE TABLE cbo_t COMPUTE STATISTICS")
+      assert(!ops.Ddl.execute(spark, "SHOW STATS cbo_t").collect()
+        .exists(_.getString(0) == "stats_stale"))
+      assert(join.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevT)
+      ops.Ddl.execute(spark, "DROP TABLE cbo_t")
+    }
+  }
+
+  test("kv connector reports manifest statistics for join planning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_cbo").toString
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "s")
+      .write.format("graft.sources.GraftKvSink").option("path", dir)
+      .mode("overwrite").save()
+    val small = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).load()
+    val big = spark.read.parquet(s"${sf("sf0.001")}/lineitem.parquet")
+    // a 3-row kv table must broadcast hint-free: the scan's
+    // estimateStatistics reports manifest rows + on-disk bytes
+    val plan = big.join(small,
+      big("l_orderkey") === small("id")).queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+  }
+
   test("similarity query sample is a bounded top-k, not a global sort") {
     // the fixed-size md5 query sample must plan as TakeOrderedAndProject
     // (linear scan + 64-row heap per partition) over just the id column,
