@@ -186,6 +186,7 @@ object Ddl {
       m.put("col", ix.col)
       m.put("index", ix.indexPath)
       m.put("keys", ix.keyCols.asJava)
+      m.put("builtAt", Integer.valueOf(ix.builtAtMuts))
       idxs.add(m)
     }
     val root = new java.util.LinkedHashMap[String, Object]()
@@ -281,7 +282,8 @@ object Ddl {
               val ix = graft.plans.IndexDef(n.get("name").asText,
                 n.get("source").asText, n.get("col").asText,
                 n.get("index").asText,
-                n.get("keys").elements().asScala.map(_.asText).toSeq)
+                n.get("keys").elements().asScala.map(_.asText).toSeq,
+                Option(n.get("builtAt")).map(_.asInt).getOrElse(0))
               if (indexDefs.putIfAbsent(ix.name.toLowerCase, ix).isEmpty &&
                   graft.plans.IndexCatalog.named(ix.name).isEmpty)
                 graft.plans.IndexCatalog.register(ix)
@@ -755,7 +757,8 @@ object Ddl {
   private val versionsCols: Seq[(String, DataType)] =
     Seq("version" -> IntegerType, "op" -> StringType, "detail" -> StringType)
   private val indexesCols: Seq[(String, DataType)] =
-    Seq("index" -> StringType, "source" -> StringType, "col" -> StringType)
+    Seq("index" -> StringType, "source" -> StringType, "col" -> StringType,
+      "stale" -> BooleanType)
 
   /** VERSION time travel over the mutation log — the Spark analogue of
     * HBase's cell-version reads (the reference's storage model keeps prior
@@ -1012,10 +1015,38 @@ object Ddl {
     }
   }
 
-  /** Record a mutation on a table: update the catalog entry and persist. */
+  private def normPath(p: String): String =
+    java.nio.file.Paths.get(p.stripPrefix("file:"))
+      .toAbsolutePath.normalize.toString
+
+  /** The keyed table whose base parquet is `path`, if registered. */
+  private def tableByPath(path: String): Option[KeyedTable] = {
+    ensureLoaded()
+    val n = normPath(path)
+    catalog.values.find(t => normPath(t.path) == n)
+  }
+
+  /** Record a mutation on a table: update the catalog entry and persist.
+    * If the table backs secondary indexes or materialized views, say so in
+    * one line — the structural veto already keeps their transparent
+    * rewrites sound (the replay view no longer matches the base-relation
+    * pattern), but silence left users to discover the de-optimization via
+    * EXPLAIN. SHOW INDEXES / SHOW STATS carry the same flag durably. */
   private def logMut(t: KeyedTable, m: Mut): Unit = {
     catalog.put(t.name.toLowerCase, t.copy(muts = t.muts :+ m))
     persist()
+    val p = normPath(t.path)
+    val idx = graft.plans.IndexCatalog.all()
+      .filter(ix => normPath(ix.sourcePath) == p).map(ix => s"INDEX ${ix.name}")
+    val mvs = mvEntries().collect {
+      case (name, mv) if normPath(mv.sourcePath) == p =>
+        s"MATERIALIZED VIEW $name"
+    }
+    val stale = idx ++ mvs
+    if (stale.nonEmpty)
+      System.err.println(s"[graft] ${m.op.toUpperCase} on ${t.name} staled " +
+        s"${stale.mkString(", ")} — their transparent rewrites stay vetoed " +
+        s"until ${stale.map(s => s"REFRESH $s").mkString("; ")}")
   }
 
   /** Single DDL entry point — dispatches the full A8 statement set. Returns
@@ -1180,8 +1211,9 @@ object Ddl {
       case ShowIndexesRe(_*) =>
         ensureLoaded()
         graft.plans.IndexCatalog.all()
-          .map(ix => (ix.name, ix.sourcePath, ix.col))
-          .toDF("index", "source", "col")
+          .map(ix => (ix.name, ix.sourcePath, ix.col,
+            tableByPath(ix.sourcePath).exists(_.muts.length > ix.builtAtMuts)))
+          .toDF("index", "source", "col", "stale")
       case ShowVersionsRe(name) =>
         val t = lookupOrThrow(name)
         val rows = (0, "base", t.path) +: t.muts.zipWithIndex.map { case (m, i) =>
@@ -1255,16 +1287,23 @@ object Ddl {
           s"'$colName' is a key column of ${t.name} — key predicates already " +
             "prune at the scan; an index would add nothing")
         val ix = graft.plans.IndexDef(idxName, t.path, colName.toLowerCase,
-          indexStorePath(idxName), t.keys)
+          indexStorePath(idxName), t.keys, builtAtMuts = t.muts.length)
         buildIndex(spark, ix)
         graft.plans.IndexCatalog.register(ix)
         indexDefs.put(idxName.toLowerCase, ix)
         persist()
         status("CREATE_INDEX", idxName)
       case RefreshIndexRe(name) =>
-        val ix = idxNamed(name).getOrElse(
+        val ix0 = idxNamed(name).getOrElse(
           throw new IllegalArgumentException(s"unknown index '$name'"))
+        // re-pin the build position: the refreshed content reflects the
+        // backing table's CURRENT state, so the stale flag clears
+        val ix = ix0.copy(builtAtMuts =
+          tableByPath(ix0.sourcePath).map(_.muts.length).getOrElse(0))
         buildIndex(spark, ix)
+        graft.plans.IndexCatalog.register(ix)
+        indexDefs.put(ix.name.toLowerCase, ix)
+        persist()
         status("REFRESH_INDEX", name)
       case DropIndexRe(name) =>
         graft.plans.IndexCatalog.unregister(name).getOrElse(

@@ -979,6 +979,35 @@ object Relational {
         |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
   }
 
+  /** B30-rec extension: RECURSIVE CTE whose recursive step JOINS the
+    * frontier against an EXPLICIT edge relation — the common real shape
+    * (org charts, category trees, crawl graphs) that exercises UnionLoop's
+    * join path, where sql_recursive_cte's step was projection-only. The
+    * edge table is derived from part: child p_partkey → parent
+    * floor(p_partkey/2) (the same implicit binary tree, now materialized
+    * as rows); the walk ascends via `anc ⋈ edges ON child = node` until
+    * the frontier leaves the key domain (parent 0 has no edge row).
+    * Scale shape: each iteration is ONE equality join keyed on the edge's
+    * child column — the frontier stays ≤ |anchor| because child is unique,
+    * and depth is bounded by the key width. */
+  def sqlRecursiveJoin(s: SparkSession, d: String): DataFrame = {
+    Tables.part(s, d).createOrReplaceTempView("part_v")
+    s.sql(
+      """WITH RECURSIVE anc(start_key, node, depth) AS (
+        |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0
+        |  FROM part_v WHERE p_size >= 48
+        |  UNION ALL
+        |  SELECT a.start_key, e.parent, a.depth + 1
+        |  FROM anc a JOIN (
+        |    SELECT CAST(p_partkey AS BIGINT) AS child,
+        |           CAST(floor(p_partkey / 2.0) AS BIGINT) AS parent
+        |    FROM part_v WHERE p_partkey > 1) e
+        |  ON e.child = a.node)
+        |SELECT depth, count(*) AS cnt, min(start_key) AS min_key,
+        |       CAST(sum(node) AS BIGINT) AS node_sum
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
   /** B15 extension: array aggregation — sorted collect_list is deterministic
     * (plain collect_list order is engine/partition-dependent; never judged).
     * The judged column is stringified: an ARRAY output column crashes the
@@ -1198,6 +1227,7 @@ object Relational {
     "subquery_scalar" -> (subqueryScalar _),
     "lateral_topn" -> (lateralTopn _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "sql_recursive_join" -> (sqlRecursiveJoin _),
     "sql_scripting" -> (sqlScripting _))
 
   val oracles: Map[String, String] = Map(
@@ -1802,5 +1832,19 @@ object Relational {
         |  FROM anc WHERE node > 1)
         |SELECT depth, count(*) AS cnt, min(start_key) AS min_key,
         |       max(start_key) AS max_key
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin,
+    "sql_recursive_join" ->
+      """WITH RECURSIVE anc(start_key, node, depth) AS (
+        |  SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT), 0
+        |  FROM part WHERE p_size >= 48
+        |  UNION ALL
+        |  SELECT a.start_key, e.parent, a.depth + 1
+        |  FROM anc a JOIN (
+        |    SELECT CAST(p_partkey AS BIGINT) AS child,
+        |           CAST(floor(p_partkey / 2.0) AS BIGINT) AS parent
+        |    FROM part WHERE p_partkey > 1) e
+        |  ON e.child = a.node)
+        |SELECT depth, count(*) AS cnt, min(start_key) AS min_key,
+        |       CAST(sum(node) AS BIGINT) AS node_sum
         |FROM anc GROUP BY depth ORDER BY depth""".stripMargin)
 }

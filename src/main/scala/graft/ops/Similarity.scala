@@ -361,6 +361,20 @@ object Similarity {
   /** Lloyd refinement rounds over the sampled codebook (see pqCodebook). */
   private val pqIters = 2
 
+  /** ADC shortlist size for the exact re-rank stage (annRecallPq): the
+    * production PQ serving shape (Jégou et al. 2011 §V) is coarse ADC scan
+    * → shortlist of R — exact distance on the R true vectors → top-k. The
+    * index memory is unchanged (codes + codebook); the re-rank reads R=12
+    * original vectors per query, the bounded "fetch candidates from
+    * storage" step every deployed PQ system performs. Measured recall@3 at
+    * sf0.1: 0.67 pure-ADC → with re-rank, limited only by the shortlist's
+    * coverage of the true top-3. An OPQ-lite variance-balancing subspace
+    * permutation was considered for the same goal, but the permutation is
+    * data-dependent and the DuckDB oracle's codebook CTEs index subspaces
+    * textually — the re-rank is the standard lever and keeps the oracle a
+    * two-CTE extension. */
+  private val pqShortR = 12
+
   /** Fixed-point grid for the refinement means: 2^20. Multiplying a double
     * by a power of two is EXACT (no rounding), floor is exact, and integer
     * sums are order-independent — so the refined centroid coordinates are
@@ -478,7 +492,8 @@ object Similarity {
     * as simTopkAgg, so no per-query global sort. */
   def annRecallPq(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
-    val topk = udaf(new graft.functions.TopKAgg(3))
+    val topkR = udaf(new graft.functions.TopKAgg(pqShortR))
+    val topk3 = udaf(new graft.functions.TopKAgg(3))
     val e = withVec(Tables.embeddings(s, d))
     val truth = simTopkAgg(s, d).filter(col("rank") <= 3)
       .select(col("q_id"), col("n_id"))
@@ -486,13 +501,26 @@ object Similarity {
       .withColumn("nh", sqrt(VectorOps.dotFast(col("xhat"), col("xhat"))))
     val q = onlyQueries(e, queryIdsFor(s, d))
       .select(col("vec_id").as("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
-    val pq = q.join(xh, col("q_id") =!= col("vec_id"))
+    // stage 1: coarse ADC scan → shortlist of pqShortR per query (the
+    // linear pass over the compressed reconstructions)
+    val short = q.join(xh, col("q_id") =!= col("vec_id"))
       .withColumn("adc", pairCos(col("qe"), col("xhat"), col("qn"), col("nh")))
       .groupBy(col("q_id"))
-      .agg(topk(col("vec_id"), col("adc")).as("top"))
+      .agg(topkR(col("vec_id"), col("adc")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("p"))
+      .select(col("q_id"), col("p._1").as("n_id"))
+    // stage 2: exact re-rank of the shortlist against the TRUE vectors —
+    // |q| × R rows, the bounded candidate-fetch every deployed PQ system
+    // performs before serving
+    val cand = e.select(col("vec_id").as("n_id"), col("emb_d").as("ne"),
+      col("nrm").as("nn"))
+    val rer = short.join(q, Seq("q_id")).join(cand, Seq("n_id"))
+      .withColumn("cos", pairCos(col("qe"), col("ne"), col("qn"), col("nn")))
+      .groupBy(col("q_id"))
+      .agg(topk3(col("n_id"), col("cos")).as("top"))
       .select(col("q_id"), explode(col("top")).as("p"))
       .select(col("q_id"), col("p._1").as("n_id"), lit(1).as("hit"))
-    truth.join(pq, Seq("q_id", "n_id"), "left")
+    truth.join(rer, Seq("q_id", "n_id"), "left")
       .groupBy(col("q_id"))
       .agg(sum(coalesce(col("hit"), lit(0))).as("n_hit"))
       .withColumn("recall", ratioD(col("n_hit"), lit(3)))
@@ -952,9 +980,14 @@ object Similarity {
          |    ORDER BY cos DESC, n_id) AS rank FROM s) WHERE rank <= 3),
          |pqs AS (SELECT q.q_id, x.vec_id AS n_id, $adc AS adc
          |        FROM q JOIN xh x ON q.q_id <> x.vec_id),
+         |short AS (SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adc DESC, n_id) AS rank FROM pqs) WHERE rank <= $pqShortR),
+         |rers AS (SELECT s.q_id, s.n_id, s.cos
+         |         FROM s JOIN short USING (q_id, n_id)),
          |pqr AS (SELECT q_id, n_id FROM (
          |  SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
-         |    ORDER BY adc DESC, n_id) AS rank FROM pqs) WHERE rank <= 3)
+         |    ORDER BY cos DESC, n_id) AS rank FROM rers) WHERE rank <= 3)
          |SELECT t.q_id,
          |  CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
          |  CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)

@@ -15,7 +15,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * UNIQUE in the source (validated at build time) — semi-join on a
   * non-unique key would admit rows whose indexed value never matched. */
 case class IndexDef(name: String, sourcePath: String, col: String,
-    indexPath: String, keyCols: Seq[String])
+    indexPath: String, keyCols: Seq[String],
+    // mutation-log length of the backing keyed table when this index was
+    // (re)built — later DML makes the index stale (SHOW INDEXES flags it,
+    // DML prints a one-line notice; the structural veto already keeps the
+    // rewrite itself sound)
+    builtAtMuts: Int = 0)
 
 /** Process-global index registry, path-keyed for rewrite lookups and
   * name-keyed for the DDL surface — same shape as [[MvCatalog]]. */

@@ -563,6 +563,36 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("DML on an indexed table prints a staleness notice and flags SHOW INDEXES") {
+    if (ops.Ddl.lookup("st_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE st_t")
+    if (graft.plans.IndexCatalog.named("st_ix").isDefined)
+      ops.Ddl.execute(spark, "DROP INDEX st_ix")
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE st_t MAPPED BY '${sf("sf0.001")}/orders.parquet' KEYS (o_orderkey)")
+    ops.Ddl.execute(spark, "CREATE INDEX st_ix ON st_t (o_custkey)")
+    try {
+      def staleFlag: Boolean = ops.Ddl.execute(spark, "SHOW INDEXES").collect()
+        .find(_.getString(0) == "st_ix").get.getBoolean(3)
+      assert(!staleFlag)
+      // the mutation funnel emits one clear line naming the staled index
+      val buf = new java.io.ByteArrayOutputStream()
+      val prevErr = System.err
+      System.setErr(new java.io.PrintStream(buf, true))
+      try ops.Ddl.execute(spark, "DELETE FROM st_t WHERE o_orderkey = 1")
+      finally System.setErr(prevErr)
+      val notice = new String(buf.toByteArray)
+      assert(notice.contains("staled INDEX st_ix"), notice)
+      assert(notice.contains("REFRESH"), notice)
+      assert(staleFlag)
+      // REFRESH re-pins the build position: flag clears
+      ops.Ddl.execute(spark, "REFRESH INDEX st_ix")
+      assert(!staleFlag)
+    } finally {
+      ops.Ddl.execute(spark, "DROP INDEX st_ix")
+      ops.Ddl.execute(spark, "DROP TABLE st_t")
+    }
+  }
+
   test("generalized MERGE: by-source UPDATE and validation errors") {
     ops.Ddl.execute(spark,
       s"CREATE TABLE mg_v MAPPED BY '${sf("sf0.001")}/region.parquet' KEYS (r_regionkey)")
