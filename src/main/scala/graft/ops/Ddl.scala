@@ -187,6 +187,8 @@ object Ddl {
       m.put("index", ix.indexPath)
       m.put("keys", ix.keyCols.asJava)
       m.put("builtAt", Integer.valueOf(ix.builtAtMuts))
+      if (ix.coveredPaths.nonEmpty) m.put("covered", ix.coveredPaths.asJava)
+      if (ix.table.nonEmpty) m.put("table", ix.table)
       idxs.add(m)
     }
     val root = new java.util.LinkedHashMap[String, Object]()
@@ -283,7 +285,10 @@ object Ddl {
                 n.get("source").asText, n.get("col").asText,
                 n.get("index").asText,
                 n.get("keys").elements().asScala.map(_.asText).toSeq,
-                Option(n.get("builtAt")).map(_.asInt).getOrElse(0))
+                Option(n.get("builtAt")).map(_.asInt).getOrElse(0),
+                Option(n.get("covered")).toSeq
+                  .flatMap(_.elements().asScala.map(_.asText)),
+                Option(n.get("table")).map(_.asText).getOrElse(""))
               if (indexDefs.putIfAbsent(ix.name.toLowerCase, ix).isEmpty &&
                   graft.plans.IndexCatalog.named(ix.name).isEmpty)
                 graft.plans.IndexCatalog.register(ix)
@@ -690,6 +695,36 @@ object Ddl {
       .write.mode(SaveMode.Overwrite).parquet(ix.indexPath)
   }
 
+  /** Append-only DELTA index build: index just `newPaths` (INSERT/LOAD
+    * snapshots) and append to the index parquet, after re-validating the
+    * CREATE-time contract against the delta — NULL keys rejected, and the
+    * delta's keys must be unique both internally and against every key
+    * already indexed (the semi-join's uniqueness requirement spans the
+    * whole covered set). */
+  private def deltaIndexAppend(spark: SparkSession,
+      ix: graft.plans.IndexDef, newPaths: Seq[String]): Unit = {
+    val delta = spark.read.parquet(newPaths: _*)
+    require(delta.filter(ix.keyCols.map(k => col(k).isNull).reduce(_ || _))
+        .limit(1).count() == 0L,
+      s"REFRESH INDEX ${ix.name}: appended rows have NULL key values")
+    val dup = delta.groupBy(ix.keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+    require(dup == 0L,
+      s"REFRESH INDEX ${ix.name}: appended rows duplicate key " +
+        s"(${ix.keyCols.mkString(", ")})")
+    val clash = delta.select(ix.keyCols.map(col): _*)
+      .join(spark.read.parquet(ix.indexPath)
+        .select(ix.keyCols.map(col): _*), ix.keyCols, "left_semi")
+      .limit(1).count()
+    require(clash == 0L,
+      s"REFRESH INDEX ${ix.name}: appended rows collide with keys already " +
+        "indexed — the key is no longer unique across the covered set")
+    delta.select((ix.col +: ix.keyCols).map(col): _*)
+      .repartitionByRange(2, col(ix.col))
+      .sortWithinPartitions(col(ix.col))
+      .write.mode(SaveMode.Append).parquet(ix.indexPath)
+  }
+
   /** (Re)build an MV's rollup snapshot from its source's BASE parquet:
     * count partial + one exact-decimal sum per registered column — the
     * decomposable shape plans.MvRewriteRule knows how to re-combine. */
@@ -1019,12 +1054,20 @@ object Ddl {
     java.nio.file.Paths.get(p.stripPrefix("file:"))
       .toAbsolutePath.normalize.toString
 
-  /** The keyed table whose base parquet is `path`, if registered. */
+  /** The keyed table whose base parquet is `path`, if registered. Several
+    * tables may map the same parquet — use [[indexTable]] when the index's
+    * recorded table name can disambiguate. */
   private def tableByPath(path: String): Option[KeyedTable] = {
     ensureLoaded()
     val n = normPath(path)
     catalog.values.find(t => normPath(t.path) == n)
   }
+
+  /** The table an index tracks: by recorded NAME when present (several
+    * tables can share a base parquet), by path for pre-r13 catalogs. */
+  private def indexTable(ix: graft.plans.IndexDef): Option[KeyedTable] =
+    if (ix.table.nonEmpty) { ensureLoaded(); lookup(ix.table) }
+    else tableByPath(ix.sourcePath)
 
   /** Record a mutation on a table: update the catalog entry and persist.
     * If the table backs secondary indexes or materialized views, say so in
@@ -1037,7 +1080,9 @@ object Ddl {
     persist()
     val p = normPath(t.path)
     val idx = graft.plans.IndexCatalog.all()
-      .filter(ix => normPath(ix.sourcePath) == p).map(ix => s"INDEX ${ix.name}")
+      .filter(ix => if (ix.table.nonEmpty) ix.table.equalsIgnoreCase(t.name)
+                    else normPath(ix.sourcePath) == p)
+      .map(ix => s"INDEX ${ix.name}")
     val mvs = mvEntries().collect {
       case (name, mv) if normPath(mv.sourcePath) == p =>
         s"MATERIALIZED VIEW $name"
@@ -1212,7 +1257,7 @@ object Ddl {
         ensureLoaded()
         graft.plans.IndexCatalog.all()
           .map(ix => (ix.name, ix.sourcePath, ix.col,
-            tableByPath(ix.sourcePath).exists(_.muts.length > ix.builtAtMuts)))
+            indexTable(ix).exists(_.muts.length > ix.builtAtMuts)))
           .toDF("index", "source", "col", "stale")
       case ShowVersionsRe(name) =>
         val t = lookupOrThrow(name)
@@ -1274,9 +1319,14 @@ object Ddl {
         status("DROP_MV", name)
       case CreateIndexRe(idxName, tName, colName) =>
         val t = lookupOrThrow(tName)
-        require(t.muts.isEmpty,
-          s"CREATE INDEX requires an unmutated table; ${t.name} has " +
-            s"${t.muts.length} mutation(s) — the rewrite keys on the base parquet")
+        val createSnaps = t.muts.collect {
+          case Mut("insert", _, b) if b.nonEmpty => b
+          case Mut("load", _, b) if b.nonEmpty   => b
+        }
+        require(createSnaps.length == t.muts.length,
+          s"CREATE INDEX requires an unmutated or append-only table; " +
+            s"${t.name} has non-append mutation(s) — the rewrite keys on " +
+            "base + snapshot scans only")
         require(graft.plans.IndexCatalog.named(idxName).isEmpty,
           s"index '$idxName' already exists")
         ensureView(spark, t)
@@ -1286,9 +1336,16 @@ object Ddl {
         require(!t.keys.exists(_.equalsIgnoreCase(colName)),
           s"'$colName' is a key column of ${t.name} — key predicates already " +
             "prune at the scan; an index would add nothing")
-        val ix = graft.plans.IndexDef(idxName, t.path, colName.toLowerCase,
-          indexStorePath(idxName), t.keys, builtAtMuts = t.muts.length)
-        buildIndex(spark, ix)
+        val ix0 = graft.plans.IndexDef(idxName, t.path, colName.toLowerCase,
+          indexStorePath(idxName), t.keys, builtAtMuts = t.muts.length,
+          table = t.name)
+        buildIndex(spark, ix0)
+        // an append-only history is covered immediately (delta build per
+        // snapshot), so the index serves the table's CURRENT view
+        val ix = if (createSnaps.nonEmpty) {
+          deltaIndexAppend(spark, ix0, createSnaps)
+          ix0.copy(coveredPaths = t.path +: createSnaps)
+        } else ix0
         graft.plans.IndexCatalog.register(ix)
         indexDefs.put(idxName.toLowerCase, ix)
         persist()
@@ -1296,11 +1353,31 @@ object Ddl {
       case RefreshIndexRe(name) =>
         val ix0 = idxNamed(name).getOrElse(
           throw new IllegalArgumentException(s"unknown index '$name'"))
-        // re-pin the build position: the refreshed content reflects the
-        // backing table's CURRENT state, so the stale flag clears
-        val ix = ix0.copy(builtAtMuts =
-          tableByPath(ix0.sourcePath).map(_.muts.length).getOrElse(0))
-        buildIndex(spark, ix)
+        val muts = indexTable(ix0).map(_.muts).getOrElse(Nil)
+        val appendSnaps = muts.collect {
+          case Mut("insert", _, b) if b.nonEmpty => b
+          case Mut("load", _, b) if b.nonEmpty   => b
+        }
+        // DELTA refresh for an append-only history: index only the
+        // not-yet-covered INSERT/LOAD snapshots and append them to the
+        // index parquet (each delta file is value-sorted itself, so
+        // parquet min/max pruning still holds per file) — O(delta), not
+        // O(table). Any other mutation falls back to the full base
+        // rebuild, and the rewrite's covered-path subset check keeps it
+        // sound either way. Re-pin the build position in both paths so
+        // the stale flag clears.
+        val ix = if (muts.nonEmpty && appendSnaps.length == muts.length) {
+          val covered0 = ix0.covered
+          val newPaths = appendSnaps.filterNot(p =>
+            covered0.map(normPath).contains(normPath(p)))
+          if (newPaths.nonEmpty) deltaIndexAppend(spark, ix0, newPaths)
+          ix0.copy(coveredPaths = covered0 ++ newPaths,
+            builtAtMuts = muts.length)
+        } else {
+          val full = ix0.copy(coveredPaths = Nil, builtAtMuts = muts.length)
+          buildIndex(spark, full)
+          full
+        }
         graft.plans.IndexCatalog.register(ix)
         indexDefs.put(ix.name.toLowerCase, ix)
         persist()

@@ -20,7 +20,21 @@ case class IndexDef(name: String, sourcePath: String, col: String,
     // (re)built — later DML makes the index stale (SHOW INDEXES flags it,
     // DML prints a one-line notice; the structural veto already keeps the
     // rewrite itself sound)
-    builtAtMuts: Int = 0)
+    builtAtMuts: Int = 0,
+    // every parquet path whose rows the index contains: the base alone
+    // after a full build, base + INSERT/LOAD snapshots after a delta
+    // REFRESH on an append-only table. The rewrite fires on any scan whose
+    // path set is a SUBSET of this (a superset index is sound for the
+    // semi-join: probe keys absent from the scanned side simply never
+    // match). Empty = just sourcePath (pre-delta catalogs).
+    coveredPaths: Seq[String] = Nil,
+    // the keyed table this index was created on — several tables may map
+    // the same base parquet, so staleness/delta tracking must follow the
+    // table by NAME, not by path. Empty = pre-r13 catalogs (path fallback).
+    table: String = "") {
+  def covered: Seq[String] =
+    if (coveredPaths.isEmpty) Seq(sourcePath) else coveredPaths
+}
 
 /** Process-global index registry, path-keyed for rewrite lookups and
   * name-keyed for the DDL surface — same shape as [[MvCatalog]]. */
@@ -49,12 +63,26 @@ object IndexCatalog {
   def clear(): Unit = { byPath.clear(); byName.clear() }
   def isEmpty: Boolean = byPath.isEmpty
   def all(): Seq[IndexDef] = byName.values.toSeq.sortBy(_.name)
-  /** Indexes for a scan that reads EXACTLY one registered source path
-    * (multi-path reads must not be redirected — same lesson as
-    * [[MvCatalog.forPaths]]). */
-  def forPaths(paths: Seq[String]): Map[String, IndexDef] =
-    if (paths.sizeIs == 1) byPath.getOrElse(norm(paths.head), Map.empty)
-    else Map.empty
+  /** Indexes usable for a scan reading exactly `paths`: every scanned path
+    * must be COVERED by the index (rows the index has never seen could
+    * match the predicate but be dropped by the semi-join — unsound), while
+    * the index covering MORE paths than the scan is safe (extra probe keys
+    * never match). Single-path scans keep the fast byPath lookup; the
+    * subset rule additionally serves append-only replay shapes, where the
+    * filter lands on each Union branch (base, snapshot) separately. */
+  def forPaths(paths: Seq[String]): Map[String, IndexDef] = {
+    val ps = paths.map(norm).toSet
+    if (ps.isEmpty) Map.empty
+    else {
+      val direct =
+        if (ps.sizeIs == 1) byPath.getOrElse(ps.head, Map.empty)
+        else Map.empty[String, IndexDef]
+      val viaCover = byName.values
+        .filter(ix => ps.subsetOf(ix.covered.map(norm).toSet))
+        .map(ix => ix.col.toLowerCase -> ix).toMap
+      viaCover ++ direct
+    }
+  }
 }
 
 /** Transparent SECONDARY-INDEX rewrite — the optimizer half of the A10 row:
@@ -93,10 +121,16 @@ class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Scan paths under a pure column-pruning Project, if any. */
+  /** Scan paths under a pure column-pruning Project, if any. A Union of
+    * such scans (the append-only replay shape when the filter has not been
+    * split into the branches yet) contributes all branch paths; any
+    * transforming projection or other operator vetoes. */
   private def sourceOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       sourceOf(c)
+    case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+      val subs = u.children.map(sourceOf)
+      if (subs.forall(_.isDefined)) Some(subs.flatMap(_.get)) else None
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
       case _ => None

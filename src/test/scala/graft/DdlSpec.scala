@@ -563,6 +563,55 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("delta REFRESH INDEX covers append-only inserts; rewrite fires on the view") {
+    if (ops.Ddl.lookup("di_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE di_t")
+    if (graft.plans.IndexCatalog.named("di_ix").isDefined)
+      ops.Ddl.execute(spark, "DROP INDEX di_ix")
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE di_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    ops.Ddl.execute(spark, "CREATE INDEX di_ix ON di_t (n_regionkey)")
+    try {
+      ops.Ddl.execute(spark, "INSERT INTO di_t VALUES (90, 'delta-new', 77)")
+      def stale: Boolean = ops.Ddl.execute(spark, "SHOW INDEXES").collect()
+        .find(_.getString(0) == "di_ix").get.getBoolean(3)
+      assert(stale)
+      // before the refresh, only the COVERED base branch redirects; the
+      // uncovered snapshot branch keeps its plain filter (covered-subset
+      // rule, branch by branch) and results stay exact
+      def viewQ = spark.table("di_t").filter(col("n_regionkey") === 77)
+      def semiCount: Int =
+        "Join LeftSemi".r.findAllIn(viewQ.queryExecution.optimizedPlan.toString)
+          .length
+      assert(semiCount == 1, viewQ.queryExecution.optimizedPlan.toString.take(1500))
+      assert(viewQ.count() == 1)
+      ops.Ddl.execute(spark, "REFRESH INDEX di_ix")
+      assert(!stale)
+      // now BOTH union branches are covered and redirect to the index
+      assert(semiCount == 2, viewQ.queryExecution.optimizedPlan.toString.take(1500))
+      assert(viewQ.collect().map(_.getInt(0)).toSeq == Seq(90))
+      // second append + CREATE-after-insert path: a fresh index on an
+      // append-only table covers the snapshots immediately
+      ops.Ddl.execute(spark, "INSERT INTO di_t VALUES (91, 'delta-two', 78)")
+      if (graft.plans.IndexCatalog.named("di_ix2").isDefined)
+        ops.Ddl.execute(spark, "DROP INDEX di_ix2")
+      ops.Ddl.execute(spark, "CREATE INDEX di_ix2 ON di_t (n_name)")
+      val q2 = spark.table("di_t").filter(col("n_name") === "delta-two")
+      assert(q2.queryExecution.optimizedPlan.toString.contains("LeftSemi"))
+      assert(q2.collect().map(_.getInt(0)).toSeq == Seq(91))
+      ops.Ddl.execute(spark, "DROP INDEX di_ix2")
+      // a non-append mutation falls back: REFRESH rebuilds from base and
+      // the view read (whose branch shape is no longer pure scans) is
+      // correct without redirection
+      ops.Ddl.execute(spark, "DELETE FROM di_t WHERE n_nationkey = 0")
+      ops.Ddl.execute(spark, "REFRESH INDEX di_ix")
+      assert(!stale)
+      assert(viewQ.count() == 1)
+    } finally {
+      ops.Ddl.execute(spark, "DROP INDEX di_ix")
+      ops.Ddl.execute(spark, "DROP TABLE di_t")
+    }
+  }
+
   test("DML on an indexed table prints a staleness notice and flags SHOW INDEXES") {
     if (ops.Ddl.lookup("st_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE st_t")
     if (graft.plans.IndexCatalog.named("st_ix").isDefined)

@@ -140,12 +140,23 @@ class PlanSpec extends SparkSpec {
           col("o_totalprice") > 1000.0)
         .count()
       assert(df.count() == direct && direct > 0)
-      // veto: a multi-path read is never rewritten
+      // a DUPLICATED-path read is rewritten soundly since r13's covered-
+      // subset rule (the semi-join keeps each copy independently — probe
+      // keys are path-agnostic), and duplicates are preserved exactly
       val multi = spark.read.parquet(s"$d/orders.parquet", s"$d/orders.parquet")
         .filter(col("o_custkey") === 11L)
-      assert(!scanPaths(multi).exists(_.contains("graft_indexes")))
+      assert(scanPaths(multi).exists(_.contains("graft_indexes")))
       assert(multi.count() == 2 * spark.read.parquet(s"$d/orders.parquet")
         .filter(col("o_custkey") === 11L).count())
+      // veto: a scan including a path the index has never seen must not be
+      // redirected — rows outside the covered set could satisfy the
+      // predicate yet be dropped by the semi-join
+      val foreign = java.nio.file.Files.createTempDirectory("graft_idx_foreign")
+      spark.read.parquet(s"$d/orders.parquet").limit(5)
+        .write.mode("overwrite").parquet(foreign.toString)
+      val mixed = spark.read.parquet(s"$d/orders.parquet", foreign.toString)
+        .filter(col("o_custkey") === 11L)
+      assert(!scanPaths(mixed).exists(_.contains("graft_indexes")))
       // a key-pruning projection still rewrites correctly: predicate
       // pushdown has moved the filter onto the bare relation (which always
       // exposes the key), so the semi-join lands UNDER the projection

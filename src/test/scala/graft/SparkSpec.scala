@@ -6,6 +6,10 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (mirrors the harness config:
   * UTC, nanosAsLong for the events table, small shuffle parallelism). */
 trait SparkSpec extends AnyFunSuite {
+  // force the companion's catalog-path isolation at suite CONSTRUCTION: a
+  // test whose first statement touches ops.Ddl (lookup/execute guards)
+  // before `spark` would otherwise latch the repo-root catalog file
+  SparkSpec.init
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String): String = s"/root/testdata/$dir"
 }
@@ -19,6 +23,10 @@ object SparkSpec {
   sys.props.getOrElseUpdate("graft.catalog.path",
     java.nio.file.Files.createTempDirectory("graft_test_cat")
       .resolve("graft_catalog.json").toString)
+
+  /** Cheap handle whose access runs this object's initializer (the
+    * catalog-path prop above) — referenced from the trait constructor. */
+  val init: Unit = ()
 
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
