@@ -493,8 +493,10 @@ object Ddl {
   // equality conjunction, source-to-target. Replays as mutation op
   // "merge2": a = dropped-keys snapshot, b = output-rows snapshot, so the
   // pure-SQL rebuild stays self-contained regardless of clause complexity.
+  // USING accepts a parenthesized subquery or a bare table/view name (the
+  // daily-driver `MERGE INTO t USING staging s ON …` form)
   private val MergeGenRe =
-    s"""(?is)\\s*MERGE\\s+INTO\\s+($Id)(?:\\s+(?:AS\\s+)?(?!USING\\b)(\\w+))?\\s+USING\\s+\\((.+)\\)(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*""".r
+    s"""(?is)\\s*MERGE\\s+INTO\\s+($Id)(?:\\s+(?:AS\\s+)?(?!USING\\b)(\\w+))?\\s+USING\\s+(?:\\((.+)\\)|([\\w.]+))(?:\\s+(?:AS\\s+)?(?!ON\\b)(\\w+))?\\s+ON\\s+(.+?)\\s+(WHEN\\s+.+?)\\s*""".r
 
   private sealed trait MergeClause { def cond: Option[String] }
   private sealed trait MatchedC extends MergeClause
@@ -875,7 +877,7 @@ object Ddl {
     case DeleteRe(n, _) if lookup(n).isDefined       => Some(statusCols)
     case UpdateRe(n, _, _, _) if lookup(n).isDefined => Some(statusCols)
     case MergeRe(n, _, _, _) if lookup(n).isDefined  => Some(statusCols)
-    case MergeGenRe(n, _, _, _, _, _) if lookup(n).isDefined => Some(statusCols)
+    case MergeGenRe(n, _, _, _, _, _, _) if lookup(n).isDefined => Some(statusCols)
     case CreateMvRe(_*)                              => Some(statusCols)
     case ShowVersionsRe(n) if lookup(n).isDefined    => Some(versionsCols)
     case RestoreRe(n, _) if lookup(n).isDefined      => Some(statusCols)
@@ -1448,7 +1450,10 @@ object Ddl {
         else replaceView(spark, t.name, merged)
         logMut(t, Mut("merge", onCond, snap))
         status("MERGE", t.name)
-      case MergeGenRe(name, tgtAliasOpt, srcSql, alias, onCond, clausesText) =>
+      case MergeGenRe(name, tgtAliasOpt, srcSqlParen, srcTable, alias, onCond,
+          clausesText) =>
+        val srcSql =
+          if (srcSqlParen != null) srcSqlParen else s"SELECT * FROM $srcTable"
         val t = lookupOrThrow(name)
         ensureView(spark, t)
         val cur = spark.table(t.name)

@@ -362,9 +362,12 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
     // reads only files published by epochs <= n — the manifest IS the
     // version history, so no data is copied (the HBase-version/timestamp
-    // read analogue; version_compact models the latest-cell-wins side)
+    // read analogue; version_compact models the latest-cell-wins side).
+    // `.option("maxEpochsPerTrigger", n)` rate-limits a streaming read to
+    // n epochs per micro-batch (the Kafka maxOffsetsPerTrigger analogue).
     val asOf = Option(options.get("asOfEpoch")).map(_.toLong)
-    new GraftKvScanBuilder(dir, asOf)
+    val maxEpochs = Option(options.get("maxEpochsPerTrigger")).map(_.toLong)
+    new GraftKvScanBuilder(dir, asOf, maxEpochs)
   }
 }
 
@@ -373,7 +376,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
   * ranges can only exclude whole files, never rows), so Spark re-applies
   * every predicate after the scan — pruning is a pure I/O win with zero
   * correctness surface, exactly parquet row-group skipping's contract. */
-final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
+final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
+    maxEpochs: Option[Long] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -447,7 +451,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long])
   }
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new GraftKvAggScan(dir, asOf, pushedAggs)
-    else new GraftKvScan(dir, asOf, fs.toSeq, projection)
+    else new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs)
 }
 
 /** Manifest-only aggregate scan: one partition, one partial row holding the
@@ -858,12 +862,13 @@ final class GraftKvWriter(dir: String, schema: StructType,
   * the connector's region-pruning analogue. */
 final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
-    projection: Option[StructType] = None)
+    projection: Option[StructType] = None,
+    maxEpochs: Option[Long] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftKvMicroBatchStream(dir, projection)
+    new GraftKvMicroBatchStream(dir, projection, maxEpochs)
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   private val EpochRe = """epoch-(\d+)-.*""".r
   // vacuumed history is unanswerable — error, never partial rows
@@ -933,13 +938,35 @@ final case class GraftKvFilePartition(dir: String, file: String)
   * concurrently running streaming WRITE to the same directory is picked up
   * epoch by epoch — the connector is a live source, not a snapshot. */
 final class GraftKvMicroBatchStream(dir: String,
-    projection: Option[StructType] = None)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    projection: Option[StructType] = None,
+    maxEpochs: Option[Long] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private case class EpochOffset(epoch: Long) extends Offset {
     override def json(): String = epoch.toString
   }
+
+  /** Admission control (Kafka maxOffsetsPerTrigger analogue): with
+    * `maxEpochsPerTrigger`, each micro-batch advances at most that many
+    * epochs past its start, so a stream recovering a long backlog (or fed
+    * by a bursty batch producer) processes bounded work per trigger
+    * instead of one giant catch-up batch. reportLatestOffset still tells
+    * the engine the TRUE head for lag metrics. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxEpochs.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L)
+    val s = start.asInstanceOf[EpochOffset].epoch
+    maxEpochs match {
+      case Some(n) => EpochOffset(math.min(head, s + n))
+      case None    => EpochOffset(head)
+    }
+  }
+  override def reportLatestOffset(): Offset =
+    EpochOffset(files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L))
   private val EpochRe = """epoch-(\d+)-.*""".r
   private def epochOf(name: String): Long = name match {
     case EpochRe(e) => e.toLong

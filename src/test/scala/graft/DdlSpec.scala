@@ -658,6 +658,19 @@ class DdlSpec extends SparkSpec {
       assert(spark.sql(
         "SELECT count(*) FROM mg_v WHERE r_regionkey <= 1 AND r_name = 'stale'")
         .head().getLong(0) == 0)
+      // bare-table USING form: `MERGE INTO t USING view s ON …`
+      spark.sql("SELECT 0 AS r_regionkey UNION ALL SELECT 77")
+        .createOrReplaceTempView("mg_src_v")
+      spark.sql(
+        """MERGE INTO mg_v t USING mg_src_v s
+          |ON s.r_regionkey = t.r_regionkey
+          |WHEN MATCHED THEN UPDATE SET r_name = 'via-table'
+          |WHEN NOT MATCHED THEN INSERT (r_regionkey, r_name)
+          |  VALUES (s.r_regionkey, 'new-77')""".stripMargin)
+      assert(spark.sql("SELECT r_name FROM mg_v WHERE r_regionkey = 0")
+        .head().getString(0) == "via-table")
+      assert(spark.sql("SELECT r_name FROM mg_v WHERE r_regionkey = 77")
+        .head().getString(0) == "new-77")
       // PRIMARY KEY columns cannot be assigned
       intercept[IllegalArgumentException] {
         ops.Ddl.execute(spark,

@@ -368,6 +368,34 @@ class StreamingSpec extends SparkSpec {
       .load().select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("kv streaming read rate-limits catch-up with maxEpochsPerTrigger") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_ratelim")
+    val dir = root.resolve("feed").toString
+    // a 4-epoch backlog published BEFORE the stream starts
+    (0 to 3).foreach { k =>
+      Seq((k.toLong, s"e$k")).toDF("id", "s")
+        .write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", k.toString)
+        .mode(if (k == 0) "overwrite" else "append").save()
+    }
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("maxEpochsPerTrigger", "1").load()
+      .writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized { seen += df.select("id").collect().map(_.getLong(0)).toSet }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the backlog drains one epoch per micro-batch, never one giant batch
+    assert(seen.filter(_.nonEmpty) ==
+      Seq(Set(0L), Set(1L), Set(2L), Set(3L)), seen)
+  }
+
   test("kv compact merges epochs, preserves state, and fences vacuumed history") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
