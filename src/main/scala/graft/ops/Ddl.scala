@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 
 /** Astro-shaped DDL surface (SURVEY.md §2 A8): the reference declares tables
   * with `CREATE TABLE t (...) MAPPED BY (hbaseTbl, COLS=[...])` and a
@@ -163,6 +163,8 @@ object Ddl {
       mv.sums.toSeq.sortBy(_._1).foreach { case (k, v) => sm.put(k, v) }
       m.put("sums", sm)
       m.put("dectype", mv.decType.sql)
+      if (mv.coveredPaths.nonEmpty) m.put("covered", mv.coveredPaths.asJava)
+      if (mv.table.nonEmpty) m.put("table", mv.table)
       mvs.add(m)
     }
     val dsv2 = new java.util.ArrayList[java.util.Map[String, Object]]()
@@ -263,7 +265,10 @@ object Ddl {
               n.get("source").asText, n.get("snapshot").asText,
               n.get("groups").elements().asScala.map(_.asText).toSeq,
               n.get("cnt").asText, sums,
-              DataType.fromDDL(n.get("dectype").asText))
+              DataType.fromDDL(n.get("dectype").asText),
+              Option(n.get("covered")).toSeq
+                .flatMap(_.elements().asScala.map(_.asText)),
+              Option(n.get("table")).map(_.asText).getOrElse(""))
             if (mvDefs.putIfAbsent(name, mv).isEmpty &&
                 graft.plans.MvCatalog.named(name).isEmpty)
               graft.plans.MvCatalog.register(name, mv)
@@ -740,6 +745,49 @@ object Ddl {
       .write.mode(SaveMode.Overwrite).parquet(mv.snapshotPath)
   }
 
+  /** The INSERT/LOAD snapshot paths of a pure append-only history (length
+    * == muts.length iff every mutation was an append). */
+  private def appendOnlySnaps(muts: Seq[Mut]): Seq[String] = muts.collect {
+    case Mut("insert", _, b) if b.nonEmpty => b
+    case Mut("load", _, b) if b.nonEmpty   => b
+  }
+
+  /** The table an MV tracks: by recorded NAME when present, by path for
+    * pre-r13 catalogs. */
+  private def mvTable(mv: graft.plans.MvDef): Option[KeyedTable] =
+    if (mv.table.nonEmpty) { ensureLoaded(); lookup(mv.table) }
+    else tableByPath(mv.sourcePath)
+
+  /** INCREMENTAL view maintenance for append-only histories: aggregate the
+    * delta snapshots at the MV's granularity, union with the existing
+    * partials, and re-combine (counts add; decimal partial sums add
+    * exactly, cast back to the stored precision). The merged snapshot is
+    * written to a NEW versioned path — the old one cannot be overwritten
+    * while it feeds the merge, and the swap stays a single registry/
+    * catalog update. Returns the updated definition. */
+  private def incrementMvSnapshot(spark: SparkSession,
+      mv: graft.plans.MvDef, newPaths: Seq[String]): graft.plans.MvDef = {
+    val old = spark.read.parquet(mv.snapshotPath)
+    val sums = mv.sums.toSeq.sortBy(_._1).map { case (src, partial) =>
+      sum(col(src).cast(M)).as(partial)
+    }
+    val delta = spark.read.parquet(newPaths: _*)
+      .groupBy(mv.groupCols.map(c => col(c)): _*)
+      .agg(count(lit(1)).as(mv.cntCol), sums: _*)
+    val merged = old.unionByName(delta)
+      .groupBy(mv.groupCols.map(c => col(c)): _*)
+      .agg(sum(col(mv.cntCol)).cast(LongType).as(mv.cntCol),
+        mv.sums.values.toSeq.sorted.map { p =>
+          sum(col(p)).cast(old.schema(p).dataType).as(p)
+        }: _*)
+      .select(old.columns.map(c => col(quotedCol(c))).toIndexedSeq: _*)
+    val covered = mv.covered
+    val out = mv.snapshotPath.replaceAll("_v\\d+$", "") +
+      s"_v${covered.length + newPaths.length}"
+    merged.write.mode(SaveMode.Overwrite).parquet(out)
+    mv.copy(snapshotPath = out, coveredPaths = covered ++ newPaths)
+  }
+
   /** Create/refresh the persistent view for a qualified table, creating its
     * database on demand. */
   private def registerQualified(spark: SparkSession, t: KeyedTable): Unit = {
@@ -1086,7 +1134,8 @@ object Ddl {
                     else normPath(ix.sourcePath) == p)
       .map(ix => s"INDEX ${ix.name}")
     val mvs = mvEntries().collect {
-      case (name, mv) if normPath(mv.sourcePath) == p =>
+      case (name, mv) if (if (mv.table.nonEmpty) mv.table.equalsIgnoreCase(t.name)
+                          else normPath(mv.sourcePath) == p) =>
         s"MATERIALIZED VIEW $name"
     }
     val stale = idx ++ mvs
@@ -1280,9 +1329,11 @@ object Ddl {
         status("RESTORE", t.name)
       case CreateMvRe(mvName, tName, groupsCsv, sumsCsv) =>
         val t = lookupOrThrow(tName)
-        require(t.muts.isEmpty,
-          s"materialized view requires an unmutated table; ${t.name} has " +
-            s"${t.muts.length} mutation(s) — the rewrite keys on the base parquet")
+        val mvSnaps = appendOnlySnaps(t.muts)
+        require(mvSnaps.length == t.muts.length,
+          s"materialized view requires an unmutated or append-only table; " +
+            s"${t.name} has non-append mutation(s) — the rewrite keys on " +
+            "base + snapshot scans only")
         require(lookup(mvName).isEmpty && graft.plans.MvCatalog.named(mvName).isEmpty,
           s"'$mvName' already names a table or materialized view")
         ensureView(spark, t)
@@ -1296,9 +1347,14 @@ object Ddl {
           require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
             s"SUMS column '$c' must be numeric, got ${dt.simpleString}")
         }
-        val mv = graft.plans.MvDef(t.path, mvSnapshotPath(mvName), groups, "cnt",
-          sumCols.map(c => c.toLowerCase -> s"sum_${c.toLowerCase}").toMap, M)
-        buildMvSnapshot(spark, mv)
+        val mv0 = graft.plans.MvDef(t.path, mvSnapshotPath(mvName), groups, "cnt",
+          sumCols.map(c => c.toLowerCase -> s"sum_${c.toLowerCase}").toMap, M,
+          table = t.name)
+        buildMvSnapshot(spark, mv0)
+        // an append-only history folds in immediately (incremental build),
+        // so the MV serves the table's CURRENT view
+        val mv = if (mvSnaps.nonEmpty) incrementMvSnapshot(spark, mv0, mvSnaps)
+                 else mv0
         graft.plans.MvCatalog.register(mvName, mv)
         // the MV is also directly queryable under its own name
         spark.read.parquet(mv.snapshotPath).createOrReplaceTempView(mvName)
@@ -1308,9 +1364,28 @@ object Ddl {
         persist()
         status("CREATE_MV", mvName)
       case RefreshMvRe(name) =>
-        val mv = graft.plans.MvCatalog.named(name).getOrElse(
+        val mv0 = graft.plans.MvCatalog.named(name).getOrElse(
           throw new IllegalArgumentException(s"unknown materialized view '$name'"))
-        buildMvSnapshot(spark, mv)
+        val muts = mvTable(mv0).map(_.muts).getOrElse(Nil)
+        val snaps = appendOnlySnaps(muts)
+        // INCREMENTAL refresh for an append-only history: aggregate ONLY
+        // the uncovered snapshots and fold them into the existing partials
+        // (counts and exact-decimal sums recombine losslessly) — O(delta),
+        // the classic decomposable-rollup view maintenance. Anything else
+        // falls back to the full base rebuild.
+        val mv = if (muts.nonEmpty && snaps.length == muts.length) {
+          val newPaths = snaps.filterNot(p =>
+            mv0.covered.map(normPath).contains(normPath(p)))
+          if (newPaths.nonEmpty) incrementMvSnapshot(spark, mv0, newPaths)
+          else mv0
+        } else {
+          buildMvSnapshot(spark, mv0.copy(snapshotPath =
+            mvSnapshotPath(name)))
+          mv0.copy(snapshotPath = mvSnapshotPath(name), coveredPaths = Nil)
+        }
+        graft.plans.MvCatalog.register(name, mv)
+        mvDefs.put(name.toLowerCase, mv)
+        persist()
         spark.read.parquet(mv.snapshotPath).createOrReplaceTempView(name)
         status("REFRESH_MV", name)
       case DropMvRe(name) =>

@@ -22,7 +22,19 @@ import org.apache.spark.sql.types.{DataType, LongType}
   */
 case class MvDef(sourcePath: String, snapshotPath: String,
     groupCols: Seq[String], cntCol: String, sums: Map[String, String],
-    decType: DataType)
+    decType: DataType,
+    // every parquet path whose rows the snapshot aggregates: base alone
+    // after a full build, base + INSERT/LOAD snapshots after an
+    // INCREMENTAL refresh. Unlike the index's subset rule, an aggregate
+    // rewrite demands the scanned path multiset EQUAL this exactly — a
+    // subset scan would fold rows it never read, a superset would miss
+    // some. Empty = just sourcePath (pre-r13 catalogs).
+    coveredPaths: Seq[String] = Nil,
+    // owning keyed table by NAME (several tables may map one parquet)
+    table: String = "") {
+  def covered: Seq[String] =
+    if (coveredPaths.isEmpty) Seq(sourcePath) else coveredPaths
+}
 
 /** Process-global MV registry: rewrite lookups key on the normalized
   * source path; the DDL surface (CREATE/REFRESH/DROP MATERIALIZED VIEW)
@@ -50,12 +62,16 @@ object MvCatalog {
   def unregisterPath(path: String): Option[MvDef] = mvs.remove(norm(path))
   def clear(): Unit = { mvs.clear(); byName.clear() }
   def isEmpty: Boolean = mvs.isEmpty
-  /** Rewrite only when the scan reads EXACTLY the registered source: a
-    * multi-path read (spark.read.parquet(src, other)) that merely includes
-    * the MV source must not be redirected — the snapshot knows nothing of
-    * the other paths' rows. */
-  def forPaths(paths: Seq[String]): Option[MvDef] =
-    if (paths.sizeIs == 1) mvs.get(norm(paths.head)) else None
+  /** Rewrite only when the scanned path MULTISET equals the MV's covered
+    * set exactly: a read that includes an uncovered path would miss its
+    * rows in the snapshot, a read of a covered subset (or a duplicated
+    * path) would fold rows it never scanned. */
+  def forPaths(paths: Seq[String]): Option[MvDef] = {
+    val ps = paths.map(norm).sorted
+    val direct = if (ps.sizeIs == 1) mvs.get(ps.head) else None
+    direct.filter(_.covered.sizeIs == 1).orElse(
+      (mvs.values ++ direct).find(mv => mv.covered.map(norm).sorted == ps))
+  }
 }
 
 /** The A6 read half — transparent materialized-view REWRITE, the Calcite
@@ -90,10 +106,15 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Scan paths under a pure column-pruning Project, if any. */
+  /** Scan paths under a pure column-pruning Project, if any; a Union of
+    * such scans (the append-only replay shape) contributes all branch
+    * paths. Any transforming projection or other operator vetoes. */
   private def sourceOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       sourceOf(c)
+    case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+      val subs = u.children.map(sourceOf)
+      if (subs.forall(_.isDefined)) Some(subs.flatMap(_.get)) else None
     case l: LogicalRelation => l.relation match {
       case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
       case _ => None
