@@ -37,7 +37,11 @@ object Explain {
         "secondary_index", "join_fuzzy", "sql_recursive_cte",
         "ddl_changefeed", "graph_pagerank", "index_rewrite",
         "window_topk_heap", "schema_evolution", "catalog_kv_dml",
-        "ddl_visibility")
+        "ddl_visibility",
+        // round-13 additions: generalized-MERGE clause evaluation, manifest
+        // aggregate scan, frontier-join recursion, PQ shortlist re-rank
+        "ddl_merge", "kv_agg_pushdown", "sql_recursive_join",
+        "ann_recall_pq")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
