@@ -776,6 +776,43 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("generalized MERGE: composite keys and multiple conditional INSERT clauses") {
+    if (ops.Ddl.lookup("mgc_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE mgc_t")
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE mgc_t MAPPED BY '${sf("sf0.001")}/lineitem.parquet' " +
+        "KEYS (l_orderkey, l_linenumber)")
+    try {
+      val base = spark.table("mgc_t").count()
+      // ON must name BOTH key columns; a partial key is rejected
+      intercept[IllegalArgumentException] {
+        ops.Ddl.execute(spark,
+          "MERGE INTO mgc_t t USING (SELECT 1L AS l_orderkey, 1 AS l_linenumber) s " +
+            "ON s.l_orderkey = t.l_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET l_returnflag = 'x'")
+      }
+      // composite-key matching + two conditional INSERT clauses with
+      // first-match-wins: w=1 rows take the first branch, others the second
+      spark.sql(
+        """MERGE INTO mgc_t t USING (
+          |  SELECT * FROM VALUES
+          |    (CAST(9000001 AS BIGINT), 1, 1), (CAST(9000001 AS BIGINT), 2, 5)
+          |    AS v(l_orderkey, l_linenumber, w) ) s
+          |ON s.l_orderkey = t.l_orderkey AND s.l_linenumber = t.l_linenumber
+          |WHEN NOT MATCHED AND s.w = 1 THEN INSERT
+          |  (l_orderkey, l_linenumber, l_returnflag)
+          |  VALUES (s.l_orderkey, s.l_linenumber, 'first-branch')
+          |WHEN NOT MATCHED THEN INSERT
+          |  (l_orderkey, l_linenumber, l_returnflag)
+          |  VALUES (s.l_orderkey, s.l_linenumber, 'second-branch')"""
+          .stripMargin)
+      assert(spark.table("mgc_t").count() == base + 2)
+      val ins = spark.table("mgc_t").filter(col("l_orderkey") === 9000001L)
+        .select(col("l_linenumber"), col("l_returnflag"))
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(ins == Map(1 -> "first-branch", 2 -> "second-branch"), ins.toString)
+    } finally ops.Ddl.execute(spark, "DROP TABLE mgc_t")
+  }
+
   test("generalized MERGE on a qualified table replays through the view SQL") {
     val tmp = java.nio.file.Files.createTempFile("graft_cat_mergegen_q", ".json")
     java.nio.file.Files.delete(tmp)
