@@ -390,6 +390,20 @@ object Similarity {
       .orderBy(md5(concat(lit("c:"), col("c_id").cast(StringType))), col("c_id"))
       .limit(pqK)
 
+  /** Fixed-size Lloyd TRAINING set (md5-ordered under salt "t:", disjoint
+    * salts from the init-centroid and query samples): production PQ trains
+    * its codebook on a bounded sample (Jégou et al. use ~100k of billions),
+    * so the per-iteration assignment scan is O(pqTrainN), CONSTANT in the
+    * corpus — pre-r13 each Lloyd pass scanned the full corpus, the one
+    * unbounded training cost left in the ANN family. Corpora smaller than
+    * the budget train on everything (LIMIT returns what there is), so
+    * small-SF results are unchanged by construction. */
+  private val pqTrainN = 2048
+  private def pqTrainSet(e: DataFrame): DataFrame =
+    e.orderBy(md5(concat(lit("t:"), col("vec_id").cast(StringType))),
+        col("vec_id"))
+      .limit(pqTrainN)
+
   /** Driver-trained codebook: cids (ascending centroid ids) and cb[m][k] =
     * 4-dim sub-centroid k of subspace m, k ordered by cids.
     *
@@ -423,13 +437,14 @@ object Similarity {
     var cb: Array[Array[Array[Double]]] = Array.tabulate(pqSub, k0) { (m, k) =>
       init(k)._2.slice(m * pqDim, (m + 1) * pqDim)
     }
+    val et = pqTrainSet(e)
     for (_ <- 0 until pqIters) {
       val parts = (0 until pqSub).map { m =>
         struct(lit(m).as("m"), pqWinIdx(cb, m).as("k"),
           transform(pqSlice(col("emb_d"), m),
             x => floor(x * lit(pqScale))).as("xi"))
       }
-      val sums = e.select(explode(array(parts: _*)).as("p"))
+      val sums = et.select(explode(array(parts: _*)).as("p"))
         .groupBy(col("p.m").as("m"), col("p.k").as("k"))
         .agg(count(lit(1)).as("n"),
           (0 until pqDim).map(i => sum(element_at(col("p.xi"), i + 1)).as(s"t$i")): _*)
@@ -754,11 +769,11 @@ object Similarity {
       val rn = s"rn$t AS MATERIALIZED (SELECT *, $norms FROM rc$t)"
       val pw = s"pw$t AS MATERIALIZED (SELECT vec_id, $winAgg FROM (" +
         s"SELECT e.vec_id, r.c_id,\n       $ds\n" +
-        s"       FROM e CROSS JOIN rn$t r) GROUP BY vec_id)"
+        s"       FROM et e CROSS JOIN rn$t r) GROUP BY vec_id)"
       val means = (0 until pqSub).map { m =>
         s"rm${t}_$m AS (SELECT a.c_id, ${meanList(m)} AS s FROM " +
           s"(SELECT vec_id, CAST(w$m[2] AS BIGINT) AS c_id FROM pw$t) a" +
-          s" JOIN e USING (vec_id) GROUP BY a.c_id)"
+          s" JOIN et USING (vec_id) GROUP BY a.c_id)"
       }.mkString(",\n")
       val next = s"rc${t + 1} AS MATERIALIZED (SELECT r.c_id, " +
         (0 until pqSub).map(m => s"COALESCE(m$m.s, r.s$m) AS s$m").mkString(", ") +
@@ -779,6 +794,8 @@ object Similarity {
        |      WHERE vec_id IN (SELECT vec_id FROM qs)),
        |cents AS MATERIALIZED (SELECT vec_id AS c_id, emb AS ce FROM e
        |          ORDER BY md5('c:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqK),
+       |et AS MATERIALIZED (SELECT vec_id, emb FROM e
+       |     ORDER BY md5('t:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $pqTrainN),
        |$rc0,
        |$iters,
        |rnf AS MATERIALIZED (SELECT *, $norms FROM rc$pqIters),
