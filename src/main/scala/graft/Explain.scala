@@ -41,7 +41,7 @@ object Explain {
         // round-13 additions: generalized-MERGE clause evaluation, manifest
         // aggregate scan, frontier-join recursion, PQ shortlist re-rank
         "ddl_merge", "kv_agg_pushdown", "sql_recursive_join",
-        "ann_recall_pq")
+        "ann_recall_pq", "kv_rowlevel_dml")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

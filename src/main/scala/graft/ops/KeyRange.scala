@@ -328,6 +328,45 @@ object KeyRange {
       .orderBy(col("pri"))
   }
 
+  /** A6-native judged: ROW-LEVEL DML through SPARK'S OWN planner — the kv
+    * connector implements SupportsRowLevelOperations (+ a `_file` metadata
+    * column), so plain-SQL DELETE / UPDATE / MERGE INTO on a catalog kv
+    * table plan as group-based ReplaceData whose groups are the
+    * stats-pruned FILES (copy-on-write: untouched files are never
+    * rewritten — DsV2Spec pins that). The MERGE exercises conditional
+    * MATCHED DELETE, unconditional MATCHED UPDATE, and NOT MATCHED INSERT
+    * with Spark's full clause semantics; the oracle replays the statement
+    * sequence relationally, hash-gating the whole native path end to end. */
+  def kvRowlevelDml(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_rowlevel"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_rl")
+    s.sql("CREATE TABLE graft.kvq.orders_rl (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_rl_v")
+    s.sql("INSERT OVERWRITE graft.kvq.orders_rl " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_rl_v " +
+      "WHERE o_orderkey % 4 = 0")
+    s.sql("DELETE FROM graft.kvq.orders_rl WHERE o_orderkey % 20 = 0")
+    s.sql("UPDATE graft.kvq.orders_rl SET o_totalprice = o_totalprice + 1.5 " +
+      "WHERE o_orderstatus = 'F'")
+    s.sql(
+      """MERGE INTO graft.kvq.orders_rl t USING (
+        |  SELECT o_orderkey, o_totalprice FROM orders_rl_v
+        |  WHERE o_orderkey % 8 = 0) s
+        |ON t.o_orderkey = s.o_orderkey
+        |WHEN MATCHED AND s.o_totalprice > 150000.0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_orderstatus = 'M'
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+        |  VALUES (s.o_orderkey, 'N', s.o_totalprice)""".stripMargin)
+    s.table("graft.kvq.orders_rl")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A7-DSv2/A8 (catalog route): the kv WRITE connector driven end to end
     * through PURE multipart SQL — CREATE TABLE … USING graft_kv under the
     * `graft` TableCatalog plugin, INSERT OVERWRITE … SELECT (truncate +
@@ -734,6 +773,7 @@ object KeyRange {
     "mv_incremental" -> (mvIncremental _),
     "mv_rewrite" -> (mvRewrite _),
     "kv_agg_pushdown" -> (kvAggPushdown _),
+    "kv_rowlevel_dml" -> (kvRowlevelDml _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -742,6 +782,32 @@ object KeyRange {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey IN (7, 42, 101)
         |ORDER BY o_orderkey""".stripMargin,
+    // native row-level DML replayed relationally: filter-insert, delete,
+    // conditional update, then the three-clause MERGE (matched-delete on
+    // the SOURCE price, matched-update, not-matched insert)
+    "kv_rowlevel_dml" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 4 = 0),
+        |t1 AS (SELECT * FROM t0 WHERE NOT (o_orderkey % 20 = 0)),
+        |t2 AS (SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 1.5
+        |              ELSE o_totalprice END AS o_totalprice FROM t1),
+        |src AS (SELECT o_orderkey, o_totalprice FROM orders
+        |        WHERE o_orderkey % 8 = 0),
+        |t3 AS (
+        |  SELECT t.o_orderkey,
+        |    CASE WHEN s.o_orderkey IS NULL THEN t.o_orderstatus
+        |         ELSE 'M' END AS o_orderstatus,
+        |    t.o_totalprice
+        |  FROM t2 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR NOT (s.o_totalprice > 150000.0)
+        |  UNION ALL
+        |  SELECT s.o_orderkey, 'N', s.o_totalprice FROM src s
+        |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM t2))
+        |SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM t3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     // metadata-only answers must equal the data's own aggregates
     "kv_agg_pushdown" ->
       """SELECT count(*) AS cnt,

@@ -348,13 +348,85 @@ object GraftKvSink {
 }
 
 final class GraftKvTable(dir: String, tableSchema: StructType)
-  extends Table with SupportsWrite with SupportsRead {
+  extends Table with SupportsWrite with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` metadata column (the Iceberg/parquet `_metadata.file_name`
+    * analogue): which manifest-listed data file holds the row. Queryable
+    * directly, and REQUIRED by the row-level operation below — requesting
+    * a metadata attribute routes ReplaceData through the projecting write
+    * task, which hands the DataWriter clean data rows. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "name of the data file holding the row"
+    })
   override def name(): String = s"graft_kv($dir)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
+
+  /** NATIVE row-level DML (`DELETE FROM` / `UPDATE` / `MERGE INTO` in
+    * plain Spark SQL): Spark's own rewrite rules
+    * (RewriteDeleteFromTable/RewriteUpdateTable/RewriteMergeIntoTable)
+    * plan the full clause semantics — conditional MATCHED clauses,
+    * NOT MATCHED BY SOURCE, cardinality checks — and hand this connector
+    * a GROUP-BASED replace whose groups are FILES: the operation's scan
+    * prunes to the files that can hold matching rows (manifest stats +
+    * blooms — the same pruning every read uses), the rewritten query
+    * carries those files' surviving + modified rows, and the commit swaps
+    * exactly that file set in the manifest behind the usual single
+    * visibility switch. Untouched files are never rewritten — the
+    * copy-on-write shape Delta/Iceberg use, driven here by the manifest's
+    * own region-style metadata. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      // the scan built during planning defines the replace groups; the
+      // write reads them lazily at commit (planning order: scan first)
+      @volatile private var groupScan: GraftKvScan = _
+      override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command
+      override def description(): String = s"graft_kv ${info.command} $dir"
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+        new GraftKvScanBuilder(dir, None, onBuild = s => groupScan = s)
+      // requesting _file routes ReplaceData through the projecting write
+      // task (plain group-based writes would otherwise hand the writer
+      // rows still carrying the __row_operation marker column)
+      override def requiredMetadataAttributes()
+          : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+      override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+        new GraftKvWriteBuilder(dir, winfo.schema(),
+          replaceFiles = Some(() =>
+            Option(groupScan).map(_.visibleFiles).getOrElse(Seq.empty)))
+    }
+
+  /** Metadata-only DELETE for the one case the group-based path cannot
+    * express (the optimizer folds an always-true condition's scan away):
+    * an unconditional `DELETE FROM t` truncates the manifest directly. All
+    * other predicates decline, routing to the row-level rewrite. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean =
+    filters.isEmpty || filters.forall(_.name() == "ALWAYS_TRUE")
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val mf = GraftKvSink.manifestPath(dir)
+    if (Files.exists(mf)) {
+      GraftKvSink.readManifest(mf).files
+        .foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
+      GraftKvSink.writeManifest(dir, tableSchema, Seq.empty)
+    }
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftKvWriteBuilder(dir, info.schema(),
       Option(info.options.get("epoch")).map(_.toLong))
@@ -377,7 +449,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
   * every predicate after the scan — pruning is a pure I/O win with zero
   * correctness surface, exactly parquet row-group skipping's contract. */
 final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
-    maxEpochs: Option[Long] = None)
+    maxEpochs: Option[Long] = None,
+    onBuild: GraftKvScan => Unit = _ => ())
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -451,7 +524,11 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
   }
   override def build(): Scan =
     if (pushedAggs.nonEmpty) new GraftKvAggScan(dir, asOf, pushedAggs)
-    else new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs)
+    else {
+      val s = new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs)
+      onBuild(s)
+      s
+    }
 }
 
 /** Manifest-only aggregate scan: one partition, one partial row holding the
@@ -547,14 +624,21 @@ final case class GraftKvAggPartition(values: Seq[Any])
   * delivers as one micro-batch, so a batch job can feed a live stream
   * executor-side (no driver round trip). Ignored by streaming writes,
   * whose epoch ids come from the engine. */
+/** `replaceFiles`: GROUP-replace mode for row-level operations — at commit,
+  * exactly the named files (the groups the row-level scan read) leave the
+  * manifest and the new files join it, one atomic visibility switch; files
+  * outside the group set are untouched. Evaluated AT COMMIT time because
+  * the row-level scan is built during query planning, after the write
+  * builder exists. */
 final class GraftKvWriteBuilder(dir: String, schema: StructType,
-    explicitEpoch: Option[Long] = None)
+    explicitEpoch: Option[Long] = None,
+    replaceFiles: Option[() => Seq[String]] = None)
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new GraftKvBatchWrite(dir, schema, replace, explicitEpoch)
+      new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftKvStreamingWrite(dir, schema)
   }
@@ -651,7 +735,8 @@ final case class GraftKvCommit(tmpName: String, finalName: String, rows: Long,
   extends WriterCommitMessage
 
 final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
-    explicitEpoch: Option[Long] = None)
+    explicitEpoch: Option[Long] = None,
+    replaceFiles: Option[() => Seq[String]] = None)
   extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -716,8 +801,15 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     Files.list(Paths.get(dir)).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".tmp")).foreach(Files.delete)
     val mf = GraftKvSink.manifestPath(dir)
+    // row-level GROUP replace: the scanned files leave the manifest, the
+    // new files join it; untouched files keep their entries verbatim
+    val replaced: Set[String] = replaceFiles.map(_().toSet).getOrElse(Set.empty)
     val (prior, priorUpTo, priorStats, priorBlooms) =
-      if (!replace && Files.exists(mf)) {
+      if (replaceFiles.isDefined && Files.exists(mf)) {
+        val m = GraftKvSink.readManifest(mf)
+        (m.files.filterNot(f => replaced.contains(f._1)), m.compactedUpTo,
+          m.stats -- replaced, m.blooms -- replaced)
+      } else if (!replace && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
         (m.files, m.compactedUpTo, m.stats, m.blooms)
       } else {
@@ -738,6 +830,12 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       priorBlooms ++ committed.collect {
         case m if m.blooms.nonEmpty => m.finalName -> m.blooms
       })
+    // replaced data files become garbage once the manifest no longer lists
+    // them — except a name a new commit re-published (task-id collision
+    // across sessions): that file now HOLDS the new rows, keep it
+    val committedNames = committed.map(_.finalName).toSet
+    (replaced -- committedNames).foreach(n =>
+      Files.deleteIfExists(Paths.get(dir, n)))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -792,6 +890,9 @@ final class GraftKvWriter(dir: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
+    require(row.numFields == schema.length,
+      s"graft_kv: writer got a ${row.numFields}-field row for a " +
+        s"${schema.length}-column schema (${schema.fieldNames.mkString(",")})")
     val sb = new StringBuilder
     var i = 0
     while (i < schema.length) {
@@ -899,6 +1000,8 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     s"graft_kv $dir files=${visible.length}/${manifest.files.length}" +
       s" cols=${readSchema().length}/${manifest.schema.length}" +
       asOfEpoch.map(n => s" asOfEpoch=$n").getOrElse("")
+  /** The pruned file set — the GROUP identity for row-level replaces. */
+  def visibleFiles: Seq[String] = visible.map(_._1)
   override def planInputPartitions(): Array[InputPartition] =
     visible.map(f => GraftKvFilePartition(dir, f._1): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1021,7 +1124,8 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val projected = DataType.fromJson(projectedJson).asInstanceOf[StructType]
     val srcIdx = projected.fields.map { f =>
-      schema.fieldIndex(f.name) // throws on an unknown projected column
+      if (f.name == "_file") -1 // metadata column: the partition's own file
+      else schema.fieldIndex(f.name) // throws on an unknown projected column
     }
     new PartitionReader[InternalRow] {
       private val lines = Files.lines(Paths.get(fp.dir, fp.file)).iterator()
@@ -1035,16 +1139,19 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
         val parts = cur.split("\t", -1)
         InternalRow.fromSeq(projected.fields.toSeq.zipWithIndex.map {
           case (f, o) =>
-            val v = parts(srcIdx(o))
-            if (v == "\\N") null
-            else f.dataType match {
-              case IntegerType => v.toInt
-              case LongType    => v.toLong
-              case DoubleType  => v.toDouble
-              case StringType  =>
-                UTF8String.fromString(
-                  if (v.startsWith("\\")) v.substring(1) else v)
-              case dt => throw new IllegalStateException(s"unsupported $dt")
+            if (srcIdx(o) < 0) UTF8String.fromString(fp.file)
+            else {
+              val v = parts(srcIdx(o))
+              if (v == "\\N") null
+              else f.dataType match {
+                case IntegerType => v.toInt
+                case LongType    => v.toLong
+                case DoubleType  => v.toDouble
+                case StringType  =>
+                  UTF8String.fromString(
+                    if (v.startsWith("\\")) v.substring(1) else v)
+                case dt => throw new IllegalStateException(s"unsupported $dt")
+              }
             }
         })
       }

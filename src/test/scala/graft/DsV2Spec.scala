@@ -189,6 +189,54 @@ class DsV2Spec extends SparkSpec {
     assert(cnt3.head().getLong(0) == 2L)
   }
 
+  test("kv native row-level DML: DELETE/UPDATE/MERGE with file-granular replace") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_rowlevel").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.t")
+    spark.sql(s"CREATE TABLE graft.rlspec.t (id BIGINT, s STRING, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO graft.rlspec.t VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+      def rows: Seq[(Long, String, Double)] = spark.table("graft.rlspec.t")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+      def manifestFiles: Set[String] = {
+        val json = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "_graft_manifest.json")))
+        "\"name\" : \"([^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSet
+      }
+      // the _file metadata column names each row's data file
+      val fileOf = spark.sql("SELECT id, _file FROM graft.rlspec.t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fileOf.values.toSet.size == 3, fileOf.toString) // one row per file here
+      // DELETE rewrites ONLY the file holding the matched row: the other
+      // two files survive under their original names (copy-on-write by
+      // group, groups = stats-pruned files)
+      val before = manifestFiles
+      spark.sql("DELETE FROM graft.rlspec.t WHERE id = 2")
+      assert(rows == Seq((1L, "a", 1.0), (3L, "c", 3.0)))
+      val after = manifestFiles
+      assert(after.contains(fileOf(1L)) && after.contains(fileOf(3L)), after)
+      assert(!after.contains(fileOf(2L)), after)
+      assert((before -- after) == Set(fileOf(2L)), (before, after).toString)
+      spark.sql("UPDATE graft.rlspec.t SET v = v * 10 WHERE id = 1")
+      assert(rows == Seq((1L, "a", 10.0), (3L, "c", 3.0)))
+      // full MERGE clause set through SPARK'S OWN planner
+      spark.sql(
+        """MERGE INTO graft.rlspec.t t USING (
+          |  SELECT 3L AS id, 'C!' AS s UNION ALL SELECT 9L, 'nine') s
+          |ON t.id = s.id
+          |WHEN MATCHED AND t.v > 2 THEN UPDATE SET s = s.s
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (s.id, s.s, 0.5)
+          |WHEN NOT MATCHED BY SOURCE AND t.id = 1 THEN UPDATE SET v = -1.0"""
+          .stripMargin)
+      assert(rows == Seq((1L, "a", -1.0), (3L, "C!", 3.0), (9L, "nine", 0.5)))
+      // unconditional DELETE = metadata truncate (SupportsDeleteV2)
+      spark.sql("DELETE FROM graft.rlspec.t")
+      assert(spark.table("graft.rlspec.t").count() == 0L)
+    } finally spark.sql("DROP TABLE graft.rlspec.t")
+  }
+
   test("kv sink round-trips rows exactly, incl. nulls and backslashes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_rt").toString
