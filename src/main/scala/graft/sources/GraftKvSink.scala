@@ -807,7 +807,20 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     val (prior, priorUpTo, priorStats, priorBlooms) =
       if (replaceFiles.isDefined && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files.filterNot(f => replaced.contains(f._1)), m.compactedUpTo,
+        // row-level DML REWRITES history: epochs whose files were replaced
+        // no longer reconstruct, so fence time travel at the newest
+        // replaced epoch (same contract as compaction's vacuumed range —
+        // asOfEpoch below it errors clearly instead of returning a
+        // silently partial state)
+        // only genuinely epoch-STAMPED files advance the fence: epoch-less
+        // batch files read as "epoch 0" by streaming convention, but a
+        // batch-only table has no history to fence (and a 0 boundary would
+        // spuriously trip the streaming write's fresh-checkpoint guard)
+        val rewrittenUpTo = replaced.collect {
+          case n if n.startsWith("epoch-") => GraftKvSink.epochOf(n)
+        }.maxOption.getOrElse(-1L)
+        (m.files.filterNot(f => replaced.contains(f._1)),
+          math.max(m.compactedUpTo, rewrittenUpTo),
           m.stats -- replaced, m.blooms -- replaced)
       } else if (!replace && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)

@@ -368,6 +368,36 @@ class StreamingSpec extends SparkSpec {
       .load().select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("row-level DML on epoch history fences time travel at the rewritten epoch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_dmlfence")
+    val dir = root.resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.fence.t")
+    spark.sql(s"CREATE TABLE graft.fence.t (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    // three explicit epochs, then DML that rewrites epoch 1's file
+    (0 to 2).foreach { k =>
+      Seq((k.toLong * 10, s"e$k")).toDF("id", "s")
+        .write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", k.toString)
+        .mode(if (k == 0) "overwrite" else "append").save()
+    }
+    spark.sql("DELETE FROM graft.fence.t WHERE id = 10")
+    assert(spark.table("graft.fence.t").select("id").collect()
+      .map(_.getLong(0)).toSet == Set(0L, 20L))
+    // epoch 1's file was rewritten: reconstructing any state <= 1 would be
+    // silently partial, so it errors exactly like compaction's vacuumed
+    // range; states at/after the boundary stay answerable
+    val e = intercept[Exception] {
+      spark.read.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("asOfEpoch", "0").load().collect()
+    }
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("asOfEpoch", "2").load().count() == 2L)
+    spark.sql("DROP TABLE graft.fence.t")
+  }
+
   test("kv streaming read rate-limits catch-up with maxEpochsPerTrigger") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_kv_ratelim")
