@@ -274,6 +274,26 @@ object GraftKvSink {
     * streaming read whose checkpoint ends strictly inside the compacted
     * range refuses to resume (it could only replay duplicates). Returns
     * the number of files removed (0 = nothing to do). */
+  /** GARBAGE COLLECTION (the HBase HFile-cleaner analogue): delete every
+    * `.kv` data file the manifest does not list. Healthy operation leaves
+    * no garbage — commits and compaction clean up after themselves — but a
+    * crash between a file move and the manifest publish (or a killed
+    * abort) can orphan files; readers never see them (manifest-listed
+    * only), this reclaims the space. Live `.tmp` attempts and the manifest
+    * itself are never touched. Returns the number of files removed. */
+  def vacuum(dir: String): Int = {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val listed = readManifest(mfp).files.map(_._1).toSet
+    val stray = Files.list(Paths.get(dir)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".kv") && !listed.contains(n)
+      }.toSeq
+    stray.foreach(Files.deleteIfExists(_))
+    stray.length
+  }
+
   def compact(dir: String, upToRequested: Long): Int = {
     require(upToRequested >= 0L,
       s"graft_kv: compact upTo must be >= 0, got $upToRequested")

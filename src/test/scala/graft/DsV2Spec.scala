@@ -397,5 +397,17 @@ class DsV2Spec extends SparkSpec {
       "7\tghost\n".getBytes("UTF-8"))
     assert(kvRead(dir).count() == 2)
     assert(kvRead(dir).where(col("s") === "ghost").count() == 0)
+    // vacuum reclaims exactly the orphan; listed files and live .tmp
+    // attempts survive, and reads are unchanged
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-88888-0.tmp"),
+      "8\tlive\n".getBytes("UTF-8"))
+    assert(graft.sources.GraftKvSink.vacuum(dir) == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "part-99999-0.kv")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "part-88888-0.tmp")))
+    assert(kvRead(dir).count() == 2)
+    assert(graft.sources.GraftKvSink.vacuum(dir) == 0) // idempotent
   }
 }
