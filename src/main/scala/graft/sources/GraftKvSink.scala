@@ -999,7 +999,8 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     projection: Option[StructType] = None,
     maxEpochs: Option[Long] = None)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftKvMicroBatchStream(dir, projection, maxEpochs)
@@ -1020,12 +1021,44 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
   }
   // stats + bloom pruning: drop a file when ANY pushed filter is
   // unsatisfiable within its recorded ranges, or when a point/IN probe
-  // misses its bloom; files without stats/blooms always survive
-  private val visible = epochVisible.filter { case (name, _) =>
+  // misses its bloom; files without stats/blooms always survive. `visible`
+  // is a var because RUNTIME group filtering (below) can narrow it again
+  // after the group-discovery subquery executes.
+  private var visible = epochVisible.filter { case (name, _) =>
     val st = manifest.stats.getOrElse(name, Map.empty)
     lazy val bl = manifest.blooms.getOrElse(name, Map.empty)
     filters.forall(f => GraftKvSink.mayMatch(manifest.schema, st, f) &&
       GraftKvSink.bloomMayMatch(manifest.schema, bl, f))
+  }
+  /** RUNTIME group filtering on the `_file` metadata column — what lets a
+    * row-level MERGE (whose ON condition is a join, invisible to static
+    * stats pruning) rewrite only the files that actually hold matched
+    * rows: Spark's RowLevelOperationRuntimeGroupFiltering runs the
+    * group-discovery subquery first and pushes `_file IN (names…)` here
+    * before partitions are planned. Unknown predicate shapes are ignored
+    * (keeping every file is always sound — extra files rewrite to their
+    * own content). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty &&
+          p.children().head.isInstanceOf[
+            org.apache.spark.sql.connector.expressions.NamedReference] &&
+          p.children().head.asInstanceOf[
+            org.apache.spark.sql.connector.expressions.NamedReference]
+            .fieldNames().sameElements(Array("_file"))) {
+        val names = p.children().drop(1).collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value() != null =>
+            l.value().toString
+        }.toSet
+        visible = visible.filter { case (n, _) => names.contains(n) }
+      }
+    }
   }
   override def readSchema(): StructType = projection.getOrElse(manifest.schema)
   override def toBatch: Batch = this

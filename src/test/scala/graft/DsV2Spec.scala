@@ -237,6 +237,39 @@ class DsV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE graft.rlspec.t")
   }
 
+  test("kv MERGE rewrites only runtime-matched files (group filtering on _file)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_rgf").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.g")
+    spark.sql(s"CREATE TABLE graft.rlspec.g (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s")
+        .repartition(4, col("id"))
+        .write.format("graft.sources.GraftKvSink").option("path", dir)
+        .mode("append").save()
+      def manifestFiles: Set[String] = {
+        val json = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, "_graft_manifest.json")))
+        "\"name\" : \"([^\"]+)\"".r.findAllMatchIn(json).map(_.group(1)).toSet
+      }
+      val before = manifestFiles
+      assert(before.size >= 2, before)
+      // a MERGE's ON condition is a JOIN — static stats pruning cannot
+      // narrow it. The scan's runtime group filter on _file (fed by
+      // Spark's group-discovery subquery) must confine the rewrite to the
+      // files actually holding matched rows.
+      spark.sql(
+        """MERGE INTO graft.rlspec.g t USING (SELECT 2L AS id, 'B!' AS s) s
+          |ON t.id = s.id WHEN MATCHED THEN UPDATE SET s = s.s""".stripMargin)
+      val after = manifestFiles
+      assert((before -- after).size == 1, (before, after).toString)
+      assert(spark.table("graft.rlspec.g").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq ==
+        Seq((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d")))
+    } finally spark.sql("DROP TABLE graft.rlspec.g")
+  }
+
   test("kv sink round-trips rows exactly, incl. nulls and backslashes") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_rt").toString
