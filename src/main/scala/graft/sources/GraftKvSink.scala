@@ -1040,7 +1040,13 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     * own content). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+    // only when the scan OUTPUTS _file (row-level operation scans do — the
+    // operation requires the metadata attribute): Spark's generic dynamic
+    // pruning resolves filterAttributes against the scan output and
+    // ERRORS on unresolvable names, so a plain scan must advertise none
+    if (readSchema().fieldNames.contains("_file"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+    else Array.empty
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
