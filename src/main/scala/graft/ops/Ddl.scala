@@ -819,7 +819,10 @@ object Ddl {
       }
       val t = KeyedTable(name, path, keys)
       if (isQualified(name)) registerQualified(spark, t)
-      else df.createOrReplaceTempView(name)
+      else {
+        tagBase(df, t)
+        df.createOrReplaceTempView(name)
+      }
       catalog.put(name.toLowerCase, t)
       persist()
       t
@@ -1019,8 +1022,39 @@ object Ddl {
   private def replaceView(spark: SparkSession, name: String, df: DataFrame): Unit = {
     val wasCached = spark.catalog.tableExists(name) && spark.catalog.isCached(name)
     if (wasCached) spark.catalog.uncacheTable(name)
+    lookup(name).foreach(t => tagBase(df, t))
     df.createOrReplaceTempView(name)
     if (wasCached) spark.catalog.cacheTable(name)
+  }
+
+  /** Fresh registration nonce per (table, registered view): the CBO
+    * annotation rule (plans.AnalyzeStatsRule) annotates ONLY subtrees whose
+    * base relation carries the table's CURRENT nonce — positively
+    * identifying "this is the registered view's replay". Frames that merely
+    * read the same files never qualify: an independent
+    * `spark.read.parquet(samePath)` is untagged (different dataset — the
+    * pre-mutation file), and asOf/rebuild time-travel frames are built
+    * outside the registration funnel, so they stay untagged too. */
+  private val viewNonce = TrieMap.empty[String, String]
+  def currentViewNonce(name: String): Option[String] =
+    viewNonce.get(name.toLowerCase)
+  private def tagBase(df: DataFrame, t: KeyedTable): Unit = {
+    val base = normPath(t.path)
+    val nonce = s"${t.name.toLowerCase}#${java.util.UUID.randomUUID()}"
+    var found = false
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+              if fs.location.rootPaths.exists(p =>
+                normPath(p.toUri.getPath) == base) =>
+            lr.setTagValue(graft.plans.StatsAnnotation.KeyedTableTag, nonce)
+            found = true
+          case _ => ()
+        }
+      case _ => ()
+    }
+    if (found) viewNonce.put(t.name.toLowerCase, nonce): Unit
   }
 
   /** Rebuild a table's DataFrame from its catalog entry: base parquet, then
@@ -1052,8 +1086,9 @@ object Ddl {
       s"forall(split(t, '&'), a -> array_contains($arr, trim(a)))))"
   }
 
-  private def rebuild(spark: SparkSession, t: KeyedTable): DataFrame =
-    t.muts.foldLeft(spark.read.parquet(t.path)) { (df, m) =>
+  private def rebuild(spark: SparkSession, t: KeyedTable): DataFrame = {
+    val base = spark.read.parquet(t.path)
+    t.muts.foldLeft(base) { (df, m) =>
       m.op match {
         case "add"  => df.withColumn(m.a, expr(m.b))
         case "drop" => df.drop(m.a)
@@ -1087,6 +1122,7 @@ object Ddl {
         case other  => throw new IllegalStateException(s"bad catalog mutation: $other")
       }
     }
+  }
 
   /** Materialize the temp view for a catalog entry if this session does not
     * have it yet (fresh process reading a persisted catalog). */
@@ -1096,7 +1132,11 @@ object Ddl {
       catch { case _: Exception => false } // missing database on fresh JVM
     if (!exists) {
       if (isQualified(t.name)) registerQualified(spark, t)
-      else rebuild(spark, t).createOrReplaceTempView(t.name)
+      else {
+        val df = rebuild(spark, t)
+        tagBase(df, t)
+        df.createOrReplaceTempView(t.name)
+      }
     }
   }
 
@@ -1396,10 +1436,7 @@ object Ddl {
         status("DROP_MV", name)
       case CreateIndexRe(idxName, tName, colName) =>
         val t = lookupOrThrow(tName)
-        val createSnaps = t.muts.collect {
-          case Mut("insert", _, b) if b.nonEmpty => b
-          case Mut("load", _, b) if b.nonEmpty   => b
-        }
+        val createSnaps = appendOnlySnaps(t.muts)
         require(createSnaps.length == t.muts.length,
           s"CREATE INDEX requires an unmutated or append-only table; " +
             s"${t.name} has non-append mutation(s) — the rewrite keys on " +
@@ -1431,10 +1468,7 @@ object Ddl {
         val ix0 = idxNamed(name).getOrElse(
           throw new IllegalArgumentException(s"unknown index '$name'"))
         val muts = indexTable(ix0).map(_.muts).getOrElse(Nil)
-        val appendSnaps = muts.collect {
-          case Mut("insert", _, b) if b.nonEmpty => b
-          case Mut("load", _, b) if b.nonEmpty   => b
-        }
+        val appendSnaps = appendOnlySnaps(muts)
         // DELTA refresh for an append-only history: index only the
         // not-yet-covered INSERT/LOAD snapshots and append them to the
         // index parquet (each delta file is value-sorted itself, so
@@ -1678,6 +1712,15 @@ object Ddl {
         val (bsOut, bsTouched) =
           if (sClauses.isEmpty) (Nil, emptyOut.select(t.keys.map(k => col(quotedCol(k))): _*))
           else {
+            // by-source clauses identify touched rows BY KEY (the drop set
+            // is a key anti-join): a NULL-key target row has no key
+            // identity, so an update would duplicate it and a delete would
+            // silently miss it — reject loudly, like NULL source keys
+            require(cur.filter(t.keys.map(k => col(quotedCol(k)).isNull)
+                .reduce(_ || _)).limit(1).collect().isEmpty,
+              s"MERGE with NOT MATCHED BY SOURCE clauses requires non-NULL " +
+                s"PRIMARY KEY values in ${t.name} (key identity drives the " +
+                "replay)")
             val srcK = src0.select(t.keys.map(k => col(quotedCol(k))): _*).alias("__gs")
             val antiEq = t.keys.map(k =>
               tcol(k) === col(s"__gs.${quotedCol(k)}")).reduce(_ && _)
@@ -1774,7 +1817,7 @@ object Ddl {
     * analyzed row count. Stats recorded before the newest mutation are
     * stale and excluded; unmutated tables are excluded because their
     * single parquet scan's file-size estimate is already sound. */
-  def cboStats(): Seq[(Set[String], Long)] = {
+  def cboStats(): Seq[(String, Seq[String], Long)] = {
     ensureLoaded()
     catalog.values.toSeq.flatMap { t =>
       val at = t.stats.find(_._1 == "__analyzed_at_muts__").map(_._2.toInt)
@@ -1788,9 +1831,13 @@ object Ddl {
             case Mut("merge2", a0, b)            => Seq(a0, b)
             case _                               => Nil
           }
+          // sorted path MULTISET: the annotation requires the subtree to
+          // read the table's full replay — every path exactly once — so an
+          // asOf prefix, a self-union, or a bare base read never matches
           val paths = (t.path +: snaps).map(p =>
-            java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString).toSet
-          Some((paths, n))
+            java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString)
+            .sorted
+          viewNonce.get(t.name.toLowerCase).map(nonce => (nonce, paths, n))
         case _ => None
       }
     }

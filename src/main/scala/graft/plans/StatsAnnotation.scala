@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Attribute
 import org.apache.spark.sql.catalyst.plans.LeftAnti
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan, Statistics, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, Statistics, UnaryNode, Union}
 import org.apache.spark.sql.catalyst.plans.logical.statsEstimation.EstimationUtils
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
@@ -41,10 +41,27 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * to broadcast only after both sides' shuffle files are written, while a
   * statistics-driven initial plan never shuffles the big side at all.
   */
+object StatsAnnotation {
+  /** Positive identification of replay plans: Ddl's registration funnel
+    * (create / ensureView / replaceView) tags the registered view's BASE
+    * relation with a fresh per-registration NONCE. The annotation rule
+    * requires the table's CURRENT nonce — an independent
+    * `spark.read.parquet(samePath)` is a DIFFERENT dataset (the
+    * pre-mutation file) and asOf/rebuild time-travel frames are built
+    * outside the funnel, so neither ever inherits the table's
+    * post-mutation statistics. Tags survive Catalyst's copy-on-transform
+    * (makeCopy preserves them). */
+  val KeyedTableTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[String] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[String]("graft.keyed.table")
+}
+
 final case class GraftStatsNode(child: LogicalPlan, rowCount: Long)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output
-  override def maxRows: Option[Long] = Some(rowCount)
+  // deliberately NOT Some(rowCount): maxRows feeds correctness transforms
+  // (limit elimination) and a stale-held frame could carry a smaller
+  // annotation than its actual rows — statistics stay advisory only
+  override def maxRows: Option[Long] = child.maxRows
   override lazy val stats: Statistics = Statistics(
     sizeInBytes = EstimationUtils.getOutputSize(output, BigInt(rowCount)),
     rowCount = Some(BigInt(rowCount)))
@@ -66,34 +83,50 @@ final class AnalyzeStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def annotate(p: LogicalPlan,
-      tables: Seq[(Set[String], Long)]): LogicalPlan =
+      tables: Seq[(String, Seq[String], Long)]): LogicalPlan =
     matchTable(p, tables) match {
       case Some(rows) => GraftStatsNode(p, rows)
       case None => p.withNewChildren(p.children.map(annotate(_, tables)))
     }
 
-  /** The subtree is one analyzed table's replay (possibly under its own
-    * pushed filters/projections) iff every leaf is a file relation over
-    * that table's path set and the shape is replay-only: no aggregate, no
-    * join other than the merge replay's LeftAnti. */
+  /** The subtree is one analyzed table's CURRENT replay (possibly under
+    * its own pushed filters/projections) iff three things hold:
+    *  1. some leaf carries the table's CURRENT registration nonce in
+    *     [[StatsAnnotation.KeyedTableTag]] — only the registered view's
+    *     own base relation is tagged, so a user's independent read of the
+    *     same parquet or a time-travel frame can never match;
+    *  2. the leaf path MULTISET equals the table's full replay multiset
+    *     exactly — an asOf prefix, a self-union (paths doubled), or a
+    *     bare base read under-/over-counts and is rejected;
+    *  3. every operator is on the replay WHITELIST (Project / Filter /
+    *     Union / LeftAnti join / file relation) — anything that can
+    *     multiply rows (Generate, windows, other joins) or aggregate
+    *     them vetoes. */
   private def matchTable(p: LogicalPlan,
-      tables: Seq[(Set[String], Long)]): Option[Long] = {
+      tables: Seq[(String, Seq[String], Long)]): Option[Long] = {
     if (p.isInstanceOf[GraftStatsNode]) return None
-    var paths = Set.empty[String]
+    var paths = List.empty[String]
+    var tag: Option[String] = None
     var ok = true
     p.foreach {
-      case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation =>
-          paths ++= fs.location.rootPaths.map(_.toUri.getPath)
-        case _ => ok = false
-      }
-      case _: GraftStatsNode => ok = false // already annotated below
-      case _: LeafNode  => ok = false
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            paths = fs.location.rootPaths.map(_.toUri.getPath).toList ++ paths
+          case _ => ok = false
+        }
+        if (tag.isEmpty)
+          tag = lr.getTagValue(StatsAnnotation.KeyedTableTag)
       case j: Join if j.joinType != LeftAnti => ok = false
-      case _: Aggregate => ok = false
-      case _ => ()
+      case _: Project | _: Filter | _: Join | _: Union => ()
+      case _ => ok = false
     }
-    if (!ok || paths.isEmpty) None
-    else tables.collectFirst { case (ps, rows) if paths.subsetOf(ps) => rows }
+    if (!ok || tag.isEmpty) None
+    else {
+      val sorted = paths.sorted
+      tables.collectFirst {
+        case (name, ps, rows) if tag.contains(name) && ps == sorted => rows
+      }
+    }
   }
 }

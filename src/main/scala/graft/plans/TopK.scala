@@ -95,6 +95,21 @@ case class GraftTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     val passMetric = longMetric("numPassthroughRows")
     child.execute().mapPartitions { iter =>
       import scala.jdk.CollectionConverters._
+      // spill hygiene under EARLY STOP (limit/take) or task failure: run
+      // files and their open streams are normally reclaimed when the merge
+      // exhausts them, but a partially-consumed iterator would leak both —
+      // the completion listener sweeps whatever is still registered
+      val liveSpills =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+      val liveStreams =
+        java.util.concurrent.ConcurrentHashMap.newKeySet[java.io.Closeable]()
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          liveStreams.iterator().asScala.foreach(s =>
+            try s.close() catch { case _: java.io.IOException => () })
+          liveSpills.iterator().asScala
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        })
       val keyProj = UnsafeProjection.create(groupE, childOutput)
       // identity projection for spilling: heap rows are whatever the child
       // emitted; the spill format needs UnsafeRow bytes
@@ -138,6 +153,7 @@ case class GraftTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
           }
         } finally out.close()
         spills += f
+        liveSpills.add(f)
         heaps.clear()
         spillMetric += 1
       }
@@ -162,7 +178,8 @@ case class GraftTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
           // keys re-merge their bounded heaps, so peak memory is
           // O(cap × k) live plus O(runs × k) per merged key
           val runs = spills.toSeq.map(f =>
-            TopK.readRun(f, childOutput.length)) :+ sortedEntries.iterator
+            TopK.readRun(f, childOutput.length, liveSpills, liveStreams)) :+
+            sortedEntries.iterator
           TopK.mergeRuns(runs, ord, limit)
         }
       during ++ tail()
@@ -190,16 +207,21 @@ object TopK {
 
   /** Stream a spill run back as (key bytes, rows ≤ k); the file is deleted
     * once exhausted. */
-  private[plans] def readRun(f: java.nio.file.Path,
-      nRowFields: Int): Iterator[(Array[Byte], Seq[InternalRow])] = {
+  private[plans] def readRun(f: java.nio.file.Path, nRowFields: Int,
+      liveSpills: java.util.Set[java.nio.file.Path],
+      liveStreams: java.util.Set[java.io.Closeable])
+      : Iterator[(Array[Byte], Seq[InternalRow])] = {
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       java.nio.file.Files.newInputStream(f)))
+    liveStreams.add(in)
     new Iterator[(Array[Byte], Seq[InternalRow])] {
       private var nextKey: Array[Byte] = advanceKey()
       private def advanceKey(): Array[Byte] = {
         val lenOr = try in.readInt() catch { case _: java.io.EOFException => -1 }
         if (lenOr < 0) {
-          in.close(); java.nio.file.Files.deleteIfExists(f); null
+          in.close(); liveStreams.remove(in)
+          java.nio.file.Files.deleteIfExists(f); liveSpills.remove(f)
+          null
         } else {
           val kb = new Array[Byte](lenOr); in.readFully(kb); kb
         }

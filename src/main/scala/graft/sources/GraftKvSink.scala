@@ -442,9 +442,12 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
       : Unit = {
     val mf = GraftKvSink.manifestPath(dir)
     if (Files.exists(mf)) {
-      GraftKvSink.readManifest(mf).files
-        .foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
+      // publish the empty manifest FIRST (the single visibility switch),
+      // THEN reclaim the files: a crash in between leaves harmless garbage
+      // for vacuum, never a manifest pointing at deleted files
+      val old = GraftKvSink.readManifest(mf).files
       GraftKvSink.writeManifest(dir, tableSchema, Seq.empty)
+      old.foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -478,6 +481,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
   private var fs: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var projection: Option[StructType] = None
   private var pushedAggs: Seq[(String, StructField)] = Nil
+  private var aggManifest: GraftKvSink.Manifest = _
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
     fs = filters
@@ -539,11 +543,15 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
       case m: Max => statField(m.column).map(f => ("max", f))
       case _      => None
     }
-    if (specs.forall(_.isDefined)) { pushedAggs = specs.flatten; true }
-    else false
+    if (specs.forall(_.isDefined)) {
+      pushedAggs = specs.flatten
+      aggManifest = mf // the scan answers from the manifest it validated
+      true
+    } else false
   }
   override def build(): Scan =
-    if (pushedAggs.nonEmpty) new GraftKvAggScan(dir, asOf, pushedAggs)
+    if (pushedAggs.nonEmpty)
+      new GraftKvAggScan(dir, asOf, pushedAggs, aggManifest)
     else {
       val s = new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs)
       onBuild(s)
@@ -557,9 +565,9 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
   * count 0 and NULL extrema, which Spark's final aggregate passes through
   * with standard semantics. */
 final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
-    specs: Seq[(String, StructField)])
+    specs: Seq[(String, StructField)],
+    manifest: GraftKvSink.Manifest)
   extends Scan with Batch {
-  private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   private val EpochRe = """epoch-(\d+)-.*""".r
   asOfEpoch.foreach { e =>
     require(manifest.compactedUpTo < 0L || e >= manifest.compactedUpTo,
@@ -827,18 +835,21 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     val (prior, priorUpTo, priorStats, priorBlooms) =
       if (replaceFiles.isDefined && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        // row-level DML REWRITES history: epochs whose files were replaced
-        // no longer reconstruct, so fence time travel at the newest
-        // replaced epoch (same contract as compaction's vacuumed range —
-        // asOfEpoch below it errors clearly instead of returning a
-        // silently partial state)
-        // only genuinely epoch-STAMPED files advance the fence: epoch-less
-        // batch files read as "epoch 0" by streaming convention, but a
-        // batch-only table has no history to fence (and a 0 boundary would
-        // spuriously trip the streaming write's fresh-checkpoint guard)
-        val rewrittenUpTo = replaced.collect {
-          case n if n.startsWith("epoch-") => GraftKvSink.epochOf(n)
-        }.maxOption.getOrElse(-1L)
+        // row-level DML REWRITES history: once any epoch-stamped file is
+        // replaced, every state up to (and including) the PRE-DML newest
+        // epoch is unreconstructable — the replacement rows live at the
+        // new epoch, so an asOfEpoch at any older boundary would silently
+        // miss them. Fence at the replacement epoch (nextEpoch): asOfEpoch
+        // >= it sees untouched files (lower epochs) + the replacements =
+        // exactly the post-DML state, the same boundary contract as
+        // compaction. Epoch-less batch files do not advance the fence:
+        // they read as "epoch 0" by streaming convention only, and a
+        // boundary would spuriously trip the streaming write's
+        // fresh-checkpoint guard on a batch-only table.
+        val rewrittenUpTo =
+          if (replaced.exists(_.startsWith("epoch-")))
+            nextEpoch.getOrElse(-1L)
+          else -1L
         (m.files.filterNot(f => replaced.contains(f._1)),
           math.max(m.compactedUpTo, rewrittenUpTo),
           m.stats -- replaced, m.blooms -- replaced)

@@ -453,6 +453,21 @@ class PlanSpec extends SparkSpec {
             org.apache.spark.sql.functions.col("o_orderkey") > 40,
             org.apache.spark.sql.functions.lit(false))),
         big("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey")).count())
+      // an INDEPENDENT read of the same parquet is a different dataset
+      // (the pre-mutation file): it must never inherit the table's
+      // post-mutation statistics, or a 10-row annotation could broadcast
+      // a huge raw file (the rule requires the replay's base-relation tag)
+      val direct = big.join(
+        spark.read.parquet(s"${sf("sf0.001")}/orders.parquet"),
+        big("l_orderkey") === org.apache.spark.sql.functions.col("o_orderkey"))
+      assert(!direct.queryExecution.optimizedPlan.toString
+        .contains("GraftStatsNode"), direct.queryExecution.optimizedPlan.toString.take(600))
+      // ...and so must a TIME-TRAVEL frame (asOf reads a mutation prefix,
+      // not the analyzed current state)
+      val asOf0 = ops.Ddl.asOf(spark, "cbo_t", 0)
+      assert(!asOf0.queryExecution.optimizedPlan.toString
+        .contains("GraftStatsNode"))
+      assert(asOf0.count() > 100) // the full pre-delete frame
       // a later mutation stales the stats: the flip retracts, never fires
       // on outdated numbers, and SHOW STATS flags the staleness
       ops.Ddl.execute(spark, "DELETE FROM cbo_t WHERE o_orderkey > 20")

@@ -385,16 +385,20 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DELETE FROM graft.fence.t WHERE id = 10")
     assert(spark.table("graft.fence.t").select("id").collect()
       .map(_.getLong(0)).toSet == Set(0L, 20L))
-    // epoch 1's file was rewritten: reconstructing any state <= 1 would be
-    // silently partial, so it errors exactly like compaction's vacuumed
-    // range; states at/after the boundary stay answerable
-    val e = intercept[Exception] {
-      spark.read.format("graft.sources.GraftKvSink")
-        .option("path", dir).option("asOfEpoch", "0").load().collect()
+    // epoch 1's file was rewritten: every PRE-DML state — including the
+    // then-newest epoch 2, whose reconstruction would silently miss the
+    // rewrite — errors like compaction's vacuumed range; the fence sits at
+    // the replacement epoch (3), where visibility equals the post-DML
+    // state exactly
+    Seq("0", "2").foreach { v =>
+      val e = intercept[Exception] {
+        spark.read.format("graft.sources.GraftKvSink")
+          .option("path", dir).option("asOfEpoch", v).load().collect()
+      }
+      assert(e.getMessage.contains("vacuumed"), s"asOf=$v: ${e.getMessage}")
     }
-    assert(e.getMessage.contains("vacuumed"), e.getMessage)
     assert(spark.read.format("graft.sources.GraftKvSink")
-      .option("path", dir).option("asOfEpoch", "2").load().count() == 2L)
+      .option("path", dir).option("asOfEpoch", "3").load().count() == 2L)
     spark.sql("DROP TABLE graft.fence.t")
   }
 
