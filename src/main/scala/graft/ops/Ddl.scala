@@ -548,34 +548,105 @@ object Ddl {
     }
   }
 
+  /** Index of the first TOP-LEVEL `THEN` keyword in `s` — outside (), [],
+    * quotes, AND outside any CASE…END nesting — or -1. A clause condition
+    * may legally contain a CASE expression whose own THENs must not
+    * terminate it; a non-greedy `AND (.+?) THEN` regex binds to the first
+    * inner THEN and mis-parses exactly that daily-driver form. Keyword
+    * scan, same discipline as [[splitTopLevel]]. */
+  private def topLevelThenIdx(s: String): Int = {
+    var depth = 0; var caseDepth = 0; var q: Char = 0
+    var i = 0
+    def wordAt(i: Int, w: String): Boolean =
+      i + w.length <= s.length &&
+        s.regionMatches(true, i, w, 0, w.length) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
+        (i + w.length == s.length ||
+          !Character.isLetterOrDigit(s.charAt(i + w.length)) && s.charAt(i + w.length) != '_')
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (q != 0) { if (ch == q) q = 0; i += 1 }
+      else ch match {
+        case '\'' | '"' => q = ch; i += 1
+        case '(' | '['  => depth += 1; i += 1
+        case ')' | ']'  => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && wordAt(i, "CASE")) { caseDepth += 1; i += 4 }
+          else if (depth == 0 && caseDepth > 0 && wordAt(i, "END")) {
+            caseDepth -= 1; i += 3
+          } else if (depth == 0 && caseDepth == 0 && wordAt(i, "THEN")) return i
+          else i += 1
+      }
+    }
+    -1
+  }
+
   private def parseMergeClauses(text: String): Seq[MergeClause] = {
-    val SD = """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
-    val SU = """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
-    val NI = """(?is)\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\s*)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+(.+?)\s*""".r
-    val MU = """(?is)\s*MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
-    val MD = """(?is)\s*MATCHED\s*(?:AND\s+(.+?)\s+)?THEN\s+DELETE\s*""".r
+    // clause head (which WHEN variant) matched by regex; the remainder —
+    // `[AND <cond>] THEN <action>` — is split at the top-level THEN by a
+    // CASE-aware keyword scan, so conditions containing CASE…THEN…END
+    // parse instead of truncating at the inner THEN
+    val HeadBySource = """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE\b(.*)""".r
+    val HeadNotMatched = """(?is)\s*NOT\s+MATCHED\s*(?:BY\s+TARGET\b)?(.*)""".r
+    val HeadMatched = """(?is)\s*MATCHED\b(.*)""".r
+    val ActUpdate = """(?is)\s*UPDATE\s+SET\s+(.+?)\s*""".r
+    val ActDelete = """(?is)\s*DELETE\s*""".r
+    val ActInsert = """(?is)\s*INSERT\s+(.+?)\s*""".r
     val InsValsRe = """(?is)\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""".r
+    def condAndAction(rest: String, kind: String): (Option[String], String) = {
+      val thenIdx = topLevelThenIdx(rest)
+      require(thenIdx >= 0, s"MERGE WHEN $kind clause has no THEN: '$rest'")
+      val pre = rest.take(thenIdx).trim
+      val action = rest.drop(thenIdx + 4).trim
+      val cond =
+        if (pre.isEmpty) None
+        else {
+          val AndRe = """(?is)\s*AND\s+(.+)""".r
+          pre match {
+            case AndRe(c) => Some(c.trim)
+            case other => throw new IllegalArgumentException(
+              s"bad MERGE WHEN $kind clause (expected AND <condition> THEN): '$other'")
+          }
+        }
+      (cond, action)
+    }
+    def parseInsert(c: Option[String], body: String): InsertRow = body match {
+      case "*"                   => InsertRow(c, star = true, Nil, Nil)
+      case InsValsRe(cols, vals) =>
+        val cs = splitTopLevel(cols).map(_.replaceAll("`", ""))
+        val vs = splitTopLevel(vals)
+        require(cs.length == vs.length,
+          s"INSERT column list (${cs.length}) and VALUES (${vs.length}) differ in length")
+        InsertRow(c, star = false, cs, vs)
+      case other => throw new IllegalArgumentException(
+        s"bad MERGE INSERT form '$other' (expected * or (cols) VALUES (exprs))")
+    }
     // split at each WHEN that introduces a clause (lookahead keeps CASE
     // WHEN inside conditions/expressions intact)
     text.split("(?is)\\s*\\bWHEN\\s+(?=(?:NOT\\s+)?MATCHED\\b)")
       .toSeq.map(_.trim).filter(_.nonEmpty).map {
-        case SD(c)        => BySourceDelete(Option(c))
-        case SU(c, sets)  => BySourceUpdate(Option(c), parseAssignments(sets))
-        case NI(c, body)  => body.trim match {
-          case "*"                   => InsertRow(Option(c), star = true, Nil, Nil)
-          case InsValsRe(cols, vals) =>
-            val cs = splitTopLevel(cols).map(_.replaceAll("`", ""))
-            val vs = splitTopLevel(vals)
-            require(cs.length == vs.length,
-              s"INSERT column list (${cs.length}) and VALUES (${vs.length}) differ in length")
-            InsertRow(Option(c), star = false, cs, vs)
-          case other => throw new IllegalArgumentException(
-            s"bad MERGE INSERT form '$other' (expected * or (cols) VALUES (exprs))")
-        }
-        case MU(c, sets)  =>
-          if (sets.trim == "*") MatchedUpdate(Option(c), star = true, Nil)
-          else MatchedUpdate(Option(c), star = false, parseAssignments(sets))
-        case MD(c)        => MatchedDelete(Option(c))
+        case HeadBySource(rest) =>
+          condAndAction(rest, "NOT MATCHED BY SOURCE") match {
+            case (c, ActDelete())     => BySourceDelete(c)
+            case (c, ActUpdate(sets)) => BySourceUpdate(c, parseAssignments(sets))
+            case (_, a) => throw new IllegalArgumentException(
+              s"bad NOT MATCHED BY SOURCE action '$a' (expected DELETE or UPDATE SET …)")
+          }
+        case HeadMatched(rest) =>
+          condAndAction(rest, "MATCHED") match {
+            case (c, ActDelete())     => MatchedDelete(c)
+            case (c, ActUpdate(sets)) =>
+              if (sets.trim == "*") MatchedUpdate(c, star = true, Nil)
+              else MatchedUpdate(c, star = false, parseAssignments(sets))
+            case (_, a) => throw new IllegalArgumentException(
+              s"bad MATCHED action '$a' (expected UPDATE SET … or DELETE)")
+          }
+        case HeadNotMatched(rest) =>
+          condAndAction(rest, "NOT MATCHED") match {
+            case (c, ActInsert(body)) => parseInsert(c, body.trim)
+            case (_, a) => throw new IllegalArgumentException(
+              s"bad NOT MATCHED action '$a' (expected INSERT * or INSERT (cols) VALUES (exprs))")
+          }
         case other => throw new IllegalArgumentException(
           s"unrecognized MERGE clause 'WHEN $other'")
       }
@@ -640,6 +711,11 @@ object Ddl {
         case "viscol" =>
           sqlText = s"SELECT * FROM ( $sqlText ) " +
             s"WHERE ${visPredicateSql(m.a, visAuths)}"
+        case "squash" =>
+          // materialized replay prefix: restart the view body from the
+          // snapshot (see the rebuild analogue)
+          cols = spark.read.parquet(m.b).schema.fieldNames.toSeq
+          sqlText = s"SELECT * FROM parquet.`${m.b}`"
         case other =>
           throw new IllegalStateException(
             s"unsupported mutation '$other' on qualified table ${t.name}")
@@ -675,12 +751,14 @@ object Ddl {
     base.resolve("graft_indexes").resolve(name.toLowerCase).toString
   }
 
-  /** (Re)build a secondary index: the slim (col, keys…) projection written
-    * range-clustered + sorted on the indexed value so probe predicates
-    * prune via parquet min/max stats, after validating the key-uniqueness
-    * contract the semi-join rewrite is only sound under. */
-  private def buildIndex(spark: SparkSession, ix: graft.plans.IndexDef): Unit = {
-    val base = spark.read.parquet(ix.sourcePath)
+  /** (Re)build a secondary index from `from` (the base parquet, or a squash
+    * snapshot of the table's current replay): the slim (col, keys…)
+    * projection written range-clustered + sorted on the indexed value so
+    * probe predicates prune via parquet min/max stats, after validating the
+    * key-uniqueness contract the semi-join rewrite is only sound under. */
+  private def buildIndex(spark: SparkSession, ix: graft.plans.IndexDef,
+      from: Option[String] = None): Unit = {
+    val base = spark.read.parquet(from.getOrElse(ix.sourcePath))
     val dup = base.groupBy(ix.keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
     require(dup == 0L,
@@ -732,14 +810,16 @@ object Ddl {
       .write.mode(SaveMode.Append).parquet(ix.indexPath)
   }
 
-  /** (Re)build an MV's rollup snapshot from its source's BASE parquet:
-    * count partial + one exact-decimal sum per registered column — the
+  /** (Re)build an MV's rollup snapshot from `from` (the source's base
+    * parquet, or a squash snapshot of the table's current replay): count
+    * partial + one exact-decimal sum per registered column — the
     * decomposable shape plans.MvRewriteRule knows how to re-combine. */
-  private def buildMvSnapshot(spark: SparkSession, mv: graft.plans.MvDef): Unit = {
+  private def buildMvSnapshot(spark: SparkSession, mv: graft.plans.MvDef,
+      from: Option[String] = None): Unit = {
     val sums = mv.sums.toSeq.sortBy(_._1).map { case (src, partial) =>
       sum(col(src).cast(M)).as(partial)
     }
-    spark.read.parquet(mv.sourcePath)
+    spark.read.parquet(from.getOrElse(mv.sourcePath))
       .groupBy(mv.groupCols.map(c => col(c)): _*)
       .agg(count(lit(1)).as(mv.cntCol), sums: _*)
       .write.mode(SaveMode.Overwrite).parquet(mv.snapshotPath)
@@ -750,6 +830,56 @@ object Ddl {
   private def appendOnlySnaps(muts: Seq[Mut]): Seq[String] = muts.collect {
     case Mut("insert", _, b) if b.nonEmpty => b
     case Mut("load", _, b) if b.nonEmpty   => b
+  }
+
+  /** The table's replay decomposed as (root, appendSnaps) when its history
+    * is append-only SINCE THE LAST SQUASH: root = newest squash snapshot
+    * (which materialized every earlier mutation) or the base parquet,
+    * appendSnaps = the INSERT/LOAD snapshots after it. None when any later
+    * mutation is not an append — index/MV maintenance must then squash
+    * again before it can cover the replay with plain parquet paths. */
+  private def appendState(t: KeyedTable): Option[(String, Seq[String])] = {
+    val lastSquash = t.muts.lastIndexWhere(_.op == "squash")
+    val (root, tail) =
+      if (lastSquash < 0) (t.path, t.muts)
+      else (t.muts(lastSquash).b, t.muts.drop(lastSquash + 1))
+    val snaps = appendOnlySnaps(tail)
+    if (snaps.length == tail.length) Some((root, snaps)) else None
+  }
+
+  /** Managed snapshot location for a squash (beside the catalog file, like
+    * [[loadSnapshotPath]]); indexed by the log position so successive
+    * squashes never collide. */
+  private def squashSnapshotPath(t: KeyedTable): String = {
+    val base = Option(catalogPath.getParent)
+      .getOrElse(java.nio.file.Paths.get("."))
+    base.resolve("graft_squash")
+      .resolve(s"${t.name.toLowerCase.replace('.', '_')}_${t.muts.length}")
+      .toString
+  }
+
+  /** SQUASH: materialize the table's CURRENT replay state into one managed
+    * parquet snapshot and append a `squash` mutation that restarts the
+    * replay from it. Semantically invisible (read(snapshot) == replay by
+    * construction; earlier versions still reconstruct from the log prefix,
+    * and RESTORE before the squash drops it), but it gives non-append
+    * histories a plain single-parquet read again — which is exactly what
+    * the index/MV transparent rewrites key on. The Delta OPTIMIZE analogue
+    * for the mutation log. Refuses visibility-gated histories: their
+    * replay is session-dependent, and a squash would bake the current
+    * authorizations into the data. */
+  private def squashTable(spark: SparkSession, t0: KeyedTable): KeyedTable = {
+    require(!t0.muts.exists(_.op == "viscol"),
+      s"cannot materialize ${t0.name}: a visibility-gated history replays " +
+        "per-session; a squash would freeze the current authorizations")
+    val out = squashSnapshotPath(t0)
+    rebuild(spark, t0).write.mode(SaveMode.Overwrite).parquet(out)
+    val t = t0.copy(muts = t0.muts :+ Mut("squash", "", out))
+    catalog.put(t.name.toLowerCase, t)
+    persist()
+    if (isQualified(t.name)) replaceQualified(spark, t)
+    else replaceView(spark, t.name, rebuild(spark, t))
+    t
   }
 
   /** The table an MV tracks: by recorded NAME when present, by path for
@@ -1039,7 +1169,11 @@ object Ddl {
   def currentViewNonce(name: String): Option[String] =
     viewNonce.get(name.toLowerCase)
   private def tagBase(df: DataFrame, t: KeyedTable): Unit = {
-    val base = normPath(t.path)
+    // the replay root: the base parquet, or the newest squash snapshot
+    // once a REFRESH materialized the log prefix
+    val root = t.muts.reverseIterator
+      .collectFirst { case Mut("squash", _, b) => b }.getOrElse(t.path)
+    val base = normPath(root)
     val nonce = s"${t.name.toLowerCase}#${java.util.UUID.randomUUID()}"
     var found = false
     df.queryExecution.analyzed.foreach {
@@ -1119,6 +1253,12 @@ object Ddl {
         // visibility gate, evaluated against the CURRENT session auth set
         // (SET VISIBILITY re-registers every labeled table's view)
         case "viscol" => df.filter(visPredicate(col(m.a), visAuths))
+        // SQUASH: the replay state at this point was materialized to one
+        // parquet snapshot (REFRESH INDEX/MV on a non-append history) —
+        // the replay restarts from it, dropping the folded prefix. By
+        // construction read(b) == replay(prefix), so the view is unchanged
+        // and earlier versions still reconstruct from the prefix.
+        case "squash" => spark.read.parquet(m.b)
         case other  => throw new IllegalStateException(s"bad catalog mutation: $other")
       }
     }
@@ -1369,11 +1509,12 @@ object Ddl {
         status("RESTORE", t.name)
       case CreateMvRe(mvName, tName, groupsCsv, sumsCsv) =>
         val t = lookupOrThrow(tName)
-        val mvSnaps = appendOnlySnaps(t.muts)
-        require(mvSnaps.length == t.muts.length,
-          s"materialized view requires an unmutated or append-only table; " +
-            s"${t.name} has non-append mutation(s) — the rewrite keys on " +
-            "base + snapshot scans only")
+        val (mvRoot, mvSnaps) = appendState(t).getOrElse(
+          throw new IllegalArgumentException(
+            s"materialized view requires an unmutated or append-only table; " +
+              s"${t.name} has non-append mutation(s) — the rewrite keys on " +
+              "base + snapshot scans only (REFRESH INDEX/MATERIALIZED VIEW " +
+              "squashes such a history first)"))
         require(lookup(mvName).isEmpty && graft.plans.MvCatalog.named(mvName).isEmpty,
           s"'$mvName' already names a table or materialized view")
         ensureView(spark, t)
@@ -1389,8 +1530,9 @@ object Ddl {
         }
         val mv0 = graft.plans.MvDef(t.path, mvSnapshotPath(mvName), groups, "cnt",
           sumCols.map(c => c.toLowerCase -> s"sum_${c.toLowerCase}").toMap, M,
-          table = t.name)
-        buildMvSnapshot(spark, mv0)
+          table = t.name,
+          coveredPaths = if (mvRoot == t.path) Nil else Seq(mvRoot))
+        buildMvSnapshot(spark, mv0, from = Some(mvRoot))
         // an append-only history folds in immediately (incremental build),
         // so the MV serves the table's CURRENT view
         val mv = if (mvSnaps.nonEmpty) incrementMvSnapshot(spark, mv0, mvSnaps)
@@ -1406,22 +1548,37 @@ object Ddl {
       case RefreshMvRe(name) =>
         val mv0 = graft.plans.MvCatalog.named(name).getOrElse(
           throw new IllegalArgumentException(s"unknown materialized view '$name'"))
-        val muts = mvTable(mv0).map(_.muts).getOrElse(Nil)
-        val snaps = appendOnlySnaps(muts)
-        // INCREMENTAL refresh for an append-only history: aggregate ONLY
-        // the uncovered snapshots and fold them into the existing partials
-        // (counts and exact-decimal sums recombine losslessly) — O(delta),
-        // the classic decomposable-rollup view maintenance. Anything else
-        // falls back to the full base rebuild.
-        val mv = if (muts.nonEmpty && snaps.length == muts.length) {
-          val newPaths = snaps.filterNot(p =>
-            mv0.covered.map(normPath).contains(normPath(p)))
-          if (newPaths.nonEmpty) incrementMvSnapshot(spark, mv0, newPaths)
-          else mv0
-        } else {
-          buildMvSnapshot(spark, mv0.copy(snapshotPath =
-            mvSnapshotPath(name)))
-          mv0.copy(snapshotPath = mvSnapshotPath(name), coveredPaths = Nil)
+        val mvT = mvTable(mv0)
+        val mvCov0 = mv0.covered.map(normPath).toSet
+        // INCREMENTAL refresh for a history that is append-only since the
+        // covered root: aggregate ONLY the uncovered snapshots and fold
+        // them into the existing partials (counts and exact-decimal sums
+        // recombine losslessly) — O(delta), the classic decomposable-
+        // rollup view maintenance. A NON-APPEND history first SQUASHES the
+        // table (materializing its current replay) and rebuilds from that
+        // snapshot — never from the base parquet, whose pre-DML rows the
+        // old fallback silently served to direct MV reads.
+        val mv = mvT match {
+          case Some(t0) if t0.muts.nonEmpty =>
+            appendState(t0) match {
+              case Some((root, snaps)) if mvCov0.contains(normPath(root)) =>
+                val newPaths = snaps.filterNot(p => mvCov0.contains(normPath(p)))
+                if (newPaths.nonEmpty) incrementMvSnapshot(spark, mv0, newPaths)
+                else mv0
+              case st =>
+                val t = if (st.isDefined) t0 else squashTable(spark, t0)
+                val (root, snaps) = appendState(t).get
+                val mvR = mv0.copy(snapshotPath = mvSnapshotPath(name),
+                  coveredPaths = Seq(root))
+                buildMvSnapshot(spark, mvR, from = Some(root))
+                if (snaps.nonEmpty) incrementMvSnapshot(spark, mvR, snaps)
+                else mvR
+            }
+          case _ =>
+            // unmutated or untracked source: plain rebuild from the base
+            buildMvSnapshot(spark, mv0.copy(snapshotPath =
+              mvSnapshotPath(name)))
+            mv0.copy(snapshotPath = mvSnapshotPath(name), coveredPaths = Nil)
         }
         graft.plans.MvCatalog.register(name, mv)
         mvDefs.put(name.toLowerCase, mv)
@@ -1436,11 +1593,12 @@ object Ddl {
         status("DROP_MV", name)
       case CreateIndexRe(idxName, tName, colName) =>
         val t = lookupOrThrow(tName)
-        val createSnaps = appendOnlySnaps(t.muts)
-        require(createSnaps.length == t.muts.length,
-          s"CREATE INDEX requires an unmutated or append-only table; " +
-            s"${t.name} has non-append mutation(s) — the rewrite keys on " +
-            "base + snapshot scans only")
+        val (ixRoot, createSnaps) = appendState(t).getOrElse(
+          throw new IllegalArgumentException(
+            s"CREATE INDEX requires an unmutated or append-only table; " +
+              s"${t.name} has non-append mutation(s) — the rewrite keys on " +
+              "base + snapshot scans only (REFRESH INDEX/MATERIALIZED VIEW " +
+              "squashes such a history first)"))
         require(graft.plans.IndexCatalog.named(idxName).isEmpty,
           s"index '$idxName' already exists")
         ensureView(spark, t)
@@ -1452,13 +1610,14 @@ object Ddl {
             "prune at the scan; an index would add nothing")
         val ix0 = graft.plans.IndexDef(idxName, t.path, colName.toLowerCase,
           indexStorePath(idxName), t.keys, builtAtMuts = t.muts.length,
-          table = t.name)
-        buildIndex(spark, ix0)
+          table = t.name,
+          coveredPaths = if (ixRoot == t.path) Nil else Seq(ixRoot))
+        buildIndex(spark, ix0, from = Some(ixRoot))
         // an append-only history is covered immediately (delta build per
         // snapshot), so the index serves the table's CURRENT view
         val ix = if (createSnaps.nonEmpty) {
           deltaIndexAppend(spark, ix0, createSnaps)
-          ix0.copy(coveredPaths = t.path +: createSnaps)
+          ix0.copy(coveredPaths = ixRoot +: createSnaps)
         } else ix0
         graft.plans.IndexCatalog.register(ix)
         indexDefs.put(idxName.toLowerCase, ix)
@@ -1467,27 +1626,41 @@ object Ddl {
       case RefreshIndexRe(name) =>
         val ix0 = idxNamed(name).getOrElse(
           throw new IllegalArgumentException(s"unknown index '$name'"))
-        val muts = indexTable(ix0).map(_.muts).getOrElse(Nil)
-        val appendSnaps = appendOnlySnaps(muts)
-        // DELTA refresh for an append-only history: index only the
-        // not-yet-covered INSERT/LOAD snapshots and append them to the
-        // index parquet (each delta file is value-sorted itself, so
-        // parquet min/max pruning still holds per file) — O(delta), not
-        // O(table). Any other mutation falls back to the full base
-        // rebuild, and the rewrite's covered-path subset check keeps it
-        // sound either way. Re-pin the build position in both paths so
-        // the stale flag clears.
-        val ix = if (muts.nonEmpty && appendSnaps.length == muts.length) {
-          val covered0 = ix0.covered
-          val newPaths = appendSnaps.filterNot(p =>
-            covered0.map(normPath).contains(normPath(p)))
-          if (newPaths.nonEmpty) deltaIndexAppend(spark, ix0, newPaths)
-          ix0.copy(coveredPaths = covered0 ++ newPaths,
-            builtAtMuts = muts.length)
-        } else {
-          val full = ix0.copy(coveredPaths = Nil, builtAtMuts = muts.length)
-          buildIndex(spark, full)
-          full
+        val ixT = indexTable(ix0)
+        val ixCov0 = ix0.covered.map(normPath).toSet
+        // DELTA refresh for a history that is append-only since the covered
+        // root: index only the not-yet-covered INSERT/LOAD snapshots and
+        // append them to the index parquet (each delta file is value-sorted
+        // itself, so parquet min/max pruning still holds per file) —
+        // O(delta), not O(table). A NON-APPEND history first SQUASHES the
+        // table and rebuilds the index from the squash snapshot: the view
+        // then reads exactly that snapshot, so the transparent rewrite
+        // FIRES on table reads again instead of only on direct base scans.
+        // Re-pin the build position in all paths so the stale flag clears.
+        val ix = ixT match {
+          case Some(t0) if t0.muts.nonEmpty =>
+            appendState(t0) match {
+              case Some((root, snaps)) if ixCov0.contains(normPath(root)) =>
+                val newPaths = snaps.filterNot(p => ixCov0.contains(normPath(p)))
+                if (newPaths.nonEmpty) deltaIndexAppend(spark, ix0, newPaths)
+                ix0.copy(coveredPaths = ix0.covered ++ newPaths,
+                  builtAtMuts = t0.muts.length)
+              case st =>
+                val t = if (st.isDefined) t0 else squashTable(spark, t0)
+                val (root, snaps) = appendState(t).get
+                val full = ix0.copy(coveredPaths = Seq(root),
+                  builtAtMuts = t.muts.length)
+                buildIndex(spark, full, from = Some(root))
+                if (snaps.nonEmpty) {
+                  deltaIndexAppend(spark, full, snaps)
+                  full.copy(coveredPaths = root +: snaps)
+                } else full
+            }
+          case _ =>
+            val full = ix0.copy(coveredPaths = Nil,
+              builtAtMuts = ixT.map(_.muts.length).getOrElse(0))
+            buildIndex(spark, full)
+            full
         }
         graft.plans.IndexCatalog.register(ix)
         indexDefs.put(ix.name.toLowerCase, ix)
@@ -1824,17 +1997,22 @@ object Ddl {
       val rows = t.stats.find(_._1 == "n_rows").map(_._2.toLong)
       (at, rows) match {
         case (Some(a), Some(n)) if a == t.muts.length && t.muts.nonEmpty =>
-          val snaps = t.muts.flatMap {
-            case Mut("load", _, b) if b.nonEmpty => Seq(b)
-            case Mut("insert", _, b)             => Seq(b)
-            case Mut("merge", _, b)              => Seq(b)
-            case Mut("merge2", a0, b)            => Seq(a0, b)
-            case _                               => Nil
-          }
+          val snaps = t.muts.foldLeft(List(t.path)) { (acc, m) => m match {
+            case Mut("load", _, b) if b.nonEmpty => acc :+ b
+            case Mut("insert", _, b)             => acc :+ b
+            // star-merge replay reads its snapshot TWICE (union branch +
+            // the NOT-EXISTS/anti-join probe side), so the leaf multiset
+            // must list it twice or the exact-multiset check never matches
+            case Mut("merge", _, b)              => acc :+ b :+ b
+            case Mut("merge2", a0, b)            => acc :+ a0 :+ b
+            // squash resets the replay to read only its snapshot
+            case Mut("squash", _, b)             => List(b)
+            case _                               => acc
+          }}
           // sorted path MULTISET: the annotation requires the subtree to
           // read the table's full replay — every path exactly once — so an
           // asOf prefix, a self-union, or a bare base read never matches
-          val paths = (t.path +: snaps).map(p =>
+          val paths = snaps.map(p =>
             java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString)
             .sorted
           viewNonce.get(t.name.toLowerCase).map(nonce => (nonce, paths, n))
@@ -1908,7 +2086,10 @@ object Ddl {
     * conditional MATCHED clauses (DELETE, explicit SET list, unconditional
     * SET), a conditional explicit-column INSERT, and a conditional
     * NOT MATCHED BY SOURCE DELETE — first-matching-clause-wins semantics,
-    * hash-gated against a relational replay in the oracle. */
+    * hash-gated against a relational replay in the oracle. The first
+    * MATCHED condition and the third clause's SET value are CASE…THEN…END
+    * expressions, pinning the CASE-aware clause scanner (a non-greedy
+    * regex would truncate the condition at the inner THEN). */
   def ddlMerge(s: SparkSession, d: String): DataFrame = {
     if (lookup("mrg_rt").isDefined) execute(s, "DROP TABLE mrg_rt")
     execute(s, s"CREATE TABLE mrg_rt MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
@@ -1918,10 +2099,13 @@ object Ddl {
         |    (2, 11), (7, 12), (9, 13), (14, 2), (17, 2),
         |    (40, 1), (41, 2), (42, -1) AS v(n_nationkey, n_regionkey)) s
         |ON s.n_nationkey = t.n_nationkey
-        |WHEN MATCHED AND s.n_regionkey = 2 THEN DELETE
+        |WHEN MATCHED AND CASE WHEN s.n_regionkey = 2 THEN true ELSE false END
+        |  THEN DELETE
         |WHEN MATCHED AND t.n_regionkey = 3 THEN UPDATE SET
         |  n_name = concat(t.n_name, '!'), n_regionkey = s.n_regionkey + 10
-        |WHEN MATCHED THEN UPDATE SET n_name = upper(t.n_name)
+        |WHEN MATCHED THEN UPDATE SET n_name =
+        |  CASE WHEN t.n_regionkey = 1 THEN lower(t.n_name)
+        |       ELSE upper(t.n_name) END
         |WHEN NOT MATCHED AND s.n_regionkey >= 0 THEN INSERT
         |  (n_nationkey, n_name) VALUES (s.n_nationkey,
         |   concat('new-', cast(s.n_nationkey AS string)))
@@ -2036,7 +2220,9 @@ object Ddl {
         |  SELECT n_nationkey, n_name || '!' AS n_name, r + 10 AS n_regionkey
         |  FROM m WHERE c = 2
         |  UNION ALL
-        |  SELECT n_nationkey, upper(n_name), n_regionkey FROM m WHERE c = 3
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_regionkey = 1 THEN lower(n_name)
+        |         ELSE upper(n_name) END, n_regionkey FROM m WHERE c = 3
         |  UNION ALL
         |  SELECT k, 'new-' || CAST(k AS VARCHAR), CAST(NULL AS INTEGER)
         |  FROM src WHERE r >= 0

@@ -39,8 +39,12 @@ case class IndexDef(name: String, sourcePath: String, col: String,
 /** Process-global index registry, path-keyed for rewrite lookups and
   * name-keyed for the DDL surface — same shape as [[MvCatalog]]. */
 object IndexCatalog {
+  // absolutize so a registration recorded relative to the working
+  // directory (default spark-warehouse catalog) still matches the
+  // absolute rootPaths scans report
   private def norm(p: String): String =
-    p.stripPrefix("file:").stripSuffix("/")
+    java.nio.file.Paths.get(p.stripPrefix("file:").stripSuffix("/"))
+      .toAbsolutePath.normalize.toString
   // per source path: one index per indexed column
   private val byPath =
     scala.collection.concurrent.TrieMap[String, Map[String, IndexDef]]()
@@ -74,8 +78,14 @@ object IndexCatalog {
     val ps = paths.map(norm).toSet
     if (ps.isEmpty) Map.empty
     else {
+      // the source-path fast lookup must still pass the covered-subset
+      // rule: after a squash-rebuild the index covers the SQUASH snapshot
+      // only, so a bare read of the original source path (whose deleted
+      // rows the index no longer lists) must NOT be redirected
       val direct =
-        if (ps.sizeIs == 1) byPath.getOrElse(ps.head, Map.empty)
+        if (ps.sizeIs == 1)
+          byPath.getOrElse(ps.head, Map.empty)
+            .filter { case (_, ix) => ps.subsetOf(ix.covered.map(norm).toSet) }
         else Map.empty[String, IndexDef]
       val viaCover = byName.values
         .filter(ix => ps.subsetOf(ix.covered.map(norm).toSet))

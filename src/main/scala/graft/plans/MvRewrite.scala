@@ -40,8 +40,12 @@ case class MvDef(sourcePath: String, snapshotPath: String,
   * source path; the DDL surface (CREATE/REFRESH/DROP MATERIALIZED VIEW)
   * additionally keys by MV name. */
 object MvCatalog {
+  // absolutize so a registration recorded relative to the working
+  // directory (default spark-warehouse catalog) still matches the
+  // absolute rootPaths scans report
   private def norm(p: String): String =
-    p.stripPrefix("file:").stripSuffix("/")
+    java.nio.file.Paths.get(p.stripPrefix("file:").stripSuffix("/"))
+      .toAbsolutePath.normalize.toString
   private val mvs = scala.collection.concurrent.TrieMap[String, MvDef]()
   private val byName = scala.collection.concurrent.TrieMap[String, MvDef]()
   def register(mv: MvDef): Unit = mvs.put(norm(mv.sourcePath), mv)
@@ -69,7 +73,10 @@ object MvCatalog {
   def forPaths(paths: Seq[String]): Option[MvDef] = {
     val ps = paths.map(norm).sorted
     val direct = if (ps.sizeIs == 1) mvs.get(ps.head) else None
-    direct.filter(_.covered.sizeIs == 1).orElse(
+    // the source-path fast lookup must still verify the covered multiset:
+    // after a squash-rebuild the MV covers the SQUASH snapshot, so a bare
+    // read of the original source path no longer matches it
+    direct.filter(_.covered.map(norm).sorted == ps).orElse(
       (mvs.values ++ direct).find(mv => mv.covered.map(norm).sorted == ps))
   }
 }

@@ -563,6 +563,47 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("generalized MERGE: CASE expressions inside clause conditions and SET values") {
+    val tmp = java.nio.file.Files.createTempFile("graft_cat_mergecase", ".json")
+    java.nio.file.Files.delete(tmp)
+    val prev = sys.props.get("graft.catalog.path")
+    sys.props("graft.catalog.path") = tmp.toString
+    try {
+      ops.Ddl.resetForTest()
+      ops.Ddl.execute(spark,
+        s"CREATE TABLE mgcase_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+      // a CASE…THEN…END inside the AND-condition previously truncated at
+      // the inner THEN and rejected the whole statement
+      spark.sql(
+        """MERGE INTO mgcase_t t USING (
+          |  SELECT * FROM VALUES (0, 5), (1, 50), (90, 9)
+          |    AS v(n_nationkey, w) ) s
+          |ON s.n_nationkey = t.n_nationkey
+          |WHEN MATCHED AND CASE WHEN s.w > 10 THEN true ELSE false END
+          |  THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET n_name =
+          |  CASE WHEN s.w = 5 THEN 'low' ELSE 'hi' END
+          |WHEN NOT MATCHED AND CASE WHEN s.w > 0 THEN s.w < 100
+          |                          ELSE false END
+          |  THEN INSERT (n_nationkey, n_name)
+          |  VALUES (s.n_nationkey, CASE WHEN s.w = 9 THEN 'nine' ELSE 'o' END)"""
+          .stripMargin)
+      val rows = spark.table("mgcase_t").select("n_nationkey", "n_name")
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(!rows.contains(1))        // w=50: CASE condition true → DELETE
+      assert(rows(0) == "low")         // w=5: second clause's CASE value
+      assert(rows(90) == "nine")       // insert condition + value both CASE
+      spark.sql("DROP TABLE mgcase_t")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.catalog.path") = v
+        case None    => sys.props.remove("graft.catalog.path")
+      }
+      ops.Ddl.resetForTest()
+      java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   test("incremental REFRESH MATERIALIZED VIEW folds append-only inserts") {
     if (ops.Ddl.lookup("imv_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE imv_t")
     if (graft.plans.MvCatalog.named("imv_mv").isDefined)
@@ -673,6 +714,76 @@ class DdlSpec extends SparkSpec {
     } finally {
       ops.Ddl.execute(spark, "DROP INDEX di_ix")
       ops.Ddl.execute(spark, "DROP TABLE di_t")
+    }
+  }
+
+  test("REFRESH after non-append DML squashes the replay; index and MV rewrites fire again") {
+    if (ops.Ddl.lookup("sq_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE sq_t")
+    if (graft.plans.IndexCatalog.named("sq_ix").isDefined)
+      ops.Ddl.execute(spark, "DROP INDEX sq_ix")
+    if (graft.plans.MvCatalog.named("sq_mv").isDefined)
+      ops.Ddl.execute(spark, "DROP MATERIALIZED VIEW sq_mv")
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE sq_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    ops.Ddl.execute(spark, "CREATE INDEX sq_ix ON sq_t (n_regionkey)")
+    ops.Ddl.execute(spark,
+      "CREATE MATERIALIZED VIEW sq_mv ON sq_t GROUP BY (n_regionkey) SUMS (n_nationkey)")
+    try {
+      // non-append DML: delete region 0, bump one name
+      ops.Ddl.execute(spark, "DELETE FROM sq_t WHERE n_regionkey = 0")
+      ops.Ddl.execute(spark,
+        "UPDATE sq_t SET n_name = upper(n_name) WHERE n_nationkey = 1")
+      // expected state, computed directly from the view (the replay)
+      val expectKeys = spark.table("sq_t").filter(col("n_regionkey") === 1)
+        .collect().map(_.getInt(0)).toSet
+      // REFRESH INDEX squashes the table to a materialized snapshot and
+      // rebuilds from it: the view becomes a single-parquet read again and
+      // the transparent rewrite FIRES on the table read
+      ops.Ddl.execute(spark, "REFRESH INDEX sq_ix")
+      val q = spark.table("sq_t").filter(col("n_regionkey") === 1)
+      val opt = q.queryExecution.optimizedPlan.toString
+      assert(opt.contains("LeftSemi"), opt.take(1500))
+      assert(q.collect().map(_.getInt(0)).toSet == expectKeys)
+      // the deleted region is really gone from the squashed state
+      assert(spark.table("sq_t").filter(col("n_regionkey") === 0).count() == 0)
+      // REFRESH MV on the (already-squashed) history rebuilds the snapshot
+      // from the replay state — deleted rows are NOT served (the old
+      // fallback aggregated the pre-DML base parquet)
+      ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW sq_mv")
+      val mvRows = spark.table("sq_mv").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(!mvRows.contains(0), mvRows)
+      val direct = spark.table("sq_t").groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(mvRows == direct, s"$mvRows vs $direct")
+      // the MV rewrite also fires on the squashed single-path view read
+      val agg = spark.table("sq_t").groupBy(col("n_regionkey"))
+        .agg(sum(col("n_nationkey").cast("decimal(18,6)")).as("s"))
+      val leaves = agg.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      assert(leaves.exists(_.contains("graft_mvs")), leaves.mkString(";"))
+      // an INDEPENDENT read of the original base parquet is NOT redirected
+      // to the squash-state index/MV (covered-multiset rule): all 25
+      // nations, including deleted region 0, still come back
+      val bare = spark.read.parquet(s"${sf("sf0.001")}/nation.parquet")
+      assert(bare.count() == 25)
+      assert(bare.filter(col("n_regionkey") === 0).count() == 5)
+      // time travel still reconstructs pre-squash versions from the log
+      // prefix: version 0 is the untouched base
+      assert(ops.Ddl.asOf(spark, "sq_t", 0).count() == 25)
+      assert(ops.Ddl.asOf(spark, "sq_t", 1)
+        .filter(col("n_regionkey") === 0).count() == 0)
+    } finally {
+      ops.Ddl.execute(spark, "DROP MATERIALIZED VIEW sq_mv")
+      ops.Ddl.execute(spark, "DROP INDEX sq_ix")
+      ops.Ddl.execute(spark, "DROP TABLE sq_t")
     }
   }
 
