@@ -132,8 +132,22 @@ object Windows {
       Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
       .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** B21/B24 via the same custom operator, GLOBAL form: top-50 orders by
+    * price through partial per-partition heaps + one final heap behind an
+    * AllTuples exchange — the `orderBy().limit(k)` shape with no sort
+    * anywhere (PlanSpec asserts the plan). At 100 TB the exchange carries
+    * ≤ k rows per input partition instead of feeding a TakeOrdered's
+    * per-partition sorts. Hash-gated against the stock ORDER BY/LIMIT. */
+  def windowTopkGlobal(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.global(
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 50)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "window_topk_heap" -> (windowTopkHeap _),
+    "window_topk_global" -> (windowTopkGlobal _),
     "window_distribution" -> (windowDistribution _),
     "window_rank" -> (windowRank _),
     "window_laglead" -> (windowLagLead _),
@@ -149,6 +163,10 @@ object Windows {
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3
         |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
+    // the global heap pair vs the stock ORDER BY + LIMIT formulation
+    "window_topk_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
     "window_distribution" ->
       """SELECT l_returnflag, CAST(quartile AS INTEGER) AS quartile, count(*) AS cnt,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

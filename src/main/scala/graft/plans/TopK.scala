@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator surface — the (c) rung of the extension ladder
@@ -32,9 +32,11 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 case class TopKPerGroup(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
   require(k > 0, s"topK requires k > 0, got $k")
-  require(groupExprs.nonEmpty,
-    "topK requires at least one group column (global top-k is orderBy(...)" +
-      ".limit(k), which Spark already plans as TakeOrderedAndProject)")
+  // groupExprs may be EMPTY: global top-k — one partial k-heap per input
+  // partition, one final heap behind an AllTuples exchange that carries
+  // ≤ k rows per partition. The same shape as TakeOrderedAndProject but
+  // heap-per-partition instead of per-partition sort: nothing is ever
+  // sorted, per-row cost is a heap probe.
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroup =
     copy(child = newChild)
@@ -73,6 +75,7 @@ case class GraftTopKExec(groupExprs: Seq[Expression], ordering: Seq[SortOrder],
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) Seq(UnspecifiedDistribution)
+    else if (groupExprs.isEmpty) Seq(AllTuples) // global: one final heap
     else Seq(ClusteredDistribution(groupExprs))
   override protected def withNewChildInternal(newChild: SparkPlan): GraftTopKExec =
     copy(child = newChild)
@@ -278,6 +281,13 @@ object TopK {
       }
     }.flatten
   }
+
+  /** GLOBAL top-k: the `orderBy(...).limit(k)` shape without any sort —
+    * partial k-heaps per partition, one final heap behind a single-
+    * partition exchange carrying ≤ k rows per input partition. Same
+    * determinism contract as perGroup: give the ordering a tiebreaker. */
+  def global(df: DataFrame, orderCols: Seq[(String, Boolean)], k: Int): DataFrame =
+    perGroup(df, Nil, orderCols, k)
 
   def perGroup(df: DataFrame, groupCols: Seq[String],
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {

@@ -415,13 +415,25 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("topk rejects an empty group list at the API boundary") {
+  test("global topk: heap pair + single-partition exchange, no sort anywhere") {
+    import org.apache.spark.sql.functions.col
     val o = Tables.orders(spark, sf("sf0.001"))
-      .select(org.apache.spark.sql.functions.col("o_orderkey"))
-    val e = intercept[IllegalArgumentException] {
-      graft.plans.TopK.perGroup(o, Nil, Seq(("o_orderkey", true)), 3)
-    }
-    assert(e.getMessage.contains("group column"), e.getMessage)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val df = graft.plans.TopK.global(o,
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 7)
+    val plan = df.queryExecution.executedPlan.toString
+    // two heap phases around a single-partition exchange (AllTuples), and
+    // crucially NO sort operator and no TakeOrdered — the whole point
+    assert("GraftTopK".r.findAllIn(plan).length == 2, plan.take(2000))
+    assert(plan.contains("Exchange SinglePartition"), plan.take(2000))
+    assert(!plan.contains("Sort ") && !plan.contains("TakeOrderedAndProject"),
+      plan.take(2000))
+    // exact equality with the stock orderBy().limit(k)
+    val expect = o.orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(7).collect().toSeq
+    val got = df.collect().toSeq
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+    assert(got == expect, s"$got vs $expect")
   }
 
   test("ANALYZE stats flip a mutated keyed table to hint-free broadcast") {
