@@ -91,7 +91,8 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           val schema =
             if (java.nio.file.Files.exists(mf)) GraftKvSink.readManifest(mf).schema
             else DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
-          new GraftKvTable(path, schema)
+          new GraftKvTable(path, schema,
+            mor = d.options.get("mor").exists(_.toBoolean))
         case other =>
           throw new IllegalStateException(
             s"graft catalog entry ${d.name} has unknown provider '$other'")
@@ -110,7 +111,7 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
       s"graft catalog supports USING graft_kv | graft_range, got '$provider'")
     // OPTIONS(...) arrive as plain property keys (and, in some Spark
     // paths, duplicated under the reserved "option." prefix) — accept both
-    val known = Set("path", "rows", "slices")
+    val known = Set("path", "rows", "slices", "mor")
     val opts0 = properties.asScala.collect {
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.stripPrefix(TableCatalog.OPTION_PREFIX).toLowerCase -> v

@@ -67,7 +67,8 @@ class GraftKvSink extends TableProvider {
       require(GraftKvSink.supported(f.dataType),
         s"graft_kv: unsupported column type ${f.dataType.simpleString} for '${f.name}'")
     }
-    new GraftKvTable(GraftKvSink.pathOf(properties), schema)
+    new GraftKvTable(GraftKvSink.pathOf(properties), schema,
+      mor = Option(properties.get("mor")).exists(_.toBoolean))
   }
 }
 
@@ -79,11 +80,19 @@ object GraftKvSink {
     * stored and compared under the schema type — the connector's
     * region-boundary analogue, driving file pruning in [[GraftKvScan]]. A
     * column absent from a file's stats map is "unknown" (all-null file,
-    * NaN seen, or a pre-stats manifest) and never prunes. */
+    * NaN seen, or a pre-stats manifest) and never prunes.
+    * `deltas`: MERGE-ON-READ delta files (name, inserts, deletes) — the
+    * HBase-native write shape (cells are deltas; compaction merges). Each
+    * `.kvd` file carries `D\tfile\tpos` position-deletes and `I\t<row>`
+    * inserts, epoch-stamped like data files; a read at epoch >= the
+    * delta's applies it, below it sees the pre-DML state (merge-on-read
+    * DML never fences time travel — that is its point). */
+  final case class DeltaFile(name: String, inserts: Long, deletes: Long)
   final case class Manifest(schema: StructType, files: Seq[(String, Long)],
       compactedUpTo: Long = -1L,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      blooms: Map[String, Map[String, String]] = Map.empty)
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      deltas: Seq[DeltaFile] = Nil)
 
   /** Per-file bloom parameters: identical across every writer so
     * compaction can merge filters bit-for-bit; files beyond the row cap
@@ -111,7 +120,8 @@ object GraftKvSink {
   private[sources] def writeManifest(dir: String, schema: StructType,
       files: Seq[(String, Long)], compactedUpTo: Long = -1L,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      blooms: Map[String, Map[String, String]] = Map.empty): Unit = {
+      blooms: Map[String, Map[String, String]] = Map.empty,
+      deltas: Seq[DeltaFile] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
@@ -128,6 +138,14 @@ object GraftKvSink {
       blooms.get(n).filter(_.nonEmpty).foreach { cols =>
         val bl = o.putObject("blooms")
         cols.toSeq.sortBy(_._1).foreach { case (col, b64) => bl.put(col, b64) }
+      }
+    }
+    if (deltas.nonEmpty) {
+      val darr = root.putArray("deltas")
+      deltas.foreach { d =>
+        val o = darr.addObject()
+        o.put("name", d.name); o.put("inserts", d.inserts)
+        o.put("deletes", d.deletes)
       }
     }
     // publish atomically (write-temp-then-rename): a live streaming read
@@ -165,13 +183,54 @@ object GraftKvSink {
         }.toMap
       }
     }.toMap
-    Manifest(schema, files, upTo, stats, blooms)
+    val deltas = Option(root.get("deltas")).toSeq.flatMap(_.elements().asScala)
+      .map(d => DeltaFile(d.get("name").asText(), d.get("inserts").asLong(),
+        d.get("deletes").asLong()))
+    Manifest(schema, files, upTo, stats, blooms, deltas)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
   private[sources] def epochOf(name: String): Long = name match {
     case EpochFileRe(e) => e.toLong
     case _              => 0L // batch-written files count as epoch 0
+  }
+
+  /** Encode one row in the tab-separated line format — shared by the data
+    * writer and the delta writer's insert records. `observed(i)` receives
+    * the value's string image for non-null columns (the stats/bloom feed;
+    * "NaN" on a double column flags stats poisoning), stays null for SQL
+    * NULL. */
+  private[sources] def encodeRow(schema: StructType, row: InternalRow,
+      sb: StringBuilder, observed: Array[String]): Unit = {
+    require(row.numFields == schema.length,
+      s"graft_kv: writer got a ${row.numFields}-field row for a " +
+        s"${schema.length}-column schema (${schema.fieldNames.mkString(",")})")
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('\t')
+      observed(i) = null
+      if (row.isNullAt(i)) sb.append("\\N") // null marker: backslash-N
+      else schema(i).dataType match {
+        case IntegerType =>
+          val v = row.getInt(i); sb.append(v); observed(i) = v.toString
+        case LongType =>
+          val v = row.getLong(i); sb.append(v); observed(i) = v.toString
+        case DoubleType =>
+          val d = row.getDouble(i); sb.append(d); observed(i) = d.toString
+        case StringType =>
+          val s = row.getUTF8String(i).toString
+          require(!s.contains('\t') && !s.contains('\n'),
+            s"graft_kv: tab/newline in string value for '${schema(i).name}'")
+          // a literal leading backslash gets doubled so the null marker
+          // can never collide with real data
+          if (s.startsWith("\\")) sb.append('\\')
+          sb.append(s)
+          observed(i) = s
+        case dt => throw new IllegalStateException(s"unsupported $dt")
+      }
+      i += 1
+    }
+    sb.append('\n')
   }
 
   /** Typed "a <= b" over the stringly-stored stats values. Strings compare
@@ -281,17 +340,35 @@ object GraftKvSink {
     * abort) can orphan files; readers never see them (manifest-listed
     * only), this reclaims the space. Live `.tmp` attempts and the manifest
     * itself are never touched. Returns the number of files removed. */
-  def vacuum(dir: String): Int = {
+  def vacuum(dir: String, graceMs: Long = 10 * 60 * 1000L): Int = {
     val mfp = manifestPath(dir)
     require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
-    val listed = readManifest(mfp).files.map(_._1).toSet
+    val m0 = readManifest(mfp)
+    val listed = m0.files.map(_._1).toSet
+    // grace window: a concurrent batch commit moves task files to their
+    // final .kv names BEFORE publishing the manifest, so a vacuum racing
+    // that window would delete freshly-committed data the manifest is
+    // about to reference. Files younger than the grace period are skipped
+    // (the Delta/Iceberg retention-threshold contract); pass 0 only when
+    // no writer can be live.
+    val cutoff = System.currentTimeMillis() - graceMs
+    val listedDeltas = m0.deltas.map(_.name).toSet
     val stray = Files.list(Paths.get(dir)).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        n.endsWith(".kv") && !listed.contains(n)
+        ((n.endsWith(".kv") && !listed.contains(n)) ||
+          (n.endsWith(".kvd") && !listedDeltas.contains(n))) &&
+          Files.getLastModifiedTime(p).toMillis <= cutoff
       }.toSeq
     stray.foreach(Files.deleteIfExists(_))
     stray.length
+  }
+
+  /** Read-only introspection (tests and judged-query assertions): the
+    * manifest's current (data file names, delta file names). */
+  def listedFiles(dir: String): (Seq[String], Seq[String]) = {
+    val m = readManifest(manifestPath(dir))
+    (m.files.map(_._1), m.deltas.map(_.name))
   }
 
   def compact(dir: String, upToRequested: Long): Int = {
@@ -303,27 +380,107 @@ object GraftKvSink {
     // CLAMP to the newest published epoch: a boundary beyond it would mark
     // FUTURE epochs as already-published, and a live stream's next commit
     // would silently discard its own files as replay duplicates
-    val maxEpoch = mf.files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L)
+    val maxEpoch = (mf.files.map(f => epochOf(f._1)) ++
+      mf.deltas.map(d => epochOf(d.name))).maxOption.getOrElse(-1L)
     if (maxEpoch < 0L) return 0 // empty table: nothing to compact or fence
     val upTo = math.min(upToRequested, maxEpoch)
     val (old, keep) = mf.files.partition(f => epochOf(f._1) <= upTo)
+    // merge-on-read deltas at or below the boundary FOLD into the
+    // compacted file (deletes applied, inserts appended) — compaction is
+    // the delta write shape's designated folding point
+    val (dOld, dKeep) = mf.deltas.partition(d => epochOf(d.name) <= upTo)
     val newUpTo = math.max(upTo, mf.compactedUpTo)
-    if (old.size <= 1) {
+    // a surviving delta referencing a merged-away file would leave its
+    // position targets dangling. Cannot happen by construction (a delta
+    // only references files OLDER than itself, and epoch order is the
+    // merge order) — verify rather than assume.
+    if (dKeep.nonEmpty && old.nonEmpty) {
+      val oldNames = old.map(_._1).toSet
+      dKeep.foreach { d =>
+        val st = Files.lines(Paths.get(dir, d.name))
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val l = it.next()
+            if (l.startsWith("D\t")) {
+              val p1 = l.indexOf('\t', 2)
+              require(p1 < 0 || !oldNames.contains(l.substring(2, p1)),
+                s"graft_kv: compact upTo=$upTo merges files referenced by " +
+                  s"the later delta ${d.name} — raise upTo past it")
+            }
+          }
+        } finally st.close()
+      }
+    }
+    if (old.size <= 1 && dOld.isEmpty) {
       // nothing to merge; still record the retention boundary
       if (newUpTo != mf.compactedUpTo)
-        writeManifest(dir, mf.schema, mf.files, newUpTo)
+        writeManifest(dir, mf.schema, mf.files, newUpTo, mf.stats, mf.blooms,
+          mf.deltas)
       return 0
     }
     val target = f"epoch-$upTo-compacted.kv"
     val tmp = Paths.get(dir, target + ".tmp")
-    val out = Files.newOutputStream(tmp)
-    try old.map(_._1).sorted.foreach { n =>
-      Files.copy(Paths.get(dir, n), out)
-    } finally out.close()
+    var targetRows = 0L
+    if (dOld.isEmpty) {
+      // no deltas in range: driver-side streaming byte concat, no re-encode
+      val out = Files.newOutputStream(tmp)
+      try old.map(_._1).sorted.foreach { n =>
+        Files.copy(Paths.get(dir, n), out)
+      } finally out.close()
+      targetRows = old.map(_._2).sum
+    } else {
+      // fold: per-file position-deletes from the folded deltas, then the
+      // surviving base lines in file order, then the surviving inserts
+      val delByFile = new java.util.HashMap[String, java.util.HashSet[Long]]()
+      dOld.foreach { d =>
+        val st = Files.lines(Paths.get(dir, d.name))
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val l = it.next()
+            if (l.startsWith("D\t")) {
+              val p1 = l.indexOf('\t', 2)
+              val f = l.substring(2, p1)
+              var set = delByFile.get(f)
+              if (set == null) { set = new java.util.HashSet[Long](); delByFile.put(f, set) }
+              set.add(java.lang.Long.parseLong(l.substring(p1 + 1))): Unit
+            }
+          }
+        } finally st.close()
+      }
+      val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+      try {
+        def foldLines(name: String, insertPayloads: Boolean): Unit = {
+          val dels = delByFile.get(name)
+          val st = Files.lines(Paths.get(dir, name))
+          try {
+            val it = st.iterator()
+            var pos = -1L
+            while (it.hasNext) {
+              val l = it.next()
+              pos += 1L
+              val live = (dels == null || !dels.contains(pos)) &&
+                (!insertPayloads || l.startsWith("I\t"))
+              if (live) {
+                w.write(if (insertPayloads) l.substring(2) else l)
+                w.write('\n')
+                targetRows += 1L
+              }
+            }
+          } finally st.close()
+        }
+        old.map(_._1).sorted.foreach(foldLines(_, insertPayloads = false))
+        dOld.map(_.name).sorted.foreach(foldLines(_, insertPayloads = true))
+      } finally w.close()
+    }
     Files.move(tmp, Paths.get(dir, target), StandardCopyOption.REPLACE_EXISTING)
     // merged stats: a column survives only if every merged file knows it
-    // (an unknown input makes the union range unknowable)
-    val oldStats = old.map(f => mf.stats.getOrElse(f._1, Map.empty))
+    // (an unknown input makes the union range unknowable). Folded deltas
+    // drop stats/blooms entirely: inserts carry values outside the merged
+    // ranges, and absent stats never prune — the sound default.
+    val oldStats =
+      if (dOld.nonEmpty) Nil else old.map(f => mf.stats.getOrElse(f._1, Map.empty))
     val mergedCols = oldStats.map(_.keySet.map(_.toLowerCase))
       .reduceOption(_ intersect _).getOrElse(Set.empty)
     val targetStats = mergedCols.flatMap { c =>
@@ -337,7 +494,8 @@ object GraftKvSink {
     // merged blooms: same all-or-nothing rule, OR-merged bit-for-bit
     // (identical create parameters across writers make them compatible);
     // the total row count must stay within the cap or fpp degrades
-    val oldBlooms = old.map(f => mf.blooms.getOrElse(f._1, Map.empty))
+    val oldBlooms =
+      if (dOld.nonEmpty) Nil else old.map(f => mf.blooms.getOrElse(f._1, Map.empty))
     val bloomCols =
       if (old.map(_._2).sum > BloomRowCap) Set.empty[String]
       else oldBlooms.map(_.keySet.map(_.toLowerCase))
@@ -355,36 +513,48 @@ object GraftKvSink {
     // single visibility switch: after this write, readers see only the
     // compacted file; the superseded inputs become unreferenced garbage
     writeManifest(dir, mf.schema,
-      (target, old.map(_._2).sum) +: keep, newUpTo,
+      (target, targetRows) +: keep, newUpTo,
       mf.stats -- old.map(_._1) ++
         (if (targetStats.nonEmpty) Map(target -> targetStats) else Map.empty),
       mf.blooms -- old.map(_._1) ++
-        (if (targetBlooms.nonEmpty) Map(target -> targetBlooms) else Map.empty))
+        (if (targetBlooms.nonEmpty) Map(target -> targetBlooms) else Map.empty),
+      dKeep)
     old.foreach { case (n, _) =>
       if (n != target) Files.deleteIfExists(Paths.get(dir, n))
     }
-    old.count(_._1 != target)
+    dOld.foreach(d => Files.deleteIfExists(Paths.get(dir, d.name)))
+    old.count(_._1 != target) + dOld.length
   }
 }
 
-final class GraftKvTable(dir: String, tableSchema: StructType)
+final class GraftKvTable(dir: String, tableSchema: StructType,
+    mor: Boolean = false)
   extends Table with SupportsWrite with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** `_file` metadata column (the Iceberg/parquet `_metadata.file_name`
-    * analogue): which manifest-listed data file holds the row. Queryable
-    * directly, and REQUIRED by the row-level operation below — requesting
-    * a metadata attribute routes ReplaceData through the projecting write
-    * task, which hands the DataWriter clean data rows. */
+  /** `_file` / `_pos` metadata columns (the Iceberg `_metadata.file_name` /
+    * `_metadata.row_index` analogues): which manifest-listed file holds the
+    * row, and the row's line ordinal within it. Queryable directly;
+    * `_file` is REQUIRED by the copy-on-write operation (requesting a
+    * metadata attribute routes ReplaceData through the projecting write
+    * task, which hands the DataWriter clean data rows), and the pair is
+    * the merge-on-read operation's ROW ID (position deletes). */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "name of the data file holding the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "name of the data file holding the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "line ordinal of the row in its file"
+      })
   override def name(): String = s"graft_kv($dir)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -408,15 +578,25 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+    if (mor) () => new GraftKvDeltaOperation(dir, info)
+    else () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       // the scan built during planning defines the replace groups; the
       // write reads them lazily at commit (planning order: scan first)
       @volatile private var groupScan: GraftKvScan = _
       override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
         info.command
       override def description(): String = s"graft_kv ${info.command} $dir"
-      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+      override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+        // a COPY-ON-WRITE replace swaps whole files; delta files overlay
+        // OTHER files' rows, so replacing one like-for-like would lose or
+        // duplicate overlaid rows — fold them into the base first
+        val mfP = GraftKvSink.manifestPath(dir)
+        if (Files.exists(mfP))
+          require(GraftKvSink.readManifest(mfP).deltas.isEmpty,
+            s"graft_kv: copy-on-write DML on $dir with merge-on-read delta " +
+              "files present — compact first, or set mor=true on the table")
         new GraftKvScanBuilder(dir, None, onBuild = s => groupScan = s)
+      }
       // requesting _file routes ReplaceData through the projecting write
       // task (plain group-based writes would otherwise hand the writer
       // rows still carrying the __row_operation marker column)
@@ -445,9 +625,10 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
       // publish the empty manifest FIRST (the single visibility switch),
       // THEN reclaim the files: a crash in between leaves harmless garbage
       // for vacuum, never a manifest pointing at deleted files
-      val old = GraftKvSink.readManifest(mf).files
+      val m = GraftKvSink.readManifest(mf)
       GraftKvSink.writeManifest(dir, tableSchema, Seq.empty)
-      old.foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
+      (m.files.map(_._1) ++ m.deltas.map(_.name))
+        .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -464,6 +645,152 @@ final class GraftKvTable(dir: String, tableSchema: StructType)
     val maxEpochs = Option(options.get("maxEpochsPerTrigger")).map(_.toLong)
     new GraftKvScanBuilder(dir, asOf, maxEpochs)
   }
+}
+
+/** MERGE-ON-READ row-level operation (`SupportsDelta`): Spark's own rewrite
+  * rules plan `WriteDelta` instead of `ReplaceData`, handing this connector
+  * per-row DELETE / UPDATE / INSERT actions keyed by the (`_file`, `_pos`)
+  * ROW ID — the Iceberg position-delta shape, and the HBase-native write
+  * shape (cells are deltas; compaction merges). A 1-row MERGE writes one
+  * tiny `.kvd` delta file instead of rewriting a whole data file; reads
+  * apply visible deltas (position-deletes mask base rows, insert records
+  * surface as their own partitions), and [[GraftKvSink.compact]] folds
+  * deltas back into base files. Because nothing is rewritten, MOR DML
+  * never fences time travel: an `asOfEpoch` below the delta's epoch reads
+  * the exact pre-DML state. */
+final class GraftKvDeltaOperation(dir: String,
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+  extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    info.command
+  override def description(): String = s"graft_kv mor ${info.command} $dir"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftKvScanBuilder(dir, None)
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array.empty
+  override def newWriteBuilder(winfo: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftKvDeltaBatchWrite(dir, winfo.schema())
+        }
+    }
+}
+
+/** Batch half of the delta write: same per-task temp-file discipline as the
+  * data write; the driver-side commit stamps every surviving action file
+  * with ONE fresh epoch (greater than every published file/delta epoch)
+  * and appends them to the manifest's `deltas` list behind the usual
+  * atomic publish. Base files are never touched. */
+final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    Files.createDirectories(Paths.get(dir))
+    val schemaJson = rowSchema.json
+    val d = dir
+    new org.apache.spark.sql.connector.write.DeltaWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long)
+          : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        new GraftKvDeltaWriter(d, sch,
+          f"delta-part-$partitionId%05d-$taskId.tmp",
+          f"delta-part-$partitionId%05d-$taskId.kvd")
+      }
+    }
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect { case m: GraftKvDeltaCommit => m }
+      .filter { m =>
+        if (m.inserts == 0L && m.deletes == 0L)
+          Files.deleteIfExists(Paths.get(dir, m.tmpName))
+        m.inserts > 0L || m.deletes > 0L
+      }
+    if (committed.nonEmpty) {
+      val mfP = GraftKvSink.manifestPath(dir)
+      require(Files.exists(mfP),
+        s"graft_kv: row-level delta write against $dir with no manifest")
+      val m = GraftKvSink.readManifest(mfP)
+      // the delta's epoch orders it AFTER every state it references
+      val epoch = (m.files.map(f => GraftKvSink.epochOf(f._1)) ++
+        m.deltas.map(d => GraftKvSink.epochOf(d.name))).maxOption.getOrElse(0L) + 1L
+      val published = committed.map { c =>
+        val fin = s"epoch-$epoch-${c.finalName}"
+        Files.move(Paths.get(dir, c.tmpName), Paths.get(dir, fin),
+          StandardCopyOption.REPLACE_EXISTING)
+        GraftKvSink.DeltaFile(fin, c.inserts, c.deletes)
+      }
+      GraftKvSink.writeManifest(dir, m.schema, m.files, m.compactedUpTo,
+        m.stats, m.blooms, m.deltas ++ published)
+    }
+    // sweep stray attempts (task retries / speculation) — AFTER the
+    // committed renames, or the sweep would eat this commit's own files
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("delta-part-") && n.endsWith(".tmp")
+      }.foreach(Files.delete)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: GraftKvDeltaCommit => m }
+      .foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
+}
+
+final case class GraftKvDeltaCommit(tmpName: String, finalName: String,
+    inserts: Long, deletes: Long) extends WriterCommitMessage
+
+/** Per-task delta writer: `D\t<file>\t<pos>` position-deletes and
+  * `I\t<encoded row>` inserts, in action order. UPDATE is a delete of the
+  * old position plus an insert of the new image — positions are immutable,
+  * so there is no in-place form. The row-ID rows arrive in [[rowId]] order
+  * (`_file`, `_pos`). */
+final class GraftKvDeltaWriter(dir: String, schema: StructType,
+    private val tmpName: String, private val finalName: String)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val out = Files.newBufferedWriter(Paths.get(dir, tmpName),
+    StandardCharsets.UTF_8)
+  private var inserts = 0L
+  private var deletes = 0L
+  private val observed = new Array[String](schema.length)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    out.write(s"D\t${id.getUTF8String(0)}\t${id.getLong(1)}\n")
+    deletes += 1L
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    val sb = new StringBuilder("I\t")
+    GraftKvSink.encodeRow(schema, row, sb, observed)
+    out.write(sb.toString)
+    inserts += 1L
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    delete(meta, id)
+    insert(row)
+  }
+
+  override def write(row: InternalRow): Unit = insert(row)
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    GraftKvDeltaCommit(tmpName, finalName, inserts, deletes)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(Paths.get(dir, tmpName))
+  }
+
+  override def close(): Unit = ()
 }
 
 /** Scan builder with FILE-PRUNING pushdown: filters are accepted for
@@ -524,6 +851,16 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
         case _               => true
       }
     }
+    // merge-on-read deltas: COUNT stays answerable from metadata (each
+    // position-delete masks exactly one live row, exactly once — the
+    // row-level scan only ever emits live positions, and a position once
+    // deleted never resurfaces to be deleted again — so count = base −
+    // deletes + inserts); MIN/MAX are NOT (a delete may mask the extremum,
+    // and inserts carry no stats) and decline to the data path.
+    val vDeltas = asOf match {
+      case None    => mf.deltas
+      case Some(v) => mf.deltas.filter(d => GraftKvSink.epochOf(d.name) <= v)
+    }
     def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -533,6 +870,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     def statField(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[StructField] = for {
       c <- nameOf(e)
+      if vDeltas.isEmpty
       field <- mf.schema.fields.find(_.name.equalsIgnoreCase(c))
       if visible.forall { case (n, _) =>
         mf.stats.getOrElse(n, Map.empty).keys.exists(_.equalsIgnoreCase(c)) }
@@ -581,6 +919,12 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
       case _               => true
     }
   }
+  // visible merge-on-read deltas adjust COUNT only (min/max were already
+  // declined at pushdown when any delta is visible)
+  private val deltaAdj = (asOfEpoch match {
+    case None    => manifest.deltas
+    case Some(v) => manifest.deltas.filter(d => GraftKvSink.epochOf(d.name) <= v)
+  }).map(d => d.inserts - d.deletes).sum
   // driver-side evaluation against the (tiny) manifest; values ship to the
   // single partition as plain JVM types, typed by the schema json
   private def merged(kind: String, f: StructField): Any = {
@@ -607,7 +951,7 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
     }
   }
   private val values: Seq[Any] = specs.map {
-    case ("count", _) => visible.map(_._2).sum
+    case ("count", _) => visible.map(_._2).sum + deltaAdj
     case (kind, f)    => merged(kind, f)
   }
   override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
@@ -705,13 +1049,14 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
         m.rows > 0L
       }
     val mf = GraftKvSink.manifestPath(dir)
-    val (prior, priorUpTo, priorStats, priorBlooms) =
+    val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas) =
       if (Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files, m.compactedUpTo, m.stats, m.blooms)
+        (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas)
       } else (Seq.empty[(String, Long)], -1L,
         Map.empty[String, Map[String, (String, String)]],
-        Map.empty[String, Map[String, String]])
+        Map.empty[String, Map[String, String]],
+        Seq.empty[GraftKvSink.DeltaFile])
     if (prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
       // replayed epoch after recovery: already published (listed outright,
       // or folded into the compacted file, whose name keeps the boundary
@@ -748,7 +1093,8 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
         },
         priorBlooms ++ committed.collect {
           case m if m.blooms.nonEmpty => m.finalName -> m.blooms
-        })
+        },
+        priorDeltas)
     }
   }
 
@@ -810,7 +1156,10 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     val nextEpoch =
       if (explicitEpoch.isDefined || replace || !Files.exists(mfPeek)) None
       else {
-        val names = GraftKvSink.readManifest(mfPeek).files.map(_._1)
+        val m0 = GraftKvSink.readManifest(mfPeek)
+        // delta epochs count too: an append stamped at-or-below a delta's
+        // epoch would make asOfEpoch reads non-monotonic
+        val names = m0.files.map(_._1) ++ m0.deltas.map(_.name)
         if (names.exists(_.startsWith("epoch-")))
           Some(names.map(GraftKvSink.epochOf).max + 1L)
         else None
@@ -832,7 +1181,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // row-level GROUP replace: the scanned files leave the manifest, the
     // new files join it; untouched files keep their entries verbatim
     val replaced: Set[String] = replaceFiles.map(_().toSet).getOrElse(Set.empty)
-    val (prior, priorUpTo, priorStats, priorBlooms) =
+    val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas) =
       if (replaceFiles.isDefined && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
         // row-level DML REWRITES history: once any epoch-stamped file is
@@ -852,19 +1201,23 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
           else -1L
         (m.files.filterNot(f => replaced.contains(f._1)),
           math.max(m.compactedUpTo, rewrittenUpTo),
-          m.stats -- replaced, m.blooms -- replaced)
+          m.stats -- replaced, m.blooms -- replaced, m.deltas)
       } else if (!replace && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files, m.compactedUpTo, m.stats, m.blooms)
+        (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas)
       } else {
-        // truncate: drop every previously-published file AND the retention
-        // boundary — the table restarts with full (empty) history
-        if (Files.exists(mf))
-          GraftKvSink.readManifest(mf).files
-            .foreach { case (n, _) => Files.deleteIfExists(Paths.get(dir, n)) }
+        // truncate: drop every previously-published file (data AND delta)
+        // plus the retention boundary — the table restarts with full
+        // (empty) history
+        if (Files.exists(mf)) {
+          val m = GraftKvSink.readManifest(mf)
+          (m.files.map(_._1) ++ m.deltas.map(_.name))
+            .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
+        }
         (Seq.empty[(String, Long)], -1L,
           Map.empty[String, Map[String, (String, String)]],
-          Map.empty[String, Map[String, String]])
+          Map.empty[String, Map[String, String]],
+          Seq.empty[GraftKvSink.DeltaFile])
       }
     GraftKvSink.writeManifest(dir, schema,
       prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo,
@@ -873,7 +1226,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       },
       priorBlooms ++ committed.collect {
         case m if m.blooms.nonEmpty => m.finalName -> m.blooms
-      })
+      },
+      priorDeltas)
     // replaced data files become garbage once the manifest no longer lists
     // them — except a name a new commit re-published (task-id collision
     // across sessions): that file now HOLDS the new rows, keep it
@@ -933,43 +1287,25 @@ final class GraftKvWriter(dir: String, schema: StructType,
     if (statMax(i) == null || lower(statMax(i), s)) statMax(i) = s
   }
 
+  private val observed = new Array[String](schema.length)
   override def write(row: InternalRow): Unit = {
-    require(row.numFields == schema.length,
-      s"graft_kv: writer got a ${row.numFields}-field row for a " +
-        s"${schema.length}-column schema (${schema.fieldNames.mkString(",")})")
     val sb = new StringBuilder
+    GraftKvSink.encodeRow(schema, row, sb, observed)
     var i = 0
     while (i < schema.length) {
-      if (i > 0) sb.append('\t')
-      if (row.isNullAt(i)) sb.append("\\N") // null marker: backslash-N
-      else schema(i).dataType match {
-        case IntegerType =>
-          val v = row.getInt(i)
-          sb.append(v); observe(i, v.toString)
+      val v = observed(i)
+      if (v != null) schema(i).dataType match {
+        case IntegerType | LongType =>
+          observe(i, v)
           if (blooms(i) != null) blooms(i).putLong(v.toLong)
-        case LongType    =>
-          val v = row.getLong(i)
-          sb.append(v); observe(i, v.toString)
-          if (blooms(i) != null) blooms(i).putLong(v)
-        case DoubleType  =>
-          val d = row.getDouble(i)
-          sb.append(d)
-          if (d.isNaN) statBad(i) = true else observe(i, d.toString)
-        case StringType  =>
-          val s = row.getUTF8String(i).toString
-          require(!s.contains('\t') && !s.contains('\n'),
-            s"graft_kv: tab/newline in string value for '${schema(i).name}'")
-          // a literal leading backslash gets doubled so the null marker
-          // can never collide with real data
-          if (s.startsWith("\\")) sb.append('\\')
-          sb.append(s)
-          observe(i, s)
-          if (blooms(i) != null) blooms(i).putString(s)
-        case dt => throw new IllegalStateException(s"unsupported $dt")
+        case DoubleType =>
+          if (v == "NaN") statBad(i) = true else observe(i, v)
+        case _ =>
+          observe(i, v)
+          if (blooms(i) != null) blooms(i).putString(v)
       }
       i += 1
     }
-    sb.append('\n')
     out.write(sb.toString)
     rows += 1
   }
@@ -1030,6 +1366,15 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       case _               => true // batch-written files have no epoch
     }
   }
+  // merge-on-read deltas visible at this epoch: applied to every base file
+  // they reference, and their insert records surface as own partitions. An
+  // asOfEpoch below a delta's epoch reads the exact pre-DML state — MOR
+  // DML never fences time travel.
+  private val visibleDeltas = asOfEpoch match {
+    case None    => manifest.deltas
+    case Some(n) => manifest.deltas.filter(d =>
+      GraftKvSink.epochOf(d.name) <= n)
+  }
   // stats + bloom pruning: drop a file when ANY pushed filter is
   // unsatisfiable within its recorded ranges, or when a point/IN probe
   // misses its bloom; files without stats/blooms always survive. `visible`
@@ -1085,8 +1430,20 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       asOfEpoch.map(n => s" asOfEpoch=$n").getOrElse("")
   /** The pruned file set — the GROUP identity for row-level replaces. */
   def visibleFiles: Seq[String] = visible.map(_._1)
-  override def planInputPartitions(): Array[InputPartition] =
-    visible.map(f => GraftKvFilePartition(dir, f._1): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // tasks resolve their own position-deletes from the (small) delta
+    // files — the partition ships NAMES, not delete sets, so a large
+    // delete never bloats task descriptors (the Iceberg delete-file shape)
+    val deltaNames = visibleDeltas.map(_.name)
+    val base = visible.map(f =>
+      GraftKvFilePartition(dir, f._1, deltaNames): InputPartition)
+    // a delta's insert records are their own partition; later deltas can
+    // position-delete them like any other row
+    val ins = visibleDeltas.filter(_.inserts > 0L).map(d =>
+      GraftKvFilePartition(dir, d.name, deltaNames,
+        deltaInserts = true): InputPartition)
+    (base ++ ins).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftKvReaderFactory(manifest.schema.json, readSchema().json)
   /** POST-PRUNE statistics from the manifest (row counts summed, bytes
@@ -1096,8 +1453,11 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     * what they will actually read. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
-    val rows = visible.map(_._2).sum
-    val bytes = visible.map { case (n, _) =>
+    // deltas adjust the count: each position-delete masks one live row,
+    // each insert record adds one (see the agg-pushdown soundness note)
+    val rows = math.max(0L, visible.map(_._2).sum +
+      visibleDeltas.map(d => d.inserts - d.deletes).sum)
+    val bytes = (visible.map(_._1) ++ visibleDeltas.map(_.name)).map { n =>
       val p = Paths.get(dir, n)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
@@ -1110,7 +1470,8 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
   }
 }
 
-final case class GraftKvFilePartition(dir: String, file: String)
+final case class GraftKvFilePartition(dir: String, file: String,
+    deltas: Seq[String] = Nil, deltaInserts: Boolean = false)
   extends InputPartition
 
 /** Streaming READ half — the loop-closer for the connector: the manifest's
@@ -1160,7 +1521,19 @@ final class GraftKvMicroBatchStream(dir: String,
   }
   private def files: Seq[(String, Long)] = {
     val mf = GraftKvSink.manifestPath(dir)
-    if (Files.exists(mf)) GraftKvSink.readManifest(mf).files else Seq.empty
+    if (!Files.exists(mf)) Seq.empty
+    else {
+      val m = GraftKvSink.readManifest(mf)
+      // merge-on-read deltas cannot be represented in an append-only
+      // micro-batch replay (a position-delete is a retraction): surfacing
+      // only the insert half — or ignoring the delta entirely — would be
+      // SILENTLY wrong, so every streaming probe fails loudly until a
+      // compaction folds the deltas into base files
+      require(m.deltas.isEmpty,
+        s"graft_kv: streaming read of $dir with merge-on-read delta files " +
+          "present — deletes cannot replay as appends; compact first")
+      m.files
+    }
   }
 
   override def initialOffset(): Offset = EpochOffset(-1L)
@@ -1199,7 +1572,16 @@ final class GraftKvMicroBatchStream(dir: String,
   * subset of the file schema, possibly reordered) to materialize — only
   * those values are parsed/converted per row; everything else in the line
   * is skipped after the tab split. A zero-column projection (count(*))
-  * emits empty rows, one per line. */
+  * emits empty rows, one per line. Metadata columns `_file`/`_pos` emit
+  * the partition's own file name and the row's line ordinal.
+  *
+  * MERGE-ON-READ application: when the partition carries delta file names,
+  * the task first scans them for `D\t<thisfile>\t<pos>` position-deletes
+  * (each delta is tiny — one DML statement's actions — and read once per
+  * task, the Iceberg delete-file discipline) and masks those ordinals
+  * while streaming. A `deltaInserts` partition reads a delta file itself,
+  * emitting only its `I\t<row>` records — still under the same ordinal
+  * masking, since a LATER delta may delete an earlier delta's insert. */
 final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -1208,21 +1590,51 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
     val projected = DataType.fromJson(projectedJson).asInstanceOf[StructType]
     val srcIdx = projected.fields.map { f =>
       if (f.name == "_file") -1 // metadata column: the partition's own file
+      else if (f.name == "_pos") -2 // metadata column: line ordinal
       else schema.fieldIndex(f.name) // throws on an unknown projected column
+    }
+    // position-deletes targeting THIS partition's file, from every visible
+    // delta (a delta never references itself — its inserts did not exist
+    // when its statement's scan ran)
+    val deleted: java.util.HashSet[Long] = {
+      val s = new java.util.HashSet[Long]()
+      fp.deltas.filter(_ != fp.file).foreach { d =>
+        val st = Files.lines(Paths.get(fp.dir, d))
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val l = it.next()
+            if (l.startsWith("D\t")) {
+              val p1 = l.indexOf('\t', 2)
+              if (p1 > 0 && l.substring(2, p1) == fp.file)
+                s.add(java.lang.Long.parseLong(l.substring(p1 + 1)))
+            }
+          }
+        } finally st.close()
+      }
+      s
     }
     new PartitionReader[InternalRow] {
       private val lines = Files.lines(Paths.get(fp.dir, fp.file)).iterator()
       private var cur: String = _
+      private var pos = -1L
       override def next(): Boolean = {
-        val h = lines.hasNext
-        if (h) cur = lines.next()
-        h
+        while (lines.hasNext) {
+          cur = lines.next()
+          pos += 1L
+          val live = !deleted.contains(pos) &&
+            (!fp.deltaInserts || cur.startsWith("I\t"))
+          if (live) return true
+        }
+        false
       }
       override def get(): InternalRow = {
-        val parts = cur.split("\t", -1)
+        val payload = if (fp.deltaInserts) cur.substring(2) else cur
+        val parts = payload.split("\t", -1)
         InternalRow.fromSeq(projected.fields.toSeq.zipWithIndex.map {
           case (f, o) =>
-            if (srcIdx(o) < 0) UTF8String.fromString(fp.file)
+            if (srcIdx(o) == -1) UTF8String.fromString(fp.file)
+            else if (srcIdx(o) == -2) pos
             else {
               val v = parts(srcIdx(o))
               if (v == "\\N") null
