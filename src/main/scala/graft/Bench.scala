@@ -319,8 +319,13 @@ object Bench {
     }
     // Full-precision artifact for humans and the judge: both raw passes so
     // the floor is self-describing, plus how much of pass 2 actually ran.
+    // pass2 can sample one query several times (multi-round floor loop);
+    // min-merge per name before serializing — a JSON object with duplicate
+    // keys silently drops members in most consumers
+    val pass2Min = pass2.groupBy(_._1).view.mapValues(_.map(_._2).min)
+      .toSeq.sortBy(_._1)
     Files.writeString(Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","pass1":${jmap(pass1.toSeq)},"pass2":${jmap(pass2.toSeq)},"pass2_ran":$covered,"pass2_samples":${pass2.length},"wall_s":${f3(wallS)}${floorRatioField(results)}}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","pass1":${jmap(pass1.toSeq)},"pass2":${jmap(pass2Min)},"pass2_ran":$covered,"pass2_samples":${pass2.length},"wall_s":${f3(wallS)}${floorRatioField(results)}}""" + "\n")
     // Refreshed compact line — the last complete line on stdout wins.
     println(compactLine(results, 1500, inventory, withRatio = true))
     spark.stop()
