@@ -417,6 +417,79 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** CDC CHANGEFEED over kv epochs, computed from the MANIFEST DIFF: only
+    * files whose visibility changed between the two boundary states are
+    * read (GraftKvSink.changedFiles — CoW-removed originals on the FROM
+    * side, replacements/appends/delta-inserts on the TO side, delta-
+    * referenced bases on both), then one EXCEPT-ALL each way yields the
+    * before-only and after-only rows, classified insert/delete/update by
+    * the primary key. A rewritten file's untouched rows appear on both
+    * sides and cancel, so a CoW rewrite surfaces exactly its real changes.
+    * At 100 TB a 1-file DML diffs one file pair — never two table scans. */
+  def kvChangefeedFrame(s: SparkSession, dir: String, from: Long, to: Long,
+      keys: Seq[String]): DataFrame = {
+    val (fromFiles, toFiles) = graft.sources.GraftKvSink.changedFiles(dir, from, to)
+    def rd(files: Seq[String], e: Long): DataFrame =
+      s.read.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("asOfEpoch", e.toString)
+        .option("onlyFiles", files.mkString(","))
+        .load()
+    val before = rd(fromFiles, from)
+    val after = rd(toFiles, to)
+    val cols = after.columns.toSeq
+    val del = before.exceptAll(after)
+    val ins = after.exceptAll(before)
+    // presence markers + key full-outer join, the same classification
+    // shape as the keyed-table changefeed (an insert+delete sharing a key
+    // is an update; before-image for deletes, after-image otherwise)
+    val b = del.select(lit(true).as("b_present") +:
+      cols.map(c => col(c).as(s"b_$c")): _*)
+    val a = ins.select(lit(true).as("a_present") +:
+      cols.map(c => col(c).as(s"a_$c")): _*)
+    val keyEq = keys.map(k => col(s"b_$k") === col(s"a_$k")).reduce(_ && _)
+    val inB = col("b_present").isNotNull
+    val inA = col("a_present").isNotNull
+    val op = when(inA && !inB, lit("insert"))
+      .when(inB && !inA, lit("delete"))
+      .otherwise(lit("update"))
+    b.join(a, keyEq, "full_outer")
+      .select(op.as("op") +: cols.map(c =>
+        when(inA, col(s"a_$c")).otherwise(col(s"b_$c")).as(c)): _*)
+  }
+
+  /** A11 × A6-native judged: the kv-epoch changefeed end to end — two
+    * epoch-stamped batch writes, a copy-on-write DELETE + UPDATE (whose
+    * superseded files become retained history), a plain append, then
+    * [[kvChangefeedFrame]] from the pre-DML epoch to the head. The oracle
+    * replays the statement sequence and recomputes the diff relationally,
+    * hash-gating the manifest-diff + except-all path end to end. */
+  def kvChangefeed(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_cdc"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_cdc")
+    s.sql("CREATE TABLE graft.kvq.orders_cdc (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_cdc_v")
+    s.sql("INSERT OVERWRITE graft.kvq.orders_cdc " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_cdc_v " +
+      "WHERE o_orderkey % 3 = 0")
+    // the overwrite is epoch-less; stamp the second batch so the table
+    // carries epoch history (the DML then retains superseded files)
+    s.table("orders_cdc_v")
+      .filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.format("graft.sources.GraftKvSink").option("path", tmp)
+      .option("epoch", "2").mode(SaveMode.Append).save()
+    s.sql("DELETE FROM graft.kvq.orders_cdc WHERE o_orderkey % 5 = 0")
+    s.sql("UPDATE graft.kvq.orders_cdc SET o_totalprice = o_totalprice + 2.0 " +
+      "WHERE o_orderstatus = 'F'")
+    s.sql("INSERT INTO graft.kvq.orders_cdc " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_cdc_v " +
+      "WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0")
+    kvChangefeedFrame(s, tmp, 2L, 5L, Seq("o_orderkey"))
+      .orderBy(col("op"), col("o_orderkey"))
+  }
+
   /** A7-DSv2/A8 (catalog route): the kv WRITE connector driven end to end
     * through PURE multipart SQL — CREATE TABLE … USING graft_kv under the
     * `graft` TableCatalog plugin, INSERT OVERWRITE … SELECT (truncate +
@@ -861,6 +934,7 @@ object KeyRange {
     "kv_agg_pushdown" -> (kvAggPushdown _),
     "kv_rowlevel_dml" -> (kvRowlevelDml _),
     "kv_mor_dml" -> (kvMorDml _),
+    "kv_changefeed" -> (kvChangefeed _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -895,6 +969,32 @@ object KeyRange {
         | CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM t3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the epoch diff recomputed relationally: full key join of the two
+    // replayed boundary states, changed rows only, before-image for
+    // deletes and after-image otherwise
+    "kv_changefeed" ->
+      """WITH t0 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |            FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        |v3 AS (SELECT * FROM t0 WHERE NOT (o_orderkey % 5 = 0)),
+        |v4 AS (SELECT o_orderkey, o_orderstatus,
+        |         CASE WHEN o_orderstatus = 'F' THEN o_totalprice + 2.0
+        |              ELSE o_totalprice END AS o_totalprice FROM v3),
+        |v5 AS (SELECT * FROM v4 UNION ALL
+        |       SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |       WHERE o_orderkey % 3 = 2 AND o_orderkey % 7 = 0)
+        |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |            WHEN a.o_orderkey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS op,
+        |  coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |  CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_orderstatus
+        |       ELSE b.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN a.o_orderkey IS NOT NULL THEN a.o_totalprice
+        |       ELSE b.o_totalprice END AS o_totalprice
+        |FROM t0 b FULL JOIN v5 a ON b.o_orderkey = a.o_orderkey
+        |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+        |   OR NOT (a.o_orderstatus = b.o_orderstatus
+        |           AND a.o_totalprice = b.o_totalprice)
+        |ORDER BY op, o_orderkey""".stripMargin,
     // the merge-on-read twin: identical relational replay — both write
     // shapes (file rewrite vs delta overlay) must produce identical state
     "kv_mor_dml" ->

@@ -88,11 +88,23 @@ object GraftKvSink {
     * delta's applies it, below it sees the pre-DML state (merge-on-read
     * DML never fences time travel — that is its point). */
   final case class DeltaFile(name: String, inserts: Long, deletes: Long)
+  /** A data file superseded by copy-on-write DML at epoch `removedAt`:
+    * kept on disk and listed here (not in `files`) so any boundary state
+    * in [its own epoch, removedAt) still reconstructs exactly — the
+    * Delta/Iceberg old-version retention shape. `vacuum` reclaims these
+    * and raises the fence. */
+  final case class RemovedFile(name: String, rows: Long, removedAt: Long)
   final case class Manifest(schema: StructType, files: Seq[(String, Long)],
       compactedUpTo: Long = -1L,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       blooms: Map[String, Map[String, String]] = Map.empty,
-      deltas: Seq[DeltaFile] = Nil)
+      deltas: Seq[DeltaFile] = Nil,
+      removed: Seq[RemovedFile] = Nil,
+      // the newest copy-on-write replacement epoch: streams (whose replay
+      // has no retraction) fence here; batch time travel does NOT — it
+      // reconstructs from `removed` until vacuum folds this into
+      // compactedUpTo
+      rewrittenUpTo: Long = -1L)
 
   /** Per-file bloom parameters: identical across every writer so
     * compaction can merge filters bit-for-bit; files beyond the row cap
@@ -121,11 +133,14 @@ object GraftKvSink {
       files: Seq[(String, Long)], compactedUpTo: Long = -1L,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       blooms: Map[String, Map[String, String]] = Map.empty,
-      deltas: Seq[DeltaFile] = Nil): Unit = {
+      deltas: Seq[DeltaFile] = Nil,
+      removed: Seq[RemovedFile] = Nil,
+      rewrittenUpTo: Long = -1L): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
     if (compactedUpTo >= 0L) root.put("compactedUpTo", compactedUpTo)
+    if (rewrittenUpTo >= 0L) root.put("rewrittenUpTo", rewrittenUpTo)
     val arr = root.putArray("files")
     files.foreach { case (n, c) =>
       val o = arr.addObject(); o.put("name", n); o.put("rows", c)
@@ -146,6 +161,13 @@ object GraftKvSink {
         val o = darr.addObject()
         o.put("name", d.name); o.put("inserts", d.inserts)
         o.put("deletes", d.deletes)
+      }
+    }
+    if (removed.nonEmpty) {
+      val rarr = root.putArray("removed")
+      removed.foreach { r =>
+        val o = rarr.addObject()
+        o.put("name", r.name); o.put("rows", r.rows); o.put("at", r.removedAt)
       }
     }
     // publish atomically (write-temp-then-rename): a live streaming read
@@ -186,7 +208,11 @@ object GraftKvSink {
     val deltas = Option(root.get("deltas")).toSeq.flatMap(_.elements().asScala)
       .map(d => DeltaFile(d.get("name").asText(), d.get("inserts").asLong(),
         d.get("deletes").asLong()))
-    Manifest(schema, files, upTo, stats, blooms, deltas)
+    val removed = Option(root.get("removed")).toSeq.flatMap(_.elements().asScala)
+      .map(r => RemovedFile(r.get("name").asText(), r.get("rows").asLong(),
+        r.get("at").asLong()))
+    val rw = Option(root.get("rewrittenUpTo")).map(_.asLong()).getOrElse(-1L)
+    Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -353,15 +379,31 @@ object GraftKvSink {
     // no writer can be live.
     val cutoff = System.currentTimeMillis() - graceMs
     val listedDeltas = m0.deltas.map(_.name).toSet
+    val listedRemoved = m0.removed.map(_.name).toSet
     val stray = Files.list(Paths.get(dir)).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        ((n.endsWith(".kv") && !listed.contains(n)) ||
+        ((n.endsWith(".kv") && !listed.contains(n) && !listedRemoved.contains(n)) ||
           (n.endsWith(".kvd") && !listedDeltas.contains(n))) &&
           Files.getLastModifiedTime(p).toMillis <= cutoff
       }.toSeq
     stray.foreach(Files.deleteIfExists(_))
-    stray.length
+    // RETAINED CoW HISTORY: vacuum is the retention boundary — reclaim the
+    // superseded files and raise the time-travel fence to the rewrite
+    // epoch, after which pre-DML asOfEpoch reads error like any vacuumed
+    // range (the Delta/Iceberg VACUUM contract). All-or-nothing under the
+    // same grace window so a half-reclaimed window can never half-answer.
+    val reclaimHistory = m0.removed.nonEmpty && m0.removed.forall { r =>
+      val p = Paths.get(dir, r.name)
+      !Files.exists(p) || Files.getLastModifiedTime(p).toMillis <= cutoff
+    }
+    if (reclaimHistory) {
+      writeManifest(dir, m0.schema, m0.files,
+        math.max(m0.compactedUpTo, m0.rewrittenUpTo),
+        m0.stats, m0.blooms, m0.deltas, Nil, m0.rewrittenUpTo)
+      m0.removed.foreach(r => Files.deleteIfExists(Paths.get(dir, r.name)))
+    }
+    stray.length + (if (reclaimHistory) m0.removed.length else 0)
   }
 
   /** Read-only introspection (tests and judged-query assertions): the
@@ -369,6 +411,61 @@ object GraftKvSink {
   def listedFiles(dir: String): (Seq[String], Seq[String]) = {
     val m = readManifest(manifestPath(dir))
     (m.files.map(_._1), m.deltas.map(_.name))
+  }
+
+  /** CHANGEFEED planning: the FILE-LEVEL diff between the states at
+    * `from` and `to` — (files to read at the from-state, files to read at
+    * the to-state). A file visible at both boundaries with no delta
+    * overlay change contributes NOTHING and is never opened: a 1-file DML
+    * on a 10k-file table diffs one file pair, not two table scans — the
+    * property that makes a changefeed usable at 100 TB. Sides include:
+    * CoW-removed files (from), their replacements and plain appends (to),
+    * and for merge-on-read windows the delta files' insert records (to)
+    * plus every base file a window delta references (BOTH sides — its
+    * row set changed under the overlay). Row-level semantics are then one
+    * EXCEPT-ALL each way over only these files. */
+  def changedFiles(dir: String, from: Long, to: Long): (Seq[String], Seq[String]) = {
+    require(to >= from, s"graft_kv: changefeed range [$from, $to] is inverted")
+    val m = readManifest(manifestPath(dir))
+    require(m.compactedUpTo < 0L || from >= m.compactedUpTo,
+      s"graft_kv: changefeed from=$from predates compacted history " +
+        s"(epochs <= ${m.compactedUpTo} were vacuumed)")
+    def visibleAt(e: Long): Set[String] =
+      (m.files.collect { case (n, _) if epochOf(n) <= e => n } ++
+        m.removed.collect {
+          case r if epochOf(r.name) <= e && e < r.removedAt => r.name
+        }).toSet
+    val fromF = visibleAt(from)
+    val toF = visibleAt(to)
+    val windowDeltas = m.deltas.filter(d =>
+      epochOf(d.name) > from && epochOf(d.name) <= to)
+    // base files a window delta position-deletes from: their live row set
+    // changed, so both sides read them (driver-side scan of tiny deltas)
+    val refs: Set[String] = windowDeltas.flatMap { d =>
+      val st = Files.lines(Paths.get(dir, d.name))
+      try {
+        val out = scala.collection.mutable.Set.empty[String]
+        val it = st.iterator()
+        while (it.hasNext) {
+          val l = it.next()
+          if (l.startsWith("D\t")) {
+            val p1 = l.indexOf('\t', 2)
+            if (p1 > 0) out += l.substring(2, p1)
+          }
+        }
+        out
+      } finally st.close()
+    }.toSet
+    // a referenced "file" may itself be an earlier delta's insert file —
+    // readable at a boundary iff that delta is visible there
+    def readableAt(e: Long): Set[String] =
+      visibleAt(e) ++ m.deltas.collect {
+        case d if epochOf(d.name) <= e => d.name
+      }
+    val onlyFrom = (fromF -- toF) ++ (refs & readableAt(from))
+    val onlyTo = (toF -- fromF) ++ (refs & readableAt(to)) ++
+      windowDeltas.filter(_.inserts > 0L).map(_.name)
+    (onlyFrom.toSeq.sorted, onlyTo.toSeq.sorted)
   }
 
   def compact(dir: String, upToRequested: Long): Int = {
@@ -412,12 +509,23 @@ object GraftKvSink {
         } finally st.close()
       }
     }
-    if (old.size <= 1 && dOld.isEmpty) {
+    // retained CoW history whose whole visibility window [epoch, removedAt)
+    // sits inside the compacted range serves no reconstructable state —
+    // reclaim it; a window straddling the boundary stays
+    val (rOld, rKeep) = mf.removed.partition(_.removedAt <= upTo)
+    if (old.size <= 1 && dOld.isEmpty && rOld.isEmpty) {
       // nothing to merge; still record the retention boundary
       if (newUpTo != mf.compactedUpTo)
         writeManifest(dir, mf.schema, mf.files, newUpTo, mf.stats, mf.blooms,
-          mf.deltas)
+          mf.deltas, mf.removed, mf.rewrittenUpTo)
       return 0
+    }
+    if (old.isEmpty && dOld.isEmpty) {
+      // only expired retained history to reclaim: no data merge needed
+      writeManifest(dir, mf.schema, mf.files, newUpTo, mf.stats, mf.blooms,
+        mf.deltas, rKeep, mf.rewrittenUpTo)
+      rOld.foreach(r => Files.deleteIfExists(Paths.get(dir, r.name)))
+      return rOld.length
     }
     val target = f"epoch-$upTo-compacted.kv"
     val tmp = Paths.get(dir, target + ".tmp")
@@ -518,12 +626,13 @@ object GraftKvSink {
         (if (targetStats.nonEmpty) Map(target -> targetStats) else Map.empty),
       mf.blooms -- old.map(_._1) ++
         (if (targetBlooms.nonEmpty) Map(target -> targetBlooms) else Map.empty),
-      dKeep)
+      dKeep, rKeep, mf.rewrittenUpTo)
     old.foreach { case (n, _) =>
       if (n != target) Files.deleteIfExists(Paths.get(dir, n))
     }
     dOld.foreach(d => Files.deleteIfExists(Paths.get(dir, d.name)))
-    old.count(_._1 != target) + dOld.length
+    rOld.foreach(r => Files.deleteIfExists(Paths.get(dir, r.name)))
+    old.count(_._1 != target) + dOld.length + rOld.length
   }
 }
 
@@ -641,9 +750,14 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // read analogue; version_compact models the latest-cell-wins side).
     // `.option("maxEpochsPerTrigger", n)` rate-limits a streaming read to
     // n epochs per micro-batch (the Kafka maxOffsetsPerTrigger analogue).
+    // `.option("onlyFiles", "a.kv,b.kvd")` restricts the scan to the named
+    // files/delta-insert records (still under the boundary's full delta
+    // masking) — the changefeed's file-targeted read
     val asOf = Option(options.get("asOfEpoch")).map(_.toLong)
     val maxEpochs = Option(options.get("maxEpochsPerTrigger")).map(_.toLong)
-    new GraftKvScanBuilder(dir, asOf, maxEpochs)
+    val onlyFiles = Option(options.get("onlyFiles"))
+      .map(_.split(",").map(_.trim).toSet)
+    new GraftKvScanBuilder(dir, asOf, maxEpochs, onlyFiles = onlyFiles)
   }
 }
 
@@ -728,7 +842,7 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType)
         GraftKvSink.DeltaFile(fin, c.inserts, c.deletes)
       }
       GraftKvSink.writeManifest(dir, m.schema, m.files, m.compactedUpTo,
-        m.stats, m.blooms, m.deltas ++ published)
+        m.stats, m.blooms, m.deltas ++ published, m.removed, m.rewrittenUpTo)
     }
     // sweep stray attempts (task retries / speculation) — AFTER the
     // committed renames, or the sweep would eat this commit's own files
@@ -800,7 +914,8 @@ final class GraftKvDeltaWriter(dir: String, schema: StructType,
   * correctness surface, exactly parquet row-group skipping's contract. */
 final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     maxEpochs: Option[Long] = None,
-    onBuild: GraftKvScan => Unit = _ => ())
+    onBuild: GraftKvScan => Unit = _ => (),
+    onlyFiles: Option[Set[String]] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -838,7 +953,8 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (fs.nonEmpty || a.groupByExpressions.nonEmpty) return false
+    if (fs.nonEmpty || a.groupByExpressions.nonEmpty ||
+      onlyFiles.isDefined) return false
     if (a.aggregateExpressions.isEmpty) return false
     val mfP = GraftKvSink.manifestPath(dir)
     if (!Files.exists(mfP)) return false
@@ -849,7 +965,9 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
       case Some(v) => mf.files.filter {
         case (EpochRe(e), _) => e.toLong <= v
         case _               => true
-      }
+      } ++ mf.removed.filter(r =>
+        GraftKvSink.epochOf(r.name) <= v && v < r.removedAt)
+        .map(r => (r.name, r.rows))
     }
     // merge-on-read deltas: COUNT stays answerable from metadata (each
     // position-delete masks exactly one live row, exactly once — the
@@ -891,7 +1009,8 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     if (pushedAggs.nonEmpty)
       new GraftKvAggScan(dir, asOf, pushedAggs, aggManifest)
     else {
-      val s = new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs)
+      val s = new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs,
+        onlyFiles)
       onBuild(s)
       s
     }
@@ -917,7 +1036,9 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
     case Some(v) => manifest.files.filter {
       case (EpochRe(e), _) => e.toLong <= v
       case _               => true
-    }
+    } ++ manifest.removed.filter(r =>
+      GraftKvSink.epochOf(r.name) <= v && v < r.removedAt)
+      .map(r => (r.name, r.rows))
   }
   // visible merge-on-read deltas adjust COUNT only (min/max were already
   // declined at pushdown when any delta is visible)
@@ -1049,32 +1170,37 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
         m.rows > 0L
       }
     val mf = GraftKvSink.manifestPath(dir)
-    val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas) =
+    val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas,
+        priorRemoved, priorRw) =
       if (Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas)
+        (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas,
+          m.removed, m.rewrittenUpTo)
       } else (Seq.empty[(String, Long)], -1L,
         Map.empty[String, Map[String, (String, String)]],
         Map.empty[String, Map[String, String]],
-        Seq.empty[GraftKvSink.DeltaFile])
+        Seq.empty[GraftKvSink.DeltaFile],
+        Seq.empty[GraftKvSink.RemovedFile], -1L)
     if (prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
       // replayed epoch after recovery: already published (listed outright,
       // or folded into the compacted file, whose name keeps the boundary
       // epoch's prefix) — drop duplicates
       committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
-    } else if (epochId <= priorUpTo) {
-      // an epoch inside vacuumed history whose files are NOT listed is a
-      // FRESH-checkpoint stream writing to a compacted table, not a replay
-      // (recovery only re-runs epochs the checkpoint already committed,
-      // and the boundary epoch matches the compacted file's prefix above).
-      // Silently deleting these files would be data loss — fail loudly,
-      // mirroring the MicroBatchStream read fence.
+    } else if (epochId <= math.max(priorUpTo, priorRw)) {
+      // an epoch inside vacuumed/rewritten history whose files are NOT
+      // listed is a FRESH-checkpoint stream writing to a compacted or
+      // DML-rewritten table, not a replay (recovery only re-runs epochs
+      // the checkpoint already committed, and the boundary epoch matches
+      // the compacted file's prefix above). Silently deleting these files
+      // would be data loss — fail loudly, mirroring the read fence; a
+      // write below the rewrite epoch would additionally break asOfEpoch
+      // monotonicity (a "pre-DML" state gaining post-DML rows).
       committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
       throw new IllegalStateException(
-        s"graft_kv: cannot commit epoch $epochId into compacted history " +
-          s"(epochs <= $priorUpTo were merged) — a stream with a fresh " +
-          "checkpoint must not write epochs a compaction already fenced; " +
-          "resume the original checkpoint or write to a new directory")
+        s"graft_kv: cannot commit epoch $epochId at or below the " +
+          s"compaction/rewrite boundary ${math.max(priorUpTo, priorRw)} — " +
+          "a stream with a fresh checkpoint must not write epochs already " +
+          "fenced; resume the original checkpoint or write to a new directory")
     } else {
       committed.foreach { m =>
         Files.move(Paths.get(dir, m.tmpName), Paths.get(dir, m.finalName),
@@ -1094,7 +1220,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
         priorBlooms ++ committed.collect {
           case m if m.blooms.nonEmpty => m.finalName -> m.blooms
         },
-        priorDeltas)
+        priorDeltas, priorRemoved, priorRw)
     }
   }
 
@@ -1129,6 +1255,9 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         require(e > m.compactedUpTo,
           s"graft_kv: epoch $e is inside compacted history " +
             s"(epochs <= ${m.compactedUpTo} were merged)")
+        require(e > m.rewrittenUpTo,
+          s"graft_kv: epoch $e is at or below the row-level rewrite " +
+            s"boundary ${m.rewrittenUpTo} — a pre-DML state must not gain rows")
       }
     }
     new GraftKvWriterFactory(dir, schema.json,
@@ -1181,43 +1310,46 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // row-level GROUP replace: the scanned files leave the manifest, the
     // new files join it; untouched files keep their entries verbatim
     val replaced: Set[String] = replaceFiles.map(_().toSet).getOrElse(Set.empty)
-    val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas) =
+    // on an EPOCH-STAMPED table, a row-level replace keeps the superseded
+    // files as RETAINED HISTORY (see Manifest.RemovedFile) — boundary
+    // states before the rewrite reconstruct exactly until vacuum; an
+    // epoch-less batch table has no boundaries to reconstruct, so its
+    // replaced files are reclaimed immediately as before
+    val keepHistory = replaced.exists(_.startsWith("epoch-")) &&
+      nextEpoch.isDefined
+    val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas,
+        priorRemoved, priorRw) =
       if (replaceFiles.isDefined && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        // row-level DML REWRITES history: once any epoch-stamped file is
-        // replaced, every state up to (and including) the PRE-DML newest
-        // epoch is unreconstructable — the replacement rows live at the
-        // new epoch, so an asOfEpoch at any older boundary would silently
-        // miss them. Fence at the replacement epoch (nextEpoch): asOfEpoch
-        // >= it sees untouched files (lower epochs) + the replacements =
-        // exactly the post-DML state, the same boundary contract as
-        // compaction. Epoch-less batch files do not advance the fence:
-        // they read as "epoch 0" by streaming convention only, and a
-        // boundary would spuriously trip the streaming write's
-        // fresh-checkpoint guard on a batch-only table.
-        val rewrittenUpTo =
-          if (replaced.exists(_.startsWith("epoch-")))
-            nextEpoch.getOrElse(-1L)
-          else -1L
+        val newRemoved =
+          if (keepHistory)
+            m.removed ++ m.files.filter(f => replaced.contains(f._1))
+              .map(f => GraftKvSink.RemovedFile(f._1, f._2, nextEpoch.get))
+          else m.removed
         (m.files.filterNot(f => replaced.contains(f._1)),
-          math.max(m.compactedUpTo, rewrittenUpTo),
-          m.stats -- replaced, m.blooms -- replaced, m.deltas)
+          m.compactedUpTo,
+          m.stats -- replaced, m.blooms -- replaced, m.deltas,
+          newRemoved,
+          if (keepHistory) math.max(m.rewrittenUpTo, nextEpoch.get)
+          else m.rewrittenUpTo)
       } else if (!replace && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
-        (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas)
+        (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas,
+          m.removed, m.rewrittenUpTo)
       } else {
-        // truncate: drop every previously-published file (data AND delta)
-        // plus the retention boundary — the table restarts with full
-        // (empty) history
+        // truncate: drop every previously-published file (data, delta AND
+        // retained history) plus the retention boundary — the table
+        // restarts with full (empty) history
         if (Files.exists(mf)) {
           val m = GraftKvSink.readManifest(mf)
-          (m.files.map(_._1) ++ m.deltas.map(_.name))
+          (m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name))
             .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
         }
         (Seq.empty[(String, Long)], -1L,
           Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, Map[String, String]],
-          Seq.empty[GraftKvSink.DeltaFile])
+          Seq.empty[GraftKvSink.DeltaFile],
+          Seq.empty[GraftKvSink.RemovedFile], -1L)
       }
     GraftKvSink.writeManifest(dir, schema,
       prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo,
@@ -1227,13 +1359,16 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       priorBlooms ++ committed.collect {
         case m if m.blooms.nonEmpty => m.finalName -> m.blooms
       },
-      priorDeltas)
-    // replaced data files become garbage once the manifest no longer lists
-    // them — except a name a new commit re-published (task-id collision
-    // across sessions): that file now HOLDS the new rows, keep it
-    val committedNames = committed.map(_.finalName).toSet
-    (replaced -- committedNames).foreach(n =>
-      Files.deleteIfExists(Paths.get(dir, n)))
+      priorDeltas, priorRemoved, priorRw)
+    // without retained history, replaced data files become garbage once
+    // the manifest no longer lists them — except a name a new commit
+    // re-published (task-id collision across sessions): that file now
+    // HOLDS the new rows, keep it
+    if (!keepHistory) {
+      val committedNames = committed.map(_.finalName).toSet
+      (replaced -- committedNames).foreach(n =>
+        Files.deleteIfExists(Paths.get(dir, n)))
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1344,7 +1479,8 @@ final class GraftKvWriter(dir: String, schema: StructType,
 final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     projection: Option[StructType] = None,
-    maxEpochs: Option[Long] = None)
+    maxEpochs: Option[Long] = None,
+    onlyFiles: Option[Set[String]] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1364,7 +1500,14 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     case Some(n) => manifest.files.filter {
       case (EpochRe(e), _) => e.toLong <= n
       case _               => true // batch-written files have no epoch
-    }
+    } ++
+      // RETAINED HISTORY: files superseded by copy-on-write DML stay on
+      // disk until vacuum; one is visible at n iff it existed then (its
+      // epoch <= n) and had not yet been replaced (n < removedAt) — so
+      // every pre-DML boundary state reconstructs exactly
+      manifest.removed.filter(r =>
+        GraftKvSink.epochOf(r.name) <= n && n < r.removedAt)
+        .map(r => (r.name, r.rows))
   }
   // merge-on-read deltas visible at this epoch: applied to every base file
   // they reference, and their insert records surface as own partitions. An
@@ -1435,12 +1578,16 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     // files — the partition ships NAMES, not delete sets, so a large
     // delete never bloats task descriptors (the Iceberg delete-file shape)
     val deltaNames = visibleDeltas.map(_.name)
-    val base = visible.map(f =>
+    // onlyFiles (changefeed): restrict which files get partitions — the
+    // MASKING set stays the boundary's full visible delta list, so the
+    // targeted files still read under the exact boundary-state overlay
+    def wanted(n: String): Boolean = onlyFiles.forall(_.contains(n))
+    val base = visible.filter(f => wanted(f._1)).map(f =>
       GraftKvFilePartition(dir, f._1, deltaNames): InputPartition)
     // a delta's insert records are their own partition; later deltas can
     // position-delete them like any other row
-    val ins = visibleDeltas.filter(_.inserts > 0L).map(d =>
-      GraftKvFilePartition(dir, d.name, deltaNames,
+    val ins = visibleDeltas.filter(d => d.inserts > 0L && wanted(d.name))
+      .map(d => GraftKvFilePartition(dir, d.name, deltaNames,
         deltaInserts = true): InputPartition)
     (base ++ ins).toArray
   }
@@ -1545,13 +1692,21 @@ final class GraftKvMicroBatchStream(dir: String,
     val e = end.asInstanceOf[EpochOffset].epoch
     // a checkpoint that ends strictly inside a compacted range can only
     // replay duplicates (the fine-grained epochs are gone) — refuse; a
-    // fresh start (-1) reads the compacted file as one complete batch
+    // fresh start (-1) reads the compacted file as one complete batch.
+    // The same holds below a copy-on-write rewrite: the replacement files
+    // carry surviving rows the checkpointed stream already consumed, and
+    // an append-only replay has no retraction to fix that up.
     val mfP = GraftKvSink.manifestPath(dir)
     if (Files.exists(mfP)) {
-      val upTo = GraftKvSink.readManifest(mfP).compactedUpTo
+      val m = GraftKvSink.readManifest(mfP)
+      val upTo = m.compactedUpTo
       require(s < 0L || upTo < 0L || s >= upTo,
         s"graft_kv: stream checkpoint offset $s predates compacted history " +
           s"(epochs <= $upTo were merged) — restart with a fresh checkpoint")
+      require(s < 0L || m.rewrittenUpTo < 0L || s >= m.rewrittenUpTo,
+        s"graft_kv: stream checkpoint offset $s predates a row-level " +
+          s"rewrite at epoch ${m.rewrittenUpTo} — replaying across it " +
+          "would duplicate surviving rows; restart with a fresh checkpoint")
     }
     files.collect {
       case (name, _) if epochOf(name) > s && epochOf(name) <= e =>

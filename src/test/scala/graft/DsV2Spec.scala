@@ -342,6 +342,60 @@ class DsV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.m")
   }
 
+  test("kv changefeed reads only changed files, across CoW history and MOR deltas") {
+    import spark.implicits._
+    // copy-on-write side: four bloom-isolated files, a DELETE touching one
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_cf").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.cf")
+    spark.sql(s"CREATE TABLE graft.rlspec.cf (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    try {
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s")
+        .repartition(4, col("id"))
+        .write.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("epoch", "1").mode("append").save()
+      val nFiles = graft.sources.GraftKvSink.listedFiles(dir)._1.length
+      assert(nFiles >= 2, s"fixture needs multiple files, got $nFiles")
+      spark.sql("DELETE FROM graft.rlspec.cf WHERE id = 2")
+      // the manifest diff names ONE superseded file on the from side —
+      // untouched files are never opened by the changefeed
+      val (fromFiles, toFiles) = graft.sources.GraftKvSink.changedFiles(dir, 1L, 2L)
+      assert(fromFiles.length == 1, (fromFiles, toFiles).toString)
+      val feed = graft.ops.KeyRange.kvChangefeedFrame(spark, dir, 1L, 2L, Seq("id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(feed == Seq(("delete", 2L)), feed.toString)
+      // merge-on-read side: a delta window diffs the referenced base file
+      // and the delta's inserts — nothing else
+      val mdir = java.nio.file.Files.createTempDirectory("graft_kv_cfm").toString
+      spark.sql("DROP TABLE IF EXISTS graft.rlspec.cfm")
+      spark.sql(s"CREATE TABLE graft.rlspec.cfm (id BIGINT, s STRING) " +
+        s"USING graft_kv OPTIONS (path '$mdir', mor 'true')")
+      try {
+        Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "s")
+          .repartition(4, col("id"))
+          .write.format("graft.sources.GraftKvSink").option("path", mdir)
+          .option("epoch", "1").mode("append").save()
+        spark.sql(
+          """MERGE INTO graft.rlspec.cfm t USING (
+            |  SELECT 2L AS id, 'B!' AS s UNION ALL SELECT 9L, 'nine') s
+            |ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET s = s.s
+            |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (s.id, s.s)"""
+            .stripMargin)
+        val (mFrom, mTo) = graft.sources.GraftKvSink.changedFiles(mdir, 1L, 2L)
+        // from side: only the base file(s) the delta position-deletes from
+        assert(mFrom.nonEmpty && mFrom.forall(_.endsWith(".kv")) &&
+          mFrom.length < 4, (mFrom, mTo).toString)
+        assert(mTo.exists(_.endsWith(".kvd")), (mFrom, mTo).toString)
+        val mfeed = graft.ops.KeyRange.kvChangefeedFrame(spark, mdir, 1L, 2L, Seq("id"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+          .sortBy(_._2).toSeq
+        assert(mfeed == Seq(("update", 2L, "B!"), ("insert", 9L, "nine")).sortBy(_._2),
+          mfeed.toString)
+      } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.cfm")
+    } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.cf")
+  }
+
   test("kv MERGE rewrites only runtime-matched files (group filtering on _file)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_rgf").toString

@@ -368,7 +368,7 @@ class StreamingSpec extends SparkSpec {
       .load().select("id").collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
-  test("row-level DML on epoch history fences time travel at the rewritten epoch") {
+  test("row-level DML on epoch history: pre-DML time travel reconstructs until vacuum") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_kv_dmlfence")
     val dir = root.resolve("t").toString
@@ -385,11 +385,30 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DELETE FROM graft.fence.t WHERE id = 10")
     assert(spark.table("graft.fence.t").select("id").collect()
       .map(_.getLong(0)).toSet == Set(0L, 20L))
-    // epoch 1's file was rewritten: every PRE-DML state — including the
-    // then-newest epoch 2, whose reconstruction would silently miss the
-    // rewrite — errors like compaction's vacuumed range; the fence sits at
-    // the replacement epoch (3), where visibility equals the post-DML
-    // state exactly
+    def asOf(v: String): Set[Long] =
+      spark.read.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("asOfEpoch", v).load()
+        .select("id").collect().map(_.getLong(0)).toSet
+    // the superseded file is RETAINED HISTORY: every pre-DML boundary
+    // state reconstructs exactly (the Delta/Iceberg old-version contract)
+    assert(asOf("0") == Set(0L))
+    assert(asOf("1") == Set(0L, 10L))
+    assert(asOf("2") == Set(0L, 10L, 20L))
+    // at and after the replacement epoch (3): the post-DML state
+    assert(asOf("3") == Set(0L, 20L))
+    // a stream checkpointed before the rewrite refuses (its replay would
+    // re-deliver surviving rows with no retraction); a COUNT at a pre-DML
+    // epoch is still manifest-answered from the retained row counts
+    val cnt = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("asOfEpoch", "2").load()
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("manifest row counts"), cnt.queryExecution.executedPlan.toString)
+    assert(cnt.head().getLong(0) == 3L)
+    // VACUUM is the retention boundary: it reclaims the superseded file
+    // and raises the fence, after which pre-DML reads error loudly
+    assert(graft.sources.GraftKvSink.vacuum(dir, graceMs = 0L) == 1)
     Seq("0", "2").foreach { v =>
       val e = intercept[Exception] {
         spark.read.format("graft.sources.GraftKvSink")
@@ -397,8 +416,7 @@ class StreamingSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("vacuumed"), s"asOf=$v: ${e.getMessage}")
     }
-    assert(spark.read.format("graft.sources.GraftKvSink")
-      .option("path", dir).option("asOfEpoch", "3").load().count() == 2L)
+    assert(asOf("3") == Set(0L, 20L))
     spark.sql("DROP TABLE graft.fence.t")
   }
 
@@ -526,7 +544,8 @@ class StreamingSpec extends SparkSpec {
       sw.commit(2L, Array(graft.sources.GraftKvCommit(
         tmpName, "epoch-2-part-00000-1.kv", 1L)))
     }
-    assert(fence.getMessage.contains("compacted history"), fence.getMessage)
+    assert(fence.getMessage.contains("compaction/rewrite boundary"),
+      fence.getMessage)
     // the attempt files are cleaned up and nothing was published
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, tmpName)))
     assert(readAll() == before + 9L)
