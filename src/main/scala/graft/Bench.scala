@@ -105,6 +105,30 @@ object Bench {
           System.err.println(s"[bench] warmup $w failed: ${oneLine(e)}")
       }
     }
+    // Third warmup: the ITERATIVE-PERSIST shape (graph_pagerank,
+    // dedup_components_*). Their first touch pays memory-store + torrent-
+    // broadcast + cache-manager init that the scan/aggregate warmups never
+    // reach, so the graded artifact charged ~4 s of pure cold-start to
+    // whichever persist-heavy query ran first (r13: pagerank 5.07 graded
+    // vs 2.7 warm). A tiny persisted join->groupBy loop absorbs it.
+    try {
+      import org.apache.spark.sql.functions.{col, count => cnt}
+      var cur = spark.range(0, 4096).toDF("k")
+        .withColumn("g", col("k") % 64).persist()
+      cur.count()
+      (1 to 2).foreach { _ =>
+        val next = cur.join(cur.withColumnRenamed("k", "k2"), "g")
+          .groupBy(col("g")).agg(cnt(col("k2")).as("n"))
+          .withColumnRenamed("n", "k").persist()
+        next.count()
+        cur.unpersist(blocking = false)
+        cur = next
+      }
+      cur.unpersist(blocking = false)
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] persist warmup failed: ${oneLine(e)}")
+    }
     // Returns None when the SparkContext died (shutdown hook fired — e.g. the
     // driver's `timeout` SIGTERM'd the JVM): that query was never measured, so
     // nothing is recorded and the pass loops stop. Recording a sentinel here
