@@ -104,7 +104,46 @@ object GraftKvSink {
       // has no retraction) fence here; batch time travel does NOT — it
       // reconstructs from `removed` until vacuum folds this into
       // compactedUpTo
-      rewrittenUpTo: Long = -1L)
+      rewrittenUpTo: Long = -1L) {
+    /** THE boundary-state visibility rule — the one definition every
+      * reader (scan, agg pushdown, changefeed planning) must share, or
+      * metadata-answered COUNTs silently diverge from data-path reads: at
+      * epoch `n`, a current file is visible iff its epoch <= n, and a
+      * CoW-superseded file iff additionally n < removedAt (it existed
+      * then and had not yet been replaced). None = the current state. */
+    def visibleFilesAt(e: Option[Long]): Seq[(String, Long)] = e match {
+      case None    => files
+      case Some(n) => files.filter(f => epochOf(f._1) <= n) ++
+        removed.collect {
+          case r if epochOf(r.name) <= n && n < r.removedAt => (r.name, r.rows)
+        }
+    }
+    /** Merge-on-read deltas applying at epoch `n` (their own epoch at or
+      * below it); None = all. */
+    def visibleDeltasAt(e: Option[Long]): Seq[DeltaFile] = e match {
+      case None    => deltas
+      case Some(n) => deltas.filter(d => epochOf(d.name) <= n)
+    }
+  }
+
+  /** Iterate a delta file's position-delete records — the single read-side
+    * definition of the `D\t<file>\t<pos>` line format (writer:
+    * [[GraftKvDeltaWriter.delete]]). Malformed lines are skipped. */
+  private[sources] def foreachDelete(dir: String, delta: String)(
+      f: (String, Long) => Unit): Unit = {
+    val st = Files.lines(Paths.get(dir, delta))
+    try {
+      val it = st.iterator()
+      while (it.hasNext) {
+        val l = it.next()
+        if (l.startsWith("D\t")) {
+          val p1 = l.indexOf('\t', 2)
+          if (p1 > 2 && p1 < l.length - 1)
+            f(l.substring(2, p1), java.lang.Long.parseLong(l.substring(p1 + 1)))
+        }
+      }
+    } finally st.close()
+  }
 
   /** Per-file bloom parameters: identical across every writer so
     * compaction can merge filters bit-for-bit; files beyond the row cap
@@ -431,37 +470,22 @@ object GraftKvSink {
       s"graft_kv: changefeed from=$from predates compacted history " +
         s"(epochs <= ${m.compactedUpTo} were vacuumed)")
     def visibleAt(e: Long): Set[String] =
-      (m.files.collect { case (n, _) if epochOf(n) <= e => n } ++
-        m.removed.collect {
-          case r if epochOf(r.name) <= e && e < r.removedAt => r.name
-        }).toSet
+      m.visibleFilesAt(Some(e)).map(_._1).toSet
     val fromF = visibleAt(from)
     val toF = visibleAt(to)
     val windowDeltas = m.deltas.filter(d =>
       epochOf(d.name) > from && epochOf(d.name) <= to)
     // base files a window delta position-deletes from: their live row set
     // changed, so both sides read them (driver-side scan of tiny deltas)
-    val refs: Set[String] = windowDeltas.flatMap { d =>
-      val st = Files.lines(Paths.get(dir, d.name))
-      try {
-        val out = scala.collection.mutable.Set.empty[String]
-        val it = st.iterator()
-        while (it.hasNext) {
-          val l = it.next()
-          if (l.startsWith("D\t")) {
-            val p1 = l.indexOf('\t', 2)
-            if (p1 > 0) out += l.substring(2, p1)
-          }
-        }
-        out
-      } finally st.close()
-    }.toSet
+    val refs: Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      windowDeltas.foreach(d => foreachDelete(dir, d.name)((f, _) => out += f))
+      out.toSet
+    }
     // a referenced "file" may itself be an earlier delta's insert file —
     // readable at a boundary iff that delta is visible there
     def readableAt(e: Long): Set[String] =
-      visibleAt(e) ++ m.deltas.collect {
-        case d if epochOf(d.name) <= e => d.name
-      }
+      visibleAt(e) ++ m.visibleDeltasAt(Some(e)).map(_.name)
     val onlyFrom = (fromF -- toF) ++ (refs & readableAt(from))
     val onlyTo = (toF -- fromF) ++ (refs & readableAt(to)) ++
       windowDeltas.filter(_.inserts > 0L).map(_.name)
@@ -487,26 +511,23 @@ object GraftKvSink {
     // the delta write shape's designated folding point
     val (dOld, dKeep) = mf.deltas.partition(d => epochOf(d.name) <= upTo)
     val newUpTo = math.max(upTo, mf.compactedUpTo)
-    // a surviving delta referencing a merged-away file would leave its
-    // position targets dangling. Cannot happen by construction (a delta
-    // only references files OLDER than itself, and epoch order is the
-    // merge order) — verify rather than assume.
-    if (dKeep.nonEmpty && old.nonEmpty) {
-      val oldNames = old.map(_._1).toSet
+    // a surviving delta referencing anything being merged away — an old
+    // DATA file, or (the subtle one) an old DELTA whose insert records it
+    // position-deletes — would leave its targets dangling: the folded
+    // file has new positions, so the delete would silently miss and the
+    // deleted row RESURFACE (while the manifest COUNT still subtracts
+    // it). A compaction boundary BETWEEN two deltas can split a referrer
+    // from its target; verify and direct the caller to a boundary that
+    // keeps them together.
+    if (dKeep.nonEmpty && (old.nonEmpty || dOld.nonEmpty)) {
+      val merging = old.map(_._1).toSet ++ dOld.map(_.name)
       dKeep.foreach { d =>
-        val st = Files.lines(Paths.get(dir, d.name))
-        try {
-          val it = st.iterator()
-          while (it.hasNext) {
-            val l = it.next()
-            if (l.startsWith("D\t")) {
-              val p1 = l.indexOf('\t', 2)
-              require(p1 < 0 || !oldNames.contains(l.substring(2, p1)),
-                s"graft_kv: compact upTo=$upTo merges files referenced by " +
-                  s"the later delta ${d.name} — raise upTo past it")
-            }
-          }
-        } finally st.close()
+        foreachDelete(dir, d.name) { (target, _) =>
+          require(!merging.contains(target),
+            s"graft_kv: compact upTo=$upTo would fold '$target', which the " +
+              s"later delta ${d.name} position-deletes from — raise upTo " +
+              "past that delta")
+        }
       }
     }
     // retained CoW history whose whole visibility window [epoch, removedAt)
@@ -542,20 +563,11 @@ object GraftKvSink {
       // surviving base lines in file order, then the surviving inserts
       val delByFile = new java.util.HashMap[String, java.util.HashSet[Long]]()
       dOld.foreach { d =>
-        val st = Files.lines(Paths.get(dir, d.name))
-        try {
-          val it = st.iterator()
-          while (it.hasNext) {
-            val l = it.next()
-            if (l.startsWith("D\t")) {
-              val p1 = l.indexOf('\t', 2)
-              val f = l.substring(2, p1)
-              var set = delByFile.get(f)
-              if (set == null) { set = new java.util.HashSet[Long](); delByFile.put(f, set) }
-              set.add(java.lang.Long.parseLong(l.substring(p1 + 1))): Unit
-            }
-          }
-        } finally st.close()
+        foreachDelete(dir, d.name) { (f, pos) =>
+          var set = delByFile.get(f)
+          if (set == null) { set = new java.util.HashSet[Long](); delByFile.put(f, set) }
+          set.add(pos): Unit
+        }
       }
       val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
       try {
@@ -736,7 +748,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       // for vacuum, never a manifest pointing at deleted files
       val m = GraftKvSink.readManifest(mf)
       GraftKvSink.writeManifest(dir, tableSchema, Seq.empty)
-      (m.files.map(_._1) ++ m.deltas.map(_.name))
+      (m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name))
         .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
     }
   }
@@ -959,26 +971,14 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     val mfP = GraftKvSink.manifestPath(dir)
     if (!Files.exists(mfP)) return false
     val mf = GraftKvSink.readManifest(mfP)
-    val EpochRe = """epoch-(\d+)-.*""".r
-    val visible = asOf match {
-      case None    => mf.files
-      case Some(v) => mf.files.filter {
-        case (EpochRe(e), _) => e.toLong <= v
-        case _               => true
-      } ++ mf.removed.filter(r =>
-        GraftKvSink.epochOf(r.name) <= v && v < r.removedAt)
-        .map(r => (r.name, r.rows))
-    }
+    val visible = mf.visibleFilesAt(asOf)
     // merge-on-read deltas: COUNT stays answerable from metadata (each
     // position-delete masks exactly one live row, exactly once — the
     // row-level scan only ever emits live positions, and a position once
     // deleted never resurfaces to be deleted again — so count = base −
     // deletes + inserts); MIN/MAX are NOT (a delete may mask the extremum,
     // and inserts carry no stats) and decline to the data path.
-    val vDeltas = asOf match {
-      case None    => mf.deltas
-      case Some(v) => mf.deltas.filter(d => GraftKvSink.epochOf(d.name) <= v)
-    }
+    val vDeltas = mf.visibleDeltasAt(asOf)
     def nameOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -1025,27 +1025,16 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
     specs: Seq[(String, StructField)],
     manifest: GraftKvSink.Manifest)
   extends Scan with Batch {
-  private val EpochRe = """epoch-(\d+)-.*""".r
   asOfEpoch.foreach { e =>
     require(manifest.compactedUpTo < 0L || e >= manifest.compactedUpTo,
       s"graft_kv: asOfEpoch=$e predates compacted history " +
         s"(epochs <= ${manifest.compactedUpTo} were vacuumed)")
   }
-  private val visible = asOfEpoch match {
-    case None    => manifest.files
-    case Some(v) => manifest.files.filter {
-      case (EpochRe(e), _) => e.toLong <= v
-      case _               => true
-    } ++ manifest.removed.filter(r =>
-      GraftKvSink.epochOf(r.name) <= v && v < r.removedAt)
-      .map(r => (r.name, r.rows))
-  }
+  private val visible = manifest.visibleFilesAt(asOfEpoch)
   // visible merge-on-read deltas adjust COUNT only (min/max were already
   // declined at pushdown when any delta is visible)
-  private val deltaAdj = (asOfEpoch match {
-    case None    => manifest.deltas
-    case Some(v) => manifest.deltas.filter(d => GraftKvSink.epochOf(d.name) <= v)
-  }).map(d => d.inserts - d.deletes).sum
+  private val deltaAdj = manifest.visibleDeltasAt(asOfEpoch)
+    .map(d => d.inserts - d.deletes).sum
   // driver-side evaluation against the (tiny) manifest; values ship to the
   // single partition as plain JVM types, typed by the schema json
   private def merged(kind: String, f: StructField): Any = {
@@ -1488,36 +1477,21 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftKvMicroBatchStream(dir, projection, maxEpochs)
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
-  private val EpochRe = """epoch-(\d+)-.*""".r
   // vacuumed history is unanswerable — error, never partial rows
   asOfEpoch.foreach { n =>
     require(manifest.compactedUpTo < 0L || n >= manifest.compactedUpTo,
       s"graft_kv: asOfEpoch=$n predates compacted history " +
         s"(epochs <= ${manifest.compactedUpTo} were vacuumed)")
   }
-  private val epochVisible = asOfEpoch match {
-    case None    => manifest.files
-    case Some(n) => manifest.files.filter {
-      case (EpochRe(e), _) => e.toLong <= n
-      case _               => true // batch-written files have no epoch
-    } ++
-      // RETAINED HISTORY: files superseded by copy-on-write DML stay on
-      // disk until vacuum; one is visible at n iff it existed then (its
-      // epoch <= n) and had not yet been replaced (n < removedAt) — so
-      // every pre-DML boundary state reconstructs exactly
-      manifest.removed.filter(r =>
-        GraftKvSink.epochOf(r.name) <= n && n < r.removedAt)
-        .map(r => (r.name, r.rows))
-  }
+  // boundary-state visibility (one definition: Manifest.visibleFilesAt) —
+  // includes CoW-superseded files whose retention window covers the epoch,
+  // so every pre-DML boundary state reconstructs exactly until vacuum
+  private val epochVisible = manifest.visibleFilesAt(asOfEpoch)
   // merge-on-read deltas visible at this epoch: applied to every base file
   // they reference, and their insert records surface as own partitions. An
   // asOfEpoch below a delta's epoch reads the exact pre-DML state — MOR
   // DML never fences time travel.
-  private val visibleDeltas = asOfEpoch match {
-    case None    => manifest.deltas
-    case Some(n) => manifest.deltas.filter(d =>
-      GraftKvSink.epochOf(d.name) <= n)
-  }
+  private val visibleDeltas = manifest.visibleDeltasAt(asOfEpoch)
   // stats + bloom pruning: drop a file when ANY pushed filter is
   // unsatisfiable within its recorded ranges, or when a point/IN probe
   // misses its bloom; files without stats/blooms always survive. `visible`
@@ -1754,18 +1728,9 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
     val deleted: java.util.HashSet[Long] = {
       val s = new java.util.HashSet[Long]()
       fp.deltas.filter(_ != fp.file).foreach { d =>
-        val st = Files.lines(Paths.get(fp.dir, d))
-        try {
-          val it = st.iterator()
-          while (it.hasNext) {
-            val l = it.next()
-            if (l.startsWith("D\t")) {
-              val p1 = l.indexOf('\t', 2)
-              if (p1 > 0 && l.substring(2, p1) == fp.file)
-                s.add(java.lang.Long.parseLong(l.substring(p1 + 1)))
-            }
-          }
-        } finally st.close()
+        GraftKvSink.foreachDelete(fp.dir, d) { (target, pos) =>
+          if (target == fp.file) s.add(pos): Unit
+        }
       }
       s
     }

@@ -396,6 +396,58 @@ class DsV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.cf")
   }
 
+  test("kv compact refuses a boundary splitting a delta from its target; truncate reclaims history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_split").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.sp")
+    spark.sql(s"CREATE TABLE graft.rlspec.sp (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir', mor 'true')")
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+        .write.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("epoch", "1").mode("append").save()
+      // delta epoch 2 INSERTS id 9; delta epoch 3 position-deletes it —
+      // the deleter references the epoch-2 .kvd by name
+      spark.sql(
+        """MERGE INTO graft.rlspec.sp t USING (SELECT 9L AS id, 'nine' AS s) s
+          |ON t.id = s.id WHEN NOT MATCHED THEN INSERT (id, s)
+          |VALUES (s.id, s.s)""".stripMargin)
+      spark.sql("DELETE FROM graft.rlspec.sp WHERE id = 9")
+      def ids: Set[Long] = spark.table("graft.rlspec.sp")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L))
+      // folding ONLY the insert delta (upTo=2) would renumber id 9 into
+      // the compacted file while epoch 3's delete still targets the gone
+      // .kvd name — the deleted row would silently RESURFACE. Refuse.
+      val e = intercept[Exception] { graft.sources.GraftKvSink.compact(dir, 2L) }
+      assert(e.getMessage.contains("position-deletes from"), e.getMessage)
+      assert(ids == Set(1L, 2L))
+      // a boundary keeping referrer and target together folds cleanly
+      graft.sources.GraftKvSink.compact(dir, 99L)
+      assert(ids == Set(1L, 2L))
+      assert(graft.sources.GraftKvSink.listedFiles(dir)._2.isEmpty)
+      // unconditional DELETE FROM (metadata truncate) reclaims EVERYTHING,
+      // including retained CoW history files, leaving no orphans
+      spark.sql("DROP TABLE IF EXISTS graft.rlspec.sp2")
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_trunc").toString
+      spark.sql(s"CREATE TABLE graft.rlspec.sp2 (id BIGINT, s STRING) " +
+        s"USING graft_kv OPTIONS (path '$dir2')")
+      try {
+        Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+          .write.format("graft.sources.GraftKvSink").option("path", dir2)
+          .option("epoch", "1").mode("append").save()
+        spark.sql("DELETE FROM graft.rlspec.sp2 WHERE id = 1") // retains history
+        spark.sql("DELETE FROM graft.rlspec.sp2")              // truncate
+        assert(spark.table("graft.rlspec.sp2").count() == 0L)
+        import scala.jdk.CollectionConverters._
+        val left = java.nio.file.Files.list(java.nio.file.Paths.get(dir2))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.endsWith(".kv") || n.endsWith(".kvd")).toSeq
+        assert(left.isEmpty, left.toString)
+      } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.sp2")
+    } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.sp")
+  }
+
   test("kv MERGE rewrites only runtime-matched files (group filtering on _file)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_rgf").toString
