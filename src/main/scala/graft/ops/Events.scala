@@ -21,6 +21,10 @@ object Events {
     java.nio.file.Files.createTempDirectory("graft_stream_kv")
   private lazy val streamWmRoot: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft_stream_wm")
+  private lazy val streamJoinRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_stream_join")
+  private lazy val streamDedupRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_stream_dd")
 
   /** Publish chunk `k` of the events fixture (rows with event_id % 3 == k,
     * projected to `cols`) as explicit kv epoch `k` at `feed` — a BATCH job
@@ -32,6 +36,20 @@ object Events {
       k: Int, cols: Seq[org.apache.spark.sql.Column]): Unit =
     Tables.events(s, d).select(cols: _*)
       .filter(col("event_id") % 3 === k)
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", feed).option("epoch", k.toString)
+      .mode(if (k == 0) org.apache.spark.sql.SaveMode.Overwrite
+            else org.apache.spark.sql.SaveMode.Append)
+      .save()
+
+  /** [[writeFeedEpoch]] with an arbitrary chunk predicate — for feeds
+    * whose epochs must OVERLAP (the streaming-dedup fixture publishes each
+    * row into two different epochs). */
+  private def writeFeedEpochWhere(s: SparkSession, d: String, feed: String,
+      k: Int, cols: Seq[org.apache.spark.sql.Column],
+      pred: org.apache.spark.sql.Column): Unit =
+    Tables.events(s, d).select(cols: _*)
+      .filter(pred)
       .write.format("graft.sources.GraftKvSink")
       .option("path", feed).option("epoch", k.toString)
       .mode(if (k == 0) org.apache.spark.sql.SaveMode.Overwrite
@@ -295,6 +313,8 @@ object Events {
     "stream_late_drop" -> (streamLateDrop _),
     "stream_kv_pipeline" -> (streamKvPipeline _),
     "stream_watermark_true" -> (streamWatermarkTrue _),
+    "stream_join" -> (streamJoin _),
+    "stream_dedup" -> (streamDedup _),
     "stream_rate_limit" -> (streamRateLimit _),
     "events_funnel" -> (eventsFunnel _),
     "agg_unpivot" -> (aggUnpivot _),
@@ -415,7 +435,145 @@ object Events {
       .orderBy(col("w_day"), col("event_type"))
   }
 
+  /** Stream-stream JOIN judged via a TRUE STREAMING execution: the events
+    * fixture replays as three kv epochs, and purchases join clicks by user
+    * within a 1-hour event-time interval — Spark's symmetric hash join
+    * buffering BOTH sides in state across micro-batches, each matched pair
+    * emitted exactly once regardless of which batch completed it (a pair
+    * whose click arrived two batches before its purchase must still
+    * surface, and never twice). The watermark delay (40 days) exceeds the
+    * fixture's 30-day span, so no state is evicted mid-replay and the
+    * emitted set equals the static interval join — which is exactly what
+    * the oracle computes; cross-batch completeness and exactly-once are
+    * the judged properties. (Eviction under a tight 1-hour delay — the
+    * 100-TB state-bounding configuration — is pinned by the
+    * purchaseClickJoin suite test; the interval condition is what keeps
+    * join state finite at scale.) */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val root = Events.streamJoinRoot
+    deleteRecursively(root.toFile)
+    java.nio.file.Files.createDirectories(root)
+    val feed = root.resolve("feed").toString
+    val cols = Seq(col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      col("user_id"), col("event_type"))
+    writeFeedEpoch(s, d, feed, 0, cols)
+    val sink = "graft_stream_join_sink"
+    s.catalog.dropTempView(sink)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val src = s.readStream.format("graft.sources.GraftKvSink")
+        .option("path", feed).load()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+          col("event_id").as("c_id"))
+        .withWatermark("c_ts", "40 days")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "40 days")
+      val q = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") <= col("p_ts") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        writeFeedEpoch(s, d, feed, 1, cols); q.processAllAvailable()
+        writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(sink)
+      .agg(count(lit(1)).as("pairs"),
+        sum(col("p_id")).as("p_id_sum"),
+        sum(col("c_id")).as("c_id_sum"),
+        countDistinct(col("p_user")).as("users"),
+        max(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("max_lag_us"),
+        min(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+          .as("min_lag_us"))
+  }
+
+  /** Streaming DEDUPLICATION judged via a TRUE STREAMING execution
+    * (`dropDuplicatesWithinWatermark` — the B44 stateful-dedup surface):
+    * the feed publishes every fixture row into TWO different epochs
+    * (epoch k carries rows with event_id % 3 ∈ {k, (k+2) % 3}), so each
+    * duplicate pair straddles a micro-batch boundary and only dedup STATE
+    * carried across batches can remove it — a per-batch distinct would
+    * pass every row twice and hash-mismatch. First-occurrence rows emit
+    * immediately in append mode; the 40-day delay keeps every key in
+    * state across the replay (the production configuration bounds state
+    * by the real dedup window instead — same operator, tighter TTL). The
+    * oracle aggregates the fixture directly: exactly one survivor per
+    * event_id. */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val root = Events.streamDedupRoot
+    deleteRecursively(root.toFile)
+    java.nio.file.Files.createDirectories(root)
+    val feed = root.resolve("feed").toString
+    val cols = Seq(col("event_id"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+      col("user_id"), col("event_type"), col("value"))
+    def chunkPred(k: Int) =
+      (col("event_id") % 3 === k) || ((col("event_id") + 1) % 3 === k)
+    writeFeedEpochWhere(s, d, feed, 0, cols, chunkPred(0))
+    val sink = "graft_stream_dd_sink"
+    s.catalog.dropTempView(sink)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = s.readStream.format("graft.sources.GraftKvSink")
+        .option("path", feed).load()
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        writeFeedEpochWhere(s, d, feed, 1, cols, chunkPred(1))
+        q.processAllAvailable()
+        writeFeedEpochWhere(s, d, feed, 2, cols, chunkPred(2))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.table(sink)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("user_sum"),
+        sumS(col("value")).as("value_sum"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // no eviction during the replay, so the streamed emission must equal
+    // the static interval join — completeness + exactly-once in one hash
+    "stream_join" ->
+      """WITH c AS (SELECT user_id AS c_user, ts AS c_ts, event_id AS c_id
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT count(*) AS pairs,
+        |  CAST(sum(p_id) AS BIGINT) AS p_id_sum,
+        |  CAST(sum(c_id) AS BIGINT) AS c_id_sum,
+        |  count(DISTINCT p_user) AS users,
+        |  CAST(max(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS max_lag_us,
+        |  CAST(min(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS min_lag_us
+        |FROM p JOIN c ON p_user = c_user
+        |  AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin,
+    // every fixture row was fed twice across different epochs; state-based
+    // dedup must emit each event exactly once = the fixture itself
+    "stream_dedup" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // micro-batch watermark progression replayed relationally: per-chunk
     // pre-batch watermark, end<=wm drop rule, final-watermark emission
     "stream_watermark_true" ->
