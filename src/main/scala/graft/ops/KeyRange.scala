@@ -490,6 +490,233 @@ object KeyRange {
       .orderBy(col("op"), col("o_orderkey"))
   }
 
+  /** A11 × B43 judged: the kv CDC STREAM end to end — a merge-on-read
+    * table takes row-level DML (DELETE, then UPDATE), and a LIVE streaming
+    * read with `readChangeFeed=true` surfaces every mutation as per-row
+    * change records across three micro-batches: the base load as `insert`
+    * rows, the DELETE's pre-images as `delete` rows, the UPDATE as a
+    * `delete`(pre-image) + `insert`(post-image) pair — each stamped with
+    * its committing epoch. The judged frame aggregates the change stream
+    * by (kind, epoch); the oracle replays the statement sequence
+    * relationally, so completeness, pre-image fidelity, and epoch
+    * attribution are all hash-gated. At 100 TB each micro-batch reads
+    * only the files/deltas of its epoch range — never the table. */
+  def kvCdcStream(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_cdcstream"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_cdcs")
+    s.sql("CREATE TABLE graft.kvq.orders_cdcs (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp', mor 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_cdcs_v")
+    // INSERT OVERWRITE resets the path's history, so repeat runs in one
+    // JVM replay the identical epoch sequence
+    s.sql("INSERT OVERWRITE graft.kvq.orders_cdcs " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_cdcs_v " +
+      "WHERE o_orderkey % 4 = 0")
+    val sink = "graft_kv_cdcs_sink"
+    s.catalog.dropTempView(sink)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(scratch), "cdcs_ck")
+    val q = s.readStream.format("graft.sources.GraftKvSink")
+      .option("path", tmp).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: the base load as inserts
+      s.sql("DELETE FROM graft.kvq.orders_cdcs WHERE o_orderkey % 20 = 0")
+      q.processAllAvailable() // batch 2: delete pre-images
+      s.sql("UPDATE graft.kvq.orders_cdcs " +
+        "SET o_totalprice = o_totalprice + 1.5 WHERE o_orderstatus = 'F'")
+      q.processAllAvailable() // batch 3: the update's delete+insert pairs
+    } finally q.stop()
+    s.table(sink)
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_epoch").as("commit_epoch"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("commit_epoch"), col("change_type"))
+  }
+
+  /** A11 × B19 judged: INCREMENTAL VIEW MAINTENANCE from the CDC stream —
+    * the retractable-aggregate composition: `readChangeFeed` turns row-
+    * level DML into signed change records, and Spark's own stateful
+    * streaming aggregation (complete mode) folds them into a live
+    * per-group aggregate: +1/-1 for insert/delete counts, signed key and
+    * value sums. After three micro-batches (base load, DELETE, UPDATE)
+    * the maintained state must equal a direct aggregate of the table's
+    * final state — which is what the oracle computes. No rebuild ever
+    * runs: each batch touches only that epoch's files/deltas, so at
+    * 100 TB maintaining the view costs O(changed rows), not O(table) —
+    * the classic delta-propagation MV maintenance, expressed entirely as
+    * Spark streaming state. */
+  def mvCdcMaintain(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_mvcdc"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_mvcdc")
+    s.sql("CREATE TABLE graft.kvq.orders_mvcdc (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp', mor 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_mvcdc_v")
+    s.sql("INSERT OVERWRITE graft.kvq.orders_mvcdc " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_mvcdc_v " +
+      "WHERE o_orderkey % 4 = 1")
+    val sink = "graft_mv_cdc_sink"
+    s.catalog.dropTempView(sink)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(scratch), "mvcdc_ck")
+    val signed = when(col("_change_type") === "insert", lit(1L))
+      .otherwise(lit(-1L))
+    val q = s.readStream.format("graft.sources.GraftKvSink")
+      .option("path", tmp).option("readChangeFeed", "true").load()
+      .groupBy(col("o_orderstatus"))
+      .agg(sum(signed).as("cnt"),
+        sum(signed * col("o_orderkey")).as("key_sum"),
+        sum((signed.cast("double") * col("o_totalprice"))
+          .cast(M)).cast("double").as("total"))
+      .writeStream.format("memory").queryName(sink).outputMode("complete")
+      .option("checkpointLocation", ckpt.toString)
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: base-load inserts
+      s.sql("DELETE FROM graft.kvq.orders_mvcdc WHERE o_orderkey % 13 = 0")
+      q.processAllAvailable() // batch 2: retractions fold in
+      s.sql("UPDATE graft.kvq.orders_mvcdc " +
+        "SET o_totalprice = o_totalprice - 2.5 WHERE o_orderstatus = 'O'")
+      q.processAllAvailable() // batch 3: per-key -old +new pairs
+    } finally q.stop()
+    s.table(sink).orderBy(col("o_orderstatus"))
+  }
+
+  /** A11 × A6-native judged: CDC REPLICATION — the changefeed closing the
+    * loop into a second keyed table. A source MOR table takes row-level
+    * DML; a `readChangeFeed` stream applies each epoch's change records
+    * to an independent target table inside `foreachBatch`: the epoch's
+    * `delete` keys via MERGE…DELETE, its `insert` images via INSERT —
+    * epochs applied in commit order, so an UPDATE's delete+insert pair
+    * replays exactly. The judged frame aggregates the TARGET table; the
+    * oracle replays the SOURCE's statement sequence — they hash-match
+    * only if replication delivered every change exactly once. Each batch
+    * moves O(changed rows): at 100 TB this is log-shipping between
+    * stores, never a table copy. */
+  def kvReplicate(s: SparkSession, d: String): DataFrame = {
+    val srcP = s"$scratch/kv_repl_src"
+    val tgtP = s"$scratch/kv_repl_tgt"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_repl_src")
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_repl_tgt")
+    s.sql("CREATE TABLE graft.kvq.orders_repl_src (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$srcP', mor 'true')")
+    s.sql("CREATE TABLE graft.kvq.orders_repl_tgt (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tgtP', mor 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_repl_v")
+    s.sql("INSERT OVERWRITE graft.kvq.orders_repl_src " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_repl_v " +
+      "WHERE o_orderkey % 4 = 2")
+    // reset the target too (repeat runs) and publish its manifest — the
+    // MERGE below scans the target, and the schema lives in the manifest
+    s.sql("INSERT OVERWRITE graft.kvq.orders_repl_tgt " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_repl_v " +
+      "WHERE 1 = 0")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get(scratch), "repl_ck")
+    val q = s.readStream.format("graft.sources.GraftKvSink")
+      .option("path", srcP).option("readChangeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        // the batch frame is bound to the stream's CLONED session — run
+        // the apply statements there so the temp view resolves
+        val sb = df.sparkSession
+        // epochs in commit order; the per-batch epoch count is bounded by
+        // the trigger's admission, never by table size
+        val epochs = df.select(col("_commit_epoch")).distinct()
+          .collect().map(_.getLong(0)).sorted
+        epochs.foreach { e =>
+          df.filter(col("_commit_epoch") === e)
+            .createOrReplaceTempView("graft_repl_batch")
+          sb.sql(
+            """MERGE INTO graft.kvq.orders_repl_tgt t USING (
+              |  SELECT DISTINCT o_orderkey FROM graft_repl_batch
+              |  WHERE _change_type = 'delete') s
+              |ON t.o_orderkey = s.o_orderkey
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+          sb.sql("INSERT INTO graft.kvq.orders_repl_tgt " +
+            "SELECT o_orderkey, o_orderstatus, o_totalprice " +
+            "FROM graft_repl_batch WHERE _change_type = 'insert'")
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable() // epoch 0: the base load replicates
+      s.sql("DELETE FROM graft.kvq.orders_repl_src WHERE o_orderkey % 17 = 0")
+      q.processAllAvailable()
+      s.sql("UPDATE graft.kvq.orders_repl_src " +
+        "SET o_totalprice = o_totalprice + 3.0 WHERE o_orderstatus = 'P'")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table("graft.kvq.orders_repl_tgt")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A8 × A7-DSv2 judged: SQL TIME TRAVEL through the TableCatalog —
+    * `SELECT … FROM graft.ns.t VERSION AS OF n` resolved by the catalog's
+    * version-aware loadTable to an epoch-pinned read-only table (pure
+    * manifest metadata, no data copied). The judged frame aggregates two
+    * historical boundary states and the current state in ONE statement;
+    * version 2 is read AFTER a copy-on-write DELETE rewrote its files, so
+    * the retained-history reconstruction (superseded files stay readable
+    * until vacuum) is hash-gated, not just spec-asserted. The oracle
+    * replays each boundary relationally. */
+  def kvVersionAsof(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_tt"
+    // explicit-epoch appends restart at 1, so a prior run's manifest (with
+    // its rewrite boundary at 3) must not linger — clear the path outright
+    val tmpDir = new java.io.File(tmp)
+    Option(tmpDir.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+    tmpDir.delete(): Unit
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_tt")
+    s.sql("CREATE TABLE graft.kvq.orders_tt (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 3 === 0)
+      .write.format("graft.sources.GraftKvSink").option("path", tmp)
+      .option("epoch", "1").mode(SaveMode.Append).save()
+    o.filter(col("o_orderkey") % 3 === 1)
+      .write.format("graft.sources.GraftKvSink").option("path", tmp)
+      .option("epoch", "2").mode(SaveMode.Append).save()
+    // copy-on-write DML: rewrites every file holding a match, superseding
+    // the epoch-1/2 originals — versions 1 and 2 must still reconstruct
+    s.sql("DELETE FROM graft.kvq.orders_tt WHERE o_orderkey % 7 = 0")
+    require(graft.sources.GraftKvSink.retainedFiles(tmp).nonEmpty,
+      "the DELETE was expected to supersede files into retained history")
+    s.sql(
+      """SELECT version, cnt, key_sum, total FROM (
+        |  SELECT 1 AS version, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_tt VERSION AS OF 1
+        |  UNION ALL
+        |  SELECT 2 AS version, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_tt VERSION AS OF 2
+        |  UNION ALL
+        |  SELECT 3 AS version, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_tt
+        |) ORDER BY version""".stripMargin)
+  }
+
   /** A7-DSv2/A8 (catalog route): the kv WRITE connector driven end to end
     * through PURE multipart SQL — CREATE TABLE … USING graft_kv under the
     * `graft` TableCatalog plugin, INSERT OVERWRITE … SELECT (truncate +
@@ -935,6 +1162,10 @@ object KeyRange {
     "kv_rowlevel_dml" -> (kvRowlevelDml _),
     "kv_mor_dml" -> (kvMorDml _),
     "kv_changefeed" -> (kvChangefeed _),
+    "kv_cdc_stream" -> (kvCdcStream _),
+    "mv_cdc_maintain" -> (mvCdcMaintain _),
+    "kv_replicate" -> (kvReplicate _),
+    "kv_version_asof" -> (kvVersionAsof _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -995,6 +1226,77 @@ object KeyRange {
         |   OR NOT (a.o_orderstatus = b.o_orderstatus
         |           AND a.o_totalprice = b.o_totalprice)
         |ORDER BY op, o_orderkey""".stripMargin,
+    // the maintained streaming aggregate must equal a direct aggregate of
+    // the table's final state: signed change records telescope (+x then
+    // -x cancels exactly in decimal arithmetic)
+    "mv_cdc_maintain" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 4 = 1),
+        |cur AS (SELECT o_orderkey, o_orderstatus,
+        |          CASE WHEN o_orderstatus = 'O' THEN o_totalprice - 2.5
+        |               ELSE o_totalprice END AS o_totalprice
+        |        FROM base WHERE NOT o_orderkey % 13 = 0)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM cur GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // the TARGET table's state after log-shipping = the SOURCE's replayed
+    // statement sequence
+    "kv_replicate" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 4 = 2),
+        |cur AS (SELECT o_orderkey, o_orderstatus,
+        |          CASE WHEN o_orderstatus = 'P' THEN o_totalprice + 3.0
+        |               ELSE o_totalprice END AS o_totalprice
+        |        FROM base WHERE NOT o_orderkey % 17 = 0)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM cur GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    // the CDC stream's change records, replayed relationally: inserts =
+    // the base load (epoch 0) + update post-images (epoch 2); deletes =
+    // the DELETE's pre-images (epoch 1) + update pre-images (epoch 2)
+    "kv_cdc_stream" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 4 = 0),
+        |del AS (SELECT * FROM base WHERE o_orderkey % 20 = 0),
+        |upd AS (SELECT * FROM base
+        |        WHERE NOT o_orderkey % 20 = 0 AND o_orderstatus = 'F')
+        |SELECT change_type, commit_epoch, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_epoch,
+        |    o_orderkey, o_totalprice FROM base
+        |  UNION ALL
+        |  SELECT 'delete', 1, o_orderkey, o_totalprice FROM del
+        |  UNION ALL
+        |  SELECT 'delete', 2, o_orderkey, o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT 'insert', 2, o_orderkey, o_totalprice + 1.5 FROM upd
+        |) GROUP BY change_type, commit_epoch
+        |ORDER BY commit_epoch, change_type""".stripMargin,
+    // each VERSION AS OF boundary = the epoch-prefix state, replayed
+    // relationally; version 2 reconstructs through retained CoW history
+    "kv_version_asof" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |            WHERE o_orderkey % 3 = 0),
+        |v2 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |       WHERE o_orderkey % 3 IN (0, 1)),
+        |cur AS (SELECT * FROM v2 WHERE NOT (o_orderkey % 7 = 0))
+        |SELECT CAST(1 AS INTEGER) AS version, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM v2
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM cur
+        |ORDER BY version""".stripMargin,
     // the merge-on-read twin: identical relational replay — both write
     // shapes (file rewrite vs delta overlay) must produce identical state
     "kv_mor_dml" ->

@@ -100,6 +100,39 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** SQL time travel: `SELECT … FROM graft.ns.t VERSION AS OF n` loads a
+    * read-only table instance pinned to the epoch-n boundary state — the
+    * manifest IS the version history, so this is pure metadata (exactly
+    * the connector's `asOfEpoch` reader option, now reachable from plain
+    * SQL with no options plumbing). Versions are epochs; graft_range
+    * tables are generated and have no history. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    Ddl.dsv2Get(key(ident)) match {
+      case Some(d) if d.provider == "graft_kv" =>
+        val epoch =
+          try java.lang.Long.parseLong(version)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft_kv: VERSION AS OF takes an epoch number, got '$version'")
+          }
+        require(epoch >= 0L, s"graft_kv: VERSION AS OF $epoch — epochs are >= 0")
+        loadTable(ident) match {
+          case t: GraftKvTable => t.atVersion(epoch)
+          case other           => other // unreachable: provider is graft_kv
+        }
+      case Some(d) =>
+        throw new UnsupportedOperationException(
+          s"${d.provider} tables have no version history")
+      case None => throw new NoSuchTableException(ident)
+    }
+
+  /** Epochs are logical sequence numbers, not wall-clock commits — there
+    * is no timestamp→epoch mapping to resolve, so `TIMESTAMP AS OF`
+    * refuses loudly instead of guessing. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft tables version by epoch; use VERSION AS OF <epoch>")
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)

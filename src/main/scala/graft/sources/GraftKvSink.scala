@@ -58,7 +58,12 @@ class GraftKvSink extends TableProvider {
     val mf = GraftKvSink.manifestPath(dir)
     require(Files.exists(mf),
       s"graft_kv: no manifest at $dir — write first (schema lives in the manifest)")
-    GraftKvSink.readManifest(mf).schema
+    val base = GraftKvSink.readManifest(mf).schema
+    // CDC streaming read: rows plus their change kind and commit epoch
+    // (the Delta CDF `_change_type`/`_commit_version` column convention)
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      GraftKvSink.withCdcColumns(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -452,6 +457,19 @@ object GraftKvSink {
     (m.files.map(_._1), m.deltas.map(_.name))
   }
 
+  /** Read-only introspection: names of CoW-superseded files retained for
+    * time travel (emptied by vacuum / history-reclaiming truncate). */
+  def retainedFiles(dir: String): Seq[String] =
+    readManifest(manifestPath(dir)).removed.map(_.name)
+
+  /** The CDC read schema: data columns plus the change kind and the epoch
+    * that committed it (Delta CDF's `_change_type`/`_commit_version`
+    * shape). */
+  private[sources] def withCdcColumns(base: StructType): StructType =
+    StructType(base.fields :+
+      StructField("_change_type", StringType, nullable = false) :+
+      StructField("_commit_epoch", LongType, nullable = false))
+
   /** CHANGEFEED planning: the FILE-LEVEL diff between the states at
     * `from` and `to` — (files to read at the from-state, files to read at
     * the to-state). A file visible at both boundaries with no delta
@@ -649,7 +667,11 @@ object GraftKvSink {
 }
 
 final class GraftKvTable(dir: String, tableSchema: StructType,
-    mor: Boolean = false)
+    mor: Boolean = false,
+    // SQL time travel (`SELECT … FROM graft.ns.t VERSION AS OF n`): the
+    // catalog loads a version-pinned instance whose every scan reads the
+    // epoch-n boundary state; such a table is read-only by construction
+    pinnedEpoch: Option[Long] = None)
   extends Table with SupportsWrite with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -676,10 +698,15 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
         override def isNullable: Boolean = false
         override def comment(): String = "line ordinal of the row in its file"
       })
-  override def name(): String = s"graft_kv($dir)"
+  /** The same table pinned to epoch `epoch`'s boundary state (read-only). */
+  def atVersion(epoch: Long): GraftKvTable =
+    new GraftKvTable(dir, tableSchema, mor, Some(epoch))
+  override def name(): String =
+    s"graft_kv($dir${pinnedEpoch.map(n => s" version=$n").getOrElse("")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+    if (pinnedEpoch.isDefined) Set(TableCapability.BATCH_READ).asJava
+    else Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ).asJava
 
@@ -698,7 +725,9 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     * own region-style metadata. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedEpoch.isEmpty,
+      s"graft_kv: ${info.command} on a VERSION AS OF read is not allowed")
     if (mor) () => new GraftKvDeltaOperation(dir, info)
     else () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       // the scan built during planning defines the replace groups; the
@@ -729,6 +758,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
           replaceFiles = Some(() =>
             Option(groupScan).map(_.visibleFiles).getOrElse(Seq.empty)))
     }
+  }
 
   /** Metadata-only DELETE for the one case the group-based path cannot
     * express (the optimizer folds an always-true condition's scan away):
@@ -741,6 +771,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
+    require(pinnedEpoch.isEmpty,
+      "graft_kv: DELETE on a VERSION AS OF read is not allowed")
     val mf = GraftKvSink.manifestPath(dir)
     if (Files.exists(mf)) {
       // publish the empty manifest FIRST (the single visibility switch),
@@ -752,9 +784,12 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
         .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
     }
   }
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedEpoch.isEmpty,
+      "graft_kv: writes to a VERSION AS OF read are not allowed")
     new GraftKvWriteBuilder(dir, info.schema(),
       Option(info.options.get("epoch")).map(_.toLong))
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
     // reads only files published by epochs <= n — the manifest IS the
@@ -765,11 +800,27 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // `.option("onlyFiles", "a.kv,b.kvd")` restricts the scan to the named
     // files/delta-insert records (still under the boundary's full delta
     // masking) — the changefeed's file-targeted read
-    val asOf = Option(options.get("asOfEpoch")).map(_.toLong)
+    val optAsOf = Option(options.get("asOfEpoch")).map(_.toLong)
+    // a version-pinned table (SQL VERSION AS OF) fixes the boundary; a
+    // conflicting reader option would silently read a different state
+    (pinnedEpoch, optAsOf) match {
+      case (Some(p), Some(o)) => require(p == o,
+        s"graft_kv: asOfEpoch=$o conflicts with VERSION AS OF $p")
+      case _ => ()
+    }
+    val asOf = pinnedEpoch.orElse(optAsOf)
     val maxEpochs = Option(options.get("maxEpochsPerTrigger")).map(_.toLong)
     val onlyFiles = Option(options.get("onlyFiles"))
       .map(_.split(",").map(_.trim).toSet)
-    new GraftKvScanBuilder(dir, asOf, maxEpochs, onlyFiles = onlyFiles)
+    // `.option("readChangeFeed", "true")` on a STREAMING read: micro-batches
+    // carry per-row change records (_change_type, _commit_epoch) instead of
+    // snapshot state — see GraftKvMicroBatchStream's CDC planning
+    val cdc = Option(options.get("readChangeFeed")).exists(_.toBoolean)
+    if (cdc) require(asOf.isEmpty,
+      "graft_kv: readChangeFeed and asOfEpoch/VERSION AS OF are exclusive " +
+        "(a changefeed is a range of epochs, not a boundary state)")
+    new GraftKvScanBuilder(dir, asOf, maxEpochs, onlyFiles = onlyFiles,
+      changeFeed = cdc)
   }
 }
 
@@ -927,7 +978,8 @@ final class GraftKvDeltaWriter(dir: String, schema: StructType,
 final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     maxEpochs: Option[Long] = None,
     onBuild: GraftKvScan => Unit = _ => (),
-    onlyFiles: Option[Set[String]] = None)
+    onlyFiles: Option[Set[String]] = None,
+    changeFeed: Boolean = false)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -966,7 +1018,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (fs.nonEmpty || a.groupByExpressions.nonEmpty ||
-      onlyFiles.isDefined) return false
+      onlyFiles.isDefined || changeFeed) return false
     if (a.aggregateExpressions.isEmpty) return false
     val mfP = GraftKvSink.manifestPath(dir)
     if (!Files.exists(mfP)) return false
@@ -1010,7 +1062,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
       new GraftKvAggScan(dir, asOf, pushedAggs, aggManifest)
     else {
       val s = new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs,
-        onlyFiles)
+        onlyFiles, changeFeed)
       onBuild(s)
       s
     }
@@ -1469,13 +1521,16 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     filters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty,
     projection: Option[StructType] = None,
     maxEpochs: Option[Long] = None,
-    onlyFiles: Option[Set[String]] = None)
+    onlyFiles: Option[Set[String]] = None,
+    changeFeed: Boolean = false)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftKvMicroBatchStream(dir, projection, maxEpochs)
+    // ship the RESOLVED read schema (pruned, CDC-extended) — the stream's
+    // reader factory must emit exactly what this scan advertises
+    new GraftKvMicroBatchStream(dir, Some(readSchema()), maxEpochs, changeFeed)
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   // vacuumed history is unanswerable — error, never partial rows
   asOfEpoch.foreach { n =>
@@ -1539,7 +1594,9 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       }
     }
   }
-  override def readSchema(): StructType = projection.getOrElse(manifest.schema)
+  override def readSchema(): StructType = projection.getOrElse(
+    if (changeFeed) GraftKvSink.withCdcColumns(manifest.schema)
+    else manifest.schema)
   override def toBatch: Batch = this
   override def description(): String =
     s"graft_kv $dir files=${visible.length}/${manifest.files.length}" +
@@ -1548,6 +1605,12 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
   /** The pruned file set — the GROUP identity for row-level replaces. */
   def visibleFiles: Seq[String] = visible.map(_._1)
   override def planInputPartitions(): Array[InputPartition] = {
+    // a changefeed is a RANGE of epochs — only the streaming read (whose
+    // offsets carry the range) can answer it; a batch point-in-time diff
+    // is GraftKvSink.changedFiles + the except-all changefeed frame
+    require(!changeFeed,
+      "graft_kv: readChangeFeed is a streaming read option; use readStream " +
+        "(or the batch changefeed for a point-in-time diff)")
     // tasks resolve their own position-deletes from the (small) delta
     // files — the partition ships NAMES, not delete sets, so a large
     // delete never bloats task descriptors (the Iceberg delete-file shape)
@@ -1592,7 +1655,14 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
 }
 
 final case class GraftKvFilePartition(dir: String, file: String,
-    deltas: Seq[String] = Nil, deltaInserts: Boolean = false)
+    deltas: Seq[String] = Nil, deltaInserts: Boolean = false,
+    // CDC partitions: `changeType` labels every emitted row ("insert" /
+    // "delete"), `commitEpoch` stamps the committing epoch. `cdcDeletes`
+    // INVERTS the delta role: `deltas` holds the ONE delta whose
+    // position-deletes select which of `file`'s rows to emit (as their
+    // pre-delete images) instead of masking them.
+    changeType: String = null, commitEpoch: Long = -1L,
+    cdcDeletes: Boolean = false)
   extends InputPartition
 
 /** Streaming READ half — the loop-closer for the connector: the manifest's
@@ -1607,7 +1677,21 @@ final case class GraftKvFilePartition(dir: String, file: String,
   * epoch by epoch — the connector is a live source, not a snapshot. */
 final class GraftKvMicroBatchStream(dir: String,
     projection: Option[StructType] = None,
-    maxEpochs: Option[Long] = None)
+    maxEpochs: Option[Long] = None,
+    // CDC mode (`readChangeFeed`): micro-batches emit per-row CHANGE
+    // RECORDS instead of snapshot rows — appended files surface as
+    // `insert` rows, a merge-on-read delta's insert records as `insert`
+    // and its position-deletes as `delete` rows carrying the deleted
+    // row's pre-image (read from the still-present target file). This is
+    // what lifts the MOR streaming fence: a position-delete IS
+    // representable as a change record, just not as an append. Copy-on-
+    // write rewrites stay fenced (file-granular — no row-level change
+    // record exists; use mor=true tables for CDC, or the batch
+    // changefeed's manifest-diff + except-all for minimal CoW diffs).
+    // Epoch-LESS batch tables have no history to track: any stream of
+    // them (CDC or snapshot) is a one-shot initial snapshot at epoch 0,
+    // and later appends/rewrites never surface to a running stream.
+    changeFeed: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1626,40 +1710,51 @@ final class GraftKvMicroBatchStream(dir: String,
     maxEpochs.map(n => ReadLimit.maxFiles(n.toInt))
       .getOrElse(ReadLimit.allAvailable())
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L)
+    val head = headEpoch
     val s = start.asInstanceOf[EpochOffset].epoch
     maxEpochs match {
       case Some(n) => EpochOffset(math.min(head, s + n))
       case None    => EpochOffset(head)
     }
   }
-  override def reportLatestOffset(): Offset =
-    EpochOffset(files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L))
+  override def reportLatestOffset(): Offset = EpochOffset(headEpoch)
   private val EpochRe = """epoch-(\d+)-.*""".r
   private def epochOf(name: String): Long = name match {
     case EpochRe(e) => e.toLong
     case _          => 0L // batch-written files surface in the first batch
   }
-  private def files: Seq[(String, Long)] = {
+  private def manifestOpt: Option[GraftKvSink.Manifest] = {
     val mf = GraftKvSink.manifestPath(dir)
-    if (!Files.exists(mf)) Seq.empty
-    else {
-      val m = GraftKvSink.readManifest(mf)
+    if (!Files.exists(mf)) None else Some(GraftKvSink.readManifest(mf))
+  }
+  private def files: Seq[(String, Long)] = manifestOpt match {
+    case None => Seq.empty
+    case Some(m) =>
       // merge-on-read deltas cannot be represented in an append-only
       // micro-batch replay (a position-delete is a retraction): surfacing
       // only the insert half — or ignoring the delta entirely — would be
-      // SILENTLY wrong, so every streaming probe fails loudly until a
-      // compaction folds the deltas into base files
-      require(m.deltas.isEmpty,
+      // SILENTLY wrong, so a SNAPSHOT stream fails loudly until a
+      // compaction folds the deltas in. A CDC stream represents them
+      // exactly (deletes are change records) and reads on.
+      require(changeFeed || m.deltas.isEmpty,
         s"graft_kv: streaming read of $dir with merge-on-read delta files " +
-          "present — deletes cannot replay as appends; compact first")
+          "present — deletes cannot replay as appends; compact first, or " +
+          "read the stream with readChangeFeed=true")
       m.files
-    }
+  }
+  /** Newest epoch with anything to say: data files, and in CDC mode also
+    * delta files — a DELETE-only epoch publishes no data file, but its
+    * change records must still advance the stream. */
+  private def headEpoch: Long = {
+    val m = manifestOpt
+    val dataHead = files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L)
+    if (!changeFeed) dataHead
+    else math.max(dataHead, m.map(_.deltas.map(d => epochOf(d.name)))
+      .getOrElse(Nil).maxOption.getOrElse(-1L))
   }
 
   override def initialOffset(): Offset = EpochOffset(-1L)
-  override def latestOffset(): Offset =
-    EpochOffset(files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L))
+  override def latestOffset(): Offset = EpochOffset(headEpoch)
   override def deserializeOffset(json: String): Offset = EpochOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[EpochOffset].epoch
@@ -1677,15 +1772,51 @@ final class GraftKvMicroBatchStream(dir: String,
       require(s < 0L || upTo < 0L || s >= upTo,
         s"graft_kv: stream checkpoint offset $s predates compacted history " +
           s"(epochs <= $upTo were merged) — restart with a fresh checkpoint")
-      require(s < 0L || m.rewrittenUpTo < 0L || s >= m.rewrittenUpTo,
-        s"graft_kv: stream checkpoint offset $s predates a row-level " +
-          s"rewrite at epoch ${m.rewrittenUpTo} — replaying across it " +
-          "would duplicate surviving rows; restart with a fresh checkpoint")
+      if (changeFeed)
+        // a CoW rewrite is file-granular: the epoch records WHICH FILES
+        // changed, not which rows, so no exact change records exist for
+        // it. MOR tables record exactly that — hence the direction here.
+        require(m.rewrittenUpTo < 0L || s >= m.rewrittenUpTo,
+          s"graft_kv: changefeed range ($s, $e] crosses the copy-on-write " +
+            s"rewrite at epoch ${m.rewrittenUpTo}, which has no row-level " +
+            "change record — use a mor=true table for CDC, or the batch " +
+            "changefeed for a minimal point-in-time diff")
+      else
+        require(s < 0L || m.rewrittenUpTo < 0L || s >= m.rewrittenUpTo,
+          s"graft_kv: stream checkpoint offset $s predates a row-level " +
+            s"rewrite at epoch ${m.rewrittenUpTo} — replaying across it " +
+            "would duplicate surviving rows; restart with a fresh checkpoint")
     }
-    files.collect {
+    val inserts = files.collect {
       case (name, _) if epochOf(name) > s && epochOf(name) <= e =>
-        GraftKvFilePartition(dir, name): InputPartition
-    }.toArray
+        if (changeFeed)
+          GraftKvFilePartition(dir, name,
+            changeType = "insert", commitEpoch = epochOf(name)): InputPartition
+        else GraftKvFilePartition(dir, name): InputPartition
+    }
+    if (!changeFeed) return inserts.toArray
+    // CDC: each in-range delta contributes its insert records as `insert`
+    // rows and, per referenced target file, the deleted rows' pre-images
+    // as `delete` rows. The target grouping is planned driver-side from
+    // the delta files themselves — each is one DML statement's actions,
+    // the same bounded read the changefeed and compaction planners do.
+    val deltaParts = manifestOpt.toSeq.flatMap(_.deltas)
+      .filter(d => epochOf(d.name) > s && epochOf(d.name) <= e)
+      .flatMap { d =>
+        val n = epochOf(d.name)
+        val ins =
+          if (d.inserts > 0L)
+            Seq(GraftKvFilePartition(dir, d.name, deltaInserts = true,
+              changeType = "insert", commitEpoch = n): InputPartition)
+          else Nil
+        val targets = scala.collection.mutable.LinkedHashSet.empty[String]
+        GraftKvSink.foreachDelete(dir, d.name)((t, _) => targets += t: Unit)
+        ins ++ targets.toSeq.map(t =>
+          GraftKvFilePartition(dir, t, deltas = Seq(d.name),
+            cdcDeletes = true, changeType = "delete",
+            commitEpoch = n): InputPartition)
+      }
+    (inserts ++ deltaParts).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val mf = GraftKvSink.manifestPath(dir)
@@ -1720,11 +1851,14 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
     val srcIdx = projected.fields.map { f =>
       if (f.name == "_file") -1 // metadata column: the partition's own file
       else if (f.name == "_pos") -2 // metadata column: line ordinal
+      else if (f.name == "_change_type") -3 // CDC: partition's change kind
+      else if (f.name == "_commit_epoch") -4 // CDC: committing epoch
       else schema.fieldIndex(f.name) // throws on an unknown projected column
     }
-    // position-deletes targeting THIS partition's file, from every visible
-    // delta (a delta never references itself — its inserts did not exist
-    // when its statement's scan ran)
+    // position set over THIS partition's file, built from the partition's
+    // delta names. Snapshot reads MASK these ordinals (they are deleted);
+    // a CDC delete partition EMITS exactly these ordinals instead — the
+    // deleted rows' pre-images, labeled by changeType.
     val deleted: java.util.HashSet[Long] = {
       val s = new java.util.HashSet[Long]()
       fp.deltas.filter(_ != fp.file).foreach { d =>
@@ -1734,6 +1868,8 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
       }
       s
     }
+    // a delete pre-image read from a delta file targets its insert records
+    val targetIsDelta = fp.cdcDeletes && fp.file.endsWith(".kvd")
     new PartitionReader[InternalRow] {
       private val lines = Files.lines(Paths.get(fp.dir, fp.file)).iterator()
       private var cur: String = _
@@ -1742,19 +1878,25 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
         while (lines.hasNext) {
           cur = lines.next()
           pos += 1L
-          val live = !deleted.contains(pos) &&
-            (!fp.deltaInserts || cur.startsWith("I\t"))
+          val live =
+            if (fp.cdcDeletes)
+              deleted.contains(pos) && (!targetIsDelta || cur.startsWith("I\t"))
+            else !deleted.contains(pos) &&
+              (!fp.deltaInserts || cur.startsWith("I\t"))
           if (live) return true
         }
         false
       }
       override def get(): InternalRow = {
-        val payload = if (fp.deltaInserts) cur.substring(2) else cur
+        val payload =
+          if (fp.deltaInserts || targetIsDelta) cur.substring(2) else cur
         val parts = payload.split("\t", -1)
         InternalRow.fromSeq(projected.fields.toSeq.zipWithIndex.map {
           case (f, o) =>
             if (srcIdx(o) == -1) UTF8String.fromString(fp.file)
             else if (srcIdx(o) == -2) pos
+            else if (srcIdx(o) == -3) UTF8String.fromString(fp.changeType)
+            else if (srcIdx(o) == -4) fp.commitEpoch
             else {
               val v = parts(srcIdx(o))
               if (v == "\\N") null

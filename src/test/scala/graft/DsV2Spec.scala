@@ -396,6 +396,43 @@ class DsV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.cf")
   }
 
+  test("SQL VERSION AS OF reads epoch boundary states; TIMESTAMP AS OF and bad versions refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_tt").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.tt")
+    spark.sql(s"CREATE TABLE graft.rlspec.tt (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    try {
+      Seq((1L, "a")).toDF("id", "s")
+        .write.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("epoch", "1").mode("append").save()
+      Seq((2L, "b")).toDF("id", "s")
+        .write.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("epoch", "2").mode("append").save()
+      def at(v: Long): Set[Long] = spark
+        .sql(s"SELECT id FROM graft.rlspec.tt VERSION AS OF $v")
+        .collect().map(_.getLong(0)).toSet
+      assert(at(1L) == Set(1L))
+      assert(at(2L) == Set(1L, 2L))
+      // a CoW DELETE supersedes files; historical versions still read
+      spark.sql("DELETE FROM graft.rlspec.tt WHERE id = 1")
+      assert(at(2L) == Set(1L, 2L))
+      assert(spark.table("graft.rlspec.tt")
+        .collect().map(_.getLong(0)).toSet == Set(2L))
+      // epochs are not wall-clock: TIMESTAMP AS OF refuses loudly
+      val ts = intercept[Exception] { spark.sql(
+        "SELECT * FROM graft.rlspec.tt TIMESTAMP AS OF '2026-01-01'").collect() }
+      assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
+      val bad = intercept[Exception] { spark.sql(
+        "SELECT * FROM graft.rlspec.tt VERSION AS OF 'v1'").collect() }
+      assert(bad.getMessage.contains("epoch number"), bad.getMessage)
+      // vacuum reclaims retained history; the pinned read then errors
+      // through the same fence as any vacuumed asOfEpoch
+      graft.sources.GraftKvSink.vacuum(dir, graceMs = 0L)
+      intercept[Exception] { at(1L) }
+    } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.tt")
+  }
+
   test("kv compact refuses a boundary splitting a delta from its target; truncate reclaims history") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_split").toString

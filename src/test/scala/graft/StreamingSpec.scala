@@ -420,6 +420,103 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.fence.t")
   }
 
+  test("kv CDC stream emits per-epoch change records and lifts the MOR fence") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_cdcstream")
+    val dir = root.resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cdcs.t")
+    spark.sql(s"CREATE TABLE graft.cdcs.t (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir', mor 'true')")
+    spark.sql("INSERT INTO graft.cdcs.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val q = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("cdc_stream_test")
+      .outputMode("append")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    def changes(): Seq[(Long, String, String, Long)] =
+      spark.table("cdc_stream_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq.sorted
+    try {
+      q.processAllAvailable()
+      val base = changes()
+      assert(base.map(t => (t._1, t._2, t._3)).toSet ==
+        Set((1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert")), base)
+      val e0 = base.head._4
+      assert(base.forall(_._4 == e0), base)
+      // a MOR DELETE becomes a position-delete delta: the CDC stream reads
+      // on (the snapshot fence below still refuses) and surfaces the
+      // deleted row's PRE-IMAGE as a `delete` record at the DML's epoch
+      spark.sql("DELETE FROM graft.cdcs.t WHERE id = 1")
+      q.processAllAvailable()
+      val afterDel = changes().diff(base)
+      assert(afterDel.map(t => (t._1, t._2, t._3)).toSet ==
+        Set((1L, "a", "delete")), afterDel)
+      assert(afterDel.forall(_._4 > e0), afterDel)
+      // an UPDATE is delete(pre-image) + insert(post-image), same epoch
+      spark.sql("UPDATE graft.cdcs.t SET s = 'B' WHERE id = 2")
+      q.processAllAvailable()
+      val afterUpd = changes().diff(base).diff(afterDel)
+      assert(afterUpd.map(t => (t._1, t._2, t._3)).toSet ==
+        Set((2L, "b", "delete"), (2L, "B", "insert")), afterUpd)
+      assert(afterUpd.map(_._4).distinct.size == 1, afterUpd)
+      // folding the change stream in epoch order reconstructs the snapshot
+      val folded = changes().groupBy(_._1).flatMap { case (_, evs) =>
+        val last = evs.maxBy(_._4)
+        val net = evs.filter(_._4 == last._4)
+        if (net.exists(_._3 == "insert")) net.filter(_._3 == "insert") else Nil
+      }.map(t => (t._1, t._2)).toSet
+      assert(folded == spark.table("graft.cdcs.t")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet, folded)
+    } finally q.stop()
+    // the SNAPSHOT stream fence still stands with deltas present — and
+    // points at the CDC option that does represent them
+    val fenced = intercept[Exception] {
+      val snap = spark.readStream.format("graft.sources.GraftKvSink")
+        .option("path", dir).load()
+        .writeStream.format("memory").queryName("cdc_snap_fence")
+        .option("checkpointLocation", root.resolve("ckpt2").toString).start()
+      try snap.processAllAvailable() finally snap.stop()
+    }
+    assert(fenced.getMessage.contains("readChangeFeed"), fenced.getMessage)
+    // batch reads answer changefeeds via the manifest-diff frame, not this
+    // option — a batch readChangeFeed refuses loudly
+    val batch = intercept[Exception] {
+      spark.read.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("readChangeFeed", "true").load().collect()
+    }
+    assert(batch.getMessage.contains("streaming read option"), batch.getMessage)
+    spark.sql("DROP TABLE graft.cdcs.t")
+
+    // a COPY-ON-WRITE rewrite of EPOCH-STAMPED history has no row-level
+    // change record: a CDC stream over it refuses and names the
+    // alternatives. (An epoch-less batch table is different: it has no
+    // epoch history at all, so any stream of it — CDC or snapshot — is a
+    // one-shot initial snapshot; later appends and rewrites are equally
+    // invisible to it by the same rule.)
+    val dir2 = root.resolve("cow").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cdcs.cow")
+    spark.sql(s"CREATE TABLE graft.cdcs.cow (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir2')")
+    (0 to 1).foreach { k =>
+      Seq((k.toLong + 1, ('a' + k).toChar.toString)).toDF("id", "s")
+        .write.format("graft.sources.GraftKvSink")
+        .option("path", dir2).option("epoch", k.toString)
+        .mode(if (k == 0) "overwrite" else "append").save()
+    }
+    spark.sql("DELETE FROM graft.cdcs.cow WHERE id = 1")
+    val cow = intercept[Exception] {
+      val s2 = spark.readStream.format("graft.sources.GraftKvSink")
+        .option("path", dir2).option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName("cdc_cow_fence")
+        .option("checkpointLocation", root.resolve("ckpt3").toString).start()
+      try s2.processAllAvailable() finally s2.stop()
+    }
+    assert(cow.getMessage.contains("copy-on-write"), cow.getMessage)
+    spark.sql("DROP TABLE graft.cdcs.cow")
+  }
+
   test("kv streaming read rate-limits catch-up with maxEpochsPerTrigger") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_kv_ratelim")
