@@ -53,6 +53,56 @@ object Text {
       .orderBy(col("doc_id"), col("term"))
   }
 
+  /** C4c: BM25 RANKED RETRIEVAL — keyword queries scored against the whole
+    * corpus with the full Okapi shape (rational idf × the k1/b length-
+    * normalized tf saturation; k1=1.2, b=0.75), top-5 docs per query. The
+    * idf stays the log-free rational (N−df+0.5)/(df+0.5) per the house
+    * determinism rule; per-term scores round to DECIMAL(18,6) BEFORE the
+    * per-doc sum so the aggregate is order-free (float sums commute only
+    * in decimal), and the rank orders by that exact decimal with doc_id
+    * tiebreak. Scale shape: the tiny query-term relation broadcasts into
+    * the tf table (the only corpus-sized join is tf⋈dl on doc_id), df is
+    * pre-filtered to query terms before it ever joins — the classic
+    * impact-ordered retrieval plan, no all-terms scoring. */
+  def searchBm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val queries = Seq(
+      (1L, "spark table join"),
+      (2L, "stream window sort"),
+      (3L, "customer order merge batch")).toDF("query_id", "qtext")
+    val qt = queries.select(col("query_id"),
+      explode(toks(col("qtext"))).as("term"))
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfq = tok.distinct().groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qt.select(col("term")).distinct()), "term")
+    val st = docs.agg(count(lit(1)).as("n"))
+      .crossJoin(tok.agg(count(lit(1)).as("tot")))
+    val avgdl = col("tot").cast(DoubleType) / col("n").cast(DoubleType)
+    val idf = (col("n").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val norm = col("tf").cast(DoubleType) * lit(2.2) /
+      (col("tf").cast(DoubleType) +
+        lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) / avgdl))
+    val scored = tf.join(broadcast(qt), "term")
+      .join(broadcast(dfq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"),
+        (idf * norm).cast(DecimalType(18, 6)).as("sc"))
+    val agg = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("sc")).as("sc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sc").desc, col("doc_id"))
+    agg.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("sc").cast(DoubleType).as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** C4 extension — corpus-level unigram-LM rarity scoring (the CCNet/Gopher
     * perplexity-filter shape, log-free): each token is weighted by the
     * corpus's inverse unigram probability total/freq(term); a doc's score is
@@ -449,6 +499,7 @@ object Text {
     "text_bpe_merges" -> (textBpeMerges _),
     "text_tokens" -> (textTokens _),
     "text_tfidf" -> (textTfidf _),
+    "search_bm25" -> (searchBm25 _),
     "text_unigram_score" -> (textUnigramScore _),
     "text_quality" -> (textQuality _),
     "text_langid" -> (textLangid _),
@@ -591,6 +642,45 @@ object Text {
         |FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
         |WHERE doc_id < 50
         |ORDER BY doc_id, term""".stripMargin,
+    // identical arithmetic text: rational idf × k1/b tf-saturation, per-term
+    // decimal rounding before the order-free per-doc sum, decimal-ordered
+    // rank with doc_id tiebreak
+    "search_bm25" ->
+      """WITH q(query_id, qtext) AS (VALUES
+        |  (1, 'spark table join'),
+        |  (2, 'stream window sort'),
+        |  (3, 'customer order merge batch')),
+        |qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |df AS (SELECT term, count(*) AS df
+        |       FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term),
+        |st AS (SELECT (SELECT count(*) FROM documents) AS n,
+        |              (SELECT count(*) FROM tok) AS tot),
+        |scored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    CAST((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |           / (CAST(df AS DOUBLE) + 0.5)
+        |         * (CAST(tf AS DOUBLE) * 2.2
+        |            / (CAST(tf AS DOUBLE)
+        |               + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE)
+        |                        / (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)))))
+        |      AS DECIMAL(18,6)) AS sc
+        |  FROM tf JOIN qt ON tf.term = qt.term
+        |       JOIN df ON tf.term = df.term
+        |       JOIN dl ON tf.doc_id = dl.doc_id
+        |       CROSS JOIN st),
+        |agg AS (SELECT query_id, doc_id, sum(sc) AS sc
+        |        FROM scored GROUP BY query_id, doc_id),
+        |r AS (SELECT query_id, doc_id, sc,
+        |        row_number() OVER (PARTITION BY query_id
+        |                           ORDER BY sc DESC, doc_id) AS rank
+        |      FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id,
+        |  CAST(rank AS INTEGER) AS rank, doc_id, CAST(sc AS DOUBLE) AS score
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, lang, n_chars,
         | CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok,
