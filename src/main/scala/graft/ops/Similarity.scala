@@ -145,6 +145,66 @@ object Similarity {
        |b AS (SELECT vec_id, emb, $bucket AS bucket, $bucket2 AS bucket2 FROM bm)""".stripMargin
   }
 
+  /** C3/C4 composition: HYBRID SEARCH with RECIPROCAL-RANK FUSION — the
+    * standard two-arm retrieval stack: a LEXICAL arm (distinct-token
+    * Jaccard of the query doc vs the corpus — integers, one IEEE division)
+    * and a VECTOR arm (brute-force cosine over the embeddings), each
+    * ranked top-20, fused by RRF score 1/(60+r_lex) + 1/(60+r_vec)
+    * (absent arm contributes 0), top-5 per query. The arms deliberately
+    * cover DIFFERENT corpora at sf0.1 (5k docs vs 2k embeddings), so the
+    * fusion's full-outer shape — not just its arithmetic — is hash-gated.
+    * Scale shape: the 3-query token/vector sets broadcast; each arm is
+    * one corpus-linear pass; fusion joins two 60-row frames. */
+  def searchHybridRrf(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    import s.implicits._
+    val qids = Seq(7L, 42L, 137L).toDF("q_id")
+    // lexical arm: distinct-token Jaccard, query-token postings broadcast
+    val dtok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .distinct()
+    val nc = dtok.groupBy(col("doc_id")).agg(count(lit(1)).as("nc"))
+    val qtok = dtok.join(broadcast(qids), dtok("doc_id") === qids("q_id"))
+      .select(col("q_id"), col("term"))
+    val nq = qtok.groupBy(col("q_id")).agg(count(lit(1)).as("nq"))
+    val ov = dtok.join(broadcast(qtok), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("doc_id")).agg(count(lit(1)).as("ov"))
+    val jac = ov.join(broadcast(nq), "q_id").join(nc, "doc_id")
+      .select(col("q_id"), col("doc_id"),
+        (col("ov").cast(DoubleType) /
+          (col("nq") + col("nc") - col("ov")).cast(DoubleType)).as("jac"))
+    val wl = Window.partitionBy(col("q_id")).orderBy(col("jac").desc, col("doc_id"))
+    val lex = jac.withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= 20)
+      .select(col("q_id"), col("doc_id").as("cand_id"), col("lex_rank"))
+    // vector arm: brute-force cosine, the 3 query vectors broadcast
+    val e = withVec(Tables.embeddings(s, d))
+    val qv = e.join(broadcast(qids), e("vec_id") === qids("q_id"))
+      .select(col("q_id"), col("emb_d").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("n_id"), col("emb_d").as("ne"),
+      col("nrm").as("nn"))
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    val vec = broadcast(qv).join(c, col("q_id") =!= col("n_id"))
+      .withColumn("cos", pairCos(col("qe"), col("ne"), col("qn"), col("nn")))
+      .withColumn("vec_rank", row_number().over(wv))
+      .filter(col("vec_rank") <= 20)
+      .select(col("q_id"), col("n_id").as("cand_id"), col("vec_rank"))
+    // reciprocal-rank fusion over the full-outer arm union
+    val fused = lex.join(vec, Seq("q_id", "cand_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast(DoubleType)), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast(DoubleType)), lit(0.0)))
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("cand_id"))
+    fused.withColumn("rank", row_number().over(wf).cast(IntegerType))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("cand_id"),
+        coalesce(col("lex_rank"), lit(-1)).cast(IntegerType).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(-1)).cast(IntegerType).as("vec_rank"),
+        col("rrf"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** C3 baseline: brute-force cosine top-10 for a fixed-size query sample. */
   def simTopk(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
@@ -713,6 +773,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_topk" -> (simTopk _),
+    "search_hybrid_rrf" -> (searchHybridRrf _),
     "sim_topk_agg" -> (simTopkAgg _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
@@ -818,6 +879,57 @@ object Similarity {
          |  SELECT q_id, n_id, adc, row_number() OVER (PARTITION BY q_id
          |    ORDER BY adc DESC, n_id) AS rank FROM pqs)
          |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+    },
+    // both arms replayed with identical arithmetic; the fusion is a full
+    // outer join so arm-coverage asymmetry (sf0.1: 5k docs vs 2k
+    // embeddings) is part of the gate
+    "search_hybrid_rrf" -> {
+      val cos = Sql.cosineD("qv.qe", "e.emb")
+      s"""WITH qids(q_id) AS (VALUES (7), (42), (137)),
+         |tok0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |         FROM documents),
+         |dtok AS (SELECT DISTINCT doc_id, term FROM tok0),
+         |nc AS (SELECT doc_id, count(*) AS nc FROM dtok GROUP BY doc_id),
+         |qtok AS (SELECT q_id, term FROM dtok JOIN qids ON doc_id = q_id),
+         |nq AS (SELECT q_id, count(*) AS nq FROM qtok GROUP BY q_id),
+         |ov AS (SELECT q_id, doc_id, count(*) AS ov
+         |       FROM dtok JOIN qtok USING (term) WHERE doc_id <> q_id
+         |       GROUP BY q_id, doc_id),
+         |jac AS (SELECT q_id, doc_id,
+         |          CAST(ov AS DOUBLE) / CAST(nq + nc - ov AS DOUBLE) AS jac
+         |        FROM ov JOIN nq USING (q_id) JOIN nc USING (doc_id)),
+         |lexr AS (SELECT q_id, doc_id AS cand_id, jac,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY jac DESC, doc_id) AS lex_rank
+         |         FROM jac),
+         |lex AS (SELECT q_id, cand_id, lex_rank FROM lexr WHERE lex_rank <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |qv AS (SELECT q_id, emb AS qe FROM e JOIN qids ON vec_id = q_id),
+         |cs AS (SELECT qv.q_id, e.vec_id AS cand_id, $cos AS cos
+         |       FROM qv JOIN e ON e.vec_id <> qv.q_id),
+         |vecr AS (SELECT q_id, cand_id, cos,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY cos DESC, cand_id) AS vec_rank
+         |         FROM cs),
+         |vec AS (SELECT q_id, cand_id, vec_rank FROM vecr WHERE vec_rank <= 20),
+         |f AS (SELECT coalesce(lex.q_id, vec.q_id) AS q_id,
+         |        coalesce(lex.cand_id, vec.cand_id) AS cand_id,
+         |        lex_rank, vec_rank
+         |      FROM lex FULL OUTER JOIN vec
+         |        ON lex.q_id = vec.q_id AND lex.cand_id = vec.cand_id),
+         |rr AS (SELECT q_id, cand_id, lex_rank, vec_rank,
+         |         coalesce(1.0 / (60.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+         |           + coalesce(1.0 / (60.0 + CAST(vec_rank AS DOUBLE)), 0.0) AS rrf
+         |       FROM f),
+         |rk AS (SELECT q_id, cand_id, lex_rank, vec_rank, rrf,
+         |         row_number() OVER (PARTITION BY q_id
+         |                            ORDER BY rrf DESC, cand_id) AS rank
+         |       FROM rr)
+         |SELECT CAST(q_id AS BIGINT) AS q_id, CAST(rank AS INTEGER) AS rank,
+         |  cand_id, CAST(coalesce(lex_rank, -1) AS INTEGER) AS lex_rank,
+         |  CAST(coalesce(vec_rank, -1) AS INTEGER) AS vec_rank, rrf
+         |FROM rk WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin
     },
     "sim_topk" -> {
       val cos = Sql.cosineD("q.qe", "c.ne")
