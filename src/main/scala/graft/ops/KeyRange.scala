@@ -665,6 +665,43 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A9 × A7-DSv2 judged: SCHEMA EVOLUTION on the kv connector — plain
+    * SQL `ALTER TABLE … ADD COLUMN` through the TableCatalog republishes
+    * the manifest under the widened schema (pure metadata: no committed
+    * file is rewritten), and reads null-fill the new column for every row
+    * written under the earlier schema — the parquet/Iceberg add-column
+    * contract. The judged frame mixes pre- and post-evolution rows and
+    * aggregates the evolved column (count of non-nulls pins the
+    * null-fill; the sum pins the new rows' values); the oracle replays
+    * both generations relationally. */
+  def kvSchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_evolve"
+    // a prior run's evolved 3-column manifest would otherwise be the
+    // authoritative schema for the freshly-created 2-column table
+    val tmpDir = new java.io.File(tmp)
+    Option(tmpDir.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
+    tmpDir.delete(): Unit
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_ev")
+    s.sql("CREATE TABLE graft.kvq.orders_ev (o_orderkey BIGINT, " +
+      "o_orderstatus STRING) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_ev_v")
+    s.sql("INSERT OVERWRITE graft.kvq.orders_ev " +
+      "SELECT o_orderkey, o_orderstatus FROM orders_ev_v " +
+      "WHERE o_orderkey % 4 = 3")
+    s.sql("ALTER TABLE graft.kvq.orders_ev ADD COLUMN o_totalprice DOUBLE")
+    s.sql("INSERT INTO graft.kvq.orders_ev " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_ev_v " +
+      "WHERE o_orderkey % 4 = 0")
+    s.table("graft.kvq.orders_ev")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        count(col("o_totalprice")).as("priced"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A8 × A7-DSv2 judged: SQL TIME TRAVEL through the TableCatalog —
     * `SELECT … FROM graft.ns.t VERSION AS OF n` resolved by the catalog's
     * version-aware loadTable to an epoch-pinned read-only table (pure
@@ -1163,6 +1200,7 @@ object KeyRange {
     "kv_mor_dml" -> (kvMorDml _),
     "kv_changefeed" -> (kvChangefeed _),
     "kv_cdc_stream" -> (kvCdcStream _),
+    "kv_schema_evolution" -> (kvSchemaEvolution _),
     "mv_cdc_maintain" -> (mvCdcMaintain _),
     "kv_replicate" -> (kvReplicate _),
     "kv_version_asof" -> (kvVersionAsof _),
@@ -1226,6 +1264,21 @@ object KeyRange {
         |   OR NOT (a.o_orderstatus = b.o_orderstatus
         |           AND a.o_totalprice = b.o_totalprice)
         |ORDER BY op, o_orderkey""".stripMargin,
+    // both schema generations replayed relationally: pre-evolution rows
+    // carry NULL for the added column (count(col) pins the null-fill)
+    "kv_schema_evolution" ->
+      """WITH old AS (SELECT o_orderkey, o_orderstatus,
+        |               CAST(NULL AS DOUBLE) AS o_totalprice
+        |             FROM orders WHERE o_orderkey % 4 = 3),
+        |new AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |        FROM orders WHERE o_orderkey % 4 = 0),
+        |u AS (SELECT * FROM old UNION ALL SELECT * FROM new)
+        |SELECT o_orderstatus, count(*) AS cnt,
+        |  count(o_totalprice) AS priced,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM u GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the maintained streaming aggregate must equal a direct aggregate of
     // the table's final state: signed change records telescope (+x then
     // -x cancels exactly in decimal arithmetic)

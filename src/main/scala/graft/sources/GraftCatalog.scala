@@ -207,9 +207,48 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = Ddl.dsv2Drop(key(ident))
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog tables are immutable metadata; DROP and re-CREATE")
+  /** SCHEMA EVOLUTION: `ALTER TABLE graft.ns.t ADD COLUMN c T` on kv
+    * tables — columns APPEND (rows are positional TSV, so existing
+    * columns cannot move), the manifest republishes under the widened
+    * schema (pure metadata — no file rewritten), and readers null-fill
+    * the new column for rows written under any earlier schema. Every
+    * other ALTER shape refuses loudly, as does any ALTER on generated
+    * (graft_range) tables. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = Ddl.dsv2Get(key(ident)).getOrElse(
+      throw new NoSuchTableException(ident))
+    if (d.provider != "graft_kv")
+      throw new UnsupportedOperationException(
+        s"${d.provider} tables are immutable metadata; DROP and re-CREATE")
+    val cur = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
+    val next = changes.foldLeft(cur) { (sch, ch) =>
+      ch match {
+        case a: TableChange.AddColumn =>
+          require(a.fieldNames.length == 1,
+            "graft_kv: only top-level columns can be added")
+          require(a.position() == null,
+            "graft_kv: new columns append at the end (rows are positional)")
+          val name = a.fieldNames()(0)
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"graft_kv: column '$name' already exists")
+          require(a.isNullable,
+            "graft_kv: added columns must be nullable (existing rows have " +
+              "no value for them)")
+          sch.add(org.apache.spark.sql.types.StructField(
+            name, a.dataType(), nullable = true))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"graft_kv: unsupported ALTER $other — only ADD COLUMN evolves " +
+              "the schema (columns are positional; drop/rename/retype " +
+              "would re-interpret committed rows)")
+      }
+    }
+    // the manifest is the authoritative schema once data exists — evolve
+    // it first, then the catalog entry (bootstrap schema for empty tables)
+    d.options.get("path").foreach(p => GraftKvSink.evolveSchema(p, next))
+    Ddl.dsv2Put(d.copy(schemaJson = next.json))
+    loadTable(ident)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val d = Ddl.dsv2Get(key(oldIdent)).getOrElse(

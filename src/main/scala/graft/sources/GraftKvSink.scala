@@ -462,6 +462,53 @@ object GraftKvSink {
   def retainedFiles(dir: String): Seq[String] =
     readManifest(manifestPath(dir)).removed.map(_.name)
 
+  /** The schema a COMMIT publishes: the writer's schema merged with the
+    * prior manifest's. A write must never narrow what history already
+    * established — an INSERT of all-non-null values carries
+    * nullable=false column types, but rows written BEFORE a column was
+    * added read as null, so the evolved column must stay nullable or
+    * Spark's codegen reads the null as 0/''. Fields merge by position
+    * (names/types must agree on the common prefix — guaranteed by the
+    * write path's schema checks); the longer side contributes its tail. */
+  private[sources] def publishSchema(dir: String, writer: StructType): StructType = {
+    val mf = manifestPath(dir)
+    if (!Files.exists(mf)) return writer
+    val prior = readManifest(mf).schema
+    val (longer, shorter) =
+      if (prior.length >= writer.length) (prior, writer) else (writer, prior)
+    val compatible = shorter.fields.zip(longer.fields).forall { case (a, b) =>
+      a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
+    if (!compatible) writer
+    else StructType(longer.fields.zipWithIndex.map { case (f, i) =>
+      if (i < shorter.length)
+        f.copy(nullable = f.nullable || shorter.fields(i).nullable)
+      else f
+    })
+  }
+
+  /** SCHEMA EVOLUTION (ALTER TABLE … ADD COLUMN): republish the manifest
+    * under the widened schema — pure metadata, no file rewritten. The new
+    * schema must extend the current one by appending columns (rows are
+    * positional TSV, so existing columns cannot move); readers null-fill
+    * the appended columns for rows written under any earlier schema, the
+    * parquet/Iceberg add-column contract. Stats, blooms, deltas, retained
+    * history and both fences carry over verbatim — old files simply have
+    * no stats for the new columns, which every pruning/pushdown path
+    * already treats as "unknown, keep". */
+  private[sources] def evolveSchema(dir: String, next: StructType): Unit = {
+    val mf = manifestPath(dir)
+    if (!Files.exists(mf)) return // first write will publish `next` itself
+    val m = readManifest(mf)
+    val cur = m.schema
+    require(next.length >= cur.length &&
+      cur.fields.zip(next.fields).forall { case (a, b) =>
+        a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType },
+      s"graft_kv: schema evolution must append columns; cannot go from " +
+        s"${cur.simpleString} to ${next.simpleString}")
+    writeManifest(dir, next, m.files, m.compactedUpTo, m.stats, m.blooms,
+      m.deltas, m.removed, m.rewrittenUpTo)
+  }
+
   /** The CDC read schema: data columns plus the change kind and the epoch
     * that committed it (Delta CDF's `_change_type`/`_commit_version`
     * shape). */
@@ -1253,7 +1300,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
           val n = p.getFileName.toString
           n.startsWith(s"epoch-$epochId-") && n.endsWith(".tmp")
         }.foreach(Files.delete)
-      GraftKvSink.writeManifest(dir, schema,
+      GraftKvSink.writeManifest(dir, GraftKvSink.publishSchema(dir, schema),
         prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo,
         priorStats ++ committed.collect {
           case m if m.stats.nonEmpty => m.finalName -> m.stats
@@ -1392,7 +1439,11 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
           Seq.empty[GraftKvSink.DeltaFile],
           Seq.empty[GraftKvSink.RemovedFile], -1L)
       }
-    GraftKvSink.writeManifest(dir, schema,
+    // an overwrite redefines the schema outright; every other commit
+    // merges with the manifest's (evolved nullability must not narrow)
+    GraftKvSink.writeManifest(dir,
+      if (replace && replaceFiles.isEmpty) schema
+      else GraftKvSink.publishSchema(dir, schema),
       prior ++ committed.map(m => (m.finalName, m.rows)), priorUpTo,
       priorStats ++ committed.collect {
         case m if m.stats.nonEmpty => m.finalName -> m.stats
@@ -1897,6 +1948,9 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
             else if (srcIdx(o) == -2) pos
             else if (srcIdx(o) == -3) UTF8String.fromString(fp.changeType)
             else if (srcIdx(o) == -4) fp.commitEpoch
+            else if (srcIdx(o) >= parts.length) null // schema-evolved
+            // column appended after this row was written: null-fill (the
+            // add-column contract — old rows have no value)
             else {
               val v = parts(srcIdx(o))
               if (v == "\\N") null

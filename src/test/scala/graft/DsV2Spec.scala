@@ -396,6 +396,67 @@ class DsV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.cf")
   }
 
+  test("ADD COLUMN evolves the kv schema; old rows null-fill; other ALTERs refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_ev").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.ev")
+    spark.sql(s"CREATE TABLE graft.rlspec.ev (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    try {
+      spark.sql("INSERT INTO graft.rlspec.ev VALUES (1, 'a'), (2, 'b')")
+      spark.sql("ALTER TABLE graft.rlspec.ev ADD COLUMN v DOUBLE")
+      // the widened schema is visible, no data file was rewritten
+      assert(spark.table("graft.rlspec.ev").columns.toSeq ==
+        Seq("id", "s", "v"))
+      spark.sql("INSERT INTO graft.rlspec.ev VALUES (3, 'c', 1.5)")
+      val rows = spark.table("graft.rlspec.ev")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))))
+        .toSet
+      assert(rows == Set((1L, "a", null), (2L, "b", null),
+        (3L, "c", java.lang.Double.valueOf(1.5))), rows)
+      // filters and projection on the evolved column work across both
+      // generations (old files have no stats for v — pruning keeps them)
+      assert(spark.table("graft.rlspec.ev").where("v > 1.0")
+        .select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+      assert(spark.table("graft.rlspec.ev").where("v IS NULL")
+        .count() == 2L)
+      // COUNT stays manifest-answered after evolution; MIN of the evolved
+      // column must NOT be (old files carry no stats for it)
+      val cnt = spark.table("graft.rlspec.ev")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)))
+      assert(cnt.queryExecution.executedPlan.toString
+        .contains("manifest row counts"))
+      assert(cnt.head().getLong(0) == 3L)
+      val mn = spark.table("graft.rlspec.ev")
+        .agg(org.apache.spark.sql.functions.min("v"))
+      assert(!mn.queryExecution.executedPlan.toString
+        .contains("manifest row counts"))
+      assert(mn.head().getDouble(0) == 1.5)
+      // row-level DML still works across generations
+      spark.sql("UPDATE graft.rlspec.ev SET v = 9.0 WHERE id = 1")
+      assert(spark.table("graft.rlspec.ev").where("v = 9.0")
+        .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+      // refusals: drop/rename/retype, duplicate add, NOT NULL add
+      Seq("ALTER TABLE graft.rlspec.ev DROP COLUMN s",
+        "ALTER TABLE graft.rlspec.ev RENAME COLUMN s TO t",
+        "ALTER TABLE graft.rlspec.ev ADD COLUMN v INT",
+        "ALTER TABLE graft.rlspec.ev ADD COLUMN w INT NOT NULL")
+        .foreach { stmt =>
+          intercept[Exception] { spark.sql(stmt) }; ()
+        }
+      // generated tables stay immutable
+      spark.sql("DROP TABLE IF EXISTS graft.rlspec.gen")
+      spark.sql("CREATE TABLE graft.rlspec.gen USING graft_range " +
+        "OPTIONS (rows '10', slices '2')")
+      val gen = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.rlspec.gen ADD COLUMN x INT") }
+      assert(gen.getMessage.contains("immutable"), gen.getMessage)
+      spark.sql("DROP TABLE graft.rlspec.gen")
+    } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.ev")
+  }
+
   test("SQL VERSION AS OF reads epoch boundary states; TIMESTAMP AS OF and bad versions refuse") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_tt").toString
