@@ -34,13 +34,7 @@ object Events {
     * MemoryStream, which capped them at driver memory. */
   private def writeFeedEpoch(s: SparkSession, d: String, feed: String,
       k: Int, cols: Seq[org.apache.spark.sql.Column]): Unit =
-    Tables.events(s, d).select(cols: _*)
-      .filter(col("event_id") % 3 === k)
-      .write.format("graft.sources.GraftKvSink")
-      .option("path", feed).option("epoch", k.toString)
-      .mode(if (k == 0) org.apache.spark.sql.SaveMode.Overwrite
-            else org.apache.spark.sql.SaveMode.Append)
-      .save()
+    writeFeedEpochWhere(s, d, feed, k, cols, col("event_id") % 3 === k)
 
   /** [[writeFeedEpoch]] with an arbitrary chunk predicate — for feeds
     * whose epochs must OVERLAP (the streaming-dedup fixture publishes each

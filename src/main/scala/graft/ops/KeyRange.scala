@@ -27,6 +27,17 @@ object KeyRange {
     dir.toString
   }
 
+  /** Reset a scratch path (kv table dirs, stream checkpoints) so repeat
+    * runs in one JVM start from no history — recursive, so checkpoint
+    * subtrees (offsets/, commits/) and any future layout go too. */
+  private def clearDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
   /** A2: composite-rowkey range scan (l_orderkey, l_linenumber) — the filter
     * reaches the parquet scan as PushedFilters on the leading key column. */
   def keyrangeScan(s: SparkSession, d: String): DataFrame =
@@ -515,8 +526,8 @@ object KeyRange {
       "WHERE o_orderkey % 4 = 0")
     val sink = "graft_kv_cdcs_sink"
     s.catalog.dropTempView(sink)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get(scratch), "cdcs_ck")
+    val ckpt = s"$scratch/cdcs_ck"
+    clearDir(ckpt)
     val q = s.readStream.format("graft.sources.GraftKvSink")
       .option("path", tmp).option("readChangeFeed", "true").load()
       .writeStream.format("memory").queryName(sink).outputMode("append")
@@ -563,8 +574,8 @@ object KeyRange {
       "WHERE o_orderkey % 4 = 1")
     val sink = "graft_mv_cdc_sink"
     s.catalog.dropTempView(sink)
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get(scratch), "mvcdc_ck")
+    val ckpt = s"$scratch/mvcdc_ck"
+    clearDir(ckpt)
     val signed = when(col("_change_type") === "insert", lit(1L))
       .otherwise(lit(-1L))
     val q = s.readStream.format("graft.sources.GraftKvSink")
@@ -572,8 +583,7 @@ object KeyRange {
       .groupBy(col("o_orderstatus"))
       .agg(sum(signed).as("cnt"),
         sum(signed * col("o_orderkey")).as("key_sum"),
-        sum((signed.cast("double") * col("o_totalprice"))
-          .cast(M)).cast("double").as("total"))
+        sumS(signed.cast("double") * col("o_totalprice")).as("total"))
       .writeStream.format("memory").queryName(sink).outputMode("complete")
       .option("checkpointLocation", ckpt.toString)
       .start()
@@ -619,16 +629,20 @@ object KeyRange {
     s.sql("INSERT OVERWRITE graft.kvq.orders_repl_tgt " +
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_repl_v " +
       "WHERE 1 = 0")
-    val ckpt = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get(scratch), "repl_ck")
+    val ckpt = s"$scratch/repl_ck"
+    clearDir(ckpt)
     val q = s.readStream.format("graft.sources.GraftKvSink")
       .option("path", srcP).option("readChangeFeed", "true").load()
       .writeStream
       .option("checkpointLocation", ckpt.toString)
-      .foreachBatch { (df: DataFrame, _: Long) =>
+      .foreachBatch { (df0: DataFrame, _: Long) =>
         // the batch frame is bound to the stream's CLONED session — run
-        // the apply statements there so the temp view resolves
-        val sb = df.sparkSession
+        // the apply statements there so the temp view resolves. Persist:
+        // the epoch collect plus each epoch's MERGE and INSERT would
+        // otherwise re-read the change files once per statement.
+        val sb = df0.sparkSession
+        val df = df0.persist()
+        try {
         // epochs in commit order; the per-batch epoch count is bounded by
         // the trigger's admission, never by table size
         val epochs = df.select(col("_commit_epoch")).distinct()
@@ -646,7 +660,7 @@ object KeyRange {
             "SELECT o_orderkey, o_orderstatus, o_totalprice " +
             "FROM graft_repl_batch WHERE _change_type = 'insert'")
         }
-        ()
+        } finally { df.unpersist(); () }
       }
       .start()
     try {
@@ -678,9 +692,7 @@ object KeyRange {
     val tmp = s"$scratch/kv_evolve"
     // a prior run's evolved 3-column manifest would otherwise be the
     // authoritative schema for the freshly-created 2-column table
-    val tmpDir = new java.io.File(tmp)
-    Option(tmpDir.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
-    tmpDir.delete(): Unit
+    clearDir(tmp)
     s.sql("DROP TABLE IF EXISTS graft.kvq.orders_ev")
     s.sql("CREATE TABLE graft.kvq.orders_ev (o_orderkey BIGINT, " +
       "o_orderstatus STRING) " +
@@ -715,9 +727,7 @@ object KeyRange {
     val tmp = s"$scratch/kv_tt"
     // explicit-epoch appends restart at 1, so a prior run's manifest (with
     // its rewrite boundary at 3) must not linger — clear the path outright
-    val tmpDir = new java.io.File(tmp)
-    Option(tmpDir.listFiles()).foreach(_.foreach(f => f.delete(): Unit))
-    tmpDir.delete(): Unit
+    clearDir(tmp)
     s.sql("DROP TABLE IF EXISTS graft.kvq.orders_tt")
     s.sql("CREATE TABLE graft.kvq.orders_tt (o_orderkey BIGINT, " +
       "o_orderstatus STRING, o_totalprice DOUBLE) " +

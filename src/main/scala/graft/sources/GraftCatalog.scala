@@ -234,6 +234,11 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
           require(a.isNullable,
             "graft_kv: added columns must be nullable (existing rows have " +
               "no value for them)")
+          // same type gate as CREATE TABLE — an unsupported type in the
+          // manifest would fail every later scan and insert, unrepairably
+          require(GraftKvSink.supported(a.dataType()),
+            s"graft_kv: unsupported column type " +
+              s"${a.dataType().simpleString} for '$name'")
           sch.add(org.apache.spark.sql.types.StructField(
             name, a.dataType(), nullable = true))
         case other =>

@@ -462,6 +462,28 @@ object GraftKvSink {
   def retainedFiles(dir: String): Seq[String] =
     readManifest(manifestPath(dir)).removed.map(_.name)
 
+  /** The one asOfEpoch answerability fence, shared by the data scan and
+    * the manifest-only aggregate scan: an epoch below compacted history is
+    * unanswerable (its files were merged/vacuumed), and an epoch ABOVE
+    * the newest committed epoch is not a version at all — answering it
+    * with the current state would be a "pinned" read that silently moves
+    * as epochs land (Delta/Iceberg raise VERSION_NOT_FOUND here). */
+  private[sources] def requireAnswerableEpoch(m: Manifest, n: Long): Unit = {
+    require(m.compactedUpTo < 0L || n >= m.compactedUpTo,
+      s"graft_kv: asOfEpoch=$n predates compacted history " +
+        s"(epochs <= ${m.compactedUpTo} were vacuumed)")
+    // the newest committed epoch can live only in the fences: a DML that
+    // emptied every affected file publishes no replacement (epoch 3 is
+    // then just rewrittenUpTo=3), and vacuum folds it into compactedUpTo
+    val head = (m.files.map(f => epochOf(f._1)) ++
+      m.deltas.map(d => epochOf(d.name)) ++
+      m.removed.map(_.removedAt) ++
+      Seq(m.rewrittenUpTo, m.compactedUpTo)).max.max(0L)
+    require(n <= head,
+      s"graft_kv: asOfEpoch=$n is beyond the newest committed epoch " +
+        s"$head — version not found")
+  }
+
   /** The schema a COMMIT publishes: the writer's schema merged with the
     * prior manifest's. A write must never narrow what history already
     * established — an INSERT of all-non-null values carries
@@ -478,8 +500,13 @@ object GraftKvSink {
       if (prior.length >= writer.length) (prior, writer) else (writer, prior)
     val compatible = shorter.fields.zip(longer.fields).forall { case (a, b) =>
       a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
-    if (!compatible) writer
-    else StructType(longer.fields.zipWithIndex.map { case (f, i) =>
+    // adopting the writer schema here would silently re-interpret (or
+    // drop) committed columns — refuse; only an OVERWRITE redefines
+    require(compatible,
+      s"graft_kv: append schema ${writer.simpleString} is incompatible " +
+        s"with the table's ${prior.simpleString}; use overwrite to " +
+        "redefine the table, or ALTER TABLE ADD COLUMN to evolve it")
+    StructType(longer.fields.zipWithIndex.map { case (f, i) =>
       if (i < shorter.length)
         f.copy(nullable = f.nullable || shorter.fields(i).nullable)
       else f
@@ -1124,11 +1151,7 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
     specs: Seq[(String, StructField)],
     manifest: GraftKvSink.Manifest)
   extends Scan with Batch {
-  asOfEpoch.foreach { e =>
-    require(manifest.compactedUpTo < 0L || e >= manifest.compactedUpTo,
-      s"graft_kv: asOfEpoch=$e predates compacted history " +
-        s"(epochs <= ${manifest.compactedUpTo} were vacuumed)")
-  }
+  asOfEpoch.foreach(GraftKvSink.requireAnswerableEpoch(manifest, _))
   private val visible = manifest.visibleFilesAt(asOfEpoch)
   // visible merge-on-read deltas adjust COUNT only (min/max were already
   // declined at pushdown when any delta is visible)
@@ -1583,12 +1606,9 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     // reader factory must emit exactly what this scan advertises
     new GraftKvMicroBatchStream(dir, Some(readSchema()), maxEpochs, changeFeed)
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
-  // vacuumed history is unanswerable — error, never partial rows
-  asOfEpoch.foreach { n =>
-    require(manifest.compactedUpTo < 0L || n >= manifest.compactedUpTo,
-      s"graft_kv: asOfEpoch=$n predates compacted history " +
-        s"(epochs <= ${manifest.compactedUpTo} were vacuumed)")
-  }
+  // vacuumed history and never-committed epochs are unanswerable — error,
+  // never partial rows or a silently-moving "pinned" state
+  asOfEpoch.foreach(GraftKvSink.requireAnswerableEpoch(manifest, _))
   // boundary-state visibility (one definition: Manifest.visibleFilesAt) —
   // includes CoW-superseded files whose retention window covers the epoch,
   // so every pre-DML boundary state reconstructs exactly until vacuum
@@ -1778,27 +1798,29 @@ final class GraftKvMicroBatchStream(dir: String,
     val mf = GraftKvSink.manifestPath(dir)
     if (!Files.exists(mf)) None else Some(GraftKvSink.readManifest(mf))
   }
-  private def files: Seq[(String, Long)] = manifestOpt match {
-    case None => Seq.empty
-    case Some(m) =>
-      // merge-on-read deltas cannot be represented in an append-only
-      // micro-batch replay (a position-delete is a retraction): surfacing
-      // only the insert half — or ignoring the delta entirely — would be
-      // SILENTLY wrong, so a SNAPSHOT stream fails loudly until a
-      // compaction folds the deltas in. A CDC stream represents them
-      // exactly (deletes are change records) and reads on.
-      require(changeFeed || m.deltas.isEmpty,
-        s"graft_kv: streaming read of $dir with merge-on-read delta files " +
-          "present — deletes cannot replay as appends; compact first, or " +
-          "read the stream with readChangeFeed=true")
-      m.files
-  }
+  private def filesOf(mo: Option[GraftKvSink.Manifest]): Seq[(String, Long)] =
+    mo match {
+      case None => Seq.empty
+      case Some(m) =>
+        // merge-on-read deltas cannot be represented in an append-only
+        // micro-batch replay (a position-delete is a retraction): surfacing
+        // only the insert half — or ignoring the delta entirely — would be
+        // SILENTLY wrong, so a SNAPSHOT stream fails loudly until a
+        // compaction folds the deltas in. A CDC stream represents them
+        // exactly (deletes are change records) and reads on.
+        require(changeFeed || m.deltas.isEmpty,
+          s"graft_kv: streaming read of $dir with merge-on-read delta files " +
+            "present — deletes cannot replay as appends; compact first, or " +
+            "read the stream with readChangeFeed=true")
+        m.files
+    }
+  private def files: Seq[(String, Long)] = filesOf(manifestOpt)
   /** Newest epoch with anything to say: data files, and in CDC mode also
     * delta files — a DELETE-only epoch publishes no data file, but its
-    * change records must still advance the stream. */
+    * change records must still advance the stream. One manifest read. */
   private def headEpoch: Long = {
     val m = manifestOpt
-    val dataHead = files.map(f => epochOf(f._1)).maxOption.getOrElse(-1L)
+    val dataHead = filesOf(m).map(f => epochOf(f._1)).maxOption.getOrElse(-1L)
     if (!changeFeed) dataHead
     else math.max(dataHead, m.map(_.deltas.map(d => epochOf(d.name)))
       .getOrElse(Nil).maxOption.getOrElse(-1L))

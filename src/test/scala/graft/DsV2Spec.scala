@@ -480,6 +480,11 @@ class DsV2Spec extends SparkSpec {
       assert(at(2L) == Set(1L, 2L))
       assert(spark.table("graft.rlspec.tt")
         .collect().map(_.getLong(0)).toSet == Set(2L))
+      // a version no commit ever produced is NOT the current state — it
+      // would silently "move" as epochs land; refuse like Delta/Iceberg
+      val nf = intercept[Exception] { spark.sql(
+        "SELECT * FROM graft.rlspec.tt VERSION AS OF 99").collect() }
+      assert(nf.getMessage.contains("version not found"), nf.getMessage)
       // epochs are not wall-clock: TIMESTAMP AS OF refuses loudly
       val ts = intercept[Exception] { spark.sql(
         "SELECT * FROM graft.rlspec.tt TIMESTAMP AS OF '2026-01-01'").collect() }
