@@ -478,6 +478,10 @@ object Ddl {
   // data files and later snapshots stay on disk (a second RESTORE forward
   // is impossible by design: the log IS the state).
   private val ShowVersionsRe = s"""(?is)\\s*SHOW\\s+VERSIONS\\s+($Id)\\s*""".r
+  // kv catalog tables are referenced catalog-qualified (graft.ns.t) — up
+  // to two dots, wider than $Id
+  private val DescHistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+((?:\w+\.){0,2}\w+)\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Id)\\s+TO\\s+VERSION\\s+(\\d+)\\s*""".r
   // MERGE INTO <t> USING (<select>) [AS] s ON <key equality> WHEN MATCHED
@@ -974,6 +978,9 @@ object Ddl {
     Seq("stat" -> StringType, "value" -> StringType)
   private val versionsCols: Seq[(String, DataType)] =
     Seq("version" -> IntegerType, "op" -> StringType, "detail" -> StringType)
+  private val historyCols: Seq[(String, DataType)] =
+    Seq("version" -> LongType, "operation" -> StringType,
+      "rows_added" -> LongType, "rows_deleted" -> LongType)
   private val indexesCols: Seq[(String, DataType)] =
     Seq("index" -> StringType, "source" -> StringType, "col" -> StringType,
       "stale" -> BooleanType)
@@ -1061,6 +1068,7 @@ object Ddl {
     case MergeGenRe(n, _, _, _, _, _, _) if lookup(n).isDefined => Some(statusCols)
     case CreateMvRe(_*)                              => Some(statusCols)
     case ShowVersionsRe(n) if lookup(n).isDefined    => Some(versionsCols)
+    case DescHistoryRe(n) if kvTableFor(n).isDefined => Some(historyCols)
     case RestoreRe(n, _) if lookup(n).isDefined      => Some(statusCols)
     case RefreshMvRe(n) if mvNamed(n).isDefined      => Some(statusCols)
     case DropMvRe(n) if mvNamed(n).isDefined         => Some(statusCols)
@@ -1078,6 +1086,16 @@ object Ddl {
   private def lookupOrThrow(name: String): KeyedTable =
     lookup(name).getOrElse(
       throw new IllegalArgumentException(s"unknown keyed table: $name"))
+
+  /** DESCRIBE HISTORY resolution: a kv CONNECTOR table referenced either
+    * catalog-qualified (`graft.ns.t`) or bare (`ns.t`). Keyed tables have
+    * their own statement (SHOW VERSIONS — the mutation log). */
+  private def kvTableFor(name: String): Option[Dsv2Def] = {
+    val key =
+      if (name.toLowerCase.startsWith("graft.")) name.substring("graft.".length)
+      else name
+    dsv2Get(key).filter(_.provider == "graft_kv")
+  }
 
   /** MV lookup that sees the PERSISTED catalog too (like [[lookup]] for
     * tables) — a fresh process must route REFRESH/DROP MATERIALIZED VIEW
@@ -1496,6 +1514,15 @@ object Ddl {
           (i + 1, m.op, Seq(m.a, m.b).filter(_.nonEmpty).mkString(" "))
         }
         rows.toDF("version", "op", "detail")
+      case DescHistoryRe(name) =>
+        // kv connector tables: the epoch commit log, derived from the
+        // manifest (keyed tables have SHOW VERSIONS — the mutation log)
+        val d = kvTableFor(name).getOrElse(throw new IllegalArgumentException(
+          s"unknown kv table: $name"))
+        val path = d.options.getOrElse("path", throw new IllegalStateException(
+          s"kv table $name lacks a path option"))
+        graft.sources.GraftKvSink.history(path)
+          .toDF("version", "operation", "rows_added", "rows_deleted")
       case RestoreRe(name, verStr) =>
         val t = lookupOrThrow(name)
         val v = verStr.toInt

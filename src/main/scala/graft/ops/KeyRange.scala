@@ -679,6 +679,36 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A8 × A11 judged: DESCRIBE HISTORY — the kv table's commit log
+    * derived purely from the manifest (no data file opened): one row per
+    * epoch with its operation kind and row deltas. The fixture publishes
+    * two explicit append epochs then two merge-on-read DML statements
+    * (DELETE, UPDATE) whose deltas' insert/delete record counts are
+    * content-derived — the oracle recomputes every count relationally, so
+    * the history surface is hash-gated, not just listed. The epoch log is
+    * what makes VERSION AS OF discoverable (Delta's DESCRIBE HISTORY
+    * role). */
+  def kvHistory(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_hist"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_hist")
+    s.sql("CREATE TABLE graft.kvq.orders_hist (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp', mor 'true')")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    o.filter(col("o_orderkey") % 3 === 0)
+      .write.format("graft.sources.GraftKvSink").option("path", tmp)
+      .option("epoch", "1").mode(SaveMode.Append).save()
+    o.filter(col("o_orderkey") % 3 === 1)
+      .write.format("graft.sources.GraftKvSink").option("path", tmp)
+      .option("epoch", "2").mode(SaveMode.Append).save()
+    s.sql("DELETE FROM graft.kvq.orders_hist WHERE o_orderkey % 15 = 0")
+    s.sql("UPDATE graft.kvq.orders_hist SET o_totalprice = o_totalprice " +
+      "+ 4.0 WHERE o_orderstatus = 'F'")
+    s.sql("DESCRIBE HISTORY graft.kvq.orders_hist")
+  }
+
   /** A9 × A7-DSv2 judged: SCHEMA EVOLUTION on the kv connector — plain
     * SQL `ALTER TABLE … ADD COLUMN` through the TableCatalog republishes
     * the manifest under the widened schema (pure metadata: no committed
@@ -1210,6 +1240,7 @@ object KeyRange {
     "kv_mor_dml" -> (kvMorDml _),
     "kv_changefeed" -> (kvChangefeed _),
     "kv_cdc_stream" -> (kvCdcStream _),
+    "kv_history" -> (kvHistory _),
     "kv_schema_evolution" -> (kvSchemaEvolution _),
     "mv_cdc_maintain" -> (mvCdcMaintain _),
     "kv_replicate" -> (kvReplicate _),
@@ -1274,6 +1305,24 @@ object KeyRange {
         |   OR NOT (a.o_orderstatus = b.o_orderstatus
         |           AND a.o_totalprice = b.o_totalprice)
         |ORDER BY op, o_orderkey""".stripMargin,
+    // every history row's counts recomputed relationally: appends from
+    // the epoch predicates, delta record counts from the DML predicates
+    // (%15=0 implies %3=0, so the DELETE hits only epoch-1 rows)
+    "kv_history" ->
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st FROM orders
+        |           WHERE o_orderkey % 3 IN (0, 1))
+        |SELECT CAST(1 AS BIGINT) AS version, 'append' AS operation,
+        |  (SELECT count(*) FROM t WHERE k % 3 = 0) AS rows_added,
+        |  CAST(0 AS BIGINT) AS rows_deleted
+        |UNION ALL
+        |SELECT 2, 'append', (SELECT count(*) FROM t WHERE k % 3 = 1), 0
+        |UNION ALL
+        |SELECT 3, 'dml-delta', 0, (SELECT count(*) FROM t WHERE k % 15 = 0)
+        |UNION ALL
+        |SELECT 4, 'dml-delta',
+        |  (SELECT count(*) FROM t WHERE NOT k % 15 = 0 AND st = 'F'),
+        |  (SELECT count(*) FROM t WHERE NOT k % 15 = 0 AND st = 'F')
+        |ORDER BY version""".stripMargin,
     // both schema generations replayed relationally: pre-evolution rows
     // carry NULL for the added column (count(col) pins the null-fill)
     "kv_schema_evolution" ->

@@ -462,6 +462,50 @@ object GraftKvSink {
   def retainedFiles(dir: String): Seq[String] =
     readManifest(manifestPath(dir)).removed.map(_.name)
 
+  /** DESCRIBE HISTORY: the table's commit log DERIVED from the manifest —
+    * one row per epoch, classified by what that epoch published: `append`
+    * (data files), `dml-delta` (a merge-on-read delta: its insert/delete
+    * record counts), `rewrite` (a copy-on-write replace: replacement rows
+    * added, superseded rows deleted — the deleted count degrades to 0
+    * after vacuum reclaims the retained files), `compact` (the merged
+    * boundary file). Pure metadata — no data file is opened; the Delta
+    * DESCRIBE HISTORY discoverability surface for epoch time travel. */
+  def history(dir: String): Seq[(Long, String, Long, Long)] = {
+    val mf = manifestPath(dir)
+    if (!Files.exists(mf)) return Seq.empty
+    val m = readManifest(mf)
+    // a CoW-superseded file still witnesses its ORIGINAL commit (name
+    // keeps the epoch prefix) — count it there, so an append epoch
+    // reports what the commit added, not what later rewrites left visible
+    // (the reconstruction degrades once vacuum reclaims those files)
+    val appends = (m.files ++ m.removed.map(r => (r.name, r.rows)))
+      .groupBy(f => epochOf(f._1))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val removedBy = m.removed.groupBy(_.removedAt)
+      .view.mapValues(_.map(_.rows).sum).toMap
+    val deltas = m.deltas.groupBy(d => epochOf(d.name))
+      .view.mapValues(ds => (ds.map(_.inserts).sum, ds.map(_.deletes).sum))
+      .toMap
+    val epochs = (appends.keys ++ removedBy.keys ++ deltas.keys ++
+      Seq(m.rewrittenUpTo, m.compactedUpTo).filter(_ >= 0L))
+      .toSeq.distinct.sorted
+      // a fence-only epoch strictly inside compacted history has no
+      // physical trace left (its files were merged away) — drop the
+      // would-be all-zero ghost row; the boundary epoch itself stays
+      .filter(e => appends.contains(e) || removedBy.contains(e) ||
+        deltas.contains(e) || e >= m.compactedUpTo)
+    epochs.map { e =>
+      val (dIns, dDel) = deltas.getOrElse(e, (0L, 0L))
+      val op =
+        if (deltas.contains(e)) "dml-delta"
+        else if (removedBy.contains(e) || e == m.rewrittenUpTo) "rewrite"
+        else if (e == m.compactedUpTo) "compact"
+        else "append"
+      (e, op, appends.getOrElse(e, 0L) + dIns,
+        removedBy.getOrElse(e, 0L) + dDel)
+    }
+  }
+
   /** The one asOfEpoch answerability fence, shared by the data scan and
     * the manifest-only aggregate scan: an epoch below compacted history is
     * unanswerable (its files were merged/vacuumed), and an epoch ABOVE

@@ -457,6 +457,56 @@ class DsV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.ev")
   }
 
+  test("DESCRIBE HISTORY classifies append/rewrite/compact epochs from the manifest") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_hist").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.hist")
+    spark.sql(s"CREATE TABLE graft.rlspec.hist (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    try {
+      (0 to 2).foreach { k =>
+        Seq((k.toLong * 10, s"e$k"), (k.toLong * 10 + 1, s"f$k"))
+          .toDF("id", "s").coalesce(1) // one file per epoch: the rewrite
+          // below then supersedes a known 2-row file
+          .write.format("graft.sources.GraftKvSink")
+          .option("path", dir).option("epoch", k.toString)
+          .mode(if (k == 0) "overwrite" else "append").save()
+      }
+      // copy-on-write DELETE rewrites epoch 1's file: 2 superseded rows
+      // out, 1 replacement row back in, at the rewrite epoch 3
+      spark.sql("DELETE FROM graft.rlspec.hist WHERE id = 10")
+      def hist(): Seq[(Long, String, Long, Long)] =
+        spark.sql("DESCRIBE HISTORY graft.rlspec.hist").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .toSeq
+      assert(hist() == Seq(
+        (0L, "append", 2L, 0L), (1L, "append", 2L, 0L),
+        (2L, "append", 2L, 0L), (3L, "rewrite", 1L, 2L)), hist())
+      // vacuum reclaims the retained files: the rewrite epoch stays in the
+      // log (it IS a commit) but its deleted count degrades to 0, and the
+      // fully-superseded epoch-1 commit is no longer reconstructible
+      graft.sources.GraftKvSink.vacuum(dir, graceMs = 0L)
+      assert(hist() == Seq(
+        (0L, "append", 2L, 0L), (2L, "append", 2L, 0L),
+        (3L, "rewrite", 1L, 0L)), hist())
+      // compaction merges everything into the boundary-epoch file; a
+      // boundary that coincides with a rewrite epoch keeps the rewrite
+      // label (the rewrite was the actual commit at that epoch)
+      graft.sources.GraftKvSink.compact(dir, 3L)
+      assert(hist() == Seq((3L, "rewrite", 5L, 0L)), hist())
+      // a pure compaction boundary (no rewrite there) reads "compact"
+      Seq((99L, "z")).toDF("id", "s").coalesce(1)
+        .write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", "4").mode("append").save()
+      graft.sources.GraftKvSink.compact(dir, 4L)
+      assert(hist() == Seq((4L, "compact", 6L, 0L)), hist())
+      // keyed tables are not kv tables: the statement falls through to
+      // Spark's parser and fails to parse (SHOW VERSIONS covers them)
+      intercept[Exception] {
+        spark.sql("DESCRIBE HISTORY no_such_kv_table").collect() }
+    } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.hist")
+  }
+
   test("SQL VERSION AS OF reads epoch boundary states; TIMESTAMP AS OF and bad versions refuse") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_tt").toString
