@@ -348,6 +348,15 @@ object Ddl {
     * (base parquet + replayed mutation log) for a registered table. */
   def viewSqlFor(spark: SparkSession, name: String): Option[String] =
     lookup(name).map(rebuildSql(spark, _))
+  /** Self-contained SQL for a keyed table AT A LOG VERSION — the SQL-side
+    * twin of [[asOf]] (version counts applied mutations; 0 = base), what
+    * the injected parser expands `graft.t VERSION AS OF n` to. */
+  def viewSqlAsOf(spark: SparkSession, name: String, version: Int): Option[String] =
+    lookup(name).map { t =>
+      require(version >= 0 && version <= t.muts.length,
+        s"version $version out of range 0..${t.muts.length} for ${t.name}")
+      rebuildSql(spark, t.copy(muts = t.muts.take(version)))
+    }
   /** Self-contained view SQL for ANY graft-managed object — keyed table
     * (mutation log replayed) or materialized view (snapshot scan). The one
     * resolution both SQL read paths share (the injected parser's reference
@@ -2164,6 +2173,35 @@ object Ddl {
     }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
+  /** A8 judged SQL-surface time travel on a KEYED table: the same
+    * mutation-log versioning as [[ddlTimetravel]], but reached through
+    * plain `SELECT … FROM graft.t VERSION AS OF n` — the injected parser
+    * expands each reference to the replay SQL of that log prefix (zero
+    * copies), so version reads compose with any SQL (here a 4-way UNION
+    * over three boundary states plus the current table in ONE statement).
+    * TIMESTAMP AS OF and out-of-range versions refuse loudly (pinned in
+    * DdlSpec). */
+  def sqlTimetravel(s: SparkSession, d: String): DataFrame = {
+    if (lookup("tt_sql").isDefined) execute(s, "DROP TABLE tt_sql")
+    execute(s, s"CREATE TABLE tt_sql MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
+    execute(s, "INSERT INTO tt_sql VALUES (91, 'tt-sql-new', 8)")
+    execute(s, "DELETE FROM tt_sql WHERE n_regionkey = 1")
+    s.sql(
+      """SELECT 0 AS version, count(*) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM graft.tt_sql VERSION AS OF 0
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(n_nationkey) AS BIGINT)
+        |FROM graft.tt_sql VERSION AS OF 1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT)
+        |FROM graft.tt_sql VERSION AS OF 2
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(n_nationkey) AS BIGINT)
+        |FROM graft.tt_sql
+        |ORDER BY version""".stripMargin)
+  }
+
   /** A8/A6 judged CHANGEFEED round trip: CREATE → INSERT → DELETE → UPDATE,
     * then [[changefeed]] version 0 → 3 — every row the statement sequence
     * touched, labeled insert/delete/update with the correct before/after
@@ -2227,6 +2265,7 @@ object Ddl {
     "ddl_dml" -> (ddlDml _),
     "ddl_merge" -> (ddlMerge _),
     "ddl_timetravel" -> (ddlTimetravel _),
+    "sql_timetravel" -> (sqlTimetravel _),
     "ddl_changefeed" -> (ddlChangefeed _),
     "ddl_visibility" -> (ddlVisibility _),
     "analyze_stats" -> (analyzeStats _))
@@ -2293,6 +2332,22 @@ object Ddl {
         |SELECT 1, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v1
         |UNION ALL
         |SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
+    // the same prefix replay, reached through the SQL VERSION AS OF
+    // surface; version 3 (= current) must equal version 2
+    "sql_timetravel" ->
+      """WITH v1 AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL SELECT 91, 8),
+        |v2 AS (SELECT * FROM v1 WHERE NOT coalesce(n_regionkey = 1, false))
+        |SELECT CAST(0 AS INTEGER) AS version, count(*) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v2
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v2
         |ORDER BY version""".stripMargin,
     // label algebra replayed explicitly: under {pii}, 'pii' and 'pub|pii'
     // pass, 'pii&emea' fails, '' is public; under none, only '' passes

@@ -69,6 +69,36 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     // reference there fails analysis while the same name works at the
     // top level
     else plan.transformUpWithSubqueries {
+      // SQL time travel on KEYED tables: `graft.t VERSION AS OF n` expands
+      // to the replay SQL of the first n mutations — the mutation log IS
+      // the version history, so any prefix is a zero-copy past state
+      // (connector tables fall through: their catalog resolves versions).
+      case tt @ org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation,
+            ts, version)
+          if u.multipartIdentifier.length >= 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+            Ddl.dsv2Get(u.multipartIdentifier.tail.mkString(".")).isEmpty &&
+            Ddl.viewSqlFor(session, u.multipartIdentifier.tail.mkString("."))
+              .isDefined =>
+        val rest = u.multipartIdentifier.tail.mkString(".")
+        require(ts.isEmpty,
+          s"graft: keyed table $rest versions by mutation count, not " +
+            "wall-clock; use VERSION AS OF <n> (SHOW VERSIONS lists them)")
+        val v = version.getOrElse(throw new IllegalArgumentException(
+          s"graft: $rest time travel requires VERSION AS OF <n>"))
+        val n =
+          try Integer.parseInt(v)
+          catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft: VERSION AS OF takes a mutation-log version, got '$v'")
+          }
+        Ddl.viewSqlAsOf(session, rest, n) match {
+          case Some(sql) =>
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              u.multipartIdentifier.last, delegate.parseQuery(sql))
+          case None => tt // unreachable: guarded above
+        }
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.length >= 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("graft") =>

@@ -1332,6 +1332,33 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("SQL VERSION AS OF on keyed tables replays log prefixes; refusals are loud") {
+    if (ops.Ddl.lookup("ttq_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE ttq_t")
+    ops.Ddl.execute(spark,
+      s"CREATE TABLE ttq_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    ops.Ddl.execute(spark, "INSERT INTO ttq_t VALUES (97, 'v', 9)")
+    ops.Ddl.execute(spark, "DELETE FROM ttq_t WHERE n_nationkey = 97")
+    def cnt(suffix: String): Long =
+      spark.sql(s"SELECT count(*) FROM graft.ttq_t $suffix").head().getLong(0)
+    val base = cnt("VERSION AS OF 0")
+    assert(cnt("VERSION AS OF 1") == base + 1)
+    assert(cnt("VERSION AS OF 2") == base)
+    assert(cnt("") == base)
+    // works inside joins/subqueries too (the expansion is a plain subplan)
+    assert(spark.sql(
+      """SELECT count(*) FROM graft.ttq_t VERSION AS OF 1 a
+        |JOIN graft.ttq_t VERSION AS OF 0 b ON a.n_nationkey = b.n_nationkey
+        |""".stripMargin).head().getLong(0) == base)
+    val oob = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ttq_t VERSION AS OF 9").collect() }
+    assert(oob.getMessage.contains("out of range"), oob.getMessage)
+    val ts = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.ttq_t TIMESTAMP AS OF '2026-01-01'")
+        .collect() }
+    assert(ts.getMessage.contains("mutation count"), ts.getMessage)
+    ops.Ddl.execute(spark, "DROP TABLE ttq_t")
+  }
+
   test("changefeed labels ops and keeps after-image NULL on nulling updates") {
     if (ops.Ddl.lookup("cf_t").isDefined) ops.Ddl.execute(spark, "DROP TABLE cf_t")
     ops.Ddl.execute(spark,
