@@ -937,8 +937,19 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     if (cdc) require(asOf.isEmpty,
       "graft_kv: readChangeFeed and asOfEpoch/VERSION AS OF are exclusive " +
         "(a changefeed is a range of epochs, not a boundary state)")
+    // `.option("startingEpoch", n)` on a STREAMING read: begin at epoch n
+    // instead of the initial snapshot (Delta CDF's startingVersion / the
+    // Kafka startingOffsets shape). Also what lets a CDC stream start on
+    // a copy-on-write table AFTER its last rewrite: epochs from n on have
+    // exact change records even though older history does not.
+    val startEpoch = Option(options.get("startingEpoch")).map(_.toLong)
+    startEpoch.foreach { n =>
+      require(n >= 0L, s"graft_kv: startingEpoch=$n — epochs are >= 0")
+      require(asOf.isEmpty,
+        "graft_kv: startingEpoch and asOfEpoch/VERSION AS OF are exclusive")
+    }
     new GraftKvScanBuilder(dir, asOf, maxEpochs, onlyFiles = onlyFiles,
-      changeFeed = cdc)
+      changeFeed = cdc, startEpoch = startEpoch)
   }
 }
 
@@ -1097,7 +1108,8 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     maxEpochs: Option[Long] = None,
     onBuild: GraftKvScan => Unit = _ => (),
     onlyFiles: Option[Set[String]] = None,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    startEpoch: Option[Long] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1136,7 +1148,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (fs.nonEmpty || a.groupByExpressions.nonEmpty ||
-      onlyFiles.isDefined || changeFeed) return false
+      onlyFiles.isDefined || changeFeed || startEpoch.isDefined) return false
     if (a.aggregateExpressions.isEmpty) return false
     val mfP = GraftKvSink.manifestPath(dir)
     if (!Files.exists(mfP)) return false
@@ -1180,7 +1192,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
       new GraftKvAggScan(dir, asOf, pushedAggs, aggManifest)
     else {
       val s = new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs,
-        onlyFiles, changeFeed)
+        onlyFiles, changeFeed, startEpoch)
       onBuild(s)
       s
     }
@@ -1640,7 +1652,8 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     projection: Option[StructType] = None,
     maxEpochs: Option[Long] = None,
     onlyFiles: Option[Set[String]] = None,
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    startEpoch: Option[Long] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -1648,7 +1661,8 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     // ship the RESOLVED read schema (pruned, CDC-extended) — the stream's
     // reader factory must emit exactly what this scan advertises
-    new GraftKvMicroBatchStream(dir, Some(readSchema()), maxEpochs, changeFeed)
+    new GraftKvMicroBatchStream(dir, Some(readSchema()), maxEpochs, changeFeed,
+      startEpoch)
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   // vacuumed history and never-committed epochs are unanswerable — error,
   // never partial rows or a silently-moving "pinned" state
@@ -1726,6 +1740,9 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     require(!changeFeed,
       "graft_kv: readChangeFeed is a streaming read option; use readStream " +
         "(or the batch changefeed for a point-in-time diff)")
+    require(startEpoch.isEmpty,
+      "graft_kv: startingEpoch is a streaming read option; batch boundary " +
+        "reads use asOfEpoch")
     // tasks resolve their own position-deletes from the (small) delta
     // files — the partition ships NAMES, not delete sets, so a large
     // delete never bloats task descriptors (the Iceberg delete-file shape)
@@ -1806,7 +1823,9 @@ final class GraftKvMicroBatchStream(dir: String,
     // Epoch-LESS batch tables have no history to track: any stream of
     // them (CDC or snapshot) is a one-shot initial snapshot at epoch 0,
     // and later appends/rewrites never surface to a running stream.
-    changeFeed: Boolean = false)
+    changeFeed: Boolean = false,
+    // begin at this epoch instead of the initial snapshot (startingEpoch)
+    startEpoch: Option[Long] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -1870,7 +1889,8 @@ final class GraftKvMicroBatchStream(dir: String,
       .getOrElse(Nil).maxOption.getOrElse(-1L))
   }
 
-  override def initialOffset(): Offset = EpochOffset(-1L)
+  override def initialOffset(): Offset =
+    EpochOffset(startEpoch.map(_ - 1L).getOrElse(-1L))
   override def latestOffset(): Offset = EpochOffset(headEpoch)
   override def deserializeOffset(json: String): Offset = EpochOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

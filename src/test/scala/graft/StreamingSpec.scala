@@ -517,6 +517,66 @@ class StreamingSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.cdcs.cow")
   }
 
+  test("startingEpoch begins a stream mid-history; CDC after a CoW rewrite") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_startep")
+    val dir = root.resolve("t").toString
+    def writeEpoch(k: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "s").write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", k.toString)
+        .mode(if (k == 0) "overwrite" else "append").save()
+    writeEpoch(0, Seq((1L, "a")))
+    writeEpoch(1, Seq((2L, "b")))
+    writeEpoch(2, Seq((3L, "c")))
+    // snapshot stream from epoch 2: earlier epochs never surface
+    val q = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("startingEpoch", "2").load()
+      .writeStream.format("memory").queryName("startep_snap")
+      .option("checkpointLocation", root.resolve("ck1").toString).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("startep_snap").collect().map(_.getLong(0)).toSet ==
+      Set(3L))
+    // a batch read must not honor a streaming-only option silently — and
+    // neither may the manifest-answered COUNT shortcut
+    val batch = intercept[Exception] {
+      spark.read.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("startingEpoch", "2").load().collect() }
+    assert(batch.getMessage.contains("streaming read option"), batch.getMessage)
+    val batchCnt = intercept[Exception] {
+      spark.read.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("startingEpoch", "2").load()
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1))).collect() }
+    assert(batchCnt.getMessage.contains("streaming read option"),
+      batchCnt.getMessage)
+    // CDC on a COPY-ON-WRITE table: fresh full-history streams refuse (no
+    // row-level record for the rewrite), but startingEpoch past the
+    // rewrite boundary has exact change records from there on
+    spark.sql("DROP TABLE IF EXISTS graft.sep.cow")
+    spark.sql(s"CREATE TABLE graft.sep.cow (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    spark.sql("DELETE FROM graft.sep.cow WHERE id = 2") // rewrite at epoch 3
+    val full = intercept[Exception] {
+      val f = spark.readStream.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("readChangeFeed", "true").load()
+        .writeStream.format("memory").queryName("startep_full")
+        .option("checkpointLocation", root.resolve("ck2").toString).start()
+      try f.processAllAvailable() finally f.stop()
+    }
+    assert(full.getMessage.contains("copy-on-write"), full.getMessage)
+    writeEpoch(4, Seq((9L, "z")))
+    val cdc = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("startingEpoch", "4").load()
+      .writeStream.format("memory").queryName("startep_cdc")
+      .option("checkpointLocation", root.resolve("ck3").toString).start()
+    try cdc.processAllAvailable() finally cdc.stop()
+    assert(spark.table("startep_cdc").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet ==
+      Set((9L, "insert", 4L)))
+    spark.sql("DROP TABLE graft.sep.cow")
+  }
+
   test("kv streaming read rate-limits catch-up with maxEpochsPerTrigger") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_kv_ratelim")
