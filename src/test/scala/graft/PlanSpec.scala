@@ -40,6 +40,24 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_partkey"), readSchema)
   }
 
+  test("search_bm25 broadcasts the query-term relation; no cartesian product") {
+    val plan = planOf("search_bm25")
+    // the tiny query-term/stat relations broadcast into tf; the plan must
+    // never cross the corpus with itself
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("search_hybrid_rrf fuses both arms with broadcasts, no cartesian scoring") {
+    val plan = planOf("search_hybrid_rrf")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      plan.take(800))
+    // the vector arm is a 3-query broadcast nested loop over the corpus —
+    // linear in the corpus — but a full CartesianProduct would be O(n^2)
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("join_broadcast builds broadcast joins for the dimension tables") {
     val plan = planOf("join_broadcast")
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
