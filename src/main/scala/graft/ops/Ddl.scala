@@ -491,6 +491,12 @@ object Ddl {
   // to two dots, wider than $Id
   private val DescHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+((?:\w+\.){0,2}\w+)\s*""".r
+  // table maintenance, Delta-style: OPTIMIZE folds epochs/deltas into
+  // compacted base files; VACUUM reclaims unreferenced + retained files
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)(?:\s+UP\s+TO\s+EPOCH\s+(\d+))?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Id)\\s+TO\\s+VERSION\\s+(\\d+)\\s*""".r
   // MERGE INTO <t> USING (<select>) [AS] s ON <key equality> WHEN MATCHED
@@ -1078,6 +1084,8 @@ object Ddl {
     case CreateMvRe(_*)                              => Some(statusCols)
     case ShowVersionsRe(n) if lookup(n).isDefined    => Some(versionsCols)
     case DescHistoryRe(n) if kvTableFor(n).isDefined => Some(historyCols)
+    case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
     case RestoreRe(n, _) if lookup(n).isDefined      => Some(statusCols)
     case RefreshMvRe(n) if mvNamed(n).isDefined      => Some(statusCols)
     case DropMvRe(n) if mvNamed(n).isDefined         => Some(statusCols)
@@ -1532,6 +1540,32 @@ object Ddl {
           s"kv table $name lacks a path option"))
         graft.sources.GraftKvSink.history(path)
           .toDF("version", "operation", "rows_added", "rows_deleted")
+      case OptimizeRe(name, upToStr) =>
+        // OPTIMIZE [UP TO EPOCH n]: fold epochs (and merge-on-read deltas)
+        // at or below the boundary into compacted base files — the SQL
+        // face of GraftKvSink.compact; the boundary clamps to the newest
+        // published epoch when omitted
+        val d = kvTableFor(name).getOrElse(throw new IllegalArgumentException(
+          s"unknown kv table: $name"))
+        val path = d.options.getOrElse("path", throw new IllegalStateException(
+          s"kv table $name lacks a path option"))
+        val upTo = Option(upToStr).map(_.toLong).getOrElse(Long.MaxValue)
+        val merged = graft.sources.GraftKvSink.compact(path, upTo)
+        status("OPTIMIZE", s"$name ($merged files merged)")
+      case VacuumRe(name, retainStr) =>
+        // VACUUM [RETAIN n MINUTES]: reclaim unreferenced files and
+        // CoW-retained history older than the grace window (default 10
+        // minutes — RETAIN 0 MINUTES forces immediate reclamation); pre-
+        // DML time travel below the rewrite boundary then fences
+        val d = kvTableFor(name).getOrElse(throw new IllegalArgumentException(
+          s"unknown kv table: $name"))
+        val path = d.options.getOrElse("path", throw new IllegalStateException(
+          s"kv table $name lacks a path option"))
+        val removed = Option(retainStr).map(_.toLong * 60L * 1000L) match {
+          case Some(g) => graft.sources.GraftKvSink.vacuum(path, g)
+          case None    => graft.sources.GraftKvSink.vacuum(path)
+        }
+        status("VACUUM", s"$name ($removed files reclaimed)")
       case RestoreRe(name, verStr) =>
         val t = lookupOrThrow(name)
         val v = verStr.toInt

@@ -507,6 +507,36 @@ class DsV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.hist")
   }
 
+  test("OPTIMIZE and VACUUM drive kv maintenance from SQL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_opt").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.opt")
+    spark.sql(s"CREATE TABLE graft.rlspec.opt (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir', mor 'true')")
+    try {
+      (0 to 2).foreach { k =>
+        Seq((k.toLong, s"e$k")).toDF("id", "s").coalesce(1)
+          .write.format("graft.sources.GraftKvSink")
+          .option("path", dir).option("epoch", k.toString)
+          .mode(if (k == 0) "overwrite" else "append").save()
+      }
+      spark.sql("DELETE FROM graft.rlspec.opt WHERE id = 1") // MOR delta
+      assert(graft.sources.GraftKvSink.listedFiles(dir)._2.nonEmpty)
+      // OPTIMIZE folds the three epochs and the delta into one base state
+      val opt = spark.sql("OPTIMIZE graft.rlspec.opt").collect()
+      assert(opt.head.getString(0) == "OPTIMIZE", opt.mkString)
+      val (files, deltas) = graft.sources.GraftKvSink.listedFiles(dir)
+      assert(deltas.isEmpty && files.length == 1, s"$files $deltas")
+      assert(spark.table("graft.rlspec.opt").collect()
+        .map(_.getLong(0)).toSet == Set(0L, 2L))
+      // VACUUM RETAIN 0 MINUTES reclaims the pre-compaction originals
+      val vac = spark.sql("VACUUM graft.rlspec.opt RETAIN 0 MINUTES").collect()
+      assert(vac.head.getString(0) == "VACUUM", vac.mkString)
+      // non-kv targets fall through to Spark's parser and fail loudly
+      intercept[Exception] { spark.sql("OPTIMIZE not_a_kv_table").collect() }
+    } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.opt")
+  }
+
   test("SQL VERSION AS OF reads epoch boundary states; TIMESTAMP AS OF and bad versions refuse") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_tt").toString
