@@ -213,6 +213,49 @@ object Dedup {
         "transform(sequence(1, size(t)-2), i -> concat(element_at(t,i),'_',element_at(t,i+1),'_',element_at(t,i+2)))")))
       .select(col("doc_id"), col("tk"), size(col("tk")).cast(LongType).as("n"))
 
+  /** C2 production shape: INCREMENTAL dedup — a new batch (doc_id % 3 = 0)
+    * deduplicates against an already-indexed corpus (the rest) without
+    * ever re-pairing the corpus with itself: the batch's band rows join
+    * the corpus's band rows (and the batch's own, partner-id-smaller —
+    * min-id-representative first-wins, the dedup_exact family's rule),
+    * never corpus×corpus. At 100 TB this is THE dedup economics: the
+    * index side is a materialized band table, each arriving batch costs
+    * O(batch × collisions), and the corpus-side signature pass here
+    * stands in for reading that index. Per incoming doc: dup-of-corpus
+    * (preferred match), dup-in-batch, or novel, with the minimal partner
+    * id — all verified at exact Jaccard >= 0.7, oracle-replayed. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val bands = minhashBandRows(s, d)
+    val inc = bands.filter(col("doc_id") % 3 === 0)
+    val idx = bands.filter(col("doc_id") % 3 =!= 0)
+    val bandEq = col("x.band_idx") === col("y.band_idx") &&
+      col("x.band_hash") === col("y.band_hash")
+    val firstMatch = (0 until 4).map { k =>
+      (col("x.band_idx") === k) && (0 until k)
+        .map(j => element_at(col("x.ba"), j + 1) =!= element_at(col("y.ba"), j + 1))
+        .foldLeft(lit(true))(_ && _)
+    }.reduce(_ || _)
+    val candCorpus = inc.as("x").join(idx.as("y"), bandEq && firstMatch)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val candBatch = inc.as("x").join(inc.as("y"),
+        bandEq && col("x.doc_id") > col("y.doc_id") && firstMatch)
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val verified = verifyJaccard(s, d, candCorpus.unionByName(candBatch), 7)
+    val dec = verified.groupBy(col("a_id"))
+      .agg(min(when(col("b_id") % 3 =!= 0, col("b_id"))).as("corpus_match"),
+        min(when(col("b_id") % 3 === 0, col("b_id"))).as("batch_match"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .filter(col("doc_id") % 3 === 0)
+      .join(dec, col("doc_id") === col("a_id"), "left")
+      .select(col("doc_id"),
+        when(col("corpus_match").isNotNull, "dup-corpus")
+          .when(col("batch_match").isNotNull, "dup-batch")
+          .otherwise("novel").as("verdict"),
+        coalesce(col("corpus_match"), col("batch_match"), lit(-1L))
+          .as("match_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** C2 canonical shape: shingle → minhash → band → bucket-join — the
     * textbook near-dup pipeline, beside the unigram-token variant above.
     * Word 3-shingles make the signature ORDER-SENSITIVE: a bag-of-words
@@ -646,6 +689,7 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_blocks" -> (dedupBlocks _),
     "dedup_minhash" -> (dedupMinhash _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_shingle" -> (dedupShingle _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_components" -> (dedupComponents _),
@@ -730,6 +774,33 @@ object Dedup {
          |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
          |      >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 7
          |ORDER BY a_id, b_id""".stripMargin,
+    // same verified pair set, restricted to pairs touching the incoming
+    // batch, then the per-doc decision: corpus match preferred, else the
+    // smaller-id batch match, else novel
+    "dedup_incremental" ->
+      s"""WITH $mhCandCtes,
+         |p AS (
+         |  SELECT c.a_id, c.b_id
+         |  FROM cand c JOIN t a ON c.a_id = a.doc_id
+         |       JOIN t b ON c.b_id = b.doc_id
+         |  WHERE CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 10
+         |        >= (a.n + b.n - len(list_intersect(a.tk, b.tk))) * 7),
+         |sym AS (SELECT a_id AS i, b_id AS j FROM p
+         |        UNION ALL SELECT b_id, a_id FROM p),
+         |m AS (SELECT i, j FROM sym
+         |      WHERE i % 3 = 0 AND (j % 3 <> 0 OR j < i)),
+         |dec AS (SELECT i,
+         |          min(CASE WHEN j % 3 <> 0 THEN j END) AS corpus_match,
+         |          min(CASE WHEN j % 3 = 0 THEN j END) AS batch_match
+         |        FROM m GROUP BY i),
+         |inc AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0)
+         |SELECT inc.doc_id,
+         |  CASE WHEN corpus_match IS NOT NULL THEN 'dup-corpus'
+         |       WHEN batch_match IS NOT NULL THEN 'dup-batch'
+         |       ELSE 'novel' END AS verdict,
+         |  CAST(coalesce(corpus_match, batch_match, -1) AS BIGINT) AS match_id
+         |FROM inc LEFT JOIN dec ON inc.doc_id = dec.i
+         |ORDER BY doc_id""".stripMargin,
     "dedup_shingle" ->
       s"""WITH $shingleCtes
          |SELECT c.a_id, c.b_id,
