@@ -1114,6 +1114,14 @@ object Ddl {
     dsv2Get(key).filter(_.provider == "graft_kv")
   }
 
+  /** The resolved data path of a kv table named in a maintenance/metadata
+    * statement — the one lookup DESCRIBE HISTORY / OPTIMIZE / VACUUM share. */
+  private def kvPathFor(name: String): String =
+    kvTableFor(name)
+      .getOrElse(throw new IllegalArgumentException(s"unknown kv table: $name"))
+      .options.getOrElse("path", throw new IllegalStateException(
+        s"kv table $name lacks a path option"))
+
   /** MV lookup that sees the PERSISTED catalog too (like [[lookup]] for
     * tables) — a fresh process must route REFRESH/DROP MATERIALIZED VIEW
     * on a persisted MV through the graft parser. */
@@ -1534,33 +1542,22 @@ object Ddl {
       case DescHistoryRe(name) =>
         // kv connector tables: the epoch commit log, derived from the
         // manifest (keyed tables have SHOW VERSIONS — the mutation log)
-        val d = kvTableFor(name).getOrElse(throw new IllegalArgumentException(
-          s"unknown kv table: $name"))
-        val path = d.options.getOrElse("path", throw new IllegalStateException(
-          s"kv table $name lacks a path option"))
-        graft.sources.GraftKvSink.history(path)
+        graft.sources.GraftKvSink.history(kvPathFor(name))
           .toDF("version", "operation", "rows_added", "rows_deleted")
       case OptimizeRe(name, upToStr) =>
         // OPTIMIZE [UP TO EPOCH n]: fold epochs (and merge-on-read deltas)
         // at or below the boundary into compacted base files — the SQL
         // face of GraftKvSink.compact; the boundary clamps to the newest
         // published epoch when omitted
-        val d = kvTableFor(name).getOrElse(throw new IllegalArgumentException(
-          s"unknown kv table: $name"))
-        val path = d.options.getOrElse("path", throw new IllegalStateException(
-          s"kv table $name lacks a path option"))
         val upTo = Option(upToStr).map(_.toLong).getOrElse(Long.MaxValue)
-        val merged = graft.sources.GraftKvSink.compact(path, upTo)
+        val merged = graft.sources.GraftKvSink.compact(kvPathFor(name), upTo)
         status("OPTIMIZE", s"$name ($merged files merged)")
       case VacuumRe(name, retainStr) =>
         // VACUUM [RETAIN n MINUTES]: reclaim unreferenced files and
         // CoW-retained history older than the grace window (default 10
         // minutes — RETAIN 0 MINUTES forces immediate reclamation); pre-
         // DML time travel below the rewrite boundary then fences
-        val d = kvTableFor(name).getOrElse(throw new IllegalArgumentException(
-          s"unknown kv table: $name"))
-        val path = d.options.getOrElse("path", throw new IllegalStateException(
-          s"kv table $name lacks a path option"))
+        val path = kvPathFor(name)
         val removed = Option(retainStr).map(_.toLong * 60L * 1000L) match {
           case Some(g) => graft.sources.GraftKvSink.vacuum(path, g)
           case None    => graft.sources.GraftKvSink.vacuum(path)

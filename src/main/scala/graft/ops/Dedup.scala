@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
@@ -150,18 +150,22 @@ object Dedup {
   private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame =
     candidatesOver(minhashBandRows(s, d))
 
-  private def candidatesOver(bands: DataFrame): DataFrame = {
-    val firstMatch = (0 until 4).map { k =>
-      (col("x.band_idx") === k) && (0 until k)
-        .map(j => element_at(col("x.ba"), j + 1) =!= element_at(col("y.ba"), j + 1))
-        .foldLeft(lit(true))(_ && _)
-    }.reduce(_ || _)
+  /** The band-bucket join predicates over `x`/`y`-aliased band rows — ONE
+    * definition shared by the all-pairs and incremental candidate joins
+    * (a band-count change must move both paths together). */
+  private def bandEqXY: Column =
+    col("x.band_idx") === col("y.band_idx") &&
+      col("x.band_hash") === col("y.band_hash")
+  private def firstMatchXY: Column = (0 until 4).map { k =>
+    (col("x.band_idx") === k) && (0 until k)
+      .map(j => element_at(col("x.ba"), j + 1) =!= element_at(col("y.ba"), j + 1))
+      .foldLeft(lit(true))(_ && _)
+  }.reduce(_ || _)
+
+  private def candidatesOver(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id") && firstMatch)
+        bandEqXY && col("x.doc_id") < col("y.doc_id") && firstMatchXY)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-  }
 
   /** Exact token-set Jaccard verify over an (a_id, b_id) candidate list:
     * keeps pairs with inter*10 >= uni*num (integer cross-multiplication —
@@ -228,17 +232,10 @@ object Dedup {
     val bands = minhashBandRows(s, d)
     val inc = bands.filter(col("doc_id") % 3 === 0)
     val idx = bands.filter(col("doc_id") % 3 =!= 0)
-    val bandEq = col("x.band_idx") === col("y.band_idx") &&
-      col("x.band_hash") === col("y.band_hash")
-    val firstMatch = (0 until 4).map { k =>
-      (col("x.band_idx") === k) && (0 until k)
-        .map(j => element_at(col("x.ba"), j + 1) =!= element_at(col("y.ba"), j + 1))
-        .foldLeft(lit(true))(_ && _)
-    }.reduce(_ || _)
-    val candCorpus = inc.as("x").join(idx.as("y"), bandEq && firstMatch)
+    val candCorpus = inc.as("x").join(idx.as("y"), bandEqXY && firstMatchXY)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
     val candBatch = inc.as("x").join(inc.as("y"),
-        bandEq && col("x.doc_id") > col("y.doc_id") && firstMatch)
+        bandEqXY && col("x.doc_id") > col("y.doc_id") && firstMatchXY)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
     val verified = verifyJaccard(s, d, candCorpus.unionByName(candBatch), 7)
     val dec = verified.groupBy(col("a_id"))

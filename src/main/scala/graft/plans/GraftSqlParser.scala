@@ -79,8 +79,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           if u.multipartIdentifier.length >= 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
             Ddl.dsv2Get(u.multipartIdentifier.tail.mkString(".")).isEmpty &&
-            Ddl.viewSqlFor(session, u.multipartIdentifier.tail.mkString("."))
-              .isDefined =>
+            // existence only — building the replay SQL here would do the
+            // full rebuild (incl. a parquet footer read) twice per ref
+            Ddl.lookup(u.multipartIdentifier.tail.mkString(".")).isDefined =>
         val rest = u.multipartIdentifier.tail.mkString(".")
         require(ts.isEmpty,
           s"graft: keyed table $rest versions by mutation count, not " +

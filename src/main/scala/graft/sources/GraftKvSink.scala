@@ -947,6 +947,24 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       require(n >= 0L, s"graft_kv: startingEpoch=$n — epochs are >= 0")
       require(asOf.isEmpty,
         "graft_kv: startingEpoch and asOfEpoch/VERSION AS OF are exclusive")
+      // validate against the manifest NOW, with option-shaped errors: a
+      // beyond-head start would stream nothing forever (initialOffset
+      // past latestOffset), and a start inside compacted/rewritten
+      // history would only fail at the first trigger with a misleading
+      // stale-checkpoint message
+      val mfP = GraftKvSink.manifestPath(dir)
+      if (Files.exists(mfP)) {
+        val m = GraftKvSink.readManifest(mfP)
+        GraftKvSink.requireAnswerableEpoch(m, n)
+        require(m.compactedUpTo < 0L || n > m.compactedUpTo,
+          s"graft_kv: startingEpoch=$n is inside compacted history " +
+            s"(epochs <= ${m.compactedUpTo} were merged — their " +
+            "fine-grained boundaries no longer exist)")
+        require(m.rewrittenUpTo < 0L || n > m.rewrittenUpTo,
+          s"graft_kv: startingEpoch=$n is at or below the row-level " +
+            s"rewrite at epoch ${m.rewrittenUpTo} — start past it " +
+            "(rewrites have no per-epoch replay)")
+      }
     }
     new GraftKvScanBuilder(dir, asOf, maxEpochs, onlyFiles = onlyFiles,
       changeFeed = cdc, startEpoch = startEpoch)
