@@ -25,6 +25,36 @@ object Events {
     java.nio.file.Files.createTempDirectory("graft_stream_join")
   private lazy val streamDedupRoot: java.nio.file.Path =
     java.nio.file.Files.createTempDirectory("graft_stream_dd")
+  private lazy val streamStateRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_stream_st")
+
+  case class StateIn(user_id: Long, event_id: Long)
+  case class StateOut(user_id: Long, cnt: Long, idsum: Long)
+
+  /** Per-user running totals as ARBITRARY STATE (transformWithState —
+    * Spark 4's modern stateful-processor API): one ValueState tuple per
+    * user, updated each micro-batch, the cumulative row emitted whenever
+    * the user had input. Integer-only accumulation, so iterator order
+    * inside a batch cannot perturb the result. */
+  final class CountProcessor extends
+      org.apache.spark.sql.streaming.StatefulProcessor[Long, StateIn, StateOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.OutputMode
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[StateIn],
+        timers: TimerValues): Iterator[StateOut] = {
+      val (c0, s0) = if (totals.exists()) totals.get() else (0L, 0L)
+      var c = c0; var sm = s0
+      rows.foreach { r => c += 1L; sm += r.event_id }
+      totals.update((c, sm))
+      Iterator.single(StateOut(key, c, sm))
+    }
+  }
 
   /** Publish chunk `k` of the events fixture (rows with event_id % 3 == k,
     * projected to `cols`) as explicit kv epoch `k` at `feed` — a BATCH job
@@ -309,6 +339,7 @@ object Events {
     "stream_watermark_true" -> (streamWatermarkTrue _),
     "stream_join" -> (streamJoin _),
     "stream_dedup" -> (streamDedup _),
+    "stream_state_counts" -> (streamStateCounts _),
     "stream_rate_limit" -> (streamRateLimit _),
     "events_funnel" -> (eventsFunnel _),
     "agg_unpivot" -> (aggUnpivot _),
@@ -496,6 +527,63 @@ object Events {
           .as("min_lag_us"))
   }
 
+  /** B44 judged via a TRUE STREAMING execution of ARBITRARY STATE
+    * (transformWithState): the kv feed replays as three epochs, and a
+    * custom StatefulProcessor keeps per-user running (count, id-sum)
+    * totals in a RocksDB-backed ValueState, emitting the cumulative row
+    * for every user present in a batch. The emitted SET is therefore one
+    * row per (user, epoch-with-activity) carrying the cross-batch
+    * cumulative totals — only state carried across micro-batches can
+    * produce it, and the oracle replays it as a running window over the
+    * per-epoch partials. User filter keeps the judged output tight; the
+    * state math is integer-only so in-batch iterator order is
+    * irrelevant. */
+  def streamStateCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = Events.streamStateRoot
+    deleteRecursively(root.toFile)
+    java.nio.file.Files.createDirectories(root)
+    val feed = root.resolve("feed").toString
+    val cols = Seq(col("event_id"), col("user_id"))
+    writeFeedEpoch(s, d, feed, 0, cols)
+    val sink = "graft_stream_state_sink"
+    s.catalog.dropTempView(sink)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val prevProvider =
+      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = s.readStream.format("graft.sources.GraftKvSink")
+        .option("path", feed).load()
+        .filter(col("user_id") % 23 === 0)
+        .select(col("user_id"), col("event_id")).as[StateIn]
+        .groupByKey(_.user_id)
+        .transformWithState(new CountProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .toDF()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", root.resolve("ckpt").toString)
+        .start()
+      try {
+        q.processAllAvailable()
+        writeFeedEpoch(s, d, feed, 1, cols); q.processAllAvailable()
+        writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      prevProvider match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    s.table(sink).orderBy(col("user_id"), col("cnt"))
+  }
+
   /** Streaming DEDUPLICATION judged via a TRUE STREAMING execution
     * (`dropDuplicatesWithinWatermark` — the B44 stateful-dedup surface):
     * the feed publishes every fixture row into TWO different epochs
@@ -564,6 +652,20 @@ object Events {
         |  CAST(min(epoch_us(p_ts) - epoch_us(c_ts)) AS BIGINT) AS min_lag_us
         |FROM p JOIN c ON p_user = c_user
         |  AND c_ts <= p_ts AND c_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin,
+    // the emitted set = one row per (user, epoch-with-activity) carrying
+    // CROSS-BATCH cumulative totals: a running window over per-epoch
+    // partials (epoch = event_id % 3, the feed's chunking rule)
+    "stream_state_counts" ->
+      """WITH e AS (SELECT user_id, event_id, event_id % 3 AS ep
+        |           FROM events WHERE user_id % 23 = 0),
+        |cum AS (SELECT user_id, ep, count(*) AS c,
+        |          CAST(sum(event_id) AS BIGINT) AS s
+        |        FROM e GROUP BY user_id, ep)
+        |SELECT user_id,
+        |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ep) AS BIGINT) AS cnt,
+        |  CAST(sum(s) OVER (PARTITION BY user_id ORDER BY ep) AS BIGINT) AS idsum
+        |FROM cum
+        |ORDER BY user_id, cnt""".stripMargin,
     // every fixture row was fed twice across different epochs; state-based
     // dedup must emit each event exactly once = the fixture itself
     "stream_dedup" ->
