@@ -536,6 +536,16 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("startep_snap").collect().map(_.getLong(0)).toSet ==
       Set(3L))
+    // a beyond-head start would stream NOTHING forever — refuse at scan
+    // construction with the same version-not-found shape as asOfEpoch
+    val oob = intercept[Exception] {
+      val qo = spark.readStream.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("startingEpoch", "40").load()
+        .writeStream.format("memory").queryName("startep_oob")
+        .option("checkpointLocation", root.resolve("ck0").toString).start()
+      try qo.processAllAvailable() finally qo.stop()
+    }
+    assert(oob.getMessage.contains("version not found"), oob.getMessage)
     // a batch read must not honor a streaming-only option silently — and
     // neither may the manifest-answered COUNT shortcut
     val batch = intercept[Exception] {
