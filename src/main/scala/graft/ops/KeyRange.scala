@@ -679,6 +679,33 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A8 × A7-DSv2 judged: ATOMIC CTAS / RTAS through the staging catalog
+    * (StagingTableCatalog) — `CREATE OR REPLACE TABLE … AS SELECT` writes
+    * the query result through the kv commit protocol and publishes the
+    * catalog entry only at commitStagedChanges (a failed query leaves no
+    * table), then `REPLACE TABLE … AS SELECT` REDEFINES the table —
+    * different column set, different rows — with the truncating write's
+    * manifest swap as the visibility switch. The judged frame aggregates
+    * the replaced state; the oracle replays the final definition. */
+  def catalogCtas(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_ctas"
+    Tables.orders(s, d).createOrReplaceTempView("orders_ctas_v")
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_ctas")
+    clearDir(tmp)
+    s.sql("CREATE OR REPLACE TABLE graft.kvq.orders_ctas USING graft_kv " +
+      s"OPTIONS (path '$tmp') AS " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_ctas_v " +
+      "WHERE o_orderkey % 6 = 0")
+    s.sql("REPLACE TABLE graft.kvq.orders_ctas USING graft_kv " +
+      s"OPTIONS (path '$tmp') AS " +
+      "SELECT o_orderkey, o_orderstatus FROM orders_ctas_v " +
+      "WHERE o_orderkey % 6 = 3")
+    s.table("graft.kvq.orders_ctas")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_orderkey")).as("key_sum"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A8 × A11 judged: DESCRIBE HISTORY — the kv table's commit log
     * derived purely from the manifest (no data file opened): one row per
     * epoch with its operation kind and row deltas. The fixture publishes
@@ -1241,6 +1268,7 @@ object KeyRange {
     "kv_changefeed" -> (kvChangefeed _),
     "kv_cdc_stream" -> (kvCdcStream _),
     "kv_history" -> (kvHistory _),
+    "catalog_ctas" -> (catalogCtas _),
     "kv_schema_evolution" -> (kvSchemaEvolution _),
     "mv_cdc_maintain" -> (mvCdcMaintain _),
     "kv_replicate" -> (kvReplicate _),
@@ -1305,6 +1333,13 @@ object KeyRange {
         |   OR NOT (a.o_orderstatus = b.o_orderstatus
         |           AND a.o_totalprice = b.o_totalprice)
         |ORDER BY op, o_orderkey""".stripMargin,
+    // the REPLACEd definition is the table: two columns, the %6=3 slice
+    "catalog_ctas" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders WHERE o_orderkey % 6 = 3
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // every history row's counts recomputed relationally: appends from
     // the epoch predicates, delta record counts from the DML predicates
     // (%15=0 implies %3=0, so the DELETE hits only epoch-1 rows)

@@ -47,7 +47,7 @@ import graft.ops.Ddl
   * a catalog entry); alter/rename and view creation route to the graft
   * SQL surface instead.
   */
-class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalog with SupportsNamespaces {
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -136,6 +136,16 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    Ddl.dsv2Put(resolveDef(ident, schema, partitions, properties))
+    loadTable(ident)
+  }
+
+  /** The validated catalog entry for a CREATE — shared by the eager
+    * createTable and the staged (CTAS/RTAS) path, which defers the
+    * publish to commitStagedChanges. */
+  private def resolveDef(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Ddl.Dsv2Def = {
     require(partitions.isEmpty,
       s"graft catalog tables do not take PARTITIONED BY (got ${partitions.length})")
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
@@ -201,8 +211,72 @@ class GraftCatalog extends TableCatalog with ViewCatalog with SupportsNamespaces
         "graft_range has a fixed schema (k BIGINT, v BIGINT, tag STRING); " +
           "omit the column list or match it exactly")
     }
-    Ddl.dsv2Put(Ddl.Dsv2Def(key(ident), provider, schema.json, opts))
-    loadTable(ident)
+    Ddl.Dsv2Def(key(ident), provider, schema.json, opts)
+  }
+
+  /** ATOMIC CTAS / RTAS (StagingTableCatalog): the staged table exposes
+    * the kv write surface against the resolved data path, but the CATALOG
+    * entry publishes only at commitStagedChanges — a failed query leaves
+    * no half-created table (create-abort also reclaims any files the
+    * aborted write left at a fresh path). For REPLACE, the data-side
+    * visibility switch is the truncating write's own atomic manifest
+    * swap; the deferred entry then only refreshes the bootstrap schema.
+    * Generated (graft_range) tables refuse — there is nothing to write. */
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    stage(ident, info, create = true, truncateFirst = false)
+  }
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    stage(ident, info, create = false, truncateFirst = true)
+  }
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable = {
+    val exists = tableExists(ident)
+    stage(ident, info, create = !exists, truncateFirst = exists)
+  }
+
+  private def stage(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo,
+      create: Boolean, truncateFirst: Boolean): StagedTable = {
+    val d = resolveDef(ident, info.schema(), info.partitions(), info.properties())
+    require(d.provider == "graft_kv",
+      s"${d.provider} tables are generated; CREATE/REPLACE ... AS SELECT " +
+        "has nothing to write")
+    val path = d.options("path")
+    val mor = d.options.get("mor").exists(_.toBoolean)
+    new StagedKvTable(d, path, info.schema(), mor, create, truncateFirst)
+  }
+
+  /** The staged half of CTAS/RTAS: a kv table whose writes go to the data
+    * path now and whose catalog entry publishes at commit. */
+  private final class StagedKvTable(d: Ddl.Dsv2Def, path: String,
+      tableSchema: StructType, mor: Boolean, create: Boolean,
+      truncateFirst: Boolean)
+    extends StagedTable with SupportsWrite {
+    private val inner = new GraftKvTable(path, tableSchema, mor)
+    override def name(): String = inner.name()
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] = inner.capabilities()
+    override def newWriteBuilder(
+        winfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder = {
+      val b = new GraftKvWriteBuilder(path, winfo.schema())
+      // RTAS appends into the staged table, but the RESULT must hold only
+      // the query's rows: route through the truncating write, whose commit
+      // swaps the manifest atomically (old state readable until then)
+      if (truncateFirst) b.truncate().asInstanceOf[GraftKvWriteBuilder] else b
+    }
+    override def commitStagedChanges(): Unit = Ddl.dsv2Put(d)
+    override def abortStagedChanges(): Unit =
+      if (create) {
+        // fresh table: reclaim whatever the aborted write published
+        val f = new java.io.File(path)
+        Option(f.listFiles()).foreach(_.foreach(c => c.delete(): Unit))
+        f.delete(): Unit
+      }
   }
 
   override def dropTable(ident: Identifier): Boolean = Ddl.dsv2Drop(key(ident))

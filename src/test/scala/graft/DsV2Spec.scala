@@ -507,6 +507,44 @@ class DsV2Spec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.hist")
   }
 
+  test("staged CTAS/RTAS: atomic create, schema-redefining replace, abort leaves nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_ctas").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.ctas")
+    try {
+      spark.sql(s"CREATE TABLE graft.rlspec.ctas USING graft_kv " +
+        s"OPTIONS (path '$dir') AS SELECT id FROM range(3)")
+      assert(spark.table("graft.rlspec.ctas").count() == 3L)
+      // RTAS REDEFINES the schema (the old CREATE's bootstrap is replaced
+      // along with the data — the truncating write's manifest swap is the
+      // visibility switch)
+      spark.sql(s"REPLACE TABLE graft.rlspec.ctas USING graft_kv " +
+        s"OPTIONS (path '$dir') AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(4)")
+      assert(spark.table("graft.rlspec.ctas").columns.toSeq == Seq("id", "v"))
+      assert(spark.table("graft.rlspec.ctas").count() == 4L)
+      spark.sql(s"CREATE OR REPLACE TABLE graft.rlspec.ctas USING graft_kv " +
+        s"OPTIONS (path '$dir') AS SELECT id FROM range(2)")
+      assert(spark.table("graft.rlspec.ctas").count() == 2L)
+      // a failing CTAS publishes NO catalog entry and reclaims the path
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_ctas2").toString
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.rlspec.ctasbad USING graft_kv " +
+          s"OPTIONS (path '$dir2') " +
+          "AS SELECT id, assert_true(id < 1) AS x FROM range(5)")
+      }
+      assert(!spark.catalog.tableExists("graft.rlspec.ctasbad"))
+      assert(Option(new java.io.File(dir2).listFiles())
+        .forall(_.isEmpty), s"abort left files at $dir2")
+      // generated tables have nothing to write
+      val gen = intercept[Exception] {
+        spark.sql("CREATE TABLE graft.rlspec.genctas USING graft_range " +
+          "AS SELECT id FROM range(2)") }
+      // refused either by the fixed-schema gate (mismatched query schema)
+      // or by the nothing-to-write staging gate
+      assert(gen.getMessage.contains("fixed schema") ||
+        gen.getMessage.contains("generated"), gen.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS graft.rlspec.ctas")
+  }
+
   test("OPTIMIZE and VACUUM drive kv maintenance from SQL") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_opt").toString
