@@ -85,6 +85,20 @@ object Events {
     f.delete(): Unit
   }
 
+  /** Run `body` with the given SQL confs set, restoring each prior value
+    * (or unsetting ones that were absent) even on failure — the ONE
+    * restore path every streaming judged query shares. */
+  private def withConfs[T](s: SparkSession, confs: (String, String)*)
+      (body: => T): T = {
+    val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** B40: tumbling 1-day event-time windows per event type. Two-phase
     * distinct: pre-aggregate per (window, type, user), then merge — avoids
     * the Expand node a direct countDistinct plans over the full table, while
@@ -431,13 +445,11 @@ object Events {
     // partitions carry the state with far less store churn than the
     // session's 32. Pinned at stream START (state partitioning is fixed
     // by the first batch) and restored after the stream stops.
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
     // watermarks require TIMESTAMP; the session is pinned UTC, so the
     // NTZ→TZ cast is lossless and window boundaries stay at UTC midnight.
     // The output start is cast back to NTZ — the judged timestamp dtype
     // every other event query uses.
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "8") {
       val q = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", feed).load()
         .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -453,7 +465,7 @@ object Events {
         writeFeedEpoch(s, d, feed, 1, cols); q.processAllAvailable()
         writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
       } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     s.table(sink)
       .select(col("window.start").cast(TimestampNTZType).as("w_day"),
         col("event_type"), col("cnt"), col("val_sum"))
@@ -485,13 +497,11 @@ object Events {
     writeFeedEpoch(s, d, feed, 0, cols)
     val sink = "graft_stream_join_sink"
     s.catalog.dropTempView(sink)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     // stateful-stream cost here is state-store COMMITS (partitions ×
     // batches × 4 join stores), not data volume: 4 partitions halve the
     // fixed overhead vs 8 with identical results. At real volume size
     // this to the state actually held per partition, as everywhere else.
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val src = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", feed).load()
         .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -515,7 +525,7 @@ object Events {
         writeFeedEpoch(s, d, feed, 1, cols); q.processAllAvailable()
         writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
       } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     s.table(sink)
       .agg(count(lit(1)).as("pairs"),
         sum(col("p_id")).as("p_id_sum"),
@@ -548,13 +558,9 @@ object Events {
     writeFeedEpoch(s, d, feed, 0, cols)
     val sink = "graft_stream_state_sink"
     s.catalog.dropTempView(sink)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val prevProvider =
-      s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4",
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val q = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", feed).load()
         .filter(col("user_id") % 23 === 0)
@@ -572,14 +578,6 @@ object Events {
         writeFeedEpoch(s, d, feed, 1, cols); q.processAllAvailable()
         writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
       } finally q.stop()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      prevProvider match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
     s.table(sink).orderBy(col("user_id"), col("cnt"))
   }
@@ -609,9 +607,7 @@ object Events {
     writeFeedEpochWhere(s, d, feed, 0, cols, chunkPred(0))
     val sink = "graft_stream_dd_sink"
     s.catalog.dropTempView(sink)
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", feed).load()
         .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -627,7 +623,7 @@ object Events {
         writeFeedEpochWhere(s, d, feed, 2, cols, chunkPred(2))
         q.processAllAvailable()
       } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
     s.table(sink)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("user_sum"),

@@ -241,11 +241,43 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
   private def stage(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo,
       create: Boolean, truncateFirst: Boolean): StagedTable = {
-    val d = resolveDef(ident, info.schema(), info.partitions(), info.properties())
+    // REPLACE inherits the stored definition's options: plain
+    // `REPLACE TABLE t AS SELECT` must not require restating the path,
+    // and an explicitly DIFFERENT path is a repoint — refused below (a
+    // typo'd path would otherwise truncate foreign data while orphaning
+    // the table's own)
+    val existing = if (create) None else Ddl.dsv2Get(key(ident))
+    val props = new java.util.HashMap[String, String](info.properties())
+    existing.foreach { old =>
+      val hasPath = props.containsKey("path") ||
+        props.containsKey(TableCatalog.OPTION_PREFIX + "path") ||
+        props.containsKey(TableCatalog.PROP_LOCATION)
+      old.options.foreach { case (k, v) =>
+        if ((k != "path" || !hasPath) && !props.containsKey(k) &&
+          !props.containsKey(TableCatalog.OPTION_PREFIX + k)) props.put(k, v)
+      }
+    }
+    val d = resolveDef(ident, info.schema(), info.partitions(), props)
     require(d.provider == "graft_kv",
       s"${d.provider} tables are generated; CREATE/REPLACE ... AS SELECT " +
         "has nothing to write")
     val path = d.options("path")
+    existing.foreach { old =>
+      old.options.get("path").foreach { p =>
+        require(p == path,
+          s"graft_kv: REPLACE cannot repoint ${key(ident)} from '$p' to " +
+            s"'$path' — DROP and re-CREATE to move a table")
+      }
+    }
+    // a staged CREATE writes the query result to the path, and its abort
+    // reclaims the path — both are only sound when the path is FRESH
+    // (plain CREATE TABLE may remount existing data; CTAS must not
+    // silently merge with or destroy it)
+    if (create)
+      require(!java.nio.file.Files.exists(GraftKvSink.manifestPath(path)),
+        s"graft_kv: path '$path' already holds kv data — REPLACE the " +
+          "table that owns it (or remount via plain CREATE TABLE), or " +
+          "point the new table at a fresh path")
     val mor = d.options.get("mor").exists(_.toBoolean)
     new StagedKvTable(d, path, info.schema(), mor, create, truncateFirst)
   }
@@ -265,9 +297,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
         : org.apache.spark.sql.connector.write.WriteBuilder = {
       val b = new GraftKvWriteBuilder(path, winfo.schema())
       // RTAS appends into the staged table, but the RESULT must hold only
-      // the query's rows: route through the truncating write, whose commit
-      // swaps the manifest atomically (old state readable until then)
-      if (truncateFirst) b.truncate().asInstanceOf[GraftKvWriteBuilder] else b
+      // the query's rows: route through the truncating write, whose
+      // commit publishes the new manifest FIRST and only then reclaims
+      // the old files (manifest-first ordering — a crash between the two
+      // leaves orphans, never a manifest pointing at deleted files)
+      if (truncateFirst) b.truncate() else b
     }
     override def commitStagedChanges(): Unit = Ddl.dsv2Put(d)
     override def abortStagedChanges(): Unit =

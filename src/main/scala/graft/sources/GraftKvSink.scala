@@ -1522,20 +1522,23 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas,
           m.removed, m.rewrittenUpTo)
       } else {
-        // truncate: drop every previously-published file (data, delta AND
-        // retained history) plus the retention boundary — the table
-        // restarts with full (empty) history
-        if (Files.exists(mf)) {
-          val m = GraftKvSink.readManifest(mf)
-          (m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name))
-            .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
-        }
+        // truncate: the table restarts with full (empty) history. The old
+        // files (data, delta AND retained history) are deleted AFTER the
+        // new manifest publishes — manifest-first is the one safe order
+        // (a crash in between leaves reclaimable orphans, never a
+        // manifest pointing at deleted files; same discipline as
+        // deleteWhere). The deferred list is collected here.
         (Seq.empty[(String, Long)], -1L,
           Map.empty[String, Map[String, (String, String)]],
           Map.empty[String, Map[String, String]],
           Seq.empty[GraftKvSink.DeltaFile],
           Seq.empty[GraftKvSink.RemovedFile], -1L)
       }
+    val truncateLeftovers: Seq[String] =
+      if (replace && replaceFiles.isEmpty && Files.exists(mf)) {
+        val m = GraftKvSink.readManifest(mf)
+        m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name)
+      } else Nil
     // an overwrite redefines the schema outright; every other commit
     // merges with the manifest's (evolved nullability must not narrow)
     GraftKvSink.writeManifest(dir,
@@ -1556,6 +1559,13 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     if (!keepHistory) {
       val committedNames = committed.map(_.finalName).toSet
       (replaced -- committedNames).foreach(n =>
+        Files.deleteIfExists(Paths.get(dir, n)))
+    }
+    // truncate's old files, deleted only now that the new manifest is the
+    // published state (same collision guard as above)
+    if (truncateLeftovers.nonEmpty) {
+      val committedNames = committed.map(_.finalName).toSet
+      truncateLeftovers.filterNot(committedNames).foreach(n =>
         Files.deleteIfExists(Paths.get(dir, n)))
     }
   }

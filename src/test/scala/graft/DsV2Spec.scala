@@ -524,6 +524,23 @@ class DsV2Spec extends SparkSpec {
       spark.sql(s"CREATE OR REPLACE TABLE graft.rlspec.ctas USING graft_kv " +
         s"OPTIONS (path '$dir') AS SELECT id FROM range(2)")
       assert(spark.table("graft.rlspec.ctas").count() == 2L)
+      // plain RTAS inherits the stored path — no OPTIONS restatement
+      spark.sql("REPLACE TABLE graft.rlspec.ctas USING graft_kv " +
+        "AS SELECT id FROM range(5)")
+      assert(spark.table("graft.rlspec.ctas").count() == 5L)
+      // ...but an explicitly DIFFERENT path is a repoint: refused (a typo
+      // would truncate foreign data while orphaning the table's own)
+      val dirX = java.nio.file.Files.createTempDirectory("graft_kv_ctasx").toString
+      val rep = intercept[Exception] {
+        spark.sql(s"REPLACE TABLE graft.rlspec.ctas USING graft_kv " +
+          s"OPTIONS (path '$dirX') AS SELECT id FROM range(1)") }
+      assert(rep.getMessage.contains("repoint"), rep.getMessage)
+      // staged CREATE refuses a path that already holds kv data (success
+      // would merge foreign rows in; abort would reclaim foreign files)
+      val occupied = intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.rlspec.ctas2 USING graft_kv " +
+          s"OPTIONS (path '$dir') AS SELECT id FROM range(1)") }
+      assert(occupied.getMessage.contains("already holds"), occupied.getMessage)
       // a failing CTAS publishes NO catalog entry and reclaims the path
       val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_ctas2").toString
       intercept[Exception] {
