@@ -679,6 +679,59 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A11 × B44 judged: CDC EXACTLY-ONCE ACROSS A RESTART — the full
+    * production recovery story in one query: a `readChangeFeed` stream
+    * consumes a MOR table's change records through foreachBatch into a
+    * batchId-keyed idempotent parquet sink (each batch overwrites its own
+    * `b=<id>` directory — the standard exactly-once sink recipe), the
+    * query is STOPPED cold mid-history, DML lands while it is down, and a
+    * NEW query on the same checkpoint resumes from the committed offsets.
+    * The final sink must hold every change record exactly once — no
+    * replays from before the stop, no gaps across it — which is exactly
+    * what the oracle's relational replay checks. */
+  def kvCdcRestart(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_cdcrs"
+    val out = s"$scratch/kv_cdcrs_out"
+    val ckpt = s"$scratch/cdcrs_ck"
+    Seq(out, ckpt).foreach(clearDir)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_cdcrs")
+    s.sql("CREATE TABLE graft.kvq.orders_cdcrs (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp', mor 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_cdcrs_v")
+    s.sql("INSERT OVERWRITE graft.kvq.orders_cdcrs " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_cdcrs_v " +
+      "WHERE o_orderkey % 4 = 2")
+    def startQuery() = s.readStream.format("graft.sources.GraftKvSink")
+      .option("path", tmp).option("readChangeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        // idempotent: a replayed batch rewrites the same directory
+        df.write.mode(SaveMode.Overwrite).parquet(s"$out/b=$batchId")
+      }
+      .start()
+    val q1 = startQuery()
+    try {
+      q1.processAllAvailable() // batch 0: the base load
+      s.sql("DELETE FROM graft.kvq.orders_cdcrs WHERE o_orderkey % 24 = 2")
+      q1.processAllAvailable() // batch 1: delete pre-images
+    } finally q1.stop()
+    // DML lands WHILE THE STREAM IS DOWN; the restarted query must pick
+    // it up from the committed offsets without replaying batches 0-1
+    s.sql("UPDATE graft.kvq.orders_cdcrs SET o_totalprice = " +
+      "o_totalprice + 0.5 WHERE o_orderstatus = 'F'")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    s.read.parquet(out)
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_epoch").as("commit_epoch"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("commit_epoch"), col("change_type"))
+  }
+
   /** A8 × A7-DSv2 judged: ATOMIC CTAS / RTAS through the staging catalog
     * (StagingTableCatalog) — `CREATE OR REPLACE TABLE … AS SELECT` writes
     * the query result through the kv commit protocol and publishes the
@@ -1267,6 +1320,7 @@ object KeyRange {
     "kv_mor_dml" -> (kvMorDml _),
     "kv_changefeed" -> (kvChangefeed _),
     "kv_cdc_stream" -> (kvCdcStream _),
+    "kv_cdc_restart" -> (kvCdcRestart _),
     "kv_history" -> (kvHistory _),
     "catalog_ctas" -> (catalogCtas _),
     "kv_schema_evolution" -> (kvSchemaEvolution _),
@@ -1333,6 +1387,28 @@ object KeyRange {
         |   OR NOT (a.o_orderstatus = b.o_orderstatus
         |           AND a.o_totalprice = b.o_totalprice)
         |ORDER BY op, o_orderkey""".stripMargin,
+    // exactly-once across the restart: every change record once — no
+    // replay of batches 0-1, no gap over the stopped window
+    "kv_cdc_restart" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 4 = 2),
+        |del AS (SELECT * FROM base WHERE o_orderkey % 24 = 2),
+        |upd AS (SELECT * FROM base
+        |        WHERE NOT o_orderkey % 24 = 2 AND o_orderstatus = 'F')
+        |SELECT change_type, commit_epoch, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_epoch,
+        |    o_orderkey, o_totalprice FROM base
+        |  UNION ALL
+        |  SELECT 'delete', 1, o_orderkey, o_totalprice FROM del
+        |  UNION ALL
+        |  SELECT 'delete', 2, o_orderkey, o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT 'insert', 2, o_orderkey, o_totalprice + 0.5 FROM upd
+        |) GROUP BY change_type, commit_epoch
+        |ORDER BY commit_epoch, change_type""".stripMargin,
     // the REPLACEd definition is the table: two columns, the %6=3 slice
     "catalog_ctas" ->
       """SELECT o_orderstatus, count(*) AS cnt,
