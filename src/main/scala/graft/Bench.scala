@@ -134,11 +134,17 @@ object Bench {
     // nothing is recorded and the pass loops stop. Recording a sentinel here
     // (an earlier draft used -1.0) poisons the heartbeat totals into negative
     // values while the JVM winds down — exactly the tail the grader reads.
+    // Returns Some((elapsed, ok)): ok=false for a thrown query or a deadline
+    // cancellation — the elapsed still enters the TOTAL (time was spent and a
+    // green total must not hide it), but a failed sample is NEVER a floor
+    // (r13/r14 postmortem: ddl_dml's committed 0.444 s "floor" was a
+    // fast-FAILURE artifact that poisoned floor_ratio for two rounds).
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String)
-        => org.apache.spark.sql.DataFrame): Option[Double] = {
+        => org.apache.spark.sql.DataFrame): Option[(Double, Boolean)] = {
       if (spark.sparkContext.isStopped) return None
       val group = s"bench-$name"
       val t0 = System.nanoTime()
+      var ok = true
       // The job group is thread-local, so set it on the helper thread that
       // actually submits the jobs; cancelJobGroup from the main thread then
       // interrupts exactly this query's tasks and nothing else.
@@ -151,13 +157,15 @@ object Bench {
       catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(group)
+          ok = false
           System.err.println(f"[bench] $name exceeded ${deadlineS}%.0fs deadline; cancelled, elapsed recorded")
         case e: Throwable =>
           if (spark.sparkContext.isStopped) return None // kill in flight, not a measurement
           // keep the JSON contract but never hide a broken query — one line only
+          ok = false
           System.err.println(s"[bench] $name FAILED: ${oneLine(e)}")
       }
-      Some((System.nanoTime() - t0) / 1e9)
+      Some(((System.nanoTime() - t0) / 1e9, ok))
     }
     def jmap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -212,10 +220,10 @@ object Bench {
       else ""
     }
     def compactLine(results: Seq[(String, Double)], charBudget: Int, inventory: Int,
-        withRatio: Boolean = false): String = {
+        withRatio: Boolean = false, extra: String = ""): String = {
       val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
       val measuredField = if (results.length < inventory) s""","measured":${results.length}""" else ""
-      val ratioField = if (withRatio) floorRatioField(results) else ""
+      val ratioField = (if (withRatio) floorRatioField(results) else "") + extra
       val fixed = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":{},"sf":"$sfDir","omitted":000$measuredField$ratioField}""".length
       val entries = results.sortBy(-_._2).map { case (k, v) => s""""$k":${f3(v)}""" }
       var used = fixed
@@ -246,6 +254,13 @@ object Bench {
     val inventory = names.length
     val heartbeatEvery = 8
     val pass1 = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // every SUCCESSFUL sample across both passes — the only floor feed
+    val okSamples = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // queries with >=1 failed/cancelled sample this run — annotated in the
+    // artifact so a failure can't hide inside a green-looking total
+    val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
+    def record(name: String, t: Double, ok: Boolean): Unit =
+      if (ok) okSamples += name -> t else failedNames += name
     var contextDied = false
     // Defense 6: a sample blowing past 3× its historical floor is almost
     // certainly a stall burst (every floor is <5 s; genuine code slowdowns
@@ -257,14 +272,16 @@ object Bench {
     while (it1.hasNext && !contextDied) {
       val (name, fn) = it1.next()
       timeOne(name, fn) match {
-        case Some(t) =>
+        case Some((t, ok)) =>
+          record(name, t, ok)
           val floor = histFloors.getOrElse(name, Double.MaxValue)
           if (t > 3 * floor && retriesLeft > 0 && wallS < budgetS && !spark.sparkContext.isStopped) {
             retriesLeft -= 1
             System.err.println(f"[bench] $name ${f3(t)}s > 3x floor ${f3(floor)}s; in-pass retry")
             timeOne(name, fn) match {
-              case Some(t2) => pass1 += name -> math.min(t, t2)
-              case None     => pass1 += name -> t; contextDied = true
+              case Some((t2, ok2)) =>
+                record(name, t2, ok2); pass1 += name -> math.min(t, t2)
+              case None => pass1 += name -> t; contextDied = true
             }
           } else pass1 += name -> t
         case None => contextDied = true
@@ -307,8 +324,8 @@ object Bench {
       while (it.hasNext && wallS < budgetS && !contextDied) {
         val (name, fn) = it.next()
         timeOne(name, fn) match {
-          case Some(t) => pass2 += name -> t
-          case None    => contextDied = true
+          case Some((t, ok)) => record(name, t, ok); pass2 += name -> t
+          case None          => contextDied = true
         }
         if (pass2.length % heartbeatEvery == 0 && it.hasNext && !contextDied) {
           println(compactLine(floors, 400, inventory)); System.out.flush()
@@ -324,13 +341,15 @@ object Bench {
     val results = floors
     val total = results.map(_._2).sum
     // Min-merge this run's floors into the committed history (defenses 6-8
-    // all read it next run). Unmeasured queries keep their old entry; new
-    // queries enter at their first measured floor.
+    // all read it next run). ONLY successful samples qualify — a thrown or
+    // deadline-cancelled query's elapsed is spent time, not a measurement,
+    // and min-merging it would pin an unattainable floor forever (the
+    // ddl_dml 0.444 artifact). Unmeasured queries keep their old entry; new
+    // queries enter at their first successful floor.
     try {
-      val merged = (histFloors.keySet ++ results.map(_._1)).toSeq.sorted.map { n =>
-        val run = results.collectFirst { case (`n`, t) => t }
-        val hist = histFloors.get(n)
-        n -> (run.toSeq ++ hist.toSeq).min
+      val okMin = okSamples.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val merged = (histFloors.keySet ++ okMin.keys).toSeq.sorted.map { n =>
+        n -> (okMin.get(n).toSeq ++ histFloors.get(n).toSeq).min
       }
       val updated = allFloors + (sfKey -> merged.toMap)
       val body = updated.toSeq.sortBy(_._1).map { case (sf, m) =>
@@ -348,10 +367,20 @@ object Bench {
     // keys silently drops members in most consumers
     val pass2Min = pass2.groupBy(_._1).view.mapValues(_.map(_._2).min)
       .toSeq.sortBy(_._1)
+    // "failed": queries with >=1 thrown/cancelled sample this run (their
+    // elapsed is in the totals, their floors untouched) — a fast failure
+    // can neither masquerade as a floor nor hide in a green total.
+    val failedList = failedNames.toSeq.sorted
+    val failedField =
+      if (failedList.isEmpty) ""
+      else s""","failed":${failedList.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    if (failedList.nonEmpty)
+      System.err.println(s"[bench] ${failedList.length} queries had failed samples: ${failedList.mkString(", ")}")
     Files.writeString(Paths.get("bench_out.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","pass1":${jmap(pass1.toSeq)},"pass2":${jmap(pass2Min)},"pass2_ran":$covered,"pass2_samples":${pass2.length},"wall_s":${f3(wallS)}${floorRatioField(results)}}""" + "\n")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","pass1":${jmap(pass1.toSeq)},"pass2":${jmap(pass2Min)},"pass2_ran":$covered,"pass2_samples":${pass2.length},"wall_s":${f3(wallS)}${floorRatioField(results)}$failedField}""" + "\n")
     // Refreshed compact line — the last complete line on stdout wins.
-    println(compactLine(results, 1500, inventory, withRatio = true))
+    println(compactLine(results, 1500, inventory, withRatio = true,
+      extra = if (failedList.isEmpty) "" else s""","failed":${failedList.length}"""))
     spark.stop()
   }
 }
