@@ -339,6 +339,46 @@ object KeyRange {
       .orderBy(col("pri"))
   }
 
+  /** A7-DSv2 judged: OPTIMISTIC CONCURRENCY — two appends race the same kv
+    * table from two driver threads. Both plan against the same manifest
+    * version; whoever publishes second detects the version advance under
+    * the per-table commit lock and MERGES (append∥append unions the file
+    * lists — neither commit's files are dropped, the lost-update failure
+    * mode of naive read-merge-publish). The final state must equal the
+    * serial schedule regardless of commit order, which is exactly what the
+    * oracle replays: all three slices together are the whole table. On a
+    * cluster the lock slot is the table format's put-if-absent commit
+    * (Delta LogStore / Iceberg metastore CAS); the conflict matrix —
+    * appends merge, truncates and row-level rewrites against a stale
+    * version refuse — is identical (DsV2Spec pins the refusal arms). */
+  def kvConcurrentAppend(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_concurrent"
+    clearDir(tmp)
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // seed history, then two racing appends of the remaining slices
+    src.filter(col("o_orderkey") % 3 === 0)
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", tmp).mode("overwrite").save()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val racers = Seq(1, 2).map { r =>
+      Future {
+        src.filter(col("o_orderkey") % 3 === r)
+          .write.format("graft.sources.GraftKvSink")
+          .option("path", tmp).mode("append").save()
+      }
+    }
+    Await.result(Future.sequence(racers), 300.seconds)
+    s.read.format("graft.sources.GraftKvSink").option("path", tmp).load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).as("key_sum"),
+        sumS(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** A6-native judged: ROW-LEVEL DML through SPARK'S OWN planner — the kv
     * connector implements SupportsRowLevelOperations (+ a `_file` metadata
     * column), so plain-SQL DELETE / UPDATE / MERGE INTO on a catalog kv
@@ -505,9 +545,11 @@ object KeyRange {
     * table takes row-level DML (DELETE, then UPDATE), and a LIVE streaming
     * read with `readChangeFeed=true` surfaces every mutation as per-row
     * change records across three micro-batches: the base load as `insert`
-    * rows, the DELETE's pre-images as `delete` rows, the UPDATE as a
-    * `delete`(pre-image) + `insert`(post-image) pair — each stamped with
-    * its committing epoch. The judged frame aggregates the change stream
+    * rows, the DELETE's pre-images as `delete` rows, the UPDATE as an
+    * `update_preimage` + `update_postimage` pair (the Delta CDF
+    * four-valued `_change_type` — a consumer can tell an update from a
+    * genuine delete plus unrelated insert) — each stamped with its
+    * committing epoch. The judged frame aggregates the change stream
     * by (kind, epoch); the oracle replays the statement sequence
     * relationally, so completeness, pre-image fidelity, and epoch
     * attribution are all hash-gated. At 100 TB each micro-batch reads
@@ -550,6 +592,66 @@ object KeyRange {
       .orderBy(col("commit_epoch"), col("change_type"))
   }
 
+  /** A11 judged: CDC STREAMING over COPY-ON-WRITE DML — the r14 fence,
+    * lifted. A CoW rewrite is file-granular (no row-level change record
+    * exists), but since r14 the superseded files are RETAINED until
+    * vacuum, so the stream SYNTHESIZES the rewrite epoch's change records
+    * from the manifest diff: removed files emit as `delete`, their
+    * replacements as `insert`. A row that survived the rewrite appears as
+    * a cancelling pair, so the judged frame folds SIGNED counts per
+    * epoch — layout-independent (which physical files a rewrite touches
+    * depends on pruning), and exactly the fold every CDC consumer (IVM,
+    * replication) already runs. The oracle replays the statement sequence
+    * as signed relational events; net rows/keys/prices per epoch must
+    * hash-match. At 100 TB only the files the rewrite touched are ever
+    * opened — untouched files are visible at both boundaries and
+    * contribute nothing; post-vacuum the window refuses loudly
+    * (StreamingSpec pins that). */
+  def kvCdcCow(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_cdccow"
+    clearDir(tmp) // explicit-epoch writes fence on a replayed history
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_cdccow")
+    s.sql("CREATE TABLE graft.kvq.orders_cdccow (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')") // copy-on-write (no mor)
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 === 2)
+    // epoch-stamped history (two base epochs → multi-file layout, so the
+    // DML rewrites only SOME files and the untouched ones stay closed)
+    Seq(2L -> "overwrite", 6L -> "append").zipWithIndex.foreach {
+      case ((m, mode), k) =>
+        src.filter(col("o_orderkey") % 8 === m)
+          .write.format("graft.sources.GraftKvSink")
+          .option("path", tmp).option("epoch", k.toString).mode(mode).save()
+    }
+    val sink = "graft_kv_cdccow_sink"
+    s.catalog.dropTempView(sink)
+    val ckpt = s"$scratch/cdccow_ck"
+    clearDir(ckpt)
+    val q = s.readStream.format("graft.sources.GraftKvSink")
+      .option("path", tmp).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable() // batch 1: both base epochs as inserts
+      s.sql("DELETE FROM graft.kvq.orders_cdccow WHERE o_orderkey % 20 = 2")
+      q.processAllAvailable() // batch 2: synthesized rewrite records (ep 2)
+      s.sql("UPDATE graft.kvq.orders_cdccow " +
+        "SET o_totalprice = o_totalprice + 2.5 WHERE o_orderstatus = 'O'")
+      q.processAllAvailable() // batch 3: synthesized rewrite records (ep 3)
+    } finally q.stop()
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
+    s.table(sink)
+      .groupBy(col("_commit_epoch").as("commit_epoch"))
+      .agg(sum(sgn).as("net_rows"),
+        sum(sgn * col("o_orderkey")).as("net_keys"),
+        sumS(sgn.cast("double") * col("o_totalprice")).as("net_price"))
+      .orderBy(col("commit_epoch"))
+  }
+
   /** A11 × B19 judged: INCREMENTAL VIEW MAINTENANCE from the CDC stream —
     * the retractable-aggregate composition: `readChangeFeed` turns row-
     * level DML into signed change records, and Spark's own stateful
@@ -576,8 +678,12 @@ object KeyRange {
     s.catalog.dropTempView(sink)
     val ckpt = s"$scratch/mvcdc_ck"
     clearDir(ckpt)
-    val signed = when(col("_change_type") === "insert", lit(1L))
-      .otherwise(lit(-1L))
+    // classification-agnostic signed fold: the four-valued _change_type
+    // collapses to +1 for row-producing kinds (insert, update_postimage)
+    // and -1 for row-removing kinds (delete, update_preimage) — IVM does
+    // not care WHY a row appeared or vanished, only that it did
+    val signed = when(col("_change_type").isin("insert", "update_postimage"),
+      lit(1L)).otherwise(lit(-1L))
     val q = s.readStream.format("graft.sources.GraftKvSink")
       .option("path", tmp).option("readChangeFeed", "true").load()
       .groupBy(col("o_orderstatus"))
@@ -602,9 +708,10 @@ object KeyRange {
     * loop into a second keyed table. A source MOR table takes row-level
     * DML; a `readChangeFeed` stream applies each epoch's change records
     * to an independent target table inside `foreachBatch`: the epoch's
-    * `delete` keys via MERGE…DELETE, its `insert` images via INSERT —
-    * epochs applied in commit order, so an UPDATE's delete+insert pair
-    * replays exactly. The judged frame aggregates the TARGET table; the
+    * row-removing kinds (`delete`, `update_preimage`) via MERGE…DELETE,
+    * its row-producing kinds (`insert`, `update_postimage`) via INSERT —
+    * epochs applied in commit order, so an UPDATE's preimage/postimage
+    * pair replays exactly. The judged frame aggregates the TARGET table; the
     * oracle replays the SOURCE's statement sequence — they hash-match
     * only if replication delivered every change exactly once. Each batch
     * moves O(changed rows): at 100 TB this is log-shipping between
@@ -653,12 +760,13 @@ object KeyRange {
           sb.sql(
             """MERGE INTO graft.kvq.orders_repl_tgt t USING (
               |  SELECT DISTINCT o_orderkey FROM graft_repl_batch
-              |  WHERE _change_type = 'delete') s
+              |  WHERE _change_type IN ('delete', 'update_preimage')) s
               |ON t.o_orderkey = s.o_orderkey
               |WHEN MATCHED THEN DELETE""".stripMargin)
           sb.sql("INSERT INTO graft.kvq.orders_repl_tgt " +
             "SELECT o_orderkey, o_orderstatus, o_totalprice " +
-            "FROM graft_repl_batch WHERE _change_type = 'insert'")
+            "FROM graft_repl_batch " +
+            "WHERE _change_type IN ('insert', 'update_postimage')")
         }
         } finally { df.unpersist(); () }
       }
@@ -1317,9 +1425,11 @@ object KeyRange {
     "mv_rewrite" -> (mvRewrite _),
     "kv_agg_pushdown" -> (kvAggPushdown _),
     "kv_rowlevel_dml" -> (kvRowlevelDml _),
+    "kv_concurrent_append" -> (kvConcurrentAppend _),
     "kv_mor_dml" -> (kvMorDml _),
     "kv_changefeed" -> (kvChangefeed _),
     "kv_cdc_stream" -> (kvCdcStream _),
+    "kv_cdc_cow" -> (kvCdcCow _),
     "kv_cdc_restart" -> (kvCdcRestart _),
     "kv_history" -> (kvHistory _),
     "catalog_ctas" -> (catalogCtas _),
@@ -1330,6 +1440,14 @@ object KeyRange {
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
+    // two racing appends + the seed = the whole table, whatever the
+    // commit order: the optimistic merge must lose nothing
+    "kv_concurrent_append" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the index path must reproduce plain-predicate semantics exactly
     "secondary_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -1404,9 +1522,9 @@ object KeyRange {
         |  UNION ALL
         |  SELECT 'delete', 1, o_orderkey, o_totalprice FROM del
         |  UNION ALL
-        |  SELECT 'delete', 2, o_orderkey, o_totalprice FROM upd
+        |  SELECT 'update_preimage', 2, o_orderkey, o_totalprice FROM upd
         |  UNION ALL
-        |  SELECT 'insert', 2, o_orderkey, o_totalprice + 0.5 FROM upd
+        |  SELECT 'update_postimage', 2, o_orderkey, o_totalprice + 0.5 FROM upd
         |) GROUP BY change_type, commit_epoch
         |ORDER BY commit_epoch, change_type""".stripMargin,
     // the REPLACEd definition is the table: two columns, the %6=3 slice
@@ -1478,9 +1596,10 @@ object KeyRange {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM cur GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
-    // the CDC stream's change records, replayed relationally: inserts =
-    // the base load (epoch 0) + update post-images (epoch 2); deletes =
-    // the DELETE's pre-images (epoch 1) + update pre-images (epoch 2)
+    // the CDC stream's change records, replayed relationally with the
+    // four-valued _change_type: inserts = the base load (epoch 0);
+    // deletes = the DELETE's pre-images (epoch 1); the UPDATE (epoch 2) =
+    // update_preimage + update_postimage pairs
     "kv_cdc_stream" ->
       """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
         |              FROM orders WHERE o_orderkey % 4 = 0),
@@ -1496,11 +1615,39 @@ object KeyRange {
         |  UNION ALL
         |  SELECT 'delete', 1, o_orderkey, o_totalprice FROM del
         |  UNION ALL
-        |  SELECT 'delete', 2, o_orderkey, o_totalprice FROM upd
+        |  SELECT 'update_preimage', 2, o_orderkey, o_totalprice FROM upd
         |  UNION ALL
-        |  SELECT 'insert', 2, o_orderkey, o_totalprice + 1.5 FROM upd
+        |  SELECT 'update_postimage', 2, o_orderkey, o_totalprice + 1.5 FROM upd
         |) GROUP BY change_type, commit_epoch
         |ORDER BY commit_epoch, change_type""".stripMargin,
+    // the CoW CDC stream's synthesized records, folded SIGNED per epoch:
+    // which files a rewrite touches is a layout detail, but the NET
+    // change per epoch is exact — +base slices at epochs 0/1, -deleted
+    // rows at epoch 2, and the UPDATE's +2.5-per-row price shift (zero
+    // net rows/keys) at epoch 3
+    "kv_cdc_cow" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders WHERE o_orderkey % 4 = 2),
+        |del AS (SELECT * FROM base WHERE o_orderkey % 20 = 2),
+        |upd AS (SELECT * FROM base
+        |        WHERE NOT o_orderkey % 20 = 2 AND o_orderstatus = 'O')
+        |SELECT commit_epoch, CAST(sum(sgn) AS BIGINT) AS net_rows,
+        |  CAST(sum(sgn * o_orderkey) AS BIGINT) AS net_keys,
+        |  CAST(sum(CAST(sgn * o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS net_price
+        |FROM (
+        |  SELECT CAST(0 AS BIGINT) AS commit_epoch, CAST(1 AS BIGINT) AS sgn,
+        |    o_orderkey, o_totalprice FROM base WHERE o_orderkey % 8 = 2
+        |  UNION ALL
+        |  SELECT 1, 1, o_orderkey, o_totalprice FROM base WHERE o_orderkey % 8 = 6
+        |  UNION ALL
+        |  SELECT 2, -1, o_orderkey, o_totalprice FROM del
+        |  UNION ALL
+        |  SELECT 3, -1, o_orderkey, o_totalprice FROM upd
+        |  UNION ALL
+        |  SELECT 3, 1, o_orderkey, o_totalprice + 2.5 FROM upd
+        |) GROUP BY commit_epoch
+        |ORDER BY commit_epoch""".stripMargin,
     // each VERSION AS OF boundary = the epoch-prefix state, replayed
     // relationally; version 2 reconstructs through retained CoW history
     "kv_version_asof" ->

@@ -46,8 +46,18 @@ import org.apache.spark.unsafe.types.UTF8String
   * toString/parse, the same property csv_ingest leans on). Paths go through
   * java.nio, which pins this demo to a shared/local filesystem; a cluster
   * deployment would swap in the Hadoop FileSystem API with the commit
-  * protocol unchanged. Single-writer per directory (no concurrent-commit
-  * arbitration), like a bulk load.
+  * protocol unchanged.
+  *
+  * CONCURRENCY: every manifest read-modify-publish runs under a per-table
+  * commit lock ([[GraftKvSink.withCommitLock]]) and the manifest carries a
+  * monotonically-increasing `version`. A batch committer snapshots the
+  * manifest at plan time and, at publish, compares versions under the
+  * lock: unchanged → publish; advanced → Delta/Iceberg-style conflict
+  * resolution (concurrent APPENDs merge — the file lists union; anything
+  * racing a truncate, a row-level replace, or a compaction refuses
+  * loudly). On a distributed deployment the lock becomes the table
+  * format's put-if-absent commit slot (Delta's LogStore contract); the
+  * version-compare conflict matrix is identical.
   */
 class GraftKvSink extends TableProvider {
   // the write path hands the DataFrame's schema to getTable
@@ -109,7 +119,13 @@ object GraftKvSink {
       // has no retraction) fence here; batch time travel does NOT — it
       // reconstructs from `removed` until vacuum folds this into
       // compactedUpTo
-      rewrittenUpTo: Long = -1L) {
+      rewrittenUpTo: Long = -1L,
+      // OPTIMISTIC-CONCURRENCY token: monotonically incremented on every
+      // publish. A committer records the version it planned against and,
+      // at publish time (under the commit lock), compares it with the
+      // current one — equal means no concurrent commit; greater means a
+      // conflict check decides merge-or-refuse (see GraftKvBatchWrite).
+      version: Long = 0L) {
     /** THE boundary-state visibility rule — the one definition every
       * reader (scan, agg pushdown, changefeed planning) must share, or
       * metadata-answered COUNTs silently diverge from data-path reads: at
@@ -132,23 +148,66 @@ object GraftKvSink {
   }
 
   /** Iterate a delta file's position-delete records — the single read-side
-    * definition of the `D\t<file>\t<pos>` line format (writer:
-    * [[GraftKvDeltaWriter.delete]]). Malformed lines are skipped. */
-  private[sources] def foreachDelete(dir: String, delta: String)(
-      f: (String, Long) => Unit): Unit = {
+    * definition of the `D\t<file>\t<pos>` and `U\t<file>\t<pos>\t<row>`
+    * line formats (writers: [[GraftKvDeltaWriter.delete]]/`update`). A `U`
+    * record IS a position-delete of the pre-image (plus an insert of the
+    * post-image, surfaced elsewhere); `kinds` restricts which record kinds
+    * feed `f` — CDC classification reads "D" and "U" separately, every
+    * masking/fold path wants the default union. Malformed lines skipped. */
+  private[sources] def foreachDelete(dir: String, delta: String,
+      kinds: String = "DU")(f: (String, Long) => Unit): Unit = {
     val st = Files.lines(Paths.get(dir, delta))
     try {
       val it = st.iterator()
       while (it.hasNext) {
         val l = it.next()
-        if (l.startsWith("D\t")) {
+        val k = if (l.length > 2 && l.charAt(1) == '\t') l.charAt(0) else ' '
+        if ((k == 'D' || k == 'U') && kinds.indexOf(k.toInt) >= 0) {
           val p1 = l.indexOf('\t', 2)
-          if (p1 > 2 && p1 < l.length - 1)
-            f(l.substring(2, p1), java.lang.Long.parseLong(l.substring(p1 + 1)))
+          // D: pos runs to end of line; U: pos runs to the next tab
+          val p2 = if (p1 > 2) l.indexOf('\t', p1 + 1) else -1
+          val end = if (p2 > 0) p2 else l.length
+          if (p1 > 2 && end > p1 + 1)
+            f(l.substring(2, p1),
+              java.lang.Long.parseLong(l.substring(p1 + 1, end)))
         }
       }
     } finally st.close()
   }
+
+  /** One driver-side scan of a (tiny — one DML statement's actions) delta
+    * file for CDC planning: does it carry plain inserts / updates, and
+    * which target files do its D- and U-records position-delete from. */
+  private[sources] def deltaShape(dir: String, delta: String)
+      : (Boolean, Boolean, Seq[String], Seq[String]) = {
+    var hasI = false
+    var hasU = false
+    val dT = scala.collection.mutable.LinkedHashSet.empty[String]
+    val uT = scala.collection.mutable.LinkedHashSet.empty[String]
+    val st = Files.lines(Paths.get(dir, delta))
+    try {
+      val it = st.iterator()
+      while (it.hasNext) {
+        val l = it.next()
+        if (l.startsWith("I\t")) hasI = true
+        else if (l.startsWith("D\t") || l.startsWith("U\t")) {
+          val p1 = l.indexOf('\t', 2)
+          if (p1 > 2) {
+            if (l.charAt(0) == 'D') dT += l.substring(2, p1)
+            else { hasU = true; uT += l.substring(2, p1) }
+          }
+        }
+      }
+    } finally st.close()
+    (hasI, hasU, dT.toSeq, uT.toSeq)
+  }
+
+  /** The row payload of a delta line: `I\t<row>` → after the marker,
+    * `U\t<file>\t<pos>\t<row>` → after the third tab. */
+  private[sources] def deltaPayload(l: String): String =
+    if (l.startsWith("U\t"))
+      l.substring(l.indexOf('\t', l.indexOf('\t', 2) + 1) + 1)
+    else l.substring(2)
 
   /** Per-file bloom parameters: identical across every writer so
     * compaction can merge filters bit-for-bit; files beyond the row cap
@@ -171,6 +230,41 @@ object GraftKvSink {
   private[sources] def manifestPath(dir: String): Path =
     Paths.get(dir, "_graft_manifest.json")
 
+  // ---- per-table commit lock -------------------------------------------
+  // Serializes every manifest read-modify-publish: a JVM monitor (keyed by
+  // the normalized table path) covers threads in this process, and an OS
+  // advisory file lock on `_graft_commit.lock` covers other processes on
+  // the shared filesystem. Reentrant per thread so a locked operation may
+  // call another locked helper. On HDFS/S3 this slot is where a LogStore
+  // put-if-absent (Delta) or a metastore CAS (Iceberg) plugs in — callers
+  // only depend on "read-merge-publish is atomic against other committers".
+  private val commitMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val heldLocks = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue(): java.util.HashSet[String] =
+      new java.util.HashSet[String]()
+  }
+  private[graft] def withCommitLock[T](dir: String)(f: => T): T = {
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    if (heldLocks.get.contains(key)) f
+    else {
+      val monitor = commitMonitors.computeIfAbsent(key, _ => new Object)
+      monitor.synchronized {
+        Files.createDirectories(Paths.get(dir))
+        val ch = java.nio.channels.FileChannel.open(
+          Paths.get(dir, "_graft_commit.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val fileLock = ch.lock()
+          heldLocks.get.add(key)
+          try f
+          finally { heldLocks.get.remove(key); fileLock.release() }
+        } finally ch.close()
+      }
+    }
+  }
+
   /** Tiny hand-rolled JSON (schema via StructType.json, files as a flat
     * list) — same zero-dependency approach as the DDL catalog. */
   private[sources] def writeManifest(dir: String, schema: StructType,
@@ -183,6 +277,12 @@ object GraftKvSink {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
+    // version auto-increments off the currently-published manifest: every
+    // publish site runs under withCommitLock, so read-then-+1 here is the
+    // CAS bump (first publish = version 0)
+    val mfp = manifestPath(dir)
+    root.put("version",
+      if (Files.exists(mfp)) readManifest(mfp).version + 1L else 0L)
     if (compactedUpTo >= 0L) root.put("compactedUpTo", compactedUpTo)
     if (rewrittenUpTo >= 0L) root.put("rewrittenUpTo", rewrittenUpTo)
     val arr = root.putArray("files")
@@ -256,7 +356,8 @@ object GraftKvSink {
       .map(r => RemovedFile(r.get("name").asText(), r.get("rows").asLong(),
         r.get("at").asLong()))
     val rw = Option(root.get("rewrittenUpTo")).map(_.asLong()).getOrElse(-1L)
-    Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw)
+    val ver = Option(root.get("version")).map(_.asLong()).getOrElse(0L)
+    Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -410,7 +511,7 @@ object GraftKvSink {
     * abort) can orphan files; readers never see them (manifest-listed
     * only), this reclaims the space. Live `.tmp` attempts and the manifest
     * itself are never touched. Returns the number of files removed. */
-  def vacuum(dir: String, graceMs: Long = 10 * 60 * 1000L): Int = {
+  def vacuum(dir: String, graceMs: Long = 10 * 60 * 1000L): Int = withCommitLock(dir) {
     val mfp = manifestPath(dir)
     require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
     val m0 = readManifest(mfp)
@@ -428,7 +529,10 @@ object GraftKvSink {
       .filter { p =>
         val n = p.getFileName.toString
         ((n.endsWith(".kv") && !listed.contains(n) && !listedRemoved.contains(n)) ||
-          (n.endsWith(".kvd") && !listedDeltas.contains(n))) &&
+          (n.endsWith(".kvd") && !listedDeltas.contains(n)) ||
+          // aged-out task attempts from crashed jobs: commits sweep only
+          // their own writeId-scoped temps, so vacuum reclaims the rest
+          n.endsWith(".tmp")) &&
           Files.getLastModifiedTime(p).toMillis <= cutoff
       }.toSeq
     stray.foreach(Files.deleteIfExists(_))
@@ -449,6 +553,11 @@ object GraftKvSink {
     }
     stray.length + (if (reclaimHistory) m0.removed.length else 0)
   }
+
+  /** Read-only introspection: the manifest's optimistic-concurrency
+    * version (increments on every publish; 0 = first). */
+  def manifestVersion(dir: String): Long =
+    readManifest(manifestPath(dir)).version
 
   /** Read-only introspection (tests and judged-query assertions): the
     * manifest's current (data file names, delta file names). */
@@ -566,7 +675,7 @@ object GraftKvSink {
     * history and both fences carry over verbatim — old files simply have
     * no stats for the new columns, which every pruning/pushdown path
     * already treats as "unknown, keep". */
-  private[sources] def evolveSchema(dir: String, next: StructType): Unit = {
+  private[sources] def evolveSchema(dir: String, next: StructType): Unit = withCommitLock(dir) {
     val mf = manifestPath(dir)
     if (!Files.exists(mf)) return // first write will publish `next` itself
     val m = readManifest(mf)
@@ -628,7 +737,7 @@ object GraftKvSink {
     (onlyFrom.toSeq.sorted, onlyTo.toSeq.sorted)
   }
 
-  def compact(dir: String, upToRequested: Long): Int = {
+  def compact(dir: String, upToRequested: Long): Int = withCommitLock(dir) {
     require(upToRequested >= 0L,
       s"graft_kv: compact upTo must be >= 0, got $upToRequested")
     val mfp = manifestPath(dir)
@@ -716,10 +825,12 @@ object GraftKvSink {
             while (it.hasNext) {
               val l = it.next()
               pos += 1L
+              // a U record folds as its post-image row (the pre-image was
+              // position-deleted from its own target file)
               val live = (dels == null || !dels.contains(pos)) &&
-                (!insertPayloads || l.startsWith("I\t"))
+                (!insertPayloads || l.startsWith("I\t") || l.startsWith("U\t"))
               if (live) {
-                w.write(if (insertPayloads) l.substring(2) else l)
+                w.write(if (insertPayloads) GraftKvSink.deltaPayload(l) else l)
                 w.write('\n')
                 targetRows += 1L
               }
@@ -892,7 +1003,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     require(pinnedEpoch.isEmpty,
       "graft_kv: DELETE on a VERSION AS OF read is not allowed")
     val mf = GraftKvSink.manifestPath(dir)
-    if (Files.exists(mf)) {
+    if (Files.exists(mf)) GraftKvSink.withCommitLock(dir) {
       // publish the empty manifest FIRST (the single visibility switch),
       // THEN reclaim the files: a crash in between leaves harmless garbage
       // for vacuum, never a manifest pointing at deleted files
@@ -1014,17 +1125,22 @@ final class GraftKvDeltaOperation(dir: String,
 final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType)
   extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
+  // same writeId temp scoping as the data write: a concurrent job's
+  // in-flight delta temps must survive this commit's sweep
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
     Files.createDirectories(Paths.get(dir))
     val schemaJson = rowSchema.json
     val d = dir
+    val wid = writeId
     new org.apache.spark.sql.connector.write.DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         new GraftKvDeltaWriter(d, sch,
-          f"delta-part-$partitionId%05d-$taskId.tmp",
+          f"delta-part-$partitionId%05d-$taskId.$wid.tmp",
           f"delta-part-$partitionId%05d-$taskId.kvd")
       }
     }
@@ -1037,7 +1153,7 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType)
           Files.deleteIfExists(Paths.get(dir, m.tmpName))
         m.inserts > 0L || m.deletes > 0L
       }
-    if (committed.nonEmpty) {
+    if (committed.nonEmpty) GraftKvSink.withCommitLock(dir) {
       val mfP = GraftKvSink.manifestPath(dir)
       require(Files.exists(mfP),
         s"graft_kv: row-level delta write against $dir with no manifest")
@@ -1055,11 +1171,12 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType)
         m.stats, m.blooms, m.deltas ++ published, m.removed, m.rewrittenUpTo)
     }
     // sweep stray attempts (task retries / speculation) — AFTER the
-    // committed renames, or the sweep would eat this commit's own files
+    // committed renames, or the sweep would eat this commit's own files;
+    // writeId-scoped so a concurrent DML's in-flight temps survive
     Files.list(Paths.get(dir)).iterator().asScala
       .filter { p =>
         val n = p.getFileName.toString
-        n.startsWith("delta-part-") && n.endsWith(".tmp")
+        n.startsWith("delta-part-") && n.endsWith(s".$writeId.tmp")
       }.foreach(Files.delete)
   }
 
@@ -1098,8 +1215,16 @@ final class GraftKvDeltaWriter(dir: String, schema: StructType,
   }
 
   override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
-    delete(meta, id)
-    insert(row)
+    // ONE `U` record: pre-image position + post-image row. Reads treat it
+    // as delete(pos) ∪ insert(row); CDC reads classify it as
+    // update_preimage/update_postimage (Delta CDF's four-valued
+    // _change_type) — which a split delete+insert pair cannot express.
+    val sb = new StringBuilder(s"U\t${id.getUTF8String(0)}\t${id.getLong(1)}\t")
+    GraftKvSink.encodeRow(schema, row, sb, observed)
+    out.write(sb.toString)
+    // counts keep delete+insert arithmetic: manifest COUNT math unchanged
+    inserts += 1L
+    deletes += 1L
   }
 
   override def write(row: InternalRow): Unit = insert(row)
@@ -1347,7 +1472,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
     }
   }
 
-  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = GraftKvSink.withCommitLock(dir) {
     // same empty-file suppression as the batch path
     val committed = messages.collect { case m: GraftKvCommit => m }
       .filter { m =>
@@ -1424,35 +1549,99 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     replaceFiles: Option[() => Seq[String]] = None)
   extends BatchWrite {
 
+  // This write's identity: scopes task temp-file names (and the commit-time
+  // stray-attempt sweep) to THIS job, so a concurrent writer's in-flight
+  // `.tmp` files are never swept by someone else's commit.
+  private val writeId = java.util.UUID.randomUUID().toString.take(8)
+
+  // Optimistic-concurrency read snapshot: the manifest as of PLAN time
+  // (factory creation, driver-side, before any task runs). At commit, under
+  // the table lock, the snapshot version is compared with the current one —
+  // a mismatch means a concurrent commit landed while this job was writing,
+  // and the conflict matrix below decides merge vs refuse.
+  @volatile private var planned: Option[GraftKvSink.Manifest] = None
+  @volatile private var plannedCaptured = false
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     Files.createDirectories(Paths.get(dir))
+    val mfP0 = GraftKvSink.manifestPath(dir)
+    planned =
+      if (Files.exists(mfP0)) Some(GraftKvSink.readManifest(mfP0)) else None
+    plannedCaptured = true
     // validate the explicit stamp BEFORE any task writes: an epoch the
     // manifest already lists is not replayable by a batch job (batch
     // writes carry no attempt identity), and one inside compacted history
     // is fenced like any other write into vacuumed epochs
+    // (re-validated at commit under the lock — a concurrent writer may
+    // have published the same epoch since)
     explicitEpoch.foreach { e =>
       require(e >= 0L, s"graft_kv: epoch option must be >= 0, got $e")
-      val mfP = GraftKvSink.manifestPath(dir)
-      if (!replace && Files.exists(mfP)) {
-        val m = GraftKvSink.readManifest(mfP)
-        require(!m.files.exists(_._1.startsWith(s"epoch-$e-")),
-          s"graft_kv: epoch $e is already published at $dir")
-        require(e > m.compactedUpTo,
-          s"graft_kv: epoch $e is inside compacted history " +
-            s"(epochs <= ${m.compactedUpTo} were merged)")
-        require(e > m.rewrittenUpTo,
-          s"graft_kv: epoch $e is at or below the row-level rewrite " +
-            s"boundary ${m.rewrittenUpTo} — a pre-DML state must not gain rows")
-      }
+      planned.foreach { m => if (!replace) validateExplicitEpoch(e, m) }
     }
     new GraftKvWriterFactory(dir, schema.json,
-      explicitEpoch.map(e => s"epoch-$e-").getOrElse(""))
+      explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId)
+  }
+
+  private def validateExplicitEpoch(e: Long, m: GraftKvSink.Manifest): Unit = {
+    require(!m.files.exists(_._1.startsWith(s"epoch-$e-")),
+      s"graft_kv: epoch $e is already published at $dir")
+    require(e > m.compactedUpTo,
+      s"graft_kv: epoch $e is inside compacted history " +
+        s"(epochs <= ${m.compactedUpTo} were merged)")
+    require(e > m.rewrittenUpTo,
+      s"graft_kv: epoch $e is at or below the row-level rewrite " +
+        s"boundary ${m.rewrittenUpTo} — a pre-DML state must not gain rows")
+  }
+
+  /** Delta/Iceberg-style conflict resolution, evaluated under the commit
+    * lock against the CURRENT manifest when the version advanced past this
+    * write's plan-time snapshot. Concurrent APPENDs merge (this commit
+    * simply folds its files into the newer state it re-read under the
+    * lock); a truncate/overwrite or a row-level replace planned against a
+    * stale version refuses — its task output was derived from (or replaces
+    * wholesale) a state that no longer exists. An append also refuses when
+    * files it saw at plan time have disappeared (a concurrent truncate,
+    * CoW rewrite, or compaction): that is no longer an append∥append race. */
+  private def checkConflicts(cur: Option[GraftKvSink.Manifest]): Unit = {
+    if (!plannedCaptured) return // no tasks planned (empty write): lock alone suffices
+    val snapVer = planned.map(_.version).getOrElse(-1L)
+    val curVer = cur.map(_.version).getOrElse(-1L)
+    if (curVer == snapVer) return // no concurrent commit
+    def refuse(what: String): Nothing = throw new IllegalStateException(
+      s"graft_kv: concurrent commit detected at $dir — this $what was " +
+        s"planned against manifest version $snapVer but the table is now " +
+        s"at version $curVer; " +
+        (if (what == "append") "the concurrent commit removed files this " +
+          "append planned against (truncate/rewrite/compaction), so the " +
+          "states cannot merge; rerun the append"
+        else "rerun against the current state"))
+    if (replace && replaceFiles.isEmpty) refuse("truncating overwrite")
+    if (replaceFiles.isDefined) refuse("row-level rewrite")
+    // append∥append merges; anything that removed plan-time files refuses
+    val curFiles = cur.map(_.files.map(_._1).toSet).getOrElse(Set.empty)
+    val curDeltas = cur.map(_.deltas.map(_.name).toSet).getOrElse(Set.empty)
+    val ok = planned.forall { p =>
+      p.files.map(_._1).forall(curFiles.contains) &&
+        p.deltas.map(_.name).forall(curDeltas.contains) &&
+        cur.exists(c => c.compactedUpTo == p.compactedUpTo &&
+          c.rewrittenUpTo == p.rewrittenUpTo)
+    }
+    if (!ok) refuse("append")
+    // an explicit epoch stamp must also be unclaimed in the CURRENT state
+    // (two concurrent writers racing the same epoch: first wins, second
+    // refuses here instead of silently double-publishing the epoch)
+    explicitEpoch.foreach(e => cur.foreach(validateExplicitEpoch(e, _)))
   }
 
   /** Driver-side finalize: only files named by successful task attempts
     * become visible; stray temp files from failed/speculative attempts are
     * swept; the manifest publish is the single visibility switch. */
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  override def commit(messages: Array[WriterCommitMessage]): Unit = GraftKvSink.withCommitLock(dir) {
+    // conflict gate FIRST (under the lock): refuse before moving any task
+    // file if a concurrent commit made this write unmergeable
+    val mfCur = GraftKvSink.manifestPath(dir)
+    checkConflicts(
+      if (Files.exists(mfCur)) Some(GraftKvSink.readManifest(mfCur)) else None)
     // empty task files are never published (an empty partition's writer
     // still opened one) — a 0-row file would carry no stats/blooms and
     // survive every pruning pass for nothing
@@ -1488,9 +1677,12 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       Files.move(Paths.get(dir, m.tmpName), Paths.get(dir, m.finalName),
         StandardCopyOption.REPLACE_EXISTING)
     }
-    // sweep uncommitted attempts (task retries / speculation)
+    // sweep uncommitted attempts (task retries / speculation) — ONLY this
+    // write's (the writeId scope): a concurrent job's in-flight task files
+    // must survive someone else's commit
     Files.list(Paths.get(dir)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".tmp")).foreach(Files.delete)
+      .filter(_.getFileName.toString.endsWith(s".$writeId.tmp"))
+      .foreach(Files.delete)
     val mf = GraftKvSink.manifestPath(dir)
     // row-level GROUP replace: the scanned files leave the manifest, the
     // new files join it; untouched files keep their entries verbatim
@@ -1576,12 +1768,12 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
 }
 
 final class GraftKvWriterFactory(dir: String, schemaJson: String,
-    namePrefix: String = "")
+    namePrefix: String = "", writeId: String = "w0")
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     new GraftKvWriter(dir, schema,
-      f"${namePrefix}part-$partitionId%05d-$taskId.tmp",
+      f"${namePrefix}part-$partitionId%05d-$taskId.$writeId.tmp",
       f"${namePrefix}part-$partitionId%05d-$taskId.kv")
   }
 }
@@ -1822,7 +2014,12 @@ final case class GraftKvFilePartition(dir: String, file: String,
     // position-deletes select which of `file`'s rows to emit (as their
     // pre-delete images) instead of masking them.
     changeType: String = null, commitEpoch: Long = -1L,
-    cdcDeletes: Boolean = false)
+    cdcDeletes: Boolean = false,
+    // CDC four-valued classification: this partition reads the delta's
+    // `U` records instead of its D/I records — as `update_preimage`
+    // (cdcDeletes: the U-deleted positions of `file`) or
+    // `update_postimage` (deltaInserts: the U records' row payloads)
+    updates: Boolean = false)
   extends InputPartition
 
 /** Streaming READ half — the loop-closer for the connector: the manifest's
@@ -1840,14 +2037,19 @@ final class GraftKvMicroBatchStream(dir: String,
     maxEpochs: Option[Long] = None,
     // CDC mode (`readChangeFeed`): micro-batches emit per-row CHANGE
     // RECORDS instead of snapshot rows — appended files surface as
-    // `insert` rows, a merge-on-read delta's insert records as `insert`
-    // and its position-deletes as `delete` rows carrying the deleted
-    // row's pre-image (read from the still-present target file). This is
-    // what lifts the MOR streaming fence: a position-delete IS
-    // representable as a change record, just not as an append. Copy-on-
-    // write rewrites stay fenced (file-granular — no row-level change
-    // record exists; use mor=true tables for CDC, or the batch
-    // changefeed's manifest-diff + except-all for minimal CoW diffs).
+    // `insert` rows, a merge-on-read delta's insert records as `insert`,
+    // its position-deletes as `delete` rows carrying the deleted row's
+    // pre-image (read from the still-present target file), and its U
+    // records as `update_preimage`/`update_postimage` pairs — the Delta
+    // CDF FOUR-VALUED `_change_type`, so a consumer can tell an update
+    // from a genuine delete plus an unrelated insert. This is what lifts
+    // the MOR streaming fence: a position-delete IS representable as a
+    // change record, just not as an append. Copy-on-write rewrites are
+    // synthesized from RETAINED HISTORY while it lasts (removed files →
+    // `delete`, replacements → `insert`; file-granular, so surviving
+    // rows appear as cancelling pairs and a signed fold recovers the
+    // minimal diff); once vacuum reclaims the window, a checkpoint
+    // behind it refuses via the compacted-history fence.
     // Epoch-LESS batch tables have no history to track: any stream of
     // them (CDC or snapshot) is a one-shot initial snapshot at epoch 0,
     // and later appends/rewrites never surface to a running stream.
@@ -1908,13 +2110,22 @@ final class GraftKvMicroBatchStream(dir: String,
   private def files: Seq[(String, Long)] = filesOf(manifestOpt)
   /** Newest epoch with anything to say: data files, and in CDC mode also
     * delta files — a DELETE-only epoch publishes no data file, but its
-    * change records must still advance the stream. One manifest read. */
+    * change records must still advance the stream — and retained-history
+    * removal epochs: a CoW DML that emptied every affected file published
+    * no replacement, yet its delete records must surface. One manifest
+    * read. */
   private def headEpoch: Long = {
     val m = manifestOpt
     val dataHead = filesOf(m).map(f => epochOf(f._1)).maxOption.getOrElse(-1L)
     if (!changeFeed) dataHead
-    else math.max(dataHead, m.map(_.deltas.map(d => epochOf(d.name)))
-      .getOrElse(Nil).maxOption.getOrElse(-1L))
+    else (dataHead +:
+      (m.map(_.deltas.map(d => epochOf(d.name))).getOrElse(Nil) ++
+        m.map(_.removed.map(_.removedAt)).getOrElse(Nil) ++
+        // rewrittenUpTo survives vacuum: without it the head would
+        // REGRESS once retained history is reclaimed, and a checkpoint
+        // behind the rewrite would idle forever instead of hitting the
+        // compacted-history fence — silent CDC data loss
+        m.map(_.rewrittenUpTo).filter(_ >= 0L))).max
   }
 
   override def initialOffset(): Offset =
@@ -1939,13 +2150,16 @@ final class GraftKvMicroBatchStream(dir: String,
           s"(epochs <= $upTo were merged) — restart with a fresh checkpoint")
       if (changeFeed)
         // a CoW rewrite is file-granular: the epoch records WHICH FILES
-        // changed, not which rows, so no exact change records exist for
-        // it. MOR tables record exactly that — hence the direction here.
-        require(m.rewrittenUpTo < 0L || s >= m.rewrittenUpTo,
-          s"graft_kv: changefeed range ($s, $e] crosses the copy-on-write " +
-            s"rewrite at epoch ${m.rewrittenUpTo}, which has no row-level " +
-            "change record — use a mor=true table for CDC, or the batch " +
-            "changefeed for a minimal point-in-time diff")
+        // changed, not which rows. While the superseded files are
+        // RETAINED (until vacuum), the stream SYNTHESIZES change records
+        // from the manifest diff — removed files emit as `delete`, their
+        // replacements as `insert`; a surviving row appears as a
+        // cancelling pair, so any signed fold (IVM, replication)
+        // recovers the minimal row-level diff. Once vacuum reclaims the
+        // window it folds rewrittenUpTo into compactedUpTo, and the
+        // compacted-history fence above refuses the resumed checkpoint
+        // loudly — nothing to re-check here.
+        ()
       else
         require(s < 0L || m.rewrittenUpTo < 0L || s >= m.rewrittenUpTo,
           s"graft_kv: stream checkpoint offset $s predates a row-level " +
@@ -1961,27 +2175,62 @@ final class GraftKvMicroBatchStream(dir: String,
     }
     if (!changeFeed) return inserts.toArray
     // CDC: each in-range delta contributes its insert records as `insert`
-    // rows and, per referenced target file, the deleted rows' pre-images
-    // as `delete` rows. The target grouping is planned driver-side from
-    // the delta files themselves — each is one DML statement's actions,
-    // the same bounded read the changefeed and compaction planners do.
+    // rows; its U records as `update_postimage` rows (payload) plus, per
+    // U-target file, `update_preimage` rows (the pre-update images read
+    // from the still-present target); and per D-target file the deleted
+    // rows' pre-images as `delete` rows — the Delta CDF four-valued
+    // `_change_type`. The grouping is planned driver-side from the delta
+    // files themselves — each is one DML statement's actions, the same
+    // bounded read the changefeed and compaction planners do.
     val deltaParts = manifestOpt.toSeq.flatMap(_.deltas)
       .filter(d => epochOf(d.name) > s && epochOf(d.name) <= e)
       .flatMap { d =>
         val n = epochOf(d.name)
+        val (hasI, hasU, dTargets, uTargets) = GraftKvSink.deltaShape(dir, d.name)
         val ins =
-          if (d.inserts > 0L)
+          if (hasI)
             Seq(GraftKvFilePartition(dir, d.name, deltaInserts = true,
               changeType = "insert", commitEpoch = n): InputPartition)
           else Nil
-        val targets = scala.collection.mutable.LinkedHashSet.empty[String]
-        GraftKvSink.foreachDelete(dir, d.name)((t, _) => targets += t: Unit)
-        ins ++ targets.toSeq.map(t =>
+        val posts =
+          if (hasU)
+            Seq(GraftKvFilePartition(dir, d.name, deltaInserts = true,
+              updates = true, changeType = "update_postimage",
+              commitEpoch = n): InputPartition)
+          else Nil
+        val dels = dTargets.map(t =>
           GraftKvFilePartition(dir, t, deltas = Seq(d.name),
             cdcDeletes = true, changeType = "delete",
             commitEpoch = n): InputPartition)
+        val pres = uTargets.map(t =>
+          GraftKvFilePartition(dir, t, deltas = Seq(d.name),
+            cdcDeletes = true, updates = true, changeType = "update_preimage",
+            commitEpoch = n): InputPartition)
+        ins ++ posts ++ dels ++ pres
       }
-    (inserts ++ deltaParts).toArray
+    // CoW retained history: a removed file was INSERTED at its name epoch
+    // and DELETED wholesale at removedAt — both ends surface as full-file
+    // change partitions while retention lasts. Replacement files are
+    // ordinary manifest files and already planned as `insert` above, so a
+    // rewrite epoch emits removed-as-delete + replacement-as-insert; rows
+    // that survived the rewrite appear as cancelling pairs (file-granular
+    // CDC), and a signed fold recovers the minimal diff. Only files the
+    // rewrite actually touched are opened — untouched files are visible
+    // at both boundaries and contribute nothing.
+    val removedParts = manifestOpt.toSeq.flatMap(_.removed).flatMap { r =>
+      val born =
+        if (epochOf(r.name) > s && epochOf(r.name) <= e)
+          Seq(GraftKvFilePartition(dir, r.name,
+            changeType = "insert", commitEpoch = epochOf(r.name)): InputPartition)
+        else Nil
+      val gone =
+        if (r.removedAt > s && r.removedAt <= e)
+          Seq(GraftKvFilePartition(dir, r.name,
+            changeType = "delete", commitEpoch = r.removedAt): InputPartition)
+        else Nil
+      born ++ gone
+    }
+    (inserts ++ deltaParts ++ removedParts).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory = {
     val mf = GraftKvSink.manifestPath(dir)
@@ -2021,13 +2270,17 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
       else schema.fieldIndex(f.name) // throws on an unknown projected column
     }
     // position set over THIS partition's file, built from the partition's
-    // delta names. Snapshot reads MASK these ordinals (they are deleted);
-    // a CDC delete partition EMITS exactly these ordinals instead — the
-    // deleted rows' pre-images, labeled by changeType.
+    // delta names. Snapshot reads MASK these ordinals (they are deleted —
+    // by D and U records alike); a CDC delete/update_preimage partition
+    // EMITS exactly these ordinals instead — the pre-images, labeled by
+    // changeType, selected from ONLY the matching record kind so an
+    // update never double-reports as a delete.
     val deleted: java.util.HashSet[Long] = {
       val s = new java.util.HashSet[Long]()
+      val kinds =
+        if (!fp.cdcDeletes) "DU" else if (fp.updates) "U" else "D"
       fp.deltas.filter(_ != fp.file).foreach { d =>
-        GraftKvSink.foreachDelete(fp.dir, d) { (target, pos) =>
+        GraftKvSink.foreachDelete(fp.dir, d, kinds) { (target, pos) =>
           if (target == fp.file) s.add(pos): Unit
         }
       }
@@ -2045,16 +2298,26 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
           pos += 1L
           val live =
             if (fp.cdcDeletes)
-              deleted.contains(pos) && (!targetIsDelta || cur.startsWith("I\t"))
-            else !deleted.contains(pos) &&
-              (!fp.deltaInserts || cur.startsWith("I\t"))
+              // pre-image rows in a delta target are its I or U payloads
+              deleted.contains(pos) && (!targetIsDelta ||
+                cur.startsWith("I\t") || cur.startsWith("U\t"))
+            else if (fp.deltaInserts)
+              // snapshot delta read surfaces I and U payloads alike; CDC
+              // splits them: `insert` partitions read I, `update_postimage`
+              // partitions read U
+              !deleted.contains(pos) &&
+                (if (fp.changeType == null) cur.startsWith("I\t") || cur.startsWith("U\t")
+                else if (fp.updates) cur.startsWith("U\t")
+                else cur.startsWith("I\t"))
+            else !deleted.contains(pos)
           if (live) return true
         }
         false
       }
       override def get(): InternalRow = {
         val payload =
-          if (fp.deltaInserts || targetIsDelta) cur.substring(2) else cur
+          if (fp.deltaInserts || targetIsDelta) GraftKvSink.deltaPayload(cur)
+          else cur
         val parts = payload.split("\t", -1)
         InternalRow.fromSeq(projected.fields.toSeq.zipWithIndex.map {
           case (f, o) =>

@@ -879,8 +879,9 @@ class DsV2Spec extends SparkSpec {
       "7\tghost\n".getBytes("UTF-8"))
     assert(kvRead(dir).count() == 2)
     assert(kvRead(dir).where(col("s") === "ghost").count() == 0)
-    // vacuum reclaims exactly the orphan; listed files and live .tmp
-    // attempts survive, and reads are unchanged
+    // vacuum reclaims the orphan AND aged task attempts (commits sweep
+    // only their own writeId-scoped temps now); listed files survive and
+    // reads are unchanged
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "part-88888-0.tmp"),
       "8\tlive\n".getBytes("UTF-8"))
@@ -888,13 +889,139 @@ class DsV2Spec extends SparkSpec {
     assert(graft.sources.GraftKvSink.vacuum(dir) == 0)
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "part-99999-0.kv")))
-    // no grace (no concurrent writers): the orphan is reclaimed
-    assert(graft.sources.GraftKvSink.vacuum(dir, graceMs = 0L) == 1)
+    // no grace (no live writers): the orphan and the stale attempt go
+    assert(graft.sources.GraftKvSink.vacuum(dir, graceMs = 0L) == 2)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "part-99999-0.kv")))
-    assert(java.nio.file.Files.exists(
+    assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir, "part-88888-0.tmp")))
     assert(kvRead(dir).count() == 2)
     assert(graft.sources.GraftKvSink.vacuum(dir) == 0) // idempotent
+  }
+
+  // --- optimistic concurrency: interleaved commits -----------------------
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val kvSchema = StructType(Seq(
+    StructField("id", LongType), StructField("s", StringType)))
+  private val onePartition = new PhysicalWriteInfo {
+    override def numPartitions(): Int = 1
+  }
+
+  /** Plan a batch write (factory snapshot = optimistic read), write one
+    * row through the real task writer, return (write, commit message) so
+    * the test controls the interleaving of the driver-side commits. */
+  private def plannedAppend(dir: String, id: Long, s: String, taskId: Long,
+      replace: Boolean = false)
+      : (graft.sources.GraftKvBatchWrite, org.apache.spark.sql.connector.write.WriterCommitMessage) = {
+    val w = new graft.sources.GraftKvBatchWrite(dir, kvSchema, replace)
+    val writer = w.createBatchWriterFactory(onePartition).createWriter(0, taskId)
+    writer.write(InternalRow(id, UTF8String.fromString(s)))
+    (w, writer.commit())
+  }
+
+  test("interleaved concurrent appends both land (optimistic merge)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_occ").toString
+    kvWrite(Seq((1L, "seed")).toDF("id", "s"), dir, "overwrite")
+    assert(graft.sources.GraftKvSink.manifestVersion(dir) == 0L)
+    // both writers plan against version 0, then commit one after the other:
+    // the second detects the version advance and MERGES (append∥append)
+    val (wA, msgA) = plannedAppend(dir, 2L, "from-A", taskId = 100L)
+    val (wB, msgB) = plannedAppend(dir, 3L, "from-B", taskId = 200L)
+    wB.commit(Array(msgB))
+    assert(graft.sources.GraftKvSink.manifestVersion(dir) == 1L)
+    wA.commit(Array(msgA)) // stale snapshot, compatible: must not drop B's files
+    assert(graft.sources.GraftKvSink.manifestVersion(dir) == 2L)
+    assert(kvRead(dir).orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq == Seq((1L, "seed"), (2L, "from-A"), (3L, "from-B")))
+    assert(graft.sources.GraftKvSink.listedFiles(dir)._1.size == 3)
+  }
+
+  test("append racing a truncate refuses deterministically, both orders") {
+    import spark.implicits._
+    // order 1: append lands first, the truncate planned against the old
+    // version refuses (its wholesale replacement was derived from a state
+    // that no longer exists)
+    val d1 = java.nio.file.Files.createTempDirectory("graft_kv_occ_t1").toString
+    kvWrite(Seq((1L, "seed")).toDF("id", "s"), d1, "overwrite")
+    val (wT, msgT) = plannedAppend(d1, 9L, "truncator", taskId = 300L, replace = true)
+    val (wA, msgA) = plannedAppend(d1, 2L, "appender", taskId = 400L)
+    wA.commit(Array(msgA))
+    val e1 = intercept[IllegalStateException] { wT.commit(Array(msgT)) }
+    assert(e1.getMessage.contains("concurrent commit"), e1.getMessage)
+    assert(kvRead(d1).count() == 2) // seed + append, truncate never published
+
+    // order 2: truncate lands first, the append planned against the old
+    // version refuses (the files it planned against are gone)
+    val d2 = java.nio.file.Files.createTempDirectory("graft_kv_occ_t2").toString
+    kvWrite(Seq((1L, "seed")).toDF("id", "s"), d2, "overwrite")
+    val (wT2, msgT2) = plannedAppend(d2, 9L, "truncator", taskId = 500L, replace = true)
+    val (wA2, msgA2) = plannedAppend(d2, 2L, "appender", taskId = 600L)
+    wT2.commit(Array(msgT2))
+    val e2 = intercept[IllegalStateException] { wA2.commit(Array(msgA2)) }
+    assert(e2.getMessage.contains("concurrent commit"), e2.getMessage)
+    assert(kvRead(d2).collect().map(_.getString(1)).toSeq == Seq("truncator"))
+  }
+
+  test("row-level replace refuses when any commit lands concurrently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_occ_rr").toString
+    kvWrite(Seq((1L, "seed")).toDF("id", "s"), dir, "overwrite")
+    val victim = graft.sources.GraftKvSink.listedFiles(dir)._1.head
+    val w = new graft.sources.GraftKvBatchWrite(dir, kvSchema, replace = false,
+      explicitEpoch = None, replaceFiles = Some(() => Seq(victim)))
+    val writer = w.createBatchWriterFactory(onePartition).createWriter(0, 700L)
+    writer.write(InternalRow(1L, UTF8String.fromString("rewritten")))
+    val msg = writer.commit()
+    kvWrite(Seq((5L, "racer")).toDF("id", "s"), dir, "append") // version advances
+    val e = intercept[IllegalStateException] { w.commit(Array(msg)) }
+    assert(e.getMessage.contains("row-level rewrite"), e.getMessage)
+    // the rewrite never published: seed intact, racer intact
+    assert(kvRead(dir).orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("seed", "racer"))
+  }
+
+  test("explicit-epoch appends racing the same epoch: first wins, second refuses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_occ_ep").toString
+    // epoch-stamped table (streaming-shaped history)
+    Seq((1L, "seed")).toDF("id", "s").write.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("epoch", "0").mode("append").save()
+    def epochWrite(id: Long, taskId: Long): (graft.sources.GraftKvBatchWrite,
+        org.apache.spark.sql.connector.write.WriterCommitMessage) = {
+      val w = new graft.sources.GraftKvBatchWrite(dir, kvSchema, replace = false,
+        explicitEpoch = Some(7L))
+      val writer = w.createBatchWriterFactory(onePartition).createWriter(0, taskId)
+      writer.write(InternalRow(id, UTF8String.fromString(s"w$id")))
+      (w, writer.commit())
+    }
+    val (w1, m1) = epochWrite(10L, 800L)
+    val (w2, m2) = epochWrite(20L, 900L)
+    w1.commit(Array(m1))
+    val e = intercept[IllegalArgumentException] { w2.commit(Array(m2)) }
+    assert(e.getMessage.contains("already published"), e.getMessage)
+    assert(kvRead(dir).count() == 2) // seed + first epoch-7 writer only
+  }
+
+  test("many racing appends through the public write path all land") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_occ_many").toString
+    kvWrite(Seq((0L, "seed")).toDF("id", "s"), dir, "overwrite")
+    val jobs = (1 to 4).map { i =>
+      Future { kvWrite(Seq((i.toLong, s"job$i")).toDF("id", "s"), dir, "append") }
+    }
+    Await.result(Future.sequence(jobs), 120.seconds)
+    assert(kvRead(dir).count() == 5)
+    assert(kvRead(dir).agg(sum("id")).head.getLong(0) == 10L)
+    // no job's commit swept another's in-flight temps, no file lost
+    assert(graft.sources.GraftKvSink.listedFiles(dir)._1.size == 5)
   }
 }

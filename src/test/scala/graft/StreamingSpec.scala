@@ -454,18 +454,24 @@ class StreamingSpec extends SparkSpec {
       assert(afterDel.map(t => (t._1, t._2, t._3)).toSet ==
         Set((1L, "a", "delete")), afterDel)
       assert(afterDel.forall(_._4 > e0), afterDel)
-      // an UPDATE is delete(pre-image) + insert(post-image), same epoch
+      // an UPDATE classifies as update_preimage + update_postimage (the
+      // Delta CDF four-valued _change_type) — NOT a bare delete+insert
+      // pair, which downstream consumers could not tell from a genuine
+      // delete and unrelated insert
       spark.sql("UPDATE graft.cdcs.t SET s = 'B' WHERE id = 2")
       q.processAllAvailable()
       val afterUpd = changes().diff(base).diff(afterDel)
       assert(afterUpd.map(t => (t._1, t._2, t._3)).toSet ==
-        Set((2L, "b", "delete"), (2L, "B", "insert")), afterUpd)
+        Set((2L, "b", "update_preimage"), (2L, "B", "update_postimage")),
+        afterUpd)
       assert(afterUpd.map(_._4).distinct.size == 1, afterUpd)
       // folding the change stream in epoch order reconstructs the snapshot
+      val insertish = Set("insert", "update_postimage")
       val folded = changes().groupBy(_._1).flatMap { case (_, evs) =>
         val last = evs.maxBy(_._4)
         val net = evs.filter(_._4 == last._4)
-        if (net.exists(_._3 == "insert")) net.filter(_._3 == "insert") else Nil
+        if (net.exists(t => insertish(t._3))) net.filter(t => insertish(t._3))
+        else Nil
       }.map(t => (t._1, t._2)).toSet
       assert(folded == spark.table("graft.cdcs.t")
         .collect().map(r => (r.getLong(0), r.getString(1))).toSet, folded)
@@ -489,12 +495,12 @@ class StreamingSpec extends SparkSpec {
     assert(batch.getMessage.contains("streaming read option"), batch.getMessage)
     spark.sql("DROP TABLE graft.cdcs.t")
 
-    // a COPY-ON-WRITE rewrite of EPOCH-STAMPED history has no row-level
-    // change record: a CDC stream over it refuses and names the
-    // alternatives. (An epoch-less batch table is different: it has no
-    // epoch history at all, so any stream of it — CDC or snapshot — is a
-    // one-shot initial snapshot; later appends and rewrites are equally
-    // invisible to it by the same rule.)
+    // a COPY-ON-WRITE rewrite of EPOCH-STAMPED history is file-granular —
+    // no row-level change record exists — but RETAINED HISTORY makes the
+    // change records computable: the stream synthesizes removed files as
+    // `delete` and their replacements as `insert`. Here the DELETE empties
+    // the epoch-0 file outright (no replacement), so the synthesized
+    // epoch-2 batch is exactly the one pre-image delete record.
     val dir2 = root.resolve("cow").toString
     spark.sql("DROP TABLE IF EXISTS graft.cdcs.cow")
     spark.sql(s"CREATE TABLE graft.cdcs.cow (id BIGINT, s STRING) " +
@@ -505,15 +511,45 @@ class StreamingSpec extends SparkSpec {
         .option("path", dir2).option("epoch", k.toString)
         .mode(if (k == 0) "overwrite" else "append").save()
     }
-    spark.sql("DELETE FROM graft.cdcs.cow WHERE id = 1")
-    val cow = intercept[Exception] {
-      val s2 = spark.readStream.format("graft.sources.GraftKvSink")
+    // a checkpointed stream that stops BEFORE the DML: its offset (epoch
+    // 1) is behind the rewrite — resumable while history is retained,
+    // refused once vacuum reclaims the window (pinned below). foreachBatch
+    // because the memory sink cannot recover a checkpoint; each call
+    // returns only the records THIS run consumed.
+    def cowStream(ckpt: String): Set[(Long, String, String, Long)] = {
+      val got = scala.collection.mutable.Set.empty[(Long, String, String, Long)]
+      val q2 = spark.readStream.format("graft.sources.GraftKvSink")
         .option("path", dir2).option("readChangeFeed", "true").load()
-        .writeStream.format("memory").queryName("cdc_cow_fence")
-        .option("checkpointLocation", root.resolve("ckpt3").toString).start()
-      try s2.processAllAvailable() finally s2.stop()
+        .writeStream
+        .option("checkpointLocation", root.resolve(ckpt).toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+          got.synchronized { got ++= rows }
+          ()
+        }
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+      got.synchronized(got.toSet)
     }
-    assert(cow.getMessage.contains("copy-on-write"), cow.getMessage)
+    assert(cowStream("ckpt3") ==
+      Set((1L, "a", "insert", 0L), (2L, "b", "insert", 1L)))
+    assert(cowStream("ckpt5").size == 2) // second behind checkpoint (ep 1)
+    spark.sql("DELETE FROM graft.cdcs.cow WHERE id = 1") // rewrite at epoch 2
+    // a fresh full-history CDC stream synthesizes the whole sequence
+    assert(cowStream("ckpt4") ==
+      Set((1L, "a", "insert", 0L), (2L, "b", "insert", 1L),
+        (1L, "a", "delete", 2L)))
+    // the behind checkpoint catches up through the retained window
+    assert(cowStream("ckpt3") == Set((1L, "a", "delete", 2L)))
+    // VACUUM reclaims the retained window and folds the rewrite into
+    // compacted history — the SECOND behind checkpoint (still at epoch 1)
+    // now refuses loudly. It must refuse rather than idle: rewrittenUpTo
+    // keeps the stream head at the rewrite epoch even though the retained
+    // files (and their removedAt entries) are gone.
+    assert(graft.sources.GraftKvSink.vacuum(dir2, graceMs = 0L) >= 1)
+    val stale = intercept[Exception] { cowStream("ckpt5") }
+    assert(stale.getMessage.contains("compacted history"), stale.getMessage)
     spark.sql("DROP TABLE graft.cdcs.cow")
   }
 
@@ -559,21 +595,23 @@ class StreamingSpec extends SparkSpec {
           org.apache.spark.sql.functions.lit(1))).collect() }
     assert(batchCnt.getMessage.contains("streaming read option"),
       batchCnt.getMessage)
-    // CDC on a COPY-ON-WRITE table: fresh full-history streams refuse (no
-    // row-level record for the rewrite), but startingEpoch past the
-    // rewrite boundary has exact change records from there on
+    // CDC on a COPY-ON-WRITE table: a fresh full-history stream
+    // SYNTHESIZES the rewrite from retained history (removed file →
+    // delete pre-image), and startingEpoch past the rewrite boundary
+    // still works for consumers that only want the live tail
     spark.sql("DROP TABLE IF EXISTS graft.sep.cow")
     spark.sql(s"CREATE TABLE graft.sep.cow (id BIGINT, s STRING) " +
       s"USING graft_kv OPTIONS (path '$dir')")
     spark.sql("DELETE FROM graft.sep.cow WHERE id = 2") // rewrite at epoch 3
-    val full = intercept[Exception] {
-      val f = spark.readStream.format("graft.sources.GraftKvSink")
-        .option("path", dir).option("readChangeFeed", "true").load()
-        .writeStream.format("memory").queryName("startep_full")
-        .option("checkpointLocation", root.resolve("ck2").toString).start()
-      try f.processAllAvailable() finally f.stop()
-    }
-    assert(full.getMessage.contains("copy-on-write"), full.getMessage)
+    val f = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("startep_full")
+      .option("checkpointLocation", root.resolve("ck2").toString).start()
+    try f.processAllAvailable() finally f.stop()
+    assert(spark.table("startep_full").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet == Set((1L, "a", "insert", 0L), (2L, "b", "insert", 1L),
+        (3L, "c", "insert", 2L), (2L, "b", "delete", 3L)))
     writeEpoch(4, Seq((9L, "z")))
     val cdc = spark.readStream.format("graft.sources.GraftKvSink")
       .option("path", dir).option("readChangeFeed", "true")
