@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType, TimestampType}
 
 /** Astro-shaped DDL surface (SURVEY.md §2 A8): the reference declares tables
   * with `CREATE TABLE t (...) MAPPED BY (hbaseTbl, COLS=[...])` and a
@@ -995,7 +995,8 @@ object Ddl {
     Seq("version" -> IntegerType, "op" -> StringType, "detail" -> StringType)
   private val historyCols: Seq[(String, DataType)] =
     Seq("version" -> LongType, "operation" -> StringType,
-      "rows_added" -> LongType, "rows_deleted" -> LongType)
+      "rows_added" -> LongType, "rows_deleted" -> LongType,
+      "commit_ts" -> TimestampType)
   private val indexesCols: Seq[(String, DataType)] =
     Seq("index" -> StringType, "source" -> StringType, "col" -> StringType,
       "stale" -> BooleanType)
@@ -1543,7 +1544,8 @@ object Ddl {
         // kv connector tables: the epoch commit log, derived from the
         // manifest (keyed tables have SHOW VERSIONS — the mutation log)
         graft.sources.GraftKvSink.history(kvPathFor(name))
-          .toDF("version", "operation", "rows_added", "rows_deleted")
+          .toDF("version", "operation", "rows_added", "rows_deleted",
+            "commit_ts")
       case OptimizeRe(name, upToStr) =>
         // OPTIMIZE [UP TO EPOCH n]: fold epochs (and merge-on-read deltas)
         // at or below the boundary into compacted base files — the SQL

@@ -85,6 +85,24 @@ object Events {
     f.delete(): Unit
   }
 
+  /** The idempotent FILE sink every judged streaming query writes through
+    * (same recipe kv_cdc_restart pins across a restart): each micro-batch
+    * overwrites its own batchId-keyed directory, so a replayed batch
+    * rewrites the same files instead of double-counting — exactly-once on
+    * top of at-least-once delivery, with no driver-resident result table.
+    * Read the union back with [[readSunk]]. */
+  private def sinkBatches(out: String)
+      : (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (df, batchId) => df.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$out/b=$batchId")
+
+  /** Union of every batch directory [[sinkBatches]] wrote. Empty batches
+    * write schema-only directories, so the union always reads. */
+  private def readSunk(s: SparkSession, out: String)
+      : org.apache.spark.sql.DataFrame =
+    s.read.parquet(out)
+
   /** Run `body` with the given SQL confs set, restoring each prior value
     * (or unsetting ones that were absent) even on failure — the ONE
     * restore path every streaming judged query shares. */
@@ -435,11 +453,7 @@ object Events {
       unix_micros(col("ts").cast("timestamp")).as("ts_us"),
       col("event_type"), col("value"))
     writeFeedEpoch(s, d, feed, 0, cols)
-    // fixed sink name, dropped before reuse: a fresh UUID per invocation
-    // would leak one full result table into driver memory per bench run
-    // (the previous invocation's frame has been materialized by now)
-    val sink = "graft_wm_true_sink"
-    s.catalog.dropTempView(sink)
+    val out = root.resolve("out").toString
     // The stateful operator allocates one state store per shuffle
     // partition PER MICRO-BATCH; at ~150 live (window × type) keys, 8
     // partitions carry the state with far less store churn than the
@@ -457,7 +471,8 @@ object Events {
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("cnt"),
           sum(dec(col("value"))).cast(DoubleType).as("val_sum"))
-        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .writeStream.outputMode("append")
+        .foreachBatch(sinkBatches(out))
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       try {
@@ -466,7 +481,7 @@ object Events {
         writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(sink)
+    readSunk(s, out)
       .select(col("window.start").cast(TimestampNTZType).as("w_day"),
         col("event_type"), col("cnt"), col("val_sum"))
       .orderBy(col("w_day"), col("event_type"))
@@ -495,8 +510,7 @@ object Events {
       unix_micros(col("ts").cast("timestamp")).as("ts_us"),
       col("user_id"), col("event_type"))
     writeFeedEpoch(s, d, feed, 0, cols)
-    val sink = "graft_stream_join_sink"
-    s.catalog.dropTempView(sink)
+    val out = root.resolve("out").toString
     // stateful-stream cost here is state-store COMMITS (partitions ×
     // batches × 4 join stores), not data volume: 4 partitions halve the
     // fixed overhead vs 8 with identical results. At real volume size
@@ -517,7 +531,8 @@ object Events {
           col("p_user") === col("c_user") &&
             col("c_ts") <= col("p_ts") &&
             col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .writeStream.outputMode("append")
+        .foreachBatch(sinkBatches(out))
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       try {
@@ -526,7 +541,7 @@ object Events {
         writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(sink)
+    readSunk(s, out)
       .agg(count(lit(1)).as("pairs"),
         sum(col("p_id")).as("p_id_sum"),
         sum(col("c_id")).as("c_id_sum"),
@@ -556,8 +571,7 @@ object Events {
     val feed = root.resolve("feed").toString
     val cols = Seq(col("event_id"), col("user_id"))
     writeFeedEpoch(s, d, feed, 0, cols)
-    val sink = "graft_stream_state_sink"
-    s.catalog.dropTempView(sink)
+    val out = root.resolve("out").toString
     withConfs(s, "spark.sql.shuffle.partitions" -> "4",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
@@ -570,7 +584,8 @@ object Events {
           org.apache.spark.sql.streaming.TimeMode.None(),
           org.apache.spark.sql.streaming.OutputMode.Append())
         .toDF()
-        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .writeStream.outputMode("append")
+        .foreachBatch(sinkBatches(out))
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       try {
@@ -579,7 +594,8 @@ object Events {
         writeFeedEpoch(s, d, feed, 2, cols); q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(sink).orderBy(col("user_id"), col("cnt"))
+    readSunk(s, out).select(col("user_id"), col("cnt"), col("idsum"))
+      .orderBy(col("user_id"), col("cnt"))
   }
 
   /** Streaming DEDUPLICATION judged via a TRUE STREAMING execution
@@ -605,15 +621,15 @@ object Events {
     def chunkPred(k: Int) =
       (col("event_id") % 3 === k) || ((col("event_id") + 1) % 3 === k)
     writeFeedEpochWhere(s, d, feed, 0, cols, chunkPred(0))
-    val sink = "graft_stream_dd_sink"
-    s.catalog.dropTempView(sink)
+    val out = root.resolve("out").toString
     withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", feed).load()
         .withColumn("ts", timestamp_micros(col("ts_us")))
         .withWatermark("ts", "40 days")
         .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .writeStream.outputMode("append")
+        .foreachBatch(sinkBatches(out))
         .option("checkpointLocation", root.resolve("ckpt").toString)
         .start()
       try {
@@ -624,7 +640,7 @@ object Events {
         q.processAllAvailable()
       } finally q.stop()
     }
-    s.table(sink)
+    readSunk(s, out)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("user_sum"),
         sumS(col("value")).as("value_sum"),

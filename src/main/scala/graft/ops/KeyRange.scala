@@ -566,14 +566,18 @@ object KeyRange {
     s.sql("INSERT OVERWRITE graft.kvq.orders_cdcs " +
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_cdcs_v " +
       "WHERE o_orderkey % 4 = 0")
-    val sink = "graft_kv_cdcs_sink"
-    s.catalog.dropTempView(sink)
+    val out = s"$scratch/cdcs_out"
     val ckpt = s"$scratch/cdcs_ck"
-    clearDir(ckpt)
+    Seq(out, ckpt).foreach(clearDir)
     val q = s.readStream.format("graft.sources.GraftKvSink")
       .option("path", tmp).option("readChangeFeed", "true").load()
-      .writeStream.format("memory").queryName(sink).outputMode("append")
-      .option("checkpointLocation", ckpt.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      // batchId-keyed overwrite directories: the idempotent file sink
+      // (kv_cdc_restart's recipe) — no driver-resident result table
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"$out/b=$batchId")
+      }
       .start()
     try {
       q.processAllAvailable() // batch 1: the base load as inserts
@@ -583,7 +587,7 @@ object KeyRange {
         "SET o_totalprice = o_totalprice + 1.5 WHERE o_orderstatus = 'F'")
       q.processAllAvailable() // batch 3: the update's delete+insert pairs
     } finally q.stop()
-    s.table(sink)
+    s.read.parquet(out)
       .groupBy(col("_change_type").as("change_type"),
         col("_commit_epoch").as("commit_epoch"))
       .agg(count(lit(1)).as("cnt"),
@@ -625,14 +629,16 @@ object KeyRange {
           .write.format("graft.sources.GraftKvSink")
           .option("path", tmp).option("epoch", k.toString).mode(mode).save()
     }
-    val sink = "graft_kv_cdccow_sink"
-    s.catalog.dropTempView(sink)
+    val out = s"$scratch/cdccow_out"
     val ckpt = s"$scratch/cdccow_ck"
-    clearDir(ckpt)
+    Seq(out, ckpt).foreach(clearDir)
     val q = s.readStream.format("graft.sources.GraftKvSink")
       .option("path", tmp).option("readChangeFeed", "true").load()
-      .writeStream.format("memory").queryName(sink).outputMode("append")
+      .writeStream
       .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: DataFrame, batchId: Long) =>
+        df.write.mode(SaveMode.Overwrite).parquet(s"$out/b=$batchId")
+      }
       .start()
     try {
       q.processAllAvailable() // batch 1: both base epochs as inserts
@@ -644,7 +650,7 @@ object KeyRange {
     } finally q.stop()
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    s.table(sink)
+    s.read.parquet(out)
       .groupBy(col("_commit_epoch").as("commit_epoch"))
       .agg(sum(sgn).as("net_rows"),
         sum(sgn * col("o_orderkey")).as("net_keys"),
@@ -674,10 +680,9 @@ object KeyRange {
     s.sql("INSERT OVERWRITE graft.kvq.orders_mvcdc " +
       "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders_mvcdc_v " +
       "WHERE o_orderkey % 4 = 1")
-    val sink = "graft_mv_cdc_sink"
-    s.catalog.dropTempView(sink)
+    val out = s"$scratch/mvcdc_out"
     val ckpt = s"$scratch/mvcdc_ck"
-    clearDir(ckpt)
+    Seq(out, ckpt).foreach(clearDir)
     // classification-agnostic signed fold: the four-valued _change_type
     // collapses to +1 for row-producing kinds (insert, update_postimage)
     // and -1 for row-removing kinds (delete, update_preimage) — IVM does
@@ -690,8 +695,14 @@ object KeyRange {
       .agg(sum(signed).as("cnt"),
         sum(signed * col("o_orderkey")).as("key_sum"),
         sumS(signed.cast("double") * col("o_totalprice")).as("total"))
-      .writeStream.format("memory").queryName(sink).outputMode("complete")
-      .option("checkpointLocation", ckpt.toString)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      // complete mode re-emits the FULL maintained state each batch, so
+      // the idempotent file sink is a single overwritten directory — the
+      // materialized view itself; the last batch IS the final state
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.write.mode(SaveMode.Overwrite).parquet(out)
+      }
       .start()
     try {
       q.processAllAvailable() // batch 1: base-load inserts
@@ -701,7 +712,7 @@ object KeyRange {
         "SET o_totalprice = o_totalprice - 2.5 WHERE o_orderstatus = 'O'")
       q.processAllAvailable() // batch 3: per-key -old +new pairs
     } finally q.stop()
-    s.table(sink).orderBy(col("o_orderstatus"))
+    s.read.parquet(out).orderBy(col("o_orderstatus"))
   }
 
   /** A11 × A6-native judged: CDC REPLICATION — the changefeed closing the
@@ -894,7 +905,10 @@ object KeyRange {
     s.sql("DELETE FROM graft.kvq.orders_hist WHERE o_orderkey % 15 = 0")
     s.sql("UPDATE graft.kvq.orders_hist SET o_totalprice = o_totalprice " +
       "+ 4.0 WHERE o_orderstatus = 'F'")
+    // commit_ts is wall clock — real, but not oracle-replayable; the
+    // judged frame pins the deterministic columns
     s.sql("DESCRIBE HISTORY graft.kvq.orders_hist")
+      .select("version", "operation", "rows_added", "rows_deleted")
   }
 
   /** A9 × A7-DSv2 judged: SCHEMA EVOLUTION on the kv connector — plain
@@ -979,6 +993,57 @@ object KeyRange {
         |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |  FROM graft.kvq.orders_tt
+        |) ORDER BY version""".stripMargin)
+  }
+
+  /** A8 judged: `TIMESTAMP AS OF` time travel — the manifest records a
+    * strictly-monotonic wall-clock timestamp per epoch at publish, and
+    * the catalog resolves a timestamp to the max epoch committed at or
+    * before it (Iceberg's snapshot-at-timestamp rule). Wall clock is not
+    * oracle-replayable, so the query does what a real user does: reads
+    * the commit timestamps back from DESCRIBE HISTORY and travels to
+    * them — each arm must then equal that epoch's prefix state, which IS
+    * relationally replayable. Resolution correctness (not just epoch
+    * plumbing) is what's gated: a timestamp BETWEEN two commits must
+    * resolve backward, so arm 1 travels to epoch 2's timestamp minus
+    * 1 ms — exactly epoch 1's state thanks to strict monotonicity. */
+  def kvTimestampAsof(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_tstt"
+    clearDir(tmp) // explicit-epoch appends fence on a replayed history
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_tst")
+    s.sql("CREATE TABLE graft.kvq.orders_tst (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Seq(0, 1, 2).foreach { k =>
+      o.filter(col("o_orderkey") % 5 === k)
+        .write.format("graft.sources.GraftKvSink").option("path", tmp)
+        .option("epoch", (k + 1).toString).mode(SaveMode.Append).save()
+    }
+    val ts = s.sql("DESCRIBE HISTORY graft.kvq.orders_tst")
+      .select(col("version"), col("commit_ts")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+    def asOf(t: java.sql.Timestamp): String =
+      s"TIMESTAMP AS OF '${t.toInstant}'" // ISO-8601 with Z: absolute
+    val between = // strictly before epoch 2's commit -> resolves to epoch 1
+      new java.sql.Timestamp(ts(2L).getTime - 1L)
+    s.sql(
+      s"""SELECT version, cnt, key_sum, total FROM (
+        |  SELECT 1 AS version, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_tst ${asOf(between)}
+        |  UNION ALL
+        |  SELECT 2 AS version, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_tst ${asOf(ts(2L))}
+        |  UNION ALL
+        |  SELECT 3 AS version, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_tst ${asOf(ts(3L))}
         |) ORDER BY version""".stripMargin)
   }
 
@@ -1437,6 +1502,7 @@ object KeyRange {
     "mv_cdc_maintain" -> (mvCdcMaintain _),
     "kv_replicate" -> (kvReplicate _),
     "kv_version_asof" -> (kvVersionAsof _),
+    "kv_timestamp_asof" -> (kvTimestampAsof _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -1666,6 +1732,27 @@ object KeyRange {
         |UNION ALL
         |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM cur
+        |ORDER BY version""".stripMargin,
+    // TIMESTAMP AS OF resolves through the recorded commit clock: a
+    // timestamp 1 ms before epoch 2's commit = epoch 1's prefix state,
+    // epoch 2's exact timestamp = epochs 1-2, epoch 3's = all three
+    "kv_timestamp_asof" ->
+      """WITH v1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |            WHERE o_orderkey % 5 = 0),
+        |v2 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |       WHERE o_orderkey % 5 IN (0, 1)),
+        |v3 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |       WHERE o_orderkey % 5 IN (0, 1, 2))
+        |SELECT CAST(1 AS INTEGER) AS version, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM v2
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM v3
         |ORDER BY version""".stripMargin,
     // the merge-on-read twin: identical relational replay — both write
     // shapes (file rewrite vs delta overlay) must produce identical state

@@ -126,12 +126,30 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
       case None => throw new NoSuchTableException(ident)
     }
 
-  /** Epochs are logical sequence numbers, not wall-clock commits — there
-    * is no timestamp→epoch mapping to resolve, so `TIMESTAMP AS OF`
-    * refuses loudly instead of guessing. */
+  /** SQL time travel by wall clock: `SELECT … FROM graft.ns.t TIMESTAMP
+    * AS OF t`. The manifest records a strictly-monotonic commit timestamp
+    * per epoch, so this resolves to the max epoch committed at or before
+    * `t` (Iceberg's snapshot-at-timestamp rule) and pins the same
+    * read-only boundary state VERSION AS OF does. Spark hands micros;
+    * timestamps before the earliest recorded commit, or epochs vacuumed
+    * past the retention fence, refuse loudly. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft tables version by epoch; use VERSION AS OF <epoch>")
+    Ddl.dsv2Get(key(ident)) match {
+      case Some(d) if d.provider == "graft_kv" =>
+        val path = d.options.getOrElse("path",
+          throw new IllegalStateException(
+            s"graft catalog entry ${d.name} lacks a path option"))
+        val epoch = GraftKvSink.resolveTimestamp(path,
+          Math.floorDiv(timestamp, 1000L))
+        loadTable(ident) match {
+          case t: GraftKvTable => t.atVersion(epoch)
+          case other           => other // unreachable: provider is graft_kv
+        }
+      case Some(d) =>
+        throw new UnsupportedOperationException(
+          s"${d.provider} tables version by epoch; use VERSION AS OF <epoch>")
+      case None => throw new NoSuchTableException(ident)
+    }
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {

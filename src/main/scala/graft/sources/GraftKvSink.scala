@@ -125,7 +125,14 @@ object GraftKvSink {
       // at publish time (under the commit lock), compares it with the
       // current one — equal means no concurrent commit; greater means a
       // conflict check decides merge-or-refuse (see GraftKvBatchWrite).
-      version: Long = 0L) {
+      version: Long = 0L,
+      // COMMIT TIMESTAMPS: wall-clock millis recorded when each epoch
+      // first appeared in a published manifest (stamped strictly
+      // monotonically, so equal-millisecond commits still order).
+      // `TIMESTAMP AS OF t` resolves to the max epoch with ts <= t
+      // (Iceberg's snapshot-at-timestamp rule); DESCRIBE HISTORY
+      // surfaces them. Entries prune with their epochs (vacuum/compact).
+      epochTs: Map[Long, Long] = Map.empty) {
     /** THE boundary-state visibility rule — the one definition every
       * reader (scan, agg pushdown, changefeed planning) must share, or
       * metadata-answered COUNTs silently diverge from data-path reads: at
@@ -273,7 +280,12 @@ object GraftKvSink {
       blooms: Map[String, Map[String, String]] = Map.empty,
       deltas: Seq[DeltaFile] = Nil,
       removed: Seq[RemovedFile] = Nil,
-      rewrittenUpTo: Long = -1L): Unit = {
+      rewrittenUpTo: Long = -1L,
+      // a TRUNCATING publish restarts history: epoch numbers restart too,
+      // so prior commit timestamps must NOT carry over (a reused epoch 0
+      // inheriting the pre-truncate stamp would let TIMESTAMP AS OF an
+      // old time silently read post-truncate data)
+      freshHistory: Boolean = false): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("schema", schema.json)
@@ -281,10 +293,34 @@ object GraftKvSink {
     // publish site runs under withCommitLock, so read-then-+1 here is the
     // CAS bump (first publish = version 0)
     val mfp = manifestPath(dir)
-    root.put("version",
-      if (Files.exists(mfp)) readManifest(mfp).version + 1L else 0L)
+    val prior = if (Files.exists(mfp)) Some(readManifest(mfp)) else None
+    root.put("version", prior.map(_.version + 1L).getOrElse(0L))
     if (compactedUpTo >= 0L) root.put("compactedUpTo", compactedUpTo)
     if (rewrittenUpTo >= 0L) root.put("rewrittenUpTo", rewrittenUpTo)
+    // COMMIT TIMESTAMPS: every epoch this manifest references keeps (or
+    // gains, for epochs new in this publish) a wall-clock stamp. Stamps
+    // are strictly monotonic — max(now, prior max + 1) — so TIMESTAMP AS
+    // OF resolution (max epoch with ts <= t) is total even for commits
+    // landing in the same millisecond. Epochs no longer referenced
+    // (vacuumed/compacted away) drop their entries here automatically.
+    locally {
+      val referenced = (files.map(f => epochOf(f._1)) ++
+        deltas.map(d => epochOf(d.name)) ++
+        removed.map(r => epochOf(r.name)) ++ removed.map(_.removedAt) ++
+        Seq(compactedUpTo, rewrittenUpTo).filter(_ >= 0L)).distinct.sorted
+      val priorTs =
+        if (freshHistory) Map.empty[Long, Long]
+        else prior.map(_.epochTs).getOrElse(Map.empty)
+      var clock = math.max(System.currentTimeMillis(),
+        priorTs.values.maxOption.getOrElse(0L))
+      val stamped = referenced.map { e =>
+        e -> priorTs.getOrElse(e, { clock += 1L; clock })
+      }
+      if (stamped.nonEmpty) {
+        val to = root.putObject("epochTs")
+        stamped.foreach { case (e, ts) => to.put(e.toString, ts) }
+      }
+    }
     val arr = root.putArray("files")
     files.foreach { case (n, c) =>
       val o = arr.addObject(); o.put("name", n); o.put("rows", c)
@@ -357,7 +393,11 @@ object GraftKvSink {
         r.get("at").asLong()))
     val rw = Option(root.get("rewrittenUpTo")).map(_.asLong()).getOrElse(-1L)
     val ver = Option(root.get("version")).map(_.asLong()).getOrElse(0L)
-    Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver)
+    val ets = Option(root.get("epochTs")).map { o =>
+      o.properties().iterator().asScala
+        .map(e => e.getKey.toLong -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[Long, Long])
+    Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver, ets)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -559,6 +599,26 @@ object GraftKvSink {
   def manifestVersion(dir: String): Long =
     readManifest(manifestPath(dir)).version
 
+  /** `TIMESTAMP AS OF` resolution: the max epoch whose commit timestamp
+    * is <= `tsMillis` (Iceberg's snapshot-at-timestamp rule — a future
+    * timestamp resolves to the head; one before the earliest recorded
+    * commit refuses loudly). Answerability below the retention fence is
+    * then checked by the epoch read path itself. */
+  def resolveTimestamp(dir: String, tsMillis: Long): Long = {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val ets = readManifest(mfp).epochTs
+    require(ets.nonEmpty,
+      s"graft_kv: $dir has no recorded commit timestamps " +
+        "(pre-timestamp manifest); use VERSION AS OF <epoch>")
+    val candidates = ets.filter(_._2 <= tsMillis)
+    require(candidates.nonEmpty,
+      s"graft_kv: TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        s"is before the earliest recorded commit " +
+        s"(${java.time.Instant.ofEpochMilli(ets.values.min)}) at $dir")
+    candidates.keys.max
+  }
+
   /** Read-only introspection (tests and judged-query assertions): the
     * manifest's current (data file names, delta file names). */
   def listedFiles(dir: String): (Seq[String], Seq[String]) = {
@@ -577,9 +637,13 @@ object GraftKvSink {
     * record counts), `rewrite` (a copy-on-write replace: replacement rows
     * added, superseded rows deleted — the deleted count degrades to 0
     * after vacuum reclaims the retained files), `compact` (the merged
-    * boundary file). Pure metadata — no data file is opened; the Delta
-    * DESCRIBE HISTORY discoverability surface for epoch time travel. */
-  def history(dir: String): Seq[(Long, String, Long, Long)] = {
+    * boundary file). Each row carries the epoch's COMMIT TIMESTAMP (null
+    * for epochs stamped before timestamps existed) — what makes
+    * `TIMESTAMP AS OF` discoverable. Pure metadata — no data file is
+    * opened; the Delta DESCRIBE HISTORY discoverability surface for
+    * epoch time travel. */
+  def history(dir: String)
+      : Seq[(Long, String, Long, Long, java.sql.Timestamp)] = {
     val mf = manifestPath(dir)
     if (!Files.exists(mf)) return Seq.empty
     val m = readManifest(mf)
@@ -611,7 +675,8 @@ object GraftKvSink {
         else if (e == m.compactedUpTo) "compact"
         else "append"
       (e, op, appends.getOrElse(e, 0L) + dIns,
-        removedBy.getOrElse(e, 0L) + dDel)
+        removedBy.getOrElse(e, 0L) + dDel,
+        m.epochTs.get(e).map(new java.sql.Timestamp(_)).orNull)
     }
   }
 
@@ -1129,9 +1194,17 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType)
   // in-flight delta temps must survive this commit's sweep
   private val writeId = java.util.UUID.randomUUID().toString.take(8)
 
+  // optimistic snapshot, same contract as GraftKvBatchWrite: position-
+  // deletes were computed against THIS state, so a concurrent commit that
+  // moved rows (or deleted them first) invalidates the positions
+  @volatile private var planned: Option[GraftKvSink.Manifest] = None
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
     Files.createDirectories(Paths.get(dir))
+    val mfP0 = GraftKvSink.manifestPath(dir)
+    planned =
+      if (Files.exists(mfP0)) Some(GraftKvSink.readManifest(mfP0)) else None
     val schemaJson = rowSchema.json
     val d = dir
     val wid = writeId
@@ -1158,6 +1231,36 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType)
       require(Files.exists(mfP),
         s"graft_kv: row-level delta write against $dir with no manifest")
       val m = GraftKvSink.readManifest(mfP)
+      // CONFLICT GATE (version advanced past the plan-time snapshot):
+      // this write's position-deletes name (file, pos) pairs computed
+      // against the snapshot. A concurrent plain APPEND cannot move
+      // those positions — merge. Anything that could have is a refuse:
+      // a snapshot file/delta gone (truncate, CoW rewrite, compaction
+      // re-positions every row) or a NEW delta landed (it may have
+      // deleted the same positions — merging would double-count the
+      // deletes in manifest COUNT arithmetic and mask-by-set would hide
+      // it). Delta Lake's concurrent row-level rule, delta-flavored.
+      val snapVer = planned.map(_.version).getOrElse(-1L)
+      if (m.version != snapVer) {
+        def refuse(why: String): Nothing = throw new IllegalStateException(
+          s"graft_kv: concurrent commit detected at $dir — this row-level " +
+            s"DML was planned against manifest version $snapVer but the " +
+            s"table is now at version ${m.version} and $why; rerun the DML " +
+            "against the current state")
+        val curFiles = m.files.map(_._1).toSet
+        val curDeltas = m.deltas.map(_.name).toSet
+        val snapOk = planned.exists { p =>
+          p.files.map(_._1).forall(curFiles.contains) &&
+            p.deltas.map(_.name).forall(curDeltas.contains) &&
+            m.compactedUpTo == p.compactedUpTo &&
+            m.rewrittenUpTo == p.rewrittenUpTo
+        }
+        if (!snapOk) refuse("files this DML read were rewritten or removed")
+        val snapDeltas = planned.map(_.deltas.map(_.name).toSet)
+          .getOrElse(Set.empty)
+        if (m.deltas.exists(d => !snapDeltas.contains(d.name)))
+          refuse("another row-level DML committed in between")
+      }
       // the delta's epoch orders it AFTER every state it references
       val epoch = (m.files.map(f => GraftKvSink.epochOf(f._1)) ++
         m.deltas.map(d => GraftKvSink.epochOf(d.name))).maxOption.getOrElse(0L) + 1L
@@ -1743,7 +1846,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       priorBlooms ++ committed.collect {
         case m if m.blooms.nonEmpty => m.finalName -> m.blooms
       },
-      priorDeltas, priorRemoved, priorRw)
+      priorDeltas, priorRemoved, priorRw,
+      freshHistory = replace && replaceFiles.isEmpty)
     // without retained history, replaced data files become garbage once
     // the manifest no longer lists them — except a name a new commit
     // re-published (task-id collision across sessions): that file now

@@ -620,10 +620,27 @@ class DsV2Spec extends SparkSpec {
       val nf = intercept[Exception] { spark.sql(
         "SELECT * FROM graft.rlspec.tt VERSION AS OF 99").collect() }
       assert(nf.getMessage.contains("version not found"), nf.getMessage)
-      // epochs are not wall-clock: TIMESTAMP AS OF refuses loudly
+      // TIMESTAMP AS OF resolves through the recorded commit clock: the
+      // exact commit timestamp pins that epoch; 1 ms earlier resolves
+      // BACKWARD to the prior epoch (strict monotonicity makes the
+      // boundary exact); a future timestamp is the head (Iceberg's rule)
+      val commitTs = spark.sql("DESCRIBE HISTORY graft.rlspec.tt")
+        .select("version", "commit_ts").collect()
+        .map(r => r.getLong(0) -> r.getTimestamp(1)).toMap
+      def atTs(t: java.sql.Timestamp): Set[Long] = spark
+        .sql(s"SELECT id FROM graft.rlspec.tt TIMESTAMP AS OF '${t.toInstant}'")
+        .collect().map(_.getLong(0)).toSet
+      assert(atTs(commitTs(1L)) == Set(1L))
+      assert(atTs(commitTs(2L)) == Set(1L, 2L))
+      assert(atTs(new java.sql.Timestamp(commitTs(2L).getTime - 1L)) == Set(1L))
+      assert(atTs(new java.sql.Timestamp(
+        System.currentTimeMillis() + 3600000L)) ==
+        spark.table("graft.rlspec.tt").collect().map(_.getLong(0)).toSet)
+      // a timestamp before the earliest recorded commit refuses loudly
       val ts = intercept[Exception] { spark.sql(
         "SELECT * FROM graft.rlspec.tt TIMESTAMP AS OF '2026-01-01'").collect() }
-      assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
+      assert(ts.getMessage.contains("before the earliest recorded commit"),
+        ts.getMessage)
       val bad = intercept[Exception] { spark.sql(
         "SELECT * FROM graft.rlspec.tt VERSION AS OF 'v1'").collect() }
       assert(bad.getMessage.contains("epoch number"), bad.getMessage)
@@ -1006,6 +1023,39 @@ class DsV2Spec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { w2.commit(Array(m2)) }
     assert(e.getMessage.contains("already published"), e.getMessage)
     assert(kvRead(dir).count() == 2) // seed + first epoch-7 writer only
+  }
+
+  test("concurrent row-level DMLs refuse; a DML merges over a plain append") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_occ_mor").toString
+    spark.sql("DROP TABLE IF EXISTS graft.rlspec.occm")
+    spark.sql(s"CREATE TABLE graft.rlspec.occm (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir', mor 'true')")
+    spark.sql("INSERT INTO graft.rlspec.occm VALUES (1, 'a'), (2, 'b')")
+    val victim = graft.sources.GraftKvSink.listedFiles(dir)._1.head
+    // a hand-planned delta DML (position-delete of row 0 of the base
+    // file), snapshotted BEFORE the concurrent commit below
+    def plannedDelta(): (graft.sources.GraftKvDeltaBatchWrite,
+        org.apache.spark.sql.connector.write.WriterCommitMessage) = {
+      val w = new graft.sources.GraftKvDeltaBatchWrite(dir, kvSchema)
+      val writer = w.createBatchWriterFactory(onePartition).createWriter(0, 0L)
+      writer.delete(null, InternalRow(UTF8String.fromString(victim), 0L))
+      (w, writer.commit())
+    }
+    // arm 1: a REAL row-level DML commits in between -> refuse (its delta
+    // may have deleted the same positions; merging would double-count)
+    val (w1, m1) = plannedDelta()
+    spark.sql("DELETE FROM graft.rlspec.occm WHERE id = 2")
+    val e1 = intercept[IllegalStateException] { w1.commit(Array(m1)) }
+    assert(e1.getMessage.contains("another row-level DML"), e1.getMessage)
+    // arm 2: a plain APPEND commits in between -> positions are stable,
+    // the DML merges; final state reflects both
+    val (w2, m2) = plannedDelta()
+    spark.sql("INSERT INTO graft.rlspec.occm VALUES (9, 'z')")
+    w2.commit(Array(m2))
+    assert(spark.table("graft.rlspec.occm").collect()
+      .map(_.getLong(0)).toSet == Set(9L)) // 1 deleted by delta, 2 by DML
+    spark.sql("DROP TABLE graft.rlspec.occm")
   }
 
   test("many racing appends through the public write path all land") {
