@@ -191,6 +191,8 @@ object Ddl {
       m.put("builtAt", Integer.valueOf(ix.builtAtMuts))
       if (ix.coveredPaths.nonEmpty) m.put("covered", ix.coveredPaths.asJava)
       if (ix.table.nonEmpty) m.put("table", ix.table)
+      if (ix.kvVersion >= 0L)
+        m.put("kvVersion", java.lang.Long.valueOf(ix.kvVersion))
       idxs.add(m)
     }
     val root = new java.util.LinkedHashMap[String, Object]()
@@ -293,7 +295,8 @@ object Ddl {
                 Option(n.get("builtAt")).map(_.asInt).getOrElse(0),
                 Option(n.get("covered")).toSeq
                   .flatMap(_.elements().asScala.map(_.asText)),
-                Option(n.get("table")).map(_.asText).getOrElse(""))
+                Option(n.get("table")).map(_.asText).getOrElse(""),
+                Option(n.get("kvVersion")).map(_.asLong).getOrElse(-1L))
               if (indexDefs.putIfAbsent(ix.name.toLowerCase, ix).isEmpty &&
                   graft.plans.IndexCatalog.named(ix.name).isEmpty)
                 graft.plans.IndexCatalog.register(ix)
@@ -473,8 +476,11 @@ object Ddl {
   // CREATE INDEX <n> ON <t> (<col>) builds a value-sorted (col, keys…)
   // parquet beside the catalog and registers the transparent rewrite
   // (plans.IndexRewriteRule); unmutated keyed tables only, like MVs.
+  // 3-part names reach kv CATALOG tables (graft.ns.t); the optional KEY
+  // clause names the unique join key a kv index needs (keyed tables
+  // already declare theirs via MAPPED BY ... KEYS)
   private val CreateIndexRe =
-    s"""(?is)\\s*CREATE\\s+INDEX\\s+(\\w+)\\s+ON\\s+($Id)\\s*\\(\\s*(\\w+)\\s*\\)\\s*""".r
+    """(?is)\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+((?:\w+\.){0,2}\w+)\s*\(\s*(\w+)\s*\)\s*(?:KEY\s*\(([^)]*)\)\s*)?""".r
   private val RefreshIndexRe =
     """(?is)\s*REFRESH\s+INDEX\s+(\w+)\s*""".r
   private val DropIndexRe =
@@ -775,9 +781,95 @@ object Ddl {
     * projection written range-clustered + sorted on the indexed value so
     * probe predicates prune via parquet min/max stats, after validating the
     * key-uniqueness contract the semi-join rewrite is only sound under. */
+  /** CREATE INDEX on a kv CATALOG table: the user names the unique join
+    * key (`KEY (cols)` — keyed tables carry theirs in MAPPED BY, kv tables
+    * declare none), the index parquet is built from the table's CURRENT
+    * state, and the def records the manifest version it was built at. The
+    * rewrite re-checks the live version on every plan and stands down on
+    * any divergence, so appends/DML stale the index safely until REFRESH
+    * INDEX rebuilds it. Same probe semantics as keyed-table indexes; the
+    * base side of the semi-join is the kv scan itself, whose runtime
+    * V2 filtering then prunes files by the broadcast probe keys. */
+  private def createKvIndex(spark: SparkSession, idxName: String,
+      tName: String, colName: String, keyClause: Option[String]): Unit = {
+    require(graft.plans.IndexCatalog.named(idxName).isEmpty,
+      s"index '$idxName' already exists")
+    val keys = keyClause.map(_.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    require(keys.nonEmpty,
+      s"CREATE INDEX on kv table '$tName' needs KEY (cols...): kv tables " +
+        "declare no unique key, and the rewrite's semi-join requires one")
+    val full =
+      if (tName.toLowerCase.startsWith("graft.")) tName else s"graft.$tName"
+    val path = kvPathFor(tName)
+    val base = spark.table(full)
+    val schema = base.schema
+    require(hasColumn(schema.fieldNames, colName),
+      s"column '$colName' not in $full")
+    keys.foreach(k => require(hasColumn(schema.fieldNames, k),
+      s"key column '$k' not in $full"))
+    require(!keys.exists(_.equalsIgnoreCase(colName)),
+      s"'$colName' is a key column of the index itself — index a non-key " +
+        "column the scan cannot already prune on")
+    val ix = graft.plans.IndexDef(idxName, path, colName.toLowerCase,
+      indexStorePath(idxName), keys, table = full,
+      coveredPaths = Seq(path),
+      kvVersion = graft.sources.GraftKvSink.manifestVersion(path))
+    buildIndexFrom(base, ix)
+    graft.plans.IndexCatalog.register(ix)
+    indexDefs.put(idxName.toLowerCase, ix)
+    persist()
+  }
+
   private def buildIndex(spark: SparkSession, ix: graft.plans.IndexDef,
-      from: Option[String] = None): Unit = {
-    val base = spark.read.parquet(from.getOrElse(ix.sourcePath))
+      from: Option[String] = None): Unit =
+    buildIndexFrom(spark.read.parquet(from.getOrElse(ix.sourcePath)), ix)
+
+  /** REFRESH INDEX for a KEYED-table index. DELTA refresh for a history
+    * that is append-only since the covered root: index only the
+    * not-yet-covered INSERT/LOAD snapshots and append them to the index
+    * parquet (each delta file is value-sorted itself, so parquet min/max
+    * pruning still holds per file) — O(delta), not O(table). A NON-APPEND
+    * history first SQUASHES the table and rebuilds the index from the
+    * squash snapshot: the view then reads exactly that snapshot, so the
+    * transparent rewrite FIRES on table reads again instead of only on
+    * direct base scans. Re-pin the build position in all paths so the
+    * stale flag clears. */
+  private def refreshKeyedIndex(spark: SparkSession, name: String,
+      ix0: graft.plans.IndexDef): Unit = {
+    val ixT = indexTable(ix0)
+    val ixCov0 = ix0.covered.map(normPath).toSet
+    val ix = ixT match {
+      case Some(t0) if t0.muts.nonEmpty =>
+        appendState(t0) match {
+          case Some((root, snaps)) if ixCov0.contains(normPath(root)) =>
+            val newPaths = snaps.filterNot(p => ixCov0.contains(normPath(p)))
+            if (newPaths.nonEmpty) deltaIndexAppend(spark, ix0, newPaths)
+            ix0.copy(coveredPaths = ix0.covered ++ newPaths,
+              builtAtMuts = t0.muts.length)
+          case st =>
+            val t = if (st.isDefined) t0 else squashTable(spark, t0)
+            val (root, snaps) = appendState(t).get
+            val full = ix0.copy(coveredPaths = Seq(root),
+              builtAtMuts = t.muts.length)
+            buildIndex(spark, full, from = Some(root))
+            if (snaps.nonEmpty) {
+              deltaIndexAppend(spark, full, snaps)
+              full.copy(coveredPaths = root +: snaps)
+            } else full
+        }
+      case _ =>
+        val full = ix0.copy(coveredPaths = Nil,
+          builtAtMuts = ixT.map(_.muts.length).getOrElse(0))
+        buildIndex(spark, full)
+        full
+    }
+    graft.plans.IndexCatalog.register(ix)
+    indexDefs.put(ix.name.toLowerCase, ix)
+    persist()
+  }
+
+  private def buildIndexFrom(base: DataFrame, ix: graft.plans.IndexDef): Unit = {
     val dup = base.groupBy(ix.keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
     require(dup == 0L,
@@ -1532,7 +1624,11 @@ object Ddl {
         ensureLoaded()
         graft.plans.IndexCatalog.all()
           .map(ix => (ix.name, ix.sourcePath, ix.col,
-            indexTable(ix).exists(_.muts.length > ix.builtAtMuts)))
+            if (ix.kvVersion >= 0L)
+              // kv-backed: stale on ANY manifest publish since the build
+              !scala.util.Try(graft.sources.GraftKvSink
+                .manifestVersion(ix.sourcePath)).toOption.contains(ix.kvVersion)
+            else indexTable(ix).exists(_.muts.length > ix.builtAtMuts)))
           .toDF("index", "source", "col", "stale")
       case ShowVersionsRe(name) =>
         val t = lookupOrThrow(name)
@@ -1660,7 +1756,14 @@ object Ddl {
         spark.catalog.dropTempView(name)
         if (mvDefs.remove(name.toLowerCase).isDefined) persist()
         status("DROP_MV", name)
-      case CreateIndexRe(idxName, tName, colName) =>
+      case CreateIndexRe(idxName, tName, colName, keyClause)
+          if lookup(tName).isEmpty && kvTableFor(tName).isDefined =>
+        createKvIndex(spark, idxName, tName, colName, Option(keyClause))
+        status("CREATE_INDEX", idxName)
+      case CreateIndexRe(idxName, tName, colName, keyClause) =>
+        require(keyClause == null,
+          s"CREATE INDEX ... KEY (...) is for kv catalog tables; keyed " +
+            s"table '$tName' already declares its keys via MAPPED BY")
         val t = lookupOrThrow(tName)
         val (ixRoot, createSnaps) = appendState(t).getOrElse(
           throw new IllegalArgumentException(
@@ -1695,45 +1798,18 @@ object Ddl {
       case RefreshIndexRe(name) =>
         val ix0 = idxNamed(name).getOrElse(
           throw new IllegalArgumentException(s"unknown index '$name'"))
-        val ixT = indexTable(ix0)
-        val ixCov0 = ix0.covered.map(normPath).toSet
-        // DELTA refresh for a history that is append-only since the covered
-        // root: index only the not-yet-covered INSERT/LOAD snapshots and
-        // append them to the index parquet (each delta file is value-sorted
-        // itself, so parquet min/max pruning still holds per file) —
-        // O(delta), not O(table). A NON-APPEND history first SQUASHES the
-        // table and rebuilds the index from the squash snapshot: the view
-        // then reads exactly that snapshot, so the transparent rewrite
-        // FIRES on table reads again instead of only on direct base scans.
-        // Re-pin the build position in all paths so the stale flag clears.
-        val ix = ixT match {
-          case Some(t0) if t0.muts.nonEmpty =>
-            appendState(t0) match {
-              case Some((root, snaps)) if ixCov0.contains(normPath(root)) =>
-                val newPaths = snaps.filterNot(p => ixCov0.contains(normPath(p)))
-                if (newPaths.nonEmpty) deltaIndexAppend(spark, ix0, newPaths)
-                ix0.copy(coveredPaths = ix0.covered ++ newPaths,
-                  builtAtMuts = t0.muts.length)
-              case st =>
-                val t = if (st.isDefined) t0 else squashTable(spark, t0)
-                val (root, snaps) = appendState(t).get
-                val full = ix0.copy(coveredPaths = Seq(root),
-                  builtAtMuts = t.muts.length)
-                buildIndex(spark, full, from = Some(root))
-                if (snaps.nonEmpty) {
-                  deltaIndexAppend(spark, full, snaps)
-                  full.copy(coveredPaths = root +: snaps)
-                } else full
-            }
-          case _ =>
-            val full = ix0.copy(coveredPaths = Nil,
-              builtAtMuts = ixT.map(_.muts.length).getOrElse(0))
-            buildIndex(spark, full)
-            full
-        }
-        graft.plans.IndexCatalog.register(ix)
-        indexDefs.put(ix.name.toLowerCase, ix)
-        persist()
+        if (ix0.kvVersion >= 0L) {
+          // kv-backed: full rebuild from the table's CURRENT state, re-
+          // pinned to the live manifest version (epoch-granular delta
+          // refresh is a possible later optimization; correctness needs
+          // only that kvVersion matches what the index parquet reflects)
+          buildIndexFrom(spark.table(ix0.table), ix0)
+          val fresh = ix0.copy(kvVersion =
+            graft.sources.GraftKvSink.manifestVersion(ix0.sourcePath))
+          graft.plans.IndexCatalog.register(fresh)
+          indexDefs.put(fresh.name.toLowerCase, fresh)
+          persist()
+        } else refreshKeyedIndex(spark, name, ix0)
         status("REFRESH_INDEX", name)
       case DropIndexRe(name) =>
         graft.plans.IndexCatalog.unregister(name).getOrElse(

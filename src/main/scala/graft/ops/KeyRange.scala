@@ -1191,6 +1191,63 @@ object KeyRange {
     s.read.parquet(out).orderBy(col("o_orderkey"))
   }
 
+  /** A10 × A7-DSv2 judged: CREATE INDEX on a KV CATALOG table — the
+    * secondary-index machinery serving the connector world (previously
+    * keyed MAPPED-BY tables only). `CREATE INDEX … KEY (o_orderkey)`
+    * names the unique join key (kv tables declare none), the index
+    * parquet is built value-sorted from the table's current state, and
+    * the IndexDef records the manifest version it was built at. The
+    * judged flow exercises the full lifecycle: build → a row-level DML
+    * bumps the manifest version, so the rewrite STANDS DOWN (asserted: a
+    * stale index must never serve a read — its keys include deleted
+    * rows) → REFRESH INDEX rebuilds at the live version → the rewrite
+    * fires again on a plain catalog-table read (asserted: LeftSemi in
+    * the optimized plan). The oracle recomputes the predicate over the
+    * post-DML state full-scan, hash-gating that the index path
+    * reproduces exact semantics. At 100 TB: the probe reads O(matches)
+    * index rows (value-sorted parquet min/max prunes), the matched keys
+    * broadcast, and the kv scan's runtime V2 filtering does the point
+    * gets — no full scan on an unsorted column. */
+  def kvIndexRewrite(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_ixr"
+    val out = s"$scratch/kv_ixr_out"
+    if (graft.plans.IndexCatalog.named("kvixr_ck").isDefined)
+      Ddl.execute(s, "DROP INDEX kvixr_ck")
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_ixr")
+    s.sql("CREATE TABLE graft.kvq.orders_ixr (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_ixr_v")
+    s.sql("INSERT OVERWRITE graft.kvq.orders_ixr " +
+      "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice " +
+      "FROM orders_ixr_v WHERE o_orderkey % 4 = 3")
+    Ddl.execute(s,
+      "CREATE INDEX kvixr_ck ON graft.kvq.orders_ixr (o_custkey) " +
+        "KEY (o_orderkey)")
+    try {
+      def probe() = s.table("graft.kvq.orders_ixr")
+        .filter(col("o_custkey").isin(11L, 57L, 123L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      // DML bumps the manifest version: the index is stale and the
+      // rewrite must stand down (serving it would drop nothing — worse,
+      // it would also ADMIT deleted rows' keys; never trust a stale index)
+      s.sql("DELETE FROM graft.kvq.orders_ixr WHERE o_orderkey % 20 = 3")
+      require(!probe().queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "stale kv index must not rewrite reads after DML")
+      Ddl.execute(s, "REFRESH INDEX kvixr_ck")
+      val q = probe()
+      require(q.queryExecution.optimizedPlan.toString.contains("LeftSemi"),
+        "kv index rewrite did not fire on the refreshed catalog read:\n" +
+          q.queryExecution.optimizedPlan.toString.take(2000))
+      q.write.mode(SaveMode.Overwrite).parquet(out)
+    } finally {
+      Ddl.execute(s, "DROP INDEX kvixr_ck")
+      s.sql("DROP TABLE graft.kvq.orders_ixr")
+    }
+    s.read.parquet(out).orderBy(col("o_orderkey"))
+  }
+
   /** The lazy rewritten frame with its index registration LIVE — split out
     * so PlanSpec can assert the semi-join + index scan in the optimized
     * plan. Callers must drop the index afterwards (indexRewrite does). */
@@ -1469,6 +1526,7 @@ object KeyRange {
     "keyrange_scan" -> (keyrangeScan _),
     "secondary_index" -> (secondaryIndex _),
     "index_rewrite" -> (indexRewrite _),
+    "kv_index_rewrite" -> (kvIndexRewrite _),
     "index_rewrite_dml" -> (indexRewriteDml _),
     "catalog_kv_dml" -> (catalogKvDml _),
     "schema_evolution" -> (schemaEvolution _),
@@ -1816,6 +1874,13 @@ object KeyRange {
     "index_rewrite" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey IN (11, 57, 123) AND o_totalprice > 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    // the kv-table index path must reproduce post-DML full-scan semantics
+    "kv_index_rewrite" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey % 4 = 3
+        |  AND NOT (o_orderkey % 20 = 3)
+        |  AND o_custkey IN (11, 57, 123)
         |ORDER BY o_orderkey""".stripMargin,
     // post-DML squash + rebuilt index must reproduce the deleted state
     "index_rewrite_dml" ->

@@ -31,7 +31,14 @@ case class IndexDef(name: String, sourcePath: String, col: String,
     // the keyed table this index was created on — several tables may map
     // the same base parquet, so staleness/delta tracking must follow the
     // table by NAME, not by path. Empty = pre-r13 catalogs (path fallback).
-    table: String = "") {
+    table: String = "",
+    // kv CATALOG tables: the manifest's optimistic-concurrency version
+    // this index was built at. >= 0 marks a kv-backed index; the rewrite
+    // re-checks the live manifest version and stands down on ANY
+    // divergence (append, DML, compaction — all bump it), so a stale
+    // index can never serve a read. -1 = keyed-table index (mutation-log
+    // staleness applies instead).
+    kvVersion: Long = -1L) {
   def covered: Seq[String] =
     if (coveredPaths.isEmpty) Seq(sourcePath) else coveredPaths
 }
@@ -134,7 +141,11 @@ class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
   /** Scan paths under a pure column-pruning Project, if any. A Union of
     * such scans (the append-only replay shape when the filter has not been
     * split into the branches yet) contributes all branch paths; any
-    * transforming projection or other operator vetoes. */
+    * transforming projection or other operator vetoes. A kv CATALOG scan
+    * contributes its data directory — but only the PRESENT-state read:
+    * version-pinned instances and option-driven time-travel / CDC /
+    * streaming reads see a state the index does not describe, so they
+    * veto here. */
   private def sourceOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       sourceOf(c)
@@ -145,6 +156,15 @@ class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
       case _ => None
     }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.sources.GraftKvTable
+            if t.pinned.isEmpty &&
+              Seq("asOfEpoch", "readChangeFeed", "startingEpoch")
+                .forall(o => !r.options.containsKey(o)) =>
+          Some(Seq(t.path))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -166,6 +186,15 @@ class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
       indexablePred(c).flatMap(a => idxs.get(a.name.toLowerCase).map((c, a, _)))
     }.nextOption().getOrElse(return None)
     val (pred, attr, idx) = hit
+    // kv-backed index freshness: ANY manifest publish since the build
+    // (append, DML, compaction, truncate) bumps the version, and a stale
+    // index would drop rows the semi-join never saw — stand down; SHOW
+    // INDEXES flags it and REFRESH INDEX rebuilds at the live version.
+    if (idx.kvVersion >= 0L) {
+      val live = scala.util.Try(
+        graft.sources.GraftKvSink.manifestVersion(idx.sourcePath)).toOption
+      if (!live.contains(idx.kvVersion)) return None
+    }
     // every key column must survive in the child's output to join on
     val keyAttrs = idx.keyCols.map { k =>
       child.output.find(_.name.equalsIgnoreCase(k)).getOrElse(return None)

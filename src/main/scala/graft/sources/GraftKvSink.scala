@@ -971,6 +971,11 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
+  // read-only identity for the planner (IndexRewriteRule matches kv scans
+  // by data path and must never redirect a version-pinned read)
+  private[graft] def path: String = dir
+  private[graft] def pinned: Option[Long] = pinnedEpoch
+
   /** `_file` / `_pos` metadata columns (the Iceberg `_metadata.file_name` /
     * `_metadata.row_index` analogues): which manifest-listed file holds the
     * row, and the row's line ordinal within it. Queryable directly;

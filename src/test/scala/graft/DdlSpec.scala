@@ -1380,4 +1380,52 @@ class DdlSpec extends SparkSpec {
     }
     ops.Ddl.execute(spark, "DROP TABLE cf_t")
   }
+
+  test("kv CREATE INDEX: KEY clause required, version-pinned reads never rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_ix").toString
+    spark.sql("DROP TABLE IF EXISTS graft.ddlspec.ixt")
+    spark.sql(s"CREATE TABLE graft.ddlspec.ixt (id BIGINT, v BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("id", "v")
+      .write.format("graft.sources.GraftKvSink").option("path", dir)
+      .option("epoch", "0").mode("overwrite").save()
+    Seq((4L, 30L)).toDF("id", "v")
+      .write.format("graft.sources.GraftKvSink").option("path", dir)
+      .option("epoch", "1").mode("append").save()
+    // kv tables declare no unique key: the KEY clause is mandatory
+    val noKey = intercept[IllegalArgumentException] {
+      ops.Ddl.execute(spark, "CREATE INDEX ixt_v ON graft.ddlspec.ixt (v)") }
+    assert(noKey.getMessage.contains("KEY"), noKey.getMessage)
+    ops.Ddl.execute(spark,
+      "CREATE INDEX ixt_v ON graft.ddlspec.ixt (v) KEY (id)")
+    try {
+      def probe(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("v") === 10L).queryExecution.optimizedPlan.toString
+      // present-state read rewrites; the answer is unchanged
+      assert(probe(spark.table("graft.ddlspec.ixt")).contains("LeftSemi"))
+      assert(spark.table("graft.ddlspec.ixt").filter(col("v") === 10L)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+      // a VERSION AS OF read sees a state the index does not describe —
+      // the rewrite must stand down even though the index is FRESH
+      assert(!probe(spark.sql(
+        "SELECT * FROM graft.ddlspec.ixt VERSION AS OF 0")).contains("LeftSemi"))
+      // an append bumps the manifest version: stale, stands down, SHOW
+      // INDEXES flags it; REFRESH re-pins and the rewrite returns
+      Seq((5L, 10L)).toDF("id", "v")
+        .write.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("epoch", "2").mode("append").save()
+      assert(!probe(spark.table("graft.ddlspec.ixt")).contains("LeftSemi"))
+      val stale = ops.Ddl.execute(spark, "SHOW INDEXES").collect()
+        .find(_.getString(0) == "ixt_v").get.getBoolean(3)
+      assert(stale)
+      ops.Ddl.execute(spark, "REFRESH INDEX ixt_v")
+      assert(probe(spark.table("graft.ddlspec.ixt")).contains("LeftSemi"))
+      assert(spark.table("graft.ddlspec.ixt").filter(col("v") === 10L)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    } finally {
+      ops.Ddl.execute(spark, "DROP INDEX ixt_v")
+      spark.sql("DROP TABLE graft.ddlspec.ixt")
+    }
+  }
 }
