@@ -288,10 +288,16 @@ object Bench {
     // Defense 2: budget-gated pass 2 — re-checked before every query, so a
     // partial second pass still contributes floors for the queries it reached.
     val pass2 = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    // graded per-query value: the min over SUCCESSFUL samples when any
+    // exists — a fast failure must not masquerade as the graded number
+    // either (the same 0.444-style artifact the floor merge guards
+    // against, one level up); a query that failed every sample keeps its
+    // recorded elapsed and is named in the artifact's "failed" list
     def floors: Seq[(String, Double)] = {
+      val okMin = okSamples.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
       val f2 = pass2.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
       pass1.toSeq.map { case (n, t1) =>
-        n -> math.min(t1, f2.getOrElse(n, t1))
+        n -> okMin.getOrElse(n, math.min(t1, f2.getOrElse(n, t1)))
       }
     }
     // Defense 7: floor passes run worst-first — ranked by current best

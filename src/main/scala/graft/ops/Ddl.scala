@@ -1799,13 +1799,18 @@ object Ddl {
         val ix0 = idxNamed(name).getOrElse(
           throw new IllegalArgumentException(s"unknown index '$name'"))
         if (ix0.kvVersion >= 0L) {
-          // kv-backed: full rebuild from the table's CURRENT state, re-
-          // pinned to the live manifest version (epoch-granular delta
-          // refresh is a possible later optimization; correctness needs
-          // only that kvVersion matches what the index parquet reflects)
+          // kv-backed: full rebuild from the table's CURRENT state.
+          // Capture the manifest version BEFORE the rebuild scans — a
+          // commit landing mid-build then leaves the recorded version
+          // behind the live one and the rewrite stands down (safe),
+          // instead of pinning an index that missed the commit at the
+          // live version (it would serve wrong reads). Same order
+          // createKvIndex uses. (Epoch-granular delta refresh is a
+          // possible later optimization.)
+          val atVersion =
+            graft.sources.GraftKvSink.manifestVersion(ix0.sourcePath)
           buildIndexFrom(spark.table(ix0.table), ix0)
-          val fresh = ix0.copy(kvVersion =
-            graft.sources.GraftKvSink.manifestVersion(ix0.sourcePath))
+          val fresh = ix0.copy(kvVersion = atVersion)
           graft.plans.IndexCatalog.register(fresh)
           indexDefs.put(fresh.name.toLowerCase, fresh)
           persist()

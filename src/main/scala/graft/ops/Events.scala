@@ -91,7 +91,7 @@ object Events {
     * rewrites the same files instead of double-counting — exactly-once on
     * top of at-least-once delivery, with no driver-resident result table.
     * Read the union back with [[readSunk]]. */
-  private def sinkBatches(out: String)
+  private[ops] def sinkBatches(out: String)
       : (org.apache.spark.sql.DataFrame, Long) => Unit =
     (df, batchId) => df.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -99,7 +99,7 @@ object Events {
 
   /** Union of every batch directory [[sinkBatches]] wrote. Empty batches
     * write schema-only directories, so the union always reads. */
-  private def readSunk(s: SparkSession, out: String)
+  private[ops] def readSunk(s: SparkSession, out: String)
       : org.apache.spark.sql.DataFrame =
     s.read.parquet(out)
 

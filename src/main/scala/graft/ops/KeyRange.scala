@@ -363,8 +363,15 @@ object KeyRange {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
+    // job-group id is thread-local: propagate the caller's (the bench's
+    // per-query group) onto each racer thread, so a deadline cancellation
+    // kills the racing jobs too instead of leaving them running into the
+    // next timed query
+    val jobGroup = s.sparkContext.getLocalProperty("spark.jobGroup.id")
     val racers = Seq(1, 2).map { r =>
       Future {
+        if (jobGroup != null)
+          s.sparkContext.setLocalProperty("spark.jobGroup.id", jobGroup)
         src.filter(col("o_orderkey") % 3 === r)
           .write.format("graft.sources.GraftKvSink")
           .option("path", tmp).mode("append").save()
@@ -575,9 +582,7 @@ object KeyRange {
       .option("checkpointLocation", ckpt)
       // batchId-keyed overwrite directories: the idempotent file sink
       // (kv_cdc_restart's recipe) — no driver-resident result table
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.write.mode(SaveMode.Overwrite).parquet(s"$out/b=$batchId")
-      }
+      .foreachBatch(Events.sinkBatches(out))
       .start()
     try {
       q.processAllAvailable() // batch 1: the base load as inserts
@@ -587,7 +592,7 @@ object KeyRange {
         "SET o_totalprice = o_totalprice + 1.5 WHERE o_orderstatus = 'F'")
       q.processAllAvailable() // batch 3: the update's delete+insert pairs
     } finally q.stop()
-    s.read.parquet(out)
+    Events.readSunk(s, out)
       .groupBy(col("_change_type").as("change_type"),
         col("_commit_epoch").as("commit_epoch"))
       .agg(count(lit(1)).as("cnt"),
@@ -636,9 +641,7 @@ object KeyRange {
       .option("path", tmp).option("readChangeFeed", "true").load()
       .writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        df.write.mode(SaveMode.Overwrite).parquet(s"$out/b=$batchId")
-      }
+      .foreachBatch(Events.sinkBatches(out))
       .start()
     try {
       q.processAllAvailable() // batch 1: both base epochs as inserts
@@ -650,7 +653,7 @@ object KeyRange {
     } finally q.stop()
     val sgn = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    s.read.parquet(out)
+    Events.readSunk(s, out)
       .groupBy(col("_commit_epoch").as("commit_epoch"))
       .agg(sum(sgn).as("net_rows"),
         sum(sgn * col("o_orderkey")).as("net_keys"),
@@ -825,10 +828,8 @@ object KeyRange {
       .option("path", tmp).option("readChangeFeed", "true").load()
       .writeStream
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (df: DataFrame, batchId: Long) =>
-        // idempotent: a replayed batch rewrites the same directory
-        df.write.mode(SaveMode.Overwrite).parquet(s"$out/b=$batchId")
-      }
+      // idempotent: a replayed batch rewrites the same directory
+      .foreachBatch(Events.sinkBatches(out))
       .start()
     val q1 = startQuery()
     try {
@@ -842,7 +843,7 @@ object KeyRange {
       "o_totalprice + 0.5 WHERE o_orderstatus = 'F'")
     val q2 = startQuery()
     try q2.processAllAvailable() finally q2.stop()
-    s.read.parquet(out)
+    Events.readSunk(s, out)
       .groupBy(col("_change_type").as("change_type"),
         col("_commit_epoch").as("commit_epoch"))
       .agg(count(lit(1)).as("cnt"),
