@@ -193,6 +193,10 @@ object Ddl {
       if (ix.table.nonEmpty) m.put("table", ix.table)
       if (ix.kvVersion >= 0L)
         m.put("kvVersion", java.lang.Long.valueOf(ix.kvVersion))
+      if (ix.kvHead >= 0L) {
+        m.put("kvHead", java.lang.Long.valueOf(ix.kvHead))
+        m.put("kvHeadTs", java.lang.Long.valueOf(ix.kvHeadTs))
+      }
       idxs.add(m)
     }
     val root = new java.util.LinkedHashMap[String, Object]()
@@ -296,7 +300,9 @@ object Ddl {
                 Option(n.get("covered")).toSeq
                   .flatMap(_.elements().asScala.map(_.asText)),
                 Option(n.get("table")).map(_.asText).getOrElse(""),
-                Option(n.get("kvVersion")).map(_.asLong).getOrElse(-1L))
+                Option(n.get("kvVersion")).map(_.asLong).getOrElse(-1L),
+                Option(n.get("kvHead")).map(_.asLong).getOrElse(-1L),
+                Option(n.get("kvHeadTs")).map(_.asLong).getOrElse(-1L))
               if (indexDefs.putIfAbsent(ix.name.toLowerCase, ix).isEmpty &&
                   graft.plans.IndexCatalog.named(ix.name).isEmpty)
                 graft.plans.IndexCatalog.register(ix)
@@ -811,10 +817,16 @@ object Ddl {
     require(!keys.exists(_.equalsIgnoreCase(colName)),
       s"'$colName' is a key column of the index itself — index a non-key " +
         "column the scan cannot already prune on")
+    // stamp from ONE manifest read, captured BEFORE the build scans: a
+    // commit landing mid-build leaves the recorded version behind the
+    // live one, so the rewrite stands down instead of serving rows the
+    // index missed. head/headTs anchor future O(delta) refreshes.
+    val (ver, head, headTs, _) =
+      graft.sources.GraftKvSink.appendedSince(path, -1L, -1L)
     val ix = graft.plans.IndexDef(idxName, path, colName.toLowerCase,
       indexStorePath(idxName), keys, table = full,
       coveredPaths = Seq(path),
-      kvVersion = graft.sources.GraftKvSink.manifestVersion(path))
+      kvVersion = ver, kvHead = head, kvHeadTs = headTs)
     buildIndexFrom(base, ix)
     graft.plans.IndexCatalog.register(ix)
     indexDefs.put(idxName.toLowerCase, ix)
@@ -898,8 +910,12 @@ object Ddl {
     * already indexed (the semi-join's uniqueness requirement spans the
     * whole covered set). */
   private def deltaIndexAppend(spark: SparkSession,
-      ix: graft.plans.IndexDef, newPaths: Seq[String]): Unit = {
-    val delta = spark.read.parquet(newPaths: _*)
+      ix: graft.plans.IndexDef, newPaths: Seq[String]): Unit =
+    deltaIndexAppendFrom(spark.read.parquet(newPaths: _*), ix)
+
+  private def deltaIndexAppendFrom(delta: DataFrame,
+      ix: graft.plans.IndexDef): Unit = {
+    val spark = delta.sparkSession
     require(delta.filter(ix.keyCols.map(k => col(k).isNull).reduce(_ || _))
         .limit(1).count() == 0L,
       s"REFRESH INDEX ${ix.name}: appended rows have NULL key values")
@@ -1799,18 +1815,29 @@ object Ddl {
         val ix0 = idxNamed(name).getOrElse(
           throw new IllegalArgumentException(s"unknown index '$name'"))
         if (ix0.kvVersion >= 0L) {
-          // kv-backed: full rebuild from the table's CURRENT state.
-          // Capture the manifest version BEFORE the rebuild scans — a
-          // commit landing mid-build then leaves the recorded version
-          // behind the live one and the rewrite stands down (safe),
-          // instead of pinning an index that missed the commit at the
-          // live version (it would serve wrong reads). Same order
-          // createKvIndex uses. (Epoch-granular delta refresh is a
-          // possible later optimization.)
-          val atVersion =
-            graft.sources.GraftKvSink.manifestVersion(ix0.sourcePath)
-          buildIndexFrom(spark.table(ix0.table), ix0)
-          val fresh = ix0.copy(kvVersion = atVersion)
+          // kv-backed. O(DELTA) when the since-build history is pure
+          // epoch-stamped appends: index ONLY the new epochs' files (a
+          // file-targeted onlyFiles read — the changefeed's read shape)
+          // and append to the index parquet; anything else (DML,
+          // truncate, out-of-order publish) rebuilds fully from the
+          // table's current state. Stamp from the SAME manifest read the
+          // plan came from, captured before any scan — a commit landing
+          // mid-refresh leaves the recorded version behind the live one
+          // and the rewrite stands down (safe) rather than serving rows
+          // the index missed.
+          val (ver, head, headTs, deltaFiles) = graft.sources.GraftKvSink
+            .appendedSince(ix0.sourcePath, ix0.kvHead, ix0.kvHeadTs)
+          val fresh =
+            ix0.copy(kvVersion = ver, kvHead = head, kvHeadTs = headTs)
+          deltaFiles match {
+            case Some(names) =>
+              if (names.nonEmpty) deltaIndexAppendFrom(
+                spark.read.format("graft.sources.GraftKvSink")
+                  .option("path", ix0.sourcePath)
+                  .option("onlyFiles", names.mkString(",")).load(),
+                ix0)
+            case None => buildIndexFrom(spark.table(ix0.table), ix0)
+          }
           graft.plans.IndexCatalog.register(fresh)
           indexDefs.put(fresh.name.toLowerCase, fresh)
           persist()

@@ -38,7 +38,14 @@ case class IndexDef(name: String, sourcePath: String, col: String,
     // divergence (append, DML, compaction — all bump it), so a stale
     // index can never serve a read. -1 = keyed-table index (mutation-log
     // staleness applies instead).
-    kvVersion: Long = -1L) {
+    kvVersion: Long = -1L,
+    // the newest epoch (and its commit ts) the index covers — the anchor
+    // REFRESH INDEX uses to plan an O(delta) append of just the epochs
+    // committed since, when the interim history was pure appends. -1 =
+    // keyed-table index, or a kv history where delta refresh is unsound
+    // (epoch-less files / pre-timestamp manifest) -> full rebuild.
+    kvHead: Long = -1L,
+    kvHeadTs: Long = -1L) {
   def covered: Seq[String] =
     if (coveredPaths.isEmpty) Seq(sourcePath) else coveredPaths
 }

@@ -613,6 +613,40 @@ object GraftKvSink {
   def manifestVersion(dir: String): Long =
     readManifest(manifestPath(dir)).version
 
+  /** Planner for O(delta) secondary-index refresh — ONE manifest read
+    * returning (version, head epoch, head's commit ts, delta-appendable
+    * file names). The names are `Some(files of epochs committed after
+    * (sinceEpoch, sinceTs))` exactly when the since-then history is PURE
+    * APPENDS of epoch-stamped files — the only shape where indexing just
+    * the new files is sound. `None` (caller must rebuild fully) when:
+    * the recorded (epoch, ts) pair no longer matches (truncate restarted
+    * the history/clock), any newly-committed epoch is not strictly newer
+    * than sinceEpoch (out-of-order explicit publish), a new epoch carries
+    * merge-on-read deltas or a CoW rewrite (they MUTATE rows the index
+    * already has), or the table has non-epoch-stamped data files (plain
+    * appends there reuse epoch 0 invisibly). Compaction alone stays
+    * delta-safe: it moves rows between files without changing them. */
+  def appendedSince(dir: String, sinceEpoch: Long, sinceTs: Long)
+      : (Long, Long, Long, Option[Seq[String]]) = {
+    val m = readManifest(manifestPath(dir))
+    val ets = m.epochTs
+    val head = ets.keys.maxOption.getOrElse(-1L)
+    val headTs = ets.get(head).getOrElse(-1L)
+    def full = (m.version, head, headTs, None)
+    if (sinceEpoch < 0L || !ets.get(sinceEpoch).contains(sinceTs)) return full
+    if (!m.files.forall(_._1.startsWith("epoch-"))) return full
+    val newEpochs = ets.collect { case (e, ts) if ts > sinceTs => e }.toSet
+    val sound = newEpochs.forall(_ > sinceEpoch) &&
+      !m.deltas.exists(d => newEpochs.contains(epochOf(d.name))) &&
+      !m.removed.exists(r => newEpochs.contains(r.removedAt)) &&
+      !newEpochs.contains(m.rewrittenUpTo)
+    if (!sound) full
+    else (m.version, head, headTs,
+      Some(m.files.collect {
+        case (n, _) if newEpochs.contains(epochOf(n)) => n
+      }))
+  }
+
   /** `TIMESTAMP AS OF` resolution: the max epoch `e` such that EVERY
     * recorded epoch at or below `e` was committed at or before `tsMillis`
     * (for the usual in-order history this is simply the last commit

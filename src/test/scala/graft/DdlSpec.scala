@@ -1419,10 +1419,33 @@ class DdlSpec extends SparkSpec {
       val stale = ops.Ddl.execute(spark, "SHOW INDEXES").collect()
         .find(_.getString(0) == "ixt_v").get.getBoolean(3)
       assert(stale)
+      // a pure-append history refreshes O(DELTA): only the new epoch's
+      // files are indexed and APPENDED — the original index parts survive
+      val ixPath = graft.plans.IndexCatalog.named("ixt_v").get.indexPath
+      def ixParts(): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(ixPath))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val before = ixParts()
       ops.Ddl.execute(spark, "REFRESH INDEX ixt_v")
+      assert(before.subsetOf(ixParts()) && ixParts().size > before.size,
+        s"expected delta append, got full rewrite: $before -> ${ixParts()}")
       assert(probe(spark.table("graft.ddlspec.ixt")).contains("LeftSemi"))
       assert(spark.table("graft.ddlspec.ixt").filter(col("v") === 10L)
         .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+      // row-level DML mutates rows the index already has: the next
+      // REFRESH must REBUILD (old index parts replaced), and results
+      // reflect the delete
+      spark.sql("DELETE FROM graft.ddlspec.ixt WHERE id = 3")
+      val preDml = ixParts()
+      ops.Ddl.execute(spark, "REFRESH INDEX ixt_v")
+      assert(ixParts().intersect(preDml).isEmpty,
+        s"expected full rebuild after DML: $preDml -> ${ixParts()}")
+      assert(probe(spark.table("graft.ddlspec.ixt")).contains("LeftSemi"))
+      assert(spark.table("graft.ddlspec.ixt").filter(col("v") === 10L)
+        .collect().map(_.getLong(0)).toSet == Set(1L, 5L))
     } finally {
       ops.Ddl.execute(spark, "DROP INDEX ixt_v")
       spark.sql("DROP TABLE graft.ddlspec.ixt")
