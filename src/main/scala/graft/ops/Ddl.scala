@@ -165,6 +165,11 @@ object Ddl {
       m.put("dectype", mv.decType.sql)
       if (mv.coveredPaths.nonEmpty) m.put("covered", mv.coveredPaths.asJava)
       if (mv.table.nonEmpty) m.put("table", mv.table)
+      if (mv.kvVersion >= 0L) {
+        m.put("kvVersion", java.lang.Long.valueOf(mv.kvVersion))
+        m.put("kvHead", java.lang.Long.valueOf(mv.kvHead))
+        m.put("kvHeadTs", java.lang.Long.valueOf(mv.kvHeadTs))
+      }
       mvs.add(m)
     }
     val dsv2 = new java.util.ArrayList[java.util.Map[String, Object]]()
@@ -274,7 +279,10 @@ object Ddl {
               DataType.fromDDL(n.get("dectype").asText),
               Option(n.get("covered")).toSeq
                 .flatMap(_.elements().asScala.map(_.asText)),
-              Option(n.get("table")).map(_.asText).getOrElse(""))
+              Option(n.get("table")).map(_.asText).getOrElse(""),
+              Option(n.get("kvVersion")).map(_.asLong).getOrElse(-1L),
+              Option(n.get("kvHead")).map(_.asLong).getOrElse(-1L),
+              Option(n.get("kvHeadTs")).map(_.asLong).getOrElse(-1L))
             if (mvDefs.putIfAbsent(name, mv).isEmpty &&
                 graft.plans.MvCatalog.named(name).isEmpty)
               graft.plans.MvCatalog.register(name, mv)
@@ -460,7 +468,7 @@ object Ddl {
   // only allowed on UNMUTATED tables — a mutated table's reads no longer
   // match the base-relation pattern, so a stale rewrite cannot fire.
   private val CreateMvRe =
-    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s+ON\\s+($Id)\\s+GROUP\\s+BY\\s+\\(([^)]+)\\)\\s+SUMS\\s+\\(([^)]+)\\)\\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+(\w+)\s+ON\s+((?:\w+\.){0,2}\w+)\s+GROUP\s+BY\s+\(([^)]+)\)\s+SUMS\s+\(([^)]+)\)\s*""".r
   private val RefreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(\w+)\s*""".r
   private val DropMvRe =
@@ -942,14 +950,61 @@ object Ddl {
     * partial + one exact-decimal sum per registered column — the
     * decomposable shape plans.MvRewriteRule knows how to re-combine. */
   private def buildMvSnapshot(spark: SparkSession, mv: graft.plans.MvDef,
-      from: Option[String] = None): Unit = {
+      from: Option[String] = None): Unit =
+    buildMvSnapshotFrom(spark.read.parquet(from.getOrElse(mv.sourcePath)), mv)
+
+  /** The decomposable rollup of `base` at the MV's granularity: a row
+    * count plus one exact-decimal sum per registered column — partial
+    * rows that re-fold losslessly (what MvRewriteRule re-combines). */
+  private def mvPartials(base: DataFrame,
+      mv: graft.plans.MvDef): DataFrame = {
     val sums = mv.sums.toSeq.sortBy(_._1).map { case (src, partial) =>
       sum(col(src).cast(M)).as(partial)
     }
-    spark.read.parquet(from.getOrElse(mv.sourcePath))
-      .groupBy(mv.groupCols.map(c => col(c)): _*)
+    base.groupBy(mv.groupCols.map(c => col(c)): _*)
       .agg(count(lit(1)).as(mv.cntCol), sums: _*)
-      .write.mode(SaveMode.Overwrite).parquet(mv.snapshotPath)
+  }
+
+  private def buildMvSnapshotFrom(base: DataFrame,
+      mv: graft.plans.MvDef): Unit =
+    mvPartials(base, mv).write.mode(SaveMode.Overwrite).parquet(mv.snapshotPath)
+
+  /** CREATE MATERIALIZED VIEW on a kv CATALOG table — the decomposable
+    * rollup machinery serving the connector world, with the same
+    * manifest-version freshness contract as kv indexes: the def records
+    * the version it was built at (captured before the build scans), the
+    * rewrite stands down on any divergence, and REFRESH re-pins —
+    * incrementally for pure-append histories. */
+  private def createKvMv(spark: SparkSession, mvName: String, tName: String,
+      groupsCsv: String, sumsCsv: String): Unit = {
+    require(lookup(mvName).isEmpty &&
+      graft.plans.MvCatalog.named(mvName).isEmpty,
+      s"'$mvName' already names a table or materialized view")
+    val full =
+      if (tName.toLowerCase.startsWith("graft.")) tName else s"graft.$tName"
+    val path = kvPathFor(tName)
+    val base = spark.table(full)
+    val schema = base.schema
+    val groups = groupsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val sumCols = sumsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    (groups ++ sumCols).foreach(c => require(hasColumn(schema.fieldNames, c),
+      s"column '$c' not in $full"))
+    sumCols.foreach { c =>
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"SUMS column '$c' must be numeric, got ${dt.simpleString}")
+    }
+    val (ver, head, headTs, _) =
+      graft.sources.GraftKvSink.appendedSince(path, -1L, -1L)
+    val mv = graft.plans.MvDef(path, mvSnapshotPath(mvName), groups, "cnt",
+      sumCols.map(c => c.toLowerCase -> s"sum_${c.toLowerCase}").toMap, M,
+      table = full, coveredPaths = Seq(path),
+      kvVersion = ver, kvHead = head, kvHeadTs = headTs)
+    buildMvSnapshotFrom(base, mv)
+    graft.plans.MvCatalog.register(mvName, mv)
+    spark.read.parquet(mv.snapshotPath).createOrReplaceTempView(mvName)
+    mvDefs.put(mvName.toLowerCase, mv)
+    persist()
   }
 
   /** The INSERT/LOAD snapshot paths of a pure append-only history (length
@@ -1688,6 +1743,10 @@ object Ddl {
         if (isQualified(restored.name)) replaceQualified(spark, restored)
         else replaceView(spark, restored.name, rebuild(spark, restored))
         status("RESTORE", t.name)
+      case CreateMvRe(mvName, tName, groupsCsv, sumsCsv)
+          if lookup(tName).isEmpty && kvTableFor(tName).isDefined =>
+        createKvMv(spark, mvName, tName, groupsCsv, sumsCsv)
+        status("CREATE_MV", mvName)
       case CreateMvRe(mvName, tName, groupsCsv, sumsCsv) =>
         val t = lookupOrThrow(tName)
         val (mvRoot, mvSnaps) = appendState(t).getOrElse(
@@ -1726,6 +1785,34 @@ object Ddl {
         mvDefs.put(mvName.toLowerCase, mv)
         persist()
         status("CREATE_MV", mvName)
+      case RefreshMvRe(name) if mvNamed(name).exists(_.kvVersion >= 0L) =>
+        // kv-backed MV: O(DELTA) when the since-build history is pure
+        // epoch-stamped appends — aggregate ONLY the new epochs' files
+        // and APPEND the partial rows (the rewrite re-folds partials at
+        // read, so multiple rows per group are exact); otherwise rebuild
+        // fully. Stamp from the SAME manifest read the plan came from,
+        // before any scan (mid-refresh commits leave it stale → rewrite
+        // stands down, never serves missed rows).
+        val mv0 = mvNamed(name).get
+        val (ver, head, headTs, deltaFiles) = graft.sources.GraftKvSink
+          .appendedSince(mv0.sourcePath, mv0.kvHead, mv0.kvHeadTs)
+        deltaFiles match {
+          case Some(names) =>
+            if (names.nonEmpty) {
+              val delta = spark.read.format("graft.sources.GraftKvSink")
+                .option("path", mv0.sourcePath)
+                .option("onlyFiles", names.mkString(",")).load()
+              mvPartials(delta, mv0)
+                .write.mode(SaveMode.Append).parquet(mv0.snapshotPath)
+            }
+          case None =>
+            buildMvSnapshotFrom(spark.table(mv0.table), mv0)
+        }
+        val fresh = mv0.copy(kvVersion = ver, kvHead = head, kvHeadTs = headTs)
+        graft.plans.MvCatalog.register(name, fresh)
+        mvDefs.put(name.toLowerCase, fresh)
+        persist()
+        status("REFRESH_MV", name)
       case RefreshMvRe(name) =>
         val mv0 = graft.plans.MvCatalog.named(name).getOrElse(
           throw new IllegalArgumentException(s"unknown materialized view '$name'"))

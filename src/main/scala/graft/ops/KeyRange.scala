@@ -317,6 +317,70 @@ object KeyRange {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** A6 (read half) × A7-DSv2 judged: MATERIALIZED VIEW on a KV CATALOG
+    * table — the decomposable-rollup machinery serving the connector
+    * world, with the kv-index freshness contract: the MvDef records the
+    * manifest version it was built at, the rewrite STANDS DOWN on any
+    * divergence (folding stale partials would drop or double rows), and
+    * REFRESH re-pins — O(delta) for pure-append histories (only the new
+    * epochs' files are aggregated and their partial rows APPENDED; the
+    * rewrite re-folds partials at read, so extra rows per group are
+    * exact). The judged flow: CREATE MV → rewrite fires on a coarser
+    * aggregate (asserted: the kv relation leaves the plan) → an append
+    * stales it (asserted: the rewrite stands down) → REFRESH → fires
+    * again; the oracle is the DIRECT aggregation over both epochs, so
+    * rewrite-equals-direct is bit-gated. At 100 TB the fact scan becomes
+    * a read of a few thousand rollup rows. */
+  def kvMvRewrite(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_mvr"
+    val out = s"$scratch/kv_mvr_out"
+    clearDir(tmp)
+    if (graft.plans.MvCatalog.named("kvmvr").isDefined)
+      Ddl.execute(s, "DROP MATERIALIZED VIEW kvmvr")
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_mvr")
+    s.sql("CREATE TABLE graft.kvq.orders_mvr (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_orderpriority STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    val src = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 4 === 1)
+    src.filter(col("o_orderkey") % 8 === 1)
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", tmp).option("epoch", "0").mode("overwrite").save()
+    Ddl.execute(s, "CREATE MATERIALIZED VIEW kvmvr ON graft.kvq.orders_mvr " +
+      "GROUP BY (o_orderstatus, o_orderpriority) SUMS (o_totalprice)")
+    try {
+      def aggQ() = s.table("graft.kvq.orders_mvr")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).as("total_m"))
+        .select(col("o_orderstatus"), col("cnt"),
+          col("total_m").cast(S).cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+      require(!aggQ().queryExecution.optimizedPlan.toString
+          .contains("orders_mvr"),
+        "fresh kv MV must rewrite the aggregate away from the fact scan")
+      // an append bumps the manifest version: stale partials must never
+      // fold — the aggregate goes back to the fact scan
+      src.filter(col("o_orderkey") % 8 === 5)
+        .write.format("graft.sources.GraftKvSink")
+        .option("path", tmp).option("epoch", "1").mode("append").save()
+      require(aggQ().queryExecution.optimizedPlan.toString
+          .contains("orders_mvr"),
+        "stale kv MV must stand down after an append")
+      Ddl.execute(s, "REFRESH MATERIALIZED VIEW kvmvr") // O(delta) append
+      val q = aggQ()
+      require(!q.queryExecution.optimizedPlan.toString.contains("orders_mvr"),
+        "refreshed kv MV must rewrite again:\n" +
+          q.queryExecution.optimizedPlan.toString.take(2000))
+      q.write.mode(SaveMode.Overwrite).parquet(out)
+    } finally {
+      Ddl.execute(s, "DROP MATERIALIZED VIEW kvmvr")
+      s.sql("DROP TABLE graft.kvq.orders_mvr")
+    }
+    s.read.parquet(out).orderBy(col("o_orderstatus"))
+  }
+
   /** A9 extension: SCHEMA EVOLUTION — two batches written with different
     * schemas (the second adds a column), read back as ONE table via parquet
     * mergeSchema; rows from the narrow batch surface the new column as
@@ -1547,6 +1611,7 @@ object KeyRange {
     "zorder_layout" -> (zorderLayout _),
     "mv_incremental" -> (mvIncremental _),
     "mv_rewrite" -> (mvRewrite _),
+    "kv_mv_rewrite" -> (kvMvRewrite _),
     "kv_agg_pushdown" -> (kvAggPushdown _),
     "kv_rowlevel_dml" -> (kvRowlevelDml _),
     "kv_concurrent_append" -> (kvConcurrentAppend _),
@@ -2043,6 +2108,15 @@ object KeyRange {
         |FROM orders
         |GROUP BY o_orderstatus, o_orderpriority
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    // the kv-table MV path must reproduce the direct aggregation over
+    // BOTH epochs (the second folded in by the O(delta) refresh)
+    "kv_mv_rewrite" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the DIRECT aggregation: the rewritten-to-snapshot plan must match it
     "mv_rewrite" ->
       """SELECT o_orderstatus,

@@ -145,35 +145,9 @@ class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     }
   }
 
-  /** Scan paths under a pure column-pruning Project, if any. A Union of
-    * such scans (the append-only replay shape when the filter has not been
-    * split into the branches yet) contributes all branch paths; any
-    * transforming projection or other operator vetoes. A kv CATALOG scan
-    * contributes its data directory — but only the PRESENT-state read:
-    * version-pinned instances and option-driven time-travel / CDC /
-    * streaming reads see a state the index does not describe, so they
-    * veto here. */
-  private def sourceOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      sourceOf(c)
-    case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
-      val subs = u.children.map(sourceOf)
-      if (subs.forall(_.isDefined)) Some(subs.flatMap(_.get)) else None
-    case l: LogicalRelation => l.relation match {
-      case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
-      case _ => None
-    }
-    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
-      r.table match {
-        case t: graft.sources.GraftKvTable
-            if t.pinned.isEmpty &&
-              Seq("asOfEpoch", "readChangeFeed", "startingEpoch")
-                .forall(o => !r.options.containsKey(o)) =>
-          Some(Seq(t.path))
-        case _ => None
-      }
-    case _ => None
-  }
+  /** Scan paths — the shared [[ScanSources]] walk. */
+  private def sourceOf(plan: LogicalPlan): Option[Seq[String]] =
+    ScanSources.of(plan)
 
   private def indexablePred(e: Expression): Option[AttributeReference] = e match {
     case EqualTo(a: AttributeReference, _: Literal) => Some(a)
@@ -223,5 +197,36 @@ class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan]
     val residual = conjuncts.filterNot(_ eq pred)
     Some(if (residual.isEmpty) join
     else Filter(residual.reduce(And), join))
+  }
+}
+
+/** The one scan-source walk the MV and index rewrite rules share: scan
+  * paths under pure column-pruning Projects, Unions of such scans (the
+  * append-only replay shape — each branch contributes its paths), parquet
+  * relations, and PRESENT-STATE kv catalog scans (their data directory).
+  * Version-pinned kv instances and option-driven time-travel / CDC /
+  * streaming reads see a state no snapshot structure describes, so they
+  * veto; any transforming projection or other operator vetoes too. */
+object ScanSources {
+  def of(plan: LogicalPlan): Option[Seq[String]] = plan match {
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      of(c)
+    case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+      val subs = u.children.map(of)
+      if (subs.forall(_.isDefined)) Some(subs.flatMap(_.get)) else None
+    case l: LogicalRelation => l.relation match {
+      case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
+      case _ => None
+    }
+    case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+      r.table match {
+        case t: graft.sources.GraftKvTable
+            if t.pinned.isEmpty &&
+              Seq("asOfEpoch", "readChangeFeed", "startingEpoch")
+                .forall(o => !r.options.containsKey(o)) =>
+          Some(Seq(t.path))
+        case _ => None
+      }
+    case _ => None
   }
 }

@@ -31,7 +31,14 @@ case class MvDef(sourcePath: String, snapshotPath: String,
     // some. Empty = just sourcePath (pre-r13 catalogs).
     coveredPaths: Seq[String] = Nil,
     // owning keyed table by NAME (several tables may map one parquet)
-    table: String = "") {
+    table: String = "",
+    // kv CATALOG tables (same contract as IndexDef): the manifest version
+    // this MV was built at — the rewrite stands down on any divergence;
+    // (kvHead, kvHeadTs) anchor O(delta) incremental refresh when the
+    // since-build history is pure appends. -1 = keyed-table MV.
+    kvVersion: Long = -1L,
+    kvHead: Long = -1L,
+    kvHeadTs: Long = -1L) {
   def covered: Seq[String] =
     if (coveredPaths.isEmpty) Seq(sourcePath) else coveredPaths
 }
@@ -113,23 +120,21 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Scan paths under a pure column-pruning Project, if any; a Union of
-    * such scans (the append-only replay shape) contributes all branch
-    * paths. Any transforming projection or other operator vetoes. */
-  private def sourceOf(plan: LogicalPlan): Option[Seq[String]] = plan match {
-    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      sourceOf(c)
-    case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
-      val subs = u.children.map(sourceOf)
-      if (subs.forall(_.isDefined)) Some(subs.flatMap(_.get)) else None
-    case l: LogicalRelation => l.relation match {
-      case fs: HadoopFsRelation => Some(fs.location.rootPaths.map(_.toString))
-      case _ => None
-    }
-    case _ => None
-  }
+  /** Scan paths under a pure column-pruning Project — the shared
+    * [[ScanSources]] walk (parquet relations, Unions of them, and
+    * present-state kv catalog scans). */
+  private def sourceOf(plan: LogicalPlan): Option[Seq[String]] =
+    ScanSources.of(plan)
 
   private def rewrite(agg: Aggregate, mv: MvDef): Option[LogicalPlan] = {
+    // kv-backed MV freshness: ANY manifest publish since the build bumps
+    // the version; folding stale partials would silently drop or double
+    // rows — stand down until REFRESH re-pins (same rule as IndexDef).
+    if (mv.kvVersion >= 0L) {
+      val live = scala.util.Try(
+        graft.sources.GraftKvSink.manifestVersion(mv.sourcePath)).toOption
+      if (!live.contains(mv.kvVersion)) return None
+    }
     // grouping must be plain attributes, each one of the MV's group cols
     val groupNames = agg.groupingExpressions.map {
       case a: AttributeReference

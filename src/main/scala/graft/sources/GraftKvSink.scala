@@ -592,11 +592,16 @@ object GraftKvSink {
     // RETAINED CoW HISTORY: vacuum is the retention boundary — reclaim the
     // superseded files and raise the time-travel fence to the rewrite
     // epoch, after which pre-DML asOfEpoch reads error like any vacuumed
-    // range (the Delta/Iceberg VACUUM contract). All-or-nothing under the
-    // same grace window so a half-reclaimed window can never half-answer.
+    // range (the Delta/Iceberg VACUUM contract). A superseded file ages
+    // from its SUPERSEDING COMMIT's recorded timestamp (the honest
+    // "RETAIN n MINUTES of history" clock — file mtimes are a transport
+    // detail and only the fallback for pre-timestamp manifests).
+    // All-or-nothing under the same grace window so a half-reclaimed
+    // window can never half-answer.
     val reclaimHistory = m0.removed.nonEmpty && m0.removed.forall { r =>
       val p = Paths.get(dir, r.name)
-      !Files.exists(p) || Files.getLastModifiedTime(p).toMillis <= cutoff
+      !Files.exists(p) || m0.epochTs.get(r.removedAt)
+        .getOrElse(Files.getLastModifiedTime(p).toMillis) <= cutoff
     }
     if (reclaimHistory) {
       writeManifest(dir, m0.schema, m0.files,
@@ -609,9 +614,31 @@ object GraftKvSink {
   }
 
   /** Read-only introspection: the manifest's optimistic-concurrency
-    * version (increments on every publish; 0 = first). */
-  def manifestVersion(dir: String): Long =
-    readManifest(manifestPath(dir)).version
+    * version (increments on every publish; 0 = first). Cached by the
+    * manifest file's (mtime, size) — the INDEX REWRITE RULE calls this on
+    * every optimizer pass over a kv scan with a registered index, and a
+    * full JSON parse per plan would scale with the per-file stats maps; a
+    * stat() does not. Publishes replace the file atomically, so a
+    * changed version always changes the (mtime, size) key. */
+  private val versionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  def manifestVersion(dir: String): Long = {
+    val p = manifestPath(dir)
+    // every publish renames a FRESH temp file over the manifest, so the
+    // inode identity (fileKey) changes per publish — mtime alone is too
+    // coarse (same-millisecond publishes) and size alone can repeat
+    val attrs = Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = s"${attrs.fileKey()}|${attrs.lastModifiedTime().toMillis}|" +
+      s"${attrs.size()}"
+    val cached = versionCache.get(dir)
+    if (cached != null && cached._1 == key) cached._2
+    else {
+      val v = readManifest(p).version
+      versionCache.put(dir, (key, v))
+      v
+    }
+  }
 
   /** Planner for O(delta) secondary-index refresh — ONE manifest read
     * returning (version, head epoch, head's commit ts, delta-appendable

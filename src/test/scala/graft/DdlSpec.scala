@@ -1381,6 +1381,65 @@ class DdlSpec extends SparkSpec {
     ops.Ddl.execute(spark, "DROP TABLE cf_t")
   }
 
+  test("kv MATERIALIZED VIEW: version staleness, O(delta) refresh, pinned reads never fold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_mv").toString
+    spark.sql("DROP TABLE IF EXISTS graft.ddlspec.mvt")
+    spark.sql(s"CREATE TABLE graft.ddlspec.mvt (g STRING, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    Seq(("a", 1.5), ("b", 2.5), ("a", 3.0)).toDF("g", "v")
+      .write.format("graft.sources.GraftKvSink").option("path", dir)
+      .option("epoch", "0").mode("overwrite").save()
+    ops.Ddl.execute(spark,
+      "CREATE MATERIALIZED VIEW mvt_roll ON graft.ddlspec.mvt " +
+        "GROUP BY (g) SUMS (v)")
+    try {
+      def q() = spark.table("graft.ddlspec.mvt").groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"), sum(graft.ops.dec(col("v"))).as("t"))
+      def plan() = q().queryExecution.optimizedPlan.toString
+      def res() = q().collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).doubleValue)).toSet
+      assert(!plan().contains("ddlspec.mvt"), plan()) // rewritten to snapshot
+      assert(res() == Set(("a", 2L, 4.5), ("b", 1L, 2.5)))
+      // VERSION AS OF never folds a snapshot of a different state
+      assert(spark.sql(
+        "SELECT g, count(*) FROM graft.ddlspec.mvt VERSION AS OF 0 GROUP BY g")
+        .queryExecution.optimizedPlan.toString.contains("ddlspec.mvt"))
+      // append -> stale -> stands down; REFRESH is O(delta): the snapshot
+      // parquet gains part files without losing the originals
+      Seq(("b", 4.0)).toDF("g", "v")
+        .write.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("epoch", "1").mode("append").save()
+      assert(plan().contains("ddlspec.mvt"))
+      val snap = graft.plans.MvCatalog.named("mvt_roll").get.snapshotPath
+      def parts(): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(snap))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val before = parts()
+      ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW mvt_roll")
+      assert(before.subsetOf(parts()) && parts().size > before.size,
+        s"expected delta partials appended: $before -> ${parts()}")
+      assert(!plan().contains("ddlspec.mvt"))
+      assert(res() == Set(("a", 2L, 4.5), ("b", 2L, 6.5)))
+      // row-level DML -> full rebuild on refresh, results reflect it
+      spark.sql("DELETE FROM graft.ddlspec.mvt WHERE v = 3.0")
+      assert(plan().contains("ddlspec.mvt")) // stale again
+      val preDml = parts()
+      ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW mvt_roll")
+      assert(parts().intersect(preDml).isEmpty,
+        s"expected full rebuild after DML: $preDml -> ${parts()}")
+      assert(!plan().contains("ddlspec.mvt"))
+      assert(res() == Set(("a", 1L, 1.5), ("b", 2L, 6.5)))
+    } finally {
+      ops.Ddl.execute(spark, "DROP MATERIALIZED VIEW mvt_roll")
+      spark.sql("DROP TABLE graft.ddlspec.mvt")
+    }
+  }
+
   test("kv CREATE INDEX: KEY clause required, version-pinned reads never rewrite") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_ix").toString
