@@ -953,6 +953,23 @@ object Ddl {
       from: Option[String] = None): Unit =
     buildMvSnapshotFrom(spark.read.parquet(from.getOrElse(mv.sourcePath)), mv)
 
+  /** CREATE MATERIALIZED VIEW column validation, shared by the keyed and
+    * kv handlers: parses the GROUP BY / SUMS lists, checks membership,
+    * and requires numeric SUMS columns. Returns (groups, sumCols). */
+  private def validateMvColumns(schema: StructType, table: String,
+      groupsCsv: String, sumsCsv: String): (Seq[String], Seq[String]) = {
+    val groups = groupsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val sumCols = sumsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    (groups ++ sumCols).foreach(c => require(hasColumn(schema.fieldNames, c),
+      s"column '$c' not in $table"))
+    sumCols.foreach { c =>
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"SUMS column '$c' must be numeric, got ${dt.simpleString}")
+    }
+    (groups, sumCols)
+  }
+
   /** The decomposable rollup of `base` at the MV's granularity: a row
     * count plus one exact-decimal sum per registered column — partial
     * rows that re-fold losslessly (what MvRewriteRule re-combines). */
@@ -984,16 +1001,8 @@ object Ddl {
       if (tName.toLowerCase.startsWith("graft.")) tName else s"graft.$tName"
     val path = kvPathFor(tName)
     val base = spark.table(full)
-    val schema = base.schema
-    val groups = groupsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    val sumCols = sumsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    (groups ++ sumCols).foreach(c => require(hasColumn(schema.fieldNames, c),
-      s"column '$c' not in $full"))
-    sumCols.foreach { c =>
-      val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
-      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"SUMS column '$c' must be numeric, got ${dt.simpleString}")
-    }
+    val (groups, sumCols) =
+      validateMvColumns(base.schema, full, groupsCsv, sumsCsv)
     val (ver, head, headTs, _) =
       graft.sources.GraftKvSink.appendedSince(path, -1L, -1L)
     val mv = graft.plans.MvDef(path, mvSnapshotPath(mvName), groups, "cnt",
@@ -1758,16 +1767,8 @@ object Ddl {
         require(lookup(mvName).isEmpty && graft.plans.MvCatalog.named(mvName).isEmpty,
           s"'$mvName' already names a table or materialized view")
         ensureView(spark, t)
-        val schema = spark.table(t.name).schema
-        val groups = groupsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val sumCols = sumsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        (groups ++ sumCols).foreach(c => require(hasColumn(schema.fieldNames, c),
-          s"column '$c' not in ${t.name}"))
-        sumCols.foreach { c =>
-          val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
-          require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
-            s"SUMS column '$c' must be numeric, got ${dt.simpleString}")
-        }
+        val (groups, sumCols) = validateMvColumns(
+          spark.table(t.name).schema, t.name, groupsCsv, sumsCsv)
         val mv0 = graft.plans.MvDef(t.path, mvSnapshotPath(mvName), groups, "cnt",
           sumCols.map(c => c.toLowerCase -> s"sum_${c.toLowerCase}").toMap, M,
           table = t.name,
@@ -1796,22 +1797,34 @@ object Ddl {
         val mv0 = mvNamed(name).get
         val (ver, head, headTs, deltaFiles) = graft.sources.GraftKvSink
           .appendedSince(mv0.sourcePath, mv0.kvHead, mv0.kvHeadTs)
-        deltaFiles match {
-          case Some(names) =>
-            if (names.nonEmpty) {
-              val delta = spark.read.format("graft.sources.GraftKvSink")
-                .option("path", mv0.sourcePath)
-                .option("onlyFiles", names.mkString(",")).load()
-              mvPartials(delta, mv0)
-                .write.mode(SaveMode.Append).parquet(mv0.snapshotPath)
-            }
-          case None =>
-            buildMvSnapshotFrom(spark.table(mv0.table), mv0)
+        // NO-OP refresh short-circuits BEFORE any scan: with the MV still
+        // fresh, the rebuild's own aggregate is exactly the rewritable
+        // shape — MvRewriteRule would redirect it to read the snapshot
+        // the Overwrite is about to destroy (read-under-truncate), and a
+        // no-op rebuild is an O(table) waste besides
+        if (ver != mv0.kvVersion) {
+          deltaFiles match {
+            case Some(names) =>
+              if (names.nonEmpty) {
+                val delta = spark.read.format("graft.sources.GraftKvSink")
+                  .option("path", mv0.sourcePath)
+                  .option("onlyFiles", names.mkString(",")).load()
+                mvPartials(delta, mv0)
+                  .write.mode(SaveMode.Append).parquet(mv0.snapshotPath)
+              }
+            case None =>
+              buildMvSnapshotFrom(spark.table(mv0.table), mv0)
+          }
+          val fresh =
+            mv0.copy(kvVersion = ver, kvHead = head, kvHeadTs = headTs)
+          graft.plans.MvCatalog.register(name, fresh)
+          mvDefs.put(name.toLowerCase, fresh)
+          persist()
+          // the MV's own name must serve the refreshed snapshot: the old
+          // temp view captured the pre-refresh file listing (it would
+          // miss appended partials, or reference rebuilt-away files)
+          spark.read.parquet(mv0.snapshotPath).createOrReplaceTempView(name)
         }
-        val fresh = mv0.copy(kvVersion = ver, kvHead = head, kvHeadTs = headTs)
-        graft.plans.MvCatalog.register(name, fresh)
-        mvDefs.put(name.toLowerCase, fresh)
-        persist()
         status("REFRESH_MV", name)
       case RefreshMvRe(name) =>
         val mv0 = graft.plans.MvCatalog.named(name).getOrElse(
@@ -1914,20 +1927,22 @@ object Ddl {
           // the index missed.
           val (ver, head, headTs, deltaFiles) = graft.sources.GraftKvSink
             .appendedSince(ix0.sourcePath, ix0.kvHead, ix0.kvHeadTs)
-          val fresh =
-            ix0.copy(kvVersion = ver, kvHead = head, kvHeadTs = headTs)
-          deltaFiles match {
-            case Some(names) =>
-              if (names.nonEmpty) deltaIndexAppendFrom(
-                spark.read.format("graft.sources.GraftKvSink")
-                  .option("path", ix0.sourcePath)
-                  .option("onlyFiles", names.mkString(",")).load(),
-                ix0)
-            case None => buildIndexFrom(spark.table(ix0.table), ix0)
+          if (ver != ix0.kvVersion) { // no-op refresh: skip the O(table) rebuild
+            val fresh =
+              ix0.copy(kvVersion = ver, kvHead = head, kvHeadTs = headTs)
+            deltaFiles match {
+              case Some(names) =>
+                if (names.nonEmpty) deltaIndexAppendFrom(
+                  spark.read.format("graft.sources.GraftKvSink")
+                    .option("path", ix0.sourcePath)
+                    .option("onlyFiles", names.mkString(",")).load(),
+                  ix0)
+              case None => buildIndexFrom(spark.table(ix0.table), ix0)
+            }
+            graft.plans.IndexCatalog.register(fresh)
+            indexDefs.put(fresh.name.toLowerCase, fresh)
+            persist()
           }
-          graft.plans.IndexCatalog.register(fresh)
-          indexDefs.put(fresh.name.toLowerCase, fresh)
-          persist()
         } else refreshKeyedIndex(spark, name, ix0)
         status("REFRESH_INDEX", name)
       case DropIndexRe(name) =>

@@ -222,8 +222,8 @@ object ScanSources {
       r.table match {
         case t: graft.sources.GraftKvTable
             if t.pinned.isEmpty &&
-              Seq("asOfEpoch", "readChangeFeed", "startingEpoch")
-                .forall(o => !r.options.containsKey(o)) =>
+              Seq("asOfEpoch", "readChangeFeed", "startingEpoch",
+                "onlyFiles").forall(o => !r.options.containsKey(o)) =>
           Some(Seq(t.path))
         case _ => None
       }

@@ -652,7 +652,16 @@ object GraftKvSink {
     * merge-on-read deltas or a CoW rewrite (they MUTATE rows the index
     * already has), or the table has non-epoch-stamped data files (plain
     * appends there reuse epoch 0 invisibly). Compaction alone stays
-    * delta-safe: it moves rows between files without changing them. */
+    * delta-safe: it moves rows between files without changing them.
+    *
+    * KNOWN LIMIT: a table bootstrapped WITHOUT epoch stamps (plain SQL
+    * INSERT OVERWRITE / CTAS — the batch path only stamps appends once
+    * epoch-named files exist) stays epoch-less, so its refreshes are
+    * always full rebuilds. Ingest shapes that want O(delta) maintenance
+    * should bootstrap with an epoch-tagged or streaming write; making
+    * batch writes epoch-stamped BY DEFAULT would flip the documented
+    * one-shot-snapshot streaming semantics of existing epoch-less tables
+    * and is deliberately not done here. */
   def appendedSince(dir: String, sinceEpoch: Long, sinceTs: Long)
       : (Long, Long, Long, Option[Seq[String]]) = {
     val m = readManifest(manifestPath(dir))

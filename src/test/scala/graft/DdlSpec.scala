@@ -1440,6 +1440,39 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("kv MV on an epoch-less (SQL-INSERT) table: no-op refresh is harmless") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_mvnoop").toString
+    spark.sql("DROP TABLE IF EXISTS graft.ddlspec.mvn")
+    spark.sql(s"CREATE TABLE graft.ddlspec.mvn (g STRING, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft.ddlspec.mvn VALUES ('a', 1.0), ('b', 2.0)")
+    ops.Ddl.execute(spark,
+      "CREATE MATERIALIZED VIEW mvn_roll ON graft.ddlspec.mvn " +
+        "GROUP BY (g) SUMS (v)")
+    try {
+      def res() = spark.table("graft.ddlspec.mvn").groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"), sum(graft.ops.dec(col("v"))).as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(res() == Set(("a", 1L), ("b", 1L)))
+      // a REFRESH with no interim commit must NOT rebuild: with the MV
+      // still fresh, the rebuild's own aggregate is the rewritable shape
+      // and would be redirected to read the snapshot mid-Overwrite —
+      // destroying it (and any rebuild here is O(table) waste besides)
+      ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW mvn_roll")
+      assert(res() == Set(("a", 1L), ("b", 1L)))
+      assert(spark.table("mvn_roll").count() == 2L) // the MV name still reads
+      // epoch-LESS appends (plain SQL INSERT) can never delta-refresh —
+      // the full rebuild path must still produce correct results
+      spark.sql("INSERT INTO graft.ddlspec.mvn VALUES ('a', 3.0)")
+      ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW mvn_roll")
+      assert(res() == Set(("a", 2L), ("b", 1L)))
+      assert(spark.table("mvn_roll").count() == 2L) // view re-registered
+    } finally {
+      ops.Ddl.execute(spark, "DROP MATERIALIZED VIEW mvn_roll")
+      spark.sql("DROP TABLE graft.ddlspec.mvn")
+    }
+  }
+
   test("kv CREATE INDEX: KEY clause required, version-pinned reads never rewrite") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_ix").toString
