@@ -92,7 +92,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
             if (java.nio.file.Files.exists(mf)) GraftKvSink.readManifest(mf).schema
             else DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
           new GraftKvTable(path, schema,
-            mor = d.options.get("mor").exists(_.toBoolean))
+            mor = d.options.get("mor").exists(_.toBoolean),
+            stampEpochs = d.options.get("epochs").exists(_.toBoolean))
         case other =>
           throw new IllegalStateException(
             s"graft catalog entry ${d.name} has unknown provider '$other'")
@@ -306,7 +307,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
       tableSchema: StructType, mor: Boolean, create: Boolean,
       truncateFirst: Boolean)
     extends StagedTable with SupportsWrite {
-    private val inner = new GraftKvTable(path, tableSchema, mor)
+    private val inner = new GraftKvTable(path, tableSchema, mor,
+      stampEpochs = d.options.get("epochs").exists(_.toBoolean))
     override def name(): String = inner.name()
     override def schema(): StructType = tableSchema
     override def capabilities(): util.Set[TableCapability] = inner.capabilities()

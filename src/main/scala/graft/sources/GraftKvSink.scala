@@ -83,7 +83,8 @@ class GraftKvSink extends TableProvider {
         s"graft_kv: unsupported column type ${f.dataType.simpleString} for '${f.name}'")
     }
     new GraftKvTable(GraftKvSink.pathOf(properties), schema,
-      mor = Option(properties.get("mor")).exists(_.toBoolean))
+      mor = Option(properties.get("mor")).exists(_.toBoolean),
+      stampEpochs = Option(properties.get("epochs")).exists(_.toBoolean))
   }
 }
 
@@ -654,14 +655,13 @@ object GraftKvSink {
     * appends there reuse epoch 0 invisibly). Compaction alone stays
     * delta-safe: it moves rows between files without changing them.
     *
-    * KNOWN LIMIT: a table bootstrapped WITHOUT epoch stamps (plain SQL
-    * INSERT OVERWRITE / CTAS — the batch path only stamps appends once
-    * epoch-named files exist) stays epoch-less, so its refreshes are
-    * always full rebuilds. Ingest shapes that want O(delta) maintenance
-    * should bootstrap with an epoch-tagged or streaming write; making
-    * batch writes epoch-stamped BY DEFAULT would flip the documented
-    * one-shot-snapshot streaming semantics of existing epoch-less tables
-    * and is deliberately not done here. */
+    * A table bootstrapped WITHOUT epoch stamps (plain SQL INSERT
+    * OVERWRITE / CTAS under the default options) stays epoch-less, so
+    * its refreshes are always full rebuilds — declare `epochs 'true'`
+    * on the table to stamp every batch write from the first commit
+    * (making batch writes epoch-stamped BY DEFAULT would flip the
+    * documented one-shot-snapshot streaming semantics of existing
+    * epoch-less tables, so it is opt-in). */
   def appendedSince(dir: String, sinceEpoch: Long, sinceTs: Long)
       : (Long, Long, Long, Option[Seq[String]]) = {
     val m = readManifest(manifestPath(dir))
@@ -1066,7 +1066,14 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // SQL time travel (`SELECT … FROM graft.ns.t VERSION AS OF n`): the
     // catalog loads a version-pinned instance whose every scan reads the
     // epoch-n boundary state; such a table is read-only by construction
-    pinnedEpoch: Option[Long] = None)
+    pinnedEpoch: Option[Long] = None,
+    // `epochs 'true'` table option: EVERY batch write is epoch-stamped
+    // from the first commit on (overwrite restarts at 0, appends take
+    // max+1). Gives plain-SQL tables the full epoch machinery — per-epoch
+    // streaming replay, VERSION AS OF boundaries, and O(delta) index/MV
+    // refresh — which epoch-less tables (the default, whose streams are
+    // one-shot snapshots by documented design) never get.
+    stampEpochs: Boolean = false)
   extends Table with SupportsWrite with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -1100,7 +1107,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       })
   /** The same table pinned to epoch `epoch`'s boundary state (read-only). */
   def atVersion(epoch: Long): GraftKvTable =
-    new GraftKvTable(dir, tableSchema, mor, Some(epoch))
+    new GraftKvTable(dir, tableSchema, mor, Some(epoch), stampEpochs)
   override def name(): String =
     s"graft_kv($dir${pinnedEpoch.map(n => s" version=$n").getOrElse("")})"
   override def schema(): StructType = tableSchema
@@ -1190,7 +1197,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     require(pinnedEpoch.isEmpty,
       "graft_kv: writes to a VERSION AS OF read are not allowed")
     new GraftKvWriteBuilder(dir, info.schema(),
-      Option(info.options.get("epoch")).map(_.toLong))
+      Option(info.options.get("epoch")).map(_.toLong),
+      stampEpochs = stampEpochs)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
@@ -1656,14 +1664,15 @@ final case class GraftKvAggPartition(values: Seq[Any])
 final class GraftKvWriteBuilder(dir: String, schema: StructType,
     explicitEpoch: Option[Long] = None,
     replaceFiles: Option[() => Seq[String]] = None,
-    snapshot: () => Option[GraftKvSink.Manifest] = null)
+    snapshot: () => Option[GraftKvSink.Manifest] = null,
+    stampEpochs: Boolean = false)
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
-        snapshot)
+        snapshot, stampEpochs)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new GraftKvStreamingWrite(dir, schema)
   }
@@ -1772,7 +1781,9 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // row-level operations pass the SCAN's manifest: the conflict check
     // must compare against the state the replaced rows were derived from,
     // not a fresher factory-time read (see GraftKvScan.plannedManifest)
-    snapshot: () => Option[GraftKvSink.Manifest] = null)
+    snapshot: () => Option[GraftKvSink.Manifest] = null,
+    // `epochs 'true'` tables: stamp every commit (see GraftKvTable)
+    stampEpochs: Boolean = false)
   extends BatchWrite {
 
   // This write's identity: scopes task temp-file names (and the commit-time
@@ -1884,7 +1895,11 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // they surface to live readers and participate in asOfEpoch reads.
     val mfPeek = GraftKvSink.manifestPath(dir)
     val nextEpoch =
-      if (explicitEpoch.isDefined || replace || !Files.exists(mfPeek)) None
+      if (explicitEpoch.isDefined) None
+      else if (replace || !Files.exists(mfPeek))
+        // `epochs` tables stamp from the very first commit (and a
+        // truncate restarts the numbering at 0 with the history)
+        (if (stampEpochs) Some(0L) else None)
       else {
         val m0 = GraftKvSink.readManifest(mfPeek)
         // delta epochs count too: an append stamped at-or-below a delta's
@@ -1892,6 +1907,10 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         val names = m0.files.map(_._1) ++ m0.deltas.map(_.name)
         if (names.exists(_.startsWith("epoch-")))
           Some(names.map(GraftKvSink.epochOf).max + 1L)
+        else if (stampEpochs)
+          // epoch-less files read as epoch 0, so the first stamped append
+          // to such a history orders strictly after them
+          Some(if (names.nonEmpty) 1L else 0L)
         else None
       }
     val committed = committed0.map { m =>

@@ -1440,6 +1440,48 @@ class DdlSpec extends SparkSpec {
     }
   }
 
+  test("epochs 'true' tables: plain SQL writes are epoch-stamped, O(delta) MV refresh fires") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_epopt").toString
+    spark.sql("DROP TABLE IF EXISTS graft.ddlspec.epo")
+    spark.sql(s"CREATE TABLE graft.ddlspec.epo (g STRING, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true')")
+    // pure SQL: OVERWRITE bootstraps epoch 0, INSERTs take 1, 2
+    spark.sql("INSERT OVERWRITE graft.ddlspec.epo VALUES ('a', 1.0)")
+    spark.sql("INSERT INTO graft.ddlspec.epo VALUES ('b', 2.0)")
+    spark.sql("INSERT INTO graft.ddlspec.epo VALUES ('a', 3.0)")
+    val hist = spark.sql("DESCRIBE HISTORY graft.ddlspec.epo").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((0L, "append"), (1L, "append"), (2L, "append")), hist)
+    // VERSION AS OF works on a SQL-only table now
+    assert(spark.sql("SELECT g FROM graft.ddlspec.epo VERSION AS OF 1")
+      .collect().map(_.getString(0)).toSet == Set("a", "b"))
+    // and so does O(delta) MV maintenance
+    ops.Ddl.execute(spark,
+      "CREATE MATERIALIZED VIEW epo_roll ON graft.ddlspec.epo " +
+        "GROUP BY (g) SUMS (v)")
+    try {
+      spark.sql("INSERT INTO graft.ddlspec.epo VALUES ('b', 4.0)")
+      val snap = graft.plans.MvCatalog.named("epo_roll").get.snapshotPath
+      def parts(): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(snap))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+      }
+      val before = parts()
+      ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW epo_roll")
+      assert(before.subsetOf(parts()) && parts().size > before.size,
+        s"SQL-appended epochs table should delta-refresh: $before -> ${parts()}")
+      assert(spark.table("graft.ddlspec.epo").groupBy(col("g"))
+        .agg(sum(graft.ops.dec(col("v"))).as("t")).collect()
+        .map(r => (r.getString(0), r.getDecimal(1).doubleValue)).toSet ==
+        Set(("a", 4.0), ("b", 6.0)))
+    } finally {
+      ops.Ddl.execute(spark, "DROP MATERIALIZED VIEW epo_roll")
+      spark.sql("DROP TABLE graft.ddlspec.epo")
+    }
+  }
+
   test("kv MV on an epoch-less (SQL-INSERT) table: no-op refresh is harmless") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_mvnoop").toString
     spark.sql("DROP TABLE IF EXISTS graft.ddlspec.mvn")
