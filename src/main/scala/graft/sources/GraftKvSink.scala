@@ -127,6 +127,13 @@ object GraftKvSink {
       // current one — equal means no concurrent commit; greater means a
       // conflict check decides merge-or-refuse (see GraftKvBatchWrite).
       version: Long = 0L,
+      // STREAMING TRANSACTIONS (Delta's SetTransaction shape): the
+      // streaming-query id that committed each epoch. A recovered query
+      // replaying its own epoch is idempotent (same id -> duplicates
+      // discarded); a DIFFERENT query hitting an epoch another stream
+      // already committed refuses loudly instead of silently losing its
+      // batch. Entries prune with their epochs; batch commits never add.
+      txn: Map[Long, String] = Map.empty,
       // COMMIT TIMESTAMPS: wall-clock millis recorded when each epoch
       // first appeared in a published manifest (stamped strictly
       // monotonically, so equal-millisecond commits still order).
@@ -287,6 +294,9 @@ object GraftKvSink {
       // inheriting the pre-truncate stamp would let TIMESTAMP AS OF an
       // old time silently read post-truncate data)
       freshHistory: Boolean = false,
+      // streaming-transaction entries: null = carry the prior manifest's
+      // (pruned with their epochs); streaming commits pass the updated map
+      txn: Map[Long, String] = null,
       // the currently-published manifest, when the caller (always under
       // the same commit lock) has already read it — saves the second
       // full JSON parse per publish, which the per-file stats/bloom maps
@@ -327,6 +337,15 @@ object GraftKvSink {
       if (stamped.nonEmpty) {
         val to = root.putObject("epochTs")
         stamped.foreach { case (e, ts) => to.put(e.toString, ts) }
+      }
+      val txn0 =
+        if (freshHistory) Map.empty[Long, String]
+        else Option(txn).orElse(prior.map(_.txn)).getOrElse(Map.empty)
+      val txnKept = txn0.filter { case (e, _) => referenced.contains(e) }
+      if (txnKept.nonEmpty) {
+        val to = root.putObject("txn")
+        txnKept.toSeq.sortBy(_._1).foreach { case (e, q) =>
+          to.put(e.toString, q) }
       }
     }
     val arr = root.putArray("files")
@@ -405,7 +424,12 @@ object GraftKvSink {
       o.properties().iterator().asScala
         .map(e => e.getKey.toLong -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[Long, Long])
-    Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver, ets)
+    val txn = Option(root.get("txn")).map { o =>
+      o.properties().iterator().asScala
+        .map(e => e.getKey.toLong -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[Long, String])
+    Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver,
+      txn, ets)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -1198,7 +1222,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       "graft_kv: writes to a VERSION AS OF read are not allowed")
     new GraftKvWriteBuilder(dir, info.schema(),
       Option(info.options.get("epoch")).map(_.toLong),
-      stampEpochs = stampEpochs)
+      stampEpochs = stampEpochs, queryId = info.queryId())
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
@@ -1665,7 +1689,8 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
     explicitEpoch: Option[Long] = None,
     replaceFiles: Option[() => Seq[String]] = None,
     snapshot: () => Option[GraftKvSink.Manifest] = null,
-    stampEpochs: Boolean = false)
+    stampEpochs: Boolean = false,
+    queryId: String = "")
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
@@ -1674,7 +1699,7 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
       new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
         snapshot, stampEpochs)
     override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftKvStreamingWrite(dir, schema)
+      new GraftKvStreamingWrite(dir, schema, queryId)
   }
 }
 
@@ -1684,7 +1709,8 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
   * last epoch, and a re-commit of an epoch the manifest already lists just
   * discards the duplicate attempt files. That name-keyed dedup is the
   * standard exactly-once recipe for file-manifest streaming sinks. */
-final class GraftKvStreamingWrite(dir: String, schema: StructType)
+final class GraftKvStreamingWrite(dir: String, schema: StructType,
+    queryId: String = "")
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -1712,21 +1738,35 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
       }
     val mf = GraftKvSink.manifestPath(dir)
     val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas,
-        priorRemoved, priorRw) =
+        priorRemoved, priorRw, priorTxn) =
       if (Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
         (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas,
-          m.removed, m.rewrittenUpTo)
+          m.removed, m.rewrittenUpTo, m.txn)
       } else (Seq.empty[(String, Long)], -1L,
         Map.empty[String, Map[String, (String, String)]],
         Map.empty[String, Map[String, String]],
         Seq.empty[GraftKvSink.DeltaFile],
-        Seq.empty[GraftKvSink.RemovedFile], -1L)
+        Seq.empty[GraftKvSink.RemovedFile], -1L,
+        Map.empty[Long, String])
     if (prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
-      // replayed epoch after recovery: already published (listed outright,
-      // or folded into the compacted file, whose name keeps the boundary
-      // epoch's prefix) — drop duplicates
+      // an epoch already published: by THIS query (recovery replay —
+      // idempotent, drop the duplicate attempt files) or by a DIFFERENT
+      // streaming query (two writers sharing a directory would silently
+      // interleave epoch numbers and this commit's batch would be LOST —
+      // refuse loudly, the Delta SetTransaction rule). Refusal requires
+      // BOTH writer ids known: pre-txn manifests recorded no owner, and a
+      // writer with no id (direct harness use) keeps the old
+      // drop-duplicates behavior rather than guessing.
       committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
+      priorTxn.get(epochId)
+        .filter(q => q.nonEmpty && queryId.nonEmpty && q != queryId)
+        .foreach { other =>
+          throw new IllegalStateException(
+            s"graft_kv: epoch $epochId at $dir was committed by streaming " +
+              s"query $other — a second concurrent stream must write to " +
+              "its own directory (epoch sequences cannot interleave)")
+        }
     } else if (epochId <= math.max(priorUpTo, priorRw)) {
       // an epoch inside vacuumed/rewritten history whose files are NOT
       // listed is a FRESH-checkpoint stream writing to a compacted or
@@ -1761,7 +1801,12 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType)
         priorBlooms ++ committed.collect {
           case m if m.blooms.nonEmpty => m.finalName -> m.blooms
         },
-        priorDeltas, priorRemoved, priorRw)
+        priorDeltas, priorRemoved, priorRw,
+        // record which streaming query owns this epoch (the Delta
+        // SetTransaction analogue): a replay by the same query stays
+        // idempotent; a different query refuses above
+        txn = if (queryId.nonEmpty && committed.nonEmpty)
+          priorTxn + (epochId -> queryId) else null)
     }
   }
 

@@ -941,4 +941,39 @@ class StreamingSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(all.toSet == expected) // no gaps either: state + offsets restored
   }
+
+  test("two streaming queries on one kv directory: replay idempotent, foreign writer refused") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.write.PhysicalWriteInfo
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_txn").toString
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val onePart = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    def commitEpoch(queryId: String, epoch: Long, id: Long,
+        taskId: Long): Unit = {
+      val w = new graft.sources.GraftKvStreamingWrite(dir, schema, queryId)
+      val writer = w.createStreamingWriterFactory(onePart)
+        .createWriter(0, taskId, epoch)
+      writer.write(InternalRow(id))
+      w.commit(epoch, Array(writer.commit()))
+    }
+    commitEpoch("query-A", 0L, 1L, 10L)
+    commitEpoch("query-A", 1L, 2L, 11L)
+    // recovery replay by the SAME query: idempotent, no duplicate rows
+    commitEpoch("query-A", 1L, 2L, 12L)
+    def ids(): Seq[Long] = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).load().collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids() == Seq(1L, 2L))
+    // a DIFFERENT streaming query hitting an epoch query-A owns: its
+    // batch would otherwise be silently discarded as a "replay" — refuse
+    val e = intercept[IllegalStateException] {
+      commitEpoch("query-B", 1L, 99L, 13L)
+    }
+    assert(e.getMessage.contains("query-A"), e.getMessage)
+    assert(ids() == Seq(1L, 2L)) // nothing lost, nothing interleaved
+    // query-B CAN continue the table at a fresh epoch (sequential
+    // handover — e.g. a redeployed pipeline under a new checkpoint id)
+    commitEpoch("query-B", 2L, 3L, 14L)
+    assert(ids() == Seq(1L, 2L, 3L))
+  }
 }
