@@ -23,6 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // parser otherwise — see plans.GraftSqlParser for the routing rules.
     ext.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))
+    // CHECK-constraint enforcement on kv catalog-table batch writes: the
+    // write query gains a raise-on-violation filter — at analysis time for
+    // INSERT/OVERWRITE, at optimization time for the row-level rewrite's
+    // ReplaceData/WriteDelta (see plans.CheckConstraints).
+    ext.injectResolutionRule(session => new graft.plans.CheckConstraintRule(session))
+    ext.injectOptimizerRule(session => new graft.plans.CheckConstraintDmlRule(session))
     // Transparent rollup rewrite over registered materialized views — a
     // no-op until MvCatalog has registrations (see plans.MvRewriteRule).
     ext.injectOptimizerRule(session => new graft.plans.MvRewriteRule(session))

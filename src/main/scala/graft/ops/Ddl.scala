@@ -517,8 +517,11 @@ object Ddl {
     """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)(?:\s+UP\s+TO\s+EPOCH\s+(\d+))?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
+  // keyed tables: TO VERSION n (mutation-log truncation). kv catalog
+  // tables: also accepts Delta's TO VERSION AS OF n — a manifest-level
+  // restore COMMIT (post-boundary files move to retained history).
   private val RestoreRe =
-    s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Id)\\s+TO\\s+VERSION\\s+(\\d+)\\s*""".r
+    """(?is)\s*RESTORE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*""".r
   // MERGE INTO <t> USING (<select>) [AS] s ON <key equality> WHEN MATCHED
   // THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the Delta-style
   // star forms: a whole-row upsert keyed on the table's PRIMARY KEY. The
@@ -1259,7 +1262,8 @@ object Ddl {
     case DescHistoryRe(n) if kvTableFor(n).isDefined => Some(historyCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
-    case RestoreRe(n, _) if lookup(n).isDefined      => Some(statusCols)
+    case RestoreRe(n, _) if lookup(n).isDefined ||
+      kvTableFor(n).isDefined                        => Some(statusCols)
     case RefreshMvRe(n) if mvNamed(n).isDefined      => Some(statusCols)
     case DropMvRe(n) if mvNamed(n).isDefined         => Some(statusCols)
     case SetVisRe(_*)                                => Some(statusCols)
@@ -1741,6 +1745,13 @@ object Ddl {
           case None    => graft.sources.GraftKvSink.vacuum(path)
         }
         status("VACUUM", s"$name ($removed files reclaimed)")
+      case RestoreRe(name, verStr)
+          if lookup(name).isEmpty && kvTableFor(name).isDefined =>
+        // kv catalog table: manifest-level restore commit — the visible
+        // state rolls back to the epoch boundary, every pre-restore state
+        // keeps time-traveling (retained history) until vacuum
+        val e = graft.sources.GraftKvSink.restore(kvPathFor(name), verStr.toLong)
+        status("RESTORE", s"$name (restore commit epoch $e)")
       case RestoreRe(name, verStr) =>
         val t = lookupOrThrow(name)
         val v = verStr.toInt

@@ -1112,6 +1112,128 @@ object KeyRange {
         |) ORDER BY version""".stripMargin)
   }
 
+  /** A7-DSv2 judged: BATCH-INCREMENTAL reads — `.option("fromEpoch", n)`
+    * returns only rows appended by epochs >= n, optionally bounded above
+    * by asOfEpoch (the Delta `startingVersion` batch shape): a periodic
+    * consumer job reads "what arrived since my recorded high-water mark"
+    * as a plain batch, touching only the new epochs' files — no full-table
+    * replay, no standing stream. Three consumer positions are gated
+    * against relational replays of the same append windows; the
+    * pure-append soundness fences (compaction / CoW / MOR overlap refuse)
+    * are spec-gated in DsV2Spec. */
+  def kvIncrementalBatch(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_incr"
+    clearDir(tmp) // explicit-epoch appends fence on a replayed history
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Seq(0, 1, 2).foreach { k =>
+      o.filter(col("o_orderkey") % 4 === k)
+        .write.format("graft.sources.GraftKvSink").option("path", tmp)
+        .option("epoch", (k + 1).toString).mode(SaveMode.Append).save()
+    }
+    def windowAgg(arm: Int, from: Long, upTo: Option[Long]): DataFrame = {
+      val r0 = s.read.format("graft.sources.GraftKvSink")
+        .option("path", tmp).option("fromEpoch", from.toString)
+      val r = upTo.fold(r0)(u => r0.option("asOfEpoch", u.toString))
+      r.load().agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_orderkey")).cast("bigint").as("key_sum"),
+        sum(col("o_totalprice").cast(M)).cast("double").as("total"))
+        .select(lit(arm).as("arm"), col("cnt"), col("key_sum"), col("total"))
+    }
+    // consumer at mark 1 (epochs 2..head), a bounded replay of exactly
+    // epoch 2, and an advanced mark at 3 (only the newest epoch)
+    windowAgg(1, 2L, None)
+      .unionAll(windowAgg(2, 2L, Some(2L)))
+      .unionAll(windowAgg(3, 3L, None))
+      .orderBy("arm")
+  }
+
+  /** A8 judged: RESTORE TABLE … TO VERSION AS OF — the Delta-shaped undo.
+    * A bad load (epoch 3) is rolled back by a manifest-level restore
+    * COMMIT: post-boundary files move to retained history (no data file
+    * copied or deleted), pre-restore states keep time-traveling until
+    * vacuum, and the table keeps taking appends above the restore. The
+    * three arms gate the restored state, the retained pre-restore state,
+    * and the post-restore append path in one frame. */
+  def kvRestore(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_rst"
+    clearDir(tmp) // explicit-epoch appends fence on a replayed history
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_rst")
+    s.sql("CREATE TABLE graft.kvq.orders_rst (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Seq(0, 1, 2).foreach { k =>
+      o.filter(col("o_orderkey") % 5 === k)
+        .write.format("graft.sources.GraftKvSink").option("path", tmp)
+        .option("epoch", (k + 1).toString).mode(SaveMode.Append).save()
+    }
+    // epoch 3 was a bad load: undo it (restore commit = epoch 4)
+    s.sql("RESTORE TABLE graft.kvq.orders_rst TO VERSION AS OF 2")
+    // life goes on: a corrected load lands above the restore commit
+    o.filter(col("o_orderkey") % 5 === 3)
+      .write.format("graft.sources.GraftKvSink").option("path", tmp)
+      .option("epoch", "5").mode(SaveMode.Append).save()
+    s.sql(
+      """SELECT arm, cnt, key_sum, total FROM (
+        |  SELECT 1 AS arm, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_rst VERSION AS OF 4
+        |  UNION ALL
+        |  SELECT 2 AS arm, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_rst VERSION AS OF 3
+        |  UNION ALL
+        |  SELECT 3 AS arm, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_rst
+        |) ORDER BY arm""".stripMargin)
+  }
+
+  /** A8 judged: CHECK constraints (`check.<name>` table properties, the
+    * Delta `delta.constraints.*` shape). A violating INSERT and a
+    * violating UPDATE both fail their JOB before the connector commits —
+    * enforcement is a raise-on-violation filter inside the write's own
+    * plan (no extra pass, no shuffle, any scale) — so the final table
+    * state equals the clean relational replay, which is what the oracle
+    * hashes. The query itself requires both refusals to have fired. */
+  def kvConstraint(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_cns"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.line_cns")
+    s.sql("CREATE TABLE graft.kvq.line_cns (l_orderkey BIGINT, " +
+      "l_returnflag STRING, l_quantity DOUBLE) USING graft_kv " +
+      s"OPTIONS (path '$tmp', 'check.qty_pos' = 'l_quantity >= 0')")
+    Tables.lineitem(s, d).createOrReplaceTempView("line_cns_v")
+    s.sql("INSERT INTO graft.kvq.line_cns SELECT l_orderkey, l_returnflag, " +
+      "l_quantity FROM line_cns_v WHERE l_orderkey % 3 = 0")
+    def refused(sql: String): Boolean =
+      try { s.sql(sql); false }
+      catch { case e: Exception =>
+        var m = new StringBuilder; var c: Throwable = e
+        while (c != null) { m ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+        m.toString.contains("qty_pos")
+      }
+    require(refused("INSERT INTO graft.kvq.line_cns SELECT l_orderkey, " +
+      "l_returnflag, -l_quantity FROM line_cns_v " +
+      "WHERE l_orderkey % 3 = 1 AND l_quantity > 0"),
+      "violating INSERT must refuse with the constraint name")
+    require(refused("UPDATE graft.kvq.line_cns SET l_quantity = -1.0D " +
+      "WHERE l_orderkey % 5 = 0"),
+      "violating UPDATE must refuse with the constraint name")
+    s.sql(
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM graft.kvq.line_cns
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
   /** A7-DSv2/A8 (catalog route): the kv WRITE connector driven end to end
     * through PURE multipart SQL — CREATE TABLE … USING graft_kv under the
     * `graft` TableCatalog plugin, INSERT OVERWRITE … SELECT (truncate +
@@ -1627,6 +1749,9 @@ object KeyRange {
     "kv_replicate" -> (kvReplicate _),
     "kv_version_asof" -> (kvVersionAsof _),
     "kv_timestamp_asof" -> (kvTimestampAsof _),
+    "kv_incremental_batch" -> (kvIncrementalBatch _),
+    "kv_restore" -> (kvRestore _),
+    "kv_constraint" -> (kvConstraint _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -1638,6 +1763,56 @@ object KeyRange {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    // batch-incremental consumer positions: fromEpoch=2 (keys %4 in 1,2),
+    // the (2,2] window (%4 = 1), and fromEpoch=3 (%4 = 2) — each arm is
+    // the relational replay of exactly that append window
+    "kv_incremental_batch" ->
+      """WITH w12 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |             WHERE o_orderkey % 4 IN (1, 2)),
+        |w1 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |       WHERE o_orderkey % 4 = 1),
+        |w2 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |       WHERE o_orderkey % 4 = 2)
+        |SELECT CAST(1 AS INTEGER) AS arm, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM w12
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM w1
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM w2
+        |ORDER BY arm""".stripMargin,
+    // restore arms: the restore commit (epoch 4) = epochs 1-2 (%5 in 0,1),
+    // the retained pre-restore state at epoch 3 (%5 in 0,1,2), and the
+    // current state = restored boundary + the corrected load (%5 in 0,1,3)
+    "kv_restore" ->
+      """WITH v12 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |             WHERE o_orderkey % 5 IN (0, 1)),
+        |v123 AS (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_orderkey % 5 IN (0, 1, 2)),
+        |cur AS (SELECT o_orderkey, o_totalprice FROM orders
+        |        WHERE o_orderkey % 5 IN (0, 1, 3))
+        |SELECT CAST(1 AS INTEGER) AS arm, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM v12
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM v123
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM cur
+        |ORDER BY arm""".stripMargin,
+    // the violating INSERT and UPDATE both refused before commit, so the
+    // table holds exactly the clean first insert
+    "kv_constraint" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey % 3 = 0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     // the index path must reproduce plain-predicate semantics exactly
     "secondary_index" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

@@ -223,7 +223,7 @@ object ScanSources {
         case t: graft.sources.GraftKvTable
             if t.pinned.isEmpty &&
               Seq("asOfEpoch", "readChangeFeed", "startingEpoch",
-                "onlyFiles").forall(o => !r.options.containsKey(o)) =>
+                "onlyFiles", "fromEpoch").forall(o => !r.options.containsKey(o)) =>
           Some(Seq(t.path))
         case _ => None
       }

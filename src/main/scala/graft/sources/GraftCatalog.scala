@@ -93,7 +93,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
             else DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
           new GraftKvTable(path, schema,
             mor = d.options.get("mor").exists(_.toBoolean),
-            stampEpochs = d.options.get("epochs").exists(_.toBoolean))
+            stampEpochs = d.options.get("epochs").exists(_.toBoolean),
+            checkConstraints = GraftCatalog.constraintsOf(d.options))
         case other =>
           throw new IllegalStateException(
             s"graft catalog entry ${d.name} has unknown provider '$other'")
@@ -178,6 +179,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.stripPrefix(TableCatalog.OPTION_PREFIX).toLowerCase -> v
       case (k, v) if known.contains(k.toLowerCase) => k.toLowerCase -> v
+      // CHECK constraints: `check.<name>` arrives via OPTIONS or
+      // TBLPROPERTIES alike; the expression text is kept verbatim
+      case (k, v) if k.toLowerCase.startsWith("check.") => k.toLowerCase -> v
     }.toMap
     // Spark rewrites OPTIONS(path ...) / LOCATION into the reserved
     // "location" property — fold it back into the connector's path option.
@@ -348,8 +352,48 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
     if (d.provider != "graft_kv")
       throw new UnsupportedOperationException(
         s"${d.provider} tables are immutable metadata; DROP and re-CREATE")
+    // CHECK constraints via `ALTER TABLE … SET TBLPROPERTIES('check.<n>' =
+    // '<bool expr>')` / UNSET TBLPROPERTIES — the Delta ADD/DROP CONSTRAINT
+    // shape. Adding validates EXISTING rows first (one scan, limit-1
+    // existence probe): a constraint that is already violated would make
+    // every future honest write look like the culprit.
+    val (propChanges, colChanges) = changes.partition {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    val optsNext = propChanges.foldLeft(d.options) { (opts, ch) =>
+      ch match {
+        case p: TableChange.SetProperty =>
+          val k = p.property.toLowerCase
+          require(k.startsWith("check.") && k.length > "check.".length,
+            s"graft_kv: only CHECK-constraint properties (check.<name>) " +
+              s"can be set after CREATE, got '${p.property}'")
+          val path = d.options.getOrElse("path", throw new IllegalStateException(
+            s"kv table ${d.name} lacks a path option"))
+          if (java.nio.file.Files.exists(GraftKvSink.manifestPath(path))) {
+            val violated = session.read.format("graft.sources.GraftKvSink")
+              .option("path", path).load()
+              .where(s"NOT coalesce(CAST((${p.value}) AS BOOLEAN), true)")
+              .limit(1).count() > 0
+            require(!violated,
+              s"graft_kv: cannot add CHECK constraint '${p.property}' — " +
+                s"existing rows violate (${p.value})")
+          } else {
+            // no data yet: still fail fast on unparseable expression text
+            session.sessionState.sqlParser.parseExpression(p.value)
+          }
+          opts + (k -> p.value)
+        case p: TableChange.RemoveProperty =>
+          val k = p.property.toLowerCase
+          require(k.startsWith("check."),
+            s"graft_kv: only CHECK-constraint properties (check.<name>) " +
+              s"can be unset, got '${p.property}'")
+          opts - k
+        case other => throw new IllegalStateException(s"unreachable: $other")
+      }
+    }
     val cur = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
-    val next = changes.foldLeft(cur) { (sch, ch) =>
+    val next = colChanges.foldLeft(cur) { (sch, ch) =>
       ch match {
         case a: TableChange.AddColumn =>
           require(a.fieldNames.length == 1,
@@ -378,8 +422,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
     }
     // the manifest is the authoritative schema once data exists — evolve
     // it first, then the catalog entry (bootstrap schema for empty tables)
-    d.options.get("path").foreach(p => GraftKvSink.evolveSchema(p, next))
-    Ddl.dsv2Put(d.copy(schemaJson = next.json))
+    if (colChanges.nonEmpty)
+      d.options.get("path").foreach(p => GraftKvSink.evolveSchema(p, next))
+    Ddl.dsv2Put(d.copy(schemaJson = next.json, options = optsNext))
     loadTable(ident)
   }
 
@@ -461,6 +506,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
 }
 
 object GraftCatalog {
+  /** CHECK constraints from a table's stored options: every `check.<name>`
+    * key (however it arrived — OPTIONS, TBLPROPERTIES, ALTER … SET
+    * TBLPROPERTIES) maps constraint name -> boolean SQL expression. */
+  private[graft] def constraintsOf(opts: Map[String, String]): Map[String, String] =
+    opts.collect { case (k, v) if k.startsWith("check.") =>
+      k.stripPrefix("check.") -> v }
+
   /** URI percent-decoding (byte-level, UTF-8) without URLDecoder's
     * '+'-to-space rule; a '%' not followed by two hex digits passes
     * through verbatim, so an un-encoded path containing '%' survives. */

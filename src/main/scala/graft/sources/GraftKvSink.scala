@@ -638,6 +638,55 @@ object GraftKvSink {
     stray.length + (if (reclaimHistory) m0.removed.length else 0)
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF` shape): roll the
+    * table's VISIBLE state back to the boundary at `epoch`, as a NEW
+    * commit — files appended after the boundary move to retained history
+    * (removedAt = the restore epoch), so every pre-restore state still
+    * time-travels exactly until vacuum reclaims it, and the restore is
+    * itself a history entry with a commit timestamp. No data file is
+    * copied, moved, or deleted: the manifest republish IS the restore.
+    *
+    * Refuses loudly when the semantics would be unsound: an unanswerable
+    * boundary (vacuumed / compacted / beyond head); a boundary below a
+    * RETAINED row-level rewrite (re-surfacing superseded files would need
+    * per-file visibility intervals — VACUUM the history or restore at or
+    * after the rewrite epoch); merge-on-read deltas after the boundary
+    * (their position-deletes mutated pre-boundary rows — OPTIMIZE folds
+    * them first). Live streaming writers fence at the restore epoch like
+    * any retraction (rewrittenUpTo); readers are unaffected mid-flight
+    * (single atomic visibility switch). Returns the restore commit's
+    * epoch, or the current head unchanged when already at the boundary. */
+  def restore(dir: String, epoch: Long): Long = withCommitLock(dir) {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val m = readManifest(mfp)
+    requireAnswerableEpoch(m, epoch)
+    require(m.rewrittenUpTo < 0L || epoch >= m.rewrittenUpTo,
+      s"graft_kv: RESTORE to epoch $epoch crosses the retained row-level " +
+        s"rewrite at epoch ${m.rewrittenUpTo} — superseded files cannot " +
+        "re-surface as current (their interim invisibility would be " +
+        "forgotten); VACUUM the history first or restore at or after " +
+        "the rewrite epoch")
+    require(!m.deltas.exists(d => epochOf(d.name) > epoch),
+      s"graft_kv: RESTORE to epoch $epoch would undo merge-on-read DML " +
+        "epochs — their position-deletes mutated earlier rows; OPTIMIZE " +
+        "(fold the deltas) first, or restore at or after the newest delta")
+    val head = (m.files.map(f => epochOf(f._1)) ++
+      m.deltas.map(d => epochOf(d.name)) ++ m.removed.map(_.removedAt) ++
+      Seq(m.rewrittenUpTo, m.compactedUpTo)).max.max(0L)
+    val undo = m.files.filter(f => epochOf(f._1) > epoch)
+    if (undo.isEmpty) head // already at (or logically at) the boundary
+    else {
+      val restoreEpoch = head + 1L
+      writeManifest(dir, m.schema,
+        m.files.filterNot(undo.contains), m.compactedUpTo,
+        m.stats, m.blooms, m.deltas,
+        m.removed ++ undo.map { case (n, r) => RemovedFile(n, r, restoreEpoch) },
+        rewrittenUpTo = restoreEpoch, priorHint = Some(m))
+      restoreEpoch
+    }
+  }
+
   /** Read-only introspection: the manifest's optimistic-concurrency
     * version (increments on every publish; 0 = first). Cached by the
     * manifest file's (mtime, size) — the INDEX REWRITE RULE calls this on
@@ -1097,7 +1146,14 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // streaming replay, VERSION AS OF boundaries, and O(delta) index/MV
     // refresh — which epoch-less tables (the default, whose streams are
     // one-shot snapshots by documented design) never get.
-    stampEpochs: Boolean = false)
+    stampEpochs: Boolean = false,
+    // CHECK constraints (`check.<name>` table properties, the Delta
+    // `delta.constraints.*` shape): boolean SQL expressions every row a
+    // BATCH WRITE commits must satisfy (NULL passes, standard CHECK
+    // semantics). Enforced by plans.CheckConstraintRule, which wraps the
+    // write's query in a raise-on-violation filter at analysis time —
+    // rows are checked where they are computed, no extra pass.
+    val checkConstraints: Map[String, String] = Map.empty)
   extends Table with SupportsWrite with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -1259,6 +1315,25 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // a copy-on-write table AFTER its last rewrite: epochs from n on have
     // exact change records even though older history does not.
     val startEpoch = Option(options.get("startingEpoch")).map(_.toLong)
+    // `.option("fromEpoch", n)` on a BATCH read: only rows appended by
+    // epochs >= n (optionally bounded above by asOfEpoch) — the Delta
+    // `startingVersion` batch-incremental shape: a periodic batch job
+    // reads "what arrived since my last high-water mark" without
+    // replaying the whole table or keeping a stream alive. Only sound
+    // over a PURE-APPEND range, so compaction, a CoW rewrite, or
+    // merge-on-read deltas at or above the boundary refuse loudly (an
+    // incremental consumer of mutated history needs readChangeFeed).
+    // Epoch-less batch files count as epoch 0, matching every other
+    // epoch-keyed surface here.
+    val fromEpoch = Option(options.get("fromEpoch")).map(_.toLong)
+    fromEpoch.foreach { n =>
+      require(n >= 0L, s"graft_kv: fromEpoch=$n — epochs are >= 0")
+      require(!cdc && startEpoch.isEmpty,
+        "graft_kv: fromEpoch is a batch option — streams use " +
+          "startingEpoch/readChangeFeed")
+      asOf.foreach(a => require(a >= n,
+        s"graft_kv: fromEpoch=$n is above the asOfEpoch=$a upper bound"))
+    }
     startEpoch.foreach { n =>
       require(n >= 0L, s"graft_kv: startingEpoch=$n — epochs are >= 0")
       require(asOf.isEmpty,
@@ -1283,7 +1358,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       }
     }
     new GraftKvScanBuilder(dir, asOf, maxEpochs, onlyFiles = onlyFiles,
-      changeFeed = cdc, startEpoch = startEpoch)
+      changeFeed = cdc, startEpoch = startEpoch, fromEpoch = fromEpoch)
   }
 }
 
@@ -1504,7 +1579,8 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     onBuild: GraftKvScan => Unit = _ => (),
     onlyFiles: Option[Set[String]] = None,
     changeFeed: Boolean = false,
-    startEpoch: Option[Long] = None)
+    startEpoch: Option[Long] = None,
+    fromEpoch: Option[Long] = None)
   extends ScanBuilder
   with org.apache.spark.sql.connector.read.SupportsPushDownFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -1543,7 +1619,8 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
     import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.NamedReference
     if (fs.nonEmpty || a.groupByExpressions.nonEmpty ||
-      onlyFiles.isDefined || changeFeed || startEpoch.isDefined) return false
+      onlyFiles.isDefined || changeFeed || startEpoch.isDefined ||
+      fromEpoch.isDefined) return false
     if (a.aggregateExpressions.isEmpty) return false
     val mfP = GraftKvSink.manifestPath(dir)
     if (!Files.exists(mfP)) return false
@@ -1587,7 +1664,7 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
       new GraftKvAggScan(dir, asOf, pushedAggs, aggManifest)
     else {
       val s = new GraftKvScan(dir, asOf, fs.toSeq, projection, maxEpochs,
-        onlyFiles, changeFeed, startEpoch)
+        onlyFiles, changeFeed, startEpoch, fromEpoch)
       onBuild(s)
       s
     }
@@ -2165,16 +2242,20 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     maxEpochs: Option[Long] = None,
     onlyFiles: Option[Set[String]] = None,
     changeFeed: Boolean = false,
-    startEpoch: Option[Long] = None)
+    startEpoch: Option[Long] = None,
+    fromEpoch: Option[Long] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def toMicroBatchStream(
-      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(fromEpoch.isEmpty,
+      "graft_kv: fromEpoch is a batch option; streams use startingEpoch")
     // ship the RESOLVED read schema (pruned, CDC-extended) — the stream's
     // reader factory must emit exactly what this scan advertises
     new GraftKvMicroBatchStream(dir, Some(readSchema()), maxEpochs, changeFeed,
       startEpoch)
+  }
   private val manifest = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
   /** The manifest THIS scan planned against — a row-level operation's
     * write must run its optimistic-conflict check against the state its
@@ -2185,15 +2266,41 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
   // vacuumed history and never-committed epochs are unanswerable — error,
   // never partial rows or a silently-moving "pinned" state
   asOfEpoch.foreach(GraftKvSink.requireAnswerableEpoch(manifest, _))
+  // batch-incremental lower bound: `fromEpoch` demands a pure-append
+  // range — the gate runs HERE, against the manifest this scan actually
+  // planned, not the best-effort option check (a commit can land between
+  // the two reads)
+  fromEpoch.foreach { n =>
+    require(manifest.compactedUpTo < n,
+      s"graft_kv: fromEpoch=$n is inside compacted history (epochs <= " +
+        s"${manifest.compactedUpTo} were merged — their per-epoch rows " +
+        "no longer separate); record a fresher high-water mark")
+    require(manifest.rewrittenUpTo < n,
+      s"graft_kv: fromEpoch=$n is at or below the row-level rewrite at " +
+        s"epoch ${manifest.rewrittenUpTo} — rows in that range were " +
+        "mutated, not appended; use readChangeFeed for mutated history")
+    require(!manifest.deltas.exists(d => GraftKvSink.epochOf(d.name) >= n),
+      s"graft_kv: fromEpoch=$n overlaps merge-on-read DML epochs — the " +
+        "range is not pure appends; use readChangeFeed (or OPTIMIZE, " +
+        "then restart from the compaction boundary)")
+  }
   // boundary-state visibility (one definition: Manifest.visibleFilesAt) —
   // includes CoW-superseded files whose retention window covers the epoch,
-  // so every pre-DML boundary state reconstructs exactly until vacuum
+  // so every pre-DML boundary state reconstructs exactly until vacuum.
+  // A fromEpoch lower bound then keeps only files appended at or after it
+  // (pure-append range: no removed/resurrected file can reach here).
   private val epochVisible = manifest.visibleFilesAt(asOfEpoch)
+    .filter { case (nm, _) =>
+      fromEpoch.forall(n => GraftKvSink.epochOf(nm) >= n) }
   // merge-on-read deltas visible at this epoch: applied to every base file
   // they reference, and their insert records surface as own partitions. An
   // asOfEpoch below a delta's epoch reads the exact pre-DML state — MOR
-  // DML never fences time travel.
-  private val visibleDeltas = manifest.visibleDeltasAt(asOfEpoch)
+  // DML never fences time travel. Under a fromEpoch lower bound no delta
+  // participates at all: the gate above proved every delta predates the
+  // bound, so their inserts are outside the range and their deletes only
+  // target files the bound already excluded.
+  private val visibleDeltas =
+    if (fromEpoch.isDefined) Nil else manifest.visibleDeltasAt(asOfEpoch)
   // stats + bloom pruning: drop a file when ANY pushed filter is
   // unsatisfiable within its recorded ranges, or when a point/IN probe
   // misses its bloom; files without stats/blooms always survive. `visible`
@@ -2248,7 +2355,8 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
   override def description(): String =
     s"graft_kv $dir files=${visible.length}/${manifest.files.length}" +
       s" cols=${readSchema().length}/${manifest.schema.length}" +
-      asOfEpoch.map(n => s" asOfEpoch=$n").getOrElse("")
+      asOfEpoch.map(n => s" asOfEpoch=$n").getOrElse("") +
+      fromEpoch.map(n => s" fromEpoch=$n").getOrElse("")
   /** The pruned file set — the GROUP identity for row-level replaces. */
   def visibleFiles: Seq[String] = visible.map(_._1)
   override def planInputPartitions(): Array[InputPartition] = {

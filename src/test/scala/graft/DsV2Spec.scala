@@ -1074,4 +1074,145 @@ class DsV2Spec extends SparkSpec {
     // no job's commit swept another's in-flight temps, no file lost
     assert(graft.sources.GraftKvSink.listedFiles(dir)._1.size == 5)
   }
+
+  test("CHECK constraints reject violating batch writes; ALTER validates existing rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_cns").toString
+    def allMsgs(t: Throwable): String = {
+      var m = new StringBuilder; var c: Throwable = t
+      while (c != null) { m ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m.toString
+    }
+    spark.sql("DROP TABLE IF EXISTS graft.cns.t")
+    spark.sql("CREATE TABLE graft.cns.t (id BIGINT, qty DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir', 'check.qty_pos' = 'qty >= 0')")
+    // the NULL row rides in the first batch (first-commit nullability) AND
+    // passes the CHECK — standard SQL semantics, NULL is not a violation
+    spark.sql("INSERT INTO graft.cns.t VALUES (CAST(1 AS BIGINT), 2.5D), " +
+      "(CAST(2 AS BIGINT), 0.0D), (CAST(3 AS BIGINT), CAST(NULL AS DOUBLE))")
+    // a violating INSERT fails the job BEFORE the commit; nothing lands
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cns.t VALUES (CAST(4 AS BIGINT), -1.0D)")
+    }
+    assert(allMsgs(e1).contains("qty_pos"), allMsgs(e1))
+    assert(spark.table("graft.cns.t").count() == 3)
+    // row-level DML is covered too: an UPDATE assigning a violating value
+    // refuses (the ReplaceData/WriteDelta query is wrapped the same way)
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE graft.cns.t SET qty = -9.0D WHERE id = 1")
+    }
+    assert(allMsgs(e2).contains("qty_pos"), allMsgs(e2))
+    assert(spark.table("graft.cns.t").where("qty < 0").count() == 0)
+    // DELETE carries no violating assignment and must stay unaffected
+    spark.sql("DELETE FROM graft.cns.t WHERE id = 2")
+    assert(spark.table("graft.cns.t").count() == 2)
+    // ALTER … SET TBLPROPERTIES adds a constraint — but only if existing
+    // rows satisfy it (the Delta ADD CONSTRAINT contract)
+    val e3 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cns.t SET TBLPROPERTIES" +
+        "('check.id_small' = 'id < 1')")
+    }
+    assert(allMsgs(e3).contains("existing rows violate"), allMsgs(e3))
+    spark.sql("ALTER TABLE graft.cns.t SET TBLPROPERTIES" +
+      "('check.id_small' = 'id < 100')")
+    val e4 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cns.t VALUES (CAST(500 AS BIGINT), 1.0D)")
+    }
+    assert(allMsgs(e4).contains("id_small"), allMsgs(e4))
+    // UNSET drops the constraint; the same write then lands
+    spark.sql("ALTER TABLE graft.cns.t UNSET TBLPROPERTIES('check.id_small')")
+    spark.sql("INSERT INTO graft.cns.t VALUES (CAST(500 AS BIGINT), 1.0D)")
+    assert(spark.table("graft.cns.t").count() == 3)
+    spark.sql("DROP TABLE IF EXISTS graft.cns.t")
+  }
+
+  test("RESTORE TABLE rolls a kv table back to an epoch boundary as a new commit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_rst").toString
+    def epochWrite(epoch: Long, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "s").write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", epoch.toString)
+        .mode("append").save()
+    epochWrite(1L, (1L, "a"), (2L, "b"))
+    epochWrite(2L, (3L, "c"))
+    epochWrite(3L, (4L, "d"))
+    spark.sql("DROP TABLE IF EXISTS graft.rst.t")
+    spark.sql("CREATE TABLE graft.rst.t (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    def ids(sqlFrom: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM $sqlFrom").as[Long].collect().toSeq.sorted
+    spark.sql("RESTORE TABLE graft.rst.t TO VERSION AS OF 2")
+    assert(ids("graft.rst.t") == Seq(1L, 2L, 3L)) // epoch 3 undone
+    // pre-restore states still time-travel exactly (retained history)
+    assert(ids("graft.rst.t VERSION AS OF 3") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("graft.rst.t VERSION AS OF 4") == Seq(1L, 2L, 3L)) // the restore commit
+    // no data file was deleted — the undone file is retained, not gone
+    assert(graft.sources.GraftKvSink.retainedFiles(dir).nonEmpty)
+    // the table keeps working: a fresh append lands above the restore
+    epochWrite(5L, (9L, "z"))
+    assert(ids("graft.rst.t") == Seq(1L, 2L, 3L, 9L))
+    // restoring below the (now-retained) restore commit refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql("RESTORE TABLE graft.rst.t TO VERSION AS OF 1")
+    }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+    // restore to the current boundary is a no-op, not an error
+    spark.sql("RESTORE TABLE graft.rst.t TO VERSION AS OF 5")
+    assert(ids("graft.rst.t") == Seq(1L, 2L, 3L, 9L))
+    // vacuum reclaims the retained window; the undone epoch then fences
+    assert(graft.sources.GraftKvSink.vacuum(dir, graceMs = 0L) > 0)
+    assertThrows[IllegalArgumentException] {
+      ids("graft.rst.t VERSION AS OF 3")
+    }
+    assert(ids("graft.rst.t") == Seq(1L, 2L, 3L, 9L)) // current unharmed
+    spark.sql("DROP TABLE IF EXISTS graft.rst.t")
+  }
+
+  test("fromEpoch batch-incremental reads: exact windows, pure-append fences") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_incr").toString
+    def epochWrite(epoch: Long, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "s").write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", epoch.toString)
+        .mode("append").save()
+    epochWrite(1L, (1L, "a"), (2L, "b"))
+    epochWrite(2L, (3L, "c"))
+    epochWrite(3L, (4L, "d"))
+    def incr(from: Long, upTo: Option[Long] = None): Seq[Long] = {
+      val r0 = spark.read.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("fromEpoch", from.toString)
+      upTo.fold(r0)(u => r0.option("asOfEpoch", u.toString))
+        .load().select("id").as[Long].collect().toSeq.sorted
+    }
+    assert(incr(0L) == Seq(1L, 2L, 3L, 4L)) // whole history
+    assert(incr(2L) == Seq(3L, 4L))         // since mark 1
+    assert(incr(2L, Some(2L)) == Seq(3L))   // bounded window (1, 2]
+    assert(incr(3L) == Seq(4L))
+    assert(incr(4L) == Seq.empty)           // beyond head: nothing new
+    // option-shaped misuse errors
+    assertThrows[IllegalArgumentException] { incr(2L, Some(1L)) } // from > asOf
+    assertThrows[IllegalArgumentException] { // batch-only option
+      new graft.sources.GraftKvScan(dir, fromEpoch = Some(2L))
+        .toMicroBatchStream("unused")
+    }
+    // a merge-on-read DML inside the range breaks the pure-append
+    // contract: rows were mutated, not appended — refuse
+    spark.sql("DROP TABLE IF EXISTS graft.incr.t")
+    spark.sql("CREATE TABLE graft.incr.t (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir', mor 'true')")
+    spark.sql("DELETE FROM graft.incr.t WHERE id = 3")
+    val e1 = intercept[IllegalArgumentException] { incr(2L) }
+    assert(e1.getMessage.contains("merge-on-read"), e1.getMessage)
+    // ...but reading from past the delta epoch is appends-only again
+    val deltaEpoch = graft.sources.GraftKvSink.listedFiles(dir)._2
+      .map(_.stripPrefix("epoch-").takeWhile(_.isDigit).toLong).max
+    assert(incr(deltaEpoch + 1) == Seq.empty)
+    // compaction folds fine-grained epochs: a boundary at or below the
+    // fold can no longer separate "new" rows — refuse
+    graft.sources.GraftKvSink.compact(dir, deltaEpoch)
+    val e2 = intercept[IllegalArgumentException] { incr(2L) }
+    assert(e2.getMessage.contains("compacted"), e2.getMessage)
+    assert(incr(deltaEpoch + 1) == Seq.empty) // past the fold: answerable
+    spark.sql("DROP TABLE IF EXISTS graft.incr.t")
+  }
 }
