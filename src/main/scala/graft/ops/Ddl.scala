@@ -515,6 +515,11 @@ object Ddl {
   // compacted base files; VACUUM reclaims unreferenced + retained files
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)(?:\s+UP\s+TO\s+EPOCH\s+(\d+))?\s*""".r
+  // OPTIMIZE t ZORDER BY (c1, c2) [INTO n FILES]: distributed
+  // multi-dimensional re-clustering (quantile-bucket Morton codes) — the
+  // Delta OPTIMIZE ZORDER shape, published as a retained-history rewrite
+  private val OptimizeZorderRe =
+    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
   // keyed tables: TO VERSION n (mutation-log truncation). kv catalog
@@ -522,6 +527,13 @@ object Ddl {
   // restore COMMIT (post-boundary files move to retained history).
   private val RestoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*""".r
+  // CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n] LOCATION 'dir':
+  // a zero-copy branch of a kv table — the clone's manifest references the
+  // source's visible files by absolute path (see GraftKvSink.shallowClone)
+  private val CloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+SHALLOW\s+CLONE\s+""" +
+      """((?:\w+\.){0,2}\w+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """\s+LOCATION\s+'([^']+)'\s*""").r
   // MERGE INTO <t> USING (<select>) [AS] s ON <key equality> WHEN MATCHED
   // THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the Delta-style
   // star forms: a whole-row upsert keyed on the table's PRIMARY KEY. The
@@ -1260,10 +1272,12 @@ object Ddl {
     case CreateMvRe(_*)                              => Some(statusCols)
     case ShowVersionsRe(n) if lookup(n).isDefined    => Some(versionsCols)
     case DescHistoryRe(n) if kvTableFor(n).isDefined => Some(historyCols)
+    case OptimizeZorderRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
     case RestoreRe(n, _) if lookup(n).isDefined ||
       kvTableFor(n).isDefined                        => Some(statusCols)
+    case CloneRe(_, s, _, _) if kvTableFor(s).isDefined => Some(statusCols)
     case RefreshMvRe(n) if mvNamed(n).isDefined      => Some(statusCols)
     case DropMvRe(n) if mvNamed(n).isDefined         => Some(statusCols)
     case SetVisRe(_*)                                => Some(statusCols)
@@ -1726,6 +1740,14 @@ object Ddl {
         graft.sources.GraftKvSink.history(kvPathFor(name))
           .toDF("version", "operation", "rows_added", "rows_deleted",
             "commit_ts")
+      case OptimizeZorderRe(name, colsStr, nStr) =>
+        // OPTIMIZE … ZORDER BY: distributed quantile-bucket Morton
+        // re-clustering; old files become retained history (see
+        // GraftKvSink.zorderRewrite for the full contract)
+        val cols = colsStr.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val e = graft.sources.GraftKvSink.zorderRewrite(spark,
+          kvPathFor(name), cols, Option(nStr).map(_.toInt).getOrElse(0))
+        status("OPTIMIZE", s"$name (zorder ${cols.mkString(",")} epoch $e)")
       case OptimizeRe(name, upToStr) =>
         // OPTIMIZE [UP TO EPOCH n]: fold epochs (and merge-on-read deltas)
         // at or below the boundary into compacted base files — the SQL
@@ -1745,6 +1767,21 @@ object Ddl {
           case None    => graft.sources.GraftKvSink.vacuum(path)
         }
         status("VACUUM", s"$name ($removed files reclaimed)")
+      case CloneRe(tgt, src, verStr, loc) =>
+        // zero-copy branch: one manifest write references the source's
+        // visible files in place; the catalog entry inherits the source's
+        // behavioral options (mor/epochs/sortBy/check.*) but its own path
+        val sDef = kvTableFor(src).getOrElse(throw new IllegalArgumentException(
+          s"SHALLOW CLONE source $src is not a kv catalog table"))
+        val tgtKey = (if (tgt.toLowerCase.startsWith("graft."))
+          tgt.substring("graft.".length) else tgt).toLowerCase
+        require(dsv2Get(tgtKey).isEmpty && lookup(tgt).isEmpty,
+          s"SHALLOW CLONE target $tgt already exists")
+        val e = graft.sources.GraftKvSink.shallowClone(
+          kvPathFor(src), loc, Option(verStr).map(_.toLong))
+        dsv2Put(Dsv2Def(tgtKey, "graft_kv", sDef.schemaJson,
+          sDef.options - "path" + ("path" -> loc)))
+        status("CLONE", s"$tgt (shallow clone of $src at epoch $e)")
       case RestoreRe(name, verStr)
           if lookup(name).isEmpty && kvTableFor(name).isDefined =>
         // kv catalog table: manifest-level restore commit — the visible

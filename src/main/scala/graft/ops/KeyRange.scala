@@ -1149,6 +1149,147 @@ object KeyRange {
       .orderBy("arm")
   }
 
+  /** A7-DSv2 judged: CONNECTOR-REQUESTED clustering — `sortBy` tables ask
+    * Spark for an ordered distribution + per-partition sort on every write
+    * (the DSv2 RequiresDistributionAndOrdering contract), so a PLAIN
+    * `INSERT INTO … SELECT` — no repartitionByRange in user code — lands as
+    * range-clustered files with pairwise-DISJOINT per-file min/max stats.
+    * That layout is what makes the existing stats pruning pay off at scale:
+    * a point probe on the sort key opens ONE file of N instead of all of
+    * them. The query requires the disjointness and the one-file probe, then
+    * gates a key-range aggregate against the relational oracle. */
+  def kvClusteredWrite(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_clu"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_clu")
+    s.sql("CREATE TABLE graft.kvq.orders_clu (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_totalprice DOUBLE) USING graft_kv " +
+      s"OPTIONS (path '$tmp', sortBy 'o_orderkey', sortBuckets '6')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_clu_v")
+    s.sql("INSERT INTO graft.kvq.orders_clu SELECT o_orderkey, o_custkey, " +
+      "o_totalprice FROM orders_clu_v")
+    val ranges = graft.sources.GraftKvSink.fileStats(tmp, "o_orderkey")
+      .map { case (lo, hi) => (lo.toLong, hi.toLong) }.sortBy(_._1)
+    require(ranges.length >= 6, s"expected >= 6 clustered files, " +
+      s"got ${ranges.length}")
+    require(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, "sortBy write must produce pairwise-disjoint per-file key ranges")
+    // the pruning payoff: a point probe on the sort key plans ONE file
+    val probed = new graft.sources.GraftKvScan(tmp, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("o_orderkey", ranges.head._1)))
+      .planInputPartitions().length
+    require(probed == 1, s"point probe must open 1 file, planned $probed")
+    s.sql(
+      """SELECT CAST(o_custkey % 7 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM graft.kvq.orders_clu WHERE o_orderkey BETWEEN 1 AND 3000
+        |GROUP BY CAST(o_custkey % 7 AS BIGINT) ORDER BY grp""".stripMargin)
+  }
+
+  /** A12 judged: OPTIMIZE … ZORDER BY on a kv table — DISTRIBUTED
+    * multi-dimensional re-clustering (quantile-bucket Morton codes, the
+    * Delta OPTIMIZE ZORDER shape) published as a retained-history rewrite.
+    * After the rewrite, per-file min/max stats are tight in BOTH
+    * dimensions, so the manifest prunes files for a box predicate on
+    * EITHER column — at 100 TB the difference between a secondary-
+    * dimension filter scanning everything and scanning a few percent. The
+    * query requires the pruning payoff on both single-dimension probes,
+    * then gates the box aggregate against the relational oracle. */
+  def kvZorder(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_zo"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.line_zo")
+    s.sql("CREATE TABLE graft.kvq.line_zo (l_partkey BIGINT, " +
+      "l_suppkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    Tables.lineitem(s, d).createOrReplaceTempView("line_zo_v")
+    s.sql("INSERT INTO graft.kvq.line_zo SELECT l_partkey, l_suppkey, " +
+      "l_quantity, l_extendedprice FROM line_zo_v")
+    s.sql("OPTIMIZE graft.kvq.line_zo ZORDER BY (l_partkey, l_suppkey) " +
+      "INTO 8 FILES")
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new graft.sources.GraftKvScan(tmp, None, fs).planInputPartitions().length
+    val total = planned()
+    require(total == 8, s"expected 8 z-ordered files, planned $total")
+    // the 2-D payoff: EACH dimension's box prunes on its own. The probe
+    // thresholds are SCALE-RELATIVE (the bottom 1/16 of each key range —
+    // one quantile bucket) so the assertion holds at every sf; the judged
+    // aggregate below keeps fixed bounds for oracle parity.
+    val ext = s.sql("SELECT min(l_partkey), max(l_partkey), " +
+      "min(l_suppkey), max(l_suppkey) FROM line_zo_v").first()
+    def lowSlice(mn: Long, mx: Long): Long = mn + math.max(1L, (mx - mn) / 16L)
+    val pPart = planned(org.apache.spark.sql.sources.LessThanOrEqual(
+      "l_partkey", lowSlice(ext.getLong(0), ext.getLong(1))))
+    val pSupp = planned(org.apache.spark.sql.sources.LessThanOrEqual(
+      "l_suppkey", lowSlice(ext.getLong(2), ext.getLong(3))))
+    require(pPart < total, s"partkey box must prune: $pPart/$total")
+    require(pSupp < total, s"suppkey box must prune: $pSupp/$total")
+    s.sql(
+      """SELECT l_suppkey, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM graft.kvq.line_zo
+        |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+  }
+
+  /** A8 judged: SHALLOW CLONE — a ZERO-COPY branch of a kv table at an
+    * epoch boundary (the Delta `CREATE TABLE … SHALLOW CLONE` shape). The
+    * clone's manifest references the source's files by absolute path, so
+    * branching a 100 TB table is ONE metadata write; from then on the
+    * tables diverge — the clone's corrected load lands in its own
+    * directory and the source never sees it. The query requires the
+    * zero-copy property (every reference foreign, no data file in the
+    * clone's directory), then gates three arms: the diverged clone, the
+    * untouched source, and the clone's boundary state. */
+  def kvClone(s: SparkSession, d: String): DataFrame = {
+    val tmpS = s"$scratch/kv_cln_src"
+    val tmpT = s"$scratch/kv_cln_tgt"
+    clearDir(tmpS); clearDir(tmpT)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_cs")
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_ct")
+    s.sql("CREATE TABLE graft.kvq.orders_cs (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmpS')")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    Seq(0, 1, 2).foreach { k =>
+      o.filter(col("o_orderkey") % 6 === k)
+        .write.format("graft.sources.GraftKvSink").option("path", tmpS)
+        .option("epoch", (k + 1).toString).mode(SaveMode.Append).save()
+    }
+    s.sql("CREATE TABLE graft.kvq.orders_ct SHALLOW CLONE " +
+      s"graft.kvq.orders_cs VERSION AS OF 2 LOCATION '$tmpT'")
+    // zero-copy: every reference is foreign; no data file was copied
+    val refs = graft.sources.GraftKvSink.listedFiles(tmpT)._1
+    require(refs.nonEmpty && refs.forall(_.startsWith("/")),
+      s"clone must reference the source in place, got $refs")
+    // the corrected load lands on the CLONE only — the tables diverge
+    o.filter(col("o_orderkey") % 6 === 3)
+      .write.format("graft.sources.GraftKvSink").option("path", tmpT)
+      .option("epoch", "5").mode(SaveMode.Append).save()
+    s.sql(
+      """SELECT arm, cnt, key_sum, total FROM (
+        |  SELECT 1 AS arm, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_ct
+        |  UNION ALL
+        |  SELECT 2 AS arm, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_cs
+        |  UNION ALL
+        |  SELECT 3 AS arm, count(*) AS cnt,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |  FROM graft.kvq.orders_ct VERSION AS OF 2
+        |) ORDER BY arm""".stripMargin)
+  }
+
   /** A8 judged: RESTORE TABLE … TO VERSION AS OF — the Delta-shaped undo.
     * A bad load (epoch 3) is rolled back by a manifest-level restore
     * COMMIT: post-boundary files move to retained history (no data file
@@ -1752,6 +1893,9 @@ object KeyRange {
     "kv_incremental_batch" -> (kvIncrementalBatch _),
     "kv_restore" -> (kvRestore _),
     "kv_constraint" -> (kvConstraint _),
+    "kv_clustered_write" -> (kvClusteredWrite _),
+    "kv_zorder" -> (kvZorder _),
+    "kv_clone" -> (kvClone _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -1805,6 +1949,44 @@ object KeyRange {
         |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM cur
         |ORDER BY arm""".stripMargin,
+    // clone arms: the diverged clone (boundary epochs 1-2 = %6 in 0,1,
+    // plus its own corrected load %6=3), the untouched source (%6 0,1,2),
+    // and the clone's boundary state (%6 0,1)
+    "kv_clone" ->
+      """WITH cln AS (SELECT o_orderkey, o_totalprice FROM orders
+        |             WHERE o_orderkey % 6 IN (0, 1, 3)),
+        |src AS (SELECT o_orderkey, o_totalprice FROM orders
+        |        WHERE o_orderkey % 6 IN (0, 1, 2)),
+        |bnd AS (SELECT o_orderkey, o_totalprice FROM orders
+        |        WHERE o_orderkey % 6 IN (0, 1))
+        |SELECT CAST(1 AS INTEGER) AS arm, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM cln
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM src
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM bnd
+        |ORDER BY arm""".stripMargin,
+    // layout-independent: the z-ordered table holds exactly the inserted
+    // rows, so the box-filter aggregate equals the relational replay
+    "kv_zorder" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // the sortBy table holds exactly the inserted rows (layout is gated by
+    // the query's own requires; the oracle gates the data)
+    "kv_clustered_write" ->
+      """SELECT CAST(o_custkey % 7 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey BETWEEN 1 AND 3000
+        |GROUP BY CAST(o_custkey % 7 AS BIGINT) ORDER BY grp""".stripMargin,
     // the violating INSERT and UPDATE both refused before commit, so the
     // table holds exactly the clean first insert
     "kv_constraint" ->

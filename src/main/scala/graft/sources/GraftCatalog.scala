@@ -94,7 +94,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
           new GraftKvTable(path, schema,
             mor = d.options.get("mor").exists(_.toBoolean),
             stampEpochs = d.options.get("epochs").exists(_.toBoolean),
-            checkConstraints = GraftCatalog.constraintsOf(d.options))
+            checkConstraints = GraftCatalog.constraintsOf(d.options),
+            sortCols = GraftKvSink.sortColsOf(d.options.get("sortby")),
+            sortBuckets = d.options.get("sortbuckets").map(_.toInt).getOrElse(0))
         case other =>
           throw new IllegalStateException(
             s"graft catalog entry ${d.name} has unknown provider '$other'")
@@ -174,7 +176,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
       s"graft catalog supports USING graft_kv | graft_range, got '$provider'")
     // OPTIONS(...) arrive as plain property keys (and, in some Spark
     // paths, duplicated under the reserved "option." prefix) — accept both
-    val known = Set("path", "rows", "slices", "mor")
+    val known = Set("path", "rows", "slices", "mor", "epochs",
+      "sortby", "sortbuckets")
     val opts0 = properties.asScala.collect {
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.stripPrefix(TableCatalog.OPTION_PREFIX).toLowerCase -> v

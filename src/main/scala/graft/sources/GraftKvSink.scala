@@ -82,13 +82,22 @@ class GraftKvSink extends TableProvider {
       require(GraftKvSink.supported(f.dataType),
         s"graft_kv: unsupported column type ${f.dataType.simpleString} for '${f.name}'")
     }
+    def ci(k: String): Option[String] =
+      properties.asScala.collectFirst {
+        case (key, v) if key.equalsIgnoreCase(k) => v }
     new GraftKvTable(GraftKvSink.pathOf(properties), schema,
       mor = Option(properties.get("mor")).exists(_.toBoolean),
-      stampEpochs = Option(properties.get("epochs")).exists(_.toBoolean))
+      stampEpochs = Option(properties.get("epochs")).exists(_.toBoolean),
+      sortCols = GraftKvSink.sortColsOf(ci("sortBy")),
+      sortBuckets = ci("sortBuckets").map(_.toInt).getOrElse(0))
   }
 }
 
 object GraftKvSink {
+  /** Comma-separated `sortBy` table-option value -> column list. */
+  private[sources] def sortColsOf(v: Option[String]): Seq[String] =
+    v.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+
   /** `compactedUpTo` < 0 = never compacted; otherwise every epoch <= that
     * id has been rewritten into a single file and its fine-grained history
     * vacuumed (asOfEpoch below it is unanswerable and must error).
@@ -171,7 +180,7 @@ object GraftKvSink {
     * masking/fold path wants the default union. Malformed lines skipped. */
   private[sources] def foreachDelete(dir: String, delta: String,
       kinds: String = "DU")(f: (String, Long) => Unit): Unit = {
-    val st = Files.lines(Paths.get(dir, delta))
+    val st = Files.lines(dataPath(dir, delta))
     try {
       val it = st.iterator()
       while (it.hasNext) {
@@ -199,7 +208,7 @@ object GraftKvSink {
     var hasU = false
     val dT = scala.collection.mutable.LinkedHashSet.empty[String]
     val uT = scala.collection.mutable.LinkedHashSet.empty[String]
-    val st = Files.lines(Paths.get(dir, delta))
+    val st = Files.lines(dataPath(dir, delta))
     try {
       val it = st.iterator()
       while (it.hasNext) {
@@ -433,10 +442,34 @@ object GraftKvSink {
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
-  private[sources] def epochOf(name: String): Long = name match {
+  /** SHALLOW-CLONE manifests reference foreign files by absolute path; any
+    * name-shape test (epoch parsing, epoch-published probes, the
+    * keep-history rule) must look at the BASENAME. */
+  private[sources] def baseName(name: String): String =
+    name.substring(name.lastIndexOf('/') + 1)
+  private[sources] def epochOf(name: String): Long = baseName(name) match {
     case EpochFileRe(e) => e.toLong
     case _              => 0L // batch-written files count as epoch 0
   }
+
+  /** A manifest entry naming a file OUTSIDE the table directory — a
+    * SHALLOW CLONE's reference into its source table. Foreign files are
+    * read in place and NEVER deleted by this table's maintenance (vacuum /
+    * compaction / truncate only drop the reference). */
+  private[sources] def isForeign(name: String): Boolean =
+    Paths.get(name).isAbsolute
+
+  /** Resolve a manifest entry to its on-disk location: local names under
+    * the table dir, foreign (clone-referenced) names as-is. */
+  private[sources] def dataPath(dir: String, name: String): Path = {
+    val p = Paths.get(name)
+    if (p.isAbsolute) p else Paths.get(dir, name)
+  }
+
+  /** Delete a manifest-referenced file ONLY if this table owns it — a
+    * clone must never reach into its source's directory. */
+  private[sources] def deleteOwned(dir: String, name: String): Unit =
+    if (!isForeign(name)) Files.deleteIfExists(Paths.get(dir, name)): Unit
 
   /** Encode one row in the tab-separated line format — shared by the data
     * writer and the delta writer's insert records. `observed(i)` receives
@@ -624,7 +657,7 @@ object GraftKvSink {
     // All-or-nothing under the same grace window so a half-reclaimed
     // window can never half-answer.
     val reclaimHistory = m0.removed.nonEmpty && m0.removed.forall { r =>
-      val p = Paths.get(dir, r.name)
+      val p = dataPath(dir, r.name)
       !Files.exists(p) || m0.epochTs.get(r.removedAt)
         .getOrElse(Files.getLastModifiedTime(p).toMillis) <= cutoff
     }
@@ -633,7 +666,7 @@ object GraftKvSink {
         math.max(m0.compactedUpTo, m0.rewrittenUpTo),
         m0.stats, m0.blooms, m0.deltas, Nil, m0.rewrittenUpTo,
         priorHint = Some(m0))
-      m0.removed.foreach(r => Files.deleteIfExists(Paths.get(dir, r.name)))
+      m0.removed.foreach(r => deleteOwned(dir, r.name))
     }
     stray.length + (if (reclaimHistory) m0.removed.length else 0)
   }
@@ -685,6 +718,160 @@ object GraftKvSink {
         rewrittenUpTo = restoreEpoch, priorHint = Some(m))
       restoreEpoch
     }
+  }
+
+  /** SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE` shape): a
+    * ZERO-COPY branch of the source's state at an epoch boundary. The
+    * clone's manifest references the source's visible data files by
+    * ABSOLUTE path — no byte is copied, so branching a 100 TB table is one
+    * metadata write. From then on the tables diverge: the clone's appends
+    * land in its own directory; CoW DML rewrites only the touched files
+    * (locally); compaction and ZORDER fold foreign references into local
+    * files (a clone self-localizes under maintenance); and NO maintenance
+    * on the clone ever deletes a foreign file — vacuum/truncate/compact
+    * drop the reference only ([[deleteOwned]]). Chained clones re-point at
+    * the ORIGINAL owner, never at an intermediate clone.
+    *
+    * Epoch numbering is inherited from the referenced file names, so a
+    * PURE-APPEND source's pre-boundary states stay time-travelable on the
+    * clone for free (the prefix of referenced files IS that state). Ranges
+    * the source folded or rewrote are NOT reconstructable from references
+    * alone (the clone carries no retained history), so the clone's
+    * `compactedUpTo` is raised to the source's rewrite fence — reads below
+    * it refuse exactly like vacuumed history. Caveat shared with Delta:
+    * VACUUM on the SOURCE can reclaim files a clone still references —
+    * retention policy must outlive clones.
+    *
+    * Refuses: a target that already has a manifest; a source boundary
+    * with live merge-on-read deltas (OPTIMIZE the source first — a delta
+    * overlays other files' rows and cannot be referenced positionally). */
+  def shallowClone(srcDir: String, tgtDir: String,
+      asOf: Option[Long] = None): Long = {
+    val smp = manifestPath(srcDir)
+    require(Files.exists(smp), s"graft_kv: no manifest at $srcDir")
+    val sm = readManifest(smp)
+    asOf.foreach(requireAnswerableEpoch(sm, _))
+    require(sm.visibleDeltasAt(asOf).isEmpty,
+      s"graft_kv: SHALLOW CLONE of $srcDir with live merge-on-read deltas " +
+        "at the boundary — OPTIMIZE (fold the deltas) first")
+    val vis = sm.visibleFilesAt(asOf)
+    val abs = vis.map { case (n, r) =>
+      (if (isForeign(n)) n else Paths.get(srcDir, n).toString, r)
+    }
+    val rekey = vis.map(_._1).zip(abs.map(_._1)).toMap
+    val boundary = asOf.getOrElse(
+      (vis.map(f => epochOf(f._1)) ++
+        Seq(sm.rewrittenUpTo, sm.compactedUpTo)).max.max(0L))
+    Files.createDirectories(Paths.get(tgtDir))
+    withCommitLock(tgtDir) {
+      require(!Files.exists(manifestPath(tgtDir)),
+        s"graft_kv: SHALLOW CLONE target $tgtDir already has a manifest")
+      writeManifest(tgtDir, sm.schema, abs,
+        math.max(sm.compactedUpTo, sm.rewrittenUpTo),
+        sm.stats.collect { case (n, v) if rekey.contains(n) => rekey(n) -> v },
+        sm.blooms.collect { case (n, v) if rekey.contains(n) => rekey(n) -> v },
+        Nil, Nil, rewrittenUpTo = sm.rewrittenUpTo)
+    }
+    boundary
+  }
+
+  /** OPTIMIZE … ZORDER BY: DISTRIBUTED multi-dimensional re-clustering of
+    * the table's current visible rows — the Delta OPTIMIZE ZORDER shape.
+    * Per column, every row gets a QUANTILE bucket 0..15 (boundaries from
+    * one approx-percentile pass — the skew-proof range_partition_id
+    * analogue, so a hot key cannot swallow the whole code space); the
+    * bucket bits interleave into a Morton code; rows range-partition +
+    * sort by it, and the NORMAL writer produces the replacement files
+    * (min/max stats + blooms included) in a scratch directory. The publish
+    * is one atomic manifest swap under the commit lock: pre-rewrite files
+    * move to retained history (rewrittenUpTo = the new epoch), so
+    * pre-OPTIMIZE states time-travel until vacuum, streams fence like any
+    * CoW rewrite, and a commit that landed since planning refuses loudly.
+    * The driver never touches rows — the quantile pass and the rewrite are
+    * Spark jobs; only renames and the manifest publish run locally. Files
+    * clustered this way make BOTH dimensions' per-file min/max tight, so a
+    * box predicate on either column prunes at the manifest. */
+  def zorderRewrite(spark: org.apache.spark.sql.SparkSession, dir: String,
+      cols: Seq[String], buckets: Int = 0): Long = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty, "graft_kv: ZORDER BY needs at least one column")
+    require(cols.length <= 8, "graft_kv: ZORDER BY supports up to 8 columns")
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val m0 = readManifest(mfp)
+    require(m0.deltas.isEmpty,
+      s"graft_kv: ZORDER on $dir with merge-on-read deltas present — run " +
+        "plain OPTIMIZE (fold the deltas into their bases) first")
+    if (m0.files.isEmpty) return -1L // empty table: nothing to cluster
+    cols.foreach { c =>
+      val f = m0.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft_kv: ZORDER column '$c' is not in the table schema " +
+            s"(${m0.schema.fieldNames.mkString(", ")})"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"graft_kv: ZORDER column '$c' must be numeric for quantile " +
+          s"bucketing, is ${f.dataType.simpleString}")
+    }
+    val plannedVersion = m0.version
+    val newEpoch = (m0.files.map(f => epochOf(f._1)) ++
+      m0.removed.map(_.removedAt) ++
+      Seq(m0.rewrittenUpTo, m0.compactedUpTo)).max.max(0L) + 1L
+    val df = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).load()
+    // ONE distributed pass computes all columns' 15 quantile boundaries
+    val pcts = typedLit((1 until 16).map(_ / 16.0))
+    val bounds = df.select(cols.map(c =>
+      percentile_approx(col(c).cast("double"), pcts, lit(10000)).as(c)): _*)
+      .first()
+    val z = cols.zipWithIndex.map { case (c, i) =>
+      val bs: Seq[Double] =
+        if (bounds.isNullAt(i)) Seq.empty else bounds.getSeq[Double](i)
+      // bucket = #boundaries strictly below the value (0..15); NULL -> 0
+      val bucket = bs.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col(c).cast("double") > lit(b), 1).otherwise(0)
+      }
+      (0 until 4).foldLeft(lit(0L)) { (acc, bit) =>
+        acc.bitwiseOR(shiftleft(
+          shiftright(bucket.cast("long"), bit).bitwiseAND(1L),
+          bit * cols.length + i))
+      }
+    }.reduce(_ bitwiseOR _)
+    val n = if (buckets > 0) buckets else math.max(1, m0.files.length)
+    val scratch = Files.createTempDirectory("graft_zorder").toString
+    df.withColumn("__graft_z", z)
+      .repartitionByRange(n, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+      .write.format("graft.sources.GraftKvSink").option("path", scratch)
+      .option("epoch", newEpoch.toString)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    withCommitLock(dir) {
+      val m = readManifest(mfp)
+      require(m.version == plannedVersion,
+        s"graft_kv: concurrent commit during ZORDER rewrite of $dir " +
+          s"(version ${m.version}, planned $plannedVersion) — rerun OPTIMIZE")
+      val tm = readManifest(manifestPath(scratch))
+      // a rewrite must conserve rows exactly — refuse over silently losing
+      require(tm.files.map(_._2).sum == m.files.map(_._2).sum,
+        s"graft_kv: ZORDER rewrite row count ${tm.files.map(_._2).sum} != " +
+          s"visible ${m.files.map(_._2).sum} at $dir — aborted, no commit")
+      tm.files.foreach { case (nm, _) =>
+        Files.move(Paths.get(scratch, nm), Paths.get(dir, nm)) }
+      // old files' stats stay keyed by name: retained history still prunes
+      writeManifest(dir, m.schema, tm.files, m.compactedUpTo,
+        m.stats ++ tm.stats, m.blooms ++ tm.blooms, Nil,
+        m.removed ++ m.files.map { case (nm, r) =>
+          RemovedFile(nm, r, newEpoch) },
+        rewrittenUpTo = newEpoch, priorHint = Some(m))
+    }
+    // best-effort scratch cleanup (lock/manifest remnants); data moved out
+    try {
+      val s = Files.list(Paths.get(scratch))
+      try s.iterator().asScala.foreach(Files.deleteIfExists)
+      finally s.close()
+      Files.deleteIfExists(Paths.get(scratch))
+    } catch { case _: java.io.IOException => () }
+    newEpoch
   }
 
   /** Read-only introspection: the manifest's optimistic-concurrency
@@ -743,7 +930,7 @@ object GraftKvSink {
     val headTs = ets.get(head).getOrElse(-1L)
     def full = (m.version, head, headTs, None)
     if (sinceEpoch < 0L || !ets.get(sinceEpoch).contains(sinceTs)) return full
-    if (!m.files.forall(_._1.startsWith("epoch-"))) return full
+    if (!m.files.forall(f => baseName(f._1).startsWith("epoch-"))) return full
     val newEpochs = ets.collect { case (e, ts) if ts > sinceTs => e }.toSet
     val sound = newEpochs.forall(_ > sinceEpoch) &&
       !m.deltas.exists(d => newEpochs.contains(epochOf(d.name))) &&
@@ -804,6 +991,14 @@ object GraftKvSink {
     * time travel (emptied by vacuum / history-reclaiming truncate). */
   def retainedFiles(dir: String): Seq[String] =
     readManifest(manifestPath(dir)).removed.map(_.name)
+
+  /** Read-only introspection (layout assertions): per-visible-file
+    * (min, max) stats for `col`, stringly as the manifest stores them;
+    * files without stats for the column are omitted. */
+  def fileStats(dir: String, col: String): Seq[(String, String)] = {
+    val m = readManifest(manifestPath(dir))
+    m.files.flatMap { case (n, _) => m.stats.get(n).flatMap(_.get(col)) }
+  }
 
   /** DESCRIBE HISTORY: the table's commit log DERIVED from the manifest —
     * one row per epoch, classified by what that epoch published: `append`
@@ -1029,7 +1224,7 @@ object GraftKvSink {
       // only expired retained history to reclaim: no data merge needed
       writeManifest(dir, mf.schema, mf.files, newUpTo, mf.stats, mf.blooms,
         mf.deltas, rKeep, mf.rewrittenUpTo, priorHint = Some(mf))
-      rOld.foreach(r => Files.deleteIfExists(Paths.get(dir, r.name)))
+      rOld.foreach(r => deleteOwned(dir, r.name))
       return rOld.length
     }
     val target = f"epoch-$upTo-compacted.kv"
@@ -1039,7 +1234,7 @@ object GraftKvSink {
       // no deltas in range: driver-side streaming byte concat, no re-encode
       val out = Files.newOutputStream(tmp)
       try old.map(_._1).sorted.foreach { n =>
-        Files.copy(Paths.get(dir, n), out)
+        Files.copy(dataPath(dir, n), out)
       } finally out.close()
       targetRows = old.map(_._2).sum
     } else {
@@ -1057,7 +1252,7 @@ object GraftKvSink {
       try {
         def foldLines(name: String, insertPayloads: Boolean): Unit = {
           val dels = delByFile.get(name)
-          val st = Files.lines(Paths.get(dir, name))
+          val st = Files.lines(dataPath(dir, name))
           try {
             val it = st.iterator()
             var pos = -1L
@@ -1126,10 +1321,10 @@ object GraftKvSink {
         (if (targetBlooms.nonEmpty) Map(target -> targetBlooms) else Map.empty),
       dKeep, rKeep, mf.rewrittenUpTo, priorHint = Some(mf))
     old.foreach { case (n, _) =>
-      if (n != target) Files.deleteIfExists(Paths.get(dir, n))
+      if (n != target) deleteOwned(dir, n)
     }
-    dOld.foreach(d => Files.deleteIfExists(Paths.get(dir, d.name)))
-    rOld.foreach(r => Files.deleteIfExists(Paths.get(dir, r.name)))
+    dOld.foreach(d => deleteOwned(dir, d.name))
+    rOld.foreach(r => deleteOwned(dir, r.name))
     old.count(_._1 != target) + dOld.length + rOld.length
   }
 }
@@ -1153,7 +1348,20 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // semantics). Enforced by plans.CheckConstraintRule, which wraps the
     // write's query in a raise-on-violation filter at analysis time —
     // rows are checked where they are computed, no extra pass.
-    val checkConstraints: Map[String, String] = Map.empty)
+    val checkConstraints: Map[String, String] = Map.empty,
+    // `sortBy 'c1,c2'` table option: every batch/streaming WRITE requests
+    // Distributions.ordered + a matching per-partition sort via the DSv2
+    // RequiresDistributionAndOrdering contract, so a PLAIN `INSERT INTO`
+    // produces range-clustered files with pairwise-disjoint min/max stats —
+    // the layout the scan-side stats pruning pays off on (a point probe
+    // opens one file of N). The user never repartitions by hand; Spark
+    // plans the range exchange + sort inside the write's own query.
+    sortCols: Seq[String] = Nil,
+    // `sortBuckets 'n'`: pin the ordered distribution's partition count
+    // (DSv2 requiredNumPartitions) — 0 lets Spark/AQE size the exchange.
+    // At fixture scale AQE coalesces small writes to one file, which
+    // defeats a clustering demo; at 100 TB leave it 0 and let AQE size.
+    sortBuckets: Int = 0)
   extends Table with SupportsWrite with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -1187,7 +1395,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       })
   /** The same table pinned to epoch `epoch`'s boundary state (read-only). */
   def atVersion(epoch: Long): GraftKvTable =
-    new GraftKvTable(dir, tableSchema, mor, Some(epoch), stampEpochs)
+    new GraftKvTable(dir, tableSchema, mor, Some(epoch), stampEpochs,
+      checkConstraints, sortCols, sortBuckets)
   override def name(): String =
     s"graft_kv($dir${pinnedEpoch.map(n => s" version=$n").getOrElse("")})"
   override def schema(): StructType = tableSchema
@@ -1244,7 +1453,10 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
         new GraftKvWriteBuilder(dir, winfo.schema(),
           replaceFiles = Some(() =>
             Option(groupScan).map(_.visibleFiles).getOrElse(Seq.empty)),
-          snapshot = () => Option(groupScan).map(_.plannedManifest))
+          snapshot = () => Option(groupScan).map(_.plannedManifest),
+          // keep the table's clustering invariant through CoW rewrites:
+          // replacement files come out range-clustered like any insert
+          sortCols = sortCols, sortBuckets = sortBuckets)
     }
   }
 
@@ -1270,15 +1482,22 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       GraftKvSink.writeManifest(dir, tableSchema, Seq.empty,
         priorHint = Some(m))
       (m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name))
-        .foreach(n => Files.deleteIfExists(Paths.get(dir, n)))
+        .foreach(n => GraftKvSink.deleteOwned(dir, n))
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedEpoch.isEmpty,
       "graft_kv: writes to a VERSION AS OF read are not allowed")
+    sortCols.foreach(c => require(
+      tableSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      s"graft_kv: sortBy column '$c' is not in the table schema " +
+        s"(${tableSchema.fieldNames.mkString(", ")})"))
+    require(sortBuckets >= 0,
+      s"graft_kv: sortBuckets must be >= 0, got $sortBuckets")
     new GraftKvWriteBuilder(dir, info.schema(),
       Option(info.options.get("epoch")).map(_.toLong),
-      stampEpochs = stampEpochs, queryId = info.queryId())
+      stampEpochs = stampEpochs, queryId = info.queryId(),
+      sortCols = sortCols, sortBuckets = sortBuckets)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
@@ -1767,17 +1986,43 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
     replaceFiles: Option[() => Seq[String]] = None,
     snapshot: () => Option[GraftKvSink.Manifest] = null,
     stampEpochs: Boolean = false,
-    queryId: String = "")
+    queryId: String = "",
+    sortCols: Seq[String] = Nil,
+    sortBuckets: Int = 0)
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
-        snapshot, stampEpochs)
-    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new GraftKvStreamingWrite(dir, schema, queryId)
-  }
+  override def build(): Write =
+    if (sortCols.isEmpty) new Write {
+      override def toBatch: BatchWrite =
+        new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
+          snapshot, stampEpochs)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftKvStreamingWrite(dir, schema, queryId)
+    }
+    // `sortBy` tables: ask Spark to range-partition + sort the write's own
+    // query (RequiresDistributionAndOrdering) — the declarative form of the
+    // bulk-load "sorted HFile" layout: each task then writes one file whose
+    // min/max stats are disjoint from every other's, so the scan-side stats
+    // pruning turns point/range reads into one-file opens. Spark plans the
+    // exchange inside the write (AQE-sized unless sortBuckets pins it); the
+    // connector never touches rows.
+    else new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+      private val orders: Array[SortOrder] = sortCols.map(c =>
+        Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
+      override def requiredOrdering(): Array[SortOrder] = orders
+      override def requiredNumPartitions(): Int = sortBuckets
+      override def toBatch: BatchWrite =
+        new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
+          snapshot, stampEpochs)
+      override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftKvStreamingWrite(dir, schema, queryId)
+    }
 }
 
 /** Micro-batch streaming sink: same per-task temp-file + manifest-publish
@@ -1826,7 +2071,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
         Seq.empty[GraftKvSink.DeltaFile],
         Seq.empty[GraftKvSink.RemovedFile], -1L,
         Map.empty[Long, String])
-    if (prior.exists(_._1.startsWith(s"epoch-$epochId-"))) {
+    if (prior.exists(f => GraftKvSink.baseName(f._1).startsWith(s"epoch-$epochId-"))) {
       // an epoch already published: by THIS query (recovery replay —
       // idempotent, drop the duplicate attempt files) or by a DIFFERENT
       // streaming query (two writers sharing a directory would silently
@@ -1943,7 +2188,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
   }
 
   private def validateExplicitEpoch(e: Long, m: GraftKvSink.Manifest): Unit = {
-    require(!m.files.exists(_._1.startsWith(s"epoch-$e-")),
+    require(!m.files.exists(f => GraftKvSink.baseName(f._1).startsWith(s"epoch-$e-")),
       s"graft_kv: epoch $e is already published at $dir")
     require(e > m.compactedUpTo,
       s"graft_kv: epoch $e is inside compacted history " +
@@ -2027,7 +2272,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         // delta epochs count too: an append stamped at-or-below a delta's
         // epoch would make asOfEpoch reads non-monotonic
         val names = m0.files.map(_._1) ++ m0.deltas.map(_.name)
-        if (names.exists(_.startsWith("epoch-")))
+        if (names.exists(n => GraftKvSink.baseName(n).startsWith("epoch-")))
           Some(names.map(GraftKvSink.epochOf).max + 1L)
         else if (stampEpochs)
           // epoch-less files read as epoch 0, so the first stamped append
@@ -2060,8 +2305,9 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // states before the rewrite reconstruct exactly until vacuum; an
     // epoch-less batch table has no boundaries to reconstruct, so its
     // replaced files are reclaimed immediately as before
-    val keepHistory = replaced.exists(_.startsWith("epoch-")) &&
-      nextEpoch.isDefined
+    val keepHistory =
+      replaced.exists(n => GraftKvSink.baseName(n).startsWith("epoch-")) &&
+        nextEpoch.isDefined
     val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas,
         priorRemoved, priorRw) =
       if (replaceFiles.isDefined && Files.exists(mf)) {
@@ -2120,14 +2366,14 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     if (!keepHistory) {
       val committedNames = committed.map(_.finalName).toSet
       (replaced -- committedNames).foreach(n =>
-        Files.deleteIfExists(Paths.get(dir, n)))
+        GraftKvSink.deleteOwned(dir, n))
     }
     // truncate's old files, deleted only now that the new manifest is the
     // published state (same collision guard as above)
     if (truncateLeftovers.nonEmpty) {
       val committedNames = committed.map(_.finalName).toSet
       truncateLeftovers.filterNot(committedNames).foreach(n =>
-        Files.deleteIfExists(Paths.get(dir, n)))
+        GraftKvSink.deleteOwned(dir, n))
     }
   }
 
@@ -2400,7 +2646,7 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     val rows = math.max(0L, visible.map(_._2).sum +
       visibleDeltas.map(d => d.inserts - d.deletes).sum)
     val bytes = (visible.map(_._1) ++ visibleDeltas.map(_.name)).map { n =>
-      val p = Paths.get(dir, n)
+      val p = GraftKvSink.dataPath(dir, n)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
     new org.apache.spark.sql.connector.read.Statistics {
@@ -2695,7 +2941,7 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
     // a delete pre-image read from a delta file targets its insert records
     val targetIsDelta = fp.cdcDeletes && fp.file.endsWith(".kvd")
     new PartitionReader[InternalRow] {
-      private val lines = Files.lines(Paths.get(fp.dir, fp.file)).iterator()
+      private val lines = Files.lines(GraftKvSink.dataPath(fp.dir, fp.file)).iterator()
       private var cur: String = _
       private var pos = -1L
       override def next(): Boolean = {

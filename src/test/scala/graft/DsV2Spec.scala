@@ -1168,6 +1168,182 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft.rst.t")
   }
 
+  test("sortBy tables: the connector requests ordered distribution, files cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_sort").toString
+    // DELIBERATELY unsorted input through a PLAIN write — no
+    // repartitionByRange anywhere in user code; the write's own
+    // RequiresDistributionAndOrdering contract plans the range exchange
+    val df = (0L until 2000L).map(i => ((i * 7919L) % 2000L, s"s$i"))
+      .toDF("id", "s")
+    df.write.format("graft.sources.GraftKvSink").option("path", dir)
+      .option("sortBy", "id").option("sortBuckets", "4")
+      .mode("overwrite").save()
+    assert(graft.sources.GraftKvSink.listedFiles(dir)._1.length == 4)
+    val ranges = graft.sources.GraftKvSink.fileStats(dir, "id")
+      .map { case (lo, hi) => (lo.toLong, hi.toLong) }.sortBy(_._1)
+    assert(ranges.length == 4)
+    assert(ranges.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, ranges.toString)
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new graft.sources.GraftKvScan(dir, None, fs).planInputPartitions().length
+    assert(planned(org.apache.spark.sql.sources.EqualTo("id", 3L)) == 1)
+    assert(planned(org.apache.spark.sql.sources.GreaterThan("id", 1990L)) == 1)
+    // rows survive intact (the exchange re-orders, never drops)
+    assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+      .load().count() == 2000L)
+    // catalog route: CoW DML keeps the clustering invariant — rewritten
+    // groups come out range-clustered again
+    spark.sql("DROP TABLE IF EXISTS graft.srt.t")
+    spark.sql("CREATE TABLE graft.srt.t (id BIGINT, s STRING) USING graft_kv " +
+      s"OPTIONS (path '$dir', sortBy 'id', sortBuckets '4')")
+    spark.sql("UPDATE graft.srt.t SET s = 'x' WHERE id < 500")
+    val r2 = graft.sources.GraftKvSink.fileStats(dir, "id")
+      .map { case (lo, hi) => (lo.toLong, hi.toLong) }.sortBy(_._1)
+    assert(r2.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, r2.toString)
+    assert(spark.table("graft.srt.t").where("s = 'x'").count() == 500L)
+    spark.sql("DROP TABLE IF EXISTS graft.srt.t")
+    // a sortBy column missing from the schema refuses at write planning
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_sort2").toString
+    val e = intercept[Exception] {
+      Seq((1L, "a")).toDF("id", "s").write
+        .format("graft.sources.GraftKvSink").option("path", dir2)
+        .option("sortBy", "nope").mode("overwrite").save()
+    }
+    assert(e.getMessage.contains("sortBy"), e.getMessage)
+  }
+
+  test("OPTIMIZE ZORDER BY re-clusters as a retained-history rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_zo").toString
+    // two dimensions deliberately scattered across files: a straight write
+    // of hash-ordered rows gives every file near-full-range min/max stats
+    val df = (0L until 4000L).map { i =>
+      val a = (i * 48271L) % 200L; val b = (i * 16807L) % 50L
+      (a, b, i.toDouble)
+    }.toDF("a", "b", "v")
+    df.repartition(4).write.format("graft.sources.GraftKvSink")
+      .option("path", dir).mode("overwrite").save()
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new graft.sources.GraftKvScan(dir, None, fs).planInputPartitions().length
+    // pre-rewrite: hash layout -> a box on either column prunes nothing
+    assert(planned(org.apache.spark.sql.sources.LessThanOrEqual("a", 20L)) == 4)
+    spark.sql("DROP TABLE IF EXISTS graft.zo.t")
+    spark.sql("CREATE TABLE graft.zo.t (a BIGINT, b BIGINT, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    spark.sql("OPTIMIZE graft.zo.t ZORDER BY (a, b) INTO 8 FILES")
+    assert(planned() == 8)
+    // both dimensions prune after the rewrite; rows conserved exactly
+    assert(planned(org.apache.spark.sql.sources.LessThanOrEqual("a", 20L)) < 8)
+    assert(planned(org.apache.spark.sql.sources.LessThanOrEqual("b", 5L)) < 8)
+    assert(spark.table("graft.zo.t").count() == 4000L)
+    assert(spark.table("graft.zo.t").agg(org.apache.spark.sql.functions
+      .sum($"v")).as[Double].head() == (0L until 4000L).map(_.toDouble).sum)
+    // the rewrite is a commit: pre-rewrite state still time-travels
+    assert(graft.sources.GraftKvSink.retainedFiles(dir).length == 4)
+    assert(spark.sql("SELECT count(*) FROM graft.zo.t VERSION AS OF 0")
+      .as[Long].head() == 4000L)
+    // refusal arms: unknown and non-numeric columns
+    val e1 = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.zo.t ZORDER BY (nope)") }
+    assert(e1.getMessage.contains("not in the table schema"), e1.getMessage)
+    // merge-on-read deltas present -> refuse toward plain OPTIMIZE
+    spark.sql("DROP TABLE IF EXISTS graft.zo.tm")
+    spark.sql("CREATE TABLE graft.zo.tm (a BIGINT, b BIGINT, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir', mor 'true')")
+    spark.sql("DELETE FROM graft.zo.tm WHERE a = 1")
+    val e2 = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.zo.tm ZORDER BY (a)") }
+    assert(e2.getMessage.contains("merge-on-read"), e2.getMessage)
+    spark.sql("DROP TABLE IF EXISTS graft.zo.tm")
+    spark.sql("DROP TABLE IF EXISTS graft.zo.t")
+  }
+
+  test("SHALLOW CLONE: zero-copy branch; clone maintenance never touches the source") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_kv_cln_s").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft_kv_cln_t")
+      .resolve("t").toString
+    def epochWrite(dir: String, epoch: Long, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "s").write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", epoch.toString)
+        .mode("append").save()
+    epochWrite(src, 1L, (1L, "a"), (2L, "b"))
+    epochWrite(src, 2L, (3L, "c"))
+    epochWrite(src, 3L, (4L, "d"))
+    spark.sql("DROP TABLE IF EXISTS graft.cln.s")
+    spark.sql("DROP TABLE IF EXISTS graft.cln.t")
+    spark.sql("CREATE TABLE graft.cln.s (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$src')")
+    spark.sql("CREATE TABLE graft.cln.t SHALLOW CLONE graft.cln.s " +
+      s"VERSION AS OF 2 LOCATION '$tgt'")
+    def ids(t: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq.sorted
+    // the clone is the boundary state, and NO data byte was copied:
+    // every reference is an absolute path into the source's directory
+    assert(ids("graft.cln.t") == Seq(1L, 2L, 3L))
+    val refs = graft.sources.GraftKvSink.listedFiles(tgt)._1
+    assert(refs.nonEmpty && refs.forall(_.startsWith("/")), refs)
+    // a pure-append source's pre-boundary states time-travel on the clone
+    // for free: the prefix of referenced files IS that state
+    assert(ids("graft.cln.t VERSION AS OF 1") == Seq(1L, 2L))
+    // divergence: an append to the clone never shows in the source
+    epochWrite(tgt, 5L, (9L, "z"))
+    assert(ids("graft.cln.t") == Seq(1L, 2L, 3L, 9L))
+    assert(ids("graft.cln.s") == Seq(1L, 2L, 3L, 4L))
+    // CoW DML on the clone rewrites LOCALLY; the source file survives
+    spark.sql("UPDATE graft.cln.t SET s = 'upd' WHERE id = 1")
+    assert(spark.sql("SELECT s FROM graft.cln.t WHERE id = 1")
+      .as[String].head() == "upd")
+    assert(ids("graft.cln.s") == Seq(1L, 2L, 3L, 4L))
+    // the CoW rewrite RETAINED the superseded foreign reference, so the
+    // pre-DML boundary still reconstructs exactly (clone history works)
+    assert(ids("graft.cln.t VERSION AS OF 2") == Seq(1L, 2L, 3L))
+    // vacuum on the clone (grace 0) reclaims its retained history but
+    // NEVER deletes foreign files — the source still reads completely
+    graft.sources.GraftKvSink.vacuum(tgt, graceMs = 0L)
+    assert(ids("graft.cln.s") == Seq(1L, 2L, 3L, 4L))
+    assert(ids("graft.cln.t").size == 4)
+    // post-vacuum, pre-rewrite states refuse like any vacuumed history
+    assertThrows[IllegalArgumentException] {
+      ids("graft.cln.t VERSION AS OF 1")
+    }
+    // compaction self-localizes the clone: foreign refs fold into local
+    // files, and the fold READS the foreign bytes without deleting them
+    spark.sql("OPTIMIZE graft.cln.t")
+    val after = graft.sources.GraftKvSink.listedFiles(tgt)._1
+    assert(after.forall(!_.startsWith("/")), after)
+    assert(ids("graft.cln.t").size == 4)
+    assert(ids("graft.cln.s") == Seq(1L, 2L, 3L, 4L))
+    // truncating DELETE on the (re-cloned) table drops references only
+    val tgt2 = java.nio.file.Files.createTempDirectory("graft_kv_cln_t2")
+      .resolve("t2").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cln.t2")
+    spark.sql("CREATE TABLE graft.cln.t2 SHALLOW CLONE graft.cln.s " +
+      s"LOCATION '$tgt2'")
+    assert(ids("graft.cln.t2") == Seq(1L, 2L, 3L, 4L))
+    spark.sql("DELETE FROM graft.cln.t2")
+    assert(ids("graft.cln.t2").isEmpty)
+    assert(ids("graft.cln.s") == Seq(1L, 2L, 3L, 4L)) // untouched
+    // a source with live MOR deltas refuses the clone
+    spark.sql("DROP TABLE IF EXISTS graft.cln.sm")
+    spark.sql("CREATE TABLE graft.cln.sm (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$src', mor 'true')")
+    spark.sql("DELETE FROM graft.cln.sm WHERE id = 2")
+    val e = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cln.t3 SHALLOW CLONE graft.cln.sm " +
+        s"LOCATION '${tgt2}_x'")
+    }
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    Seq("s", "t", "t2", "sm").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS graft.cln.$n"))
+  }
+
   test("fromEpoch batch-incremental reads: exact windows, pure-append fences") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_incr").toString
