@@ -1775,10 +1775,10 @@ object Ddl {
           s"SHALLOW CLONE source $src is not a kv catalog table"))
         val tgtKey = (if (tgt.toLowerCase.startsWith("graft."))
           tgt.substring("graft.".length) else tgt).toLowerCase
-        require(dsv2Get(tgtKey).isEmpty && lookup(tgt).isEmpty,
+        require(kvTableFor(tgt).isEmpty && lookup(tgt).isEmpty,
           s"SHALLOW CLONE target $tgt already exists")
         val e = graft.sources.GraftKvSink.shallowClone(
-          kvPathFor(src), loc, Option(verStr).map(_.toLong))
+          sDef.options("path"), loc, Option(verStr).map(_.toLong))
         dsv2Put(Dsv2Def(tgtKey, "graft_kv", sDef.schemaJson,
           sDef.options - "path" + ("path" -> loc)))
         status("CLONE", s"$tgt (shallow clone of $src at epoch $e)")

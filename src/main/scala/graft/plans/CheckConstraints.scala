@@ -32,9 +32,34 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
   * skipped for that command — deletes cannot introduce violations, and
   * UPDATE/MERGE queries always carry the columns they assign.
   */
-private[plans] object CheckConstraints {
+private[graft] object CheckConstraints {
 
   val Marker = "graft_check"
+
+  /** Driver-side: the full guard resolved by the session analyzer and
+    * bound BY ORDINAL to `schema` — for enforcement points outside a plan
+    * rewrite (the STREAMING write path, where no V2WriteCommand exists at
+    * analysis time to wrap). The bound expression ships to executors; each
+    * task compiles it once ([[org.apache.spark.sql.catalyst.expressions.Predicate]])
+    * and evaluates per row — a violation raises with the constraint name
+    * before the row reaches the writer. */
+  def boundGuard(session: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cs: Map[String, String]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, RuntimeReplaceable}
+    val attrs = schema.fields.toSeq.map(f =>
+      AttributeReference(f.name, f.dataType, f.nullable)())
+    val resolved = session.sessionState.analyzer.execute(
+      Project(Seq(Alias(guard(session, cs), "g")()), LocalRelation(attrs)))
+      .asInstanceOf[Project].projectList.head
+      .asInstanceOf[Alias].child
+      .transformUp { case r: RuntimeReplaceable => r.replacement }
+    resolved.transform {
+      case a: AttributeReference =>
+        BoundReference(attrs.indexWhere(_.exprId == a.exprId),
+          a.dataType, a.nullable)
+    }
+  }
 
   /** The wrap-once guard: our Filter's condition carries the marker in its
     * assert_true message literal (stable across resolution iterations and

@@ -158,9 +158,39 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    Ddl.dsv2Put(resolveDef(ident, schema, partitions, properties))
+    val d = resolveDef(ident, schema, partitions, properties)
+    // CHECK constraints bind to the TABLE: persist them in the manifest so
+    // every writer route (path-route batch, streaming, other sessions)
+    // enforces — and validate pre-existing rows first when CREATE points
+    // at a directory that already holds data (the ALTER contract)
+    val cs = GraftCatalog.constraintsOf(d.options)
+    if (cs.nonEmpty && d.provider == "graft_kv") {
+      val path = d.options("path")
+      validateChecks(path, cs)
+      GraftKvSink.setChecks(path, schema, cs)
+    }
+    Ddl.dsv2Put(d)
     loadTable(ident)
   }
+
+  /** Adding a constraint must not orphan already-violating rows: one
+    * limit-1 existence probe per constraint over the current table state
+    * (no manifest / no data = nothing to validate, but the expression
+    * text must still parse). */
+  private def validateChecks(path: String, cs: Map[String, String]): Unit =
+    cs.foreach { case (name, expr) =>
+      if (java.nio.file.Files.exists(GraftKvSink.manifestPath(path))) {
+        val violated = session.read.format("graft.sources.GraftKvSink")
+          .option("path", path).load()
+          .where(s"NOT coalesce(CAST(($expr) AS BOOLEAN), true)")
+          .limit(1).count() > 0
+        require(!violated,
+          s"graft_kv: cannot add CHECK constraint 'check.$name' — " +
+            s"existing rows violate ($expr)")
+      } else {
+        session.sessionState.sqlParser.parseExpression(expr)
+      }
+    }
 
   /** The validated catalog entry for a CREATE — shared by the eager
     * createTable and the staged (CTAS/RTAS) path, which defers the
@@ -330,7 +360,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
       // leaves orphans, never a manifest pointing at deleted files)
       if (truncateFirst) b.truncate() else b
     }
-    override def commitStagedChanges(): Unit = Ddl.dsv2Put(d)
+    override def commitStagedChanges(): Unit = {
+      // CTAS/RTAS: the staged write already published the data manifest;
+      // fold any declared constraints into it before the entry goes live
+      val cs = GraftCatalog.constraintsOf(d.options)
+      if (cs.nonEmpty && d.provider == "graft_kv")
+        d.options.get("path").foreach(p => GraftKvSink.setChecks(p,
+          DataType.fromJson(d.schemaJson).asInstanceOf[StructType], cs))
+      Ddl.dsv2Put(d)
+    }
     override def abortStagedChanges(): Unit =
       if (create) {
         // fresh table: reclaim whatever the aborted write published
@@ -373,18 +411,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
               s"can be set after CREATE, got '${p.property}'")
           val path = d.options.getOrElse("path", throw new IllegalStateException(
             s"kv table ${d.name} lacks a path option"))
-          if (java.nio.file.Files.exists(GraftKvSink.manifestPath(path))) {
-            val violated = session.read.format("graft.sources.GraftKvSink")
-              .option("path", path).load()
-              .where(s"NOT coalesce(CAST((${p.value}) AS BOOLEAN), true)")
-              .limit(1).count() > 0
-            require(!violated,
-              s"graft_kv: cannot add CHECK constraint '${p.property}' — " +
-                s"existing rows violate (${p.value})")
-          } else {
-            // no data yet: still fail fast on unparseable expression text
-            session.sessionState.sqlParser.parseExpression(p.value)
-          }
+          validateChecks(path, Map(k.stripPrefix("check.") -> p.value))
           opts + (k -> p.value)
         case p: TableChange.RemoveProperty =>
           val k = p.property.toLowerCase
@@ -427,6 +454,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
     // it first, then the catalog entry (bootstrap schema for empty tables)
     if (colChanges.nonEmpty)
       d.options.get("path").foreach(p => GraftKvSink.evolveSchema(p, next))
+    // keep the manifest's table-level constraint set in sync (SET adds,
+    // UNSET drops) so path-route and streaming writers see the change
+    if (propChanges.nonEmpty)
+      d.options.get("path").foreach(p =>
+        GraftKvSink.setChecks(p, next, GraftCatalog.constraintsOf(optsNext)))
     Ddl.dsv2Put(d.copy(schemaJson = next.json, options = optsNext))
     loadTable(ident)
   }

@@ -85,9 +85,24 @@ class GraftKvSink extends TableProvider {
     def ci(k: String): Option[String] =
       properties.asScala.collectFirst {
         case (key, v) if key.equalsIgnoreCase(k) => v }
-    new GraftKvTable(GraftKvSink.pathOf(properties), schema,
+    val dir = GraftKvSink.pathOf(properties)
+    // CHECK constraints bind to the TABLE: the path route reads them from
+    // the manifest (persisted there by the catalog's CREATE/ALTER), so a
+    // writer that never saw the catalog entry still enforces. Explicit
+    // `check.*` write options compose on top.
+    val mfChecks = {
+      val mf = GraftKvSink.manifestPath(dir)
+      if (Files.exists(mf)) GraftKvSink.readManifest(mf).checks
+      else Map.empty[String, String]
+    }
+    val optChecks = properties.asScala.collect {
+      case (k, v) if k.toLowerCase.startsWith("check.") =>
+        k.toLowerCase.stripPrefix("check.") -> v
+    }.toMap
+    new GraftKvTable(dir, schema,
       mor = Option(properties.get("mor")).exists(_.toBoolean),
       stampEpochs = Option(properties.get("epochs")).exists(_.toBoolean),
+      checkConstraints = mfChecks ++ optChecks,
       sortCols = GraftKvSink.sortColsOf(ci("sortBy")),
       sortBuckets = ci("sortBuckets").map(_.toInt).getOrElse(0))
   }
@@ -149,7 +164,15 @@ object GraftKvSink {
       // `TIMESTAMP AS OF t` resolves to the max epoch with ts <= t
       // (Iceberg's snapshot-at-timestamp rule); DESCRIBE HISTORY
       // surfaces them. Entries prune with their epochs (vacuum/compact).
-      epochTs: Map[Long, Long] = Map.empty) {
+      epochTs: Map[Long, Long] = Map.empty,
+      // CHECK CONSTRAINTS persisted in the TABLE's own metadata (the
+      // Delta-protocol stance: constraints bind to the table, so EVERY
+      // writer enforces them — catalog-route plans via the analysis
+      // rewrite, path-route plans via getTable reading this map, the
+      // streaming write via a bound predicate). Name -> boolean SQL text;
+      // carried verbatim across every publish (truncate included —
+      // constraints are table-level, not data-level).
+      checks: Map[String, String] = Map.empty) {
     /** THE boundary-state visibility rule — the one definition every
       * reader (scan, agg pushdown, changefeed planning) must share, or
       * metadata-answered COUNTs silently diverge from data-path reads: at
@@ -306,6 +329,9 @@ object GraftKvSink {
       // streaming-transaction entries: null = carry the prior manifest's
       // (pruned with their epochs); streaming commits pass the updated map
       txn: Map[Long, String] = null,
+      // CHECK constraints: null = carry the prior manifest's verbatim
+      // (table-level metadata, truncate-proof); setChecks passes updates
+      checks: Map[String, String] = null,
       // the currently-published manifest, when the caller (always under
       // the same commit lock) has already read it — saves the second
       // full JSON parse per publish, which the per-file stats/bloom maps
@@ -355,6 +381,15 @@ object GraftKvSink {
         val to = root.putObject("txn")
         txnKept.toSeq.sortBy(_._1).foreach { case (e, q) =>
           to.put(e.toString, q) }
+      }
+      // CHECK constraints are TABLE-level: carried verbatim across every
+      // publish, truncate included (null = keep the prior's; setChecks
+      // passes the updated map)
+      val checksKept =
+        Option(checks).orElse(prior.map(_.checks)).getOrElse(Map.empty)
+      if (checksKept.nonEmpty) {
+        val co = root.putObject("checks")
+        checksKept.toSeq.sortBy(_._1).foreach { case (k, v) => co.put(k, v) }
       }
     }
     val arr = root.putArray("files")
@@ -437,8 +472,12 @@ object GraftKvSink {
       o.properties().iterator().asScala
         .map(e => e.getKey.toLong -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[Long, String])
+    val checks = Option(root.get("checks")).map { o =>
+      o.properties().iterator().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver,
-      txn, ets)
+      txn, ets, checks)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -668,7 +707,10 @@ object GraftKvSink {
         priorHint = Some(m0))
       m0.removed.foreach(r => deleteOwned(dir, r.name))
     }
-    stray.length + (if (reclaimHistory) m0.removed.length else 0)
+    // report only files actually DELETED: a clone's foreign references
+    // are dropped from the manifest but never removed from the source
+    stray.length +
+      (if (reclaimHistory) m0.removed.count(r => !isForeign(r.name)) else 0)
   }
 
   /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF` shape): roll the
@@ -838,39 +880,44 @@ object GraftKvSink {
     }.reduce(_ bitwiseOR _)
     val n = if (buckets > 0) buckets else math.max(1, m0.files.length)
     val scratch = Files.createTempDirectory("graft_zorder").toString
-    df.withColumn("__graft_z", z)
-      .repartitionByRange(n, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
-      .write.format("graft.sources.GraftKvSink").option("path", scratch)
-      .option("epoch", newEpoch.toString)
-      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
-    withCommitLock(dir) {
-      val m = readManifest(mfp)
-      require(m.version == plannedVersion,
-        s"graft_kv: concurrent commit during ZORDER rewrite of $dir " +
-          s"(version ${m.version}, planned $plannedVersion) — rerun OPTIMIZE")
-      val tm = readManifest(manifestPath(scratch))
-      // a rewrite must conserve rows exactly — refuse over silently losing
-      require(tm.files.map(_._2).sum == m.files.map(_._2).sum,
-        s"graft_kv: ZORDER rewrite row count ${tm.files.map(_._2).sum} != " +
-          s"visible ${m.files.map(_._2).sum} at $dir — aborted, no commit")
-      tm.files.foreach { case (nm, _) =>
-        Files.move(Paths.get(scratch, nm), Paths.get(dir, nm)) }
-      // old files' stats stay keyed by name: retained history still prunes
-      writeManifest(dir, m.schema, tm.files, m.compactedUpTo,
-        m.stats ++ tm.stats, m.blooms ++ tm.blooms, Nil,
-        m.removed ++ m.files.map { case (nm, r) =>
-          RemovedFile(nm, r, newEpoch) },
-        rewrittenUpTo = newEpoch, priorHint = Some(m))
-    }
-    // best-effort scratch cleanup (lock/manifest remnants); data moved out
     try {
-      val s = Files.list(Paths.get(scratch))
-      try s.iterator().asScala.foreach(Files.deleteIfExists)
-      finally s.close()
-      Files.deleteIfExists(Paths.get(scratch))
-    } catch { case _: java.io.IOException => () }
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(n, col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z")
+        .write.format("graft.sources.GraftKvSink").option("path", scratch)
+        .option("epoch", newEpoch.toString)
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+      withCommitLock(dir) {
+        val m = readManifest(mfp)
+        require(m.version == plannedVersion,
+          s"graft_kv: concurrent commit during ZORDER rewrite of $dir " +
+            s"(version ${m.version}, planned $plannedVersion) — rerun OPTIMIZE")
+        val tm = readManifest(manifestPath(scratch))
+        // a rewrite must conserve rows exactly — refuse over silently losing
+        require(tm.files.map(_._2).sum == m.files.map(_._2).sum,
+          s"graft_kv: ZORDER rewrite row count ${tm.files.map(_._2).sum} != " +
+            s"visible ${m.files.map(_._2).sum} at $dir — aborted, no commit")
+        tm.files.foreach { case (nm, _) =>
+          Files.move(Paths.get(scratch, nm), Paths.get(dir, nm)) }
+        // retained files scan unpruned until vacuum (manifest stats nest
+        // under live file entries — the same trade the CoW replace makes)
+        writeManifest(dir, m.schema, tm.files, m.compactedUpTo,
+          tm.stats, tm.blooms, Nil,
+          m.removed ++ m.files.map { case (nm, r) =>
+            RemovedFile(nm, r, newEpoch) },
+          rewrittenUpTo = newEpoch, priorHint = Some(m))
+      }
+    } finally {
+      // ALWAYS reclaim the scratch copy — a refused commit (concurrent
+      // writer, row-count mismatch) must not strand a full table rewrite
+      try {
+        val s = Files.list(Paths.get(scratch))
+        try s.iterator().asScala.foreach(Files.deleteIfExists)
+        finally s.close()
+        Files.deleteIfExists(Paths.get(scratch))
+      } catch { case _: java.io.IOException => () }
+    }
     newEpoch
   }
 
@@ -1057,7 +1104,7 @@ object GraftKvSink {
     * as epochs land (Delta/Iceberg raise VERSION_NOT_FOUND here). */
   private[sources] def requireAnswerableEpoch(m: Manifest, n: Long): Unit = {
     require(m.compactedUpTo < 0L || n >= m.compactedUpTo,
-      s"graft_kv: asOfEpoch=$n predates compacted history " +
+      s"graft_kv: epoch $n predates compacted history " +
         s"(epochs <= ${m.compactedUpTo} were vacuumed)")
     // the newest committed epoch can live only in the fences: a DML that
     // emptied every affected file publishes no replacement (epoch 3 is
@@ -1067,7 +1114,7 @@ object GraftKvSink {
       m.removed.map(_.removedAt) ++
       Seq(m.rewrittenUpTo, m.compactedUpTo)).max.max(0L)
     require(n <= head,
-      s"graft_kv: asOfEpoch=$n is beyond the newest committed epoch " +
+      s"graft_kv: epoch $n is beyond the newest committed epoch " +
         s"$head — version not found")
   }
 
@@ -1121,6 +1168,27 @@ object GraftKvSink {
         s"${cur.simpleString} to ${next.simpleString}")
     writeManifest(dir, next, m.files, m.compactedUpTo, m.stats, m.blooms,
       m.deltas, m.removed, m.rewrittenUpTo, priorHint = Some(m))
+  }
+
+  /** Persist CHECK constraints into the table's own metadata (the Delta-
+    * protocol stance: constraints bind to the TABLE, so a writer that
+    * never saw the catalog entry — the path route, another session —
+    * still enforces them via getTable/the streaming write). No manifest
+    * yet (CREATE before first write): bootstrap one with the schema and
+    * zero files, so the constraint exists before any row can. */
+  private[sources] def setChecks(dir: String, schema: StructType,
+      cs: Map[String, String]): Unit = withCommitLock(dir) {
+    val mf = manifestPath(dir)
+    if (Files.exists(mf)) {
+      val m = readManifest(mf)
+      if (m.checks != cs)
+        writeManifest(dir, m.schema, m.files, m.compactedUpTo, m.stats,
+          m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
+          checks = cs, priorHint = Some(m))
+    } else if (cs.nonEmpty) {
+      Files.createDirectories(Paths.get(dir))
+      writeManifest(dir, schema, Seq.empty, checks = cs)
+    }
   }
 
   /** The CDC read schema: data columns plus the change kind and the epoch
@@ -1325,7 +1393,10 @@ object GraftKvSink {
     }
     dOld.foreach(d => deleteOwned(dir, d.name))
     rOld.foreach(r => deleteOwned(dir, r.name))
-    old.count(_._1 != target) + dOld.length + rOld.length
+    // merged-file count reports only files actually deleted (a clone's
+    // foreign references fold into the local target but stay in place)
+    old.count(f => f._1 != target && !isForeign(f._1)) +
+      dOld.length + rOld.count(r => !isForeign(r.name))
   }
 }
 
@@ -1497,7 +1568,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     new GraftKvWriteBuilder(dir, info.schema(),
       Option(info.options.get("epoch")).map(_.toLong),
       stampEpochs = stampEpochs, queryId = info.queryId(),
-      sortCols = sortCols, sortBuckets = sortBuckets)
+      sortCols = sortCols, sortBuckets = sortBuckets,
+      checks = checkConstraints)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
@@ -1988,7 +2060,8 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
     stampEpochs: Boolean = false,
     queryId: String = "",
     sortCols: Seq[String] = Nil,
-    sortBuckets: Int = 0)
+    sortBuckets: Int = 0,
+    checks: Map[String, String] = Map.empty)
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
@@ -1998,7 +2071,7 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
           snapshot, stampEpochs)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftKvStreamingWrite(dir, schema, queryId)
+        new GraftKvStreamingWrite(dir, schema, queryId, checks)
     }
     // `sortBy` tables: ask Spark to range-partition + sort the write's own
     // query (RequiresDistributionAndOrdering) — the declarative form of the
@@ -2021,7 +2094,7 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
           snapshot, stampEpochs)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftKvStreamingWrite(dir, schema, queryId)
+        new GraftKvStreamingWrite(dir, schema, queryId, checks)
     }
 }
 
@@ -2032,7 +2105,8 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
   * discards the duplicate attempt files. That name-keyed dedup is the
   * standard exactly-once recipe for file-manifest streaming sinks. */
 final class GraftKvStreamingWrite(dir: String, schema: StructType,
-    queryId: String = "")
+    queryId: String = "",
+    checks: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -2040,13 +2114,35 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
     Files.createDirectories(Paths.get(dir))
     val schemaJson = schema.json
     val d = dir
+    // CHECK constraints on a STREAMING write: no V2WriteCommand exists at
+    // analysis time to wrap, so the guard is resolved + bound BY ORDINAL
+    // here on the driver and evaluated per row in each task — a violation
+    // fails the micro-batch before its epoch commits
+    val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      if (checks.isEmpty) None
+      else Some(graft.plans.CheckConstraints.boundGuard(
+        org.apache.spark.sql.SparkSession.active, schema, checks))
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] = {
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        new GraftKvWriter(d, sch,
+        val inner = new GraftKvWriter(d, sch,
           f"epoch-$epochId-part-$partitionId%05d-$taskId.tmp",
           f"epoch-$epochId-part-$partitionId%05d-$taskId.kv")
+        guard match {
+          case None => inner
+          case Some(g) => new DataWriter[InternalRow] {
+            private val p =
+              org.apache.spark.sql.catalyst.expressions.Predicate.create(g)
+            p.initialize(partitionId)
+            override def write(r: InternalRow): Unit = {
+              p.eval(r); inner.write(r) // eval raises on violation
+            }
+            override def commit(): WriterCommitMessage = inner.commit()
+            override def abort(): Unit = inner.abort()
+            override def close(): Unit = inner.close()
+          }
+        }
       }
     }
   }

@@ -1126,6 +1126,72 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft.cns.t")
   }
 
+  test("CHECK constraints bind to the table: path-route and streaming writers enforce") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def allMsgs(t: Throwable): String = {
+      var m = new StringBuilder; var c: Throwable = t
+      while (c != null) { m ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m.toString
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_cns2")
+    val dir = root.resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cns.p")
+    spark.sql("CREATE TABLE graft.cns.p (id BIGINT, qty DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir', 'check.qty_pos' = 'qty >= 0')")
+    def kvCount: Long = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).load().count()
+    // the constraint is persisted in the MANIFEST at CREATE, so a
+    // PATH-ROUTE writer that never saw the catalog entry still refuses
+    val e1 = intercept[Exception] {
+      Seq((1L, -2.0)).toDF("id", "qty").write
+        .format("graft.sources.GraftKvSink").option("path", dir)
+        .mode("append").save()
+    }
+    assert(allMsgs(e1).contains("qty_pos"), allMsgs(e1))
+    assert(kvCount == 0)
+    Seq((1L, 2.0)).toDF("id", "qty").write
+      .format("graft.sources.GraftKvSink").option("path", dir)
+      .mode("append").save()
+    assert(kvCount == 1)
+    // a STREAMING writer enforces per row — a violating micro-batch fails
+    // BEFORE its epoch commits; clean batches commit normally
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Double)]
+    val q = ms.toDF().toDF("id", "qty").writeStream
+      .format("graft.sources.GraftKvSink").option("path", dir)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    ms.addData((2L, 3.0))
+    q.processAllAvailable()
+    assert(kvCount == 2)
+    ms.addData((3L, -1.0))
+    val e2 = intercept[Exception] { q.processAllAvailable() }
+    assert(allMsgs(e2).contains("qty_pos"), allMsgs(e2))
+    q.stop()
+    assert(kvCount == 2) // the violating epoch never published
+    // table-level metadata survives a truncating overwrite
+    spark.sql("INSERT OVERWRITE graft.cns.p VALUES (CAST(9 AS BIGINT), 1.0D)")
+    val e3 = intercept[Exception] {
+      Seq((4L, -9.0)).toDF("id", "qty").write
+        .format("graft.sources.GraftKvSink").option("path", dir)
+        .mode("append").save()
+    }
+    assert(allMsgs(e3).contains("qty_pos"), allMsgs(e3))
+    // CREATE over a directory whose existing rows violate refuses —
+    // the ALTER add-constraint contract applies to CREATE too
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_cns3").toString
+    Seq((1L, -5.0)).toDF("id", "qty").write
+      .format("graft.sources.GraftKvSink").option("path", dir2)
+      .mode("overwrite").save()
+    spark.sql("DROP TABLE IF EXISTS graft.cns.v")
+    val e4 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cns.v (id BIGINT, qty DOUBLE) " +
+        s"USING graft_kv OPTIONS (path '$dir2', 'check.qty_pos' = 'qty >= 0')")
+    }
+    assert(allMsgs(e4).contains("existing rows violate"), allMsgs(e4))
+    spark.sql("DROP TABLE IF EXISTS graft.cns.p")
+  }
+
   test("RESTORE TABLE rolls a kv table back to an epoch boundary as a new commit") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_rst").toString
