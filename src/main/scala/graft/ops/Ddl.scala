@@ -511,6 +511,10 @@ object Ddl {
   // to two dots, wider than $Id
   private val DescHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+((?:\w+\.){0,2}\w+)\s*""".r
+  // DESCRIBE DETAIL (the Delta shape): one-row table-metadata snapshot —
+  // format, location, file/row/byte counts, clustering, constraints
+  private val DescDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+((?:\w+\.){0,2}\w+)\s*""".r
   // table maintenance, Delta-style: OPTIMIZE folds epochs/deltas into
   // compacted base files; VACUUM reclaims unreferenced + retained files
   private val OptimizeRe =
@@ -1184,6 +1188,12 @@ object Ddl {
     Seq("version" -> LongType, "operation" -> StringType,
       "rows_added" -> LongType, "rows_deleted" -> LongType,
       "commit_ts" -> TimestampType)
+  private val detailCols: Seq[(String, DataType)] =
+    Seq("format" -> StringType, "location" -> StringType,
+      "num_files" -> LongType, "num_rows" -> LongType,
+      "size_bytes" -> LongType, "num_delta_files" -> LongType,
+      "num_retained_files" -> LongType, "clustering_columns" -> StringType,
+      "constraints" -> StringType, "version" -> LongType)
   private val indexesCols: Seq[(String, DataType)] =
     Seq("index" -> StringType, "source" -> StringType, "col" -> StringType,
       "stale" -> BooleanType)
@@ -1272,6 +1282,7 @@ object Ddl {
     case CreateMvRe(_*)                              => Some(statusCols)
     case ShowVersionsRe(n) if lookup(n).isDefined    => Some(versionsCols)
     case DescHistoryRe(n) if kvTableFor(n).isDefined => Some(historyCols)
+    case DescDetailRe(n) if kvTableFor(n).isDefined  => Some(detailCols)
     case OptimizeZorderRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
@@ -1740,6 +1751,16 @@ object Ddl {
         graft.sources.GraftKvSink.history(kvPathFor(name))
           .toDF("version", "operation", "rows_added", "rows_deleted",
             "commit_ts")
+      case DescDetailRe(name) if kvTableFor(name).isDefined =>
+        val d = kvTableFor(name).get
+        val path = kvPathFor(name)
+        val (nf, nr, sz, nd, nret, ver, cks) =
+          graft.sources.GraftKvSink.detail(path)
+        Seq(("graft_kv", path, nf, nr, sz, nd, nret,
+          d.options.getOrElse("sortby", ""), cks.mkString(","), ver))
+          .toDF("format", "location", "num_files", "num_rows", "size_bytes",
+            "num_delta_files", "num_retained_files", "clustering_columns",
+            "constraints", "version")
       case OptimizeZorderRe(name, colsStr, nStr) =>
         // OPTIMIZE … ZORDER BY: distributed quantile-bucket Morton
         // re-clustering; old files become retained history (see

@@ -1039,6 +1039,23 @@ object GraftKvSink {
   def retainedFiles(dir: String): Seq[String] =
     readManifest(manifestPath(dir)).removed.map(_.name)
 
+  /** DESCRIBE DETAIL: a one-row metadata snapshot of the current state —
+    * (numFiles, visibleRows, sizeBytes, numDeltaFiles, numRetainedFiles,
+    * manifestVersion, constraintNames). Rows account for merge-on-read
+    * deltas the way every other metadata answer here does. */
+  def detail(dir: String)
+      : (Long, Long, Long, Long, Long, Long, Seq[String]) = {
+    val m = readManifest(manifestPath(dir))
+    val bytes = m.files.map { case (n, _) =>
+      val p = dataPath(dir, n)
+      if (Files.exists(p)) Files.size(p) else 0L
+    }.sum
+    val rows = math.max(0L, m.files.map(_._2).sum +
+      m.deltas.map(d => d.inserts - d.deletes).sum)
+    (m.files.length.toLong, rows, bytes, m.deltas.length.toLong,
+      m.removed.length.toLong, m.version, m.checks.keys.toSeq.sorted)
+  }
+
   /** Read-only introspection (layout assertions): per-visible-file
     * (min, max) stats for `col`, stringly as the manifest stores them;
     * files without stats for the column are omitted. */
@@ -1471,6 +1488,19 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
   override def name(): String =
     s"graft_kv($dir${pinnedEpoch.map(n => s" version=$n").getOrElse("")})"
   override def schema(): StructType = tableSchema
+  /** `SHOW TBLPROPERTIES graft.ns.t` surfaces the table's behavioral
+    * options and constraint set through Spark's own command. */
+  override def properties(): util.Map[String, String] = {
+    val m = new java.util.LinkedHashMap[String, String]()
+    m.put("path", dir)
+    if (mor) m.put("mor", "true")
+    if (stampEpochs) m.put("epochs", "true")
+    if (sortCols.nonEmpty) m.put("sortby", sortCols.mkString(","))
+    if (sortBuckets > 0) m.put("sortbuckets", sortBuckets.toString)
+    checkConstraints.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      m.put(s"check.$k", v) }
+    m
+  }
   override def capabilities(): util.Set[TableCapability] =
     if (pinnedEpoch.isDefined) Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -1605,7 +1635,30 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // Kafka startingOffsets shape). Also what lets a CDC stream start on
     // a copy-on-write table AFTER its last rewrite: epochs from n on have
     // exact change records even though older history does not.
-    val startEpoch = Option(options.get("startingEpoch")).map(_.toLong)
+    val startEpochOpt = Option(options.get("startingEpoch")).map(_.toLong)
+    // `.option("startingTimestamp", t)` — the wall-clock spelling of a
+    // stream's starting point (Delta's startingTimestamp): resolves to the
+    // first epoch committed strictly AFTER the boundary at t (before the
+    // earliest commit = the whole history), then follows the exact
+    // startingEpoch path, gates included.
+    val startTs = Option(options.get("startingTimestamp")).map { s =>
+      try s.toLong
+      catch { case _: NumberFormatException =>
+        java.time.Instant.parse(s).toEpochMilli }
+    }
+    startTs.foreach { _ => require(startEpochOpt.isEmpty,
+      "graft_kv: startingTimestamp and startingEpoch are mutually " +
+        "exclusive — pick one spelling of the starting point") }
+    val startEpoch = startEpochOpt.orElse(startTs.map { t =>
+      val mfp0 = GraftKvSink.manifestPath(dir)
+      require(Files.exists(mfp0), s"graft_kv: no manifest at $dir")
+      val ets = GraftKvSink.readManifest(mfp0).epochTs
+      require(ets.nonEmpty,
+        s"graft_kv: $dir has no recorded commit timestamps " +
+          "(pre-timestamp manifest); use startingEpoch")
+      if (t < ets.values.min) 0L
+      else GraftKvSink.resolveTimestamp(dir, t) + 1L
+    })
     // `.option("fromEpoch", n)` on a BATCH read: only rows appended by
     // epochs >= n (optionally bounded above by asOfEpoch) — the Delta
     // `startingVersion` batch-incremental shape: a periodic batch job
@@ -1616,7 +1669,30 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // incremental consumer of mutated history needs readChangeFeed).
     // Epoch-less batch files count as epoch 0, matching every other
     // epoch-keyed surface here.
-    val fromEpoch = Option(options.get("fromEpoch")).map(_.toLong)
+    val fromEpochOpt = Option(options.get("fromEpoch")).map(_.toLong)
+    // `.option("fromTimestamp", t)` — the wall-clock spelling of the same
+    // high-water mark (epoch-millis or an ISO-8601 instant): resolves to
+    // the first epoch committed strictly AFTER the boundary the TIMESTAMP
+    // AS OF rule answers at t (a time before the earliest commit means
+    // "everything"), then follows the exact fromEpoch path and gates.
+    val fromTs = Option(options.get("fromTimestamp")).map { s =>
+      try s.toLong
+      catch { case _: NumberFormatException =>
+        java.time.Instant.parse(s).toEpochMilli }
+    }
+    fromTs.foreach { _ => require(fromEpochOpt.isEmpty,
+      "graft_kv: fromTimestamp and fromEpoch are mutually exclusive — " +
+        "pick one spelling of the high-water mark") }
+    val fromEpoch = fromEpochOpt.orElse(fromTs.map { t =>
+      val mfp0 = GraftKvSink.manifestPath(dir)
+      require(Files.exists(mfp0), s"graft_kv: no manifest at $dir")
+      val ets = GraftKvSink.readManifest(mfp0).epochTs
+      require(ets.nonEmpty,
+        s"graft_kv: $dir has no recorded commit timestamps " +
+          "(pre-timestamp manifest); use fromEpoch")
+      if (t < ets.values.min) 0L
+      else GraftKvSink.resolveTimestamp(dir, t) + 1L
+    })
     fromEpoch.foreach { n =>
       require(n >= 0L, s"graft_kv: fromEpoch=$n — epochs are >= 0")
       require(!cdc && startEpoch.isEmpty,

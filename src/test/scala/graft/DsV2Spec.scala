@@ -1410,6 +1410,67 @@ class DsV2Spec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft.cln.$n"))
   }
 
+  test("fromTimestamp incremental reads resolve via commit clocks; DESCRIBE DETAIL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_fts").toString
+    def epochWrite(epoch: Long, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "s").write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", epoch.toString)
+        .mode("append").save()
+    epochWrite(1L, (1L, "a"), (2L, "b"))
+    epochWrite(2L, (3L, "c"))
+    epochWrite(3L, (4L, "d"))
+    spark.sql("DROP TABLE IF EXISTS graft.dt.t")
+    spark.sql("CREATE TABLE graft.dt.t (id BIGINT, s STRING) USING graft_kv " +
+      s"OPTIONS (path '$dir', 'check.id_pos' = 'id > 0')")
+    // the only honest clock source: read the recorded stamps back
+    val ts = spark.sql("DESCRIBE HISTORY graft.dt.t")
+      .select("version", "commit_ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    def incr(t: Long): Seq[Long] =
+      spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("fromTimestamp", t.toString).load()
+        .select("id").as[Long].collect().toSeq.sorted
+    assert(incr(ts(2L)) == Seq(4L))           // strictly after epoch 2's commit
+    assert(incr(ts(2L) - 1L) == Seq(3L, 4L))  // between commits 1 and 2
+    assert(incr(ts(1L) - 100000L) == Seq(1L, 2L, 3L, 4L)) // before first: all
+    assert(incr(ts(3L) + 100000L) == Seq.empty)           // future: nothing new
+    // ISO-8601 spelling resolves identically
+    assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+      .option("fromTimestamp",
+        java.time.Instant.ofEpochMilli(ts(2L)).toString).load()
+      .select("id").as[Long].collect().toSeq.sorted == Seq(4L))
+    assertThrows[IllegalArgumentException] {
+      spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+        .option("fromTimestamp", ts(2L).toString)
+        .option("fromEpoch", "2").load().count()
+    }
+    // startingTimestamp: the streaming spelling of the same clock — a
+    // stream from epoch-2's commit instant replays strictly-later epochs
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_fts_ck")
+    val q = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("startingTimestamp", ts(2L).toString).load()
+      .writeStream.format("memory").queryName("startts_snap")
+      .option("checkpointLocation", root.resolve("ck").toString).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("startts_snap").collect().map(_.getLong(0)).toSet ==
+      Set(4L))
+    // SHOW TBLPROPERTIES surfaces the behavioral options + constraints
+    val props = spark.sql("SHOW TBLPROPERTIES graft.dt.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("check.id_pos").contains("id > 0"), props)
+    assert(props.get("path").contains(dir), props)
+    // DESCRIBE DETAIL: the one-row metadata snapshot
+    val det = spark.sql("DESCRIBE DETAIL graft.dt.t").collect().head
+    assert(det.getAs[String]("format") == "graft_kv")
+    assert(det.getAs[Long]("num_files") >= 3L) // >=: small writes may split
+    assert(det.getAs[Long]("num_rows") == 4L)
+    assert(det.getAs[Long]("size_bytes") > 0L)
+    assert(det.getAs[Long]("num_delta_files") == 0L)
+    assert(det.getAs[String]("constraints") == "id_pos")
+    spark.sql("DROP TABLE IF EXISTS graft.dt.t")
+  }
+
   test("fromEpoch batch-incremental reads: exact windows, pure-append fences") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_incr").toString
