@@ -526,6 +526,17 @@ object Ddl {
     """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
+  // VACUUM t [RETAIN n MINUTES] DRY RUN: list what a real vacuum would
+  // act on, one (file, reason) row each; deletes nothing
+  private val VacuumDryRe =
+    ("""(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+""" +
+      """MINUTES)?\s+DRY\s+RUN\s*""").r
+  // RESTORE TABLE t TO TIMESTAMP AS OF '<ts>': the wall-clock spelling —
+  // resolves via the timestamp-as-of prefix rule, then restores to that
+  // epoch boundary (kv catalog tables only; keyed tables count mutations)
+  private val RestoreTsRe =
+    ("""(?is)\s*RESTORE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+TO\s+TIMESTAMP""" +
+      """\s+AS\s+OF\s+'([^']+)'\s*""").r
   // keyed tables: TO VERSION n (mutation-log truncation). kv catalog
   // tables: also accepts Delta's TO VERSION AS OF n — a manifest-level
   // restore COMMIT (post-boundary files move to retained history).
@@ -1005,6 +1016,70 @@ object Ddl {
       mv: graft.plans.MvDef): Unit =
     mvPartials(base, mv).write.mode(SaveMode.Overwrite).parquet(mv.snapshotPath)
 
+  /** INCREMENTAL VIEW MAINTENANCE for a kv MV across NON-APPEND history
+    * (CoW rewrites / merge-on-read deltas since the build): instead of
+    * rescanning the table, read ONLY the files whose visibility changed
+    * between the built-at boundary and the head (the manifest diff the
+    * batch changefeed uses), except-all each way, and append SIGNED
+    * partial rows — deletions carry negated count/sums, so the rewrite's
+    * fold nets them exactly (decimal partials are lossless). A group whose
+    * rows all vanished must disappear rather than fold to a zero-count
+    * row, so when any group nets to zero the snapshot is re-folded in
+    * place — O(MV), never O(table). Returns false (caller falls back to a
+    * full rebuild) when the window is unanswerable: pre-epoch history,
+    * vacuumed/compacted boundaries. At 100 TB this is the difference
+    * between a REFRESH that reads one rewritten file pair and one that
+    * rescans the corpus. */
+  private def ivmRefreshKvMv(spark: SparkSession, mv: graft.plans.MvDef,
+      head: Long): Boolean = {
+    // the manifest diff compares EPOCH-BOUNDARY states: an unchanged head
+    // (epoch-less commits re-landing at epoch 0) or any un-stamped file in
+    // the table makes boundaries blind to the change — rebuild instead
+    if (mv.kvHead < 0L || head <= mv.kvHead) return false
+    def stamped(n: String): Boolean =
+      n.substring(n.lastIndexOf('/') + 1).startsWith("epoch-")
+    val (dataFiles, deltaFiles) =
+      graft.sources.GraftKvSink.listedFiles(mv.sourcePath)
+    if (!(dataFiles ++ deltaFiles ++
+      graft.sources.GraftKvSink.retainedFiles(mv.sourcePath))
+      .forall(stamped)) return false
+    val (fromFiles, toFiles) =
+      try graft.sources.GraftKvSink.changedFiles(mv.sourcePath, mv.kvHead, head)
+      catch { case _: IllegalArgumentException => return false }
+    def rd(files: Seq[String], e: Long): DataFrame =
+      spark.read.format("graft.sources.GraftKvSink")
+        .option("path", mv.sourcePath).option("asOfEpoch", e.toString)
+        .option("onlyFiles", files.mkString(",")).load()
+    val ins = rd(toFiles, head).exceptAll(rd(fromFiles, mv.kvHead))
+    val del = rd(fromFiles, mv.kvHead).exceptAll(rd(toFiles, head))
+    val partialCols = mv.cntCol +: mv.sums.values.toSeq.sorted
+    val delNeg = mvPartials(del, mv).select(
+      mv.groupCols.map(c => col(c)) ++
+        partialCols.map(c => (-col(c)).as(c)): _*)
+    mvPartials(ins, mv).unionByName(delNeg)
+      .write.mode(SaveMode.Append).parquet(mv.snapshotPath)
+    val snap = spark.read.parquet(mv.snapshotPath)
+    val netZero = snap.groupBy(mv.groupCols.map(c => col(c)): _*)
+      .agg(sum(col(mv.cntCol)).as("n")).where(col("n") <= 0L)
+      .limit(1).count() > 0
+    if (netZero) {
+      // re-fold, preserving the snapshot's exact column types so future
+      // O(delta) appends keep matching the parquet schema
+      val stage = mv.snapshotPath + "_stage"
+      def origType(c: String) = snap.schema(c).dataType
+      val sums = mv.sums.values.toSeq.sorted.map(c =>
+        sum(col(c)).cast(origType(c)).as(c))
+      snap.groupBy(mv.groupCols.map(c => col(c)): _*)
+        .agg(sum(col(mv.cntCol)).cast(origType(mv.cntCol)).as(mv.cntCol),
+          sums: _*)
+        .where(col(mv.cntCol) > 0L)
+        .write.mode(SaveMode.Overwrite).parquet(stage)
+      spark.read.parquet(stage).write.mode(SaveMode.Overwrite)
+        .parquet(mv.snapshotPath)
+    }
+    true
+  }
+
   /** CREATE MATERIALIZED VIEW on a kv CATALOG table — the decomposable
     * rollup machinery serving the connector world, with the same
     * manifest-version freshness contract as kv indexes: the def records
@@ -1188,6 +1263,8 @@ object Ddl {
     Seq("version" -> LongType, "operation" -> StringType,
       "rows_added" -> LongType, "rows_deleted" -> LongType,
       "commit_ts" -> TimestampType)
+  private val vacuumCols: Seq[(String, DataType)] =
+    Seq("file" -> StringType, "reason" -> StringType)
   private val detailCols: Seq[(String, DataType)] =
     Seq("format" -> StringType, "location" -> StringType,
       "num_files" -> LongType, "num_rows" -> LongType,
@@ -1286,6 +1363,8 @@ object Ddl {
     case OptimizeZorderRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
+    case VacuumDryRe(n, _) if kvTableFor(n).isDefined => Some(vacuumCols)
+    case RestoreTsRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case RestoreRe(n, _) if lookup(n).isDefined ||
       kvTableFor(n).isDefined                        => Some(statusCols)
     case CloneRe(_, s, _, _) if kvTableFor(s).isDefined => Some(statusCols)
@@ -1788,6 +1867,22 @@ object Ddl {
           case None    => graft.sources.GraftKvSink.vacuum(path)
         }
         status("VACUUM", s"$name ($removed files reclaimed)")
+      case VacuumDryRe(name, retainStr) =>
+        // read-only preview: what would the equivalent VACUUM act on
+        val rows = graft.sources.GraftKvSink.vacuumDryRun(kvPathFor(name),
+          Option(retainStr).map(_.toLong * 60L * 1000L)
+            .getOrElse(10L * 60L * 1000L))
+        rows.toDF("file", "reason")
+      case RestoreTsRe(name, tsStr)
+          if lookup(name).isEmpty && kvTableFor(name).isDefined =>
+        // wall-clock restore: resolve the boundary by the timestamp-as-of
+        // prefix rule, then take the exact VERSION AS OF restore path
+        val path = kvPathFor(name)
+        val epoch = graft.sources.GraftKvSink.resolveTimestamp(path,
+          graft.sources.GraftKvSink.parseTsMillis(tsStr))
+        val e = graft.sources.GraftKvSink.restore(path, epoch)
+        status("RESTORE", s"$name (timestamp -> epoch $epoch, " +
+          s"restore commit epoch $e)")
       case CloneRe(tgt, src, verStr, loc) =>
         // zero-copy branch: one manifest write references the source's
         // visible files in place; the catalog entry inherits the source's
@@ -1882,7 +1977,11 @@ object Ddl {
                   .write.mode(SaveMode.Append).parquet(mv0.snapshotPath)
               }
             case None =>
-              buildMvSnapshotFrom(spark.table(mv0.table), mv0)
+              // not pure appends: try O(changed-files) incremental view
+              // maintenance from the manifest diff before paying a full
+              // table rebuild (see ivmRefreshKvMv)
+              if (!ivmRefreshKvMv(spark, mv0, head))
+                buildMvSnapshotFrom(spark.table(mv0.table), mv0)
           }
           val fresh =
             mv0.copy(kvVersion = ver, kvHead = head, kvHeadTs = headTs)

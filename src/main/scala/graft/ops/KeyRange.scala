@@ -381,6 +381,57 @@ object KeyRange {
     s.read.parquet(out).orderBy(col("o_orderstatus"))
   }
 
+  /** A10×A11 judged: INCREMENTAL VIEW MAINTENANCE for a kv MV across DML —
+    * a copy-on-write UPDATE mutates the fact table, and REFRESH maintains
+    * the rollup from the MANIFEST DIFF (only the rewritten file pair is
+    * read; signed partials append, deletes negated), never rescanning the
+    * table. The query requires the IVM proof (the snapshot holds MORE rows
+    * than groups — a rebuild holds exactly one per group) AND the rewrite
+    * firing on the refreshed MV; the oracle replays the UPDATE
+    * relationally. At 100 TB: REFRESH cost follows the DML's footprint,
+    * not the corpus. */
+  def kvMvIvm(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_ivmq"
+    val out = s"$scratch/kv_ivmq_out"
+    clearDir(tmp)
+    if (graft.plans.MvCatalog.named("kvivm").isDefined)
+      Ddl.execute(s, "DROP MATERIALIZED VIEW kvivm")
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_ivm")
+    s.sql("CREATE TABLE graft.kvq.orders_ivm (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice")).filter(col("o_orderkey") % 4 === 1)
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", tmp).option("epoch", "0").mode("overwrite").save()
+    Ddl.execute(s, "CREATE MATERIALIZED VIEW kvivm ON graft.kvq.orders_ivm " +
+      "GROUP BY (o_orderstatus) SUMS (o_totalprice)")
+    try {
+      val groupsN = s.table("kvivm").count()
+      s.sql("UPDATE graft.kvq.orders_ivm " +
+        "SET o_totalprice = o_totalprice + 100.0D WHERE o_orderkey % 8 = 1")
+      Ddl.execute(s, "REFRESH MATERIALIZED VIEW kvivm")
+      require(s.table("kvivm").count() > groupsN,
+        "REFRESH under DML must APPEND signed partials (incremental view " +
+          "maintenance) — a full rebuild holds exactly one row per group")
+      val q = s.table("graft.kvq.orders_ivm")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).as("total_m"))
+        .select(col("o_orderstatus"), col("cnt"),
+          col("total_m").cast(S).cast("double").as("total"))
+        .orderBy(col("o_orderstatus"))
+      require(!q.queryExecution.optimizedPlan.toString.contains("orders_ivm"),
+        "the DML-refreshed kv MV must rewrite the aggregate:\n" +
+          q.queryExecution.optimizedPlan.toString.take(2000))
+      q.write.mode(SaveMode.Overwrite).parquet(out)
+    } finally {
+      Ddl.execute(s, "DROP MATERIALIZED VIEW kvivm")
+      s.sql("DROP TABLE graft.kvq.orders_ivm")
+    }
+    s.read.parquet(out).orderBy(col("o_orderstatus"))
+  }
+
   /** A9 extension: SCHEMA EVOLUTION — two batches written with different
     * schemas (the second adds a column), read back as ONE table via parquet
     * mergeSchema; rows from the narrow batch surface the new column as
@@ -1925,6 +1976,7 @@ object KeyRange {
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
+    "kv_mv_ivm" -> (kvMvIvm _),
     "dsv2_sink" -> (dsv2Sink _))
 
   val oracles: Map[String, String] = Map(
@@ -1978,6 +2030,17 @@ object KeyRange {
         |SELECT 3, count(*), CAST(sum(o_orderkey) AS BIGINT),
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) FROM cur
         |ORDER BY arm""".stripMargin,
+    // IVM: the rewritten-to-snapshot fold must equal the relational
+    // replay of the UPDATE over the fact rows
+    "kv_mv_ivm" ->
+      """SELECT o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS cnt,
+        | CAST(sum(CAST(CASE WHEN o_orderkey % 8 = 1
+        |   THEN o_totalprice + 100.0 ELSE o_totalprice END
+        |   AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     // the detail row's deterministic fields: the visible row count nets
     // the MOR delete relationally; constraints and clustering are fixed
     "kv_detail" ->

@@ -661,6 +661,57 @@ object GraftKvSink {
     * a live job can take, and never pass 0 while writers may be running.
     * The manifest itself is never touched. Returns the number of files
     * removed. */
+  /** A wall-clock argument in any of the three spellings users actually
+    * have at hand: epoch-millis, ISO-8601 instant, or the SQL timestamp
+    * DESCRIBE HISTORY renders (`yyyy-MM-dd HH:mm:ss[.S]`, session-local). */
+  private[graft] def parseTsMillis(s: String): Long =
+    try s.toLong
+    catch { case _: NumberFormatException =>
+      try java.time.Instant.parse(s).toEpochMilli
+      catch { case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(s).getTime }
+    }
+
+  /** `VACUUM … DRY RUN`: the files a real vacuum would act on right now,
+    * as (name, reason) rows — reason ∈ stray-data / stray-delta /
+    * stale-attempt / retained-history / foreign-reference-dropped (a
+    * clone's references leave the manifest but the source file is never
+    * deleted). Read-only: nothing is deleted, no manifest is written. */
+  def vacuumDryRun(dir: String,
+      graceMs: Long = 10 * 60 * 1000L): Seq[(String, String)] = {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val m0 = readManifest(mfp)
+    val listed = m0.files.map(_._1).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val listedDeltas = m0.deltas.map(_.name).toSet
+    val listedRemoved = m0.removed.map(_.name).toSet
+    val stray = {
+      val s = Files.list(Paths.get(dir))
+      try s.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        val aged = Files.getLastModifiedTime(p).toMillis <= cutoff
+        if (!aged) None
+        else if (n.endsWith(".kv") && !listed.contains(n) &&
+          !listedRemoved.contains(n)) Some(n -> "stray-data")
+        else if (n.endsWith(".kvd") && !listedDeltas.contains(n))
+          Some(n -> "stray-delta")
+        else if (n.endsWith(".tmp")) Some(n -> "stale-attempt")
+        else None
+      }.toSeq
+      finally s.close()
+    }
+    val reclaimHistory = m0.removed.nonEmpty && m0.removed.forall { r =>
+      val p = dataPath(dir, r.name)
+      !Files.exists(p) || m0.epochTs.get(r.removedAt)
+        .getOrElse(Files.getLastModifiedTime(p).toMillis) <= cutoff
+    }
+    stray ++ (if (!reclaimHistory) Nil else m0.removed.map { r =>
+      r.name -> (if (isForeign(r.name)) "foreign-reference-dropped"
+      else "retained-history")
+    })
+  }
+
   def vacuum(dir: String, graceMs: Long = 10 * 60 * 1000L): Int = withCommitLock(dir) {
     val mfp = manifestPath(dir)
     require(Files.exists(mfp), s"graft_kv: no manifest at $dir")

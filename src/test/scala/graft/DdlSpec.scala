@@ -1425,13 +1425,15 @@ class DdlSpec extends SparkSpec {
         s"expected delta partials appended: $before -> ${parts()}")
       assert(!plan().contains("ddlspec.mvt"))
       assert(res() == Set(("a", 2L, 4.5), ("b", 2L, 6.5)))
-      // row-level DML -> full rebuild on refresh, results reflect it
+      // row-level DML -> refresh maintains incrementally from the
+      // manifest diff (signed partials APPENDED — the old parquet parts
+      // survive), results reflect the delete exactly
       spark.sql("DELETE FROM graft.ddlspec.mvt WHERE v = 3.0")
       assert(plan().contains("ddlspec.mvt")) // stale again
       val preDml = parts()
       ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW mvt_roll")
-      assert(parts().intersect(preDml).isEmpty,
-        s"expected full rebuild after DML: $preDml -> ${parts()}")
+      assert(preDml.subsetOf(parts()) && parts().size > preDml.size,
+        s"expected IVM-appended signed partials: $preDml -> ${parts()}")
       assert(!plan().contains("ddlspec.mvt"))
       assert(res() == Set(("a", 1L, 1.5), ("b", 2L, 6.5)))
     } finally {
@@ -1480,6 +1482,50 @@ class DdlSpec extends SparkSpec {
       ops.Ddl.execute(spark, "DROP MATERIALIZED VIEW epo_roll")
       spark.sql("DROP TABLE graft.ddlspec.epo")
     }
+  }
+
+  test("kv MV REFRESH under DML is incremental view maintenance, not a rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_ivm").toString
+    spark.sql("DROP TABLE IF EXISTS graft.ddlspec.ivt")
+    spark.sql(s"CREATE TABLE graft.ddlspec.ivt (g STRING, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    Seq(("a", 1.0), ("b", 2.0), ("a", 3.0), ("c", 5.0)).toDF("g", "v")
+      .write.format("graft.sources.GraftKvSink").option("path", dir)
+      .option("epoch", "0").mode("overwrite").save()
+    ops.Ddl.execute(spark,
+      "CREATE MATERIALIZED VIEW ivt_mv ON graft.ddlspec.ivt " +
+        "GROUP BY (g) SUMS (v)")
+    assert(spark.table("ivt_mv").count() == 3) // one partial row per group
+    // a CoW UPDATE mutates history; REFRESH must maintain the MV from the
+    // manifest diff (signed partials APPENDED), not rebuild the table
+    spark.sql("UPDATE graft.ddlspec.ivt SET v = 10.0 WHERE g = 'a' AND v = 1.0")
+    ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW ivt_mv")
+    val snapRows = spark.table("ivt_mv").count()
+    assert(snapRows > 3, s"expected appended signed partials, got $snapRows " +
+      "rows — a full rebuild would hold exactly one row per group")
+    // the fold is exact: +10 insert partial and -1 delete partial net
+    val folded = spark.table("ivt_mv")
+      .groupBy("g").agg(org.apache.spark.sql.functions.sum("cnt").as("c"),
+        org.apache.spark.sql.functions.sum("sum_v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSet
+    assert(folded == Set(("a", 2L, 13.0), ("b", 1L, 2.0), ("c", 1L, 5.0)),
+      folded)
+    // a group-emptying DELETE must make the group VANISH: the zero-net
+    // detection re-folds the snapshot (O(MV)) instead of leaving a
+    // zero-count row behind
+    spark.sql("DELETE FROM graft.ddlspec.ivt WHERE g = 'c'")
+    ops.Ddl.execute(spark, "REFRESH MATERIALIZED VIEW ivt_mv")
+    assert(spark.table("ivt_mv").where("g = 'c'").count() == 0)
+    assert(spark.table("ivt_mv").count() == 2) // re-folded: one row per group
+    val folded2 = spark.table("ivt_mv")
+      .select("g", "cnt", "sum_v").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue())).toSet
+    assert(folded2 == Set(("a", 2L, 13.0), ("b", 1L, 2.0)), folded2)
+    ops.Ddl.execute(spark, "DROP MATERIALIZED VIEW ivt_mv")
+    spark.sql("DROP TABLE IF EXISTS graft.ddlspec.ivt")
   }
 
   test("kv MV on an epoch-less (SQL-INSERT) table: no-op refresh is harmless") {

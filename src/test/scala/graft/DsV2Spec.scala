@@ -1471,6 +1471,43 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft.dt.t")
   }
 
+  test("RESTORE TO TIMESTAMP AS OF; VACUUM DRY RUN previews without deleting") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_rts").toString
+    def epochWrite(epoch: Long, rows: (Long, String)*): Unit =
+      rows.toSeq.toDF("id", "s").write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("epoch", epoch.toString)
+        .mode("append").save()
+    epochWrite(1L, (1L, "a"), (2L, "b"))
+    epochWrite(2L, (3L, "c"))
+    epochWrite(3L, (4L, "d"))
+    spark.sql("DROP TABLE IF EXISTS graft.rts.t")
+    spark.sql("CREATE TABLE graft.rts.t (id BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    val ts = spark.sql("DESCRIBE HISTORY graft.rts.t")
+      .select("version", "commit_ts").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    def ids(t: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM $t").as[Long].collect().toSeq.sorted
+    // wall-clock restore: epoch-2's commit instant names the {1,2,3} state
+    spark.sql("RESTORE TABLE graft.rts.t TO TIMESTAMP AS OF " +
+      s"'${java.time.Instant.ofEpochMilli(ts(2L))}'")
+    assert(ids("graft.rts.t") == Seq(1L, 2L, 3L))
+    // DRY RUN lists the retained epoch-3 file; NOTHING is deleted and the
+    // pre-restore state still time-travels afterwards
+    val preview = spark.sql("VACUUM graft.rts.t RETAIN 0 MINUTES DRY RUN")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(preview.exists { case (f, reason) =>
+      f.startsWith("epoch-3-") && reason == "retained-history" }, preview.toSeq)
+    assert(ids("graft.rts.t VERSION AS OF 3") == Seq(1L, 2L, 3L, 4L))
+    // the real vacuum then reclaims exactly what the preview named
+    val previewCount = preview.count(_._2 == "retained-history")
+    assert(graft.sources.GraftKvSink.vacuum(dir, graceMs = 0L) == previewCount)
+    assertThrows[IllegalArgumentException] { ids("graft.rts.t VERSION AS OF 3") }
+    assert(ids("graft.rts.t") == Seq(1L, 2L, 3L))
+    spark.sql("DROP TABLE IF EXISTS graft.rts.t")
+  }
+
   test("fromEpoch batch-incremental reads: exact windows, pure-append fences") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_incr").toString
