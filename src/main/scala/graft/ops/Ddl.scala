@@ -1050,21 +1050,30 @@ object Ddl {
       spark.read.format("graft.sources.GraftKvSink")
         .option("path", mv.sourcePath).option("asOfEpoch", e.toString)
         .option("onlyFiles", files.mkString(",")).load()
-    val ins = rd(toFiles, head).exceptAll(rd(fromFiles, mv.kvHead))
-    val del = rd(fromFiles, mv.kvHead).exceptAll(rd(toFiles, head))
-    val partialCols = mv.cntCol +: mv.sums.values.toSeq.sorted
-    val delNeg = mvPartials(del, mv).select(
-      mv.groupCols.map(c => col(c)) ++
-        partialCols.map(c => (-col(c)).as(c)): _*)
-    mvPartials(ins, mv).unionByName(delNeg)
-      .write.mode(SaveMode.Append).parquet(mv.snapshotPath)
+    // each side feeds BOTH except-alls: persist so every changed file is
+    // scanned once, not twice
+    val before = rd(fromFiles, mv.kvHead).persist()
+    val after = rd(toFiles, head).persist()
+    try {
+      val ins = after.exceptAll(before)
+      val del = before.exceptAll(after)
+      val partialCols = mv.cntCol +: mv.sums.values.toSeq.sorted
+      val delNeg = mvPartials(del, mv).select(
+        mv.groupCols.map(c => col(c)) ++
+          partialCols.map(c => (-col(c)).as(c)): _*)
+      mvPartials(ins, mv).unionByName(delNeg)
+        .write.mode(SaveMode.Append).parquet(mv.snapshotPath)
+    } finally {
+      before.unpersist(); after.unpersist(): Unit
+    }
     val snap = spark.read.parquet(mv.snapshotPath)
     val netZero = snap.groupBy(mv.groupCols.map(c => col(c)): _*)
       .agg(sum(col(mv.cntCol)).as("n")).where(col("n") <= 0L)
       .limit(1).count() > 0
     if (netZero) {
       // re-fold, preserving the snapshot's exact column types so future
-      // O(delta) appends keep matching the parquet schema
+      // O(delta) appends keep matching the parquet schema; the stage dir
+      // exists only because parquet cannot overwrite a path it is reading
       val stage = mv.snapshotPath + "_stage"
       def origType(c: String) = snap.schema(c).dataType
       val sums = mv.sums.values.toSeq.sorted.map(c =>
@@ -1076,6 +1085,13 @@ object Ddl {
         .write.mode(SaveMode.Overwrite).parquet(stage)
       spark.read.parquet(stage).write.mode(SaveMode.Overwrite)
         .parquet(mv.snapshotPath)
+      // the stage was transport only — reclaim it (O(MV) disk otherwise
+      // leaks per refresh and outlives DROP MATERIALIZED VIEW)
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree))
+        f.delete(): Unit
+      }
+      rmTree(new java.io.File(stage))
     }
     true
   }
@@ -1364,7 +1380,8 @@ object Ddl {
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
     case VacuumDryRe(n, _) if kvTableFor(n).isDefined => Some(vacuumCols)
-    case RestoreTsRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case RestoreTsRe(n, _) if lookup(n).isEmpty &&
+      kvTableFor(n).isDefined                         => Some(statusCols)
     case RestoreRe(n, _) if lookup(n).isDefined ||
       kvTableFor(n).isDefined                        => Some(statusCols)
     case CloneRe(_, s, _, _) if kvTableFor(s).isDefined => Some(statusCols)
@@ -1891,7 +1908,9 @@ object Ddl {
           s"SHALLOW CLONE source $src is not a kv catalog table"))
         val tgtKey = (if (tgt.toLowerCase.startsWith("graft."))
           tgt.substring("graft.".length) else tgt).toLowerCase
-        require(kvTableFor(tgt).isEmpty && lookup(tgt).isEmpty,
+        // dsv2Get, not kvTableFor: the target must not clobber ANY catalog
+        // entry, including a graft_range one the kv filter would miss
+        require(dsv2Get(tgtKey).isEmpty && lookup(tgt).isEmpty,
           s"SHALLOW CLONE target $tgt already exists")
         val e = graft.sources.GraftKvSink.shallowClone(
           sDef.options("path"), loc, Option(verStr).map(_.toLong))

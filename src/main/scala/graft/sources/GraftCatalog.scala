@@ -94,7 +94,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
           new GraftKvTable(path, schema,
             mor = d.options.get("mor").exists(_.toBoolean),
             stampEpochs = d.options.get("epochs").exists(_.toBoolean),
-            checkConstraints = GraftCatalog.constraintsOf(d.options),
+            checkConstraintsF = () => GraftCatalog.constraintsOf(d.options),
             sortCols = GraftKvSink.sortColsOf(d.options.get("sortby")),
             sortBuckets = d.options.get("sortbuckets").map(_.toInt).getOrElse(0))
         case other =>
@@ -361,12 +361,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
       if (truncateFirst) b.truncate() else b
     }
     override def commitStagedChanges(): Unit = {
-      // CTAS/RTAS: the staged write already published the data manifest;
-      // fold any declared constraints into it before the entry goes live
+      // CTAS/RTAS: the staged write already published the data manifest —
+      // and it ran OUTSIDE the plan-level constraint wrap (CTAS is not a
+      // V2WriteCommand), so the just-written rows must be VALIDATED here
+      // before the constraints persist and the entry goes live; a
+      // violation aborts the staged create and no table is published
       val cs = GraftCatalog.constraintsOf(d.options)
       if (cs.nonEmpty && d.provider == "graft_kv")
-        d.options.get("path").foreach(p => GraftKvSink.setChecks(p,
-          DataType.fromJson(d.schemaJson).asInstanceOf[StructType], cs))
+        d.options.get("path").foreach { p =>
+          validateChecks(p, cs)
+          GraftKvSink.setChecks(p,
+            DataType.fromJson(d.schemaJson).asInstanceOf[StructType], cs)
+        }
       Ddl.dsv2Put(d)
     }
     override def abortStagedChanges(): Unit =

@@ -89,12 +89,9 @@ class GraftKvSink extends TableProvider {
     // CHECK constraints bind to the TABLE: the path route reads them from
     // the manifest (persisted there by the catalog's CREATE/ALTER), so a
     // writer that never saw the catalog entry still enforces. Explicit
-    // `check.*` write options compose on top.
-    val mfChecks = {
-      val mf = GraftKvSink.manifestPath(dir)
-      if (Files.exists(mf)) GraftKvSink.readManifest(mf).checks
-      else Map.empty[String, String]
-    }
+    // `check.*` write options compose on top. LAZY — the manifest parse
+    // (per-file stats/bloom maps) must not tax pure reads, which never
+    // consult constraints; only write planning forces it.
     val optChecks = properties.asScala.collect {
       case (k, v) if k.toLowerCase.startsWith("check.") =>
         k.toLowerCase.stripPrefix("check.") -> v
@@ -102,7 +99,11 @@ class GraftKvSink extends TableProvider {
     new GraftKvTable(dir, schema,
       mor = Option(properties.get("mor")).exists(_.toBoolean),
       stampEpochs = Option(properties.get("epochs")).exists(_.toBoolean),
-      checkConstraints = mfChecks ++ optChecks,
+      checkConstraintsF = () => {
+        val mf = GraftKvSink.manifestPath(dir)
+        (if (Files.exists(mf)) GraftKvSink.readManifest(mf).checks
+        else Map.empty[String, String]) ++ optChecks
+      },
       sortCols = GraftKvSink.sortColsOf(ci("sortBy")),
       sortBuckets = ci("sortBuckets").map(_.toInt).getOrElse(0))
   }
@@ -1096,6 +1097,10 @@ object GraftKvSink {
     * deltas the way every other metadata answer here does. */
   def detail(dir: String)
       : (Long, Long, Long, Long, Long, Long, Seq[String]) = {
+    // a created-but-never-written table has no manifest yet: an all-zero
+    // snapshot (version -1 = no commits), matching history()'s empty log
+    if (!Files.exists(manifestPath(dir)))
+      return (0L, 0L, 0L, 0L, 0L, -1L, Nil)
     val m = readManifest(manifestPath(dir))
     val bytes = m.files.map { case (n, _) =>
       val p = dataPath(dir, n)
@@ -1486,8 +1491,10 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // BATCH WRITE commits must satisfy (NULL passes, standard CHECK
     // semantics). Enforced by plans.CheckConstraintRule, which wraps the
     // write's query in a raise-on-violation filter at analysis time —
-    // rows are checked where they are computed, no extra pass.
-    val checkConstraints: Map[String, String] = Map.empty,
+    // rows are checked where they are computed, no extra pass. A THUNK so
+    // the path route can defer its manifest parse to write planning —
+    // pure reads never pay for constraint resolution.
+    checkConstraintsF: () => Map[String, String] = () => Map.empty,
     // `sortBy 'c1,c2'` table option: every batch/streaming WRITE requests
     // Distributions.ordered + a matching per-partition sort via the DSv2
     // RequiresDistributionAndOrdering contract, so a PLAIN `INSERT INTO`
@@ -1533,9 +1540,13 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
         override def comment(): String = "line ordinal of the row in its file"
       })
   /** The same table pinned to epoch `epoch`'s boundary state (read-only). */
+  /** The table's CHECK constraints, resolved once on first (write-side)
+    * use — reads never force the thunk. */
+  private[graft] lazy val checkConstraints: Map[String, String] =
+    checkConstraintsF()
   def atVersion(epoch: Long): GraftKvTable =
     new GraftKvTable(dir, tableSchema, mor, Some(epoch), stampEpochs,
-      checkConstraints, sortCols, sortBuckets)
+      checkConstraintsF, sortCols, sortBuckets)
   override def name(): String =
     s"graft_kv($dir${pinnedEpoch.map(n => s" version=$n").getOrElse("")})"
   override def schema(): StructType = tableSchema
@@ -1692,11 +1703,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // first epoch committed strictly AFTER the boundary at t (before the
     // earliest commit = the whole history), then follows the exact
     // startingEpoch path, gates included.
-    val startTs = Option(options.get("startingTimestamp")).map { s =>
-      try s.toLong
-      catch { case _: NumberFormatException =>
-        java.time.Instant.parse(s).toEpochMilli }
-    }
+    val startTs = Option(options.get("startingTimestamp"))
+      .map(GraftKvSink.parseTsMillis)
     startTs.foreach { _ => require(startEpochOpt.isEmpty,
       "graft_kv: startingTimestamp and startingEpoch are mutually " +
         "exclusive — pick one spelling of the starting point") }
@@ -1726,11 +1734,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // the first epoch committed strictly AFTER the boundary the TIMESTAMP
     // AS OF rule answers at t (a time before the earliest commit means
     // "everything"), then follows the exact fromEpoch path and gates.
-    val fromTs = Option(options.get("fromTimestamp")).map { s =>
-      try s.toLong
-      catch { case _: NumberFormatException =>
-        java.time.Instant.parse(s).toEpochMilli }
-    }
+    val fromTs = Option(options.get("fromTimestamp"))
+      .map(GraftKvSink.parseTsMillis)
     fromTs.foreach { _ => require(fromEpochOpt.isEmpty,
       "graft_kv: fromTimestamp and fromEpoch are mutually exclusive — " +
         "pick one spelling of the high-water mark") }
@@ -1764,7 +1769,11 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       val mfP = GraftKvSink.manifestPath(dir)
       if (Files.exists(mfP)) {
         val m = GraftKvSink.readManifest(mfP)
-        GraftKvSink.requireAnswerableEpoch(m, n)
+        // an EXPLICIT epoch must name a committed boundary; a CLOCK start
+        // resolves to head+1 when t is at/after the last commit — the
+        // natural "from now" stream, which legitimately WAITS for future
+        // epochs instead of refusing
+        if (startTs.isEmpty) GraftKvSink.requireAnswerableEpoch(m, n)
         require(m.compactedUpTo < 0L || n > m.compactedUpTo,
           s"graft_kv: startingEpoch=$n is inside compacted history " +
             s"(epochs <= ${m.compactedUpTo} were merged — their " +

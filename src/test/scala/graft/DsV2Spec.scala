@@ -1189,6 +1189,18 @@ class DsV2Spec extends SparkSpec {
         s"USING graft_kv OPTIONS (path '$dir2', 'check.qty_pos' = 'qty >= 0')")
     }
     assert(allMsgs(e4).contains("existing rows violate"), allMsgs(e4))
+    // CTAS runs outside the plan wrap: the just-written rows are validated
+    // at staged commit — a violating CTAS aborts and publishes no table
+    val dir3 = java.nio.file.Files.createTempDirectory("graft_kv_cns4")
+      .resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cns.c")
+    val e5 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft.cns.c USING graft_kv OPTIONS " +
+        s"(path '$dir3', 'check.q_pos' = 'q >= 0') " +
+        "AS SELECT CAST(-1.0 AS DOUBLE) AS q")
+    }
+    assert(allMsgs(e5).contains("existing rows violate"), allMsgs(e5))
+    assertThrows[Exception] { spark.table("graft.cns.c").collect() }
     spark.sql("DROP TABLE IF EXISTS graft.cns.p")
   }
 
@@ -1455,6 +1467,30 @@ class DsV2Spec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     assert(spark.table("startts_snap").collect().map(_.getLong(0)).toSet ==
       Set(4L))
+    // "from now": a clock at/after the last commit starts an EMPTY stream
+    // that legitimately WAITS — and picks up the next epoch when it lands
+    val q2 = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir)
+      .option("startingTimestamp", (ts(3L) + 100000L).toString).load()
+      .writeStream.format("memory").queryName("startts_now")
+      .option("checkpointLocation", root.resolve("ck2").toString).start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table("startts_now").count() == 0)
+      epochWrite(4L, (5L, "e"))
+      q2.processAllAvailable()
+      assert(spark.table("startts_now").collect().map(_.getLong(0)).toSet ==
+        Set(5L))
+    } finally q2.stop()
+    // a never-written table answers DESCRIBE DETAIL with the zero snapshot
+    val fresh = java.nio.file.Files.createTempDirectory("graft_kv_fresh")
+      .resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.dt.f")
+    spark.sql("CREATE TABLE graft.dt.f (id BIGINT) USING graft_kv " +
+      s"OPTIONS (path '$fresh')")
+    val d0 = spark.sql("DESCRIBE DETAIL graft.dt.f").collect().head
+    assert(d0.getAs[Long]("num_files") == 0L && d0.getAs[Long]("version") == -1L)
+    spark.sql("DROP TABLE IF EXISTS graft.dt.f")
     // SHOW TBLPROPERTIES surfaces the behavioral options + constraints
     val props = spark.sql("SHOW TBLPROPERTIES graft.dt.t").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -1463,8 +1499,8 @@ class DsV2Spec extends SparkSpec {
     // DESCRIBE DETAIL: the one-row metadata snapshot
     val det = spark.sql("DESCRIBE DETAIL graft.dt.t").collect().head
     assert(det.getAs[String]("format") == "graft_kv")
-    assert(det.getAs[Long]("num_files") >= 3L) // >=: small writes may split
-    assert(det.getAs[Long]("num_rows") == 4L)
+    assert(det.getAs[Long]("num_files") >= 4L) // >=: small writes may split
+    assert(det.getAs[Long]("num_rows") == 5L)  // 4 fixture rows + epoch 4
     assert(det.getAs[Long]("size_bytes") > 0L)
     assert(det.getAs[Long]("num_delta_files") == 0L)
     assert(det.getAs[String]("constraints") == "id_pos")
