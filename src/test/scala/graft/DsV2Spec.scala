@@ -1558,8 +1558,22 @@ class DsV2Spec extends SparkSpec {
     // and the source remains byte-identical through all of it
     assert(spark.sql("SELECT id FROM graft.clns.s").as[Long]
       .collect().toSet == Set(1L, 2L, 3L))
+    // a clone OF the clone re-points at the ORIGINAL owner: its foreign
+    // references resolve into the source's (or the clone's own) dirs,
+    // never into an intermediate clone's reference list by relative name
+    val tgt2 = root.resolve("t2").toString
+    spark.sql("DROP TABLE IF EXISTS graft.clns.t2")
+    spark.sql("CREATE TABLE graft.clns.t2 SHALLOW CLONE graft.clns.t " +
+      s"LOCATION '$tgt2'")
+    val refs2 = graft.sources.GraftKvSink.listedFiles(tgt2)._1
+    assert(refs2.forall(_.startsWith("/")), refs2)
+    assert(refs2.exists(_.startsWith(src)), refs2)   // original files direct
+    assert(!refs2.exists(_.startsWith(tgt2)), refs2) // nothing self-relative
+    assert(spark.sql("SELECT id FROM graft.clns.t2").as[Long]
+      .collect().toSet == Set(1L, 2L, 3L, 9L))
     spark.sql("DROP TABLE IF EXISTS graft.clns.s")
     spark.sql("DROP TABLE IF EXISTS graft.clns.t")
+    spark.sql("DROP TABLE IF EXISTS graft.clns.t2")
   }
 
   test("RESTORE TO TIMESTAMP AS OF; VACUUM DRY RUN previews without deleting") {
