@@ -64,10 +64,20 @@ object Ddl {
     * delete (pred, -) | update (col, frozen CASE expr). Kept as strings so
     * the catalog file stays a flat JSON list and replay is exactly the
     * statement the user ran. */
-  final case class Mut(op: String, a: String, b: String)
+  /** `ts`: wall-clock millis stamped when the mutation was logged —
+    * strictly monotonic per table (max(now, prior+1)), the same commit
+    * clock the kv manifest records per epoch, so `TIMESTAMP AS OF`
+    * resolves on keyed tables by the identical prefix rule. 0 = logged
+    * before commit clocks existed (legacy catalogs): such histories
+    * refuse timestamp reads rather than inventing an instant. */
+  final case class Mut(op: String, a: String, b: String, ts: Long = 0L)
 
   final case class KeyedTable(name: String, path: String, keys: Seq[String],
-      muts: Seq[Mut] = Nil, stats: Seq[(String, String)] = Nil)
+      muts: Seq[Mut] = Nil, stats: Seq[(String, String)] = Nil,
+      // CREATE-time commit clock (version 0 = base): a TIMESTAMP AS OF
+      // before this instant names a state that never existed — refuse,
+      // exactly the kv pre-first-commit rule. 0 = legacy (unknown).
+      createdTs: Long = 0L)
 
   /** A DSv2 connector table registered in the graft TableCatalog plugin
     * (sources.GraftCatalog): multipart name under the `graft` catalog →
@@ -139,9 +149,12 @@ object Ddl {
       m.put("keys", t.keys.asJava)
       val ms = new java.util.ArrayList[java.util.Map[String, String]]()
       t.muts.foreach { mu =>
-        ms.add(Map("op" -> mu.op, "a" -> mu.a, "b" -> mu.b).asJava)
+        val base = Map("op" -> mu.op, "a" -> mu.a, "b" -> mu.b)
+        ms.add((if (mu.ts > 0L) base + ("ts" -> mu.ts.toString) else base).asJava)
       }
       m.put("muts", ms)
+      if (t.createdTs > 0L)
+        m.put("created", java.lang.Long.valueOf(t.createdTs))
       val st = new java.util.ArrayList[java.util.Map[String, String]]()
       t.stats.foreach { case (k, v) => st.add(Map("stat" -> k, "value" -> v).asJava) }
       m.put("stats", st)
@@ -258,13 +271,15 @@ object Ddl {
             val name = n.get("name").asText
             val keys = n.get("keys").elements().asScala.map(_.asText).toSeq
             val muts = n.get("muts").elements().asScala.map { m =>
-              Mut(m.get("op").asText, m.get("a").asText, m.get("b").asText)
+              Mut(m.get("op").asText, m.get("a").asText, m.get("b").asText,
+                Option(m.get("ts")).map(_.asText.toLong).getOrElse(0L))
             }.toSeq
             // "stats" is absent in pre-stats catalog files — tolerate both.
             val stats = Option(n.get("stats")).toSeq
               .flatMap(_.elements().asScala)
               .map(m => (m.get("stat").asText, m.get("value").asText))
-            val t = KeyedTable(name, n.get("path").asText, keys, muts, stats)
+            val t = KeyedTable(name, n.get("path").asText, keys, muts, stats,
+              Option(n.get("created")).map(_.asLong).getOrElse(0L))
             catalog.putIfAbsent(t.name.toLowerCase, t)
           }
           mvNodes.foreach { n =>
@@ -373,6 +388,24 @@ object Ddl {
       require(version >= 0 && version <= t.muts.length,
         s"version $version out of range 0..${t.muts.length} for ${t.name}")
       rebuildSql(spark, t.copy(muts = t.muts.take(version)))
+    }
+  /** `TIMESTAMP AS OF` on a keyed table: resolve the wall clock to the
+    * longest mutation-log prefix whose stamps are <= the instant (the
+    * Iceberg snapshot-at-timestamp rule, identical to the kv manifest's).
+    * Histories logged before commit clocks existed refuse — an invented
+    * boundary would silently read the wrong state — as do instants before
+    * the table was created (no state existed to read). */
+  def viewSqlAsOfTimestamp(spark: SparkSession, name: String,
+      ms: Long): Option[String] =
+    lookup(name).map { t =>
+      require(t.createdTs > 0L && t.muts.forall(_.ts > 0L),
+        s"${t.name}: history predates commit clocks — use VERSION AS OF " +
+          "(SHOW VERSIONS lists the log)")
+      require(ms >= t.createdTs,
+        s"timestamp $ms is before ${t.name} was created (${t.createdTs}) — " +
+          "no state existed at that instant")
+      // stamps are strictly monotonic, so the filter IS a prefix
+      rebuildSql(spark, t.copy(muts = t.muts.filter(_.ts <= ms)))
     }
   /** Self-contained view SQL for ANY graft-managed object — keyed table
     * (mutation log replayed) or materialized view (snapshot scan). The one
@@ -1129,8 +1162,8 @@ object Ddl {
   /** The INSERT/LOAD snapshot paths of a pure append-only history (length
     * == muts.length iff every mutation was an append). */
   private def appendOnlySnaps(muts: Seq[Mut]): Seq[String] = muts.collect {
-    case Mut("insert", _, b) if b.nonEmpty => b
-    case Mut("load", _, b) if b.nonEmpty   => b
+    case Mut("insert", _, b, _) if b.nonEmpty => b
+    case Mut("load", _, b, _) if b.nonEmpty   => b
   }
 
   /** The table's replay decomposed as (root, appendSnaps) when its history
@@ -1175,7 +1208,7 @@ object Ddl {
         "per-session; a squash would freeze the current authorizations")
     val out = squashSnapshotPath(t0)
     rebuild(spark, t0).write.mode(SaveMode.Overwrite).parquet(out)
-    val t = t0.copy(muts = t0.muts :+ Mut("squash", "", out))
+    val t = t0.copy(muts = t0.muts :+ Mut("squash", "", out, nextMutTs(t0)))
     catalog.put(t.name.toLowerCase, t)
     persist()
     if (isQualified(t.name)) replaceQualified(spark, t)
@@ -1248,7 +1281,8 @@ object Ddl {
         require(df.columns.exists(_.equalsIgnoreCase(k)),
           s"key column '$k' not in $path schema")
       }
-      val t = KeyedTable(name, path, keys)
+      val t = KeyedTable(name, path, keys,
+        createdTs = System.currentTimeMillis())
       if (isQualified(name)) registerQualified(spark, t)
       else {
         tagBase(df, t)
@@ -1274,7 +1308,8 @@ object Ddl {
   private val statsCols: Seq[(String, DataType)] =
     Seq("stat" -> StringType, "value" -> StringType)
   private val versionsCols: Seq[(String, DataType)] =
-    Seq("version" -> IntegerType, "op" -> StringType, "detail" -> StringType)
+    Seq("version" -> IntegerType, "op" -> StringType, "detail" -> StringType,
+      "commit_ts" -> LongType)
   private val historyCols: Seq[(String, DataType)] =
     Seq("version" -> LongType, "operation" -> StringType,
       "rows_added" -> LongType, "rows_deleted" -> LongType,
@@ -1513,7 +1548,7 @@ object Ddl {
     // the replay root: the base parquet, or the newest squash snapshot
     // once a REFRESH materialized the log prefix
     val root = t.muts.reverseIterator
-      .collectFirst { case Mut("squash", _, b) => b }.getOrElse(t.path)
+      .collectFirst { case Mut("squash", _, b, _) => b }.getOrElse(t.path)
     val base = normPath(root)
     val nonce = s"${t.name.toLowerCase}#${java.util.UUID.randomUUID()}"
     var found = false
@@ -1646,8 +1681,16 @@ object Ddl {
     * rewrites sound (the replay view no longer matches the base-relation
     * pattern), but silence left users to discover the de-optimization via
     * EXPLAIN. SHOW INDEXES / SHOW STATS carry the same flag durably. */
+  /** Next monotonic commit stamp for a table's mutation log — the kv
+    * manifest's max(now, prior+1) rule, so equal-millisecond mutations
+    * still order and TIMESTAMP AS OF prefixes stay well-defined. */
+  private def nextMutTs(t: KeyedTable): Long =
+    math.max(System.currentTimeMillis(),
+      math.max(t.createdTs, t.muts.map(_.ts).maxOption.getOrElse(0L)) + 1L)
+
   private def logMut(t: KeyedTable, m: Mut): Unit = {
-    catalog.put(t.name.toLowerCase, t.copy(muts = t.muts :+ m))
+    catalog.put(t.name.toLowerCase,
+      t.copy(muts = t.muts :+ m.copy(ts = nextMutTs(t))))
     persist()
     val p = normPath(t.path)
     val idx = graft.plans.IndexCatalog.all()
@@ -1837,10 +1880,13 @@ object Ddl {
           .toDF("index", "source", "col", "stale")
       case ShowVersionsRe(name) =>
         val t = lookupOrThrow(name)
-        val rows = (0, "base", t.path) +: t.muts.zipWithIndex.map { case (m, i) =>
-          (i + 1, m.op, Seq(m.a, m.b).filter(_.nonEmpty).mkString(" "))
-        }
-        rows.toDF("version", "op", "detail")
+        // commit_ts: the mutation's commit clock in epoch millis (0 =
+        // pre-clock legacy entry) — feed it back as `TIMESTAMP AS OF`
+        val rows = (0, "base", t.path, t.createdTs) +:
+          t.muts.zipWithIndex.map { case (m, i) =>
+            (i + 1, m.op, Seq(m.a, m.b).filter(_.nonEmpty).mkString(" "), m.ts)
+          }
+        rows.toDF("version", "op", "detail", "commit_ts")
       case DescHistoryRe(name) =>
         // kv connector tables: the epoch commit log, derived from the
         // manifest (keyed tables have SHOW VERSIONS — the mutation log)
@@ -2464,15 +2510,15 @@ object Ddl {
       (at, rows) match {
         case (Some(a), Some(n)) if a == t.muts.length && t.muts.nonEmpty =>
           val snaps = t.muts.foldLeft(List(t.path)) { (acc, m) => m match {
-            case Mut("load", _, b) if b.nonEmpty => acc :+ b
-            case Mut("insert", _, b)             => acc :+ b
+            case Mut("load", _, b, _) if b.nonEmpty => acc :+ b
+            case Mut("insert", _, b, _)             => acc :+ b
             // star-merge replay reads its snapshot TWICE (union branch +
             // the NOT-EXISTS/anti-join probe side), so the leaf multiset
             // must list it twice or the exact-multiset check never matches
-            case Mut("merge", _, b)              => acc :+ b :+ b
-            case Mut("merge2", a0, b)            => acc :+ a0 :+ b
+            case Mut("merge", _, b, _)              => acc :+ b :+ b
+            case Mut("merge2", a0, b, _)            => acc :+ a0 :+ b
             // squash resets the replay to read only its snapshot
-            case Mut("squash", _, b)             => List(b)
+            case Mut("squash", _, b, _)             => List(b)
             case _                               => acc
           }}
           // sorted path MULTISET: the annotation requires the subtree to
@@ -2609,8 +2655,8 @@ object Ddl {
     * expands each reference to the replay SQL of that log prefix (zero
     * copies), so version reads compose with any SQL (here a 4-way UNION
     * over three boundary states plus the current table in ONE statement).
-    * TIMESTAMP AS OF and out-of-range versions refuse loudly (pinned in
-    * DdlSpec). */
+    * Out-of-range versions refuse loudly (pinned in DdlSpec); the
+    * wall-clock spelling is [[sqlTimestampAsof]]. */
   def sqlTimetravel(s: SparkSession, d: String): DataFrame = {
     if (lookup("tt_sql").isDefined) execute(s, "DROP TABLE tt_sql")
     execute(s, s"CREATE TABLE tt_sql MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
@@ -2630,6 +2676,30 @@ object Ddl {
         |SELECT 3, count(*), CAST(sum(n_nationkey) AS BIGINT)
         |FROM graft.tt_sql
         |ORDER BY version""".stripMargin)
+  }
+
+  /** A8 judged `TIMESTAMP AS OF` on a KEYED table — the wall-clock twin of
+    * [[sqlTimetravel]]: every mutation-log entry now carries a strictly
+    * monotonic commit stamp (the kv manifest's max(now, prior+1) clock),
+    * SHOW VERSIONS surfaces them, and the injected parser resolves
+    * `graft.t TIMESTAMP AS OF <instant>` to the longest stamped prefix <=
+    * the instant (the Iceberg snapshot-at-timestamp rule). The query reads
+    * each boundary through an instant READ BACK from SHOW VERSIONS — so a
+    * stamp that failed to round-trip, or a prefix rule off by one, cannot
+    * hash-match the oracle's per-version replay. Pre-create instants and
+    * pre-clock legacy histories refuse (pinned in DdlSpec). */
+  def sqlTimestampAsof(s: SparkSession, d: String): DataFrame = {
+    if (lookup("tt_ts").isDefined) execute(s, "DROP TABLE tt_ts")
+    execute(s, s"CREATE TABLE tt_ts MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
+    execute(s, "INSERT INTO tt_ts VALUES (92, 'tt-ts-new', 8)")
+    execute(s, "DELETE FROM tt_ts WHERE n_regionkey = 1")
+    val clocks = execute(s, "SHOW VERSIONS tt_ts").collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    (0 to 2).map { v =>
+      s.sql(s"SELECT CAST($v AS INTEGER) AS version, count(*) AS n_rows, " +
+        "CAST(sum(n_nationkey) AS BIGINT) AS key_sum " +
+        s"FROM graft.tt_ts TIMESTAMP AS OF '${clocks(v)}'")
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
   }
 
   /** A8/A6 judged CHANGEFEED round trip: CREATE → INSERT → DELETE → UPDATE,
@@ -2696,6 +2766,7 @@ object Ddl {
     "ddl_merge" -> (ddlMerge _),
     "ddl_timetravel" -> (ddlTimetravel _),
     "sql_timetravel" -> (sqlTimetravel _),
+    "sql_timestamp_asof" -> (sqlTimestampAsof _),
     "ddl_changefeed" -> (ddlChangefeed _),
     "ddl_visibility" -> (ddlVisibility _),
     "analyze_stats" -> (analyzeStats _))
@@ -2765,6 +2836,19 @@ object Ddl {
         |ORDER BY version""".stripMargin,
     // the same prefix replay, reached through the SQL VERSION AS OF
     // surface; version 3 (= current) must equal version 2
+    // the timestamp spelling must reproduce exactly the version boundaries
+    "sql_timestamp_asof" ->
+      """WITH v1 AS (
+        |  SELECT n_nationkey, n_regionkey FROM nation
+        |  UNION ALL SELECT 92, 8),
+        |v2 AS (SELECT * FROM v1 WHERE NOT coalesce(n_regionkey = 1, false))
+        |SELECT CAST(0 AS INTEGER) AS version, count(*) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum FROM nation
+        |UNION ALL
+        |SELECT 1, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v1
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(n_nationkey) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
     "sql_timetravel" ->
       """WITH v1 AS (
         |  SELECT n_nationkey, n_regionkey FROM nation

@@ -83,18 +83,31 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             // full rebuild (incl. a parquet footer read) twice per ref
             Ddl.lookup(u.multipartIdentifier.tail.mkString(".")).isDefined =>
         val rest = u.multipartIdentifier.tail.mkString(".")
-        require(ts.isEmpty,
-          s"graft: keyed table $rest versions by mutation count, not " +
-            "wall-clock; use VERSION AS OF <n> (SHOW VERSIONS lists them)")
-        val v = version.getOrElse(throw new IllegalArgumentException(
-          s"graft: $rest time travel requires VERSION AS OF <n>"))
-        val n =
-          try Integer.parseInt(v)
-          catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"graft: VERSION AS OF takes a mutation-log version, got '$v'")
-          }
-        Ddl.viewSqlAsOf(session, rest, n) match {
+        // TIMESTAMP AS OF: resolve the wall clock against the mutation
+        // log's commit stamps (SHOW VERSIONS surfaces them) by the same
+        // prefix rule the kv manifest uses. Only literal instants are
+        // accepted — the parser rewrite runs before expression resolution.
+        val expanded = ts match {
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _))
+              if v != null =>
+            Ddl.viewSqlAsOfTimestamp(session, rest,
+              graft.sources.GraftKvSink.parseTsMillis(v.toString))
+          case Some(other) => throw new IllegalArgumentException(
+            s"graft: $rest TIMESTAMP AS OF takes a literal instant " +
+              s"(epoch millis, ISO-8601, or SQL timestamp), got $other")
+          case None =>
+            val v = version.getOrElse(throw new IllegalArgumentException(
+              s"graft: $rest time travel requires VERSION AS OF <n> or " +
+                "TIMESTAMP AS OF <instant>"))
+            val n =
+              try Integer.parseInt(v)
+              catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"graft: VERSION AS OF takes a mutation-log version, got '$v'")
+              }
+            Ddl.viewSqlAsOf(session, rest, n)
+        }
+        expanded match {
           case Some(sql) =>
             org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
               u.multipartIdentifier.last, delegate.parseQuery(sql))

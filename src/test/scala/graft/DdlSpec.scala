@@ -1352,10 +1352,21 @@ class DdlSpec extends SparkSpec {
     val oob = intercept[Exception] {
       spark.sql("SELECT * FROM graft.ttq_t VERSION AS OF 9").collect() }
     assert(oob.getMessage.contains("out of range"), oob.getMessage)
+    // TIMESTAMP AS OF resolves through the mutation log's commit stamps
+    // (SHOW VERSIONS column 4) by the kv prefix rule
+    val clocks = ops.Ddl.execute(spark, "SHOW VERSIONS ttq_t").collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(clocks.values.forall(_ > 0L)) // every entry stamped
+    assert(cnt(s"TIMESTAMP AS OF '${clocks(1)}'") == base + 1)
+    assert(cnt(s"TIMESTAMP AS OF '${clocks(2)}'") == base)
+    // between two commits resolves to the earlier one (prefix rule)
+    assert(cnt(s"TIMESTAMP AS OF '${clocks(2) - 1}'") == base + 1)
+    assert(cnt(s"TIMESTAMP AS OF '${clocks(0)}'") == base)
+    // a pre-create instant names a state that never existed — refuse
     val ts = intercept[Exception] {
-      spark.sql("SELECT * FROM graft.ttq_t TIMESTAMP AS OF '2026-01-01'")
-        .collect() }
-    assert(ts.getMessage.contains("mutation count"), ts.getMessage)
+      spark.sql("SELECT * FROM graft.ttq_t TIMESTAMP AS OF " +
+        "'2020-01-01 00:00:00'").collect() }
+    assert(ts.getMessage.contains("before"), ts.getMessage)
     ops.Ddl.execute(spark, "DROP TABLE ttq_t")
   }
 
