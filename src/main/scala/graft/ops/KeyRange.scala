@@ -1480,6 +1480,37 @@ object KeyRange {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** A8 judged: DEFAULT columns through Spark's own machinery — the
+    * catalog advertises SUPPORT_COLUMN_DEFAULT_VALUE, the CREATE/ALTER
+    * schema carries CURRENT_DEFAULT field metadata (persisted in the
+    * manifest like every table-bound invariant), and the analyzer splices
+    * defaults into INSERTs that omit the column. Three default shapes are
+    * judged: a CREATE-time default (wave 1 omits `src`), an ALTER-time
+    * default on an evolved column (history NULL-fills — evolution stays
+    * pure metadata; wave 2's new rows get 'fresh'), and the explicit
+    * DEFAULT keyword in VALUES. The oracle replays each wave with its
+    * expected literals, so a default landing wrong (or retroactively
+    * rewriting history) hash-mismatches. */
+  def kvDefaults(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_defaults"
+    s.sql("DROP TABLE IF EXISTS graft.df.t")
+    clearDir(tmp) // repeat runs must re-CREATE from no history
+    s.sql("CREATE TABLE graft.df.t (id BIGINT, qty DOUBLE, " +
+      "src STRING DEFAULT 'manual') " +
+      s"USING graft_kv OPTIONS (path '$tmp')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_def_v")
+    s.sql("INSERT INTO graft.df.t (id, qty) " +
+      "SELECT o_orderkey, o_totalprice FROM orders_def_v " +
+      "WHERE o_orderkey % 10 = 0")
+    s.sql("ALTER TABLE graft.df.t ADD COLUMN flag STRING DEFAULT 'fresh'")
+    s.sql("INSERT INTO graft.df.t (id, qty, src) " +
+      "SELECT o_orderkey, o_totalprice, 'w2' FROM orders_def_v " +
+      "WHERE o_orderkey % 10 = 3")
+    s.sql("INSERT INTO graft.df.t " +
+      "VALUES (CAST(-1 AS BIGINT), 0.5D, DEFAULT, DEFAULT)")
+    s.sql("SELECT id, qty, src, flag FROM graft.df.t ORDER BY id")
+  }
+
   /** A12 judged: COMPACTION round trip — two batch writes (append merging
     * the manifest), then `GraftKvSink.compact` rewrites every epoch-0 file
     * into one behind the atomic manifest swap, and the judged aggregate
@@ -1535,6 +1566,72 @@ object KeyRange {
       "kv aggregate was not answered from the manifest:\n" +
         res.queryExecution.executedPlan.toString)
     res
+  }
+
+  /** A8/CBO judged: MANIFEST COLUMN STATS drive a broadcast decision with
+    * NO hints. The kv scan surfaces per-column min/max (per-file range
+    * fold) and an NDV estimate (union of the per-file HLL sketches) as
+    * DSv2 column statistics; with `spark.sql.cbo.enabled` Spark's
+    * FilterEstimation shrinks the selective dimension's estimated output
+    * below the broadcast threshold and the join plans as BroadcastHashJoin
+    * — the decision that matters most at 100 TB, where a size-only
+    * estimate (bytes on disk) sees the unfiltered table and shuffles both
+    * sides. Both arms are asserted: the stats-less baseline (CBO off,
+    * size-only) must NOT broadcast, the column-stats plan MUST. The
+    * result materializes under the live confs (the returned frame must
+    * not re-plan after they are restored), and the oracle replays the
+    * join + filter relationally — a hash match proves the broadcast plan
+    * changed nothing but the wall clock. */
+  def kvCboBroadcast(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_cbo"
+    val out = s"$scratch/kv_cbo_out"
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .write.format("graft.sources.GraftKvSink")
+      .option("path", tmp).mode(SaveMode.Overwrite).save()
+    // scale-relative selectivity: keep custkeys in the bottom 1/12 of the
+    // observed range (the oracle replays the same floor(max/12) cutoff)
+    val cut = math.floor(Tables.orders(s, d)
+      .agg(max(col("o_custkey"))).head.getLong(0) / 12.0).toLong
+    val prevCbo = s.conf.getOption("spark.sql.cbo.enabled")
+    val prevThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    def restore(k: String, v: Option[String]): Unit =
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    def dimDf(): DataFrame =
+      s.read.format("graft.sources.GraftKvSink").option("path", tmp).load()
+        .filter(col("o_custkey") <= cut)
+    def factDf(): DataFrame =
+      Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    try {
+      // threshold sits BETWEEN the size-only estimates of BOTH join sides
+      // and the column-stats estimate of the filtered dimension — derived
+      // from the plans' own numbers so the contrast holds at every fixture
+      // scale (a fixed threshold breaks across sf)
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      def sizeOff(df: DataFrame): BigInt =
+        df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val thr = (sizeOff(dimDf()).min(sizeOff(factDf())) * 4 / 5).max(BigInt(1))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      def q(): DataFrame = factDf()
+        .join(dimDf(), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"), sumS(col("l_quantity")).as("qty"))
+      val baseline = q().queryExecution.executedPlan.toString
+      require(!baseline.contains("BroadcastHashJoin"),
+        s"stats-less baseline unexpectedly broadcast (threshold $thr):\n" +
+          baseline)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val res = q()
+      val withStats = res.queryExecution.executedPlan.toString
+      require(withStats.contains("BroadcastHashJoin"),
+        "column stats did not flip the join to broadcast:\n" + withStats)
+      res.write.mode(SaveMode.Overwrite).parquet(out)
+    } finally {
+      restore("spark.sql.cbo.enabled", prevCbo)
+      restore("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    s.read.parquet(out)
   }
 
   /** A10 (transparent half): the SECONDARY-INDEX REWRITE exercised through
@@ -1955,6 +2052,8 @@ object KeyRange {
     "mv_rewrite" -> (mvRewrite _),
     "kv_mv_rewrite" -> (kvMvRewrite _),
     "kv_agg_pushdown" -> (kvAggPushdown _),
+    "kv_cbo_broadcast" -> (kvCboBroadcast _),
+    "kv_defaults" -> (kvDefaults _),
     "kv_rowlevel_dml" -> (kvRowlevelDml _),
     "kv_concurrent_append" -> (kvConcurrentAppend _),
     "kv_mor_dml" -> (kvMorDml _),
@@ -2366,6 +2465,29 @@ object KeyRange {
         | min(o_orderstatus) AS min_st, max(o_orderstatus) AS max_st,
         | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
         |FROM orders WHERE o_orderkey % 5 = 0""".stripMargin,
+    // the broadcast plan must change nothing but the wall clock: the
+    // oracle replays the selective join relationally (same floor(max/12)
+    // custkey cutoff the Spark side computes)
+    "kv_cbo_broadcast" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_custkey <= (SELECT CAST(floor(max(o_custkey) / 12.0) AS BIGINT)
+        |                    FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // each wave replays with its expected default literals; wave-1 rows
+    // predate the evolved column and must read NULL, never 'fresh'
+    "kv_defaults" ->
+      """SELECT id, qty, src, flag FROM (
+        |  SELECT o_orderkey AS id, o_totalprice AS qty, 'manual' AS src,
+        |         CAST(NULL AS VARCHAR) AS flag
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'w2', 'fresh'
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT CAST(-1 AS BIGINT), CAST(0.5 AS DOUBLE), 'manual', 'fresh'
+        |) ORDER BY id""".stripMargin,
     // compaction must preserve current-read semantics bit-for-bit
     "kv_compact" ->
       """SELECT o_orderstatus, count(*) AS cnt,

@@ -155,6 +155,55 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
       case None => throw new NoSuchTableException(ident)
     }
 
+  /** Unlock Spark's own DEFAULT / GENERATED ALWAYS AS column syntax: the
+    * parser encodes both into StructField metadata (CURRENT_DEFAULT /
+    * GENERATION_EXPRESSION) via the standard v2 column conversion, so
+    * they arrive here inside the CREATE schema and persist with it.
+    * Defaults are resolved by Spark's analyzer at INSERT time from that
+    * metadata; generated columns are enforced by the connector (see
+    * GraftKvSink.generatedChecks). */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+
+  /** The v2-Column CREATE entry point: the interface's default conversion
+    * (v2ColumnsToStructType) encodes comments and DEFAULT values into
+    * StructField metadata but silently DROPS generationExpression — the
+    * capability contract expects the catalog to pick it up here. Fold it
+    * into the field metadata under Spark's own GENERATION_EXPRESSION key,
+    * then delegate to the schema-based path that persists everything. */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val schema = StructType(columns.map { c =>
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(Option(c.metadataInJSON())
+          .map(org.apache.spark.sql.types.Metadata.fromJson)
+          .getOrElse(org.apache.spark.sql.types.Metadata.empty))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).foreach { dv =>
+        val sql = Option(dv.getSql).getOrElse(
+          throw new UnsupportedOperationException(
+            s"graft_kv: DEFAULT for '${c.name()}' must be a SQL " +
+              "expression (expression-only defaults unsupported)"))
+        // CURRENT_DEFAULT drives INSERT splicing; EXISTS_DEFAULT records
+        // the definition-time constant (defaults are analysis-validated
+        // foldable) — kv readers null-fill history regardless
+        mb.putString("CURRENT_DEFAULT", sql)
+        mb.putString("EXISTS_DEFAULT", sql)
+      }
+      Option(c.generationExpression())
+        .foreach(mb.putString("GENERATION_EXPRESSION", _))
+      org.apache.spark.sql.types.StructField(
+        c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -164,10 +213,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
     // enforces — and validate pre-existing rows first when CREATE points
     // at a directory that already holds data (the ALTER contract)
     val cs = GraftCatalog.constraintsOf(d.options)
-    if (cs.nonEmpty && d.provider == "graft_kv") {
+    if (d.provider == "graft_kv") {
       val path = d.options("path")
-      validateChecks(path, cs)
-      GraftKvSink.setChecks(path, schema, cs)
+      // generated columns validate like CHECKs: pre-existing rows that
+      // contradict their expression would make honest writes the culprit
+      val gen = GraftKvSink.generatedChecks(schema)
+      if (cs.nonEmpty || gen.nonEmpty) validateChecks(path, cs ++ gen)
+      if (cs.nonEmpty) GraftKvSink.setChecks(path, schema, cs)
+      // DEFAULT / GENERATED metadata is table-bound like the checks:
+      // persist it in the manifest schema (bootstrap one if none exists)
+      if (schema.fields.exists(_.metadata !=
+          org.apache.spark.sql.types.Metadata.empty))
+        GraftKvSink.setColumnMeta(path, schema)
     }
     Ddl.dsv2Put(d)
     loadTable(ident)
@@ -447,8 +504,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
           require(GraftKvSink.supported(a.dataType()),
             s"graft_kv: unsupported column type " +
               s"${a.dataType().simpleString} for '$name'")
+          // `ADD COLUMN c T DEFAULT expr`: the default applies to NEW
+          // inserts only (CURRENT_DEFAULT — Spark's analyzer splices it
+          // for writes that omit the column); EXISTS_DEFAULT is
+          // deliberately NOT set, so rows written under earlier schemas
+          // keep reading as NULL — evolution stays pure metadata, no
+          // retroactive value is invented for committed history
+          val meta = Option(a.defaultValue()) match {
+            case Some(dv) =>
+              val sql = Option(dv.getSql).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"graft_kv: DEFAULT for '$name' must be a SQL " +
+                    "expression (expression-only defaults unsupported)"))
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .putString("CURRENT_DEFAULT", sql).build()
+            case None => org.apache.spark.sql.types.Metadata.empty
+          }
           sch.add(org.apache.spark.sql.types.StructField(
-            name, a.dataType(), nullable = true))
+            name, a.dataType(), nullable = true, meta))
         case other =>
           throw new UnsupportedOperationException(
             s"graft_kv: unsupported ALTER $other — only ADD COLUMN evolves " +

@@ -101,8 +101,13 @@ class GraftKvSink extends TableProvider {
       stampEpochs = Option(properties.get("epochs")).exists(_.toBoolean),
       checkConstraintsF = () => {
         val mf = GraftKvSink.manifestPath(dir)
-        (if (Files.exists(mf)) GraftKvSink.readManifest(mf).checks
-        else Map.empty[String, String]) ++ optChecks
+        // the path route's table schema is the WRITER's (metadata-less),
+        // so generated-column checks must derive from the manifest schema
+        // here — the manifest is where CREATE persisted them
+        (if (Files.exists(mf)) {
+          val m = GraftKvSink.readManifest(mf)
+          m.checks ++ GraftKvSink.generatedChecks(m.schema)
+        } else Map.empty[String, String]) ++ optChecks
       },
       sortCols = GraftKvSink.sortColsOf(ci("sortBy")),
       sortBuckets = ci("sortBuckets").map(_.toInt).getOrElse(0))
@@ -263,6 +268,60 @@ object GraftKvSink {
   private[sources] val BloomItems = 4096L
   private[sources] val BloomFpp = 0.01
   private[sources] val BloomRowCap = 65536L
+
+  // ---- HyperLogLog NDV sketch (the manifest's column-statistics feed) ---
+  /** Fixed-parameter HLL (p=11 → 2 KB per column per file, ~2.3% typical
+    * error): blooms cap out at BloomRowCap rows, but the CBO needs a
+    * distinct count at EVERY file size — Spark's FilterEstimation refuses
+    * to estimate a predicate whose column carries no NDV, so without this
+    * a large table gets no selectivity estimates exactly where they matter
+    * most. Values hash by their canonical string image (the same one the
+    * stats/bloom feed uses), registers merge by elementwise max (standard
+    * HLL union), so per-file sketches compose to an exact-union table NDV
+    * at any fan-in. Stored in the manifest's per-file sketch map under the
+    * reserved "hll:<col>" key — the blooms plumbing carries it through
+    * every commit/restore/clone path untouched, and name-matched bloom
+    * probes can never collide with the prefixed key. */
+  private[sources] val HllP = 11
+  private[sources] val HllM = 1 << HllP
+  private[sources] val HllKey = "hll:"
+  private[sources] def hllAdd(reg: Array[Byte], value: String): Unit = {
+    val b = value.getBytes(StandardCharsets.UTF_8)
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+    val idx = (h >>> (64 - HllP)).toInt
+    val w = h << HllP
+    val rho = (if (w == 0L) 64 - HllP
+               else java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rho > reg(idx)) reg(idx) = rho.toByte
+  }
+  private[sources] def hllEstimate(reg: Array[Byte]): Long = {
+    val m = HllM.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    var sum = 0.0; var zeros = 0; var i = 0
+    while (i < HllM) {
+      sum += java.lang.Math.pow(2.0, -reg(i))
+      if (reg(i) == 0) zeros += 1
+      i += 1
+    }
+    val e = alpha * m * m / sum
+    // linear-counting correction for the small range; the 64-bit hash
+    // makes the classic large-range correction unnecessary
+    val corrected = if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+    math.max(1L, math.round(corrected))
+  }
+  /** Union of base64-encoded register arrays (elementwise max). */
+  private[sources] def hllMergeB64(parts: Seq[String]): Array[Byte] = {
+    val acc = new Array[Byte](HllM)
+    parts.foreach { b64 =>
+      val r = java.util.Base64.getDecoder.decode(b64)
+      var i = 0
+      while (i < HllM && i < r.length) {
+        if (r(i) > acc(i)) acc(i) = r(i); i += 1
+      }
+    }
+    acc
+  }
 
   private[sources] def pathOf(props: util.Map[String, String]): String = {
     val p = props.get("path")
@@ -1214,9 +1273,17 @@ object GraftKvSink {
         s"with the table's ${prior.simpleString}; use overwrite to " +
         "redefine the table, or ALTER TABLE ADD COLUMN to evolve it")
     StructType(longer.fields.zipWithIndex.map { case (f, i) =>
-      if (i < shorter.length)
-        f.copy(nullable = f.nullable || shorter.fields(i).nullable)
-      else f
+      val widened =
+        if (i < shorter.length)
+          f.copy(nullable = f.nullable || shorter.fields(i).nullable)
+        else f
+      // the PRIOR schema carries table-bound column metadata (DEFAULT /
+      // GENERATED ALWAYS AS); a writer's query schema never does — keep
+      // the prior's, or the first append would silently strip defaults
+      if (i < prior.length &&
+          prior.fields(i).metadata != org.apache.spark.sql.types.Metadata.empty)
+        widened.copy(metadata = prior.fields(i).metadata)
+      else widened
     })
   }
 
@@ -1261,6 +1328,51 @@ object GraftKvSink {
     } else if (cs.nonEmpty) {
       Files.createDirectories(Paths.get(dir))
       writeManifest(dir, schema, Seq.empty, checks = cs)
+    }
+  }
+
+  /** GENERATED ALWAYS AS columns, expressed as derived CHECK constraints:
+    * the column's stored value must null-safe-equal its generation
+    * expression (`g <=> (expr)`), enforced through the SAME machinery as
+    * user CHECKs — plan-spliced in extension sessions, per-row writer
+    * Predicate everywhere else — so no write shape (batch, streaming,
+    * CoW, MOR, extensionless session) can publish an inconsistent value.
+    * The expression text rides the Spark-standard GENERATION_EXPRESSION
+    * field-metadata key, persisted in the manifest schema like every
+    * other table-bound invariant. Spark leaves generated-column
+    * enforcement entirely to the connector (the capability only unlocks
+    * the CREATE syntax); the Delta posture is compute-or-verify — this
+    * connector verifies, so an INSERT must supply the (matching) value. */
+  private[graft] def generatedChecks(schema: StructType): Map[String, String] =
+    schema.fields.collect {
+      case f if f.metadata.contains("GENERATION_EXPRESSION") =>
+        s"gen_${f.name}" ->
+          s"`${f.name}` <=> (${f.metadata.getString("GENERATION_EXPRESSION")})"
+    }.toMap
+
+  /** Persist column-level metadata (DEFAULT values, GENERATED ALWAYS AS
+    * expressions — carried in StructField metadata by Spark's own v2
+    * column conversion) into the MANIFEST schema, so the table-bound
+    * semantics survive the catalog entry: once data exists the manifest
+    * is the authoritative schema (loadTable prefers it), and a later
+    * write's publishSchema merge keeps prior field metadata. No manifest
+    * yet: bootstrap one with the schema and zero files, the setChecks
+    * shape. An existing manifest whose column names/types differ is left
+    * untouched (CREATE does not redefine committed data). */
+  private[sources] def setColumnMeta(dir: String, schema: StructType): Unit = withCommitLock(dir) {
+    val mf = manifestPath(dir)
+    if (Files.exists(mf)) {
+      val m = readManifest(mf)
+      val sameShape = m.schema.length == schema.length &&
+        m.schema.fields.zip(schema.fields).forall { case (a, b) =>
+          a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
+      if (sameShape && m.schema.json != schema.json)
+        writeManifest(dir, schema, m.files, m.compactedUpTo, m.stats,
+          m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
+          priorHint = Some(m))
+    } else {
+      Files.createDirectories(Paths.get(dir))
+      writeManifest(dir, schema, Seq.empty)
     }
   }
 
@@ -1442,6 +1554,7 @@ object GraftKvSink {
       if (old.map(_._2).sum > BloomRowCap) Set.empty[String]
       else oldBlooms.map(_.keySet.map(_.toLowerCase))
         .reduceOption(_ intersect _).getOrElse(Set.empty)
+        .filterNot(_.startsWith(HllKey)) // HLLs merge below, uncapped
     val targetBlooms = bloomCols.map { c =>
       val merged = oldBlooms.map { bl =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -1451,7 +1564,18 @@ object GraftKvSink {
       val bos = new java.io.ByteArrayOutputStream()
       merged.writeTo(bos)
       c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-    }.toMap
+    }.toMap ++ {
+      // HLL NDV sketches: register-wise max union, NO row cap (sketch
+      // quality is size-independent — that is their whole point); same
+      // all-or-nothing rule per column as every other merged stat
+      val hllCols = oldBlooms.map(_.keySet.map(_.toLowerCase)
+          .filter(_.startsWith(HllKey)))
+        .reduceOption(_ intersect _).getOrElse(Set.empty)
+      hllCols.map { c =>
+        c -> java.util.Base64.getEncoder.encodeToString(hllMergeB64(
+          oldBlooms.map(_.find(_._1.equalsIgnoreCase(c)).get._2)))
+      }.toMap
+    }
     // single visibility switch: after this write, readers see only the
     // compacted file; the superseded inputs become unreferenced garbage
     writeManifest(dir, mf.schema,
@@ -1541,9 +1665,12 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       })
   /** The same table pinned to epoch `epoch`'s boundary state (read-only). */
   /** The table's CHECK constraints, resolved once on first (write-side)
-    * use — reads never force the thunk. */
+    * use — reads never force the thunk. GENERATED ALWAYS AS columns fold
+    * in as derived `gen_<col>` equality checks (see generatedChecks), so
+    * every enforcement point — plan splice, batch/streaming/MOR writer
+    * guards — covers them with zero extra machinery. */
   private[graft] lazy val checkConstraints: Map[String, String] =
-    checkConstraintsF()
+    checkConstraintsF() ++ GraftKvSink.generatedChecks(tableSchema)
   def atVersion(epoch: Long): GraftKvTable =
     new GraftKvTable(dir, tableSchema, mor, Some(epoch), stampEpochs,
       checkConstraintsF, sortCols, sortBuckets)
@@ -1587,7 +1714,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedEpoch.isEmpty,
       s"graft_kv: ${info.command} on a VERSION AS OF read is not allowed")
-    if (mor) () => new GraftKvDeltaOperation(dir, info)
+    if (mor) () => new GraftKvDeltaOperation(dir, info, () => checkConstraints)
     else () => new org.apache.spark.sql.connector.write.RowLevelOperation {
       // the scan built during planning defines the replace groups; the
       // write reads them lazily at commit (planning order: scan first)
@@ -1619,7 +1746,10 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
           snapshot = () => Option(groupScan).map(_.plannedManifest),
           // keep the table's clustering invariant through CoW rewrites:
           // replacement files come out range-clustered like any insert
-          sortCols = sortCols, sortBuckets = sortBuckets)
+          sortCols = sortCols, sortBuckets = sortBuckets,
+          // UPDATE can mint violating post-images; surviving rows already
+          // satisfy the invariant, so the re-check is free of surprises
+          checks = checkConstraints)
     }
   }
 
@@ -1801,7 +1931,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
   * never fences time travel: an `asOfEpoch` below the delta's epoch reads
   * the exact pre-DML state. */
 final class GraftKvDeltaOperation(dir: String,
-    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo,
+    checksF: () => Map[String, String] = () => Map.empty)
   extends org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
@@ -1825,7 +1956,7 @@ final class GraftKvDeltaOperation(dir: String,
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new GraftKvDeltaBatchWrite(dir, winfo.schema(),
-              () => Option(groupScan).map(_.plannedManifest))
+              () => Option(groupScan).map(_.plannedManifest), checksF())
         }
     }
 }
@@ -1836,7 +1967,12 @@ final class GraftKvDeltaOperation(dir: String,
   * and appends them to the manifest's `deltas` list behind the usual
   * atomic publish. Base files are never touched. */
 final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
-    snapshot: () => Option[GraftKvSink.Manifest] = null)
+    snapshot: () => Option[GraftKvSink.Manifest] = null,
+    // CHECK constraints at the writer (same recipe as the batch/streaming
+    // data writers): MOR UPDATE/INSERT post-images must satisfy the table
+    // invariant even from a session without the injected plan rules;
+    // position-deletes carry no row and are never checked
+    checks: Map[String, String] = Map.empty)
   extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   // same writeId temp scoping as the data write: a concurrent job's
@@ -1858,13 +1994,39 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
     val schemaJson = rowSchema.json
     val d = dir
     val wid = writeId
+    val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      if (checks.isEmpty) None
+      else Some(graft.plans.CheckConstraints.boundGuard(
+        org.apache.spark.sql.SparkSession.active, rowSchema, checks))
     new org.apache.spark.sql.connector.write.DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        new GraftKvDeltaWriter(d, sch,
+        val inner = new GraftKvDeltaWriter(d, sch,
           f"delta-part-$partitionId%05d-$taskId.$wid.tmp",
           f"delta-part-$partitionId%05d-$taskId.kvd")
+        guard match {
+          case None => inner
+          case Some(g) =>
+            new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+              private val p =
+                org.apache.spark.sql.catalyst.expressions.Predicate.create(g)
+              p.initialize(partitionId)
+              override def delete(meta: InternalRow, id: InternalRow): Unit =
+                inner.delete(meta, id)
+              override def insert(row: InternalRow): Unit = {
+                p.eval(row); inner.insert(row)
+              }
+              override def update(meta: InternalRow, id: InternalRow,
+                  row: InternalRow): Unit = {
+                p.eval(row); inner.update(meta, id, row)
+              }
+              override def write(row: InternalRow): Unit = insert(row)
+              override def commit(): WriterCommitMessage = inner.commit()
+              override def abort(): Unit = inner.abort()
+              override def close(): Unit = inner.close()
+            }
+        }
       }
     }
   }
@@ -2205,7 +2367,7 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
     if (sortCols.isEmpty) new Write {
       override def toBatch: BatchWrite =
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
-          snapshot, stampEpochs)
+          snapshot, stampEpochs, checks)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new GraftKvStreamingWrite(dir, schema, queryId, checks)
     }
@@ -2228,7 +2390,7 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
       override def requiredNumPartitions(): Int = sortBuckets
       override def toBatch: BatchWrite =
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
-          snapshot, stampEpochs)
+          snapshot, stampEpochs, checks)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new GraftKvStreamingWrite(dir, schema, queryId, checks)
     }
@@ -2382,7 +2544,15 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // not a fresher factory-time read (see GraftKvScan.plannedManifest)
     snapshot: () => Option[GraftKvSink.Manifest] = null,
     // `epochs 'true'` tables: stamp every commit (see GraftKvTable)
-    stampEpochs: Boolean = false)
+    stampEpochs: Boolean = false,
+    // CHECK constraints enforced AT THE WRITER (per row, pre-commit) in
+    // addition to any plan-spliced guard: a batch write from a session
+    // WITHOUT GraftExtensions never runs the injected rules, so the table's
+    // persisted invariant must hold here — Delta enforces constraints in
+    // the write transaction, not the planner, for exactly this reason.
+    // Extension sessions keep their earlier (plan-time) error site; rows
+    // they admit re-evaluate true here at negligible cost.
+    checks: Map[String, String] = Map.empty)
   extends BatchWrite {
 
   // This write's identity: scopes task temp-file names (and the commit-time
@@ -2415,8 +2585,16 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       require(e >= 0L, s"graft_kv: epoch option must be >= 0, got $e")
       planned.foreach { m => if (!replace) validateExplicitEpoch(e, m) }
     }
+    // same driver-bound per-row guard recipe as the streaming writer: the
+    // Expression is resolved + bound by ordinal here, shipped to tasks,
+    // and evaluated before each row lands — a violation fails the job
+    // before the manifest publishes (no partial state becomes visible)
+    val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+      if (checks.isEmpty) None
+      else Some(graft.plans.CheckConstraints.boundGuard(
+        org.apache.spark.sql.SparkSession.active, schema, checks))
     new GraftKvWriterFactory(dir, schema.json,
-      explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId)
+      explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId, guard)
   }
 
   private def validateExplicitEpoch(e: Long, m: GraftKvSink.Manifest): Unit = {
@@ -2615,13 +2793,28 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
 }
 
 final class GraftKvWriterFactory(dir: String, schemaJson: String,
-    namePrefix: String = "", writeId: String = "w0")
+    namePrefix: String = "", writeId: String = "w0",
+    guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    new GraftKvWriter(dir, schema,
+    val inner = new GraftKvWriter(dir, schema,
       f"${namePrefix}part-$partitionId%05d-$taskId.$writeId.tmp",
       f"${namePrefix}part-$partitionId%05d-$taskId.kv")
+    guard match {
+      case None => inner
+      case Some(g) => new DataWriter[InternalRow] {
+        private val p =
+          org.apache.spark.sql.catalyst.expressions.Predicate.create(g)
+        p.initialize(partitionId)
+        override def write(r: InternalRow): Unit = {
+          p.eval(r); inner.write(r) // eval raises on violation
+        }
+        override def commit(): WriterCommitMessage = inner.commit()
+        override def abort(): Unit = inner.abort()
+        override def close(): Unit = inner.close()
+      }
+    }
   }
 }
 
@@ -2646,6 +2839,10 @@ final class GraftKvWriter(dir: String, schema: StructType,
       case _ => null
     }
   }
+  // per-column HLL over non-null values (every type, no row cap — unlike
+  // blooms, sketch quality is size-independent): the manifest's NDV feed
+  private val hlls = schema.fields.map(_ => new Array[Byte](GraftKvSink.HllM))
+  private val hllSeen = new Array[Boolean](schema.length)
   private def observe(i: Int, s: String): Unit = {
     if (statBad(i)) return
     val dt = schema(i).dataType
@@ -2667,15 +2864,19 @@ final class GraftKvWriter(dir: String, schema: StructType,
     var i = 0
     while (i < schema.length) {
       val v = observed(i)
-      if (v != null) schema(i).dataType match {
-        case IntegerType | LongType =>
-          observe(i, v)
-          if (blooms(i) != null) blooms(i).putLong(v.toLong)
-        case DoubleType =>
-          if (v == "NaN") statBad(i) = true else observe(i, v)
-        case _ =>
-          observe(i, v)
-          if (blooms(i) != null) blooms(i).putString(v)
+      if (v != null) {
+        GraftKvSink.hllAdd(hlls(i), v)
+        hllSeen(i) = true
+        schema(i).dataType match {
+          case IntegerType | LongType =>
+            observe(i, v)
+            if (blooms(i) != null) blooms(i).putLong(v.toLong)
+          case DoubleType =>
+            if (v == "NaN") statBad(i) = true else observe(i, v)
+          case _ =>
+            observe(i, v)
+            if (blooms(i) != null) blooms(i).putString(v)
+        }
       }
       i += 1
     }
@@ -2700,7 +2901,14 @@ final class GraftKvWriter(dir: String, schema: StructType,
           schema(i).name.toLowerCase ->
             java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
       }.toMap
-    GraftKvCommit(tmpName, finalName, rows, stats, bloomB64)
+    // HLL NDV sketches ride the same per-file map under "hll:<col>" —
+    // no row cap (an all-null column simply has no entry)
+    val hllB64 = schema.fields.indices.collect {
+      case i if hllSeen(i) =>
+        GraftKvSink.HllKey + schema(i).name.toLowerCase ->
+          java.util.Base64.getEncoder.encodeToString(hlls(i))
+    }.toMap
+    GraftKvCommit(tmpName, finalName, rows, stats, bloomB64 ++ hllB64)
   }
 
   override def abort(): Unit = {
@@ -2881,12 +3089,114 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       val p = GraftKvSink.dataPath(dir, n)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
+    val cstats = columnStatsMap(rows)
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        cstats
     }
+  }
+
+  /** Per-COLUMN statistics for the CBO, derived from metadata the manifest
+    * already maintains for pruning — no data is read:
+    *  - min/max: fold of the per-file (min, max) ranges (numeric columns;
+    *    catalyst range estimation is numeric, string bounds go unused);
+    *  - distinct count: per-file HLL sketches (2 KB/column, written at
+    *    every file size — unlike blooms they never cap out) union by
+    *    register max into an exact-union table NDV; pre-HLL manifests
+    *    fall back to the bloom bit-OR inversion -(m/k)·ln(1 − X/m).
+    * With `spark.sql.cbo.enabled`, Spark's FilterEstimation/JoinEstimation
+    * read these through DSv2 transformV2Stats — selective filters shrink
+    * the estimated output and flip joins to broadcast with no hints, the
+    * decision that matters most at 100 TB. Sound only when no MOR delta
+    * overlays the boundary (a delete can evict a file's min/max row and
+    * delta inserts carry no stats) — report nothing rather than wrong
+    * bounds; plain row/byte counts above remain delta-exact. */
+  private def columnStatsMap(rows: Long): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (visibleDeltas.nonEmpty || visible.isEmpty || rows <= 0L) return out
+    manifest.schema.fields.foreach { f =>
+      val perFile = visible.map { case (n, _) =>
+        manifest.stats.getOrElse(n, Map.empty)
+          .find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+      }
+      // a file with no recorded range for the column (all-null, NaN seen,
+      // pre-stats manifest) makes the fold unknowable — skip min/max
+      val minMax: Option[(Any, Any)] =
+        if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+        else try {
+          val ranges = perFile.flatten
+          f.dataType match {
+            case IntegerType => Some((
+              Int.box(ranges.map(_._1.toInt).min),
+              Int.box(ranges.map(_._2.toInt).max)))
+            case LongType => Some((
+              Long.box(ranges.map(_._1.toLong).min),
+              Long.box(ranges.map(_._2.toLong).max)))
+            case DoubleType => Some((
+              Double.box(ranges.map(_._1.toDouble).min),
+              Double.box(ranges.map(_._2.toDouble).max)))
+            case _ => None
+          }
+        } catch { case _: NumberFormatException => None }
+      // NDV: prefer the per-file HLL sketches (size-independent, exact
+      // union via register max); fall back to the bloom-union inversion
+      // for pre-HLL manifests whose files all stayed under the bloom cap
+      val perHll = visible.map { case (n, _) =>
+        manifest.blooms.getOrElse(n, Map.empty)
+          .find(_._1.equalsIgnoreCase(GraftKvSink.HllKey + f.name)).map(_._2)
+      }
+      val perBloom = visible.map { case (n, _) =>
+        manifest.blooms.getOrElse(n, Map.empty)
+          .find(_._1.equalsIgnoreCase(f.name)).map(_._2)
+      }
+      val ndv: Option[Long] =
+        if (perHll.nonEmpty && perHll.forall(_.isDefined)) try {
+          Some(math.max(1L, math.min(rows,
+            GraftKvSink.hllEstimate(GraftKvSink.hllMergeB64(perHll.flatten)))))
+        } catch { case _: Exception => None }
+        else if (perBloom.isEmpty || perBloom.exists(_.isEmpty)) None
+        else try {
+          val union = perBloom.flatten
+            .map(b64 => org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(
+                java.util.Base64.getDecoder.decode(b64))))
+            .reduce((a, b) => a.mergeInPlace(b))
+          val m = union.bitSize().toDouble
+          val x = union.cardinality().toDouble
+          // the k the library chose for (BloomItems, fpp): round(m/n · ln2)
+          val k = math.max(1.0,
+            math.round(m / GraftKvSink.BloomItems * math.log(2)).toDouble)
+          if (x >= m) Some(rows) // saturated filter: every value distinct-ish
+          else Some(math.max(1L, math.min(rows,
+            math.round(-(m / k) * math.log1p(-(x / m))))))
+        } catch { case _: Exception => None }
+      if (minMax.isDefined || ndv.isDefined) {
+        out.put(org.apache.spark.sql.connector.expressions.Expressions
+            .column(f.name),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              ndv.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty)
+            override def min(): java.util.Optional[Object] =
+              minMax.map(mm => java.util.Optional.of(mm._1.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+            override def max(): java.util.Optional[Object] =
+              minMax.map(mm => java.util.Optional.of(mm._2.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty[Object]())
+          })
+      }
+    }
+    out
   }
 }
 

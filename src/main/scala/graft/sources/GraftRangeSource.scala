@@ -220,6 +220,33 @@ final class GraftRangeScan(rows: Long, slices: Int, lo: Long, hi: Long,
       java.util.OptionalLong.of(n * 21L)
     override def numRows(): java.util.OptionalLong =
       java.util.OptionalLong.of(n)
+    // EXACT column stats — the generator's value law is closed-form
+    // (k unique over the pruned range; v = hash(k) mod 1000; tag has 97
+    // arms), so the CBO sees true NDV/bounds with zero metadata reads.
+    override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      def cs(ndv: Long, mn: Option[Long], mx: Option[Long]) =
+        new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+          override def distinctCount(): java.util.OptionalLong =
+            java.util.OptionalLong.of(ndv)
+          override def min(): java.util.Optional[Object] =
+            mn.map(v => java.util.Optional.of(Long.box(v).asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+          override def max(): java.util.Optional[Object] =
+            mx.map(v => java.util.Optional.of(Long.box(v).asInstanceOf[Object]))
+              .getOrElse(java.util.Optional.empty[Object]())
+        }
+      val out = new java.util.HashMap[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (n > 0) {
+        import org.apache.spark.sql.connector.expressions.Expressions
+        out.put(Expressions.column("k"), cs(n, Some(rlo), Some(rhi - 1)))
+        out.put(Expressions.column("v"),
+          cs(math.min(n, 1000L), Some(0L), Some(999L)))
+        out.put(Expressions.column("tag"), cs(math.min(n, 97L), None, None))
+      }
+      out
+    }
   }
 
   /** RUNTIME filtering (the DSv2 form of dynamic partition pruning, and

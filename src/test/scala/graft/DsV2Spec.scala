@@ -1204,6 +1204,138 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft.cns.p")
   }
 
+  test("CHECK constraints hold for a session WITHOUT GraftExtensions (writer-level)") {
+    // The plan-spliced guards are injected rules — a vanilla session never
+    // runs them, so enforcement must live in the write path itself (the
+    // Delta posture: constraints are checked in the transaction, not the
+    // planner). A public-constructor sibling session shares the context
+    // but gets FRESH (empty) extensions: no injected analyzer/optimizer
+    // rules, no injected parser.
+    // Scala-private ctor, public in bytecode — reflective call is the
+    // test-only backdoor to a session the builder would share state with
+    val vanilla: org.apache.spark.sql.SparkSession =
+      classOf[org.apache.spark.sql.classic.SparkSession]
+        .getConstructor(classOf[org.apache.spark.SparkContext])
+        .newInstance(spark.sparkContext)
+        .asInstanceOf[org.apache.spark.sql.SparkSession]
+    def allMsgs(t: Throwable): String = {
+      val m = new StringBuilder; var c: Throwable = t
+      while (c != null) { m ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m.toString
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_cns_v")
+    val dir = root.resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cns.w")
+    spark.sql("CREATE TABLE graft.cns.w (id BIGINT, qty DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir', 'check.qty_pos' = 'qty >= 0')")
+    def rows: Map[Long, Double] = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).load().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // violating PATH-ROUTE batch append from the vanilla session: the
+    // writer-level guard refuses and the manifest never publishes the files
+    val e1 = intercept[Exception] {
+      vanilla.createDataFrame(Seq((1L, -2.0))).toDF("id", "qty").write
+        .format("graft.sources.GraftKvSink").option("path", dir)
+        .mode("append").save()
+    }
+    assert(allMsgs(e1).contains("qty_pos"), allMsgs(e1))
+    assert(rows.isEmpty)
+    // a clean append from the same vanilla session commits normally
+    vanilla.createDataFrame(Seq((1L, 2.0), (2L, 5.0))).toDF("id", "qty").write
+      .format("graft.sources.GraftKvSink").option("path", dir)
+      .mode("append").save()
+    assert(rows == Map(1L -> 2.0, 2L -> 5.0))
+    // catalog-route DML from the vanilla session (the graft catalog rides
+    // the shared context conf; UPDATE rewriting is core Spark): a CoW
+    // UPDATE minting a violating post-image refuses, table state unchanged
+    val e2 = intercept[Exception] {
+      vanilla.sql("UPDATE graft.cns.w SET qty = -7.0 WHERE id = 1")
+    }
+    assert(allMsgs(e2).contains("qty_pos"), allMsgs(e2))
+    assert(rows == Map(1L -> 2.0, 2L -> 5.0))
+    // and a legal UPDATE goes through
+    vanilla.sql("UPDATE graft.cns.w SET qty = 9.0 WHERE id = 1")
+    assert(rows == Map(1L -> 9.0, 2L -> 5.0))
+    // MERGE-ON-READ table: the delta writer checks UPDATE/INSERT
+    // post-images the same way (position-deletes are never checked)
+    val dirM = root.resolve("m").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cns.wm")
+    spark.sql("CREATE TABLE graft.cns.wm (id BIGINT, qty DOUBLE) " +
+      "USING graft_kv OPTIONS " +
+      s"(path '$dirM', mor 'true', 'check.qty_pos' = 'qty >= 0')")
+    vanilla.sql("INSERT INTO graft.cns.wm VALUES (CAST(1 AS BIGINT), 3.0D)")
+    val e3 = intercept[Exception] {
+      vanilla.sql("UPDATE graft.cns.wm SET qty = -1.0 WHERE id = 1")
+    }
+    assert(allMsgs(e3).contains("qty_pos"), allMsgs(e3))
+    assert(vanilla.table("graft.cns.wm").collect().map(_.getDouble(1)).toSeq
+      == Seq(3.0))
+    // a MOR DELETE carries no row image and must not trip the guard
+    vanilla.sql("DELETE FROM graft.cns.wm WHERE id = 1 AND qty > 0")
+    assert(vanilla.table("graft.cns.wm").count() == 0)
+    spark.sql("DROP TABLE IF EXISTS graft.cns.w")
+    spark.sql("DROP TABLE IF EXISTS graft.cns.wm")
+  }
+
+  test("GENERATED ALWAYS AS columns: consistent writes land, conflicts refuse") {
+    import spark.implicits._
+    def allMsgs(t: Throwable): String = {
+      val m = new StringBuilder; var c: Throwable = t
+      while (c != null) { m ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m.toString
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_gen")
+    val dir = root.resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.gen.t")
+    spark.sql("CREATE TABLE graft.gen.t (a BIGINT, b BIGINT, " +
+      "g BIGINT GENERATED ALWAYS AS (a + b)) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    def cnt: Long = spark.table("graft.gen.t").count()
+    // a consistent row lands (this connector VERIFIES generated values —
+    // the gen_<col> derived check — rather than computing them)
+    spark.sql("INSERT INTO graft.gen.t VALUES " +
+      "(CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(3 AS BIGINT))")
+    assert(cnt == 1)
+    // a conflicting explicit value refuses and commits nothing
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.gen.t VALUES " +
+        "(CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(9 AS BIGINT))")
+    }
+    assert(allMsgs(e1).contains("gen_g"), allMsgs(e1))
+    assert(cnt == 1)
+    // the invariant is manifest-persisted: a PATH-ROUTE writer that never
+    // saw the catalog entry refuses the same way
+    val e2 = intercept[Exception] {
+      Seq((5L, 5L, 11L)).toDF("a", "b", "g").write
+        .format("graft.sources.GraftKvSink").option("path", dir)
+        .mode("append").save()
+    }
+    assert(allMsgs(e2).contains("gen_g"), allMsgs(e2))
+    assert(cnt == 1)
+    // UPDATE minting an inconsistent post-image refuses; consistent lands
+    val e3 = intercept[Exception] {
+      spark.sql("UPDATE graft.gen.t SET b = 7 WHERE a = 1") // g stays 3
+    }
+    assert(allMsgs(e3).contains("gen_g"), allMsgs(e3))
+    spark.sql("UPDATE graft.gen.t SET b = 7, g = 8 WHERE a = 1")
+    assert(spark.table("graft.gen.t").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 7L, 8L)))
+    // omitting the generated column can never satisfy `g <=> a + b`
+    // (NULL is not the computed value) — refused, nothing lands
+    assertThrows[Exception] {
+      spark.sql("INSERT INTO graft.gen.t (a, b) VALUES " +
+        "(CAST(2 AS BIGINT), CAST(2 AS BIGINT))")
+    }
+    assert(cnt == 1)
+    // dropping the generation-source column refuses like every DROP
+    // (rows are positional; the generated invariant would dangle)
+    val e5 = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.gen.t DROP COLUMN a")
+    }
+    assert(allMsgs(e5).contains("ADD COLUMN"), allMsgs(e5))
+    spark.sql("DROP TABLE IF EXISTS graft.gen.t")
+  }
+
   test("RESTORE TABLE rolls a kv table back to an epoch boundary as a new commit") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_rst").toString

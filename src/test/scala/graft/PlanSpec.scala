@@ -621,4 +621,63 @@ class PlanSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").collect()
     assert(r.head.getDouble(0) == 11.0)
   }
+
+  test("kv manifest column stats feed the CBO: the broadcast flip is stats-driven") {
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_cbo_t")
+    val dim = root.resolve("dim").toString
+    // round-robin repartition scatters the key range across every file:
+    // per-file min/max spans ~the whole domain, so file-level stats
+    // pruning cannot shrink the baseline — only COLUMN stats can
+    spark.range(4000).repartition(4)
+      .selectExpr("id AS k", "CAST(id % 100 AS LONG) AS grp",
+        "repeat('x', 20) AS pad")
+      .write.format("graft.sources.GraftKvSink").option("path", dim)
+      .mode("overwrite").save()
+    val rawBytes = Option(new java.io.File(dim).listFiles())
+      .map(_.filter(_.getName.endsWith(".kv")).map(_.length).sum).getOrElse(0L)
+    assert(rawBytes > 0)
+    def planWith(cbo: Boolean, path: String): String = {
+      val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+      val prevThr = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          (rawBytes / 3).toString)
+        val fact = spark.range(20000).selectExpr("id % 4000 AS k", "id AS n")
+        fact.join(
+            spark.read.format("graft.sources.GraftKvSink").option("path", path)
+              .load().filter(org.apache.spark.sql.functions.col("k") <= 200),
+            "k")
+          .queryExecution.executedPlan.toString
+      } finally {
+        prevCbo.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+          spark.conf.set("spark.sql.cbo.enabled", _))
+        prevThr.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      }
+    }
+    // size-only baseline: raw bytes exceed the threshold, no broadcast
+    val baseline = planWith(cbo = false, dim)
+    assert(!baseline.contains("BroadcastHashJoin"), baseline.take(800))
+    // column stats (min/max from per-file ranges, NDV from bloom union)
+    // shrink the filtered estimate below the threshold: broadcast, no hint
+    val withStats = planWith(cbo = true, dim)
+    assert(withStats.contains("BroadcastHashJoin"), withStats.take(800))
+    // a MOR delta overlaying the boundary suppresses column stats (a
+    // delete can evict a file's min/max row) — same CBO setting, no flip:
+    // the broadcast decision above is driven by the stats, not the switch
+    spark.sql("DROP TABLE IF EXISTS graft.cbo.m")
+    val morDir = root.resolve("mor").toString
+    spark.sql("CREATE TABLE graft.cbo.m (k BIGINT, grp BIGINT, pad STRING) " +
+      s"USING graft_kv OPTIONS (path '$morDir', mor 'true')")
+    spark.range(4000).repartition(4)
+      .selectExpr("id AS k", "CAST(id % 100 AS LONG) AS grp",
+        "repeat('x', 20) AS pad")
+      .write.format("graft.sources.GraftKvSink").option("path", morDir)
+      .mode("append").save()
+    spark.sql("UPDATE graft.cbo.m SET grp = -1 WHERE k = 7")
+    val morPlan = planWith(cbo = true, morDir)
+    assert(!morPlan.contains("BroadcastHashJoin"), morPlan.take(800))
+    spark.sql("DROP TABLE IF EXISTS graft.cbo.m")
+  }
 }
