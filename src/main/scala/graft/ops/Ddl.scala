@@ -557,6 +557,17 @@ object Ddl {
   // Delta OPTIMIZE ZORDER shape, published as a retained-history rewrite
   private val OptimizeZorderRe =
     """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
+  // NAMED REFS (the Iceberg tag shape, kv catalog tables): CREATE TAG
+  // pins an epoch boundary against maintenance (compaction clamps at the
+  // oldest tag, vacuum keeps what the tagged state reconstructs from);
+  // `VERSION AS OF '<name>'` reads it; DROP TAG unpins; SHOW TAGS lists.
+  private val CreateTagRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+CREATE\s+TAG\s+""" +
+      """(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*""").r
+  private val DropTagRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+DROP\s+TAG\s+(\w+)\s*""".r
+  private val ShowTagsRe =
+    """(?is)\s*SHOW\s+TAGS\s+((?:\w+\.){0,2}\w+)\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
   // VACUUM t [RETAIN n MINUTES] DRY RUN: list what a real vacuum would
@@ -578,9 +589,12 @@ object Ddl {
   // CREATE TABLE tgt SHALLOW CLONE src [VERSION AS OF n] LOCATION 'dir':
   // a zero-copy branch of a kv table — the clone's manifest references the
   // source's visible files by absolute path (see GraftKvSink.shallowClone)
+  // VERSION AS OF takes an epoch number or a quoted TAG name — a clone
+  // at a tag IS the branch shape: a named writable lineage off a pinned
+  // boundary, with the tag continuing to pin the source's state
   private val CloneRe =
     ("""(?is)\s*CREATE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+SHALLOW\s+CLONE\s+""" +
-      """((?:\w+\.){0,2}\w+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?""" +
+      """((?:\w+\.){0,2}\w+)(?:\s+VERSION\s+AS\s+OF\s+(?:(\d+)|'(\w+)'))?""" +
       """\s+LOCATION\s+'([^']+)'\s*""").r
   // MERGE INTO <t> USING (<select>) [AS] s ON <key equality> WHEN MATCHED
   // THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the Delta-style
@@ -1310,6 +1324,8 @@ object Ddl {
   private val versionsCols: Seq[(String, DataType)] =
     Seq("version" -> IntegerType, "op" -> StringType, "detail" -> StringType,
       "commit_ts" -> LongType)
+  private val tagsCols: Seq[(String, DataType)] =
+    Seq("name" -> StringType, "epoch" -> LongType, "kind" -> StringType)
   private val historyCols: Seq[(String, DataType)] =
     Seq("version" -> LongType, "operation" -> StringType,
       "rows_added" -> LongType, "rows_deleted" -> LongType,
@@ -1412,6 +1428,9 @@ object Ddl {
     case DescHistoryRe(n) if kvTableFor(n).isDefined => Some(historyCols)
     case DescDetailRe(n) if kvTableFor(n).isDefined  => Some(detailCols)
     case OptimizeZorderRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case CreateTagRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case DropTagRe(n, _) if kvTableFor(n).isDefined  => Some(statusCols)
+    case ShowTagsRe(n) if kvTableFor(n).isDefined    => Some(tagsCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
     case VacuumDryRe(n, _) if kvTableFor(n).isDefined => Some(vacuumCols)
@@ -1419,7 +1438,7 @@ object Ddl {
       kvTableFor(n).isDefined                         => Some(statusCols)
     case RestoreRe(n, _) if lookup(n).isDefined ||
       kvTableFor(n).isDefined                        => Some(statusCols)
-    case CloneRe(_, s, _, _) if kvTableFor(s).isDefined => Some(statusCols)
+    case CloneRe(_, s, _, _, _) if kvTableFor(s).isDefined => Some(statusCols)
     case RefreshMvRe(n) if mvNamed(n).isDefined      => Some(statusCols)
     case DropMvRe(n) if mvNamed(n).isDefined         => Some(statusCols)
     case SetVisRe(_*)                                => Some(statusCols)
@@ -1919,6 +1938,16 @@ object Ddl {
         val upTo = Option(upToStr).map(_.toLong).getOrElse(Long.MaxValue)
         val merged = graft.sources.GraftKvSink.compact(kvPathFor(name), upTo)
         status("OPTIMIZE", s"$name ($merged files merged)")
+      case CreateTagRe(name, tag, verStr) =>
+        val e = graft.sources.GraftKvSink.createRef(kvPathFor(name), tag,
+          Option(verStr).map(_.toLong))
+        status("CREATE_TAG", s"$name ($tag -> epoch $e)")
+      case DropTagRe(name, tag) =>
+        graft.sources.GraftKvSink.dropRef(kvPathFor(name), tag)
+        status("DROP_TAG", s"$name ($tag)")
+      case ShowTagsRe(name) =>
+        graft.sources.GraftKvSink.refsOf(kvPathFor(name))
+          .toDF("name", "epoch", "kind")
       case VacuumRe(name, retainStr) =>
         // VACUUM [RETAIN n MINUTES]: reclaim unreferenced files and
         // CoW-retained history older than the grace window (default 10
@@ -1946,7 +1975,7 @@ object Ddl {
         val e = graft.sources.GraftKvSink.restore(path, epoch)
         status("RESTORE", s"$name (timestamp -> epoch $epoch, " +
           s"restore commit epoch $e)")
-      case CloneRe(tgt, src, verStr, loc) =>
+      case CloneRe(tgt, src, verStr, refStr, loc) =>
         // zero-copy branch: one manifest write references the source's
         // visible files in place; the catalog entry inherits the source's
         // behavioral options (mor/epochs/sortBy/check.*) but its own path
@@ -1958,8 +1987,10 @@ object Ddl {
         // entry, including a graft_range one the kv filter would miss
         require(dsv2Get(tgtKey).isEmpty && lookup(tgt).isEmpty,
           s"SHALLOW CLONE target $tgt already exists")
+        val atEpoch = Option(verStr).map(_.toLong).orElse(Option(refStr)
+          .map(graft.sources.GraftKvSink.resolveRef(sDef.options("path"), _)))
         val e = graft.sources.GraftKvSink.shallowClone(
-          sDef.options("path"), loc, Option(verStr).map(_.toLong))
+          sDef.options("path"), loc, atEpoch)
         dsv2Put(Dsv2Def(tgtKey, "graft_kv", sDef.schemaJson,
           sDef.options - "path" + ("path" -> loc)))
         status("CLONE", s"$tgt (shallow clone of $src at epoch $e)")

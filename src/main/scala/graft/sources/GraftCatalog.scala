@@ -113,11 +113,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
   override def loadTable(ident: Identifier, version: String): Table =
     Ddl.dsv2Get(key(ident)) match {
       case Some(d) if d.provider == "graft_kv" =>
+        // a non-numeric version is a NAMED REF: `VERSION AS OF 'eval_v1'`
+        // resolves through the manifest's refs map (CREATE TAG pins it)
         val epoch =
           try java.lang.Long.parseLong(version)
           catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"graft_kv: VERSION AS OF takes an epoch number, got '$version'")
+            GraftKvSink.resolveRef(d.options.getOrElse("path",
+              throw new IllegalStateException(
+                s"graft catalog entry ${d.name} lacks a path option")),
+              version)
           }
         require(epoch >= 0L, s"graft_kv: VERSION AS OF $epoch — epochs are >= 0")
         loadTable(ident) match {

@@ -178,7 +178,15 @@ object GraftKvSink {
       // streaming write via a bound predicate). Name -> boolean SQL text;
       // carried verbatim across every publish (truncate included —
       // constraints are table-level, not data-level).
-      checks: Map[String, String] = Map.empty) {
+      checks: Map[String, String] = Map.empty,
+      // NAMED REFS (the Iceberg tag shape): name -> (epoch, kind). A
+      // "tag" pins its epoch's boundary state against maintenance —
+      // compaction clamps below the oldest tag, vacuum keeps the retained
+      // CoW files a tagged state reconstructs from, and VERSION AS OF
+      // '<name>' resolves through this map. Carried across every publish
+      // except a truncating one (truncate restarts history; a tag into
+      // the old numbering would silently pin the wrong state).
+      refs: Map[String, (Long, String)] = Map.empty) {
     /** THE boundary-state visibility rule — the one definition every
       * reader (scan, agg pushdown, changefeed planning) must share, or
       * metadata-answered COUNTs silently diverge from data-path reads: at
@@ -392,6 +400,9 @@ object GraftKvSink {
       // CHECK constraints: null = carry the prior manifest's verbatim
       // (table-level metadata, truncate-proof); setChecks passes updates
       checks: Map[String, String] = null,
+      // named refs: null = carry the prior's (dropped by freshHistory —
+      // a truncate restarts epoch numbering); createRef/dropRef update
+      refs: Map[String, (Long, String)] = null,
       // the currently-published manifest, when the caller (always under
       // the same commit lock) has already read it — saves the second
       // full JSON parse per publish, which the per-file stats/bloom maps
@@ -417,9 +428,13 @@ object GraftKvSink {
     // landing in the same millisecond. Epochs no longer referenced
     // (vacuumed/compacted away) drop their entries here automatically.
     locally {
+      val refsKept0 =
+        if (freshHistory) Map.empty[String, (Long, String)]
+        else Option(refs).orElse(prior.map(_.refs)).getOrElse(Map.empty)
       val referenced = (files.map(f => epochOf(f._1)) ++
         deltas.map(d => epochOf(d.name)) ++
         removed.map(r => epochOf(r.name)) ++ removed.map(_.removedAt) ++
+        refsKept0.values.map(_._1) ++ // tagged epochs keep their stamps
         Seq(compactedUpTo, rewrittenUpTo).filter(_ >= 0L)).distinct.sorted
       val priorTs =
         if (freshHistory) Map.empty[Long, Long]
@@ -450,6 +465,13 @@ object GraftKvSink {
       if (checksKept.nonEmpty) {
         val co = root.putObject("checks")
         checksKept.toSeq.sortBy(_._1).foreach { case (k, v) => co.put(k, v) }
+      }
+      val refsKept = refsKept0
+      if (refsKept.nonEmpty) {
+        val ro = root.putObject("refs")
+        refsKept.toSeq.sortBy(_._1).foreach { case (n, (e, kind)) =>
+          val o = ro.putObject(n); o.put("epoch", e); o.put("kind", kind)
+        }
       }
     }
     val arr = root.putArray("files")
@@ -536,8 +558,14 @@ object GraftKvSink {
       o.properties().iterator().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val refs = Option(root.get("refs")).map { o =>
+      o.properties().iterator().asScala.map { e =>
+        e.getKey -> (e.getValue.get("epoch").asLong(),
+          e.getValue.get("kind").asText())
+      }.toMap
+    }.getOrElse(Map.empty[String, (Long, String)])
     Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver,
-      txn, ets, checks)
+      txn, ets, checks, refs)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -805,8 +833,17 @@ object GraftKvSink {
     // "RETAIN n MINUTES of history" clock — file mtimes are a transport
     // detail and only the fallback for pre-timestamp manifests).
     // All-or-nothing under the same grace window so a half-reclaimed
-    // window can never half-answer.
-    val reclaimHistory = m0.removed.nonEmpty && m0.removed.forall { r =>
+    // window can never half-answer. TAG protection: a retained file whose
+    // [own epoch, removedAt) window covers a tagged epoch is what that
+    // tag's boundary state reconstructs from — it stays in `removed`
+    // (and on disk) until the tag is dropped, the Iceberg
+    // tag-pins-snapshot-against-expiry rule; only the unprotected rest
+    // participates in the all-or-nothing window.
+    val taggedEpochs = m0.refs.values.map(_._1).toSet
+    def pinnedByTag(r: RemovedFile): Boolean =
+      taggedEpochs.exists(t => epochOf(r.name) <= t && t < r.removedAt)
+    val (pinned, reclaimable) = m0.removed.partition(pinnedByTag)
+    val reclaimHistory = reclaimable.nonEmpty && reclaimable.forall { r =>
       val p = dataPath(dir, r.name)
       !Files.exists(p) || m0.epochTs.get(r.removedAt)
         .getOrElse(Files.getLastModifiedTime(p).toMillis) <= cutoff
@@ -814,14 +851,72 @@ object GraftKvSink {
     if (reclaimHistory) {
       writeManifest(dir, m0.schema, m0.files,
         math.max(m0.compactedUpTo, m0.rewrittenUpTo),
-        m0.stats, m0.blooms, m0.deltas, Nil, m0.rewrittenUpTo,
+        m0.stats, m0.blooms, m0.deltas, pinned, m0.rewrittenUpTo,
         priorHint = Some(m0))
-      m0.removed.foreach(r => deleteOwned(dir, r.name))
+      reclaimable.foreach(r => deleteOwned(dir, r.name))
     }
     // report only files actually DELETED: a clone's foreign references
     // are dropped from the manifest but never removed from the source
     stray.length +
-      (if (reclaimHistory) m0.removed.count(r => !isForeign(r.name)) else 0)
+      (if (reclaimHistory) reclaimable.count(r => !isForeign(r.name)) else 0)
+  }
+
+  /** CREATE TAG (Iceberg's named-ref shape): pin `epoch`'s boundary state
+    * under `name` — VERSION AS OF '<name>' resolves through the manifest's
+    * refs map, compaction clamps at the oldest tag, and vacuum keeps the
+    * retained CoW files the tagged state reconstructs from. The epoch must
+    * name an answerable committed boundary NOW (pinning vacuumed history
+    * would promise a read that cannot be served). */
+  def createRef(dir: String, name: String, epochRequested: Option[Long],
+      kind: String = "tag"): Long = withCommitLock(dir) {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val m = readManifest(mfp)
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"graft_kv: ref name must be alphanumeric/underscore, got '$name'")
+    require(!m.refs.contains(name),
+      s"graft_kv: ref '$name' already exists at $dir (DROP TAG it first)")
+    val head = (m.files.map(f => epochOf(f._1)) ++
+      m.deltas.map(d => epochOf(d.name)) ++ m.removed.map(_.removedAt) ++
+      Seq(m.rewrittenUpTo, m.compactedUpTo)).max.max(0L)
+    val epoch = epochRequested.getOrElse(head)
+    requireAnswerableEpoch(m, epoch)
+    writeManifest(dir, m.schema, m.files, m.compactedUpTo, m.stats,
+      m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
+      refs = m.refs + (name -> (epoch, kind)), priorHint = Some(m))
+    epoch
+  }
+
+  /** DROP TAG: unpin — the next vacuum may reclaim what only the tag
+    * held, and compaction's clamp moves to the next-oldest ref. */
+  def dropRef(dir: String, name: String): Unit = withCommitLock(dir) {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val m = readManifest(mfp)
+    require(m.refs.contains(name),
+      s"graft_kv: no ref named '$name' at $dir " +
+        s"(existing: ${m.refs.keys.toSeq.sorted.mkString(", ")})")
+    writeManifest(dir, m.schema, m.files, m.compactedUpTo, m.stats,
+      m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
+      refs = m.refs - name, priorHint = Some(m))
+  }
+
+  /** The table's named refs, for SHOW TAGS. */
+  def refsOf(dir: String): Seq[(String, Long, String)] = {
+    val mfp = manifestPath(dir)
+    if (!Files.exists(mfp)) Nil
+    else readManifest(mfp).refs.toSeq
+      .map { case (n, (e, k)) => (n, e, k) }.sortBy(_._1)
+  }
+
+  /** Resolve a named ref to its pinned epoch. */
+  def resolveRef(dir: String, name: String): Long = {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val m = readManifest(mfp)
+    m.refs.get(name).map(_._1).getOrElse(throw new IllegalArgumentException(
+      s"graft_kv: no ref named '$name' at $dir " +
+        s"(existing: ${m.refs.keys.toSeq.sorted.mkString(", ")})"))
   }
 
   /** RESTORE (Delta's `RESTORE TABLE … TO VERSION AS OF` shape): roll the
@@ -1235,7 +1330,13 @@ object GraftKvSink {
     * with the current state would be a "pinned" read that silently moves
     * as epochs land (Delta/Iceberg raise VERSION_NOT_FOUND here). */
   private[sources] def requireAnswerableEpoch(m: Manifest, n: Long): Unit = {
-    require(m.compactedUpTo < 0L || n >= m.compactedUpTo,
+    // a TAGGED epoch below the vacuum fence stays answerable: vacuum
+    // keeps exactly the retained CoW files its reconstruction needs (see
+    // vacuum's protected partition), while untagged neighbors lost
+    // theirs and must keep erroring. Compaction never merges past a tag
+    // (compact clamps), so a tag can never name physically-merged history.
+    val tagged = m.refs.values.exists(_._1 == n)
+    require(tagged || m.compactedUpTo < 0L || n >= m.compactedUpTo,
       s"graft_kv: epoch $n predates compacted history " +
         s"(epochs <= ${m.compactedUpTo} were vacuumed)")
     // the newest committed epoch can live only in the fences: a DML that
@@ -1436,7 +1537,12 @@ object GraftKvSink {
     val maxEpoch = (mf.files.map(f => epochOf(f._1)) ++
       mf.deltas.map(d => epochOf(d.name))).maxOption.getOrElse(-1L)
     if (maxEpoch < 0L) return 0 // empty table: nothing to compact or fence
-    val upTo = math.min(upToRequested, maxEpoch)
+    // TAGS clamp the boundary: merging STRICTLY past a tagged epoch would
+    // destroy the exact state the tag pins (a merge AT the tag is fine —
+    // the compacted file IS that boundary state). The Iceberg rule: a
+    // pinned snapshot's files never expire while the ref lives.
+    val minTag = mf.refs.values.map(_._1).minOption.getOrElse(Long.MaxValue)
+    val upTo = math.min(math.min(upToRequested, maxEpoch), minTag)
     val (old, keep) = mf.files.partition(f => epochOf(f._1) <= upTo)
     // merge-on-read deltas at or below the boundary FOLD into the
     // compacted file (deletes applied, inserts appended) — compaction is
@@ -3276,11 +3382,11 @@ final class GraftKvMicroBatchStream(dir: String,
     }
   }
   override def reportLatestOffset(): Offset = EpochOffset(headEpoch)
-  private val EpochRe = """epoch-(\d+)-.*""".r
-  private def epochOf(name: String): Long = name match {
-    case EpochRe(e) => e.toLong
-    case _          => 0L // batch-written files surface in the first batch
-  }
+  // the canonical BASENAME-aware parse: a shallow clone's foreign
+  // references are absolute paths, and a raw-name match here silently
+  // collapsed every foreign epoch to 0 in streaming windows and CDC
+  // labels (caught by kv_clone_cdc's hash gate)
+  private def epochOf(name: String): Long = GraftKvSink.epochOf(name)
   private def manifestOpt: Option[GraftKvSink.Manifest] = {
     val mf = GraftKvSink.manifestPath(dir)
     if (!Files.exists(mf)) None else Some(GraftKvSink.readManifest(mf))

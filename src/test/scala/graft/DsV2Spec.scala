@@ -641,9 +641,11 @@ class DsV2Spec extends SparkSpec {
         "SELECT * FROM graft.rlspec.tt TIMESTAMP AS OF '2026-01-01'").collect() }
       assert(ts.getMessage.contains("before the earliest recorded commit"),
         ts.getMessage)
+      // a non-numeric version is a NAMED-REF lookup now; with no refs
+      // defined it refuses listing the (empty) existing set
       val bad = intercept[Exception] { spark.sql(
         "SELECT * FROM graft.rlspec.tt VERSION AS OF 'v1'").collect() }
-      assert(bad.getMessage.contains("epoch number"), bad.getMessage)
+      assert(bad.getMessage.contains("no ref named"), bad.getMessage)
       // vacuum reclaims retained history; the pinned read then errors
       // through the same fence as any vacuumed asOfEpoch
       graft.sources.GraftKvSink.vacuum(dir, graceMs = 0L)
@@ -1275,6 +1277,63 @@ class DsV2Spec extends SparkSpec {
     assert(vanilla.table("graft.cns.wm").count() == 0)
     spark.sql("DROP TABLE IF EXISTS graft.cns.w")
     spark.sql("DROP TABLE IF EXISTS graft.cns.wm")
+  }
+
+  test("named refs: a TAG pins its boundary across VACUUM; branches fork from it") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_tag")
+    val dir = root.resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.tagspec.t")
+    spark.sql("CREATE TABLE graft.tagspec.t (id BIGINT, v STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true')")
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).foreach { case (i, s) =>
+      spark.sql(s"INSERT INTO graft.tagspec.t VALUES (CAST($i AS BIGINT), '$s')")
+    }
+    def ids(suffix: String): Seq[Long] =
+      spark.sql(s"SELECT id FROM graft.tagspec.t $suffix")
+        .collect().map(_.getLong(0)).toSeq.sorted
+    ops.Ddl.execute(spark, "ALTER TABLE graft.tagspec.t CREATE TAG eval1 AS OF VERSION 1")
+    val tags = ops.Ddl.execute(spark, "SHOW TAGS graft.tagspec.t").collect()
+    assert(tags.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+      == Seq(("eval1", 1L, "tag")))
+    // duplicate names refuse
+    assertThrows[Exception] {
+      ops.Ddl.execute(spark, "ALTER TABLE graft.tagspec.t CREATE TAG eval1") }
+    // a BRANCH is a shallow clone at the tag — VERSION AS OF '<ref>' form
+    val bdir = root.resolve("b").toString
+    spark.sql("DROP TABLE IF EXISTS graft.tagspec.b")
+    ops.Ddl.execute(spark, "CREATE TABLE graft.tagspec.b SHALLOW CLONE " +
+      s"graft.tagspec.t VERSION AS OF 'eval1' LOCATION '$bdir'")
+    spark.sql("INSERT INTO graft.tagspec.b VALUES (CAST(99 AS BIGINT), 'z')")
+    assert(spark.sql("SELECT id FROM graft.tagspec.b").collect()
+      .map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 99L)) // diverged
+    // CoW DML: one rewrite touches a PRE-tag file (pins retained history),
+    // one touches a post-tag file (its history stays reclaimable)
+    spark.sql("DELETE FROM graft.tagspec.t WHERE id = 1")
+    spark.sql("DELETE FROM graft.tagspec.t WHERE id = 3")
+    ops.Ddl.execute(spark, "VACUUM graft.tagspec.t RETAIN 0 MINUTES")
+    // the tag still reconstructs exactly (via the PINNED retained file)...
+    assert(ids("VERSION AS OF 'eval1'") == Seq(1L, 2L))
+    assert(ids("VERSION AS OF 1") == Seq(1L, 2L)) // numeric spelling too
+    // ...while untagged history below the fence is gone
+    assertThrows[Exception] { ids("VERSION AS OF 0") }
+    assert(ids("") == Seq(2L)) // current state unaffected
+    // the branch still reads its fork point plus its own divergence
+    assert(spark.sql("SELECT id FROM graft.tagspec.b").collect()
+      .map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L, 99L))
+    // OPTIMIZE clamps at the oldest tag: the tagged boundary survives
+    ops.Ddl.execute(spark, "OPTIMIZE graft.tagspec.t")
+    assert(ids("VERSION AS OF 'eval1'") == Seq(1L, 2L))
+    assert(ids("") == Seq(2L))
+    // unknown refs refuse with the existing names listed
+    val e = intercept[Exception] { ids("VERSION AS OF 'nope'") }
+    assert(e.getMessage.contains("eval1"), e.getMessage)
+    // DROP TAG unpins: vacuum reclaims, the boundary stops answering
+    ops.Ddl.execute(spark, "ALTER TABLE graft.tagspec.t DROP TAG eval1")
+    ops.Ddl.execute(spark, "VACUUM graft.tagspec.t RETAIN 0 MINUTES")
+    assertThrows[Exception] { ids("VERSION AS OF 1") }
+    spark.sql("DROP TABLE IF EXISTS graft.tagspec.t")
+    spark.sql("DROP TABLE IF EXISTS graft.tagspec.b")
   }
 
   test("GENERATED ALWAYS AS columns: consistent writes land, conflicts refuse") {
