@@ -577,7 +577,8 @@ object Ddl {
       """MINUTES)?\s+DRY\s+RUN\s*""").r
   // RESTORE TABLE t TO TIMESTAMP AS OF '<ts>': the wall-clock spelling —
   // resolves via the timestamp-as-of prefix rule, then restores to that
-  // epoch boundary (kv catalog tables only; keyed tables count mutations)
+  // boundary (kv catalog tables: epoch; keyed tables: mutation-log
+  // version via the r16 commit clocks)
   private val RestoreTsRe =
     ("""(?is)\s*RESTORE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+TO\s+TIMESTAMP""" +
       """\s+AS\s+OF\s+'([^']+)'\s*""").r
@@ -1434,7 +1435,7 @@ object Ddl {
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
     case VacuumDryRe(n, _) if kvTableFor(n).isDefined => Some(vacuumCols)
-    case RestoreTsRe(n, _) if lookup(n).isEmpty &&
+    case RestoreTsRe(n, _) if lookup(n).isDefined ||
       kvTableFor(n).isDefined                         => Some(statusCols)
     case RestoreRe(n, _) if lookup(n).isDefined ||
       kvTableFor(n).isDefined                        => Some(statusCols)
@@ -1975,6 +1976,24 @@ object Ddl {
         val e = graft.sources.GraftKvSink.restore(path, epoch)
         status("RESTORE", s"$name (timestamp -> epoch $epoch, " +
           s"restore commit epoch $e)")
+      case RestoreTsRe(name, tsStr) if lookup(name).isDefined =>
+        // keyed-table wall-clock restore (r16): the mutation log's commit
+        // clocks resolve the instant to a log prefix by the same rule
+        // TIMESTAMP AS OF reads use, then the VERSION restore path runs
+        val t = lookupOrThrow(name)
+        require(t.createdTs > 0L && t.muts.forall(_.ts > 0L),
+          s"${t.name}: history predates commit clocks — use TO VERSION n " +
+            "(SHOW VERSIONS lists the log)")
+        val ms = graft.sources.GraftKvSink.parseTsMillis(tsStr)
+        require(ms >= t.createdTs,
+          s"timestamp $ms is before ${t.name} was created (${t.createdTs})")
+        val v = t.muts.count(_.ts <= ms)
+        val restored = t.copy(muts = t.muts.take(v))
+        catalog.put(restored.name.toLowerCase, restored)
+        persist()
+        if (isQualified(restored.name)) replaceQualified(spark, restored)
+        else replaceView(spark, restored.name, rebuild(spark, restored))
+        status("RESTORE", s"${t.name} (timestamp -> version $v)")
       case CloneRe(tgt, src, verStr, refStr, loc) =>
         // zero-copy branch: one manifest write references the source's
         // visible files in place; the catalog entry inherits the source's

@@ -293,6 +293,15 @@ object GraftKvSink {
   private[sources] val HllP = 11
   private[sources] val HllM = 1 << HllP
   private[sources] val HllKey = "hll:"
+  // two more per-file per-column counters riding the same sketch map:
+  // "cnt:<col>" = NON-NULL values (nullCount = file rows − cnt, the IS
+  // NULL selectivity feed) and "len:<col>" = total UTF8 string bytes
+  // (avgLen = len / cnt — catalyst's default guess of 20 B/string is the
+  // wrong size estimate everywhere it matters). Sum-merged on compaction.
+  private[sources] val CntKey = "cnt:"
+  private[sources] val LenKey = "len:"
+  private[sources] def isSketchKey(k: String): Boolean =
+    k.startsWith(HllKey) || k.startsWith(CntKey) || k.startsWith(LenKey)
   private[sources] def hllAdd(reg: Array[Byte], value: String): Unit = {
     val b = value.getBytes(StandardCharsets.UTF_8)
     val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
@@ -1660,7 +1669,7 @@ object GraftKvSink {
       if (old.map(_._2).sum > BloomRowCap) Set.empty[String]
       else oldBlooms.map(_.keySet.map(_.toLowerCase))
         .reduceOption(_ intersect _).getOrElse(Set.empty)
-        .filterNot(_.startsWith(HllKey)) // HLLs merge below, uncapped
+        .filterNot(isSketchKey) // sketch keys merge below, uncapped
     val targetBlooms = bloomCols.map { c =>
       val merged = oldBlooms.map { bl =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
@@ -1671,15 +1680,17 @@ object GraftKvSink {
       merged.writeTo(bos)
       c -> java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     }.toMap ++ {
-      // HLL NDV sketches: register-wise max union, NO row cap (sketch
-      // quality is size-independent — that is their whole point); same
+      // sketch keys merge uncapped (quality is size-independent): HLLs by
+      // register-wise max union, cnt:/len: counters by SUM; same
       // all-or-nothing rule per column as every other merged stat
-      val hllCols = oldBlooms.map(_.keySet.map(_.toLowerCase)
-          .filter(_.startsWith(HllKey)))
+      val sketchCols = oldBlooms.map(_.keySet.map(_.toLowerCase)
+          .filter(isSketchKey))
         .reduceOption(_ intersect _).getOrElse(Set.empty)
-      hllCols.map { c =>
-        c -> java.util.Base64.getEncoder.encodeToString(hllMergeB64(
-          oldBlooms.map(_.find(_._1.equalsIgnoreCase(c)).get._2)))
+      sketchCols.map { c =>
+        val parts = oldBlooms.map(_.find(_._1.equalsIgnoreCase(c)).get._2)
+        c -> (if (c.startsWith(HllKey))
+          java.util.Base64.getEncoder.encodeToString(hllMergeB64(parts))
+        else parts.map(_.toLong).sum.toString)
       }.toMap
     }
     // single visibility switch: after this write, readers see only the
@@ -2949,6 +2960,8 @@ final class GraftKvWriter(dir: String, schema: StructType,
   // blooms, sketch quality is size-independent): the manifest's NDV feed
   private val hlls = schema.fields.map(_ => new Array[Byte](GraftKvSink.HllM))
   private val hllSeen = new Array[Boolean](schema.length)
+  private val nonNull = new Array[Long](schema.length)
+  private val strLen = new Array[Long](schema.length)
   private def observe(i: Int, s: String): Unit = {
     if (statBad(i)) return
     val dt = schema(i).dataType
@@ -2973,6 +2986,8 @@ final class GraftKvWriter(dir: String, schema: StructType,
       if (v != null) {
         GraftKvSink.hllAdd(hlls(i), v)
         hllSeen(i) = true
+        nonNull(i) += 1L
+        if (schema(i).dataType == StringType) strLen(i) += v.length.toLong
         schema(i).dataType match {
           case IntegerType | LongType =>
             observe(i, v)
@@ -3014,7 +3029,17 @@ final class GraftKvWriter(dir: String, schema: StructType,
         GraftKvSink.HllKey + schema(i).name.toLowerCase ->
           java.util.Base64.getEncoder.encodeToString(hlls(i))
     }.toMap
-    GraftKvCommit(tmpName, finalName, rows, stats, bloomB64 ++ hllB64)
+    // non-null counts (every column — 0 means all-null, which IS the
+    // null-count information) + total string bytes for avgLen
+    val counters = schema.fields.indices.flatMap { i =>
+      Seq(GraftKvSink.CntKey + schema(i).name.toLowerCase ->
+        nonNull(i).toString) ++
+        (if (schema(i).dataType == StringType && nonNull(i) > 0L)
+          Seq(GraftKvSink.LenKey + schema(i).name.toLowerCase ->
+            strLen(i).toString)
+        else Nil)
+    }.toMap
+    GraftKvCommit(tmpName, finalName, rows, stats, bloomB64 ++ hllB64 ++ counters)
   }
 
   override def abort(): Unit = {
@@ -3286,7 +3311,27 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
           else Some(math.max(1L, math.min(rows,
             math.round(-(m / k) * math.log1p(-(x / m))))))
         } catch { case _: Exception => None }
-      if (minMax.isDefined || ndv.isDefined) {
+      // null count from the per-file non-null counters (nulls = rows − Σcnt);
+      // avgLen for strings from Σlen / Σcnt — catalyst's 20 B/string
+      // default is the wrong size estimate everywhere it matters
+      def counterSum(prefix: String): Option[Long] = {
+        val per = visible.map { case (n, _) =>
+          manifest.blooms.getOrElse(n, Map.empty)
+            .find(_._1.equalsIgnoreCase(prefix + f.name)).map(_._2) }
+        if (per.isEmpty || per.exists(_.isEmpty)) None
+        else try Some(per.flatten.map(_.toLong).sum)
+        catch { case _: NumberFormatException => None }
+      }
+      val cnt = counterSum(GraftKvSink.CntKey)
+      val nulls = cnt.map(c => math.max(0L, visible.map(_._2).sum - c))
+      val avgStrLen: Option[Long] =
+        if (f.dataType != StringType) None
+        else (counterSum(GraftKvSink.LenKey), cnt) match {
+          case (Some(l), Some(c)) if c > 0L =>
+            Some(math.max(1L, math.round(l.toDouble / c)))
+          case _ => None
+        }
+      if (minMax.isDefined || ndv.isDefined || nulls.isDefined) {
         out.put(org.apache.spark.sql.connector.expressions.Expressions
             .column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -3299,6 +3344,12 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
             override def max(): java.util.Optional[Object] =
               minMax.map(mm => java.util.Optional.of(mm._2.asInstanceOf[Object]))
                 .getOrElse(java.util.Optional.empty[Object]())
+            override def nullCount(): java.util.OptionalLong =
+              nulls.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty)
+            override def avgLen(): java.util.OptionalLong =
+              avgStrLen.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty)
           })
       }
     }

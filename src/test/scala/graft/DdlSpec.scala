@@ -334,6 +334,19 @@ class DdlSpec extends SparkSpec {
       assert(spark.sql("DESCRIBE tt_t").collect().nonEmpty)
       assert(spark.sql("SELECT count(*) FROM tt_t").head().getLong(0) == base + 1)
       assert(spark.sql("SHOW VERSIONS tt_t").collect().length == 2)
+      // RESTORE TO TIMESTAMP: the commit clocks (survived the restart)
+      // resolve the base boundary's instant back to version 0
+      val createdTs = spark.sql("SHOW VERSIONS tt_t").collect()
+        .find(_.getInt(0) == 0).get.getLong(3)
+      assert(createdTs > 0L)
+      assert(spark.sql(
+        s"RESTORE TABLE tt_t TO TIMESTAMP AS OF '$createdTs'")
+        .head().getString(0) == "RESTORE")
+      assert(spark.table("tt_t").count() == base)
+      // a pre-create instant refuses
+      val early = intercept[Exception] { spark.sql(
+        s"RESTORE TABLE tt_t TO TIMESTAMP AS OF '${createdTs - 1000L}'") }
+      assert(early.getMessage.contains("before"), early.getMessage)
       spark.sql("DROP TABLE tt_t")
     } finally {
       prev match {
