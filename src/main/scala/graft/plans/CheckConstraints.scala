@@ -61,6 +61,36 @@ private[graft] object CheckConstraints {
     }
   }
 
+  /** The writer-level guard for a WRITE SCHEMA: a plain CHECK whose
+    * referenced columns the writer does not carry is SKIPPED — the
+    * omitted (evolved) column reads NULL for those rows and NULL passes
+    * SQL CHECK semantics, the same projection-subset rule the plan rules
+    * apply — so a legal narrower-schema append keeps working. A
+    * GENERATED column's derived `gen_<col>` check with missing refs
+    * REFUSES instead: rows written without the generated column would
+    * read NULL and silently violate the standing invariant. None =
+    * nothing applies to this write. */
+  def writerGuard(session: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      cs: Map[String, String]): Option[Expression] = {
+    if (cs.isEmpty) return None
+    val resolver = session.sessionState.conf.resolver
+    def covered(expr: String): Boolean =
+      session.sessionState.sqlParser.parseExpression(expr)
+        .collect { case u: UnresolvedAttribute => u.nameParts.last }
+        .forall(n => schema.fieldNames.exists(resolver(_, n)))
+    val applicable = cs.filter { case (name, expr) =>
+      val ok = covered(expr)
+      require(ok || !name.startsWith("gen_"),
+        s"graft_kv: this write's schema omits columns that generated-" +
+          s"column check '$name' ($expr) depends on — generated columns " +
+          "must be written together with their sources")
+      ok
+    }
+    if (applicable.isEmpty) None
+    else Some(boundGuard(session, schema, applicable))
+  }
+
   /** The wrap-once guard: our Filter's condition carries the marker in its
     * assert_true message literal (stable across resolution iterations and
     * optimizer passes — the literal survives function resolution). */

@@ -88,8 +88,21 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         // prefix rule the kv manifest uses. Only literal instants are
         // accepted — the parser rewrite runs before expression resolution.
         val expanded = ts match {
-          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v, _))
-              if v != null =>
+          // typed literals carry CATALYST-INTERNAL values: TimestampType
+          // is epoch MICROS and DateType is epoch DAYS — feeding either
+          // to the epoch-millis parser would silently read a state ~1000x
+          // (or ~86400000x) away from the asked instant, not error
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(
+              v: java.lang.Long,
+              org.apache.spark.sql.types.TimestampType |
+              org.apache.spark.sql.types.TimestampNTZType)) =>
+            Ddl.viewSqlAsOfTimestamp(session, rest, Math.floorDiv(v, 1000L))
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(
+              v: java.lang.Integer, org.apache.spark.sql.types.DateType)) =>
+            Ddl.viewSqlAsOfTimestamp(session, rest,
+              v.toLong * 24L * 60L * 60L * 1000L)
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(v,
+              org.apache.spark.sql.types.StringType)) if v != null =>
             Ddl.viewSqlAsOfTimestamp(session, rest,
               graft.sources.GraftKvSink.parseTsMillis(v.toString))
           case Some(other) => throw new IllegalArgumentException(

@@ -302,7 +302,11 @@ object GraftKvSink {
   private[sources] val LenKey = "len:"
   private[sources] def isSketchKey(k: String): Boolean =
     k.startsWith(HllKey) || k.startsWith(CntKey) || k.startsWith(LenKey)
-  private[sources] def hllAdd(reg: Array[Byte], value: String): Unit = {
+  private[sources] def hllAdd(reg: Array[Byte], value: String): Int = {
+    // returns the value's UTF-8 BYTE length (the writer's len: counter
+    // feed — String.length counts UTF-16 code units and would understate
+    // avgLen up to 4x on non-ASCII text; the bytes are materialized for
+    // the hash anyway, so the count is free)
     val b = value.getBytes(StandardCharsets.UTF_8)
     val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
       b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
@@ -311,6 +315,7 @@ object GraftKvSink {
     val rho = (if (w == 0L) 64 - HllP
                else java.lang.Long.numberOfLeadingZeros(w)) + 1
     if (rho > reg(idx)) reg(idx) = rho.toByte
+    b.length
   }
   private[sources] def hllEstimate(reg: Array[Byte]): Long = {
     val m = HllM.toDouble
@@ -798,12 +803,18 @@ object GraftKvSink {
       }.toSeq
       finally s.close()
     }
-    val reclaimHistory = m0.removed.nonEmpty && m0.removed.forall { r =>
+    // the preview must mirror the real vacuum's TAG partition exactly
+    // (the spec pins preview == actual): tag-pinned retained files are
+    // not reclaimable and never appear here
+    val taggedEpochs = m0.refs.values.map(_._1).toSet
+    val reclaimable = m0.removed.filterNot(r =>
+      taggedEpochs.exists(t => epochOf(r.name) <= t && t < r.removedAt))
+    val reclaimHistory = reclaimable.nonEmpty && reclaimable.forall { r =>
       val p = dataPath(dir, r.name)
       !Files.exists(p) || m0.epochTs.get(r.removedAt)
         .getOrElse(Files.getLastModifiedTime(p).toMillis) <= cutoff
     }
-    stray ++ (if (!reclaimHistory) Nil else m0.removed.map { r =>
+    stray ++ (if (!reclaimHistory) Nil else reclaimable.map { r =>
       r.name -> (if (isForeign(r.name)) "foreign-reference-dropped"
       else "retained-history")
     })
@@ -1476,10 +1487,26 @@ object GraftKvSink {
       val sameShape = m.schema.length == schema.length &&
         m.schema.fields.zip(schema.fields).forall { case (a, b) =>
           a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType }
-      if (sameShape && m.schema.json != schema.json)
-        writeManifest(dir, schema, m.files, m.compactedUpTo, m.stats,
-          m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
-          priorHint = Some(m))
+      if (sameShape) {
+        // MERGE, never replace: the manifest's nullability reflects rows
+        // already committed (a re-CREATE declaring NOT NULL over data
+        // holding NULLs would make codegen read them as 0/''), and a
+        // prior GENERATION_EXPRESSION is a standing invariant that a
+        // re-CREATE omitting it must not silently drop. New metadata
+        // wins per field when present; prior survives otherwise.
+        val merged = StructType(m.schema.fields.zip(schema.fields).map {
+          case (prior, next) =>
+            val mb = new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(prior.metadata).withMetadata(next.metadata)
+            prior.copy(
+              nullable = prior.nullable || next.nullable,
+              metadata = mb.build())
+        })
+        if (m.schema.json != merged.json)
+          writeManifest(dir, merged, m.files, m.compactedUpTo, m.stats,
+            m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
+            priorHint = Some(m))
+      }
     } else {
       Files.createDirectories(Paths.get(dir))
       writeManifest(dir, schema, Seq.empty)
@@ -2112,9 +2139,8 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
     val d = dir
     val wid = writeId
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-      if (checks.isEmpty) None
-      else Some(graft.plans.CheckConstraints.boundGuard(
-        org.apache.spark.sql.SparkSession.active, rowSchema, checks))
+      graft.plans.CheckConstraints.writerGuard(
+        org.apache.spark.sql.SparkSession.active, rowSchema, checks)
     new org.apache.spark.sql.connector.write.DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
@@ -2534,9 +2560,8 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
     // here on the driver and evaluated per row in each task — a violation
     // fails the micro-batch before its epoch commits
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-      if (checks.isEmpty) None
-      else Some(graft.plans.CheckConstraints.boundGuard(
-        org.apache.spark.sql.SparkSession.active, schema, checks))
+      graft.plans.CheckConstraints.writerGuard(
+        org.apache.spark.sql.SparkSession.active, schema, checks)
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] = {
@@ -2707,9 +2732,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // and evaluated before each row lands — a violation fails the job
     // before the manifest publishes (no partial state becomes visible)
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
-      if (checks.isEmpty) None
-      else Some(graft.plans.CheckConstraints.boundGuard(
-        org.apache.spark.sql.SparkSession.active, schema, checks))
+      graft.plans.CheckConstraints.writerGuard(
+        org.apache.spark.sql.SparkSession.active, schema, checks)
     new GraftKvWriterFactory(dir, schema.json,
       explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId, guard)
   }
@@ -2984,10 +3008,10 @@ final class GraftKvWriter(dir: String, schema: StructType,
     while (i < schema.length) {
       val v = observed(i)
       if (v != null) {
-        GraftKvSink.hllAdd(hlls(i), v)
+        val utf8Len = GraftKvSink.hllAdd(hlls(i), v)
         hllSeen(i) = true
         nonNull(i) += 1L
-        if (schema(i).dataType == StringType) strLen(i) += v.length.toLong
+        if (schema(i).dataType == StringType) strLen(i) += utf8Len.toLong
         schema(i).dataType match {
           case IntegerType | LongType =>
             observe(i, v)
@@ -3220,7 +3244,16 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       val p = GraftKvSink.dataPath(dir, n)
       if (Files.exists(p)) Files.size(p) else 0L
     }.sum
-    val cstats = columnStatsMap(rows)
+    // decoding the per-file sketches (HLL registers, counters, fallback
+    // blooms) costs O(files x columns) driver work — Spark calls
+    // columnStats() on every computeStats but only CONSUMES the result
+    // under spark.sql.cbo.enabled, so pay nothing in the default config
+    lazy val cstats =
+      if (org.apache.spark.sql.internal.SQLConf.get.cboEnabled)
+        columnStatsMap(rows)
+      else new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)

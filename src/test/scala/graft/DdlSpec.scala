@@ -1375,6 +1375,13 @@ class DdlSpec extends SparkSpec {
     // between two commits resolves to the earlier one (prefix rule)
     assert(cnt(s"TIMESTAMP AS OF '${clocks(2) - 1}'") == base + 1)
     assert(cnt(s"TIMESTAMP AS OF '${clocks(0)}'") == base)
+    // a TYPED timestamp literal carries catalyst MICROS — must resolve to
+    // the same boundary, not a micros-as-millis instant ~1000x away
+    val t1Str = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(clocks(1)))
+    assert(cnt(s"TIMESTAMP AS OF TIMESTAMP '$t1Str'") == base + 1)
     // a pre-create instant names a state that never existed — refuse
     val ts = intercept[Exception] {
       spark.sql("SELECT * FROM graft.ttq_t TIMESTAMP AS OF " +

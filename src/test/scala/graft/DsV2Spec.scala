@@ -1311,7 +1311,15 @@ class DsV2Spec extends SparkSpec {
     // one touches a post-tag file (its history stays reclaimable)
     spark.sql("DELETE FROM graft.tagspec.t WHERE id = 1")
     spark.sql("DELETE FROM graft.tagspec.t WHERE id = 3")
-    ops.Ddl.execute(spark, "VACUUM graft.tagspec.t RETAIN 0 MINUTES")
+    // DRY RUN mirrors the tag partition exactly: only the post-tag
+    // original is previewed (the two pinned pre-tag files are absent),
+    // and the real vacuum reclaims exactly the previewed count
+    val preview = ops.Ddl.execute(spark,
+      "VACUUM graft.tagspec.t RETAIN 0 MINUTES DRY RUN").collect()
+    assert(preview.length == 1, preview.mkString(", "))
+    val vac = ops.Ddl.execute(spark,
+      "VACUUM graft.tagspec.t RETAIN 0 MINUTES").head().getString(1)
+    assert(vac.contains("(1 files reclaimed)"), vac)
     // the tag still reconstructs exactly (via the PINNED retained file)...
     assert(ids("VERSION AS OF 'eval1'") == Seq(1L, 2L))
     assert(ids("VERSION AS OF 1") == Seq(1L, 2L)) // numeric spelling too
@@ -1334,6 +1342,54 @@ class DsV2Spec extends SparkSpec {
     assertThrows[Exception] { ids("VERSION AS OF 1") }
     spark.sql("DROP TABLE IF EXISTS graft.tagspec.t")
     spark.sql("DROP TABLE IF EXISTS graft.tagspec.b")
+  }
+
+  test("narrower-schema appends skip checks on absent evolved columns; generated deps refuse") {
+    import spark.implicits._
+    def allMsgs(t: Throwable): String = {
+      val m = new StringBuilder; var c: Throwable = t
+      while (c != null) { m ++= Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m.toString
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_narrow")
+    val dir = root.resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.nrw.t")
+    spark.sql("CREATE TABLE graft.nrw.t (id BIGINT, qty DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft.nrw.t VALUES (CAST(1 AS BIGINT), 2.0D)")
+    spark.sql("ALTER TABLE graft.nrw.t ADD COLUMN flag DOUBLE")
+    spark.sql("ALTER TABLE graft.nrw.t SET TBLPROPERTIES " +
+      "('check.flag_pos' = 'flag >= 0')")
+    // a LEGACY producer still writes the pre-evolution shape: the omitted
+    // column is NULL for its rows and NULL passes SQL CHECK semantics —
+    // the writer guard must skip the check, not fail resolving `flag`
+    Seq((5L, 1.0)).toDF("id", "qty").write
+      .format("graft.sources.GraftKvSink").option("path", dir)
+      .mode("append").save()
+    assert(spark.table("graft.nrw.t").count() == 2)
+    assert(spark.table("graft.nrw.t").where("flag IS NULL").count() == 2)
+    // a write that DOES carry the column still enforces
+    val e1 = intercept[Exception] {
+      Seq((6L, 1.0, -3.0)).toDF("id", "qty", "flag").write
+        .format("graft.sources.GraftKvSink").option("path", dir)
+        .mode("append").save()
+    }
+    assert(allMsgs(e1).contains("flag_pos"), allMsgs(e1))
+    // a GENERATED column is different: omitting it (or its sources) would
+    // silently violate the invariant — the narrow write refuses up front
+    val dirG = root.resolve("g").toString
+    spark.sql("DROP TABLE IF EXISTS graft.nrw.g")
+    spark.sql("CREATE TABLE graft.nrw.g (a BIGINT, " +
+      "g BIGINT GENERATED ALWAYS AS (a * 2)) " +
+      s"USING graft_kv OPTIONS (path '$dirG')")
+    val e2 = intercept[Exception] {
+      Seq(Tuple1(1L)).toDF("a").write
+        .format("graft.sources.GraftKvSink").option("path", dirG)
+        .mode("append").save()
+    }
+    assert(allMsgs(e2).contains("generated"), allMsgs(e2))
+    spark.sql("DROP TABLE IF EXISTS graft.nrw.t")
+    spark.sql("DROP TABLE IF EXISTS graft.nrw.g")
   }
 
   test("GENERATED ALWAYS AS columns: consistent writes land, conflicts refuse") {
