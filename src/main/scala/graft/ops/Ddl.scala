@@ -7,7 +7,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, IntegerType, LongType, StringType, StructType, TimestampType}
 
 /** Astro-shaped DDL surface (SURVEY.md §2 A8): the reference declares tables
   * with `CREATE TABLE t (...) MAPPED BY (hbaseTbl, COLS=[...])` and a
@@ -472,6 +472,13 @@ object Ddl {
   private val UncacheRe = s"""(?i)\\s*UNCACHE\\s+TABLE\\s+($Id)\\s*""".r
   private val AnalyzeRe =
     s"""(?i)\\s*ANALYZE\\s+TABLE\\s+($Id)\\s+COMPUTE\\s+STATISTICS\\s*""".r
+  // the Spark-standard column-statistics spelling: per-column NDV
+  // (approximate — it feeds an estimator, never a result), min/max for
+  // numeric columns, and non-null counts, all in ONE aggregate pass;
+  // persisted as col.* stats entries the CBO annotation consumes
+  private val AnalyzeColsRe =
+    (s"""(?i)\\s*ANALYZE\\s+TABLE\\s+($Id)\\s+COMPUTE\\s+STATISTICS\\s+""" +
+      """FOR\s+(?:ALL\s+)?COLUMNS\s*""").r
   private val StatsRe = s"""(?i)\\s*SHOW\\s+STATS\\s+($Id)\\s*""".r
   // (?s): the view body is embedded SQL and may span lines
   private val ViewRe = """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
@@ -1449,6 +1456,7 @@ object Ddl {
     case DropIndexRe(n) if idxNamed(n).isDefined     => Some(statusCols)
     case ShowIndexesRe(_*)                           => Some(indexesCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
+    case AnalyzeColsRe(n) if lookup(n).isDefined   => Some(statsCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
   }
@@ -2525,6 +2533,56 @@ object Ddl {
         catalog.put(t2.name.toLowerCase, t2)
         persist()
         statsDf(spark, t2)
+      case AnalyzeColsRe(name) =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        val df = spark.table(t.name)
+        val fields = df.schema.fields.filter { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType | StringType |
+                 BooleanType => true
+            case _ => false
+          }
+        }.toSeq
+        val aggs = count(lit(1)).cast(StringType).as("rows") +:
+          fields.flatMap { f =>
+            val c = col(f.name)
+            Seq(approx_count_distinct(c).cast(StringType),
+              count(c).cast(StringType)) ++
+              (f.dataType match {
+                case _: org.apache.spark.sql.types.NumericType =>
+                  Seq(min(c).cast(StringType), max(c).cast(StringType))
+                case _ => Nil
+              })
+          }
+        val row = df.agg(aggs.head, aggs.drop(1): _*).collect().head
+        var i = 1
+        val colEntries = Seq.newBuilder[(String, String)]
+        colEntries += "__analyzed_cols_at_muts__" -> t.muts.length.toString
+        colEntries += "col.__nrows__" -> row.getString(0)
+        fields.foreach { f =>
+          val n = f.name.toLowerCase
+          colEntries += s"col.$n.type" -> f.dataType.catalogString
+          colEntries += s"col.$n.ndv" -> Option(row.getString(i)).getOrElse("0")
+          colEntries += s"col.$n.nonnull" ->
+            Option(row.getString(i + 1)).getOrElse("0")
+          i += 2
+          f.dataType match {
+            case _: org.apache.spark.sql.types.NumericType =>
+              Option(row.getString(i)).foreach(v =>
+                colEntries += s"col.$n.min" -> v)
+              Option(row.getString(i + 1)).foreach(v =>
+                colEntries += s"col.$n.max" -> v)
+              i += 2
+            case _ => ()
+          }
+        }
+        val t2 = t.copy(stats = t.stats.filterNot(e =>
+          e._1 == "__analyzed_cols_at_muts__" || e._1.startsWith("col.")) ++
+          colEntries.result())
+        catalog.put(t2.name.toLowerCase, t2)
+        persist()
+        statsDf(spark, t2)
       case StatsRe(name) =>
         val t = lookupOrThrow(name)
         require(t.stats.nonEmpty,
@@ -2539,7 +2597,8 @@ object Ddl {
     import spark.implicits._
     // the ANALYZE-position marker is bookkeeping, not a statistic; surface
     // it only as a staleness flag once later DML has outdated the numbers
-    val visible = t.stats.filterNot(_._1 == "__analyzed_at_muts__")
+    val visible = t.stats.filterNot(e =>
+      e._1 == "__analyzed_at_muts__" || e._1 == "__analyzed_cols_at_muts__")
     val stale = t.stats.find(_._1 == "__analyzed_at_muts__")
       .exists(_._2.toInt != t.muts.length)
     (if (stale) visible :+ ("stats_stale" -> "true") else visible)
@@ -2552,7 +2611,47 @@ object Ddl {
     * analyzed row count. Stats recorded before the newest mutation are
     * stale and excluded; unmutated tables are excluded because their
     * single parquet scan's file-size estimate is already sound. */
-  def cboStats(): Seq[(String, Seq[String], Long)] = {
+  /** ANALYZE'd per-column catalyst statistics (fresh only — recorded at
+    * the CURRENT mutation-log position): NDV/nullCount always, min/max
+    * parsed back under the recorded column type for the numeric types the
+    * estimators consume. Feeds GraftStatsNode.attributeStats so
+    * FilterEstimation can shrink selective predicates on MUTATED keyed
+    * tables — the row-count annotation alone cannot see through a filter. */
+  private def colStatsOf(t: KeyedTable)
+      : Map[String, org.apache.spark.sql.catalyst.plans.logical.ColumnStat] = {
+    val at = t.stats.find(_._1 == "__analyzed_cols_at_muts__").map(_._2.toInt)
+    if (!at.contains(t.muts.length)) return Map.empty
+    val m = t.stats.filter(_._1.startsWith("col.")).toMap
+    val nrows = m.get("col.__nrows__").map(_.toLong)
+    val names = m.keys.collect {
+      case k if k.endsWith(".type") =>
+        k.stripPrefix("col.").stripSuffix(".type")
+    }
+    names.flatMap { n =>
+      def g(kind: String): Option[String] = m.get(s"col.$n.$kind")
+      val tpe = g("type").getOrElse("")
+      def num(v: String): Option[Any] = try tpe match {
+        case "tinyint" | "smallint" | "int" => Some(v.toInt)
+        case "bigint"                       => Some(v.toLong)
+        case "float" | "double"             => Some(v.toDouble)
+        case s if s.startsWith("decimal")   => Some(Decimal(BigDecimal(v)))
+        case _                              => None
+      } catch { case _: NumberFormatException => None }
+      val ndv = g("ndv").flatMap(v => try Some(BigInt(v.toLong))
+        catch { case _: NumberFormatException => None })
+      val nulls = for { r <- nrows; nn <- g("nonnull").map(_.toLong) }
+        yield BigInt(math.max(0L, r - nn))
+      if (ndv.isEmpty && nulls.isEmpty) None
+      else Some(n -> org.apache.spark.sql.catalyst.plans.logical.ColumnStat(
+        distinctCount = ndv,
+        min = g("min").flatMap(num),
+        max = g("max").flatMap(num),
+        nullCount = nulls))
+    }.toMap
+  }
+
+  def cboStats(): Seq[(String, Seq[String], Long,
+      Map[String, org.apache.spark.sql.catalyst.plans.logical.ColumnStat])] = {
     ensureLoaded()
     catalog.values.toSeq.flatMap { t =>
       val at = t.stats.find(_._1 == "__analyzed_at_muts__").map(_._2.toInt)
@@ -2577,7 +2676,8 @@ object Ddl {
           val paths = snaps.map(p =>
             java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString)
             .sorted
-          viewNonce.get(t.name.toLowerCase).map(nonce => (nonce, paths, n))
+          viewNonce.get(t.name.toLowerCase)
+            .map(nonce => (nonce, paths, n, colStatsOf(t)))
         case _ => None
       }
     }
@@ -2810,6 +2910,81 @@ object Ddl {
     execute(s, "SHOW STATS stats_t")
   }
 
+  /** A8/CBO judged: `ANALYZE … FOR COLUMNS` feeds per-column NDV/min/max/
+    * null counts into the replay annotation, so Spark's JoinEstimation can
+    * size a keyed-⋈-keyed JOIN OUTPUT (row counts alone cannot — the
+    * estimator needs the join keys' NDV) and broadcast it into a wide
+    * fact with no hints. Both plan arms are asserted (the size-only
+    * baseline must keep the outer join a shuffle), the result
+    * materializes under the live confs, and the oracle replays the
+    * 3-way join relationally — the broadcast decision must change
+    * nothing but the wall clock. */
+  def keyedCboJoin(s: SparkSession, d: String): DataFrame = {
+    Seq(("cbo_ko", "orders.parquet", "o_orderkey"),
+        ("cbo_kc", "customer.parquet", "c_custkey")).foreach {
+      case (t, file, key) =>
+        if (lookup(t).isDefined) execute(s, s"DROP TABLE $t")
+        execute(s, s"CREATE TABLE $t MAPPED BY '$d/$file' KEYS ($key)")
+        execute(s, s"DELETE FROM $t WHERE $key < 0") // mutate: annotatable
+        execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS")
+        execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS")
+    }
+    def dims(): DataFrame = s.table("cbo_ko").join(s.table("cbo_kc"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey")) // narrow: two longs
+    def fact(): DataFrame = graft.Tables.lineitem(s, d) // full width
+    val prevCbo = s.conf.getOption("spark.sql.cbo.enabled")
+    val prevThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    def restore(k: String, v: Option[String]): Unit =
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    // per-call temp dir: concurrent Verify/Bench processes must not race
+    // each other's materialization (the KeyRange scratch rule)
+    val out = java.nio.file.Files.createTempDirectory("graft_kcbo")
+      .resolve("out").toString
+    try {
+      // threshold sits BETWEEN the two sides' own estimates, measured
+      // from the plans (fixed ratios break across scale factors): the
+      // column-PRUNED fact under size-only stats — the aggregate reads 5
+      // of lineitem's columns, and Spark scales the scan estimate by that
+      // width — versus the dims join's column-stats output estimate
+      val used = Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax").map(col)
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val factOff = fact().select(used: _*)
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val dimsEst = dims().queryExecution.optimizedPlan.stats.sizeInBytes
+      require(dimsEst < factOff,
+        s"keyed_cbo: fixture shape drifted — dims estimate $dimsEst must " +
+          s"be under the pruned fact's $factOff for the contrast to exist")
+      val thr = ((dimsEst + factOff) / 2).max(BigInt(1))
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      def q(): DataFrame = fact()
+        .join(dims(), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("cnt"), sumS(col("l_quantity")).as("qty"),
+          sumS(col("l_extendedprice")).as("rev"),
+          sumS(col("l_discount")).as("disc"),
+          sumS(col("l_tax")).as("tax"))
+      s.conf.set("spark.sql.cbo.enabled", "false")
+      val baseline = q().queryExecution.executedPlan.toString
+      require(baseline.contains("SortMergeJoin [l_orderkey"),
+        "size-only baseline must shuffle the outer join:\n" + baseline)
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      val res = q()
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.contains("BroadcastHashJoin [l_orderkey"),
+        "keyed column stats did not flip the outer join to broadcast:\n" +
+          plan)
+      res.write.mode(SaveMode.Overwrite).parquet(out)
+    } finally {
+      restore("spark.sql.cbo.enabled", prevCbo)
+      restore("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }
+    Seq("cbo_ko", "cbo_kc").foreach(t => execute(s, s"DROP TABLE $t"))
+    s.read.parquet(out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ddl_roundtrip" -> (ddlRoundtrip _),
     "ddl_dml" -> (ddlDml _),
@@ -2819,7 +2994,8 @@ object Ddl {
     "sql_timestamp_asof" -> (sqlTimestampAsof _),
     "ddl_changefeed" -> (ddlChangefeed _),
     "ddl_visibility" -> (ddlVisibility _),
-    "analyze_stats" -> (analyzeStats _))
+    "analyze_stats" -> (analyzeStats _),
+    "keyed_cbo_join" -> (keyedCboJoin _))
 
   val oracles: Map[String, String] = Map(
     // the generalized-MERGE statement replayed relationally: clause number
@@ -2854,6 +3030,18 @@ object Ddl {
         |  CAST(sum(length(n_name)) AS BIGINT) AS name_len
         |FROM fin GROUP BY n_regionkey ORDER BY n_regionkey NULLS LAST"""
         .stripMargin,
+    // the broadcast plan must change nothing but the wall clock: the
+    // oracle replays the 3-way join relationally (no-op DELETEs ignored)
+    "keyed_cbo_join" ->
+      """SELECT c_nationkey, count(*) AS cnt,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS rev,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) AS disc,
+        | CAST(sum(CAST(l_tax AS DECIMAL(18,6))) AS DOUBLE) AS tax
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "analyze_stats" ->
       """SELECT stat, value FROM (
         |  SELECT 'n_rows' AS stat, CAST(count(*) AS VARCHAR) AS value FROM orders

@@ -55,7 +55,9 @@ object StatsAnnotation {
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[String]("graft.keyed.table")
 }
 
-final case class GraftStatsNode(child: LogicalPlan, rowCount: Long)
+final case class GraftStatsNode(child: LogicalPlan, rowCount: Long,
+    cols: Map[String, org.apache.spark.sql.catalyst.plans.logical.ColumnStat] =
+      Map.empty)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   // deliberately NOT Some(rowCount): maxRows feeds correctness transforms
@@ -64,15 +66,20 @@ final case class GraftStatsNode(child: LogicalPlan, rowCount: Long)
   override def maxRows: Option[Long] = child.maxRows
   override lazy val stats: Statistics = Statistics(
     sizeInBytes = EstimationUtils.getOutputSize(output, BigInt(rowCount)),
-    rowCount = Some(BigInt(rowCount)))
+    rowCount = Some(BigInt(rowCount)),
+    // ANALYZE ... FOR COLUMNS results, matched to this subtree's own
+    // output attributes by name — FilterEstimation then shrinks
+    // selective predicates the row count alone cannot see through
+    attributeStats = org.apache.spark.sql.catalyst.expressions.AttributeMap(
+      output.flatMap(a => cols.get(a.name.toLowerCase).map(a -> _))))
   override protected def withNewChildInternal(newChild: LogicalPlan): GraftStatsNode =
     copy(child = newChild)
 }
 
 object GraftStatsStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case GraftStatsNode(child, _) => planLater(child) :: Nil
-    case _                        => Nil
+    case g: GraftStatsNode => planLater(g.child) :: Nil
+    case _                 => Nil
   }
 }
 
@@ -82,10 +89,12 @@ final class AnalyzeStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (tables.isEmpty) plan else annotate(plan, tables)
   }
 
-  private def annotate(p: LogicalPlan,
-      tables: Seq[(String, Seq[String], Long)]): LogicalPlan =
+  private type TableStats = Seq[(String, Seq[String], Long,
+    Map[String, org.apache.spark.sql.catalyst.plans.logical.ColumnStat])]
+
+  private def annotate(p: LogicalPlan, tables: TableStats): LogicalPlan =
     matchTable(p, tables) match {
-      case Some(rows) => GraftStatsNode(p, rows)
+      case Some((rows, cols)) => GraftStatsNode(p, rows, cols)
       case None => p.withNewChildren(p.children.map(annotate(_, tables)))
     }
 
@@ -102,8 +111,9 @@ final class AnalyzeStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     *     Union / LeftAnti join / file relation) — anything that can
     *     multiply rows (Generate, windows, other joins) or aggregate
     *     them vetoes. */
-  private def matchTable(p: LogicalPlan,
-      tables: Seq[(String, Seq[String], Long)]): Option[Long] = {
+  private def matchTable(p: LogicalPlan, tables: TableStats)
+      : Option[(Long, Map[String,
+        org.apache.spark.sql.catalyst.plans.logical.ColumnStat])] = {
     if (p.isInstanceOf[GraftStatsNode]) return None
     var paths = List.empty[String]
     var tag: Option[String] = None
@@ -125,7 +135,8 @@ final class AnalyzeStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else {
       val sorted = paths.sorted
       tables.collectFirst {
-        case (name, ps, rows) if tag.contains(name) && ps == sorted => rows
+        case (name, ps, rows, cols) if tag.contains(name) && ps == sorted =>
+          (rows, cols)
       }
     }
   }

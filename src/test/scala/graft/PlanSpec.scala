@@ -622,6 +622,59 @@ class PlanSpec extends SparkSpec {
     assert(r.head.getDouble(0) == 11.0)
   }
 
+  test("ANALYZE FOR COLUMNS: keyed join-output cardinality flips the outer broadcast") {
+    import org.apache.spark.sql.functions.col
+    // two MUTATED keyed tables (only mutated replays annotate), analyzed
+    Seq(("cbo_o", "orders.parquet", "o_orderkey"),
+        ("cbo_c", "customer.parquet", "c_custkey")).foreach {
+      case (t, file, key) =>
+        if (ops.Ddl.lookup(t).isDefined) ops.Ddl.execute(spark, s"DROP TABLE $t")
+        ops.Ddl.execute(spark,
+          s"CREATE TABLE $t MAPPED BY '${sf("sf0.001")}/$file' KEYS ($key)")
+        ops.Ddl.execute(spark, s"DELETE FROM $t WHERE $key < 0") // mutate
+        ops.Ddl.execute(spark, s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    }
+    def dims() = spark.table("cbo_o").join(spark.table("cbo_c"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_nationkey")) // narrow join output
+    def fact() = spark.read
+      .parquet(s"${sf("sf0.001")}/lineitem.parquet") // full width: stays big
+    def planWith(cbo: Boolean, thr: Long): String = {
+      val prevCbo = spark.conf.getOption("spark.sql.cbo.enabled")
+      val prevThr = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+        fact().join(dims(), col("l_orderkey") === col("o_orderkey"))
+          .queryExecution.executedPlan.toString
+      } finally {
+        prevCbo.fold(spark.conf.unset("spark.sql.cbo.enabled"))(
+          spark.conf.set("spark.sql.cbo.enabled", _))
+        prevThr.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      }
+    }
+    val factBytes = fact().queryExecution.optimizedPlan.stats.sizeInBytes
+    val thr = (factBytes * 4 / 5).toLong.max(1L)
+    // the OUTER join (fact ⋈ dims on l_orderkey) is the one at stake —
+    // the inner o⋈c broadcast flips from the row-count annotation alone.
+    // Row counts cannot estimate the inner join's OUTPUT (JoinEstimation
+    // needs the join keys' NDV): size-only product, outer stays a SMJ
+    val noCols = planWith(cbo = true, thr)
+    assert(noCols.contains("SortMergeJoin [l_orderkey"), noCols.take(800))
+    // with per-column stats the o⋈c output estimates ≈ |orders| narrow
+    // rows — small enough to broadcast into the wide fact with no hint
+    Seq("cbo_o", "cbo_c").foreach(t => ops.Ddl.execute(spark,
+      s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+    val withCols = planWith(cbo = true, thr)
+    assert(withCols.contains("BroadcastHashJoin [l_orderkey"),
+      withCols.take(800))
+    // and the size-only baseline keeps the outer join a shuffle
+    val off = planWith(cbo = false, thr)
+    assert(off.contains("SortMergeJoin [l_orderkey"), off.take(800))
+    Seq("cbo_o", "cbo_c").foreach(t => ops.Ddl.execute(spark, s"DROP TABLE $t"))
+  }
+
   test("kv manifest column stats feed the CBO: the broadcast flip is stats-driven") {
     val root = java.nio.file.Files.createTempDirectory("graft_kv_cbo_t")
     val dim = root.resolve("dim").toString
