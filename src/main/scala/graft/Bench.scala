@@ -258,7 +258,7 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .sortBy { case (n, _) => (-histFloors.getOrElse(n, Double.MaxValue), n) }
     val inventory = names.length
-    val budgetS = budgetEnv.getOrElse(
+    var budgetS = budgetEnv.getOrElse(
       math.max(330.0, 2.2 * names.flatMap(n => histFloors.get(n._1)).sum))
     val heartbeatEvery = 8
     val pass1 = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -338,6 +338,30 @@ object Bench {
         case (Some(t), Some(f)) => t <= 1.15 * f
         case _                  => false
       }
+    // r17 coverage-targeted budget (r16 postmortem: max(330, 2.2×floors)
+    // was INERT until committed floors exceed 150 s — 2.2×113.3 = 249 <
+    // 330 — while coverage died at the flat 330 s in that very round, and
+    // never-floored queries drew zero extra budget). With pass 1 done the
+    // cost of the actual goal — EVERY query gets a second successful
+    // sample, or its pass-1 sample already sits at the committed floor —
+    // is known, not guessed: fund one more sample per uncovered query at
+    // 1.3× its current best (stall slack) on top of wall already spent.
+    // The env override stays absolute; the 8-round extra-pass loop that
+    // re-tightens worst-first stays gated on whatever budget remains.
+    if (budgetEnv.isEmpty && !contextDied) {
+      val okMin0 = okSamples.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val p1 = pass1.toMap
+      val need = names.map(_._1).filterNot(atFloor(okMin0, _))
+        .map(n => okMin0.getOrElse(n, p1.getOrElse(n, 1.0))).sum
+      // capped at 2× the flat default: in a genuine stall window (samples
+      // 2-10× floor) the need estimate is itself inflated, and an unbounded
+      // raise would hand the driver's wall clock an unbounded run
+      val coverage = math.min(wallS + 1.3 * need + 5.0, 660.0)
+      if (coverage > budgetS) {
+        System.err.println(f"[bench] raising budget ${f3(budgetS)}s -> ${f3(coverage)}s to fund a second sample for every uncovered query")
+        budgetS = coverage
+      }
+    }
     while (wallS < budgetS && !contextDied && round2 < 8) {
       round2 += 1
       val cur = floors.toMap

@@ -2529,7 +2529,11 @@ object Ddl {
           row.schema.fieldNames.toSeq.zipWithIndex.map { case (f, i) =>
             f -> Option(row.get(i)).map(_.toString).getOrElse("")
           }
-        val t2 = t.copy(stats = stats)
+        // table-level ANALYZE must not wipe column statistics recorded by an
+        // earlier ANALYZE ... FOR COLUMNS (Spark preserves them too)
+        val t2 = t.copy(stats = t.stats.filter(e =>
+          e._1.startsWith("col.") || e._1 == "__analyzed_cols_at_muts__") ++
+          stats)
         catalog.put(t2.name.toLowerCase, t2)
         persist()
         statsDf(spark, t2)

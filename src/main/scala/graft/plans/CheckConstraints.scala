@@ -66,7 +66,10 @@ private[graft] object CheckConstraints {
     * omitted (evolved) column reads NULL for those rows and NULL passes
     * SQL CHECK semantics, the same projection-subset rule the plan rules
     * apply — so a legal narrower-schema append keeps working. A
-    * GENERATED column's derived `gen_<col>` check with missing refs
+    * GENERATED column's derived `__gen__<col>` check (the reserved
+    * internal prefix — a user `check.gen_*` property is a plain CHECK,
+    * and setChecks refuses user names claiming the reserved spelling)
+    * with missing refs
     * REFUSES instead: rows written without the generated column would
     * read NULL and silently violate the standing invariant. None =
     * nothing applies to this write. */
@@ -81,7 +84,7 @@ private[graft] object CheckConstraints {
         .forall(n => schema.fieldNames.exists(resolver(_, n)))
     val applicable = cs.filter { case (name, expr) =>
       val ok = covered(expr)
-      require(ok || !name.startsWith("gen_"),
+      require(ok || !name.startsWith("__gen__"),
         s"graft_kv: this write's schema omits columns that generated-" +
           s"column check '$name' ($expr) depends on — generated columns " +
           "must be written together with their sources")

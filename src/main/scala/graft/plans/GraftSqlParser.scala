@@ -99,8 +99,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
             Ddl.viewSqlAsOfTimestamp(session, rest, Math.floorDiv(v, 1000L))
           case Some(org.apache.spark.sql.catalyst.expressions.Literal(
               v: java.lang.Integer, org.apache.spark.sql.types.DateType)) =>
+            // a DATE time-travel boundary is midnight in the SESSION zone
+            // (the Spark/Delta rule), not UTC midnight
             Ddl.viewSqlAsOfTimestamp(session, rest,
-              v.toLong * 24L * 60L * 60L * 1000L)
+              java.time.LocalDate.ofEpochDay(v.toLong).atStartOfDay(
+                java.time.ZoneId.of(
+                  session.sessionState.conf.sessionLocalTimeZone))
+                .toInstant.toEpochMilli)
           case Some(org.apache.spark.sql.catalyst.expressions.Literal(v,
               org.apache.spark.sql.types.StringType)) if v != null =>
             Ddl.viewSqlAsOfTimestamp(session, rest,

@@ -1439,6 +1439,12 @@ object GraftKvSink {
     * zero files, so the constraint exists before any row can. */
   private[sources] def setChecks(dir: String, schema: StructType,
       cs: Map[String, String]): Unit = withCommitLock(dir) {
+    // `__gen__<col>` is the reserved spelling for GENERATED-column derived
+    // checks; a user CHECK claiming it would flip writerGuard's skip-vs-
+    // refuse rule for legal narrower-schema appends
+    cs.keys.find(_.startsWith("__gen__")).foreach(n => throw new
+      IllegalArgumentException(s"graft_kv: CHECK constraint name '$n' uses " +
+        "the reserved generated-column prefix '__gen__'"))
     val mf = manifestPath(dir)
     if (Files.exists(mf)) {
       val m = readManifest(mf)
@@ -1467,7 +1473,7 @@ object GraftKvSink {
   private[graft] def generatedChecks(schema: StructType): Map[String, String] =
     schema.fields.collect {
       case f if f.metadata.contains("GENERATION_EXPRESSION") =>
-        s"gen_${f.name}" ->
+        s"__gen__${f.name}" ->
           s"`${f.name}` <=> (${f.metadata.getString("GENERATION_EXPRESSION")})"
     }.toMap
 

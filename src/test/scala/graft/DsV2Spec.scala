@@ -1416,7 +1416,7 @@ class DsV2Spec extends SparkSpec {
       spark.sql("INSERT INTO graft.gen.t VALUES " +
         "(CAST(4 AS BIGINT), CAST(4 AS BIGINT), CAST(9 AS BIGINT))")
     }
-    assert(allMsgs(e1).contains("gen_g"), allMsgs(e1))
+    assert(allMsgs(e1).contains("__gen__g"), allMsgs(e1))
     assert(cnt == 1)
     // the invariant is manifest-persisted: a PATH-ROUTE writer that never
     // saw the catalog entry refuses the same way
@@ -1425,13 +1425,13 @@ class DsV2Spec extends SparkSpec {
         .format("graft.sources.GraftKvSink").option("path", dir)
         .mode("append").save()
     }
-    assert(allMsgs(e2).contains("gen_g"), allMsgs(e2))
+    assert(allMsgs(e2).contains("__gen__g"), allMsgs(e2))
     assert(cnt == 1)
     // UPDATE minting an inconsistent post-image refuses; consistent lands
     val e3 = intercept[Exception] {
       spark.sql("UPDATE graft.gen.t SET b = 7 WHERE a = 1") // g stays 3
     }
-    assert(allMsgs(e3).contains("gen_g"), allMsgs(e3))
+    assert(allMsgs(e3).contains("__gen__g"), allMsgs(e3))
     spark.sql("UPDATE graft.gen.t SET b = 7, g = 8 WHERE a = 1")
     assert(spark.table("graft.gen.t").collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 7L, 8L)))
