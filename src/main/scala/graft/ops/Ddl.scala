@@ -575,6 +575,20 @@ object Ddl {
     """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+DROP\s+TAG\s+(\w+)\s*""".r
   private val ShowTagsRe =
     """(?is)\s*SHOW\s+TAGS\s+((?:\w+\.){0,2}\w+)\s*""".r
+  // WRITABLE BRANCHES (the Iceberg branch shape): CREATE BRANCH forks a
+  // writable head off an epoch boundary (a refs entry pins the fork in
+  // the parent; a managed shallow clone under _branch_<name>/ is the
+  // head); `INSERT INTO t.branch_<name>` writes it, `VERSION AS OF
+  // '<name>'` reads its head, FAST FORWARD publishes it back when the
+  // parent has not advanced, DROP BRANCH discards it.
+  private val CreateBranchRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+CREATE\s+BRANCH\s+""" +
+      """(\w+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*""").r
+  private val DropBranchRe =
+    """(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+DROP\s+BRANCH\s+(\w+)\s*""".r
+  private val FastForwardRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+FAST\s+FORWARD\s+""" +
+      """(?:TO\s+)?'?(\w+)'?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
   // VACUUM t [RETAIN n MINUTES] DRY RUN: list what a real vacuum would
@@ -1438,6 +1452,9 @@ object Ddl {
     case OptimizeZorderRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case CreateTagRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case DropTagRe(n, _) if kvTableFor(n).isDefined  => Some(statusCols)
+    case CreateBranchRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case DropBranchRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case FastForwardRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case ShowTagsRe(n) if kvTableFor(n).isDefined    => Some(tagsCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
@@ -1947,11 +1964,26 @@ object Ddl {
         val upTo = Option(upToStr).map(_.toLong).getOrElse(Long.MaxValue)
         val merged = graft.sources.GraftKvSink.compact(kvPathFor(name), upTo)
         status("OPTIMIZE", s"$name ($merged files merged)")
+      case CreateBranchRe(name, br, verStr) =>
+        val e = graft.sources.GraftKvSink.createBranch(kvPathFor(name), br,
+          Option(verStr).map(_.toLong))
+        status("CREATE_BRANCH", s"$name ($br forked at epoch $e)")
+      case DropBranchRe(name, br) =>
+        graft.sources.GraftKvSink.dropBranch(kvPathFor(name), br)
+        status("DROP_BRANCH", s"$name ($br)")
+      case FastForwardRe(name, br) =>
+        val e = graft.sources.GraftKvSink.fastForward(kvPathFor(name), br)
+        status("FAST_FORWARD", s"$name ($br published, head epoch $e)")
       case CreateTagRe(name, tag, verStr) =>
         val e = graft.sources.GraftKvSink.createRef(kvPathFor(name), tag,
           Option(verStr).map(_.toLong))
         status("CREATE_TAG", s"$name ($tag -> epoch $e)")
       case DropTagRe(name, tag) =>
+        // a branch has state beyond the pin — deleting only the ref would
+        // orphan it; direct to the explicit spelling
+        require(!graft.sources.GraftKvSink.refKind(kvPathFor(name), tag)
+          .contains("branch"),
+          s"'$tag' is a branch — use ALTER TABLE $name DROP BRANCH $tag")
         graft.sources.GraftKvSink.dropRef(kvPathFor(name), tag)
         status("DROP_TAG", s"$name ($tag)")
       case ShowTagsRe(name) =>
@@ -2014,6 +2046,11 @@ object Ddl {
         // entry, including a graft_range one the kv filter would miss
         require(dsv2Get(tgtKey).isEmpty && lookup(tgt).isEmpty,
           s"SHALLOW CLONE target $tgt already exists")
+        Option(refStr).foreach(r => require(
+          !graft.sources.GraftKvSink.refKind(sDef.options("path"), r)
+            .contains("branch"),
+          s"SHALLOW CLONE at '$r' — a branch head lives in managed " +
+            "storage that DROP BRANCH reclaims; clone a tag or an epoch"))
         val atEpoch = Option(verStr).map(_.toLong).orElse(Option(refStr)
           .map(graft.sources.GraftKvSink.resolveRef(sDef.options("path"), _)))
         val e = graft.sources.GraftKvSink.shallowClone(

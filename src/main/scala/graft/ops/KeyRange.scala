@@ -1265,6 +1265,53 @@ object KeyRange {
     * a point probe on the sort key opens ONE file of N instead of all of
     * them. The query requires the disjointness and the one-file probe, then
     * gates a key-range aggregate against the relational oracle. */
+  /** PARTITIONED BY on a kv table (A7/A8): CREATE declares the Iceberg
+    * transform family (identity + bucket here), every INSERT splits files
+    * one-tuple-per-file via the fanout writer (the write's own query is
+    * clustered on the partition sources), and the scan prunes files by
+    * tuple — EXACT for identity/bucket, where min/max ranges are
+    * best-effort. At 100 TB partition pruning is the single biggest
+    * scan-reduction lever: a status-filtered query opens only that
+    * status's files, however many epochs accumulated. Layout is gated by
+    * requires; the oracle gates the surviving data. */
+  def kvPartitioned(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_part"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.orders_part")
+    s.sql("CREATE TABLE graft.kvq.orders_part (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "USING graft_kv PARTITIONED BY (o_orderstatus, bucket(8, o_custkey)) " +
+      s"OPTIONS (path '$tmp')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_part_v")
+    s.sql("INSERT INTO graft.kvq.orders_part SELECT o_orderkey, o_custkey, " +
+      "o_orderstatus, o_totalprice FROM orders_part_v")
+    val mf = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    require(mf.partitionSpec ==
+      Seq("o_orderstatus", "bucket(8,o_custkey)"), mf.partitionSpec)
+    // one tuple per file, recorded in the manifest
+    mf.files.foreach { case (n, _) =>
+      val st = mf.stats.getOrElse(n, Map.empty)
+      require(st.contains("part:o_orderstatus") &&
+        st.contains("part:bucket(8,o_custkey)"), s"untagged file $n")
+    }
+    // the pruning payoff: the status predicate plans ONLY that status's
+    // files (exact, not best-effort)
+    val fFiles = mf.files.count(f =>
+      mf.stats(f._1)("part:o_orderstatus")._1 == "F")
+    val planned = new graft.sources.GraftKvScan(tmp, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("o_orderstatus", "F")))
+      .planInputPartitions().length
+    require(planned == fFiles && fFiles < mf.files.length,
+      s"status probe planned $planned of ${mf.files.length} (F files: $fFiles)")
+    s.sql(
+      """SELECT CAST(o_custkey % 10 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM graft.kvq.orders_part WHERE o_orderstatus = 'F'
+        |GROUP BY CAST(o_custkey % 10 AS BIGINT) ORDER BY grp""".stripMargin)
+  }
+
   def kvClusteredWrite(s: SparkSession, d: String): DataFrame = {
     val tmp = s"$scratch/kv_clu"
     clearDir(tmp)
@@ -1611,6 +1658,56 @@ object KeyRange {
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
         |  FROM graft.tag.o GROUP BY o_orderstatus
         |) ORDER BY state, o_orderstatus""".stripMargin)
+  }
+
+  /** A8 judged WRITABLE BRANCHES (the Iceberg branch shape): CREATE
+    * BRANCH forks a writable head off the current epoch (one refs entry +
+    * one zero-copy clone manifest — branching 100 TB is metadata), writes
+    * route to it as `graft.x.t.branch_<name>` while the parent is
+    * UNTOUCHED (required in-query), `VERSION AS OF '<name>'` reads the
+    * branch HEAD including its own CoW rewrite, and FAST FORWARD
+    * publishes the branch back as the parent's current state — the
+    * "experiment on production data, then promote" workflow. The oracle
+    * replays the promoted end state relationally (base ∪ branch-added
+    * rows, with the branch's UPDATE folded in), so a branch leaking into
+    * the parent early, dropping rows at fast-forward, or losing the
+    * rewrite hash-mismatches. */
+  def kvBranch(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_branch"
+    s.sql("DROP TABLE IF EXISTS graft.br.li")
+    clearDir(tmp)
+    s.sql("CREATE TABLE graft.br.li (l_orderkey BIGINT, l_linenumber BIGINT, " +
+      "l_quantity DOUBLE, l_returnflag STRING) " +
+      s"USING graft_kv OPTIONS (path '$tmp', epochs 'true')")
+    Tables.lineitem(s, d).createOrReplaceTempView("li_br_v")
+    s.sql("INSERT INTO graft.br.li SELECT l_orderkey, CAST(l_linenumber " +
+      "AS BIGINT), l_quantity, l_returnflag FROM li_br_v " +
+      "WHERE l_orderkey % 4 = 0")
+    val baseCnt = s.table("graft.br.li").count()
+    Ddl.execute(s, "ALTER TABLE graft.br.li CREATE BRANCH exp")
+    // branch writes: an append AND a CoW UPDATE, both invisible to main
+    s.sql("INSERT INTO graft.br.li.branch_exp SELECT l_orderkey, " +
+      "CAST(l_linenumber AS BIGINT), l_quantity, l_returnflag FROM li_br_v " +
+      "WHERE l_orderkey % 4 = 1")
+    s.sql("UPDATE graft.br.li.branch_exp SET l_quantity = l_quantity + 100 " +
+      "WHERE l_returnflag = 'R'")
+    require(s.table("graft.br.li").count() == baseCnt,
+      "branch writes must not touch the parent")
+    val headCnt = s.sql(
+      "SELECT count(*) FROM graft.br.li VERSION AS OF 'exp'").head.getLong(0)
+    require(headCnt > baseCnt, s"branch head must hold its own appends " +
+      s"($headCnt vs $baseCnt)")
+    Ddl.execute(s, "ALTER TABLE graft.br.li FAST FORWARD TO 'exp'")
+    require(s.table("graft.br.li").count() == headCnt,
+      "fast forward must publish the branch head exactly")
+    // the ref is gone with the publish
+    require(!Ddl.execute(s, "SHOW TAGS graft.br.li").collect()
+      .exists(_.getString(0) == "exp"), "published branch must drop its ref")
+    s.sql(
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM graft.br.li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
   /** A12 judged: COMPACTION round trip — two batch writes (append merging
@@ -2176,6 +2273,8 @@ object KeyRange {
     "kv_restore" -> (kvRestore _),
     "kv_constraint" -> (kvConstraint _),
     "kv_clustered_write" -> (kvClusteredWrite _),
+    "kv_partitioned" -> (kvPartitioned _),
+    "kv_branch" -> (kvBranch _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
@@ -2281,6 +2380,24 @@ object KeyRange {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // the promoted end state: base rows ∪ branch-added rows, with the
+    // branch's pre-publish UPDATE folded in (parent-isolation, head
+    // visibility, and ref cleanup are gated by the query's own requires)
+    "kv_branch" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
+        |    ELSE l_quantity END AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_orderkey % 4 IN (0, 1)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the partitioned table holds exactly the inserted rows (tuple-per-
+    // file layout and exact pruning are gated by the query's own requires)
+    "kv_partitioned" ->
+      """SELECT CAST(o_custkey % 10 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY CAST(o_custkey % 10 AS BIGINT) ORDER BY grp""".stripMargin,
     // the sortBy table holds exactly the inserted rows (layout is gated by
     // the query's own requires; the oracle gates the data)
     "kv_clustered_write" ->

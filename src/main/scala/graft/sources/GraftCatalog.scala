@@ -96,13 +96,59 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
             stampEpochs = d.options.get("epochs").exists(_.toBoolean),
             checkConstraintsF = () => GraftCatalog.constraintsOf(d.options),
             sortCols = GraftKvSink.sortColsOf(d.options.get("sortby")),
-            sortBuckets = d.options.get("sortbuckets").map(_.toInt).getOrElse(0))
+            sortBuckets = d.options.get("sortbuckets").map(_.toInt).getOrElse(0),
+            partitionSpecF = () => GraftCatalog.partitionSpecOf(d.options)
+              .getOrElse {
+                // entries predating the spec option (e.g. a SHALLOW CLONE
+                // of a partitioned source): the manifest still knows
+                if (java.nio.file.Files.exists(mf))
+                  GraftKvSink.readManifest(mf).partitionSpec
+                else Nil
+              })
         case other =>
           throw new IllegalStateException(
             s"graft catalog entry ${d.name} has unknown provider '$other'")
       }
-      case None => throw new NoSuchTableException(ident)
+      // `graft.ns.t.branch_<name>` (the Iceberg branch-address shape):
+      // no entry of its own — resolve the PARENT (the identifier's
+      // namespace) and bind its `_branch_<name>/` head as a full
+      // read-write table, so INSERT/UPDATE/MERGE against the branch use
+      // the entire connector machinery
+      case None => branchTable(ident).getOrElse(
+        throw new NoSuchTableException(ident))
     }
+
+  /** Resolve `ns.t.branch_x` to the branch head's table, if x exists. */
+  private def branchTable(ident: Identifier): Option[Table] = {
+    val n = ident.name()
+    if (!n.toLowerCase.startsWith("branch_") || ident.namespace().isEmpty)
+      return None
+    val br = n.substring("branch_".length)
+    Ddl.dsv2Get(ident.namespace().mkString(".")).flatMap { d =>
+      d.options.get("path").flatMap { parentPath =>
+        if (!GraftKvSink.refKind(parentPath, br).contains("branch")) None
+        else {
+          val bd = GraftKvSink.branchDirOf(parentPath, br)
+          val bmf = GraftKvSink.manifestPath(bd)
+          if (!java.nio.file.Files.exists(bmf)) None
+          else {
+            val bm = GraftKvSink.readManifest(bmf)
+            Some(new GraftKvTable(bd, bm.schema,
+              mor = d.options.get("mor").exists(_.toBoolean),
+              stampEpochs = d.options.get("epochs").exists(_.toBoolean),
+              // branch-manifest invariants (cloned from the parent at
+              // fork; evolvable on the branch independently)
+              checkConstraintsF = () => GraftKvSink.readManifest(bmf).checks,
+              sortCols = GraftKvSink.sortColsOf(d.options.get("sortby")),
+              sortBuckets =
+                d.options.get("sortbuckets").map(_.toInt).getOrElse(0),
+              partitionSpecF =
+                () => GraftKvSink.readManifest(bmf).partitionSpec))
+          }
+        }
+      }
+    }
+  }
 
   /** SQL time travel: `SELECT … FROM graft.ns.t VERSION AS OF n` loads a
     * read-only table instance pinned to the epoch-n boundary state — the
@@ -113,15 +159,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
   override def loadTable(ident: Identifier, version: String): Table =
     Ddl.dsv2Get(key(ident)) match {
       case Some(d) if d.provider == "graft_kv" =>
+        val vPath = d.options.getOrElse("path",
+          throw new IllegalStateException(
+            s"graft catalog entry ${d.name} lacks a path option"))
+        // a BRANCH name reads the branch's current HEAD (its own
+        // manifest), not the fork boundary — that is what makes it a
+        // writable lineage rather than a pin
+        if (version.forall(!_.isDigit) &&
+            GraftKvSink.refKind(vPath, version).contains("branch"))
+          return branchTable(Identifier.of(
+            ident.namespace() :+ ident.name(), s"branch_$version"))
+            .getOrElse(throw new IllegalStateException(
+              s"graft_kv: branch '$version' of ${d.name} has no manifest"))
         // a non-numeric version is a NAMED REF: `VERSION AS OF 'eval_v1'`
         // resolves through the manifest's refs map (CREATE TAG pins it)
         val epoch =
           try java.lang.Long.parseLong(version)
           catch { case _: NumberFormatException =>
-            GraftKvSink.resolveRef(d.options.getOrElse("path",
-              throw new IllegalStateException(
-                s"graft catalog entry ${d.name} lacks a path option")),
-              version)
+            GraftKvSink.resolveRef(vPath, version)
           }
         require(epoch >= 0L, s"graft_kv: VERSION AS OF $epoch — epochs are >= 0")
         loadTable(ident) match {
@@ -229,6 +284,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
       if (schema.fields.exists(_.metadata !=
           org.apache.spark.sql.types.Metadata.empty))
         GraftKvSink.setColumnMeta(path, schema)
+      // partitioning binds to the TABLE like the checks: the manifest is
+      // what path-route writers (which never see this catalog) read
+      GraftCatalog.partitionSpecOf(d.options).foreach(spec =>
+        GraftKvSink.setPartitionSpec(path, schema, spec))
     }
     Ddl.dsv2Put(d)
     loadTable(ident)
@@ -259,16 +318,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
   private def resolveDef(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : Ddl.Dsv2Def = {
-    require(partitions.isEmpty,
-      s"graft catalog tables do not take PARTITIONED BY (got ${partitions.length})")
     val provider = Option(properties.get(TableCatalog.PROP_PROVIDER))
       .map(_.toLowerCase).getOrElse("graft_kv")
     require(provider == "graft_kv" || provider == "graft_range",
       s"graft catalog supports USING graft_kv | graft_range, got '$provider'")
+    // PARTITIONED BY: kv tables take the Iceberg transform family
+    // (identity, bucket(n, col), truncate(w, col)) — validated and
+    // canonicalized here, persisted as the `partitionedby` option AND in
+    // the manifest (createTable), so path-route writers split identically
+    val pspec =
+      if (partitions.isEmpty) Nil
+      else {
+        require(provider == "graft_kv",
+          s"PARTITIONED BY applies to graft_kv tables, not $provider")
+        GraftPartition.fromTransforms(partitions.toSeq, schema)
+      }
     // OPTIONS(...) arrive as plain property keys (and, in some Spark
     // paths, duplicated under the reserved "option." prefix) — accept both
     val known = Set("path", "rows", "slices", "mor", "epochs",
-      "sortby", "sortbuckets")
+      "sortby", "sortbuckets", "partitionedby")
     val opts0 = properties.asScala.collect {
       case (k, v) if k.startsWith(TableCatalog.OPTION_PREFIX) =>
         k.stripPrefix(TableCatalog.OPTION_PREFIX).toLowerCase -> v
@@ -303,12 +371,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
           }
         GraftCatalog.pctDecode(body)
       }
-    val opts = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
+    val optsP = Option(properties.get(TableCatalog.PROP_LOCATION)) match {
       case Some(loc) if !opts0.contains("path") => opts0 + ("path" -> deUri(loc))
       case _ => opts0.get("path") match {
         case Some(p) => opts0 + ("path" -> deUri(p))
         case None    => opts0
       }
+    }
+    // partitioning: PARTITIONED BY transforms win; an option-spelled
+    // `partitionedby` canonicalizes against the schema the same way
+    val opts = {
+      val fromOpt =
+        if (pspec.nonEmpty) Nil
+        else optsP.get("partitionedby").toSeq
+          .flatMap(GraftPartition.splitSpec)
+          .map(t => GraftPartition.parseOne(t, schema).key)
+      val all = pspec ++ fromOpt
+      if (all.nonEmpty) optsP + ("partitionedby" -> all.mkString(","))
+      else optsP - "partitionedby"
     }
     if (provider == "graft_kv") {
       require(opts.contains("path"), "graft_kv tables require OPTIONS (path '...')")
@@ -630,6 +710,10 @@ object GraftCatalog {
   private[graft] def constraintsOf(opts: Map[String, String]): Map[String, String] =
     opts.collect { case (k, v) if k.startsWith("check.") =>
       k.stripPrefix("check.") -> v }
+
+  /** The stored partition spec (canonical transform strings), if any. */
+  private[graft] def partitionSpecOf(opts: Map[String, String]): Option[Seq[String]] =
+    opts.get("partitionedby").map(GraftPartition.splitSpec).filter(_.nonEmpty)
 
   /** URI percent-decoding (byte-level, UTF-8) without URLDecoder's
     * '+'-to-space rule; a '%' not followed by two hex digits passes

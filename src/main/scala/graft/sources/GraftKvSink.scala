@@ -110,7 +110,27 @@ class GraftKvSink extends TableProvider {
         } else Map.empty[String, String]) ++ optChecks
       },
       sortCols = GraftKvSink.sortColsOf(ci("sortBy")),
-      sortBuckets = ci("sortBuckets").map(_.toInt).getOrElse(0))
+      sortBuckets = ci("sortBuckets").map(_.toInt).getOrElse(0),
+      partitionSpecF = () => {
+        // option-declared spec canonicalizes against the write schema; a
+        // manifest-recorded spec (persisted by the catalog's CREATE, or
+        // by this route's own first write) is authoritative — a
+        // conflicting redeclaration refuses rather than silently mixing
+        // layouts
+        val opt = ci("partitionedBy").toSeq
+          .flatMap(GraftPartition.splitSpec)
+          .map(t => GraftPartition.parseOne(t, schema).key)
+        val mfP = GraftKvSink.manifestPath(dir)
+        val rec =
+          if (Files.exists(mfP)) GraftKvSink.readManifest(mfP).partitionSpec
+          else Nil
+        if (opt.nonEmpty) {
+          require(rec.isEmpty || rec == opt,
+            s"graft_kv: write declares partitioning [${opt.mkString(", ")}] " +
+              s"but $dir is partitioned by [${rec.mkString(", ")}]")
+          opt
+        } else rec
+      })
   }
 }
 
@@ -186,7 +206,13 @@ object GraftKvSink {
       // '<name>' resolves through this map. Carried across every publish
       // except a truncating one (truncate restarts history; a tag into
       // the old numbering would silently pin the wrong state).
-      refs: Map[String, (Long, String)] = Map.empty) {
+      refs: Map[String, (Long, String)] = Map.empty,
+      // DECLARATIVE PARTITIONING (the Iceberg spec-in-metadata shape):
+      // canonical transform strings ("c", "bucket(4,c)", "truncate(7,c)").
+      // Table-level like checks — carried verbatim across every publish;
+      // per-file tuples ride the stats map under "part:" keys. Empty =
+      // unpartitioned. See [[GraftPartition]].
+      partitionSpec: Seq[String] = Nil) {
     /** THE boundary-state visibility rule — the one definition every
       * reader (scan, agg pushdown, changefeed planning) must share, or
       * metadata-answered COUNTs silently diverge from data-path reads: at
@@ -356,7 +382,7 @@ object GraftKvSink {
     case _                                                => false
   }
 
-  private[sources] def manifestPath(dir: String): Path =
+  private[graft] def manifestPath(dir: String): Path =
     Paths.get(dir, "_graft_manifest.json")
 
   // ---- per-table commit lock -------------------------------------------
@@ -417,6 +443,10 @@ object GraftKvSink {
       // named refs: null = carry the prior's (dropped by freshHistory —
       // a truncate restarts epoch numbering); createRef/dropRef update
       refs: Map[String, (Long, String)] = null,
+      // partition spec: null = carry the prior's verbatim (table-level,
+      // truncate-proof — layout declarations survive a TRUNCATE exactly
+      // like CHECK constraints); setPartitionSpec passes updates
+      partitionSpec: Seq[String] = null,
       // the currently-published manifest, when the caller (always under
       // the same commit lock) has already read it — saves the second
       // full JSON parse per publish, which the per-file stats/bloom maps
@@ -487,6 +517,12 @@ object GraftKvSink {
           val o = ro.putObject(n); o.put("epoch", e); o.put("kind", kind)
         }
       }
+      val specKept = Option(partitionSpec)
+        .orElse(prior.map(_.partitionSpec)).getOrElse(Nil)
+      if (specKept.nonEmpty) {
+        val pa = root.putArray("partitionSpec")
+        specKept.foreach(pa.add)
+      }
     }
     val arr = root.putArray("files")
     files.foreach { case (n, c) =>
@@ -531,7 +567,7 @@ object GraftKvSink {
     }
   }
 
-  private[sources] def readManifest(mf: Path): Manifest = {
+  private[graft] def readManifest(mf: Path): Manifest = {
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
       new String(Files.readAllBytes(mf), StandardCharsets.UTF_8))
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
@@ -578,8 +614,10 @@ object GraftKvSink {
           e.getValue.get("kind").asText())
       }.toMap
     }.getOrElse(Map.empty[String, (Long, String)])
+    val pspec = Option(root.get("partitionSpec")).toSeq
+      .flatMap(_.elements().asScala).map(_.asText())
     Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver,
-      txn, ets, checks, refs)
+      txn, ets, checks, refs, pspec)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -649,6 +687,21 @@ object GraftKvSink {
     }
     sb.append('\n')
   }
+
+  /** One column's canonical string image (null -> null) — the same
+    * encoding [[encodeRow]] produces per field, factored out for the
+    * partition router which must know a row's tuple BEFORE any line is
+    * built (the line lands in the tuple's own file). */
+  private[sources] def encodeValue(dt: DataType, row: InternalRow,
+      i: Int): String =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case IntegerType => row.getInt(i).toString
+      case LongType    => row.getLong(i).toString
+      case DoubleType  => row.getDouble(i).toString
+      case StringType  => row.getUTF8String(i).toString
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
 
   /** Typed "a <= b" over the stringly-stored stats values. Strings compare
     * in UTF8String BINARY order — the order Spark's own string comparisons
@@ -929,6 +982,136 @@ object GraftKvSink {
       .map { case (n, (e, k)) => (n, e, k) }.sortBy(_._1)
   }
 
+  /** A ref's kind ("tag" | "branch"), or None if absent. */
+  def refKind(dir: String, name: String): Option[String] = {
+    val mfp = manifestPath(dir)
+    if (!Files.exists(mfp)) None
+    else readManifest(mfp).refs.get(name).map(_._2)
+  }
+
+  /** The managed home of a branch's own state: a subdirectory of the
+    * table, invisible to the parent's maintenance (file listings are
+    * non-recursive) and owned by the branch alone. */
+  def branchDirOf(dir: String, name: String): String =
+    Paths.get(dir, s"_branch_$name").toString
+
+  /** CREATE BRANCH (the Iceberg writable-ref shape): a WRITABLE fork of
+    * the table at an epoch boundary. Two pieces, both metadata-only:
+    *  - a refs entry (kind "branch") in the PARENT manifest pins the fork
+    *    epoch — compaction clamps STRICTLY BELOW it (a merge at the fork
+    *    would rename files the branch references; a tag, which reads the
+    *    merged boundary, tolerates that — a branch cannot), and vacuum
+    *    keeps the retained files the fork state reconstructs from;
+    *  - a SHALLOW CLONE of that boundary into `_branch_<name>/` under the
+    *    table directory is the branch's own head: writes routed to the
+    *    branch land there (its appends, CoW rewrites, OPTIMIZE — the full
+    *    table machinery, because the branch IS a table), while the parent
+    *    advances independently. Branching 100 TB is two manifest writes.
+    * `VERSION AS OF '<name>'` reads the branch HEAD (not the fork
+    * boundary); `INSERT INTO t.branch_<name>` writes it; FAST FORWARD
+    * publishes it back. TRUNCATE on the parent remains the documented
+    * shallow-clone caveat: it reclaims files any fork still references. */
+  def createBranch(dir: String, name: String,
+      asOf: Option[Long] = None): Long = {
+    val epoch = createRef(dir, name, asOf, kind = "branch")
+    try shallowClone(dir, branchDirOf(dir, name), Some(epoch))
+    catch { case e: Throwable => dropRef(dir, name); throw e }
+    epoch
+  }
+
+  /** DROP BRANCH: unpin the fork and delete the branch's own state
+    * (branch-LOCAL files only — foreign references into the parent are
+    * just forgotten, the deleteOwned rule). */
+  def dropBranch(dir: String, name: String): Unit = {
+    require(refKind(dir, name).contains("branch"),
+      s"graft_kv: '$name' is not a branch at $dir")
+    dropRef(dir, name)
+    val bd = Paths.get(branchDirOf(dir, name))
+    if (Files.exists(bd)) {
+      val s = Files.walk(bd)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      finally s.close()
+    }
+  }
+
+  /** FAST FORWARD: publish the branch head as the parent's new current
+    * state — the Iceberg fast-forward-publish workflow ("experiment on a
+    * branch, then make it main"). Sound only when the parent has NOT
+    * advanced past the fork (its head must be the branch's ancestor):
+    * verified structurally — every parent-current file must be exactly
+    * the branch's foreign reference set, and no parent delta may exist.
+    * Branch-local files MOVE into the parent directory (renames, no
+    * bytes), foreign references resolve back to local names, and one
+    * manifest publish swaps the state; the branch is then dropped.
+    * A branch with unfolded MOR deltas refuses (its .kvd records name
+    * foreign paths positionally — OPTIMIZE the branch first, which also
+    * self-localizes it). */
+  def fastForward(dir: String, name: String): Long = withCommitLock(dir) {
+    require(refKind(dir, name).contains("branch"),
+      s"graft_kv: '$name' is not a branch at $dir")
+    val m = readManifest(manifestPath(dir))
+    val bd = branchDirOf(dir, name)
+    val bmp = manifestPath(bd)
+    require(Files.exists(bmp), s"graft_kv: branch '$name' has no manifest")
+    val bm = readManifest(bmp)
+    require(bm.deltas.isEmpty,
+      s"graft_kv: branch '$name' has unfolded merge-on-read deltas — " +
+        "OPTIMIZE the branch first")
+    // ancestry check: the parent's CURRENT visible state must be exactly
+    // the file set the branch forked from (no commits on the parent
+    // since) — forked files the BRANCH CoW-rewrote sit in its retained
+    // history, still counting as "forked from"
+    val parentAbs = m.files.map { case (n, _) =>
+      if (isForeign(n)) n else Paths.get(dir, n).toString }.toSet
+    val branchForeignAll = (bm.files.map(_._1) ++ bm.removed.map(_.name))
+      .filter(isForeign).toSet
+    require(m.deltas.isEmpty && parentAbs == branchForeignAll,
+      s"graft_kv: cannot FAST FORWARD '$name' — the parent advanced past " +
+        "the fork; merge manually or re-branch")
+    // branch-local names move into the parent dir; foreign refs into the
+    // parent resolve back to local names, refs elsewhere stay absolute
+    val prefix = Paths.get(dir).toAbsolutePath.toString + "/"
+    def rekey(n: String): String =
+      if (!isForeign(n)) n // branch-local: moves to parent under its name
+      else if (n.startsWith(prefix) && !n.substring(prefix.length).contains("/"))
+        n.substring(prefix.length)
+      else n
+    val moves = (bm.files.map(_._1) ++ bm.removed.map(_.name))
+      .filterNot(isForeign)
+    moves.foreach { n =>
+      require(!Files.exists(Paths.get(dir, n)),
+        s"graft_kv: FAST FORWARD name collision on '$n' — a parent file " +
+          "already claims it")
+    }
+    moves.foreach { n =>
+      Files.move(Paths.get(bd, n), Paths.get(dir, n))
+    }
+    val head = (bm.files.map(f => epochOf(f._1)) ++
+      Seq(bm.rewrittenUpTo, bm.compactedUpTo)).max.max(0L)
+    writeManifest(dir, bm.schema,
+      bm.files.map { case (n, r) => (rekey(n), r) },
+      math.max(m.compactedUpTo, bm.compactedUpTo),
+      bm.stats.map { case (n, v) => rekey(n) -> v },
+      bm.blooms.map { case (n, v) => rekey(n) -> v },
+      Nil,
+      // parent retained history stays (pre-fork states keep traveling);
+      // branch-local retained files moved above and join it
+      m.removed ++ bm.removed.map(r => r.copy(name = rekey(r.name))),
+      math.max(m.rewrittenUpTo, bm.rewrittenUpTo),
+      refs = m.refs - name,
+      checks = bm.checks,
+      partitionSpec = bm.partitionSpec,
+      priorHint = Some(m))
+    // the branch's own history is published; its directory is now empty
+    // shell state — remove it (manifest + lock only; data files moved)
+    val s2 = Files.walk(Paths.get(bd))
+    try s2.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => { Files.deleteIfExists(p); () })
+    finally s2.close()
+    head
+  }
+
   /** Resolve a named ref to its pinned epoch. */
   def resolveRef(dir: String, name: String): Long = {
     val mfp = manifestPath(dir)
@@ -1038,7 +1221,10 @@ object GraftKvSink {
         math.max(sm.compactedUpTo, sm.rewrittenUpTo),
         sm.stats.collect { case (n, v) if rekey.contains(n) => rekey(n) -> v },
         sm.blooms.collect { case (n, v) if rekey.contains(n) => rekey(n) -> v },
-        Nil, Nil, rewrittenUpTo = sm.rewrittenUpTo)
+        Nil, Nil, rewrittenUpTo = sm.rewrittenUpTo,
+        // TABLE-level invariants ride the clone (the Delta stance:
+        // constraints and layout are part of what you branched)
+        checks = sm.checks, partitionSpec = sm.partitionSpec)
     }
     boundary
   }
@@ -1458,6 +1644,35 @@ object GraftKvSink {
     }
   }
 
+  /** Persist the partition spec in the manifest (bootstrap one if none
+    * exists — the setChecks shape) so every writer route splits files by
+    * tuple and every reader prunes by it. Redeclaring a DIFFERENT spec
+    * over committed data refuses: existing files were laid out under the
+    * old spec and silently mixing layouts would corrupt pruning EXACTNESS
+    * expectations (absent tuples stay sound, but a CREATE is a
+    * declaration, not an evolution — evolution is append-time: new files
+    * tag under the current spec, old files keep their entries). */
+  private[graft] def setPartitionSpec(dir: String, schema: StructType,
+      spec: Seq[String]): Unit = withCommitLock(dir) {
+    GraftPartition.parse(spec, schema) // validate against the schema
+    val mf = manifestPath(dir)
+    if (Files.exists(mf)) {
+      val m = readManifest(mf)
+      if (m.partitionSpec != spec) {
+        require(m.partitionSpec.isEmpty || m.files.isEmpty,
+          s"graft_kv: cannot change partitioning of $dir from " +
+            s"[${m.partitionSpec.mkString(", ")}] to [${spec.mkString(", ")}] " +
+            "over committed data")
+        writeManifest(dir, m.schema, m.files, m.compactedUpTo, m.stats,
+          m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
+          partitionSpec = spec, priorHint = Some(m))
+      }
+    } else if (spec.nonEmpty) {
+      Files.createDirectories(Paths.get(dir))
+      writeManifest(dir, schema, Seq.empty, partitionSpec = spec)
+    }
+  }
+
   /** GENERATED ALWAYS AS columns, expressed as derived CHECK constraints:
     * the column's stored value must null-safe-equal its generation
     * expression (`g <=> (expr)`), enforced through the SAME machinery as
@@ -1583,8 +1798,16 @@ object GraftKvSink {
     // destroy the exact state the tag pins (a merge AT the tag is fine —
     // the compacted file IS that boundary state). The Iceberg rule: a
     // pinned snapshot's files never expire while the ref lives.
-    val minTag = mf.refs.values.map(_._1).minOption.getOrElse(Long.MaxValue)
-    val upTo = math.min(math.min(upToRequested, maxEpoch), minTag)
+    val minTag = mf.refs.values.collect { case (e, "tag") => e }
+      .minOption.getOrElse(Long.MaxValue)
+    // a BRANCH references the fork boundary's files BY NAME (shallow
+    // clone) — merging AT the fork would rename them out from under it,
+    // so branches clamp strictly below (tags, which read the merged
+    // boundary state, tolerate a merge at their epoch)
+    val minBranch = mf.refs.values.collect { case (e, "branch") => e - 1L }
+      .minOption.getOrElse(Long.MaxValue)
+    val upTo = math.min(math.min(upToRequested, maxEpoch),
+      math.min(minTag, minBranch))
     val (old, keep) = mf.files.partition(f => epochOf(f._1) <= upTo)
     // merge-on-read deltas at or below the boundary FOLD into the
     // compacted file (deletes applied, inserts appended) — compaction is
@@ -1628,16 +1851,40 @@ object GraftKvSink {
       rOld.foreach(r => deleteOwned(dir, r.name))
       return rOld.length
     }
-    val target = f"epoch-$upTo-compacted.kv"
+    // PARTITIONED tables compact per tuple GROUP (one target per
+    // partition value), preserving the one-tuple-per-file invariant the
+    // scan-side pruner relies on. Files without tuple entries
+    // (pre-partitioning history, clone-foreign references) form their own
+    // untagged group. When MOR deltas fold, everything merges into ONE
+    // untagged target as before: delta inserts carry no tuple and
+    // re-deriving one per row would re-encode the data — the target
+    // simply never partition-prunes (absent metadata = read it, sound),
+    // and the NEXT partitioned write resumes tagged layout.
+    val grouped: Seq[(String, Seq[(String, Long)])] =
+      if (mf.partitionSpec.isEmpty || dOld.nonEmpty) Seq("" -> old)
+      else old.groupBy { case (n, _) =>
+        val st = mf.stats.getOrElse(n, Map.empty)
+        val vs = mf.partitionSpec.map(k =>
+          st.get(GraftPartition.PartKey + k).map(_._1))
+        if (vs.exists(_.isEmpty)) "" // untagged group
+        else vs.flatten.mkString("\u0000")
+      }.toSeq.sortBy(_._1)
+    val groups: Seq[(String, Seq[(String, Long)])] =
+      if (grouped.length <= 1) grouped.map { case (_, fs) => ("", fs) }
+      else grouped.zipWithIndex.map { case ((_, fs), i) => (s"-g$i", fs) }
+    val targets = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Map[String, (String, String)], Map[String, String])]
+    for ((suffix, gOld) <- groups) {
+    val target = f"epoch-$upTo-compacted$suffix.kv"
     val tmp = Paths.get(dir, target + ".tmp")
     var targetRows = 0L
     if (dOld.isEmpty) {
       // no deltas in range: driver-side streaming byte concat, no re-encode
       val out = Files.newOutputStream(tmp)
-      try old.map(_._1).sorted.foreach { n =>
+      try gOld.map(_._1).sorted.foreach { n =>
         Files.copy(dataPath(dir, n), out)
       } finally out.close()
-      targetRows = old.map(_._2).sum
+      targetRows = gOld.map(_._2).sum
     } else {
       // fold: per-file position-deletes from the folded deltas, then the
       // surviving base lines in file order, then the surviving inserts
@@ -1672,7 +1919,7 @@ object GraftKvSink {
             }
           } finally st.close()
         }
-        old.map(_._1).sorted.foreach(foldLines(_, insertPayloads = false))
+        gOld.map(_._1).sorted.foreach(foldLines(_, insertPayloads = false))
         dOld.map(_.name).sorted.foreach(foldLines(_, insertPayloads = true))
       } finally w.close()
     }
@@ -1682,7 +1929,7 @@ object GraftKvSink {
     // drop stats/blooms entirely: inserts carry values outside the merged
     // ranges, and absent stats never prune — the sound default.
     val oldStats =
-      if (dOld.nonEmpty) Nil else old.map(f => mf.stats.getOrElse(f._1, Map.empty))
+      if (dOld.nonEmpty) Nil else gOld.map(f => mf.stats.getOrElse(f._1, Map.empty))
     val mergedCols = oldStats.map(_.keySet.map(_.toLowerCase))
       .reduceOption(_ intersect _).getOrElse(Set.empty)
     val targetStats = mergedCols.flatMap { c =>
@@ -1692,14 +1939,22 @@ object GraftKvSink {
         val mx = ranges.map(_._2).reduce((a, b) => if (le(field.dataType, a, b)) b else a)
         c -> (mn, mx)
       }
-    }.toMap
+    }.toMap ++ {
+      // partition tuple entries carry to the group target when every
+      // merged file agrees (true by grouping; the untagged group, delta
+      // folds, and mixed pre-partitioning inputs simply carry nothing)
+      mergedCols.filter(_.startsWith(GraftPartition.PartKey)).flatMap { k =>
+        val vs = oldStats.map(_.find(_._1.equalsIgnoreCase(k)).get._2).distinct
+        if (vs.length == 1) Some(k -> vs.head) else None
+      }.toMap
+    }
     // merged blooms: same all-or-nothing rule, OR-merged bit-for-bit
     // (identical create parameters across writers make them compatible);
     // the total row count must stay within the cap or fpp degrades
     val oldBlooms =
-      if (dOld.nonEmpty) Nil else old.map(f => mf.blooms.getOrElse(f._1, Map.empty))
+      if (dOld.nonEmpty) Nil else gOld.map(f => mf.blooms.getOrElse(f._1, Map.empty))
     val bloomCols =
-      if (old.map(_._2).sum > BloomRowCap) Set.empty[String]
+      if (gOld.map(_._2).sum > BloomRowCap) Set.empty[String]
       else oldBlooms.map(_.keySet.map(_.toLowerCase))
         .reduceOption(_ intersect _).getOrElse(Set.empty)
         .filterNot(isSketchKey) // sketch keys merge below, uncapped
@@ -1726,23 +1981,26 @@ object GraftKvSink {
         else parts.map(_.toLong).sum.toString)
       }.toMap
     }
+    targets += ((target, targetRows, targetStats, targetBlooms))
+    } // per-group loop
+    val targetNames = targets.map(_._1).toSet
     // single visibility switch: after this write, readers see only the
-    // compacted file; the superseded inputs become unreferenced garbage
+    // compacted files; the superseded inputs become unreferenced garbage
     writeManifest(dir, mf.schema,
-      (target, targetRows) +: keep, newUpTo,
+      targets.toSeq.map(t => (t._1, t._2)) ++ keep, newUpTo,
       mf.stats -- old.map(_._1) ++
-        (if (targetStats.nonEmpty) Map(target -> targetStats) else Map.empty),
+        targets.collect { case (t, _, st, _) if st.nonEmpty => t -> st },
       mf.blooms -- old.map(_._1) ++
-        (if (targetBlooms.nonEmpty) Map(target -> targetBlooms) else Map.empty),
+        targets.collect { case (t, _, _, bl) if bl.nonEmpty => t -> bl },
       dKeep, rKeep, mf.rewrittenUpTo, priorHint = Some(mf))
     old.foreach { case (n, _) =>
-      if (n != target) deleteOwned(dir, n)
+      if (!targetNames.contains(n)) deleteOwned(dir, n)
     }
     dOld.foreach(d => deleteOwned(dir, d.name))
     rOld.foreach(r => deleteOwned(dir, r.name))
     // merged-file count reports only files actually deleted (a clone's
     // foreign references fold into the local target but stay in place)
-    old.count(f => f._1 != target && !isForeign(f._1)) +
+    old.count(f => !targetNames.contains(f._1) && !isForeign(f._1)) +
       dOld.length + rOld.count(r => !isForeign(r.name))
   }
 }
@@ -1781,7 +2039,11 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     // (DSv2 requiredNumPartitions) — 0 lets Spark/AQE size the exchange.
     // At fixture scale AQE coalesces small writes to one file, which
     // defeats a clustering demo; at 100 TB leave it 0 and let AQE size.
-    sortBuckets: Int = 0)
+    sortBuckets: Int = 0,
+    // declared partitioning (canonical transform strings) — a THUNK like
+    // checkConstraintsF: the path route defers its manifest parse to
+    // first use; the catalog route passes the stored spec directly
+    partitionSpecF: () => Seq[String] = () => Nil)
   extends Table with SupportsWrite with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
@@ -1821,9 +2083,15 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     * guards — covers them with zero extra machinery. */
   private[graft] lazy val checkConstraints: Map[String, String] =
     checkConstraintsF() ++ GraftKvSink.generatedChecks(tableSchema)
+  /** The table's declared partitioning, resolved once on first use. */
+  private[graft] lazy val partitionSpec: Seq[String] = partitionSpecF()
   def atVersion(epoch: Long): GraftKvTable =
     new GraftKvTable(dir, tableSchema, mor, Some(epoch), stampEpochs,
-      checkConstraintsF, sortCols, sortBuckets)
+      checkConstraintsF, sortCols, sortBuckets, partitionSpecF)
+  /** PARTITIONED BY, reported back through Spark's own metadata surface
+    * (DESCRIBE TABLE's partitioning section reads this). */
+  override def partitioning(): Array[Transform] =
+    GraftPartition.toTransforms(partitionSpec, tableSchema)
   override def name(): String =
     s"graft_kv($dir${pinnedEpoch.map(n => s" version=$n").getOrElse("")})"
   override def schema(): StructType = tableSchema
@@ -1836,6 +2104,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     if (stampEpochs) m.put("epochs", "true")
     if (sortCols.nonEmpty) m.put("sortby", sortCols.mkString(","))
     if (sortBuckets > 0) m.put("sortbuckets", sortBuckets.toString)
+    if (partitionSpec.nonEmpty)
+      m.put("partitionedby", partitionSpec.mkString(","))
     checkConstraints.toSeq.sortBy(_._1).foreach { case (k, v) =>
       m.put(s"check.$k", v) }
     m
@@ -1899,7 +2169,10 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
           sortCols = sortCols, sortBuckets = sortBuckets,
           // UPDATE can mint violating post-images; surviving rows already
           // satisfy the invariant, so the re-check is free of surprises
-          checks = checkConstraints)
+          checks = checkConstraints,
+          // CoW replacements re-split by tuple — rewrites never decay
+          // the partition layout
+          partSpecF = () => partitionSpec)
     }
   }
 
@@ -1941,7 +2214,7 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       Option(info.options.get("epoch")).map(_.toLong),
       stampEpochs = stampEpochs, queryId = info.queryId(),
       sortCols = sortCols, sortBuckets = sortBuckets,
-      checks = checkConstraints)
+      checks = checkConstraints, partSpecF = () => partitionSpec)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
@@ -2508,12 +2781,18 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
     queryId: String = "",
     sortCols: Seq[String] = Nil,
     sortBuckets: Int = 0,
-    checks: Map[String, String] = Map.empty)
+    checks: Map[String, String] = Map.empty,
+    // partition spec thunk (the checkConstraintsF pattern): resolved at
+    // build() so pure table loads never parse the manifest for it
+    partSpecF: () => Seq[String] = () => Nil)
   extends WriteBuilder with SupportsTruncate {
   private var replace = false
   override def truncate(): WriteBuilder = { replace = true; this }
-  override def build(): Write =
-    if (sortCols.isEmpty) new Write {
+  override def build(): Write = {
+    val pspec = partSpecF()
+    if (pspec.nonEmpty) // early, clear error for a schema omitting sources
+      GraftPartition.parse(pspec, schema)
+    if (sortCols.isEmpty && pspec.isEmpty) new Write {
       override def toBatch: BatchWrite =
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
           snapshot, stampEpochs, checks)
@@ -2527,6 +2806,12 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
     // pruning turns point/range reads into one-file opens. Spark plans the
     // exchange inside the write (AQE-sized unless sortBuckets pins it); the
     // connector never touches rows.
+    //
+    // PARTITIONED tables instead cluster the write on the partition SOURCE
+    // columns (identity transforms — no function catalog needed, and a
+    // finer clustering than any derived transform), so each task sees few
+    // tuples and the fanout writer opens few files: at 1000 executors the
+    // file count tracks the partition count, not tasks x tuples.
     else new Write
         with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
       import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -2534,15 +2819,23 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
         Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
-        org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
+        if (pspec.nonEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions.clustered(
+            GraftPartition.parse(pspec, schema).map(_.source).distinct
+              .map(c => Expressions.identity(c)
+                : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray)
+        else
+          org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
       override def requiredOrdering(): Array[SortOrder] = orders
       override def requiredNumPartitions(): Int = sortBuckets
       override def toBatch: BatchWrite =
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
-          snapshot, stampEpochs, checks)
+          snapshot, stampEpochs, checks, pspec)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftKvStreamingWrite(dir, schema, queryId, checks)
+        new GraftKvStreamingWrite(dir, schema, queryId, checks, pspec)
     }
+  }
 }
 
 /** Micro-batch streaming sink: same per-task temp-file + manifest-publish
@@ -2553,7 +2846,8 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
   * standard exactly-once recipe for file-manifest streaming sinks. */
 final class GraftKvStreamingWrite(dir: String, schema: StructType,
     queryId: String = "",
-    checks: Map[String, String] = Map.empty)
+    checks: Map[String, String] = Map.empty,
+    partSpec: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
@@ -2561,6 +2855,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
     Files.createDirectories(Paths.get(dir))
     val schemaJson = schema.json
     val d = dir
+    val spec = partSpec
     // CHECK constraints on a STREAMING write: no V2WriteCommand exists at
     // analysis time to wrap, so the guard is resolved + bound BY ORDINAL
     // here on the driver and evaluated per row in each task — a violation
@@ -2572,9 +2867,15 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] = {
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        val inner = new GraftKvWriter(d, sch,
-          f"epoch-$epochId-part-$partitionId%05d-$taskId.tmp",
-          f"epoch-$epochId-part-$partitionId%05d-$taskId.kv")
+        val inner: DataWriter[InternalRow] =
+          if (spec.nonEmpty)
+            new GraftKvPartitionedWriter(d, sch,
+              GraftPartition.parse(spec, sch),
+              k => (f"epoch-$epochId-part-$partitionId%05d-$taskId-s$k.tmp",
+                f"epoch-$epochId-part-$partitionId%05d-$taskId-s$k.kv"))
+          else new GraftKvWriter(d, sch,
+            f"epoch-$epochId-part-$partitionId%05d-$taskId.tmp",
+            f"epoch-$epochId-part-$partitionId%05d-$taskId.kv")
         guard match {
           case None => inner
           case Some(g) => new DataWriter[InternalRow] {
@@ -2595,7 +2896,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = GraftKvSink.withCommitLock(dir) {
     // same empty-file suppression as the batch path
-    val committed = messages.collect { case m: GraftKvCommit => m }
+    val committed = GraftKvCommit.flatten(messages)
       .filter { m =>
         if (m.rows == 0L) Files.deleteIfExists(Paths.get(dir, m.tmpName))
         m.rows > 0L
@@ -2675,7 +2976,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GraftKvCommit => m }
+    GraftKvCommit.flatten(messages)
       .foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
 }
 
@@ -2683,6 +2984,75 @@ final case class GraftKvCommit(tmpName: String, finalName: String, rows: Long,
     stats: Map[String, (String, String)] = Map.empty,
     blooms: Map[String, String] = Map.empty)
   extends WriterCommitMessage
+
+/** A partition-routing task's commit: one [[GraftKvCommit]] per partition
+  * tuple the task saw. Commit sites flatten these beside plain commits. */
+final case class GraftKvMultiCommit(parts: Seq[GraftKvCommit])
+  extends WriterCommitMessage
+
+object GraftKvCommit {
+  /** The one flattening rule every commit site shares. */
+  private[sources] def flatten(messages: Array[WriterCommitMessage]): Seq[GraftKvCommit] =
+    messages.toSeq.flatMap {
+      case m: GraftKvCommit      => Seq(m)
+      case m: GraftKvMultiCommit => m.parts
+      case _                     => Nil
+    }
+}
+
+/** Partition-routing writer (the Iceberg fanout-writer shape): each row's
+  * partition tuple — evaluated from the manifest's declared transforms —
+  * selects (or opens) that tuple's own data file, so every committed file
+  * holds exactly one tuple and the manifest records it as `part:` stats
+  * entries, the scan-side pruner's exact feed. The write's own query is
+  * clustered on the partition sources (RequiresDistributionAndOrdering),
+  * so a task normally sees ONE tuple and the fanout map stays tiny; the
+  * cap below is the runaway guard for hint-defeating shapes, not a sizing
+  * parameter. */
+final class GraftKvPartitionedWriter(dir: String, schema: StructType,
+    spec: Seq[GraftPartition.PTransform],
+    nameFor: Int => (String, String))
+  extends DataWriter[InternalRow] {
+  private val srcIdx: Array[Int] = spec.map { t =>
+    val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(t.source))
+    require(i >= 0,
+      s"graft_kv: this write's schema omits partition column '${t.source}' " +
+        "— partitioned tables take full-width writes")
+    i
+  }.toArray
+  private val open =
+    new java.util.LinkedHashMap[String, (GraftKvWriter, Seq[String])]()
+  override def write(row: InternalRow): Unit = {
+    val tuple: Seq[String] = spec.indices.map { k =>
+      val i = srcIdx(k)
+      spec(k).apply(GraftKvSink.encodeValue(schema(i).dataType, row, i))
+    }
+    val key = tuple.mkString("\u0000")
+    var w = open.get(key)
+    if (w == null) {
+      require(open.size < 1000,
+        s"graft_kv: task exceeded 1000 open partition files at $dir — " +
+          "cluster the write on the partition sources")
+      val (tmp, fin) = nameFor(open.size)
+      w = (new GraftKvWriter(dir, schema, tmp, fin), tuple)
+      open.put(key, w)
+    }
+    w._1.write(row)
+  }
+  override def commit(): WriterCommitMessage = {
+    import scala.jdk.CollectionConverters._
+    GraftKvMultiCommit(open.values.asScala.toSeq.map { case (w, tuple) =>
+      val c = w.commit().asInstanceOf[GraftKvCommit]
+      c.copy(stats = c.stats ++ spec.zip(tuple).map { case (t, v) =>
+        t.statsKey -> (v, v) })
+    })
+  }
+  override def abort(): Unit = {
+    import scala.jdk.CollectionConverters._
+    open.values.asScala.foreach(_._1.abort())
+  }
+  override def close(): Unit = ()
+}
 
 final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     explicitEpoch: Option[Long] = None,
@@ -2700,7 +3070,11 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // the write transaction, not the planner, for exactly this reason.
     // Extension sessions keep their earlier (plan-time) error site; rows
     // they admit re-evaluate true here at negligible cost.
-    checks: Map[String, String] = Map.empty)
+    checks: Map[String, String] = Map.empty,
+    // partition spec (canonical transform strings): tasks route rows to
+    // per-tuple files; the first publish to a fresh directory records the
+    // spec in the manifest it bootstraps
+    partSpec: Seq[String] = Nil)
   extends BatchWrite {
 
   // This write's identity: scopes task temp-file names (and the commit-time
@@ -2741,7 +3115,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       graft.plans.CheckConstraints.writerGuard(
         org.apache.spark.sql.SparkSession.active, schema, checks)
     new GraftKvWriterFactory(dir, schema.json,
-      explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId, guard)
+      explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId, guard,
+      partSpec)
   }
 
   private def validateExplicitEpoch(e: Long, m: GraftKvSink.Manifest): Unit = {
@@ -2807,7 +3182,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // empty task files are never published (an empty partition's writer
     // still opened one) — a 0-row file would carry no stats/blooms and
     // survive every pruning pass for nothing
-    val committed0 = messages.collect { case m: GraftKvCommit => m }
+    val committed0 = GraftKvCommit.flatten(messages)
       .filter { m =>
         if (m.rows == 0L) Files.deleteIfExists(Paths.get(dir, m.tmpName))
         m.rows > 0L
@@ -2915,7 +3290,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         case m if m.blooms.nonEmpty => m.finalName -> m.blooms
       },
       priorDeltas, priorRemoved, priorRw,
-      freshHistory = replace && replaceFiles.isEmpty)
+      freshHistory = replace && replaceFiles.isEmpty,
+      partitionSpec = if (partSpec.nonEmpty) partSpec else null)
     // without retained history, replaced data files become garbage once
     // the manifest no longer lists them — except a name a new commit
     // re-published (task-id collision across sessions): that file now
@@ -2935,19 +3311,26 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case m: GraftKvCommit => m }
+    GraftKvCommit.flatten(messages)
       .foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
 }
 
 final class GraftKvWriterFactory(dir: String, schemaJson: String,
     namePrefix: String = "", writeId: String = "w0",
-    guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None)
+    guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
+    partSpec: Seq[String] = Nil)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val inner = new GraftKvWriter(dir, schema,
-      f"${namePrefix}part-$partitionId%05d-$taskId.$writeId.tmp",
-      f"${namePrefix}part-$partitionId%05d-$taskId.kv")
+    val inner: DataWriter[InternalRow] =
+      if (partSpec.nonEmpty)
+        new GraftKvPartitionedWriter(dir, schema,
+          GraftPartition.parse(partSpec, schema),
+          k => (f"${namePrefix}part-$partitionId%05d-$taskId-s$k.$writeId.tmp",
+            f"${namePrefix}part-$partitionId%05d-$taskId-s$k.kv"))
+      else new GraftKvWriter(dir, schema,
+        f"${namePrefix}part-$partitionId%05d-$taskId.$writeId.tmp",
+        f"${namePrefix}part-$partitionId%05d-$taskId.kv")
     guard match {
       case None => inner
       case Some(g) => new DataWriter[InternalRow] {
@@ -3153,11 +3536,22 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
   // misses its bloom; files without stats/blooms always survive. `visible`
   // is a var because RUNTIME group filtering (below) can narrow it again
   // after the group-discovery subquery executes.
+  // declared partition transforms (empty = unpartitioned): the tuple
+  // pruner below is EXACT where min/max ranges are best-effort — a file
+  // holds exactly one tuple, so a contradicted tuple excludes the file
+  // outright (bucket residue classes and truncated ranges included,
+  // which no value-range stat can express)
+  private val partSpecT: Seq[GraftPartition.PTransform] =
+    if (manifest.partitionSpec.isEmpty) Nil
+    else GraftPartition.parse(manifest.partitionSpec, manifest.schema)
   private var visible = epochVisible.filter { case (name, _) =>
     val st = manifest.stats.getOrElse(name, Map.empty)
     lazy val bl = manifest.blooms.getOrElse(name, Map.empty)
+    lazy val parts: Map[String, String] = st.collect {
+      case (k, (v, _)) if k.startsWith(GraftPartition.PartKey) => k -> v }
     filters.forall(f => GraftKvSink.mayMatch(manifest.schema, st, f) &&
-      GraftKvSink.bloomMayMatch(manifest.schema, bl, f))
+      GraftKvSink.bloomMayMatch(manifest.schema, bl, f) &&
+      (partSpecT.isEmpty || GraftPartition.mayMatch(partSpecT, parts, f)))
   }
   /** RUNTIME group filtering on the `_file` metadata column — what lets a
     * row-level MERGE (whose ON condition is a join, invisible to static

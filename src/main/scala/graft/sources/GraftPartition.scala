@@ -1,0 +1,227 @@
+package graft.sources
+
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Declarative partitioning for graft_kv tables — the Iceberg partition-
+  * transform family (identity, bucket(n, col), truncate(w, col)) adapted
+  * to the connector's type system (int/long/double/string).
+  *
+  * The layout contract is Iceberg's, not Hive's: partition values live in
+  * the MANIFEST (per-file `part:<transform>` entries in the stats map),
+  * never in directory names — each data file holds rows of exactly one
+  * partition tuple, and the scan prunes files by evaluating pushed
+  * predicates against the recorded tuples. Files WITHOUT a tuple entry
+  * (pre-partitioning history, clone-foreign files, a MOR-squashed
+  * compaction target) are never pruned by partition predicates — absent
+  * metadata degrades to "read it", the same soundness rule the min/max
+  * stats follow. That rule is also what makes the spec evolvable: old
+  * files keep working untagged.
+  *
+  * Transform semantics (all over the value's canonical string encoding —
+  * the same one the data files and per-file stats use, so writer and
+  * pruner can never disagree):
+  *  - identity:        the encoded value itself
+  *  - bucket(n, col):  floorMod(murmur3(utf8 bytes), n) — deterministic
+  *    across JVMs, so independent writers agree on routing
+  *  - truncate(w, col): ints/longs floor to w-sized ranges (Iceberg's
+  *    v - floorMod(v, w)), strings truncate to w codepoints — both
+  *    monotonic, so range predicates prune too
+  * NULL partition values route to the reserved "\\N" tuple — the same
+  * marker the row encoding uses — letting null-rejecting predicates
+  * prune all-null partitions outright. */
+object GraftPartition {
+  val PartKey = "part:" // stats-map key prefix for per-file tuple entries
+
+  sealed trait PTransform {
+    def source: String
+    /** canonical spec string, e.g. "c", "bucket(4,c)", "truncate(7,c)" */
+    def key: String
+    /** transform output for an encoded source value (null input = SQL
+      * NULL source -> the "\\N" tuple) */
+    def apply(enc: String): String
+    /** is p (a recorded tuple value) <= q in the transform's output
+      * order? Only meaningful for monotonic transforms. */
+    def monotonic: Boolean
+    def statsKey: String = PartKey + key
+  }
+
+  final case class PIdentity(source: String, dt: DataType) extends PTransform {
+    val key: String = source
+    def apply(enc: String): String = if (enc == null) "\\N" else enc
+    val monotonic = true
+  }
+
+  final case class PBucket(n: Int, source: String) extends PTransform {
+    require(n > 0, s"graft_kv: bucket count must be > 0, got $n")
+    val key: String = s"bucket($n,$source)"
+    def apply(enc: String): String =
+      if (enc == null) "\\N" else bucketOf(enc, n).toString
+    val monotonic = false
+  }
+
+  final case class PTruncate(w: Int, source: String, dt: DataType)
+    extends PTransform {
+    require(w > 0, s"graft_kv: truncate width must be > 0, got $w")
+    val key: String = s"truncate($w,$source)"
+    def apply(enc: String): String =
+      if (enc == null) "\\N"
+      else dt match {
+        case IntegerType | LongType =>
+          val v = enc.toLong
+          (v - java.lang.Math.floorMod(v, w.toLong)).toString
+        case _ => // string: first w codepoints
+          val cp = enc.codePointCount(0, enc.length)
+          if (cp <= w) enc
+          else enc.substring(0, enc.offsetByCodePoints(0, w))
+      }
+    val monotonic = true
+  }
+
+  private[graft] def bucketOf(enc: String, n: Int): Int =
+    java.lang.Math.floorMod(
+      scala.util.hashing.MurmurHash3.bytesHash(
+        enc.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42), n)
+
+  /** Parse the persisted comma-separated spec against a schema. */
+  def parse(spec: Seq[String], schema: StructType): Seq[PTransform] =
+    spec.map(parseOne(_, schema))
+
+  /** Split a comma-joined spec at TOP-LEVEL commas only — "bucket(4,id)"
+    * carries a comma of its own. */
+  def splitSpec(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+  private val TruncRe = """(?i)truncate\s*\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+
+  def parseOne(s: String, schema: StructType): PTransform = s.trim match {
+    case BucketRe(n, c) => validated(PBucket(n.toInt, colOf(c, schema)._1))
+    case TruncRe(w, c) =>
+      val (name, dt) = colOf(c, schema)
+      validated(PTruncate(w.toInt, name, dt))
+    case c =>
+      val (name, dt) = colOf(c, schema)
+      PIdentity(name, dt)
+  }
+
+  private def colOf(c: String, schema: StructType): (String, DataType) = {
+    val f = schema.fields.find(_.name.equalsIgnoreCase(c.trim)).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft_kv: partition column '${c.trim}' is not in the table " +
+          s"schema (${schema.fieldNames.mkString(", ")})"))
+    (f.name.toLowerCase, f.dataType)
+  }
+
+  private def validated(t: PTransform): PTransform = t match {
+    case PTruncate(_, _, DoubleType) => throw new IllegalArgumentException(
+      s"graft_kv: truncate() does not apply to double column '${t.source}'")
+    case PBucket(_, _) => t // bucket hashes the canonical encoding: any type
+    case _ => t
+  }
+
+  /** Catalog route: Spark's PARTITIONED BY transforms -> spec strings. */
+  def fromTransforms(ts: Seq[Transform], schema: StructType): Seq[String] =
+    ts.map { t =>
+      val refs = t.references()
+      require(refs.length == 1 && refs(0).fieldNames().length == 1,
+        s"graft_kv: partition transform ${t.describe()} must reference " +
+          "exactly one top-level column")
+      val col = refs(0).fieldNames()(0)
+      def intArg: Int = t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value() != null => l.value().toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft_kv: ${t.name()} transform needs an integer argument"))
+      val spec = t.name().toLowerCase match {
+        case "identity" => col
+        case "bucket"   => s"bucket($intArg,$col)"
+        case "truncate" => s"truncate($intArg,$col)"
+        case other => throw new UnsupportedOperationException(
+          s"graft_kv: unsupported partition transform '$other' — " +
+            "supported: identity, bucket(n, col), truncate(w, col)")
+      }
+      parseOne(spec, schema).key // validate + canonicalize
+    }
+
+  /** Report the spec back through Table.partitioning(). */
+  def toTransforms(spec: Seq[String], schema: StructType): Array[Transform] =
+    parse(spec, schema).map {
+      case PIdentity(c, _)      => Expressions.identity(c)
+      case PBucket(n, c)        => Expressions.bucket(n, c)
+      case PTruncate(w, c, _) => Expressions.apply("truncate",
+        Expressions.literal(w), Expressions.column(c))
+    }.toArray
+
+  /** Typed "a <= b" in the transform's OUTPUT order (numbers for numeric
+    * truncation/identity, UTF8 binary order for strings — matching the
+    * stats pruner's `le`). */
+  private def le(t: PTransform, a: String, b: String): Boolean = {
+    val numeric = t match {
+      case PIdentity(_, IntegerType | LongType)   => true
+      case PIdentity(_, DoubleType)               => return a.toDouble <= b.toDouble
+      case PTruncate(_, _, IntegerType | LongType) => true
+      case _                                       => false
+    }
+    if (numeric) a.toLong <= b.toLong
+    else UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
+  }
+
+  /** Can a file whose recorded partition tuple includes the `parts`
+    * entries contain a row satisfying the filter? Conservative on every
+    * axis: transforms with no recorded entry never prune; unknown filter
+    * shapes never prune; null tuple ("\\N") is pruned exactly by
+    * null-rejecting predicates. */
+  def mayMatch(spec: Seq[PTransform], parts: Map[String, String],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def relevant(col: String): Seq[(PTransform, String)] =
+      spec.filter(_.source.equalsIgnoreCase(col))
+        .flatMap(t => parts.get(t.statsKey).map(t -> _))
+    def couldEqual(col: String, v: Any): Boolean =
+      v != null && relevant(col).forall { case (t, p) =>
+        p != "\\N" && p == t.apply(String.valueOf(v))
+      }
+    f match {
+      case EqualTo(c, v)       => couldEqual(c, v)
+      case EqualNullSafe(c, v) =>
+        if (v == null) relevant(c).forall(_._2 == "\\N")
+        else couldEqual(c, v)
+      case In(c, vs)           => vs.exists(couldEqual(c, _))
+      case IsNull(c)           => relevant(c).forall(_._2 == "\\N")
+      case IsNotNull(c)        => relevant(c).forall(_._2 != "\\N")
+      // monotonic transforms order-prune: row > v implies t(row) >= t(v)
+      case GreaterThan(c, v) => v != null && relevant(c).forall { case (t, p) =>
+        !t.monotonic || (p != "\\N" && le(t, t.apply(String.valueOf(v)), p))
+      }
+      case GreaterThanOrEqual(c, v) => v != null && relevant(c).forall {
+        case (t, p) =>
+          !t.monotonic || (p != "\\N" && le(t, t.apply(String.valueOf(v)), p))
+      }
+      case LessThan(c, v) => v != null && relevant(c).forall { case (t, p) =>
+        !t.monotonic || (p != "\\N" && le(t, p, t.apply(String.valueOf(v))))
+      }
+      case LessThanOrEqual(c, v) => v != null && relevant(c).forall {
+        case (t, p) =>
+          !t.monotonic || (p != "\\N" && le(t, p, t.apply(String.valueOf(v))))
+      }
+      case And(l, r) => mayMatch(spec, parts, l) && mayMatch(spec, parts, r)
+      case Or(l, r)  => mayMatch(spec, parts, l) || mayMatch(spec, parts, r)
+      case _         => true
+    }
+  }
+}

@@ -1662,4 +1662,62 @@ class DdlSpec extends SparkSpec {
       spark.sql("DROP TABLE graft.ddlspec.ixt")
     }
   }
+
+  test("writable branches: isolation, head reads, guards, fast-forward, drop") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_br").toString
+    spark.sql("DROP TABLE IF EXISTS graft.brspec.t")
+    spark.sql("CREATE TABLE graft.brspec.t (id BIGINT, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.brspec.t SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(10)")
+    ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t CREATE BRANCH dev")
+    // branch dir exists, parent refs pin the fork
+    val bd = GraftKvSink.branchDirOf(dir, "dev")
+    assert(java.nio.file.Files.exists(GraftKvSink.manifestPath(bd)))
+    assert(GraftKvSink.refKind(dir, "dev").contains("branch"))
+    // writes to the branch; parent untouched; head reads see them
+    spark.sql("INSERT INTO graft.brspec.t.branch_dev SELECT id, " +
+      "CAST(id AS DOUBLE) FROM range(10, 15)")
+    assert(spark.table("graft.brspec.t").count() == 10L)
+    assert(spark.sql("SELECT count(*) FROM graft.brspec.t VERSION AS OF 'dev'")
+      .head.getLong(0) == 15L)
+    // CoW UPDATE on the branch rewrites a FORKED (foreign) file locally
+    spark.sql("UPDATE graft.brspec.t.branch_dev SET v = -1 WHERE id = 3")
+    assert(spark.table("graft.brspec.t").where("v = -1").count() == 0L)
+    assert(spark.sql(
+      "SELECT v FROM graft.brspec.t VERSION AS OF 'dev' WHERE id = 3")
+      .head.getDouble(0) == -1.0)
+    // guards: DROP TAG refuses a branch; compaction clamps below the fork
+    val e1 = intercept[Exception] {
+      ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t DROP TAG dev") }
+    assert(e1.getMessage.contains("DROP BRANCH"), e1.getMessage)
+    GraftKvSink.compact(dir, 99L) // must clamp below fork, not rename forked files
+    assert(spark.sql("SELECT count(*) FROM graft.brspec.t VERSION AS OF 'dev'")
+      .head.getLong(0) == 15L, "branch must survive parent compaction")
+    // parent advance forbids fast-forward
+    spark.sql("INSERT INTO graft.brspec.t SELECT id, CAST(id AS DOUBLE) " +
+      "FROM range(100, 102)")
+    val e2 = intercept[Exception] {
+      ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t FAST FORWARD TO 'dev'") }
+    assert(e2.getMessage.contains("advanced past"), e2.getMessage)
+    // a fresh branch off the advanced head fast-forwards cleanly
+    ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t CREATE BRANCH dev2")
+    spark.sql("INSERT INTO graft.brspec.t.branch_dev2 SELECT id, " +
+      "CAST(id AS DOUBLE) FROM range(200, 203)")
+    ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t FAST FORWARD TO 'dev2'")
+    assert(spark.table("graft.brspec.t").count() == 15L)
+    assert(spark.table("graft.brspec.t").where("id >= 200").count() == 3L)
+    assert(GraftKvSink.refKind(dir, "dev2").isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(GraftKvSink.branchDirOf(dir, "dev2"))))
+    // pre-publish parent states still time-travel (retained history)
+    assert(spark.sql("SELECT count(*) FROM graft.brspec.t VERSION AS OF 0")
+      .head.getLong(0) == 10L)
+    // DROP BRANCH reclaims the abandoned first branch
+    ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t DROP BRANCH dev")
+    assert(GraftKvSink.refKind(dir, "dev").isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(bd)))
+    spark.sql("DROP TABLE graft.brspec.t")
+  }
 }

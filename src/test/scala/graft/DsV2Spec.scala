@@ -1907,4 +1907,119 @@ class DsV2Spec extends SparkSpec {
     assert(incr(deltaEpoch + 1) == Seq.empty) // past the fold: answerable
     spark.sql("DROP TABLE IF EXISTS graft.incr.t")
   }
+
+  test("PARTITIONED BY: tuple-per-file layout, exact pruning, DML and compaction keep it") {
+    import graft.sources.{GraftKvSink, GraftKvScan, GraftPartition}
+    import org.apache.spark.sql.sources._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_part").toString
+    spark.sql("DROP TABLE IF EXISTS graft.pt.t")
+    spark.sql("CREATE TABLE graft.pt.t (id BIGINT, region STRING, cat BIGINT) " +
+      "USING graft_kv PARTITIONED BY (region, bucket(4, id), truncate(10, cat)) " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    // three regions x category bands, plus a NULL-region row
+    spark.sql("INSERT INTO graft.pt.t SELECT id, " +
+      "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'ap' WHEN 1 THEN 'eu' ELSE 'us' END, " +
+      "id % 25 FROM range(300)")
+    spark.sql("INSERT INTO graft.pt.t VALUES (CAST(1000 AS BIGINT), NULL, CAST(99 AS BIGINT))")
+    val mf0 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(mf0.partitionSpec == Seq("region", "bucket(4,id)", "truncate(10,cat)"), mf0.partitionSpec)
+    // every file carries a full tuple; writer-computed stats agree with it
+    mf0.files.foreach { case (n, _) =>
+      val st = mf0.stats.getOrElse(n, Map.empty)
+      assert(st.contains("part:region") && st.contains("part:bucket(4,id)") &&
+        st.contains("part:truncate(10,cat)"), s"$n -> ${st.keySet}")
+      assert(st("part:region")._1 == st("part:region")._2)
+    }
+    val total = mf0.files.length
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new GraftKvScan(dir, None, fs.toSeq).planInputPartitions().length
+    // identity pruning is EXACT: only 'eu' files (plus none untagged) plan
+    val euFiles = mf0.files.count { case (n, _) =>
+      mf0.stats(n)("part:region")._1 == "eu" }
+    assert(planned(EqualTo("region", "eu")) == euFiles, s"vs $euFiles/$total")
+    assert(euFiles < total)
+    // a null-rejecting predicate prunes the all-NULL partition
+    assert(planned(IsNotNull("region")) == total - 1)
+    assert(planned(IsNull("region")) == 1)
+    // bucket pruning on a point probe: only id=17's residue class plans
+    val b17 = GraftPartition.bucketOf("17", 4).toString
+    val bFiles = mf0.files.count { case (n, _) =>
+      mf0.stats(n)("part:bucket(4,id)")._1 == b17 }
+    assert(planned(EqualTo("id", 17L)) <= bFiles, s"vs $bFiles/$total")
+    // truncate range pruning: cat >= 20 excludes bands 0 and 10
+    val hi = mf0.files.count { case (n, _) =>
+      val v = mf0.stats(n)("part:truncate(10,cat)")._1
+      v != "\\N" && v.toLong >= 20L }
+    assert(planned(GreaterThanOrEqual("cat", 20L)) == hi, s"vs $hi/$total")
+    // correctness under pruning (the point of it all)
+    assert(spark.sql("SELECT count(*) FROM graft.pt.t WHERE region = 'eu'")
+      .head.getLong(0) == 100L)
+    assert(spark.sql("SELECT count(*) FROM graft.pt.t WHERE cat >= 20")
+      .head.getLong(0) == 300L / 25 * 5 + 1)
+    // CoW DML re-splits by tuple — the rewrite keeps the layout
+    spark.sql("UPDATE graft.pt.t SET cat = cat + 1 WHERE region = 'eu' AND cat = 24")
+    val mf1 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    mf1.files.foreach { case (n, _) =>
+      assert(mf1.stats.getOrElse(n, Map.empty).contains("part:region"), n) }
+    assert(spark.sql("SELECT count(*) FROM graft.pt.t WHERE cat = 25")
+      .head.getLong(0) == 4L)
+    // compaction merges PER GROUP: tuples survive, pruning stays exact
+    GraftKvSink.compact(dir, 99L)
+    val mf2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(mf2.files.length > 1, "per-group compaction kept tuple files")
+    assert(mf2.files.length < mf1.files.length || mf1.files.length == mf2.files.length)
+    mf2.files.foreach { case (n, _) =>
+      assert(mf2.stats.getOrElse(n, Map.empty).contains("part:region"), n) }
+    assert(planned(EqualTo("region", "eu")) ==
+      mf2.files.count(f => mf2.stats(f._1)("part:region")._1 == "eu"))
+    assert(spark.sql("SELECT count(*) FROM graft.pt.t WHERE region = 'eu'")
+      .head.getLong(0) == 100L)
+    assert(spark.table("graft.pt.t").count() == 301L)
+    // redeclaring a DIFFERENT spec over committed data refuses
+    val e = intercept[Exception] {
+      GraftKvSink.setPartitionSpec(dir,
+        spark.table("graft.pt.t").schema, Seq("cat"))
+    }
+    assert(e.getMessage.contains("cannot change partitioning"), e.getMessage)
+    // DESCRIBE surfaces the declared transforms
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED graft.pt.t").collect()
+      .map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("Part 0") || desc.toLowerCase.contains("region"), desc)
+    spark.sql("DROP TABLE graft.pt.t")
+  }
+
+  test("partitioned path-route writes split and prune without any catalog") {
+    import graft.sources.{GraftKvSink, GraftKvScan}
+    import org.apache.spark.sql.sources._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_part2").toString
+    (0L until 60L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+      .repartition(2).write.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("partitionedBy", "grp").mode("append").save()
+    val mf = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(mf.partitionSpec == Seq("grp"), mf.partitionSpec)
+    assert(mf.files.forall(f => mf.stats(f._1).contains("part:grp")))
+    val g1 = mf.files.count(f => mf.stats(f._1)("part:grp")._1 == "g1")
+    assert(new GraftKvScan(dir, None, Seq(EqualTo("grp", "g1")))
+      .planInputPartitions().length == g1)
+    assert(g1 < mf.files.length)
+    // a second writer with a CONFLICTING spec refuses pre-commit
+    val e = intercept[Exception] {
+      Seq((99L, "gX")).toDF("id", "grp").write
+        .format("graft.sources.GraftKvSink").option("path", dir)
+        .option("partitionedBy", "bucket(2,id)").mode("append").save()
+    }
+    assert(e.getMessage != null)
+    // an option-less append to the partitioned dir still splits (manifest
+    // is authoritative)
+    Seq((200L, "g1"), (201L, "zz")).toDF("id", "grp").write
+      .format("graft.sources.GraftKvSink").option("path", dir)
+      .mode("append").save()
+    val mf2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(mf2.files.forall(f => mf2.stats(f._1).contains("part:grp")))
+    val zz = mf2.files.filter(f => mf2.stats(f._1)("part:grp")._1 == "zz")
+    assert(zz.length == 1 && zz.head._2 == 1L)
+    assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+      .load().count() == 62L)
+  }
 }
