@@ -464,6 +464,13 @@ object Ddl {
   private val DropRe = s"""(?i)\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?($Id)\\s*""".r
   private val AlterAddRe =
     s"""(?i)\\s*ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+AS\\s+(.+?)\\s*""".r
+  // `ADD COLUMN c DEFAULT <expr>`: the CURRENT_DEFAULT-only shape the kv
+  // catalog speaks (kv_defaults) — existing rows read NULL (history is
+  // immutable), later INSERTs that omit the trailing column get the
+  // default spliced at write time. The expr must be self-contained (no
+  // column references): it is re-evaluated at every INSERT.
+  private val AlterDefaultRe =
+    s"""(?i)\\s*ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+DEFAULT\\s+(.+?)\\s*""".r
   private val AlterDropRe =
     s"""(?i)\\s*ALTER\\s+TABLE\\s+($Id)\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*""".r
   private val ShowRe = """(?i)\s*SHOW\s+TABLES\s*""".r
@@ -808,6 +815,14 @@ object Ddl {
       m.op match {
         case "add" =>
           sqlText = s"SELECT *, (${m.b}) AS `${m.a}` FROM ( $sqlText )"
+          cols = cols :+ m.a
+        case "default" =>
+          // history reads NULL, TYPED as the default expression (the
+          // IF(FALSE, ...) trick keeps the replay self-contained); the
+          // default itself applies only to later INSERT snapshots, which
+          // carry the spliced value materialized at statement time
+          sqlText =
+            s"SELECT *, IF(FALSE, (${m.b}), NULL) AS `${m.a}` FROM ( $sqlText )"
           cols = cols :+ m.a
         case "drop" =>
           cols = cols.filterNot(_.equalsIgnoreCase(m.a))
@@ -1433,6 +1448,7 @@ object Ddl {
   def intercept(sql: String): Option[Seq[(String, DataType)]] = sql match {
     case CreateRe(_*)                              => Some(statusCols)
     case AlterAddRe(_*)                            => Some(statusCols)
+    case AlterDefaultRe(_*)                        => Some(statusCols)
     case DropRe(_, n) if lookup(n).isDefined       => Some(statusCols)
     case AlterDropRe(n, _) if lookup(n).isDefined  => Some(statusCols)
     case CacheRe(n) if lookup(n).isDefined         => Some(statusCols)
@@ -1549,11 +1565,27 @@ object Ddl {
     val cur = spark.table(t.name)
     val schema = cur.schema
     val raw = spark.sql(rowsSql)
-    require(raw.columns.length == schema.fields.length,
-      s"INSERT arity ${raw.columns.length} != table arity ${schema.fields.length} for ${t.name}")
-    val rows = raw.toDF(schema.fieldNames.toIndexedSeq: _*)
-      .select(schema.fields.toSeq.map(f =>
-        col(quotedCol(f.name)).cast(f.dataType).as(f.name)): _*)
+    // trailing columns added by ADD COLUMN ... DEFAULT may be omitted
+    // (the SQL positional rule); their defaults splice in at write time,
+    // so the snapshot carries the value the INSERT-time default defined
+    val defaults: Map[String, String] =
+      t.muts.foldLeft(Map.empty[String, String]) { (acc, m) => m.op match {
+        case "default" => acc + (m.a.toLowerCase -> m.b)
+        case "drop"    => acc - m.a.toLowerCase
+        case _         => acc
+      } }
+    val n = raw.columns.length
+    require(n == schema.fields.length ||
+      (n < schema.fields.length && schema.fields.drop(n)
+        .forall(f => defaults.contains(f.name.toLowerCase))),
+      s"INSERT arity $n != table arity ${schema.fields.length} for " +
+        s"${t.name} (only trailing DEFAULT columns may be omitted)")
+    val present = schema.fields.take(n).toSeq
+    val rows = raw.toDF(present.map(_.name).toIndexedSeq: _*)
+      .select(present.map(f =>
+        col(quotedCol(f.name)).cast(f.dataType).as(f.name)) ++
+        schema.fields.drop(n).toSeq.map(f =>
+          expr(defaults(f.name.toLowerCase)).cast(f.dataType).as(f.name)): _*)
     val snap = loadSnapshotPath(t)
     rows.write.mode(SaveMode.Overwrite).parquet(snap)
     if (isQualified(t.name))
@@ -1646,6 +1678,7 @@ object Ddl {
     t.muts.foldLeft(base) { (df, m) =>
       m.op match {
         case "add"  => df.withColumn(m.a, expr(m.b))
+        case "default" => df.withColumn(m.a, when(lit(false), expr(m.b)))
         case "drop" => df.drop(m.a)
         case "load" => df.unionByName(
           // b = parquet snapshot (qualified tables); empty = replay the CSV
@@ -1781,6 +1814,22 @@ object Ddl {
           case None =>
             throw new IllegalArgumentException(s"unknown keyed table: $name")
         }
+      case AlterDefaultRe(name, colName, sqlExpr) =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        val df = spark.table(t.name)
+        require(!hasColumn(df.columns, colName),
+          s"column '$colName' already exists in ${t.name}")
+        // the default must resolve WITHOUT the table's columns (it is
+        // re-evaluated at INSERT time, where no prior row exists)
+        spark.sql(s"SELECT ($sqlExpr) AS `$colName`").schema
+        if (isQualified(t.name))
+          replaceQualified(spark, t.copy(muts =
+            t.muts :+ Mut("default", colName, sqlExpr)))
+        else replaceView(spark, t.name,
+          df.withColumn(colName, when(lit(false), expr(sqlExpr))))
+        logMut(t, Mut("default", colName, sqlExpr))
+        status("ALTER_ADD_DEFAULT", t.name)
       case AlterAddRe(name, colName, sqlExpr) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)
@@ -2618,6 +2667,56 @@ object Ddl {
             case _ => ()
           }
         }
+        // EQUI-HEIGHT HISTOGRAMS (Spark's own ANALYZE shape, gated on the
+        // same conf): when spark.sql.statistics.histogram.enabled is set,
+        // numeric columns additionally get numBins equal-frequency bins —
+        // boundaries from ONE approx-percentile pass, per-bin NDVs from
+        // ONE filtered-HLL pass (both distributed aggregates with a 1-row
+        // collect). Histograms are what lets JoinEstimation see SKEW: the
+        // uniform |A|x|B|/max(ndv) formula cannot tell a hot key from a
+        // flat one, while overlapping hot bins multiply out per bin — at
+        // 100 TB that is the difference between planning a broadcast for
+        // a 100-GB join output and knowing it is 100 TB wide.
+        val histCols = fields.filter(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name)
+        if (spark.conf.get("spark.sql.statistics.histogram.enabled", "false")
+            .toBoolean && histCols.nonEmpty) {
+          val nbins = math.max(2, math.min(254,
+            spark.conf.get("spark.sql.statistics.histogram.numBins", "254")
+              .toInt))
+          val fracs = (0 to nbins).map(_.toDouble / nbins)
+          val pAggs = histCols.map(c => percentile_approx(
+            col(c).cast("double"), lit(fracs.toArray), lit(10000)).as(c))
+          val pRow = df.agg(pAggs.head, pAggs.drop(1): _*).collect().head
+          val bounds: Seq[(String, Seq[Double])] = histCols.zipWithIndex
+            .flatMap { case (c, ci) =>
+              Option(pRow.get(ci)).map(v =>
+                c -> v.asInstanceOf[scala.collection.Seq[Double]].toSeq)
+            }
+          if (bounds.nonEmpty) {
+            val nAggs = bounds.flatMap { case (c, bs) =>
+              (1 to nbins).map { b =>
+                val cd = col(c).cast("double")
+                val cond =
+                  if (b == 1) cd >= bs(0) && cd <= bs(1)
+                  else cd > bs(b - 1) && cd <= bs(b)
+                approx_count_distinct(when(cond, cd))
+              }
+            }
+            val nRow = df.agg(nAggs.head, nAggs.drop(1): _*).collect().head
+            bounds.zipWithIndex.foreach { case ((c, bs), ci) =>
+              val bins = (1 to nbins).map { b =>
+                // a repeated percentile endpoint makes a DEGENERATE bin
+                // [v, v] whose half-open probe counts nothing — it holds
+                // exactly that (hot) value, ndv 1; and JoinEstimation
+                // divides by bin ndv, so 0 would poison the estimate
+                val ndv = math.max(1L, nRow.getLong(ci * nbins + b - 1))
+                s"${bs(b - 1)},${bs(b)},$ndv"
+              }
+              colEntries += s"col.${c.toLowerCase}.hist" -> bins.mkString(";")
+            }
+          }
+        }
         val t2 = t.copy(stats = t.stats.filterNot(e =>
           e._1 == "__analyzed_cols_at_muts__" || e._1.startsWith("col.")) ++
           colEntries.result())
@@ -2682,12 +2781,27 @@ object Ddl {
         catch { case _: NumberFormatException => None })
       val nulls = for { r <- nrows; nn <- g("nonnull").map(_.toLong) }
         yield BigInt(math.max(0L, r - nn))
+      // equi-height histogram, when ANALYZE recorded one: height = rows
+      // per bin over NON-NULL values (the catalyst convention)
+      val hist = for {
+        h <- g("hist")
+        nn <- g("nonnull").map(_.toLong) if nn > 0L
+      } yield {
+        val bins = h.split(';').map { b =>
+          val Array(lo, hi, bndv) = b.split(',')
+          org.apache.spark.sql.catalyst.plans.logical.HistogramBin(
+            lo.toDouble, hi.toDouble, bndv.toLong)
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Histogram(
+          nn.toDouble / bins.length, bins)
+      }
       if (ndv.isEmpty && nulls.isEmpty) None
       else Some(n -> org.apache.spark.sql.catalyst.plans.logical.ColumnStat(
         distinctCount = ndv,
         min = g("min").flatMap(num),
         max = g("max").flatMap(num),
-        nullCount = nulls))
+        nullCount = nulls,
+        histogram = hist))
     }.toMap
   }
 
@@ -2960,6 +3074,137 @@ object Ddl {
     * materializes under the live confs, and the oracle replays the
     * 3-way join relationally — the broadcast decision must change
     * nothing but the wall clock. */
+  /** A8 judged: EQUI-HEIGHT HISTOGRAMS -> skew-aware join estimation.
+    * Two keyed tables share a heavily skewed join key (three quarters of
+    * either side collapses onto one hot value — derived deterministically
+    * from lineitem/orders). NDV-only column statistics CANNOT see that:
+    * the uniform |A|x|B|/max(ndv) formula estimates the join output tiny,
+    * and the downstream planner happily broadcasts it. ANALYZE under
+    * spark.sql.statistics.histogram.enabled records equal-frequency bins
+    * (boundaries from one percentile pass, per-bin NDVs from one
+    * filtered-HLL pass), JoinEstimation multiplies the overlapping hot
+    * bins out, and the same downstream decision keeps the shuffle — at
+    * 100 TB, the difference between broadcasting a "small" join that is
+    * actually petabyte-wide and planning it honestly. Both plan arms are
+    * asserted with a threshold derived from the plans' own estimates; the
+    * hot join itself is only PLANNED (never executed) — the oracle gates
+    * the cold-key join the analyst actually runs. */
+  def keyedCboHistogram(s: SparkSession, d: String): DataFrame = {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_kcboh")
+    val aP = scratch.resolve("a.parquet").toString
+    val bP = scratch.resolve("b.parquet").toString
+    graft.Tables.lineitem(s, d).selectExpr(
+      "CASE WHEN l_orderkey % 4 <> 0 THEN CAST(1 AS BIGINT) " +
+        "ELSE l_orderkey END AS ka",
+      "l_orderkey * 10 + CAST(l_linenumber AS BIGINT) AS ida")
+      .write.mode(SaveMode.Overwrite).parquet(aP)
+    graft.Tables.orders(s, d).selectExpr(
+      "CASE WHEN o_orderkey % 4 <> 0 THEN CAST(1 AS BIGINT) " +
+        "ELSE o_orderkey END AS kb",
+      "o_orderkey AS idb")
+      .write.mode(SaveMode.Overwrite).parquet(bP)
+    Seq(("cboh_a", aP, "ida"), ("cboh_b", bP, "idb")).foreach {
+      case (t, path, key) =>
+        if (lookup(t).isDefined) execute(s, s"DROP TABLE $t")
+        execute(s, s"CREATE TABLE $t MAPPED BY '$path' KEYS ($key)")
+        execute(s, s"DELETE FROM $t WHERE $key < 0") // mutate: annotatable
+        execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS")
+    }
+    def ab(): DataFrame = s.table("cboh_a")
+      .join(s.table("cboh_b"), col("ka") === col("kb"))
+      .select(col("ka"), col("ida")) // narrow join output
+    val prevCbo = s.conf.getOption("spark.sql.cbo.enabled")
+    val prevThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevHist = s.conf.getOption("spark.sql.statistics.histogram.enabled")
+    val prevBins = s.conf.getOption("spark.sql.statistics.histogram.numBins")
+    def restore(k: String, v: Option[String]): Unit =
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    val out = java.nio.file.Files.createTempDirectory("graft_kcboh_out")
+      .resolve("out").toString
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      // arm 1: NDV-only column stats — the uniform formula under-counts
+      s.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      Seq("cboh_a", "cboh_b").foreach(t =>
+        execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      val estNdv = ab().queryExecution.optimizedPlan.stats.sizeInBytes
+      // arm 2: histogram stats — hot bins multiply out per bin
+      s.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      s.conf.set("spark.sql.statistics.histogram.numBins", "16")
+      Seq("cboh_a", "cboh_b").foreach(t =>
+        execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      val estHist = ab().queryExecution.optimizedPlan.stats.sizeInBytes
+      require(estHist > 4 * estNdv,
+        s"histograms did not surface the skew: ndv-est $estNdv vs " +
+          s"hist-est $estHist")
+      // threshold between the two estimates, derived from the plans
+      // themselves so the contrast holds at every scale factor; the
+      // consumer is a SELF-join of the skewed join, so BOTH sides'
+      // estimates move together and only the ab() estimate decides
+      val thr = (estNdv + estHist) / 2
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      def q(): DataFrame = {
+        val x = ab().alias("x")
+        val y = ab().alias("y")
+        x.join(y, col("x.ida") === col("y.ida"))
+      }
+      val planHist = q().queryExecution.executedPlan.toString
+      require(planHist.contains("SortMergeJoin"),
+        s"hist-informed estimate ($estHist, thr $thr) must keep the " +
+          "shuffle:\n" + planHist)
+      // re-pin NDV-only stats: the same query now broadcasts the join
+      s.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      Seq("cboh_a", "cboh_b").foreach(t =>
+        execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      val planNdv = q().queryExecution.executedPlan.toString
+      require(planNdv.contains("BroadcastHashJoin"),
+        s"ndv-only estimate ($estNdv, thr $thr) must broadcast the join " +
+          "output:\n" + planNdv)
+      // the oracle-gated result: the COLD-key join (the hot join above is
+      // asserted at the plan level only — that is the point of the skew)
+      s.table("cboh_a").join(s.table("cboh_b"), col("ka") === col("kb"))
+        .where(col("ka") =!= 1L)
+        .groupBy((col("ka") % 5L).as("grp"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("ida")).cast("long").as("sa"),
+          sum(col("idb")).cast("long").as("sb"))
+        .orderBy(col("grp"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    } finally {
+      restore("spark.sql.cbo.enabled", prevCbo)
+      restore("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      restore("spark.sql.statistics.histogram.enabled", prevHist)
+      restore("spark.sql.statistics.histogram.numBins", prevBins)
+    }
+    Seq("cboh_a", "cboh_b").foreach(t => execute(s, s"DROP TABLE $t"))
+    s.read.parquet(out)
+  }
+
+  /** A8/A9 judged: DEFAULT columns for keyed MAPPED-BY tables — the same
+    * CURRENT_DEFAULT-only contract the kv catalog enforces (kv_defaults),
+    * now in the mutation-log world: ADD COLUMN ... DEFAULT leaves every
+    * existing row NULL (history is immutable; the replay splices a TYPED
+    * NULL), an INSERT omitting the trailing column gets the default
+    * spliced into its snapshot at write time, and a full-width INSERT
+    * overrides it. The oracle replays all three populations relationally,
+    * so a default leaking into history — or an omitted column NOT getting
+    * the default — hash-mismatches. */
+  def keyedDefaults(s: SparkSession, d: String): DataFrame = {
+    if (lookup("kd_n").isDefined) execute(s, "DROP TABLE kd_n")
+    execute(s, s"CREATE TABLE kd_n MAPPED BY '$d/nation.parquet' KEYS (n_nationkey)")
+    execute(s, "ALTER TABLE kd_n ADD COLUMN score DEFAULT CAST(7 AS BIGINT)")
+    // trailing DEFAULT column omitted: the default splices in
+    execute(s, "INSERT INTO kd_n VALUES (97, 'zzz_omitted', 0)")
+    // full-width INSERT overrides the default
+    execute(s, "INSERT INTO kd_n VALUES (98, 'zzz_explicit', 1, CAST(40 AS BIGINT))")
+    // a NON-default column can never be omitted
+    val e = try { execute(s, "INSERT INTO kd_n VALUES (99, 'zzz_bad')"); None }
+      catch { case ex: Exception => Some(ex) }
+    require(e.exists(_.getMessage.contains("DEFAULT")),
+      s"omitting a non-DEFAULT column must refuse, got $e")
+    s.sql("SELECT n_nationkey, n_name, score FROM kd_n ORDER BY n_nationkey")
+  }
+
   def keyedCboJoin(s: SparkSession, d: String): DataFrame = {
     Seq(("cbo_ko", "orders.parquet", "o_orderkey"),
         ("cbo_kc", "customer.parquet", "c_custkey")).foreach {
@@ -3036,9 +3281,30 @@ object Ddl {
     "ddl_changefeed" -> (ddlChangefeed _),
     "ddl_visibility" -> (ddlVisibility _),
     "analyze_stats" -> (analyzeStats _),
-    "keyed_cbo_join" -> (keyedCboJoin _))
+    "keyed_cbo_join" -> (keyedCboJoin _),
+    "keyed_defaults" -> (keyedDefaults _),
+    "keyed_cbo_histogram" -> (keyedCboHistogram _))
 
   val oracles: Map[String, String] = Map(
+    // three populations: NULL history, spliced default, explicit override
+    "keyed_defaults" ->
+      """SELECT n_nationkey, n_name, score FROM (
+        |  SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS score FROM nation
+        |  UNION ALL SELECT CAST(97 AS INTEGER), 'zzz_omitted', CAST(7 AS BIGINT)
+        |  UNION ALL SELECT CAST(98 AS INTEGER), 'zzz_explicit', CAST(40 AS BIGINT)
+        |) ORDER BY n_nationkey""".stripMargin,
+    // the cold-key join result (the hot join is plan-asserted only); the
+    // skewed keys derive deterministically from lineitem/orders
+    "keyed_cbo_histogram" ->
+      """WITH a AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1
+        |    ELSE l_orderkey END AS ka,
+        |    l_orderkey * 10 + l_linenumber AS ida FROM lineitem),
+        |  b AS (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 1
+        |    ELSE o_orderkey END AS kb, o_orderkey AS idb FROM orders)
+        |SELECT CAST(ka % 5 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(ida) AS BIGINT) AS sa, CAST(sum(idb) AS BIGINT) AS sb
+        |FROM a JOIN b ON ka = kb WHERE ka <> 1
+        |GROUP BY CAST(ka % 5 AS BIGINT) ORDER BY grp""".stripMargin,
     // the generalized-MERGE statement replayed relationally: clause number
     // from the first matching condition, per-clause projections, explicit-
     // column insert with NULL defaults, by-source delete as a kept-filter

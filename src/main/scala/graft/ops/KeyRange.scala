@@ -1710,6 +1710,47 @@ object KeyRange {
         |FROM graft.br.li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** A6/A9 judged: MERGE schema evolution — `MERGE WITH SCHEMA EVOLUTION
+    * INTO` a kv table whose source carries a column the target lacks:
+    * Spark's own ResolveMergeIntoSchemaEvolution (unlocked by the
+    * connector's AUTOMATIC_SCHEMA_EVOLUTION capability) widens the
+    * manifest schema through the catalog's ALTER path, the merge's
+    * delta write lands full-width, untouched history null-fills, and a
+    * PLAIN merge with the same source must NOT evolve (statement-level
+    * opt-in — required in-query, so silent auto-widening can never
+    * pass). The oracle replays the upsert + widening relationally. */
+  def kvMergeEvolve(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_mevo"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.o_me")
+    clearDir(tmp)
+    s.sql("CREATE TABLE graft.kvq.o_me (o_orderkey BIGINT, price DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp', mor 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_me_v")
+    s.sql("INSERT INTO graft.kvq.o_me SELECT o_orderkey, o_totalprice " +
+      "FROM orders_me_v WHERE o_orderkey % 3 = 0")
+    s.sql("SELECT o_orderkey, o_totalprice * 2 AS price, o_orderstatus " +
+      "FROM orders_me_v WHERE o_orderkey % 2 = 0")
+      .createOrReplaceTempView("o_me_src")
+    // a PLAIN merge must not widen (statement-level opt-in)
+    s.sql("MERGE INTO graft.kvq.o_me t USING o_me_src s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET price = s.price * 0 + t.price")
+    require(s.table("graft.kvq.o_me").schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "price"), "plain MERGE must not evolve the schema")
+    s.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.kvq.o_me t " +
+      "USING o_me_src s ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    require(s.table("graft.kvq.o_me").schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "price", "o_orderstatus"),
+      "WITH SCHEMA EVOLUTION must widen the table")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, '~') AS st, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM graft.kvq.o_me GROUP BY coalesce(o_orderstatus, '~')
+        |ORDER BY st""".stripMargin)
+  }
+
   /** A12 judged: COMPACTION round trip — two batch writes (append merging
     * the manifest), then `GraftKvSink.compact` rewrites every epoch-0 file
     * into one behind the atomic manifest swap, and the judged aggregate
@@ -2275,6 +2316,7 @@ object KeyRange {
     "kv_clustered_write" -> (kvClusteredWrite _),
     "kv_partitioned" -> (kvPartitioned _),
     "kv_branch" -> (kvBranch _),
+    "kv_merge_evolve" -> (kvMergeEvolve _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
@@ -2380,6 +2422,25 @@ object KeyRange {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // the evolved end state: source rows win (matched updates doubled the
+    // price and stamped the status, unmatched source rows inserted
+    // full-width), untouched base rows keep original price + NULL status
+    "kv_merge_evolve" ->
+      """WITH base AS (SELECT o_orderkey, o_totalprice AS price FROM orders
+        |    WHERE o_orderkey % 3 = 0),
+        |  src AS (SELECT o_orderkey, o_totalprice * 2 AS price,
+        |    o_orderstatus FROM orders WHERE o_orderkey % 2 = 0),
+        |  merged AS (
+        |    SELECT o_orderkey, price, o_orderstatus FROM src
+        |    UNION ALL
+        |    SELECT b.o_orderkey, b.price, CAST(NULL AS VARCHAR)
+        |    FROM base b WHERE b.o_orderkey NOT IN
+        |      (SELECT o_orderkey FROM src))
+        |SELECT coalesce(o_orderstatus, '~') AS st, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM merged GROUP BY coalesce(o_orderstatus, '~')
+        |ORDER BY st""".stripMargin,
     // the promoted end state: base rows ∪ branch-added rows, with the
     // branch's pre-publish UPDATE folded in (parent-isolation, head
     // visibility, and ref cleanup are gated by the query's own requires)

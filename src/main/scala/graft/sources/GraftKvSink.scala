@@ -2114,7 +2114,17 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     if (pinnedEpoch.isDefined) Set(TableCapability.BATCH_READ).asJava
     else Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      // unlocks Spark's own MERGE schema evolution: with this capability
+      // AND the explicit per-statement `MERGE WITH SCHEMA EVOLUTION INTO`
+      // spelling, the analyzer's ResolveMergeIntoSchemaEvolution computes
+      // AddColumn changes from the source's extra columns and routes them
+      // through the catalog's alterTable — the same manifest evolveSchema
+      // path ALTER TABLE ADD COLUMN takes, so history null-fills and the
+      // merge's own write lands full-width. A PLAIN merge never evolves
+      // (extra source columns are ignored by star intersection), so no
+      // table silently widens — statement-level opt-in, the Iceberg rule.
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION).asJava
 
   /** NATIVE row-level DML (`DELETE FROM` / `UPDATE` / `MERGE INTO` in
     * plain Spark SQL): Spark's own rewrite rules

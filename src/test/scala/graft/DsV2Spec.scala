@@ -2022,4 +2022,38 @@ class DsV2Spec extends SparkSpec {
     assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
       .load().count() == 62L)
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the table; plain MERGE never does") {
+    import spark.implicits._
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_mevo").toString
+    spark.sql("DROP TABLE IF EXISTS graft.mevo.t")
+    spark.sql("CREATE TABLE graft.mevo.t (id BIGINT, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$dir', mor 'true')")
+    spark.sql("INSERT INTO graft.mevo.t SELECT id, CAST(id AS DOUBLE) FROM range(5)")
+    Seq((3L, 30.0, "x3"), (7L, 70.0, "x7")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("mevo_src")
+    // a PLAIN merge ignores the extra source column (star intersection)
+    spark.sql("MERGE INTO graft.mevo.t t USING mevo_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.table("graft.mevo.t").schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // the explicit spelling evolves: schema widens in the MANIFEST,
+    // matched/inserted rows carry the value, history null-fills
+    spark.sql("MERGE WITH SCHEMA EVOLUTION INTO graft.mevo.t t " +
+      "USING mevo_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.table("graft.mevo.t").orderBy("id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSeq
+    assert(rows == Seq(0L -> None, 1L -> None, 2L -> None, 3L -> Some("x3"),
+      4L -> None, 7L -> Some("x7")), rows)
+    assert(GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+      .schema.fieldNames.toSeq == Seq("id", "v", "tag"))
+    // the widened schema is write-durable: a path-route append sees it
+    Seq((9L, 9.0, "x9")).toDF("id", "v", "tag").write
+      .format("graft.sources.GraftKvSink").option("path", dir)
+      .mode("append").save()
+    assert(spark.table("graft.mevo.t").where("tag = 'x9'").count() == 1L)
+    spark.sql("DROP TABLE graft.mevo.t")
+  }
 }
