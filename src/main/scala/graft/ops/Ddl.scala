@@ -596,6 +596,17 @@ object Ddl {
   private val FastForwardRe =
     ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+FAST\s+FORWARD\s+""" +
       """(?:TO\s+)?'?(\w+)'?\s*""").r
+  // PARTITION EVOLUTION (the Iceberg spec-evolution shape): replace the
+  // declared transforms outright — committed files keep pruning on the
+  // transforms THEY recorded, new writes split under the new spec.
+  // `SET PARTITIONED BY ()` un-partitions future writes.
+  private val AlterSetPartRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+SET\s+""" +
+      """PARTITIONED\s+BY\s*\((.*)\)\s*""").r
+  // SHOW PARTITIONS: the manifest's per-file tuple entries, aggregated —
+  // pure metadata, zero data files opened, however many epochs exist
+  private val ShowPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+((?:\w+\.){0,2}\w+)\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
   // VACUUM t [RETAIN n MINUTES] DRY RUN: list what a real vacuum would
@@ -1363,6 +1374,9 @@ object Ddl {
       "commit_ts" -> LongType)
   private val tagsCols: Seq[(String, DataType)] =
     Seq("name" -> StringType, "epoch" -> LongType, "kind" -> StringType)
+  private val partitionsCols: Seq[(String, DataType)] =
+    Seq("partition" -> StringType, "num_files" -> LongType,
+      "num_rows" -> LongType)
   private val historyCols: Seq[(String, DataType)] =
     Seq("version" -> LongType, "operation" -> StringType,
       "rows_added" -> LongType, "rows_deleted" -> LongType,
@@ -1374,6 +1388,7 @@ object Ddl {
       "num_files" -> LongType, "num_rows" -> LongType,
       "size_bytes" -> LongType, "num_delta_files" -> LongType,
       "num_retained_files" -> LongType, "clustering_columns" -> StringType,
+      "partition_columns" -> StringType, "refs" -> StringType,
       "constraints" -> StringType, "version" -> LongType)
   private val indexesCols: Seq[(String, DataType)] =
     Seq("index" -> StringType, "source" -> StringType, "col" -> StringType,
@@ -1471,6 +1486,8 @@ object Ddl {
     case CreateBranchRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case DropBranchRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case FastForwardRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case AlterSetPartRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case ShowPartitionsRe(n) if kvTableFor(n).isDefined => Some(partitionsCols)
     case ShowTagsRe(n) if kvTableFor(n).isDefined    => Some(tagsCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
@@ -1992,11 +2009,24 @@ object Ddl {
         val path = kvPathFor(name)
         val (nf, nr, sz, nd, nret, ver, cks) =
           graft.sources.GraftKvSink.detail(path)
+        // declared partitioning + named refs ride the detail row (the
+        // Delta DESCRIBE DETAIL partitionColumns analogue) — both from
+        // the manifest, pure metadata
+        val mfp = graft.sources.GraftKvSink.manifestPath(path)
+        val (pspec, refs) =
+          if (!java.nio.file.Files.exists(mfp)) ("", "")
+          else {
+            val m = graft.sources.GraftKvSink.readManifest(mfp)
+            (m.partitionSpec.mkString(","),
+              m.refs.toSeq.sortBy(_._1).map { case (n2, (e, k)) =>
+                s"$k:$n2@$e" }.mkString(","))
+          }
         Seq(("graft_kv", path, nf, nr, sz, nd, nret,
-          d.options.getOrElse("sortby", ""), cks.mkString(","), ver))
+          d.options.getOrElse("sortby", ""), pspec, refs,
+          cks.mkString(","), ver))
           .toDF("format", "location", "num_files", "num_rows", "size_bytes",
             "num_delta_files", "num_retained_files", "clustering_columns",
-            "constraints", "version")
+            "partition_columns", "refs", "constraints", "version")
       case OptimizeZorderRe(name, colsStr, nStr) =>
         // OPTIMIZE … ZORDER BY: distributed quantile-bucket Morton
         // re-clustering; old files become retained history (see
@@ -2013,6 +2043,44 @@ object Ddl {
         val upTo = Option(upToStr).map(_.toLong).getOrElse(Long.MaxValue)
         val merged = graft.sources.GraftKvSink.compact(kvPathFor(name), upTo)
         status("OPTIMIZE", s"$name ($merged files merged)")
+      case AlterSetPartRe(name, specStr) =>
+        val dDef = kvTableFor(name).get
+        val path = kvPathFor(name)
+        val mfp = graft.sources.GraftKvSink.manifestPath(path)
+        val schema =
+          if (java.nio.file.Files.exists(mfp))
+            graft.sources.GraftKvSink.readManifest(mfp).schema
+          else org.apache.spark.sql.types.DataType.fromJson(dDef.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val spec = graft.sources.GraftPartition.splitSpec(specStr)
+          .map(graft.sources.GraftPartition.parseOne(_, schema).key)
+        if (java.nio.file.Files.exists(mfp))
+          graft.sources.GraftKvSink.evolvePartitionSpec(path, schema, spec)
+        else if (spec.nonEmpty)
+          graft.sources.GraftKvSink.setPartitionSpec(path, schema, spec)
+        dsv2Put(dDef.copy(options =
+          if (spec.isEmpty) dDef.options - "partitionedby"
+          else dDef.options + ("partitionedby" -> spec.mkString(","))))
+        status("ALTER_PARTITION",
+          s"$name (${if (spec.isEmpty) "unpartitioned" else spec.mkString(", ")})")
+      case ShowPartitionsRe(name) =>
+        val path = kvPathFor(name)
+        val m = graft.sources.GraftKvSink.readManifest(
+          graft.sources.GraftKvSink.manifestPath(path))
+        val rows = m.files.map { case (n, r) =>
+          val parts = m.stats.getOrElse(n, Map.empty).collect {
+            case (k, (v, _)) if k.startsWith(graft.sources.GraftPartition.PartKey) =>
+              k.stripPrefix(graft.sources.GraftPartition.PartKey) -> v
+          }.toSeq.sortBy(_._1)
+          val label =
+            if (parts.isEmpty) "<unpartitioned>"
+            else parts.map { case (k, v) =>
+              s"$k=${if (v == "\\N") "null" else v}" }.mkString("/")
+          (label, n, r)
+        }.groupBy(_._1).toSeq.map { case (label, fs) =>
+          (label, fs.length.toLong, fs.map(_._3).sum)
+        }.sortBy(_._1)
+        rows.toDF("partition", "num_files", "num_rows")
       case CreateBranchRe(name, br, verStr) =>
         val e = graft.sources.GraftKvSink.createBranch(kvPathFor(name), br,
           Option(verStr).map(_.toLong))

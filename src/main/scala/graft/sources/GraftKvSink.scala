@@ -626,7 +626,7 @@ object GraftKvSink {
     * keep-history rule) must look at the BASENAME. */
   private[sources] def baseName(name: String): String =
     name.substring(name.lastIndexOf('/') + 1)
-  private[sources] def epochOf(name: String): Long = baseName(name) match {
+  private[graft] def epochOf(name: String): Long = baseName(name) match {
     case EpochFileRe(e) => e.toLong
     case _              => 0L // batch-written files count as epoch 0
   }
@@ -1671,6 +1671,25 @@ object GraftKvSink {
       Files.createDirectories(Paths.get(dir))
       writeManifest(dir, schema, Seq.empty, partitionSpec = spec)
     }
+  }
+
+  /** Partition EVOLUTION (the Iceberg spec-evolution shape): replace the
+    * declared spec outright. Sound by construction: committed files keep
+    * their own `part:` entries and the scan prunes each file against the
+    * transforms IT recorded, so old-layout files keep pruning on the old
+    * spec while new writes split under the new one — no rewrite, no
+    * migration. Only the explicit ALTER takes this path; a re-CREATE
+    * redeclaring a different spec still refuses (setPartitionSpec). */
+  private[graft] def evolvePartitionSpec(dir: String, schema: StructType,
+      spec: Seq[String]): Unit = withCommitLock(dir) {
+    GraftPartition.parse(spec, schema) // validate against the schema
+    val mf = manifestPath(dir)
+    require(Files.exists(mf), s"graft_kv: no manifest at $dir")
+    val m = readManifest(mf)
+    if (m.partitionSpec != spec)
+      writeManifest(dir, m.schema, m.files, m.compactedUpTo, m.stats,
+        m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
+        partitionSpec = spec, priorHint = Some(m))
   }
 
   /** GENERATED ALWAYS AS columns, expressed as derived CHECK constraints:
@@ -3546,22 +3565,33 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
   // misses its bloom; files without stats/blooms always survive. `visible`
   // is a var because RUNTIME group filtering (below) can narrow it again
   // after the group-discovery subquery executes.
-  // declared partition transforms (empty = unpartitioned): the tuple
-  // pruner below is EXACT where min/max ranges are best-effort — a file
-  // holds exactly one tuple, so a contradicted tuple excludes the file
-  // outright (bucket residue classes and truncated ranges included,
-  // which no value-range stat can express)
-  private val partSpecT: Seq[GraftPartition.PTransform] =
-    if (manifest.partitionSpec.isEmpty) Nil
-    else GraftPartition.parse(manifest.partitionSpec, manifest.schema)
+  // partition-tuple pruning is per FILE, against whatever transforms the
+  // file's own `part:` entries record — not against the table's CURRENT
+  // spec. That makes it EXACT where min/max ranges are best-effort (a
+  // file holds one tuple, so a contradicted tuple excludes it outright:
+  // bucket residue classes, truncated ranges, all-null partitions), and
+  // it makes partition EVOLUTION trivially sound and maximally useful:
+  // files written under a superseded spec keep pruning on THEIR
+  // transforms forever, files without entries are never pruned. The
+  // parse cache is per distinct transform key (a handful), not per file.
+  private val partTransformCache =
+    scala.collection.mutable.HashMap.empty[String, Option[GraftPartition.PTransform]]
+  private def transformOf(key: String): Option[GraftPartition.PTransform] =
+    partTransformCache.getOrElseUpdate(key,
+      try Some(GraftPartition.parseOne(
+        key.stripPrefix(GraftPartition.PartKey), manifest.schema))
+      catch { case _: Exception => None } // e.g. a source column renamed
+    )
   private var visible = epochVisible.filter { case (name, _) =>
     val st = manifest.stats.getOrElse(name, Map.empty)
     lazy val bl = manifest.blooms.getOrElse(name, Map.empty)
     lazy val parts: Map[String, String] = st.collect {
       case (k, (v, _)) if k.startsWith(GraftPartition.PartKey) => k -> v }
+    lazy val fileSpec: Seq[GraftPartition.PTransform] =
+      parts.keys.toSeq.sorted.flatMap(transformOf)
     filters.forall(f => GraftKvSink.mayMatch(manifest.schema, st, f) &&
       GraftKvSink.bloomMayMatch(manifest.schema, bl, f) &&
-      (partSpecT.isEmpty || GraftPartition.mayMatch(partSpecT, parts, f)))
+      (parts.isEmpty || GraftPartition.mayMatch(fileSpec, parts, f)))
   }
   /** RUNTIME group filtering on the `_file` metadata column — what lets a
     * row-level MERGE (whose ON condition is a join, invisible to static

@@ -976,4 +976,45 @@ class StreamingSpec extends SparkSpec {
     commitEpoch("query-B", 2L, 3L, 14L)
     assert(ids() == Seq(1L, 2L, 3L))
   }
+
+  test("streaming writes to a PARTITIONED kv table split per tuple and prune") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.GraftKvSink
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_spart")
+    val dir = root.resolve("out").toString
+    // declare the layout up front (option route — no catalog needed)
+    GraftKvSink.setPartitionSpec(dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("grp",
+          org.apache.spark.sql.types.StringType))), Seq("grp"))
+    val ms = MemoryStream[(Long, String)]
+    val q = ms.toDF().toDF("id", "grp")
+      .writeStream.format("graft.sources.GraftKvSink")
+      .option("path", dir)
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    ms.addData((1L, "a"), (2L, "b"), (3L, "a"))
+    q.processAllAvailable()
+    ms.addData((4L, "b"))
+    q.processAllAvailable()
+    q.stop()
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    // every streamed file carries exactly one tuple
+    assert(m.files.nonEmpty)
+    m.files.foreach { case (n, _) =>
+      assert(m.stats.getOrElse(n, Map.empty).contains("part:grp"), n) }
+    // epoch structure intact (one epoch per micro-batch, idempotent names)
+    assert(m.files.map(f => GraftKvSink.epochOf(f._1)).toSet == Set(0L, 1L))
+    // tuple pruning composes with the epoch machinery
+    val aFiles = m.files.count(f => m.stats(f._1)("part:grp")._1 == "a")
+    assert(new graft.sources.GraftKvScan(dir, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("grp", "a")))
+      .planInputPartitions().length == aFiles)
+    assert(aFiles < m.files.length)
+    assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+      .load().where("grp = 'a'").count() == 2L)
+  }
 }
