@@ -1815,6 +1815,51 @@ object KeyRange {
       .toDF("partition", "num_rows").orderBy(col("partition"))
   }
 
+  /** A6/A7 judged: PARTITION OVERWRITE — the two INSERT OVERWRITE shapes
+    * every lakehouse pipeline leans on at scale. Static (`PARTITION
+    * (o_orderstatus = 'F')` — the Delta replaceWhere contract): commit
+    * classifies every current file by its recorded tuple (wholly
+    * replaced / wholly kept; unclassifiable refuses) and the writer
+    * guard refuses rows outside the region, so replacing a partition of
+    * a 100 TB table is one atomic manifest swap over exactly that
+    * partition's files. Dynamic (partitionOverwriteMode=dynamic):
+    * replaces exactly the partitions the incoming tuples name. Both
+    * preserve pre-overwrite states as retained history (required
+    * in-query via VERSION AS OF). The oracle replays untouched/halved/
+    * shifted populations relationally, so a partition leaking through —
+    * or the wrong partition replaced — hash-mismatches. */
+  def kvPartitionOverwrite(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_po"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.o_po")
+    clearDir(tmp)
+    s.sql("CREATE TABLE graft.kvq.o_po (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) USING graft_kv " +
+      s"PARTITIONED BY (o_orderstatus) OPTIONS (path '$tmp', epochs 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_po_v")
+    s.sql("INSERT INTO graft.kvq.o_po SELECT o_orderkey, o_orderstatus, " +
+      "o_totalprice FROM orders_po_v")
+    val total = s.table("graft.kvq.o_po").count()
+    // static: replace the F partition with halved prices
+    s.sql("INSERT OVERWRITE graft.kvq.o_po PARTITION (o_orderstatus = 'F') " +
+      "SELECT o_orderkey, o_totalprice * 0.5 FROM orders_po_v " +
+      "WHERE o_orderstatus = 'F'")
+    // dynamic: the incoming data names only the O partition
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try s.sql("INSERT OVERWRITE graft.kvq.o_po SELECT o_orderkey, " +
+      "o_orderstatus, o_totalprice + 1000 FROM orders_po_v " +
+      "WHERE o_orderstatus = 'O'")
+    finally s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // both overwrites preserved the pre-overwrite state as history
+    require(s.sql("SELECT count(*) FROM graft.kvq.o_po VERSION AS OF 0")
+      .head.getLong(0) == total,
+      "pre-overwrite state must stay time-travelable")
+    s.sql(
+      """SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM graft.kvq.o_po GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+  }
+
   /** A12 judged: COMPACTION round trip — two batch writes (append merging
     * the manifest), then `GraftKvSink.compact` rewrites every epoch-0 file
     * into one behind the atomic manifest swap, and the judged aggregate
@@ -2382,6 +2427,7 @@ object KeyRange {
     "kv_branch" -> (kvBranch _),
     "kv_merge_evolve" -> (kvMergeEvolve _),
     "kv_partition_evolve" -> (kvPartitionEvolve _),
+    "kv_partition_overwrite" -> (kvPartitionOverwrite _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
@@ -2487,6 +2533,15 @@ object KeyRange {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+    // untouched/halved/shifted per-status populations after both
+    // overwrite shapes
+    "kv_partition_overwrite" ->
+      """SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5
+        |    WHEN o_orderstatus = 'O' THEN o_totalprice + 1000
+        |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
     // SHOW PARTITIONS' old-spec half vs the data it claims to describe
     "kv_partition_evolve" ->
       """SELECT 'o_orderstatus=' || o_orderstatus AS partition,

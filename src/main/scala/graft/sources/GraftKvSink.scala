@@ -1293,12 +1293,21 @@ object GraftKvSink {
     val n = if (buckets > 0) buckets else math.max(1, m0.files.length)
     val scratch = Files.createTempDirectory("graft_zorder").toString
     try {
-      df.withColumn("__graft_z", z)
+      val w = df.withColumn("__graft_z", z)
         .repartitionByRange(n, col("__graft_z"))
         .sortWithinPartitions(col("__graft_z"))
         .drop("__graft_z")
         .write.format("graft.sources.GraftKvSink").option("path", scratch)
         .option("epoch", newEpoch.toString)
+      // a PARTITIONED table keeps its tuple layout through the rewrite:
+      // the fanout writer re-splits each z-range task per tuple (files
+      // stay single-tuple AND z-contiguous), while fanoutOnly suppresses
+      // the clustered-distribution requirement that would reshuffle the
+      // morton order away
+      (if (m0.partitionSpec.nonEmpty)
+        w.option("partitionedBy", m0.partitionSpec.mkString(","))
+          .option("fanoutOnly", "true")
+      else w)
         .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
       withCommitLock(dir) {
         val m = readManifest(mfp)
@@ -2134,6 +2143,11 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     else Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE,
       TableCapability.MICRO_BATCH_READ,
+      // INSERT OVERWRITE: predicate form (replaceWhere — commit-time
+      // file classification by partition tuple) and dynamic form
+      // (replace exactly the partitions the incoming data lands in)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC,
       // unlocks Spark's own MERGE schema evolution: with this capability
       // AND the explicit per-statement `MERGE WITH SCHEMA EVOLUTION INTO`
       // spelling, the analyzer's ResolveMergeIntoSchemaEvolution computes
@@ -2243,7 +2257,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
       Option(info.options.get("epoch")).map(_.toLong),
       stampEpochs = stampEpochs, queryId = info.queryId(),
       sortCols = sortCols, sortBuckets = sortBuckets,
-      checks = checkConstraints, partSpecF = () => partitionSpec)
+      checks = checkConstraints, partSpecF = () => partitionSpec,
+      fanoutOnly = Option(info.options.get("fanoutOnly")).exists(_.toBoolean))
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // time travel over streaming-written data: `.option("asOfEpoch", n)`
@@ -2813,20 +2828,44 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
     checks: Map[String, String] = Map.empty,
     // partition spec thunk (the checkConstraintsF pattern): resolved at
     // build() so pure table loads never parse the manifest for it
-    partSpecF: () => Seq[String] = () => Nil)
-  extends WriteBuilder with SupportsTruncate {
+    partSpecF: () => Seq[String] = () => Nil,
+    // maintenance writes (ZORDER) pre-shape their own distribution: keep
+    // the per-tuple fanout split but add NO distribution requirement on
+    // top (which would reshuffle the carefully built clustering away)
+    fanoutOnly: Boolean = false)
+  extends WriteBuilder with SupportsTruncate
+  with org.apache.spark.sql.connector.write.SupportsOverwrite
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   private var replace = false
+  // INSERT OVERWRITE surfaces (the Delta replaceWhere / Hive dynamic-
+  // partition-overwrite shapes): a filter list replaces exactly the files
+  // it classifies (commit-time, partition-aligned proofs); dynamic mode
+  // replaces exactly the partitions the incoming data lands in
+  private var overwriteBy: Option[Seq[org.apache.spark.sql.sources.Filter]] = None
+  private var dynamicOv = false
   override def truncate(): WriteBuilder = { replace = true; this }
+  override def overwrite(
+      filters: Array[org.apache.spark.sql.sources.Filter]): WriteBuilder = {
+    if (filters.isEmpty ||
+        filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+      replace = true // unconditional overwrite IS the truncating write
+    else overwriteBy = Some(filters.toSeq)
+    this
+  }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOv = true; this
+  }
   override def build(): Write = {
     val pspec = partSpecF()
     if (pspec.nonEmpty) // early, clear error for a schema omitting sources
       GraftPartition.parse(pspec, schema)
-    if (sortCols.isEmpty && pspec.isEmpty) new Write {
+    if ((sortCols.isEmpty && pspec.isEmpty) || fanoutOnly) new Write {
       override def toBatch: BatchWrite =
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
-          snapshot, stampEpochs, checks)
+          snapshot, stampEpochs, checks, pspec,
+          overwriteFilters = overwriteBy, dynamicOverwrite = dynamicOv)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftKvStreamingWrite(dir, schema, queryId, checks)
+        new GraftKvStreamingWrite(dir, schema, queryId, checks, pspec)
     }
     // `sortBy` tables: ask Spark to range-partition + sort the write's own
     // query (RequiresDistributionAndOrdering) — the declarative form of the
@@ -2860,7 +2899,8 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
       override def requiredNumPartitions(): Int = sortBuckets
       override def toBatch: BatchWrite =
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
-          snapshot, stampEpochs, checks, pspec)
+          snapshot, stampEpochs, checks, pspec,
+          overwriteFilters = overwriteBy, dynamicOverwrite = dynamicOv)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new GraftKvStreamingWrite(dir, schema, queryId, checks, pspec)
     }
@@ -3103,7 +3143,14 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // partition spec (canonical transform strings): tasks route rows to
     // per-tuple files; the first publish to a fresh directory records the
     // spec in the manifest it bootstraps
-    partSpec: Seq[String] = Nil)
+    partSpec: Seq[String] = Nil,
+    // INSERT OVERWRITE w/ predicate: replace exactly the files the
+    // predicate classifies (all-match drop / none-match keep, else
+    // refuse); incoming rows are guard-checked against the predicate
+    overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
+    // dynamic partition overwrite: replace exactly the partitions the
+    // committed files' tuples name
+    dynamicOverwrite: Boolean = false)
   extends BatchWrite {
 
   // This write's identity: scopes task temp-file names (and the commit-time
@@ -3140,9 +3187,16 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // Expression is resolved + bound by ordinal here, shipped to tasks,
     // and evaluated before each row lands — a violation fails the job
     // before the manifest publishes (no partial state becomes visible)
+    // a replaceWhere write admits ONLY rows inside the replaced region —
+    // anything else would silently survive outside the predicate while
+    // claiming to have replaced it (the Delta replaceWhere contract);
+    // enforced per row through the same bound-Predicate recipe as CHECKs
+    val owChecks = overwriteFilters.map(fs => Map("replace_where" ->
+      fs.map(f => s"(${GraftPartition.filterSql(f)})").mkString(" AND ")))
+      .getOrElse(Map.empty)
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       graft.plans.CheckConstraints.writerGuard(
-        org.apache.spark.sql.SparkSession.active, schema, checks)
+        org.apache.spark.sql.SparkSession.active, schema, checks ++ owChecks)
     new GraftKvWriterFactory(dir, schema.json,
       explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId, guard,
       partSpec)
@@ -3183,6 +3237,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         else "rerun against the current state"))
     if (replace && replaceFiles.isEmpty) refuse("truncating overwrite")
     if (replaceFiles.isDefined) refuse("row-level rewrite")
+    if (overwriteFilters.isDefined || dynamicOverwrite)
+      refuse("partition overwrite")
     // append∥append merges; anything that removed plan-time files refuses
     val curFiles = cur.map(_.files.map(_._1).toSet).getOrElse(Set.empty)
     val curDeltas = cur.map(_.deltas.map(_.name).toSet).getOrElse(Set.empty)
@@ -3259,8 +3315,74 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       .foreach(Files.delete)
     val mf = GraftKvSink.manifestPath(dir)
     // row-level GROUP replace: the scanned files leave the manifest, the
-    // new files join it; untouched files keep their entries verbatim
-    val replaced: Set[String] = replaceFiles.map(_().toSet).getOrElse(Set.empty)
+    // new files join it; untouched files keep their entries verbatim.
+    // INSERT OVERWRITE computes its own replace set HERE, at commit under
+    // the lock: a predicate overwrite classifies every current file by
+    // its recorded partition tuple (wholly-replaced / wholly-kept — an
+    // unclassifiable file refuses, the Hive partition-alignment rule);
+    // dynamic mode replaces exactly the partitions the committed files'
+    // tuples name. Both are metadata decisions — no data file is read.
+    val replaced: Set[String] = replaceFiles.map(_().toSet).getOrElse {
+      if ((overwriteFilters.isEmpty && !dynamicOverwrite) || !Files.exists(mf))
+        Set.empty
+      else {
+        val m = GraftKvSink.readManifest(mf)
+        require(m.deltas.isEmpty,
+          s"graft_kv: INSERT OVERWRITE at $dir with merge-on-read delta " +
+            "files present — OPTIMIZE (fold the deltas) first")
+        val tcache = scala.collection.mutable.HashMap
+          .empty[String, Option[GraftPartition.PTransform]]
+        def fileParts(n: String): Map[String, String] =
+          m.stats.getOrElse(n, Map.empty).collect {
+            case (k, (v, _)) if k.startsWith(GraftPartition.PartKey) => k -> v }
+        def fileSpec(parts: Map[String, String]): Seq[GraftPartition.PTransform] =
+          parts.keys.toSeq.sorted.flatMap(k => tcache.getOrElseUpdate(k,
+            try Some(GraftPartition.parseOne(
+              k.stripPrefix(GraftPartition.PartKey), m.schema))
+            catch { case _: Exception => None }))
+        overwriteFilters match {
+          case Some(fs) =>
+            m.files.map(_._1).filter { n =>
+              val parts = fileParts(n)
+              val spec = fileSpec(parts)
+              val all = fs.forall(GraftPartition.allMatch(spec, parts, _))
+              val none = fs.exists(f =>
+                !GraftPartition.mayMatch(spec, parts, f) ||
+                  !GraftKvSink.mayMatch(m.schema,
+                    m.stats.getOrElse(n, Map.empty), f))
+              if (all) true
+              else if (none) false
+              else throw new IllegalArgumentException(
+                s"graft_kv: INSERT OVERWRITE predicate does not align " +
+                  s"with partition boundaries at $dir — file '$n' can be " +
+                  "neither wholly replaced nor wholly kept; partition the " +
+                  "table on the predicate columns, or use row-level DML")
+            }.toSet
+          case None => // dynamic partition overwrite
+            require(m.partitionSpec.nonEmpty,
+              s"graft_kv: dynamic partition overwrite at $dir needs a " +
+                "PARTITIONED BY table (partitions are what it replaces)")
+            val keys = m.partitionSpec.map(GraftPartition.PartKey + _)
+            val newTuples: Set[Seq[String]] = committed.map { c =>
+              keys.map(k => c.stats.get(k).map(_._1).getOrElse(
+                throw new IllegalStateException(
+                  s"graft_kv: incoming file '${c.finalName}' lacks a " +
+                    "partition tuple — dynamic overwrite requires the " +
+                    "fanout writer")))
+            }.toSet
+            m.files.map(_._1).filter { n =>
+              val st = m.stats.getOrElse(n, Map.empty)
+              val vs = keys.map(k => st.get(k).map(_._1))
+              if (vs.contains(None)) throw new IllegalArgumentException(
+                s"graft_kv: file '$n' predates the current partition " +
+                  s"spec at $dir — its partitions are unknown to dynamic " +
+                  "overwrite; OPTIMIZE (re-cluster) first or use an " +
+                  "explicit predicate")
+              else newTuples.contains(vs.flatten)
+            }.toSet
+        }
+      }
+    }
     // on an EPOCH-STAMPED table, a row-level replace keeps the superseded
     // files as RETAINED HISTORY (see Manifest.RemovedFile) — boundary
     // states before the rewrite reconstruct exactly until vacuum; an
@@ -3271,7 +3393,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         nextEpoch.isDefined
     val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas,
         priorRemoved, priorRw) =
-      if (replaceFiles.isDefined && Files.exists(mf)) {
+      if ((replaceFiles.isDefined || overwriteFilters.isDefined ||
+          dynamicOverwrite) && Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
         val newRemoved =
           if (keepHistory)

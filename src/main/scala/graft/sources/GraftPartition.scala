@@ -181,6 +181,77 @@ object GraftPartition {
     else UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
   }
 
+  /** Does EVERY row of a file with recorded tuple `parts` satisfy the
+    * filter? The partition-overwrite classifier's "drop this whole file"
+    * proof — only IDENTITY transforms prove it (a bucket residue or
+    * truncated range equality says nothing about individual values).
+    * Conservative: false whenever unprovable. */
+  def allMatch(spec: Seq[PTransform], parts: Map[String, String],
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def ident(col: String): Option[(PTransform, String)] =
+      spec.collectFirst {
+        case t @ PIdentity(srcName, _) if srcName.equalsIgnoreCase(col) =>
+          parts.get(t.statsKey).map(t -> _)
+      }.flatten
+    def eq(col: String, v: Any): Boolean =
+      v != null && ident(col).exists { case (t, p) =>
+        p != "\\N" && p == t.apply(String.valueOf(v)) }
+    f match {
+      case EqualTo(c, v)       => eq(c, v)
+      case EqualNullSafe(c, v) =>
+        if (v == null) ident(c).exists(_._2 == "\\N") else eq(c, v)
+      case In(c, vs)           => vs.nonEmpty && vs.forall(_ != null) &&
+        ident(c).exists { case (t, p) =>
+          p != "\\N" && vs.exists(v => p == t.apply(String.valueOf(v))) }
+      case IsNull(c)           => ident(c).exists(_._2 == "\\N")
+      case IsNotNull(c)        => ident(c).exists(_._2 != "\\N")
+      case GreaterThan(c, v) => v != null && ident(c).exists { case (t, p) =>
+        p != "\\N" && le(t, t.apply(String.valueOf(v)), p) &&
+          p != t.apply(String.valueOf(v)) }
+      case GreaterThanOrEqual(c, v) => v != null && ident(c).exists {
+        case (t, p) => p != "\\N" && le(t, t.apply(String.valueOf(v)), p) }
+      case LessThan(c, v) => v != null && ident(c).exists { case (t, p) =>
+        p != "\\N" && le(t, p, t.apply(String.valueOf(v))) &&
+          p != t.apply(String.valueOf(v)) }
+      case LessThanOrEqual(c, v) => v != null && ident(c).exists {
+        case (t, p) => p != "\\N" && le(t, p, t.apply(String.valueOf(v))) }
+      case And(l, r) => allMatch(spec, parts, l) && allMatch(spec, parts, r)
+      case Or(l, r)  => allMatch(spec, parts, l) || allMatch(spec, parts, r)
+      case Not(inner) => !mayMatch(spec, parts, inner) // no row CAN match it
+      case _ => false
+    }
+  }
+
+  /** Render a pushed Filter back to SQL text (the overwrite guard's feed:
+    * incoming rows are checked per row against the replaced region's
+    * predicate). Only the shapes the classifier accepts. */
+  def filterSql(f: org.apache.spark.sql.sources.Filter): String = {
+    import org.apache.spark.sql.sources._
+    def lit(v: Any): String = v match {
+      case null      => "NULL"
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case other     => String.valueOf(other)
+    }
+    f match {
+      case EqualTo(c, v)            => s"`$c` = ${lit(v)}"
+      case EqualNullSafe(c, v)      => s"`$c` <=> ${lit(v)}"
+      case In(c, vs)                => s"`$c` IN (${vs.map(lit).mkString(", ")})"
+      case IsNull(c)                => s"`$c` IS NULL"
+      case IsNotNull(c)             => s"`$c` IS NOT NULL"
+      case GreaterThan(c, v)        => s"`$c` > ${lit(v)}"
+      case GreaterThanOrEqual(c, v) => s"`$c` >= ${lit(v)}"
+      case LessThan(c, v)           => s"`$c` < ${lit(v)}"
+      case LessThanOrEqual(c, v)    => s"`$c` <= ${lit(v)}"
+      case And(l, r)                => s"(${filterSql(l)}) AND (${filterSql(r)})"
+      case Or(l, r)                 => s"(${filterSql(l)}) OR (${filterSql(r)})"
+      case Not(i)                   => s"NOT (${filterSql(i)})"
+      case other => throw new UnsupportedOperationException(
+        s"graft_kv: INSERT OVERWRITE predicate shape $other is not " +
+          "supported (use partition-aligned equality/range predicates)")
+    }
+  }
+
   /** Can a file whose recorded partition tuple includes the `parts`
     * entries contain a row satisfying the filter? Conservative on every
     * axis: transforms with no recorded entry never prune; unknown filter

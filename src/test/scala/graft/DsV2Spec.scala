@@ -2056,4 +2056,76 @@ class DsV2Spec extends SparkSpec {
     assert(spark.table("graft.mevo.t").where("tag = 'x9'").count() == 1L)
     spark.sql("DROP TABLE graft.mevo.t")
   }
+
+  test("INSERT OVERWRITE: static partition, dynamic mode, misalignment + guard refusals") {
+    import spark.implicits._
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_ov").toString
+    spark.sql("DROP TABLE IF EXISTS graft.ov.t")
+    spark.sql("CREATE TABLE graft.ov.t (id BIGINT, grp STRING, v DOUBLE) " +
+      s"USING graft_kv PARTITIONED BY (grp) OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.ov.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, CAST(id AS DOUBLE) " +
+      "FROM range(10)")
+    // static: replaces exactly the named partition, atomically
+    spark.sql("INSERT OVERWRITE graft.ov.t PARTITION (grp = 'a') " +
+      "SELECT id, CAST(-id AS DOUBLE) FROM range(3)")
+    assert(spark.table("graft.ov.t").where("grp = 'a'").count() == 3L)
+    assert(spark.table("graft.ov.t").where("grp = 'b'").count() == 5L)
+    assert(spark.table("graft.ov.t").where("grp = 'a' AND v > 0").count() == 0L)
+    // dynamic: replaces exactly the partitions the data lands in
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql("INSERT OVERWRITE graft.ov.t SELECT id, 'b' AS grp, " +
+      "CAST(100 + id AS DOUBLE) FROM range(2)")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(spark.table("graft.ov.t").where("grp = 'b'").count() == 2L)
+    assert(spark.table("graft.ov.t").where("grp = 'a'").count() == 3L)
+    // pre-overwrite states stay time-travelable (retained history)
+    assert(spark.sql("SELECT count(*) FROM graft.ov.t VERSION AS OF 0")
+      .head.getLong(0) == 10L)
+    // a predicate that does not align with partition boundaries refuses
+    val e = intercept[Exception] {
+      Seq((50L, "a", 5.0)).toDF("id", "grp", "v")
+        .writeTo("graft.ov.t").overwrite(org.apache.spark.sql.functions.col("id") < 100)
+    }
+    assert(e.getMessage.contains("align"), e.getMessage)
+    // replaceWhere admits only rows inside the replaced region
+    val e2 = intercept[Exception] {
+      Seq((60L, "zzz", 6.0)).toDF("id", "grp", "v")
+        .writeTo("graft.ov.t").overwrite(org.apache.spark.sql.functions.col("grp") === "a")
+    }
+    assert(e2.getMessage.contains("replace_where"), e2.getMessage)
+    // ...and a conforming replaceWhere lands atomically
+    Seq((61L, "a", 6.5)).toDF("id", "grp", "v")
+      .writeTo("graft.ov.t").overwrite(org.apache.spark.sql.functions.col("grp") === "a")
+    assert(spark.table("graft.ov.t").where("grp = 'a'").collect()
+      .map(_.getLong(0)).toSeq == Seq(61L))
+    assert(spark.table("graft.ov.t").where("grp = 'b'").count() == 2L)
+    spark.sql("DROP TABLE graft.ov.t")
+  }
+
+  test("OPTIMIZE ZORDER on a partitioned table keeps the tuple layout") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_zp").toString
+    spark.sql("DROP TABLE IF EXISTS graft.zp.t")
+    spark.sql("CREATE TABLE graft.zp.t (x BIGINT, y BIGINT, grp STRING) " +
+      s"USING graft_kv PARTITIONED BY (grp) OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft.zp.t SELECT id % 97, (id * 31) % 89, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(2000)")
+    ops.Ddl.execute(spark, "OPTIMIZE graft.zp.t ZORDER BY (x, y)")
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m.files.nonEmpty)
+    // every rewritten file still carries exactly one tuple
+    m.files.foreach { case (n, _) =>
+      assert(m.stats.getOrElse(n, Map.empty).contains("part:grp"), n) }
+    // partition pruning survives the rewrite
+    val aFiles = m.files.count(f => m.stats(f._1)("part:grp")._1 == "a")
+    assert(new graft.sources.GraftKvScan(dir, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("grp", "a")))
+      .planInputPartitions().length == aFiles)
+    assert(aFiles < m.files.length)
+    assert(spark.table("graft.zp.t").count() == 2000L)
+    assert(spark.table("graft.zp.t").where("grp = 'a'").count() == 1000L)
+    spark.sql("DROP TABLE graft.zp.t")
+  }
 }
