@@ -162,22 +162,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
         val vPath = d.options.getOrElse("path",
           throw new IllegalStateException(
             s"graft catalog entry ${d.name} lacks a path option"))
-        // a BRANCH name reads the branch's current HEAD (its own
-        // manifest), not the fork boundary — that is what makes it a
-        // writable lineage rather than a pin
-        if (version.forall(!_.isDigit) &&
+        // a non-numeric version is a NAMED REF. A BRANCH name reads the
+        // branch's current HEAD (its own manifest), not the fork
+        // boundary — that is what makes it a writable lineage rather
+        // than a pin; the kind check runs on every non-numeric name
+        // (branch names may contain digits — 'dev2' is still a branch)
+        val numeric =
+          try Some(java.lang.Long.parseLong(version))
+          catch { case _: NumberFormatException => None }
+        if (numeric.isEmpty &&
             GraftKvSink.refKind(vPath, version).contains("branch"))
           return branchTable(Identifier.of(
             ident.namespace() :+ ident.name(), s"branch_$version"))
             .getOrElse(throw new IllegalStateException(
               s"graft_kv: branch '$version' of ${d.name} has no manifest"))
-        // a non-numeric version is a NAMED REF: `VERSION AS OF 'eval_v1'`
-        // resolves through the manifest's refs map (CREATE TAG pins it)
-        val epoch =
-          try java.lang.Long.parseLong(version)
-          catch { case _: NumberFormatException =>
-            GraftKvSink.resolveRef(vPath, version)
-          }
+        // tags (and raw epochs) pin a boundary on the PARENT history
+        val epoch = numeric.getOrElse(GraftKvSink.resolveRef(vPath, version))
         require(epoch >= 0L, s"graft_kv: VERSION AS OF $epoch — epochs are >= 0")
         loadTable(ident) match {
           case t: GraftKvTable => t.atVersion(epoch)

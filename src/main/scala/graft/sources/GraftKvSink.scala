@@ -1014,9 +1014,46 @@ object GraftKvSink {
   def createBranch(dir: String, name: String,
       asOf: Option[Long] = None): Long = {
     val epoch = createRef(dir, name, asOf, kind = "branch")
-    try shallowClone(dir, branchDirOf(dir, name), Some(epoch))
-    catch { case e: Throwable => dropRef(dir, name); throw e }
+    try {
+      val bd = branchDirOf(dir, name)
+      // self-heal an orphaned branch directory (a TRUNCATE or crash can
+      // drop the ref while leaving the clone): the ref was provably free
+      // a moment ago, so anything at the branch path is garbage
+      val bdp = Paths.get(bd)
+      if (Files.exists(bdp)) {
+        val w = Files.walk(bdp)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally w.close()
+      }
+      shallowClone(dir, bd, Some(epoch))
+      // record the parent's DATA-STATE signature at the fork: FAST
+      // FORWARD's ancestry proof — robust to the branch later
+      // self-localizing (OPTIMIZE folds foreign refs away, so the
+      // reference set alone cannot witness the fork anymore)
+      withCommitLock(bd) {
+        val bm = readManifest(manifestPath(bd))
+        writeManifest(bd, bm.schema, bm.files, bm.compactedUpTo, bm.stats,
+          bm.blooms, bm.deltas, bm.removed, bm.rewrittenUpTo,
+          refs = bm.refs + ("__fork__" ->
+            (epoch, "base:" + stateSig(readManifest(manifestPath(dir))))),
+          priorHint = Some(bm))
+      }
+    } catch { case e: Throwable => dropRef(dir, name); throw e }
     epoch
+  }
+
+  /** The parent-state fingerprint FAST FORWARD verifies: current files
+    * (names + rows), live deltas, and both history boundaries. Retained-
+    * history/ref/timestamp changes do not affect what a fork reads, but
+    * boundary moves (vacuum raising the fence) count — conservatively. */
+  private def stateSig(m: Manifest): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val body = (m.files.map { case (n, r) => s"$n:$r" }.sorted ++
+      m.deltas.map(d => s"d:${d.name}:${d.inserts}:${d.deletes}").sorted ++
+      Seq(s"c:${m.compactedUpTo}", s"r:${m.rewrittenUpTo}")).mkString("\n")
+    md.digest(body.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
   }
 
   /** DROP BRANCH: unpin the fork and delete the branch's own state
@@ -1058,17 +1095,26 @@ object GraftKvSink {
     require(bm.deltas.isEmpty,
       s"graft_kv: branch '$name' has unfolded merge-on-read deltas — " +
         "OPTIMIZE the branch first")
-    // ancestry check: the parent's CURRENT visible state must be exactly
-    // the file set the branch forked from (no commits on the parent
-    // since) — forked files the BRANCH CoW-rewrote sit in its retained
-    // history, still counting as "forked from"
-    val parentAbs = m.files.map { case (n, _) =>
-      if (isForeign(n)) n else Paths.get(dir, n).toString }.toSet
-    val branchForeignAll = (bm.files.map(_._1) ++ bm.removed.map(_.name))
-      .filter(isForeign).toSet
-    require(m.deltas.isEmpty && parentAbs == branchForeignAll,
+    // ancestry check: the parent's CURRENT data state must still be the
+    // state the branch forked from (no data commits on the parent since)
+    // — verified against the fork-time signature the branch recorded, so
+    // it survives the branch self-localizing (OPTIMIZE) or rewriting
+    // forked files (CoW) on its own side
+    require(bm.refs.get("__fork__").exists(_._2 == "base:" + stateSig(m)),
       s"graft_kv: cannot FAST FORWARD '$name' — the parent advanced past " +
-        "the fork; merge manually or re-branch")
+        "the fork (or its maintenance moved a history boundary); merge " +
+        "manually or re-branch")
+    // the publish imports the branch's fold/rewrite boundaries — any
+    // SURVIVING ref pinned below them would suddenly name history the
+    // parent cannot serve (a tag's answerability contract): refuse and
+    // let the user drop the ref or OPTIMIZE less aggressively
+    val importedFence = math.max(bm.compactedUpTo, bm.rewrittenUpTo)
+    (m.refs - name).foreach { case (rn, (re, _)) =>
+      require(re >= importedFence || importedFence < 0L,
+        s"graft_kv: FAST FORWARD '$name' would fold history that ref " +
+          s"'$rn' (epoch $re) pins — drop it first, or re-branch without " +
+          "compacting past it")
+    }
     // branch-local names move into the parent dir; foreign refs into the
     // parent resolve back to local names, refs elsewhere stay absolute
     val prefix = Paths.get(dir).toAbsolutePath.toString + "/"
@@ -1550,7 +1596,10 @@ object GraftKvSink {
     // vacuum's protected partition), while untagged neighbors lost
     // theirs and must keep erroring. Compaction never merges past a tag
     // (compact clamps), so a tag can never name physically-merged history.
-    val tagged = m.refs.values.exists(_._1 == n)
+    // TAGS ONLY: a BRANCH ref's state lives in the branch's own manifest
+    // — the parent cannot reconstruct it, and a fast-forward publish can
+    // legitimately import a fold boundary above a sibling fork.
+    val tagged = m.refs.values.exists(r => r._1 == n && r._2 == "tag")
     require(tagged || m.compactedUpTo < 0L || n >= m.compactedUpTo,
       s"graft_kv: epoch $n predates compacted history " +
         s"(epochs <= ${m.compactedUpTo} were vacuumed)")
@@ -1634,12 +1683,13 @@ object GraftKvSink {
     * zero files, so the constraint exists before any row can. */
   private[sources] def setChecks(dir: String, schema: StructType,
       cs: Map[String, String]): Unit = withCommitLock(dir) {
-    // `__gen__<col>` is the reserved spelling for GENERATED-column derived
-    // checks; a user CHECK claiming it would flip writerGuard's skip-vs-
-    // refuse rule for legal narrower-schema appends
-    cs.keys.find(_.startsWith("__gen__")).foreach(n => throw new
+    // `__` prefixes are reserved for internal derived checks (`__gen__`
+    // generated columns, `__replace_where__` overwrite guards); a user
+    // CHECK claiming one could flip writerGuard's skip-vs-refuse rule or
+    // be silently shadowed for one write
+    cs.keys.find(_.startsWith("__")).foreach(n => throw new
       IllegalArgumentException(s"graft_kv: CHECK constraint name '$n' uses " +
-        "the reserved generated-column prefix '__gen__'"))
+        "the reserved internal prefix '__'"))
     val mf = manifestPath(dir)
     if (Files.exists(mf)) {
       val m = readManifest(mf)
@@ -3040,7 +3090,11 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
         // SetTransaction analogue): a replay by the same query stays
         // idempotent; a different query refuses above
         txn = if (queryId.nonEmpty && committed.nonEmpty)
-          priorTxn + (epochId -> queryId) else null)
+          priorTxn + (epochId -> queryId) else null,
+        // a streaming-FIRST write to a fresh directory bootstraps the
+        // manifest: record the declared spec exactly like the batch path,
+        // or later option-less writers would silently stop splitting
+        partitionSpec = if (partSpec.nonEmpty) partSpec else null)
     }
   }
 
@@ -3191,7 +3245,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // anything else would silently survive outside the predicate while
     // claiming to have replaced it (the Delta replaceWhere contract);
     // enforced per row through the same bound-Predicate recipe as CHECKs
-    val owChecks = overwriteFilters.map(fs => Map("replace_where" ->
+    val owChecks = overwriteFilters.map(fs => Map("__replace_where__" ->
       fs.map(f => s"(${GraftPartition.filterSql(f)})").mkString(" AND ")))
       .getOrElse(Map.empty)
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
@@ -3261,9 +3315,14 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = GraftKvSink.withCommitLock(dir) {
     // conflict gate FIRST (under the lock): refuse before moving any task
     // file if a concurrent commit made this write unmergeable
+    // ONE manifest parse per commit (the per-file stats/bloom maps make
+    // the parse the dominant driver-side cost on a many-file table) —
+    // every consumer below reads this snapshot; the commit lock makes
+    // that sound
     val mfCur = GraftKvSink.manifestPath(dir)
-    checkConflicts(
-      if (Files.exists(mfCur)) Some(GraftKvSink.readManifest(mfCur)) else None)
+    val curM: Option[GraftKvSink.Manifest] =
+      if (Files.exists(mfCur)) Some(GraftKvSink.readManifest(mfCur)) else None
+    checkConflicts(curM)
     // empty task files are never published (an empty partition's writer
     // still opened one) — a 0-row file would carry no stats/blooms and
     // survive every pruning pass for nothing
@@ -3277,15 +3336,14 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // 0 in the micro-batch stream, so a reader checkpointed past 0 would
     // silently never see them. Stamp the new files with the next epoch —
     // they surface to live readers and participate in asOfEpoch reads.
-    val mfPeek = GraftKvSink.manifestPath(dir)
     val nextEpoch =
       if (explicitEpoch.isDefined) None
-      else if (replace || !Files.exists(mfPeek))
+      else if (replace || curM.isEmpty)
         // `epochs` tables stamp from the very first commit (and a
         // truncate restarts the numbering at 0 with the history)
         (if (stampEpochs) Some(0L) else None)
       else {
-        val m0 = GraftKvSink.readManifest(mfPeek)
+        val m0 = curM.get
         // delta epochs count too: an append stamped at-or-below a delta's
         // epoch would make asOfEpoch reads non-monotonic
         val names = m0.files.map(_._1) ++ m0.deltas.map(_.name)
@@ -3323,23 +3381,19 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     // dynamic mode replaces exactly the partitions the committed files'
     // tuples name. Both are metadata decisions — no data file is read.
     val replaced: Set[String] = replaceFiles.map(_().toSet).getOrElse {
-      if ((overwriteFilters.isEmpty && !dynamicOverwrite) || !Files.exists(mf))
+      if ((overwriteFilters.isEmpty && !dynamicOverwrite) || curM.isEmpty)
         Set.empty
       else {
-        val m = GraftKvSink.readManifest(mf)
+        val m = curM.get
         require(m.deltas.isEmpty,
           s"graft_kv: INSERT OVERWRITE at $dir with merge-on-read delta " +
             "files present — OPTIMIZE (fold the deltas) first")
         val tcache = scala.collection.mutable.HashMap
           .empty[String, Option[GraftPartition.PTransform]]
         def fileParts(n: String): Map[String, String] =
-          m.stats.getOrElse(n, Map.empty).collect {
-            case (k, (v, _)) if k.startsWith(GraftPartition.PartKey) => k -> v }
+          GraftPartition.filePartsOf(m.stats.getOrElse(n, Map.empty))
         def fileSpec(parts: Map[String, String]): Seq[GraftPartition.PTransform] =
-          parts.keys.toSeq.sorted.flatMap(k => tcache.getOrElseUpdate(k,
-            try Some(GraftPartition.parseOne(
-              k.stripPrefix(GraftPartition.PartKey), m.schema))
-            catch { case _: Exception => None }))
+          GraftPartition.fileSpecOf(parts, m.schema, tcache)
         overwriteFilters match {
           case Some(fs) =>
             m.files.map(_._1).filter { n =>
@@ -3394,8 +3448,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas,
         priorRemoved, priorRw) =
       if ((replaceFiles.isDefined || overwriteFilters.isDefined ||
-          dynamicOverwrite) && Files.exists(mf)) {
-        val m = GraftKvSink.readManifest(mf)
+          dynamicOverwrite) && curM.isDefined) {
+        val m = curM.get
         val newRemoved =
           if (keepHistory)
             m.removed ++ m.files.filter(f => replaced.contains(f._1))
@@ -3407,8 +3461,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
           newRemoved,
           if (keepHistory) math.max(m.rewrittenUpTo, nextEpoch.get)
           else m.rewrittenUpTo)
-      } else if (!replace && Files.exists(mf)) {
-        val m = GraftKvSink.readManifest(mf)
+      } else if (!replace && curM.isDefined) {
+        val m = curM.get
         (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas,
           m.removed, m.rewrittenUpTo)
       } else {
@@ -3425,8 +3479,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
           Seq.empty[GraftKvSink.RemovedFile], -1L)
       }
     val truncateLeftovers: Seq[String] =
-      if (replace && replaceFiles.isEmpty && Files.exists(mf)) {
-        val m = GraftKvSink.readManifest(mf)
+      if (replace && replaceFiles.isEmpty && curM.isDefined) {
+        val m = curM.get
         m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name)
       } else Nil
     // an overwrite redefines the schema outright; every other commit
@@ -3443,7 +3497,8 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       },
       priorDeltas, priorRemoved, priorRw,
       freshHistory = replace && replaceFiles.isEmpty,
-      partitionSpec = if (partSpec.nonEmpty) partSpec else null)
+      partitionSpec = if (partSpec.nonEmpty) partSpec else null,
+      priorHint = curM)
     // without retained history, replaced data files become garbage once
     // the manifest no longer lists them — except a name a new commit
     // re-published (task-id collision across sessions): that file now
@@ -3699,19 +3754,12 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
   // parse cache is per distinct transform key (a handful), not per file.
   private val partTransformCache =
     scala.collection.mutable.HashMap.empty[String, Option[GraftPartition.PTransform]]
-  private def transformOf(key: String): Option[GraftPartition.PTransform] =
-    partTransformCache.getOrElseUpdate(key,
-      try Some(GraftPartition.parseOne(
-        key.stripPrefix(GraftPartition.PartKey), manifest.schema))
-      catch { case _: Exception => None } // e.g. a source column renamed
-    )
   private var visible = epochVisible.filter { case (name, _) =>
     val st = manifest.stats.getOrElse(name, Map.empty)
     lazy val bl = manifest.blooms.getOrElse(name, Map.empty)
-    lazy val parts: Map[String, String] = st.collect {
-      case (k, (v, _)) if k.startsWith(GraftPartition.PartKey) => k -> v }
+    lazy val parts: Map[String, String] = GraftPartition.filePartsOf(st)
     lazy val fileSpec: Seq[GraftPartition.PTransform] =
-      parts.keys.toSeq.sorted.flatMap(transformOf)
+      GraftPartition.fileSpecOf(parts, manifest.schema, partTransformCache)
     filters.forall(f => GraftKvSink.mayMatch(manifest.schema, st, f) &&
       GraftKvSink.bloomMayMatch(manifest.schema, bl, f) &&
       (parts.isEmpty || GraftPartition.mayMatch(fileSpec, parts, f)))

@@ -49,7 +49,8 @@ object GraftPartition {
 
   final case class PIdentity(source: String, dt: DataType) extends PTransform {
     val key: String = source
-    def apply(enc: String): String = if (enc == null) "\\N" else enc
+    def apply(enc: String): String =
+      if (enc == null) "\\N" else GraftPartition.esc(enc)
     val monotonic = true
   }
 
@@ -73,16 +74,41 @@ object GraftPartition {
           (v - java.lang.Math.floorMod(v, w.toLong)).toString
         case _ => // string: first w codepoints
           val cp = enc.codePointCount(0, enc.length)
-          if (cp <= w) enc
-          else enc.substring(0, enc.offsetByCodePoints(0, w))
+          GraftPartition.esc(
+            if (cp <= w) enc
+            else enc.substring(0, enc.offsetByCodePoints(0, w)))
       }
     val monotonic = true
   }
+
+  /** A real string value beginning with a backslash doubles its LEAD
+    * character in the tuple (the row encoding's own rule), so the
+    * literal two-character value backslash-N can never collide with the
+    * reserved "\\N" null tuple. Doubling only the first char preserves
+    * UTF8 binary order, so monotonic (range) pruning stays correct. */
+  private def esc(s: String): String =
+    if (s.startsWith("\\")) "\\" + s else s
 
   private[graft] def bucketOf(enc: String, n: Int): Int =
     java.lang.Math.floorMod(
       scala.util.hashing.MurmurHash3.bytesHash(
         enc.getBytes(java.nio.charset.StandardCharsets.UTF_8), 42), n)
+
+  /** A file's recorded tuple entries, straight from its stats map. */
+  def filePartsOf(stats: Map[String, (String, String)]): Map[String, String] =
+    stats.collect { case (k, (v, _)) if k.startsWith(PartKey) => k -> v }
+
+  /** The transforms a file's own tuple keys name, parsed against the
+    * schema through a shared per-plan cache (a handful of distinct keys
+    * however many files). A key that no longer parses (e.g. its source
+    * column was renamed away) yields nothing — and a transform that is
+    * not parsed never prunes, the standing soundness rule. */
+  def fileSpecOf(parts: Map[String, String], schema: StructType,
+      cache: scala.collection.mutable.Map[String, Option[PTransform]])
+      : Seq[PTransform] =
+    parts.keys.toSeq.sorted.flatMap(k => cache.getOrElseUpdate(k,
+      try Some(parseOne(k.stripPrefix(PartKey), schema))
+      catch { case _: Exception => None }))
 
   /** Parse the persisted comma-separated spec against a schema. */
   def parse(spec: Seq[String], schema: StructType): Seq[PTransform] =

@@ -1705,19 +1705,43 @@ class DdlSpec extends SparkSpec {
     ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t CREATE BRANCH dev2")
     spark.sql("INSERT INTO graft.brspec.t.branch_dev2 SELECT id, " +
       "CAST(id AS DOUBLE) FROM range(200, 203)")
+    // a branch name CONTAINING A DIGIT still reads the branch HEAD (the
+    // numeric-looking-name regression: 'dev2' must not fall through to
+    // the fork-boundary tag route)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.brspec.t VERSION AS OF 'dev2'")
+      .head.getLong(0) == 15L)
+    // the branch can self-localize (OPTIMIZE folds foreign refs into a
+    // local file) and STILL fast-forward — ancestry is proven by the
+    // fork-time state signature, not the reference set
+    graft.sources.GraftKvSink.compact(
+      graft.sources.GraftKvSink.branchDirOf(dir, "dev2"), 99L)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.brspec.t VERSION AS OF 'dev2'")
+      .head.getLong(0) == 15L)
+    // ...but publishing its imported fold boundary would strand the
+    // SIBLING ref 'dev' (pinned at epoch 0): refuse until it drops
+    val e3 = intercept[Exception] {
+      ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t FAST FORWARD TO 'dev2'") }
+    assert(e3.getMessage.contains("pins"), e3.getMessage)
+    ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t DROP BRANCH dev")
+    assert(GraftKvSink.refKind(dir, "dev").isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(bd)))
+    // pre-publish parent states time-travel UNTIL the publish of a
+    // branch that folded its whole history (the compaction above raised
+    // the fold boundary — published with it, below-fence reads refuse)
+    assert(spark.sql("SELECT count(*) FROM graft.brspec.t VERSION AS OF 0")
+      .head.getLong(0) == 10L)
     ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t FAST FORWARD TO 'dev2'")
     assert(spark.table("graft.brspec.t").count() == 15L)
     assert(spark.table("graft.brspec.t").where("id >= 200").count() == 3L)
     assert(GraftKvSink.refKind(dir, "dev2").isEmpty)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(GraftKvSink.branchDirOf(dir, "dev2"))))
-    // pre-publish parent states still time-travel (retained history)
-    assert(spark.sql("SELECT count(*) FROM graft.brspec.t VERSION AS OF 0")
-      .head.getLong(0) == 10L)
-    // DROP BRANCH reclaims the abandoned first branch
-    ops.Ddl.execute(spark, "ALTER TABLE graft.brspec.t DROP BRANCH dev")
-    assert(GraftKvSink.refKind(dir, "dev").isEmpty)
-    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(bd)))
+    assertThrows[Exception] { // the folded range is honestly fenced now
+      spark.sql("SELECT count(*) FROM graft.brspec.t VERSION AS OF 0")
+        .collect()
+    }
     spark.sql("DROP TABLE graft.brspec.t")
   }
 }

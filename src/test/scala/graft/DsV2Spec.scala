@@ -2003,6 +2003,15 @@ class DsV2Spec extends SparkSpec {
     assert(new GraftKvScan(dir, None, Seq(EqualTo("grp", "g1")))
       .planInputPartitions().length == g1)
     assert(g1 < mf.files.length)
+    // the literal two-character string backslash-N is DATA, not the null
+    // tuple: it round-trips and is never pruned as an all-null partition
+    Seq((300L, "\\N")).toDF("id", "grp").write
+      .format("graft.sources.GraftKvSink").option("path", dir)
+      .mode("append").save()
+    assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+      .load().where("grp = '\\\\N'").count() == 1L)
+    assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
+      .load().where("grp IS NOT NULL AND id = 300").count() == 1L)
     // a second writer with a CONFLICTING spec refuses pre-commit
     val e = intercept[Exception] {
       Seq((99L, "gX")).toDF("id", "grp").write
@@ -2020,7 +2029,7 @@ class DsV2Spec extends SparkSpec {
     val zz = mf2.files.filter(f => mf2.stats(f._1)("part:grp")._1 == "zz")
     assert(zz.length == 1 && zz.head._2 == 1L)
     assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
-      .load().count() == 62L)
+      .load().count() == 63L) // 60 + backslash-N row + the 2-row append
   }
 
   test("MERGE WITH SCHEMA EVOLUTION widens the table; plain MERGE never does") {

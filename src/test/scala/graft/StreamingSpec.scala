@@ -983,17 +983,13 @@ class StreamingSpec extends SparkSpec {
     import graft.sources.GraftKvSink
     val root = java.nio.file.Files.createTempDirectory("graft_kv_spart")
     val dir = root.resolve("out").toString
-    // declare the layout up front (option route — no catalog needed)
-    GraftKvSink.setPartitionSpec(dir,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("grp",
-          org.apache.spark.sql.types.StringType))), Seq("grp"))
+    // declare the layout as a WRITER OPTION on a fresh directory: the
+    // first streaming commit must bootstrap the manifest WITH the spec
+    // (the batch-path rule), or later option-less writers stop splitting
     val ms = MemoryStream[(Long, String)]
     val q = ms.toDF().toDF("id", "grp")
       .writeStream.format("graft.sources.GraftKvSink")
-      .option("path", dir)
+      .option("path", dir).option("partitionedBy", "grp")
       .option("checkpointLocation", root.resolve("ckpt").toString)
       .start()
     ms.addData((1L, "a"), (2L, "b"), (3L, "a"))
@@ -1002,6 +998,7 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m.partitionSpec == Seq("grp"), m.partitionSpec)
     // every streamed file carries exactly one tuple
     assert(m.files.nonEmpty)
     m.files.foreach { case (n, _) =>
