@@ -3683,7 +3683,8 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     fromEpoch: Option[Long] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(fromEpoch.isEmpty,
@@ -3811,6 +3812,87 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       fromEpoch.map(n => s" fromEpoch=$n").getOrElse("")
   /** The pruned file set — the GROUP identity for row-level replaces. */
   def visibleFiles: Seq[String] = visible.map(_._1)
+  /** STORAGE-PARTITIONED JOIN (the Iceberg/SPJ shape, unlocked by
+    * spark.sql.sources.v2.bucketing.enabled): when every visible file
+    * carries a full IDENTITY-transform tuple, the scan reports
+    * KeyGroupedPartitioning over the partition sources and plans ONE
+    * partition per tuple — two tables partitioned alike then join (and
+    * aggregate on the keys) with NO shuffle on either side, the single
+    * biggest exchange eliminator at 100 TB. Conservative gates: no
+    * deltas at the boundary, no CDC/incremental frames, no row-level
+    * `_file` scans (their runtime group filtering re-plans partitions),
+    * derived transforms (bucket/truncate) stand down — their key
+    * equality needs a shared function catalog to prove. */
+  private lazy val spjGroups
+      : Option[(Seq[GraftPartition.PTransform], Seq[(InternalRow, Seq[String])])] = {
+    // DOUBLY opt-in, the Iceberg preserve-data-grouping shape: tuple
+    // grouping caps read parallelism at the partition count, and
+    // v2.bucketing defaults ON in Spark 4 — so a source-side conf must
+    // also say this scan should trade parallelism for eliminated
+    // exchanges; default scans keep one task per file
+    val active = org.apache.spark.sql.internal.SQLConf.get.getConf(
+        org.apache.spark.sql.internal.SQLConf.V2_BUCKETING_ENABLED) &&
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.graft.planning.preserveDataGrouping",
+          "false").toBoolean &&
+      !changeFeed && startEpoch.isEmpty && fromEpoch.isEmpty &&
+      onlyFiles.isEmpty && manifest.partitionSpec.nonEmpty &&
+      visibleDeltas.isEmpty && visible.nonEmpty &&
+      !readSchema().fieldNames.exists(n => n == "_file" || n == "_pos")
+    if (!active) None
+    else {
+      val specOpt =
+        try Some(GraftPartition.parse(manifest.partitionSpec, manifest.schema))
+        catch { case _: Exception => None }
+      specOpt.filter(spec =>
+        spec.forall(_.isInstanceOf[GraftPartition.PIdentity]) &&
+          spec.forall(t => readSchema().fieldNames
+            .exists(_.equalsIgnoreCase(t.source)))).flatMap { spec =>
+        val tuples = visible.map { case (n, _) =>
+          val st = manifest.stats.getOrElse(n, Map.empty)
+          n -> spec.map(t => st.get(t.statsKey).map(_._1))
+        }
+        if (tuples.exists(_._2.exists(_.isEmpty))) None // untagged file
+        else {
+          val groups = tuples.map { case (n, vs) => (vs.flatten, n) }
+            .groupBy(_._1).toSeq
+            .sortBy(_._1.mkString("\u0000"))
+            .map { case (vals, fs) =>
+              val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
+                spec.zip(vals).map { case (t, v) =>
+                  if (v == "\\N") null
+                  else {
+                    // undo the tuple encoding's lead-backslash doubling
+                    val raw =
+                      if (v.startsWith("\\")) v.substring(1) else v
+                    t.asInstanceOf[GraftPartition.PIdentity].dt match {
+                      case IntegerType => raw.toInt
+                      case LongType    => raw.toLong
+                      case DoubleType  => raw.toDouble
+                      case _           => UTF8String.fromString(raw)
+                    }
+                  }
+                })
+              (row, fs.map(_._2).sorted)
+            }
+          Some((spec, groups))
+        }
+      }
+    }
+  }
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups match {
+      case Some((spec, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          spec.map(t => org.apache.spark.sql.connector.expressions.Expressions
+            .identity(t.source)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          groups.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          visible.length + visibleDeltas.count(_.inserts > 0L))
+    }
   override def planInputPartitions(): Array[InputPartition] = {
     // a changefeed is a RANGE of epochs — only the streaming read (whose
     // offsets carry the range) can answer it; a batch point-in-time diff
@@ -3824,6 +3906,14 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     // tasks resolve their own position-deletes from the (small) delta
     // files — the partition ships NAMES, not delete sets, so a large
     // delete never bloats task descriptors (the Iceberg delete-file shape)
+    spjGroups match {
+      case Some((_, groups)) =>
+        return groups.map { case (key, names) =>
+          GraftKvGroupPartition(
+            names.map(n => GraftKvFilePartition(dir, n)), key): InputPartition
+        }.toArray
+      case None => ()
+    }
     val deltaNames = visibleDeltas.map(_.name)
     // onlyFiles (changefeed): restrict which files get partitions — the
     // MASKING set stays the boundary's full visible delta list, so the
@@ -4016,6 +4106,17 @@ final case class GraftKvFilePartition(dir: String, file: String,
     // `update_postimage` (deltaInserts: the U records' row payloads)
     updates: Boolean = false)
   extends InputPartition
+
+/** One partition per PARTITION TUPLE (the storage-partitioned-join shape):
+  * carries its member files' single-file partitions and the tuple as a
+  * typed partition key — Spark's KeyGroupedPartitioning machinery reads
+  * the key via HasPartitionKey and co-locates matching keys across scans
+  * with NO exchange. */
+final case class GraftKvGroupPartition(parts: Seq[GraftKvFilePartition],
+    key: InternalRow)
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** Streaming READ half — the loop-closer for the connector: the manifest's
   * epoch-stamped files ARE the changelog, so replaying them as micro-batches
@@ -4254,6 +4355,28 @@ final class GraftKvMicroBatchStream(dir: String,
 final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case g: GraftKvGroupPartition =>
+        // a tuple-group partition chains its member files' readers
+        return new PartitionReader[InternalRow] {
+          private val it = g.parts.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = createReader(it.next())
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case _ => ()
+    }
     val fp = p.asInstanceOf[GraftKvFilePartition]
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val projected = DataType.fromJson(projectedJson).asInstanceOf[StructType]

@@ -2137,4 +2137,55 @@ class DsV2Spec extends SparkSpec {
     assert(spark.table("graft.zp.t").where("grp = 'a'").count() == 1000L)
     spark.sql("DROP TABLE graft.zp.t")
   }
+
+  test("storage-partitioned join: co-partitioned kv tables join and aggregate with no exchange") {
+    val d1 = java.nio.file.Files.createTempDirectory("graft_spj1").toString
+    val d2 = java.nio.file.Files.createTempDirectory("graft_spj2").toString
+    spark.sql("DROP TABLE IF EXISTS graft.spj.a")
+    spark.sql("DROP TABLE IF EXISTS graft.spj.b")
+    spark.sql("CREATE TABLE graft.spj.a (k STRING, v BIGINT) USING graft_kv " +
+      s"PARTITIONED BY (k) OPTIONS (path '$d1')")
+    spark.sql("CREATE TABLE graft.spj.b (k STRING, w BIGINT) USING graft_kv " +
+      s"PARTITIONED BY (k) OPTIONS (path '$d2')")
+    spark.sql("INSERT INTO graft.spj.a SELECT CASE CAST(id % 4 AS INT) " +
+      "WHEN 0 THEN 'p' WHEN 1 THEN 'q' WHEN 2 THEN 'r' ELSE 's' END, id " +
+      "FROM range(400)")
+    spark.sql("INSERT INTO graft.spj.b SELECT CASE CAST(id % 4 AS INT) " +
+      "WHEN 0 THEN 'p' WHEN 1 THEN 'q' WHEN 2 THEN 'r' ELSE 's' END, id * 2 " +
+      "FROM range(200)")
+    val prev = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.graft.planning.preserveDataGrouping",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    Seq("spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.graft.planning.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+      .foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.table("graft.spj.a").join(spark.table("graft.spj.b"), "k")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"), plan)
+      assert(q.count() == 20000L) // 4 keys x 100 x 50
+      val g = spark.table("graft.spj.a").groupBy("k").count()
+      assert(!g.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(g.collect().map(_.getLong(1)).toSeq == Seq(100L, 100L, 100L, 100L))
+      // a MOR delta makes tuple grouping unsound for the overlay — the
+      // scan stands down to per-file planning (correctness over SPJ)
+      spark.sql("DROP TABLE IF EXISTS graft.spj.m")
+      val d3 = java.nio.file.Files.createTempDirectory("graft_spj3").toString
+      spark.sql("CREATE TABLE graft.spj.m (k STRING, v BIGINT) USING graft_kv " +
+        s"PARTITIONED BY (k) OPTIONS (path '$d3', mor 'true')")
+      spark.sql("INSERT INTO graft.spj.m SELECT CASE WHEN id % 2 = 0 " +
+        "THEN 'p' ELSE 'q' END, id FROM range(20)")
+      spark.sql("DELETE FROM graft.spj.m WHERE v = 3")
+      val m = spark.table("graft.spj.m").join(spark.table("graft.spj.a"), "k")
+      assert(m.queryExecution.executedPlan.toString.contains("Exchange"))
+      assert(spark.table("graft.spj.m").count() == 19L)
+      spark.sql("DROP TABLE graft.spj.m")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    spark.sql("DROP TABLE graft.spj.a")
+    spark.sql("DROP TABLE graft.spj.b")
+  }
 }
