@@ -2269,29 +2269,97 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
     }
   }
 
-  /** Metadata-only DELETE for the one case the group-based path cannot
-    * express (the optimizer folds an always-true condition's scan away):
-    * an unconditional `DELETE FROM t` truncates the manifest directly. All
-    * other predicates decline, routing to the row-level rewrite. */
+  /** Metadata-only DELETE, two shapes. Unconditional (`DELETE FROM t`,
+    * whose always-true condition the optimizer folds away from the
+    * group-based path): truncate the manifest directly. PARTITION-ALIGNED
+    * (`DELETE FROM t WHERE status = 'F'` on a table partitioned by
+    * status): every current file proves wholly-deleted or wholly-kept by
+    * its recorded tuple, so the delete is ONE manifest publish dropping
+    * exactly the matching partitions' files — no row is read or
+    * rewritten, the decisive difference at 100 TB. Anything
+    * unclassifiable declines and Spark falls back to the row-level
+    * rewrite, which handles every predicate correctly. */
+  private def classifyDeleteFiles(
+      filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Seq[(String, Long)]] = {
+    val mf = GraftKvSink.manifestPath(dir)
+    if (!Files.exists(mf)) return Some(Nil)
+    val m = GraftKvSink.readManifest(mf)
+    if (m.deltas.nonEmpty) return None // overlays: only the rewrite is exact
+    val v1 = filters.map(GraftPartition.v2ToV1)
+    if (v1.exists(_.isEmpty)) return None
+    val fs = v1.flatten.toSeq
+    val cache = scala.collection.mutable.HashMap
+      .empty[String, Option[GraftPartition.PTransform]]
+    val drop = Seq.newBuilder[(String, Long)]
+    m.files.foreach { case (n, r) =>
+      val st = m.stats.getOrElse(n, Map.empty)
+      val parts = GraftPartition.filePartsOf(st)
+      val spec = GraftPartition.fileSpecOf(parts, m.schema, cache)
+      val all = fs.forall(GraftPartition.allMatch(spec, parts, _))
+      val none = fs.exists(f => !GraftPartition.mayMatch(spec, parts, f) ||
+        !GraftKvSink.mayMatch(m.schema, st, f))
+      if (all) drop += ((n, r))
+      else if (!none) return None // mixed file: row-level rewrite decides
+    }
+    Some(drop.result())
+  }
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Boolean =
-    filters.isEmpty || filters.forall(_.name() == "ALWAYS_TRUE")
+    filters.isEmpty || filters.forall(_.name() == "ALWAYS_TRUE") ||
+      classifyDeleteFiles(filters).isDefined
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Unit = {
     require(pinnedEpoch.isEmpty,
       "graft_kv: DELETE on a VERSION AS OF read is not allowed")
     val mf = GraftKvSink.manifestPath(dir)
-    if (Files.exists(mf)) GraftKvSink.withCommitLock(dir) {
-      // publish the empty manifest FIRST (the single visibility switch),
-      // THEN reclaim the files: a crash in between leaves harmless garbage
-      // for vacuum, never a manifest pointing at deleted files
+    if (!Files.exists(mf)) return
+    if (filters.isEmpty || filters.forall(_.name() == "ALWAYS_TRUE")) {
+      GraftKvSink.withCommitLock(dir) {
+        // publish the empty manifest FIRST (the single visibility switch),
+        // THEN reclaim the files: a crash in between leaves harmless
+        // garbage for vacuum, never a manifest pointing at deleted files
+        val m = GraftKvSink.readManifest(mf)
+        GraftKvSink.writeManifest(dir, tableSchema, Seq.empty,
+          priorHint = Some(m))
+        (m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name))
+          .foreach(n => GraftKvSink.deleteOwned(dir, n))
+      }
+      return
+    }
+    GraftKvSink.withCommitLock(dir) {
+      // RE-classify under the lock (a commit may have landed since
+      // canDeleteWhere) — a state that no longer classifies refuses
+      // loudly rather than half-deleting
+      val drop = classifyDeleteFiles(filters).getOrElse(
+        throw new IllegalStateException(
+          s"graft_kv: concurrent commit at $dir made the partition-" +
+            "aligned DELETE unclassifiable — rerun the statement"))
+      if (drop.isEmpty) return
       val m = GraftKvSink.readManifest(mf)
-      GraftKvSink.writeManifest(dir, tableSchema, Seq.empty,
+      val dropNames = drop.map(_._1).toSet
+      // epoch tables keep the dropped files as RETAINED history (the CoW
+      // rule: boundary states before the delete reconstruct until
+      // vacuum); epoch-less tables reclaim immediately
+      val keepHistory =
+        drop.exists(d => GraftKvSink.baseName(d._1).startsWith("epoch-"))
+      val delEpoch = (m.files.map(f => GraftKvSink.epochOf(f._1)) ++
+        m.removed.map(_.removedAt) ++
+        Seq(m.rewrittenUpTo, m.compactedUpTo)).max.max(0L) + 1L
+      GraftKvSink.writeManifest(dir, m.schema,
+        m.files.filterNot(f => dropNames.contains(f._1)), m.compactedUpTo,
+        m.stats -- dropNames, m.blooms -- dropNames, m.deltas,
+        if (keepHistory)
+          m.removed ++ drop.map { case (n, r) =>
+            GraftKvSink.RemovedFile(n, r, delEpoch) }
+        else m.removed,
+        if (keepHistory) math.max(m.rewrittenUpTo, delEpoch)
+        else m.rewrittenUpTo,
         priorHint = Some(m))
-      (m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name))
-        .foreach(n => GraftKvSink.deleteOwned(dir, n))
+      if (!keepHistory)
+        dropNames.foreach(n => GraftKvSink.deleteOwned(dir, n))
     }
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {

@@ -249,6 +249,76 @@ object GraftPartition {
     }
   }
 
+  /** Translate a DSv2 Predicate to the v1 Filter shapes the partition
+    * machinery speaks — only the classifiable forms; anything else maps
+    * to None (callers decline to the row-level path). Values convert
+    * from Catalyst-internal representations (UTF8String) to the JVM
+    * types v1 Filters carry. */
+  def v2ToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLit, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{And => VAnd, Not => VNot, Or => VOr, Predicate}
+    import org.apache.spark.sql.sources._
+    def jvm(l: VLit[_]): Any = l.value() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other                                       => other
+    }
+    def colOnly(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    // (column, value, columnIsLeft) for binary comparisons
+    def binary(): Option[(String, Any, Boolean)] = p.children() match {
+      case Array(l, r) => (l, r) match {
+        case (c, v: VLit[_]) => colOnly(c).map(n => (n, jvm(v), true))
+        case (v: VLit[_], c) => colOnly(c).map(n => (n, jvm(v), false))
+        case _               => None
+      }
+      case _ => None
+    }
+    p match {
+      case a: VAnd =>
+        for (l <- v2ToV1(a.left()); r <- v2ToV1(a.right())) yield And(l, r)
+      case o: VOr =>
+        for (l <- v2ToV1(o.left()); r <- v2ToV1(o.right())) yield Or(l, r)
+      case n: VNot => v2ToV1(n.child()).map(Not)
+      case _ => p.name() match {
+        case "=" => binary().map { case (c, v, _) => EqualTo(c, v) }
+        case "<=>" => binary().map { case (c, v, _) => EqualNullSafe(c, v) }
+        case "<" => binary().map { case (c, v, cl) =>
+          if (cl) LessThan(c, v) else GreaterThan(c, v) }
+        case ">" => binary().map { case (c, v, cl) =>
+          if (cl) GreaterThan(c, v) else LessThan(c, v) }
+        case "<=" => binary().map { case (c, v, cl) =>
+          if (cl) LessThanOrEqual(c, v) else GreaterThanOrEqual(c, v) }
+        case ">=" => binary().map { case (c, v, cl) =>
+          if (cl) GreaterThanOrEqual(c, v) else LessThanOrEqual(c, v) }
+        case "IN" => p.children() match {
+          case cs if cs.nonEmpty =>
+            for {
+              col <- colOnly(cs.head)
+              vs <- Some(cs.tail.collect { case l: VLit[_] => jvm(l) })
+              if vs.length == cs.tail.length
+            } yield In(col, vs.toArray)
+          case _ => None
+        }
+        case "IS_NULL" =>
+          p.children() match {
+            case Array(c) => colOnly(c).map(IsNull)
+            case _        => None
+          }
+        case "IS_NOT_NULL" =>
+          p.children() match {
+            case Array(c) => colOnly(c).map(IsNotNull)
+            case _        => None
+          }
+        case _ => None
+      }
+    }
+  }
+
   /** Render a pushed Filter back to SQL text (the overwrite guard's feed:
     * incoming rows are checked per row against the replaced region's
     * predicate). Only the shapes the classifier accepts. */

@@ -2188,4 +2188,38 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE graft.spj.a")
     spark.sql("DROP TABLE graft.spj.b")
   }
+
+  test("partition-aligned DELETE is metadata-only; misaligned routes to the rewrite") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_pd").toString
+    spark.sql("DROP TABLE IF EXISTS graft.pd.t")
+    spark.sql("CREATE TABLE graft.pd.t (id BIGINT, grp STRING) " +
+      s"USING graft_kv PARTITIONED BY (grp) OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.pd.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(10)")
+    val before = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val aFiles = before.files.count(f =>
+      before.stats(f._1)("part:grp")._1 == "a")
+    spark.sql("DELETE FROM graft.pd.t WHERE grp = 'a'")
+    val after = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    // files dropped, none ADDED (a CoW rewrite would write replacements)
+    assert(after.files.length == before.files.length - aFiles)
+    assert(after.removed.length == before.removed.length + aFiles)
+    assert(spark.table("graft.pd.t").count() == 5L)
+    assert(spark.table("graft.pd.t").where("grp = 'a'").count() == 0L)
+    // pre-delete state reconstructs from retained history
+    assert(spark.sql("SELECT count(*) FROM graft.pd.t VERSION AS OF 0")
+      .head.getLong(0) == 10L)
+    // a predicate that does not align still deletes correctly (row-level)
+    spark.sql("DELETE FROM graft.pd.t WHERE id = 3")
+    assert(spark.table("graft.pd.t").count() == 4L)
+    // IN-list and null-rejecting shapes classify too
+    spark.sql("INSERT INTO graft.pd.t VALUES (CAST(100 AS BIGINT), NULL)")
+    spark.sql("DELETE FROM graft.pd.t WHERE grp IN ('b')")
+    assert(spark.table("graft.pd.t").collect().map(_.getLong(0)).toSeq ==
+      Seq(100L))
+    spark.sql("DELETE FROM graft.pd.t WHERE grp IS NULL")
+    assert(spark.table("graft.pd.t").count() == 0L)
+    spark.sql("DROP TABLE graft.pd.t")
+  }
 }
