@@ -1952,6 +1952,133 @@ object KeyRange {
         |FROM graft.kvq.o_pd GROUP BY o_orderstatus ORDER BY st""".stripMargin)
   }
 
+  /** A7-DSv2 judged: PARTITION-DISJOINT OPTIMISTIC CONCURRENCY — the
+    * conflict matrix resolves at partition/file granularity (the Delta
+    * rule): a write planned against snapshot V merges past a concurrent
+    * commit whenever the two provably touched DIFFERENT regions (replaced
+    * files intact, concurrently-added files contradicted by their
+    * partition tuples/stats), and refuses when they overlap (phantoms).
+    * At 100 TB this is the difference between "one maintenance job per
+    * table" and "one per partition": jobs deleting yesterday and
+    * compacting last month never queue behind each other. Deterministic
+    * in-query interleaving: a replaceWhere overwrite of the O region is
+    * PLANNED (snapshot captured), the F partition is dropped by a
+    * concurrent metadata DELETE, then the O overwrite commits — required
+    * to MERGE; a second overwrite of P planned before a row lands in P is
+    * required to REFUSE. The oracle replays both surviving deletes
+    * relationally. */
+  def kvDisjointCommit(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_disjoint"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.o_dj")
+    clearDir(tmp)
+    s.sql("CREATE TABLE graft.kvq.o_dj (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) USING graft_kv " +
+      s"PARTITIONED BY (o_orderstatus) OPTIONS (path '$tmp', epochs 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_dj_v")
+    s.sql("INSERT INTO graft.kvq.o_dj SELECT o_orderkey, o_orderstatus, " +
+      "o_totalprice FROM orders_dj_v")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    val one = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+      override def numPartitions(): Int = 1
+    }
+    def plannedDrop(status: String): graft.sources.GraftKvBatchWrite = {
+      val w = new graft.sources.GraftKvBatchWrite(tmp, schema,
+        replace = false, explicitEpoch = None,
+        partSpec = Seq("o_orderstatus"),
+        overwriteFilters = Some(Seq(
+          org.apache.spark.sql.sources.EqualTo("o_orderstatus", status))))
+      w.createBatchWriterFactory(one) // captures the optimistic snapshot
+      w
+    }
+    // disjoint: O-region overwrite planned, F dropped concurrently, O
+    // commits — MUST merge (both deletes land)
+    val wO = plannedDrop("O")
+    s.sql("DELETE FROM graft.kvq.o_dj WHERE o_orderstatus = 'F'")
+    wO.commit(Array.empty)
+    // overlap: P-region overwrite planned, a row lands IN P concurrently
+    // — MUST refuse (the planned overwrite never saw that row)
+    val wP = plannedDrop("P")
+    s.sql("INSERT INTO graft.kvq.o_dj VALUES (CAST(-1 AS BIGINT), 'P', " +
+      "CAST(0 AS DOUBLE))")
+    val refused =
+      try { wP.commit(Array.empty); false }
+      catch { case _: IllegalStateException => true }
+    require(refused, "overlapping partition overwrite must refuse")
+    require(s.table("graft.kvq.o_dj")
+      .where("o_orderstatus IN ('F', 'O')").count() == 0L,
+      "both disjoint deletes must have landed")
+    s.sql(
+      """SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM graft.kvq.o_dj WHERE o_orderkey >= 0
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin)
+  }
+
+  /** A2/A8 judged: TEMPORAL (hidden) partitioning — `days(ts)` over a kv
+    * TIMESTAMP column, the standard 100-TB fact-table layout. Three
+    * claims, all required in-query: (1) every file records its UTC day
+    * tuple; (2) the day-aligned retention DELETE ("drop everything
+    * before Jan 11") is a PURE manifest edit — file count shrinks by
+    * exactly the pre-horizon day files, nothing written; (3) a range
+    * predicate on the RAW timestamp (no derived column anywhere) plans
+    * only the in-range day files — Iceberg-style hidden partitioning,
+    * where the query author never knows the table is partitioned. The
+    * returned per-day aggregate carries min/max TIMESTAMPs, so the
+    * micros-exact time-type round trip is hash-gated against the
+    * oracle's replay of the retention predicate. */
+  def kvTimePartition(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_time"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.ev_time")
+    clearDir(tmp)
+    // TIMESTAMP_NTZ: the events surface's naive dtype (Tables.events), so
+    // the min/max timestamps hash exactly against the DuckDB oracle
+    s.sql("CREATE TABLE graft.kvq.ev_time (event_id BIGINT, " +
+      "ts TIMESTAMP_NTZ, user_id BIGINT, event_type STRING, value DOUBLE) " +
+      "USING graft_kv PARTITIONED BY (days(ts)) " +
+      s"OPTIONS (path '$tmp', epochs 'true')")
+    Tables.events(s, d).createOrReplaceTempView("events_time_v")
+    s.sql("INSERT INTO graft.kvq.ev_time SELECT event_id, ts, user_id, " +
+      "event_type, value FROM events_time_v")
+    val mf = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    require(mf.partitionSpec == Seq("days(ts)"), mf.partitionSpec)
+    def dayOf(m: graft.sources.GraftKvSink.Manifest, n: String): Long =
+      m.stats.getOrElse(n, Map.empty).getOrElse("part:days(ts)",
+        throw new IllegalStateException(s"untagged file $n"))._1.toLong
+    // day-aligned retention DELETE: epoch day 19733 = 2024-01-11T00:00Z
+    val dropped = mf.files.count(f => dayOf(mf, f._1) < 19733L)
+    s.sql("DELETE FROM graft.kvq.ev_time " +
+      "WHERE ts < TIMESTAMP_NTZ'2024-01-11 00:00:00'")
+    val after = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    require(dropped > 0 && after.files.length == mf.files.length - dropped &&
+      after.removed.length == mf.removed.length + dropped,
+      s"retention DELETE must be metadata-only (${mf.files.length} -> " +
+        s"${after.files.length}, expected to drop $dropped)")
+    // hidden-partition pruning on the raw timestamp (day 19742 = Jan 20)
+    val want = after.files.count(f => dayOf(after, f._1) >= 19742L)
+    val planned = new graft.sources.GraftKvScan(tmp, None,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("ts",
+        java.time.LocalDateTime.parse("2024-01-20T00:00:00"))))
+      .planInputPartitions().length
+    require(planned == want && want < after.files.length,
+      s"ts-range probe planned $planned of ${after.files.length} " +
+        s"(in-range day files: $want)")
+    s.sql(
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS day,
+        |  count(*) AS cnt, min(ts) AS first_ts, max(ts) AS last_ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM graft.kvq.ev_time GROUP BY CAST(ts AS DATE)
+        |ORDER BY day""".stripMargin)
+  }
+
   /** A12 judged: COMPACTION round trip — two batch writes (append merging
     * the manifest), then `GraftKvSink.compact` rewrites every epoch-0 file
     * into one behind the atomic manifest swap, and the judged aggregate
@@ -2522,6 +2649,8 @@ object KeyRange {
     "kv_partition_overwrite" -> (kvPartitionOverwrite _),
     "kv_spj" -> (kvSpj _),
     "kv_partition_delete" -> (kvPartitionDelete _),
+    "kv_time_partition" -> (kvTimePartition _),
+    "kv_disjoint_commit" -> (kvDisjointCommit _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
@@ -2635,6 +2764,22 @@ object KeyRange {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
         |FROM orders WHERE o_orderstatus <> 'P' AND o_orderkey % 10 <> 3
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    // both disjoint region-deletes replayed relationally (the overlap
+    // arm's refused overwrite and fenced -1 row excluded by key > 0)
+    "kv_disjoint_commit" ->
+      """SELECT o_orderstatus AS st, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderstatus NOT IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    // the retention horizon replayed relationally; min/max TIMESTAMP
+    // columns hash-gate the micros-exact time round trip
+    "kv_time_partition" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        |  count(*) AS cnt, min(ts) AS first_ts, max(ts) AS last_ts,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
+        |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
     // the co-partitioned enriching join, replayed relationally
     "kv_spj" ->
       """WITH st AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS st_cnt

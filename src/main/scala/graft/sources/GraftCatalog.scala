@@ -323,7 +323,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalo
     require(provider == "graft_kv" || provider == "graft_range",
       s"graft catalog supports USING graft_kv | graft_range, got '$provider'")
     // PARTITIONED BY: kv tables take the Iceberg transform family
-    // (identity, bucket(n, col), truncate(w, col)) — validated and
+    // (identity, bucket(n, col), truncate(w, col), and the temporal
+    // days/months/years/hours(col) over TIMESTAMP/DATE) — validated and
     // canonicalized here, persisted as the `partitionedby` option AND in
     // the manifest (createTable), so path-route writers split identically
     val pspec =

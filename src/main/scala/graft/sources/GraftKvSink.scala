@@ -41,7 +41,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    DuckDB-oracle-gated end to end (`dsv2_sink`).
   *
   * Encoding is deliberately simple — tab-separated text, one row per line,
-  * types limited to int/long/double/string, tabs/newlines rejected in
+  * types limited to int/long/double/string/timestamp/date (time types
+  * stored as their Catalyst-internal micros/days numbers, UTC-anchored,
+  * so ordering, stats pruning and the temporal partition transforms all
+  * reduce to long comparisons), tabs/newlines rejected in
   * strings. Longs and doubles round-trip exactly (shortest-decimal
   * toString/parse, the same property csv_ingest leans on). Paths go through
   * java.nio, which pins this demo to a shared/local filesystem; a cluster
@@ -378,8 +381,46 @@ object GraftKvSink {
   }
 
   private[sources] def supported(dt: DataType): Boolean = dt match {
-    case IntegerType | LongType | DoubleType | StringType => true
-    case _                                                => false
+    case IntegerType | LongType | DoubleType | StringType |
+         TimestampType | TimestampNTZType | DateType => true
+    case _                        => false
+  }
+
+  /** Canonical string image of a FILTER value for a column of type `dt` —
+    * the single conversion point between what Spark hands a connector and
+    * what the data files / stats / partition tuples store. Time-typed
+    * values arrive in three shapes: external java.sql objects (v1
+    * pushFilters, java8API off), external java.time objects (java8API
+    * on), and Catalyst-internal micros/days numbers (v2-translated
+    * predicates). All land on the file encoding: TIMESTAMP = micros
+    * since epoch (UTC), DATE = epoch days. */
+  private[sources] def canonValue(dt: DataType, v: Any): String = dt match {
+    case TimestampType => v match {
+      case t: java.sql.Timestamp =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t).toString
+      case i: java.time.Instant =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(i).toString
+      case l: java.lang.Long => l.toString // Catalyst-internal micros
+      case other             => String.valueOf(other)
+    }
+    case TimestampNTZType => v match {
+      case d: java.time.LocalDateTime => // external NTZ shape
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(d).toString
+      case l: java.lang.Long => l.toString // Catalyst-internal micros
+      case other             => String.valueOf(other)
+    }
+    case DateType => v match {
+      case d: java.sql.Date =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaDate(d).toString
+      case d: java.time.LocalDate => d.toEpochDay.toString
+      case i: java.lang.Integer   => i.toString // Catalyst-internal days
+      case other                  => String.valueOf(other)
+    }
+    case _ => String.valueOf(v)
   }
 
   private[graft] def manifestPath(dir: String): Path =
@@ -670,6 +711,11 @@ object GraftKvSink {
           val v = row.getInt(i); sb.append(v); observed(i) = v.toString
         case LongType =>
           val v = row.getLong(i); sb.append(v); observed(i) = v.toString
+        case TimestampType | TimestampNTZType =>
+          // Catalyst-internal micros since epoch (UTC / wall-clock)
+          val v = row.getLong(i); sb.append(v); observed(i) = v.toString
+        case DateType => // Catalyst-internal epoch days
+          val v = row.getInt(i); sb.append(v); observed(i) = v.toString
         case DoubleType =>
           val d = row.getDouble(i); sb.append(d); observed(i) = d.toString
         case StringType =>
@@ -696,10 +742,13 @@ object GraftKvSink {
       i: Int): String =
     if (row.isNullAt(i)) null
     else dt match {
-      case IntegerType => row.getInt(i).toString
-      case LongType    => row.getLong(i).toString
-      case DoubleType  => row.getDouble(i).toString
-      case StringType  => row.getUTF8String(i).toString
+      case IntegerType   => row.getInt(i).toString
+      case LongType      => row.getLong(i).toString
+      case TimestampType | TimestampNTZType =>
+        row.getLong(i).toString // internal micros
+      case DateType      => row.getInt(i).toString // internal epoch days
+      case DoubleType    => row.getDouble(i).toString
+      case StringType    => row.getUTF8String(i).toString
       case other => throw new IllegalStateException(s"unsupported $other")
     }
 
@@ -710,8 +759,9 @@ object GraftKvSink {
     * pruning order that disagrees with the engine's would silently drop
     * matching files. */
   private def le(dt: DataType, a: String, b: String): Boolean = dt match {
-    case IntegerType | LongType => a.toLong <= b.toLong
-    case DoubleType             => a.toDouble <= b.toDouble
+    case IntegerType | LongType |
+         TimestampType | TimestampNTZType | DateType => a.toLong <= b.toLong
+    case DoubleType               => a.toDouble <= b.toDouble
     case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
   }
 
@@ -733,7 +783,7 @@ object GraftKvSink {
     def contains(col: String, v: Any): Boolean =
       v != null && (rangeOf(col) match {
         case Some((dt, mn, mx)) =>
-          val s = String.valueOf(v)
+          val s = canonValue(dt, v)
           le(dt, mn, s) && le(dt, s, mx)
         case None => true
       })
@@ -742,13 +792,13 @@ object GraftKvSink {
       case In(c, vs)      => vs.exists(contains(c, _))
       // max > v  <=>  NOT (max <= v); min < v  <=>  NOT (v <= min)
       case GreaterThan(c, v) => v != null && rangeOf(c)
-        .forall { case (dt, _, mx) => !le(dt, mx, String.valueOf(v)) }
+        .forall { case (dt, _, mx) => !le(dt, mx, canonValue(dt, v)) }
       case GreaterThanOrEqual(c, v) => v != null && rangeOf(c)
-        .forall { case (dt, _, mx) => le(dt, String.valueOf(v), mx) }
+        .forall { case (dt, _, mx) => le(dt, canonValue(dt, v), mx) }
       case LessThan(c, v) => v != null && rangeOf(c)
-        .forall { case (dt, mn, _) => !le(dt, String.valueOf(v), mn) }
+        .forall { case (dt, mn, _) => !le(dt, canonValue(dt, v), mn) }
       case LessThanOrEqual(c, v) => v != null && rangeOf(c)
-        .forall { case (dt, mn, _) => le(dt, mn, String.valueOf(v)) }
+        .forall { case (dt, mn, _) => le(dt, mn, canonValue(dt, v)) }
       case And(l, r) => mayMatch(schema, stats, l) && mayMatch(schema, stats, r)
       case Or(l, r)  => mayMatch(schema, stats, l) || mayMatch(schema, stats, r)
       case _         => true
@@ -774,6 +824,10 @@ object GraftKvSink {
         case (IntegerType | LongType, n: java.lang.Number) =>
           bf.mightContainLong(n.longValue())
         case (StringType, s: String) => bf.mightContainString(s)
+        case (TimestampType | TimestampNTZType | DateType, _) =>
+          // blooms over time columns index the canonical micros/days long
+          try bf.mightContainLong(canonValue(field.dataType, v).toLong)
+          catch { case _: NumberFormatException => true }
         case _ => true
       }
     }).getOrElse(true)
@@ -2257,6 +2311,8 @@ final class GraftKvTable(dir: String, tableSchema: StructType,
           replaceFiles = Some(() =>
             Option(groupScan).map(_.visibleFiles).getOrElse(Seq.empty)),
           snapshot = () => Option(groupScan).map(_.plannedManifest),
+          readFilters = () =>
+            Option(groupScan).map(_.pushedFilterSeq).getOrElse(Nil),
           // keep the table's clustering invariant through CoW rewrites:
           // replacement files come out range-clustered like any insert
           sortCols = sortCols, sortBuckets = sortBuckets,
@@ -2818,7 +2874,13 @@ final class GraftKvScanBuilder(dir: String, asOf: Option[Long],
       if vDeltas.isEmpty
       field <- mf.schema.fields.find(_.name.equalsIgnoreCase(c))
       if visible.forall { case (n, _) =>
-        mf.stats.getOrElse(n, Map.empty).keys.exists(_.equalsIgnoreCase(c)) }
+        mf.stats.getOrElse(n, Map.empty).keys.exists(_.equalsIgnoreCase(c)) ||
+          // a file with a zero non-null counter provably contributes
+          // nothing to MIN/MAX (an all-null partition's file records no
+          // range) — skip it instead of declining the whole pushdown
+          mf.blooms.getOrElse(n, Map.empty)
+            .find(_._1.equalsIgnoreCase(GraftKvSink.CntKey + c))
+            .exists(_._2 == "0") }
     } yield field
     val specs = a.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(("count", StructField("count", LongType)))
@@ -2868,18 +2930,21 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
     if (ranges.isEmpty) null
     else {
       def less(a: String, b: String): Boolean = f.dataType match {
-        case IntegerType | LongType => a.toLong < b.toLong
-        case DoubleType             => a.toDouble < b.toDouble
+        case IntegerType | LongType |
+             TimestampType | TimestampNTZType | DateType => a.toLong < b.toLong
+        case DoubleType               => a.toDouble < b.toDouble
         case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
       }
       val s =
         if (kind == "min") ranges.map(_._1).reduce((a, b) => if (less(a, b)) a else b)
         else ranges.map(_._2).reduce((a, b) => if (less(a, b)) b else a)
       f.dataType match {
-        case IntegerType => s.toInt
-        case LongType    => s.toLong
-        case DoubleType  => s.toDouble
-        case _           => s
+        case IntegerType   => s.toInt
+        case LongType      => s.toLong
+        case TimestampType | TimestampNTZType => s.toLong // internal micros
+        case DateType      => s.toInt // internal epoch days
+        case DoubleType    => s.toDouble
+        case _             => s
       }
     }
   }
@@ -2950,7 +3015,10 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
     // maintenance writes (ZORDER) pre-shape their own distribution: keep
     // the per-tuple fanout split but add NO distribution requirement on
     // top (which would reshuffle the carefully built clustering away)
-    fanoutOnly: Boolean = false)
+    fanoutOnly: Boolean = false,
+    // a row-level operation's pushed READ filters — the conflict gate's
+    // disjointness evidence (see GraftKvBatchWrite.checkConflicts)
+    readFilters: () => Seq[org.apache.spark.sql.sources.Filter] = () => Nil)
   extends WriteBuilder with SupportsTruncate
   with org.apache.spark.sql.connector.write.SupportsOverwrite
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -2981,7 +3049,8 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
       override def toBatch: BatchWrite =
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
           snapshot, stampEpochs, checks, pspec,
-          overwriteFilters = overwriteBy, dynamicOverwrite = dynamicOv)
+          overwriteFilters = overwriteBy, dynamicOverwrite = dynamicOv,
+          readFilters = readFilters)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new GraftKvStreamingWrite(dir, schema, queryId, checks, pspec)
     }
@@ -3018,7 +3087,8 @@ final class GraftKvWriteBuilder(dir: String, schema: StructType,
       override def toBatch: BatchWrite =
         new GraftKvBatchWrite(dir, schema, replace, explicitEpoch, replaceFiles,
           snapshot, stampEpochs, checks, pspec,
-          overwriteFilters = overwriteBy, dynamicOverwrite = dynamicOv)
+          overwriteFilters = overwriteBy, dynamicOverwrite = dynamicOv,
+          readFilters = readFilters)
       override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new GraftKvStreamingWrite(dir, schema, queryId, checks, pspec)
     }
@@ -3272,7 +3342,11 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     overwriteFilters: Option[Seq[org.apache.spark.sql.sources.Filter]] = None,
     // dynamic partition overwrite: replace exactly the partitions the
     // committed files' tuples name
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    // the row-level operation's pushed READ filters (empty otherwise):
+    // the conflict gate's evidence that a concurrently-added file is
+    // provably outside this operation's read region
+    readFilters: () => Seq[org.apache.spark.sql.sources.Filter] = () => Nil)
   extends BatchWrite {
 
   // This write's identity: scopes task temp-file names (and the commit-time
@@ -3335,42 +3409,132 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         s"boundary ${m.rewrittenUpTo} — a pre-DML state must not gain rows")
   }
 
-  /** Delta/Iceberg-style conflict resolution, evaluated under the commit
-    * lock against the CURRENT manifest when the version advanced past this
-    * write's plan-time snapshot. Concurrent APPENDs merge (this commit
-    * simply folds its files into the newer state it re-read under the
-    * lock); a truncate/overwrite or a row-level replace planned against a
-    * stale version refuses — its task output was derived from (or replaces
-    * wholesale) a state that no longer exists. An append also refuses when
-    * files it saw at plan time have disappeared (a concurrent truncate,
-    * CoW rewrite, or compaction): that is no longer an append∥append race. */
-  private def checkConflicts(cur: Option[GraftKvSink.Manifest]): Unit = {
+  /** Delta/Iceberg-style conflict resolution at PARTITION/FILE
+    * granularity, evaluated under the commit lock against the CURRENT
+    * manifest when the version advanced past this write's plan-time
+    * snapshot:
+    *
+    *   - append ∥ append: MERGE (this commit folds its files into the
+    *     newer state it re-read under the lock); refuses only when files
+    *     it saw at plan time disappeared (truncate/rewrite/compaction).
+    *   - row-level rewrite ∥ provably-disjoint commit: MERGE — every file
+    *     this rewrite replaces is still present, no delta/boundary moved,
+    *     and every concurrently-ADDED file is provably outside this
+    *     operation's read region (its recorded partition tuple, min/max
+    *     stats, or bloom contradicts a pushed read filter — Delta's
+    *     partition-level ConcurrentAppend rule). Two jobs maintaining
+    *     DIFFERENT day partitions never conflict — the economics of
+    *     concurrent maintenance on a 100-TB table.
+    *   - row-level rewrite ∥ overlapping commit: REFUSE (the concurrent
+    *     rows were never scanned — phantoms).
+    *   - replaceWhere overwrite: same disjointness rule, region = the
+    *     overwrite predicate; concurrently-REMOVED files must also prove
+    *     outside the region (two disjoint replaceWhere jobs merge).
+    *   - dynamic partition overwrite: a concurrently-added file whose
+    *     tuple is among the partitions THIS overwrite replaces would be
+    *     silently swallowed — refuse; disjoint tuples merge.
+    *   - truncating overwrite planned stale: REFUSE always.
+    */
+  private def checkConflicts(cur: Option[GraftKvSink.Manifest],
+      committedTuples: => Set[Seq[String]]): Unit = {
     if (!plannedCaptured) return // no tasks planned (empty write): lock alone suffices
     val snapVer = planned.map(_.version).getOrElse(-1L)
     val curVer = cur.map(_.version).getOrElse(-1L)
     if (curVer == snapVer) return // no concurrent commit
-    def refuse(what: String): Nothing = throw new IllegalStateException(
-      s"graft_kv: concurrent commit detected at $dir — this $what was " +
-        s"planned against manifest version $snapVer but the table is now " +
-        s"at version $curVer; " +
-        (if (what == "append") "the concurrent commit removed files this " +
-          "append planned against (truncate/rewrite/compaction), so the " +
-          "states cannot merge; rerun the append"
-        else "rerun against the current state"))
-    if (replace && replaceFiles.isEmpty) refuse("truncating overwrite")
-    if (replaceFiles.isDefined) refuse("row-level rewrite")
-    if (overwriteFilters.isDefined || dynamicOverwrite)
-      refuse("partition overwrite")
-    // append∥append merges; anything that removed plan-time files refuses
+    def refuse(what: String, why: String): Nothing =
+      throw new IllegalStateException(
+        s"graft_kv: concurrent commit detected at $dir — this $what was " +
+          s"planned against manifest version $snapVer but the table is " +
+          s"now at version $curVer and $why; rerun against the current state")
+    if (replace && replaceFiles.isEmpty)
+      refuse("truncating overwrite", "a truncate replaces the whole state")
     val curFiles = cur.map(_.files.map(_._1).toSet).getOrElse(Set.empty)
     val curDeltas = cur.map(_.deltas.map(_.name).toSet).getOrElse(Set.empty)
+    val pFiles = planned.map(_.files.map(_._1).toSet).getOrElse(Set.empty)
+    val pDeltas = planned.map(_.deltas.map(_.name).toSet).getOrElse(Set.empty)
+    // the refined arms compare compactedUpTo only: a concurrent metadata
+    // DELETE or disjoint CoW advances rewrittenUpTo as a fencing boundary,
+    // but everything that boundary guards for whole-file groups is already
+    // caught by the file-set checks below (replaced files intact, added/
+    // removed files provably outside the region); compaction renames
+    // files, so it is caught twice over
+    val compactedSame = (planned, cur) match {
+      case (Some(p), Some(c)) => p.compactedUpTo == c.compactedUpTo
+      case _ => planned.isEmpty
+    }
+    val added = curFiles -- pFiles
+    val removed = pFiles -- curFiles
+    // every named file PROVABLY holds no row satisfying the conjunction
+    // `fs` (some conjunct contradicted by its tuple, stats or bloom) —
+    // judged against the manifest `m` that records those files
+    def provablyOutside(m: Option[GraftKvSink.Manifest], names: Set[String],
+        fs: Seq[org.apache.spark.sql.sources.Filter]): Boolean =
+      fs.nonEmpty && (names.isEmpty || m.exists { mm =>
+        val cache = scala.collection.mutable.HashMap
+          .empty[String, Option[GraftPartition.PTransform]]
+        names.forall { n =>
+          val st = mm.stats.getOrElse(n, Map.empty)
+          lazy val bl = mm.blooms.getOrElse(n, Map.empty)
+          val parts = GraftPartition.filePartsOf(st)
+          lazy val spec = GraftPartition.fileSpecOf(parts, mm.schema, cache)
+          fs.exists(f => !GraftKvSink.mayMatch(mm.schema, st, f) ||
+            !GraftKvSink.bloomMayMatch(mm.schema, bl, f) ||
+            (parts.nonEmpty && !GraftPartition.mayMatch(spec, parts, f)))
+        }
+      })
+    if (replaceFiles.isDefined) {
+      val repl = replaceFiles.get().toSet
+      val rfs = readFilters()
+      val ok = compactedSame &&
+        curDeltas == pDeltas && // a concurrent MOR overlay may mask our rows
+        repl.subsetOf(curFiles) && // nothing this rewrite replaces was touched
+        (added.isEmpty || provablyOutside(cur, added, rfs)) &&
+        // rows this operation READ must not have been concurrently
+        // deleted either (Delta's ConcurrentDeleteRead rule) — files
+        // removed outside the read region are fine
+        (removed.isEmpty || provablyOutside(planned, removed, rfs))
+      if (!ok) refuse("row-level rewrite",
+        "the concurrent commit touched files or regions this operation " +
+          "read or replaces (a provably-disjoint commit merges)")
+      return
+    }
+    if (overwriteFilters.isDefined) {
+      val fs = overwriteFilters.get
+      val ok = compactedSame && curDeltas == pDeltas &&
+        (added.isEmpty || provablyOutside(cur, added, fs)) &&
+        (removed.isEmpty || provablyOutside(planned, removed, fs))
+      if (!ok) refuse("partition overwrite",
+        "the concurrent commit touched the replaced region (a commit " +
+          "provably outside the overwrite predicate merges)")
+      return
+    }
+    if (dynamicOverwrite) {
+      val keys = cur.map(_.partitionSpec).getOrElse(Nil)
+        .map(GraftPartition.PartKey + _)
+      val mine = committedTuples
+      val ok = compactedSame && curDeltas == pDeltas && removed.isEmpty &&
+        keys.nonEmpty && cur.exists { c =>
+          added.forall { n =>
+            val st = c.stats.getOrElse(n, Map.empty)
+            val tup = keys.map(k => st.get(k).map(_._1))
+            tup.forall(_.isDefined) && !mine.contains(tup.flatten)
+          }
+        }
+      if (!ok) refuse("dynamic partition overwrite",
+        "the concurrent commit landed in a partition this overwrite " +
+          "replaces (commits into other partitions merge)")
+      return
+    }
+    // append∥append merges; anything that removed plan-time files refuses
     val ok = planned.forall { p =>
       p.files.map(_._1).forall(curFiles.contains) &&
         p.deltas.map(_.name).forall(curDeltas.contains) &&
         cur.exists(c => c.compactedUpTo == p.compactedUpTo &&
           c.rewrittenUpTo == p.rewrittenUpTo)
     }
-    if (!ok) refuse("append")
+    if (!ok) refuse("append",
+      "the concurrent commit removed files this append planned against " +
+        "(truncate/rewrite/compaction), so the states cannot merge")
     // an explicit epoch stamp must also be unclaimed in the CURRENT state
     // (two concurrent writers racing the same epoch: first wins, second
     // refuses here instead of silently double-publishing the epoch)
@@ -3390,15 +3554,25 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
     val mfCur = GraftKvSink.manifestPath(dir)
     val curM: Option[GraftKvSink.Manifest] =
       if (Files.exists(mfCur)) Some(GraftKvSink.readManifest(mfCur)) else None
-    checkConflicts(curM)
     // empty task files are never published (an empty partition's writer
     // still opened one) — a 0-row file would carry no stats/blooms and
-    // survive every pruning pass for nothing
+    // survive every pruning pass for nothing. Flattening before the gate
+    // publishes nothing (temp files stay invisible); the gate's dynamic-
+    // overwrite arm needs the committed tuples to judge disjointness.
     val committed0 = GraftKvCommit.flatten(messages)
       .filter { m =>
         if (m.rows == 0L) Files.deleteIfExists(Paths.get(dir, m.tmpName))
         m.rows > 0L
       }
+    checkConflicts(curM, {
+      val keys = curM.map(_.partitionSpec).getOrElse(Nil)
+        .map(GraftPartition.PartKey + _)
+      committed0.flatMap(c => {
+        val tup = keys.map(k => c.stats.get(k).map(_._1))
+        if (tup.nonEmpty && tup.forall(_.isDefined)) Some(tup.flatten)
+        else None
+      }).toSet
+    })
     // If the table already carries epoch history (a streaming writer), a
     // batch APPEND must join that history: epoch-less files read as epoch
     // 0 in the micro-batch stream, so a reader checkpointed past 0 would
@@ -3413,10 +3587,18 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       else {
         val m0 = curM.get
         // delta epochs count too: an append stamped at-or-below a delta's
-        // epoch would make asOfEpoch reads non-monotonic
+        // epoch would make asOfEpoch reads non-monotonic. RETAINED-history
+        // boundaries count just as much: a metadata DELETE publishes its
+        // removals at removedAt = e (and fences rewrittenUpTo = e) without
+        // any live file carrying e — reusing e for the next commit would
+        // make boundary-state e ambiguous (visibleFilesAt(e) silently
+        // flips from "before this commit" to "after").
         val names = m0.files.map(_._1) ++ m0.deltas.map(_.name)
-        if (names.exists(n => GraftKvSink.baseName(n).startsWith("epoch-")))
-          Some(names.map(GraftKvSink.epochOf).max + 1L)
+        val boundaries = m0.removed.map(_.removedAt) ++
+          Seq(m0.rewrittenUpTo, m0.compactedUpTo).filter(_ >= 0L)
+        if (names.exists(n => GraftKvSink.baseName(n).startsWith("epoch-")) ||
+          boundaries.nonEmpty)
+          Some((names.map(GraftKvSink.epochOf) ++ boundaries).max + 1L)
         else if (stampEpochs)
           // epoch-less files read as epoch 0, so the first stamped append
           // to such a history orders strictly after them
@@ -3638,7 +3820,8 @@ final class GraftKvWriter(dir: String, schema: StructType,
   // point-lookup pruner for value sets whose RANGES overlap across files
   private val blooms = schema.fields.map { f =>
     f.dataType match {
-      case IntegerType | LongType | StringType =>
+      case IntegerType | LongType | StringType |
+           TimestampType | TimestampNTZType | DateType =>
         org.apache.spark.util.sketch.BloomFilter
           .create(GraftKvSink.BloomItems, GraftKvSink.BloomFpp)
       case _ => null
@@ -3655,7 +3838,9 @@ final class GraftKvWriter(dir: String, schema: StructType,
     val dt = schema(i).dataType
     // string order = UTF8String binary order, matching the scan-side `le`
     val lower = dt match {
-      case IntegerType | LongType => (a: String, b: String) => a.toLong < b.toLong
+      case IntegerType | LongType |
+           TimestampType | TimestampNTZType | DateType =>
+        (a: String, b: String) => a.toLong < b.toLong
       case DoubleType             => (a: String, b: String) => a.toDouble < b.toDouble
       case _ => (a: String, b: String) =>
         UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
@@ -3677,7 +3862,8 @@ final class GraftKvWriter(dir: String, schema: StructType,
         nonNull(i) += 1L
         if (schema(i).dataType == StringType) strLen(i) += utf8Len.toLong
         schema(i).dataType match {
-          case IntegerType | LongType =>
+          case IntegerType | LongType | TimestampType | TimestampNTZType |
+               DateType =>
             observe(i, v)
             if (blooms(i) != null) blooms(i).putLong(v.toLong)
           case DoubleType =>
@@ -3769,6 +3955,12 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     * write-factory time: a commit landing in that gap would otherwise be
     * invisible to the gate and two concurrent DMLs could both publish. */
   private[sources] def plannedManifest: GraftKvSink.Manifest = manifest
+  /** The pushed read filters — a row-level operation's write hands these
+    * to the commit-time conflict gate: a concurrently-added file PROVABLY
+    * outside this read region (by tuple/stats/bloom) cannot be a phantom,
+    * so disjoint-partition DMLs merge instead of refusing. */
+  private[sources] def pushedFilterSeq: Seq[org.apache.spark.sql.sources.Filter] =
+    filters
   // vacuumed history and never-committed epochs are unanswerable — error,
   // never partial rows or a silently-moving "pinned" state
   asOfEpoch.foreach(GraftKvSink.requireAnswerableEpoch(manifest, _))
@@ -3934,10 +4126,13 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
                     val raw =
                       if (v.startsWith("\\")) v.substring(1) else v
                     t.asInstanceOf[GraftPartition.PIdentity].dt match {
-                      case IntegerType => raw.toInt
-                      case LongType    => raw.toLong
-                      case DoubleType  => raw.toDouble
-                      case _           => UTF8String.fromString(raw)
+                      case IntegerType   => raw.toInt
+                      case LongType      => raw.toLong
+                      case TimestampType | TimestampNTZType =>
+                        raw.toLong // internal micros
+                      case DateType      => raw.toInt // internal days
+                      case DoubleType    => raw.toDouble
+                      case _             => UTF8String.fromString(raw)
                     }
                   }
                 })
@@ -4072,9 +4267,12 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
             case IntegerType => Some((
               Int.box(ranges.map(_._1.toInt).min),
               Int.box(ranges.map(_._2.toInt).max)))
-            case LongType => Some((
+            case LongType | TimestampType | TimestampNTZType => Some((
               Long.box(ranges.map(_._1.toLong).min),
               Long.box(ranges.map(_._2.toLong).max)))
+            case DateType => Some((
+              Int.box(ranges.map(_._1.toInt).min),
+              Int.box(ranges.map(_._2.toInt).max)))
             case DoubleType => Some((
               Double.box(ranges.map(_._1.toDouble).min),
               Double.box(ranges.map(_._2.toDouble).max)))
@@ -4518,10 +4716,13 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
               val v = parts(srcIdx(o))
               if (v == "\\N") null
               else f.dataType match {
-                case IntegerType => v.toInt
-                case LongType    => v.toLong
-                case DoubleType  => v.toDouble
-                case StringType  =>
+                case IntegerType   => v.toInt
+                case LongType      => v.toLong
+                case TimestampType | TimestampNTZType =>
+                  v.toLong // internal micros
+                case DateType      => v.toInt // internal epoch days
+                case DoubleType    => v.toDouble
+                case StringType    =>
                   UTF8String.fromString(
                     if (v.startsWith("\\")) v.substring(1) else v)
                 case dt => throw new IllegalStateException(s"unsupported $dt")

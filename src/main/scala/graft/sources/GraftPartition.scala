@@ -5,8 +5,10 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Declarative partitioning for graft_kv tables — the Iceberg partition-
-  * transform family (identity, bucket(n, col), truncate(w, col)) adapted
-  * to the connector's type system (int/long/double/string).
+  * transform family (identity, bucket(n, col), truncate(w, col), and the
+  * temporal transforms days/months/years/hours over TIMESTAMP/DATE
+  * columns) adapted to the connector's type system
+  * (int/long/double/string/timestamp/date).
   *
   * The layout contract is Iceberg's, not Hive's: partition values live in
   * the MANIFEST (per-file `part:<transform>` entries in the stats map),
@@ -36,6 +38,11 @@ object GraftPartition {
 
   sealed trait PTransform {
     def source: String
+    /** the source column's type — every transform needs it to
+      * canonicalize FILTER values (external java.sql/java.time objects or
+      * Catalyst-internal micros/days longs) into the same string encoding
+      * the data files use. */
+    def dt: DataType
     /** canonical spec string, e.g. "c", "bucket(4,c)", "truncate(7,c)" */
     def key: String
     /** transform output for an encoded source value (null input = SQL
@@ -44,6 +51,17 @@ object GraftPartition {
     /** is p (a recorded tuple value) <= q in the transform's output
       * order? Only meaningful for monotonic transforms. */
     def monotonic: Boolean
+    /** A FLOOR transform maps each source value to the minimum of a
+      * contiguous bucket (truncate on ints, days/months/years/hours on
+      * time types): `t(r) < t(v)` then implies `r < v` and `t(r) > t(v)`
+      * implies `r > v`, which is what lets [[allMatch]] prove a whole
+      * file inside a RANGE predicate — the metadata-only retention
+      * DELETE ("drop everything before day X") at 100 TB. */
+    def floorBucket: Boolean = false
+    /** For floor transforms: is the (canonicalized) comparison value
+      * exactly at its bucket's lower boundary? At a boundary,
+      * `t(r) >= t(v)` additionally proves `r >= v`. */
+    def alignedAt(canon: String): Boolean = false
     def statsKey: String = PartKey + key
   }
 
@@ -52,15 +70,67 @@ object GraftPartition {
     def apply(enc: String): String =
       if (enc == null) "\\N" else GraftPartition.esc(enc)
     val monotonic = true
+    // identity is the degenerate floor: every bucket holds exactly one
+    // value, so every value sits at (and is) its bucket boundary
+    override val floorBucket = true
+    override def alignedAt(canon: String): Boolean = true
   }
 
-  final case class PBucket(n: Int, source: String) extends PTransform {
+  final case class PBucket(n: Int, source: String, dt: DataType)
+    extends PTransform {
     require(n > 0, s"graft_kv: bucket count must be > 0, got $n")
     val key: String = s"bucket($n,$source)"
     def apply(enc: String): String =
       if (enc == null) "\\N" else bucketOf(enc, n).toString
     val monotonic = false
   }
+
+  /** Iceberg's temporal transforms: UTC bucket ordinals from the
+    * connector's canonical time encodings (TIMESTAMP = Catalyst micros,
+    * DATE = epoch days). All are monotonic floors, so range predicates
+    * both prune ([[mayMatch]]) and prove whole-file containment
+    * ([[allMatch]]). `hours` applies to TIMESTAMP only (a date has no
+    * sub-day resolution — the Iceberg rule). */
+  final case class PTime(unit: String, source: String, dt: DataType)
+    extends PTransform {
+    val key: String = s"$unit($source)"
+    private def micros(enc: String): Long = dt match {
+      case DateType => enc.toLong * MicrosPerDay // days -> UTC midnight
+      case _        => enc.toLong // TIMESTAMP / TIMESTAMP_NTZ micros
+    }
+    private def bucket(enc: String): Long = {
+      val us = micros(enc)
+      unit match {
+        case "hours" => java.lang.Math.floorDiv(us, 3600000000L)
+        case "days"  => java.lang.Math.floorDiv(us, MicrosPerDay)
+        case _ =>
+          val d = java.time.LocalDate.ofEpochDay(
+            java.lang.Math.floorDiv(us, MicrosPerDay))
+          val months = (d.getYear - 1970) * 12 + (d.getMonthValue - 1)
+          if (unit == "months") months.toLong
+          else java.lang.Math.floorDiv(months.toLong, 12L) // years
+      }
+    }
+    def apply(enc: String): String =
+      if (enc == null) "\\N" else bucket(enc).toString
+    val monotonic = true
+    override val floorBucket = true
+    override def alignedAt(canon: String): Boolean = {
+      val us = micros(canon)
+      unit match {
+        case "hours" => java.lang.Math.floorMod(us, 3600000000L) == 0L
+        case "days"  => java.lang.Math.floorMod(us, MicrosPerDay) == 0L
+        case _ =>
+          java.lang.Math.floorMod(us, MicrosPerDay) == 0L && {
+            val d = java.time.LocalDate.ofEpochDay(
+              java.lang.Math.floorDiv(us, MicrosPerDay))
+            d.getDayOfMonth == 1 && (unit == "months" || d.getMonthValue == 1)
+          }
+      }
+    }
+  }
+
+  private val MicrosPerDay = 86400000000L
 
   final case class PTruncate(w: Int, source: String, dt: DataType)
     extends PTransform {
@@ -79,6 +149,15 @@ object GraftPartition {
             else enc.substring(0, enc.offsetByCodePoints(0, w)))
       }
     val monotonic = true
+    // numeric truncation floors to w-sized ranges; string truncation is a
+    // PREFIX, not a floor over a total order with gaps — ranges prune but
+    // never prove containment
+    override val floorBucket: Boolean = dt match {
+      case IntegerType | LongType => true
+      case _                      => false
+    }
+    override def alignedAt(canon: String): Boolean = floorBucket &&
+      java.lang.Math.floorMod(canon.toLong, w.toLong) == 0L
   }
 
   /** A real string value beginning with a backslash doubles its LEAD
@@ -134,12 +213,18 @@ object GraftPartition {
 
   private val BucketRe = """(?i)bucket\s*\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
   private val TruncRe = """(?i)truncate\s*\(\s*(\d+)\s*,\s*([^)]+?)\s*\)""".r
+  private val TimeRe = """(?i)(days|months|years|hours)\s*\(\s*([^)]+?)\s*\)""".r
 
   def parseOne(s: String, schema: StructType): PTransform = s.trim match {
-    case BucketRe(n, c) => validated(PBucket(n.toInt, colOf(c, schema)._1))
+    case BucketRe(n, c) =>
+      val (name, dt) = colOf(c, schema)
+      validated(PBucket(n.toInt, name, dt))
     case TruncRe(w, c) =>
       val (name, dt) = colOf(c, schema)
       validated(PTruncate(w.toInt, name, dt))
+    case TimeRe(u, c) =>
+      val (name, dt) = colOf(c, schema)
+      validated(PTime(u.toLowerCase, name, dt))
     case c =>
       val (name, dt) = colOf(c, schema)
       PIdentity(name, dt)
@@ -154,9 +239,19 @@ object GraftPartition {
   }
 
   private def validated(t: PTransform): PTransform = t match {
-    case PTruncate(_, _, DoubleType) => throw new IllegalArgumentException(
-      s"graft_kv: truncate() does not apply to double column '${t.source}'")
-    case PBucket(_, _) => t // bucket hashes the canonical encoding: any type
+    case PTruncate(_, _,
+        DoubleType | TimestampType | TimestampNTZType | DateType) =>
+      throw new IllegalArgumentException(
+        s"graft_kv: truncate() does not apply to ${t.dt.simpleString} " +
+          s"column '${t.source}' (use days/months/years/hours for time)")
+    case PTime("hours", _, DateType) => throw new IllegalArgumentException(
+      s"graft_kv: hours() needs a TIMESTAMP column, '${t.source}' is a DATE")
+    case PTime(_, _, dt) if dt != TimestampType &&
+        dt != TimestampNTZType && dt != DateType =>
+      throw new IllegalArgumentException(
+        s"graft_kv: ${t.key} needs a TIMESTAMP or DATE column, " +
+          s"'${t.source}' is ${dt.simpleString}")
+    case PBucket(_, _, _) => t // bucket hashes the canonical encoding: any type
     case _ => t
   }
 
@@ -177,9 +272,16 @@ object GraftPartition {
         case "identity" => col
         case "bucket"   => s"bucket($intArg,$col)"
         case "truncate" => s"truncate($intArg,$col)"
+        case u @ ("days" | "months" | "years" | "hours" | "day" | "month" |
+                  "year" | "hour") =>
+          // Spark parses both spellings (days(c) and day(c)); canonical
+          // spec uses the plural Iceberg names
+          val unit = if (u.endsWith("s")) u else u + "s"
+          s"$unit($col)"
         case other => throw new UnsupportedOperationException(
           s"graft_kv: unsupported partition transform '$other' — " +
-            "supported: identity, bucket(n, col), truncate(w, col)")
+            "supported: identity, bucket(n, col), truncate(w, col), " +
+            "days/months/years/hours(col)")
       }
       parseOne(spec, schema).key // validate + canonicalize
     }
@@ -188,29 +290,45 @@ object GraftPartition {
   def toTransforms(spec: Seq[String], schema: StructType): Array[Transform] =
     parse(spec, schema).map {
       case PIdentity(c, _)      => Expressions.identity(c)
-      case PBucket(n, c)        => Expressions.bucket(n, c)
+      case PBucket(n, c, _)     => Expressions.bucket(n, c)
       case PTruncate(w, c, _) => Expressions.apply("truncate",
         Expressions.literal(w), Expressions.column(c))
+      case PTime(u, c, _) => Expressions.apply(u, Expressions.column(c))
     }.toArray
 
   /** Typed "a <= b" in the transform's OUTPUT order (numbers for numeric
-    * truncation/identity, UTF8 binary order for strings — matching the
-    * stats pruner's `le`). */
+    * truncation/identity/time buckets, UTF8 binary order for strings —
+    * matching the stats pruner's `le`). */
   private def le(t: PTransform, a: String, b: String): Boolean = {
     val numeric = t match {
-      case PIdentity(_, IntegerType | LongType)   => true
+      case PIdentity(_, IntegerType | LongType | TimestampType |
+                        TimestampNTZType | DateType) => true
       case PIdentity(_, DoubleType)               => return a.toDouble <= b.toDouble
       case PTruncate(_, _, IntegerType | LongType) => true
+      case PTime(_, _, _)                           => true
       case _                                       => false
     }
     if (numeric) a.toLong <= b.toLong
     else UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
   }
 
+  /** A filter value's canonical string image for transform input —
+    * time-typed values arrive as EXTERNAL java.sql/java.time objects on
+    * the v1 pushFilters route and as Catalyst-INTERNAL micros/days
+    * numbers on the v2-translated route; both must land on the encoding
+    * the data files carry ([[GraftKvSink.canonValue]]). */
+  private def canon(t: PTransform, v: Any): String =
+    GraftKvSink.canonValue(t.dt, v)
+
   /** Does EVERY row of a file with recorded tuple `parts` satisfy the
-    * filter? The partition-overwrite classifier's "drop this whole file"
-    * proof — only IDENTITY transforms prove it (a bucket residue or
-    * truncated range equality says nothing about individual values).
+    * filter? The partition-overwrite / metadata-DELETE classifier's
+    * "drop this whole file" proof. EQUALITY proofs need an IDENTITY
+    * transform (a bucket residue or floored range equality says nothing
+    * about individual values); RANGE proofs extend to every FLOOR
+    * transform — a file whose days(ts) bucket sits strictly below the
+    * probe's bucket is wholly `ts < v`, which is what makes
+    * `DELETE WHERE ts < <horizon>` on a days-partitioned table a pure
+    * manifest edit (the 100 TB retention path reads zero data files).
     * Conservative: false whenever unprovable. */
   def allMatch(spec: Seq[PTransform], parts: Map[String, String],
       f: org.apache.spark.sql.sources.Filter): Boolean = {
@@ -220,28 +338,47 @@ object GraftPartition {
         case t @ PIdentity(srcName, _) if srcName.equalsIgnoreCase(col) =>
           parts.get(t.statsKey).map(t -> _)
       }.flatten
+    // the first floor transform on the column with a recorded tuple (an
+    // identity one, if present, proves the most — but any floor suffices
+    // for the arms below, and a file records one tuple per transform)
+    def floor(col: String): Option[(PTransform, String)] =
+      spec.collectFirst {
+        case t if t.floorBucket && t.source.equalsIgnoreCase(col) &&
+          parts.contains(t.statsKey) => (t, parts(t.statsKey))
+      }
     def eq(col: String, v: Any): Boolean =
       v != null && ident(col).exists { case (t, p) =>
-        p != "\\N" && p == t.apply(String.valueOf(v)) }
+        p != "\\N" && p == t.apply(canon(t, v)) }
     f match {
       case EqualTo(c, v)       => eq(c, v)
       case EqualNullSafe(c, v) =>
         if (v == null) ident(c).exists(_._2 == "\\N") else eq(c, v)
       case In(c, vs)           => vs.nonEmpty && vs.forall(_ != null) &&
         ident(c).exists { case (t, p) =>
-          p != "\\N" && vs.exists(v => p == t.apply(String.valueOf(v))) }
+          p != "\\N" && vs.exists(v => p == t.apply(canon(t, v))) }
       case IsNull(c)           => ident(c).exists(_._2 == "\\N")
       case IsNotNull(c)        => ident(c).exists(_._2 != "\\N")
-      case GreaterThan(c, v) => v != null && ident(c).exists { case (t, p) =>
-        p != "\\N" && le(t, t.apply(String.valueOf(v)), p) &&
-          p != t.apply(String.valueOf(v)) }
-      case GreaterThanOrEqual(c, v) => v != null && ident(c).exists {
-        case (t, p) => p != "\\N" && le(t, t.apply(String.valueOf(v)), p) }
-      case LessThan(c, v) => v != null && ident(c).exists { case (t, p) =>
-        p != "\\N" && le(t, p, t.apply(String.valueOf(v))) &&
-          p != t.apply(String.valueOf(v)) }
-      case LessThanOrEqual(c, v) => v != null && ident(c).exists {
-        case (t, p) => p != "\\N" && le(t, p, t.apply(String.valueOf(v))) }
+      // floor-bucket range proofs: every row r in the file has t(r) = p.
+      //   p > t(v)              ⟹ r > v   (strict floor monotonicity)
+      //   p == t(v), v aligned  ⟹ r >= bucket-min = v
+      //   p < t(v)              ⟹ r < v
+      //   p == t(v), unit bucket⟹ r == v  (identity only, for <=)
+      case GreaterThan(c, v) => v != null && floor(c).exists { case (t, p) =>
+        p != "\\N" && { val bv = t.apply(canon(t, v))
+          le(t, bv, p) && p != bv } }
+      case GreaterThanOrEqual(c, v) => v != null && floor(c).exists {
+        case (t, p) => p != "\\N" && { val cv = canon(t, v)
+          val bv = t.apply(cv)
+          le(t, bv, p) && (p != bv || t.alignedAt(cv)) } }
+      case LessThan(c, v) => v != null && floor(c).exists { case (t, p) =>
+        p != "\\N" && { val bv = t.apply(canon(t, v))
+          le(t, p, bv) && p != bv } }
+      case LessThanOrEqual(c, v) => v != null && floor(c).exists {
+        case (t, p) => p != "\\N" && { val bv = t.apply(canon(t, v))
+          // at p == t(v) only identity's unit bucket bounds rows above by
+          // v; a wider bucket may hold rows past v
+          (le(t, p, bv) && p != bv) ||
+            (p == bv && t.isInstanceOf[PIdentity]) } }
       case And(l, r) => allMatch(spec, parts, l) && allMatch(spec, parts, r)
       case Or(l, r)  => allMatch(spec, parts, l) || allMatch(spec, parts, r)
       case Not(inner) => !mayMatch(spec, parts, inner) // no row CAN match it
@@ -327,6 +464,18 @@ object GraftPartition {
     def lit(v: Any): String = v match {
       case null      => "NULL"
       case s: String => "'" + s.replace("'", "''") + "'"
+      // time values render zone-free: timestamp_micros() takes the exact
+      // canonical micros (a TIMESTAMP '…' literal would re-parse in the
+      // session zone), DATE literals are calendar-exact by construction
+      case t: java.sql.Timestamp =>
+        s"timestamp_micros(${org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)}L)"
+      case i: java.time.Instant =>
+        s"timestamp_micros(${org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)}L)"
+      case d: java.sql.Date => s"DATE '${java.time.LocalDate.ofEpochDay(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d).toLong)}'"
+      case d: java.time.LocalDate => s"DATE '$d'"
+      case d: java.time.LocalDateTime => // external TIMESTAMP_NTZ shape
+        s"timestamp_ntz '"+d.toString.replace('T', ' ')+"'"
       case other     => String.valueOf(other)
     }
     f match {
@@ -361,7 +510,7 @@ object GraftPartition {
         .flatMap(t => parts.get(t.statsKey).map(t -> _))
     def couldEqual(col: String, v: Any): Boolean =
       v != null && relevant(col).forall { case (t, p) =>
-        p != "\\N" && p == t.apply(String.valueOf(v))
+        p != "\\N" && p == t.apply(canon(t, v))
       }
     f match {
       case EqualTo(c, v)       => couldEqual(c, v)
@@ -373,18 +522,18 @@ object GraftPartition {
       case IsNotNull(c)        => relevant(c).forall(_._2 != "\\N")
       // monotonic transforms order-prune: row > v implies t(row) >= t(v)
       case GreaterThan(c, v) => v != null && relevant(c).forall { case (t, p) =>
-        !t.monotonic || (p != "\\N" && le(t, t.apply(String.valueOf(v)), p))
+        !t.monotonic || (p != "\\N" && le(t, t.apply(canon(t, v)), p))
       }
       case GreaterThanOrEqual(c, v) => v != null && relevant(c).forall {
         case (t, p) =>
-          !t.monotonic || (p != "\\N" && le(t, t.apply(String.valueOf(v)), p))
+          !t.monotonic || (p != "\\N" && le(t, t.apply(canon(t, v)), p))
       }
       case LessThan(c, v) => v != null && relevant(c).forall { case (t, p) =>
-        !t.monotonic || (p != "\\N" && le(t, p, t.apply(String.valueOf(v))))
+        !t.monotonic || (p != "\\N" && le(t, p, t.apply(canon(t, v))))
       }
       case LessThanOrEqual(c, v) => v != null && relevant(c).forall {
         case (t, p) =>
-          !t.monotonic || (p != "\\N" && le(t, p, t.apply(String.valueOf(v))))
+          !t.monotonic || (p != "\\N" && le(t, p, t.apply(canon(t, v))))
       }
       case And(l, r) => mayMatch(spec, parts, l) && mayMatch(spec, parts, r)
       case Or(l, r)  => mayMatch(spec, parts, l) || mayMatch(spec, parts, r)

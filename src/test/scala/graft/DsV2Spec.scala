@@ -2222,4 +2222,219 @@ class DsV2Spec extends SparkSpec {
     assert(spark.table("graft.pd.t").count() == 0L)
     spark.sql("DROP TABLE graft.pd.t")
   }
+
+  test("temporal partitioning: TIMESTAMP/DATE columns, days() pruning, " +
+    "metadata retention DELETE, time-range replaceWhere") {
+    import graft.sources.{GraftKvScan, GraftKvSink, GraftPartition}
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types._
+    // transform math straight from the parser: UTC buckets, floor
+    // semantics (negatives round DOWN, the Iceberg rule)
+    val sch = StructType(Seq(StructField("ts", TimestampType),
+      StructField("d", DateType)))
+    val days = GraftPartition.parseOne("days(ts)", sch)
+    assert(days.key == "days(ts)")
+    assert(days.apply("1709251200000000") == "19783") // 2024-03-01T00:00Z
+    assert(days.apply("-1") == "-1") // 1969-12-31T23:59:59.999999Z floors DOWN
+    assert(days.apply(null) == "\\N")
+    assert(days.alignedAt("1709251200000000") && !days.alignedAt("-1"))
+    assert(GraftPartition.parseOne("months(ts)", sch)
+      .apply("1709251200000000") == "650") // (2024-1970)*12 + 2
+    assert(GraftPartition.parseOne("years(ts)", sch)
+      .apply("1709251200000000") == "54")
+    assert(GraftPartition.parseOne("hours(ts)", sch)
+      .apply("1709251200000000") == "474792")
+    assert(GraftPartition.parseOne("days(d)", sch).apply("19783") == "19783")
+    assert(GraftPartition.parseOne("months(d)", sch).apply("19783") == "650")
+    intercept[IllegalArgumentException](GraftPartition.parseOne("hours(d)", sch))
+    intercept[IllegalArgumentException](GraftPartition.parseOne("truncate(3,ts)", sch))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_time").toString
+    spark.sql("DROP TABLE IF EXISTS graft.tt.t")
+    spark.sql("CREATE TABLE graft.tt.t (id BIGINT, ts TIMESTAMP, d DATE, " +
+      "v DOUBLE) USING graft_kv PARTITIONED BY (days(ts)) " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    // six UTC days (2024-03-01..06) x 8 rows, ts offset = id seconds,
+    // plus one NULL-ts row routed to the "\\N" tuple
+    spark.sql("INSERT INTO graft.tt.t SELECT id, " +
+      "timestamp_micros(1709251200000000 + (id % 6) * 86400000000 + " +
+      "id * 1000000), date_add(DATE'2024-03-01', CAST(id % 4 AS INT)), " +
+      "CAST(id AS DOUBLE) FROM range(48)")
+    spark.sql("INSERT INTO graft.tt.t VALUES (CAST(99 AS BIGINT), NULL, " +
+      "DATE'2024-03-09', CAST(9 AS DOUBLE))")
+    // external round trip (UTC session): exact micros and calendar dates
+    assert(spark.table("graft.tt.t").count() == 49L)
+    val r7 = spark.sql("SELECT ts, d FROM graft.tt.t WHERE id = 7").head
+    assert(r7.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-03-02T00:00:07Z"))
+    assert(r7.getDate(1).toString == "2024-03-04")
+    assert(spark.sql("SELECT ts FROM graft.tt.t WHERE id = 99").head.isNullAt(0))
+    // ungrouped MIN/MAX/COUNT answer from the manifest (ts stats ranges)
+    val aggDf = spark.sql(
+      "SELECT min(ts) AS mn, max(ts) AS mx, count(*) AS c FROM graft.tt.t")
+    assert(aggDf.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "manifest agg pushdown must fire on ts")
+    val agg = aggDf.head
+    assert(agg.getTimestamp(0).toInstant ==
+      java.time.Instant.parse("2024-03-01T00:00:00Z"))
+    assert(agg.getTimestamp(1).toInstant ==
+      java.time.Instant.parse("2024-03-06T00:00:47Z"))
+    assert(agg.getLong(2) == 49L)
+    // tuple-per-file layout over the day buckets
+    val mf = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(mf.partitionSpec == Seq("days(ts)"))
+    val tuples = mf.files.map(f => mf.stats(f._1)("part:days(ts)")._1).toSet
+    assert(tuples == (19783L to 19788L).map(_.toString).toSet + "\\N", tuples)
+    // pruning from EXTERNAL filter values — both java.sql and java.time
+    // shapes land on the same canonical micros
+    def planned(fs: Filter*): Int =
+      new GraftKvScan(dir, None, fs.toSeq).planInputPartitions().length
+    val total = mf.files.length
+    val lateDays = mf.files.count { f =>
+      val v = mf.stats(f._1)("part:days(ts)")._1
+      v != "\\N" && v.toLong >= 19786L }
+    val cutTs = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-04T00:00:00Z"))
+    assert(planned(GreaterThanOrEqual("ts", cutTs)) == lateDays &&
+      lateDays < total, s"$lateDays/$total")
+    assert(planned(GreaterThanOrEqual("ts",
+      java.time.Instant.parse("2024-03-04T00:00:00Z"))) == lateDays)
+    assert(planned(IsNull("ts")) ==
+      mf.files.count(f => mf.stats(f._1)("part:days(ts)")._1 == "\\N"))
+    // day-aligned retention DELETE is a PURE manifest edit: dropped files
+    // move to removed (time travel keeps them), nothing is read/rewritten
+    val dropDays = mf.files.count { f =>
+      val v = mf.stats(f._1)("part:days(ts)")._1
+      v != "\\N" && v.toLong < 19785L }
+    spark.sql("DELETE FROM graft.tt.t WHERE ts < TIMESTAMP'2024-03-03 00:00:00'")
+    val mf1 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(mf1.files.length == total - dropDays && dropDays > 0)
+    assert(mf1.removed.length == mf.removed.length + dropDays)
+    assert(spark.table("graft.tt.t").count() == 33L) // 49 - 2 days x 8
+    // a mid-day horizon cannot be proven against day tuples: the DELETE
+    // falls back to the row-level CoW rewrite and still answers exactly
+    spark.sql("DELETE FROM graft.tt.t WHERE ts < TIMESTAMP'2024-03-03 12:00:00'")
+    val mf2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(mf2.rewrittenUpTo > mf1.rewrittenUpTo,
+      "mid-day horizon must take the CoW rewrite path, at a FRESH epoch " +
+        "(reusing the metadata delete's boundary would corrupt it)")
+    assert(spark.table("graft.tt.t").count() == 25L)
+    // both boundary states stay exactly reconstructable
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.tt.t VERSION AS OF ${mf1.rewrittenUpTo}")
+      .head.getLong(0) == 33L)
+    assert(spark.sql("SELECT count(*) FROM graft.tt.t VERSION AS OF 1")
+      .head.getLong(0) == 49L)
+    // time-range replaceWhere: the overwrite classifies day files by
+    // tuple and the per-row guard renders the timestamp zone-free
+    spark.sql("SELECT CAST(id + 1000 AS BIGINT) AS id, " +
+      "timestamp_micros(1709683200000000 + id * 1000000) AS ts, " +
+      "DATE'2024-03-06' AS d, CAST(id AS DOUBLE) AS v FROM range(4)")
+      .writeTo("graft.tt.t")
+      .overwrite(org.apache.spark.sql.functions.col("ts") >=
+        org.apache.spark.sql.functions.lit(java.sql.Timestamp.from(
+          java.time.Instant.parse("2024-03-06T00:00:00Z"))))
+    assert(spark.table("graft.tt.t").count() == 21L) // 25 - 8 + 4
+    assert(spark.table("graft.tt.t")
+      .where("ts >= TIMESTAMP'2024-03-06 00:00:00'").count() == 4L)
+    // ADD COLUMN with a time type goes through the same validation
+    spark.sql("ALTER TABLE graft.tt.t ADD COLUMN seen_at TIMESTAMP")
+    assert(spark.table("graft.tt.t").schema("seen_at").dataType == TimestampType)
+    spark.sql("DROP TABLE graft.tt.t")
+  }
+
+  test("partition-disjoint concurrent commits merge; overlapping commits refuse") {
+    import graft.sources.{GraftKvBatchWrite, GraftKvSink}
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_occ_part").toString
+    spark.sql("DROP TABLE IF EXISTS graft.occ2.t")
+    spark.sql("CREATE TABLE graft.occ2.t (id BIGINT, grp STRING) " +
+      s"USING graft_kv PARTITIONED BY (grp) OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.occ2.t VALUES (CAST(1 AS BIGINT), 'a'), " +
+      "(CAST(2 AS BIGINT), 'b'), (CAST(3 AS BIGINT), 'c')")
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType)))
+    def mf() = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    def filesOf(g: String): Seq[String] = {
+      val m = mf()
+      m.files.map(_._1).filter(n =>
+        m.stats.getOrElse(n, Map.empty).get("part:grp").exists(_._1 == g))
+    }
+    def ids(): Set[Long] =
+      spark.table("graft.occ2.t").collect().map(_.getLong(0)).toSet
+    // hand-planned CoW rewrite of one partition's files: read region
+    // grp=g, snapshot taken at factory creation, commit controlled here
+    def plannedRewrite(g: String, newId: Long)
+        : (GraftKvBatchWrite, org.apache.spark.sql.connector.write.WriterCommitMessage) = {
+      val victims = filesOf(g)
+      val snap = mf() // the optimistic read this rewrite derives from
+      val w = new GraftKvBatchWrite(dir, schema2, replace = false,
+        explicitEpoch = None, replaceFiles = Some(() => victims),
+        snapshot = () => Some(snap),
+        partSpec = Seq("grp"),
+        readFilters = () => Seq(EqualTo("grp", g)))
+      val writer = w.createBatchWriterFactory(onePartition).createWriter(0, 31L)
+      writer.write(InternalRow(newId, UTF8String.fromString(g)))
+      (w, writer.commit())
+    }
+    // arm 1: rewrite of partition a ∥ metadata DELETE of partition b —
+    // DISJOINT: merges (this refused before the partition-level matrix)
+    val (w1, m1) = plannedRewrite("a", 10L)
+    spark.sql("DELETE FROM graft.occ2.t WHERE grp = 'b'")
+    w1.commit(Array(m1))
+    assert(ids() == Set(3L, 10L), ids())
+    // arm 2: rewrite of partition c ∥ append INTO c — OVERLAP: refuses
+    // (the appended rows were never scanned — phantoms)
+    val (w2, m2) = plannedRewrite("c", 11L)
+    spark.sql("INSERT INTO graft.occ2.t VALUES (CAST(30 AS BIGINT), 'c')")
+    val e2 = intercept[IllegalStateException] { w2.commit(Array(m2)) }
+    assert(e2.getMessage.contains("row-level rewrite"), e2.getMessage)
+    assert(ids() == Set(3L, 10L, 30L), ids())
+    // arm 3: rewrite of partition a ∥ append into b — disjoint: merges
+    val (w3, m3) = plannedRewrite("a", 12L)
+    spark.sql("INSERT INTO graft.occ2.t VALUES (CAST(40 AS BIGINT), 'b')")
+    w3.commit(Array(m3))
+    assert(ids() == Set(3L, 12L, 30L, 40L), ids())
+    // arm 4: replaceWhere overwrite of region c ∥ append into b —
+    // disjoint: merges; the overwrite replaces exactly c's files
+    val w4 = new GraftKvBatchWrite(dir, schema2, replace = false,
+      explicitEpoch = None, partSpec = Seq("grp"),
+      overwriteFilters = Some(Seq(EqualTo("grp", "c"))))
+    val wr4 = w4.createBatchWriterFactory(onePartition).createWriter(0, 32L)
+    wr4.write(InternalRow(50L, UTF8String.fromString("c")))
+    val m4 = wr4.commit()
+    spark.sql("INSERT INTO graft.occ2.t VALUES (CAST(60 AS BIGINT), 'b')")
+    w4.commit(Array(m4))
+    assert(ids() == Set(12L, 40L, 50L, 60L), ids())
+    // arm 5: replaceWhere overwrite of region b ∥ append INTO b — refuse
+    val w5 = new GraftKvBatchWrite(dir, schema2, replace = false,
+      explicitEpoch = None, partSpec = Seq("grp"),
+      overwriteFilters = Some(Seq(EqualTo("grp", "b"))))
+    val wr5 = w5.createBatchWriterFactory(onePartition).createWriter(0, 33L)
+    wr5.write(InternalRow(51L, UTF8String.fromString("b")))
+    val m5 = wr5.commit()
+    spark.sql("INSERT INTO graft.occ2.t VALUES (CAST(70 AS BIGINT), 'b')")
+    val e5 = intercept[IllegalStateException] { w5.commit(Array(m5)) }
+    assert(e5.getMessage.contains("partition overwrite"), e5.getMessage)
+    // arm 6: dynamic partition overwrite of partition a ∥ append into c —
+    // disjoint tuples: merges; same ∥ append into a would refuse
+    val w6 = new GraftKvBatchWrite(dir, schema2, replace = false,
+      explicitEpoch = None, partSpec = Seq("grp"), dynamicOverwrite = true)
+    val wr6 = w6.createBatchWriterFactory(onePartition).createWriter(0, 34L)
+    wr6.write(InternalRow(80L, UTF8String.fromString("a")))
+    val m6 = wr6.commit()
+    spark.sql("INSERT INTO graft.occ2.t VALUES (CAST(90 AS BIGINT), 'c')")
+    w6.commit(Array(m6))
+    assert(ids() == Set(40L, 50L, 60L, 70L, 80L, 90L), ids())
+    val w7 = new GraftKvBatchWrite(dir, schema2, replace = false,
+      explicitEpoch = None, partSpec = Seq("grp"), dynamicOverwrite = true)
+    val wr7 = w7.createBatchWriterFactory(onePartition).createWriter(0, 35L)
+    wr7.write(InternalRow(81L, UTF8String.fromString("a")))
+    val m7 = wr7.commit()
+    spark.sql("INSERT INTO graft.occ2.t VALUES (CAST(91 AS BIGINT), 'a')")
+    val e7 = intercept[IllegalStateException] { w7.commit(Array(m7)) }
+    assert(e7.getMessage.contains("dynamic partition overwrite"), e7.getMessage)
+    spark.sql("DROP TABLE graft.occ2.t")
+  }
 }
