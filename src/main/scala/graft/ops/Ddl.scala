@@ -571,6 +571,64 @@ object Ddl {
   // Delta OPTIMIZE ZORDER shape, published as a retained-history rewrite
   private val OptimizeZorderRe =
     """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
+  // OPTIMIZE t WHERE <pred>: partition-scoped fold — only files whose
+  // recorded tuples PROVE the predicate merge (per tuple group); the
+  // Delta `OPTIMIZE … WHERE` shape, the everyday maintenance command on
+  // a time-partitioned 100 TB table
+  private val OptimizeWhereRe =
+    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+WHERE\s+(.+?)\s*""".r
+
+  /** Resolved Catalyst predicate -> v1 Filter, for the shapes the
+    * partition classifier speaks (Spark's own translateFilter is
+    * protected[sql]). Literal values convert to their EXTERNAL Scala
+    * form — the same shapes pushFilters delivers, which canonValue
+    * already normalizes. Unknown shapes map to None (callers error with
+    * a clear message rather than folding wrongly). */
+  private def exprToFilter(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.sources
+    def ext(l: Literal): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType)
+    def col(x: Expression): Option[String] = x match {
+      case a: Attribute => Some(a.name)
+      case _            => None
+    }
+    e match {
+      case EqualTo(a, l: Literal) => col(a).map(sources.EqualTo(_, ext(l)))
+      case EqualTo(l: Literal, a) => col(a).map(sources.EqualTo(_, ext(l)))
+      case EqualNullSafe(a, l: Literal) =>
+        col(a).map(sources.EqualNullSafe(_, ext(l)))
+      case GreaterThan(a, l: Literal) =>
+        col(a).map(sources.GreaterThan(_, ext(l)))
+      case GreaterThan(l: Literal, a) =>
+        col(a).map(sources.LessThan(_, ext(l)))
+      case GreaterThanOrEqual(a, l: Literal) =>
+        col(a).map(sources.GreaterThanOrEqual(_, ext(l)))
+      case GreaterThanOrEqual(l: Literal, a) =>
+        col(a).map(sources.LessThanOrEqual(_, ext(l)))
+      case LessThan(a, l: Literal) => col(a).map(sources.LessThan(_, ext(l)))
+      case LessThan(l: Literal, a) => col(a).map(sources.GreaterThan(_, ext(l)))
+      case LessThanOrEqual(a, l: Literal) =>
+        col(a).map(sources.LessThanOrEqual(_, ext(l)))
+      case LessThanOrEqual(l: Literal, a) =>
+        col(a).map(sources.GreaterThanOrEqual(_, ext(l)))
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        col(a).map(sources.In(_,
+          vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+      case IsNull(a)    => col(a).map(sources.IsNull)
+      case IsNotNull(a) => col(a).map(sources.IsNotNull)
+      case And(l, r) =>
+        for (lf <- exprToFilter(l); rf <- exprToFilter(r))
+          yield sources.And(lf, rf)
+      case Or(l, r) =>
+        for (lf <- exprToFilter(l); rf <- exprToFilter(r))
+          yield sources.Or(lf, rf)
+      case Not(i) => exprToFilter(i).map(sources.Not)
+      case _      => None
+    }
+  }
   // NAMED REFS (the Iceberg tag shape, kv catalog tables): CREATE TAG
   // pins an epoch boundary against maintenance (compaction clamps at the
   // oldest tag, vacuum keeps what the tagged state reconstructs from);
@@ -1481,6 +1539,7 @@ object Ddl {
     case DescHistoryRe(n) if kvTableFor(n).isDefined => Some(historyCols)
     case DescDetailRe(n) if kvTableFor(n).isDefined  => Some(detailCols)
     case OptimizeZorderRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case OptimizeWhereRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case CreateTagRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case DropTagRe(n, _) if kvTableFor(n).isDefined  => Some(statusCols)
     case CreateBranchRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
@@ -2035,6 +2094,34 @@ object Ddl {
         val e = graft.sources.GraftKvSink.zorderRewrite(spark,
           kvPathFor(name), cols, Option(nStr).map(_.toInt).getOrElse(0))
         status("OPTIMIZE", s"$name (zorder ${cols.mkString(",")} epoch $e)")
+      case OptimizeWhereRe(name, predText) =>
+        // OPTIMIZE … WHERE: the predicate parses through Spark's own
+        // expression parser, resolves against the manifest schema, and
+        // translates to the v1 Filter the partition classifier speaks —
+        // unclassifiable shapes error here rather than folding wrongly
+        val path = kvPathFor(name)
+        val mfp = graft.sources.GraftKvSink.manifestPath(path)
+        require(java.nio.file.Files.exists(mfp),
+          s"OPTIMIZE WHERE: no manifest at $path")
+        val schema = graft.sources.GraftKvSink.readManifest(mfp).schema
+        val resolved = spark.sessionState.sqlParser.parseExpression(predText)
+          .transformUp {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              val f = schema.fields.find(_.name.equalsIgnoreCase(u.name))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"OPTIMIZE WHERE column '${u.name}' is not in the table " +
+                    s"schema (${schema.fieldNames.mkString(", ")})"))
+              org.apache.spark.sql.catalyst.expressions.AttributeReference(
+                f.name, f.dataType)()
+          }
+        val filter = exprToFilter(resolved).getOrElse(
+          throw new IllegalArgumentException(
+            s"OPTIMIZE WHERE predicate '$predText' does not translate to " +
+              "a partition-classifiable filter — use equality/range " +
+              "predicates over partition source columns"))
+        val mergedW = graft.sources.GraftKvSink.compact(path, Long.MaxValue,
+          Seq(filter))
+        status("OPTIMIZE", s"$name (where: $mergedW files merged)")
       case OptimizeRe(name, upToStr) =>
         // OPTIMIZE [UP TO EPOCH n]: fold epochs (and merge-on-read deltas)
         // at or below the boundary into compacted base files — the SQL

@@ -1952,6 +1952,56 @@ object KeyRange {
         |FROM graft.kvq.o_pd GROUP BY o_orderstatus ORDER BY st""".stripMargin)
   }
 
+  /** A12 judged: OPTIMIZE … WHERE — partition-scoped compaction, the
+    * everyday maintenance command on a time-partitioned 100 TB table:
+    * fold ONLY the named partitions' small files (here: the cold days
+    * before a horizon, three append slices each), leaving the hot days'
+    * layout untouched — data moved scales with the named partitions, not
+    * the table. Required in-query: every pre-horizon day folds to ONE
+    * file, every post-horizon day keeps its three, and the scoped fold
+    * advances the retention fence only to the merged files' own max
+    * epoch. The unfiltered per-day aggregate hash-gates bit-identical
+    * reads across the fold. */
+  def kvOptimizeWhere(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_optw"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.ev_ow")
+    clearDir(tmp)
+    s.sql("CREATE TABLE graft.kvq.ev_ow (event_id BIGINT, " +
+      "ts TIMESTAMP_NTZ, value DOUBLE) USING graft_kv " +
+      s"PARTITIONED BY (days(ts)) OPTIONS (path '$tmp', epochs 'true')")
+    Tables.events(s, d).createOrReplaceTempView("events_ow_v")
+    // three append slices: every day lands three small files — the
+    // streaming-ingest layout OPTIMIZE exists to repair
+    (0 until 3).foreach { i =>
+      s.sql("INSERT INTO graft.kvq.ev_ow SELECT event_id, ts, value " +
+        s"FROM events_ow_v WHERE event_id % 3 = $i")
+    }
+    def dayCounts(): Map[Long, Int] = {
+      val m = graft.sources.GraftKvSink.readManifest(
+        graft.sources.GraftKvSink.manifestPath(tmp))
+      m.files.groupBy(f => m.stats(f._1)("part:days(ts)")._1.toLong)
+        .map { case (k, v) => k -> v.size }
+    }
+    require(dayCounts().values.forall(_ == 3), "3 slices per day expected")
+    // fold the cold days (before Jan 11 = epoch day 19733) only
+    s.sql("OPTIMIZE graft.kvq.ev_ow " +
+      "WHERE ts < TIMESTAMP_NTZ'2024-01-11 00:00:00'")
+    val after = dayCounts()
+    require(after.forall { case (day, n) =>
+      if (day < 19733L) n == 1 else n == 3 },
+      s"scoped fold must merge exactly the cold days: $after")
+    val m1 = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    require(m1.compactedUpTo == 2L,
+      s"fence must stop at the merged files' max epoch, is ${m1.compactedUpTo}")
+    s.sql(
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP_NTZ) AS day,
+        |  count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM graft.kvq.ev_ow GROUP BY CAST(ts AS DATE)
+        |ORDER BY day""".stripMargin)
+  }
+
   /** A7-DSv2 judged: PARTITION-DISJOINT OPTIMISTIC CONCURRENCY — the
     * conflict matrix resolves at partition/file granularity (the Delta
     * rule): a write planned against snapshot V merges past a concurrent
@@ -2651,6 +2701,7 @@ object KeyRange {
     "kv_partition_delete" -> (kvPartitionDelete _),
     "kv_time_partition" -> (kvTimePartition _),
     "kv_disjoint_commit" -> (kvDisjointCommit _),
+    "kv_optimize_where" -> (kvOptimizeWhere _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
@@ -2764,6 +2815,13 @@ object KeyRange {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
         |FROM orders WHERE o_orderstatus <> 'P' AND o_orderkey % 10 <> 3
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    // the unfiltered per-day aggregate replays relationally, hash-gating
+    // bit-identical reads across the scoped fold
+    "kv_optimize_where" ->
+      """SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+        |  count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM events GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
     // both disjoint region-deletes replayed relationally (the overlap
     // arm's refused overwrite and fenced -1 row excluded by key > 0)
     "kv_disjoint_commit" ->

@@ -1914,12 +1914,29 @@ object GraftKvSink {
     (onlyFrom.toSeq.sorted, onlyTo.toSeq.sorted)
   }
 
-  def compact(dir: String, upToRequested: Long): Int = withCommitLock(dir) {
+  /** Fold epochs (and merge-on-read deltas) at or below `upToRequested`
+    * into compacted base files. With `where` non-empty, the fold is
+    * PARTITION-SCOPED (the Delta `OPTIMIZE … WHERE` shape): only files
+    * whose recorded partition tuples PROVE the predicate merge, grouped
+    * per tuple, each group's target stamped with ITS OWN max epoch —
+    * data moved scales with the named partitions, not the table, which
+    * is the only maintenance economics that works at 100 TB (compact
+    * yesterday's thousand small streaming files without touching the
+    * other petabyte). Under a WHERE: deltas never fold (they carry no
+    * tuples — the dangling-reference check still protects them),
+    * retained history is left for vacuum, single-file groups are
+    * skipped (rewriting a lone file buys nothing), and the retention
+    * fence advances only to the merged files' own max epoch. */
+  def compact(dir: String, upToRequested: Long,
+      where: Seq[org.apache.spark.sql.sources.Filter] = Nil): Int = withCommitLock(dir) {
     require(upToRequested >= 0L,
       s"graft_kv: compact upTo must be >= 0, got $upToRequested")
     val mfp = manifestPath(dir)
     require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
     val mf = readManifest(mfp)
+    require(where.isEmpty || mf.partitionSpec.nonEmpty,
+      s"graft_kv: OPTIMIZE … WHERE at $dir needs a PARTITIONED BY table " +
+        "(the predicate classifies files by their partition tuples)")
     // CLAMP to the newest published epoch: a boundary beyond it would mark
     // FUTURE epochs as already-published, and a live stream's next commit
     // would silently discard its own files as replay duplicates
@@ -1940,12 +1957,39 @@ object GraftKvSink {
       .minOption.getOrElse(Long.MaxValue)
     val upTo = math.min(math.min(upToRequested, maxEpoch),
       math.min(minTag, minBranch))
-    val (old, keep) = mf.files.partition(f => epochOf(f._1) <= upTo)
+    val (old0, keep0) = mf.files.partition(f => epochOf(f._1) <= upTo)
+    // WHERE: keep everything the predicate does not PROVE (allMatch over
+    // the file's own tuples — untagged files never prove, so clone-
+    // foreign/pre-partitioning history is never swept into a scoped
+    // fold), and skip single-file tuple groups outright
+    val (old, keep) =
+      if (where.isEmpty) (old0, keep0)
+      else {
+        val cache = scala.collection.mutable.HashMap
+          .empty[String, Option[GraftPartition.PTransform]]
+        def tupleOf(n: String): Map[String, String] =
+          GraftPartition.filePartsOf(mf.stats.getOrElse(n, Map.empty))
+        val matched = old0.filter { case (n, _) =>
+          val parts = tupleOf(n)
+          val spec = GraftPartition.fileSpecOf(parts, mf.schema, cache)
+          parts.nonEmpty && where.forall(GraftPartition.allMatch(spec, parts, _))
+        }
+        val merge = matched.groupBy(f => tupleOf(f._1)).values
+          .filter(_.size >= 2).flatten.toSeq
+        val mergeNames = merge.map(_._1).toSet
+        (merge, keep0 ++ old0.filterNot(f => mergeNames.contains(f._1)))
+      }
     // merge-on-read deltas at or below the boundary FOLD into the
     // compacted file (deletes applied, inserts appended) — compaction is
-    // the delta write shape's designated folding point
-    val (dOld, dKeep) = mf.deltas.partition(d => epochOf(d.name) <= upTo)
-    val newUpTo = math.max(upTo, mf.compactedUpTo)
+    // the delta write shape's designated folding point. A scoped WHERE
+    // never folds deltas (no tuples to classify them by).
+    val (dOld, dKeep) =
+      if (where.isEmpty) mf.deltas.partition(d => epochOf(d.name) <= upTo)
+      else (Nil, mf.deltas)
+    val newUpTo =
+      if (where.isEmpty) math.max(upTo, mf.compactedUpTo)
+      else math.max(old.map(f => epochOf(f._1)).maxOption.getOrElse(-1L),
+        mf.compactedUpTo)
     // a surviving delta referencing anything being merged away — an old
     // DATA file, or (the subtle one) an old DELTA whose insert records it
     // position-deletes — would leave its targets dangling: the folded
@@ -1967,8 +2011,11 @@ object GraftKvSink {
     }
     // retained CoW history whose whole visibility window [epoch, removedAt)
     // sits inside the compacted range serves no reconstructable state —
-    // reclaim it; a window straddling the boundary stays
-    val (rOld, rKeep) = mf.removed.partition(_.removedAt <= upTo)
+    // reclaim it; a window straddling the boundary stays. A scoped WHERE
+    // leaves retained history alone (vacuum's job).
+    val (rOld, rKeep) =
+      if (where.isEmpty) mf.removed.partition(_.removedAt <= upTo)
+      else (Nil, mf.removed)
     if (old.size <= 1 && dOld.isEmpty && rOld.isEmpty) {
       // nothing to merge; still record the retention boundary
       if (newUpTo != mf.compactedUpTo)
@@ -2002,12 +2049,29 @@ object GraftKvSink {
         else vs.flatten.mkString("\u0000")
       }.toSeq.sortBy(_._1)
     val groups: Seq[(String, Seq[(String, Long)])] =
-      if (grouped.length <= 1) grouped.map { case (_, fs) => ("", fs) }
+      if (where.nonEmpty)
+        // scoped folds name targets by a TUPLE hash, not a run-relative
+        // index: two WHERE runs over different partitions at the same
+        // epoch must never write the same name (an index would clobber a
+        // live earlier target); a re-fold of the SAME tuple includes the
+        // earlier target in its group, so same-name replacement is the
+        // consistent re-merge, exactly like classic compaction
+        grouped.map { case (k, fs) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(k.getBytes(StandardCharsets.UTF_8))
+          (s"-p${md.take(6).map(b => f"$b%02x").mkString}", fs)
+        }
+      else if (grouped.length <= 1) grouped.map { case (_, fs) => ("", fs) }
       else grouped.zipWithIndex.map { case ((_, fs), i) => (s"-g$i", fs) }
     val targets = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Map[String, (String, String)], Map[String, String])]
     for ((suffix, gOld) <- groups) {
-    val target = f"epoch-$upTo-compacted$suffix.kv"
+    // scoped folds stamp each target with ITS group's own max epoch (the
+    // retention fence only advances that far); classic folds stamp the
+    // global boundary as before
+    val gEpoch =
+      if (where.isEmpty) upTo else gOld.map(f => epochOf(f._1)).max
+    val target = f"epoch-$gEpoch-compacted$suffix.kv"
     val tmp = Paths.get(dir, target + ".tmp")
     var targetRows = 0L
     if (dOld.isEmpty) {

@@ -2437,4 +2437,56 @@ class DsV2Spec extends SparkSpec {
     assert(e7.getMessage.contains("dynamic partition overwrite"), e7.getMessage)
     spark.sql("DROP TABLE graft.occ2.t")
   }
+
+  test("OPTIMIZE WHERE folds only the named partitions") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_optw").toString
+    spark.sql("DROP TABLE IF EXISTS graft.optw.t")
+    spark.sql("CREATE TABLE graft.optw.t (id BIGINT, ts TIMESTAMP_NTZ, " +
+      "grp STRING) USING graft_kv PARTITIONED BY (grp, days(ts)) " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    // four appends over four (grp, day) tuples: ids 0/1 -> grp a, 2/3 ->
+    // grp b; even ids -> 2024-03-01 (day 19783), odd -> 03-02 (19784)
+    (0 until 4).foreach { i =>
+      spark.sql("INSERT INTO graft.optw.t SELECT id + " + (i * 10) +
+        ", timestamp_micros(1709251200000000 + (id % 2) * 86400000000), " +
+        "CASE WHEN id % 4 < 2 THEN 'a' ELSE 'b' END FROM range(4)")
+    }
+    def mf() = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    def grpFiles(g: String): Int = {
+      val m = mf()
+      m.files.count(f => m.stats.getOrElse(f._1, Map.empty)
+        .get("part:grp").exists(_._1 == g))
+    }
+    assert(grpFiles("a") == 8 && grpFiles("b") == 8)
+    val before = spark.table("graft.optw.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    // scoped fold: partition a's two tuple groups merge (4 files -> 1
+    // each); partition b is untouched
+    val out = spark.sql("OPTIMIZE graft.optw.t WHERE grp = 'a'").collect()
+    assert(out.head.getString(0) == "OPTIMIZE", out.mkString)
+    val m1 = mf()
+    assert(grpFiles("a") == 2, s"a: ${grpFiles("a")}")
+    assert(grpFiles("b") == 8, "partition b must be untouched")
+    // the fence advanced only to the merged files' own max epoch, and
+    // data reads bit-identically across the fold
+    assert(m1.compactedUpTo == 3L, m1.compactedUpTo)
+    assert(spark.table("graft.optw.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == before)
+    // pruning still works after the fold: merged files keep their tuples
+    assert(spark.table("graft.optw.t").where("grp = 'a'").count() == 8L)
+    // a temporal horizon scopes too (time-based maintenance): grp b's
+    // day-19783 group merges, its day-19784 group stays
+    spark.sql("OPTIMIZE graft.optw.t WHERE grp = 'b' AND " +
+      "ts < TIMESTAMP_NTZ'2024-03-02 00:00:00'")
+    assert(grpFiles("b") == 5, s"b: ${grpFiles("b")}")
+    assert(spark.table("graft.optw.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == before)
+    // an unclassifiable predicate errors instead of folding wrongly
+    val eW = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.optw.t WHERE id % 2 = 0").collect()
+    }
+    assert(eW.getMessage.contains("classifiable"), eW.getMessage)
+    spark.sql("DROP TABLE graft.optw.t")
+  }
 }
