@@ -2661,7 +2661,9 @@ final class GraftKvDeltaOperation(dir: String,
         new org.apache.spark.sql.connector.write.DeltaWrite {
           override def toBatch: org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new GraftKvDeltaBatchWrite(dir, winfo.schema(),
-              () => Option(groupScan).map(_.plannedManifest), checksF())
+              () => Option(groupScan).map(_.plannedManifest), checksF(),
+              readFilters =
+                () => Option(groupScan).map(_.pushedFilterSeq).getOrElse(Nil))
         }
     }
 }
@@ -2677,7 +2679,10 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
     // data writers): MOR UPDATE/INSERT post-images must satisfy the table
     // invariant even from a session without the injected plan rules;
     // position-deletes carry no row and are never checked
-    checks: Map[String, String] = Map.empty)
+    checks: Map[String, String] = Map.empty,
+    // the operation's pushed READ filters — the conflict gate's evidence
+    // that a concurrent delta's targets are outside this DML's region
+    readFilters: () => Seq[org.apache.spark.sql.sources.Filter] = () => Nil)
   extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   // same writeId temp scoping as the data write: a concurrent job's
@@ -2774,8 +2779,41 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
         if (!snapOk) refuse("files this DML read were rewritten or removed")
         val snapDeltas = planned.map(_.deltas.map(_.name).toSet)
           .getOrElse(Set.empty)
-        if (m.deltas.exists(d => !snapDeltas.contains(d.name)))
-          refuse("another row-level DML committed in between")
+        // a concurrent delta MERGES when it is provably DISJOINT from this
+        // DML's read region: a pure position-delete (inserts carry no
+        // stats and can never be excluded) whose every target file
+        // contradicts one of this DML's pushed read filters — such a file
+        // was pruned from this DML's scan, so neither the position sets
+        // nor the phantom rule can overlap. Two MOR DMLs maintaining
+        // different partitions of the same table no longer queue.
+        val newDeltas = m.deltas.filter(d => !snapDeltas.contains(d.name))
+        if (newDeltas.nonEmpty) {
+          val rfs = readFilters()
+          val cache = scala.collection.mutable.HashMap
+            .empty[String, Option[GraftPartition.PTransform]]
+          def outsideRegion(n: String): Boolean = {
+            val st = m.stats.getOrElse(n, Map.empty)
+            lazy val bl = m.blooms.getOrElse(n, Map.empty)
+            val parts = GraftPartition.filePartsOf(st)
+            lazy val spec = GraftPartition.fileSpecOf(parts, m.schema, cache)
+            rfs.exists(f => !GraftKvSink.mayMatch(m.schema, st, f) ||
+              !GraftKvSink.bloomMayMatch(m.schema, bl, f) ||
+              (parts.nonEmpty && !GraftPartition.mayMatch(spec, parts, f)))
+          }
+          val disjoint = rfs.nonEmpty && newDeltas.forall { d =>
+            d.inserts == 0L && {
+              // driver-side read of the (tiny) concurrent delta file for
+              // its target names — the only way to know what it touched
+              val targets = scala.collection.mutable.Set.empty[String]
+              GraftKvSink.foreachDelete(dir, d.name)((f, _) => targets += f)
+              targets.forall(outsideRegion)
+            }
+          }
+          if (!disjoint)
+            refuse("another row-level DML committed in between and its " +
+              "changes cannot be proven outside this DML's read region " +
+              "(a pure delete of provably-disjoint partitions merges)")
+        }
       }
       // the delta's epoch orders it AFTER every state it references
       val epoch = (m.files.map(f => GraftKvSink.epochOf(f._1)) ++

@@ -2438,6 +2438,51 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE graft.occ2.t")
   }
 
+  test("MOR DMLs on disjoint partitions merge; overlapping still refuse") {
+    import graft.sources.{GraftKvDeltaBatchWrite, GraftKvSink}
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_morp").toString
+    spark.sql("DROP TABLE IF EXISTS graft.morp.t")
+    spark.sql("CREATE TABLE graft.morp.t (id BIGINT, grp STRING) " +
+      s"USING graft_kv PARTITIONED BY (grp) OPTIONS (path '$dir', mor 'true')")
+    spark.sql("INSERT INTO graft.morp.t VALUES (CAST(1 AS BIGINT), 'a'), " +
+      "(CAST(2 AS BIGINT), 'a'), (CAST(3 AS BIGINT), 'b'), " +
+      "(CAST(4 AS BIGINT), 'b')")
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("grp", StringType)))
+    val m0 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val aFile = m0.files.map(_._1).find(n =>
+      m0.stats.getOrElse(n, Map.empty).get("part:grp").exists(_._1 == "a")).get
+    // hand-planned MOR position-delete within partition a, read region
+    // grp = 'a', snapshot captured at factory creation
+    def plannedDelta(pos: Long): (GraftKvDeltaBatchWrite,
+        org.apache.spark.sql.connector.write.WriterCommitMessage) = {
+      val w = new GraftKvDeltaBatchWrite(dir, schema2,
+        readFilters = () => Seq(EqualTo("grp", "a")))
+      val writer = w.createBatchWriterFactory(onePartition).createWriter(0, 41L)
+      writer.delete(null, InternalRow(UTF8String.fromString(aFile), pos))
+      (w, writer.commit())
+    }
+    def ids(): Set[Long] =
+      spark.table("graft.morp.t").collect().map(_.getLong(0)).toSet
+    // disjoint: a concurrent MOR delta lands in partition b (misaligned
+    // predicate forces the delta path) — the planned partition-a delete
+    // MERGES (this refused before)
+    val (w1, m1) = plannedDelta(0L)
+    spark.sql("DELETE FROM graft.morp.t WHERE grp = 'b' AND id = 3")
+    w1.commit(Array(m1))
+    assert(ids() == Set(2L, 4L), ids())
+    // overlap: a concurrent delta in partition a (this DML's own region)
+    // refuses — its positions could collide with ours
+    val (w2, m2) = plannedDelta(1L)
+    spark.sql("DELETE FROM graft.morp.t WHERE grp = 'a' AND id = 2")
+    val e = intercept[IllegalStateException] { w2.commit(Array(m2)) }
+    assert(e.getMessage.contains("another row-level DML"), e.getMessage)
+    assert(ids() == Set(4L), ids())
+    spark.sql("DROP TABLE graft.morp.t")
+  }
+
   test("OPTIMIZE WHERE folds only the named partitions") {
     import graft.sources.GraftKvSink
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_optw").toString
