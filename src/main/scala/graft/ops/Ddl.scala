@@ -486,6 +486,13 @@ object Ddl {
   private val AnalyzeColsRe =
     (s"""(?i)\\s*ANALYZE\\s+TABLE\\s+($Id)\\s+COMPUTE\\s+STATISTICS\\s+""" +
       """FOR\s+(?:ALL\s+)?COLUMNS\s*""").r
+  // ANALYZE for kv CATALOG tables (3-part names): the manifest already
+  // supplies ndv/min/max/null counts, so this records only the equi-height
+  // HISTOGRAMS (under spark.sql.statistics.histogram.enabled) into the
+  // table's sidecar — what lets FilterEstimation/JoinEstimation see skew
+  private val AnalyzeKvColsRe =
+    ("""(?i)\s*ANALYZE\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+COMPUTE\s+""" +
+      """STATISTICS\s+FOR\s+(?:ALL\s+)?COLUMNS\s*""").r
   private val StatsRe = s"""(?i)\\s*SHOW\\s+STATS\\s+($Id)\\s*""".r
   // (?s): the view body is embedded SQL and may span lines
   private val ViewRe = """(?is)\s*CREATE\s+VIEW\s+(\w+)\s+AS\s+(.+)""".r
@@ -1566,6 +1573,7 @@ object Ddl {
     case ShowIndexesRe(_*)                           => Some(indexesCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
     case AnalyzeColsRe(n) if lookup(n).isDefined   => Some(statsCols)
+    case AnalyzeKvColsRe(n) if kvTableFor(n).isDefined => Some(statusCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
   }
@@ -2778,6 +2786,31 @@ object Ddl {
         catalog.put(t2.name.toLowerCase, t2)
         persist()
         statsDf(spark, t2)
+      case AnalyzeKvColsRe(name) if kvTableFor(name).isDefined =>
+        // kv tables: the manifest already feeds ndv/min/max/nulls to the
+        // CBO on every scan — ANALYZE records the missing piece, the
+        // table-level equi-height histograms, into the sidecar. With the
+        // histogram conf off there is nothing to add; any prior sidecar
+        // is cleared so disabling the conf really disables it.
+        val path = kvPathFor(name)
+        val df = spark.read.format("graft.sources.GraftKvSink")
+          .option("path", path).load()
+        val histCols = df.schema.fields.filter(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name)
+        val on = spark.conf
+          .get("spark.sql.statistics.histogram.enabled", "false").toBoolean
+        if (on && histCols.nonEmpty) {
+          val bins = equiHeightHistograms(spark, df, histCols.toSeq)
+          // count() answers from the manifest (agg pushdown) — the
+          // staleness anchor costs no data read
+          graft.sources.GraftKvSink.writeColHist(path, df.count(), bins)
+          status("ANALYZE",
+            s"$name (histograms: ${bins.keys.toSeq.sorted.mkString(",")})")
+        } else {
+          graft.sources.GraftKvSink.writeColHist(path, 0L, Map.empty)
+          status("ANALYZE", s"$name (manifest stats only; histograms " +
+            "need spark.sql.statistics.histogram.enabled)")
+        }
       case AnalyzeColsRe(name) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)
@@ -2836,40 +2869,8 @@ object Ddl {
           .isInstanceOf[org.apache.spark.sql.types.NumericType]).map(_.name)
         if (spark.conf.get("spark.sql.statistics.histogram.enabled", "false")
             .toBoolean && histCols.nonEmpty) {
-          val nbins = math.max(2, math.min(254,
-            spark.conf.get("spark.sql.statistics.histogram.numBins", "254")
-              .toInt))
-          val fracs = (0 to nbins).map(_.toDouble / nbins)
-          val pAggs = histCols.map(c => percentile_approx(
-            col(c).cast("double"), lit(fracs.toArray), lit(10000)).as(c))
-          val pRow = df.agg(pAggs.head, pAggs.drop(1): _*).collect().head
-          val bounds: Seq[(String, Seq[Double])] = histCols.zipWithIndex
-            .flatMap { case (c, ci) =>
-              Option(pRow.get(ci)).map(v =>
-                c -> v.asInstanceOf[scala.collection.Seq[Double]].toSeq)
-            }
-          if (bounds.nonEmpty) {
-            val nAggs = bounds.flatMap { case (c, bs) =>
-              (1 to nbins).map { b =>
-                val cd = col(c).cast("double")
-                val cond =
-                  if (b == 1) cd >= bs(0) && cd <= bs(1)
-                  else cd > bs(b - 1) && cd <= bs(b)
-                approx_count_distinct(when(cond, cd))
-              }
-            }
-            val nRow = df.agg(nAggs.head, nAggs.drop(1): _*).collect().head
-            bounds.zipWithIndex.foreach { case ((c, bs), ci) =>
-              val bins = (1 to nbins).map { b =>
-                // a repeated percentile endpoint makes a DEGENERATE bin
-                // [v, v] whose half-open probe counts nothing — it holds
-                // exactly that (hot) value, ndv 1; and JoinEstimation
-                // divides by bin ndv, so 0 would poison the estimate
-                val ndv = math.max(1L, nRow.getLong(ci * nbins + b - 1))
-                s"${bs(b - 1)},${bs(b)},$ndv"
-              }
-              colEntries += s"col.${c.toLowerCase}.hist" -> bins.mkString(";")
-            }
+          equiHeightHistograms(spark, df, histCols).foreach {
+            case (cl, bins) => colEntries += s"col.$cl.hist" -> bins
           }
         }
         val t2 = t.copy(stats = t.stats.filterNot(e =>
@@ -2886,6 +2887,50 @@ object Ddl {
       case _ =>
         throw new IllegalArgumentException(s"cannot parse DDL: $ddl")
     }
+  }
+
+  /** Equi-height histogram bins for numeric columns (Spark's own ANALYZE
+    * shape): boundaries from ONE approx-percentile pass, per-bin NDVs
+    * from ONE filtered-HLL pass — two distributed aggregates, 1-row
+    * collects. Returns col(lowercased) -> "lo,hi,ndv;…", the persisted
+    * histogram encoding both table worlds share. Bin count comes from
+    * spark.sql.statistics.histogram.numBins, clamped to [2, 254]. */
+  private def equiHeightHistograms(spark: SparkSession, df: DataFrame,
+      histCols: Seq[String]): Map[String, String] = {
+    if (histCols.isEmpty) return Map.empty
+    val nbins = math.max(2, math.min(254,
+      spark.conf.get("spark.sql.statistics.histogram.numBins", "254").toInt))
+    val fracs = (0 to nbins).map(_.toDouble / nbins)
+    val pAggs = histCols.map(c => percentile_approx(
+      col(c).cast("double"), lit(fracs.toArray), lit(10000)).as(c))
+    val pRow = df.agg(pAggs.head, pAggs.drop(1): _*).collect().head
+    val bounds: Seq[(String, Seq[Double])] = histCols.zipWithIndex
+      .flatMap { case (c, ci) =>
+        Option(pRow.get(ci)).map(v =>
+          c -> v.asInstanceOf[scala.collection.Seq[Double]].toSeq)
+      }
+    if (bounds.isEmpty) return Map.empty
+    val nAggs = bounds.flatMap { case (c, bs) =>
+      (1 to nbins).map { b =>
+        val cd = col(c).cast("double")
+        val cond =
+          if (b == 1) cd >= bs(0) && cd <= bs(1)
+          else cd > bs(b - 1) && cd <= bs(b)
+        approx_count_distinct(when(cond, cd))
+      }
+    }
+    val nRow = df.agg(nAggs.head, nAggs.drop(1): _*).collect().head
+    bounds.zipWithIndex.map { case ((c, bs), ci) =>
+      val bins = (1 to nbins).map { b =>
+        // a repeated percentile endpoint makes a DEGENERATE bin [v, v]
+        // whose half-open probe counts nothing — it holds exactly that
+        // (hot) value, ndv 1; and JoinEstimation divides by bin ndv, so
+        // 0 would poison the estimate
+        val ndv = math.max(1L, nRow.getLong(ci * nbins + b - 1))
+        s"${bs(b - 1)},${bs(b)},$ndv"
+      }
+      c.toLowerCase -> bins.mkString(";")
+    }.toMap
   }
 
   private def statsDf(spark: SparkSession, t: KeyedTable): DataFrame = {

@@ -1952,6 +1952,106 @@ object KeyRange {
         |FROM graft.kvq.o_pd GROUP BY o_orderstatus ORDER BY st""".stripMargin)
   }
 
+  /** A7-DSv2/A8 judged: kv HISTOGRAM statistics → the CBO. The manifest's
+    * per-file sketches already feed ndv/min/max/nulls on every scan;
+    * `ANALYZE TABLE … FOR COLUMNS` under
+    * spark.sql.statistics.histogram.enabled adds table-level equi-height
+    * histograms (sidecar, count-ratio staleness guard), surfaced through
+    * DSv2 columnStats().histogram() so JoinEstimation multiplies
+    * overlapping HOT bins out instead of assuming uniform — on a skewed
+    * key, the difference between broadcasting a "small" join that is
+    * actually enormous and planning it honestly. Both plan arms asserted
+    * with a threshold derived from the plans' own estimates (the
+    * histogram arm must KEEP the shuffle, the ndv-only arm must
+    * broadcast); the hot join is only planned — the oracle gates the
+    * cold-key join the analyst actually runs. */
+  def kvCboHistogram(s: SparkSession, d: String): DataFrame = {
+    val tmpA = s"$scratch/kv_cboh_a"
+    val tmpB = s"$scratch/kv_cboh_b"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.cboh_a")
+    s.sql("DROP TABLE IF EXISTS graft.kvq.cboh_b")
+    clearDir(tmpA); clearDir(tmpB)
+    s.sql("CREATE TABLE graft.kvq.cboh_a (ka BIGINT, ida BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$tmpA')")
+    s.sql("CREATE TABLE graft.kvq.cboh_b (kb BIGINT, idb BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$tmpB')")
+    Tables.lineitem(s, d).createOrReplaceTempView("li_cboh_v")
+    Tables.orders(s, d).createOrReplaceTempView("o_cboh_v")
+    // the skew: 3/4 of both sides pile onto key 1
+    s.sql("INSERT INTO graft.kvq.cboh_a SELECT CASE WHEN l_orderkey % 4 " +
+      "<> 0 THEN CAST(1 AS BIGINT) ELSE l_orderkey END, " +
+      "l_orderkey * 10 + CAST(l_linenumber AS BIGINT) FROM li_cboh_v")
+    s.sql("INSERT INTO graft.kvq.cboh_b SELECT CASE WHEN o_orderkey % 4 " +
+      "<> 0 THEN CAST(1 AS BIGINT) ELSE o_orderkey END, o_orderkey " +
+      "FROM o_cboh_v")
+    def ab(): DataFrame = s.table("graft.kvq.cboh_a")
+      .join(s.table("graft.kvq.cboh_b"), col("ka") === col("kb"))
+      .select(col("ka"), col("ida"))
+    val prevCbo = s.conf.getOption("spark.sql.cbo.enabled")
+    val prevThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevHist = s.conf.getOption("spark.sql.statistics.histogram.enabled")
+    val prevBins = s.conf.getOption("spark.sql.statistics.histogram.numBins")
+    def restore(k: String, v: Option[String]): Unit =
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    val out = java.nio.file.Files.createTempDirectory("graft_kvcboh_out")
+      .resolve("out").toString
+    try {
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      // arm 1: manifest ndv/min/max only — the uniform formula undercounts
+      s.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      Seq("graft.kvq.cboh_a", "graft.kvq.cboh_b").foreach(t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      val estNdv = ab().queryExecution.optimizedPlan.stats.sizeInBytes
+      // arm 2: histograms — the hot bins multiply out per bin
+      s.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      s.conf.set("spark.sql.statistics.histogram.numBins", "16")
+      Seq("graft.kvq.cboh_a", "graft.kvq.cboh_b").foreach(t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      val estHist = ab().queryExecution.optimizedPlan.stats.sizeInBytes
+      require(estHist > 4 * estNdv,
+        s"histograms did not surface the skew: ndv-est $estNdv vs " +
+          s"hist-est $estHist")
+      // threshold between the two estimates, derived from the plans
+      // themselves so the contrast holds at every scale factor
+      val thr = (estNdv + estHist) / 2
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      def q(): DataFrame = {
+        val x = ab().alias("x")
+        val y = ab().alias("y")
+        x.join(y, col("x.ida") === col("y.ida"))
+      }
+      val planHist = q().queryExecution.executedPlan.toString
+      require(planHist.contains("SortMergeJoin"),
+        s"hist-informed estimate ($estHist, thr $thr) must keep the " +
+          "shuffle:\n" + planHist)
+      // drop the histograms: the same query now broadcasts the join
+      s.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      Seq("graft.kvq.cboh_a", "graft.kvq.cboh_b").foreach(t =>
+        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      val planNdv = q().queryExecution.executedPlan.toString
+      require(planNdv.contains("BroadcastHashJoin"),
+        s"ndv-only estimate ($estNdv, thr $thr) must broadcast the join " +
+          "output:\n" + planNdv)
+      // the oracle-gated result: the COLD-key join (the hot join above
+      // is asserted at the plan level only — that is the point of skew)
+      s.table("graft.kvq.cboh_a")
+        .join(s.table("graft.kvq.cboh_b"), col("ka") === col("kb"))
+        .where(col("ka") =!= 1L)
+        .groupBy((col("ka") % 5L).as("grp"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("ida")).cast("long").as("sa"),
+          sum(col("idb")).cast("long").as("sb"))
+        .orderBy(col("grp"))
+        .write.mode(SaveMode.Overwrite).parquet(out)
+    } finally {
+      restore("spark.sql.cbo.enabled", prevCbo)
+      restore("spark.sql.autoBroadcastJoinThreshold", prevThr)
+      restore("spark.sql.statistics.histogram.enabled", prevHist)
+      restore("spark.sql.statistics.histogram.numBins", prevBins)
+    }
+    s.read.parquet(out)
+  }
+
   /** A12 judged: OPTIMIZE … WHERE — partition-scoped compaction, the
     * everyday maintenance command on a time-partitioned 100 TB table:
     * fold ONLY the named partitions' small files (here: the cold days
@@ -2702,6 +2802,7 @@ object KeyRange {
     "kv_time_partition" -> (kvTimePartition _),
     "kv_disjoint_commit" -> (kvDisjointCommit _),
     "kv_optimize_where" -> (kvOptimizeWhere _),
+    "kv_cbo_histogram" -> (kvCboHistogram _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
@@ -2815,6 +2916,18 @@ object KeyRange {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
         |FROM orders WHERE o_orderstatus <> 'P' AND o_orderkey % 10 <> 3
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    // the cold-key join replayed relationally (the hot arm is asserted
+    // at the plan level inside the query — that is the point of skew)
+    "kv_cbo_histogram" ->
+      """WITH a AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1
+        |    ELSE l_orderkey END AS ka,
+        |    l_orderkey * 10 + l_linenumber AS ida FROM lineitem),
+        |  b AS (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 1
+        |    ELSE o_orderkey END AS kb, o_orderkey AS idb FROM orders)
+        |SELECT CAST(ka % 5 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(ida) AS BIGINT) AS sa, CAST(sum(idb) AS BIGINT) AS sb
+        |FROM a JOIN b ON ka = kb WHERE ka <> 1
+        |GROUP BY CAST(ka % 5 AS BIGINT) ORDER BY grp""".stripMargin,
     // the unfiltered per-day aggregate replays relationally, hash-gating
     // bit-identical reads across the scoped fold
     "kv_optimize_where" ->

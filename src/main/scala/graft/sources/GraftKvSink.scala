@@ -426,6 +426,42 @@ object GraftKvSink {
   private[graft] def manifestPath(dir: String): Path =
     Paths.get(dir, "_graft_manifest.json")
 
+  // ---- table-level histogram sidecar -----------------------------------
+  // Equi-height histograms (ANALYZE … FOR COLUMNS under
+  // spark.sql.statistics.histogram.enabled) live BESIDE the manifest, not
+  // in it: they are CBO estimates with their own staleness rule, not part
+  // of the transactional state — appends must not have to rewrite them,
+  // and a stale histogram must degrade to "report nothing", never to a
+  // wrong bound. Format: first line `rows\t<n>` (the visible row count at
+  // compute time — the staleness feed), then `<col>\t<lo,hi,ndv;…>` per
+  // column. No .kv/.kvd suffix, so vacuum's stray sweep never eats it.
+  private[graft] def colHistPath(dir: String): Path =
+    Paths.get(dir, "_graft_colhist")
+
+  def writeColHist(dir: String, rows: Long,
+      cols: Map[String, String]): Unit = {
+    val p = colHistPath(dir)
+    if (cols.isEmpty) { Files.deleteIfExists(p); return }
+    val tmp = Paths.get(dir, "_graft_colhist.sidecar")
+    Files.writeString(tmp,
+      (s"rows\t$rows" +: cols.toSeq.sortBy(_._1)
+        .map { case (c, b) => s"${c.toLowerCase}\t$b" }).mkString("\n"),
+      StandardCharsets.UTF_8)
+    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  def readColHist(dir: String): Option[(Long, Map[String, String])] = {
+    val p = colHistPath(dir)
+    if (!Files.exists(p)) None
+    else try {
+      val lines = Files.readAllLines(p, StandardCharsets.UTF_8).asScala
+      val rows = lines.head.split('\t')(1).toLong
+      Some((rows, lines.drop(1).map { l =>
+        val i = l.indexOf('\t'); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap))
+    } catch { case _: Exception => None } // unreadable = absent, never wrong
+  }
+
   // ---- per-table commit lock -------------------------------------------
   // Serializes every manifest read-modify-publish: a JVM monitor (keyed by
   // the normalized table path) covers threads in this process, and an OS
@@ -3835,6 +3871,11 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         val m = curM.get
         m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name)
       } else Nil
+    // a truncate invalidates the histogram sidecar outright: the same row
+    // COUNT could return with a different distribution, which the
+    // count-ratio staleness guard cannot see
+    if (replace && replaceFiles.isEmpty)
+      Files.deleteIfExists(GraftKvSink.colHistPath(dir)): Unit
     // an overwrite redefines the schema outright; every other commit
     // merges with the manifest's (evolved nullability must not narrow)
     GraftKvSink.writeManifest(dir,
@@ -4354,6 +4395,12 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
     if (visibleDeltas.nonEmpty || visible.isEmpty || rows <= 0L) return out
+    // table-level equi-height histograms (ANALYZE sidecar): reported only
+    // for CURRENT-state reads whose visible row count stays within 2x of
+    // the analyzed count — a drifted histogram degrades to absent, and a
+    // time-travel read never sees current-state distribution estimates
+    lazy val colHist: Option[(Long, Map[String, String])] =
+      if (asOfEpoch.isDefined) None else GraftKvSink.readColHist(dir)
     manifest.schema.fields.foreach { f =>
       val perFile = visible.map { case (n, _) =>
         manifest.stats.getOrElse(n, Map.empty)
@@ -4433,7 +4480,34 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
             Some(math.max(1L, math.round(l.toDouble / c)))
           case _ => None
         }
-      if (minMax.isDefined || ndv.isDefined || nulls.isDefined) {
+      val hist: Option[org.apache.spark.sql.connector.read.colstats.Histogram] =
+        colHist.flatMap { case (hRows, cols) =>
+          cols.get(f.name.toLowerCase)
+            .filter(_ => hRows > 0L && rows <= 2L * hRows && rows >= hRows / 2L)
+            .flatMap { enc =>
+              try {
+                val parsed = enc.split(';').map { b =>
+                  val a = b.split(',')
+                  (a(0).toDouble, a(1).toDouble, a(2).toLong)
+                }
+                val h = hRows.toDouble / parsed.length
+                Some(new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = h
+                  override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    parsed.map { case (l, u, n) =>
+                      new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                        override def lo(): Double = l
+                        override def hi(): Double = u
+                        override def ndv(): Long = n
+                      }
+                    }
+                })
+              } catch { case _: Exception => None }
+            }
+        }
+      if (minMax.isDefined || ndv.isDefined || nulls.isDefined ||
+        hist.isDefined) {
         out.put(org.apache.spark.sql.connector.expressions.Expressions
             .column(f.name),
           new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -4452,6 +4526,10 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
             override def avgLen(): java.util.OptionalLong =
               avgStrLen.map(java.util.OptionalLong.of)
                 .getOrElse(java.util.OptionalLong.empty)
+            override def histogram(): java.util.Optional[
+                org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hist.map(java.util.Optional.of(_))
+                .getOrElse(java.util.Optional.empty())
           })
       }
     }

@@ -2438,6 +2438,63 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE graft.occ2.t")
   }
 
+  test("kv histogram sidecar: staleness guard, truncate clears, conf-off clears") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_hist").toString
+    spark.sql("DROP TABLE IF EXISTS graft.hist.t")
+    spark.sql("CREATE TABLE graft.hist.t (k BIGINT, v BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft.hist.t SELECT CASE WHEN id % 10 <> 0 " +
+      "THEN CAST(1 AS BIGINT) ELSE id END, id FROM range(1000)")
+    val prevH = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+    val prevB = spark.conf.getOption("spark.sql.statistics.histogram.numBins")
+    try {
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      spark.conf.set("spark.sql.statistics.histogram.numBins", "8")
+      spark.sql("ANALYZE TABLE graft.hist.t COMPUTE STATISTICS FOR COLUMNS")
+      val hist = GraftKvSink.readColHist(dir)
+      assert(hist.isDefined && hist.get._1 == 1000L &&
+        hist.get._2.keySet == Set("k", "v"), hist)
+      // every bin: lo <= hi, ndv >= 1; 8 bins recorded
+      val bins = hist.get._2("k").split(';')
+      assert(bins.length == 8, bins.length)
+      bins.foreach { b =>
+        val a = b.split(',')
+        assert(a(0).toDouble <= a(1).toDouble && a(2).toLong >= 1L, b)
+      }
+      // the hot key dominates: its bins carry ndv 1 (the degenerate
+      // [1, 1] bins), the cold tail carries many
+      assert(bins.count(_.split(',')(2) == "1") >= 4, bins.mkString(";"))
+      // staleness: tripling the row count stands the histogram down at
+      // the scan (file intact, report absent) — checked via the reader
+      // guard condition itself
+      spark.sql("INSERT INTO graft.hist.t SELECT CAST(1 AS BIGINT), id " +
+        "FROM range(2000)")
+      val (hRows, _) = GraftKvSink.readColHist(dir).get
+      val rowsNow = spark.table("graft.hist.t").count()
+      assert(rowsNow > 2L * hRows,
+        "fixture must trip the 2x staleness guard")
+      // truncate clears the sidecar outright (same count could return
+      // with a different distribution)
+      spark.sql("INSERT OVERWRITE graft.hist.t SELECT id, id FROM range(10)")
+      assert(GraftKvSink.readColHist(dir).isEmpty, "truncate must clear")
+      // conf-off ANALYZE clears a prior sidecar
+      spark.sql("ANALYZE TABLE graft.hist.t COMPUTE STATISTICS FOR COLUMNS")
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      spark.sql("ANALYZE TABLE graft.hist.t COMPUTE STATISTICS FOR COLUMNS")
+      assert(GraftKvSink.readColHist(dir).isDefined)
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "false")
+      spark.sql("ANALYZE TABLE graft.hist.t COMPUTE STATISTICS FOR COLUMNS")
+      assert(GraftKvSink.readColHist(dir).isEmpty, "conf-off must clear")
+    } finally {
+      prevH.fold(spark.conf.unset("spark.sql.statistics.histogram.enabled"))(
+        spark.conf.set("spark.sql.statistics.histogram.enabled", _))
+      prevB.fold(spark.conf.unset("spark.sql.statistics.histogram.numBins"))(
+        spark.conf.set("spark.sql.statistics.histogram.numBins", _))
+    }
+    spark.sql("DROP TABLE graft.hist.t")
+  }
+
   test("MOR DMLs on disjoint partitions merge; overlapping still refuse") {
     import graft.sources.{GraftKvDeltaBatchWrite, GraftKvSink}
     import org.apache.spark.sql.sources.EqualTo
