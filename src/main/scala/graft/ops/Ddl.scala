@@ -595,35 +595,54 @@ object Ddl {
       : Option[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.sources
-    def ext(l: Literal): Any =
-      org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .convertToScala(l.value, l.dataType)
+    // literal value in the COLUMN's type, as its external Scala shape —
+    // the analyzer is not in this loop, so the coercion it would insert
+    // (string/DATE literals against TIMESTAMP columns are the everyday
+    // spellings) happens here via Catalyst's own Cast; an uncastable
+    // literal yields None and the caller's clear "not classifiable" error
+    def ext(l: Literal, dt: org.apache.spark.sql.types.DataType)
+        : Option[Any] = {
+      val internal =
+        if (l.dataType == dt) Option(l.value)
+        else if (org.apache.spark.sql.catalyst.expressions.Cast
+            .canCast(l.dataType, dt))
+          Option(Cast(l, dt, Some(org.apache.spark.sql.internal.SQLConf.get
+            .sessionLocalTimeZone)).eval(null))
+        else None
+      internal.map(v => org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(v, dt))
+    }
     def col(x: Expression): Option[String] = x match {
       case a: Attribute => Some(a.name)
       case _            => None
     }
+    def bin(a: Expression, l: Literal)(
+        mk: (String, Any) => sources.Filter): Option[sources.Filter] =
+      a match {
+        case at: Attribute =>
+          for (v <- ext(l, at.dataType)) yield mk(at.name, v)
+        case _ => None
+      }
     e match {
-      case EqualTo(a, l: Literal) => col(a).map(sources.EqualTo(_, ext(l)))
-      case EqualTo(l: Literal, a) => col(a).map(sources.EqualTo(_, ext(l)))
-      case EqualNullSafe(a, l: Literal) =>
-        col(a).map(sources.EqualNullSafe(_, ext(l)))
-      case GreaterThan(a, l: Literal) =>
-        col(a).map(sources.GreaterThan(_, ext(l)))
-      case GreaterThan(l: Literal, a) =>
-        col(a).map(sources.LessThan(_, ext(l)))
+      case EqualTo(a, l: Literal) => bin(a, l)(sources.EqualTo)
+      case EqualTo(l: Literal, a) => bin(a, l)(sources.EqualTo)
+      case EqualNullSafe(a, l: Literal) => bin(a, l)(sources.EqualNullSafe)
+      case GreaterThan(a, l: Literal) => bin(a, l)(sources.GreaterThan)
+      case GreaterThan(l: Literal, a) => bin(a, l)(sources.LessThan)
       case GreaterThanOrEqual(a, l: Literal) =>
-        col(a).map(sources.GreaterThanOrEqual(_, ext(l)))
+        bin(a, l)(sources.GreaterThanOrEqual)
       case GreaterThanOrEqual(l: Literal, a) =>
-        col(a).map(sources.LessThanOrEqual(_, ext(l)))
-      case LessThan(a, l: Literal) => col(a).map(sources.LessThan(_, ext(l)))
-      case LessThan(l: Literal, a) => col(a).map(sources.GreaterThan(_, ext(l)))
+        bin(a, l)(sources.LessThanOrEqual)
+      case LessThan(a, l: Literal) => bin(a, l)(sources.LessThan)
+      case LessThan(l: Literal, a) => bin(a, l)(sources.GreaterThan)
       case LessThanOrEqual(a, l: Literal) =>
-        col(a).map(sources.LessThanOrEqual(_, ext(l)))
+        bin(a, l)(sources.LessThanOrEqual)
       case LessThanOrEqual(l: Literal, a) =>
-        col(a).map(sources.GreaterThanOrEqual(_, ext(l)))
-      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        col(a).map(sources.In(_,
-          vs.map(v => ext(v.asInstanceOf[Literal])).toArray))
+        bin(a, l)(sources.GreaterThanOrEqual)
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val ext0 = vs.map(v => ext(v.asInstanceOf[Literal], a.dataType))
+        if (ext0.exists(_.isEmpty)) None
+        else Some(sources.In(a.name, ext0.flatten.toArray))
       case IsNull(a)    => col(a).map(sources.IsNull)
       case IsNotNull(a) => col(a).map(sources.IsNotNull)
       case And(l, r) =>
@@ -3348,18 +3367,24 @@ object Ddl {
         val y = ab().alias("y")
         x.join(y, col("x.ida") === col("y.ida"))
       }
+      // assert on the OUTER ida-keyed join's own node line (the inner
+      // ka=kb joins can be sort-merge in both arms regardless) — the
+      // join-node line carries its keys, so "ida" pins the right one
+      def idaJoin(plan: String, node: String): Boolean =
+        plan.linesIterator.exists(l => l.contains(node) && l.contains("ida"))
       val planHist = q().queryExecution.executedPlan.toString
-      require(planHist.contains("SortMergeJoin"),
+      require(idaJoin(planHist, "SortMergeJoin") &&
+        !idaJoin(planHist, "BroadcastHashJoin"),
         s"hist-informed estimate ($estHist, thr $thr) must keep the " +
-          "shuffle:\n" + planHist)
+          "shuffle on the ida join:\n" + planHist)
       // re-pin NDV-only stats: the same query now broadcasts the join
       s.conf.set("spark.sql.statistics.histogram.enabled", "false")
       Seq("cboh_a", "cboh_b").foreach(t =>
         execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
       val planNdv = q().queryExecution.executedPlan.toString
-      require(planNdv.contains("BroadcastHashJoin"),
-        s"ndv-only estimate ($estNdv, thr $thr) must broadcast the join " +
-          "output:\n" + planNdv)
+      require(idaJoin(planNdv, "BroadcastHashJoin"),
+        s"ndv-only estimate ($estNdv, thr $thr) must broadcast the ida " +
+          "join:\n" + planNdv)
       // the oracle-gated result: the COLD-key join (the hot join above is
       // asserted at the plan level only — that is the point of the skew)
       s.table("cboh_a").join(s.table("cboh_b"), col("ka") === col("kb"))

@@ -2020,18 +2020,24 @@ object KeyRange {
         val y = ab().alias("y")
         x.join(y, col("x.ida") === col("y.ida"))
       }
+      // assert on the OUTER ida-keyed join's own node line (the inner
+      // ka=kb joins can be sort-merge in both arms regardless) — the
+      // join-node line carries its keys, so "ida" pins the right one
+      def idaJoin(plan: String, node: String): Boolean =
+        plan.linesIterator.exists(l => l.contains(node) && l.contains("ida"))
       val planHist = q().queryExecution.executedPlan.toString
-      require(planHist.contains("SortMergeJoin"),
+      require(idaJoin(planHist, "SortMergeJoin") &&
+        !idaJoin(planHist, "BroadcastHashJoin"),
         s"hist-informed estimate ($estHist, thr $thr) must keep the " +
-          "shuffle:\n" + planHist)
+          "shuffle on the ida join:\n" + planHist)
       // drop the histograms: the same query now broadcasts the join
       s.conf.set("spark.sql.statistics.histogram.enabled", "false")
       Seq("graft.kvq.cboh_a", "graft.kvq.cboh_b").foreach(t =>
         s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
       val planNdv = q().queryExecution.executedPlan.toString
-      require(planNdv.contains("BroadcastHashJoin"),
-        s"ndv-only estimate ($estNdv, thr $thr) must broadcast the join " +
-          "output:\n" + planNdv)
+      require(idaJoin(planNdv, "BroadcastHashJoin"),
+        s"ndv-only estimate ($estNdv, thr $thr) must broadcast the ida " +
+          "join:\n" + planNdv)
       // the oracle-gated result: the COLD-key join (the hot join above
       // is asserted at the plan level only — that is the point of skew)
       s.table("graft.kvq.cboh_a")

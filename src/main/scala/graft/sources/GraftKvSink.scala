@@ -841,6 +841,24 @@ object GraftKvSink {
     }
   }
 
+  /** Is the named file PROVABLY outside the conjunction `fs` — some
+    * conjunct contradicted by its recorded partition tuple, min/max
+    * stats, or bloom? The ONE disjointness proof every conflict gate
+    * shares (CoW rewrite, replaceWhere, MOR delta): a soundness fix here
+    * fixes them all. Conservative: false whenever unprovable. */
+  private[sources] def fileProvablyOutside(m: Manifest, name: String,
+      fs: Seq[org.apache.spark.sql.sources.Filter],
+      cache: scala.collection.mutable.Map[String, Option[GraftPartition.PTransform]])
+      : Boolean = {
+    val st = m.stats.getOrElse(name, Map.empty)
+    lazy val bl = m.blooms.getOrElse(name, Map.empty)
+    val parts = GraftPartition.filePartsOf(st)
+    lazy val spec = GraftPartition.fileSpecOf(parts, m.schema, cache)
+    fs.exists(f => !mayMatch(m.schema, st, f) ||
+      !bloomMayMatch(m.schema, bl, f) ||
+      (parts.nonEmpty && !GraftPartition.mayMatch(spec, parts, f)))
+  }
+
   /** HBase's HFile-bloom story: point/IN probes additionally consult the
     * file's per-column bloom — the pruner that works where min/max ranges
     * can't (value sets interleaved across files share the full range).
@@ -2040,8 +2058,10 @@ object GraftKvSink {
         foreachDelete(dir, d.name) { (target, _) =>
           require(!merging.contains(target),
             s"graft_kv: compact upTo=$upTo would fold '$target', which the " +
-              s"later delta ${d.name} position-deletes from — raise upTo " +
-              "past that delta")
+              s"later delta ${d.name} position-deletes from — " +
+              (if (where.nonEmpty)
+                "run plain OPTIMIZE (fold the deltas) before the scoped fold"
+              else "raise upTo past that delta"))
         }
       }
     }
@@ -2790,13 +2810,16 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
       val m = GraftKvSink.readManifest(mfP)
       // CONFLICT GATE (version advanced past the plan-time snapshot):
       // this write's position-deletes name (file, pos) pairs computed
-      // against the snapshot. A concurrent plain APPEND cannot move
-      // those positions — merge. Anything that could have is a refuse:
-      // a snapshot file/delta gone (truncate, CoW rewrite, compaction
-      // re-positions every row) or a NEW delta landed (it may have
-      // deleted the same positions — merging would double-count the
-      // deletes in manifest COUNT arithmetic and mask-by-set would hide
-      // it). Delta Lake's concurrent row-level rule, delta-flavored.
+      // against the snapshot. Refuse when a snapshot file/delta is gone
+      // (truncate, CoW rewrite, compaction re-positions every row).
+      // Concurrent ADDITIONS resolve at partition/file granularity, the
+      // same rule as the CoW gate (the isolation level must not depend
+      // on the table's mor option): an added data file or a pure-delete
+      // delta whose targets are all PROVABLY outside this DML's read
+      // region merges (positions stable, no phantom possible); an
+      // addition inside the region — or a delta carrying inserts, which
+      // have no stats to exclude — refuses. Delta Lake's concurrent
+      // row-level rule, delta-flavored.
       val snapVer = planned.map(_.version).getOrElse(-1L)
       if (m.version != snapVer) {
         def refuse(why: String): Nothing = throw new IllegalStateException(
@@ -2823,20 +2846,20 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
         // nor the phantom rule can overlap. Two MOR DMLs maintaining
         // different partitions of the same table no longer queue.
         val newDeltas = m.deltas.filter(d => !snapDeltas.contains(d.name))
-        if (newDeltas.nonEmpty) {
+        // concurrently-ADDED data files count too (the CoW gate's rule —
+        // the isolation level must not depend on the table's mor option):
+        // an append into this DML's read region is a phantom, refuse
+        // unless every added file is provably outside it
+        val addedData = m.files.map(_._1).toSet --
+          planned.map(_.files.map(_._1).toSet).getOrElse(Set.empty)
+        if (newDeltas.nonEmpty || addedData.nonEmpty) {
           val rfs = readFilters()
           val cache = scala.collection.mutable.HashMap
             .empty[String, Option[GraftPartition.PTransform]]
-          def outsideRegion(n: String): Boolean = {
-            val st = m.stats.getOrElse(n, Map.empty)
-            lazy val bl = m.blooms.getOrElse(n, Map.empty)
-            val parts = GraftPartition.filePartsOf(st)
-            lazy val spec = GraftPartition.fileSpecOf(parts, m.schema, cache)
-            rfs.exists(f => !GraftKvSink.mayMatch(m.schema, st, f) ||
-              !GraftKvSink.bloomMayMatch(m.schema, bl, f) ||
-              (parts.nonEmpty && !GraftPartition.mayMatch(spec, parts, f)))
-          }
-          val disjoint = rfs.nonEmpty && newDeltas.forall { d =>
+          def outsideRegion(n: String): Boolean =
+            GraftKvSink.fileProvablyOutside(m, n, rfs, cache)
+          val disjoint = rfs.nonEmpty &&
+            addedData.forall(outsideRegion) && newDeltas.forall { d =>
             d.inserts == 0L && {
               // driver-side read of the (tiny) concurrent delta file for
               // its target names — the only way to know what it touched
@@ -2846,14 +2869,21 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
             }
           }
           if (!disjoint)
-            refuse("another row-level DML committed in between and its " +
-              "changes cannot be proven outside this DML's read region " +
-              "(a pure delete of provably-disjoint partitions merges)")
+            refuse("another commit landed in between and its changes " +
+              "cannot be proven outside this DML's read region (a plain " +
+              "append or pure delete of provably-disjoint partitions merges)")
         }
       }
-      // the delta's epoch orders it AFTER every state it references
+      // the delta's epoch orders it AFTER every state it references —
+      // INCLUDING retained-history boundaries: a metadata DELETE publishes
+      // removedAt/rewrittenUpTo with no live file at that epoch, and a
+      // delta reusing it would make that boundary state ambiguous (the
+      // same allocation rule the batch commit follows)
       val epoch = (m.files.map(f => GraftKvSink.epochOf(f._1)) ++
-        m.deltas.map(d => GraftKvSink.epochOf(d.name))).maxOption.getOrElse(0L) + 1L
+        m.deltas.map(d => GraftKvSink.epochOf(d.name)) ++
+        m.removed.map(_.removedAt) ++
+        Seq(m.rewrittenUpTo, m.compactedUpTo).filter(_ >= 0L))
+        .maxOption.getOrElse(0L) + 1L
       val published = committed.map { c =>
         val fin = s"epoch-$epoch-${c.finalName}"
         Files.move(Paths.get(dir, c.tmpName), Paths.get(dir, fin),
@@ -3610,15 +3640,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
       fs.nonEmpty && (names.isEmpty || m.exists { mm =>
         val cache = scala.collection.mutable.HashMap
           .empty[String, Option[GraftPartition.PTransform]]
-        names.forall { n =>
-          val st = mm.stats.getOrElse(n, Map.empty)
-          lazy val bl = mm.blooms.getOrElse(n, Map.empty)
-          val parts = GraftPartition.filePartsOf(st)
-          lazy val spec = GraftPartition.fileSpecOf(parts, mm.schema, cache)
-          fs.exists(f => !GraftKvSink.mayMatch(mm.schema, st, f) ||
-            !GraftKvSink.bloomMayMatch(mm.schema, bl, f) ||
-            (parts.nonEmpty && !GraftPartition.mayMatch(spec, parts, f)))
-        }
+        names.forall(GraftKvSink.fileProvablyOutside(mm, _, fs, cache))
       })
     if (replaceFiles.isDefined) {
       val repl = replaceFiles.get().toSet

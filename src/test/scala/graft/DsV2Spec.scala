@@ -1037,9 +1037,11 @@ class DsV2Spec extends SparkSpec {
     val victim = graft.sources.GraftKvSink.listedFiles(dir)._1.head
     // a hand-planned delta DML (position-delete of row 0 of the base
     // file), snapshotted BEFORE the concurrent commit below
-    def plannedDelta(): (graft.sources.GraftKvDeltaBatchWrite,
+    def plannedDelta(readFs: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+        : (graft.sources.GraftKvDeltaBatchWrite,
         org.apache.spark.sql.connector.write.WriterCommitMessage) = {
-      val w = new graft.sources.GraftKvDeltaBatchWrite(dir, kvSchema)
+      val w = new graft.sources.GraftKvDeltaBatchWrite(dir, kvSchema,
+        readFilters = () => readFs)
       val writer = w.createBatchWriterFactory(onePartition).createWriter(0, 0L)
       writer.delete(null, InternalRow(UTF8String.fromString(victim), 0L))
       (w, writer.commit())
@@ -1049,10 +1051,12 @@ class DsV2Spec extends SparkSpec {
     val (w1, m1) = plannedDelta()
     spark.sql("DELETE FROM graft.rlspec.occm WHERE id = 2")
     val e1 = intercept[IllegalStateException] { w1.commit(Array(m1)) }
-    assert(e1.getMessage.contains("another row-level DML"), e1.getMessage)
-    // arm 2: a plain APPEND commits in between -> positions are stable,
-    // the DML merges; final state reflects both
-    val (w2, m2) = plannedDelta()
+    assert(e1.getMessage.contains("cannot be proven outside"), e1.getMessage)
+    // arm 2: a plain APPEND provably OUTSIDE the DML's read region (the
+    // appended file's stats contradict id = 1) commits in between ->
+    // positions are stable AND no phantom is possible, the DML merges
+    val (w2, m2) = plannedDelta(
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 1L)))
     spark.sql("INSERT INTO graft.rlspec.occm VALUES (9, 'z')")
     w2.commit(Array(m2))
     assert(spark.table("graft.rlspec.occm").collect()
@@ -2535,7 +2539,7 @@ class DsV2Spec extends SparkSpec {
     val (w2, m2) = plannedDelta(1L)
     spark.sql("DELETE FROM graft.morp.t WHERE grp = 'a' AND id = 2")
     val e = intercept[IllegalStateException] { w2.commit(Array(m2)) }
-    assert(e.getMessage.contains("another row-level DML"), e.getMessage)
+    assert(e.getMessage.contains("cannot be proven outside"), e.getMessage)
     assert(ids() == Set(4L), ids())
     spark.sql("DROP TABLE graft.morp.t")
   }
@@ -2578,9 +2582,11 @@ class DsV2Spec extends SparkSpec {
     // pruning still works after the fold: merged files keep their tuples
     assert(spark.table("graft.optw.t").where("grp = 'a'").count() == 8L)
     // a temporal horizon scopes too (time-based maintenance): grp b's
-    // day-19783 group merges, its day-19784 group stays
+    // day-19783 group merges, its day-19784 group stays. The horizon is
+    // spelled as a plain STRING literal — the everyday spelling the
+    // analyzer would coerce, so the handler's own coercion must too
     spark.sql("OPTIMIZE graft.optw.t WHERE grp = 'b' AND " +
-      "ts < TIMESTAMP_NTZ'2024-03-02 00:00:00'")
+      "ts < '2024-03-02 00:00:00'")
     assert(grpFiles("b") == 5, s"b: ${grpFiles("b")}")
     assert(spark.table("graft.optw.t").orderBy("id").collect()
       .map(_.getLong(0)).toSeq == before)
