@@ -1913,6 +1913,60 @@ object KeyRange {
         |GROUP BY a.o_orderstatus ORDER BY st""".stripMargin)
   }
 
+  /** A2/A7 judged: BUCKET-transform STORAGE-PARTITIONED JOIN — the
+    * fact⋈fact shape identity partitioning cannot serve (the join key's
+    * cardinality is the table's): both tables PARTITIONED BY
+    * (bucket(16, key)), the catalog exposes the routing function
+    * (FunctionCatalog + canonical-named bound `bucket`), the scans
+    * report KeyGroupedPartitioning over the bucket ordinals, and Spark
+    * joins them with NO exchange on either side — at 100 TB the
+    * difference between shuffling both fact tables and reading them
+    * co-located. The zero-exchange plan is REQUIRED in-query (broadcast
+    * and AQE pinned off during the assertion); the oracle replays the
+    * join relationally, so co-location can never trade away a row. */
+  def kvSpjBucket(s: SparkSession, d: String): DataFrame = {
+    val t1 = s"$scratch/kv_spjb_o"
+    val t2 = s"$scratch/kv_spjb_l"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.o_sb")
+    s.sql("DROP TABLE IF EXISTS graft.kvq.l_sb")
+    clearDir(t1); clearDir(t2)
+    s.sql("CREATE TABLE graft.kvq.o_sb (o_orderkey BIGINT, " +
+      "o_totalprice DOUBLE) USING graft_kv " +
+      s"PARTITIONED BY (bucket(16, o_orderkey)) OPTIONS (path '$t1')")
+    s.sql("CREATE TABLE graft.kvq.l_sb (l_orderkey BIGINT, " +
+      "l_quantity DOUBLE) USING graft_kv " +
+      s"PARTITIONED BY (bucket(16, l_orderkey)) OPTIONS (path '$t2')")
+    Tables.orders(s, d).createOrReplaceTempView("orders_sb_v")
+    Tables.lineitem(s, d).createOrReplaceTempView("li_sb_v")
+    s.sql("INSERT INTO graft.kvq.o_sb SELECT o_orderkey, o_totalprice " +
+      "FROM orders_sb_v")
+    s.sql("INSERT INTO graft.kvq.l_sb SELECT l_orderkey, l_quantity " +
+      "FROM li_sb_v")
+    val confs = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.graft.planning.preserveDataGrouping",
+      "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+    val prev = confs.map(k => k -> s.conf.getOption(k))
+    Seq("true", "true", "-1", "false").zip(confs).foreach {
+      case (v, k) => s.conf.set(k, v) }
+    try {
+      val plan = s.table("graft.kvq.o_sb")
+        .join(s.table("graft.kvq.l_sb"),
+          col("o_orderkey") === col("l_orderkey"))
+        .queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        "co-bucketed fact join must plan with NO exchange:\n" + plan)
+    } finally prev.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _)) }
+    s.sql(
+      """SELECT CAST(o_orderkey % 7 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM graft.kvq.o_sb JOIN graft.kvq.l_sb
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY CAST(o_orderkey % 7 AS BIGINT) ORDER BY grp""".stripMargin)
+  }
+
   /** A6 judged: PARTITION-ALIGNED METADATA DELETE — `DELETE FROM t WHERE
     * <partition predicate>` on a partitioned kv table drops whole files
     * by their recorded tuples in ONE manifest publish: no row read, no
@@ -2804,6 +2858,7 @@ object KeyRange {
     "kv_partition_evolve" -> (kvPartitionEvolve _),
     "kv_partition_overwrite" -> (kvPartitionOverwrite _),
     "kv_spj" -> (kvSpj _),
+    "kv_spj_bucket" -> (kvSpjBucket _),
     "kv_partition_delete" -> (kvPartitionDelete _),
     "kv_time_partition" -> (kvTimePartition _),
     "kv_disjoint_commit" -> (kvDisjointCommit _),
@@ -2957,6 +3012,14 @@ object KeyRange {
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events WHERE ts >= TIMESTAMP '2024-01-11 00:00:00'
         |GROUP BY CAST(ts AS DATE) ORDER BY day""".stripMargin,
+    // the co-bucketed fact join replayed relationally
+    "kv_spj_bucket" ->
+      """SELECT CAST(o_orderkey % 7 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS qty,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY CAST(o_orderkey % 7 AS BIGINT) ORDER BY grp""".stripMargin,
     // the co-partitioned enriching join, replayed relationally
     "kv_spj" ->
       """WITH st AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS st_cnt

@@ -47,12 +47,25 @@ import graft.ops.Ddl
   * a catalog entry); alter/rename and view creation route to the graft
   * SQL surface instead.
   */
-class GraftCatalog extends TableCatalog with StagingTableCatalog with ViewCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+  with ViewCatalog with SupportsNamespaces
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
     catalogName = name
   override def name(): String = catalogName
+
+  // FunctionCatalog: the partition-transform functions, resolvable from
+  // any namespace (V2ScanPartitioning loads them with an EMPTY namespace
+  // when resolving a scan-reported bucket transform — the SPJ path)
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] = Array(Identifier.of(namespace, "bucket"))
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
 
   private def session: SparkSession = SparkSession.active
   private def key(ident: Identifier): String =

@@ -4245,9 +4245,13 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     * aggregate on the keys) with NO shuffle on either side, the single
     * biggest exchange eliminator at 100 TB. Conservative gates: no
     * deltas at the boundary, no CDC/incremental frames, no row-level
-    * `_file` scans (their runtime group filtering re-plans partitions),
-    * derived transforms (bucket/truncate) stand down — their key
-    * equality needs a shared function catalog to prove. */
+    * `_file` scans (their runtime group filtering re-plans partitions).
+    * IDENTITY and BUCKET transforms participate — bucket key-equality is
+    * provable because the catalog exposes the routing function
+    * ([[GraftBucketFunction]], canonical-named per column type), so two
+    * co-bucketed fact tables join exchange-free even when the key is too
+    * wide to partition by value; truncate/temporal transforms stand down
+    * (equal floor buckets do not imply equal join keys). */
   private lazy val spjGroups
       : Option[(Seq[GraftPartition.PTransform], Seq[(InternalRow, Seq[String])])] = {
     // DOUBLY opt-in, the Iceberg preserve-data-grouping shape: tuple
@@ -4270,7 +4274,8 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
         try Some(GraftPartition.parse(manifest.partitionSpec, manifest.schema))
         catch { case _: Exception => None }
       specOpt.filter(spec =>
-        spec.forall(_.isInstanceOf[GraftPartition.PIdentity]) &&
+        spec.forall(t => t.isInstanceOf[GraftPartition.PIdentity] ||
+            t.isInstanceOf[GraftPartition.PBucket]) &&
           spec.forall(t => readSchema().fieldNames
             .exists(_.equalsIgnoreCase(t.source)))).flatMap { spec =>
         val tuples = visible.map { case (n, _) =>
@@ -4286,19 +4291,24 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
               val row = org.apache.spark.sql.catalyst.InternalRow.fromSeq(
                 spec.zip(vals).map { case (t, v) =>
                   if (v == "\\N") null
-                  else {
-                    // undo the tuple encoding's lead-backslash doubling
-                    val raw =
-                      if (v.startsWith("\\")) v.substring(1) else v
-                    t.asInstanceOf[GraftPartition.PIdentity].dt match {
-                      case IntegerType   => raw.toInt
-                      case LongType      => raw.toLong
-                      case TimestampType | TimestampNTZType =>
-                        raw.toLong // internal micros
-                      case DateType      => raw.toInt // internal days
-                      case DoubleType    => raw.toDouble
-                      case _             => UTF8String.fromString(raw)
-                    }
+                  else t match {
+                    // a bucket tuple IS the function's Int ordinal
+                    case GraftPartition.PBucket(_, _, _) => v.toInt
+                    case GraftPartition.PIdentity(_, dt) =>
+                      // undo the tuple encoding's lead-backslash doubling
+                      val raw =
+                        if (v.startsWith("\\")) v.substring(1) else v
+                      dt match {
+                        case IntegerType   => raw.toInt
+                        case LongType      => raw.toLong
+                        case TimestampType | TimestampNTZType =>
+                          raw.toLong // internal micros
+                        case DateType      => raw.toInt // internal days
+                        case DoubleType    => raw.toDouble
+                        case _             => UTF8String.fromString(raw)
+                      }
+                    case other => throw new IllegalStateException(
+                      s"non-SPJ transform in group key: ${other.key}")
                   }
                 })
               (row, fs.map(_._2).sorted)
@@ -4313,9 +4323,16 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     spjGroups match {
       case Some((spec, groups)) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          spec.map(t => org.apache.spark.sql.connector.expressions.Expressions
-            .identity(t.source)
-            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          spec.map {
+            case GraftPartition.PBucket(n, c, _) =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .bucket(n, c)
+                : org.apache.spark.sql.connector.expressions.Expression
+            case t =>
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(t.source)
+                : org.apache.spark.sql.connector.expressions.Expression
+          }.toArray,
           groups.length)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
