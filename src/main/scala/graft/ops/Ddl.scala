@@ -602,12 +602,31 @@ object Ddl {
     // literal yields None and the caller's clear "not classifiable" error
     def ext(l: Literal, dt: org.apache.spark.sql.types.DataType)
         : Option[Any] = {
+      import org.apache.spark.sql.types._
+      // a NULL literal is a VALUE (col <=> NULL proves the \N partition),
+      // not a coercion failure
+      if (l.value == null) return Some(null)
+      // only LOSSLESS coercions: string/date-to-time parsing and exact
+      // numeric widening. A lossy cast (0.5 against an INT column) would
+      // silently RESCOPE the predicate — fold partitions the user's
+      // spelling excludes — so everything else declines to the caller's
+      // "not classifiable" error instead
+      val safe = (l.dataType, dt) match {
+        case (a, b) if a == b                              => true
+        case (StringType, _)                               => true
+        case (DateType, TimestampType | TimestampNTZType)  => true
+        case (IntegerType, LongType | DoubleType)          => true
+        case _                                             => false
+      }
       val internal =
-        if (l.dataType == dt) Option(l.value)
+        if (!safe) None
+        else if (l.dataType == dt) Some(l.value)
         else if (org.apache.spark.sql.catalyst.expressions.Cast
             .canCast(l.dataType, dt))
-          Option(Cast(l, dt, Some(org.apache.spark.sql.internal.SQLConf.get
-            .sessionLocalTimeZone)).eval(null))
+          // ANSI mode raises on a malformed string — decline, not crash
+          try Option(Cast(l, dt, Some(org.apache.spark.sql.internal.SQLConf
+            .get.sessionLocalTimeZone)).eval(null))
+          catch { case _: Exception => None }
         else None
       internal.map(v => org.apache.spark.sql.catalyst.CatalystTypeConverters
         .convertToScala(v, dt))

@@ -56,14 +56,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     catalogName = name
   override def name(): String = catalogName
 
-  // FunctionCatalog: the partition-transform functions, resolvable from
-  // any namespace (V2ScanPartitioning loads them with an EMPTY namespace
-  // when resolving a scan-reported bucket transform — the SPJ path)
+  // FunctionCatalog: the partition-transform functions live in the EMPTY
+  // namespace — exactly where V2ScanPartitioning looks when resolving a
+  // scan-reported bucket transform (the SPJ path); real namespaces list
+  // no functions, and a nonexistent one errors per the contract
   override def listFunctions(namespace: Array[String])
-      : Array[Identifier] = Array(Identifier.of(namespace, "bucket"))
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchNamespaceException(catalogName +: namespace.toSeq)
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    if (ident.namespace.isEmpty && ident.name.equalsIgnoreCase("bucket"))
+      GraftBucketFunction
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchFunctionException(ident)
 

@@ -25,13 +25,18 @@ object GraftBucketFunction extends UnboundFunction {
     "bucket(n, col): graft_kv partition-transform bucket ordinal " +
       "(murmur3 over the canonical value encoding, floorMod n)"
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"graft bucket(n, col) takes 2 arguments, got ${inputType.length}")
-    require(inputType.fields(0).dataType == IntegerType,
-      "graft bucket(n, col): n must be INT")
+    // the V2 resolution path catches UnsupportedOperationException to
+    // stand down / report a clean analysis error; require would escape
+    // as a raw internal failure
+    def reject(msg: String): Nothing =
+      throw new UnsupportedOperationException(msg)
+    if (inputType.fields.length != 2)
+      reject(s"graft bucket(n, col) takes 2 arguments, got ${inputType.length}")
+    if (inputType.fields(0).dataType != IntegerType)
+      reject("graft bucket(n, col): n must be INT")
     val dt = inputType.fields(1).dataType
-    require(GraftKvSink.supported(dt),
-      s"graft bucket(n, col): unsupported column type ${dt.simpleString}")
+    if (!GraftKvSink.supported(dt))
+      reject(s"graft bucket(n, col): unsupported column type ${dt.simpleString}")
     new ScalarFunction[Integer] {
       override def inputTypes(): Array[DataType] = Array(IntegerType, dt)
       override def resultType(): DataType = IntegerType
