@@ -1014,4 +1014,48 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.format("graft.sources.GraftKvSink").option("path", dir)
       .load().where("grp = 'a'").count() == 2L)
   }
+
+  test("streaming into a days(ts)-partitioned table: per-day files, " +
+    "hidden pruning, scoped OPTIMIZE repairs the streamed layout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.GraftKvSink
+    val root = java.nio.file.Files.createTempDirectory("graft_kv_stime")
+    val dir = root.resolve("out").toString
+    spark.sql("DROP TABLE IF EXISTS graft.stime.t")
+    spark.sql("CREATE TABLE graft.stime.t (id BIGINT, ts TIMESTAMP_NTZ) " +
+      s"USING graft_kv PARTITIONED BY (days(ts)) OPTIONS (path '$dir')")
+    val day0 = 1709251200000000L // 2024-03-01T00:00Z, epoch day 19783
+    def at(day: Int, s: Int): java.time.LocalDateTime =
+      java.time.LocalDateTime.ofEpochSecond(
+        day0 / 1000000L + day * 86400L + s, 0, java.time.ZoneOffset.UTC)
+    val ms = MemoryStream[(Long, java.time.LocalDateTime)]
+    val q = ms.toDF().toDF("id", "ts")
+      .writeStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("partitionedBy", "days(ts)")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .start()
+    // two micro-batches, each spanning both days -> 2 epochs x 2 day files
+    ms.addData((1L, at(0, 1)), (2L, at(1, 1)))
+    q.processAllAvailable()
+    ms.addData((3L, at(0, 2)), (4L, at(1, 2)))
+    q.processAllAvailable()
+    q.stop()
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m.partitionSpec == Seq("days(ts)"), m.partitionSpec)
+    val days = m.files.map(f => m.stats(f._1)("part:days(ts)")._1.toLong)
+    assert(days.toSet == Set(19783L, 19784L) && days.length == 4, days)
+    // hidden pruning on the raw timestamp over STREAMED files
+    assert(new graft.sources.GraftKvScan(dir, None,
+      Seq(org.apache.spark.sql.sources.GreaterThanOrEqual("ts", at(1, 0))))
+      .planInputPartitions().length == 2)
+    // the everyday repair: fold yesterday's streamed files only
+    spark.sql("OPTIMIZE graft.stime.t WHERE ts < '2024-03-02 00:00:00'")
+    val m1 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val byDay = m1.files.groupBy(f => m1.stats(f._1)("part:days(ts)")._1)
+    assert(byDay("19783").size == 1 && byDay("19784").size == 2, byDay.keys)
+    assert(spark.table("graft.stime.t").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    spark.sql("DROP TABLE graft.stime.t")
+  }
 }
