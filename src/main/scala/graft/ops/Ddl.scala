@@ -2149,7 +2149,8 @@ object Ddl {
         val mfp = graft.sources.GraftKvSink.manifestPath(path)
         require(java.nio.file.Files.exists(mfp),
           s"OPTIMIZE WHERE: no manifest at $path")
-        val schema = graft.sources.GraftKvSink.readManifest(mfp).schema
+        val mf0 = graft.sources.GraftKvSink.readManifest(mfp)
+        val schema = mf0.schema
         val resolved = spark.sessionState.sqlParser.parseExpression(predText)
           .transformUp {
             case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -2165,6 +2166,26 @@ object Ddl {
             s"OPTIMIZE WHERE predicate '$predText' does not translate to " +
               "a partition-classifiable filter — use equality/range " +
               "predicates over partition source columns"))
+        // Delta's rule: the predicate must reference at least one
+        // partition SOURCE column, else the classifier can never prove
+        // whole-file containment and the command would silently merge 0
+        // files instead of telling the user the predicate scopes nothing.
+        // Evolution-aware: columns sourced by the CURRENT spec or by any
+        // recorded file tuple (old-spec predicates still classify files
+        // carrying old tuples) both count.
+        val specKeys = (mf0.partitionSpec ++ mf0.stats.valuesIterator.flatMap(
+          _.keysIterator.collect {
+            case k if k.startsWith(graft.sources.GraftPartition.PartKey) =>
+              k.stripPrefix(graft.sources.GraftPartition.PartKey)
+          })).toSet
+        val srcCols = specKeys.flatMap(k => scala.util.Try(
+          graft.sources.GraftPartition.parseOne(k, schema).source).toOption)
+        require(filter.references.exists(c =>
+            srcCols.exists(_.equalsIgnoreCase(c))),
+          s"OPTIMIZE WHERE predicate '$predText' references no partition " +
+            s"source column (${srcCols.toSeq.sorted.mkString(", ")}) — it " +
+            "cannot scope any partition; use a predicate over the " +
+            "partition source columns")
         val mergedW = graft.sources.GraftKvSink.compact(path, Long.MaxValue,
           Seq(filter))
         status("OPTIMIZE", s"$name (where: $mergedW files merged)")

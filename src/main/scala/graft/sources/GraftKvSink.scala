@@ -823,7 +823,11 @@ object GraftKvSink {
           le(dt, mn, s) && le(dt, s, mx)
         case None => true
       })
-    f match {
+    // canonValue falls through to String.valueOf for value shapes it does
+    // not recognize; on a numeric-ordered column le() would then throw at
+    // PLANNING time. An unparseable image must DECLINE to prune (the
+    // bloom path's conservative rule), never fail the query.
+    try f match {
       case EqualTo(c, v)  => contains(c, v)
       case In(c, vs)      => vs.exists(contains(c, _))
       // max > v  <=>  NOT (max <= v); min < v  <=>  NOT (v <= min)
@@ -838,7 +842,7 @@ object GraftKvSink {
       case And(l, r) => mayMatch(schema, stats, l) && mayMatch(schema, stats, r)
       case Or(l, r)  => mayMatch(schema, stats, l) || mayMatch(schema, stats, r)
       case _         => true
-    }
+    } catch { case _: NumberFormatException => true }
   }
 
   /** Is the named file PROVABLY outside the conjunction `fs` — some
@@ -2097,6 +2101,23 @@ object GraftKvSink {
     // and the NEXT partitioned write resumes tagged layout.
     val grouped: Seq[(String, Seq[(String, Long)])] =
       if (mf.partitionSpec.isEmpty || dOld.nonEmpty) Seq("" -> old)
+      else if (where.nonEmpty)
+        // scoped folds group by the file's FULL recorded tuple — the same
+        // grouping that selected the size>=2 groups above. Grouping by
+        // CURRENT spec keys here instead would, after partition
+        // evolution, collapse matched files lacking a current-spec entry
+        // into one untagged group whose target name no longer depends on
+        // the tuple: two scoped runs over disjoint old-spec partitions
+        // would then hash to the SAME target name at the same epoch, and
+        // the second run's REPLACE_EXISTING move would overwrite the
+        // first's still-live target (data loss) — and distinct old
+        // tuples would silently merge within a single run, losing their
+        // pruning metadata. The recorded tuple is evolution-proof.
+        old.groupBy { case (n, _) =>
+          GraftPartition.filePartsOf(mf.stats.getOrElse(n, Map.empty))
+            .toSeq.sortBy(_._1).map { case (k, v) => k + "\u0001" + v }
+            .mkString("\u0000")
+        }.toSeq.sortBy(_._1)
       else old.groupBy { case (n, _) =>
         val st = mf.stats.getOrElse(n, Map.empty)
         val vs = mf.partitionSpec.map(k =>

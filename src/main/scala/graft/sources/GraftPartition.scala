@@ -349,7 +349,9 @@ object GraftPartition {
     def eq(col: String, v: Any): Boolean =
       v != null && ident(col).exists { case (t, p) =>
         p != "\\N" && p == t.apply(canon(t, v)) }
-    f match {
+    // an unparseable canonical value image (canon falls through to
+    // String.valueOf) cannot PROVE anything — decline, don't throw
+    try f match {
       case EqualTo(c, v)       => eq(c, v)
       case EqualNullSafe(c, v) =>
         if (v == null) ident(c).exists(_._2 == "\\N") else eq(c, v)
@@ -383,7 +385,7 @@ object GraftPartition {
       case Or(l, r)  => allMatch(spec, parts, l) || allMatch(spec, parts, r)
       case Not(inner) => !mayMatch(spec, parts, inner) // no row CAN match it
       case _ => false
-    }
+    } catch { case _: NumberFormatException => false }
   }
 
   /** Translate a DSv2 Predicate to the v1 Filter shapes the partition
@@ -512,7 +514,9 @@ object GraftPartition {
       v != null && relevant(col).forall { case (t, p) =>
         p != "\\N" && p == t.apply(canon(t, v))
       }
-    f match {
+    // unparseable value image (canon's String.valueOf fallthrough) →
+    // cannot prune; matching the stats pruner's conservative rule
+    try f match {
       case EqualTo(c, v)       => couldEqual(c, v)
       case EqualNullSafe(c, v) =>
         if (v == null) relevant(c).forall(_._2 == "\\N")
@@ -538,6 +542,6 @@ object GraftPartition {
       case And(l, r) => mayMatch(spec, parts, l) && mayMatch(spec, parts, r)
       case Or(l, r)  => mayMatch(spec, parts, l) || mayMatch(spec, parts, r)
       case _         => true
-    }
+    } catch { case _: NumberFormatException => true }
   }
 }

@@ -2636,6 +2636,66 @@ class DsV2Spec extends SparkSpec {
       spark.sql("OPTIMIZE graft.optw.t WHERE id % 2 = 0").collect()
     }
     assert(eW.getMessage.contains("classifiable"), eW.getMessage)
+    // a CLASSIFIABLE predicate over a non-partition column scopes
+    // nothing — it must error (Delta's rule), not silently merge 0 files
+    val eC = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.optw.t WHERE id = 5").collect()
+    }
+    assert(eC.getMessage.contains("no partition source column"),
+      eC.getMessage)
     spark.sql("DROP TABLE graft.optw.t")
+  }
+
+  test("scoped OPTIMIZE groups by recorded tuple across partition evolution") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_optev").toString
+    spark.sql("DROP TABLE IF EXISTS graft.optev.t")
+    spark.sql("CREATE TABLE graft.optev.t (id BIGINT, ts TIMESTAMP_NTZ, " +
+      "grp STRING) USING graft_kv PARTITIONED BY (grp) " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    // four appends, each writing one file per grp tuple: 4 files under a,
+    // 4 under b, epochs 0..3 in both groups
+    (0 until 4).foreach { i =>
+      spark.sql("INSERT INTO graft.optev.t SELECT id + " + (i * 10) +
+        ", timestamp_micros(1709251200000000), " +
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(4)")
+    }
+    def mf() = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    def grpFiles(g: String): Seq[String] = {
+      val m = mf()
+      m.files.map(_._1).filter(n => m.stats.getOrElse(n, Map.empty)
+        .get("part:grp").exists(_._1 == g))
+    }
+    assert(grpFiles("a").size == 4 && grpFiles("b").size == 4)
+    val before = spark.table("graft.optev.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(before.size == 16)
+    // EVOLVE the spec away from grp: matched files now lack a
+    // current-spec (days(ts)) tuple entry. Scoped folds must still group
+    // and name targets by each file's OWN recorded tuple — grouping by
+    // current-spec keys would collapse both runs below into one untagged
+    // group whose md5-named target collides at the shared max epoch, so
+    // the second fold would overwrite the first's still-live target.
+    spark.sql("ALTER TABLE graft.optev.t SET PARTITIONED BY (days(ts))")
+    spark.sql("OPTIMIZE graft.optev.t WHERE grp = 'a'")
+    val afterA = spark.table("graft.optev.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(afterA == before, s"after fold a: ${afterA.size} rows")
+    assert(grpFiles("a").size == 1, grpFiles("a"))
+    spark.sql("OPTIMIZE graft.optev.t WHERE grp = 'b'")
+    val m2 = mf()
+    // both targets alive under DISTINCT names, no duplicate manifest rows
+    assert(grpFiles("a").size == 1 && grpFiles("b").size == 1,
+      m2.files.map(_._1).mkString(", "))
+    assert(grpFiles("a") != grpFiles("b"))
+    assert(m2.files.map(_._1).distinct.size == m2.files.size,
+      "manifest lists a file name twice")
+    val afterB = spark.table("graft.optev.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(afterB == before,
+      s"data loss/duplication after second scoped fold: ${afterB.size} rows")
+    // old-tuple pruning still works: the folded targets kept their tuples
+    assert(spark.table("graft.optev.t").where("grp = 'a'").count() == 8L)
+    spark.sql("DROP TABLE graft.optev.t")
   }
 }
