@@ -584,6 +584,64 @@ object Ddl {
   // a time-partitioned 100 TB table
   private val OptimizeWhereRe =
     """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+WHERE\s+(.+?)\s*""".r
+  // OPTIMIZE t WHERE <pred> ZORDER BY (c1,c2) [INTO n FILES]: the two
+  // maintenance halves COMPOSED (the Delta shape) — re-cluster only the
+  // partition region the predicate proves, leaving every other
+  // partition's files byte-identical: "re-cluster yesterday's partition"
+  // on a 100 TB table moves yesterday's data, not the table. Must match
+  // before the plain WHERE / ZORDER forms in both dispatch tables.
+  private val OptimizeWhereZorderRe =
+    ("""(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+WHERE\s+(.+?)\s+""" +
+      """ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""").r
+
+  /** Shared front half of every `OPTIMIZE … WHERE` form: the predicate
+    * parses through Spark's own expression parser, resolves against the
+    * manifest schema, and translates to the v1 Filter the partition
+    * classifier speaks — unclassifiable shapes error here rather than
+    * folding wrongly, and (Delta's rule) the predicate must reference at
+    * least one partition SOURCE column, else the classifier can never
+    * prove whole-file containment and the command would silently scope 0
+    * files instead of telling the user. Evolution-aware: columns sourced
+    * by the CURRENT spec or by any recorded file tuple (old-spec
+    * predicates still classify files carrying old tuples) both count. */
+  private def optimizeWhereFilter(spark: SparkSession, name: String,
+      predText: String): (String, org.apache.spark.sql.sources.Filter) = {
+    val path = kvPathFor(name)
+    val mfp = graft.sources.GraftKvSink.manifestPath(path)
+    require(java.nio.file.Files.exists(mfp),
+      s"OPTIMIZE WHERE: no manifest at $path")
+    val mf0 = graft.sources.GraftKvSink.readManifest(mfp)
+    val schema = mf0.schema
+    val resolved = spark.sessionState.sqlParser.parseExpression(predText)
+      .transformUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(u.name))
+            .getOrElse(throw new IllegalArgumentException(
+              s"OPTIMIZE WHERE column '${u.name}' is not in the table " +
+                s"schema (${schema.fieldNames.mkString(", ")})"))
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            f.name, f.dataType)()
+      }
+    val filter = exprToFilter(resolved).getOrElse(
+      throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE predicate '$predText' does not translate to " +
+          "a partition-classifiable filter — use equality/range " +
+          "predicates over partition source columns"))
+    val specKeys = (mf0.partitionSpec ++ mf0.stats.valuesIterator.flatMap(
+      _.keysIterator.collect {
+        case k if k.startsWith(graft.sources.GraftPartition.PartKey) =>
+          k.stripPrefix(graft.sources.GraftPartition.PartKey)
+      })).toSet
+    val srcCols = specKeys.flatMap(k => scala.util.Try(
+      graft.sources.GraftPartition.parseOne(k, schema).source).toOption)
+    require(filter.references.exists(c =>
+        srcCols.exists(_.equalsIgnoreCase(c))),
+      s"OPTIMIZE WHERE predicate '$predText' references no partition " +
+        s"source column (${srcCols.toSeq.sorted.mkString(", ")}) — it " +
+        "cannot scope any partition; use a predicate over the " +
+        "partition source columns")
+    (path, filter)
+  }
 
   /** Resolved Catalyst predicate -> v1 Filter, for the shapes the
     * partition classifier speaks (Spark's own translateFilter is
@@ -706,6 +764,15 @@ object Ddl {
   private val AlterSetPartRe =
     ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+SET\s+""" +
       """PARTITIONED\s+BY\s*\((.*)\)\s*""").r
+  // SET/DROP NOT NULL: Spark's analyzer categorically refuses
+  // nullable->non-nullable on v2 tables (a generic connector cannot know
+  // the data is clean) — but this connector CAN know: adoption validates
+  // committed rows first (one scan, limit-1 existence probe — the CHECK
+  // adoption pattern), so the statement routes through the graft parser
+  // instead of AlterColumns
+  private val AlterNotNullRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+ALTER\s+COLUMN\s+""" +
+      """(\w+)\s+(SET|DROP)\s+NOT\s+NULL\s*""").r
   // SHOW PARTITIONS: the manifest's per-file tuple entries, aggregated —
   // pure metadata, zero data files opened, however many epochs exist
   private val ShowPartitionsRe =
@@ -1583,6 +1650,7 @@ object Ddl {
     case ShowVersionsRe(n) if lookup(n).isDefined    => Some(versionsCols)
     case DescHistoryRe(n) if kvTableFor(n).isDefined => Some(historyCols)
     case DescDetailRe(n) if kvTableFor(n).isDefined  => Some(detailCols)
+    case OptimizeWhereZorderRe(n, _, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case OptimizeZorderRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case OptimizeWhereRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case CreateTagRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
@@ -1591,6 +1659,7 @@ object Ddl {
     case DropBranchRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case FastForwardRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case AlterSetPartRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case AlterNotNullRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case ShowPartitionsRe(n) if kvTableFor(n).isDefined => Some(partitionsCols)
     case ShowTagsRe(n) if kvTableFor(n).isDefined    => Some(tagsCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
@@ -2140,52 +2209,17 @@ object Ddl {
         val e = graft.sources.GraftKvSink.zorderRewrite(spark,
           kvPathFor(name), cols, Option(nStr).map(_.toInt).getOrElse(0))
         status("OPTIMIZE", s"$name (zorder ${cols.mkString(",")} epoch $e)")
+      case OptimizeWhereZorderRe(name, predText, colsStr, nStr) =>
+        // OPTIMIZE … WHERE … ZORDER BY: re-cluster ONLY the proven
+        // partition region (see GraftKvSink.zorderRewrite's where arm)
+        val (path, filter) = optimizeWhereFilter(spark, name, predText)
+        val cols = colsStr.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+        val e = graft.sources.GraftKvSink.zorderRewrite(spark, path, cols,
+          Option(nStr).map(_.toInt).getOrElse(0), Seq(filter))
+        status("OPTIMIZE",
+          s"$name (where+zorder ${cols.mkString(",")} epoch $e)")
       case OptimizeWhereRe(name, predText) =>
-        // OPTIMIZE … WHERE: the predicate parses through Spark's own
-        // expression parser, resolves against the manifest schema, and
-        // translates to the v1 Filter the partition classifier speaks —
-        // unclassifiable shapes error here rather than folding wrongly
-        val path = kvPathFor(name)
-        val mfp = graft.sources.GraftKvSink.manifestPath(path)
-        require(java.nio.file.Files.exists(mfp),
-          s"OPTIMIZE WHERE: no manifest at $path")
-        val mf0 = graft.sources.GraftKvSink.readManifest(mfp)
-        val schema = mf0.schema
-        val resolved = spark.sessionState.sqlParser.parseExpression(predText)
-          .transformUp {
-            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-              val f = schema.fields.find(_.name.equalsIgnoreCase(u.name))
-                .getOrElse(throw new IllegalArgumentException(
-                  s"OPTIMIZE WHERE column '${u.name}' is not in the table " +
-                    s"schema (${schema.fieldNames.mkString(", ")})"))
-              org.apache.spark.sql.catalyst.expressions.AttributeReference(
-                f.name, f.dataType)()
-          }
-        val filter = exprToFilter(resolved).getOrElse(
-          throw new IllegalArgumentException(
-            s"OPTIMIZE WHERE predicate '$predText' does not translate to " +
-              "a partition-classifiable filter — use equality/range " +
-              "predicates over partition source columns"))
-        // Delta's rule: the predicate must reference at least one
-        // partition SOURCE column, else the classifier can never prove
-        // whole-file containment and the command would silently merge 0
-        // files instead of telling the user the predicate scopes nothing.
-        // Evolution-aware: columns sourced by the CURRENT spec or by any
-        // recorded file tuple (old-spec predicates still classify files
-        // carrying old tuples) both count.
-        val specKeys = (mf0.partitionSpec ++ mf0.stats.valuesIterator.flatMap(
-          _.keysIterator.collect {
-            case k if k.startsWith(graft.sources.GraftPartition.PartKey) =>
-              k.stripPrefix(graft.sources.GraftPartition.PartKey)
-          })).toSet
-        val srcCols = specKeys.flatMap(k => scala.util.Try(
-          graft.sources.GraftPartition.parseOne(k, schema).source).toOption)
-        require(filter.references.exists(c =>
-            srcCols.exists(_.equalsIgnoreCase(c))),
-          s"OPTIMIZE WHERE predicate '$predText' references no partition " +
-            s"source column (${srcCols.toSeq.sorted.mkString(", ")}) — it " +
-            "cannot scope any partition; use a predicate over the " +
-            "partition source columns")
+        val (path, filter) = optimizeWhereFilter(spark, name, predText)
         val mergedW = graft.sources.GraftKvSink.compact(path, Long.MaxValue,
           Seq(filter))
         status("OPTIMIZE", s"$name (where: $mergedW files merged)")
@@ -2197,6 +2231,37 @@ object Ddl {
         val upTo = Option(upToStr).map(_.toLong).getOrElse(Long.MaxValue)
         val merged = graft.sources.GraftKvSink.compact(kvPathFor(name), upTo)
         status("OPTIMIZE", s"$name ($merged files merged)")
+      case AlterNotNullRe(name, col, mode) if kvTableFor(name).isDefined =>
+        val d = kvTableFor(name).get
+        val path = kvPathFor(name)
+        val mfp = graft.sources.GraftKvSink.manifestPath(path)
+        val hasMf = java.nio.file.Files.exists(mfp)
+        val schema =
+          if (hasMf) graft.sources.GraftKvSink.readManifest(mfp).schema
+          else org.apache.spark.sql.types.DataType.fromJson(d.schemaJson)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val fi = schema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
+        require(fi >= 0, s"ALTER COLUMN: no column '$col' in $name " +
+          s"(${schema.fieldNames.mkString(", ")})")
+        val setNN = mode.equalsIgnoreCase("SET")
+        if (setNN && hasMf) {
+          // adopt only after PROVING no committed row violates it
+          val hasNull = spark.read.format("graft.sources.GraftKvSink")
+            .option("path", path).load()
+            .where(org.apache.spark.sql.functions.col(
+              schema(fi).name).isNull)
+            .limit(1).count() > 0
+          require(!hasNull,
+            s"graft_kv: cannot SET NOT NULL on '${schema(fi).name}' — " +
+              "existing rows hold NULLs")
+        }
+        val next = org.apache.spark.sql.types.StructType(
+          schema.fields.zipWithIndex.map { case (f, i) =>
+            if (i == fi) f.copy(nullable = !setNN) else f })
+        if (hasMf) graft.sources.GraftKvSink.evolveSchema(path, next)
+        dsv2Put(d.copy(schemaJson = next.json))
+        status("ALTER_NULLABILITY",
+          s"$name ($col ${if (setNN) "NOT NULL" else "nullable"})")
       case AlterSetPartRe(name, specStr) =>
         val dDef = kvTableFor(name).get
         val path = kvPathFor(name)

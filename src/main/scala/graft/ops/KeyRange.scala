@@ -1761,6 +1761,213 @@ object KeyRange {
     * PARTITIONS against a relational oracle, so manifest metadata
     * drifting from the data it describes hash-mismatches; the new-spec
     * half and both pruning arms are required in-query. */
+  /** A8/A9 judged: RENAME / DROP COLUMN on a kv table via COLUMN MAPPING
+    * (the Iceberg field-id / Delta column-mapping shape, with physical
+    * TSV positions as the ids: the manifest schema carries a per-field
+    * `graft_pid`, dropped positions retire into `droppedPids` and are
+    * never reused). Flow: CREATE partitioned + CHECKed → INSERT → RENAME
+    * the partition source AND the checked column (required in-query:
+    * ZERO data files moved, spec strings + per-file tuple keys + sketch
+    * keys re-keyed in the one metadata publish, partition pruning stays
+    * EXACT under the new name, and the CHECK — rewritten in the same
+    * publish, the textual form of id-binding — still refuses violations)
+    * → INSERT under the new names → DROP a column (its position retires;
+    * readers project it away) → ADD a fresh column (claims a FRESH
+    * position: the dropped column's committed values must never
+    * resurface under the new name — required in-query) → INSERT a third
+    * slice. The oracle replays all three slices relationally and
+    * hash-gates the per-status aggregate across the three layout epochs.
+    * At 100 TB: rename and drop each touch ONE manifest, zero data
+    * files — schema evolution at constant cost however large the
+    * table. */
+  def kvColumnMapping(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_cmap"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.o_cm")
+    clearDir(tmp)
+    s.sql("CREATE TABLE graft.kvq.o_cm (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "USING graft_kv PARTITIONED BY (o_orderstatus) " +
+      s"OPTIONS (path '$tmp', epochs 'true')")
+    s.sql("ALTER TABLE graft.kvq.o_cm SET TBLPROPERTIES " +
+      "('check.pos' = 'o_totalprice >= 0')")
+    Tables.orders(s, d).createOrReplaceTempView("o_cm_v")
+    s.sql("INSERT INTO graft.kvq.o_cm SELECT o_orderkey, o_custkey, " +
+      "o_orderstatus, o_totalprice FROM o_cm_v WHERE o_orderkey % 3 = 0")
+    def mf() = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    val m0 = mf()
+    s.sql("ALTER TABLE graft.kvq.o_cm RENAME COLUMN o_orderstatus TO status")
+    s.sql("ALTER TABLE graft.kvq.o_cm RENAME COLUMN o_totalprice TO price")
+    val m1 = mf()
+    require(m1.files.map(_._1).sorted == m0.files.map(_._1).sorted,
+      "RENAME must move zero data files")
+    require(m1.partitionSpec == Seq("status"), m1.partitionSpec)
+    require(m1.files.forall(f => m1.stats(f._1).contains("part:status")),
+      "per-file tuple keys must re-key with the rename")
+    // partition pruning stays EXACT under the new name
+    val fFiles = m1.files.count(f => m1.stats(f._1)("part:status")._1 == "F")
+    val planned = new graft.sources.GraftKvScan(tmp, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("status", "F")))
+      .planInputPartitions().length
+    require(planned == fFiles && fFiles < m1.files.length,
+      s"status probe planned $planned of ${m1.files.length} (F: $fFiles)")
+    // the CHECK survived its column's rename (SQL text re-keyed in the
+    // same publish — the textual equivalent of binding by field id)
+    val viol =
+      try { s.sql("INSERT INTO graft.kvq.o_cm VALUES " +
+        "(-1L, -1L, 'F', -5.0)"); false }
+      catch { case _: Exception => true }
+    require(viol, "renamed CHECK must still refuse violations")
+    s.sql("INSERT INTO graft.kvq.o_cm SELECT o_orderkey, o_custkey, " +
+      "o_orderstatus, o_totalprice FROM o_cm_v WHERE o_orderkey % 3 = 1")
+    s.sql("ALTER TABLE graft.kvq.o_cm DROP COLUMN o_custkey")
+    s.sql("ALTER TABLE graft.kvq.o_cm ADD COLUMN src STRING")
+    require(
+      s.table("graft.kvq.o_cm").where("src IS NOT NULL").count() == 0L,
+      "dropped o_custkey values resurfaced under the added 'src'")
+    s.sql("INSERT INTO graft.kvq.o_cm SELECT o_orderkey, o_orderstatus, " +
+      "o_totalprice, 'late' FROM o_cm_v WHERE o_orderkey % 3 = 2")
+    s.sql(
+      """SELECT status, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  count(src) AS late_cnt
+        |FROM graft.kvq.o_cm
+        |GROUP BY status ORDER BY status""".stripMargin)
+  }
+
+  /** A8 judged: QUERYABLE METADATA TABLES (the Iceberg metadata-table
+    * UX) — `SELECT … FROM graft.ns.t.files | t.partitions | t.history`
+    * resolve by identifier suffix to manifest-derived relations, ZERO
+    * data files opened. Required in-query: (1) `t.files` aggregated by
+    * its partition column reproduces `t.partitions` exactly — the two
+    * relations describe one manifest; (2) the metadata PREDICTS the
+    * scan: the 'F' partition's file count in `t.files` equals the input
+    * partitions a pruned scan then plans (the dashboard query and the
+    * planner read the same truth); (3) `t.history` accounts for every
+    * committed row across the three append epochs. The oracle hash-gates
+    * the partitions relation against a relational group-by of the same
+    * source rows. At 100 TB: these queries cost one manifest JSON read —
+    * the maintenance dashboard never touches data files. */
+  def kvMetaTables(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_meta"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.o_mt")
+    clearDir(tmp)
+    s.sql("CREATE TABLE graft.kvq.o_mt (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "USING graft_kv PARTITIONED BY (o_orderstatus) " +
+      s"OPTIONS (path '$tmp', epochs 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("o_mt_v")
+    (0 until 3).foreach { i =>
+      s.sql("INSERT INTO graft.kvq.o_mt SELECT o_orderkey, o_custkey, " +
+        s"o_orderstatus, o_totalprice FROM o_mt_v WHERE o_orderkey % 3 = $i")
+    }
+    val files = s.table("graft.kvq.o_mt.files")
+    val parts = s.table("graft.kvq.o_mt.partitions")
+    val hist = s.table("graft.kvq.o_mt.history")
+    val agg = files.where("kind = 'base'").groupBy("partition")
+      .agg(count(lit(1)).as("nf"), sum(col("row_count")).as("nr"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val pset = parts.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    require(agg == pset,
+      s"files-aggregate and partitions disagree:\n$agg\nvs\n$pset")
+    val fFiles = files
+      .where("kind = 'base' AND partition = 'o_orderstatus=F'").count()
+    val planned = new graft.sources.GraftKvScan(tmp, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("o_orderstatus", "F")))
+      .planInputPartitions().length
+    require(planned == fFiles.toInt && fFiles > 0L,
+      s"metadata predicted $fFiles files; the pruned scan planned $planned")
+    val added = hist.agg(sum(col("rows_added"))).head.getLong(0)
+    require(added == s.table("graft.kvq.o_mt").count(),
+      s"history rows_added $added != visible row count")
+    require(hist.where("operation = 'append'").count() == 3L,
+      "three append epochs must report")
+    s.table("graft.kvq.o_mt.partitions").orderBy("partition")
+      .select(col("partition"), col("num_rows"))
+  }
+
+  /** A8 × B43 judged: WRITE-AUDIT-PUBLISH (the Iceberg WAP loop) through
+    * a WRITABLE BRANCH with a TRUE STREAMING ingest leg. Flow: baseline
+    * lands on the parent → CREATE BRANCH ingest → a streaming query
+    * reads a kv feed through the connector's MicroBatchStream and
+    * streams INTO THE BRANCH HEAD (`writeStream.toTable(….branch_
+    * ingest)` — per-epoch idempotent manifest publishes on the branch's
+    * own lineage, parent untouched) → an AUDIT query runs on the branch
+    * (violation count == 0 AND exact expected rows — required in-query)
+    * → FAST FORWARD publishes the audited state to the parent. The
+    * NEGATIVE arm is required in-query too: a second branch takes a
+    * poison batch, its audit fails, no fast-forward runs, and the parent
+    * state is PROVEN unchanged before the poison branch drops. The
+    * oracle hash-gates the parent's final aggregate: exactly baseline +
+    * audited slice, never the poison. At 100 TB this is the ingest
+    * pattern that makes audits free: the branch is a shallow fork (two
+    * metadata writes), the stream is ordinary distributed epochs, and
+    * publish is a file MOVE — audit-then-publish costs no rewrite. */
+  def kvWap(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_wap"
+    val feed = s"$scratch/kv_wap_feed"
+    val ckpt = s"$scratch/kv_wap_ckpt"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.o_wap")
+    Seq(tmp, feed, ckpt).foreach(clearDir)
+    s.sql("CREATE TABLE graft.kvq.o_wap (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp', epochs 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("o_wap_v")
+    s.sql("INSERT INTO graft.kvq.o_wap SELECT o_orderkey, o_custkey, " +
+      "o_orderstatus, o_totalprice FROM o_wap_v WHERE o_orderkey % 3 = 0")
+    val parentBefore = s.table("graft.kvq.o_wap").count()
+    // the audited leg: slice %3=1 arrives as a streaming feed epoch and
+    // flows INTO THE BRANCH through the connector's streaming write
+    Ddl.execute(s, "ALTER TABLE graft.kvq.o_wap CREATE BRANCH ingest")
+    s.sql("SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice " +
+      "FROM o_wap_v WHERE o_orderkey % 3 = 1")
+      .write.format("graft.sources.GraftKvSink").option("path", feed)
+      .mode(SaveMode.Append).save()
+    val q = s.readStream.format("graft.sources.GraftKvSink")
+      .option("path", feed).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable("graft.kvq.o_wap.branch_ingest")
+    try q.processAllAvailable() finally q.stop()
+    // AUDIT on the branch: no violating rows, exactly the expected count
+    val expect = s.sql(
+      "SELECT count(*) FROM o_wap_v WHERE o_orderkey % 3 = 1")
+      .head.getLong(0)
+    val branchRows = s.table("graft.kvq.o_wap.branch_ingest").count()
+    val bad = s.table("graft.kvq.o_wap.branch_ingest")
+      .where("o_totalprice < 0 OR o_orderkey IS NULL").count()
+    require(bad == 0L && branchRows == parentBefore + expect,
+      s"audit failed: $bad violations, $branchRows rows " +
+        s"(expected ${parentBefore + expect}) — not publishing")
+    require(s.table("graft.kvq.o_wap").count() == parentBefore,
+      "streaming into the branch must leave the parent untouched")
+    // FAST FORWARD publishes the audited state and retires the branch
+    Ddl.execute(s, "ALTER TABLE graft.kvq.o_wap FAST FORWARD TO 'ingest'")
+    val published = s.table("graft.kvq.o_wap").count()
+    require(published == parentBefore + expect,
+      s"fast-forward published $published, expected ${parentBefore + expect}")
+    // NEGATIVE arm: a poison batch fails its audit — never published
+    Ddl.execute(s, "ALTER TABLE graft.kvq.o_wap CREATE BRANCH bad")
+    s.sql("INSERT INTO graft.kvq.o_wap.branch_bad VALUES " +
+      "(9999999L, 1L, 'F', -42.0)")
+    val poison = s.table("graft.kvq.o_wap.branch_bad")
+      .where("o_totalprice < 0").count()
+    require(poison > 0L, "the poison row must be visible on its branch")
+    // audit fails -> the WAP loop REFUSES to fast-forward; the parent is
+    // proven byte-level unchanged before the branch drops
+    require(s.table("graft.kvq.o_wap").count() == published &&
+      s.table("graft.kvq.o_wap").where("o_totalprice < 0").count() == 0L,
+      "an unaudited branch must never leak into the parent")
+    Ddl.execute(s, "ALTER TABLE graft.kvq.o_wap DROP BRANCH bad")
+    s.sql(
+      """SELECT o_orderstatus AS status, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM graft.kvq.o_wap
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin)
+  }
+
   def kvPartitionEvolve(s: SparkSession, d: String): DataFrame = {
     val tmp = s"$scratch/kv_pevo"
     s.sql("DROP TABLE IF EXISTS graft.kvq.o_pe")
@@ -2856,6 +3063,9 @@ object KeyRange {
     "kv_branch" -> (kvBranch _),
     "kv_merge_evolve" -> (kvMergeEvolve _),
     "kv_partition_evolve" -> (kvPartitionEvolve _),
+    "kv_column_mapping" -> (kvColumnMapping _),
+    "kv_meta_tables" -> (kvMetaTables _),
+    "kv_wap" -> (kvWap _),
     "kv_partition_overwrite" -> (kvPartitionOverwrite _),
     "kv_spj" -> (kvSpj _),
     "kv_spj_bucket" -> (kvSpjBucket _),
@@ -3039,6 +3249,29 @@ object KeyRange {
         |    WHEN o_orderstatus = 'O' THEN o_totalprice + 1000
         |    ELSE o_totalprice END AS DECIMAL(18,6))) AS DOUBLE) AS price
         |FROM orders GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    // the parent's final state: the baseline slice plus the AUDITED
+    // streamed slice — the poison branch's row must never appear
+    "kv_wap" ->
+      """SELECT o_orderstatus AS status, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    // the three insert slices cover ALL orders, so the partitions
+    // relation's per-status row counts equal a plain relational group-by
+    "kv_meta_tables" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+        |  CAST(count(*) AS BIGINT) AS num_rows
+        |FROM orders GROUP BY o_orderstatus ORDER BY partition""".stripMargin,
+    // the three slices cover ALL orders; the aggregate crosses the three
+    // layout epochs (pre-rename, post-rename, post-drop/add) and late_cnt
+    // counts exactly the rows written after the ADD
+    "kv_column_mapping" ->
+      """SELECT o_orderstatus AS status, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+        |  count(CASE WHEN o_orderkey % 3 = 2 THEN 1 END) AS late_cnt
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
     // SHOW PARTITIONS' old-spec half vs the data it claims to describe
     "kv_partition_evolve" ->
       """SELECT 'o_orderstatus=' || o_orderstatus AS partition,

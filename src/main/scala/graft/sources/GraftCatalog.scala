@@ -90,7 +90,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       .map(d => identOf(d.name)).toArray
 
   override def tableExists(ident: Identifier): Boolean =
-    Ddl.dsv2Get(key(ident)).isDefined
+    Ddl.dsv2Get(key(ident)).isDefined ||
+      // branch heads and metadata tables exist as derived identifiers —
+      // without this, `writeStream.toTable("….branch_x")` would decide
+      // the target is missing and try to CREATE it (default provider)
+      branchTable(ident).isDefined || metaTable(ident).isDefined
 
   override def loadTable(ident: Identifier): Table =
     Ddl.dsv2Get(key(ident)) match {
@@ -133,9 +137,61 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       // namespace) and bind its `_branch_<name>/` head as a full
       // read-write table, so INSERT/UPDATE/MERGE against the branch use
       // the entire connector machinery
-      case None => branchTable(ident).getOrElse(
+      // `graft.ns.t.files|partitions|history` (the Iceberg
+      // metadata-table shape): manifest-derived read-only relations —
+      // zero data files opened. Real tables always win the name: this
+      // arm only runs when no catalog entry matched the identifier.
+      case None => branchTable(ident).orElse(metaTable(ident)).getOrElse(
         throw new NoSuchTableException(ident))
     }
+
+  /** Resolve `ns.t.files|partitions|history` to a manifest-derived
+    * metadata relation, if ns.t is a kv table with published data. The
+    * prefix may itself be a BRANCH address (`ns.t.branch_dev.files`) —
+    * metadata tables compose with branches, so a WAP audit can inspect
+    * the branch's physical state before publishing. */
+  private def metaTable(ident: Identifier): Option[Table] = {
+    val suffix = ident.name().toLowerCase
+    if (!Set("files", "partitions", "history").contains(suffix) ||
+        ident.namespace().isEmpty) return None
+    val ns = ident.namespace()
+    // the manifest directory the prefix names: a plain kv table, or a
+    // branch head when the last namespace step is a live branch_<x>
+    val dirOf: Option[String] =
+      Ddl.dsv2Get(ns.mkString(".")) match {
+        case Some(d) if d.provider == "graft_kv" => d.options.get("path")
+        case Some(_) => None
+        case None if ns.length >= 2 &&
+            ns.last.toLowerCase.startsWith("branch_") =>
+          val br = ns.last.substring("branch_".length)
+          Ddl.dsv2Get(ns.init.mkString(".")).flatMap { d =>
+            if (d.provider != "graft_kv") None
+            else d.options.get("path").flatMap { p =>
+              if (GraftKvSink.refKind(p, br).contains("branch"))
+                Some(GraftKvSink.branchDirOf(p, br))
+              else None
+            }
+          }
+        case None => None
+      }
+    dirOf.flatMap { path =>
+      val mfp = GraftKvSink.manifestPath(path)
+      if (!java.nio.file.Files.exists(mfp)) None
+      else {
+        val full = s"${ns.mkString(".")}.$suffix"
+        Some(suffix match {
+          case "files" => new GraftMetaTable(full,
+            GraftMetaTable.filesSchema,
+            GraftMetaTable.files(GraftKvSink.readManifest(mfp)))
+          case "partitions" => new GraftMetaTable(full,
+            GraftMetaTable.partitionsSchema,
+            GraftMetaTable.partitions(GraftKvSink.readManifest(mfp)))
+          case _ => new GraftMetaTable(full,
+            GraftMetaTable.historySchema, GraftMetaTable.history(path))
+        })
+      }
+    }
+  }
 
   /** Resolve `ns.t.branch_x` to the branch head's table, if x exists. */
   private def branchTable(ident: Identifier): Option[Table] = {
@@ -547,6 +603,157 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def dropTable(ident: Identifier): Boolean = Ddl.dsv2Drop(key(ident))
 
+  /** Single-part column references in SQL expression TEXT (unresolved
+    * parse) — the reference scan behind rename rewrites and drop
+    * refusals for metadata that stores expressions as text. */
+  private def sqlRefs(sql: String): Set[String] =
+    session.sessionState.sqlParser.parseExpression(sql).collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 => u.nameParts.head.toLowerCase
+    }.toSet
+
+  /** Substitute a column name inside SQL expression text — the textual
+    * equivalent of binding by field id, for CHECK constraints (user and
+    * reserved `__gen__`/generated alike) and DEFAULT expressions: parse,
+    * swap the attribute, re-render. Round-trips through the same parser
+    * every consumer (validateChecks, writerGuard) uses. */
+  private def renameSqlRefs(sql: String, from: String, to: String): String =
+    session.sessionState.sqlParser.parseExpression(sql).transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if u.nameParts.length == 1 &&
+            u.nameParts.head.equalsIgnoreCase(from) =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(to))
+    }.sql
+
+  /** RENAME COLUMN / DROP COLUMN (column mapping — physical TSV
+    * positions as the Iceberg-style field ids, see
+    * [[GraftKvSink.renameColumn]]/[[GraftKvSink.dropColumn]]) and
+    * SET/DROP NOT NULL. The manifest rewrite and the catalog-entry
+    * rewrite (schema JSON, sortby/partitionedby/check.* options) happen
+    * here in one ALTER; refusal arms cover every piece of metadata a
+    * drop cannot survive. */
+  private def alterColumnMapping(ident: Identifier, d: Ddl.Dsv2Def,
+      changes: Seq[TableChange]): Table = {
+    val path = d.options.getOrElse("path", throw new IllegalStateException(
+      s"kv table ${d.name} lacks a path option"))
+    val hasManifest =
+      java.nio.file.Files.exists(GraftKvSink.manifestPath(path))
+    var cur = DataType.fromJson(d.schemaJson).asInstanceOf[StructType]
+    var opts = d.options
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          "graft_kv: only top-level columns can be renamed")
+        val from = r.fieldNames()(0)
+        val to = r.newName()
+        require(cur.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"graft_kv: no column '$from' to rename " +
+            s"(${cur.fieldNames.mkString(", ")})")
+        require(!cur.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"graft_kv: cannot rename '$from' to '$to' — the name is taken")
+        opts = opts.map {
+          case ("sortby", v) => "sortby" -> v.split(',').map(_.trim)
+            .map(c => if (c.equalsIgnoreCase(from)) to else c).mkString(",")
+          case ("partitionedby", v) => "partitionedby" ->
+            GraftPartition.splitSpec(v).map(k =>
+              GraftPartition.renameKey(k, cur, from, to).getOrElse(k))
+            .mkString(",")
+          case (k, v) if k.startsWith("check.") =>
+            k -> renameSqlRefs(v, from, to)
+          case kv => kv
+        }
+        cur =
+          if (hasManifest)
+            GraftKvSink.renameColumn(path, from, to,
+              sql => renameSqlRefs(sql, from, to))
+          else StructType(cur.fields.map { f0 =>
+            // no data yet: the catalog schema is the only copy — rename
+            // the field and rewrite DEFAULT / GENERATION_EXPRESSION
+            // metadata referencing it
+            GraftKvSink.rewriteExprMeta(
+              if (f0.name.equalsIgnoreCase(from)) f0.copy(name = to)
+              else f0,
+              sql => renameSqlRefs(sql, from, to))
+          })
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft_kv: only top-level columns can be dropped")
+        val name = del.fieldNames()(0)
+        if (!cur.fieldNames.exists(_.equalsIgnoreCase(name))) {
+          require(del.ifExists(),
+            s"graft_kv: no column '$name' to drop " +
+              s"(${cur.fieldNames.mkString(", ")})")
+        } else {
+          require(cur.length > 1,
+            s"graft_kv: cannot drop '$name' — it is the only column")
+          // refusal arms: every piece of metadata the drop cannot survive
+          opts.get("partitionedby").toSeq
+            .flatMap(GraftPartition.splitSpec).foreach { k =>
+              require(!GraftPartition.parseOne(k, cur).source
+                  .equalsIgnoreCase(name),
+                s"graft_kv: cannot drop '$name' — partition transform " +
+                  s"'$k' is laid out by it (ALTER ... SET PARTITIONED BY " +
+                  "first)")
+            }
+          // user CHECKs (catalog options + manifest) AND the derived
+          // generated-column checks (GENERATION_EXPRESSION metadata) —
+          // dropping a generation SOURCE would dangle the invariant
+          val checksAll = GraftCatalog.constraintsOf(opts) ++ (
+            if (hasManifest) GraftKvSink.readManifest(
+              GraftKvSink.manifestPath(path)).checks
+            else Map.empty) ++ GraftKvSink.generatedChecks(cur)
+          val refd = checksAll.filter { case (_, sql) =>
+            sqlRefs(sql).contains(name.toLowerCase) }
+          require(refd.isEmpty,
+            s"graft_kv: cannot drop '$name' — CHECK/generated " +
+              s"constraint(s) ${refd.keys.mkString(", ")} reference it " +
+              "(drop the constraint first)")
+          cur.fields.filterNot(_.name.equalsIgnoreCase(name)).foreach { f =>
+            if (f.metadata.contains("CURRENT_DEFAULT"))
+              require(!sqlRefs(f.metadata.getString("CURRENT_DEFAULT"))
+                  .contains(name.toLowerCase),
+                s"graft_kv: cannot drop '$name' — DEFAULT of " +
+                  s"'${f.name}' references it")
+          }
+          opts.get("sortby").foreach(v =>
+            require(!v.split(',').map(_.trim)
+                .exists(_.equalsIgnoreCase(name)),
+              s"graft_kv: cannot drop '$name' — the clustered layout " +
+                "(sortby) orders by it"))
+          cur =
+            if (hasManifest) GraftKvSink.dropColumn(path, name)
+            else StructType(
+              cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
+        }
+      case nn: TableChange.UpdateColumnNullability =>
+        require(nn.fieldNames().length == 1,
+          "graft_kv: only top-level columns change nullability")
+        val fi = cur.fieldNames.indexWhere(
+          _.equalsIgnoreCase(nn.fieldNames()(0)))
+        require(fi >= 0, s"graft_kv: no column '${nn.fieldNames()(0)}' " +
+          s"(${cur.fieldNames.mkString(", ")})")
+        // SET NOT NULL adopts only after PROVING no committed row
+        // violates it — the validateChecks pattern: one scan, limit-1
+        // existence probe. Refusing outright would be honest but weaker.
+        if (!nn.nullable() && hasManifest) {
+          val hasNull = session.read.format("graft.sources.GraftKvSink")
+            .option("path", path).load()
+            .where(org.apache.spark.sql.functions.col(cur(fi).name).isNull)
+            .limit(1).count() > 0
+          require(!hasNull,
+            s"graft_kv: cannot SET NOT NULL on '${cur(fi).name}' — " +
+              "existing rows hold NULLs")
+        }
+        val next = StructType(cur.fields.zipWithIndex.map { case (f, i) =>
+          if (i == fi) f.copy(nullable = nn.nullable()) else f })
+        if (hasManifest) GraftKvSink.evolveSchema(path, next)
+        cur = next
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    Ddl.dsv2Put(d.copy(schemaJson = cur.json, options = opts))
+    loadTable(ident)
+  }
+
   /** SCHEMA EVOLUTION: `ALTER TABLE graft.ns.t ADD COLUMN c T` on kv
     * tables — columns APPEND (rows are positional TSV, so existing
     * columns cannot move), the manifest republishes under the widened
@@ -565,9 +772,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // shape. Adding validates EXISTING rows first (one scan, limit-1
     // existence probe): a constraint that is already violated would make
     // every future honest write look like the culprit.
-    val (propChanges, colChanges) = changes.partition {
+    val (propChanges, colChanges0) = changes.partition {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => true
       case _ => false
+    }
+    // RENAME / DROP COLUMN (column mapping) and SET/DROP NOT NULL take a
+    // dedicated path: they rewrite the manifest's name-keyed metadata as
+    // one publish rather than appending to the schema. One shape per
+    // statement (which is all SQL can send anyway).
+    val (mapChanges, colChanges) = colChanges0.partition {
+      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+           _: TableChange.UpdateColumnNullability => true
+      case _ => false
+    }
+    if (mapChanges.nonEmpty) {
+      require(colChanges.isEmpty && propChanges.isEmpty,
+        "graft_kv: RENAME/DROP COLUMN and SET/DROP NOT NULL cannot mix " +
+          "with other ALTER shapes in one statement")
+      return alterColumnMapping(ident, d, mapChanges)
     }
     val optsNext = propChanges.foldLeft(d.options) { (opts, ch) =>
       ch match {
@@ -628,9 +850,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             name, a.dataType(), nullable = true, meta))
         case other =>
           throw new UnsupportedOperationException(
-            s"graft_kv: unsupported ALTER $other — only ADD COLUMN evolves " +
-              "the schema (columns are positional; drop/rename/retype " +
-              "would re-interpret committed rows)")
+            s"graft_kv: unsupported ALTER $other — the schema evolves by " +
+              "ADD COLUMN, RENAME COLUMN, DROP COLUMN and SET/DROP NOT " +
+              "NULL (retype/reposition would re-interpret committed rows)")
       }
     }
     // the manifest is the authoritative schema once data exists — evolve

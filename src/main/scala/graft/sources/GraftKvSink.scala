@@ -215,7 +215,29 @@ object GraftKvSink {
       // Table-level like checks — carried verbatim across every publish;
       // per-file tuples ride the stats map under "part:" keys. Empty =
       // unpartitioned. See [[GraftPartition]].
-      partitionSpec: Seq[String] = Nil) {
+      partitionSpec: Seq[String] = Nil,
+      // COLUMN MAPPING (the Iceberg field-id / Delta column-mapping
+      // shape, positions as ids): rows are positional TSV, so each live
+      // field carries its PHYSICAL position in field metadata
+      // ([[PidKey]]; absent = the field's schema index — the pre-mapping
+      // layout). DROP COLUMN retires a position into this list: writers
+      // keep emitting a null placeholder there (one global positional
+      // layout — no per-file schema needed) and ADD COLUMN never reuses
+      // a retired position (reuse would resurface the dropped column's
+      // committed values under the new name). Vacuumed away only by a
+      // full rewrite. RENAME is pure metadata: the position is the
+      // identity, the name is a label.
+      droppedPids: Seq[Int] = Nil,
+      // STREAM EPOCH BASES: engine epoch ids are checkpoint-relative
+      // (0,1,2,…), but published epoch numbers must append AFTER the
+      // history the table already holds (batch epoch stamps, a branch
+      // fork's cloned files) or a fresh stream's first commits would
+      // collide with existing names and be dropped as replay duplicates
+      // — silent loss. queryId -> base, recorded at the stream's first
+      // commit; published epoch = base + engine epoch, stable across
+      // recovery replays (the dedup requires a frozen mapping). Dropped
+      // by a truncating publish like txn (epoch numbering restarts).
+      streamBase: Map[String, Long] = Map.empty) {
     /** THE boundary-state visibility rule — the one definition every
       * reader (scan, agg pushdown, changefeed planning) must share, or
       * metadata-answered COUNTs silently diverge from data-path reads: at
@@ -380,6 +402,41 @@ object GraftKvSink {
     p
   }
 
+  // ---- column mapping (physical-position field ids) ---------------------
+  /** Field-metadata key holding a column's PHYSICAL position in the TSV
+    * layout. Absent = the field's schema index (every pre-mapping table).
+    * Stamped on all fields by the first RENAME/DROP and on every column
+    * added afterwards; never changes once assigned — the position is the
+    * column's identity, its name is a relabelable alias. */
+  private[graft] val PidKey = "graft_pid"
+
+  private[graft] def pidOf(f: StructField, idx: Int): Int =
+    if (f.metadata.contains(PidKey)) f.metadata.getLong(PidKey).toInt else idx
+
+  private[graft] def withPid(f: StructField, pid: Int): StructField =
+    f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata).putLong(PidKey, pid.toLong).build())
+
+  /** Physical row width: one slot per position ever assigned, live or
+    * retired. Writers emit exactly this many TSV columns. */
+  private[graft] def physWidth(schema: StructType, dropped: Seq[Int]): Int =
+    (schema.fields.zipWithIndex.map { case (f, i) => pidOf(f, i) } ++
+      dropped).maxOption.map(_ + 1).getOrElse(0)
+
+  /** physical position -> logical field index (-1 = retired hole, filled
+    * with the null marker on writes and never read). Null when the
+    * mapping is trivial (identity, no holes) — the fast path every
+    * never-renamed table takes. */
+  private[sources] def byPidOf(schema: StructType,
+      dropped: Seq[Int]): Array[Int] = {
+    val trivial = dropped.isEmpty && schema.fields.zipWithIndex.forall {
+      case (f, i) => pidOf(f, i) == i }
+    if (trivial) return null
+    val arr = Array.fill(physWidth(schema, dropped))(-1)
+    schema.fields.zipWithIndex.foreach { case (f, i) => arr(pidOf(f, i)) = i }
+    arr
+  }
+
   private[sources] def supported(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DoubleType | StringType |
          TimestampType | TimestampNTZType | DateType => true
@@ -524,6 +581,16 @@ object GraftKvSink {
       // truncate-proof — layout declarations survive a TRUNCATE exactly
       // like CHECK constraints); setPartitionSpec passes updates
       partitionSpec: Seq[String] = null,
+      // retired physical positions (column mapping): null = carry the
+      // prior's verbatim — table-level layout metadata like the spec;
+      // only DROP COLUMN (adds) and full-rewrite maintenance (clears)
+      // pass updates. Truncate-PROOF: post-truncate writers still emit
+      // the holes, keeping one global positional layout.
+      droppedPids: Seq[Int] = null,
+      // stream epoch bases: null = carry the prior's; the streaming
+      // commit passes updates. Dropped by freshHistory with txn (a
+      // truncate restarts epoch numbering).
+      streamBase: Map[String, Long] = null,
       // the currently-published manifest, when the caller (always under
       // the same commit lock) has already read it — saves the second
       // full JSON parse per publish, which the per-file stats/bloom maps
@@ -599,6 +666,20 @@ object GraftKvSink {
       if (specKept.nonEmpty) {
         val pa = root.putArray("partitionSpec")
         specKept.foreach(pa.add)
+      }
+      val droppedKept = Option(droppedPids)
+        .orElse(prior.map(_.droppedPids)).getOrElse(Nil)
+      if (droppedKept.nonEmpty) {
+        val da = root.putArray("droppedPids")
+        droppedKept.sorted.foreach(p => da.add(p): Unit)
+      }
+      val sbKept =
+        if (freshHistory) Map.empty[String, Long]
+        else Option(streamBase).orElse(prior.map(_.streamBase))
+          .getOrElse(Map.empty)
+      if (sbKept.nonEmpty) {
+        val so = root.putObject("streamBase")
+        sbKept.toSeq.sortBy(_._1).foreach { case (q, b) => so.put(q, b) }
       }
     }
     val arr = root.putArray("files")
@@ -693,8 +774,14 @@ object GraftKvSink {
     }.getOrElse(Map.empty[String, (Long, String)])
     val pspec = Option(root.get("partitionSpec")).toSeq
       .flatMap(_.elements().asScala).map(_.asText())
+    val dropped = Option(root.get("droppedPids")).toSeq
+      .flatMap(_.elements().asScala).map(_.asInt())
+    val sbase = Option(root.get("streamBase")).map { o =>
+      o.properties().iterator().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver,
-      txn, ets, checks, refs, pspec)
+      txn, ets, checks, refs, pspec, dropped, sbase)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -733,13 +820,16 @@ object GraftKvSink {
     * "NaN" on a double column flags stats poisoning), stays null for SQL
     * NULL. */
   private[sources] def encodeRow(schema: StructType, row: InternalRow,
-      sb: StringBuilder, observed: Array[String]): Unit = {
+      sb: StringBuilder, observed: Array[String],
+      // physical->logical map from [[byPidOf]]; null = identity layout.
+      // Non-null, the line is emitted in PHYSICAL position order with
+      // the null marker at retired holes — every file shares one global
+      // positional layout regardless of renames/drops since its write.
+      byPid: Array[Int] = null): Unit = {
     require(row.numFields == schema.length,
       s"graft_kv: writer got a ${row.numFields}-field row for a " +
         s"${schema.length}-column schema (${schema.fieldNames.mkString(",")})")
-    var i = 0
-    while (i < schema.length) {
-      if (i > 0) sb.append('\t')
+    def field(i: Int): Unit = {
       observed(i) = null
       if (row.isNullAt(i)) sb.append("\\N") // null marker: backslash-N
       else schema(i).dataType match {
@@ -765,7 +855,21 @@ object GraftKvSink {
           observed(i) = s
         case dt => throw new IllegalStateException(s"unsupported $dt")
       }
-      i += 1
+    }
+    if (byPid == null) {
+      var i = 0
+      while (i < schema.length) {
+        if (i > 0) sb.append('\t')
+        field(i)
+        i += 1
+      }
+    } else {
+      var p = 0
+      while (p < byPid.length) {
+        if (p > 0) sb.append('\t')
+        if (byPid(p) < 0) sb.append("\\N") else field(byPid(p))
+        p += 1
+      }
     }
     sb.append('\n')
   }
@@ -1404,7 +1508,14 @@ object GraftKvSink {
     * clustered this way make BOTH dimensions' per-file min/max tight, so a
     * box predicate on either column prunes at the manifest. */
   def zorderRewrite(spark: org.apache.spark.sql.SparkSession, dir: String,
-      cols: Seq[String], buckets: Int = 0): Long = {
+      cols: Seq[String], buckets: Int = 0,
+      // non-empty = PARTITION-SCOPED re-clustering (OPTIMIZE … WHERE …
+      // ZORDER BY): only files whose recorded tuples PROVE the predicate
+      // rewrite — quantile bounds, bucket count and row-conservation all
+      // computed over the scoped region; every other partition's files
+      // stay byte-identical. Data moved scales with the named
+      // partitions, not the table.
+      where: Seq[org.apache.spark.sql.sources.Filter] = Nil): Long = {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty, "graft_kv: ZORDER BY needs at least one column")
     require(cols.length <= 8, "graft_kv: ZORDER BY supports up to 8 columns")
@@ -1414,7 +1525,27 @@ object GraftKvSink {
     require(m0.deltas.isEmpty,
       s"graft_kv: ZORDER on $dir with merge-on-read deltas present — run " +
         "plain OPTIMIZE (fold the deltas into their bases) first")
-    if (m0.files.isEmpty) return -1L // empty table: nothing to cluster
+    require(where.isEmpty || m0.partitionSpec.nonEmpty,
+      s"graft_kv: OPTIMIZE … WHERE … ZORDER at $dir needs a PARTITIONED " +
+        "BY table (the predicate classifies files by their tuples)")
+    // WHERE: rewrite exactly the files the predicate PROVES (allMatch
+    // over each file's OWN recorded tuple — the compact-where classifier;
+    // untagged files never prove, so pre-partitioning history and
+    // clone-foreign references are never swept into a scoped rewrite)
+    val scoped: Seq[(String, Long)] =
+      if (where.isEmpty) m0.files
+      else {
+        val cache = scala.collection.mutable.HashMap
+          .empty[String, Option[GraftPartition.PTransform]]
+        m0.files.filter { case (n, _) =>
+          val parts = GraftPartition.filePartsOf(
+            m0.stats.getOrElse(n, Map.empty))
+          val spec = GraftPartition.fileSpecOf(parts, m0.schema, cache)
+          parts.nonEmpty &&
+            where.forall(GraftPartition.allMatch(spec, parts, _))
+        }
+      }
+    if (scoped.isEmpty) return -1L // nothing in scope: nothing to cluster
     cols.foreach { c =>
       val f = m0.schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalArgumentException(
@@ -1428,8 +1559,11 @@ object GraftKvSink {
     val newEpoch = (m0.files.map(f => epochOf(f._1)) ++
       m0.removed.map(_.removedAt) ++
       Seq(m0.rewrittenUpTo, m0.compactedUpTo)).max.max(0L) + 1L
-    val df = spark.read.format("graft.sources.GraftKvSink")
-      .option("path", dir).load()
+    val df0 = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir)
+    val df =
+      (if (where.isEmpty) df0
+       else df0.option("onlyFiles", scoped.map(_._1).mkString(","))).load()
     // ONE distributed pass computes all columns' 15 quantile boundaries
     val pcts = typedLit((1 until 16).map(_ / 16.0))
     val bounds = df.select(cols.map(c =>
@@ -1448,7 +1582,7 @@ object GraftKvSink {
           bit * cols.length + i))
       }
     }.reduce(_ bitwiseOR _)
-    val n = if (buckets > 0) buckets else math.max(1, m0.files.length)
+    val n = if (buckets > 0) buckets else math.max(1, scoped.length)
     val scratch = Files.createTempDirectory("graft_zorder").toString
     try {
       val w = df.withColumn("__graft_z", z)
@@ -1473,17 +1607,21 @@ object GraftKvSink {
           s"graft_kv: concurrent commit during ZORDER rewrite of $dir " +
             s"(version ${m.version}, planned $plannedVersion) — rerun OPTIMIZE")
         val tm = readManifest(manifestPath(scratch))
-        // a rewrite must conserve rows exactly — refuse over silently losing
-        require(tm.files.map(_._2).sum == m.files.map(_._2).sum,
+        // a rewrite must conserve the SCOPED rows exactly — refuse over
+        // silently losing (unscoped: scoped == all visible files)
+        require(tm.files.map(_._2).sum == scoped.map(_._2).sum,
           s"graft_kv: ZORDER rewrite row count ${tm.files.map(_._2).sum} != " +
-            s"visible ${m.files.map(_._2).sum} at $dir — aborted, no commit")
+            s"scoped ${scoped.map(_._2).sum} at $dir — aborted, no commit")
         tm.files.foreach { case (nm, _) =>
           Files.move(Paths.get(scratch, nm), Paths.get(dir, nm)) }
         // retained files scan unpruned until vacuum (manifest stats nest
-        // under live file entries — the same trade the CoW replace makes)
-        writeManifest(dir, m.schema, tm.files, m.compactedUpTo,
-          tm.stats, tm.blooms, Nil,
-          m.removed ++ m.files.map { case (nm, r) =>
+        // under live file entries — the same trade the CoW replace makes).
+        // Scoped: out-of-scope files carry over untouched, stats intact.
+        val scopedNames = scoped.map(_._1).toSet
+        val keepF = m.files.filterNot(f => scopedNames.contains(f._1))
+        writeManifest(dir, m.schema, keepF ++ tm.files, m.compactedUpTo,
+          m.stats ++ tm.stats, m.blooms ++ tm.blooms, Nil,
+          m.removed ++ scoped.map { case (nm, r) =>
             RemovedFile(nm, r, newEpoch) },
           rewrittenUpTo = newEpoch, priorHint = Some(m))
       }
@@ -1773,7 +1911,134 @@ object GraftKvSink {
     * history and both fences carry over verbatim — old files simply have
     * no stats for the new columns, which every pruning/pushdown path
     * already treats as "unknown, keep". */
-  private[sources] def evolveSchema(dir: String, next: StructType): Unit = withCommitLock(dir) {
+  /** Freeze the physical mapping: every field carries an explicit pid
+    * from here on (idempotent — already-stamped fields keep theirs). The
+    * first RENAME/DROP activates column mapping this way; until then
+    * pids are implicit (= schema index) and nothing changes on disk. */
+  /** Rewrite every expression-bearing metadata entry on a field
+    * (DEFAULTs and GENERATION_EXPRESSION) through `rw` — the rename
+    * machinery's one hook for SQL text living in field metadata. */
+  private[sources] def rewriteExprMeta(f: StructField,
+      rw: String => String): StructField = {
+    val keys = Seq("CURRENT_DEFAULT", "EXISTS_DEFAULT",
+      "GENERATION_EXPRESSION")
+    val present = keys.filter(f.metadata.contains)
+    if (present.isEmpty) f
+    else {
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      present.foreach(k => mb.putString(k, rw(f.metadata.getString(k))))
+      f.copy(metadata = mb.build())
+    }
+  }
+
+  private def stampPids(schema: StructType): StructType =
+    StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+      withPid(f, pidOf(f, i)) })
+
+  /** RENAME COLUMN as ONE metadata publish (the Iceberg field-id /
+    * Delta column-mapping shape, physical positions as the ids): the
+    * field keeps its position — no data file is touched, files keep
+    * reading by position — while every name-keyed metadata entry re-keys
+    * in the same manifest write: per-file stats, blooms and sketch keys
+    * (hll:/cnt:/len:), partition-spec strings and per-file tuple keys
+    * whose transform sources the column, CHECK-constraint SQL and other
+    * columns' DEFAULT SQL (via `rewriteSql`, the catalog's
+    * parse-and-substitute — the textual equivalent of binding by id).
+    * The histogram sidecar is dropped, not re-keyed: it is a CBO
+    * estimate with its own staleness rule, and absent histograms degrade
+    * to "report nothing". Returns the new authoritative schema. */
+  private[sources] def renameColumn(dir: String, from: String, to: String,
+      rewriteSql: String => String): StructType = withCommitLock(dir) {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val m = readManifest(mfp)
+    val fi = m.schema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+    require(fi >= 0, s"graft_kv: no column '$from' to rename " +
+      s"(${m.schema.fieldNames.mkString(", ")})")
+    require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"graft_kv: cannot rename '$from' to '$to' — the name is taken")
+    val stamped = stampPids(m.schema)
+    val next = StructType(stamped.fields.zipWithIndex.map { case (f, i) =>
+      // another column's DEFAULT or GENERATION_EXPRESSION may reference
+      // the renamed one — rewrite every expression-bearing metadata entry
+      rewriteExprMeta(if (i == fi) f.copy(name = to) else f, rewriteSql)
+    })
+    def rekey(k: String): String =
+      if (k.equalsIgnoreCase(from)) to
+      else Seq(HllKey, CntKey, LenKey).find(p =>
+          k.equalsIgnoreCase(p + from)).map(_ + to)
+        .orElse {
+          if (!k.startsWith(GraftPartition.PartKey)) None
+          else GraftPartition.renameKey(
+            k.stripPrefix(GraftPartition.PartKey), m.schema, from, to)
+            .map(GraftPartition.PartKey + _)
+        }.getOrElse(k)
+    val stats2 = m.stats.map { case (n, cols) =>
+      n -> cols.map { case (k, v) => rekey(k) -> v } }
+    val blooms2 = m.blooms.map { case (n, cols) =>
+      n -> cols.map { case (k, v) => rekey(k) -> v } }
+    val spec2 = m.partitionSpec.map(k =>
+      GraftPartition.renameKey(k, m.schema, from, to).getOrElse(k))
+    val checks2 = m.checks.map { case (n, sql) => n -> rewriteSql(sql) }
+    Files.deleteIfExists(colHistPath(dir))
+    writeManifest(dir, next, m.files, m.compactedUpTo, stats2, blooms2,
+      m.deltas, m.removed, m.rewrittenUpTo, checks = checks2,
+      partitionSpec = spec2, priorHint = Some(m))
+    next
+  }
+
+  /** DROP COLUMN as ONE metadata publish: the field leaves the schema,
+    * its physical position retires into `droppedPids` — writers keep
+    * emitting the null marker there (one global positional layout) and
+    * ADD COLUMN never reuses it (reuse would resurface the dropped
+    * column's committed values under the new name). Committed data is
+    * reclaimed only by full-rewrite maintenance. The column's stats /
+    * bloom / sketch entries drop with it; recorded partition-tuple keys
+    * of EVOLVED-AWAY specs that sourced it stay behind — they parse to
+    * nothing against the new schema, and an unparsed transform never
+    * prunes (the standing soundness rule). The caller refuses drops the
+    * metadata cannot survive (current partition source, CHECK/DEFAULT/
+    * layout references). Returns the new authoritative schema. */
+  private[sources] def dropColumn(dir: String, name: String): StructType =
+    withCommitLock(dir) {
+      val mfp = manifestPath(dir)
+      require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+      val m = readManifest(mfp)
+      val fi = m.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(fi >= 0, s"graft_kv: no column '$name' to drop " +
+        s"(${m.schema.fieldNames.mkString(", ")})")
+      require(m.schema.length > 1,
+        s"graft_kv: cannot drop '$name' — it is the only column")
+      // defense in depth (the catalog refuses earlier with a fuller
+      // message): a CURRENT partition source must not be dropped — every
+      // new write still classifies rows by it
+      m.partitionSpec.foreach { k =>
+        require(!GraftPartition.parseOne(k, m.schema).source
+            .equalsIgnoreCase(name),
+          s"graft_kv: cannot drop '$name' — partition transform '$k' is " +
+            "laid out by it (ALTER ... SET PARTITIONED BY first)")
+      }
+      val stamped = stampPids(m.schema)
+      val pid = pidOf(stamped(fi), fi)
+      val next = StructType(
+        stamped.fields.zipWithIndex.filter(_._2 != fi).map(_._1))
+      def keep(k: String): Boolean =
+        !(k.equalsIgnoreCase(name) || Seq(HllKey, CntKey, LenKey).exists(
+          p => k.equalsIgnoreCase(p + name)))
+      val stats2 = m.stats.map { case (n, cols) => n -> cols.filter {
+        case (k, _) => keep(k) } }
+      val blooms2 = m.blooms.map { case (n, cols) => n -> cols.filter {
+        case (k, _) => keep(k) } }
+      Files.deleteIfExists(colHistPath(dir))
+      writeManifest(dir, next, m.files, m.compactedUpTo, stats2, blooms2,
+        m.deltas, m.removed, m.rewrittenUpTo,
+        droppedPids = (m.droppedPids :+ pid).distinct.sorted,
+        priorHint = Some(m))
+      next
+    }
+
+  private[graft] def evolveSchema(dir: String, next: StructType): Unit = withCommitLock(dir) {
     val mf = manifestPath(dir)
     if (!Files.exists(mf)) return // first write will publish `next` itself
     val m = readManifest(mf)
@@ -1783,7 +2048,22 @@ object GraftKvSink {
         a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType },
       s"graft_kv: schema evolution must append columns; cannot go from " +
         s"${cur.simpleString} to ${next.simpleString}")
-    writeManifest(dir, next, m.files, m.compactedUpTo, m.stats, m.blooms,
+    // with column mapping active, appended columns claim FRESH physical
+    // positions past every live and retired one — a retired position is
+    // never reused (old files hold the dropped column's values there);
+    // existing fields keep the manifest's own pid (their identity)
+    val active = m.droppedPids.nonEmpty || cur.fields.zipWithIndex.exists {
+      case (f, i) => pidOf(f, i) != i }
+    val merged =
+      if (!active) next
+      else {
+        var w = physWidth(cur, m.droppedPids)
+        StructType(next.fields.zipWithIndex.map { case (f, i) =>
+          if (i < cur.length) withPid(f, pidOf(cur(i), i))
+          else { val p = w; w += 1; withPid(f, p) }
+        })
+      }
+    writeManifest(dir, merged, m.files, m.compactedUpTo, m.stats, m.blooms,
       m.deltas, m.removed, m.rewrittenUpTo, priorHint = Some(m))
   }
 
@@ -2784,13 +3064,15 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       graft.plans.CheckConstraints.writerGuard(
         org.apache.spark.sql.SparkSession.active, rowSchema, checks)
+    val droppedL = planned.map(_.droppedPids).getOrElse(Nil)
     new org.apache.spark.sql.connector.write.DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val inner = new GraftKvDeltaWriter(d, sch,
           f"delta-part-$partitionId%05d-$taskId.$wid.tmp",
-          f"delta-part-$partitionId%05d-$taskId.kvd")
+          f"delta-part-$partitionId%05d-$taskId.kvd",
+          GraftKvSink.byPidOf(sch, droppedL))
         guard match {
           case None => inner
           case Some(g) =>
@@ -2939,7 +3221,8 @@ final case class GraftKvDeltaCommit(tmpName: String, finalName: String,
   * so there is no in-place form. The row-ID rows arrive in [[rowId]] order
   * (`_file`, `_pos`). */
 final class GraftKvDeltaWriter(dir: String, schema: StructType,
-    private val tmpName: String, private val finalName: String)
+    private val tmpName: String, private val finalName: String,
+    byPid: Array[Int] = null)
   extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
   private val out = Files.newBufferedWriter(Paths.get(dir, tmpName),
     StandardCharsets.UTF_8)
@@ -2954,7 +3237,7 @@ final class GraftKvDeltaWriter(dir: String, schema: StructType,
 
   override def insert(row: InternalRow): Unit = {
     val sb = new StringBuilder("I\t")
-    GraftKvSink.encodeRow(schema, row, sb, observed)
+    GraftKvSink.encodeRow(schema, row, sb, observed, byPid)
     out.write(sb.toString)
     inserts += 1L
   }
@@ -2965,7 +3248,7 @@ final class GraftKvDeltaWriter(dir: String, schema: StructType,
     // update_preimage/update_postimage (Delta CDF's four-valued
     // _change_type) — which a split delete+insert pair cannot express.
     val sb = new StringBuilder(s"U\t${id.getUTF8String(0)}\t${id.getLong(1)}\t")
-    GraftKvSink.encodeRow(schema, row, sb, observed)
+    GraftKvSink.encodeRow(schema, row, sb, observed, byPid)
     out.write(sb.toString)
     // counts keep delete+insert arithmetic: manifest COUNT math unchanged
     inserts += 1L
@@ -3309,19 +3592,24 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       graft.plans.CheckConstraints.writerGuard(
         org.apache.spark.sql.SparkSession.active, schema, checks)
+    val droppedS = {
+      val mp = GraftKvSink.manifestPath(dir)
+      if (Files.exists(mp)) GraftKvSink.readManifest(mp).droppedPids else Nil
+    }
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] = {
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val byPid = GraftKvSink.byPidOf(sch, droppedS)
         val inner: DataWriter[InternalRow] =
           if (spec.nonEmpty)
             new GraftKvPartitionedWriter(d, sch,
               GraftPartition.parse(spec, sch),
               k => (f"epoch-$epochId-part-$partitionId%05d-$taskId-s$k.tmp",
-                f"epoch-$epochId-part-$partitionId%05d-$taskId-s$k.kv"))
+                f"epoch-$epochId-part-$partitionId%05d-$taskId-s$k.kv"), byPid)
           else new GraftKvWriter(d, sch,
             f"epoch-$epochId-part-$partitionId%05d-$taskId.tmp",
-            f"epoch-$epochId-part-$partitionId%05d-$taskId.kv")
+            f"epoch-$epochId-part-$partitionId%05d-$taskId.kv", byPid)
         guard match {
           case None => inner
           case Some(g) => new DataWriter[InternalRow] {
@@ -3342,43 +3630,63 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = GraftKvSink.withCommitLock(dir) {
     // same empty-file suppression as the batch path
-    val committed = GraftKvCommit.flatten(messages)
+    val committed0 = GraftKvCommit.flatten(messages)
       .filter { m =>
         if (m.rows == 0L) Files.deleteIfExists(Paths.get(dir, m.tmpName))
         m.rows > 0L
       }
     val mf = GraftKvSink.manifestPath(dir)
     val (prior, priorUpTo, priorStats, priorBlooms, priorDeltas,
-        priorRemoved, priorRw, priorTxn) =
+        priorRemoved, priorRw, priorTxn, priorBase) =
       if (Files.exists(mf)) {
         val m = GraftKvSink.readManifest(mf)
         (m.files, m.compactedUpTo, m.stats, m.blooms, m.deltas,
-          m.removed, m.rewrittenUpTo, m.txn)
+          m.removed, m.rewrittenUpTo, m.txn, m.streamBase)
       } else (Seq.empty[(String, Long)], -1L,
         Map.empty[String, Map[String, (String, String)]],
         Map.empty[String, Map[String, String]],
         Seq.empty[GraftKvSink.DeltaFile],
         Seq.empty[GraftKvSink.RemovedFile], -1L,
-        Map.empty[Long, String])
-    if (prior.exists(f => GraftKvSink.baseName(f._1).startsWith(s"epoch-$epochId-"))) {
-      // an epoch already published: by THIS query (recovery replay —
-      // idempotent, drop the duplicate attempt files) or by a DIFFERENT
-      // streaming query (two writers sharing a directory would silently
-      // interleave epoch numbers and this commit's batch would be LOST —
-      // refuse loudly, the Delta SetTransaction rule). Refusal requires
-      // BOTH writer ids known: pre-txn manifests recorded no owner, and a
-      // writer with no id (direct harness use) keeps the old
-      // drop-duplicates behavior rather than guessing.
+        Map.empty[Long, String], Map.empty[String, Long])
+    // EPOCH BASE: engine epoch ids are checkpoint-relative; published
+    // epochs append AFTER existing history (batch stamps, a branch
+    // fork's cloned files), else the first commits would collide with
+    // existing names and vanish as "replay duplicates". The base is
+    // frozen per query id at first commit (recovery replays must map to
+    // the same names for the dedup below to hold). An ownerless writer
+    // (no query id — direct harness use) keeps the legacy base-0
+    // behavior untouched.
+    def maxPublished: Long = (prior.map(f => GraftKvSink.epochOf(f._1)) ++
+      priorDeltas.map(d => GraftKvSink.epochOf(d.name)) ++
+      priorRemoved.map(r => GraftKvSink.epochOf(r.name)) ++
+      Seq(priorUpTo, priorRw)).maxOption.getOrElse(-1L)
+    var base: Long =
+      if (queryId.isEmpty) 0L
+      else priorBase.getOrElse(queryId, math.max(0L, maxPublished + 1L - epochId))
+    def occupied(e: Long): Boolean =
+      prior.exists(f => GraftKvSink.baseName(f._1).startsWith(s"epoch-$e-"))
+    // a FOREIGN occupant at our next slot (a batch write stamped an
+    // epoch inside the stream's range, or another stream shares the
+    // directory): REBASE forward rather than losing the batch or dying.
+    // Sound under recovery: the engine only replays epochs the
+    // checkpoint has not committed, and every replayed epoch maps
+    // through the LATEST recorded base — the same name it published
+    // under, so the dedup below still catches true duplicates.
+    if (queryId.nonEmpty && occupied(base + epochId) &&
+        !priorTxn.get(base + epochId).contains(queryId)) {
+      base = math.max(0L, maxPublished + 1L - epochId)
+    }
+    val published = base + epochId
+    val committed =
+      if (base == 0L) committed0
+      else committed0.map(m => m.copy(finalName = m.finalName.replaceFirst(
+        s"^epoch-$epochId-", s"epoch-$published-")))
+    if (occupied(published)) {
+      // already published under OUR mapping (or an ownerless writer's
+      // epoch collision): a recovery replay — idempotent, drop the
+      // duplicate attempt files
       committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
-      priorTxn.get(epochId)
-        .filter(q => q.nonEmpty && queryId.nonEmpty && q != queryId)
-        .foreach { other =>
-          throw new IllegalStateException(
-            s"graft_kv: epoch $epochId at $dir was committed by streaming " +
-              s"query $other — a second concurrent stream must write to " +
-              "its own directory (epoch sequences cannot interleave)")
-        }
-    } else if (epochId <= math.max(priorUpTo, priorRw)) {
+    } else if (published <= math.max(priorUpTo, priorRw)) {
       // an epoch inside vacuumed/rewritten history whose files are NOT
       // listed is a FRESH-checkpoint stream writing to a compacted or
       // DML-rewritten table, not a replay (recovery only re-runs epochs
@@ -3389,7 +3697,7 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
       // monotonicity (a "pre-DML" state gaining post-DML rows).
       committed.foreach(m => Files.deleteIfExists(Paths.get(dir, m.tmpName)))
       throw new IllegalStateException(
-        s"graft_kv: cannot commit epoch $epochId at or below the " +
+        s"graft_kv: cannot commit epoch $published at or below the " +
           s"compaction/rewrite boundary ${math.max(priorUpTo, priorRw)} — " +
           "a stream with a fresh checkpoint must not write epochs already " +
           "fenced; resume the original checkpoint or write to a new directory")
@@ -3414,10 +3722,13 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
         },
         priorDeltas, priorRemoved, priorRw,
         // record which streaming query owns this epoch (the Delta
-        // SetTransaction analogue): a replay by the same query stays
-        // idempotent; a different query refuses above
+        // SetTransaction analogue) and the query's frozen epoch base —
+        // a replay by the same query dedups above; the base makes the
+        // replay map to the same published name
         txn = if (queryId.nonEmpty && committed.nonEmpty)
-          priorTxn + (epochId -> queryId) else null,
+          priorTxn + (published -> queryId) else null,
+        streamBase = if (queryId.nonEmpty)
+          priorBase + (queryId -> base) else null,
         // a streaming-FIRST write to a fresh directory bootstraps the
         // manifest: record the declared spec exactly like the batch path,
         // or later option-less writers would silently stop splitting
@@ -3461,7 +3772,8 @@ object GraftKvCommit {
   * parameter. */
 final class GraftKvPartitionedWriter(dir: String, schema: StructType,
     spec: Seq[GraftPartition.PTransform],
-    nameFor: Int => (String, String))
+    nameFor: Int => (String, String),
+    byPid: Array[Int] = null)
   extends DataWriter[InternalRow] {
   private val srcIdx: Array[Int] = spec.map { t =>
     val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(t.source))
@@ -3484,7 +3796,7 @@ final class GraftKvPartitionedWriter(dir: String, schema: StructType,
         s"graft_kv: task exceeded 1000 open partition files at $dir — " +
           "cluster the write on the partition sources")
       val (tmp, fin) = nameFor(open.size)
-      w = (new GraftKvWriter(dir, schema, tmp, fin), tuple)
+      w = (new GraftKvWriter(dir, schema, tmp, fin, byPid), tuple)
       open.put(key, w)
     }
     w._1.write(row)
@@ -3584,7 +3896,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         org.apache.spark.sql.SparkSession.active, schema, checks ++ owChecks)
     new GraftKvWriterFactory(dir, schema.json,
       explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId, guard,
-      partSpec)
+      partSpec, planned.map(_.droppedPids).getOrElse(Nil))
   }
 
   private def validateExplicitEpoch(e: Long, m: GraftKvSink.Manifest): Unit = {
@@ -3961,19 +4273,27 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
 final class GraftKvWriterFactory(dir: String, schemaJson: String,
     namePrefix: String = "", writeId: String = "w0",
     guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
-    partSpec: Seq[String] = Nil)
+    partSpec: Seq[String] = Nil,
+    // retired physical positions (column mapping), captured at PLAN time:
+    // writers emit the null marker at each hole so every file shares one
+    // global positional layout. Plan-time capture is sound under any
+    // concurrent DDL — positions never move or get reused, so a layout
+    // from an older manifest writes values only at positions readers
+    // either resolve identically or never read.
+    dropped: Seq[Int] = Nil)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    val byPid = GraftKvSink.byPidOf(schema, dropped)
     val inner: DataWriter[InternalRow] =
       if (partSpec.nonEmpty)
         new GraftKvPartitionedWriter(dir, schema,
           GraftPartition.parse(partSpec, schema),
           k => (f"${namePrefix}part-$partitionId%05d-$taskId-s$k.$writeId.tmp",
-            f"${namePrefix}part-$partitionId%05d-$taskId-s$k.kv"))
+            f"${namePrefix}part-$partitionId%05d-$taskId-s$k.kv"), byPid)
       else new GraftKvWriter(dir, schema,
         f"${namePrefix}part-$partitionId%05d-$taskId.$writeId.tmp",
-        f"${namePrefix}part-$partitionId%05d-$taskId.kv")
+        f"${namePrefix}part-$partitionId%05d-$taskId.kv", byPid)
     guard match {
       case None => inner
       case Some(g) => new DataWriter[InternalRow] {
@@ -3992,7 +4312,9 @@ final class GraftKvWriterFactory(dir: String, schemaJson: String,
 }
 
 final class GraftKvWriter(dir: String, schema: StructType,
-    private val tmpName: String, private val finalName: String)
+    private val tmpName: String, private val finalName: String,
+    // physical->logical layout (column mapping); null = identity
+    byPid: Array[Int] = null)
   extends DataWriter[InternalRow] {
   private val out = Files.newBufferedWriter(Paths.get(dir, tmpName),
     StandardCharsets.UTF_8)
@@ -4038,7 +4360,7 @@ final class GraftKvWriter(dir: String, schema: StructType,
   private val observed = new Array[String](schema.length)
   override def write(row: InternalRow): Unit = {
     val sb = new StringBuilder
-    GraftKvSink.encodeRow(schema, row, sb, observed)
+    GraftKvSink.encodeRow(schema, row, sb, observed, byPid)
     var i = 0
     while (i < schema.length) {
       val v = observed(i)
@@ -4891,7 +5213,12 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
       else if (f.name == "_pos") -2 // metadata column: line ordinal
       else if (f.name == "_change_type") -3 // CDC: partition's change kind
       else if (f.name == "_commit_epoch") -4 // CDC: committing epoch
-      else schema.fieldIndex(f.name) // throws on an unknown projected column
+      else {
+        // the column's PHYSICAL position via column mapping (= its index
+        // on every never-renamed table); throws on an unknown column
+        val fi = schema.fieldIndex(f.name)
+        GraftKvSink.pidOf(schema(fi), fi)
+      }
     }
     // position set over THIS partition's file, built from the partition's
     // delta names. Snapshot reads MASK these ordinals (they are deleted —

@@ -193,6 +193,26 @@ object GraftPartition {
   def parse(spec: Seq[String], schema: StructType): Seq[PTransform] =
     spec.map(parseOne(_, schema))
 
+  /** The spec/tuple key string with its source column renamed (RENAME
+    * COLUMN re-keys layout metadata in one metadata publish; the
+    * transform shape is untouched). None when the key does not source
+    * `from` — or no longer parses against `schema` at all (an
+    * evolved-away key whose source was itself renamed earlier stays
+    * as-is: it already never prunes). Parse against the PRE-rename
+    * schema. */
+  def renameKey(key: String, schema: StructType, from: String,
+      to: String): Option[String] = {
+    val t = try parseOne(key, schema)
+      catch { case _: IllegalArgumentException => return None }
+    if (!t.source.equalsIgnoreCase(from)) None
+    else Some(t match {
+      case PIdentity(_, _)    => to.toLowerCase
+      case PBucket(n, _, _)   => s"bucket($n,${to.toLowerCase})"
+      case PTruncate(w, _, _) => s"truncate($w,${to.toLowerCase})"
+      case PTime(u, _, _)     => s"$u(${to.toLowerCase})"
+    })
+  }
+
   /** Split a comma-joined spec at TOP-LEVEL commas only — "bucket(4,id)"
     * carries a comma of its own. */
   def splitSpec(s: String): Seq[String] = {

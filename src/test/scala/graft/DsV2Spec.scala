@@ -438,14 +438,18 @@ class DsV2Spec extends SparkSpec {
       spark.sql("UPDATE graft.rlspec.ev SET v = 9.0 WHERE id = 1")
       assert(spark.table("graft.rlspec.ev").where("v = 9.0")
         .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
-      // refusals: drop/rename/retype, duplicate add, NOT NULL add
-      Seq("ALTER TABLE graft.rlspec.ev DROP COLUMN s",
-        "ALTER TABLE graft.rlspec.ev RENAME COLUMN s TO t",
+      // refusals: retype, duplicate add, NOT NULL add (rename/drop are
+      // now column-mapping evolutions with their own spec)
+      Seq("ALTER TABLE graft.rlspec.ev ALTER COLUMN v TYPE INT",
         "ALTER TABLE graft.rlspec.ev ADD COLUMN v INT",
         "ALTER TABLE graft.rlspec.ev ADD COLUMN w INT NOT NULL")
         .foreach { stmt =>
           intercept[Exception] { spark.sql(stmt) }; ()
         }
+      // rename + drop evolve via column mapping (metadata-only)
+      spark.sql("ALTER TABLE graft.rlspec.ev RENAME COLUMN s TO t")
+      spark.sql("ALTER TABLE graft.rlspec.ev DROP COLUMN t")
+      assert(!spark.table("graft.rlspec.ev").columns.contains("t"))
       // generated tables stay immutable
       spark.sql("DROP TABLE IF EXISTS graft.rlspec.gen")
       spark.sql("CREATE TABLE graft.rlspec.gen USING graft_range " +
@@ -1446,12 +1450,24 @@ class DsV2Spec extends SparkSpec {
         "(CAST(2 AS BIGINT), CAST(2 AS BIGINT))")
     }
     assert(cnt == 1)
-    // dropping the generation-source column refuses like every DROP
-    // (rows are positional; the generated invariant would dangle)
+    // dropping the generation-SOURCE column refuses: the standing
+    // `g <=> a + b` invariant would dangle (derived __gen__ checks count
+    // like user CHECKs in the drop-refusal scan)
     val e5 = intercept[Exception] {
       spark.sql("ALTER TABLE graft.gen.t DROP COLUMN a")
     }
-    assert(allMsgs(e5).contains("ADD COLUMN"), allMsgs(e5))
+    assert(allMsgs(e5).contains("__gen__g"), allMsgs(e5))
+    // renaming the source REWRITES the generation expression in the same
+    // publish — the invariant follows the column under its new name
+    spark.sql("ALTER TABLE graft.gen.t RENAME COLUMN a TO x")
+    val e6 = intercept[Exception] {
+      spark.sql("INSERT INTO graft.gen.t VALUES " +
+        "(CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(9 AS BIGINT))")
+    }
+    assert(allMsgs(e6).contains("__gen__g"), allMsgs(e6))
+    spark.sql("INSERT INTO graft.gen.t VALUES " +
+      "(CAST(2 AS BIGINT), CAST(2 AS BIGINT), CAST(4 AS BIGINT))")
+    assert(cnt == 2)
     spark.sql("DROP TABLE IF EXISTS graft.gen.t")
   }
 
@@ -2697,5 +2713,239 @@ class DsV2Spec extends SparkSpec {
     // old-tuple pruning still works: the folded targets kept their tuples
     assert(spark.table("graft.optev.t").where("grp = 'a'").count() == 8L)
     spark.sql("DROP TABLE graft.optev.t")
+  }
+
+  test("OPTIMIZE WHERE ... ZORDER BY re-clusters only the named partition") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_optwz").toString
+    spark.sql("DROP TABLE IF EXISTS graft.optwz.t")
+    spark.sql("CREATE TABLE graft.optwz.t (id BIGINT, x BIGINT, y BIGINT, " +
+      "grp STRING) USING graft_kv PARTITIONED BY (grp) " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    (0 until 4).foreach { i =>
+      spark.sql("INSERT INTO graft.optwz.t SELECT id + " + (i * 100) +
+        ", (id * 37) % 97, (id * 91) % 89, " +
+        "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(50)")
+    }
+    def mf() = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    def grpFiles(m: GraftKvSink.Manifest, g: String): Seq[String] =
+      m.files.map(_._1).filter(n => m.stats.getOrElse(n, Map.empty)
+        .get("part:grp").exists(_._1 == g)).sorted
+    val m0 = mf()
+    val bBefore = grpFiles(m0, "b")
+    val before = spark.table("graft.optwz.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq
+    spark.sql(
+      "OPTIMIZE graft.optwz.t WHERE grp = 'a' ZORDER BY (x, y) INTO 2 FILES")
+    val m1 = mf()
+    // partition b's files are BYTE-identical (same names, never moved);
+    // partition a's were replaced by the scoped rewrite
+    assert(grpFiles(m1, "b") == bBefore, "out-of-scope partition touched")
+    assert(grpFiles(m1, "a") != grpFiles(m0, "a"))
+    assert(grpFiles(m1, "a").length == 2, grpFiles(m1, "a"))
+    // the rewrite is a retained-history CoW: old a-files reconstruct
+    // pre-rewrite states, and the data reads bit-identically
+    assert(m1.rewrittenUpTo > m0.rewrittenUpTo)
+    assert(m1.removed.map(_.name).toSet == grpFiles(m0, "a").toSet)
+    assert(spark.table("graft.optwz.t").orderBy("id").collect()
+      .map(_.getLong(0)).toSeq == before)
+    // new files re-tag under the current spec (pruning stays exact)
+    assert(grpFiles(m1, "a").forall(n =>
+      m1.stats(n)("part:grp")._1 == "a"))
+    // a predicate over no partition source still refuses in composed form
+    intercept[Exception] {
+      spark.sql("OPTIMIZE graft.optwz.t WHERE id = 5 ZORDER BY (x)")
+    }
+    spark.sql("DROP TABLE graft.optwz.t")
+  }
+
+  test("metadata tables: files/partitions/history derive from the manifest") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_meta").toString
+    spark.sql("DROP TABLE IF EXISTS graft.metat.t")
+    spark.sql("CREATE TABLE graft.metat.t (id BIGINT, grp STRING) " +
+      "USING graft_kv PARTITIONED BY (grp) " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.metat.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(10)")
+    spark.sql("INSERT INTO graft.metat.t SELECT id + 10, 'a' FROM range(5)")
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val files = spark.table("graft.metat.t.files").collect()
+    assert(files.length == m.files.size, files.mkString("\n"))
+    assert(files.forall(_.getString(1) == "base"))
+    // per-column min/max ride as maps (partition keys excluded)
+    val idMins = files.map(r =>
+      r.getMap[String, String](6).toMap.get("id")).toSeq
+    assert(idMins.forall(_.isDefined), idMins)
+    // partitions == SHOW PARTITIONS
+    val viaSql = graft.ops.Ddl.execute(spark,
+      "SHOW PARTITIONS graft.metat.t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val viaMeta = spark.table("graft.metat.t.partitions").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaMeta == viaSql, s"$viaMeta vs $viaSql")
+    // a CoW DELETE leaves retained history visible under kind='retained'
+    spark.sql("DELETE FROM graft.metat.t WHERE grp = 'b' AND id = 1")
+    val kinds = spark.table("graft.metat.t.files")
+      .groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds.contains("retained"), kinds)
+    // history as a relation: two appends + the rewrite epoch
+    val hist = spark.table("graft.metat.t.history").collect()
+    assert(hist.count(_.getString(1) == "append") == 2, hist.mkString("\n"))
+    assert(hist.exists(_.getString(1) == "rewrite"))
+    assert(hist.forall(r => !r.isNullAt(4)), "commit_ts must stamp")
+    // metadata tables COMPOSE with branches: a WAP audit can inspect the
+    // branch head's physical state before publishing
+    graft.ops.Ddl.execute(spark,
+      "ALTER TABLE graft.metat.t CREATE BRANCH audit")
+    spark.sql("INSERT INTO graft.metat.t.branch_audit VALUES (99L, 'c')")
+    val bParts = spark.table("graft.metat.t.branch_audit.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(bParts.get("grp=c").contains(1L), bParts)
+    // the parent's own metadata never sees the branch-local write
+    assert(!spark.table("graft.metat.t.partitions").collect()
+      .exists(_.getString(0) == "grp=c"))
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.metat.t DROP BRANCH audit")
+    spark.sql("DROP TABLE graft.metat.t")
+  }
+
+  test("column mapping: RENAME and DROP COLUMN are metadata-only") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_cmap").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cmap.t")
+    spark.sql("CREATE TABLE graft.cmap.t (id BIGINT, grp STRING, " +
+      "v DOUBLE, note STRING) USING graft_kv PARTITIONED BY (grp) " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    spark.sql(
+      "ALTER TABLE graft.cmap.t SET TBLPROPERTIES ('check.pos' = 'v >= 0')")
+    spark.sql("INSERT INTO graft.cmap.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END, CAST(id AS DOUBLE), " +
+      "concat('n', id) FROM range(10)")
+    val fileCount0 = GraftKvSink.readManifest(
+      GraftKvSink.manifestPath(dir)).files.size
+    // RENAME the partition source: one metadata publish — no data file
+    // touched, spec strings and per-file tuple keys re-keyed
+    spark.sql("ALTER TABLE graft.cmap.t RENAME COLUMN grp TO region")
+    val m1 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m1.files.size == fileCount0)
+    assert(m1.partitionSpec == Seq("region"), m1.partitionSpec)
+    assert(m1.stats.values.forall(_.contains("part:region")),
+      m1.stats.values.map(_.keys).toSeq)
+    // every name-keyed entry re-keyed in the same publish: min/max stats,
+    // blooms, and the hll:/cnt:/len: sketch keys — nothing remembers 'grp'
+    assert(m1.stats.values.forall(c =>
+      c.keys.exists(_.equalsIgnoreCase("region")) &&
+        !c.keys.exists(_.toLowerCase.endsWith("grp"))),
+      m1.stats.values.map(_.keys).toSeq)
+    assert(m1.blooms.values.forall(c =>
+      c.keys.exists(_.equalsIgnoreCase("hll:region")) &&
+        c.keys.exists(_.equalsIgnoreCase("cnt:region")) &&
+        !c.keys.exists(_.toLowerCase.contains("grp"))),
+      m1.blooms.values.map(_.keys).toSeq)
+    assert(spark.table("graft.cmap.t").where("region = 'a'").count() == 5)
+    // the CHECK rewrote to the new name when its column renames
+    spark.sql("ALTER TABLE graft.cmap.t RENAME COLUMN v TO score")
+    val eChk = intercept[Exception] {
+      spark.sql("INSERT INTO graft.cmap.t VALUES (100L, 'c', -1.0, 'x')")
+    }
+    assert(eChk.getMessage.toLowerCase.contains("check"), eChk.getMessage)
+    spark.sql("INSERT INTO graft.cmap.t VALUES (100L, 'c', 5.0, 'y')")
+    assert(spark.table("graft.cmap.t")
+      .where("region = 'c' AND score = 5.0").count() == 1)
+    // refusal: the target name is taken
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cmap.t RENAME COLUMN note TO id")
+    }
+    // DROP hides the field; its position retires and is never reused
+    spark.sql("ALTER TABLE graft.cmap.t DROP COLUMN note")
+    assert(spark.table("graft.cmap.t").columns.toSeq ==
+      Seq("id", "region", "score"))
+    val m2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m2.droppedPids == Seq(3), m2.droppedPids)
+    spark.sql("INSERT INTO graft.cmap.t VALUES (101L, 'c', 6.0)")
+    // ADD after DROP claims a FRESH position: the dropped column's
+    // committed values must never resurface under the new name
+    spark.sql("ALTER TABLE graft.cmap.t ADD COLUMN tag STRING")
+    assert(spark.table("graft.cmap.t").where("tag IS NOT NULL").count() == 0,
+      "dropped 'note' values resurfaced under 'tag'")
+    spark.sql("INSERT INTO graft.cmap.t VALUES (102L, 'd', 7.0, 't1')")
+    val rows = spark.table("graft.cmap.t").orderBy("id")
+      .selectExpr("id", "region", "score", "tag").collect()
+    assert(rows.length == 13)
+    assert(rows.last.getLong(0) == 102L && rows.last.getString(3) == "t1")
+    assert(spark.table("graft.cmap.t").where("tag = 't1'").count() == 1)
+    // aggregate across all three layout epochs (pre-rename, post-rename,
+    // post-drop/add) reads consistently
+    assert(spark.table("graft.cmap.t").agg(
+      org.apache.spark.sql.functions.sum("score")).head.getDouble(0) ==
+      (0 until 10).map(_.toDouble).sum + 5.0 + 6.0 + 7.0)
+    // refusal arms: partition source, CHECK-referenced
+    val ePart = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cmap.t DROP COLUMN region")
+    }
+    assert(ePart.getMessage.contains("partition"), ePart.getMessage)
+    val eRef = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.cmap.t DROP COLUMN score")
+    }
+    assert(eRef.getMessage.toLowerCase.contains("check"), eRef.getMessage)
+    spark.sql("DROP TABLE graft.cmap.t")
+  }
+
+  test("index rewrite stands down after RENAME COLUMN") {
+    import graft.ops.Ddl
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_ixren").toString
+    if (graft.plans.IndexCatalog.named("ixren_v").isDefined)
+      Ddl.execute(spark, "DROP INDEX ixren_v")
+    spark.sql("DROP TABLE IF EXISTS graft.ixren.t")
+    spark.sql("CREATE TABLE graft.ixren.t (k BIGINT, v BIGINT, s STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft.ixren.t " +
+      "SELECT id, id % 100, concat('s', id) FROM range(2000)")
+    Ddl.execute(spark, "CREATE INDEX ixren_v ON graft.ixren.t (v) KEY (k)")
+    try {
+      def plan(c: String) = spark.table("graft.ixren.t")
+        .filter(org.apache.spark.sql.functions.col(c).isin(11L, 57L))
+        .queryExecution.optimizedPlan.toString
+      assert(plan("v").contains("LeftSemi"), "index rewrite should fire")
+      // a RENAME (even of an unrelated column) is a manifest publish:
+      // the version-staleness rule stands the index down — its recorded
+      // schema no longer matches the table and serving it would bind
+      // stale names
+      spark.sql("ALTER TABLE graft.ixren.t RENAME COLUMN s TO label")
+      assert(!plan("v").contains("LeftSemi"),
+        "stale index must stand down after RENAME COLUMN")
+      // correctness unimpaired, old and new names alike
+      assert(spark.table("graft.ixren.t")
+        .where("v = 11 AND label IS NOT NULL").count() == 20)
+    } finally {
+      Ddl.execute(spark, "DROP INDEX ixren_v")
+      spark.sql("DROP TABLE graft.ixren.t")
+    }
+  }
+
+  test("SET NOT NULL validates existing rows before adopting") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_nn").toString
+    spark.sql("DROP TABLE IF EXISTS graft.nn.t")
+    spark.sql("CREATE TABLE graft.nn.t (id BIGINT, v DOUBLE) USING " +
+      s"graft_kv OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft.nn.t VALUES (1L, 1.0), (2L, CAST(NULL AS DOUBLE))")
+    // a committed NULL refuses adoption (validate, don't trust)
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.nn.t ALTER COLUMN v SET NOT NULL")
+    }
+    assert(e.getMessage.contains("NULL"), e.getMessage)
+    // clean column adopts, and the write path enforces from then on
+    spark.sql("ALTER TABLE graft.nn.t ALTER COLUMN id SET NOT NULL")
+    assert(!spark.table("graft.nn.t").schema("id").nullable)
+    intercept[Exception] {
+      spark.sql("INSERT INTO graft.nn.t VALUES (CAST(NULL AS BIGINT), 3.0)")
+    }
+    assert(spark.table("graft.nn.t").count() == 2)
+    // DROP NOT NULL relaxes again
+    spark.sql("ALTER TABLE graft.nn.t ALTER COLUMN id DROP NOT NULL")
+    spark.sql("INSERT INTO graft.nn.t VALUES (CAST(NULL AS BIGINT), 3.0)")
+    assert(spark.table("graft.nn.t").count() == 3)
+    spark.sql("DROP TABLE graft.nn.t")
   }
 }

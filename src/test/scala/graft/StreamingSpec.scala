@@ -942,11 +942,13 @@ class StreamingSpec extends SparkSpec {
     assert(all.toSet == expected) // no gaps either: state + offsets restored
   }
 
-  test("two streaming queries on one kv directory: replay idempotent, foreign writer refused") {
+  test("two streaming queries on one kv directory: replay idempotent, foreign writer rebases") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.connector.write.PhysicalWriteInfo
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_txn").toString
+    spark.range(0).count(): Unit // init the session: the factory's guard
+    // resolution calls SparkSession.active eagerly even with no checks
     val schema = StructType(Seq(StructField("id", LongType)))
     val onePart = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
     def commitEpoch(queryId: String, epoch: Long, id: Long,
@@ -965,16 +967,17 @@ class StreamingSpec extends SparkSpec {
       .option("path", dir).load().collect().map(_.getLong(0)).toSeq.sorted
     assert(ids() == Seq(1L, 2L))
     // a DIFFERENT streaming query hitting an epoch query-A owns: its
-    // batch would otherwise be silently discarded as a "replay" — refuse
-    val e = intercept[IllegalStateException] {
-      commitEpoch("query-B", 1L, 99L, 13L)
-    }
-    assert(e.getMessage.contains("query-A"), e.getMessage)
-    assert(ids() == Seq(1L, 2L)) // nothing lost, nothing interleaved
-    // query-B CAN continue the table at a fresh epoch (sequential
-    // handover — e.g. a redeployed pipeline under a new checkpoint id)
+    // batch must NOT be silently discarded as a "replay" — it REBASES to
+    // a fresh epoch past all published history (the Delta multi-writer
+    // shape: per-query transaction identity, one owner per epoch)
+    commitEpoch("query-B", 1L, 99L, 13L)
+    assert(ids() == Seq(1L, 2L, 99L)) // nothing lost, nothing interleaved
+    // B continues through its own recorded base
     commitEpoch("query-B", 2L, 3L, 14L)
-    assert(ids() == Seq(1L, 2L, 3L))
+    assert(ids() == Seq(1L, 2L, 3L, 99L))
+    // a recovery replay by B maps through ITS frozen base: still dedups
+    commitEpoch("query-B", 1L, 99L, 15L)
+    assert(ids() == Seq(1L, 2L, 3L, 99L))
   }
 
   test("streaming writes to a PARTITIONED kv table split per tuple and prune") {
@@ -1057,5 +1060,52 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("graft.stime.t").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
     spark.sql("DROP TABLE graft.stime.t")
+  }
+
+  test("a fresh stream appends AFTER existing batch epochs (epoch base)") {
+    import graft.sources.GraftKvSink
+    val root = java.nio.file.Files.createTempDirectory("graft_sbase")
+    val feed = root.resolve("feed").toString
+    val dir = root.resolve("out").toString
+    spark.sql("DROP TABLE IF EXISTS graft.sbase.t")
+    spark.sql("CREATE TABLE graft.sbase.t (id BIGINT) USING graft_kv " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    // batch history occupies epochs 0 and 1 BEFORE any stream exists —
+    // the exact shape a fresh checkpoint used to silently lose its first
+    // batches to (engine epoch 0 collided with batch epoch-0 names and
+    // was dropped as a "replay duplicate")
+    spark.sql("INSERT INTO graft.sbase.t SELECT id FROM range(5)")
+    spark.sql("INSERT INTO graft.sbase.t SELECT id + 10 FROM range(5)")
+    spark.range(3).selectExpr("id + 100 AS id")
+      .write.format("graft.sources.GraftKvSink").option("path", feed)
+      .option("epoch", "0").mode("append").save()
+    val q = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", feed).load()
+      .writeStream.option("checkpointLocation", root.resolve("c").toString)
+      .toTable("graft.sbase.t")
+    try q.processAllAvailable() finally q.stop()
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    // nothing lost: 10 batch rows + 3 streamed rows
+    assert(spark.table("graft.sbase.t").count() == 13,
+      m.files.mkString(", "))
+    // the streamed epoch PUBLISHED past the batch history, base recorded
+    val streamed = m.files.map(_._1)
+      .filterNot(n => n.startsWith("epoch-0-") || n.startsWith("epoch-1-"))
+    assert(streamed.nonEmpty && streamed.forall(_.startsWith("epoch-2-")),
+      m.files.map(_._1).mkString(", "))
+    assert(m.streamBase.values.toSeq == Seq(2L), m.streamBase)
+    // a LATER batch epoch landing mid-stream rebases the stream instead
+    // of killing it or losing the batch
+    spark.sql("INSERT INTO graft.sbase.t SELECT id + 20 FROM range(2)")
+    spark.range(2).selectExpr("id + 200 AS id")
+      .write.format("graft.sources.GraftKvSink").option("path", feed)
+      .option("epoch", "1").mode("append").save()
+    val q2 = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", feed).load()
+      .writeStream.option("checkpointLocation", root.resolve("c").toString)
+      .toTable("graft.sbase.t")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("graft.sbase.t").count() == 17)
+    spark.sql("DROP TABLE graft.sbase.t")
   }
 }
