@@ -564,26 +564,26 @@ object Ddl {
   // kv catalog tables are referenced catalog-qualified (graft.ns.t) — up
   // to two dots, wider than $Id
   private val DescHistoryRe =
-    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+((?:\w+\.){0,2}\w+)\s*""".r
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+((?:\w+\.){0,3}\w+)\s*""".r
   // DESCRIBE DETAIL (the Delta shape): one-row table-metadata snapshot —
   // format, location, file/row/byte counts, clustering, constraints
   private val DescDetailRe =
-    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+((?:\w+\.){0,2}\w+)\s*""".r
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+((?:\w+\.){0,3}\w+)\s*""".r
   // table maintenance, Delta-style: OPTIMIZE folds epochs/deltas into
   // compacted base files; VACUUM reclaims unreferenced + retained files
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)(?:\s+UP\s+TO\s+EPOCH\s+(\d+))?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,3}\w+)(?:\s+UP\s+TO\s+EPOCH\s+(\d+))?\s*""".r
   // OPTIMIZE t ZORDER BY (c1, c2) [INTO n FILES]: distributed
   // multi-dimensional re-clustering (quantile-bucket Morton codes) — the
   // Delta OPTIMIZE ZORDER shape, published as a retained-history rewrite
   private val OptimizeZorderRe =
-    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,3}\w+)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""".r
   // OPTIMIZE t WHERE <pred>: partition-scoped fold — only files whose
   // recorded tuples PROVE the predicate merge (per tuple group); the
   // Delta `OPTIMIZE … WHERE` shape, the everyday maintenance command on
   // a time-partitioned 100 TB table
   private val OptimizeWhereRe =
-    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+WHERE\s+(.+?)\s*""".r
+    """(?is)\s*OPTIMIZE\s+((?:\w+\.){0,3}\w+)\s+WHERE\s+(.+?)\s*""".r
   // OPTIMIZE t WHERE <pred> ZORDER BY (c1,c2) [INTO n FILES]: the two
   // maintenance halves COMPOSED (the Delta shape) — re-cluster only the
   // partition region the predicate proves, leaving every other
@@ -591,8 +591,46 @@ object Ddl {
   // on a 100 TB table moves yesterday's data, not the table. Must match
   // before the plain WHERE / ZORDER forms in both dispatch tables.
   private val OptimizeWhereZorderRe =
-    ("""(?is)\s*OPTIMIZE\s+((?:\w+\.){0,2}\w+)\s+WHERE\s+(.+?)\s+""" +
+    ("""(?is)\s*OPTIMIZE\s+((?:\w+\.){0,3}\w+)\s+WHERE\s+(.+?)\s+""" +
       """ZORDER\s+BY\s*\(([^)]+)\)(?:\s+INTO\s+(\d+)\s+FILES)?\s*""").r
+
+  /** SET/DROP NOT NULL shared by the SQL route (AlterNotNullRe) and the
+    * TableCatalog route (UpdateColumnNullability). Adoption PROVES no
+    * committed row violates (one scan, limit-1 existence probe), and the
+    * probe + schema publish run UNDER THE TABLE'S COMMIT LOCK — a
+    * concurrent write planned against the still-nullable schema would
+    * otherwise slip a NULL in between the probe and the publish, leaving
+    * the manifest declaring non-nullable over violating rows. */
+  private[graft] def alterNullability(spark: SparkSession, d: Dsv2Def,
+      col: String, setNN: Boolean): Unit = {
+    val path = d.options.getOrElse("path", throw new IllegalStateException(
+      s"kv table ${d.name} lacks a path option"))
+    graft.sources.GraftKvSink.withCommitLock(path) {
+      val mfp = graft.sources.GraftKvSink.manifestPath(path)
+      val hasMf = java.nio.file.Files.exists(mfp)
+      val schema =
+        if (hasMf) graft.sources.GraftKvSink.readManifest(mfp).schema
+        else org.apache.spark.sql.types.DataType.fromJson(d.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val fi = schema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
+      require(fi >= 0, s"ALTER COLUMN: no column '$col' in ${d.name} " +
+        s"(${schema.fieldNames.mkString(", ")})")
+      if (setNN && hasMf) {
+        val hasNull = spark.read.format("graft.sources.GraftKvSink")
+          .option("path", path).load()
+          .where(org.apache.spark.sql.functions.col(schema(fi).name).isNull)
+          .limit(1).count() > 0
+        require(!hasNull,
+          s"graft_kv: cannot SET NOT NULL on '${schema(fi).name}' — " +
+            "existing rows hold NULLs")
+      }
+      val next = org.apache.spark.sql.types.StructType(
+        schema.fields.zipWithIndex.map { case (f, i) =>
+          if (i == fi) f.copy(nullable = !setNN) else f })
+      if (hasMf) graft.sources.GraftKvSink.evolveSchema(path, next)
+      dsv2Put(d.copy(schemaJson = next.json))
+    }
+  }
 
   /** Shared front half of every `OPTIMIZE … WHERE` form: the predicate
     * parses through Spark's own expression parser, resolves against the
@@ -634,12 +672,12 @@ object Ddl {
       })).toSet
     val srcCols = specKeys.flatMap(k => scala.util.Try(
       graft.sources.GraftPartition.parseOne(k, schema).source).toOption)
-    require(filter.references.exists(c =>
+    require(filter.references.nonEmpty && filter.references.forall(c =>
         srcCols.exists(_.equalsIgnoreCase(c))),
-      s"OPTIMIZE WHERE predicate '$predText' references no partition " +
-        s"source column (${srcCols.toSeq.sorted.mkString(", ")}) — it " +
-        "cannot scope any partition; use a predicate over the " +
-        "partition source columns")
+      s"OPTIMIZE WHERE predicate '$predText' must reference ONLY " +
+        s"partition source column(s) (${srcCols.toSeq.sorted.mkString(", ")})" +
+        " — a conjunct over any other column can never prove whole-file " +
+        "containment, so the command would silently scope nothing")
     (path, filter)
   }
 
@@ -776,13 +814,13 @@ object Ddl {
   // SHOW PARTITIONS: the manifest's per-file tuple entries, aggregated —
   // pure metadata, zero data files opened, however many epochs exist
   private val ShowPartitionsRe =
-    """(?is)\s*SHOW\s+PARTITIONS\s+((?:\w+\.){0,2}\w+)\s*""".r
+    """(?is)\s*SHOW\s+PARTITIONS\s+((?:\w+\.){0,3}\w+)\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
+    """(?is)\s*VACUUM\s+((?:\w+\.){0,3}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
   // VACUUM t [RETAIN n MINUTES] DRY RUN: list what a real vacuum would
   // act on, one (file, reason) row each; deletes nothing
   private val VacuumDryRe =
-    ("""(?is)\s*VACUUM\s+((?:\w+\.){0,2}\w+)(?:\s+RETAIN\s+(\d+)\s+""" +
+    ("""(?is)\s*VACUUM\s+((?:\w+\.){0,3}\w+)(?:\s+RETAIN\s+(\d+)\s+""" +
       """MINUTES)?\s+DRY\s+RUN\s*""").r
   // RESTORE TABLE t TO TIMESTAMP AS OF '<ts>': the wall-clock spelling —
   // resolves via the timestamp-as-of prefix rule, then restores to that
@@ -1696,7 +1734,24 @@ object Ddl {
     val key =
       if (name.toLowerCase.startsWith("graft.")) name.substring("graft.".length)
       else name
-    dsv2Get(key).filter(_.provider == "graft_kv")
+    dsv2Get(key).filter(_.provider == "graft_kv").orElse {
+      // BRANCH ADDRESS (ns.t.branch_x): maintenance statements operate on
+      // the branch HEAD like any table — OPTIMIZE self-localizes it (the
+      // WAP-with-MOR prerequisite for FAST FORWARD), VACUUM applies
+      // branch-scoped retention, DESCRIBE HISTORY / SHOW PARTITIONS read
+      // the branch lineage. Resolved to the parent's entry with the path
+      // swapped for the branch head dir; only LIVE branches resolve.
+      val parts = key.split('.')
+      if (parts.length >= 2 && parts.last.toLowerCase.startsWith("branch_")) {
+        val br = parts.last.substring("branch_".length)
+        dsv2Get(parts.init.mkString("."))
+          .filter(_.provider == "graft_kv")
+          .filter(_.options.get("path").exists(p =>
+            graft.sources.GraftKvSink.refKind(p, br).contains("branch")))
+          .map(d => d.copy(options = d.options + ("path" ->
+            graft.sources.GraftKvSink.branchDirOf(d.options("path"), br))))
+      } else None
+    }
   }
 
   /** The resolved data path of a kv table named in a maintenance/metadata
@@ -2232,34 +2287,8 @@ object Ddl {
         val merged = graft.sources.GraftKvSink.compact(kvPathFor(name), upTo)
         status("OPTIMIZE", s"$name ($merged files merged)")
       case AlterNotNullRe(name, col, mode) if kvTableFor(name).isDefined =>
-        val d = kvTableFor(name).get
-        val path = kvPathFor(name)
-        val mfp = graft.sources.GraftKvSink.manifestPath(path)
-        val hasMf = java.nio.file.Files.exists(mfp)
-        val schema =
-          if (hasMf) graft.sources.GraftKvSink.readManifest(mfp).schema
-          else org.apache.spark.sql.types.DataType.fromJson(d.schemaJson)
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val fi = schema.fieldNames.indexWhere(_.equalsIgnoreCase(col))
-        require(fi >= 0, s"ALTER COLUMN: no column '$col' in $name " +
-          s"(${schema.fieldNames.mkString(", ")})")
         val setNN = mode.equalsIgnoreCase("SET")
-        if (setNN && hasMf) {
-          // adopt only after PROVING no committed row violates it
-          val hasNull = spark.read.format("graft.sources.GraftKvSink")
-            .option("path", path).load()
-            .where(org.apache.spark.sql.functions.col(
-              schema(fi).name).isNull)
-            .limit(1).count() > 0
-          require(!hasNull,
-            s"graft_kv: cannot SET NOT NULL on '${schema(fi).name}' — " +
-              "existing rows hold NULLs")
-        }
-        val next = org.apache.spark.sql.types.StructType(
-          schema.fields.zipWithIndex.map { case (f, i) =>
-            if (i == fi) f.copy(nullable = !setNN) else f })
-        if (hasMf) graft.sources.GraftKvSink.evolveSchema(path, next)
-        dsv2Put(d.copy(schemaJson = next.json))
+        alterNullability(spark, kvTableFor(name).get, col, setNN)
         status("ALTER_NULLABILITY",
           s"$name ($col ${if (setNN) "NOT NULL" else "nullable"})")
       case AlterSetPartRe(name, specStr) =>
@@ -3612,8 +3641,13 @@ object Ddl {
     "ddl_visibility" -> (ddlVisibility _),
     "analyze_stats" -> (analyzeStats _),
     "keyed_cbo_join" -> (keyedCboJoin _),
-    "keyed_defaults" -> (keyedDefaults _),
-    "keyed_cbo_histogram" -> (keyedCboHistogram _))
+    "keyed_defaults" -> (keyedDefaults _))
+  // keyed_cbo_histogram was judged in r17; r18 demotes it to PlanSpec —
+  // its twin kv_cbo_histogram judges the SAME histogram estimator through
+  // the newer sidecar machinery, and two near-identical 5.4 s ANALYZE×2 +
+  // 4-plan-compile harnesses spent bench weight twice on one mechanism.
+  // The keyed world's histogram parse and both plan arms stay test-pinned
+  // (PlanSpec "keyed equi-height histograms flip the skew-join plan").
 
   val oracles: Map[String, String] = Map(
     // three populations: NULL history, spliced default, explicit override
@@ -3623,18 +3657,6 @@ object Ddl {
         |  UNION ALL SELECT CAST(97 AS INTEGER), 'zzz_omitted', CAST(7 AS BIGINT)
         |  UNION ALL SELECT CAST(98 AS INTEGER), 'zzz_explicit', CAST(40 AS BIGINT)
         |) ORDER BY n_nationkey""".stripMargin,
-    // the cold-key join result (the hot join is plan-asserted only); the
-    // skewed keys derive deterministically from lineitem/orders
-    "keyed_cbo_histogram" ->
-      """WITH a AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1
-        |    ELSE l_orderkey END AS ka,
-        |    l_orderkey * 10 + l_linenumber AS ida FROM lineitem),
-        |  b AS (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 1
-        |    ELSE o_orderkey END AS kb, o_orderkey AS idb FROM orders)
-        |SELECT CAST(ka % 5 AS BIGINT) AS grp, count(*) AS cnt,
-        |  CAST(sum(ida) AS BIGINT) AS sa, CAST(sum(idb) AS BIGINT) AS sb
-        |FROM a JOIN b ON ka = kb WHERE ka <> 1
-        |GROUP BY CAST(ka % 5 AS BIGINT) ORDER BY grp""".stripMargin,
     // the generalized-MERGE statement replayed relationally: clause number
     // from the first matching condition, per-clause projections, explicit-
     // column insert with NULL defaults, by-source delete as a kept-filter

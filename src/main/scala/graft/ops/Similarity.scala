@@ -285,6 +285,114 @@ object Similarity {
     * becomes a per-row fold over the broadcast centroid array — the
     * window form is the oracle-mirrorable equivalent with identical output,
     * and its shuffle is n×k rows keyed by vec_id. */
+  /** Per-JVM scratch root for the persisted-index tables (the KeyRange
+    * pattern): concurrent Verify/Bench processes must not share paths. */
+  private lazy val scratch: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sim_scratch_")
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  /** C3 × A7-DSv2 judged: INCREMENTAL ANN INDEX MAINTENANCE — the
+    * dedup_incremental economics applied to similarity search. The IVF
+    * index (vec_id → home cell) PERSISTS as a kv table; centroids are
+    * FROZEN at build time (trained on the base corpus only — the
+    * production invariant that makes increments valid); a new embedding
+    * batch indexes in O(batch): one nearest-centroid pass over JUST the
+    * batch, appended as its own epoch. Required in-query: (1) the second
+    * epoch's manifest row count equals the batch size — the MANIFEST
+    * proves the incremental economics, no corpus re-assignment happened;
+    * (2) the incremental index answers the standard multi-probe query
+    * IDENTICALLY to a from-scratch rebuild over the full corpus (same
+    * frozen centroids ⇒ same assignments ⇒ bit-equal top-3). The oracle
+    * replays the whole IVF search relationally over base+batch. At
+    * 100 TB: nightly embedding batches index in batch-sized work and
+    * append as epochs; the index table compacts, prunes and time-travels
+    * like any kv table, and the vectors never leave the lake — the index
+    * holds only (id, cell). */
+  def simAnnIncremental(s: SparkSession, d: String): DataFrame = {
+    VectorOps.ensureRegistered(s)
+    val tmp = s"$scratch/ann_idx"
+    s.sql("DROP TABLE IF EXISTS graft.kvq.ann_idx")
+    locally { // reset for repeat runs in one JVM
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(tmp))
+    }
+    s.sql("CREATE TABLE graft.kvq.ann_idx (vec_id BIGINT, cell BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$tmp', epochs 'true')")
+    val e = withVec(Tables.embeddings(s, d))
+    val base = e.filter(col("vec_id") % 5 =!= 0)
+    val batch = e.filter(col("vec_id") % 5 === 0)
+    // frozen coarse quantizer: base-corpus sample, NEVER retrained —
+    // retraining would re-assign the whole corpus, the thing increments
+    // exist to avoid. (≡1 mod 40 is never ≡0 mod 5, so every centroid
+    // is in the base — a %40==0 rule would intersect the batch and
+    // leave the quantizer EMPTY.)
+    val cents = base.filter(col("vec_id") % 40 === 1)
+      .select(col("vec_id").as("c_id"), col("emb_d").as("ce"),
+        col("nrm").as("cn"))
+    def assign(part: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("c_id"))
+      part.join(broadcast(cents))
+        .withColumn("ccos",
+          pairCos(col("emb_d"), col("ce"), col("nrm"), col("cn")))
+        .withColumn("crk", row_number().over(w))
+        .filter(col("crk") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"))
+    }
+    assign(base).createOrReplaceTempView("ann_idx_base")
+    s.sql("INSERT INTO graft.kvq.ann_idx SELECT * FROM ann_idx_base")
+    assign(batch).createOrReplaceTempView("ann_idx_batch")
+    s.sql("INSERT INTO graft.kvq.ann_idx SELECT * FROM ann_idx_batch")
+    val mf = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    val ep1 = mf.files.filter(f =>
+      graft.sources.GraftKvSink.epochOf(f._1) == 1L).map(_._2).sum
+    val nBatch = batch.count()
+    require(ep1 == nBatch && mf.files.map(_._2).sum == e.count(),
+      s"incremental epoch indexed $ep1 rows, batch holds $nBatch — " +
+        "the increment must be batch-sized, never a corpus re-assignment")
+    // the standard multi-probe search, parameterized by the index
+    def ivfSearch(idx: DataFrame): DataFrame = {
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("c_id"))
+      val qr = onlyQueries(e, queryIdsFor(s, d))
+        .join(broadcast(cents))
+        .withColumn("ccos",
+          pairCos(col("emb_d"), col("ce"), col("nrm"), col("cn")))
+        .withColumn("crk", row_number().over(wq))
+        .filter(col("crk") <= 2)
+        .select(col("vec_id").as("q_id"), col("emb_d").as("qe"),
+          col("nrm").as("qn"), col("c_id").as("cell"))
+      val n = idx.join(e.select(col("vec_id"), col("emb_d").as("ne"),
+          col("nrm").as("nn")), Seq("vec_id"))
+        .select(col("vec_id").as("n_id"), col("ne"), col("nn"), col("cell"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("n_id"))
+      qr.join(n, Seq("cell"))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("cos", pairCos(col("qe"), col("ne"), col("qn"), col("nn")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q_id"), col("rank"), col("n_id"), col("cos"))
+    }
+    val incremental = ivfSearch(s.table("graft.kvq.ann_idx"))
+      .orderBy(col("q_id"), col("rank"))
+    // equality with a from-scratch rebuild: same frozen centroids must
+    // mean bit-identical answers — any drift is an indexing bug
+    val rebuilt = ivfSearch(assign(e)).orderBy(col("q_id"), col("rank"))
+    val a = incremental.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = rebuilt.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    require(a == b,
+      s"incremental index diverged from full rebuild (${a.size} vs ${b.size} rows)")
+    incremental
+  }
+
   def simAnnIvf(s: SparkSession, d: String): DataFrame =
     ivfTopk(ivfRanks(s, d), queryIdsFor(s, d), nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
@@ -777,6 +885,7 @@ object Similarity {
     "sim_topk_agg" -> (simTopkAgg _),
     "sim_ann_lsh" -> (simAnnLsh _),
     "sim_ann_ivf" -> (simAnnIvf _),
+    "sim_ann_incremental" -> (simAnnIncremental _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "ann_recall" -> (annRecall _),
     "ann_recall_ivf" -> (annRecallIvf _),
@@ -987,6 +1096,29 @@ object Similarity {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |$querySampleSqlCte,
          |cents AS (SELECT vec_id AS c_id, emb AS ce FROM e WHERE vec_id % 40 = 0),
+         |ac AS (SELECT e.vec_id, e.emb, c.c_id, $ccos AS ccos
+         |       FROM e CROSS JOIN cents c),
+         |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |         ORDER BY ccos DESC, c_id) AS crk FROM ac),
+         |assigned AS (SELECT vec_id, emb, c_id AS cell FROM ar WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, emb AS qe, c_id AS cell FROM ar
+         |      WHERE crk <= 2 AND vec_id IN (SELECT vec_id FROM qs)),
+         |c2 AS (SELECT vec_id AS n_id, emb AS ne, cell FROM assigned),
+         |s AS (SELECT q_id, n_id, $cos AS cos
+         |      FROM q JOIN c2 USING (cell) WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM s)
+         |SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, cos FROM r WHERE rank <= 3
+         |ORDER BY q_id, rank""".stripMargin
+    },
+    "sim_ann_incremental" -> {
+      val ccos = Sql.cosineD("e.emb", "c.ce")
+      val cos = Sql.cosineD("q.qe", "c2.ne")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |$querySampleSqlCte,
+         |cents AS (SELECT vec_id AS c_id, emb AS ce FROM e
+         |          WHERE vec_id % 40 = 1),
          |ac AS (SELECT e.vec_id, e.emb, c.c_id, $ccos AS ccos
          |       FROM e CROSS JOIN cents c),
          |ar AS (SELECT *, row_number() OVER (PARTITION BY vec_id

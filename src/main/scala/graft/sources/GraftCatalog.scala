@@ -728,26 +728,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case nn: TableChange.UpdateColumnNullability =>
         require(nn.fieldNames().length == 1,
           "graft_kv: only top-level columns change nullability")
-        val fi = cur.fieldNames.indexWhere(
-          _.equalsIgnoreCase(nn.fieldNames()(0)))
-        require(fi >= 0, s"graft_kv: no column '${nn.fieldNames()(0)}' " +
-          s"(${cur.fieldNames.mkString(", ")})")
-        // SET NOT NULL adopts only after PROVING no committed row
-        // violates it — the validateChecks pattern: one scan, limit-1
-        // existence probe. Refusing outright would be honest but weaker.
-        if (!nn.nullable() && hasManifest) {
-          val hasNull = session.read.format("graft.sources.GraftKvSink")
-            .option("path", path).load()
-            .where(org.apache.spark.sql.functions.col(cur(fi).name).isNull)
-            .limit(1).count() > 0
-          require(!hasNull,
-            s"graft_kv: cannot SET NOT NULL on '${cur(fi).name}' — " +
-              "existing rows hold NULLs")
-        }
-        val next = StructType(cur.fields.zipWithIndex.map { case (f, i) =>
-          if (i == fi) f.copy(nullable = nn.nullable()) else f })
-        if (hasManifest) GraftKvSink.evolveSchema(path, next)
-        cur = next
+        // one implementation, shared with the SQL route: probe + publish
+        // under the table's commit lock (see Ddl.alterNullability)
+        Ddl.alterNullability(session,
+          d.copy(schemaJson = cur.json, options = opts),
+          nn.fieldNames()(0), !nn.nullable())
+        cur = Ddl.dsv2Get(d.name)
+          .map(x => DataType.fromJson(x.schemaJson).asInstanceOf[StructType])
+          .getOrElse(cur)
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
     Ddl.dsv2Put(d.copy(schemaJson = cur.json, options = opts))

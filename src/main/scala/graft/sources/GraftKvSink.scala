@@ -423,18 +423,35 @@ object GraftKvSink {
     (schema.fields.zipWithIndex.map { case (f, i) => pidOf(f, i) } ++
       dropped).maxOption.map(_ + 1).getOrElse(0)
 
-  /** physical position -> logical field index (-1 = retired hole, filled
-    * with the null marker on writes and never read). Null when the
-    * mapping is trivial (identity, no holes) — the fast path every
-    * never-renamed table takes. */
-  private[sources] def byPidOf(schema: StructType,
-      dropped: Seq[Int]): Array[Int] = {
-    val trivial = dropped.isEmpty && schema.fields.zipWithIndex.forall {
-      case (f, i) => pidOf(f, i) == i }
-    if (trivial) return null
-    val arr = Array.fill(physWidth(schema, dropped))(-1)
-    schema.fields.zipWithIndex.foreach { case (f, i) => arr(pidOf(f, i)) = i }
-    arr
+  /** Physical WRITE layout for a writer schema against the PLANNED
+    * manifest: physical position -> logical field index (-1 = retired
+    * hole, filled with the null marker and never read). Positions come
+    * from the MANIFEST's authoritative schema BY NAME — the writer's own
+    * schema carries no pid metadata on the path route
+    * (df.write.format(...).option("path", ...)), and trusting its field
+    * indexes there would write values into retired holes. Writer columns
+    * the manifest does not know (a widening write) take fresh positions
+    * past every live and retired one, matching evolveSchema's rule.
+    * Null = identity layout (no manifest yet, or a never-renamed
+    * table) — the fast path. */
+  private[sources] def writeLayout(writeSchema: StructType,
+      mf: Option[Manifest]): Array[Int] = mf match {
+    case None => null
+    case Some(m) =>
+      val pidByName = m.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.name.toLowerCase -> pidOf(f, i) }.toMap
+      var next = (pidByName.values ++ m.droppedPids).maxOption.getOrElse(-1) + 1
+      val pids = writeSchema.fields.map { f =>
+        pidByName.getOrElse(f.name.toLowerCase,
+          { val p = next; next += 1; p }) }
+      val trivial = m.droppedPids.isEmpty &&
+        pids.zipWithIndex.forall { case (pd, i) => pd == i }
+      if (trivial) null
+      else {
+        val arr = Array.fill((pids ++ m.droppedPids).max + 1)(-1)
+        pids.zipWithIndex.foreach { case (pd, i) => arr(pd) = i }
+        arr
+      }
   }
 
   private[sources] def supported(dt: DataType): Boolean = dt match {
@@ -2023,9 +2040,20 @@ object GraftKvSink {
       val pid = pidOf(stamped(fi), fi)
       val next = StructType(
         stamped.fields.zipWithIndex.filter(_._2 != fi).map(_._1))
+      // recorded tuple keys whose transform SOURCES the dropped column
+      // (evolved-away specs) must go too: dropped NAMES are not recorded,
+      // so a later ADD COLUMN could reintroduce the name and the stale
+      // tuples would then classify/prune against the WRONG column's
+      // values. Absent tuples never prune — sound, just less pruning.
+      val deadPart = scala.collection.mutable.HashMap.empty[String, Boolean]
+      def sourcesDropped(k: String): Boolean =
+        k.startsWith(GraftPartition.PartKey) &&
+          deadPart.getOrElseUpdate(k.toLowerCase, scala.util.Try(
+            GraftPartition.parseOne(k.stripPrefix(GraftPartition.PartKey),
+              m.schema).source.equalsIgnoreCase(name)).getOrElse(false))
       def keep(k: String): Boolean =
         !(k.equalsIgnoreCase(name) || Seq(HllKey, CntKey, LenKey).exists(
-          p => k.equalsIgnoreCase(p + name)))
+          p => k.equalsIgnoreCase(p + name)) || sourcesDropped(k))
       val stats2 = m.stats.map { case (n, cols) => n -> cols.filter {
         case (k, _) => keep(k) } }
       val blooms2 = m.blooms.map { case (n, cols) => n -> cols.filter {
@@ -3064,15 +3092,14 @@ final class GraftKvDeltaBatchWrite(dir: String, rowSchema: StructType,
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       graft.plans.CheckConstraints.writerGuard(
         org.apache.spark.sql.SparkSession.active, rowSchema, checks)
-    val droppedL = planned.map(_.droppedPids).getOrElse(Nil)
+    val layoutL = GraftKvSink.writeLayout(rowSchema, planned)
     new org.apache.spark.sql.connector.write.DeltaWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long)
           : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] = {
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
         val inner = new GraftKvDeltaWriter(d, sch,
           f"delta-part-$partitionId%05d-$taskId.$wid.tmp",
-          f"delta-part-$partitionId%05d-$taskId.kvd",
-          GraftKvSink.byPidOf(sch, droppedL))
+          f"delta-part-$partitionId%05d-$taskId.kvd", layoutL)
         guard match {
           case None => inner
           case Some(g) =>
@@ -3592,15 +3619,16 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
     val guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] =
       graft.plans.CheckConstraints.writerGuard(
         org.apache.spark.sql.SparkSession.active, schema, checks)
-    val droppedS = {
+    val layoutS = {
       val mp = GraftKvSink.manifestPath(dir)
-      if (Files.exists(mp)) GraftKvSink.readManifest(mp).droppedPids else Nil
+      GraftKvSink.writeLayout(schema,
+        if (Files.exists(mp)) Some(GraftKvSink.readManifest(mp)) else None)
     }
     new org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] = {
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        val byPid = GraftKvSink.byPidOf(sch, droppedS)
+        val byPid = layoutS
         val inner: DataWriter[InternalRow] =
           if (spec.nonEmpty)
             new GraftKvPartitionedWriter(d, sch,
@@ -3662,7 +3690,13 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
       Seq(priorUpTo, priorRw)).maxOption.getOrElse(-1L)
     var base: Long =
       if (queryId.isEmpty) 0L
-      else priorBase.getOrElse(queryId, math.max(0L, maxPublished + 1L - epochId))
+      else priorBase.getOrElse(queryId,
+        // a manifest written BEFORE bases existed can still own this
+        // epoch at the identity mapping (txn recorded, base not): a
+        // recovery replay must keep base 0 there, or it would re-publish
+        // already-committed rows under a fresh name — duplicates
+        if (priorTxn.get(epochId).contains(queryId)) 0L
+        else math.max(0L, maxPublished + 1L - epochId))
     def occupied(e: Long): Boolean =
       prior.exists(f => GraftKvSink.baseName(f._1).startsWith(s"epoch-$e-"))
     // a FOREIGN occupant at our next slot (a batch write stamped an
@@ -3896,7 +3930,7 @@ final class GraftKvBatchWrite(dir: String, schema: StructType, replace: Boolean,
         org.apache.spark.sql.SparkSession.active, schema, checks ++ owChecks)
     new GraftKvWriterFactory(dir, schema.json,
       explicitEpoch.map(e => s"epoch-$e-").getOrElse(""), writeId, guard,
-      partSpec, planned.map(_.droppedPids).getOrElse(Nil))
+      partSpec, GraftKvSink.writeLayout(schema, planned))
   }
 
   private def validateExplicitEpoch(e: Long, m: GraftKvSink.Manifest): Unit = {
@@ -4274,17 +4308,17 @@ final class GraftKvWriterFactory(dir: String, schemaJson: String,
     namePrefix: String = "", writeId: String = "w0",
     guard: Option[org.apache.spark.sql.catalyst.expressions.Expression] = None,
     partSpec: Seq[String] = Nil,
-    // retired physical positions (column mapping), captured at PLAN time:
-    // writers emit the null marker at each hole so every file shares one
+    // physical write layout (column mapping), captured at PLAN time from
+    // the planned manifest ([[GraftKvSink.writeLayout]]): writers emit
+    // the null marker at each retired hole so every file shares one
     // global positional layout. Plan-time capture is sound under any
     // concurrent DDL — positions never move or get reused, so a layout
     // from an older manifest writes values only at positions readers
     // either resolve identically or never read.
-    dropped: Seq[Int] = Nil)
+    byPid: Array[Int] = null)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val schema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-    val byPid = GraftKvSink.byPidOf(schema, dropped)
     val inner: DataWriter[InternalRow] =
       if (partSpec.nonEmpty)
         new GraftKvPartitionedWriter(dir, schema,

