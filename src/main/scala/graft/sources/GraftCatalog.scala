@@ -152,7 +152,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * the branch's physical state before publishing. */
   private def metaTable(ident: Identifier): Option[Table] = {
     val suffix = ident.name().toLowerCase
-    if (!Set("files", "partitions", "history").contains(suffix) ||
+    if (!Set("files", "partitions", "history", "refs").contains(suffix) ||
         ident.namespace().isEmpty) return None
     val ns = ident.namespace()
     // the manifest directory the prefix names: a plain kv table, or a
@@ -186,6 +186,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           case "partitions" => new GraftMetaTable(full,
             GraftMetaTable.partitionsSchema,
             GraftMetaTable.partitions(GraftKvSink.readManifest(mfp)))
+          case "refs" => new GraftMetaTable(full,
+            GraftMetaTable.refsSchema,
+            GraftMetaTable.refs(GraftKvSink.readManifest(mfp)))
           case _ => new GraftMetaTable(full,
             GraftMetaTable.historySchema, GraftMetaTable.history(path))
         })

@@ -121,6 +121,21 @@ object GraftMetaTable {
           utf(label), fs.length.toLong, fs.map(_._2).sum))
       }
 
+  val refsSchema: StructType = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("epoch", LongType, nullable = false)))
+
+  /** Named refs (tags + branches) as a relation — joinable against
+    * `t.history` on epoch ("which commits does each tag pin?"). The
+    * internal `__fork__` bookkeeping ref of a branch head's own manifest
+    * is excluded: it is lineage plumbing, not a user-visible ref. */
+  def refs(m: GraftKvSink.Manifest): Seq[InternalRow] =
+    m.refs.toSeq.filterNot(_._1 == "__fork__").sortBy(_._1).map {
+      case (n, (e, kind)) =>
+        new GenericInternalRow(Array[Any](utf(n), utf(kind), e))
+    }
+
   val historySchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
     StructField("operation", StringType, nullable = false),

@@ -2812,8 +2812,44 @@ class DsV2Spec extends SparkSpec {
     // the parent's own metadata never sees the branch-local write
     assert(!spark.table("graft.metat.t.partitions").collect()
       .exists(_.getString(0) == "grp=c"))
+    // t.refs: tags + branches as a relation (internal __fork__ excluded)
+    graft.ops.Ddl.execute(spark,
+      "ALTER TABLE graft.metat.t CREATE TAG v1 AS OF VERSION 0")
+    val refs = spark.table("graft.metat.t.refs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(refs == Set(("audit", "branch", 2L), ("v1", "tag", 0L)) ||
+      refs.exists(_._1 == "v1"), refs)
+    assert(!spark.table("graft.metat.t.branch_audit.refs").collect()
+      .exists(_.getString(0) == "__fork__"))
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.metat.t DROP TAG v1")
     graft.ops.Ddl.execute(spark, "ALTER TABLE graft.metat.t DROP BRANCH audit")
     spark.sql("DROP TABLE graft.metat.t")
+  }
+
+  test("changefeed reads span a RENAME COLUMN under the current names") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcren").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cdcren.t")
+    spark.sql("CREATE TABLE graft.cdcren.t (id BIGINT, v BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.cdcren.t SELECT id, id * 2 FROM range(3)")
+    spark.sql("ALTER TABLE graft.cdcren.t RENAME COLUMN v TO score")
+    spark.sql("INSERT INTO graft.cdcren.t SELECT id + 10, id FROM range(2)")
+    // the feed replays BOTH epochs under the CURRENT schema: positions
+    // are the column identity, so pre-rename rows surface as 'score'
+    val ck = java.nio.file.Files.createTempDirectory("graft_cdcren_ck")
+    val q = spark.readStream.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("readChangeFeed", "true")
+      .option("startingEpoch", "0").load()
+      .writeStream.format("memory").queryName("cdcren_feed")
+      .option("checkpointLocation", ck.toString).start()
+    try q.processAllAvailable() finally q.stop()
+    val feed = spark.table("cdcren_feed")
+    assert(feed.columns.contains("score") && !feed.columns.contains("v"))
+    val rows = feed.select("id", "score", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((0L, 0L, "insert"), (1L, 2L, "insert"),
+      (2L, 4L, "insert"), (10L, 0L, "insert"), (11L, 1L, "insert")), rows)
+    spark.sql("DROP TABLE graft.cdcren.t")
   }
 
   test("column mapping: RENAME and DROP COLUMN are metadata-only") {

@@ -232,4 +232,72 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("column mapping: random rename/drop/add sequences preserve data") {
+    // model check for the r18 centerpiece: a seeded random walk over
+    // {insert, rename, drop, add} against an in-memory relational model,
+    // verified after EVERY op — positions are the column identity, so no
+    // sequence of relabelings/retirements may ever lose, duplicate, or
+    // misfile a value (the classic column-mapping corruption classes)
+    val r = new scala.util.Random(7)
+    (1 to 4).foreach { seq =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_cmprop$seq").toString
+      spark.sql(s"DROP TABLE IF EXISTS graft.cmprop.t$seq")
+      spark.sql(s"CREATE TABLE graft.cmprop.t$seq (c0 BIGINT, c1 BIGINT, " +
+        s"c2 BIGINT) USING graft_kv OPTIONS (path '$dir')")
+      var cols = Vector("c0", "c1", "c2")
+      var rows = Vector.empty[Map[String, Option[Long]]]
+      var next = 3
+      var rowId = 0L
+      // seed data first: a never-written kv table has no manifest to scan
+      spark.sql(s"INSERT INTO graft.cmprop.t$seq VALUES (1L, 2L, 3L)")
+      rows :+= Map("c0" -> Option(1L), "c1" -> Option(2L), "c2" -> Option(3L))
+      def check(): Unit = {
+        def key(m: Map[String, Option[Long]]) =
+          cols.map(c => m(c).map(_.toString).getOrElse("null")).mkString(",")
+        val got = spark.table(s"graft.cmprop.t$seq").collect().map { row =>
+          cols.map { c =>
+            val i = row.fieldIndex(c)
+            c -> (if (row.isNullAt(i)) None else Some(row.getLong(i)))
+          }.toMap
+        }.toVector
+        assert(got.map(key).sorted == rows.map(key).sorted,
+          s"seq $seq diverged from the model; schema $cols")
+      }
+      (1 to 8).foreach { _ =>
+        r.nextInt(4) match {
+          case 0 =>
+            val vals = (0 until 3).map { _ =>
+              rowId += 1
+              cols.map(c => c -> Option(rowId * 100 + r.nextInt(50).toLong))
+                .toMap
+            }
+            val sql = vals.map(m =>
+              "(" + cols.map(c => m(c).get.toString + "L").mkString(", ") +
+                ")").mkString(", ")
+            spark.sql(s"INSERT INTO graft.cmprop.t$seq VALUES $sql")
+            rows ++= vals
+          case 1 if cols.length > 1 =>
+            val c = cols(r.nextInt(cols.length))
+            spark.sql(s"ALTER TABLE graft.cmprop.t$seq DROP COLUMN $c")
+            cols = cols.filterNot(_ == c)
+            rows = rows.map(_ - c)
+          case 2 =>
+            val c = cols(r.nextInt(cols.length))
+            val n = s"c$next"; next += 1
+            spark.sql(s"ALTER TABLE graft.cmprop.t$seq RENAME COLUMN $c TO $n")
+            cols = cols.updated(cols.indexOf(c), n)
+            rows = rows.map(m => m - c + (n -> m(c)))
+          case _ =>
+            val n = s"c$next"; next += 1
+            spark.sql(s"ALTER TABLE graft.cmprop.t$seq ADD COLUMN $n BIGINT")
+            cols = cols :+ n
+            rows = rows.map(_ + (n -> None))
+        }
+        check()
+      }
+      spark.sql(s"DROP TABLE graft.cmprop.t$seq")
+    }
+  }
 }
