@@ -473,6 +473,11 @@ object Ddl {
     s"""(?i)\\s*ALTER\\s+TABLE\\s+($Id)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+DEFAULT\\s+(.+?)\\s*""".r
   private val AlterDropRe =
     s"""(?i)\\s*ALTER\\s+TABLE\\s+($Id)\\s+DROP\\s+COLUMN\\s+(\\w+)\\s*""".r
+  // keyed RENAME COLUMN: a mutation-log entry replayed as an aliasing
+  // projection — same zero-copy story as the kv world's column mapping
+  // (there positions are the column identity, here the log position is)
+  private val AlterRenameRe =
+    s"""(?i)\\s*ALTER\\s+TABLE\\s+($Id)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*""".r
   private val ShowRe = """(?i)\s*SHOW\s+TABLES\s*""".r
   private val DescRe = s"""(?i)\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?($Id)\\s*""".r
   private val CacheRe = s"""(?i)\\s*CACHE\\s+TABLE\\s+($Id)\\s*""".r
@@ -1047,6 +1052,11 @@ object Ddl {
           cols = cols.filterNot(_.equalsIgnoreCase(m.a))
           sqlText =
             s"SELECT ${cols.map(c => s"`$c`").mkString(", ")} FROM ( $sqlText )"
+        case "rename" =>
+          sqlText = s"SELECT ${cols.map(c =>
+              if (c.equalsIgnoreCase(m.a)) s"`$c` AS `${m.b}`" else s"`$c`")
+            .mkString(", ")} FROM ( $sqlText )"
+          cols = cols.map(c => if (c.equalsIgnoreCase(m.a)) m.b else c)
         case "load" | "insert" =>
           // m.b = the managed parquet snapshot (header-aligned CSV for
           // LOAD, evaluated rows for INSERT), written at statement time
@@ -1674,6 +1684,7 @@ object Ddl {
     case AlterDefaultRe(_*)                        => Some(statusCols)
     case DropRe(_, n) if lookup(n).isDefined       => Some(statusCols)
     case AlterDropRe(n, _) if lookup(n).isDefined  => Some(statusCols)
+    case AlterRenameRe(n, _, _) if lookup(n).isDefined => Some(statusCols)
     case CacheRe(n) if lookup(n).isDefined         => Some(statusCols)
     case UncacheRe(n) if lookup(n).isDefined       => Some(statusCols)
     case DescRe(n) if lookup(n).isDefined          => Some(describeCols)
@@ -1818,6 +1829,9 @@ object Ddl {
       t.muts.foldLeft(Map.empty[String, String]) { (acc, m) => m.op match {
         case "default" => acc + (m.a.toLowerCase -> m.b)
         case "drop"    => acc - m.a.toLowerCase
+        case "rename"  => acc.get(m.a.toLowerCase)
+          .map(v => acc - m.a.toLowerCase + (m.b.toLowerCase -> v))
+          .getOrElse(acc)
         case _         => acc
       } }
     val n = raw.columns.length
@@ -1926,6 +1940,7 @@ object Ddl {
         case "add"  => df.withColumn(m.a, expr(m.b))
         case "default" => df.withColumn(m.a, when(lit(false), expr(m.b)))
         case "drop" => df.drop(m.a)
+        case "rename" => df.withColumnRenamed(m.a, m.b)
         case "load" => df.unionByName(
           // b = parquet snapshot (qualified tables); empty = replay the CSV
           if (m.b.nonEmpty) spark.read.parquet(m.b)
@@ -2139,6 +2154,26 @@ object Ddl {
         else replaceView(spark, t.name, df.drop(colName))
         logMut(t, Mut("drop", colName, ""))
         status("ALTER_DROP", t.name)
+      case AlterRenameRe(name, from, to) =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        require(!t.keys.exists(_.equalsIgnoreCase(from)),
+          s"cannot rename key column '$from' of ${t.name} (keys are the " +
+            "rowkey mapping)")
+        require(!t.muts.exists(m =>
+            m.op == "viscol" && m.a.equalsIgnoreCase(from)),
+          s"cannot rename visibility column '$from' of ${t.name}")
+        val rdf = spark.table(t.name)
+        require(hasColumn(rdf.columns, from),
+          s"column '$from' not in ${t.name}")
+        require(!hasColumn(rdf.columns, to),
+          s"column '$to' already exists in ${t.name}")
+        if (isQualified(t.name))
+          replaceQualified(spark,
+            t.copy(muts = t.muts :+ Mut("rename", from, to)))
+        else replaceView(spark, t.name, rdf.withColumnRenamed(from, to))
+        logMut(t, Mut("rename", from, to))
+        status("ALTER_RENAME", t.name)
       case CacheRe(name) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)

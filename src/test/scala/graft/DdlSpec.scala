@@ -1783,4 +1783,55 @@ class DdlSpec extends SparkSpec {
     }
     spark.sql("DROP TABLE graft.brm.t")
   }
+
+  test("keyed RENAME COLUMN replays through the mutation log") {
+    import graft.ops.Ddl
+    Ddl.execute(spark, "DROP TABLE IF EXISTS nren_t")
+    Ddl.create(spark, s"CREATE TABLE nren_t MAPPED BY " +
+      s"'${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    Ddl.execute(spark, "ALTER TABLE nren_t RENAME COLUMN n_name TO label")
+    val cols = spark.table("nren_t").columns.toSeq
+    assert(cols.contains("label") && !cols.contains("n_name"), cols)
+    // the renamed column carries the ORIGINAL data, and DML composes
+    // across the rename in the replayed log
+    assert(spark.sql("SELECT label FROM nren_t WHERE n_nationkey = 3")
+      .head.getString(0).nonEmpty)
+    Ddl.execute(spark, "UPDATE nren_t SET label = 'X' WHERE n_nationkey = 3")
+    assert(spark.sql("SELECT label FROM nren_t WHERE n_nationkey = 3")
+      .head.getString(0) == "X")
+    // INSERT after the rename aligns to the CURRENT schema positionally
+    Ddl.execute(spark,
+      "INSERT INTO nren_t VALUES (97, 'zzz_new', 1)")
+    assert(spark.sql("SELECT label FROM nren_t WHERE n_nationkey = 97")
+      .head.getString(0) == "zzz_new")
+    // refusals: key column, taken name, unknown column
+    intercept[Exception] {
+      Ddl.execute(spark, "ALTER TABLE nren_t RENAME COLUMN n_nationkey TO k")
+    }
+    intercept[Exception] {
+      Ddl.execute(spark, "ALTER TABLE nren_t RENAME COLUMN label TO n_regionkey")
+    }
+    intercept[Exception] {
+      Ddl.execute(spark, "ALTER TABLE nren_t RENAME COLUMN nope TO x")
+    }
+    Ddl.execute(spark, "DROP TABLE nren_t")
+  }
+
+  test("keyed RENAME COLUMN survives a restart replay (qualified table)") {
+    import graft.ops.Ddl
+    Ddl.execute(spark, "DROP TABLE IF EXISTS nrendb.t")
+    Ddl.create(spark, s"CREATE TABLE nrendb.t MAPPED BY " +
+      s"'${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    Ddl.execute(spark, "ALTER TABLE nrendb.t RENAME COLUMN n_name TO label")
+    Ddl.execute(spark,
+      "UPDATE nrendb.t SET label = 'Y' WHERE n_nationkey = 5")
+    // the qualified view body is SELF-CONTAINED SQL: re-resolving it (the
+    // restart path) must replay the rename + the post-rename UPDATE
+    val v = spark.table("nrendb.t")
+    assert(v.columns.contains("label") && !v.columns.contains("n_name"))
+    assert(spark.sql("SELECT label FROM nrendb.t WHERE n_nationkey = 5")
+      .head.getString(0) == "Y")
+    assert(spark.table("nrendb.t").count() == 25)
+    Ddl.execute(spark, "DROP TABLE nrendb.t")
+  }
 }
