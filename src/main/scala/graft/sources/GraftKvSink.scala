@@ -1893,7 +1893,8 @@ object GraftKvSink {
   private[sources] def publishSchema(dir: String, writer: StructType): StructType = {
     val mf = manifestPath(dir)
     if (!Files.exists(mf)) return writer
-    val prior = readManifest(mf).schema
+    val pm = readManifest(mf)
+    val prior = pm.schema
     val (longer, shorter) =
       if (prior.length >= writer.length) (prior, writer) else (writer, prior)
     val compatible = shorter.fields.zip(longer.fields).forall { case (a, b) =>
@@ -1904,6 +1905,15 @@ object GraftKvSink {
       s"graft_kv: append schema ${writer.simpleString} is incompatible " +
         s"with the table's ${prior.simpleString}; use overwrite to " +
         "redefine the table, or ALTER TABLE ADD COLUMN to evolve it")
+    // columns APPENDED by a wider write claim fresh physical positions
+    // past every live and retired one when column mapping is active —
+    // the same rule evolveSchema and writeLayout apply, so the published
+    // schema's pids name exactly where this write's tasks put the values
+    // (publishing them pid-less would make readers use the schema index,
+    // which after a DROP points at a different physical column)
+    val active = pm.droppedPids.nonEmpty || prior.fields.zipWithIndex
+      .exists { case (f, i) => pidOf(f, i) != i }
+    var nextPid = physWidth(prior, pm.droppedPids)
     StructType(longer.fields.zipWithIndex.map { case (f, i) =>
       val widened =
         if (i < shorter.length)
@@ -1915,7 +1925,13 @@ object GraftKvSink {
       if (i < prior.length &&
           prior.fields(i).metadata != org.apache.spark.sql.types.Metadata.empty)
         widened.copy(metadata = prior.fields(i).metadata)
-      else widened
+      else if (i >= prior.length) {
+        // appended columns are NULLABLE regardless of the writer's own
+        // schema: every pre-widening row null-fills them, and a
+        // non-nullable declaration would codegen those nulls as 0/''
+        val n = widened.copy(nullable = true)
+        if (active) { val p = nextPid; nextPid += 1; withPid(n, p) } else n
+      } else widened
     })
   }
 

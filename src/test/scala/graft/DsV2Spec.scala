@@ -2976,6 +2976,34 @@ class DsV2Spec extends SparkSpec {
     }
   }
 
+  test("a widening path-route append claims fresh positions post-drop") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_widen").toString
+    spark.sql("DROP TABLE IF EXISTS graft.widen.t")
+    spark.sql("CREATE TABLE graft.widen.t (a BIGINT, b BIGINT, c BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$dir')")
+    spark.sql("INSERT INTO graft.widen.t VALUES (1L, 2L, 3L)")
+    spark.sql("ALTER TABLE graft.widen.t DROP COLUMN b")
+    // a WIDER path-route append (implicit schema widening, no catalog):
+    // the new column 'd' must claim a FRESH physical position past the
+    // retired one — publishing it pid-less would make readers project
+    // 'd' at its schema index, which is c's physical slot
+    spark.sql("SELECT 4L AS a, 5L AS c, 6L AS d")
+      .write.format("graft.sources.GraftKvSink").option("path", dir)
+      .mode("append").save()
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val dField = m.schema.fields.find(_.name == "d").get
+    assert(GraftKvSink.pidOf(dField, m.schema.fieldIndex("d")) == 3,
+      m.schema.fields.map(f =>
+        s"${f.name}:${f.metadata}").mkString(", "))
+    val got = spark.table("graft.widen.t").orderBy("a")
+      .selectExpr("a", "c", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got == Seq((1L, 3L, -1L), (4L, 5L, 6L)), got)
+    spark.sql("DROP TABLE graft.widen.t")
+  }
+
   test("dropping an evolved-away partition source strips its stale tuples") {
     import graft.sources.GraftKvSink
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_dps").toString
