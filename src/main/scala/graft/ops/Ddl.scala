@@ -822,6 +822,13 @@ object Ddl {
     """(?is)\s*SHOW\s+PARTITIONS\s+((?:\w+\.){0,3}\w+)\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+((?:\w+\.){0,3}\w+)(?:\s+RETAIN\s+(\d+)\s+MINUTES)?\s*""".r
+  // VACUUM t REMOVE ORPHAN FILES [OLDER THAN n MINUTES] [DRY RUN]: the
+  // whole-table orphan janitor (Iceberg's remove_orphan_files) — deletes
+  // crash-leftover files no reachable manifest (table + live branch
+  // heads) references, table dir and branch subdirectories alike
+  private val VacuumOrphansRe =
+    ("""(?is)\s*VACUUM\s+((?:\w+\.){0,3}\w+)\s+REMOVE\s+ORPHAN\s+FILES""" +
+      """(?:\s+OLDER\s+THAN\s+(\d+)\s+MINUTES)?(\s+DRY\s+RUN)?\s*""").r
   // VACUUM t [RETAIN n MINUTES] DRY RUN: list what a real vacuum would
   // act on, one (file, reason) row each; deletes nothing
   private val VacuumDryRe =
@@ -1712,6 +1719,7 @@ object Ddl {
     case ShowPartitionsRe(n) if kvTableFor(n).isDefined => Some(partitionsCols)
     case ShowTagsRe(n) if kvTableFor(n).isDefined    => Some(tagsCols)
     case OptimizeRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case VacuumOrphansRe(n, _, _) if kvTableFor(n).isDefined => Some(vacuumCols)
     case VacuumRe(n, _) if kvTableFor(n).isDefined   => Some(statusCols)
     case VacuumDryRe(n, _) if kvTableFor(n).isDefined => Some(vacuumCols)
     case RestoreTsRe(n, _) if lookup(n).isDefined ||
@@ -1763,6 +1771,22 @@ object Ddl {
             graft.sources.GraftKvSink.branchDirOf(d.options("path"), br))))
       } else None
     }
+  }
+
+  /** True when `name` resolves through kvTableFor's BRANCH arm (ns.t.branch_x
+    * with no catalog entry of its own). Branch addresses are legal for
+    * read-only/maintenance statements, but a schema- or layout-MUTATING
+    * ALTER must refuse: the branch-resolved def carries the PARENT's name
+    * with the path swapped to the branch head dir, so persisting it would
+    * silently repoint every future read/write of the parent at the branch
+    * (and DROP BRANCH would then orphan the parent's own data). */
+  private def isBranchAddress(name: String): Boolean = {
+    val key =
+      if (name.toLowerCase.startsWith("graft.")) name.substring("graft.".length)
+      else name
+    dsv2Get(key).isEmpty &&
+      key.split('.').last.toLowerCase.startsWith("branch_") &&
+      kvTableFor(name).isDefined
   }
 
   /** The resolved data path of a kv table named in a maintenance/metadata
@@ -2322,11 +2346,18 @@ object Ddl {
         val merged = graft.sources.GraftKvSink.compact(kvPathFor(name), upTo)
         status("OPTIMIZE", s"$name ($merged files merged)")
       case AlterNotNullRe(name, col, mode) if kvTableFor(name).isDefined =>
+        require(!isBranchAddress(name),
+          s"ALTER COLUMN nullability on a branch address ($name) is not " +
+            "supported — schema is table-level; ALTER the parent table")
         val setNN = mode.equalsIgnoreCase("SET")
         alterNullability(spark, kvTableFor(name).get, col, setNN)
         status("ALTER_NULLABILITY",
           s"$name ($col ${if (setNN) "NOT NULL" else "nullable"})")
       case AlterSetPartRe(name, specStr) =>
+        require(!isBranchAddress(name),
+          s"ALTER TABLE … SET PARTITIONED BY on a branch address ($name) " +
+            "is not supported — layout is table-level; ALTER the parent " +
+            "table and FAST FORWARD the branch")
         val dDef = kvTableFor(name).get
         val path = kvPathFor(name)
         val mfp = graft.sources.GraftKvSink.manifestPath(path)
@@ -2389,6 +2420,15 @@ object Ddl {
       case ShowTagsRe(name) =>
         graft.sources.GraftKvSink.refsOf(kvPathFor(name))
           .toDF("name", "epoch", "kind")
+      case VacuumOrphansRe(name, olderStr, dryStr) =>
+        // whole-table orphan reclamation: table dir + live branch heads,
+        // referenced-set union over every reachable manifest; files
+        // younger than the horizon are presumed in-flight and skipped
+        val rows = graft.sources.GraftKvSink.removeOrphans(kvPathFor(name),
+          Option(olderStr).map(_.toLong * 60L * 1000L)
+            .getOrElse(10L * 60L * 1000L),
+          dryRun = dryStr != null)
+        rows.toDF("file", "reason")
       case VacuumRe(name, retainStr) =>
         // VACUUM [RETAIN n MINUTES]: reclaim unreferenced files and
         // CoW-retained history older than the grace window (default 10

@@ -642,7 +642,7 @@ object Dedup {
     * integer — ranks are scaled to 1e6, contributions are `rank div
     * outdeg`, damping is `150000 + (850 * in_sum) div 1000` — so every
     * engine computes bit-identical ranks regardless of summation order
-    * (integer addition is associative; nothing floats). Three synchronous
+    * (integer addition is associative; nothing floats). Two synchronous
     * iterations; each is one (src-key join → dst-key groupBy) pair, the
     * standard distributed PageRank shape whose only shuffles are on the
     * edge endpoints. The edge+degree relation is persisted once and reused
@@ -658,7 +658,7 @@ object Dedup {
     val ewd = edges.join(deg, "src").persist()
     val nodes = deg.select(col("src").as("node"))
     var ranks = nodes.select(col("node"), lit(1000000L).as("pr"))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to 2) {
       val sums = ewd.join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst"), expr("pr div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
@@ -757,9 +757,8 @@ object Dedup {
          |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
          |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg),
          |${prIter(1)},
-         |${prIter(2)},
-         |${prIter(3)}
-         |SELECT node, pr FROM r3 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+         |${prIter(2)}
+         |SELECT node, pr FROM r2 ORDER BY pr DESC, node LIMIT 20""".stripMargin,
     "dedup_minhash" ->
       s"""WITH $mhCandCtes
          |SELECT c.a_id, c.b_id,

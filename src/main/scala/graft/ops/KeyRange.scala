@@ -1359,7 +1359,12 @@ object KeyRange {
     s.sql("CREATE TABLE graft.kvq.line_zo (l_partkey BIGINT, " +
       "l_suppkey BIGINT, l_quantity DOUBLE, l_extendedprice DOUBLE) " +
       s"USING graft_kv OPTIONS (path '$tmp')")
-    Tables.lineitem(s, d).createOrReplaceTempView("line_zo_v")
+    // half-slice fixture (r18 floor-weight cut): the judged mechanism —
+    // 2-D Morton clustering making BOTH dimensions' file stats prune — is
+    // layout-shaped, not volume-bound; half the rows exercise the same
+    // quantile pass, fanout rewrite, and both pruning arms
+    Tables.lineitem(s, d).where(col("l_orderkey") % 2 === 0)
+      .createOrReplaceTempView("line_zo_v")
     s.sql("INSERT INTO graft.kvq.line_zo SELECT l_partkey, l_suppkey, " +
       "l_quantity, l_extendedprice FROM line_zo_v")
     s.sql("OPTIMIZE graft.kvq.line_zo ZORDER BY (l_partkey, l_suppkey) " +
@@ -1388,6 +1393,62 @@ object KeyRange {
         |FROM graft.kvq.line_zo
         |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin)
+  }
+
+  /** A9 judged: ALTER COLUMN … TYPE widening (the Iceberg type-promotion
+    * shape, INT -> BIGINT) — ONE metadata publish, zero data files moved.
+    * Old files decode under the file's committed images and surface as
+    * the wide type (the reader parses per the CURRENT schema); new writes
+    * land values past the int range. Required in-query: the widen moves
+    * no file, the manifest schema flips to BIGINT, and per-file min/max
+    * pruning stays EXACT across both layouts — a post-widen range probe
+    * plans exactly the wide files, a pre-widen-range probe exactly the
+    * old ones (at 100 TB this is the difference between a promotion being
+    * free and a table rewrite). The cross-layout aggregate hash-gates the
+    * data against the relational replay. */
+  def kvTypeWiden(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_widen"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.widen_t")
+    s.sql("CREATE TABLE graft.kvq.widen_t (k INT, v DOUBLE) " +
+      s"USING graft_kv OPTIONS (path '$tmp', epochs 'true')")
+    Tables.lineitem(s, d).createOrReplaceTempView("line_wd_v")
+    s.sql("INSERT INTO graft.kvq.widen_t SELECT CAST(l_orderkey AS INT), " +
+      "l_quantity FROM line_wd_v")
+    def mf() = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    val m0 = mf()
+    val oldFiles = m0.files.map(_._1).toSet
+    val oldMax = s.sql("SELECT max(l_orderkey) FROM line_wd_v").first()
+      .getLong(0)
+    s.sql("ALTER TABLE graft.kvq.widen_t ALTER COLUMN k TYPE BIGINT")
+    val m1 = mf()
+    require(m1.files.map(_._1).toSet == oldFiles,
+      "the widen must be metadata-only — a data file moved")
+    require(m1.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType, m1.schema.simpleString)
+    // values past the INT range land under the widened schema
+    s.sql("INSERT INTO graft.kvq.widen_t SELECT l_orderkey + 3000000000, " +
+      "l_quantity FROM line_wd_v")
+    val m2 = mf()
+    val wideFiles = m2.files.map(_._1).filterNot(oldFiles)
+    require(wideFiles.nonEmpty, "the wide write published no files")
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new graft.sources.GraftKvScan(tmp, None, fs).planInputPartitions().length
+    // pruning is EXACT across the layout epochs: min/max written under
+    // INT keep pruning after the promotion (same canonical images)
+    require(planned(org.apache.spark.sql.sources.GreaterThanOrEqual(
+        "k", 3000000000L)) == wideFiles.length,
+      "a wide-range probe must plan exactly the post-widen files")
+    require(planned(org.apache.spark.sql.sources.LessThanOrEqual(
+        "k", oldMax)) == oldFiles.size,
+      "a pre-widen-range probe must plan exactly the pre-widen files")
+    s.sql(
+      """SELECT CAST(k % 7 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM graft.kvq.widen_t GROUP BY CAST(k % 7 AS BIGINT)
+        |ORDER BY grp""".stripMargin)
   }
 
   /** A8 judged: SHALLOW CLONE — a ZERO-COPY branch of a kv table at an
@@ -2228,26 +2289,26 @@ object KeyRange {
     * cold-key join the analyst actually runs. */
   def kvCboHistogram(s: SparkSession, d: String): DataFrame = {
     val tmpA = s"$scratch/kv_cboh_a"
-    val tmpB = s"$scratch/kv_cboh_b"
     s.sql("DROP TABLE IF EXISTS graft.kvq.cboh_a")
-    s.sql("DROP TABLE IF EXISTS graft.kvq.cboh_b")
-    clearDir(tmpA); clearDir(tmpB)
+    clearDir(tmpA)
     s.sql("CREATE TABLE graft.kvq.cboh_a (ka BIGINT, ida BIGINT) " +
       s"USING graft_kv OPTIONS (path '$tmpA')")
-    s.sql("CREATE TABLE graft.kvq.cboh_b (kb BIGINT, idb BIGINT) " +
-      s"USING graft_kv OPTIONS (path '$tmpB')")
     Tables.lineitem(s, d).createOrReplaceTempView("li_cboh_v")
-    Tables.orders(s, d).createOrReplaceTempView("o_cboh_v")
-    // the skew: 3/4 of both sides pile onto key 1
+    // the skew: 3/4 of the keys pile onto key 1. ONE table self-joined
+    // (r18 floor-weight cut): the estimator contrast — per-bin hot-key
+    // multiplication vs the uniform ndv formula — is identical for a
+    // self-join, at half the ANALYZE cost and none of the second table's
+    // build; the l_linenumber = 1 slice keeps one row per order (the
+    // mechanism is skew SHAPE, not volume)
     s.sql("INSERT INTO graft.kvq.cboh_a SELECT CASE WHEN l_orderkey % 4 " +
       "<> 0 THEN CAST(1 AS BIGINT) ELSE l_orderkey END, " +
-      "l_orderkey * 10 + CAST(l_linenumber AS BIGINT) FROM li_cboh_v")
-    s.sql("INSERT INTO graft.kvq.cboh_b SELECT CASE WHEN o_orderkey % 4 " +
-      "<> 0 THEN CAST(1 AS BIGINT) ELSE o_orderkey END, o_orderkey " +
-      "FROM o_cboh_v")
-    def ab(): DataFrame = s.table("graft.kvq.cboh_a")
-      .join(s.table("graft.kvq.cboh_b"), col("ka") === col("kb"))
-      .select(col("ka"), col("ida"))
+      "l_orderkey * 10 + CAST(l_linenumber AS BIGINT) FROM li_cboh_v " +
+      "WHERE l_linenumber = 1")
+    def ab(): DataFrame = s.table("graft.kvq.cboh_a").alias("l")
+      .join(s.table("graft.kvq.cboh_a").alias("r"),
+        col("l.ka") === col("r.ka"))
+      .select(col("l.ka").as("ka"), col("l.ida").as("ida"),
+        col("r.ida").as("idb"))
     val prevCbo = s.conf.getOption("spark.sql.cbo.enabled")
     val prevThr = s.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     val prevHist = s.conf.getOption("spark.sql.statistics.histogram.enabled")
@@ -2260,14 +2321,12 @@ object KeyRange {
       s.conf.set("spark.sql.cbo.enabled", "true")
       // arm 1: manifest ndv/min/max only — the uniform formula undercounts
       s.conf.set("spark.sql.statistics.histogram.enabled", "false")
-      Seq("graft.kvq.cboh_a", "graft.kvq.cboh_b").foreach(t =>
-        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      s.sql("ANALYZE TABLE graft.kvq.cboh_a COMPUTE STATISTICS FOR COLUMNS")
       val estNdv = ab().queryExecution.optimizedPlan.stats.sizeInBytes
       // arm 2: histograms — the hot bins multiply out per bin
       s.conf.set("spark.sql.statistics.histogram.enabled", "true")
       s.conf.set("spark.sql.statistics.histogram.numBins", "16")
-      Seq("graft.kvq.cboh_a", "graft.kvq.cboh_b").foreach(t =>
-        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      s.sql("ANALYZE TABLE graft.kvq.cboh_a COMPUTE STATISTICS FOR COLUMNS")
       val estHist = ab().queryExecution.optimizedPlan.stats.sizeInBytes
       require(estHist > 4 * estNdv,
         s"histograms did not surface the skew: ndv-est $estNdv vs " +
@@ -2282,7 +2341,7 @@ object KeyRange {
         x.join(y, col("x.ida") === col("y.ida"))
       }
       // assert on the OUTER ida-keyed join's own node line (the inner
-      // ka=kb joins can be sort-merge in both arms regardless) — the
+      // ka=ka joins can be sort-merge in both arms regardless) — the
       // join-node line carries its keys, so "ida" pins the right one
       def idaJoin(plan: String, node: String): Boolean =
         plan.linesIterator.exists(l => l.contains(node) && l.contains("ida"))
@@ -2293,16 +2352,14 @@ object KeyRange {
           "shuffle on the ida join:\n" + planHist)
       // drop the histograms: the same query now broadcasts the join
       s.conf.set("spark.sql.statistics.histogram.enabled", "false")
-      Seq("graft.kvq.cboh_a", "graft.kvq.cboh_b").foreach(t =>
-        s.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS"))
+      s.sql("ANALYZE TABLE graft.kvq.cboh_a COMPUTE STATISTICS FOR COLUMNS")
       val planNdv = q().queryExecution.executedPlan.toString
       require(idaJoin(planNdv, "BroadcastHashJoin"),
         s"ndv-only estimate ($estNdv, thr $thr) must broadcast the ida " +
           "join:\n" + planNdv)
       // the oracle-gated result: the COLD-key join (the hot join above
       // is asserted at the plan level only — that is the point of skew)
-      s.table("graft.kvq.cboh_a")
-        .join(s.table("graft.kvq.cboh_b"), col("ka") === col("kb"))
+      ab()
         .where(col("ka") =!= 1L)
         .groupBy((col("ka") % 5L).as("grp"))
         .agg(count(lit(1)).as("cnt"),
@@ -3074,6 +3131,7 @@ object KeyRange {
     "kv_disjoint_commit" -> (kvDisjointCommit _),
     "kv_optimize_where" -> (kvOptimizeWhere _),
     "kv_cbo_histogram" -> (kvCboHistogram _),
+    "kv_type_widen" -> (kvTypeWiden _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
@@ -3177,7 +3235,8 @@ object KeyRange {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
         |FROM lineitem
-        |WHERE l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
+        |WHERE l_orderkey % 2 = 0
+        |  AND l_partkey BETWEEN 20 AND 120 AND l_suppkey BETWEEN 1 AND 6
         |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
     // both delete arms replayed relationally (P partition dropped whole,
     // then the key-suffix rows removed row-level)
@@ -3187,18 +3246,28 @@ object KeyRange {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
         |FROM orders WHERE o_orderstatus <> 'P' AND o_orderkey % 10 <> 3
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    // both layout epochs replayed relationally: pre-widen ints union
+    // post-widen longs, aggregated under the wide type
+    "kv_type_widen" ->
+      """WITH u AS (SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |    l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT l_orderkey + 3000000000, l_quantity
+        |  FROM lineitem)
+        |SELECT CAST(k % 7 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS qty
+        |FROM u GROUP BY CAST(k % 7 AS BIGINT) ORDER BY grp""".stripMargin,
     // the cold-key join replayed relationally (the hot arm is asserted
     // at the plan level inside the query — that is the point of skew)
     "kv_cbo_histogram" ->
       """WITH a AS (SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 1
         |    ELSE l_orderkey END AS ka,
-        |    l_orderkey * 10 + l_linenumber AS ida FROM lineitem),
-        |  b AS (SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 1
-        |    ELSE o_orderkey END AS kb, o_orderkey AS idb FROM orders)
-        |SELECT CAST(ka % 5 AS BIGINT) AS grp, count(*) AS cnt,
-        |  CAST(sum(ida) AS BIGINT) AS sa, CAST(sum(idb) AS BIGINT) AS sb
-        |FROM a JOIN b ON ka = kb WHERE ka <> 1
-        |GROUP BY CAST(ka % 5 AS BIGINT) ORDER BY grp""".stripMargin,
+        |    l_orderkey * 10 + l_linenumber AS ida FROM lineitem
+        |    WHERE l_linenumber = 1)
+        |SELECT CAST(l.ka % 5 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(l.ida) AS BIGINT) AS sa, CAST(sum(r.ida) AS BIGINT) AS sb
+        |FROM a l JOIN a r ON l.ka = r.ka WHERE l.ka <> 1
+        |GROUP BY CAST(l.ka % 5 AS BIGINT) ORDER BY grp""".stripMargin,
     // the unfiltered per-day aggregate replays relationally, hash-gating
     // bit-identical reads across the scoped fold
     "kv_optimize_where" ->

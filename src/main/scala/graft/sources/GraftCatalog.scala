@@ -728,6 +728,42 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             else StructType(
               cur.fields.filterNot(_.name.equalsIgnoreCase(name)))
         }
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "graft_kv: only top-level columns can change type")
+        val name = ut.fieldNames()(0)
+        val fi = cur.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(fi >= 0, s"graft_kv: no column '$name' to widen " +
+          s"(${cur.fieldNames.mkString(", ")})")
+        // a generated column bound to an expression over the widened
+        // source would silently change its own result type on the next
+        // write — refuse both directions (the widened column carrying a
+        // generation expression, and any generated column deriving from
+        // it); widen after dropping the generation, like Iceberg's
+        // identifier-field rule
+        cur.fields.foreach { f =>
+          if (f.metadata.contains("GENERATION_EXPRESSION")) {
+            require(!f.name.equalsIgnoreCase(name),
+              s"graft_kv: cannot widen '$name' — it is GENERATED ALWAYS " +
+                "AS and its expression's type would no longer match")
+            require(!sqlRefs(f.metadata.getString("GENERATION_EXPRESSION"))
+                .contains(name.toLowerCase),
+              s"graft_kv: cannot widen '$name' — generated column " +
+                s"'${f.name}' derives from it")
+          }
+        }
+        cur =
+          if (hasManifest)
+            GraftKvSink.widenColumn(path, name, ut.newDataType())
+          else {
+            require(GraftKvSink.widens(cur(fi).dataType, ut.newDataType()),
+              s"graft_kv: cannot ALTER COLUMN '$name' TYPE " +
+                s"${ut.newDataType().simpleString} from " +
+                s"${cur(fi).dataType.simpleString} — only widening " +
+                "promotions (INT -> BIGINT) are supported")
+            StructType(cur.fields.zipWithIndex.map { case (f, i) =>
+              if (i == fi) f.copy(dataType = ut.newDataType()) else f })
+          }
       case nn: TableChange.UpdateColumnNullability =>
         require(nn.fieldNames().length == 1,
           "graft_kv: only top-level columns change nullability")
@@ -773,13 +809,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // statement (which is all SQL can send anyway).
     val (mapChanges, colChanges) = colChanges0.partition {
       case _: TableChange.RenameColumn | _: TableChange.DeleteColumn |
-           _: TableChange.UpdateColumnNullability => true
+           _: TableChange.UpdateColumnNullability |
+           _: TableChange.UpdateColumnType => true
       case _ => false
     }
     if (mapChanges.nonEmpty) {
       require(colChanges.isEmpty && propChanges.isEmpty,
-        "graft_kv: RENAME/DROP COLUMN and SET/DROP NOT NULL cannot mix " +
-          "with other ALTER shapes in one statement")
+        "graft_kv: RENAME/DROP COLUMN, SET/DROP NOT NULL and ALTER COLUMN " +
+          "TYPE cannot mix with other ALTER shapes in one statement")
       return alterColumnMapping(ident, d, mapChanges)
     }
     val optsNext = propChanges.foldLeft(d.options) { (opts, ch) =>

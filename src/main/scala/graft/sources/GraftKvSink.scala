@@ -1167,6 +1167,61 @@ object GraftKvSink {
       (if (reclaimHistory) reclaimable.count(r => !isForeign(r.name)) else 0)
   }
 
+  /** REMOVE ORPHAN FILES (the Iceberg `remove_orphan_files` shape): delete
+    * data/delta/attempt files that NO reachable manifest references —
+    * crash leftovers from a failed move-then-publish — across the table
+    * directory AND every live branch's subdirectory (vacuum's stray sweep
+    * is per-directory; this is the whole-table janitor). The referenced
+    * set is the union over ALL reachable manifests — the table's own and
+    * each live branch head's — of live files, MOR deltas, and retained
+    * (CoW-superseded) history, with ABSOLUTE fork/clone references
+    * resolved to their target paths, so a parent file held only by a
+    * branch fork is never an orphan. Only files strictly older than the
+    * horizon qualify (mtime is the liveness proxy for in-flight writers —
+    * the Iceberg default is 3 days for exactly this race); the manifest,
+    * lock, and sidecar files are never candidates (suffix-scoped scan).
+    * `dryRun` lists instead of deleting. Returns (path, action) rows. */
+  def removeOrphans(dir: String, horizonMs: Long,
+      dryRun: Boolean): Seq[(String, String)] = withCommitLock(dir) {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    require(horizonMs >= 0L, s"graft_kv: horizon must be >= 0, got $horizonMs")
+    val m0 = readManifest(mfp)
+    // every reachable manifest: the table's own + each LIVE branch head's
+    // (dropped branches removed their directories with them)
+    val scopes: Seq[(String, Manifest)] = (dir -> m0) +:
+      m0.refs.toSeq.collect { case (n, (_, "branch")) =>
+        val bd = branchDirOf(dir, n)
+        val bmp = manifestPath(bd)
+        if (Files.exists(bmp)) Some(bd -> readManifest(bmp)) else None
+      }.flatten
+    // referenced = every name any reachable manifest can still serve,
+    // resolved to an absolute path (fork/clone references are absolute
+    // and may point into ANOTHER scope's directory — resolving them is
+    // what makes "referenced only by a branch" safe)
+    val referenced: Set[Path] = scopes.flatMap { case (sd, m) =>
+      (m.files.map(_._1) ++ m.deltas.map(_.name) ++ m.removed.map(_.name))
+        .map(n => dataPath(sd, n).toAbsolutePath.normalize)
+    }.toSet
+    val cutoff = System.currentTimeMillis() - horizonMs
+    val acted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    scopes.foreach { case (sd, _) =>
+      val s = Files.list(Paths.get(sd))
+      try s.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        val candidate = n.endsWith(".kv") || n.endsWith(".kvd") ||
+          n.endsWith(".tmp")
+        if (candidate &&
+            !referenced.contains(p.toAbsolutePath.normalize) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff) {
+          if (!dryRun) Files.deleteIfExists(p)
+          acted += p.toString -> (if (dryRun) "orphan" else "deleted")
+        }
+      } finally s.close()
+    }
+    acted.toSeq
+  }
+
   /** CREATE TAG (Iceberg's named-ref shape): pin `epoch`'s boundary state
     * under `name` — VERSION AS OF '<name>' resolves through the manifest's
     * refs map, compaction clamps at the oldest tag, and vacuum keeps the
@@ -1601,6 +1656,19 @@ object GraftKvSink {
     }.reduce(_ bitwiseOR _)
     val n = if (buckets > 0) buckets else math.max(1, scoped.length)
     val scratch = Files.createTempDirectory("graft_zorder").toString
+    // COLUMN MAPPING: the final publish keeps m0.schema's pids and
+    // droppedPids, so the scratch files MUST come out in the table's
+    // physical layout (holes at retired positions, columns at their
+    // pids) — an identity-layout scratch write would make every
+    // pid-resolved read of the rewritten files land out of range and
+    // silently return NULL. Seeding the scratch manifest with the
+    // table's schema + retired positions makes the writer's
+    // writeLayout produce exactly the parent layout.
+    val mappingActive = m0.droppedPids.nonEmpty ||
+      m0.schema.fields.zipWithIndex.exists { case (f, i) => pidOf(f, i) != i }
+    if (mappingActive)
+      writeManifest(scratch, m0.schema, Nil, droppedPids = m0.droppedPids,
+        priorHint = None)
     try {
       val w = df.withColumn("__graft_z", z)
         .repartitionByRange(n, col("__graft_z"))
@@ -1636,11 +1704,20 @@ object GraftKvSink {
         // Scoped: out-of-scope files carry over untouched, stats intact.
         val scopedNames = scoped.map(_._1).toSet
         val keepF = m.files.filterNot(f => scopedNames.contains(f._1))
+        // the time-travel/stream fence advances only as far as the files
+        // actually rewritten: unscoped = the new epoch (every visible file
+        // moved); scoped = the max epoch among the SCOPED files, mirroring
+        // compact's scoped newUpTo rule — out-of-scope partitions are
+        // byte-identical, so fencing the whole table would needlessly kill
+        // table-wide time travel after re-clustering one partition
+        val fence =
+          if (where.isEmpty) newEpoch
+          else math.max(scoped.map(f => epochOf(f._1)).max, m.rewrittenUpTo)
         writeManifest(dir, m.schema, keepF ++ tm.files, m.compactedUpTo,
           m.stats ++ tm.stats, m.blooms ++ tm.blooms, Nil,
           m.removed ++ scoped.map { case (nm, r) =>
             RemovedFile(nm, r, newEpoch) },
-          rewrittenUpTo = newEpoch, priorHint = Some(m))
+          rewrittenUpTo = fence, priorHint = Some(m))
       }
     } finally {
       // ALWAYS reclaim the scratch copy — a refused commit (concurrent
@@ -2081,6 +2158,54 @@ object GraftKvSink {
         priorHint = Some(m))
       next
     }
+
+  /** The type-promotion matrix (the Iceberg `ALTER COLUMN … TYPE` shape,
+    * widen-only): INT -> BIGINT. Everything else refuses — committed wide
+    * values would overflow a narrowing parse, and lossy promotions
+    * (BIGINT -> DOUBLE) would silently change committed values. */
+  private[graft] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (IntegerType, LongType) => true
+      case _                       => false
+    }
+
+  /** ALTER COLUMN … TYPE as ONE metadata publish — type promotion.
+    * Data files are TEXT (TSV): every committed INT image parses as
+    * BIGINT verbatim, so no file is touched and NOTHING name-keyed needs
+    * re-canonicalizing — the canonical string image of an int IS its
+    * image as a long, the stats ordering (`le`) compares both via
+    * toLong, blooms hash putLong(v.toLong) identically for either type,
+    * and every partition transform (identity/bucket/truncate/temporal)
+    * operates on the canonical string image, so even a BUCKET-sourced
+    * widen keeps recorded tuples and pruning exact — the reason Iceberg
+    * must refuse bucket sources (type-specific hash functions) does not
+    * structurally arise in this format. The histogram sidecar drops (a
+    * CBO estimate with its own staleness rule; absent = report nothing).
+    * Old files decode under the CURRENT schema type — the reader parses
+    * per projected type, so pre-widen rows surface as the wide type with
+    * their exact committed values. Returns the new authoritative
+    * schema. */
+  private[sources] def widenColumn(dir: String, name: String,
+      to: DataType): StructType = withCommitLock(dir) {
+    val mfp = manifestPath(dir)
+    require(Files.exists(mfp), s"graft_kv: no manifest at $dir")
+    val m = readManifest(mfp)
+    val fi = m.schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+    require(fi >= 0, s"graft_kv: no column '$name' to widen " +
+      s"(${m.schema.fieldNames.mkString(", ")})")
+    val from = m.schema(fi).dataType
+    require(widens(from, to),
+      s"graft_kv: cannot ALTER COLUMN '$name' TYPE ${to.simpleString} " +
+        s"from ${from.simpleString} — only widening promotions " +
+        "(INT -> BIGINT) are supported; narrowing would overflow " +
+        "committed values")
+    val next = StructType(m.schema.fields.zipWithIndex.map { case (f, i) =>
+      if (i == fi) f.copy(dataType = to) else f })
+    Files.deleteIfExists(colHistPath(dir))
+    writeManifest(dir, next, m.files, m.compactedUpTo, m.stats, m.blooms,
+      m.deltas, m.removed, m.rewrittenUpTo, priorHint = Some(m))
+    next
+  }
 
   private[graft] def evolveSchema(dir: String, next: StructType): Unit = withCommitLock(dir) {
     val mf = manifestPath(dir)
@@ -3703,6 +3828,10 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
     def maxPublished: Long = (prior.map(f => GraftKvSink.epochOf(f._1)) ++
       priorDeltas.map(d => GraftKvSink.epochOf(d.name)) ++
       priorRemoved.map(r => GraftKvSink.epochOf(r.name)) ++
+      // a metadata-DELETE's commit epoch exists only as removedAt (no
+      // file carries its number) — a rebase landing ON it would share
+      // the slot and mix changefeed/AS OF attribution
+      priorRemoved.map(_.removedAt) ++
       Seq(priorUpTo, priorRw)).maxOption.getOrElse(-1L)
     var base: Long =
       if (queryId.isEmpty) 0L
@@ -3713,8 +3842,19 @@ final class GraftKvStreamingWrite(dir: String, schema: StructType,
         // already-committed rows under a fresh name — duplicates
         if (priorTxn.get(epochId).contains(queryId)) 0L
         else math.max(0L, maxPublished + 1L - epochId))
-    def occupied(e: Long): Boolean =
-      prior.exists(f => GraftKvSink.baseName(f._1).startsWith(s"epoch-$e-"))
+    // a slot is occupied by ANY commit kind at that epoch: a live base
+    // file, a MOR delta (.kvd), a retained/removed file stamped with the
+    // epoch, or a metadata-DELETE whose only trace is removedAt — missing
+    // any of these would let the stream publish base files under a
+    // foreign commit's epoch number (two commits sharing one epoch mixes
+    // changefeed attribution and VERSION AS OF boundaries)
+    def occupied(e: Long): Boolean = {
+      val pfx = s"epoch-$e-"
+      prior.exists(f => GraftKvSink.baseName(f._1).startsWith(pfx)) ||
+      priorDeltas.exists(d => GraftKvSink.baseName(d.name).startsWith(pfx)) ||
+      priorRemoved.exists(r =>
+        GraftKvSink.baseName(r.name).startsWith(pfx) || r.removedAt == e)
+    }
     // a FOREIGN occupant at our next slot (a batch write stamped an
     // epoch inside the stream's range, or another stream shares the
     // directory): REBASE forward rather than losing the batch or dying.

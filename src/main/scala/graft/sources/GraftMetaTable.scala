@@ -95,7 +95,17 @@ object GraftMetaTable {
     def statRow(name: String, kind: String, rows: Long, dels: Long)
         : InternalRow = {
       val st = m.stats.getOrElse(name, Map.empty)
-      val plain = st.filterNot(_._1.startsWith(GraftPartition.PartKey))
+      // only true per-column min/max entries belong in the maps: tuple
+      // keys (part:) render in the partition column, and sketch entries
+      // (hll:/cnt:/len:) are aggregate payloads, not value bounds — leaking
+      // them would surface pseudo-columns with sketch blobs in the
+      // readable-metrics maps
+      val plain = st.filterNot { case (k, _) =>
+        k.startsWith(GraftPartition.PartKey) ||
+          k.startsWith(GraftKvSink.HllKey) ||
+          k.startsWith(GraftKvSink.CntKey) ||
+          k.startsWith(GraftKvSink.LenKey)
+      }
       new GenericInternalRow(Array[Any](
         utf(name), utf(kind), GraftKvSink.epochOf(name), rows, dels,
         utf(labelOf(st)),

@@ -2752,6 +2752,16 @@ class DsV2Spec extends SparkSpec {
     // the rewrite is a retained-history CoW: old a-files reconstruct
     // pre-rewrite states, and the data reads bit-identically
     assert(m1.rewrittenUpTo > m0.rewrittenUpTo)
+    // the scoped fence advances only to the max epoch among the SCOPED
+    // files (compact's scoped rule) — out-of-scope partitions are
+    // untouched, so table-wide time travel at pre-rewrite epochs
+    // survives a one-partition re-cluster
+    assert(m1.rewrittenUpTo ==
+      grpFiles(m0, "a").map(GraftKvSink.epochOf).max, m1.rewrittenUpTo)
+    val asOf3 = spark.read.format("graft.sources.GraftKvSink")
+      .option("path", dir).option("asOfEpoch", "3").load()
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(asOf3 == before, "pre-rewrite epoch no longer time-travels")
     assert(m1.removed.map(_.name).toSet == grpFiles(m0, "a").toSet)
     assert(spark.table("graft.optwz.t").orderBy("id").collect()
       .map(_.getLong(0)).toSeq == before)
@@ -2783,6 +2793,11 @@ class DsV2Spec extends SparkSpec {
     val idMins = files.map(r =>
       r.getMap[String, String](6).toMap.get("id")).toSeq
     assert(idMins.forall(_.isDefined), idMins)
+    // ... and ONLY value-bound entries: sketch payloads (hll:/cnt:/len:)
+    // must not leak into the maps as pseudo-columns
+    val mapKeys = files.flatMap(r =>
+      r.getMap[String, String](6).keys ++ r.getMap[String, String](7).keys)
+    assert(mapKeys.forall(k => !k.contains(":")), mapKeys.distinct.toSeq)
     // partitions == SHOW PARTITIONS
     val viaSql = graft.ops.Ddl.execute(spark,
       "SHOW PARTITIONS graft.metat.t").collect()
@@ -2942,6 +2957,180 @@ class DsV2Spec extends SparkSpec {
     }
     assert(eRef.getMessage.toLowerCase.contains("check"), eRef.getMessage)
     spark.sql("DROP TABLE graft.cmap.t")
+  }
+
+  test("OPTIMIZE ZORDER preserves VALUES on a column-mapped table") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_zcm").toString
+    spark.sql("DROP TABLE IF EXISTS graft.zcm.t")
+    spark.sql("CREATE TABLE graft.zcm.t (id BIGINT, v DOUBLE, note STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.zcm.t SELECT id, CAST(id AS DOUBLE), " +
+      "concat('n', id) FROM range(20)")
+    // activate column mapping: drop 'v' (pid 1 retires), so 'note' keeps
+    // pid 2 while its schema index becomes 1 — the rewrite MUST write the
+    // physical layout, or every pid-resolved read of the new files lands
+    // out of range and silently nulls 'note'
+    spark.sql("ALTER TABLE graft.zcm.t DROP COLUMN v")
+    spark.sql("INSERT INTO graft.zcm.t SELECT id + 100, concat('m', id) " +
+      "FROM range(10)")
+    spark.sql("ALTER TABLE graft.zcm.t ADD COLUMN w BIGINT")
+    spark.sql("INSERT INTO graft.zcm.t VALUES (200L, 'x', 7L)")
+    val before = spark.table("graft.zcm.t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    spark.sql("OPTIMIZE graft.zcm.t ZORDER BY (id) INTO 2 FILES")
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m.droppedPids == Seq(1), m.droppedPids)
+    // VALUES (not just counts) survive the rewrite on every live column
+    val after = spark.table("graft.zcm.t").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(after == before, s"values changed:\n$after\nvs\n$before")
+    assert(after.count(_._2 != null) == 31 &&
+      after.exists(t => t._1 == 200L && t._2 == "x" && t._3 == 7L), after)
+    // the dropped column's committed values never resurface post-rewrite
+    spark.sql("ALTER TABLE graft.zcm.t ADD COLUMN z DOUBLE")
+    assert(spark.table("graft.zcm.t").where("z IS NOT NULL").count() == 0)
+    spark.sql("DROP TABLE graft.zcm.t")
+  }
+
+  test("VACUUM REMOVE ORPHAN FILES reclaims crash leftovers, never referenced or fresh files") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_orph").toString
+    spark.sql("DROP TABLE IF EXISTS graft.orph.t")
+    spark.sql("CREATE TABLE graft.orph.t (id BIGINT) USING graft_kv " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.orph.t SELECT id FROM range(10)")
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.orph.t CREATE BRANCH dev")
+    spark.sql("INSERT INTO graft.orph.t.branch_dev SELECT id + 100 FROM range(3)")
+    val bdir = GraftKvSink.branchDirOf(dir, "dev")
+    // plant: aged orphans in BOTH directories (a crash between file move
+    // and manifest publish), plus a FRESH orphan that must survive the
+    // horizon (it could be a concurrent writer's just-moved commit)
+    def plant(d: String, n: String, aged: Boolean): java.nio.file.Path = {
+      val p = java.nio.file.Paths.get(d, n)
+      java.nio.file.Files.writeString(p, "9\n")
+      if (aged) java.nio.file.Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600 * 1000L))
+      p
+    }
+    val o1 = plant(dir, "epoch-9-orphan.kv", aged = true)
+    val o2 = plant(bdir, "epoch-9-orphan.kv", aged = true)
+    val o3 = plant(dir, "part-fresh-orphan.kv", aged = false)
+    val before = spark.table("graft.orph.t").orderBy("id").collect().toSeq
+    val beforeB = spark.table("graft.orph.t.branch_dev")
+      .orderBy("id").collect().toSeq
+    // DRY RUN lists exactly the two aged orphans, deletes nothing
+    val dry = graft.ops.Ddl.execute(spark,
+      "VACUUM graft.orph.t REMOVE ORPHAN FILES DRY RUN").collect()
+    assert(dry.map(_.getString(0)).toSet ==
+      Set(o1.toString, o2.toString), dry.mkString("\n"))
+    assert(java.nio.file.Files.exists(o1) && java.nio.file.Files.exists(o2))
+    // the real pass deletes the aged orphans only
+    val acted = graft.ops.Ddl.execute(spark,
+      "VACUUM graft.orph.t REMOVE ORPHAN FILES").collect()
+    assert(acted.length == 2, acted.mkString("\n"))
+    assert(!java.nio.file.Files.exists(o1) && !java.nio.file.Files.exists(o2))
+    assert(java.nio.file.Files.exists(o3), "fresh orphan must survive")
+    // reads are bit-identical after cleanup, parent and branch alike
+    assert(spark.table("graft.orph.t").orderBy("id").collect().toSeq == before)
+    assert(spark.table("graft.orph.t.branch_dev").orderBy("id")
+      .collect().toSeq == beforeB)
+    // a zero-horizon pass may now also reclaim the fresh orphan — but
+    // never a referenced file (every read above still answers)
+    val acted2 = graft.ops.Ddl.execute(spark,
+      "VACUUM graft.orph.t REMOVE ORPHAN FILES OLDER THAN 0 MINUTES").collect()
+    assert(acted2.map(_.getString(0)).toSet.contains(o3.toString))
+    assert(spark.table("graft.orph.t").orderBy("id").collect().toSeq == before)
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.orph.t DROP BRANCH dev")
+    spark.sql("DROP TABLE graft.orph.t")
+  }
+
+  test("ALTER COLUMN TYPE widens INT to BIGINT; refusal arms hold") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_widen").toString
+    spark.sql("DROP TABLE IF EXISTS graft.wd.t")
+    // bucket-partitioned ON the widened column: our bucket hashes the
+    // canonical string image (type-independent), so the promotion keeps
+    // every recorded tuple AND bucket pruning exact — pinned below
+    spark.sql("CREATE TABLE graft.wd.t (k INT, v BIGINT) USING graft_kv " +
+      s"PARTITIONED BY (bucket(4, k)) OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.wd.t SELECT CAST(id AS INT), id * 10 " +
+      "FROM range(100)")
+    val m0 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val probe0 = spark.table("graft.wd.t").where("k = 7")
+      .collect().map(_.getLong(1)).toSeq
+    spark.sql("ALTER TABLE graft.wd.t ALTER COLUMN k TYPE BIGINT")
+    val m1 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m1.files == m0.files, "widen must not touch data files")
+    assert(m1.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    // old rows decode as the wide type with exact values; bucket tuples
+    // still classify and prune (same canonical images)
+    assert(spark.table("graft.wd.t").where("k = 7")
+      .collect().map(_.getLong(1)).toSeq == probe0)
+    assert(spark.table("graft.wd.t").schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    spark.sql("INSERT INTO graft.wd.t VALUES (4000000007, 77)")
+    assert(spark.table("graft.wd.t").where("k = 4000000007")
+      .count() == 1)
+    assert(spark.table("graft.wd.t").agg(
+      org.apache.spark.sql.functions.sum("k")).head.getLong(0) ==
+      (0 until 100).map(_.toLong).sum + 4000000007L)
+    // refusal arms: narrowing, lossy, unknown column, and a same-type
+    // no-op are all refused (only INT -> BIGINT widens)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.wd.t ALTER COLUMN k TYPE INT") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.wd.t ALTER COLUMN v TYPE DOUBLE") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.wd.t ALTER COLUMN nope TYPE BIGINT") }
+    // generated-column guard: widening a generation SOURCE refuses
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_wgen").toString
+    spark.sql("DROP TABLE IF EXISTS graft.wd.g")
+    spark.sql("CREATE TABLE graft.wd.g (a INT, b INT GENERATED ALWAYS AS " +
+      s"(a + 1)) USING graft_kv OPTIONS (path '$dir2', epochs 'true')")
+    spark.sql("INSERT INTO graft.wd.g VALUES (1, 2)")
+    val eGen = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.wd.g ALTER COLUMN a TYPE BIGINT") }
+    assert(eGen.getMessage.toLowerCase.contains("generated"), eGen.getMessage)
+    spark.sql("DROP TABLE graft.wd.g")
+    spark.sql("DROP TABLE graft.wd.t")
+  }
+
+  test("schema/layout-mutating ALTERs refuse on branch addresses") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_bam").toString
+    spark.sql("DROP TABLE IF EXISTS graft.bam.t")
+    // 2-dot identifier (bam.t → branch address bam.t.branch_dev) — the
+    // shape that matches the mutating-ALTER regexes unprefixed
+    spark.sql("CREATE TABLE graft.bam.t (id BIGINT, grp STRING) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true')")
+    spark.sql("INSERT INTO graft.bam.t SELECT id, 'a' FROM range(5)")
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.bam.t CREATE BRANCH dev")
+    // both mutating forms refuse on the branch address: persisting the
+    // branch-resolved def would silently repoint the PARENT's catalog
+    // entry at the branch head dir
+    val e1 = intercept[Exception] { graft.ops.Ddl.execute(spark,
+      "ALTER TABLE bam.t.branch_dev SET PARTITIONED BY (grp)") }
+    assert(e1.getMessage.contains("branch"), e1.getMessage)
+    val e2 = intercept[Exception] { graft.ops.Ddl.execute(spark,
+      "ALTER TABLE bam.t.branch_dev ALTER COLUMN id SET NOT NULL") }
+    assert(e2.getMessage.contains("branch"), e2.getMessage)
+    // the parent's catalog entry is unharmed: reads and writes still
+    // target the parent directory, not the branch head
+    spark.sql("INSERT INTO graft.bam.t SELECT id + 10, 'b' FROM range(3)")
+    assert(spark.table("graft.bam.t").count() == 8)
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m.files.map(_._2).sum == 8,
+      s"parent manifest holds ${m.files.map(_._2).sum} rows — a write " +
+        "leaked to the branch head")
+    // the same statements on the PARENT still work
+    graft.ops.Ddl.execute(spark,
+      "ALTER TABLE graft.bam.t ALTER COLUMN id SET NOT NULL")
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.bam.t DROP BRANCH dev")
+    spark.sql("DROP TABLE graft.bam.t")
   }
 
   test("index rewrite stands down after RENAME COLUMN") {

@@ -856,7 +856,7 @@ class OpsSpec extends SparkSpec {
     val edges = e0 ++ e0.map(_.swap)
     val deg = edges.groupBy(_._1).map { case (s, es) => (s, es.length.toLong) }
     var pr = deg.keys.map(n => (n, 1000000L)).toMap
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to 2) {
       val in = edges.groupBy(_._2).map { case (dst, es) =>
         (dst, es.map { case (src, _) => pr(src) / deg(src) }.sum)
       }

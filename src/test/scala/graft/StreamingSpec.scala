@@ -1148,4 +1148,89 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("graft.sbase.t").count() == 17)
     spark.sql("DROP TABLE graft.sbase.t")
   }
+
+  test("mid-stream rebase detects MOR-delta and metadata-DELETE occupants") {
+    import graft.sources.GraftKvSink
+    // arm 1: a foreign MOR delta (.kvd) at the stream's next slot — no
+    // base file carries that epoch, so a files-only occupancy probe would
+    // let the stream publish base files under the SAME epoch number,
+    // mixing changefeed attribution and VERSION AS OF boundaries
+    val root = java.nio.file.Files.createTempDirectory("graft_sdr")
+    val feed = root.resolve("feed").toString
+    val dir = root.resolve("out").toString
+    spark.sql("DROP TABLE IF EXISTS graft.sdr.t")
+    spark.sql("CREATE TABLE graft.sdr.t (id BIGINT) USING graft_kv " +
+      s"OPTIONS (path '$dir', epochs 'true', mor 'true')")
+    spark.sql("INSERT INTO graft.sdr.t SELECT id FROM range(5)")
+    spark.range(3).selectExpr("id + 100 AS id")
+      .write.format("graft.sources.GraftKvSink").option("path", feed)
+      .option("epoch", "0").mode("append").save()
+    val ck = root.resolve("c").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftKvSink")
+        .option("path", feed).load()
+        .writeStream.option("checkpointLocation", ck)
+        .toTable("graft.sdr.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // stream publishes epoch 1 (base past batch epoch 0)
+    // the MOR delete lands a .kvd delta at the stream's next slot (2)
+    spark.sql("DELETE FROM graft.sdr.t WHERE id = 1")
+    val mDel = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(mDel.deltas.nonEmpty &&
+      mDel.deltas.forall(d => GraftKvSink.epochOf(d.name) == 2L),
+      mDel.deltas.map(_.name))
+    spark.range(2).selectExpr("id + 200 AS id")
+      .write.format("graft.sources.GraftKvSink").option("path", feed)
+      .option("epoch", "1").mode("append").save()
+    run() // engine epoch 1 → slot 2 occupied by the delta → rebases to 3
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val baseEpochs = m.files.map(f => GraftKvSink.epochOf(f._1))
+    assert(!baseEpochs.contains(2L),
+      s"stream shared the delta's epoch 2: ${m.files.map(_._1)}")
+    assert(baseEpochs.contains(3L), m.files.map(_._1))
+    assert(spark.table("graft.sdr.t").count() == 5 - 1 + 3 + 2)
+    spark.sql("DROP TABLE graft.sdr.t")
+
+    // arm 2: a metadata DELETE's commit epoch exists ONLY as removedAt —
+    // the stream must rebase past it (not die on the rewrite fence, and
+    // never share the slot)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_sdr2")
+    val feed2 = root2.resolve("feed").toString
+    val dir2 = root2.resolve("out").toString
+    spark.sql("DROP TABLE IF EXISTS graft.sdr2.t")
+    spark.sql("CREATE TABLE graft.sdr2.t (id BIGINT, grp STRING) " +
+      "USING graft_kv PARTITIONED BY (grp) " +
+      s"OPTIONS (path '$dir2', epochs 'true')")
+    spark.sql("INSERT INTO graft.sdr2.t SELECT id, 'a' FROM range(4)")
+    spark.sql("INSERT INTO graft.sdr2.t SELECT id + 10, 'b' FROM range(4)")
+    spark.range(2).selectExpr("id + 100 AS id", "'c' AS grp")
+      .write.format("graft.sources.GraftKvSink").option("path", feed2)
+      .option("epoch", "0").mode("append").save()
+    val ck2 = root2.resolve("c").toString
+    def run2(): Unit = {
+      val q = spark.readStream.format("graft.sources.GraftKvSink")
+        .option("path", feed2).load()
+        .writeStream.option("checkpointLocation", ck2)
+        .toTable("graft.sdr2.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    run2() // publishes epoch 2
+    // partition-aligned metadata DELETE: removal epoch 3, no file named 3
+    spark.sql("DELETE FROM graft.sdr2.t WHERE grp = 'b'")
+    val mMd = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir2))
+    assert(mMd.removed.nonEmpty && mMd.removed.forall(_.removedAt == 3L),
+      mMd.removed)
+    spark.range(2).selectExpr("id + 200 AS id", "'c' AS grp")
+      .write.format("graft.sources.GraftKvSink").option("path", feed2)
+      .option("epoch", "1").mode("append").save()
+    run2() // slot 3 occupied by removedAt → rebases to 4
+    val m2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir2))
+    val be2 = m2.files.map(f => GraftKvSink.epochOf(f._1))
+    assert(!be2.contains(3L),
+      s"stream shared the removal epoch 3: ${m2.files.map(_._1)}")
+    assert(be2.contains(4L), m2.files.map(_._1))
+    assert(spark.table("graft.sdr2.t").count() == 4 + 2 + 2) // a + 2 streams
+    spark.sql("DROP TABLE graft.sdr2.t")
+  }
 }
