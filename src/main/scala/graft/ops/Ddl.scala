@@ -800,6 +800,13 @@ object Ddl {
   private val FastForwardRe =
     ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+FAST\s+FORWARD\s+""" +
       """(?:TO\s+)?'?(\w+)'?\s*""").r
+  // ALTER TABLE t CHERRY-PICK EPOCH n FROM BRANCH b: promote ONE audited
+  // append epoch from a staging branch onto the parent as a fresh epoch
+  // (the Iceberg cherrypick_snapshot shape) — unlike FAST FORWARD, legal
+  // after the parent advanced past the fork
+  private val CherryPickRe =
+    ("""(?is)\s*ALTER\s+TABLE\s+((?:\w+\.){0,2}\w+)\s+CHERRY[-_ ]PICK\s+""" +
+      """EPOCH\s+(\d+)\s+FROM\s+BRANCH\s+'?(\w+)'?\s*""").r
   // PARTITION EVOLUTION (the Iceberg spec-evolution shape): replace the
   // declared transforms outright — committed files keep pruning on the
   // transforms THEY recorded, new writes split under the new spec.
@@ -1714,6 +1721,7 @@ object Ddl {
     case CreateBranchRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case DropBranchRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case FastForwardRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
+    case CherryPickRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case AlterSetPartRe(n, _) if kvTableFor(n).isDefined => Some(statusCols)
     case AlterNotNullRe(n, _, _) if kvTableFor(n).isDefined => Some(statusCols)
     case ShowPartitionsRe(n) if kvTableFor(n).isDefined => Some(partitionsCols)
@@ -2405,6 +2413,11 @@ object Ddl {
       case FastForwardRe(name, br) =>
         val e = graft.sources.GraftKvSink.fastForward(kvPathFor(name), br)
         status("FAST_FORWARD", s"$name ($br published, head epoch $e)")
+      case CherryPickRe(name, epochStr, br) =>
+        val e = graft.sources.GraftKvSink.cherryPick(kvPathFor(name), br,
+          epochStr.toLong)
+        status("CHERRY_PICK",
+          s"$name (branch $br epoch $epochStr -> parent epoch $e)")
       case CreateTagRe(name, tag, verStr) =>
         val e = graft.sources.GraftKvSink.createRef(kvPathFor(name), tag,
           Option(verStr).map(_.toLong))

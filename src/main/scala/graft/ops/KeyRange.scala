@@ -16,6 +16,36 @@ import graft.Tables
   * `repartitionByRange + sortWithinPartitions` writes — the same
   * range-shuffle + sorted-file shape HFile bulk load uses.
   */
+/** Typed row of the kv-connector typed-surface query (top-level so the
+  * case-class Encoder derives through a plain TypeTag). */
+case class TypedOrder(o_orderkey: Long, o_orderstatus: String,
+    o_totalprice: Double)
+
+/** Typed aggregation buffer: exact decimal sum carried as its plain
+  * string image (BigDecimal addition is exact, hence associative AND
+  * commutative — merge order across partitions cannot change the
+  * result). */
+case class PriceBuf(cnt: Long, total: String)
+
+/** The typed-surface custom aggregate (SURVEY §1.2's `Aggregator` row):
+  * a Dataset[TypedOrder]-level sum that matches the relational
+  * CAST(sum(CAST(x AS DECIMAL)) AS DOUBLE) fold bit-for-bit. */
+object StatusPriceAgg extends org.apache.spark.sql.expressions
+    .Aggregator[TypedOrder, PriceBuf, PriceBuf] {
+  private def bd(s: String) = new java.math.BigDecimal(s)
+  override def zero: PriceBuf = PriceBuf(0L, "0")
+  override def reduce(b: PriceBuf, r: TypedOrder): PriceBuf =
+    PriceBuf(b.cnt + 1L, bd(b.total).add(new java.math.BigDecimal(
+      java.lang.Double.toString(r.o_totalprice))).toPlainString)
+  override def merge(a: PriceBuf, b: PriceBuf): PriceBuf =
+    PriceBuf(a.cnt + b.cnt, bd(a.total).add(bd(b.total)).toPlainString)
+  override def finish(b: PriceBuf): PriceBuf = b
+  override def bufferEncoder: org.apache.spark.sql.Encoder[PriceBuf] =
+    org.apache.spark.sql.Encoders.product[PriceBuf]
+  override def outputEncoder: org.apache.spark.sql.Encoder[PriceBuf] =
+    org.apache.spark.sql.Encoders.product[PriceBuf]
+}
+
 object KeyRange {
 
   /** Per-JVM-unique scratch root: concurrent Verify/Bench processes must not
@@ -1449,6 +1479,184 @@ object KeyRange {
         |  CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS qty
         |FROM graft.kvq.widen_t GROUP BY CAST(k % 7 AS BIGINT)
         |ORDER BY grp""".stripMargin)
+  }
+
+  /** §1.2 judged: the TYPED Dataset surface over the kv CONNECTOR — a
+    * case-class `Dataset[TypedOrder]` read through the DSv2 table, a
+    * typed lambda filter, and a custom `Aggregator` (`.toColumn` over
+    * `groupByKey`) whose exact-decimal buffer makes the typed fold
+    * bit-equal to the relational CAST-DECIMAL oracle. Keeps the typed
+    * path honest as the connector grows: the same commit-protocol table
+    * the relational queries use serves `Dataset[T]` end to end. */
+  def kvTypedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"$scratch/kv_typed"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.typed_t")
+    s.sql("CREATE TABLE graft.kvq.typed_t (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) USING graft_kv " +
+      s"OPTIONS (path '$tmp', epochs 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("ord_ty_v")
+    s.sql("INSERT INTO graft.kvq.typed_t SELECT o_orderkey, " +
+      "o_orderstatus, o_totalprice FROM ord_ty_v")
+    val ds = s.table("graft.kvq.typed_t").as[TypedOrder]
+    ds.filter(_.o_totalprice > 50000.0)
+      .groupByKey(_.o_orderstatus)
+      .agg(StatusPriceAgg.toColumn.name("b"))
+      .toDF("o_orderstatus", "b")
+      .select(col("o_orderstatus"), col("b.cnt").as("cnt"),
+        col("b.total").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+          .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** A8 judged: CHERRY-PICK — promote ONE audited epoch from a staging
+    * branch onto the parent as a fresh epoch (Iceberg's
+    * cherrypick_snapshot), the WAP refinement for multi-batch ingest:
+    * stage several batches, audit them independently, publish only the
+    * one that passed — even after the PARENT advanced past the fork
+    * (where FAST FORWARD refuses, required in-query). Also required: the
+    * branch keeps serving both staged batches untouched, the unaudited
+    * batch never leaks into the parent, and a branch DELETE (rewrite)
+    * epoch refuses to promote — its position-deletes target state the
+    * parent may not share. The parent aggregate hash-gates fork + own
+    * commit + exactly the picked batch. */
+  def kvCherrypick(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_cp"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.cp_t")
+    s.sql("CREATE TABLE graft.kvq.cp_t (o_orderkey BIGINT, " +
+      "o_totalprice DOUBLE) USING graft_kv " +
+      s"OPTIONS (path '$tmp', epochs 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("ord_cp_v")
+    def slice(k: Int): String = "SELECT o_orderkey, o_totalprice " +
+      s"FROM ord_cp_v WHERE o_orderkey % 4 = $k"
+    s.sql(s"INSERT INTO graft.kvq.cp_t ${slice(0)}") // fork base, epoch 0
+    graft.ops.Ddl.execute(s, "ALTER TABLE graft.kvq.cp_t CREATE BRANCH stage")
+    // two staged batches, audited independently (branch epochs 1 and 2)
+    s.sql(s"INSERT INTO graft.kvq.cp_t.branch_stage ${slice(1)}")
+    s.sql(s"INSERT INTO graft.kvq.cp_t.branch_stage ${slice(2)}")
+    // the parent ADVANCES past the fork: FAST FORWARD is now refused —
+    // exactly the situation cherry-pick exists for
+    s.sql(s"INSERT INTO graft.kvq.cp_t ${slice(3)}")
+    val ffRefused =
+      try { graft.ops.Ddl.execute(s,
+        "ALTER TABLE graft.kvq.cp_t FAST FORWARD stage"); false }
+      catch { case _: Exception => true }
+    require(ffRefused, "FAST FORWARD must refuse once the parent advanced")
+    // audit batch 1 ON THE BRANCH, then promote exactly that epoch
+    require(s.table("graft.kvq.cp_t.branch_stage")
+      .where("o_orderkey % 4 = 1 AND o_totalprice < 0").count() == 0,
+      "staged batch failed its audit")
+    val bdir = graft.sources.GraftKvSink.branchDirOf(tmp, "stage")
+    val bm = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(bdir))
+    val pickedCount = bm.files.count { case (n, _) =>
+      !n.startsWith("/") && graft.sources.GraftKvSink.epochOf(n) == 1L }
+    require(pickedCount > 0, "branch epoch 1 published no files")
+    graft.ops.Ddl.execute(s,
+      "ALTER TABLE graft.kvq.cp_t CHERRY-PICK EPOCH 1 FROM BRANCH stage")
+    val m2 = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    require(m2.files.count { case (n, _) =>
+      graft.sources.GraftKvSink.epochOf(n) == 2L } == pickedCount,
+      "the picked batch must land as ONE fresh parent epoch")
+    // the branch still serves BOTH staged batches (nothing moved)
+    val bCnt = s.table("graft.kvq.cp_t.branch_stage").count()
+    val base = s.sql(s"SELECT count(*) FROM (${slice(0)})").first().getLong(0)
+    val s1 = s.sql(s"SELECT count(*) FROM (${slice(1)})").first().getLong(0)
+    val s2 = s.sql(s"SELECT count(*) FROM (${slice(2)})").first().getLong(0)
+    require(bCnt == base + s1 + s2, s"branch diverged: $bCnt")
+    // the unaudited batch (slice 2) never leaked into the parent
+    require(s.table("graft.kvq.cp_t").where("o_orderkey % 4 = 2")
+      .count() == 0, "unaudited batch leaked into the parent")
+    // refusal arm: a branch REWRITE epoch (CoW DELETE) must not promote
+    val delKey = s.table("graft.kvq.cp_t.branch_stage")
+      .orderBy("o_orderkey").select("o_orderkey").head().getLong(0)
+    s.sql(s"DELETE FROM graft.kvq.cp_t.branch_stage WHERE o_orderkey = $delKey")
+    val bm3 = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(bdir))
+    val delEpoch = bm3.removed.map(_.removedAt).max
+    val cpRefused =
+      try { graft.sources.GraftKvSink.cherryPick(tmp, "stage", delEpoch)
+        false }
+      catch { case _: Exception => true }
+    require(cpRefused, "a rewrite epoch must refuse to cherry-pick")
+    s.sql(
+      """SELECT CAST(o_orderkey % 5 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM graft.kvq.cp_t GROUP BY CAST(o_orderkey % 5 AS BIGINT)
+        |ORDER BY grp""".stripMargin)
+  }
+
+  /** A9 judged: BOOLEAN + DECIMAL(p,s) kv column types — everyday
+    * relational types stored as canonical plain strings (decimals at the
+    * declared scale, booleans as true/false) with the full metadata
+    * stack: per-file min/max stats ordered by BigDecimal compare (string
+    * order would put "9.5" above "10.5" — the classic decimal-pruning
+    * trap), identity partition tuples on a BOOLEAN column, and exact
+    * round-trips. Required in-query: a DECIMAL range probe prunes to
+    * exactly the price-band slice's files, a BOOLEAN partition probe
+    * plans exactly that partition's files, and DECIMAL precision widening
+    * is one metadata publish. The per-flag aggregate (sum as DOUBLE,
+    * min/max as exact STRING images) hash-gates against the relational
+    * replay. */
+  def kvDecimalTypes(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"$scratch/kv_dec"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.dec_t")
+    s.sql("CREATE TABLE graft.kvq.dec_t (o_orderkey BIGINT, " +
+      "price DECIMAL(12,2), flag BOOLEAN) USING graft_kv " +
+      s"PARTITIONED BY (flag) OPTIONS (path '$tmp', epochs 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("ord_dec_v")
+    // three price-band slices x two flag partitions: per-file decimal
+    // ranges are disjoint across bands, so a band probe must prune
+    Seq("o_totalprice < 50000",
+        "o_totalprice >= 50000 AND o_totalprice < 150000",
+        "o_totalprice >= 150000").foreach { band =>
+      s.sql("INSERT INTO graft.kvq.dec_t SELECT o_orderkey, " +
+        "CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey % 3 = 0 " +
+        s"FROM ord_dec_v WHERE $band")
+    }
+    val m = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    def bandFiles(pred: (String, String) => Boolean): Int =
+      m.files.count { case (n, _) =>
+        m.stats.getOrElse(n, Map.empty).get("price")
+          .exists { case (mn, mx) => pred(mn, mx) } }
+    val lowBand = bandFiles((_, mx) => new java.math.BigDecimal(mx)
+      .compareTo(new java.math.BigDecimal("50000")) < 0)
+    require(lowBand > 0 && lowBand < m.files.size,
+      s"fixture must split price bands across files ($lowBand/${m.files.size})")
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new graft.sources.GraftKvScan(tmp, None, fs).planInputPartitions().length
+    // DECIMAL pruning is exact: the low-band probe plans exactly the
+    // files whose recorded max is below the bound
+    require(planned(org.apache.spark.sql.sources.LessThan("price",
+        new java.math.BigDecimal("50000.00"))) == lowBand,
+      "decimal range probe must prune to the low band's files")
+    // BOOLEAN identity partition pruning is exact
+    val trueFiles = m.files.count { case (n, _) =>
+      m.stats.getOrElse(n, Map.empty).get("part:flag").exists(_._1 == "true") }
+    require(trueFiles > 0 && planned(org.apache.spark.sql.sources
+        .EqualTo("flag", true)) == trueFiles,
+      "boolean partition probe must plan exactly the true partition")
+    // DECIMAL precision widening: one metadata publish, zero files moved
+    val files0 = m.files.map(_._1).toSet
+    s.sql("ALTER TABLE graft.kvq.dec_t ALTER COLUMN price TYPE DECIMAL(18,2)")
+    val m1 = graft.sources.GraftKvSink.readManifest(
+      graft.sources.GraftKvSink.manifestPath(tmp))
+    require(m1.files.map(_._1).toSet == files0,
+      "decimal precision widen must be metadata-only")
+    require(m1.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(18, 2), m1.schema.simpleString)
+    s.sql(
+      """SELECT flag, count(*) AS cnt,
+        |  CAST(sum(price) AS DOUBLE) AS price_sum,
+        |  CAST(min(price) AS STRING) AS price_min,
+        |  CAST(max(price) AS STRING) AS price_max
+        |FROM graft.kvq.dec_t GROUP BY flag ORDER BY flag""".stripMargin)
   }
 
   /** A8 judged: SHALLOW CLONE — a ZERO-COPY branch of a kv table at an
@@ -3132,6 +3340,9 @@ object KeyRange {
     "kv_optimize_where" -> (kvOptimizeWhere _),
     "kv_cbo_histogram" -> (kvCboHistogram _),
     "kv_type_widen" -> (kvTypeWiden _),
+    "kv_decimal_types" -> (kvDecimalTypes _),
+    "kv_cherrypick" -> (kvCherrypick _),
+    "kv_typed_agg" -> (kvTypedAgg _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
     "kv_detail" -> (kvDetail _),
@@ -3246,6 +3457,31 @@ object KeyRange {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
         |FROM orders WHERE o_orderstatus <> 'P' AND o_orderkey % 10 <> 3
         |GROUP BY o_orderstatus ORDER BY st""".stripMargin,
+    // the typed Aggregator fold replayed relationally (exact-decimal sum)
+    "kv_typed_agg" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 50000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // fork slice + the parent's own commit + exactly the PICKED staged
+    // batch (slice 1); the unaudited slice 2 must be absent
+    "kv_cherrypick" ->
+      """SELECT CAST(o_orderkey % 5 AS BIGINT) AS grp, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
+        |FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)
+        |GROUP BY CAST(o_orderkey % 5 AS BIGINT) ORDER BY grp""".stripMargin,
+    // the per-flag aggregate replayed relationally: sum as DOUBLE,
+    // min/max as exact decimal STRING images (dtype-stable both engines)
+    "kv_decimal_types" ->
+      """SELECT o_orderkey % 3 = 0 AS flag, count(*) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS price_sum,
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS price_min,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR)
+        |    AS price_max
+        |FROM orders GROUP BY o_orderkey % 3 = 0 ORDER BY flag""".stripMargin,
     // both layout epochs replayed relationally: pre-widen ints union
     // post-widen longs, aggregated under the wide type
     "kv_type_widen" ->

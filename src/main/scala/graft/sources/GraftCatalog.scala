@@ -760,7 +760,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               s"graft_kv: cannot ALTER COLUMN '$name' TYPE " +
                 s"${ut.newDataType().simpleString} from " +
                 s"${cur(fi).dataType.simpleString} — only widening " +
-                "promotions (INT -> BIGINT) are supported")
+                "promotions (INT -> BIGINT, DECIMAL precision) are supported")
             StructType(cur.fields.zipWithIndex.map { case (f, i) =>
               if (i == fi) f.copy(dataType = ut.newDataType()) else f })
           }

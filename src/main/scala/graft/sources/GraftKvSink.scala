@@ -456,7 +456,13 @@ object GraftKvSink {
 
   private[sources] def supported(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DoubleType | StringType |
-         TimestampType | TimestampNTZType | DateType => true
+         TimestampType | TimestampNTZType | DateType |
+         BooleanType => true
+    // DECIMAL(p,s): stored as the plain (non-scientific) string at the
+    // column's declared scale; ordered by BigDecimal compare everywhere
+    // the stats/pruning paths order values (string order would put "9.5"
+    // above "10.5")
+    case _: DecimalType           => true
     case _                        => false
   }
 
@@ -493,6 +499,16 @@ object GraftKvSink {
       case d: java.time.LocalDate => d.toEpochDay.toString
       case i: java.lang.Integer   => i.toString // Catalyst-internal days
       case other                  => String.valueOf(other)
+    }
+    case _: DecimalType => v match {
+      // plain string, never scientific notation — BigDecimal.toString
+      // renders 1E+2 shapes the parse-side BigDecimal accepts but the
+      // equality image must match the writer's toPlainString
+      case b: java.math.BigDecimal => b.toPlainString
+      case b: scala.math.BigDecimal => b.underlying.toPlainString
+      case d: org.apache.spark.sql.types.Decimal =>
+        d.toJavaBigDecimal.toPlainString
+      case other => String.valueOf(other)
     }
     case _ => String.valueOf(v)
   }
@@ -861,6 +877,14 @@ object GraftKvSink {
           val v = row.getInt(i); sb.append(v); observed(i) = v.toString
         case DoubleType =>
           val d = row.getDouble(i); sb.append(d); observed(i) = d.toString
+        case BooleanType =>
+          val b = row.getBoolean(i); sb.append(b); observed(i) = b.toString
+        case dt: DecimalType =>
+          // plain string at the declared scale — one canonical image per
+          // value, so stats/HLL/equality all agree with the filter side
+          val v = row.getDecimal(i, dt.precision, dt.scale)
+            .toJavaBigDecimal.toPlainString
+          sb.append(v); observed(i) = v
         case StringType =>
           val s = row.getUTF8String(i).toString
           require(!s.contains('\t') && !s.contains('\n'),
@@ -905,6 +929,9 @@ object GraftKvSink {
         row.getLong(i).toString // internal micros
       case DateType      => row.getInt(i).toString // internal epoch days
       case DoubleType    => row.getDouble(i).toString
+      case BooleanType   => row.getBoolean(i).toString
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
       case StringType    => row.getUTF8String(i).toString
       case other => throw new IllegalStateException(s"unsupported $other")
     }
@@ -919,6 +946,10 @@ object GraftKvSink {
     case IntegerType | LongType |
          TimestampType | TimestampNTZType | DateType => a.toLong <= b.toLong
     case DoubleType               => a.toDouble <= b.toDouble
+    case _: DecimalType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) <= 0
+    // BOOLEAN falls through to string order: "false" < "true" in UTF-8
+    // binary order, which matches the engine's false < true
     case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) <= 0
   }
 
@@ -1445,6 +1476,84 @@ object GraftKvSink {
     finally s2.close()
     head
   }
+
+  /** CHERRY-PICK (the Iceberg `cherrypick_snapshot` shape): promote ONE
+    * audited epoch's files from a live branch onto the parent as a FRESH
+    * parent epoch — the WAP refinement a multi-batch ingest wants when
+    * only one staged batch has passed audit. Unlike FAST FORWARD this
+    * does NOT require the parent unchanged since the fork: a pure APPEND
+    * epoch merges with any parent state (the disjoint-commit matrix's
+    * append∥append rule). Everything that is NOT a pure append refuses —
+    * a rewrite/delete epoch (removedAt == e) or a MOR-delta epoch
+    * position-targets OTHER files whose parent-side state may have
+    * diverged since the fork, exactly the phantom class the row-level
+    * conflict gate refuses; Iceberg's cherrypick has the same
+    * append/dynamic-overwrite-only rule. Schema, partition spec and
+    * CHECK constraints must be UNDIVERGED between parent and branch —
+    * promoted rows were validated under the branch's invariants, and a
+    * parent that tightened them since the fork never audited these rows.
+    * Files are COPIED under the fresh epoch's names (the branch keeps
+    * serving its own epoch; on an object store this would be a manifest
+    * re-reference of the same immutable objects). Returns the fresh
+    * parent epoch. */
+  def cherryPick(dir: String, branch: String, epoch: Long): Long =
+    withCommitLock(dir) {
+      require(refKind(dir, branch).contains("branch"),
+        s"graft_kv: '$branch' is not a branch at $dir")
+      val m = readManifest(manifestPath(dir))
+      val bd = branchDirOf(dir, branch)
+      val bmp = manifestPath(bd)
+      require(Files.exists(bmp), s"graft_kv: branch '$branch' has no manifest")
+      val bm = readManifest(bmp)
+      // pure-append proof: no removal fence at this epoch (CoW rewrite,
+      // metadata DELETE, OPTIMIZE all stamp removedAt), no MOR delta
+      require(!bm.removed.exists(_.removedAt == epoch),
+        s"graft_kv: branch epoch $epoch rewrites/removes files — only " +
+          "pure APPEND epochs cherry-pick (its deletes position-target " +
+          "state the parent may not share); FAST FORWARD the branch " +
+          "instead")
+      require(!bm.deltas.exists(d => epochOf(d.name) == epoch),
+        s"graft_kv: branch epoch $epoch carries merge-on-read deltas — " +
+          "only pure APPEND epochs cherry-pick; OPTIMIZE the branch and " +
+          "FAST FORWARD instead")
+      val picked = bm.files.filter { case (n, _) =>
+        !isForeign(n) && epochOf(n) == epoch }
+      require(picked.nonEmpty,
+        s"graft_kv: branch '$branch' has no local files at epoch $epoch")
+      // invariant parity: the promoted rows were written and audited
+      // under the BRANCH's schema/spec/CHECKs — any divergence means the
+      // parent never validated them
+      require(m.schema.json == bm.schema.json,
+        s"graft_kv: cannot cherry-pick — schema diverged between parent " +
+          s"(${m.schema.simpleString}) and branch (${bm.schema.simpleString})")
+      require(m.partitionSpec == bm.partitionSpec,
+        "graft_kv: cannot cherry-pick — partition spec diverged between " +
+          "parent and branch")
+      require(m.checks == bm.checks,
+        "graft_kv: cannot cherry-pick — CHECK constraints diverged " +
+          "between parent and branch (the promoted rows were never " +
+          "audited under the parent's)")
+      val newEpoch = (m.files.map(f => epochOf(f._1)) ++
+        m.removed.map(_.removedAt) ++
+        Seq(m.rewrittenUpTo, m.compactedUpTo)).max.max(0L) + 1L
+      val renamed = picked.map { case (n, r) =>
+        val nn = baseName(n).replaceFirst(s"^epoch-$epoch-",
+          s"epoch-$newEpoch-")
+        require(!Files.exists(Paths.get(dir, nn)),
+          s"graft_kv: cherry-pick name collision on '$nn'")
+        Files.copy(Paths.get(bd, n), Paths.get(dir, nn))
+        (n, nn, r)
+      }
+      writeManifest(dir, m.schema,
+        m.files ++ renamed.map { case (_, nn, r) => (nn, r) },
+        m.compactedUpTo,
+        m.stats ++ renamed.flatMap { case (n, nn, _) =>
+          bm.stats.get(n).map(nn -> _) },
+        m.blooms ++ renamed.flatMap { case (n, nn, _) =>
+          bm.blooms.get(n).map(nn -> _) },
+        m.deltas, m.removed, m.rewrittenUpTo, priorHint = Some(m))
+      newEpoch
+    }
 
   /** Resolve a named ref to its pinned epoch. */
   def resolveRef(dir: String, name: String): Long = {
@@ -2166,6 +2275,12 @@ object GraftKvSink {
   private[graft] def widens(from: DataType, to: DataType): Boolean =
     (from, to) match {
       case (IntegerType, LongType) => true
+      // DECIMAL precision widening at the SAME scale (Iceberg's rule):
+      // stored images are plain strings at the declared scale, so a
+      // precision raise re-parses every committed image verbatim; a scale
+      // change would re-interpret them — refuse
+      case (a: DecimalType, b: DecimalType) =>
+        b.precision > a.precision && b.scale == a.scale
       case _                       => false
     }
 
@@ -2197,7 +2312,8 @@ object GraftKvSink {
     require(widens(from, to),
       s"graft_kv: cannot ALTER COLUMN '$name' TYPE ${to.simpleString} " +
         s"from ${from.simpleString} — only widening promotions " +
-        "(INT -> BIGINT) are supported; narrowing would overflow " +
+        "(INT -> BIGINT, DECIMAL precision at fixed scale) are " +
+        "supported; narrowing would overflow " +
         "committed values")
     val next = StructType(m.schema.fields.zipWithIndex.map { case (f, i) =>
       if (i == fi) f.copy(dataType = to) else f })
@@ -3573,6 +3689,8 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
         case IntegerType | LongType |
              TimestampType | TimestampNTZType | DateType => a.toLong < b.toLong
         case DoubleType               => a.toDouble < b.toDouble
+        case _: DecimalType =>
+          new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
         case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
       }
       val s =
@@ -3584,6 +3702,10 @@ final class GraftKvAggScan(dir: String, asOfEpoch: Option[Long],
         case TimestampType | TimestampNTZType => s.toLong // internal micros
         case DateType      => s.toInt // internal epoch days
         case DoubleType    => s.toDouble
+        case BooleanType   => s.toBoolean
+        case d: DecimalType =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(s), d.precision, d.scale)
         case _             => s
       }
     }
@@ -4540,6 +4662,8 @@ final class GraftKvWriter(dir: String, schema: StructType,
            TimestampType | TimestampNTZType | DateType =>
         (a: String, b: String) => a.toLong < b.toLong
       case DoubleType             => (a: String, b: String) => a.toDouble < b.toDouble
+      case _: DecimalType => (a: String, b: String) =>
+        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
       case _ => (a: String, b: String) =>
         UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
     }
@@ -4838,6 +4962,10 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
                           raw.toLong // internal micros
                         case DateType      => raw.toInt // internal days
                         case DoubleType    => raw.toDouble
+                        case BooleanType   => raw.toBoolean
+                        case d: DecimalType =>
+                          org.apache.spark.sql.types.Decimal(
+                            new java.math.BigDecimal(raw), d.precision, d.scale)
                         case _             => UTF8String.fromString(raw)
                       }
                     case other => throw new IllegalStateException(
@@ -5479,6 +5607,10 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
                   v.toLong // internal micros
                 case DateType      => v.toInt // internal epoch days
                 case DoubleType    => v.toDouble
+                case BooleanType   => v.toBoolean
+                case dt: DecimalType =>
+                  org.apache.spark.sql.types.Decimal(
+                    new java.math.BigDecimal(v), dt.precision, dt.scale)
                 case StringType    =>
                   UTF8String.fromString(
                     if (v.startsWith("\\")) v.substring(1) else v)

@@ -260,7 +260,8 @@ object GraftPartition {
 
   private def validated(t: PTransform): PTransform = t match {
     case PTruncate(_, _,
-        DoubleType | TimestampType | TimestampNTZType | DateType) =>
+        DoubleType | TimestampType | TimestampNTZType | DateType |
+        BooleanType | _: DecimalType) =>
       throw new IllegalArgumentException(
         s"graft_kv: truncate() does not apply to ${t.dt.simpleString} " +
           s"column '${t.source}' (use days/months/years/hours for time)")
@@ -324,6 +325,9 @@ object GraftPartition {
       case PIdentity(_, IntegerType | LongType | TimestampType |
                         TimestampNTZType | DateType) => true
       case PIdentity(_, DoubleType)               => return a.toDouble <= b.toDouble
+      case PIdentity(_, _: DecimalType) => return new java.math.BigDecimal(a)
+        .compareTo(new java.math.BigDecimal(b)) <= 0
+      // BOOLEAN identity: "false" < "true" in UTF-8 order — the default
       case PTruncate(_, _, IntegerType | LongType) => true
       case PTime(_, _, _)                           => true
       case _                                       => false

@@ -2995,6 +2995,87 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE graft.zcm.t")
   }
 
+  test("CHERRY-PICK refuses on diverged invariants and MOR-delta epochs") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_cpr").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cpr.t")
+    spark.sql("CREATE TABLE graft.cpr.t (id BIGINT, v BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true', mor 'true')")
+    spark.sql("INSERT INTO graft.cpr.t SELECT id, id FROM range(10)")
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.cpr.t CREATE BRANCH s")
+    spark.sql("INSERT INTO graft.cpr.t.branch_s SELECT id + 100, id FROM range(5)")
+    // a MOR DELETE on the branch creates a delta epoch (2) — refuses
+    spark.sql("DELETE FROM graft.cpr.t.branch_s WHERE id = 101")
+    val e1 = intercept[Exception] { GraftKvSink.cherryPick(dir, "s", 2L) }
+    assert(e1.getMessage.contains("delta"), e1.getMessage)
+    // CHECK divergence: the parent tightens its invariant after the fork
+    // — the staged rows were never audited under it, so the pick refuses
+    spark.sql(
+      "ALTER TABLE graft.cpr.t SET TBLPROPERTIES ('check.pos' = 'v >= 0')")
+    val e2 = intercept[Exception] { GraftKvSink.cherryPick(dir, "s", 1L) }
+    assert(e2.getMessage.toLowerCase.contains("check"), e2.getMessage)
+    spark.sql("ALTER TABLE graft.cpr.t UNSET TBLPROPERTIES ('check.pos')")
+    // schema divergence (parent widened a column post-fork) also refuses
+    spark.sql("ALTER TABLE graft.cpr.t ADD COLUMN w BIGINT")
+    val e3 = intercept[Exception] { GraftKvSink.cherryPick(dir, "s", 1L) }
+    assert(e3.getMessage.toLowerCase.contains("schema"), e3.getMessage)
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.cpr.t DROP BRANCH s")
+    spark.sql("DROP TABLE graft.cpr.t")
+  }
+
+  test("BOOLEAN and DECIMAL kv columns: exact round-trip, ordering, DML, widen arms") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_dec").toString
+    spark.sql("DROP TABLE IF EXISTS graft.dec.t")
+    spark.sql("CREATE TABLE graft.dec.t (id BIGINT, amt DECIMAL(10,2), " +
+      s"ok BOOLEAN) USING graft_kv OPTIONS (path '$dir', epochs 'true')")
+    // NEGATIVE decimals and values whose STRING order disagrees with
+    // numeric order ("9.50" > "10.25" lexicographically) — the min/max
+    // stats must order by BigDecimal compare
+    spark.sql("INSERT INTO graft.dec.t VALUES " +
+      "(1, CAST(-3.75 AS DECIMAL(10,2)), true), " +
+      "(2, CAST(9.50 AS DECIMAL(10,2)), false), " +
+      "(3, CAST(10.25 AS DECIMAL(10,2)), true), " +
+      "(4, NULL, NULL)")
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val amtRanges = m.stats.values.flatMap(_.get("amt")).toSeq
+    assert(amtRanges.nonEmpty)
+    def bd(s: String) = new java.math.BigDecimal(s)
+    val mn = amtRanges.map(_._1).minBy(bd)
+    val mx = amtRanges.map(_._2).maxBy(bd)
+    assert(mn == "-3.75" && mx == "10.25", s"$mn..$mx")
+    // exact round-trip including nulls
+    val rows = spark.table("graft.dec.t").orderBy("id").collect()
+    assert(rows(0).getDecimal(1).toPlainString == "-3.75" &&
+      rows(0).getBoolean(2))
+    assert(rows(2).getDecimal(1).toPlainString == "10.25")
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+    // predicate + pruning semantics over decimal and boolean
+    assert(spark.table("graft.dec.t")
+      .where("amt > CAST(9.50 AS DECIMAL(10,2))").count() == 1)
+    assert(spark.table("graft.dec.t").where("ok").count() == 2)
+    // row-level DML on decimal columns (CoW)
+    spark.sql("UPDATE graft.dec.t SET amt = CAST(100.01 AS DECIMAL(10,2)) " +
+      "WHERE id = 2")
+    assert(spark.table("graft.dec.t").where("id = 2").head()
+      .getDecimal(1).toPlainString == "100.01")
+    // widen arms: precision raise adopts old images; scale change refuses
+    spark.sql("ALTER TABLE graft.dec.t ALTER COLUMN amt TYPE DECIMAL(16,2)")
+    assert(spark.table("graft.dec.t").where("id = 1").head()
+      .getDecimal(1).toPlainString == "-3.75")
+    intercept[Exception] { spark.sql(
+      "ALTER TABLE graft.dec.t ALTER COLUMN amt TYPE DECIMAL(18,4)") }
+    intercept[Exception] { spark.sql(
+      "ALTER TABLE graft.dec.t ALTER COLUMN amt TYPE DECIMAL(8,2)") }
+    // the manifest agg pushdown answers decimal MIN/MAX from stats
+    val agg = spark.table("graft.dec.t").agg(
+      org.apache.spark.sql.functions.min("amt"),
+      org.apache.spark.sql.functions.max("amt")).head()
+    assert(agg.getDecimal(0).toPlainString == "-3.75" &&
+      agg.getDecimal(1).toPlainString == "100.01", agg.toString)
+    spark.sql("DROP TABLE graft.dec.t")
+  }
+
   test("VACUUM REMOVE ORPHAN FILES reclaims crash leftovers, never referenced or fresh files") {
     import graft.sources.GraftKvSink
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_orph").toString
