@@ -455,7 +455,7 @@ object Events {
     writeFeedEpoch(s, d, feed, 0, cols)
     val out = root.resolve("out").toString
     // The stateful operator allocates one state store per shuffle
-    // partition PER MICRO-BATCH; at ~150 live (window × type) keys, 8
+    // partition PER MICRO-BATCH; at ~150 live (window × type) keys, 4
     // partitions carry the state with far less store churn than the
     // session's 32. Pinned at stream START (state partitioning is fixed
     // by the first batch) and restored after the stream stops.
@@ -463,7 +463,7 @@ object Events {
     // NTZ→TZ cast is lossless and window boundaries stay at UTC midnight.
     // The output start is cast back to NTZ — the judged timestamp dtype
     // every other event query uses.
-    withConfs(s, "spark.sql.shuffle.partitions" -> "8") {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
       val q = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", feed).load()
         .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -518,10 +518,12 @@ object Events {
     feedEpoch(0)
     val out = root.resolve("out").toString
     // stateful-stream cost here is state-store COMMITS (partitions ×
-    // batches × 4 join stores), not data volume: 4 partitions halve the
-    // fixed overhead vs 8 with identical results. At real volume size
-    // this to the state actually held per partition, as everywhere else.
-    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+    // batches × 4 join stores), not data volume: 2 partitions quarter the
+    // fixed overhead vs 8 with identical results (r19: data volume was
+    // halved and the floor did not move — commits dominate). At real
+    // volume size this to the state actually held per partition, as
+    // everywhere else.
+    withConfs(s, "spark.sql.shuffle.partitions" -> "2") {
       val src = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", feed).load()
         .withColumn("ts", timestamp_micros(col("ts_us")))
@@ -578,7 +580,9 @@ object Events {
     val cols = Seq(col("event_id"), col("user_id"))
     writeFeedEpoch(s, d, feed, 0, cols)
     val out = root.resolve("out").toString
-    withConfs(s, "spark.sql.shuffle.partitions" -> "4",
+    // results are key-hashed cumulative totals — partition count cannot
+    // change the emitted set, only the per-batch store-commit overhead
+    withConfs(s, "spark.sql.shuffle.partitions" -> "2",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val q = s.readStream.format("graft.sources.GraftKvSink")
@@ -628,7 +632,7 @@ object Events {
       (col("event_id") % 3 === k) || ((col("event_id") + 1) % 3 === k)
     writeFeedEpochWhere(s, d, feed, 0, cols, chunkPred(0))
     val out = root.resolve("out").toString
-    withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+    withConfs(s, "spark.sql.shuffle.partitions" -> "2") {
       val q = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", feed).load()
         .withColumn("ts", timestamp_micros(col("ts_us")))

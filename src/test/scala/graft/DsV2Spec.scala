@@ -3167,6 +3167,19 @@ class DsV2Spec extends SparkSpec {
       spark.sql("ALTER TABLE graft.wd.t ALTER COLUMN v TYPE DOUBLE") }
     intercept[Exception] {
       spark.sql("ALTER TABLE graft.wd.t ALTER COLUMN nope TYPE BIGINT") }
+    // widen UNDER COLUMN MAPPING: drop a column (pids freeze, a hole
+    // retires), then widen a later-added INT column whose pid != schema
+    // index — values must keep reading at the right physical position
+    spark.sql("ALTER TABLE graft.wd.t ADD COLUMN t2 INT")
+    spark.sql("ALTER TABLE graft.wd.t DROP COLUMN v")
+    spark.sql("INSERT INTO graft.wd.t VALUES (201, 11)")
+    spark.sql("ALTER TABLE graft.wd.t ALTER COLUMN t2 TYPE BIGINT")
+    spark.sql("INSERT INTO graft.wd.t VALUES (202, 5000000011)")
+    val m2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m2.droppedPids.nonEmpty)
+    assert(spark.table("graft.wd.t").where("t2 IS NOT NULL")
+      .orderBy("k").collect().map(_.getLong(1)).toSeq ==
+      Seq(11L, 5000000011L))
     // generated-column guard: widening a generation SOURCE refuses
     val dir2 = java.nio.file.Files.createTempDirectory("graft_kv_wgen").toString
     spark.sql("DROP TABLE IF EXISTS graft.wd.g")
