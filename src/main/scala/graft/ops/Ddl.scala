@@ -478,6 +478,13 @@ object Ddl {
   // (there positions are the column identity, here the log position is)
   private val AlterRenameRe =
     s"""(?i)\\s*ALTER\\s+TABLE\\s+($Id)\\s+RENAME\\s+COLUMN\\s+(\\w+)\\s+TO\\s+(\\w+)\\s*""".r
+  // keyed ALTER COLUMN TYPE (widen): a mutation-log entry replayed as an
+  // in-place CAST projection — the keyed mirror of the kv world's
+  // metadata type promotion; only lossless up-casts admit (Spark's own
+  // canUpCast matrix), so committed values re-read exactly
+  private val AlterKeyedTypeRe =
+    (s"""(?i)\\s*ALTER\\s+TABLE\\s+($Id)\\s+ALTER\\s+COLUMN\\s+(\\w+)""" +
+      """\s+TYPE\s+([\w]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*""").r
   private val ShowRe = """(?i)\s*SHOW\s+TABLES\s*""".r
   private val DescRe = s"""(?i)\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?($Id)\\s*""".r
   private val CacheRe = s"""(?i)\\s*CACHE\\s+TABLE\\s+($Id)\\s*""".r
@@ -1071,6 +1078,13 @@ object Ddl {
               if (c.equalsIgnoreCase(m.a)) s"`$c` AS `${m.b}`" else s"`$c`")
             .mkString(", ")} FROM ( $sqlText )"
           cols = cols.map(c => if (c.equalsIgnoreCase(m.a)) m.b else c)
+        case "widen" =>
+          // in-place lossless CAST: position and name keep, type widens —
+          // history rows and later INSERT snapshots both read through it
+          sqlText = s"SELECT ${cols.map(c =>
+              if (c.equalsIgnoreCase(m.a)) s"CAST(`$c` AS ${m.b}) AS `$c`"
+              else s"`$c`")
+            .mkString(", ")} FROM ( $sqlText )"
         case "load" | "insert" =>
           // m.b = the managed parquet snapshot (header-aligned CSV for
           // LOAD, evaluated rows for INSERT), written at statement time
@@ -1698,6 +1712,7 @@ object Ddl {
     case AlterDefaultRe(_*)                        => Some(statusCols)
     case DropRe(_, n) if lookup(n).isDefined       => Some(statusCols)
     case AlterDropRe(n, _) if lookup(n).isDefined  => Some(statusCols)
+    case AlterKeyedTypeRe(n, _, _) if lookup(n).isDefined => Some(statusCols)
     case AlterRenameRe(n, _, _) if lookup(n).isDefined => Some(statusCols)
     case CacheRe(n) if lookup(n).isDefined         => Some(statusCols)
     case UncacheRe(n) if lookup(n).isDefined       => Some(statusCols)
@@ -1973,6 +1988,8 @@ object Ddl {
         case "default" => df.withColumn(m.a, when(lit(false), expr(m.b)))
         case "drop" => df.drop(m.a)
         case "rename" => df.withColumnRenamed(m.a, m.b)
+        case "widen" =>
+          df.withColumn(m.a, col(quotedCol(m.a)).cast(m.b))
         case "load" => df.unionByName(
           // b = parquet snapshot (qualified tables); empty = replay the CSV
           if (m.b.nonEmpty) spark.read.parquet(m.b)
@@ -2186,6 +2203,35 @@ object Ddl {
         else replaceView(spark, t.name, df.drop(colName))
         logMut(t, Mut("drop", colName, ""))
         status("ALTER_DROP", t.name)
+      case AlterKeyedTypeRe(name, colName, typeStr)
+          if lookup(name).isDefined =>
+        val t = lookupOrThrow(name)
+        ensureView(spark, t)
+        require(!t.keys.exists(_.equalsIgnoreCase(colName)),
+          s"cannot change the type of key column '$colName' of ${t.name} " +
+            "(keys are the rowkey mapping — the encoding would change)")
+        require(!t.muts.exists(m =>
+            m.op == "viscol" && m.a.equalsIgnoreCase(colName)),
+          s"cannot change the type of visibility column '$colName' of ${t.name}")
+        val wdf = spark.table(t.name)
+        val wf = wdf.schema.fields.find(_.name.equalsIgnoreCase(colName))
+          .getOrElse(throw new IllegalArgumentException(
+            s"column '$colName' not in ${t.name}"))
+        val toType = org.apache.spark.sql.types.DataType.fromDDL(typeStr)
+        require(org.apache.spark.sql.catalyst.expressions.Cast
+            .canUpCast(wf.dataType, toType) && wf.dataType != toType,
+          s"cannot ALTER COLUMN '$colName' TYPE ${toType.simpleString} " +
+            s"from ${wf.dataType.simpleString} — only lossless widening " +
+            "promotions are supported (committed values must re-read " +
+            "exactly)")
+        val cast = wdf.withColumn(wf.name,
+          col(quotedCol(wf.name)).cast(toType))
+        if (isQualified(t.name))
+          replaceQualified(spark,
+            t.copy(muts = t.muts :+ Mut("widen", wf.name, typeStr.trim)))
+        else replaceView(spark, t.name, cast)
+        logMut(t, Mut("widen", wf.name, typeStr.trim))
+        status("ALTER_TYPE", s"${t.name} ($colName -> ${toType.simpleString})")
       case AlterRenameRe(name, from, to) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)

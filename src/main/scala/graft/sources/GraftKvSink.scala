@@ -5125,6 +5125,16 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
             case DoubleType => Some((
               Double.box(ranges.map(_._1.toDouble).min),
               Double.box(ranges.map(_._2.toDouble).max)))
+            case dt: DecimalType =>
+              // catalyst range estimation consumes Decimal bounds like any
+              // numeric; fold by BigDecimal compare (string order lies)
+              val mins = ranges.map(r => new java.math.BigDecimal(r._1))
+              val maxs = ranges.map(r => new java.math.BigDecimal(r._2))
+              Some((
+                org.apache.spark.sql.types.Decimal(
+                  mins.min, dt.precision, dt.scale),
+                org.apache.spark.sql.types.Decimal(
+                  maxs.max, dt.precision, dt.scale)))
             case _ => None
           }
         } catch { case _: NumberFormatException => None }

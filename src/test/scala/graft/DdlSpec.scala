@@ -1817,6 +1817,58 @@ class DdlSpec extends SparkSpec {
     Ddl.execute(spark, "DROP TABLE nren_t")
   }
 
+  test("keyed ALTER COLUMN TYPE widens through the mutation log") {
+    import graft.ops.Ddl
+    Ddl.execute(spark, "DROP TABLE IF EXISTS nwid_t")
+    Ddl.create(spark, s"CREATE TABLE nwid_t MAPPED BY " +
+      s"'${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    assert(spark.table("nwid_t").schema("n_regionkey").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    Ddl.execute(spark, "ALTER TABLE nwid_t ALTER COLUMN n_regionkey TYPE BIGINT")
+    val sch = spark.table("nwid_t").schema
+    assert(sch("n_regionkey").dataType ==
+      org.apache.spark.sql.types.LongType, sch.simpleString)
+    // committed values re-read EXACTLY under the wide type; position keeps
+    assert(sch.fieldIndex("n_regionkey") == 2)
+    assert(spark.sql("SELECT n_regionkey FROM nwid_t WHERE n_nationkey = 3")
+      .head.getLong(0) >= 0L)
+    // DML and INSERT compose across the widen (values past INT range land)
+    Ddl.execute(spark,
+      "INSERT INTO nwid_t VALUES (98, 'widetest', 4000000001)")
+    assert(spark.sql("SELECT n_regionkey FROM nwid_t WHERE n_nationkey = 98")
+      .head.getLong(0) == 4000000001L)
+    Ddl.execute(spark,
+      "UPDATE nwid_t SET n_regionkey = 4000000002 WHERE n_nationkey = 98")
+    assert(spark.sql("SELECT n_regionkey FROM nwid_t WHERE n_nationkey = 98")
+      .head.getLong(0) == 4000000002L)
+    // refusals: key column, narrowing (not an up-cast), unknown column
+    intercept[Exception] { Ddl.execute(spark,
+      "ALTER TABLE nwid_t ALTER COLUMN n_nationkey TYPE BIGINT") }
+    intercept[Exception] { Ddl.execute(spark,
+      "ALTER TABLE nwid_t ALTER COLUMN n_regionkey TYPE INT") }
+    intercept[Exception] { Ddl.execute(spark,
+      "ALTER TABLE nwid_t ALTER COLUMN nope TYPE BIGINT") }
+    Ddl.execute(spark, "DROP TABLE nwid_t")
+  }
+
+  test("keyed ALTER COLUMN TYPE survives a restart replay (qualified table)") {
+    import graft.ops.Ddl
+    Ddl.execute(spark, "DROP TABLE IF EXISTS nwiddb.t")
+    Ddl.create(spark, s"CREATE TABLE nwiddb.t MAPPED BY " +
+      s"'${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    Ddl.execute(spark, "ALTER TABLE nwiddb.t ALTER COLUMN n_regionkey TYPE BIGINT")
+    Ddl.execute(spark,
+      "UPDATE nwiddb.t SET n_regionkey = 4000000007 WHERE n_nationkey = 5")
+    // the qualified view body is SELF-CONTAINED SQL: re-resolving it (the
+    // restart path) must replay the widen + the post-widen UPDATE
+    val v = spark.table("nwiddb.t")
+    assert(v.schema("n_regionkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(spark.sql("SELECT n_regionkey FROM nwiddb.t WHERE n_nationkey = 5")
+      .head.getLong(0) == 4000000007L)
+    Ddl.execute(spark, "DROP TABLE nwiddb.t")
+  }
+
   test("keyed RENAME COLUMN survives a restart replay (qualified table)") {
     import graft.ops.Ddl
     Ddl.execute(spark, "DROP TABLE IF EXISTS nrendb.t")
