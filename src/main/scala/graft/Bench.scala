@@ -269,6 +269,39 @@ object Bench {
     val failedNames = scala.collection.mutable.LinkedHashSet.empty[String]
     def record(name: String, t: Double, ok: Boolean): Unit =
       if (ok) okSamples += name -> t else failedNames += name
+    // r19 verdict #2: a deadline-cancelled sample's elapsed sits inside a
+    // partial line's "queries" map looking like a measurement — annotate
+    // every heartbeat/partial line with the count of queries that have NO
+    // successful sample yet, so a mid-run kill leaves a self-describing tail.
+    def failedSoFarField: String = {
+      val okNames = okSamples.map(_._1).toSet
+      val n = failedNames.count(!okNames(_))
+      if (n > 0) s""","failed":$n""" else ""
+    }
+    // Min-merge this run's floors into the committed history (defenses 6-8
+    // all read it next run). ONLY successful samples qualify — a thrown or
+    // deadline-cancelled query's elapsed is spent time, not a measurement,
+    // and min-merging it would pin an unattainable floor forever (the
+    // ddl_dml 0.444 artifact). Unmeasured queries keep their old entry; new
+    // queries enter at their first successful floor. Called INCREMENTALLY —
+    // per-sample in child (BENCH_ONLY) mode, per-heartbeat in pass 1, after
+    // every floor round, after self-heal — so a SIGTERM at any point loses
+    // unmeasured queries, never banked floors (r19: the pass-1-only gap
+    // here is exactly what lost the heal child's 8 good samples).
+    def bankFloors(): Unit = try {
+      val okMin = okSamples.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      val merged = (histFloors.keySet ++ okMin.keys).toSeq.sorted.map { n =>
+        n -> (okMin.get(n).toSeq ++ histFloors.get(n).toSeq).min
+      }
+      val updated = allFloors + (sfKey -> merged.toMap)
+      val body = updated.toSeq.sortBy(_._1).map { case (sf, m) =>
+        s"""  "$sf": """ + m.toSeq.sorted.map { case (n, v) => s"""    "$n": ${f3(v)}""" }
+          .mkString("{\n", ",\n", "\n  }")
+      }.mkString("{\n", ",\n", "\n}\n")
+      Files.writeString(floorsPath, body)
+    } catch {
+      case e: Exception => System.err.println(s"[bench] FLOORS.json write failed: ${oneLine(e)}")
+    }
     var contextDied = false
     // Defense 6: a sample blowing past 3× its historical floor is almost
     // certainly a stall burst (every floor is <5 s; genuine code slowdowns
@@ -309,12 +342,21 @@ object Bench {
           } else pass1 += name -> t
         case None => contextDied = true
       }
+      // r19 postmortem: the self-heal child was killed by its parent's flat
+      // wait while still INSIDE pass 1, and bankFloors() first fired only
+      // after the whole pass — its 8 good samples were never written, so
+      // "incremental banking" was false for pass 1. Bank after EVERY sample
+      // in SPARK_GRAFT_BENCH_ONLY mode (a heal child's floors file is tiny
+      // and each sample may be its last), and at every heartbeat otherwise.
+      if (!contextDied && (only.nonEmpty ||
+          pass1.length % heartbeatEvery == 0)) bankFloors()
       if (pass1.length % heartbeatEvery == 0 && it1.hasNext && !contextDied) {
-        println(compactLine(pass1.toSeq, 400, inventory)); System.out.flush()
+        println(compactLine(pass1.toSeq, 400, inventory,
+          extra = failedSoFarField)); System.out.flush()
       }
     }
     // Defense 1: a complete parseable line on stdout BEFORE pass 2 begins.
-    println(compactLine(pass1.toSeq, 1500, inventory))
+    println(compactLine(pass1.toSeq, 1500, inventory, extra = failedSoFarField))
     Files.writeString(Paths.get("bench_out.json"),
       s"""{"metric":"total","value":${pass1.map(_._2).sum},"unit":"sec","queries":${jmap(pass1.toSeq)},"sf":"$sfDir","pass1":${jmap(pass1.toSeq)},"pass2":{}}""" + "\n")
     // Defense 2: budget-gated pass 2 — re-checked before every query, so a
@@ -363,28 +405,6 @@ object Bench {
     // 1.3× its current best (stall slack) on top of wall already spent.
     // The env override stays absolute; the 8-round extra-pass loop that
     // re-tightens worst-first stays gated on whatever budget remains.
-    // Min-merge this run's floors into the committed history (defenses 6-8
-    // all read it next run). ONLY successful samples qualify — a thrown or
-    // deadline-cancelled query's elapsed is spent time, not a measurement,
-    // and min-merging it would pin an unattainable floor forever (the
-    // ddl_dml 0.444 artifact). Unmeasured queries keep their old entry; new
-    // queries enter at their first successful floor. Called INCREMENTALLY
-    // (after pass 1, after every floor round, after self-heal): a driver
-    // SIGTERM mid-run loses unmeasured queries, never banked floors.
-    def bankFloors(): Unit = try {
-      val okMin = okSamples.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
-      val merged = (histFloors.keySet ++ okMin.keys).toSeq.sorted.map { n =>
-        n -> (okMin.get(n).toSeq ++ histFloors.get(n).toSeq).min
-      }
-      val updated = allFloors + (sfKey -> merged.toMap)
-      val body = updated.toSeq.sortBy(_._1).map { case (sf, m) =>
-        s"""  "$sf": """ + m.toSeq.sorted.map { case (n, v) => s"""    "$n": ${f3(v)}""" }
-          .mkString("{\n", ",\n", "\n  }")
-      }.mkString("{\n", ",\n", "\n}\n")
-      Files.writeString(floorsPath, body)
-    } catch {
-      case e: Exception => System.err.println(s"[bench] FLOORS.json write failed: ${oneLine(e)}")
-    }
     bankFloors()
     // r18 postmortem: the flat 660 s cap stranded the floor pass at 8/233
     // in a 2.5× stall window — the budget must SCALE with the observed
@@ -480,14 +500,19 @@ object Bench {
     // picks to at-or-below their committed floors)
     val healRatio = sys.env.get("SPARK_GRAFT_BENCH_HEAL_RATIO")
       .map(_.toDouble).getOrElse(1.5)
-    var healedCount = 0
+    var healedQueries = List.empty[String]
     if (selfHealEnabled && !contextDied && observedRatio(floors) > healRatio) {
       // rank by ABSOLUTE excess seconds over the committed floor, not
       // ratio: the graded number is a TOTAL, and healing ten 0.1s-floor
       // queries at 3× buys ~2s while the same child time on the ten
-      // biggest absolute offenders buys 10-15s
+      // biggest absolute offenders buys 10-15s. The pick threshold derives
+      // from healRatio (capped at the production 1.5): a smoke-test
+      // override below 1.5 must select candidates too, or the heal branch
+      // fires and silently picks nothing — the exact untested-path trap
+      // the override exists to close (r19 ADVICE).
+      val pickRatio = math.min(healRatio, 1.5)
       val worst = floors
-        .filter { case (n, t) => histFloors.get(n).exists(f => t > 1.5 * f) }
+        .filter { case (n, t) => histFloors.get(n).exists(f => t > pickRatio * f) }
         .sortBy { case (n, t) => -(t - histFloors(n)) }
         .take(10).map(_._1)
       if (worst.nonEmpty) try {
@@ -512,27 +537,49 @@ object Bench {
         env.put("SPARK_GRAFT_SF_DIR", sfDir)
         env.put("SPARK_GRAFT_CPUS", cpus)
         env.put("SPARK_GRAFT_FLOORS", healFloors.toString)
-        System.err.println(s"[bench] floor_ratio ${f3(observedRatio(floors))} > $healRatio: self-healing ${worst.length} outliers in a fresh JVM: ${worst.mkString(", ")}")
+        // r19 postmortem: a flat 240 s wait killed the child mid-pass-1 —
+        // fresh-JVM + Spark startup plus 10 ambient-inflated samples need
+        // startup slack + the child's budget scaled by the inflation THIS
+        // window already demonstrated (the child runs on the same host).
+        val waitS = (90 + 120 * math.min(math.max(
+          observedRatio(floors), 1.0), 4.0)).toLong
+        System.err.println(s"[bench] floor_ratio ${f3(observedRatio(floors))} > $healRatio: self-healing ${worst.length} outliers in a fresh JVM (wait ${waitS}s): ${worst.mkString(", ")}")
+        import scala.jdk.CollectionConverters._
         val proc = pb.start()
-        val done = proc.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
-        if (!done) { proc.destroyForcibly(); proc.waitFor() }
+        val done = proc.waitFor(waitS, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) {
+          System.err.println(s"[bench] self-heal child still running at ${waitS}s; killing (its banked floors survive)")
+          proc.destroyForcibly(); proc.waitFor()
+        }
         if (Files.exists(healFloors)) {
           val root = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(Files.readString(healFloors))
-          import scala.jdk.CollectionConverters._
           Option(root.get(sfKey)).foreach { sub =>
             sub.fieldNames().asScala.foreach { n =>
               val v = sub.get(n).asDouble
               okSamples += n -> v
-              healedCount += 1
+              healedQueries = n :: healedQueries
               System.err.println(s"[bench] healed $n -> ${f3(v)}s")
             }
           }
-        } else System.err.println("[bench] self-heal child produced no floors (see its err.log); keeping in-process numbers")
+        }
+        if (healedQueries.isEmpty) {
+          // the child's stderr is the only evidence of WHY it delivered
+          // nothing — tail it into this process so the artifact explains
+          // itself instead of pointing at a temp dir a cleanup may remove
+          System.err.println("[bench] self-heal child produced no floors; child err.log tail:")
+          try Files.readAllLines(tmp.resolve("err.log")).asScala.takeRight(15)
+            .foreach(l => System.err.println(s"[heal-child] $l"))
+          catch { case _: Exception => System.err.println("[bench] (no err.log)") }
+        }
       } catch {
         case e: Exception =>
           System.err.println(s"[bench] self-heal failed: ${oneLine(e)}")
       }
+      // a triggered heal that selects nothing must SAY so (the r19
+      // ADVICE trap: a silent skip looks identical to a healthy run) —
+      // the usual cause is no committed floors for this sf key
+      else System.err.println(f"[bench] floor_ratio ${f3(observedRatio(floors))} exceeds $healRatio but no pick candidates (no committed floors for '$sfKey'?) — skipping self-heal")
     }
     val results = floors
     val total = results.map(_._2).sum
@@ -557,13 +604,20 @@ object Bench {
       else s""","failed":${failedList.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     if (failedList.nonEmpty)
       System.err.println(s"[bench] ${failedList.length} queries had failed samples: ${failedList.mkString(", ")}")
-    val healedField = if (healedCount > 0) s""","healed":$healedCount""" else ""
+    // "healed_queries" names WHICH graded values came from the fresh-JVM
+    // child (r19 ADVICE: a bare count left the artifact unauditable); the
+    // compact stdout line carries only the count (tail-budget discipline).
+    val healedField =
+      if (healedQueries.isEmpty) ""
+      else s""","healed":${healedQueries.length},"healed_queries":${healedQueries.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    val healedCountField =
+      if (healedQueries.isEmpty) "" else s""","healed":${healedQueries.length}"""
     Files.writeString(Paths.get("bench_out.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(results)},"sf":"$sfDir","pass1":${jmap(pass1.toSeq)},"pass2":${jmap(pass2Min)},"pass2_ran":$covered,"pass2_samples":${pass2.length},"wall_s":${f3(wallS)}${floorRatioField(results)}$failedField$healedField}""" + "\n")
     // Refreshed compact line — the last complete line on stdout wins.
     println(compactLine(results, 1500, inventory, withRatio = true,
       extra = (if (failedList.isEmpty) ""
-        else s""","failed":${failedList.length}""") + healedField))
+        else s""","failed":${failedList.length}""") + healedCountField))
     spark.stop()
   }
 }

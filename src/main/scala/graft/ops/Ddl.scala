@@ -2483,9 +2483,14 @@ object Ddl {
         // whole-table orphan reclamation: table dir + live branch heads,
         // referenced-set union over every reachable manifest; files
         // younger than the horizon are presumed in-flight and skipped
+        // default horizon = 3 days (Iceberg's remove_orphan_files default
+        // for the same move-then-publish race: mtime is the only liveness
+        // proxy for another writer's in-flight files, and Files.move
+        // preserves mtime — a short default could reclaim a slow commit's
+        // just-moved data moments before its manifest publishes)
         val rows = graft.sources.GraftKvSink.removeOrphans(kvPathFor(name),
           Option(olderStr).map(_.toLong * 60L * 1000L)
-            .getOrElse(10L * 60L * 1000L),
+            .getOrElse(3L * 24L * 60L * 60L * 1000L),
           dryRun = dryStr != null)
         rows.toDF("file", "reason")
       case VacuumRe(name, retainStr) =>

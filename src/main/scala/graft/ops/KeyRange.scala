@@ -1659,6 +1659,153 @@ object KeyRange {
         |FROM graft.kvq.dec_t GROUP BY flag ORDER BY flag""".stripMargin)
   }
 
+  /** §7.45 judged: the TWO-LEVEL MANIFEST — manifest-list + hash-assigned
+    * per-partition-bucket shard files, the metadata-scale ring a 100-TB
+    * table needs. The single-JSON manifest has a MEASURED cliff
+    * (ManifestProbe, r19: 1e6 file entries = 573 MB JSON, 52-88 s per
+    * op, OOMs an 8 GB driver — and 100 TB at 128 MB files is ~8e5
+    * entries); past the split, per-file entries live in shard files and
+    * the list carries per-shard content digests, conservative column
+    * summaries and distinct partition-tuple sets. Required in-query:
+    * (a) resharding is LOSSLESS pure metadata (same files/stats/blooms);
+    * (b) a single-partition commit rewrites EXACTLY ONE shard and
+    * re-references every untouched shard file byte-for-byte (commit
+    * cost ∝ commit size, not table size); (c) a partition probe PARSES
+    * exactly one shard (the plan text exposes shards=parsed/total) yet
+    * plans exactly the files the full per-file pruner would — pruning
+    * semantics unchanged, only parse cost moves. The final per-region
+    * aggregate hash-gates the data against the relational replay.
+    * [ref*: Iceberg manifest-list/manifest split — public design] */
+  def kvManifestShard(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.GraftKvSink
+    val tmp = s"$scratch/kv_mshard"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.mshard_t")
+    s.sql("CREATE TABLE graft.kvq.mshard_t (o_orderkey BIGINT, " +
+      "region STRING, o_totalprice DOUBLE) USING graft_kv " +
+      s"PARTITIONED BY (region) OPTIONS (path '$tmp', epochs 'true')")
+    Tables.orders(s, d).createOrReplaceTempView("ord_ms_v")
+    s.sql("INSERT INTO graft.kvq.mshard_t SELECT o_orderkey, " +
+      "concat('r', CAST(o_orderkey % 5 AS INT)), o_totalprice FROM ord_ms_v")
+    def mf() = GraftKvSink.readManifest(GraftKvSink.manifestPath(tmp))
+    val m0 = mf()
+    require(m0.shardCount == 0 && m0.shardInfo.isEmpty,
+      "a fresh small table must start on the legacy single-JSON layout")
+    // opt in to the two-level layout (tables past the split threshold do
+    // this themselves on their next commit)
+    s.sql("ALTER TABLE graft.kvq.mshard_t SET TBLPROPERTIES " +
+      "('manifest.shards' = '8')")
+    val m1 = mf()
+    require(m1.shardCount == 8 && m1.shardInfo.nonEmpty,
+      s"reshard did not take: shardCount=${m1.shardCount}")
+    require(m1.files.toSet == m0.files.toSet && m1.stats == m0.stats &&
+      m1.blooms == m0.blooms,
+      "resharding must be lossless pure metadata")
+    val sigs0 = m1.shardInfo.map(si => si.id -> si.sig).toMap
+    val files0 = m1.shardInfo.map(si => si.id -> si.file).toMap
+    // one partition's worth of new rows -> exactly one shard rewrites
+    s.sql("INSERT INTO graft.kvq.mshard_t SELECT o_orderkey + 100000000, " +
+      "'r2', o_totalprice FROM ord_ms_v WHERE o_orderkey % 5 = 2")
+    val m2 = mf()
+    val changedIds = m2.shardInfo.filter(si =>
+      !sigs0.get(si.id).contains(si.sig)).map(_.id).toSet
+    require(changedIds.size == 1,
+      s"a single-partition commit must rewrite exactly its one shard, " +
+        s"touched ${changedIds.size}")
+    require(m2.shardInfo.filterNot(si => changedIds(si.id)).forall(si =>
+        files0.get(si.id).contains(si.file)),
+      "an untouched shard was re-serialized (commit cost must be " +
+        "proportional to the commit, not the table)")
+    // shard-pruned planning: the r1 probe parses ONLY the shard whose
+    // tuple set holds r1 (same-tuple files co-locate by construction)
+    val scan = new graft.sources.GraftKvScan(tmp, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("region", "r1")))
+    val desc = scan.description()
+    val ShardsRe = """shards=(\d+)/(\d+)""".r.unanchored
+    val (parsed, total) = desc match {
+      case ShardsRe(a, b) => (a.toInt, b.toInt)
+      case _ => throw new IllegalStateException(
+        s"plan does not expose shard parse counts: $desc")
+    }
+    require(total == m2.shardInfo.length && total >= 2,
+      s"fixture must spread partitions over several shards, got $total")
+    require(parsed == 1,
+      s"the r1 probe must parse exactly r1's shard, parsed $parsed/$total")
+    val r1Files = m2.files.count { case (n, _) =>
+      m2.stats.getOrElse(n, Map.empty).get("part:region")
+        .exists(_._1 == "r1") }
+    require(r1Files > 0 && scan.planInputPartitions().length == r1Files,
+      "shard pruning changed the planned file set")
+    s.sql(
+      """SELECT region, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM graft.kvq.mshard_t WHERE region IN ('r1', 'r2')
+        |GROUP BY region ORDER BY region""".stripMargin)
+  }
+
+  /** §7.46 judged: ARRAY kv columns — the embeddings table's own
+    * `ARRAY<FLOAT>` shape living NATIVELY in a kv table (one `[e1,e2,…]`
+    * TSV cell, element images in the element type's canonical scalar
+    * form — parsing is a split inside the cell, so the row format is
+    * additively unchanged). Required in-query: (a) the kv read is
+    * BIT-EQUAL to the parquet source (exceptAll both ways — the float
+    * shortest-decimal codec round-trips exactly); (b) array columns
+    * record NO min/max (arrays have no pruning order — absent stats
+    * never prune, the standing soundness rule; Iceberg records none
+    * either) while `cnt:`/`len:` sketches ride (len = TOTAL ELEMENT
+    * COUNT, required = 64 × non-null rows on this fixture); (c) the
+    * partition-transform refusal arm (no transform output exists over
+    * an array). A CoW UPDATE then rewrites array cells (slice), and the
+    * per-label aggregate over size() + integerized element values
+    * hash-gates against the relational replay. */
+  def kvArrayTypes(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.GraftKvSink
+    val tmp = s"$scratch/kv_arr"
+    clearDir(tmp)
+    s.sql("DROP TABLE IF EXISTS graft.kvq.arr_t")
+    s.sql("CREATE TABLE graft.kvq.arr_t (vec_id BIGINT, " +
+      "emb ARRAY<FLOAT>, label INT) USING graft_kv " +
+      s"OPTIONS (path '$tmp', epochs 'true')")
+    Tables.embeddings(s, d).createOrReplaceTempView("emb_ar_v")
+    s.sql("INSERT INTO graft.kvq.arr_t SELECT vec_id, embedding, label " +
+      "FROM emb_ar_v")
+    // (a) bit-exact round-trip through the text codec
+    val src = s.sql("SELECT vec_id, embedding AS emb FROM emb_ar_v")
+    val back = s.table("graft.kvq.arr_t").select("vec_id", "emb")
+    val diff = back.exceptAll(src).count() + src.exceptAll(back).count()
+    require(diff == 0, s"array round-trip must be bit-exact ($diff rows)")
+    // (b) no min/max for the array column; len: counts elements
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(tmp))
+    require(m.files.nonEmpty)
+    m.files.foreach { case (n, _) =>
+      require(!m.stats.getOrElse(n, Map.empty).keys
+          .exists(_.equalsIgnoreCase("emb")),
+        s"array column recorded a min/max range in $n — arrays must " +
+          "never prune")
+    }
+    val lenSum = m.blooms.values.flatMap(_.get("len:emb")).map(_.toLong).sum
+    val cntSum = m.blooms.values.flatMap(_.get("cnt:emb")).map(_.toLong).sum
+    require(cntSum > 0 && lenSum == cntSum * 64L,
+      s"len: sketch must count elements (len $lenSum vs cnt $cntSum x 64)")
+    // (c) refusal arm: no transform output exists over an array
+    val refused = try {
+      graft.sources.GraftPartition.parseOne("emb", m.schema); false
+    } catch { case e: IllegalArgumentException =>
+      e.getMessage.contains("ARRAY") }
+    require(refused, "array partition transform must refuse")
+    // array DML: CoW rewrite of the cells themselves
+    s.sql("UPDATE graft.kvq.arr_t SET emb = slice(emb, 1, 32) " +
+      "WHERE vec_id % 50 = 0")
+    s.sql(
+      """SELECT CAST(label % 4 AS INT) AS grp, count(*) AS cnt,
+        |  CAST(sum(size(emb)) AS BIGINT) AS total_len,
+        |  CAST(sum(CAST(floor(CAST(element_at(emb, 1) AS DOUBLE) *
+        |    1000000) AS BIGINT)) AS BIGINT) AS e1_sum
+        |FROM graft.kvq.arr_t GROUP BY CAST(label % 4 AS INT)
+        |ORDER BY grp""".stripMargin)
+  }
+
   /** A8 judged: SHALLOW CLONE — a ZERO-COPY branch of a kv table at an
     * epoch boundary (the Delta `CREATE TABLE … SHALLOW CLONE` shape). The
     * clone's manifest references the source's files by absolute path, so
@@ -3342,6 +3489,8 @@ object KeyRange {
     "kv_type_widen" -> (kvTypeWiden _),
     "kv_decimal_types" -> (kvDecimalTypes _),
     "kv_cherrypick" -> (kvCherrypick _),
+    "kv_manifest_shard" -> (kvManifestShard _),
+    "kv_array_types" -> (kvArrayTypes _),
     "kv_typed_agg" -> (kvTypedAgg _),
     "kv_zorder" -> (kvZorder _),
     "kv_clone" -> (kvClone _),
@@ -3471,6 +3620,35 @@ object KeyRange {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS price
         |FROM orders WHERE o_orderkey % 4 IN (0, 1, 3)
         |GROUP BY CAST(o_orderkey % 5 AS BIGINT) ORDER BY grp""".stripMargin,
+    // both manifest layouts' committed rows replayed relationally: the
+    // base load plus the post-split single-partition commit — the shard
+    // mechanics (one-shard commits, shard-pruned parse) are required
+    // in-query, the oracle hash-gates that no row moved or vanished
+    "kv_manifest_shard" ->
+      """WITH t AS (SELECT o_orderkey,
+        |    concat('r', CAST(o_orderkey % 5 AS INT)) AS region,
+        |    o_totalprice FROM orders
+        |  UNION ALL SELECT o_orderkey + 100000000, 'r2', o_totalprice
+        |  FROM orders WHERE o_orderkey % 5 = 2)
+        |SELECT region, count(*) AS cnt,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+        |FROM t WHERE region IN ('r1', 'r2')
+        |GROUP BY region ORDER BY region""".stripMargin,
+    // the array pipeline replayed relationally: base embeddings with the
+    // sliced-cell DML mirrored (floor-integerized first elements make
+    // the float sum order-independent and engine-exact)
+    "kv_array_types" ->
+      """WITH t AS (SELECT vec_id, label,
+        |    CASE WHEN vec_id % 50 = 0 THEN embedding[1:32]
+        |         ELSE embedding END AS emb
+        |  FROM embeddings)
+        |SELECT CAST(label % 4 AS INT) AS grp, count(*) AS cnt,
+        |  CAST(sum(len(emb)) AS BIGINT) AS total_len,
+        |  CAST(sum(CAST(floor(CAST(emb[1] AS DOUBLE) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS e1_sum
+        |FROM t GROUP BY CAST(label % 4 AS INT)
+        |ORDER BY grp""".stripMargin,
     // the per-flag aggregate replayed relationally: sum as DOUBLE,
     // min/max as exact decimal STRING images (dtype-stable both engines)
     "kv_decimal_types" ->

@@ -305,11 +305,15 @@ object Similarity {
     * (2) the incremental index answers the standard multi-probe query
     * IDENTICALLY to a from-scratch rebuild over the full corpus (same
     * frozen centroids ⇒ same assignments ⇒ bit-equal top-3). The oracle
-    * replays the whole IVF search relationally over base+batch. At
-    * 100 TB: nightly embedding batches index in batch-sized work and
-    * append as epochs; the index table compacts, prunes and time-travels
-    * like any kv table, and the vectors never leave the lake — the index
-    * holds only (id, cell). */
+    * replays the whole IVF search relationally over base+batch. r20: the
+    * index is KV-NATIVE end to end (§7.46 payoff) — it holds
+    * (vec_id, cell, vec ARRAY<FLOAT>), the search path reads neighbor
+    * vectors from the index table itself (the float codec round-trips
+    * exactly, so dot products stay bit-equal to a parquet-side
+    * derivation), and kv CDC/branches/time-travel version embedding
+    * revisions like any column. At 100 TB: nightly embedding batches
+    * index in batch-sized work and append as epochs; the index table
+    * compacts, prunes and time-travels like any kv table. */
   def simAnnIncremental(s: SparkSession, d: String): DataFrame = {
     VectorOps.ensureRegistered(s)
     val tmp = s"$scratch/ann_idx"
@@ -320,8 +324,13 @@ object Similarity {
       }
       rm(new java.io.File(tmp))
     }
-    s.sql("CREATE TABLE graft.kvq.ann_idx (vec_id BIGINT, cell BIGINT) " +
-      s"USING graft_kv OPTIONS (path '$tmp', epochs 'true')")
+    // KV-NATIVE index (§7.46 payoff): the vectors themselves live in the
+    // kv table beside their cell assignment — ARRAY<FLOAT> is a first-
+    // class kv type, so CDC/branches/time-travel version embedding
+    // revisions like any column, and the search path below reads ONLY
+    // the index table (no parquet side-car join for the corpus).
+    s.sql("CREATE TABLE graft.kvq.ann_idx (vec_id BIGINT, cell BIGINT, " +
+      s"vec ARRAY<FLOAT>) USING graft_kv OPTIONS (path '$tmp', epochs 'true')")
     val e = withVec(Tables.embeddings(s, d))
     val base = e.filter(col("vec_id") % 5 =!= 0)
     val batch = e.filter(col("vec_id") % 5 === 0)
@@ -341,7 +350,8 @@ object Similarity {
           pairCos(col("emb_d"), col("ce"), col("nrm"), col("cn")))
         .withColumn("crk", row_number().over(w))
         .filter(col("crk") === 1)
-        .select(col("vec_id"), col("c_id").as("cell"))
+        .select(col("vec_id"), col("c_id").as("cell"),
+          col("embedding").as("vec"))
     }
     assign(base).createOrReplaceTempView("ann_idx_base")
     s.sql("INSERT INTO graft.kvq.ann_idx SELECT * FROM ann_idx_base")
@@ -367,8 +377,12 @@ object Similarity {
         .filter(col("crk") <= 2)
         .select(col("vec_id").as("q_id"), col("emb_d").as("qe"),
           col("nrm").as("qn"), col("c_id").as("cell"))
-      val n = idx.join(e.select(col("vec_id"), col("emb_d").as("ne"),
-          col("nrm").as("nn")), Seq("vec_id"))
+      // neighbor vectors come from the INDEX itself (kv-native): the
+      // float codec round-trips exactly, so the dot products are
+      // bit-equal to a parquet-side derivation
+      val n = idx
+        .withColumn("ne", VectorOps.embD(col("vec")))
+        .withColumn("nn", sqrt(VectorOps.dotFast(col("ne"), col("ne"))))
         .select(col("vec_id").as("n_id"), col("ne"), col("nn"), col("cell"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("n_id"))

@@ -821,11 +821,32 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     }
     val optsNext = propChanges.foldLeft(d.options) { (opts, ch) =>
       ch match {
+        case p: TableChange.SetProperty if
+            p.property.equalsIgnoreCase("manifest.shards") =>
+          // two-level-manifest knob (SURVEY §7.45): ACTION property —
+          // reshards the manifest now (pure metadata publish under the
+          // table's commit lock); the layout lives in the manifest list
+          // itself, not the catalog entry, so options stay unchanged
+          val path = d.options.getOrElse("path", throw new IllegalStateException(
+            s"kv table ${d.name} lacks a path option"))
+          GraftKvSink.reshardManifest(path,
+            try p.value.toInt catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"graft_kv: manifest.shards must be an integer, " +
+                  s"got '${p.value}'") })
+          opts
+        case p: TableChange.RemoveProperty if
+            p.property.equalsIgnoreCase("manifest.shards") =>
+          val path = d.options.getOrElse("path", throw new IllegalStateException(
+            s"kv table ${d.name} lacks a path option"))
+          GraftKvSink.reshardManifest(path, 0)
+          opts
         case p: TableChange.SetProperty =>
           val k = p.property.toLowerCase
           require(k.startsWith("check.") && k.length > "check.".length,
-            s"graft_kv: only CHECK-constraint properties (check.<name>) " +
-              s"can be set after CREATE, got '${p.property}'")
+            s"graft_kv: only CHECK-constraint (check.<name>) and " +
+              s"manifest.shards properties can be set after CREATE, " +
+              s"got '${p.property}'")
           val path = d.options.getOrElse("path", throw new IllegalStateException(
             s"kv table ${d.name} lacks a path option"))
           validateChecks(path, Map(k.stripPrefix("check.") -> p.value))
@@ -833,8 +854,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         case p: TableChange.RemoveProperty =>
           val k = p.property.toLowerCase
           require(k.startsWith("check."),
-            s"graft_kv: only CHECK-constraint properties (check.<name>) " +
-              s"can be unset, got '${p.property}'")
+            s"graft_kv: only CHECK-constraint (check.<name>) and " +
+              s"manifest.shards properties can be unset, got '${p.property}'")
           opts - k
         case other => throw new IllegalStateException(s"unreachable: $other")
       }

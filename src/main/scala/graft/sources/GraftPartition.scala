@@ -247,7 +247,7 @@ object GraftPartition {
       validated(PTime(u.toLowerCase, name, dt))
     case c =>
       val (name, dt) = colOf(c, schema)
-      PIdentity(name, dt)
+      validated(PIdentity(name, dt))
   }
 
   private def colOf(c: String, schema: StructType): (String, DataType) = {
@@ -259,9 +259,16 @@ object GraftPartition {
   }
 
   private def validated(t: PTransform): PTransform = t match {
+    // arrays have no transform output: no order (identity/truncate),
+    // and bucketing a whole variable-length cell invites accidental
+    // skew for no pruning value — refuse every shape (SURVEY §7.46)
+    case _ if t.dt.isInstanceOf[ArrayType] =>
+      throw new IllegalArgumentException(
+        s"graft_kv: partition transforms do not apply to ARRAY column " +
+          s"'${t.source}' — arrays have no transform output")
     case PTruncate(_, _,
-        DoubleType | TimestampType | TimestampNTZType | DateType |
-        BooleanType | _: DecimalType) =>
+        DoubleType | FloatType | TimestampType | TimestampNTZType |
+        DateType | BooleanType | _: DecimalType) =>
       throw new IllegalArgumentException(
         s"graft_kv: truncate() does not apply to ${t.dt.simpleString} " +
           s"column '${t.source}' (use days/months/years/hours for time)")
@@ -325,6 +332,7 @@ object GraftPartition {
       case PIdentity(_, IntegerType | LongType | TimestampType |
                         TimestampNTZType | DateType) => true
       case PIdentity(_, DoubleType)               => return a.toDouble <= b.toDouble
+      case PIdentity(_, FloatType)                => return a.toFloat <= b.toFloat
       case PIdentity(_, _: DecimalType) => return new java.math.BigDecimal(a)
         .compareTo(new java.math.BigDecimal(b)) <= 0
       // BOOLEAN identity: "false" < "true" in UTF-8 order — the default

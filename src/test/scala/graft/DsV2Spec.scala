@@ -3023,6 +3023,275 @@ class DsV2Spec extends SparkSpec {
     spark.sql("DROP TABLE graft.cpr.t")
   }
 
+  test("CHERRY-PICK allocates past a parent MOR-delta head epoch") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_cpd").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cpd.t")
+    spark.sql("CREATE TABLE graft.cpd.t (id BIGINT, v BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true', mor 'true')")
+    spark.sql("INSERT INTO graft.cpd.t SELECT id, id FROM range(10)")
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.cpd.t CREATE BRANCH s")
+    // branch stages a pure-append epoch (1, local to the branch dir)
+    spark.sql("INSERT INTO graft.cpd.t.branch_s SELECT id + 100, id " +
+      "FROM range(5)")
+    // parent's HEAD commit is a merge-on-read DELETE: only a .kvd delta
+    // carries its epoch, no data file / removedAt / fence does (the batch
+    // INSERT's files sit at epoch 0, so the delta allocates epoch 1)
+    spark.sql("DELETE FROM graft.cpd.t WHERE id = 3")
+    val m0 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val deltaHead = m0.deltas.map(d => GraftKvSink.epochOf(d.name)).max
+    assert(deltaHead == 1L, s"expected parent delta head 1, got $deltaHead")
+    assert(m0.files.map(f => GraftKvSink.epochOf(f._1)).max == 0L)
+    // the pick must land STRICTLY past the delta epoch, or AS OF 1 and
+    // the changefeed would attribute the picked rows to the DELETE commit
+    val picked = GraftKvSink.cherryPick(dir, "s", 1L)
+    assert(picked == 2L, s"cherry-pick epoch must clear the MOR-delta " +
+      s"head (1), got $picked")
+    assert(spark.table("graft.cpd.t").count() == 14) // 10 - 1 + 5
+    // AS OF the delta epoch still sees ONLY the delete's state (9 rows)
+    val asOf = spark.sql(
+      "SELECT count(*) FROM graft.cpd.t VERSION AS OF 1").collect()(0).getLong(0)
+    assert(asOf == 9L, s"AS OF 1 must exclude the picked rows, got $asOf")
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.cpd.t DROP BRANCH s")
+    spark.sql("DROP TABLE graft.cpd.t")
+  }
+
+  test("FLOAT kv columns: exact round-trip, range pruning, NaN stats guard, widen refusal") {
+    import graft.sources.{GraftKvSink, GraftKvScan}
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_flt").toString
+    spark.sql("DROP TABLE IF EXISTS graft.flt.t")
+    spark.sql("CREATE TABLE graft.flt.t (id BIGINT, x FLOAT) " +
+      s"USING graft_kv OPTIONS (path '$dir', epochs 'true')")
+    // two disjoint value bands -> per-file ranges must prune
+    spark.sql("INSERT INTO graft.flt.t SELECT id, " +
+      "CAST(id AS FLOAT) / CAST(10 AS FLOAT) FROM range(100)")
+    spark.sql("INSERT INTO graft.flt.t SELECT id + 100, " +
+      "CAST(id + 1000 AS FLOAT) FROM range(50)")
+    // 0.1f has no exact decimal image — the shortest-decimal round-trip
+    // must return the exact committed float
+    spark.sql("INSERT INTO graft.flt.t VALUES (CAST(999 AS BIGINT), " +
+      "CAST(0.1 AS FLOAT))")
+    assert(spark.table("graft.flt.t").count() == 151)
+    assert(spark.sql("SELECT x FROM graft.flt.t WHERE id = 999")
+      .head.getFloat(0) == 0.1f)
+    assert(spark.sql("SELECT CAST(sum(x) AS DOUBLE) FROM graft.flt.t " +
+      "WHERE id < 100").head.getDouble(0) > 0.0)
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val hiFiles = m.files.count { case (n, _) =>
+      m.stats.getOrElse(n, Map.empty).get("x")
+        .exists(_._1.toFloat >= 500.0f) }
+    assert(hiFiles > 0 && hiFiles < m.files.length)
+    def planned(fs: org.apache.spark.sql.sources.Filter*): Int =
+      new GraftKvScan(dir, None, fs.toSeq).planInputPartitions().length
+    assert(planned(org.apache.spark.sql.sources.GreaterThan(
+      "x", 500.0f)) == hiFiles, "float range probe must prune to the high band")
+    // NaN poisons that file's x stats (absent stats never prune) but the
+    // row itself still reads
+    spark.sql("INSERT INTO graft.flt.t VALUES (CAST(998 AS BIGINT), " +
+      "CAST('NaN' AS FLOAT))")
+    val m1 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    val nanFile = m1.files.map(_._1).filterNot(m.files.map(_._1).toSet)
+    assert(nanFile.length == 1 &&
+      !m1.stats.getOrElse(nanFile.head, Map.empty).contains("x"),
+      "a NaN-bearing file must record no x range")
+    assert(spark.sql("SELECT count(*) FROM graft.flt.t WHERE isnan(x)")
+      .head.getLong(0) == 1L)
+    // FLOAT -> DOUBLE refuses: shortest-decimal image re-parse would
+    // re-interpret every committed value (see widens())
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.flt.t ALTER COLUMN x TYPE DOUBLE")
+    }
+    assert(e.getMessage.contains("re-interpret") ||
+      e.getMessage.contains("widening"), e.getMessage)
+    spark.sql("DROP TABLE graft.flt.t")
+  }
+
+  test("ARRAY kv columns: round-trip incl. escaping/null/empty, len sketch, DML, refusal arms") {
+    import spark.implicits._
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_arr").toString
+    spark.sql("DROP TABLE IF EXISTS graft.arr.t")
+    spark.sql("CREATE TABLE graft.arr.t (id BIGINT, xs ARRAY<FLOAT>, " +
+      "tags ARRAY<STRING>) USING graft_kv " +
+      s"OPTIONS (path '$dir', epochs 'true')")
+    // escaping hazards on purpose: separators, brackets, backslashes, a
+    // literal "N" (must not alias the \N null token), null elements,
+    // empty array vs NULL cell
+    Seq(
+      (1L, Seq(0.1f, 2.5f, -0.0f), Seq("a,b", "c]d[", "N")),
+      (2L, Seq.empty[Float], Seq(null.asInstanceOf[String], "")),
+      (3L, null.asInstanceOf[Seq[Float]], Seq("\\", "\\N", "x\\,y"))
+    ).toDF("id", "xs", "tags").createOrReplaceTempView("arr_seed")
+    spark.sql("INSERT INTO graft.arr.t SELECT * FROM arr_seed")
+    val back = spark.table("graft.arr.t").orderBy("id").collect()
+    assert(back(0).getSeq[Float](1) == Seq(0.1f, 2.5f, -0.0f))
+    assert(back(0).getSeq[String](2) == Seq("a,b", "c]d[", "N"))
+    assert(back(1).getSeq[Float](1) == Seq.empty[Float],
+      "empty array must stay [] — not NULL")
+    assert(back(1).getSeq[String](2) == Seq(null, ""))
+    assert(back(2).isNullAt(1), "NULL cell must stay NULL — not []")
+    assert(back(2).getSeq[String](2) == Seq("\\", "\\N", "x\\,y"))
+    // metadata: NO min/max for array columns (absent stats never prune);
+    // cnt: rides; len: = TOTAL ELEMENT COUNT
+    val m = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m.files.nonEmpty)
+    m.files.foreach { case (n, _) =>
+      val st = m.stats.getOrElse(n, Map.empty)
+      assert(!st.keys.exists(k => k.equalsIgnoreCase("xs") ||
+        k.equalsIgnoreCase("tags")), s"$n recorded an array range: $st")
+    }
+    val lenXs = m.blooms.values.flatMap(_.get("len:xs")).map(_.toLong).sum
+    val lenTags = m.blooms.values.flatMap(_.get("len:tags")).map(_.toLong).sum
+    assert(lenXs == 3L, s"len:xs = $lenXs (3 elements over non-null cells)")
+    assert(lenTags == 8L, s"len:tags = $lenTags")
+    // predicates and DML compose over array cells
+    assert(spark.sql("SELECT count(*) FROM graft.arr.t " +
+      "WHERE array_contains(tags, 'N')").head.getLong(0) == 1L)
+    spark.sql("UPDATE graft.arr.t SET xs = slice(xs, 1, 1) WHERE id = 1")
+    assert(spark.table("graft.arr.t").where("id = 1")
+      .head.getSeq[Float](1) == Seq(0.1f))
+    spark.sql("DELETE FROM graft.arr.t WHERE id = 2")
+    assert(spark.table("graft.arr.t").count() == 2)
+    // refusal arms: no transform, no sort order, no zorder over arrays
+    val e1 = intercept[Exception] {
+      val d2 = java.nio.file.Files.createTempDirectory("graft_kv_arrp").toString
+      spark.sql("CREATE TABLE graft.arr.bad (v ARRAY<FLOAT>) " +
+        s"USING graft_kv PARTITIONED BY (v) OPTIONS (path '$d2')")
+    }
+    assert(e1.getMessage.contains("ARRAY"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("OPTIMIZE graft.arr.t ZORDER BY (xs)")
+    }
+    assert(e2.getMessage.contains("ARRAY"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      Seq((9L, Seq(1.0f), Seq("z"))).toDF("id", "xs", "tags")
+        .write.format("graft.sources.GraftKvSink")
+        .option("path", dir).option("sortBy", "xs").mode("append").save()
+    }
+    assert(e3.getMessage.contains("ARRAY"), e3.getMessage)
+    spark.sql("DROP TABLE graft.arr.t")
+    spark.sql("DROP TABLE IF EXISTS graft.arr.bad")
+  }
+
+  test("two-level manifest: reshard round-trip, DML, time travel, branch, unshard") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_shrd").toString
+    spark.sql("DROP TABLE IF EXISTS graft.shrd.t")
+    spark.sql("CREATE TABLE graft.shrd.t (id BIGINT, region STRING, v DOUBLE) " +
+      "USING graft_kv PARTITIONED BY (region) " +
+      s"OPTIONS (path '$dir', epochs 'true', mor 'true')")
+    spark.sql("INSERT INTO graft.shrd.t SELECT id, " +
+      "concat('g', CAST(id % 4 AS INT)), CAST(id AS DOUBLE) FROM range(200)")
+    val m0 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    spark.sql("ALTER TABLE graft.shrd.t SET TBLPROPERTIES ('manifest.shards' = '8')")
+    val m1 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m1.shardCount == 8 && m1.shardInfo.nonEmpty)
+    // lossless: identical files, stats, blooms after reassembly
+    assert(m1.files.toSet == m0.files.toSet)
+    assert(m1.stats == m0.stats && m1.blooms == m0.blooms)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_manifest_shards")))
+    // reads, filtered reads and aggregates unchanged
+    assert(spark.table("graft.shrd.t").count() == 200)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.shrd.t WHERE region = 'g1'")
+      .head.getLong(0) == 50L)
+    // branching works over a sharded parent (the branch dir has its own
+    // layout decision); must fork BEFORE the MOR DML below — live deltas
+    // refuse a branch boundary (the standing clone rule)
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.shrd.t CREATE BRANCH b")
+    spark.sql("INSERT INTO graft.shrd.t.branch_b SELECT id + 1000, 'g0', " +
+      "CAST(0.5 AS DOUBLE) FROM range(5)")
+    assert(spark.table("graft.shrd.t.branch_b").count() == 205)
+    assert(spark.table("graft.shrd.t").count() == 200)
+    graft.ops.Ddl.execute(spark, "ALTER TABLE graft.shrd.t DROP BRANCH b")
+    // DML on the sharded table: MOR delete, then CoW-style update
+    spark.sql("DELETE FROM graft.shrd.t WHERE id = 7")
+    assert(spark.table("graft.shrd.t").count() == 199)
+    spark.sql("UPDATE graft.shrd.t SET v = v + 1000 WHERE id = 8")
+    assert(spark.sql("SELECT v FROM graft.shrd.t WHERE id = 8")
+      .head.getDouble(0) == 1008.0)
+    // time travel still reconstructs the pre-DML boundary (full parse
+    // path: asOf scans never shard-prune)
+    assert(spark.sql("SELECT count(*) FROM graft.shrd.t VERSION AS OF 0")
+      .head.getLong(0) == 200L)
+    // unshard restores the legacy layout and removes the shard dir
+    spark.sql("ALTER TABLE graft.shrd.t UNSET TBLPROPERTIES ('manifest.shards')")
+    val m2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+    assert(m2.shardCount == 0 && m2.shardInfo.isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_manifest_shards")))
+    assert(spark.table("graft.shrd.t").count() == 199)
+    spark.sql("DROP TABLE graft.shrd.t")
+  }
+
+  test("two-level manifest: auto-split past threshold, commit locality, generation GC, unshard refusal") {
+    import graft.sources.GraftKvSink
+    val dir = java.nio.file.Files.createTempDirectory("graft_kv_shat").toString
+    val prop = "graft.manifest.shard.threshold"
+    val old = sys.props.get(prop)
+    try {
+      sys.props(prop) = "4"
+      spark.sql("DROP TABLE IF EXISTS graft.shat.t")
+      spark.sql("CREATE TABLE graft.shat.t (id BIGINT, region STRING) " +
+        "USING graft_kv PARTITIONED BY (region) " +
+        s"OPTIONS (path '$dir', epochs 'true')")
+      // each single-partition INSERT publishes one file; the commit that
+      // brings the live entry count to the threshold splits the manifest
+      (0 until 6).foreach { i =>
+        spark.sql(s"INSERT INTO graft.shat.t VALUES " +
+          s"(CAST($i AS BIGINT), 'p${i % 6}')")
+      }
+      val m0 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+      assert(m0.shardCount == 8, s"auto-split did not fire: ${m0.shardCount}")
+      assert(m0.files.length == 6)
+      assert(spark.table("graft.shat.t").count() == 6)
+      // commit locality: a new single-partition insert changes exactly
+      // one shard's sig and re-references every other shard file
+      val sigs = m0.shardInfo.map(si => si.id -> si.sig).toMap
+      val names = m0.shardInfo.map(si => si.id -> si.file).toMap
+      spark.sql("INSERT INTO graft.shat.t VALUES (CAST(100 AS BIGINT), 'p1')")
+      val m1 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+      val changed = m1.shardInfo.filter(si => !sigs.get(si.id).contains(si.sig))
+      assert(changed.length == 1, s"touched ${changed.map(_.id)}")
+      assert(m1.shardInfo.filterNot(changed.contains).forall(si =>
+        names.get(si.id).contains(si.file)))
+      // generation GC: after >8 further commits, shard files more than 8
+      // list versions older than the head and unreferenced are gone
+      (0 until 10).foreach { i =>
+        spark.sql(s"INSERT INTO graft.shat.t VALUES " +
+          s"(CAST(${200 + i} AS BIGINT), 'p1')")
+      }
+      val m2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+      val referenced = m2.shardInfo.map(_.file).toSet
+      val GenRe = """shard-\d+-(\d+)\.json""".r
+      val onDisk = {
+        val s = java.nio.file.Files.list(
+          java.nio.file.Paths.get(dir, "_graft_manifest_shards"))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toList
+        } finally s.close()
+      }
+      onDisk.foreach {
+        case n @ GenRe(v) =>
+          assert(referenced.contains(n) || v.toLong >= m2.version - 8,
+            s"stale generation $n survived GC (head version ${m2.version})")
+        case n => fail(s"unexpected file in shard dir: $n")
+      }
+      assert(spark.table("graft.shat.t").count() == 17)
+      // unsharding past the threshold refuses: that is the measured cliff
+      val e = intercept[Exception] {
+        spark.sql("ALTER TABLE graft.shat.t UNSET TBLPROPERTIES ('manifest.shards')")
+      }
+      assert(e.getMessage.contains("single-JSON"), e.getMessage)
+      spark.sql("DROP TABLE graft.shat.t")
+    } finally {
+      old match { case Some(v) => sys.props(prop) = v
+                  case None    => sys.props.remove(prop) }
+    }
+  }
+
   test("BOOLEAN and DECIMAL kv columns: exact round-trip, ordering, DML, widen arms") {
     import graft.sources.GraftKvSink
     val dir = java.nio.file.Files.createTempDirectory("graft_kv_dec").toString
@@ -3092,9 +3361,10 @@ class DsV2Spec extends SparkSpec {
     def plant(d: String, n: String, aged: Boolean): java.nio.file.Path = {
       val p = java.nio.file.Paths.get(d, n)
       java.nio.file.Files.writeString(p, "9\n")
+      // past the 3-day default horizon (the Iceberg-shaped default)
       if (aged) java.nio.file.Files.setLastModifiedTime(p,
         java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() - 3600 * 1000L))
+          System.currentTimeMillis() - 4L * 24 * 3600 * 1000L))
       p
     }
     val o1 = plant(dir, "epoch-9-orphan.kv", aged = true)
@@ -3127,6 +3397,51 @@ class DsV2Spec extends SparkSpec {
     assert(spark.table("graft.orph.t").orderBy("id").collect().toSeq == before)
     graft.ops.Ddl.execute(spark, "ALTER TABLE graft.orph.t DROP BRANCH dev")
     spark.sql("DROP TABLE graft.orph.t")
+  }
+
+  test("shallow-clone back-references pin source files against orphan sweep and vacuum") {
+    import graft.sources.GraftKvSink
+    val src = java.nio.file.Files.createTempDirectory("graft_kv_cor_s").toString
+    val tgt = java.nio.file.Files.createTempDirectory("graft_kv_cor_t")
+      .resolve("t").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cor.s")
+    spark.sql("DROP TABLE IF EXISTS graft.cor.t")
+    // epoch-LESS source: a full INSERT OVERWRITE then reclaims the old
+    // files immediately instead of retaining history — the exact path
+    // that would dangle a clone without the back-reference guard
+    spark.sql("CREATE TABLE graft.cor.s (id BIGINT, v BIGINT) " +
+      s"USING graft_kv OPTIONS (path '$src')")
+    spark.sql("INSERT INTO graft.cor.s SELECT id, id FROM range(20)")
+    spark.sql("CREATE TABLE graft.cor.t SHALLOW CLONE graft.cor.s " +
+      s"LOCATION '$tgt'")
+    assert(spark.table("graft.cor.t").count() == 20)
+    // the clone registered itself with the source (back-ref registry)
+    assert(java.nio.file.Files.exists(GraftKvSink.clonesPath(src)))
+    // full overwrite: the source abandons every pre-clone file — they
+    // stay on disk as manifest-unreferenced strays ONLY the clone serves
+    spark.sql("INSERT OVERWRITE graft.cor.s SELECT id, id * 2 FROM range(5)")
+    assert(spark.table("graft.cor.s").count() == 5)
+    assert(spark.table("graft.cor.t").count() == 20)
+    // zero-horizon orphan sweep: clone-held files are REPORTED, never
+    // deleted — the back-reference registry is what sees them
+    val acted = GraftKvSink.removeOrphans(src, 0L, dryRun = false)
+    assert(acted.nonEmpty && acted.forall(_._2 == "clone-referenced"), acted)
+    assert(spark.table("graft.cor.t").count() == 20)
+    assert(spark.sql("SELECT CAST(sum(v) AS BIGINT) FROM graft.cor.t")
+      .head.getLong(0) == (0 until 20).sum.toLong)
+    // zero-grace vacuum must hold them too (stray sweep consults the
+    // registry)
+    GraftKvSink.vacuum(src, 0L)
+    assert(spark.table("graft.cor.t").count() == 20)
+    // drop the clone: its manifest disappears, the registry prunes
+    // itself, and the next sweep reclaims what only the clone held
+    spark.sql("DROP TABLE graft.cor.t")
+    java.nio.file.Files.deleteIfExists(GraftKvSink.manifestPath(tgt))
+    val acted2 = GraftKvSink.removeOrphans(src, 0L, dryRun = false)
+    assert(acted2.nonEmpty && acted2.forall(_._2 == "deleted"), acted2)
+    assert(spark.table("graft.cor.s").count() == 5)
+    assert(!java.nio.file.Files.exists(GraftKvSink.clonesPath(src)))
+    spark.sql("DROP TABLE graft.cor.s")
   }
 
   test("ALTER COLUMN TYPE widens INT to BIGINT; refusal arms hold") {
