@@ -3196,6 +3196,12 @@ class DsV2Spec extends SparkSpec {
     assert(spark.sql(
       "SELECT count(*) FROM graft.shrd.t WHERE region = 'g1'")
       .head.getLong(0) == 50L)
+    // metadata tables resolve over the sharded manifest (the list +
+    // parallel shard parse): same file inventory and partition rollup
+    assert(spark.sql("SELECT count(*) FROM graft.shrd.t.files")
+      .head.getLong(0) == m1.files.length.toLong)
+    assert(spark.sql("SELECT count(*) FROM graft.shrd.t.partitions")
+      .head.getLong(0) == 4L)
     // branching works over a sharded parent (the branch dir has its own
     // layout decision); must fork BEFORE the MOR DML below — live deltas
     // refuse a branch boundary (the standing clone rule)
