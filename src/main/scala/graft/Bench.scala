@@ -298,7 +298,19 @@ object Bench {
         s"""  "$sf": """ + m.toSeq.sorted.map { case (n, v) => s"""    "$n": ${f3(v)}""" }
           .mkString("{\n", ",\n", "\n  }")
       }.mkString("{\n", ",\n", "\n}\n")
-      Files.writeString(floorsPath, body)
+      // write-temp-then-ATOMIC_MOVE: per-sample banking moved this write
+      // into the SIGKILL window it exists to survive — a truncate-then-
+      // write torn mid-kill would lose the WHOLE committed history, not
+      // just this run's samples (the next load degrades to "no floors")
+      val tmp = floorsPath.resolveSibling(floorsPath.getFileName.toString + ".new")
+      Files.writeString(tmp, body)
+      try Files.move(tmp, floorsPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, floorsPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
     } catch {
       case e: Exception => System.err.println(s"[bench] FLOORS.json write failed: ${oneLine(e)}")
     }

@@ -488,7 +488,9 @@ object Events {
   }
 
   /** Stream-stream JOIN judged via a TRUE STREAMING execution: the events
-    * fixture replays as three kv epochs, and purchases join clicks by user
+    * fixture replays as TWO kv epochs (event_id % 3 ∈ {0, 1} — one batch
+    * boundary already proves the cross-batch properties; the oracle
+    * mirrors the exclusion), and purchases join clicks by user
     * within a 1-hour event-time interval — Spark's symmetric hash join
     * buffering BOTH sides in state across micro-batches, each matched pair
     * emitted exactly once regardless of which batch completed it (a pair

@@ -819,17 +819,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           "TYPE cannot mix with other ALTER shapes in one statement")
       return alterColumnMapping(ident, d, mapChanges)
     }
+    // two-level-manifest knob (SURVEY §7.45): an ACTION property, but
+    // APPLIED ONLY AFTER every other change in the statement validates —
+    // a reshard performed inside the fold would leave the layout mutated
+    // when a later change throws (non-atomic ALTER, review catch). The
+    // layout lives in the manifest list, not the catalog entry, so the
+    // options map stays unchanged either way.
+    var pendingReshard: Option[Int] = None
     val optsNext = propChanges.foldLeft(d.options) { (opts, ch) =>
       ch match {
         case p: TableChange.SetProperty if
             p.property.equalsIgnoreCase("manifest.shards") =>
-          // two-level-manifest knob (SURVEY §7.45): ACTION property —
-          // reshards the manifest now (pure metadata publish under the
-          // table's commit lock); the layout lives in the manifest list
-          // itself, not the catalog entry, so options stay unchanged
-          val path = d.options.getOrElse("path", throw new IllegalStateException(
-            s"kv table ${d.name} lacks a path option"))
-          GraftKvSink.reshardManifest(path,
+          pendingReshard = Some(
             try p.value.toInt catch { case _: NumberFormatException =>
               throw new IllegalArgumentException(
                 s"graft_kv: manifest.shards must be an integer, " +
@@ -837,9 +838,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           opts
         case p: TableChange.RemoveProperty if
             p.property.equalsIgnoreCase("manifest.shards") =>
-          val path = d.options.getOrElse("path", throw new IllegalStateException(
-            s"kv table ${d.name} lacks a path option"))
-          GraftKvSink.reshardManifest(path, 0)
+          pendingReshard = Some(0)
           opts
         case p: TableChange.SetProperty =>
           val k = p.property.toLowerCase
@@ -903,6 +902,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               "ADD COLUMN, RENAME COLUMN, DROP COLUMN and SET/DROP NOT " +
               "NULL (retype/reposition would re-interpret committed rows)")
       }
+    }
+    // every change validated — apply the deferred reshard action first
+    // (pure metadata publish under the table's commit lock)
+    pendingReshard.foreach { n =>
+      val path = d.options.getOrElse("path", throw new IllegalStateException(
+        s"kv table ${d.name} lacks a path option"))
+      GraftKvSink.reshardManifest(path, n)
     }
     // the manifest is the authoritative schema once data exists — evolve
     // it first, then the catalog entry (bootstrap schema for empty tables)

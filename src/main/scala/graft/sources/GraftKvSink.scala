@@ -1107,6 +1107,22 @@ object GraftKvSink {
         if (prior.exists(_.shardCount == desired))
           prior.get.shardInfo.map(si => si.id -> si).toMap
         else Map.empty
+      // retirement stamps: every prior shard file this publish stops
+      // referencing gets mtime = NOW, starting its GC grace clock at the
+      // moment of DEREFERENCE (a crash before the list publish is safe —
+      // a still-referenced file is never a GC candidate)
+      def stampRetired(name: String): Unit = {
+        val p = sd.resolve(name)
+        if (Files.exists(p))
+          try Files.setLastModifiedTime(p, java.nio.file.attribute
+            .FileTime.fromMillis(System.currentTimeMillis())): Unit
+          catch { case _: java.io.IOException => }
+      }
+      // a count-changing reshard (or a legacy->shard split over a stale
+      // dir) dereferences EVERY prior-layout file
+      prior.toSeq.flatMap(_.shardInfo)
+        .filterNot(si => priorById.get(si.id).exists(_.file == si.file))
+        .foreach(si => stampRetired(si.file))
       val shardArr = root.putArray("shards")
       val kept = scala.collection.mutable.Set.empty[String]
       grouped.toSeq.sortBy(_._1).foreach { case (id, entries) =>
@@ -1125,6 +1141,9 @@ object GraftKvSink {
             Files.write(tmpS, mapper.writeValueAsBytes(so))
             Files.move(tmpS, sd.resolve(fname),
               StandardCopyOption.REPLACE_EXISTING)
+            // this rewrite dereferences the shard's previous file
+            priorById.get(id).filter(_.file != fname)
+              .foreach(p0 => stampRetired(p0.file))
             // distinct partition tuples, bounded: a tuple-less file makes
             // the set unknown (it could match anything), as does a shard
             // with more distinct tuples than the list should carry
@@ -1158,6 +1177,11 @@ object GraftKvSink {
           }
         }
       }
+      // shards that VANISHED this publish (every file they held left the
+      // table) have no grouped entry — their prior files retire too
+      priorById.values
+        .filter(si => !grouped.contains(si.id) && !kept.contains(si.file))
+        .foreach(si => stampRetired(si.file))
       root.put("shardCount", desired)
       shardGc = Some((sd, kept.toSet))
     }
@@ -1197,18 +1221,31 @@ object GraftKvSink {
     // whole state). Vacuum's orphan sweep never enters this directory
     // (its candidate set is suffix-scoped to .kv/.kvd/.tmp at top level).
     shardGc.foreach { case (sd, kept) =>
-      val GenRe = """shard-\d+-(\d+)\.json""".r
+      // Grace is TIME-based and keyed off RETIREMENT, not creation (a
+      // review catch: the earlier version-suffix window gave a
+      // long-stable shard's file ZERO grace the moment a rewrite retired
+      // it — its suffix was ancient by then). The publish loop above
+      // stamps a just-dereferenced file's mtime to NOW ("retired at");
+      // this sweep deletes only unreferenced files whose stamp is past
+      // the grace window, so a lock-free reader holding the previous
+      // list always has the full window to resolve its shard files.
+      val cutoff = System.currentTimeMillis() - ShardGcGraceMs
       val s = Files.list(sd)
       try s.iterator().asScala.foreach { p =>
-        p.getFileName.toString match {
-          case n @ GenRe(v)
-              if !kept.contains(n) && v.toLong < newVersion - 8 =>
-            Files.deleteIfExists(p): Unit
-          case _ =>
-        }
+        val n = p.getFileName.toString
+        if (n.startsWith("shard-") && n.endsWith(".json") &&
+            !kept.contains(n) &&
+            Files.getLastModifiedTime(p).toMillis <= cutoff)
+          Files.deleteIfExists(p): Unit
       } finally s.close()
     }
   }
+
+  /** Retired-shard grace: a lock-free reader that resolved the previous
+    * manifest list gets this long to open its shard files after a
+    * rewrite dereferences them (planning is seconds; 10 minutes is the
+    * same in-flight grace vacuum's stray sweep grants). */
+  private[sources] val ShardGcGraceMs: Long = 10L * 60L * 1000L
 
   private[graft] def readManifest(mf: Path): Manifest =
     readManifestImpl(mf, Nil)._1
@@ -1703,6 +1740,9 @@ object GraftKvSink {
           Files.getLastModifiedTime(p).toMillis <= cutoff
       }.toSeq
     stray.foreach(Files.deleteIfExists(_))
+    // retired shard files left behind by an unshard reclaim here (the
+    // sharded layout GCs its own generations on every publish)
+    sweepStaleShardDir(dir)
     // RETAINED CoW HISTORY: vacuum is the retention boundary — reclaim the
     // superseded files and raise the time-travel fence to the rewrite
     // epoch, after which pre-DML asOfEpoch reads error like any vacuumed
@@ -1851,16 +1891,42 @@ object GraftKvSink {
       m.blooms, m.deltas, m.removed, m.rewrittenUpTo,
       reshardTo = Some(n), priorHint = Some(m))
     if (n == 0) {
-      // back on the legacy layout every shard file is unreferenced —
-      // remove the directory so "absent shard dir = legacy" stays true
+      // back on the legacy layout every shard file is unreferenced — but
+      // a lock-free reader may still hold the SHARDED list it resolved a
+      // moment ago (review catch: immediate deletion raced it with zero
+      // grace). Stamp retirement NOW and leave the files; vacuum's shard
+      // sweep reclaims them past the same grace window the sharded GC
+      // grants, and removes the then-empty directory.
       val sd = shardDirPath(dir)
       if (Files.exists(sd)) {
+        val now = java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis())
         val s = Files.list(sd)
-        try s.iterator().asScala.foreach(p => Files.deleteIfExists(p): Unit)
-        finally s.close()
-        Files.deleteIfExists(sd): Unit
+        try s.iterator().asScala.foreach { p =>
+          try Files.setLastModifiedTime(p, now): Unit
+          catch { case _: java.io.IOException => }
+        } finally s.close()
       }
     }
+  }
+
+  /** Reclaim retired shard files on a LEGACY-layout table (an unshard
+    * leaves them behind under the reader grace window; sharded tables GC
+    * their own) and drop the directory once empty. Called from vacuum. */
+  private def sweepStaleShardDir(dir: String): Unit = {
+    val sd = shardDirPath(dir)
+    if (!Files.exists(sd)) return
+    val mfp = manifestPath(dir)
+    if (Files.exists(mfp) && readManifest(mfp).shardCount > 0) return
+    val cutoff = System.currentTimeMillis() - ShardGcGraceMs
+    val s = Files.list(sd)
+    try s.iterator().asScala.foreach { p =>
+      if (Files.getLastModifiedTime(p).toMillis <= cutoff)
+        Files.deleteIfExists(p): Unit
+    } finally s.close()
+    val s2 = Files.list(sd)
+    val empty = try !s2.iterator().hasNext finally s2.close()
+    if (empty) Files.deleteIfExists(sd): Unit
   }
 
   /** CREATE TAG (Iceberg's named-ref shape): pin `epoch`'s boundary state
@@ -2255,7 +2321,15 @@ object GraftKvSink {
     * with live merge-on-read deltas (OPTIMIZE the source first — a delta
     * overlays other files' rows and cannot be referenced positionally). */
   def shallowClone(srcDir: String, tgtDir: String,
-      asOf: Option[Long] = None): Long = {
+      asOf: Option[Long] = None): Long = withCommitLock(srcDir) {
+    // the WHOLE clone creation holds the SOURCE's commit lock (review
+    // catch: reading the boundary un-locked left a TOCTOU window where a
+    // concurrent epoch-less overwrite's deleteOwnedUnheld saw no
+    // registered clone yet and reclaimed the very files this clone was
+    // about to reference). Every deleting path takes the same lock, so
+    // boundary read + target publish + registration are atomic against
+    // them. Lock order src -> tgt is safe: the target is a fresh
+    // directory nothing else locks first.
     val smp = manifestPath(srcDir)
     require(Files.exists(smp), s"graft_kv: no manifest at $srcDir")
     val sm = readManifest(smp)
@@ -2288,9 +2362,20 @@ object GraftKvSink {
     // lives in ANOTHER directory, so without this the source's orphan
     // sweep / vacuum cannot know its files are externally held — the
     // clone would only find out at read time (the refusal fences).
-    // Register under the SOURCE's commit lock; removeOrphans and vacuum
-    // consult the registry and keep (and report) clone-referenced files.
+    // Register with EVERY distinct directory the clone's references
+    // point into, not just the immediate source (review catch: a clone
+    // OF A CLONE passes foreign references through unchanged, so its
+    // files may live in a GRANDPARENT's directory — registering only
+    // with the parent meant dropping the intermediate clone orphaned
+    // this one's references). No deadlock: nothing lock-walks from a
+    // referenced root toward this source (cloneReferenced reads clone
+    // manifests lock-free by design).
     registerClone(srcDir, tgtDir)
+    abs.map(_._1)
+      .map(n => Paths.get(n).getParent.toAbsolutePath.normalize.toString)
+      .distinct
+      .filter(_ != Paths.get(srcDir).toAbsolutePath.normalize.toString)
+      .foreach(root => registerClone(root, tgtDir))
     boundary
   }
 
@@ -2338,6 +2423,12 @@ object GraftKvSink {
     * files, its foreign references shrink monotonically, so a stale
     * read errs on the KEEP side). */
   private[sources] def cloneReferenced(dir: String): Set[Path] = {
+    // zero-clone fast path (the overwhelmingly common case): one
+    // lock-free exists() — this runs on every deleting commit, and a
+    // table with no registry file cannot gain one mid-commit (the
+    // registering shallowClone holds this table's commit lock, as does
+    // every caller of this method)
+    if (!Files.exists(clonesPath(dir))) return Set.empty
     val dirAbs = Paths.get(dir).toAbsolutePath.normalize
     liveClonesOf(dir).flatMap { t =>
       val m = readManifest(manifestPath(t))
@@ -5630,12 +5721,20 @@ final class GraftKvScan(dir: String, asOfEpoch: Option[Long] = None,
     if (changeFeed) GraftKvSink.withCdcColumns(manifest.schema)
     else manifest.schema)
   override def toBatch: Batch = this
-  override def description(): String =
-    s"graft_kv $dir files=${visible.length}/${manifest.files.length}" +
+  override def description(): String = {
+    // on a shard-pruned read, manifest.files holds only surviving
+    // shards' entries — the honest denominator is the TABLE total, which
+    // the shard list carries without parsing anything
+    val totalFiles =
+      if (shardsTotal >= 0 && manifest.shardInfo.nonEmpty)
+        manifest.shardInfo.map(_.count).sum
+      else manifest.files.length.toLong
+    s"graft_kv $dir files=${visible.length}/$totalFiles" +
       s" cols=${readSchema().length}/${manifest.schema.length}" +
       (if (shardsTotal >= 0) s" shards=$shardsParsed/$shardsTotal" else "") +
       asOfEpoch.map(n => s" asOfEpoch=$n").getOrElse("") +
       fromEpoch.map(n => s" fromEpoch=$n").getOrElse("")
+  }
   /** The pruned file set — the GROUP identity for row-level replaces. */
   def visibleFiles: Seq[String] = visible.map(_._1)
   /** STORAGE-PARTITIONED JOIN (the Iceberg/SPJ shape, unlocked by

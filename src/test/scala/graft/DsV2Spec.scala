@@ -3221,12 +3221,31 @@ class DsV2Spec extends SparkSpec {
     // path: asOf scans never shard-prune)
     assert(spark.sql("SELECT count(*) FROM graft.shrd.t VERSION AS OF 0")
       .head.getLong(0) == 200L)
-    // unshard restores the legacy layout and removes the shard dir
+    // unshard restores the legacy layout; the retired shard files stay
+    // under the reader grace window (a lock-free reader may still hold
+    // the sharded list) and vacuum reclaims them once aged
     spark.sql("ALTER TABLE graft.shrd.t UNSET TBLPROPERTIES ('manifest.shards')")
     val m2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
     assert(m2.shardCount == 0 && m2.shardInfo.isEmpty)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "_graft_manifest_shards")))
+    val sdir = java.nio.file.Paths.get(dir, "_graft_manifest_shards")
+    assert(java.nio.file.Files.exists(sdir),
+      "retired shard files must survive the grace window")
+    assert(spark.table("graft.shrd.t").count() == 199)
+    // age the retired files past the grace window; vacuum sweeps them
+    // and drops the then-empty directory
+    locally {
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600 * 1000L)
+      val st = java.nio.file.Files.list(sdir)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.foreach(p =>
+          java.nio.file.Files.setLastModifiedTime(p, old))
+      } finally st.close()
+    }
+    GraftKvSink.vacuum(dir, 3600 * 1000L)
+    assert(!java.nio.file.Files.exists(sdir),
+      "vacuum must reclaim aged retired shards and drop the empty dir")
     assert(spark.table("graft.shrd.t").count() == 199)
     spark.sql("DROP TABLE graft.shrd.t")
   }
@@ -3262,30 +3281,42 @@ class DsV2Spec extends SparkSpec {
       assert(changed.length == 1, s"touched ${changed.map(_.id)}")
       assert(m1.shardInfo.filterNot(changed.contains).forall(si =>
         names.get(si.id).contains(si.file)))
-      // generation GC: after >8 further commits, shard files more than 8
-      // list versions older than the head and unreferenced are gone
+      // generation GC is mtime-based off RETIREMENT: files dereferenced
+      // by further commits survive inside the grace window (a lock-free
+      // reader holding the prior list must still resolve them)...
       (0 until 10).foreach { i =>
         spark.sql(s"INSERT INTO graft.shat.t VALUES " +
           s"(CAST(${200 + i} AS BIGINT), 'p1')")
       }
       val m2 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
       val referenced = m2.shardInfo.map(_.file).toSet
-      val GenRe = """shard-\d+-(\d+)\.json""".r
-      val onDisk = {
-        val s = java.nio.file.Files.list(
-          java.nio.file.Paths.get(dir, "_graft_manifest_shards"))
+      val sdir = java.nio.file.Paths.get(dir, "_graft_manifest_shards")
+      def onDisk(): List[String] = {
+        val s = java.nio.file.Files.list(sdir)
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala.map(_.getFileName.toString).toList
         } finally s.close()
       }
-      onDisk.foreach {
-        case n @ GenRe(v) =>
-          assert(referenced.contains(n) || v.toLong >= m2.version - 8,
-            s"stale generation $n survived GC (head version ${m2.version})")
-        case n => fail(s"unexpected file in shard dir: $n")
+      assert(referenced.forall(onDisk().toSet), "a referenced shard is missing")
+      assert(onDisk().length > referenced.size,
+        "retired generations must survive the grace window")
+      // ...and are reclaimed by the next publish once aged past it
+      locally {
+        val old = java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600 * 1000L)
+        onDisk().filterNot(referenced).foreach { n =>
+          java.nio.file.Files.setLastModifiedTime(sdir.resolve(n), old)
+        }
       }
-      assert(spark.table("graft.shat.t").count() == 17)
+      spark.sql("INSERT INTO graft.shat.t VALUES (CAST(999 AS BIGINT), 'p1')")
+      val m3 = GraftKvSink.readManifest(GraftKvSink.manifestPath(dir))
+      val ref3 = m3.shardInfo.map(_.file).toSet
+      val leftover = onDisk().filterNot(ref3)
+        .filterNot(n => referenced.contains(n)) // p1's shard retired NOW
+      assert(leftover.isEmpty,
+        s"aged unreferenced generations survived the publish GC: $leftover")
+      assert(spark.table("graft.shat.t").count() == 18)
       // unsharding past the threshold refuses: that is the measured cliff
       val e = intercept[Exception] {
         spark.sql("ALTER TABLE graft.shat.t UNSET TBLPROPERTIES ('manifest.shards')")
