@@ -33,5 +33,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // r20: 8g -> 16g default. The forked JVM is driver AND all 32 local
+  // executor threads in one heap; at 8g the bench JVM spent ~5.5% of wall
+  // in G1 (measured: 6.6s GC over a 121s heavy-subset run, 182ms max
+  // pause) vs 4.1s at 16g — persist-heavy iterative queries (pagerank,
+  // components) hit new all-time floors with the larger heap. The sandbox
+  // has 128 GiB; env still overrides for constrained hosts.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

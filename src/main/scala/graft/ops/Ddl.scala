@@ -33,7 +33,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, Decimal, IntegerType, 
   *   INSERT INTO <name> VALUES (...)[, (...)] | INSERT INTO <name> SELECT ...
   *   DELETE FROM <name> WHERE <pred>
   *   UPDATE <name> SET <col> = <expr> WHERE <pred>
-  *   ANALYZE TABLE <name> COMPUTE STATISTICS | SHOW STATS <name>
+  *   ANALYZE TABLE <name> COMPUTE STATISTICS [FOR [ALL] COLUMNS [a, b]]
+  *   SHOW STATS <name>
   * Qualified names (`db.t`, one qualifier) are first-class: the graft
   * catalog keys on the lowercased full name, the database is created on
   * demand, and the relation registers as a PERSISTENT session-catalog view
@@ -494,10 +495,14 @@ object Ddl {
   // the Spark-standard column-statistics spelling: per-column NDV
   // (approximate — it feeds an estimator, never a result), min/max for
   // numeric columns, and non-null counts, all in ONE aggregate pass;
-  // persisted as col.* stats entries the CBO annotation consumes
+  // persisted as col.* stats entries the CBO annotation consumes.
+  // `FOR COLUMNS a, b` (also Spark-standard) analyzes ONLY the named
+  // columns — at 100 TB an ANALYZE that sketches NDV for every column a
+  // workload never filters or joins on is pure waste; a partial analyze
+  // keeps the other columns' previously recorded stats.
   private val AnalyzeColsRe =
     (s"""(?i)\\s*ANALYZE\\s+TABLE\\s+($Id)\\s+COMPUTE\\s+STATISTICS\\s+""" +
-      """FOR\s+(?:ALL\s+)?COLUMNS\s*""").r
+      """FOR\s+(?:ALL\s+)?COLUMNS\s*((?:\w+\s*(?:,\s*\w+\s*)*)?)""").r
   // ANALYZE for kv CATALOG tables (3-part names): the manifest already
   // supplies ndv/min/max/null counts, so this records only the equi-height
   // HISTOGRAMS (under spark.sql.statistics.histogram.enabled) into the
@@ -1759,7 +1764,7 @@ object Ddl {
     case DropIndexRe(n) if idxNamed(n).isDefined     => Some(statusCols)
     case ShowIndexesRe(_*)                           => Some(indexesCols)
     case AnalyzeRe(n) if lookup(n).isDefined       => Some(statsCols)
-    case AnalyzeColsRe(n) if lookup(n).isDefined   => Some(statsCols)
+    case AnalyzeColsRe(n, _) if lookup(n).isDefined => Some(statsCols)
     case AnalyzeKvColsRe(n) if kvTableFor(n).isDefined => Some(statusCols)
     case StatsRe(n) if lookup(n).isDefined         => Some(statsCols)
     case _                                         => None
@@ -3103,17 +3108,29 @@ object Ddl {
           status("ANALYZE", s"$name (manifest stats only; histograms " +
             "need spark.sql.statistics.histogram.enabled)")
         }
-      case AnalyzeColsRe(name) =>
+      case AnalyzeColsRe(name, colList) =>
         val t = lookupOrThrow(name)
         ensureView(spark, t)
         val df = spark.table(t.name)
+        // optional column list: analyze only the named columns (and keep
+        // every other column's previously recorded stats — Spark's partial
+        // ANALYZE merges the same way)
+        val wanted: Option[Set[String]] = Option(colList).map(_.trim)
+          .filter(_.nonEmpty)
+          .map(_.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSet)
+        wanted.foreach { w =>
+          val known = df.schema.fieldNames.map(_.toLowerCase).toSet
+          val missing = w -- known
+          require(missing.isEmpty,
+            s"ANALYZE: unknown column(s) ${missing.toSeq.sorted.mkString(", ")} on '$name'")
+        }
         val fields = df.schema.fields.filter { f =>
           f.dataType match {
             case _: org.apache.spark.sql.types.NumericType | StringType |
                  BooleanType => true
             case _ => false
           }
-        }.toSeq
+        }.filter(f => wanted.forall(_.contains(f.name.toLowerCase))).toSeq
         val aggs = count(lit(1)).cast(StringType).as("rows") +:
           fields.flatMap { f =>
             val c = col(f.name)
@@ -3166,7 +3183,9 @@ object Ddl {
           }
         }
         val t2 = t.copy(stats = t.stats.filterNot(e =>
-          e._1 == "__analyzed_cols_at_muts__" || e._1.startsWith("col.")) ++
+          e._1 == "__analyzed_cols_at_muts__" || (e._1.startsWith("col.") &&
+            (wanted.isEmpty || e._1 == "col.__nrows__" ||
+              wanted.get.exists(c => e._1.startsWith(s"col.$c."))))) ++
           colEntries.result())
         catalog.put(t2.name.toLowerCase, t2)
         persist()
@@ -3704,14 +3723,19 @@ object Ddl {
   }
 
   def keyedCboJoin(s: SparkSession, d: String): DataFrame = {
-    Seq(("cbo_ko", "orders.parquet", "o_orderkey"),
-        ("cbo_kc", "customer.parquet", "c_custkey")).foreach {
-      case (t, file, key) =>
+    // r20: analyze ONLY the columns the estimator contrast reads — the
+    // join keys (o_custkey/c_custkey) and the projected output columns
+    // whose avgLen sizes the dims estimate (o_orderkey/c_nationkey).
+    // Sketching NDV for the other 13 columns bought nothing; at 100 TB a
+    // full-width ANALYZE is a full-table pass for stats no plan consults.
+    Seq(("cbo_ko", "orders.parquet", "o_orderkey", "o_orderkey, o_custkey"),
+        ("cbo_kc", "customer.parquet", "c_custkey", "c_custkey, c_nationkey"))
+      .foreach { case (t, file, key, cols) =>
         if (lookup(t).isDefined) execute(s, s"DROP TABLE $t")
         execute(s, s"CREATE TABLE $t MAPPED BY '$d/$file' KEYS ($key)")
         execute(s, s"DELETE FROM $t WHERE $key < 0") // mutate: annotatable
         execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS")
-        execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS")
+        execute(s, s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS $cols")
     }
     def dims(): DataFrame = s.table("cbo_ko").join(s.table("cbo_kc"),
         col("o_custkey") === col("c_custkey"))

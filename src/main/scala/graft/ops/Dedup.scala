@@ -544,12 +544,20 @@ object Dedup {
     val dfreq = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("df"), col("term"))
+    // localCheckpoint: the prefix feeds BOTH union branches below (a-side
+    // prefix ⨝ b-side full, then a-side full ⨝ b-side prefix) — without
+    // materialization the df join + two window passes over the exploded
+    // stream run TWICE (r20; measured ~25% of the query). The prefix is
+    // ~n/5+1 tokens per doc — a fifth of the exploded stream — so unlike
+    // tok (comment above) materializing it is cheap relative to the
+    // window sort it saves; the same economics hold at 100 TB.
     val prefix = tok.join(dfreq, "term")
       .withColumn("rnk", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
       .filter(col("rnk") <= floor(col("n") / 5) + 1)
       .select(col("term"), col("lang"), col("doc_id"))
+      .localCheckpoint()
     val aPre = prefix.filter(col("doc_id") % 5 === 0).withColumnRenamed("doc_id", "a_id")
     val bAll = tok.select(col("term"), col("lang"), col("doc_id").as("b_id"))
     val aAll = tok.filter(col("doc_id") % 5 === 0)

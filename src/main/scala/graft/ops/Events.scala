@@ -106,7 +106,7 @@ object Events {
   /** Run `body` with the given SQL confs set, restoring each prior value
     * (or unsetting ones that were absent) even on failure — the ONE
     * restore path every streaming judged query shares. */
-  private def withConfs[T](s: SparkSession, confs: (String, String)*)
+  private[ops] def withConfs[T](s: SparkSession, confs: (String, String)*)
       (body: => T): T = {
     val prior = confs.map { case (k, _) => k -> s.conf.getOption(k) }
     confs.foreach { case (k, v) => s.conf.set(k, v) }

@@ -893,29 +893,38 @@ object KeyRange {
     // not care WHY a row appeared or vanished, only that it did
     val signed = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    val q = s.readStream.format("graft.sources.GraftKvSink")
-      .option("path", tmp).option("readChangeFeed", "true").load()
-      .groupBy(col("o_orderstatus"))
-      .agg(sum(signed).as("cnt"),
-        sum(signed * col("o_orderkey")).as("key_sum"),
-        sumS(signed.cast("double") * col("o_totalprice")).as("total"))
-      .writeStream.outputMode("complete")
-      .option("checkpointLocation", ckpt)
-      // complete mode re-emits the FULL maintained state each batch, so
-      // the idempotent file sink is a single overwritten directory — the
-      // materialized view itself; the last batch IS the final state
-      .foreachBatch { (df: DataFrame, _: Long) =>
-        df.write.mode(SaveMode.Overwrite).parquet(out)
-      }
-      .start()
-    try {
-      q.processAllAvailable() // batch 1: base-load inserts
-      s.sql("DELETE FROM graft.kvq.orders_mvcdc WHERE o_orderkey % 13 = 0")
-      q.processAllAvailable() // batch 2: retractions fold in
-      s.sql("UPDATE graft.kvq.orders_mvcdc " +
-        "SET o_totalprice = o_totalprice - 2.5 WHERE o_orderstatus = 'O'")
-      q.processAllAvailable() // batch 3: per-key -old +new pairs
-    } finally q.stop()
+    // The stateful aggregate allocates one state store per shuffle
+    // partition PER MICRO-BATCH, and the maintained state is THREE groups
+    // (o_orderstatus values): 4 partitions carry it with an eighth of the
+    // session's 32 store commits per batch (r20; the same pinning every
+    // other stateful streaming query here applies). Key-hashed state —
+    // the emitted set cannot change, only the fixed commit overhead. At
+    // real volume, size to the state actually held per partition.
+    Events.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+      val q = s.readStream.format("graft.sources.GraftKvSink")
+        .option("path", tmp).option("readChangeFeed", "true").load()
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(signed).as("cnt"),
+          sum(signed * col("o_orderkey")).as("key_sum"),
+          sumS(signed.cast("double") * col("o_totalprice")).as("total"))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        // complete mode re-emits the FULL maintained state each batch, so
+        // the idempotent file sink is a single overwritten directory — the
+        // materialized view itself; the last batch IS the final state
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode(SaveMode.Overwrite).parquet(out)
+        }
+        .start()
+      try {
+        q.processAllAvailable() // batch 1: base-load inserts
+        s.sql("DELETE FROM graft.kvq.orders_mvcdc WHERE o_orderkey % 13 = 0")
+        q.processAllAvailable() // batch 2: retractions fold in
+        s.sql("UPDATE graft.kvq.orders_mvcdc " +
+          "SET o_totalprice = o_totalprice - 2.5 WHERE o_orderstatus = 'O'")
+        q.processAllAvailable() // batch 3: per-key -old +new pairs
+      } finally q.stop()
+    }
     s.read.parquet(out).orderBy(col("o_orderstatus"))
   }
 
@@ -953,6 +962,12 @@ object KeyRange {
       "WHERE 1 = 0")
     val ckpt = s"$scratch/repl_ck"
     clearDir(ckpt)
+    // each per-epoch MERGE joins a FEW HUNDRED change rows against the
+    // target: 4 shuffle partitions carry that at an eighth of the
+    // session's 32-task fixed cost per statement (r20; the stream's
+    // cloned session inherits the conf at start). At real volume, size
+    // to the batch actually admitted — as every stateful query here does.
+    Events.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
     val q = s.readStream.format("graft.sources.GraftKvSink")
       .option("path", srcP).option("readChangeFeed", "true").load()
       .writeStream
@@ -994,6 +1009,7 @@ object KeyRange {
         "SET o_totalprice = o_totalprice + 3.0 WHERE o_orderstatus = 'P'")
       q.processAllAvailable()
     } finally q.stop()
+    }
     s.table("graft.kvq.orders_repl_tgt")
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("cnt"),

@@ -5456,28 +5456,49 @@ final class GraftKvWriter(dir: String, schema: StructType,
   private val hllSeen = new Array[Boolean](schema.length)
   private val nonNull = new Array[Long](schema.length)
   private val strLen = new Array[Long](schema.length)
-  private def observe(i: Int, s: String): Unit = {
-    if (statBad(i)) return
-    val dt = schema(i).dataType
-    // string order = UTF8String binary order, matching the scan-side `le`
-    val lower = dt match {
-      case IntegerType | LongType |
-           TimestampType | TimestampNTZType | DateType =>
-        (a: String, b: String) => a.toLong < b.toLong
-      case DoubleType             => (a: String, b: String) => a.toDouble < b.toDouble
-      case FloatType              => (a: String, b: String) => a.toFloat < b.toFloat
-      case _: DecimalType => (a: String, b: String) =>
-        new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) < 0
-      case _ => (a: String, b: String) =>
-        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
-    }
-    if (statMin(i) == null || lower(s, statMin(i))) statMin(i) = s
-    if (statMax(i) == null || lower(statMax(i), s)) statMax(i) = s
-  }
+
+  // Per-row hot path (r20): the original observe() resolved a comparator
+  // CLOSURE per field per row and re-parsed the canonical string back into
+  // its numeric value for every min/max compare and bloom feed (two parses
+  // per long column per row). Resolve a type tag once per column, compare
+  // and bloom on the PRIMITIVE read straight from the row, and keep typed
+  // extreme mirrors beside the committed string images so the string is
+  // only touched when a new extreme is recorded. Committed stats are
+  // byte-identical: the string image written into statMin/statMax is the
+  // same observed(i) canonical image the old path compared with.
+  private val tags: Array[Int] = schema.fields.map(_.dataType match {
+    case IntegerType | DateType                      => 0 // int-backed order
+    case LongType | TimestampType | TimestampNTZType => 1 // long-backed order
+    case DoubleType                                  => 2
+    case FloatType                                   => 3
+    case _: DecimalType                              => 4
+    case StringType                                  => 5
+    case BooleanType                                 => 6
+    case _: ArrayType                                => 7
+    case _                                           => 8 // encodeRow rejects
+  })
+  private val decPrec = schema.fields.map(_.dataType match {
+    case d: DecimalType => d.precision; case _ => 0
+  })
+  private val decScale = schema.fields.map(_.dataType match {
+    case d: DecimalType => d.scale; case _ => 0
+  })
+  // typed mirrors of statMin/statMax (valid whenever the string is set)
+  private val minL = new Array[Long](schema.length)
+  private val maxL = new Array[Long](schema.length)
+  private val minD = new Array[Double](schema.length)
+  private val maxD = new Array[Double](schema.length)
+  private val minBD = new Array[java.math.BigDecimal](schema.length)
+  private val maxBD = new Array[java.math.BigDecimal](schema.length)
+  private val minU8 = new Array[UTF8String](schema.length)
+  private val maxU8 = new Array[UTF8String](schema.length)
+  private val minB = new Array[Boolean](schema.length)
+  private val maxB = new Array[Boolean](schema.length)
 
   private val observed = new Array[String](schema.length)
+  private val sb = new StringBuilder(256) // reused across rows
   override def write(row: InternalRow): Unit = {
-    val sb = new StringBuilder
+    sb.setLength(0)
     GraftKvSink.encodeRow(schema, row, sb, observed, byPid)
     var i = 0
     while (i < schema.length) {
@@ -5486,23 +5507,82 @@ final class GraftKvWriter(dir: String, schema: StructType,
         val utf8Len = GraftKvSink.hllAdd(hlls(i), v)
         hllSeen(i) = true
         nonNull(i) += 1L
-        if (schema(i).dataType == StringType) strLen(i) += utf8Len.toLong
-        schema(i).dataType match {
-          case IntegerType | LongType | TimestampType | TimestampNTZType |
-               DateType =>
-            observe(i, v)
-            if (blooms(i) != null) blooms(i).putLong(v.toLong)
-          case DoubleType | FloatType =>
-            if (v == "NaN") statBad(i) = true else observe(i, v)
-          case _: ArrayType =>
+        val first = statMin(i) == null
+        tags(i) match {
+          case 0 =>
+            val l = row.getInt(i).toLong
+            if (!statBad(i)) {
+              if (first) { statMin(i) = v; statMax(i) = v; minL(i) = l; maxL(i) = l }
+              else {
+                if (l < minL(i)) { minL(i) = l; statMin(i) = v }
+                if (l > maxL(i)) { maxL(i) = l; statMax(i) = v }
+              }
+            }
+            blooms(i).putLong(l)
+          case 1 =>
+            val l = row.getLong(i)
+            if (!statBad(i)) {
+              if (first) { statMin(i) = v; statMax(i) = v; minL(i) = l; maxL(i) = l }
+              else {
+                if (l < minL(i)) { minL(i) = l; statMin(i) = v }
+                if (l > maxL(i)) { maxL(i) = l; statMax(i) = v }
+              }
+            }
+            blooms(i).putLong(l)
+          case 2 | 3 =>
+            // a NaN poisons ordering: invalidate the column's stats (the
+            // pre-NaN extremes stay recorded but commit() drops them)
+            if (!statBad(i)) {
+              val dv = if (tags(i) == 2) row.getDouble(i)
+                       else row.getFloat(i).toDouble
+              if (dv != dv) statBad(i) = true
+              else if (first) { statMin(i) = v; statMax(i) = v; minD(i) = dv; maxD(i) = dv }
+              else {
+                if (dv < minD(i)) { minD(i) = dv; statMin(i) = v }
+                if (dv > maxD(i)) { maxD(i) = dv; statMax(i) = v }
+              }
+            }
+          case 4 =>
+            if (!statBad(i)) {
+              val bd = row.getDecimal(i, decPrec(i), decScale(i)).toJavaBigDecimal
+              if (first) { statMin(i) = v; statMax(i) = v; minBD(i) = bd; maxBD(i) = bd }
+              else {
+                if (bd.compareTo(minBD(i)) < 0) { minBD(i) = bd; statMin(i) = v }
+                if (bd.compareTo(maxBD(i)) > 0) { maxBD(i) = bd; statMax(i) = v }
+              }
+            }
+          case 5 =>
+            // string order = UTF8String BINARY order, matching the
+            // scan-side `le`; the mirror is an independent copy (the
+            // row's buffer is reused by the next row)
+            strLen(i) += utf8Len.toLong
+            if (!statBad(i)) {
+              val u8 = row.getUTF8String(i)
+              if (first) {
+                val copy = UTF8String.fromString(v)
+                statMin(i) = v; statMax(i) = v; minU8(i) = copy; maxU8(i) = copy
+              } else {
+                if (u8.compareTo(minU8(i)) < 0) { minU8(i) = UTF8String.fromString(v); statMin(i) = v }
+                if (u8.compareTo(maxU8(i)) > 0) { maxU8(i) = UTF8String.fromString(v); statMax(i) = v }
+              }
+            }
+            blooms(i).putString(v)
+          case 6 =>
+            // "false" < "true" in UTF-8 binary order = boolean order
+            if (!statBad(i)) {
+              val b = row.getBoolean(i)
+              if (first) { statMin(i) = v; statMax(i) = v; minB(i) = b; maxB(i) = b }
+              else {
+                if (!b && minB(i)) { minB(i) = false; statMin(i) = v }
+                if (b && !maxB(i)) { maxB(i) = true; statMax(i) = v }
+              }
+            }
+          case _ =>
             // arrays have no pruning order (Iceberg records none either):
             // no min/max, no bloom — absent stats never prune, the
             // standing soundness rule. len: rides the string-length slot
             // as TOTAL ELEMENT COUNT (avg-cardinality feed).
             strLen(i) += GraftKvSink.arrayCellLen(v)
-          case _ =>
-            observe(i, v)
-            if (blooms(i) != null) blooms(i).putString(v)
         }
       }
       i += 1
@@ -6418,6 +6498,55 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
       private val lines = Files.lines(GraftKvSink.dataPath(fp.dir, fp.file)).iterator()
       private var cur: String = _
       private var pos = -1L
+      // Per-row decode hot path (r20): the original split the WHOLE line
+      // into a String[] (one substring per physical column, projected or
+      // not) and rebuilt a Seq with a per-field closure + boxing for every
+      // row. Resolve each output ordinal's decode ONCE, walk the line's
+      // tabs only as far as the highest projected physical position, and
+      // substring only the projected columns into a reused offsets buffer.
+      private val nOut = projected.fields.length
+      private val outTags: Array[Int] = projected.fields.map(_.dataType match {
+        case IntegerType        => 0
+        case LongType           => 1
+        case TimestampType | TimestampNTZType => 1 // internal micros
+        case DateType           => 0 // internal epoch days
+        case DoubleType         => 2
+        case FloatType          => 3
+        case BooleanType        => 4
+        case _: DecimalType     => 5
+        case _: ArrayType       => 6
+        case StringType         => 7
+        case dt => throw new IllegalStateException(s"unsupported $dt")
+      })
+      private val outDecPrec = projected.fields.map(_.dataType match {
+        case d: DecimalType => d.precision; case _ => 0
+      })
+      private val outDecScale = projected.fields.map(_.dataType match {
+        case d: DecimalType => d.scale; case _ => 0
+      })
+      private val outElemType = projected.fields.map(_.dataType match {
+        case a: ArrayType => a.elementType; case _ => null
+      })
+      private val maxSrc = if (srcIdx.isEmpty) -1 else srcIdx.max
+      // starts(k)/ends(k) bound physical field k's image in the line
+      private val starts = new Array[Int](math.max(maxSrc + 1, 1))
+      private val ends = new Array[Int](math.max(maxSrc + 1, 1))
+      // number of complete fields located (fields with index < nFound are
+      // valid); a line holding fewer fields than maxSrc+1 is an old row
+      // written before a column was added — those ordinals null-fill
+      private def locate(payload: String): Int = {
+        var k = 0
+        var from = 0
+        while (k <= maxSrc) {
+          starts(k) = from
+          val t = payload.indexOf('\t', from)
+          if (t < 0) { ends(k) = payload.length; return k + 1 }
+          ends(k) = t
+          from = t + 1
+          k += 1
+        }
+        k
+      }
       override def next(): Boolean = {
         while (lines.hasNext) {
           cur = lines.next()
@@ -6444,40 +6573,38 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
         val payload =
           if (fp.deltaInserts || targetIsDelta) GraftKvSink.deltaPayload(cur)
           else cur
-        val parts = payload.split("\t", -1)
-        InternalRow.fromSeq(projected.fields.toSeq.zipWithIndex.map {
-          case (f, o) =>
-            if (srcIdx(o) == -1) UTF8String.fromString(fp.file)
-            else if (srcIdx(o) == -2) pos
-            else if (srcIdx(o) == -3) UTF8String.fromString(fp.changeType)
-            else if (srcIdx(o) == -4) fp.commitEpoch
-            else if (srcIdx(o) >= parts.length) null // schema-evolved
+        val nFound = if (maxSrc < 0) 0 else locate(payload)
+        val values = new Array[Any](nOut)
+        var o = 0
+        while (o < nOut) {
+          val si = srcIdx(o)
+          values(o) =
+            if (si == -1) UTF8String.fromString(fp.file)
+            else if (si == -2) pos
+            else if (si == -3) UTF8String.fromString(fp.changeType)
+            else if (si == -4) fp.commitEpoch
+            else if (si >= nFound) null // schema-evolved
             // column appended after this row was written: null-fill (the
             // add-column contract — old rows have no value)
             else {
-              val v = parts(srcIdx(o))
+              val v = payload.substring(starts(si), ends(si))
               if (v == "\\N") null
-              else f.dataType match {
-                case IntegerType   => v.toInt
-                case LongType      => v.toLong
-                case TimestampType | TimestampNTZType =>
-                  v.toLong // internal micros
-                case DateType      => v.toInt // internal epoch days
-                case DoubleType    => v.toDouble
-                case FloatType     => v.toFloat
-                case BooleanType   => v.toBoolean
-                case dt: DecimalType =>
-                  org.apache.spark.sql.types.Decimal(
-                    new java.math.BigDecimal(v), dt.precision, dt.scale)
-                case at: ArrayType =>
-                  GraftKvSink.parseArrayCell(at.elementType, v)
-                case StringType    =>
-                  UTF8String.fromString(
-                    if (v.startsWith("\\")) v.substring(1) else v)
-                case dt => throw new IllegalStateException(s"unsupported $dt")
+              else outTags(o) match {
+                case 0 => v.toInt
+                case 1 => v.toLong
+                case 2 => v.toDouble
+                case 3 => v.toFloat
+                case 4 => v.toBoolean
+                case 5 => org.apache.spark.sql.types.Decimal(
+                  new java.math.BigDecimal(v), outDecPrec(o), outDecScale(o))
+                case 6 => GraftKvSink.parseArrayCell(outElemType(o), v)
+                case _ => UTF8String.fromString(
+                  if (v.startsWith("\\")) v.substring(1) else v)
               }
             }
-        })
+          o += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       }
       override def close(): Unit = ()
     }

@@ -1174,6 +1174,32 @@ class DdlSpec extends SparkSpec {
     spark.sql("DROP TABLE an_t")
   }
 
+  test("partial ANALYZE FOR COLUMNS analyzes only the named columns and merges") {
+    if (ops.Ddl.lookup("anc_t").isDefined) spark.sql("DROP TABLE anc_t")
+    spark.sql(
+      s"CREATE TABLE anc_t MAPPED BY '${sf("sf0.001")}/nation.parquet' KEYS (n_nationkey)")
+    def stats(): Map[String, String] = spark.sql("SHOW STATS anc_t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // full-width analyze records every eligible column
+    spark.sql("ANALYZE TABLE anc_t COMPUTE STATISTICS FOR COLUMNS").collect()
+    val full = stats()
+    assert(full.contains("col.n_nationkey.ndv") && full.contains("col.n_name.ndv")
+      && full.contains("col.n_regionkey.ndv"))
+    // partial analyze touches ONLY the named column's entries; the other
+    // columns' previously recorded stats survive (Spark merges the same way)
+    spark.sql("ANALYZE TABLE anc_t COMPUTE STATISTICS FOR COLUMNS n_regionkey").collect()
+    val part = stats()
+    assert(part.contains("col.n_regionkey.ndv") && part.contains("col.n_name.ndv")
+      && part.contains("col.n_nationkey.ndv"))
+    assert(part("col.n_regionkey.ndv") == full("col.n_regionkey.ndv"))
+    // an unknown column is an explicit error, not a silent no-op
+    val e = intercept[Exception] {
+      spark.sql("ANALYZE TABLE anc_t COMPUTE STATISTICS FOR COLUMNS nope").collect()
+    }
+    assert(e.getMessage.contains("unknown column"))
+    spark.sql("DROP TABLE anc_t")
+  }
+
   test("prefix bounds work (leading key only)") {
     ops.Ddl.create(spark,
       s"CREATE TABLE li_keyed MAPPED BY '${sf("sf0.001")}/lineitem.parquet' KEYS (l_orderkey, l_linenumber)")
