@@ -385,6 +385,36 @@ object GraftKvSink {
   private[sources] val LenKey = "len:"
   private[sources] def isSketchKey(k: String): Boolean =
     k.startsWith(HllKey) || k.startsWith(CntKey) || k.startsWith(LenKey)
+  /** [[hllAdd]] for a long-backed column value WITHOUT materializing the
+    * canonical String (r20 write-path fast path): writes v's decimal ASCII
+    * image — byte-identical to `Long.toString(v).getBytes(UTF_8)` — into
+    * the caller's reusable buffer, hashes the same bytes with the same
+    * seed, and updates the register identically. Sketches stay mergeable
+    * with string-fed registers because the hash input is the same. */
+  private[sources] def hllAddLong(reg: Array[Byte], v: Long,
+      buf: Array[Byte]): Int = {
+    var len = 0
+    if (v == Long.MinValue) { // -v overflows; rare enough for the slow path
+      val s = "-9223372036854775808".getBytes(StandardCharsets.US_ASCII)
+      System.arraycopy(s, 0, buf, 0, s.length); len = s.length
+    } else {
+      var x = v
+      if (x < 0) { buf(0) = '-'; len = 1; x = -x }
+      var nd = 1; var t = x
+      while (t >= 10L) { t /= 10L; nd += 1 }
+      var pos = len + nd - 1
+      while (pos >= len) { buf(pos) = ('0' + (x % 10L)).toByte; x /= 10L; pos -= 1 }
+      len += nd
+    }
+    val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+    val idx = (h >>> (64 - HllP)).toInt
+    val w = h << HllP
+    val rho = (if (w == 0L) 64 - HllP
+               else java.lang.Long.numberOfLeadingZeros(w)) + 1
+    if (rho > reg(idx)) reg(idx) = rho.toByte
+    len
+  }
   private[sources] def hllAdd(reg: Array[Byte], value: String): Int = {
     // returns the value's UTF-8 BYTE length (the writer's len: counter
     // feed — String.length counts UTF-16 code units and would understate
@@ -1403,7 +1433,10 @@ object GraftKvSink {
     * writer and the delta writer's insert records. `observed(i)` receives
     * the value's string image for non-null columns (the stats/bloom feed;
     * "NaN" on a double column flags stats poisoning), stays null for SQL
-    * NULL. */
+    * NULL — EXCEPT long-backed columns (int/long/date/timestamp), which
+    * always leave it null (r20): their stats consumer reads primitives
+    * straight from the row (null-ness via row.isNullAt), so the per-field
+    * string was pure allocation. */
   private[sources] def encodeRow(schema: StructType, row: InternalRow,
       sb: StringBuilder, observed: Array[String],
       // physical->logical map from [[byPidOf]]; null = identity layout.
@@ -1418,15 +1451,20 @@ object GraftKvSink {
       observed(i) = null
       if (row.isNullAt(i)) sb.append("\\N") // null marker: backslash-N
       else schema(i).dataType match {
+        // long-backed types leave observed(i) null (r20): the stats writer
+        // reads these columns' primitives straight from the row (null-ness
+        // via row.isNullAt, HLL via hllAddLong, min/max images built only
+        // on a new extreme) — materializing the string per field per row
+        // was pure allocation. sb.append(long) writes digits directly.
         case IntegerType =>
-          val v = row.getInt(i); sb.append(v); observed(i) = v.toString
+          sb.append(row.getInt(i))
         case LongType =>
-          val v = row.getLong(i); sb.append(v); observed(i) = v.toString
+          sb.append(row.getLong(i))
         case TimestampType | TimestampNTZType =>
           // Catalyst-internal micros since epoch (UTC / wall-clock)
-          val v = row.getLong(i); sb.append(v); observed(i) = v.toString
+          sb.append(row.getLong(i))
         case DateType => // Catalyst-internal epoch days
-          val v = row.getInt(i); sb.append(v); observed(i) = v.toString
+          sb.append(row.getInt(i))
         case DoubleType =>
           val d = row.getDouble(i); sb.append(d); observed(i) = d.toString
         case FloatType =>
@@ -5497,11 +5535,37 @@ final class GraftKvWriter(dir: String, schema: StructType,
 
   private val observed = new Array[String](schema.length)
   private val sb = new StringBuilder(256) // reused across rows
+  private val numBuf = new Array[Byte](20) // hllAddLong scratch (max long = 20 chars)
   override def write(row: InternalRow): Unit = {
     sb.setLength(0)
     GraftKvSink.encodeRow(schema, row, sb, observed, byPid)
     var i = 0
     while (i < schema.length) {
+      // long-backed columns (tags 0/1) run the PRIMITIVE stats path: their
+      // observed(i) is always null (encodeRow skips the string), null-ness
+      // comes from the row, the HLL hashes digits from the reusable buffer
+      // (bit-identical registers to the string feed), and the canonical
+      // min/max images are built only when a new extreme is recorded.
+      val tag = tags(i)
+      if (tag <= 1) {
+        if (!row.isNullAt(i)) {
+          val l = if (tag == 0) row.getInt(i).toLong else row.getLong(i)
+          GraftKvSink.hllAddLong(hlls(i), l, numBuf)
+          hllSeen(i) = true
+          nonNull(i) += 1L
+          if (!statBad(i)) {
+            if (statMin(i) == null) {
+              val img = java.lang.Long.toString(l)
+              statMin(i) = img; statMax(i) = img; minL(i) = l; maxL(i) = l
+            } else {
+              if (l < minL(i)) { minL(i) = l; statMin(i) = java.lang.Long.toString(l) }
+              if (l > maxL(i)) { maxL(i) = l; statMax(i) = java.lang.Long.toString(l) }
+            }
+          }
+          blooms(i).putLong(l)
+        }
+        i += 1
+      } else {
       val v = observed(i)
       if (v != null) {
         val utf8Len = GraftKvSink.hllAdd(hlls(i), v)
@@ -5509,26 +5573,6 @@ final class GraftKvWriter(dir: String, schema: StructType,
         nonNull(i) += 1L
         val first = statMin(i) == null
         tags(i) match {
-          case 0 =>
-            val l = row.getInt(i).toLong
-            if (!statBad(i)) {
-              if (first) { statMin(i) = v; statMax(i) = v; minL(i) = l; maxL(i) = l }
-              else {
-                if (l < minL(i)) { minL(i) = l; statMin(i) = v }
-                if (l > maxL(i)) { maxL(i) = l; statMax(i) = v }
-              }
-            }
-            blooms(i).putLong(l)
-          case 1 =>
-            val l = row.getLong(i)
-            if (!statBad(i)) {
-              if (first) { statMin(i) = v; statMax(i) = v; minL(i) = l; maxL(i) = l }
-              else {
-                if (l < minL(i)) { minL(i) = l; statMin(i) = v }
-                if (l > maxL(i)) { maxL(i) = l; statMax(i) = v }
-              }
-            }
-            blooms(i).putLong(l)
           case 2 | 3 =>
             // a NaN poisons ordering: invalidate the column's stats (the
             // pre-NaN extremes stay recorded but commit() drops them)
@@ -5586,6 +5630,7 @@ final class GraftKvWriter(dir: String, schema: StructType,
         }
       }
       i += 1
+      }
     }
     out.write(sb.toString)
     rows += 1
