@@ -826,8 +826,17 @@ object GraftKvSink {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val parsed = Await.result(Future.sequence(shards.map { si =>
       Future {
-        parseFileEntries(mapper.readTree(
-          Files.readAllBytes(dir.resolve(si.file))))
+        val p = dir.resolve(si.file)
+        val k = p.toAbsolutePath.normalize.toString
+        val hit = shardParseCache.get(k)
+        if (hit != null && hit._1 == si.sig) hit._2
+        else {
+          val entries = parseFileEntries(mapper.readTree(
+            Files.readAllBytes(p)))
+          if (shardParseCache.size > 2048) shardParseCache.clear()
+          shardParseCache.put(k, (si.sig, entries))
+          entries
+        }
       }
     }), Duration.Inf)
     // deterministic order: shards sorted by id at write time, entries keep
@@ -1242,6 +1251,9 @@ object GraftKvSink {
     catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
       Files.move(tmp, manifestPath(dir), StandardCopyOption.REPLACE_EXISTING)
     }
+    // parse-cache hygiene: the rename already invalidates by attributes;
+    // dropping the entry just frees the superseded parse immediately
+    invalidateManifestCache(manifestPath(dir))
     // stale shard-generation GC, AFTER the list publish: a superseded
     // shard file is deleted only once it is (a) unreferenced by the list
     // just published and (b) at least 8 list versions old — a lock-free
@@ -1277,6 +1289,45 @@ object GraftKvSink {
     * same in-flight grace vacuum's stray sweep grants). */
   private[sources] val ShardGcGraceMs: Long = 10L * 60L * 1000L
 
+  // ---- manifest parse cache (r21) --------------------------------------
+  // Multi-statement kv workflows re-read a table's manifest many times per
+  // statement (loadTable schema, scan planning, metadata helpers, commit
+  // paths — 100+ call sites), and every read re-parsed the JSON from
+  // scratch; Profile attribution (r20) put 40–55% of those queries' wall
+  // driver-side, of which the repeated manifest I/O is the graft-owned
+  // slice. Every publish is an atomic rename of a FRESH temp file, so a
+  // manifest's identity is its (fileKey≈inode, size, mtime) triple: a
+  // cached parse is returned only while all three match a fresh stat of
+  // the path, so any publish — this process or another — replaces the
+  // inode and invalidates the entry by construction (the stat costs one
+  // syscall, the same open the parse path would issue; cross-process
+  // visibility is therefore identical to parse-per-read). Entries are
+  // immutable parsed Manifests; the map is bounded by periodic clear.
+  private final case class MfCacheEntry(fileKey: AnyRef, size: Long,
+      mtime: java.nio.file.attribute.FileTime, m: Manifest) {
+    def matches(a: java.nio.file.attribute.BasicFileAttributes): Boolean =
+      java.util.Objects.equals(fileKey, a.fileKey) && size == a.size &&
+        mtime == a.lastModifiedTime
+  }
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[Path, MfCacheEntry]()
+  private def statAttrs(p: Path): java.nio.file.attribute.BasicFileAttributes =
+    try Files.readAttributes(p,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    catch { case _: java.io.IOException => null }
+  private[sources] def invalidateManifestCache(mf: Path): Unit =
+    manifestCache.remove(mf.toAbsolutePath.normalize): Unit
+
+  /** Shard parses cached by (path, sig): a shard's sig names its CONTENT —
+    * the commit path already relies on equal sig ⇒ identical entries to
+    * re-reference shard files without re-serialization, so a cached parse
+    * under the same sig is sound by the same rule. A rewritten shard
+    * publishes a new sig in the manifest list and misses here. */
+  private val shardParseCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, (Seq[(String, Long)],
+      Map[String, Map[String, (String, String)]],
+      Map[String, Map[String, String]]))]()
+
   private[graft] def readManifest(mf: Path): Manifest =
     readManifestImpl(mf, Nil)._1
 
@@ -1296,6 +1347,19 @@ object GraftKvSink {
   private def readManifestImpl(mf: Path,
       pruneFilters: Seq[org.apache.spark.sql.sources.Filter])
       : (Manifest, Int, Int) = {
+    // Cache only FULL reads: a pruned read's result depends on the filter
+    // set (its shardsParsed count is asserted by the sharded-table query);
+    // pruned reads still reuse cached shard parses below.
+    val full = pruneFilters.isEmpty
+    val canon = if (full) mf.toAbsolutePath.normalize else null
+    val attrs0 = if (full) statAttrs(canon) else null
+    if (attrs0 != null) {
+      val hit = manifestCache.get(canon)
+      if (hit != null && hit.matches(attrs0)) {
+        val sp = if (hit.m.shardCount > 0) hit.m.shardInfo.length else -1
+        return (hit.m, sp, sp)
+      }
+    }
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
       new String(Files.readAllBytes(mf), StandardCharsets.UTF_8))
     val schema = DataType.fromJson(root.get("schema").asText()).asInstanceOf[StructType]
@@ -1375,9 +1439,25 @@ object GraftKvSink {
       o.properties().iterator().asScala
         .map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    (Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw, ver,
-      txn, ets, checks, refs, pspec, dropped, sbase, shardCount, shardInfo),
-      sParsed, sTotal)
+    val m = Manifest(schema, files, upTo, stats, blooms, deltas, removed, rw,
+      ver, txn, ets, checks, refs, pspec, dropped, sbase, shardCount, shardInfo)
+    if (attrs0 != null) {
+      // cache only when the file is provably the one stat'ed before the
+      // read (a publish racing between stat and read would otherwise bind
+      // the NEW content to attributes a later stat can never produce —
+      // harmless — but skipping the put keeps the invariant trivial)
+      val attrs1 = statAttrs(canon)
+      if (attrs1 != null && java.util.Objects.equals(
+            attrs0.fileKey, attrs1.fileKey) &&
+          attrs0.size == attrs1.size &&
+          attrs0.lastModifiedTime == attrs1.lastModifiedTime) {
+        if (manifestCache.size > 512) manifestCache.clear()
+        manifestCache.put(canon,
+          MfCacheEntry(attrs1.fileKey, attrs1.size,
+            attrs1.lastModifiedTime, m))
+      }
+    }
+    (m, sParsed, sTotal)
   }
 
   private val EpochFileRe = """epoch-(\d+)-.*""".r
@@ -2595,8 +2675,20 @@ object GraftKvSink {
     if (mappingActive)
       writeManifest(scratch, m0.schema, Nil, droppedPids = m0.droppedPids,
         priorHint = None)
+    // r21: materialize the z-augmented rows ONCE. repartitionByRange's
+    // RangePartitioner sketch is a full recompute of its child (scan +
+    // decode + Morton compute) just to draw samples, and the shuffle then
+    // recomputes the child again — the table's rows were decoded twice
+    // past the quantile pass. Persisting the projection makes the sketch
+    // pass the one real decode (it fills the cache) and the exchange a
+    // cache read; at 100 TB the MEMORY_AND_DISK spill is a local
+    // columnar round-trip in place of a full re-decode of the scoped
+    // region — the same bytes at worst, decoded once at best. Unpersisted
+    // in the finally with the scratch dir.
+    val zdf = df.withColumn("__graft_z", z)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val w = df.withColumn("__graft_z", z)
+      val w = zdf
         .repartitionByRange(n, col("__graft_z"))
         .sortWithinPartitions(col("__graft_z"))
         .drop("__graft_z")
@@ -2646,6 +2738,7 @@ object GraftKvSink {
           rewrittenUpTo = fence, priorHint = Some(m))
       }
     } finally {
+      zdf.unpersist(blocking = false)
       // ALWAYS reclaim the scratch copy — a refused commit (concurrent
       // writer, row-count mismatch) must not strand a full table rewrite
       try {
@@ -6526,17 +6619,33 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
     // EMITS exactly these ordinals instead — the pre-images, labeled by
     // changeType, selected from ONLY the matching record kind so an
     // update never double-reports as a delete.
-    val deleted: java.util.HashSet[Long] = {
-      val s = new java.util.HashSet[Long]()
+    // r21: primitive sorted long[] + binary search, not HashSet[Long] —
+    // the old set boxed `pos` into a fresh java.lang.Long per ROW probed
+    // (every row of every MOR read pays it, deletes present or not). The
+    // array is built once per partition from the same delta records,
+    // sorted (duplicates harmless to binarySearch), and the no-deletes
+    // case — most snapshot reads — collapses to one length check per row.
+    val deletedPos: Array[Long] = {
+      var arr = new Array[Long](16)
+      var n = 0
       val kinds =
         if (!fp.cdcDeletes) "DU" else if (fp.updates) "U" else "D"
       fp.deltas.filter(_ != fp.file).foreach { d =>
         GraftKvSink.foreachDelete(fp.dir, d, kinds) { (target, pos) =>
-          if (target == fp.file) s.add(pos): Unit
+          if (target == fp.file) {
+            if (n == arr.length) arr = java.util.Arrays.copyOf(arr, n * 2)
+            arr(n) = pos
+            n += 1
+          }
         }
       }
-      s
+      val out = if (n == arr.length) arr else java.util.Arrays.copyOf(arr, n)
+      java.util.Arrays.sort(out)
+      out
     }
+    val hasDeletes = deletedPos.length > 0
+    @inline def isDeleted(pos: Long): Boolean =
+      hasDeletes && java.util.Arrays.binarySearch(deletedPos, pos) >= 0
     // a delete pre-image read from a delta file targets its insert records
     val targetIsDelta = fp.cdcDeletes && fp.file.endsWith(".kvd")
     new PartitionReader[InternalRow] {
@@ -6599,17 +6708,17 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
           val live =
             if (fp.cdcDeletes)
               // pre-image rows in a delta target are its I or U payloads
-              deleted.contains(pos) && (!targetIsDelta ||
+              isDeleted(pos) && (!targetIsDelta ||
                 cur.startsWith("I\t") || cur.startsWith("U\t"))
             else if (fp.deltaInserts)
               // snapshot delta read surfaces I and U payloads alike; CDC
               // splits them: `insert` partitions read I, `update_postimage`
               // partitions read U
-              !deleted.contains(pos) &&
+              !isDeleted(pos) &&
                 (if (fp.changeType == null) cur.startsWith("I\t") || cur.startsWith("U\t")
                 else if (fp.updates) cur.startsWith("U\t")
                 else cur.startsWith("I\t"))
-            else !deleted.contains(pos)
+            else !isDeleted(pos)
           if (live) return true
         }
         false
