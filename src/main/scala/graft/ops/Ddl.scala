@@ -110,6 +110,11 @@ object Ddl {
     * array-format file (no seq; conflict check skipped once). */
   @volatile private var diskSeq = 0L
 
+  /** `"seq" : N` at the head of the catalog file (persist()'s staleness
+    * probe) — matches only as the FIRST key so a value elsewhere can't be
+    * mistaken for it. */
+  private val SeqHeadRe = """^\{\s*"seq"\s*:\s*(\d+)""".r
+
   private def catalogPath: java.nio.file.Path = java.nio.file.Paths.get(
     sys.props.getOrElse("graft.catalog.path",
       sys.env.getOrElse("GRAFT_CATALOG_PATH", "spark-warehouse/graft_catalog.json")))
@@ -131,9 +136,35 @@ object Ddl {
     // file's seq moved past what this process last read/wrote, overwriting
     // would silently drop the other writer's mutations — refuse instead.
     if (diskSeq >= 0 && java.nio.file.Files.exists(p)) {
+      // r21: the staleness probe only needs the top-level "seq" value, and
+      // this runs on EVERY persisted mutation — read the head of the file
+      // (our own writer puts "seq" first; pretty-printed, <64 bytes in)
+      // instead of parsing the whole catalog JSON per statement. Anything
+      // ambiguous falls back to the full parse, so the check's semantics
+      // are unchanged: legacy array files → -1, unreadable → -1.
       val cur = try {
-        val n = new ObjectMapper().readTree(java.nio.file.Files.readString(p))
-        if (n.isArray) -1L else Option(n.get("seq")).map(_.asLong).getOrElse(-1L)
+        val head = {
+          val in = java.nio.file.Files.newInputStream(p)
+          try {
+            val b = new Array[Byte](256)
+            var n = 0
+            var r = 0
+            while (n < b.length && { r = in.read(b, n, b.length - n); r > 0 })
+              n += r
+            new String(b, 0, math.max(n, 0),
+              java.nio.charset.StandardCharsets.UTF_8)
+          } finally in.close()
+        }
+        val t = head.dropWhile(_.isWhitespace)
+        if (t.startsWith("[")) -1L
+        else SeqHeadRe.findFirstMatchIn(t) match {
+          case Some(m) => m.group(1).toLong
+          case None => // not our writer's head shape: full parse decides
+            val n = new ObjectMapper().readTree(
+              java.nio.file.Files.readString(p))
+            if (n.isArray) -1L
+            else Option(n.get("seq")).map(_.asLong).getOrElse(-1L)
+        }
       } catch { case _: Exception => -1L } // unreadable → let the write heal it
       if (cur >= 0 && cur != diskSeq)
         throw new IllegalStateException(
@@ -1711,7 +1742,31 @@ object Ddl {
     * cover them. The catalog guard reads the PERSISTED catalog too
     * (ensureLoaded inside lookup), so a fresh process routes its first
     * DESCRIBE correctly. */
-  def intercept(sql: String): Option[Seq[(String, DataType)]] = sql match {
+  /** Leading keywords that can begin ANY intercepted statement — derived
+    * from the dispatch regexes below (each is anchored `\s*<KEYWORD>…`).
+    * intercept() runs inside the injected parser on EVERY spark.sql text;
+    * a first-word check lets the dominant SELECT/WITH/VALUES/EXPLAIN
+    * traffic skip all ~50 regex attempts (r21). Keep in sync when adding
+    * a statement form. */
+  private val InterceptLeads = Set(
+    "CREATE", "DROP", "ALTER", "CACHE", "UNCACHE", "DESC", "DESCRIBE",
+    "LOAD", "INSERT", "DELETE", "UPDATE", "MERGE", "SHOW", "OPTIMIZE",
+    "VACUUM", "RESTORE", "REFRESH", "SET", "ANALYZE")
+  private def leadWord(sql: String): String = {
+    var i = 0
+    val n = sql.length
+    while (i < n && Character.isWhitespace(sql.charAt(i))) i += 1
+    val s = i
+    while (i < n && Character.isLetter(sql.charAt(i))) i += 1
+    sql.substring(s, i).toUpperCase(java.util.Locale.ROOT)
+  }
+
+  def intercept(sql: String): Option[Seq[(String, DataType)]] = {
+    if (!InterceptLeads.contains(leadWord(sql))) return None
+    interceptMatch(sql)
+  }
+
+  private def interceptMatch(sql: String): Option[Seq[(String, DataType)]] = sql match {
     case CreateRe(_*)                              => Some(statusCols)
     case AlterAddRe(_*)                            => Some(statusCols)
     case AlterDefaultRe(_*)                        => Some(statusCols)
@@ -2106,11 +2161,23 @@ object Ddl {
     * a DataFrame in every case (SHOW/DESCRIBE return their listings; the
     * mutating statements return a one-row status frame, the shape
     * `spark.sql` gives DDL). */
+  /** One-row status frame via a PREBUILT schema: the old
+    * `Seq((op, table)).toDF(...)` derived a product encoder through
+    * scala-reflect's synchronized runtime mirror on EVERY executed DDL
+    * statement (r21 JFR: JavaMirrors/SynchronizedSymbols frames under
+    * status in multi-statement kv/DDL workflows). Same rows, same schema
+    * (string columns nullable, as toDF produced), same LocalRelation plan. */
+  private val statusSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("op", StringType),
+    org.apache.spark.sql.types.StructField("table", StringType)))
+
   def execute(spark: SparkSession, ddl: String): DataFrame = {
     import spark.implicits._
     ensureMvLoaded(spark) // restart path: re-register persisted MVs + views
     def status(op: String, table: String): DataFrame =
-      Seq((op, table)).toDF("op", "table")
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(op, table)),
+        statusSchema)
     ddl match {
       case CreateRe(_*) =>
         status("CREATE", create(spark, ddl).name)

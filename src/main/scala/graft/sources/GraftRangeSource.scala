@@ -394,14 +394,32 @@ final class GraftRangeReaderFactory(cols: Array[String])
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftRangePartition]
     new PartitionReader[InternalRow] {
+      // r21: per-ordinal generator tags resolved once per reader; get()
+      // fills a primitive while-loop into GenericInternalRow — the old
+      // fromSeq path allocated a Seq, a per-row closure frame and a
+      // wrapped-array copy for every generated row (same rewrite the kv
+      // file reader got in r20).
+      private val tags: Array[Int] = cols.map {
+        case "k" => 0
+        case "v" => 1
+        case _   => 2 // "tag"
+      }
+      private val nOut = tags.length
       private var k = gp.start - 1
       override def next(): Boolean = { k += 1; k < gp.end }
-      override def get(): InternalRow =
-        InternalRow.fromSeq(cols.toSeq.map {
-          case "k"   => k
-          case "v"   => GraftRangeSource.valueOf(k)
-          case "tag" => UTF8String.fromString(GraftRangeSource.tagOf(k))
-        })
+      override def get(): InternalRow = {
+        val values = new Array[Any](nOut)
+        var i = 0
+        while (i < nOut) {
+          values(i) = tags(i) match {
+            case 0 => k
+            case 1 => GraftRangeSource.valueOf(k)
+            case _ => UTF8String.fromString(GraftRangeSource.tagOf(k))
+          }
+          i += 1
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+      }
       override def close(): Unit = ()
     }
   }
