@@ -1546,11 +1546,17 @@ object GraftKvSink {
         case DateType => // Catalyst-internal epoch days
           sb.append(row.getInt(i))
         case DoubleType =>
-          val d = row.getDouble(i); sb.append(d); observed(i) = d.toString
+          // one Double.toString per value (r21): sb.append(double) runs the
+          // same FloatingDecimal conversion internally, so appending the
+          // string image halves the dominant cost of a double field
+          val d = row.getDouble(i).toString
+          sb.append(d); observed(i) = d
         case FloatType =>
           // Float.toString = the SHORTEST decimal that round-trips via
-          // parseFloat — one canonical image per float value
-          val fl = row.getFloat(i); sb.append(fl); observed(i) = fl.toString
+          // parseFloat — one canonical image per float value (built once,
+          // appended as the image — same r21 note as DoubleType)
+          val fl = row.getFloat(i).toString
+          sb.append(fl); observed(i) = fl
         case BooleanType =>
           val b = row.getBoolean(i); sb.append(b); observed(i) = b.toString
         case dt: DecimalType =>
