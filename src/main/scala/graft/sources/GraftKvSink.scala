@@ -313,7 +313,7 @@ object GraftKvSink {
           val end = if (p2 > 0) p2 else l.length
           if (p1 > 2 && end > p1 + 1)
             f(l.substring(2, p1),
-              java.lang.Long.parseLong(l.substring(p1 + 1, end)))
+              java.lang.Long.parseLong(l, p1 + 1, end, 10))
         }
       }
     } finally st.close()
@@ -6747,19 +6747,38 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
             // column appended after this row was written: null-fill (the
             // add-column contract — old rows have no value)
             else {
-              val v = payload.substring(starts(si), ends(si))
-              if (v == "\\N") null
+              val s = starts(si)
+              val e = ends(si)
+              // "\N" null marker checked in place; numeric/boolean fields
+              // parse from the line's char range directly (Java 9 range
+              // parseInt/parseLong) — no per-field substring. Double/float/
+              // decimal/array/string still need the image (no range parse
+              // exists for them); semantics identical to substring+parse.
+              if (e - s == 2 && payload.charAt(s) == '\\' &&
+                  payload.charAt(s + 1) == 'N') null
               else outTags(o) match {
-                case 0 => v.toInt
-                case 1 => v.toLong
-                case 2 => v.toDouble
-                case 3 => v.toFloat
-                case 4 => v.toBoolean
+                case 0 => java.lang.Integer.parseInt(payload, s, e, 10)
+                case 1 => java.lang.Long.parseLong(payload, s, e, 10)
+                case 2 => payload.substring(s, e).toDouble
+                case 3 => payload.substring(s, e).toFloat
+                case 4 =>
+                  // writer emits Boolean.toString: exactly "true"/"false";
+                  // match StringOps.toBoolean's case-insensitive accept +
+                  // throw-on-garbage contract without allocating
+                  if (e - s == 4 && payload.regionMatches(true, s, "true", 0, 4))
+                    true
+                  else if (e - s == 5 &&
+                      payload.regionMatches(true, s, "false", 0, 5)) false
+                  else payload.substring(s, e).toBoolean
                 case 5 => org.apache.spark.sql.types.Decimal(
-                  new java.math.BigDecimal(v), outDecPrec(o), outDecScale(o))
-                case 6 => GraftKvSink.parseArrayCell(outElemType(o), v)
-                case _ => UTF8String.fromString(
-                  if (v.startsWith("\\")) v.substring(1) else v)
+                  new java.math.BigDecimal(payload.substring(s, e)),
+                  outDecPrec(o), outDecScale(o))
+                case 6 => GraftKvSink.parseArrayCell(outElemType(o),
+                  payload.substring(s, e))
+                case _ =>
+                  val v = payload.substring(
+                    if (s < e && payload.charAt(s) == '\\') s + 1 else s, e)
+                  UTF8String.fromString(v)
               }
             }
           o += 1
