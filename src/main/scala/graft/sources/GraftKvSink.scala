@@ -5634,6 +5634,7 @@ final class GraftKvWriter(dir: String, schema: StructType,
 
   private val observed = new Array[String](schema.length)
   private val sb = new StringBuilder(256) // reused across rows
+  private var lineChars = new Array[Char](256) // reused line-flush buffer
   private val numBuf = new Array[Byte](20) // hllAddLong scratch (max long = 20 chars)
   override def write(row: InternalRow): Unit = {
     sb.setLength(0)
@@ -5731,7 +5732,13 @@ final class GraftKvWriter(dir: String, schema: StructType,
       i += 1
       }
     }
-    out.write(sb.toString)
+    // reused char buffer: sb.toString copied the whole line into a fresh
+    // String per row just to hand chars to the writer
+    val n = sb.length
+    if (lineChars.length < n)
+      lineChars = new Array[Char](math.max(n, lineChars.length * 2))
+    sb.underlying.getChars(0, n, lineChars, 0)
+    out.write(lineChars, 0, n)
     rows += 1
   }
 
@@ -6655,15 +6662,111 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
     // a delete pre-image read from a delta file targets its insert records
     val targetIsDelta = fp.cdcDeletes && fp.file.endsWith(".kvd")
     new PartitionReader[InternalRow] {
-      private val lines = Files.lines(GraftKvSink.dataPath(fp.dir, fp.file)).iterator()
-      private var cur: String = _
+      // Per-row decode hot path, v3 (r21): the format is our own writer's —
+      // UTF-8, '\n' line terminators, tabs never inside values (writer
+      // `require`s), nulls as "\N" — so the reader works on RAW BYTES.
+      // v1 split every line into a String[]; v2 (r20) decoded the whole
+      // line to UTF-16 via Files.lines and substring'd projected fields;
+      // v3 locates terminators and tabs in the byte buffer, parses numeric
+      // fields through an ASCII CharSequence view (the same JDK parsers,
+      // no image allocation), and copies string fields' UTF-8 bytes
+      // STRAIGHT into UTF8String — the old decode-to-chars + re-encode
+      // round trip was the identity on valid UTF-8. Line-terminator
+      // handling mirrors Files.lines ('\n', '\r\n', bare '\r'; a final
+      // unterminated line is yielded, a terminator at EOF adds none).
+      private val in = Files.newInputStream(GraftKvSink.dataPath(fp.dir, fp.file))
+      private var rbuf = new Array[Byte](1 << 16)
+      private var rlen = 0
+      private var rpos = 0
+      private var atEof = false
+      // spill buffer for lines crossing a read-buffer boundary; the common
+      // case views the line in place inside rbuf (no copy)
+      private var sbuf = new Array[Byte](256)
+      // current line: larr[lbase, lend)
+      private var larr: Array[Byte] = _
+      private var lbase = 0
+      private var lend = 0
+      private var pendingSkipLf = false
       private var pos = -1L
-      // Per-row decode hot path (r20): the original split the WHOLE line
-      // into a String[] (one substring per physical column, projected or
-      // not) and rebuilt a Seq with a per-field closure + boxing for every
-      // row. Resolve each output ordinal's decode ONCE, walk the line's
-      // tabs only as far as the highest projected physical position, and
-      // substring only the projected columns into a reused offsets buffer.
+      private def fill(): Boolean = {
+        if (atEof) return false
+        rlen = in.read(rbuf)
+        rpos = 0
+        if (rlen <= 0) { atEof = true; rlen = 0; false } else true
+      }
+      private def readLine(): Boolean = {
+        if (pendingSkipLf) { // '\r' ended the previous chunk: eat one '\n'
+          pendingSkipLf = false
+          if ((rpos < rlen || fill()) && rbuf(rpos) == '\n') rpos += 1
+        }
+        if (rpos >= rlen && !fill()) return false
+        var spilled = 0
+        while (true) {
+          var i = rpos
+          while (i < rlen && rbuf(i) != '\n' && rbuf(i) != '\r') i += 1
+          if (i < rlen) {
+            if (spilled == 0) { larr = rbuf; lbase = rpos; lend = i }
+            else {
+              val n = i - rpos
+              if (spilled + n > sbuf.length)
+                sbuf = java.util.Arrays.copyOf(sbuf,
+                  math.max(sbuf.length * 2, spilled + n))
+              System.arraycopy(rbuf, rpos, sbuf, spilled, n)
+              spilled += n
+              larr = sbuf; lbase = 0; lend = spilled
+            }
+            val t = rbuf(i)
+            rpos = i + 1
+            if (t == '\r') {
+              if (rpos < rlen) { if (rbuf(rpos) == '\n') rpos += 1 }
+              else pendingSkipLf = true
+            }
+            return true
+          }
+          val n = rlen - rpos
+          if (n > 0) {
+            if (spilled + n > sbuf.length)
+              sbuf = java.util.Arrays.copyOf(sbuf,
+                math.max(sbuf.length * 2, spilled + n))
+            System.arraycopy(rbuf, rpos, sbuf, spilled, n)
+            spilled += n
+          }
+          rpos = rlen
+          if (!fill()) { // EOF terminates the last (non-empty) line
+            larr = sbuf; lbase = 0; lend = spilled
+            return true
+          }
+        }
+        false
+      }
+      // ASCII view over the current line for the JDK's range parsers
+      // (numeric images are pure ASCII by construction)
+      private val asciiView: CharSequence = new CharSequence {
+        override def length(): Int = lend
+        override def charAt(i: Int): Char = (larr(i) & 0xFF).toChar
+        override def subSequence(a: Int, b: Int): CharSequence =
+          throw new UnsupportedOperationException
+      }
+      private def mkString(s: Int, e: Int): String =
+        new String(larr, s, e - s, java.nio.charset.StandardCharsets.UTF_8)
+      // line starts with "<m>\t" (record-kind marker probe)
+      private def marked(m: Byte): Boolean =
+        lend - lbase >= 2 && larr(lbase) == m && larr(lbase + 1) == '\t'
+      private def tabFrom(from: Int): Int = {
+        var i = from
+        while (i < lend) { if (larr(i) == '\t') return i; i += 1 }
+        -1
+      }
+      // payload offset of a delta line: I\t<row> | U\t<file>\t<pos>\t<row>
+      private def payloadStart(): Int =
+        if (marked('U')) {
+          val p1 = tabFrom(lbase + 2)
+          val p2 = tabFrom(if (p1 < 0) lbase else p1 + 1)
+          if (p2 < 0) lbase else p2 + 1
+        } else lbase + 2
+      private val fileNameU8 = UTF8String.fromString(fp.file)
+      private val changeTypeU8 =
+        if (fp.changeType == null) null else UTF8String.fromString(fp.changeType)
       private val nOut = projected.fields.length
       private val outTags: Array[Int] = projected.fields.map(_.dataType match {
         case IntegerType        => 0
@@ -6693,14 +6796,16 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
       private val ends = new Array[Int](math.max(maxSrc + 1, 1))
       // number of complete fields located (fields with index < nFound are
       // valid); a line holding fewer fields than maxSrc+1 is an old row
-      // written before a column was added — those ordinals null-fill
-      private def locate(payload: String): Int = {
+      // written before a column was added — those ordinals null-fill.
+      // Offsets are absolute positions in larr.
+      private def locate(pstart: Int): Int = {
         var k = 0
-        var from = 0
+        var from = pstart
         while (k <= maxSrc) {
           starts(k) = from
-          val t = payload.indexOf('\t', from)
-          if (t < 0) { ends(k) = payload.length; return k + 1 }
+          var t = from
+          while (t < lend && larr(t) != '\t') t += 1
+          if (t >= lend) { ends(k) = lend; return k + 1 }
           ends(k) = t
           from = t + 1
           k += 1
@@ -6708,40 +6813,39 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
         k
       }
       override def next(): Boolean = {
-        while (lines.hasNext) {
-          cur = lines.next()
+        while (readLine()) {
           pos += 1L
           val live =
             if (fp.cdcDeletes)
               // pre-image rows in a delta target are its I or U payloads
               isDeleted(pos) && (!targetIsDelta ||
-                cur.startsWith("I\t") || cur.startsWith("U\t"))
+                marked('I') || marked('U'))
             else if (fp.deltaInserts)
               // snapshot delta read surfaces I and U payloads alike; CDC
               // splits them: `insert` partitions read I, `update_postimage`
               // partitions read U
               !isDeleted(pos) &&
-                (if (fp.changeType == null) cur.startsWith("I\t") || cur.startsWith("U\t")
-                else if (fp.updates) cur.startsWith("U\t")
-                else cur.startsWith("I\t"))
+                (if (fp.changeType == null) marked('I') || marked('U')
+                else if (fp.updates) marked('U')
+                else marked('I'))
             else !isDeleted(pos)
           if (live) return true
         }
         false
       }
       override def get(): InternalRow = {
-        val payload =
-          if (fp.deltaInserts || targetIsDelta) GraftKvSink.deltaPayload(cur)
-          else cur
-        val nFound = if (maxSrc < 0) 0 else locate(payload)
+        val ps =
+          if (fp.deltaInserts || targetIsDelta) payloadStart()
+          else lbase
+        val nFound = if (maxSrc < 0) 0 else locate(ps)
         val values = new Array[Any](nOut)
         var o = 0
         while (o < nOut) {
           val si = srcIdx(o)
           values(o) =
-            if (si == -1) UTF8String.fromString(fp.file)
+            if (si == -1) fileNameU8
             else if (si == -2) pos
-            else if (si == -3) UTF8String.fromString(fp.changeType)
+            else if (si == -3) changeTypeU8
             else if (si == -4) fp.commitEpoch
             else if (si >= nFound) null // schema-evolved
             // column appended after this row was written: null-fill (the
@@ -6750,42 +6854,46 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
               val s = starts(si)
               val e = ends(si)
               // "\N" null marker checked in place; numeric/boolean fields
-              // parse from the line's char range directly (Java 9 range
-              // parseInt/parseLong) — no per-field substring. Double/float/
-              // decimal/array/string still need the image (no range parse
-              // exists for them); semantics identical to substring+parse.
-              if (e - s == 2 && payload.charAt(s) == '\\' &&
-                  payload.charAt(s + 1) == 'N') null
+              // parse from the line's byte range directly; double/float/
+              // decimal/array need a String image (no range parse exists);
+              // string fields copy their UTF-8 bytes without re-encoding
+              if (e - s == 2 && larr(s) == '\\' && larr(s + 1) == 'N') null
               else outTags(o) match {
-                case 0 => java.lang.Integer.parseInt(payload, s, e, 10)
-                case 1 => java.lang.Long.parseLong(payload, s, e, 10)
-                case 2 => payload.substring(s, e).toDouble
-                case 3 => payload.substring(s, e).toFloat
+                case 0 => java.lang.Integer.parseInt(asciiView, s, e, 10)
+                case 1 => java.lang.Long.parseLong(asciiView, s, e, 10)
+                case 2 => mkString(s, e).toDouble
+                case 3 => mkString(s, e).toFloat
                 case 4 =>
                   // writer emits Boolean.toString: exactly "true"/"false";
                   // match StringOps.toBoolean's case-insensitive accept +
-                  // throw-on-garbage contract without allocating
-                  if (e - s == 4 && payload.regionMatches(true, s, "true", 0, 4))
-                    true
-                  else if (e - s == 5 &&
-                      payload.regionMatches(true, s, "false", 0, 5)) false
-                  else payload.substring(s, e).toBoolean
+                  // throw-on-garbage contract without allocating ('|32'
+                  // lowercases ASCII letters and nothing else matches)
+                  if (e - s == 4 && (larr(s) | 32) == 't' &&
+                      (larr(s + 1) | 32) == 'r' && (larr(s + 2) | 32) == 'u' &&
+                      (larr(s + 3) | 32) == 'e') java.lang.Boolean.TRUE
+                  else if (e - s == 5 && (larr(s) | 32) == 'f' &&
+                      (larr(s + 1) | 32) == 'a' && (larr(s + 2) | 32) == 'l' &&
+                      (larr(s + 3) | 32) == 's' && (larr(s + 4) | 32) == 'e')
+                    java.lang.Boolean.FALSE
+                  else mkString(s, e).toBoolean
                 case 5 => org.apache.spark.sql.types.Decimal(
-                  new java.math.BigDecimal(payload.substring(s, e)),
+                  new java.math.BigDecimal(mkString(s, e)),
                   outDecPrec(o), outDecScale(o))
                 case 6 => GraftKvSink.parseArrayCell(outElemType(o),
-                  payload.substring(s, e))
+                  mkString(s, e))
                 case _ =>
-                  val v = payload.substring(
-                    if (s < e && payload.charAt(s) == '\\') s + 1 else s, e)
-                  UTF8String.fromString(v)
+                  // one leading backslash is the escape for a literal
+                  // leading backslash (writer doubles it)
+                  val b = if (s < e && larr(s) == '\\') s + 1 else s
+                  UTF8String.fromBytes(
+                    java.util.Arrays.copyOfRange(larr, b, e))
               }
             }
           o += 1
         }
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
       }
-      override def close(): Unit = ()
+      override def close(): Unit = in.close()
     }
   }
 }
