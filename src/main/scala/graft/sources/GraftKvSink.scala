@@ -4451,16 +4451,31 @@ final class GraftKvDeltaWriter(dir: String, schema: StructType,
   private var inserts = 0L
   private var deletes = 0L
   private val observed = new Array[String](schema.length)
+  // reused per-record buffers (same r21 pattern as GraftKvWriter): the
+  // old path built a fresh StringBuilder + String per action record
+  private val sb = new StringBuilder(256)
+  private var lineChars = new Array[Char](256)
+  private def flushLine(): Unit = {
+    val n = sb.length
+    if (lineChars.length < n)
+      lineChars = new Array[Char](math.max(n, lineChars.length * 2))
+    sb.underlying.getChars(0, n, lineChars, 0)
+    out.write(lineChars, 0, n)
+  }
 
   override def delete(meta: InternalRow, id: InternalRow): Unit = {
-    out.write(s"D\t${id.getUTF8String(0)}\t${id.getLong(1)}\n")
+    sb.setLength(0)
+    sb.append("D\t").append(id.getUTF8String(0).toString).append('\t')
+      .append(id.getLong(1)).append('\n')
+    flushLine()
     deletes += 1L
   }
 
   override def insert(row: InternalRow): Unit = {
-    val sb = new StringBuilder("I\t")
+    sb.setLength(0)
+    sb.append("I\t")
     GraftKvSink.encodeRow(schema, row, sb, observed, byPid)
-    out.write(sb.toString)
+    flushLine()
     inserts += 1L
   }
 
@@ -4469,9 +4484,11 @@ final class GraftKvDeltaWriter(dir: String, schema: StructType,
     // as delete(pos) ∪ insert(row); CDC reads classify it as
     // update_preimage/update_postimage (Delta CDF's four-valued
     // _change_type) — which a split delete+insert pair cannot express.
-    val sb = new StringBuilder(s"U\t${id.getUTF8String(0)}\t${id.getLong(1)}\t")
+    sb.setLength(0)
+    sb.append("U\t").append(id.getUTF8String(0).toString).append('\t')
+      .append(id.getLong(1)).append('\t')
     GraftKvSink.encodeRow(schema, row, sb, observed, byPid)
-    out.write(sb.toString)
+    flushLine()
     // counts keep delete+insert arithmetic: manifest COUNT math unchanged
     inserts += 1L
     deletes += 1L
