@@ -6785,6 +6785,15 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
       private val changeTypeU8 =
         if (fp.changeType == null) null else UTF8String.fromString(fp.changeType)
       private val nOut = projected.fields.length
+      // ONE mutable output row per partition, reused across rows (the
+      // CSV/ORC reader discipline: consumers that buffer must copy —
+      // Spark's scan exec projects each row to unsafe before any
+      // buffering operator sees it). Typed holders mean numeric fields
+      // are SET, not boxed; the per-partition-constant metadata columns
+      // (_file, _change_type, _commit_epoch) are written once here.
+      private val mrow =
+        new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+          projected.fields.map(_.dataType).toSeq)
       private val outTags: Array[Int] = projected.fields.map(_.dataType match {
         case IntegerType        => 0
         case LongType           => 1
@@ -6808,6 +6817,20 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
         case a: ArrayType => a.elementType; case _ => null
       })
       private val maxSrc = if (srcIdx.isEmpty) -1 else srcIdx.max
+      locally { // per-partition-constant metadata ordinals, set once
+        var o = 0
+        while (o < nOut) {
+          srcIdx(o) match {
+            case -1 => mrow.update(o, fileNameU8)
+            case -3 =>
+              if (changeTypeU8 == null) mrow.setNullAt(o)
+              else mrow.update(o, changeTypeU8)
+            case -4 => mrow.setLong(o, fp.commitEpoch)
+            case _  => ()
+          }
+          o += 1
+        }
+      }
       // starts(k)/ends(k) bound physical field k's image in the line
       private val starts = new Array[Int](math.max(maxSrc + 1, 1))
       private val ends = new Array[Int](math.max(maxSrc + 1, 1))
@@ -6855,16 +6878,13 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
           if (fp.deltaInserts || targetIsDelta) payloadStart()
           else lbase
         val nFound = if (maxSrc < 0) 0 else locate(ps)
-        val values = new Array[Any](nOut)
         var o = 0
         while (o < nOut) {
           val si = srcIdx(o)
-          values(o) =
-            if (si == -1) fileNameU8
-            else if (si == -2) pos
-            else if (si == -3) changeTypeU8
-            else if (si == -4) fp.commitEpoch
-            else if (si >= nFound) null // schema-evolved
+          if (si == -2) mrow.setLong(o, pos)
+          else if (si >= 0) {
+            // (metadata ordinals -1/-3/-4 were preset at construction)
+            if (si >= nFound) mrow.setNullAt(o) // schema-evolved
             // column appended after this row was written: null-fill (the
             // add-column contract — old rows have no value)
             else {
@@ -6874,12 +6894,15 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
               // parse from the line's byte range directly; double/float/
               // decimal/array need a String image (no range parse exists);
               // string fields copy their UTF-8 bytes without re-encoding
-              if (e - s == 2 && larr(s) == '\\' && larr(s + 1) == 'N') null
+              if (e - s == 2 && larr(s) == '\\' && larr(s + 1) == 'N')
+                mrow.setNullAt(o)
               else outTags(o) match {
-                case 0 => java.lang.Integer.parseInt(asciiView, s, e, 10)
-                case 1 => java.lang.Long.parseLong(asciiView, s, e, 10)
-                case 2 => mkString(s, e).toDouble
-                case 3 => mkString(s, e).toFloat
+                case 0 =>
+                  mrow.setInt(o, java.lang.Integer.parseInt(asciiView, s, e, 10))
+                case 1 =>
+                  mrow.setLong(o, java.lang.Long.parseLong(asciiView, s, e, 10))
+                case 2 => mrow.setDouble(o, mkString(s, e).toDouble)
+                case 3 => mrow.setFloat(o, mkString(s, e).toFloat)
                 case 4 =>
                   // writer emits Boolean.toString: exactly "true"/"false";
                   // match StringOps.toBoolean's case-insensitive accept +
@@ -6887,28 +6910,29 @@ final class GraftKvReaderFactory(schemaJson: String, projectedJson: String)
                   // lowercases ASCII letters and nothing else matches)
                   if (e - s == 4 && (larr(s) | 32) == 't' &&
                       (larr(s + 1) | 32) == 'r' && (larr(s + 2) | 32) == 'u' &&
-                      (larr(s + 3) | 32) == 'e') java.lang.Boolean.TRUE
+                      (larr(s + 3) | 32) == 'e') mrow.setBoolean(o, true)
                   else if (e - s == 5 && (larr(s) | 32) == 'f' &&
                       (larr(s + 1) | 32) == 'a' && (larr(s + 2) | 32) == 'l' &&
                       (larr(s + 3) | 32) == 's' && (larr(s + 4) | 32) == 'e')
-                    java.lang.Boolean.FALSE
-                  else mkString(s, e).toBoolean
-                case 5 => org.apache.spark.sql.types.Decimal(
+                    mrow.setBoolean(o, false)
+                  else mrow.setBoolean(o, mkString(s, e).toBoolean)
+                case 5 => mrow.update(o, org.apache.spark.sql.types.Decimal(
                   new java.math.BigDecimal(mkString(s, e)),
-                  outDecPrec(o), outDecScale(o))
-                case 6 => GraftKvSink.parseArrayCell(outElemType(o),
-                  mkString(s, e))
+                  outDecPrec(o), outDecScale(o)))
+                case 6 => mrow.update(o, GraftKvSink.parseArrayCell(
+                  outElemType(o), mkString(s, e)))
                 case _ =>
                   // one leading backslash is the escape for a literal
                   // leading backslash (writer doubles it)
                   val b = if (s < e && larr(s) == '\\') s + 1 else s
-                  UTF8String.fromBytes(
-                    java.util.Arrays.copyOfRange(larr, b, e))
+                  mrow.update(o, UTF8String.fromBytes(
+                    java.util.Arrays.copyOfRange(larr, b, e)))
               }
             }
+          }
           o += 1
         }
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+        mrow
       }
       override def close(): Unit = in.close()
     }
