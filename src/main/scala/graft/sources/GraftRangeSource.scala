@@ -405,20 +405,30 @@ final class GraftRangeReaderFactory(cols: Array[String])
         case _   => 2 // "tag"
       }
       private val nOut = tags.length
+      // r21 follow-up: ONE mutable row reused across generated rows (the
+      // kv reader's discipline) — long ordinals are SET, never boxed
+      private val mrow =
+        new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+          tags.toSeq.map {
+            case 2 => org.apache.spark.sql.types.StringType
+              : org.apache.spark.sql.types.DataType
+            case _ => org.apache.spark.sql.types.LongType
+              : org.apache.spark.sql.types.DataType
+          })
       private var k = gp.start - 1
       override def next(): Boolean = { k += 1; k < gp.end }
       override def get(): InternalRow = {
-        val values = new Array[Any](nOut)
         var i = 0
         while (i < nOut) {
-          values(i) = tags(i) match {
-            case 0 => k
-            case 1 => GraftRangeSource.valueOf(k)
-            case _ => UTF8String.fromString(GraftRangeSource.tagOf(k))
+          tags(i) match {
+            case 0 => mrow.setLong(i, k)
+            case 1 => mrow.setLong(i, GraftRangeSource.valueOf(k))
+            case _ =>
+              mrow.update(i, UTF8String.fromString(GraftRangeSource.tagOf(k)))
           }
           i += 1
         }
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+        mrow
       }
       override def close(): Unit = ()
     }
